@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+All real content lives in ``otterbrix_spark.workload`` — one registered
+(spark_fn, oracle_sql) pair per operator from SURVEY.md §2 plus the
+LLM-pipeline extensions.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _registry():
+    from otterbrix_spark.workload import load_all
+
+    return load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    from otterbrix_spark.session import configure_session
+
+    configure_session(spark)
+    reg = _registry()
+    return reg["q01_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from otterbrix_spark.session import configure_session
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    reg = _registry()
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_session(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.spark_fn) for name, spec in reg.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL per query (omitted => rows-only check)."""
+    return {
+        name: spec.oracle for name, spec in _registry().items() if spec.oracle is not None
+    }

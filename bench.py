@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline workload queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    from otterbrix_spark.session import get_spark
+    from otterbrix_spark.workload import load_all
+
+    spark = get_spark(
+        app_name="otterbrix-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = load_all()
+    headline = {name: spec for name, spec in registry.items() if spec.bench}
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session bring-up
+    next(iter(headline.values())).spark_fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(headline):
+        start = time.perf_counter()
+        rows = headline[name].spark_fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+        del rows
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""PG-dialect → Spark SQL rewriting — the dialect gap layer (SURVEY.md §3A).
+
+The reference parses PostgreSQL grammar (vendored flex/bison parser); Spark
+SQL covers almost all of it natively (including ``expr::type`` casts since
+3.4). What remains are the PG-isms Spark does not know:
+
+  - ``~``  regex-match operator            → ``RLIKE``
+  - ``col ->> 'k'`` / ``col -> 'k'``       → ``get_json_object(col, '$.k')``
+  - ``col #>> '{a,b}'`` / ``#>``           → ``get_json_object(col, '$.a.b')``
+  - ``::?`` variant-select cast            → ``try_cast`` (pick-if-type-matches)
+
+The rewrite is token-aware (string literals are protected before any
+substitution) rather than a full parser — the same pragmatic seam the
+reference exposes for parser extensions (`components/sql/parser/
+extension.hpp`). Each rule is covered by tests; unknown constructs pass
+through untouched so plain Spark SQL always works.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+_STR_LIT = re.compile(r"'(?:[^']|'')*'")
+
+
+def _protect_strings(sql: str) -> tuple[str, list[str]]:
+    literals: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    return _STR_LIT.sub(stash, sql), literals
+
+
+def _restore_strings(sql: str, literals: list[str]) -> str:
+    def unstash(m: re.Match) -> str:
+        return literals[int(m.group(1))]
+
+    return re.sub("\x00(\\d+)\x00", unstash, sql)
+
+
+def _lit_text(token: str) -> str:
+    """'abc' -> abc (unescape doubled quotes)."""
+    return token[1:-1].replace("''", "'")
+
+
+def _json_path(keys: list[str]) -> str:
+    out = "$"
+    for k in keys:
+        out += f"[{k}]" if k.lstrip("-").isdigit() else f".{k}"
+    return out
+
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9.]*"
+_OPERAND = rf"(?:{_IDENT}\s*\((?:[^()]*)\)|{_IDENT}|\x00\d+\x00)"
+
+
+def rewrite(sql: str, literals_resolver=None) -> str:
+    """Rewrite PG-isms into Spark SQL. Idempotent on plain Spark SQL."""
+    body, lits = _protect_strings(sql)
+
+    def lit_at(tok: str) -> str | None:
+        m = re.fullmatch("\x00(\\d+)\x00", tok)
+        return _lit_text(lits[int(m.group(1))]) if m else None
+
+    # --- #>> / #> : path navigation with '{a,b}' literals -------------------
+    def fix_path(m: re.Match) -> str:
+        col, tok = m.group(1), m.group(2)
+        text = lit_at(tok)
+        if text is None:
+            return m.group(0)
+        keys = [k.strip() for k in text.strip("{}").split(",") if k.strip()]
+        path = _json_path(keys)
+        return f"get_json_object({col}, '{path}')"
+
+    body = re.sub(rf"({_OPERAND})\s*#>>?\s*(\x00\d+\x00)", fix_path, body)
+
+    # --- ->> / -> : single-step navigation ----------------------------------
+    def fix_arrow(m: re.Match) -> str:
+        col, tok = m.group(1), m.group(2)
+        text = lit_at(tok)
+        if text is None:
+            return m.group(0)
+        path = _json_path([text])
+        return f"get_json_object({col}, '{path}')"
+
+    # apply repeatedly so chains  a -> 'x' -> 'y'  collapse left-to-right
+    pat_arrow = re.compile(rf"({_OPERAND})\s*->>?\s*(\x00\d+\x00)")
+    prev = None
+    while prev != body:
+        prev = body
+        body = pat_arrow.sub(fix_arrow, body, count=1)
+
+    # --- ::? variant-select -> try_cast -------------------------------------
+    def fix_variant(m: re.Match) -> str:
+        return f"try_cast({m.group(1)} AS {m.group(2)})"
+
+    body = re.sub(rf"({_OPERAND})\s*::\?\s*([A-Za-z_0-9()]+)", fix_variant, body)
+
+    # --- `~` regex-match (avoid matching `!~`, `~*` for now) ----------------
+    body = re.sub(
+        rf"({_OPERAND})\s*~\s*(\x00\d+\x00)",
+        lambda m: f"{m.group(1)} RLIKE {m.group(2)}",
+        body,
+    )
+
+    return _restore_strings(body, lits)

@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+set against the full corpus, ranked per query. The dot products run as
+JVM-side `zip_with`/`aggregate` higher-order functions inside codegen — no
+Python, no UDF.
+
+Scale path: sign-bit LSH bucketing (axis-aligned hyperplanes here; swap the
+projection matrix for random hyperplanes in production). Candidates are
+restricted to the query's bucket, turning the all-pairs scan into a
+hash-partitioned equi-join on the bucket code — the IVF-style recipe that
+holds at billions of vectors. Both variants avoid any driver-side loop.
+
+Determinism: all arithmetic is promoted to double and folded sequentially
+(array order), so cosine values are bit-identical across engines; ranking
+tie-breaks on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _with_norm(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    return df.withColumn(
+        "nrm", F.sqrt(F.expr(DOT.format(a=vec_col, b=vec_col)))
+    )
+
+
+def prepare(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Normalise schema: (vec_id, v: array<double>, nrm) with norms precomputed
+    once — never recomputed inside the pair join."""
+    return _with_norm(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    )
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank).
+
+    ``corpus``/``queries`` are `prepare`d frames. The query side is broadcast
+    (queries << corpus); ranking is a per-query window over the scored pairs.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def signbit_bucket(vec_col: str = "v", n_bits: int = 8) -> F.Column:
+    """LSH bucket code: sign bits of the first ``n_bits`` components."""
+    code = None
+    for i in range(n_bits):
+        bit = F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return code.cast("int")
+
+
+def bucketed_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8
+) -> DataFrame:
+    """Approximate top-k within the query's LSH bucket: (query_id,
+    neighbor_id, rank). The bucket equi-join replaces the cross join —
+    candidate count drops ~2^n_bits-fold."""
+    c = corpus.withColumn("bucket", signbit_bucket("v", n_bits))
+    q = queries.withColumn("bucket", signbit_bucket("v", n_bits)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

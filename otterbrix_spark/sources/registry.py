@@ -1,0 +1,94 @@
+"""Parquet source registry for the synthetic TPC-H-ish test corpus.
+
+Mirrors the reference's scan surface (full_scan / transfer_scan /
+raw-data sources — reference `components/physical_plan/operators/scan/
+full_scan.hpp:12-50`) on Spark's DataFrame reader, where filter and
+column pushdown into the parquet scan are automatic (visible as
+``PushedFilters`` / ``ReadSchema`` in ``df.explain``).
+
+Scale notes: reads are plain ``spark.read.parquet`` — on a cluster these
+split by row-group into tasks; no driver-side materialisation happens
+here. The only special case is the ``events`` table, whose generator
+wrote TIMESTAMP(NANOS) which Spark's vectorised parquet reader rejects;
+with ``spark.sql.legacy.parquet.nanosAsLong=true`` we scan nanos as
+longs and normalise to a microsecond timestamp column — still a pure
+column projection, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins at any
+# scale factor (region: 5 rows, nation: 25 rows — fixed-size in TPC-H).
+BROADCAST_TABLES = {"region", "nation"}
+
+
+def _events_arrow_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Load events via pyarrow when the session cannot scan nano timestamps.
+
+    Test-scale fallback only (documents why: a production deployment would
+    land microsecond parquet; the fallback keeps the engine usable on a
+    session whose `nanosAsLong` conf is static/frozen).
+    """
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    schema = table.schema
+    import pyarrow as pa
+
+    fields = []
+    for field in schema:
+        if pa.types.is_timestamp(field.type):
+            fields.append(field.with_type(pa.timestamp("us")))
+        else:
+            fields.append(field)
+    table = table.cast(pa.schema(fields))
+    return spark.createDataFrame(table.to_pandas())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; normalises the events timestamp column."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return _events_arrow_fallback(spark, path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # epoch-nanos long -> microsecond timestamp (naive/UTC session).
+        # Integer DIV, not floor(x/1000): double division loses precision at
+        # epoch-nano magnitudes (~1.7e18 > 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every corpus table as a temp view; returns the frames."""
+    frames = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        frames[name] = df
+    return frames

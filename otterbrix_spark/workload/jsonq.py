@@ -1,0 +1,181 @@
+"""Semi-structured / events workload — the JSONBench query shapes
+(reference `JSONBench/otterbrix/jsonbench.cpp:297-345`) plus JSONB path
+navigation (`->`/`->>`/`#>`/`#>>` — reference
+`components/sql/transformer/impl/transform_select.cpp:641-736`) over the
+driver's `events` table (`props` is a JSON text column).
+
+Timestamps are emitted as epoch microseconds (BIGINT) so the comparison is
+representation-independent; the events source normalises the generator's
+TIMESTAMP(NANOS) to microseconds at scan time (sources/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otterbrix_spark.functions import jsonb
+from otterbrix_spark.functions.numeric import dsum, oracle_dsum
+from otterbrix_spark.sources.registry import load_table
+from otterbrix_spark.workload import query
+
+
+# --- j01: top event types (JSONBench q1) ------------------------------------
+
+_J01_ORACLE = """
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, event_type
+"""
+
+
+@query("j01_event_counts", _J01_ORACLE, doc="JSONBench q1: top event types", bench=True)
+def j01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "event_type")
+    )
+
+
+# --- j02: distinct users per type (JSONBench q2) ----------------------------
+
+_J02_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@query("j02_distinct_users", _J02_ORACLE, doc="JSONBench q2: COUNT(DISTINCT) per type")
+def j02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+# --- j03: filtered multi-IN counts (JSONBench q3) ---------------------------
+
+_J03_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n, {oracle_dsum('value', 'total_value')}
+FROM events
+WHERE event_type IN ('click', 'purchase', 'view') AND value > 50
+GROUP BY event_type
+"""
+
+
+@query("j03_filtered_in", _J03_ORACLE, doc="JSONBench q3: IN-list filter + counts")
+def j03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase", "view") & (F.col("value") > 50))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+    )
+
+
+# --- j04: earliest activity per user, first 3 (JSONBench q4) ----------------
+
+_J04_ORACLE = """
+SELECT user_id, epoch_us(MIN(ts)) AS first_us
+FROM events GROUP BY user_id
+ORDER BY first_us, user_id LIMIT 3
+"""
+
+
+@query("j04_first_activity", _J04_ORACLE, doc="JSONBench q4: MIN(ts) + ORDER BY + LIMIT 3")
+def j04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.unix_micros(F.min("ts")).alias("first_us"))
+        .orderBy("first_us", "user_id")
+        .limit(3)
+    )
+
+
+# --- j05: activity span per user, top 3 (JSONBench q5) ----------------------
+
+_J05_ORACLE = """
+SELECT user_id, epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY span_us DESC, user_id LIMIT 3
+"""
+
+
+@query("j05_activity_span", _J05_ORACLE, doc="JSONBench q5: MAX-MIN span, top 3")
+def j05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.col("span_us").desc(), "user_id")
+        .limit(3)
+    )
+
+
+# --- j06: JSONB scalar navigation (`props ->> 'k'`) -------------------------
+
+_J06_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(json_extract_string(props, '$.k')) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("j06_jsonb_extract", _J06_ORACLE, doc="JSONB ->> navigation + aggregate")
+def j06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = jsonb.arrow_text(F.col("props"), "k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+# --- j07: missing-path navigation yields NULL -------------------------------
+
+_J07_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(json_extract_string(props, '$.missing.path')) AS n_present,
+       COUNT(*) - COUNT(json_extract_string(props, '$.missing.path')) AS n_null
+FROM events
+"""
+
+
+@query("j07_jsonb_missing_path", _J07_ORACLE, doc="JSONB #>> on absent path -> NULL")
+def j07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    missing = jsonb.path_text(F.col("props"), ["missing", "path"])
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(missing).alias("n_present"),
+        (F.count(F.lit(1)) - F.count(missing)).alias("n_null"),
+    )
+
+
+# --- j08: hourly event-time rollup (Spark-first; streaming-shaped) ----------
+# The reference's "streaming" is push-based batch pipelining (§2.11); this is
+# the same aggregation our Structured Streaming pipeline runs with a
+# watermark, here in batch form so it is oracle-checkable.
+
+_J08_ORACLE = f"""
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+       COUNT(*) AS n, {oracle_dsum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("j08_hourly_rollup", _J08_ORACLE, doc="event-time tumbling-window rollup (batch form)")
+def j08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+    )

@@ -1,0 +1,339 @@
+"""LLM-data-pipeline workload entries over `documents` / `embeddings`:
+dedup (exact / minhash+LSH / simhash / n-gram Jaccard), similarity search
+(brute-force + LSH-bucketed ANN), text analysis (lang-ID / quality / token
+counts / fingerprint), multimodal metadata.
+
+Every oracle replays the *same algorithm* in DuckDB SQL — the hash family is
+md5 (identical hex in both engines) and all arithmetic is integer or
+single-op double, so results hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otterbrix_spark.llm import dedup, similarity, text as text_ops
+from otterbrix_spark.llm.multimodal import decode_assets, documents_as_assets
+from otterbrix_spark.sources.registry import load_table
+from otterbrix_spark.workload import query
+
+# Shared oracle CTE: distinct 3-word shingles per document (DuckDB arrays are
+# 1-based; i ranges over 1..len-2 so ws[i+2] tops out at the last element).
+_SHINGLES_CTE = r"""
+w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i))
+"""
+
+_NUM_HASHES = dedup.DEFAULT_NUM_HASHES
+
+
+def _sig_cte() -> str:
+    mins = ",\n        ".join(
+        f"MIN(substr(md5('{i}:' || shingle), 1, 8)) AS h{i}" for i in range(_NUM_HASHES)
+    )
+    return f"sig AS (SELECT doc_id,\n        {mins}\n        FROM sh GROUP BY doc_id)"
+
+
+# --- d01: exact dedup -------------------------------------------------------
+
+_D01_ORACLE = """
+WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+     g AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+           FROM f GROUP BY fp)
+SELECT f.doc_id, g.canonical_id, g.group_size
+FROM f JOIN g ON f.fp = g.fp
+"""
+
+
+@query("d01_dedup_exact", _D01_ORACLE, doc="exact dedup via content-hash groupBy", bench=True)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+# --- d02: normalised fingerprint -------------------------------------------
+
+_D02_ORACLE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+@query("d02_fingerprint", _D02_ORACLE, doc="normalised md5 document fingerprint")
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_ops.fingerprint(F.col("text")).alias("fp"))
+
+
+# --- d03: n-gram Jaccard pairs ---------------------------------------------
+
+_D03_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+cand AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT cand.a, cand.b, cand.common,
+       cand.common / (sa.n + sb.n - cand.common) AS jaccard
+FROM cand JOIN sz sa ON cand.a = sa.doc_id JOIN sz sb ON cand.b = sb.doc_id
+WHERE cand.common / (sa.n + sb.n - cand.common) >= 0.2
+"""
+
+
+@query("d03_ngram_jaccard", _D03_ORACLE, doc="3-gram shingle Jaccard near-dup pairs")
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    return dedup.jaccard_pairs(sh, threshold=0.2)
+
+
+# --- d04: minhash signatures ------------------------------------------------
+
+_D04_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_sig_cte()}
+SELECT doc_id, {' || '.join(f'h{i}' for i in range(_NUM_HASHES))} AS signature
+FROM sig
+"""
+
+
+@query("d04_minhash_signature", _D04_ORACLE, doc="8-hash MinHash signature per document", bench=True)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    return dedup.minhash_signature_str(sh)
+
+
+# --- d05: minhash LSH candidate pairs + Jaccard verify ----------------------
+
+
+def _bands_sql() -> str:
+    n_bands = _NUM_HASHES // dedup.DEFAULT_BAND_SIZE
+    selects = []
+    for b in range(n_bands):
+        parts = " || ".join(
+            f"h{b * dedup.DEFAULT_BAND_SIZE + j}" for j in range(dedup.DEFAULT_BAND_SIZE)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band_idx, {parts} AS band_val FROM sig")
+    return " UNION ALL ".join(selects)
+
+
+_D05_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_sig_cte()},
+bands AS ({_bands_sql()}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id),
+common AS (SELECT p.a, p.b, COUNT(*) AS common
+           FROM cand p
+           JOIN sh sa ON sa.doc_id = p.a
+           JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+           GROUP BY 1, 2),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT common.a, common.b, common.common,
+       common.common / (sa.n + sb.n - common.common) AS jaccard
+FROM common JOIN sz sa ON common.a = sa.doc_id JOIN sz sb ON common.b = sb.doc_id
+WHERE common.common / (sa.n + sb.n - common.common) >= 0.2
+"""
+
+
+@query("d05_minhash_lsh", _D05_ORACLE, doc="MinHash LSH banding -> candidate pairs -> verify")
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    cands = dedup.lsh_candidate_pairs(sh)
+    return dedup.jaccard_pairs(sh, candidates=cands, threshold=0.2)
+
+
+# --- d06: simhash -----------------------------------------------------------
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    balances = ",\n        ".join(
+        f"SUM(((hv >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
+    )
+    sim = " + ".join(f"(CASE WHEN s{j} > 0 THEN 1 << {j} ELSE 0 END)" for j in range(bits))
+    return rf"""
+WITH wx AS (SELECT DISTINCT doc_id, word
+            FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+                  FROM documents)),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS hv FROM wx),
+s AS (SELECT doc_id,
+        {balances}
+      FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM s
+"""
+
+
+_D06_ORACLE = _simhash_oracle()
+
+
+@query("d06_simhash", _D06_ORACLE, doc="16-bit SimHash per document")
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+# --- e01: brute-force cosine top-k -----------------------------------------
+
+_E01_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+                  list_dot_product(n.v, q.qv) / (n.nrm * q.qn) AS cos
+           FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("e01_knn_brute", _E01_ORACLE, doc="exact cosine top-10 for query vectors", bench=True)
+def e01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.brute_force_topk(corpus, queries, k=10)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- e02: LSH-bucketed ANN top-k -------------------------------------------
+
+
+def _bucket_sql(vec: str, n_bits: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+
+
+_E02_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             CAST({_bucket_sql('v')} AS INT) AS bucket
+      FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM n WHERE vec_id < 5),
+scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+                  list_dot_product(n.v, q.qv) / (n.nrm * q.qn) AS cos
+           FROM n JOIN q ON n.bucket = q.bucket WHERE n.vec_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("e02_knn_lsh", _E02_ORACLE, doc="sign-bit LSH bucketed ANN top-5")
+def e02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.bucketed_topk(corpus, queries, k=5)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- t01: language ID -------------------------------------------------------
+
+
+def _in_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in text_ops.STOPWORDS[lang])
+
+
+_T01_ORACLE = rf"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+s AS (SELECT doc_id,
+        CAST(len(list_filter(ws, x -> x IN ({_in_list('en')}))) AS INT) AS score_en,
+        CAST(len(list_filter(ws, x -> x IN ({_in_list('es')}))) AS INT) AS score_es,
+        CAST(len(list_filter(ws, x -> x IN ({_in_list('de')}))) AS INT) AS score_de
+      FROM w)
+SELECT doc_id, score_en, score_es, score_de,
+       CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+            WHEN score_es >= score_de THEN 'es'
+            ELSE 'de' END AS pred_lang
+FROM s
+"""
+
+
+@query("t01_langid", _T01_ORACLE, doc="stopword-heuristic language identification")
+def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.with_lang_scores(docs).select(
+        "doc_id", "score_en", "score_es", "score_de", "pred_lang"
+    )
+
+
+# --- t02: quality scoring ---------------------------------------------------
+
+_T02_ORACLE = rf"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+f AS (SELECT doc_id,
+        CAST(len(ws) AS INT) AS n_words,
+        CAST(len(list_distinct(ws)) AS INT) AS n_unique,
+        CAST(len(list_filter(ws, x -> x IN ({_in_list('en')}))) AS INT) AS n_stop,
+        CAST(list_sum(list_transform(ws, x -> strlen(x))) AS INT) AS sum_word_len
+      FROM w)
+SELECT doc_id, n_words, n_unique, n_stop,
+       sum_word_len / n_words AS avg_word_len,
+       (n_unique / n_words) * 0.5 + (1 - n_stop / n_words) * 0.5 AS quality
+FROM f
+"""
+
+
+@query("t02_quality", _T02_ORACLE, doc="deterministic text-quality scoring")
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.with_quality(docs).select(
+        "doc_id", "n_words", "n_unique", "n_stop", "avg_word_len", "quality"
+    )
+
+
+# --- t03: token counting ----------------------------------------------------
+
+_T03_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{text_ops.TOKEN_PATTERN}')) AS INT) AS n_tokens,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_ws_tokens,
+       CAST(strlen(text) AS INT) AS n_bytes
+FROM documents
+"""
+
+
+@query("t03_token_count", _T03_ORACLE, doc="BPE-ish + whitespace token counts")
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(F.col("text")).alias("n_tokens"),
+        text_ops.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+
+
+# --- m01: multimodal metadata (decode plumbing; fake decoder) ---------------
+
+_M01_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@query("m01_multimodal_meta", _M01_ORACLE, doc="binary payload columns + metadata (decode stubbed)")
+def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs)
+    decoded = decode_assets(assets)
+    return decoded.select("asset_id", "n_bytes")

@@ -1,0 +1,190 @@
+"""Subqueries — scalar, EXISTS/NOT EXISTS, IN/NOT IN, ANY/ALL, correlated —
+per the reference's subquery machinery (subplans executed first, results fed
+to the outer plan via `compare_type::any/all` predicates — reference
+`services/collection/executor.cpp:282-292`,
+`integration/cpp/test/test_subqueries.cpp:98-260`).
+
+Spark-first: EXISTS/IN lower to left-semi joins, NOT EXISTS/NOT IN to
+left-anti joins (hash, broadcast when small), scalar subqueries to computed
+literals or broadcast single-row joins. These are exactly the rewrites
+Catalyst applies to the SQL forms; the DataFrame plans here declare them
+directly so the physical plan is the one we'd want at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otterbrix_spark.functions.numeric import dsum, oracle_dsum
+from otterbrix_spark.sources.registry import load_table
+from otterbrix_spark.workload import query
+
+
+# --- q04: correlated EXISTS -> left-semi join (TPC-H Q4 shape) --------------
+
+_Q04_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q04_exists_semi", _Q04_ORACLE, doc="correlated EXISTS as left-semi join", bench=True)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    semi = filtered.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q12: IN (subquery) -> left-semi join -----------------------------------
+
+_Q12_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+@query("q12_in_subquery", _Q12_ORACLE, doc="IN (subquery) as left-semi join")
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- q13: NOT EXISTS -> left-anti join --------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("q13_not_exists_anti", _Q13_ORACLE, doc="NOT EXISTS as left-anti join")
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --- q37: NOT IN (no-null subquery) -> left-anti join -----------------------
+
+_Q37_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+"""
+
+
+@query("q37_not_in", _Q37_ORACLE, doc="NOT IN (null-free subquery) as anti join")
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    asia = nation.filter(F.col("n_regionkey") == 2).select("n_nationkey")
+    return supp.join(
+        F.broadcast(asia), supp.s_nationkey == asia.n_nationkey, "left_anti"
+    ).select("s_suppkey", "s_name")
+
+
+# --- q14: uncorrelated scalar subquery --------------------------------------
+# Scalar value computed once, folded as a literal into the outer filter —
+# identical to the reference running subplans first and feeding results in.
+
+_Q14_ORACLE = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > 0.99 * (SELECT MAX(p_retailprice) FROM part)
+"""
+
+
+@query("q14_scalar_subquery", _Q14_ORACLE, doc="uncorrelated scalar subquery")
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    # max is order-insensitive -> deterministic threshold in both engines
+    mx = part.agg(F.max("p_retailprice")).collect()[0][0]
+    return part.filter(F.col("p_retailprice") > 0.99 * mx).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+# --- q15: correlated scalar subquery (per-group aggregate compare) ----------
+# DataFrame form: aggregate-then-join, the distributed equivalent of the
+# correlated AVG; the decimal-sum convention keeps the threshold bit-identical.
+
+_Q15_ORACLE = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier s
+WHERE s_acctbal > (SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                          / COUNT(s2.s_acctbal)
+                   FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+@query("q15_correlated_scalar", _Q15_ORACLE, doc="correlated scalar subquery via agg+join")
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    from otterbrix_spark.functions.numeric import davg
+
+    nation_avg = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        davg(F.col("s_acctbal"), "avg_bal")
+    )
+    return (
+        supp.join(F.broadcast(nation_avg), supp.s_nationkey == nation_avg.nk)
+        .filter(F.col("s_acctbal") > F.col("avg_bal"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# --- q36: ANY / ALL quantified compares -------------------------------------
+# Reference lowers `= ANY(...)` / `> ALL(...)` to compare_type::any/all over
+# materialised subquery results (`expressions/forward.hpp:21-40`).
+
+_Q36_ORACLE = """
+SELECT p_partkey, p_retailprice
+FROM part
+WHERE p_retailprice > ALL (SELECT p_retailprice FROM part WHERE p_brand = 'Brand#13')
+  AND p_size = ANY (SELECT n_nationkey FROM nation WHERE n_regionkey < 2)
+"""
+
+
+@query("q36_any_all", _Q36_ORACLE, doc="ANY/ALL quantified comparisons")
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    # > ALL(S) == > max(S) when S is non-empty and null-free
+    mx = part.filter(F.col("p_brand") == "Brand#13").agg(F.max("p_retailprice")).collect()[0][0]
+    sizes = nation.filter(F.col("n_regionkey") < 2).select(
+        F.col("n_nationkey").alias("p_size")
+    )
+    return (
+        part.filter(F.col("p_retailprice") > mx)
+        .join(F.broadcast(sizes), "p_size", "left_semi")
+        .select("p_partkey", "p_retailprice")
+    )

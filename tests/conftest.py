@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("OTX_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_MID = os.environ.get("OTX_TEST_SF_DIR_MID", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from otterbrix_spark.session import get_spark
+
+    spark = get_spark(app_name="otterbrix-tests", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf_dir_mid():
+    return SF_DIR_MID

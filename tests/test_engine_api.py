@@ -1,0 +1,133 @@
+"""Engine facade (entry point A) + Relation API (entry point B) + dialect
+rewrite tests — the reference's client-contract shapes
+(`integration/cpp/test/test_sql_features.cpp`, python relation tests)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from otterbrix_spark.dialect import rewrite
+from otterbrix_spark.engine import connect
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    eng = connect(spark)
+    eng.register_corpus(sf_dir)
+    return eng
+
+
+# --- entry point A: execute_sql -> Cursor -----------------------------------
+
+
+def test_execute_sql_cursor_contract(engine):
+    cur = engine.execute_sql(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
+    )
+    assert cur.column_count() == 2
+    assert cur.size() == 5
+    assert {r[0] for r in cur.fetchall()} == {
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+    }
+    assert cur.value("n", 0) > 0
+
+
+def test_parameterised_query(engine):
+    cur = engine.execute_sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal > $1 AND c_mktsegment = $2",
+        5000,
+        "BUILDING",
+    )
+    assert cur.size() == 1
+    assert cur.value("n", 0) > 0
+
+
+def test_select_no_table(engine):
+    cur = engine.execute_sql("SELECT 2 + 3 AS v")
+    assert cur.fetchall() == [(5,)]
+
+
+# --- dialect rewriting ------------------------------------------------------
+
+
+def test_rewrite_regex_op():
+    assert rewrite("SELECT * FROM t WHERE name ~ '^ab'") == (
+        "SELECT * FROM t WHERE name RLIKE '^ab'"
+    )
+
+
+def test_rewrite_jsonb_arrow():
+    out = rewrite("SELECT props ->> 'k' FROM events")
+    assert out == "SELECT get_json_object(props, '$.k') FROM events"
+
+
+def test_rewrite_jsonb_path():
+    out = rewrite("SELECT payload #>> '{commit,record,text}' FROM ev")
+    assert out == "SELECT get_json_object(payload, '$.commit.record.text') FROM ev"
+
+
+def test_rewrite_chained_arrows():
+    out = rewrite("SELECT props -> 'a' -> 'b' FROM t")
+    assert "get_json_object(get_json_object(props, '$.a'), '$.b')" in out
+
+
+def test_rewrite_variant_select():
+    out = rewrite("SELECT v ::? bigint FROM t")
+    assert out == "SELECT try_cast(v AS bigint) FROM t"
+
+
+def test_rewrite_preserves_strings():
+    sql = "SELECT 'a ~ b' AS s, name ~ 'x' FROM t"
+    out = rewrite(sql)
+    assert "'a ~ b'" in out and "name RLIKE 'x'" in out
+
+
+def test_dialect_sql_end_to_end(engine):
+    cur = engine.execute_sql(
+        "SELECT event_type, COUNT(props ->> 'k') AS n FROM events "
+        "WHERE event_type ~ '^(click|view)$' GROUP BY event_type"
+    )
+    assert cur.size() == 2
+
+
+# --- entry point B: relation API --------------------------------------------
+
+
+def test_from_df_roundtrip(engine):
+    pdf = pd.DataFrame({"name": ["a", "b", "c"], "value": [1, 2, None]})
+    rel = engine.from_df(pdf, name="t_basic")
+    assert rel.df.count() == 3
+    got = engine.execute_sql("SELECT COUNT(value) AS n FROM t_basic").value("n", 0)
+    assert got == 2
+
+
+def test_relation_verbs(engine, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from otterbrix_spark.relation import from_df
+    from otterbrix_spark.sources.registry import load_table
+
+    cust = from_df(load_table(spark, sf_dir, "customer"), spark=spark)
+    out = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .group("c_nationkey", {"n": ("count", "c_custkey"), "best": ("max", "c_acctbal")})
+        .order(F.col("n").desc())
+        .limit(5)
+        .fetchall()
+    )
+    assert len(out) == 5
+    assert all(len(r) == 3 for r in out)
+
+
+def test_relation_join_and_cross(engine, spark, sf_dir):
+    from otterbrix_spark.relation import from_df
+    from otterbrix_spark.sources.registry import load_table
+
+    nation = from_df(load_table(spark, sf_dir, "nation"), spark=spark)
+    region = from_df(load_table(spark, sf_dir, "region"), spark=spark)
+    joined = nation.join(
+        region, nation.df.n_regionkey == region.df.r_regionkey, "inner"
+    )
+    assert joined.df.count() == 25
+    assert nation.cross(region).df.count() == 125
