@@ -39,9 +39,11 @@ def main() -> None:
     registry = load_all()
     headline = {name: spec for name, spec in registry.items() if spec.bench}
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session bring-up
-    next(iter(headline.values())).spark_fn(spark, sf_dir).collect()
+    # warm pass: JVM JIT, parquet footers, AQE stats — the recorded numbers
+    # are steady-state per-query wall times, which is what a long-running
+    # cluster deployment sees
+    for spec in headline.values():
+        spec.spark_fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(headline):

@@ -1,0 +1,209 @@
+"""DML / DDL emulation — the reference's OLTP half (SURVEY.md §2.10) on
+parquet-backed managed tables.
+
+Reference operators covered:
+  - `operator_insert` (INSERT VALUES / FROM SELECT, RETURNING) —
+    `operators/operator_insert.cpp`
+  - `operator_update` (SET expression trees over matched rows, RETURNING) —
+    `operator_update.cpp`
+  - `operator_delete` — `operator_delete.cpp`
+  - constraint checks: `operator_check_constraint.cpp` (CHECK),
+    `operator_fk_check.cpp` (FK validation), `operator_fk_cascade.cpp`
+    (cascade delete)
+  - `operator_create_matview.cpp` (CTAS + refresh)
+  - `operator_sequence.cpp` (sequences)
+
+Spark-first stance: INSERT is an append write (scalable, transactional per
+write on any cloud FS). UPDATE/DELETE are read-rewrite-swap — O(table) on
+plain parquet, exactly what Delta/Iceberg avoid with copy-on-write file-level
+rewrites; the class documents that seam and keeps the API identical so a
+Delta-backed implementation is a drop-in. Constraint checks are distributed
+validation joins (anti-join against parent keys), never driver-side loops.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+class ConstraintViolation(Exception):
+    pass
+
+
+class ManagedTable:
+    """A parquet-directory-backed table with DML + RETURNING semantics."""
+
+    def __init__(self, spark: SparkSession, path: str, name: str | None = None):
+        self.spark = spark
+        self.path = path
+        self.name = name or os.path.basename(path.rstrip("/"))
+
+    # -- scan ---------------------------------------------------------------
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    # -- DDL ----------------------------------------------------------------
+    @classmethod
+    def create(
+        cls, spark: SparkSession, path: str, source: DataFrame, name: str | None = None
+    ) -> "ManagedTable":
+        """CREATE TABLE AS SELECT (also the matview create path)."""
+        source.write.mode("errorifexists").parquet(path)
+        return cls(spark, path, name)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    # -- DML ----------------------------------------------------------------
+    def insert(self, rows: DataFrame, returning: bool = False) -> DataFrame | int:
+        """INSERT FROM SELECT / VALUES: append write. RETURNING = the
+        inserted frame (reference returns the inserted rows)."""
+        rows = rows.select(*self.df().columns) if self.exists() else rows
+        count = rows.count()
+        rows.write.mode("append").parquet(self.path)
+        return self.df_of(rows) if returning else count
+
+    @staticmethod
+    def df_of(rows: DataFrame) -> DataFrame:
+        return rows
+
+    def _swap_in(self, new_df: DataFrame) -> None:
+        """Materialise ``new_df`` beside the table, then atomically swap.
+
+        Writing over a path Spark is lazily reading from corrupts the scan;
+        write-to-temp + directory swap is the plain-parquet equivalent of a
+        transactional commit (Delta's log makes this file-level instead of
+        table-level — same API, better asymptotics).
+        """
+        parent = os.path.dirname(self.path.rstrip("/"))
+        tmp = os.path.join(parent, f".{os.path.basename(self.path)}-{uuid.uuid4().hex}")
+        new_df.write.mode("errorifexists").parquet(tmp)
+        old = self.path + ".old-" + uuid.uuid4().hex
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def update(
+        self,
+        cond: Column,
+        set_exprs: dict[str, Column],
+        returning: bool = False,
+    ) -> DataFrame | int:
+        """UPDATE ... SET ... WHERE cond [RETURNING *].
+
+        The reference evaluates a SET expression tree over matched rows
+        (`update_expression.hpp:17-39`); here each assignment is a Column
+        expression applied under ``F.when(cond, new).otherwise(old)`` — one
+        distributed projection, no shuffle.
+        """
+        current = self.df()
+        updated = current
+        for col_name, expr in set_exprs.items():
+            updated = updated.withColumn(
+                col_name, F.when(cond, expr).otherwise(F.col(col_name))
+            )
+        if returning:
+            result = updated.filter(cond).cache()
+            result.count()
+        n = current.filter(cond).count()
+        self._swap_in(updated)
+        return result if returning else n
+
+    def delete(self, cond: Column, returning: bool = False) -> DataFrame | int:
+        """DELETE FROM ... WHERE cond [RETURNING *]."""
+        current = self.df()
+        if returning:
+            result = current.filter(cond).cache()
+            result.count()
+        else:
+            result = None
+        n = current.filter(cond).count()
+        self._swap_in(current.filter(~cond))
+        return result if returning else n
+
+
+# -- constraints (distributed validation joins) ------------------------------
+
+
+def check_constraint(rows: DataFrame, cond: Column, name: str = "check") -> None:
+    """Reference operator_check_constraint: every row must satisfy ``cond``."""
+    bad = rows.filter(~cond).count()
+    if bad:
+        raise ConstraintViolation(f"{name}: {bad} row(s) violate the constraint")
+
+
+def fk_check(child: DataFrame, parent: DataFrame, child_key: str, parent_key: str) -> None:
+    """Reference operator_fk_check: child keys must exist in the parent —
+    an anti-join that must come back empty (broadcast when parent is small)."""
+    dangling = (
+        child.filter(F.col(child_key).isNotNull())
+        .join(parent.select(parent_key), child[child_key] == parent[parent_key], "left_anti")
+        .count()
+    )
+    if dangling:
+        raise ConstraintViolation(
+            f"fk {child_key} -> {parent_key}: {dangling} dangling row(s)"
+        )
+
+
+def fk_cascade_delete(
+    parent_table: ManagedTable,
+    child_table: ManagedTable,
+    parent_cond: Column,
+    child_key: str,
+    parent_key: str,
+) -> tuple[int, int]:
+    """Reference operator_fk_cascade: delete matching parents and their
+    children, children first (ordered multi-table delete)."""
+    doomed_parents = parent_table.df().filter(parent_cond).select(parent_key)
+    doomed_keys = [r[0] for r in doomed_parents.distinct().collect()]
+    n_children = child_table.delete(F.col(child_key).isin(doomed_keys))
+    n_parents = parent_table.delete(parent_cond)
+    return n_parents, n_children
+
+
+# -- materialized views ------------------------------------------------------
+
+
+class MaterializedView:
+    """Reference create_matview_t: body plan lowered to create + insert;
+    REFRESH recomputes and swaps (`node_create_matview.hpp:19-35`)."""
+
+    def __init__(self, spark: SparkSession, path: str, body):
+        self.spark = spark
+        self.path = path
+        self.body = body  # () -> DataFrame
+        if not os.path.isdir(path):
+            body().write.parquet(path)
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def refresh(self) -> None:
+        table = ManagedTable(self.spark, self.path)
+        table._swap_in(self.body())
+
+
+# -- sequences ---------------------------------------------------------------
+
+
+def with_sequence(df: DataFrame, col_name: str = "id", start: int = 1) -> DataFrame:
+    """Reference operator_sequence: assign dense monotonically increasing
+    ids. Uses zipWithIndex semantics via a window-free approach:
+    `monotonically_increasing_id` is partition-sparse (gaps), so for dense
+    sequences we sort-free renumber with a row_number over a constant —
+    acceptable for DDL-time backfills; at scale prefer sparse ids."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn(col_name, F.row_number().over(w) + start - 1)

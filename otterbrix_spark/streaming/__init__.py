@@ -1,0 +1,7 @@
+from otterbrix_spark.streaming.pipeline import (
+    events_stream,
+    hourly_rollup_stream,
+    run_available_now,
+)
+
+__all__ = ["events_stream", "hourly_rollup_stream", "run_available_now"]

@@ -1,0 +1,90 @@
+"""Structured Streaming pipelines — the Spark-first superset of the
+reference's "streaming".
+
+The reference's streaming is push-based batch pipelining of ordinary queries
+(`pipeline_role {source, streaming, sink}` —
+`components/physical_plan/operators/operator.hpp:149-158`); it has no
+event-time semantics, watermarks, or windows (SURVEY.md §2.11). Its README
+use case — "real-time filtering of streaming data" — is micro-batch ingestion,
+which maps directly onto `readStream -> same DataFrame graph -> writeStream`.
+
+We therefore expose the engine's aggregations as streaming pipelines with
+real event-time windows + watermarks (strictly more capable than the
+reference), and test them with `availableNow` triggers so the streaming graph
+processes the same corpus as the batch path and must agree with it.
+
+Scale notes: file-source micro-batches scale by splitting input files;
+watermark state lives in the state store (RocksDB on a real cluster); the
+window aggregation is the same partial+final hash agg as the batch plan.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos (generator format)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos -> µs timestamps)."""
+    # the file stream source requires a directory; select the events file
+    # out of the corpus dir with a glob (a real deployment points this at a
+    # landing directory that accumulates micro-batch files)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def hourly_rollup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling-window rollup with late-data watermark — the
+    streaming twin of workload j08 (counts + quantised value sums)."""
+    q = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(q).alias("qsum"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n",
+            (F.col("qsum").cast("double") / F.lit(10000.0)).alias("total_value"),
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, name: str, timeout_s: float = 120.0, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming frame over all currently-available input
+    (micro-batch catch-up), collect into an in-memory sink, return the
+    result table. This is the bounded-execution harness the tests use."""
+    query = (
+        df.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
+    query.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,82 @@
+"""DML-expression workload entries — the UPDATE/DELETE surface expressed as
+oracle-checkable SELECTs.
+
+The stateful write path is tested in tests/test_dml.py (ManagedTable); these
+entries gate the *expression semantics* of the reference's update machinery:
+SET expression trees (set/add/sub/mult/div/mod/abs/bitwise —
+`components/expressions/update_expression.hpp:17-39`) and RETURNING
+projections, as pure computations both engines can replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otterbrix_spark.sources.registry import load_table
+from otterbrix_spark.workload import query
+
+# --- q38: UPDATE ... SET <expr tree> ... RETURNING, as a projection ---------
+# UPDATE customer SET acctbal = acctbal * 1.05 + 10 WHERE segment='BUILDING'
+# RETURNING key, old, new — the returned frame is what the reference's
+# operator_update emits.
+
+_Q38_ORACLE = """
+SELECT c_custkey,
+       c_acctbal AS old_bal,
+       c_acctbal * CAST(1.05 AS DOUBLE) + 10 AS new_bal,
+       c_custkey % 16 AS shard,
+       XOR(c_custkey, 255) AS masked
+FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+"""
+
+
+@query("q38_update_returning", _Q38_ORACLE, doc="UPDATE SET expression tree + RETURNING")
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    matched = cust.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0))
+    return matched.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("old_bal"),
+        (F.col("c_acctbal") * F.lit(1.05) + 10).alias("new_bal"),
+        (F.col("c_custkey") % 16).alias("shard"),
+        F.col("c_custkey").bitwiseXOR(F.lit(255)).alias("masked"),
+    )
+
+
+# --- q39: DELETE ... RETURNING, as the doomed-row set -----------------------
+
+_Q39_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'P' AND o_totalprice < 50000
+"""
+
+
+@query("q39_delete_returning", _Q39_ORACLE, doc="DELETE WHERE ... RETURNING row set")
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") < 50000)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# --- q40: INSERT FROM SELECT shape (post-insert state as a query) -----------
+# INSERT INTO target SELECT ... — the resulting table state is the union of
+# base and inserted rows; gated here as UNION ALL + count.
+
+_Q40_ORACLE = """
+SELECT src, COUNT(*) AS n FROM (
+  SELECT 'base' AS src FROM supplier
+  UNION ALL
+  SELECT 'inserted' AS src FROM supplier WHERE s_acctbal > 9000
+) GROUP BY src
+"""
+
+
+@query("q40_insert_from_select", _Q40_ORACLE, doc="INSERT FROM SELECT resulting state")
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    base = supp.select(F.lit("base").alias("src"))
+    inserted = supp.filter(F.col("s_acctbal") > 9000).select(F.lit("inserted").alias("src"))
+    return base.unionAll(inserted).groupBy("src").agg(F.count(F.lit(1)).alias("n"))

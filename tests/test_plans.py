@@ -1,0 +1,80 @@
+"""Physical-plan audits: assert the plans are the ones we'd want at 100 TB —
+filters and projections pushed into the parquet scan, fixed-size dims
+broadcast, ORDER BY+LIMIT lowered to top-k, no cartesian products where an
+equi-join exists."""
+
+from __future__ import annotations
+
+import pytest
+
+from otterbrix_spark.workload import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q06_forecast_revenue")
+    assert "PushedFilters:" in plan
+    # the shipdate range predicate must be pushed, not evaluated post-scan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q16_distinct")
+    # ReadSchema must contain only the two projected columns
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "c_mktsegment" in read_schema and "c_nationkey" in read_schema
+    assert "c_name" not in read_schema and "c_acctbal" not in read_schema
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q05_local_supplier")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_lowered_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q23_sort_computed_key")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_used_for_exists(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q04_exists_semi")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_used_for_not_exists(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q13_not_exists_anti")
+    assert "LeftAnti" in plan
+
+
+def test_comma_from_becomes_equi_join(spark, sf_dir):
+    # declared as cross-join tree + WHERE; Catalyst must recover hash joins
+    plan = plan_of(spark, sf_dir, "q35_comma_from")
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_udfs_in_relational_plans(spark, sf_dir):
+    for name in ("q01_pricing_summary", "q03_shipping_priority", "d04_minhash_signature"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_partial_aggregation_map_side_combine(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    # partial+final split: the sums must combine map-side before the shuffle
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_wholestage_codegen_active(spark, sf_dir):
+    df = REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir)
+    df.collect()  # AQE finalises the physical plan on execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(N)' prefixes mark whole-stage-codegen'd spans in the plan tree
+    assert "WholeStageCodegen" in executed or "*(" in executed
