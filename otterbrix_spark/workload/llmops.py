@@ -337,3 +337,42 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = documents_as_assets(docs)
     decoded = decode_assets(assets)
     return decoded.select("asset_id", "n_bytes")
+
+
+# --- d07: embedding-cosine near-duplicate pairs -----------------------------
+# All-pairs scored join (a < b) at a fixed cosine threshold — the exact
+# verifier behind embedding near-dedup. At corpus scale the candidate set
+# comes from the e02 LSH buckets instead of the full cross join; the verify
+# math is identical.
+
+_D07_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+@query("d07_embedding_neardup", _D07_ORACLE, doc="embedding-cosine near-dup pairs (threshold 0.45)")
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.similarity import DOT, prepare
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = prepare(emb)
+    left = corpus.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    right = corpus.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    cos = F.expr(DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.45)
+        .select("a", "b", "cos")
+    )
