@@ -1,0 +1,186 @@
+"""SQL statement router — entry point A's DDL/DML half.
+
+The reference's `execute_sql` accepts the full PG statement surface; Spark's
+`spark.sql` covers SELECT/WITH/CREATE VIEW natively, but DML against managed
+tables needs routing into the parquet-backed `ManagedTable` layer
+(operators/dml.py). This router classifies a statement by its leading
+keywords — the same coarse dispatch the reference's transformer performs on
+parse-node tags (`components/sql/transformer/transformer.cpp:29-160`) — and
+executes it:
+
+  - CREATE TABLE <name> AS <select>     -> ManagedTable.create + temp view
+  - CREATE [OR REPLACE] VIEW <n> AS ... -> spark.sql (native)
+  - DROP TABLE <name>                   -> ManagedTable.drop + catalog drop
+  - INSERT INTO <name> <select|VALUES>  -> ManagedTable.insert + re-register
+  - UPDATE <name> SET c = expr[, ...] [WHERE cond] -> ManagedTable.update
+  - DELETE FROM <name> [WHERE cond]     -> ManagedTable.delete
+  - everything else                     -> spark.sql
+
+UPDATE/DELETE expression and predicate text is handed to `F.expr` — i.e. the
+full Spark SQL expression language, a superset of the reference's SET
+expression tree. RETURNING is supported on all three DML forms.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otterbrix_spark.operators.dml import ManagedTable
+
+_CREATE_TABLE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*?)(\s+RETURNING\s+\*)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?(\s+RETURNING\s+\*)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(\s+RETURNING\s+\*)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_set_list(set_clause: str) -> dict[str, str]:
+    """Split 'a = expr1, b = expr2' respecting parens and quotes."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    cur = ""
+    for ch in set_clause:
+        if ch == "'" and not in_str:
+            in_str = True
+        elif ch == "'" and in_str:
+            in_str = False
+        if not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+                continue
+        cur += ch
+    if cur.strip():
+        parts.append(cur)
+    out = {}
+    for p in parts:
+        col, _, expr = p.partition("=")
+        out[col.strip()] = expr.strip()
+    return out
+
+
+class Catalog:
+    """Managed-table catalog for the statement router."""
+
+    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+        self.spark = spark
+        self.base_dir = base_dir or tempfile.mkdtemp(prefix="otterbrix-tables-")
+        self.tables: dict[str, ManagedTable] = {}
+
+    def _register(self, table: ManagedTable) -> None:
+        self.tables[table.name] = table
+        table.df().createOrReplaceTempView(table.name)
+
+    def route(self, sql: str) -> DataFrame:
+        head = sql.strip().rstrip(";").upper()
+
+        # SET TIMEZONE (reference operator_set_timezone.cpp) -> session conf
+        m = re.match(r"^\s*SET\s+TIME\s*ZONE\s+'([^']+)'\s*;?\s*$", sql, re.IGNORECASE)
+        if m:
+            self.spark.conf.set("spark.sql.session.timeZone", m.group(1))
+            return self.spark.range(0).select(F.lit(m.group(1)).alias("timezone"))
+
+        # transactions: single-statement atomicity only (writes swap
+        # atomically); BEGIN/COMMIT/ROLLBACK accepted as session no-ops —
+        # multi-statement isolation is the documented Delta seam
+        if head in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK", "ABORT"):
+            return self.spark.range(0).select(F.lit(head).alias("txn"))
+
+        # CREATE INDEX: no-op accept — Spark has no user indexes; parquet
+        # min/max + bucketing play the role (SURVEY.md §2.1)
+        if re.match(r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\b", sql, re.IGNORECASE):
+            return self.spark.range(0).select(F.lit("index-noop").alias("created"))
+        if re.match(r"^\s*DROP\s+INDEX\b", sql, re.IGNORECASE):
+            return self.spark.range(0).select(F.lit("index-noop").alias("dropped"))
+
+        m = _CREATE_TABLE.match(sql)
+        if m:
+            name, body = m.group(1), m.group(2)
+            source = self.spark.sql(body)
+            path = os.path.join(self.base_dir, name.replace(".", "__"))
+            table = ManagedTable.create(self.spark, path, source, name)
+            self._register(table)
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+
+        m = _DROP_TABLE.match(sql)
+        if m:
+            name = m.group(1)
+            if name in self.tables:
+                self.tables.pop(name).drop()
+                self.spark.catalog.dropTempView(name)
+            return self.spark.range(0).select(F.lit(name).alias("dropped"))
+
+        m = _UPDATE.match(sql)
+        if m and m.group(1) in self.tables:
+            name, set_clause, where, returning = m.groups()
+            table = self.tables[name]
+            cond = F.expr(where) if where else F.lit(True)
+            sets = {c: F.expr(e) for c, e in _split_set_list(set_clause).items()}
+            result = table.update(cond, sets, returning=bool(returning))
+            self._register(table)
+            if returning:
+                return result
+            return self.spark.range(1).select(F.lit(result).alias("updated"))
+
+        m = _DELETE.match(sql)
+        if m and m.group(1) in self.tables:
+            name, where, returning = m.groups()
+            table = self.tables[name]
+            cond = F.expr(where) if where else F.lit(True)
+            result = table.delete(cond, returning=bool(returning))
+            self._register(table)
+            if returning:
+                return result
+            return self.spark.range(1).select(F.lit(result).alias("deleted"))
+
+        m = _INSERT.match(sql)
+        if m and m.group(1) in self.tables:
+            name, body, returning = m.groups()
+            table = self.tables[name]
+            body = body.strip()
+            if body.upper().startswith("VALUES"):
+                rows = self.spark.sql(f"SELECT * FROM ({body}) ")
+                rows = rows.toDF(*table.df().columns)
+            else:
+                rows = self.spark.sql(body)
+            result = table.insert(rows, returning=bool(returning))
+            self._register(table)
+            if returning:
+                return result
+            return self.spark.range(1).select(F.lit(result).alias("inserted"))
+
+        return self.spark.sql(sql)
+
+    def handles(self, sql: str) -> bool:
+        head = sql.lstrip()[:18].upper()
+        return any(
+            head.startswith(k)
+            for k in (
+                "CREATE TABLE", "DROP TABLE", "INSERT", "UPDATE", "DELETE",
+                "SET TIME", "BEGIN", "COMMIT", "ROLLBACK", "ABORT",
+                "CREATE INDEX", "CREATE UNIQUE INDEX", "DROP INDEX",
+            )
+        )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from otterbrix_spark.catalog import Catalog
 from otterbrix_spark.cursor import Cursor
 from otterbrix_spark.dialect import rewrite
 from otterbrix_spark.session import configure_session, get_spark
@@ -19,9 +20,10 @@ from otterbrix_spark.sources.registry import register_views
 
 
 class Engine:
-    def __init__(self, spark: SparkSession | None = None):
+    def __init__(self, spark: SparkSession | None = None, table_dir: str | None = None):
         self.spark = spark or get_spark()
         configure_session(self.spark)
+        self.catalog = Catalog(self.spark, table_dir)
 
     # -- catalog ------------------------------------------------------------
     def register_corpus(self, sf_dir: str) -> None:
@@ -46,6 +48,8 @@ class Engine:
             body = re.sub(r"\$(\d+)", lambda m: f":p{m.group(1)}", body)
             args = {f"p{i + 1}": v for i, v in enumerate(params)}
             return Cursor(self.spark.sql(body, args=args))
+        if self.catalog.handles(body):
+            return Cursor(self.catalog.route(body))
         return Cursor(self.spark.sql(body))
 
     def sql(self, sql: str, *params) -> DataFrame:

@@ -42,6 +42,19 @@ def davg(col: Column, alias: str) -> Column:
     return ((F.sum(q).cast("double") / F.count(col)) / F.lit(SCALE)).alias(alias)
 
 
+def oracle_dsum_expr(expr: str) -> str:
+    """Bare (un-aliased) DuckDB expression form of :func:`dsum`."""
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0"
+
+
+def oracle_davg_expr(expr: str) -> str:
+    """Bare (un-aliased) DuckDB expression form of :func:`davg`."""
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 10000.0) AS BIGINT)) AS DOUBLE)"
+        f" / COUNT({expr})) / 10000.0"
+    )
+
+
 def oracle_dsum(expr: str, alias: str) -> str:
     """DuckDB SQL equivalent of :func:`dsum` (same quantisation)."""
     return (

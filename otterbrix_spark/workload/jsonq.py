@@ -179,3 +179,34 @@ def j08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
     )
+
+
+# --- j09: PG-dialect SQL through the engine facade --------------------------
+# Entry point A end-to-end as an oracle-gated query: `->>` JSONB navigation,
+# `~` regex match, and `::` cast rewritten by the dialect layer
+# (SURVEY.md §3A) before hitting spark.sql.
+
+_J09_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+WHERE regexp_matches(event_type, '^(click|view|purchase)$')
+GROUP BY event_type
+"""
+
+
+@query("j09_dialect_sql", _J09_ORACLE, doc="PG-dialect SQL (->>, ~, ::) via execute_sql")
+def j09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("otx_events_j09")
+    return eng.sql(
+        "SELECT event_type, "
+        "       CAST(SUM((props ->> 'k') :: BIGINT) AS BIGINT) AS sum_k, "
+        "       COUNT(*) AS n "
+        "FROM otx_events_j09 "
+        "WHERE event_type ~ '^(click|view|purchase)$' "
+        "GROUP BY event_type"
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from otterbrix_spark.functions.numeric import dsum, oracle_dsum
+from otterbrix_spark.functions.numeric import dsum, oracle_davg_expr, oracle_dsum
 from otterbrix_spark.sources.registry import load_table
 from otterbrix_spark.workload import query
 
@@ -138,11 +138,10 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DataFrame form: aggregate-then-join, the distributed equivalent of the
 # correlated AVG; the decimal-sum convention keeps the threshold bit-identical.
 
-_Q15_ORACLE = """
+_Q15_ORACLE = f"""
 SELECT s_suppkey, s_name, s_acctbal
 FROM supplier s
-WHERE s_acctbal > (SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(28,4))) AS DOUBLE)
-                          / COUNT(s2.s_acctbal)
+WHERE s_acctbal > (SELECT {oracle_davg_expr('s2.s_acctbal')}
                    FROM supplier s2 WHERE s2.s_nationkey = s.s_nationkey)
 """
 

@@ -1,0 +1,94 @@
+"""SQL-statement DML/DDL routing tests — entry point A's full statement
+surface: CREATE TABLE AS / INSERT / UPDATE / DELETE (with RETURNING) routed
+through the managed-table catalog, mirroring reference
+`integration/cpp/test/test_sql_features.cpp` DML cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from otterbrix_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path, sf_dir):
+    eng = Engine(spark, table_dir=str(tmp_path))
+    eng.register_corpus(sf_dir)
+    return eng
+
+
+def test_create_table_as_select(engine):
+    engine.execute_sql(
+        "CREATE TABLE rich AS SELECT c_custkey, c_name, c_acctbal "
+        "FROM customer WHERE c_acctbal > 9000"
+    )
+    n = engine.execute_sql("SELECT COUNT(*) AS n FROM rich").value("n", 0)
+    assert n > 0
+
+
+def test_insert_values_sql(engine):
+    engine.execute_sql("CREATE TABLE t1 AS SELECT 1 AS id, 'a' AS name")
+    engine.execute_sql("INSERT INTO t1 VALUES (2, 'b'), (3, 'c')")
+    rows = sorted(engine.execute_sql("SELECT * FROM t1").fetchall())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_insert_from_select_sql(engine):
+    engine.execute_sql(
+        "CREATE TABLE nk AS SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3"
+    )
+    engine.execute_sql(
+        "INSERT INTO nk SELECT n_nationkey AS k FROM nation WHERE n_nationkey >= 22"
+    )
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM nk").value("n", 0) == 6
+
+
+def test_update_where_returning(engine):
+    engine.execute_sql("CREATE TABLE emp AS SELECT 1 AS id, 100 AS salary")
+    engine.execute_sql("INSERT INTO emp VALUES (2, 200)")
+    cur = engine.execute_sql(
+        "UPDATE emp SET salary = salary * 2 WHERE id = 2 RETURNING *"
+    )
+    assert cur.fetchall() == [(2, 400)]
+    rows = dict(engine.execute_sql("SELECT * FROM emp").fetchall())
+    assert rows == {1: 100, 2: 400}
+
+
+def test_update_multiple_set_exprs(engine):
+    engine.execute_sql("CREATE TABLE m AS SELECT 1 AS id, 10 AS a, 'x' AS b")
+    engine.execute_sql("UPDATE m SET a = a + 5, b = upper(b)")
+    assert engine.execute_sql("SELECT a, b FROM m").fetchall() == [(15, "X")]
+
+
+def test_delete_where_returning(engine):
+    engine.execute_sql("CREATE TABLE d AS SELECT 1 AS id UNION ALL SELECT 2 UNION ALL SELECT 3")
+    cur = engine.execute_sql("DELETE FROM d WHERE id >= 2 RETURNING *")
+    assert sorted(r[0] for r in cur.fetchall()) == [2, 3]
+    assert engine.execute_sql("SELECT * FROM d").fetchall() == [(1,)]
+
+
+def test_drop_table(engine):
+    engine.execute_sql("CREATE TABLE gone AS SELECT 1 AS v")
+    engine.execute_sql("DROP TABLE gone")
+    with pytest.raises(Exception):
+        engine.execute_sql("SELECT * FROM gone").fetchall()
+
+
+def test_select_still_native(engine):
+    assert engine.execute_sql("SELECT 1 + 1 AS v").fetchall() == [(2,)]
+
+
+def test_set_timezone(engine):
+    engine.execute_sql("SET TIME ZONE 'America/New_York'")
+    assert engine.spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    engine.execute_sql("SET TIME ZONE 'UTC'")
+    assert engine.spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_txn_noops_and_index_accept(engine):
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("CREATE TABLE tx AS SELECT 1 AS v")
+    engine.execute_sql("CREATE INDEX idx_tx ON tx (v)")
+    engine.execute_sql("COMMIT")
+    assert engine.execute_sql("SELECT * FROM tx").fetchall() == [(1,)]
+    engine.execute_sql("DROP INDEX idx_tx")
