@@ -1,0 +1,98 @@
+"""Sessionization (batch gaps-and-islands + streaming applyInPandasWithState)
+and bucketed-layout co-located joins."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from otterbrix_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+    streaming_sessionize,
+)
+from otterbrix_spark.sources.registry import load_table
+
+
+def test_batch_sessionize_gaps(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),   # same session
+        (1, base + dt.timedelta(minutes=50)),   # gap 40m -> new session
+        (2, base),                               # other user
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, ts: timestamp_ntz")
+    out = sessionize(df, gap_minutes=30).collect()
+    got = {(r["user_id"], r["ts"].minute): r["session_seq"] for r in out}
+    assert got == {(1, 0): 0, (1, 10): 0, (1, 50): 1, (2, 0): 0}
+
+
+def test_session_stats_on_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    stats = session_stats(ev, gap_minutes=30)
+    row = stats.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+    ).collect()[0]
+    assert row["total_events"] == ev.count()
+    assert 0 < row["n_sessions"] <= row["total_events"]
+    # sessions respect the gap: no session has duration implying a >30m gap
+    # with fewer than 2 events
+    bad = stats.filter((F.col("n_events") == 1) & (F.col("duration_us") > 0)).count()
+    assert bad == 0
+
+
+def test_streaming_sessionize_closes_sessions(spark, sf_dir):
+    from otterbrix_spark.streaming import events_stream, run_available_now
+
+    stream = events_stream(spark, sf_dir)
+    sessions = streaming_sessionize(stream, gap_minutes=30)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    result = run_available_now(sessions, name, output_mode="append")
+
+    # closed streaming sessions must agree with the batch sessionization
+    # (batch has the final open session per user too; the streaming append
+    # output holds only closed ones => subset with identical stats)
+    batch = session_stats(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    batch_map = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in batch.collect()
+    }
+    stream_rows = result.collect()
+    assert len(stream_rows) > 0
+    for r in stream_rows:
+        assert batch_map[(r["user_id"], r["session_seq"])] == (
+            r["n_events"], r["start_us"], r["end_us"],
+        ), (r["user_id"], r["session_seq"])
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from otterbrix_spark.sources.layout import colocated_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    suffix = uuid.uuid4().hex[:8]
+    t1, t2 = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    write_bucketed(orders, t1, "o_orderkey", n_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), t2, "o_orderkey", n_buckets=8
+    )
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle path (at test scale broadcast would win) so the
+        # assertion shows bucketing removing the hash-partition exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, t1, t2, "o_orderkey")
+        rows = joined.collect()
+        assert len(rows) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "Bucketed: true" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
