@@ -1,0 +1,79 @@
+"""Property-based tests for the PG-dialect rewriter: plain Spark SQL must
+pass through byte-identical (idempotence / no-corruption), string literals
+are never rewritten, and LIKE-to-regex agrees with SQL LIKE semantics."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from otterbrix_spark.dialect import rewrite
+from otterbrix_spark.functions.strings import like_to_regex
+
+# identifier-ish / SQL-ish fragments that contain none of the PG operators
+_sql_atoms = st.sampled_from(
+    [
+        "SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "AND", "OR",
+        "t1", "col_a", "col_b", "x", "y", "42", "3.14", "COUNT(*)",
+        "SUM(x)", "(", ")", ",", "=", "<", ">", "<=", ">=", "<>", "+",
+        "-", "*", "/", "CASE WHEN x > 1 THEN 2 ELSE 3 END", "CAST(x AS INT)",
+        "'a literal'", "'it''s quoted'", "NULL", "IS NOT NULL",
+    ]
+)
+
+
+@given(st.lists(_sql_atoms, min_size=1, max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_plain_sql_passes_through(atoms):
+    sql = " ".join(atoms)
+    assert rewrite(sql) == sql
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="'\x00"), max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_string_literals_never_rewritten(body):
+    # any content inside a literal (incl. ~, ->>, ::?) must survive verbatim
+    sql = f"SELECT '{body}' AS s, props ->> 'k' FROM t"
+    out = rewrite(sql)
+    assert f"'{body}'" in out
+    assert "get_json_object(props, '$.k')" in out
+
+
+@given(st.text(alphabet="ab%_c", max_size=10), st.text(alphabet="abc", max_size=10))
+@settings(max_examples=300, deadline=None)
+def test_like_to_regex_matches_sql_like(pattern, value):
+    # reference lowers LIKE to regex at parse time (transfrom_common.cpp);
+    # our lowering must agree with SQL LIKE semantics
+    rx = like_to_regex(pattern)
+
+    def sql_like(v: str, p: str) -> bool:
+        # reference implementation of SQL LIKE via dynamic programming
+        n, m = len(v), len(p)
+        dp = [[False] * (m + 1) for _ in range(n + 1)]
+        dp[0][0] = True
+        for j in range(1, m + 1):
+            if p[j - 1] == "%":
+                dp[0][j] = dp[0][j - 1]
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                if p[j - 1] == "%":
+                    dp[i][j] = dp[i][j - 1] or dp[i - 1][j]
+                elif p[j - 1] == "_":
+                    dp[i][j] = dp[i - 1][j - 1]
+                else:
+                    dp[i][j] = dp[i - 1][j - 1] and v[i - 1] == p[j - 1]
+        return dp[n][m]
+
+    assert (re.fullmatch(rx, value) is not None) == sql_like(value, pattern)
+
+
+def test_rewrite_idempotent_on_rewritten_output():
+    samples = [
+        "SELECT props ->> 'k' FROM events WHERE name ~ '^a'",
+        "SELECT payload #>> '{a,b,c}' FROM t",
+        "SELECT v ::? bigint FROM t",
+    ]
+    for sql in samples:
+        once = rewrite(sql)
+        assert rewrite(once) == once
