@@ -102,7 +102,8 @@ FROM sig
 @query("d04_minhash_signature", _D04_ORACLE, doc="8-hash MinHash signature per document", bench=True)
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs)
+    # MIN is duplicate-insensitive -> skip the distinct shuffle entirely
+    sh = dedup.shingles(docs, distinct=False)
     return dedup.minhash_signature_str(sh)
 
 
