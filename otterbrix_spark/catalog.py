@@ -116,6 +116,41 @@ class Catalog:
         if re.match(r"^\s*DROP\s+INDEX\b", sql, re.IGNORECASE):
             return self.spark.range(0).select(F.lit("index-noop").alias("dropped"))
 
+        # VACUUM / CHECKPOINT: storage-maintenance no-ops on parquet (the
+        # reference's operator_vacuum/operator_checkpoint manage its own
+        # block store; a lake deployment maps these to OPTIMIZE/VACUUM)
+        if re.match(r"^\s*(VACUUM|CHECKPOINT)\b", sql, re.IGNORECASE):
+            return self.spark.range(0).select(F.lit("maintenance-noop").alias("ok"))
+
+        # ALTER TABLE t ADD COLUMN c type / RENAME COLUMN a TO b / DROP COLUMN c
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()]+)\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m and m.group(1) in self.tables:
+            table = self.tables[m.group(1)]
+            table.add_column(m.group(2), m.group(3))
+            self._register(table)
+            return self.spark.range(0).select(F.lit(m.group(2)).alias("added"))
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m and m.group(1) in self.tables:
+            table = self.tables[m.group(1)]
+            table.rename_column(m.group(2), m.group(3))
+            self._register(table)
+            return self.spark.range(0).select(F.lit(m.group(3)).alias("renamed"))
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m and m.group(1) in self.tables:
+            table = self.tables[m.group(1)]
+            table.drop_column(m.group(2))
+            self._register(table)
+            return self.spark.range(0).select(F.lit(m.group(2)).alias("dropped"))
+
         m = _CREATE_TABLE.match(sql)
         if m:
             name, body = m.group(1), m.group(2)
@@ -182,5 +217,6 @@ class Catalog:
                 "CREATE TABLE", "DROP TABLE", "INSERT", "UPDATE", "DELETE",
                 "SET TIME", "BEGIN", "COMMIT", "ROLLBACK", "ABORT",
                 "CREATE INDEX", "CREATE UNIQUE INDEX", "DROP INDEX",
+                "VACUUM", "CHECKPOINT", "ALTER TABLE",
             )
         )

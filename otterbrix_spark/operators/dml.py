@@ -119,6 +119,19 @@ class ManagedTable:
         self._swap_in(updated)
         return result if returning else n
 
+    # -- ALTER TABLE (reference operator_alter_column_*.cpp) ----------------
+    def add_column(self, col_name: str, dtype: str, default: Column | None = None) -> None:
+        """ALTER TABLE ADD COLUMN: projection rewrite with NULL (or default)
+        backfill — the reference's PHYSICAL_ADD_COLUMN."""
+        value = default if default is not None else F.lit(None).cast(dtype)
+        self._swap_in(self.df().withColumn(col_name, value))
+
+    def rename_column(self, old: str, new: str) -> None:
+        self._swap_in(self.df().withColumnRenamed(old, new))
+
+    def drop_column(self, col_name: str) -> None:
+        self._swap_in(self.df().drop(col_name))
+
     def delete(self, cond: Column, returning: bool = False) -> DataFrame | int:
         """DELETE FROM ... WHERE cond [RETURNING *]."""
         current = self.df()

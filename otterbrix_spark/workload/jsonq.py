@@ -210,3 +210,50 @@ def j09(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE event_type ~ '^(click|view|purchase)$' "
         "GROUP BY event_type"
     )
+
+
+# --- j10: deep JSONB path navigation over nested payloads -------------------
+# The JSONBench payload shape ({commit: {collection, record: {text}}} —
+# reference `JSONBench/otterbrix/jsonbench.cpp:34-40`) built from the events
+# columns, then navigated back out with #>> deep paths.
+
+_J10_ORACLE = """
+WITH p AS (
+  SELECT json_object(
+           'commit', json_object(
+             'collection', event_type,
+             'record', json_object('k', json_extract_string(props, '$.k'))
+           )
+         ) AS payload
+  FROM events
+)
+SELECT json_extract_string(payload, '$.commit.collection') AS collection,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(payload, '$.commit.record.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM p
+GROUP BY 1
+"""
+
+
+@query("j10_nested_jsonb_paths", _J10_ORACLE, doc="deep #>> path navigation on nested JSON")
+def j10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("collection"),
+                F.struct(
+                    F.get_json_object("props", "$.k").alias("k")
+                ).alias("record"),
+            ).alias("commit")
+        )
+    )
+    nested = ev.select(payload.alias("payload"))
+    return nested.groupBy(
+        jsonb.path_text(F.col("payload"), ["commit", "collection"]).alias("collection")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            jsonb.path_text(F.col("payload"), ["commit", "record", "k"]).cast("bigint")
+        ).cast("bigint").alias("sum_k"),
+    )

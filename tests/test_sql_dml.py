@@ -92,3 +92,19 @@ def test_txn_noops_and_index_accept(engine):
     engine.execute_sql("COMMIT")
     assert engine.execute_sql("SELECT * FROM tx").fetchall() == [(1,)]
     engine.execute_sql("DROP INDEX idx_tx")
+
+
+def test_alter_table_add_rename_drop(engine):
+    engine.execute_sql("CREATE TABLE alt AS SELECT 1 AS id, 'x' AS name")
+    engine.execute_sql("ALTER TABLE alt ADD COLUMN score double")
+    assert engine.execute_sql("SELECT id, name, score FROM alt").fetchall() == [(1, "x", None)]
+    engine.execute_sql("UPDATE alt SET score = 9.5")
+    engine.execute_sql("ALTER TABLE alt RENAME COLUMN score TO rating")
+    assert engine.execute_sql("SELECT rating FROM alt").fetchall() == [(9.5,)]
+    engine.execute_sql("ALTER TABLE alt DROP COLUMN name")
+    assert engine.execute_sql("SELECT * FROM alt").columns == ["id", "rating"]
+
+
+def test_vacuum_checkpoint_noops(engine):
+    engine.execute_sql("VACUUM")
+    engine.execute_sql("CHECKPOINT")
