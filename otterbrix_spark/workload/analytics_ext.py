@@ -82,3 +82,106 @@ def a01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+# --- c01-c03: ClickBench-style interactive aggregations ---------------------
+# The reference ships ClickBench's 43 queries as workload text
+# (`benchmark/SOURCES.md:15-16`); these reproduce the characteristic shapes
+# (top-k heavy hitters, histogram bucketing, multi-key frequency) on events.
+
+_C01_ORACLE = """
+SELECT user_id, COUNT(*) AS n
+FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+@query("c01_heavy_hitters", _C01_ORACLE, doc="ClickBench shape: top-k heavy hitters")
+def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+    )
+
+
+_C02_ORACLE = """
+SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n,
+       CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+FROM events GROUP BY 1
+"""
+
+
+@query("c02_value_histogram", _C02_ORACLE, doc="ClickBench shape: histogram bucketing")
+def c02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 50).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
+
+
+_C03_ORACLE = """
+SELECT event_type, CAST(YEAR(ts) AS INT) AS yr, CAST(MONTH(ts) AS INT) AS mth,
+       COUNT(*) AS n, COUNT(DISTINCT user_id) AS uniq
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+@query("c03_multikey_frequency", _C03_ORACLE, doc="ClickBench shape: multi-key frequency")
+def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mth"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("uniq"),
+    )
+
+
+# --- w01: analytic window-function battery (extension; §2.5 absent in ref) --
+
+_W01_ORACLE = """
+SELECT s_suppkey,
+       s_nationkey,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       LAG(s_suppkey) OVER w AS prev_key,
+       LEAD(s_suppkey) OVER w AS next_key,
+       CAST(SUM(CAST(FLOOR(s_acctbal * 10000.0) AS BIGINT))
+            OVER (PARTITION BY s_nationkey ORDER BY s_suppkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS running_bal
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+@query("w01_window_battery", _W01_ORACLE, doc="rank/dense_rank/lag/lead/running-sum windows")
+def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    wrun = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = F.floor(F.col("s_acctbal") * F.lit(10000.0)).cast("long")
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.lag("s_suppkey").over(w).alias("prev_key"),
+        F.lead("s_suppkey").over(w).alias("next_key"),
+        (F.sum(q).over(wrun).cast("double") / F.lit(10000.0)).alias("running_bal"),
+    )

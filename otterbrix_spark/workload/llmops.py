@@ -377,3 +377,53 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.45)
         .select("a", "b", "cos")
     )
+
+
+# --- t04: TF-IDF top terms per document -------------------------------------
+# Classic keyword extraction, kept oracle-exact by using the rational idf
+# N/df (no logarithm: libm transcendentals differ across engines in the last
+# ulp). Score = tf * N / df; top-3 terms per doc with lexicographic
+# tiebreak.
+
+_T04_ORACLE = r"""
+WITH w AS (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         (tf.tf * n.n_docs) / df.df AS score
+  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word) AS rk
+  FROM scored
+)
+SELECT doc_id, word, score, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@query("t04_tfidf_terms", _T04_ORACLE, doc="TF-IDF top-3 terms per doc (rational idf)")
+def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(dfreq, "word").withColumn(
+        "score", (F.col("tf") * F.lit(n_docs)) / F.col("df")
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "score", F.col("rk").cast("int").alias("rk"))
+    )
