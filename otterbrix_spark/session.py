@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64m coalesces CPU-heavy mid-size shuffles onto too few
+        # cores in local mode; 16m keeps reduce-side parallelism without
+        # hurting large shuffles (AQE still merges genuinely tiny partitions)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

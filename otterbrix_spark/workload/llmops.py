@@ -29,10 +29,15 @@ _NUM_HASHES = dedup.DEFAULT_NUM_HASHES
 
 
 def _sig_cte() -> str:
+    # one md5 per shingle, 8 XOR permutations (mirrors dedup.XOR_CONSTANTS)
     mins = ",\n        ".join(
-        f"MIN(substr(md5('{i}:' || shingle), 1, 8)) AS h{i}" for i in range(_NUM_HASHES)
+        f"MIN(xor(hb, {dedup.XOR_CONSTANTS[i]})) AS h{i}" for i in range(_NUM_HASHES)
     )
-    return f"sig AS (SELECT doc_id,\n        {mins}\n        FROM sh GROUP BY doc_id)"
+    return (
+        "shb AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hb"
+        " FROM sh),\n"
+        f"sig AS (SELECT doc_id,\n        {mins}\n        FROM shb GROUP BY doc_id)"
+    )
 
 
 # --- d01: exact dedup -------------------------------------------------------
@@ -94,7 +99,8 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D04_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 {_sig_cte()}
-SELECT doc_id, {' || '.join(f'h{i}' for i in range(_NUM_HASHES))} AS signature
+SELECT doc_id,
+       {" || ':' || ".join(f'h{i}' for i in range(_NUM_HASHES))} AS signature
 FROM sig
 """
 
@@ -114,7 +120,7 @@ def _bands_sql() -> str:
     n_bands = _NUM_HASHES // dedup.DEFAULT_BAND_SIZE
     selects = []
     for b in range(n_bands):
-        parts = " || ".join(
+        parts = " || ':' || ".join(
             f"h{b * dedup.DEFAULT_BAND_SIZE + j}" for j in range(dedup.DEFAULT_BAND_SIZE)
         )
         selects.append(f"SELECT doc_id, {b} AS band_idx, {parts} AS band_val FROM sig")
