@@ -32,7 +32,7 @@ def main() -> None:
         app_name="otterbrix-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.driver.memory": "48g"},
+        extra_conf={"spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -45,12 +45,12 @@ def main() -> None:
     for spec in headline.values():
         spec.spark_fn(spark, sf_dir).collect()
 
-    # best-of-2 guards against one-off GC/broadcast-cleanup pauses that are
-    # not properties of the query plan
+    # best-of-3 guards against transient CPU-steal windows (co-tenant
+    # background jobs were observed inflating single measurements 10-20x)
     timings: dict[str, float] = {}
     for name in sorted(headline):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             rows = headline[name].spark_fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - start)
