@@ -237,3 +237,58 @@ def simhash(
         bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return balances.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 32,
+) -> DataFrame:
+    """Cluster assignment over a similarity graph: every node labelled with
+    the minimum reachable node id (its connected component / dedup cluster).
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbours; converges in O(diameter)
+    rounds. Per-round cost is one join + one aggregate (hash-partitioned on
+    the node id); `localCheckpoint` truncates lineage between rounds — the
+    same driver-fixpoint machinery as the recursive-CTE operator.
+
+    ``edges`` is (a, b) pairs; symmetry is handled here. Returns
+    (id_col, cluster_id).
+    """
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbour_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbour_min, labels.node == neighbour_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .isEmpty()
+        )
+        labels = updated
+        if changed:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

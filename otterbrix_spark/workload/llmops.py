@@ -433,3 +433,53 @@ def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "word", "score", F.col("rk").cast("int").alias("rk"))
     )
+
+
+# --- d08: dedup cluster assignment (connected components) -------------------
+# Near-dup pairs -> similarity graph -> connected components: every doc
+# labelled with the minimum doc_id reachable through near-duplicate links
+# (its dedup cluster; the label is also the canonical document). Spark side
+# is distributed min-label propagation; the oracle replays it as a
+# transitive-closure recursive CTE.
+
+_D08_ORACLE_TMPL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_sig_cte()},
+bands AS ({{bands}}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id),
+verified AS (
+  SELECT p.a, p.b
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+  GROUP BY p.a, p.b
+  HAVING COUNT(*) / (
+    (SELECT COUNT(*) FROM sh WHERE sh.doc_id = p.a)
+    + (SELECT COUNT(*) FROM sh WHERE sh.doc_id = p.b) - COUNT(*)
+  ) >= 0.2
+),
+edges AS (SELECT a AS src, b AS dst FROM verified
+          UNION SELECT b, a FROM verified),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT root AS doc_id, MIN(node) AS cluster_id
+FROM reach GROUP BY root
+"""
+
+
+_D08_ORACLE = _D08_ORACLE_TMPL.format(bands=_bands_sql())
+
+
+@query("d08_dedup_clusters", _D08_ORACLE, doc="connected-components dedup clusters (min-label)")
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    cands = dedup.lsh_candidate_pairs(sh)
+    pairs = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.2).select("a", "b")
+    return dedup.connected_components(docs.select("doc_id"), pairs)
