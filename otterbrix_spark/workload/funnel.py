@@ -1,0 +1,208 @@
+"""Event-sequence analytics: funnel and cohort-retention — the
+interactive-analytics shapes a production events pipeline runs daily, built
+purely from joins/windows/aggregations (no UDFs, fully oracle-gated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otterbrix_spark.sources.registry import load_table
+from otterbrix_spark.workload import query
+
+# --- f01: ordered funnel (view -> click -> purchase) ------------------------
+# A user converts at step N if their earliest step-N event follows their
+# earliest step-(N-1) event. min(ts) comparisons per user — one aggregation,
+# no self-joins.
+
+_F01_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS step_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS step_click,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+         AS step_purchase
+FROM per_user
+"""
+
+
+@query("f01_funnel", _F01_ORACLE, doc="ordered view->click->purchase funnel")
+def f01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("step_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("step_purchase"),
+    )
+
+
+# --- f02: cohort retention --------------------------------------------------
+# Cohort = first-activity week; retention = distinct users active k weeks
+# after their cohort week. first-activity via window-free groupBy + join.
+
+_F02_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(DATEDIFF('week', f.cohort_week, DATE_TRUNC('week', e.ts)) AS INT)
+           AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM activity
+WHERE week_offset <= 4
+GROUP BY 1, 2
+"""
+
+
+@query("f02_retention", _F02_ORACLE, doc="weekly cohort retention matrix")
+def f02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 4)
+        .groupBy(F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# --- t05: edit-distance fuzzy matching --------------------------------------
+# levenshtein is algorithmically identical across engines (pure integer DP).
+
+_T05_ORACLE = """
+SELECT a.p_partkey AS a, b.p_partkey AS b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey < 150 AND b.p_partkey < 150
+  AND levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@query("t05_edit_distance", _T05_ORACLE, doc="levenshtein fuzzy-match pairs")
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
+    a = part.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = part.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein(F.col("na"), F.col("nb")))
+        .filter(F.col("dist") <= 3)
+        .select("a", "b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+# --- e03: IVF-style ANN (fixed centroids, nprobe=1) -------------------------
+# IVF with deterministic centroids (every 63rd vector): assign each corpus
+# vector to its nearest centroid (the "inverted list"), then answer queries
+# by scanning only the query's list. The assign step and the search step are
+# both equi-joins on the centroid id — the join shape that holds at billions
+# of vectors. (Production swaps the fixed centroids for k-means output; the
+# plan is identical.)
+
+_E03_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 63 = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, cent.cv)
+                                       / (n.nrm * cent.cn) DESC, cent.cid) AS rk
+    FROM n CROSS JOIN cent
+  ) WHERE rk = 1
+),
+q AS (SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, assign.cid
+      FROM n JOIN assign ON n.vec_id = assign.vec_id WHERE n.vec_id < 5),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(n.v, q.qv) / (n.nrm * q.qn) AS cos
+  FROM n
+  JOIN assign ON n.vec_id = assign.vec_id
+  JOIN q ON assign.cid = q.cid
+  WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+@query("e03_knn_ivf", _E03_ORACLE, doc="IVF ANN: centroid assign + list-local search")
+def e03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from otterbrix_spark.llm.similarity import DOT, prepare
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = prepare(emb)
+    cent = corpus.filter(F.col("vec_id") % 63 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored_cent = corpus.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", F.expr(DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    assign = (
+        scored_cent.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    assigned = corpus.join(assign, "vec_id")
+    queries = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cid",
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qn")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("rank").cast("int").alias("rank"))
+    )
