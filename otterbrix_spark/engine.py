@@ -68,3 +68,9 @@ class Engine:
 def connect(spark: SparkSession | None = None) -> Engine:
     """Mirror of the reference Python `connect()` entry point."""
     return Engine(spark)
+
+
+def explain_sql(engine: Engine, sql: str, mode: str = "formatted") -> str:
+    """EXPLAIN facade: rewritten-dialect SQL -> physical plan text."""
+    df = engine.sql(sql)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)

@@ -185,3 +185,23 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("s_suppkey").over(w).alias("next_key"),
         (F.sum(q).over(wrun).cast("double") / F.lit(10000.0)).alias("running_bal"),
     )
+
+
+# --- q51: GROUPING SETS (extension) -----------------------------------------
+
+_Q51_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@query("q51_grouping_sets", _Q51_ORACLE, doc="GROUP BY GROUPING SETS (extension)")
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "lineitem")
+    ev.createOrReplaceTempView("otx_li_q51")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM otx_li_q51 "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), "
+        "(l_returnflag, l_linestatus))"
+    )
