@@ -131,3 +131,10 @@ def test_relation_join_and_cross(engine, spark, sf_dir):
     )
     assert joined.df.count() == 25
     assert nation.cross(region).df.count() == 125
+
+
+def test_cursor_chunked_iteration(engine):
+    cur = engine.execute_sql("SELECT n_nationkey, n_name FROM nation")
+    seen = [row["n_nationkey"] for row in cur]  # toLocalIterator path
+    assert sorted(seen) == list(range(25))
+    assert len(cur) == 25
