@@ -39,8 +39,16 @@ class Engine:
 
         ``$1``-style positional parameters are bound via Spark's native
         parameterised SQL (constants extracted exactly like the reference's
-        parameter_node_t).
+        parameter_node_t). Semicolon-separated multi-statement batches run
+        sequentially (reference operator_sequence/operator_batch); the last
+        statement's cursor is returned.
         """
+        statements = _split_statements(sql)
+        if len(statements) > 1:
+            cur = None
+            for stmt in statements:
+                cur = self.execute_sql(stmt, *params)
+            return cur
         body = rewrite(sql)
         if params:
             import re
@@ -63,6 +71,23 @@ class Engine:
         if name:
             rel.df.createOrReplaceTempView(name)
         return rel
+
+
+def _split_statements(sql: str) -> list[str]:
+    """Split a batch on top-level semicolons (string-literal aware)."""
+    out, cur, in_str = [], "", False
+    for ch in sql:
+        if ch == "'":
+            in_str = not in_str
+        if ch == ";" and not in_str:
+            if cur.strip():
+                out.append(cur.strip())
+            cur = ""
+            continue
+        cur += ch
+    if cur.strip():
+        out.append(cur.strip())
+    return out
 
 
 def connect(spark: SparkSession | None = None) -> Engine:

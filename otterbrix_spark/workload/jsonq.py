@@ -257,3 +257,38 @@ def j10(spark: SparkSession, sf_dir: str) -> DataFrame:
             jsonb.path_text(F.col("payload"), ["commit", "record", "k"]).cast("bigint")
         ).cast("bigint").alias("sum_k"),
     )
+
+
+# --- j11: JSON array navigation ---------------------------------------------
+# Arrays in JSON payloads: build one from event fields, navigate with [idx]
+# paths (`#>` with numeric path steps).
+
+_J11_ORACLE = """
+WITH p AS (
+  SELECT event_id,
+         '[' || CAST(user_id AS VARCHAR) || ', ' ||
+         CAST(event_id AS VARCHAR) || ']' AS arr
+  FROM events WHERE event_id < 1000
+)
+SELECT CAST(SUM(CAST(json_extract_string(arr, '$[0]') AS BIGINT)) AS BIGINT)
+         AS sum_first,
+       CAST(SUM(CAST(json_extract_string(arr, '$[1]') AS BIGINT)) AS BIGINT)
+         AS sum_second,
+       COUNT(json_extract_string(arr, '$[2]')) AS n_third
+FROM p
+"""
+
+
+@query("j11_json_array_nav", _J11_ORACLE, doc="JSON array index navigation ($[i])")
+def j11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    arr = F.concat(
+        F.lit("["), F.col("user_id").cast("string"), F.lit(", "),
+        F.col("event_id").cast("string"), F.lit("]"),
+    )
+    p = ev.select(arr.alias("arr"))
+    return p.agg(
+        F.sum(F.get_json_object("arr", "$[0]").cast("bigint")).cast("bigint").alias("sum_first"),
+        F.sum(F.get_json_object("arr", "$[1]").cast("bigint")).cast("bigint").alias("sum_second"),
+        F.count(F.get_json_object("arr", "$[2]")).alias("n_third"),
+    )

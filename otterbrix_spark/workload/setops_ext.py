@@ -75,3 +75,32 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("status").asc_nulls_first(), F.col("o_orderkey"))
         .limit(50)
     )
+
+
+# --- q52: null-safe equality (IS NOT DISTINCT FROM / <=>) -------------------
+
+_Q52_ORACLE = """
+SELECT COUNT(*) AS n_total,
+       COUNT(CASE WHEN NULLIF(o_orderstatus, 'P')
+                       IS NOT DISTINCT FROM NULLIF(o_orderpriority, '5-LOW')
+             THEN 1 END) AS n_nullsafe_eq,
+       COUNT(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL
+                   AND NULLIF(o_orderstatus, 'P')
+                       IS NOT DISTINCT FROM CAST(NULL AS VARCHAR)
+             THEN 1 END) AS n_null_eq_null
+FROM orders
+"""
+
+
+@query("q52_null_safe_eq", _Q52_ORACLE, doc="null-safe equality (<=> / IS NOT DISTINCT FROM)")
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    b = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(a.eqNullSafe(b), 1)).alias("n_nullsafe_eq"),
+        F.count(
+            F.when(a.isNull() & a.eqNullSafe(F.lit(None).cast("string")), 1)
+        ).alias("n_null_eq_null"),
+    )

@@ -138,3 +138,13 @@ def test_cursor_chunked_iteration(engine):
     seen = [row["n_nationkey"] for row in cur]  # toLocalIterator path
     assert sorted(seen) == list(range(25))
     assert len(cur) == 25
+
+
+def test_from_df_arrow_table(engine, spark):
+    import pyarrow as pa
+
+    table = pa.table({"k": [1, 2, 3], "v": ["x", "y", "z"]})
+    rel = engine.from_df(table, name="t_arrow")
+    assert rel.df.count() == 3
+    got = engine.execute_sql("SELECT v FROM t_arrow WHERE k = 2").fetchall()
+    assert got == [("y",)]

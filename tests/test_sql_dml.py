@@ -108,3 +108,17 @@ def test_alter_table_add_rename_drop(engine):
 def test_vacuum_checkpoint_noops(engine):
     engine.execute_sql("VACUUM")
     engine.execute_sql("CHECKPOINT")
+
+
+def test_multi_statement_batch(engine):
+    cur = engine.execute_sql(
+        "CREATE TABLE batch1 AS SELECT 1 AS v; "
+        "INSERT INTO batch1 VALUES (2), (3); "
+        "SELECT COUNT(*) AS n FROM batch1"
+    )
+    assert cur.value("n", 0) == 3
+
+
+def test_semicolon_inside_literal_not_split(engine):
+    cur = engine.execute_sql("SELECT 'a;b' AS s")
+    assert cur.fetchall() == [("a;b",)]
