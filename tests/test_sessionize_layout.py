@@ -96,3 +96,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_native_session_window_agrees_with_custom(spark, sf_dir):
+    """Spark's built-in session_window (gap-merged event-time sessions) must
+    produce the same session boundaries as the custom gaps-and-islands
+    operator — two independent implementations cross-checking each other."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events", F.col("session_window.start").alias("start"))
+    )
+    custom = session_stats(ev, gap_minutes=30)
+    a = sorted((r["user_id"], r["n_events"]) for r in native.collect())
+    b = sorted((r["user_id"], r["n_events"]) for r in custom.collect())
+    assert a == b
