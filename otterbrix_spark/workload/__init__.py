@@ -49,5 +49,6 @@ def load_all() -> dict[str, QuerySpec]:
     from otterbrix_spark.workload import tpch_more  # noqa: F401
     from otterbrix_spark.workload import analytics_ext  # noqa: F401
     from otterbrix_spark.workload import funnel  # noqa: F401
+    from otterbrix_spark.workload import parity_more  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,170 @@
+"""Parity-detail queries: self-joins, HAVING on non-projected aggregates,
+correlated NOT EXISTS with conditions, conditional DISTINCT counts, array
+explode/re-aggregate, character-class text stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otterbrix_spark.sources.registry import load_table
+from otterbrix_spark.workload import query
+
+# --- q53: HAVING on an aggregate that is not projected ----------------------
+
+_Q53_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n
+FROM customer
+GROUP BY c_nationkey
+HAVING MAX(c_acctbal) > 9900 AND MIN(c_acctbal) < -500
+"""
+
+
+@query("q53_having_hidden_agg", _Q53_ORACLE, doc="HAVING over non-projected aggregates")
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("c_acctbal").alias("_mx"),
+            F.min("c_acctbal").alias("_mn"),
+        )
+        .filter((F.col("_mx") > 9900) & (F.col("_mn") < -500))
+        .select("c_nationkey", "n")
+    )
+
+
+# --- q54: correlated NOT EXISTS with extra predicate ------------------------
+# Suppliers with no lineitem shipped after a cutoff (conditional anti-join).
+
+_Q54_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_shipdate > TIMESTAMP '2001-06-01'
+)
+"""
+
+
+@query("q54_not_exists_conditional", _Q54_ORACLE, doc="correlated NOT EXISTS + predicate")
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(
+        F.col("l_shipdate") > F.lit("2001-06-01").cast("timestamp_ntz")
+    ).select("l_suppkey")
+    return supp.join(
+        late, supp.s_suppkey == late.l_suppkey, "left_anti"
+    ).select("s_suppkey", "s_name")
+
+
+# --- q55: self-join (same customer, multiple same-day orders) ---------------
+
+_Q55_ORACLE = """
+SELECT a.o_custkey AS custkey, a.o_orderkey AS o1, b.o_orderkey AS o2,
+       CAST(a.o_orderdate AS DATE) AS day
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderdate = b.o_orderdate
+ AND a.o_orderkey < b.o_orderkey
+"""
+
+
+@query("q55_self_join", _Q55_ORACLE, doc="self-join with aliasing (same-day order pairs)")
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("o1"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("o_orderkey").alias("o2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("custkey") == F.col("ck2"))
+            & (F.col("d1") == F.col("d2"))
+            & (F.col("o1") < F.col("o2")),
+        )
+        .select("custkey", "o1", "o2", F.col("d1").cast("date").alias("day"))
+    )
+
+
+# --- q56: conditional DISTINCT count ----------------------------------------
+
+_Q56_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT CASE WHEN l_quantity > 25 THEN l_orderkey END)
+         AS big_orders,
+       COUNT(DISTINCT CASE WHEN l_discount > 0.05 THEN l_partkey END)
+         AS discounted_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("q56_conditional_distinct", _Q56_ORACLE, doc="COUNT(DISTINCT CASE WHEN ...)")
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct(
+            F.when(F.col("l_quantity") > 25, F.col("l_orderkey"))
+        ).alias("big_orders"),
+        F.countDistinct(
+            F.when(F.col("l_discount") > 0.05, F.col("l_partkey"))
+        ).alias("discounted_parts"),
+    )
+
+
+# --- q57: split -> explode -> re-aggregate (array functions; extension) -----
+
+_Q57_ORACLE = r"""
+SELECT word, COUNT(*) AS n, COUNT(DISTINCT p_partkey) AS n_parts
+FROM (SELECT p_partkey, UNNEST(regexp_split_to_array(p_name, '\s+')) AS word
+      FROM part)
+GROUP BY word
+"""
+
+
+@query("q57_explode_reaggregate", _Q57_ORACLE, doc="split/explode/re-aggregate (array fns)")
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", F.explode(F.split("p_name", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+# --- t06: character-class text statistics -----------------------------------
+
+_T06_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS INT) AS n_upper,
+       CAST(len(regexp_extract_all(text, '[aeiou]')) AS INT) AS n_vowels,
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INT) AS n_special
+FROM documents WHERE doc_id < 200
+"""
+
+
+@query("t06_charclass_stats", _T06_ORACLE, doc="character-class frequency stats")
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    def cnt(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+    return docs.select(
+        "doc_id",
+        cnt("[0-9]").alias("n_digits"),
+        cnt("[A-Z]").alias("n_upper"),
+        cnt("[aeiou]").alias("n_vowels"),
+        cnt("[^a-zA-Z0-9 ]").alias("n_special"),
+    )
