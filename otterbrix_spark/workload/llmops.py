@@ -483,3 +483,109 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedup.lsh_candidate_pairs(sh)
     pairs = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.2).select("a", "b")
     return dedup.connected_components(docs.select("doc_id"), pairs)
+
+
+# --- e04: within-label embedding cohesion -----------------------------------
+# Per-label average pairwise cosine (cluster cohesion) using the embeddings
+# `label` column — quantised sums keep the mean engine-portable.
+
+_E04_ORACLE = """
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+pairs AS (
+  SELECT a.label, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(FLOOR(cos * 10000.0) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 10000.0 AS avg_cos
+FROM pairs GROUP BY label
+"""
+
+
+@query("e04_label_cohesion", _E04_ORACLE, doc="per-label mean pairwise cosine")
+def e04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.similarity import DOT
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(F.expr(DOT.format(a="v", b="v"))))
+    a = n.select(
+        F.col("vec_id").alias("ia"), F.col("label"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("ia") < F.col("ib")))
+        .withColumn("cos", F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")))
+    )
+    q = F.floor(F.col("cos") * F.lit(10000.0)).cast("long")
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        ((F.sum(q).cast("double") / F.count(F.lit(1))) / F.lit(10000.0)).alias("avg_cos"),
+    )
+
+
+# --- d09: near-duplicate rate per source ------------------------------------
+
+_D09_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_sig_cte()},
+bands AS ({{bands}}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id),
+common AS (SELECT p.a, p.b, COUNT(*) AS common
+           FROM cand p
+           JOIN sh sa ON sa.doc_id = p.a
+           JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+           GROUP BY 1, 2),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+dup_docs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT common.a AS doc_id FROM common
+    JOIN sz qa ON common.a = qa.doc_id JOIN sz qb ON common.b = qb.doc_id
+    WHERE common.common / (qa.n + qb.n - common.common) >= 0.2
+    UNION ALL
+    SELECT common.b FROM common
+    JOIN sz qa ON common.a = qa.doc_id JOIN sz qb ON common.b = qb.doc_id
+    WHERE common.common / (qa.n + qb.n - common.common) >= 0.2
+  )
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       COUNT(dd.doc_id) AS n_near_dup
+FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+GROUP BY d.source
+"""
+
+_D09_ORACLE = _D09_ORACLE.format(bands=_bands_sql())
+
+
+@query("d09_dup_rate_by_source", _D09_ORACLE, doc="near-dup rate per document source")
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    cands = dedup.lsh_candidate_pairs(sh)
+    pairs = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.2)
+    dup_docs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup").alias("n_near_dup"),
+        )
+    )

@@ -168,3 +168,43 @@ def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("[aeiou]").alias("n_vowels"),
         cnt("[^a-zA-Z0-9 ]").alias("n_special"),
     )
+
+
+# --- q61: ordered string aggregation (string_agg / listagg) -----------------
+
+_Q61_ORACLE = """
+SELECT r_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+"""
+
+
+@query("q61_string_agg", _Q61_ORACLE, doc="ordered string_agg per group")
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+# --- j12: JSON object key enumeration ---------------------------------------
+
+_J12_ORACLE = """
+SELECT CAST(json_keys(props) AS VARCHAR) AS keys, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+@query("j12_json_keys", _J12_ORACLE, doc="JSON object key enumeration")
+def j12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keys = F.concat(
+        F.lit("["), F.concat_ws(", ", F.json_object_keys("props")), F.lit("]")
+    )
+    return ev.groupBy(keys.alias("keys")).agg(F.count(F.lit(1)).alias("n"))
