@@ -208,3 +208,53 @@ def j12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("["), F.concat_ws(", ", F.json_object_keys("props")), F.lit("]")
     )
     return ev.groupBy(keys.alias("keys")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- q62: join on computed expression keys ----------------------------------
+
+_Q62_ORACLE = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_pairs
+FROM orders o JOIN lineitem l
+  ON DATE_TRUNC('month', o.o_orderdate) = DATE_TRUNC('month', l.l_shipdate)
+ AND o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+@query("q62_expression_join_key", _Q62_ORACLE, doc="join on computed (date-trunc) keys")
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    om = F.date_trunc("month", F.col("o_orderdate"))
+    lm = F.date_trunc("month", F.col("l_shipdate"))
+    return (
+        orders.join(li, (om == lm) & (F.col("o_orderkey") == F.col("l_orderkey")))
+        .groupBy(om.cast("date").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- q63: safe-divide / NULLIF guard ----------------------------------------
+
+_Q63_ORACLE = """
+SELECT c_nationkey,
+       COUNT(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_rich,
+       COUNT(CASE WHEN c_acctbal < -500 THEN 1 END) AS n_debt,
+       CAST(COUNT(CASE WHEN c_acctbal > 5000 THEN 1 END) AS DOUBLE)
+         / NULLIF(COUNT(CASE WHEN c_acctbal < -500 THEN 1 END), 0)
+         AS rich_per_debt
+FROM customer GROUP BY c_nationkey
+"""
+
+
+@query("q63_safe_divide", _Q63_ORACLE, doc="NULLIF-guarded division (NULL on zero)")
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    rich = F.count(F.when(F.col("c_acctbal") > 5000, 1))
+    debt = F.count(F.when(F.col("c_acctbal") < -500, 1))
+    return cust.groupBy("c_nationkey").agg(
+        rich.alias("n_rich"),
+        debt.alias("n_debt"),
+        (rich.cast("double") / F.nullif(debt, F.lit(0))).alias("rich_per_debt"),
+    )
