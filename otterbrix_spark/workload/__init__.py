@@ -37,8 +37,51 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
     return deco
 
 
+# The correctness driver verifies the FIRST 50 registry entries per round.
+# Round 1 checked insertion order (CORRECTNESS_r01.json = entries 0-49), so
+# round 2 front-loads everything that round left driver-unverified — every
+# LLM op (d03-d09, e01-e04, t01-t06, m01), DML gates, TPC-H q44-q49, s01,
+# w01, f01/f02 — plus q22 (whose oracle-cast fix needs driver re-proof) and
+# the new gates added this round. Redundant parity variants (q53-q63) and
+# everything already green in r01 sit behind the window.
+_FRONT_WINDOW = [
+    "q22_null_count_semantics",  # r01 hash artifact — fixed oracle, re-prove
+    "q01_pricing_summary",  # flagship / bench headline anchor
+    # dedup family
+    "d03_ngram_jaccard", "d04_minhash_signature", "d05_minhash_lsh",
+    "d06_simhash", "d07_embedding_neardup", "d08_dedup_clusters",
+    "d09_dup_rate_by_source",
+    # similarity search
+    "e01_knn_brute", "e02_knn_lsh", "e03_knn_ivf", "e04_label_cohesion",
+    # text analysis
+    "t01_langid", "t02_quality", "t03_token_count", "t04_tfidf_terms",
+    "t05_edit_distance", "t06_charclass_stats",
+    # multimodal / streaming / windows
+    "m01_multimodal_meta", "s01_sessionize", "w01_window_battery",
+    # DML gates
+    "q38_update_returning", "q39_delete_returning", "q40_insert_from_select",
+    # set ops + sort extensions
+    "q41_intersect", "q42_except", "q43_order_nulls", "q52_null_safe_eq",
+    # TPC-H shapes
+    "q44_returned_items", "q45_promo_revenue", "q46_large_orders",
+    "q47_top_supplier", "q48_parts_suppliers", "q49_nation_volume",
+    # hard TPC-H shapes (new this round)
+    "q64_tpch_q2_min_cost_supp", "q65_tpch_q11_important_stock",
+    "q66_tpch_q15_top_supplier_view", "q67_tpch_q20_potential_excess",
+    # analytics extensions
+    "q50_pivot", "q51_grouping_sets", "a01_approx_distinct",
+    "c01_heavy_hitters", "c02_value_histogram", "c03_multikey_frequency",
+    # funnel / retention
+    "f01_funnel", "f02_retention",
+    # JSON extras (new + previously unverified)
+    "j12_json_keys", "v01_sql_view", "jd01_jsonb_delete",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every workload module (idempotent) and return the registry."""
+    """Import every workload module (idempotent) and return the registry,
+    ordered so the driver's 50-entry correctness window covers every
+    operator family and every LLM op (see ``_FRONT_WINDOW``)."""
     from otterbrix_spark.workload import relational  # noqa: F401
     from otterbrix_spark.workload import joins  # noqa: F401
     from otterbrix_spark.workload import subqueries  # noqa: F401
@@ -51,4 +94,6 @@ def load_all() -> dict[str, QuerySpec]:
     from otterbrix_spark.workload import funnel  # noqa: F401
     from otterbrix_spark.workload import parity_more  # noqa: F401
 
-    return REGISTRY
+    ordered = {n: REGISTRY[n] for n in _FRONT_WINDOW if n in REGISTRY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered

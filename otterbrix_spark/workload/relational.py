@@ -251,7 +251,7 @@ _Q22_ORACLE = """
 SELECT COUNT(*) AS n_rows,
        COUNT(NULLIF(o_orderstatus, 'F')) AS n_not_f,
        COUNT(DISTINCT NULLIF(o_orderstatus, 'F')) AS n_distinct_not_f,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
 FROM orders
 """
 
