@@ -68,6 +68,76 @@ def signbit_bucket(vec_col: str = "v", n_bits: int = 8) -> F.Column:
     return code.cast("int")
 
 
+def band_codes(corpus: DataFrame, n_bits: int = 4, dim: int = 64) -> DataFrame:
+    """Banded sign-bit LSH: (vec_id, band_idx, band_val).
+
+    The sign bits of the ``dim`` components are split into ``dim // n_bits``
+    bands; two vectors are near-dup *candidates* iff they agree on at least
+    one whole band (the MinHash-LSH banding trick applied to SRP bits).
+    For cos >= 0.45 and 16 bands of 4 bits, per-band collision
+    p = (1 - acos(0.45)/pi)^4 ~ 0.18 -> candidate recall ~ 0.96, while the
+    candidate count stays near-linear instead of quadratic.
+    """
+    n_bands = dim // n_bits
+    bands = []
+    for j in range(n_bands):
+        val = None
+        for i in range(n_bits):
+            bit = (
+                F.when(
+                    F.element_at(F.col("v"), j * n_bits + i + 1) >= 0,
+                    F.lit(1 << i),
+                ).otherwise(F.lit(0))
+            )
+            val = bit if val is None else val + bit
+        bands.append(
+            F.struct(
+                F.lit(j).alias("band_idx"), val.cast("int").alias("band_val")
+            )
+        )
+    return corpus.select(
+        "vec_id", F.explode(F.array(*bands)).alias("bd")
+    ).select("vec_id", "bd.band_idx", "bd.band_val")
+
+
+def neardup_pairs(
+    corpus: DataFrame, threshold: float = 0.45, n_bits: int = 4, dim: int = 64
+) -> DataFrame:
+    """Candidates-then-verify near-duplicate pairs: (a, b, cos).
+
+    Candidate generation is a per-band *equi-join* on (band_idx, band_val) —
+    a hash-partitioned shuffle join, never an all-pairs cross product — and
+    the exact cosine only runs on surviving candidates. This is the plan
+    that holds at corpus scale; an all-pairs a<b theta-join is quadratic.
+    """
+    bands = band_codes(corpus, n_bits=n_bits, dim=dim)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    na = corpus.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    nb = corpus.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    cos = F.expr(DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
+    return (
+        cand.join(na, "a")
+        .join(nb, "b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def bucketed_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8
 ) -> DataFrame:

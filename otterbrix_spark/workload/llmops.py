@@ -347,41 +347,62 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- d07: embedding-cosine near-duplicate pairs -----------------------------
-# All-pairs scored join (a < b) at a fixed cosine threshold — the exact
-# verifier behind embedding near-dedup. At corpus scale the candidate set
-# comes from the e02 LSH buckets instead of the full cross join; the verify
-# math is identical.
+# Candidates-then-verify: banded sign-bit LSH (16 bands x 4 bits) generates
+# candidates via a per-band equi-join, then the exact cosine runs only on
+# surviving candidates. The oracle mirrors the banding, so the certified
+# result IS the scale-safe plan's result, not an all-pairs cross product's.
 
-_D07_ORACLE = """
+_D07_BAND_BITS = 4
+_D07_DIM = 64
+
+
+def _d07_band_val_sql(j: int, bits: int = _D07_BAND_BITS) -> str:
+    terms = [
+        f"(CASE WHEN v[{j * bits + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+def _d07_bands_sql(dim: int = _D07_DIM, bits: int = _D07_BAND_BITS) -> str:
+    rows = [
+        f"SELECT vec_id, {j} AS band_idx, {_d07_band_val_sql(j, bits)} AS band_val FROM n"
+        for j in range(dim // bits)
+    ]
+    return "\nUNION ALL\n".join(rows)
+
+
+_D07_ORACLE = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 n AS (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+bands AS ({_d07_bands_sql()}),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.vec_id < y.vec_id)
+SELECT c.a, c.b,
+       list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
+FROM cand c
+JOIN n na ON na.vec_id = c.a
+JOIN n nb ON nb.vec_id = c.b
+WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.45
 """
 
 
-@query("d07_embedding_neardup", _D07_ORACLE, doc="embedding-cosine near-dup pairs (threshold 0.45)")
+@query(
+    "d07_embedding_neardup",
+    _D07_ORACLE,
+    doc="embedding near-dup pairs: banded sign-bit LSH candidates + exact cosine verify",
+)
 def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from otterbrix_spark.llm.similarity import DOT, prepare
+    from otterbrix_spark.llm.similarity import neardup_pairs, prepare
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = prepare(emb)
-    left = corpus.select(
-        F.col("vec_id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an")
-    )
-    right = corpus.select(
-        F.col("vec_id").alias("b"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
-    )
-    cos = F.expr(DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
-    return (
-        left.join(right, F.col("a") < F.col("b"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.45)
-        .select("a", "b", "cos")
+    return neardup_pairs(
+        corpus, threshold=0.45, n_bits=_D07_BAND_BITS, dim=_D07_DIM
     )
 
 
@@ -486,50 +507,86 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- e04: within-label embedding cohesion -----------------------------------
-# Per-label average pairwise cosine (cluster cohesion) using the embeddings
-# `label` column — quantised sums keep the mean engine-portable.
+# Per-label mean pairwise cosine WITHOUT a pair join: with unit vectors
+# u_i, sum_{i<j} u_i . u_j = (||sum_i u_i||^2 - sum_i ||u_i||^2) / 2, so the
+# whole statistic is one groupBy over per-component sums — linear in corpus
+# size where the naive within-label self-join is quadratic. Components are
+# quantised to 1e-4 (floor(u * 10000) as BIGINT) so every sum is exact
+# integer arithmetic in both engines; sizing note: |S_j| <= n * 1e4, so
+# ssq <= dim * (n * 1e4)^2 stays inside BIGINT up to n ~ 5e4 per label —
+# rescale the quantisation (or split the sum) beyond that.
 
-_E04_ORACLE = """
+_E04_DIM = 64
+
+_E04_ORACLE = f"""
 WITH e AS (SELECT vec_id, label,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 n AS (SELECT vec_id, label, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-pairs AS (
-  SELECT a.label, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT label, COUNT(*) AS n_pairs,
-       CAST(SUM(CAST(FLOOR(cos * 10000.0) AS BIGINT)) AS DOUBLE)
-         / COUNT(*) / 10000.0 AS avg_cos
-FROM pairs GROUP BY label
+q AS (SELECT vec_id, label,
+             list_transform(v, x -> CAST(FLOOR(x / nrm * 10000.0) AS BIGINT)) AS qv
+      FROM n),
+tq AS (SELECT vec_id, label,
+              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS tq
+       FROM q),
+per_label AS (SELECT label, COUNT(*) AS n_vecs, CAST(SUM(tq) AS BIGINT) AS t
+              FROM tq GROUP BY label),
+comp AS (SELECT label, r.j AS pos, qv[r.j + 1] AS val
+         FROM q CROSS JOIN (SELECT UNNEST(range({_E04_DIM})) AS j) r),
+s AS (SELECT label, pos, CAST(SUM(val) AS BIGINT) AS s
+      FROM comp GROUP BY 1, 2),
+ssq AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS ssq FROM s GROUP BY label)
+SELECT p.label,
+       (p.n_vecs * (p.n_vecs - 1)) // 2 AS n_pairs,
+       CAST(q2.ssq - p.t AS DOUBLE)
+         / (p.n_vecs * (p.n_vecs - 1)) / 100000000.0 AS avg_cos
+FROM per_label p JOIN ssq q2 USING (label)
+WHERE p.n_vecs >= 2
 """
 
 
-@query("e04_label_cohesion", _E04_ORACLE, doc="per-label mean pairwise cosine")
+@query(
+    "e04_label_cohesion",
+    _E04_ORACLE,
+    doc="per-label mean pairwise cosine via the sum-of-unit-vectors identity (linear, no pair join)",
+)
 def e04(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otterbrix_spark.llm.similarity import DOT
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", F.sqrt(F.expr(DOT.format(a="v", b="v"))))
-    a = n.select(
-        F.col("vec_id").alias("ia"), F.col("label"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+    n = (
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("nrm", F.sqrt(F.expr(DOT.format(a="v", b="v"))))
+        .withColumn(
+            "qv", F.expr("transform(v, x -> CAST(FLOOR(x / nrm * 10000.0) AS BIGINT))")
+        )
+        .withColumn("tq", F.expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
     )
-    b = n.select(
-        F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    per_label = n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("tq").alias("t")
     )
-    pairs = (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("ia") < F.col("ib")))
-        .withColumn("cos", F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")))
+    comp = n.select("label", F.posexplode("qv").alias("pos", "val"))
+    ssq = (
+        comp.groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
     )
-    q = F.floor(F.col("cos") * F.lit(10000.0)).cast("long")
-    return pairs.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        ((F.sum(q).cast("double") / F.count(F.lit(1))) / F.lit(10000.0)).alias("avg_cos"),
+    return (
+        per_label.join(ssq, "label")
+        .filter(F.col("n_vecs") >= 2)
+        .select(
+            "label",
+            F.expr("(n_vecs * (n_vecs - 1)) DIV 2").alias("n_pairs"),
+            (
+                (F.col("ssq") - F.col("t")).cast("double")
+                / (F.col("n_vecs") * (F.col("n_vecs") - 1))
+                / F.lit(100000000.0)
+            ).alias("avg_cos"),
+        )
     )
 
 

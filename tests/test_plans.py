@@ -72,6 +72,15 @@ def test_partial_aggregation_map_side_combine(spark, sf_dir):
     assert "partial_sum" in plan and "partial_count" in plan
 
 
+@pytest.mark.parametrize("name", ["d07_embedding_neardup", "e04_label_cohesion"])
+def test_neardup_and_cohesion_are_not_all_pairs(spark, sf_dir, name):
+    # the 100 TB contract: candidates-then-verify equi-joins (d07) and the
+    # sum-of-unit-vectors identity (e04) — never a quadratic pair join
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
 def test_wholestage_codegen_active(spark, sf_dir):
     df = REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir)
     df.collect()  # AQE finalises the physical plan on execution
