@@ -196,11 +196,29 @@ class Catalog:
             name, body, returning = m.groups()
             table = self.tables[name]
             body = body.strip()
+            # optional explicit column list: INSERT INTO t (a, b) VALUES/SELECT
+            cols = None
+            mcols = re.match(r"^\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*(.+)$", body, re.DOTALL)
+            if mcols:
+                cols = [c.strip() for c in mcols.group(1).split(",")]
+                body = mcols.group(2).strip()
             if body.upper().startswith("VALUES"):
                 rows = self.spark.sql(f"SELECT * FROM ({body}) ")
-                rows = rows.toDF(*table.df().columns)
+                rows = rows.toDF(*(cols or table.df().columns))
             else:
                 rows = self.spark.sql(body)
+                if cols:
+                    rows = rows.toDF(*cols)
+            if cols:
+                # reorder to the table schema, NULL-backfilling omitted columns
+                rows = rows.select(
+                    *[
+                        F.col(f.name)
+                        if f.name in cols
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in table.df().schema.fields
+                    ]
+                )
             result = table.insert(rows, returning=bool(returning))
             self._register(table)
             if returning:

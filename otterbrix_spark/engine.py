@@ -51,6 +51,19 @@ class Engine:
             return cur
         body = rewrite(sql)
         if params:
+            if self.catalog.handles(body):
+                # routed statements (DML/DDL on managed tables, SET ...) go
+                # through the Catalog, which has no parameter binder — inline
+                # the literals exactly as the reference's parameter_node_t
+                # folds constants into the plan
+                import re
+
+                body = re.sub(
+                    r"\$(\d+)",
+                    lambda m: _sql_literal(params[int(m.group(1)) - 1]),
+                    body,
+                )
+                return Cursor(self.catalog.route(body))
             import re
 
             body = re.sub(r"\$(\d+)", lambda m: f":p{m.group(1)}", body)
@@ -73,19 +86,70 @@ class Engine:
         return rel
 
 
+def _sql_literal(value) -> str:
+    """Render a Python value as a SQL literal (for routed-statement binding)."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def _only_comments(stmt: str) -> bool:
+    """True when a segment contains nothing but comments/whitespace (e.g.
+    a trailing `/* ... */` after the final ';') — not a statement."""
+    import re
+
+    stripped = re.sub(r"--[^\n]*", "", stmt)
+    stripped = re.sub(r"/\*.*?\*/", "", stripped, flags=re.DOTALL)
+    return not stripped.strip()
+
+
 def _split_statements(sql: str) -> list[str]:
-    """Split a batch on top-level semicolons (string-literal aware)."""
-    out, cur, in_str = [], "", False
-    for ch in sql:
-        if ch == "'":
-            in_str = not in_str
-        if ch == ";" and not in_str:
-            if cur.strip():
+    """Split a batch on top-level semicolons — string-literal AND
+    comment-aware: a ';' inside '...', a `--` line comment, or a `/* */`
+    block comment never splits the batch (comments are preserved verbatim;
+    Spark's parser accepts both forms). Comment-only segments are dropped."""
+    out: list[str] = []
+    cur = ""
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # string literal; '' is an escaped quote inside it
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur += sql[i : j + 1]
+            i = j + 1
+            continue
+        if ch == "-" and sql[i : i + 2] == "--":  # line comment
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            cur += sql[i:j]
+            i = j
+            continue
+        if ch == "/" and sql[i : i + 2] == "/*":  # block comment
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            cur += sql[i:j]
+            i = j
+            continue
+        if ch == ";":
+            if cur.strip() and not _only_comments(cur):
                 out.append(cur.strip())
             cur = ""
+            i += 1
             continue
         cur += ch
-    if cur.strip():
+        i += 1
+    if cur.strip() and not _only_comments(cur):
         out.append(cur.strip())
     return out
 

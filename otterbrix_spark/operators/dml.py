@@ -102,21 +102,31 @@ class ManagedTable:
         """UPDATE ... SET ... WHERE cond [RETURNING *].
 
         The reference evaluates a SET expression tree over matched rows
-        (`update_expression.hpp:17-39`); here each assignment is a Column
-        expression applied under ``F.when(cond, new).otherwise(old)`` — one
-        distributed projection, no shuffle.
+        (`update_expression.hpp:17-39`). PG semantics: the WHERE predicate
+        AND every SET expression are evaluated against the OLD row — so the
+        match is materialised once on the pre-update frame and every
+        assignment projects in a single ``select`` (chained ``withColumn``
+        would leak already-updated values into later SET exprs and re-run
+        the WHERE against updated columns). One distributed projection, no
+        shuffle.
         """
-        current = self.df()
-        updated = current
-        for col_name, expr in set_exprs.items():
-            updated = updated.withColumn(
-                col_name, F.when(cond, expr).otherwise(F.col(col_name))
-            )
+        current = self.df().withColumn("_matched", F.coalesce(cond, F.lit(False)))
+        updated = current.select(
+            *[
+                (
+                    F.when(F.col("_matched"), set_exprs[c]).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in self.df().columns
+            ],
+            F.col("_matched"),
+        )
         if returning:
-            result = updated.filter(cond).cache()
+            result = updated.filter(F.col("_matched")).drop("_matched").cache()
             result.count()
-        n = current.filter(cond).count()
-        self._swap_in(updated)
+        n = current.filter(F.col("_matched")).count()
+        self._swap_in(updated.drop("_matched"))
         return result if returning else n
 
     # -- ALTER TABLE (reference operator_alter_column_*.cpp) ----------------
@@ -133,15 +143,22 @@ class ManagedTable:
         self._swap_in(self.df().drop(col_name))
 
     def delete(self, cond: Column, returning: bool = False) -> DataFrame | int:
-        """DELETE FROM ... WHERE cond [RETURNING *]."""
+        """DELETE FROM ... WHERE cond [RETURNING *].
+
+        SQL three-valued logic: only rows where ``cond`` is TRUE are
+        deleted — a NULL predicate (e.g. ``x > 5`` with NULL x) KEEPS the
+        row, so the survivor filter is ``NOT coalesce(cond, false)``, never
+        ``~cond`` (which would silently drop NULL-predicate rows).
+        """
         current = self.df()
+        matched = F.coalesce(cond, F.lit(False))
         if returning:
-            result = current.filter(cond).cache()
+            result = current.filter(matched).cache()
             result.count()
         else:
             result = None
-        n = current.filter(cond).count()
-        self._swap_in(current.filter(~cond))
+        n = current.filter(matched).count()
+        self._swap_in(current.filter(~matched))
         return result if returning else n
 
 
@@ -177,10 +194,23 @@ def fk_cascade_delete(
     parent_key: str,
 ) -> tuple[int, int]:
     """Reference operator_fk_cascade: delete matching parents and their
-    children, children first (ordered multi-table delete)."""
-    doomed_parents = parent_table.df().filter(parent_cond).select(parent_key)
-    doomed_keys = [r[0] for r in doomed_parents.distinct().collect()]
-    n_children = child_table.delete(F.col(child_key).isin(doomed_keys))
+    children, children first (ordered multi-table delete).
+
+    The doomed-parent key set stays distributed: children are identified by
+    a ``left_semi`` join and survivors by a ``left_anti`` join against the
+    parent keys — never a driver-side ``collect`` + ``isin`` (a cascade from
+    a large parent predicate must not materialise on the driver).
+    """
+    doomed = (
+        parent_table.df()
+        .filter(F.coalesce(parent_cond, F.lit(False)))
+        .select(F.col(parent_key).alias("__doomed_key"))
+        .distinct()
+    )
+    child = child_table.df()
+    on = child[child_key] == doomed["__doomed_key"]
+    n_children = child.join(doomed, on, "left_semi").count()
+    child_table._swap_in(child.join(doomed, on, "left_anti"))
     n_parents = parent_table.delete(parent_cond)
     return n_parents, n_children
 
@@ -212,11 +242,38 @@ class MaterializedView:
 
 def with_sequence(df: DataFrame, col_name: str = "id", start: int = 1) -> DataFrame:
     """Reference operator_sequence: assign dense monotonically increasing
-    ids. Uses zipWithIndex semantics via a window-free approach:
-    `monotonically_increasing_id` is partition-sparse (gaps), so for dense
-    sequences we sort-free renumber with a row_number over a constant —
-    acceptable for DDL-time backfills; at scale prefer sparse ids."""
+    ids via partition-offset renumbering (zipWithIndex semantics, DataFrame
+    only):
+
+    1. per-partition row_number ordered by `monotonically_increasing_id`
+       (monotonic WITHIN a partition, so this is a local sort, no shuffle
+       of the data itself);
+    2. per-partition counts -> cumulative offsets (a frame of
+       `numPartitions` rows — the only global step runs on metadata-sized
+       input, broadcast back);
+    3. id = partition_offset + local row_number + start - 1.
+
+    No global single-task window anywhere: the old
+    `Window.orderBy(monotonically_increasing_id())` funnelled the whole
+    table through one task. Ids are dense and deterministic for a fixed
+    partition layout (same caveat as RDD.zipWithIndex).
+    """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.monotonically_increasing_id())
-    return df.withColumn(col_name, F.row_number().over(w) + start - 1)
+    tagged = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    cum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(cum), F.lit(0)).alias("_off")
+    )
+    local = Window.partitionBy("_pid").orderBy("_mid")
+    return (
+        tagged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            col_name,
+            (F.row_number().over(local) + F.col("_off") + F.lit(start - 1)).cast("long"),
+        )
+        .drop("_pid", "_mid", "_off")
+    )

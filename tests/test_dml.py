@@ -111,3 +111,84 @@ def test_sequence(spark):
     df = spark.createDataFrame([("x",), ("y",), ("z",)], "v: string")
     out = with_sequence(df, "id", start=10)
     assert sorted(r["id"] for r in out.collect()) == [10, 11, 12]
+
+
+# -- round-2 semantics fixes (ADVICE r01) ------------------------------------
+
+
+def test_update_evaluates_where_and_sets_on_old_row(spark, employees):
+    # UPDATE ... SET salary = .., dept_id = .. WHERE salary = 80:
+    # PG evaluates WHERE and ALL SET exprs against the OLD row, so modifying
+    # a WHERE column must not skip later assignments or empty RETURNING.
+    result = employees.update(
+        F.col("salary") == 80,
+        {"salary": F.col("salary") + 1, "dept_id": F.col("salary")},
+        returning=True,
+    )
+    rows = [tuple(r) for r in result.select("name", "salary", "dept_id").collect()]
+    assert rows == [("bob", 81, 80)]  # dept_id = OLD salary, not 81
+    persisted = {r["name"]: (r["salary"], r["dept_id"]) for r in employees.df().collect()}
+    assert persisted["bob"] == (81, 80)
+
+
+def test_update_swap_of_two_columns_uses_old_values(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10, 20)], "id: bigint, a: bigint, b: bigint")
+    t = ManagedTable.create(spark, str(tmp_path / "swap"), df)
+    t.update(F.lit(True), {"a": F.col("b"), "b": F.col("a")})
+    assert [tuple(r) for r in t.df().collect()] == [(1, 20, 10)]
+
+
+def test_delete_null_predicate_keeps_rows(spark, tmp_path):
+    # three-valued logic: DELETE WHERE x > 5 must KEEP rows with NULL x
+    df = spark.createDataFrame(
+        [(1, 10), (2, 3), (3, None)], "id: bigint, x: bigint"
+    )
+    t = ManagedTable.create(spark, str(tmp_path / "tvl"), df)
+    n = t.delete(F.col("x") > 5)
+    assert n == 1
+    kept = sorted(r["id"] for r in t.df().collect())
+    assert kept == [2, 3]  # the NULL-x row survives
+
+
+def test_update_null_predicate_leaves_rows_unchanged(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "id: bigint, x: bigint"
+    )
+    t = ManagedTable.create(spark, str(tmp_path / "unull"), df)
+    n = t.update(F.col("x") > 5, {"x": F.lit(0)})
+    assert n == 1
+    got = {r["id"]: r["x"] for r in t.df().collect()}
+    assert got == {1: 0, 2: None}
+
+
+def test_fk_cascade_is_join_based_no_driver_collect(spark, tmp_path):
+    # a wide cascade: 10_000 doomed parent keys must never materialise on
+    # the driver (the old collect+isin path); semi/anti joins handle it
+    parents = spark.range(20_000).select(
+        F.col("id").alias("pid"), (F.col("id") % 2).alias("doomed")
+    )
+    children = spark.range(40_000).select(
+        F.col("id").alias("cid"), (F.col("id") % 20_000).alias("pid")
+    )
+    pt = ManagedTable.create(spark, str(tmp_path / "p"), parents)
+    ct = ManagedTable.create(spark, str(tmp_path / "c"), children)
+    n_parents, n_children = fk_cascade_delete(
+        pt, ct, F.col("doomed") == 1, "pid", "pid"
+    )
+    assert n_parents == 10_000
+    assert n_children == 20_000
+    assert pt.df().count() == 10_000
+    assert ct.df().count() == 20_000
+
+
+def test_with_sequence_dense_multi_partition_no_global_window(spark):
+    df = spark.range(0, 10_000, 1, 8).select(
+        (F.col("id") * 7 % 13).alias("payload")
+    )
+    out = with_sequence(df, "seq", start=100)
+    ids = sorted(r["seq"] for r in out.collect())
+    assert ids == list(range(100, 10_100))
+    # plan audit: no global (partition-less) Window over the full frame —
+    # every Window must either be partitioned or run on the tiny offsets side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "spark_partition_id" in plan.lower() or "_pid" in plan

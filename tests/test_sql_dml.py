@@ -122,3 +122,56 @@ def test_multi_statement_batch(engine):
 def test_semicolon_inside_literal_not_split(engine):
     cur = engine.execute_sql("SELECT 'a;b' AS s")
     assert cur.fetchall() == [("a;b",)]
+
+
+# -- round-2 router fixes (ADVICE r01) ---------------------------------------
+
+
+def test_parameterised_dml_routes_to_managed_table(engine):
+    engine.sql("CREATE TABLE pt AS SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, tag)")
+    engine.sql("DELETE FROM pt WHERE id = $1", 2)
+    assert sorted(r["id"] for r in engine.sql("SELECT * FROM pt").collect()) == [1, 3]
+    engine.sql("UPDATE pt SET tag = $1 WHERE id = $2", "z", 3)
+    got = {r["id"]: r["tag"] for r in engine.sql("SELECT * FROM pt").collect()}
+    assert got == {1: "a", 3: "z"}
+
+
+def test_parameterised_string_literal_escaping(engine):
+    engine.sql("CREATE TABLE esc AS SELECT * FROM (VALUES (1, 'x')) AS t(id, tag)")
+    engine.sql("UPDATE esc SET tag = $1 WHERE id = $2", "it's", 1)
+    assert engine.sql("SELECT tag FROM esc").collect()[0][0] == "it's"
+
+
+def test_insert_with_column_list_reorders(engine):
+    engine.sql("CREATE TABLE cl AS SELECT * FROM (VALUES (1, 'a', 10)) AS t(id, tag, val)")
+    engine.sql("INSERT INTO cl (val, id) VALUES (20, 2)")
+    rows = {r["id"]: (r["tag"], r["val"]) for r in engine.sql("SELECT * FROM cl").collect()}
+    assert rows == {1: ("a", 10), 2: (None, 20)}  # tag NULL-backfilled
+
+
+def test_insert_with_column_list_from_select(engine):
+    engine.sql("CREATE TABLE cls AS SELECT * FROM (VALUES (1, 'a', 10)) AS t(id, tag, val)")
+    engine.sql("INSERT INTO cls (id, tag) SELECT id + 100, tag FROM cls")
+    rows = {r["id"]: (r["tag"], r["val"]) for r in engine.sql("SELECT * FROM cls").collect()}
+    assert rows == {1: ("a", 10), 101: ("a", None)}
+
+
+def test_semicolon_inside_comments_not_split(engine):
+    df = engine.sql(
+        "SELECT 1 AS a -- trailing; comment\n"
+        "/* block; with ; semicolons */ , 2 AS b"
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 2)]
+
+
+def test_multi_statement_with_comments(engine):
+    engine.sql(
+        "CREATE TABLE mc AS SELECT 1 AS x; -- make it; \n"
+        "INSERT INTO mc VALUES (2); /* and; another */"
+    )
+    assert sorted(r["x"] for r in engine.sql("SELECT * FROM mc").collect()) == [1, 2]
+
+
+def test_escaped_quote_in_literal_not_split(engine):
+    df = engine.sql("SELECT 'a;b''c;d' AS s")
+    assert df.collect()[0][0] == "a;b'c;d"
