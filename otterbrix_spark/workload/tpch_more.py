@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from otterbrix_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
+from otterbrix_spark.functions.numeric import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+    oracle_dsum_expr,
+)
 from otterbrix_spark.sources.registry import load_table
 from otterbrix_spark.workload import query
 
@@ -244,4 +250,266 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))
+    )
+
+
+# --- derived partsupp -------------------------------------------------------
+# The driver corpus ships no partsupp table; the hard TPC-H shapes (Q2, Q11,
+# Q20) need one. It is derived deterministically from lineitem —
+# ps_supplycost = MIN(l_extendedprice) (order-insensitive), ps_availqty =
+# COUNT(*) — so the *operator structure* of each query (correlated scalar
+# subquery, HAVING vs global scalar, nested IN chains) is preserved exactly.
+
+_PARTSUPP_CTE = """
+partsupp AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                    MIN(l_extendedprice) AS ps_supplycost,
+                    COUNT(*) AS ps_availqty
+             FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        F.count(F.lit(1)).alias("ps_availqty"),
+    )
+
+
+# --- q64: TPC-H Q2 — minimum-cost supplier (correlated subquery vs join) ----
+# Reference `benchmark/tpch/q2.sql`: the correlated scalar subquery shares
+# the outer p_partkey and re-joins supplier/nation/region. Spark side
+# decorrelates by hand — per-part regional MIN joined back on
+# (partkey, cost) — which is exactly the rewrite Catalyst applies to the
+# SQL form; DuckDB runs the reference's correlated original.
+
+_Q64_ORACLE = f"""
+WITH {_PARTSUPP_CTE}
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand
+FROM part p, supplier s, partsupp ps, nation n, region r
+WHERE p.p_partkey = ps.ps_partkey AND s.s_suppkey = ps.ps_suppkey
+  AND p.p_size <= 25 AND p.p_type LIKE '%O'
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost)
+      FROM partsupp ps2, supplier s2, nation n2, region r2
+      WHERE p.p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        AND r2.r_name = 'EUROPE')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, s.s_suppkey
+LIMIT 100
+"""
+
+
+@query(
+    "q64_tpch_q2_min_cost_supp",
+    _Q64_ORACLE,
+    doc="TPC-H Q2: correlated min-cost scalar subquery against a 5-way join",
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    eur_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    eur_supp = supp.join(
+        F.broadcast(eur_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eur_ps = ps.join(eur_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = eur_ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    best = eur_ps.join(
+        min_cost,
+        (eur_ps.ps_partkey == min_cost.ps_partkey)
+        & (eur_ps.ps_supplycost == min_cost.min_cost),
+    ).drop(min_cost.ps_partkey)
+    wanted = part.filter(
+        (F.col("p_size") <= 25) & F.col("p_type").like("%O")
+    ).select("p_partkey", "p_brand")
+    return (
+        best.join(F.broadcast(wanted), F.col("ps_partkey") == F.col("p_partkey"))
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "ps_suppkey"
+        )
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+    )
+
+
+# --- q65: TPC-H Q11 — important stock (HAVING vs global scalar) -------------
+# Reference `benchmark/tpch/q11.sql`: the HAVING threshold is a scalar
+# subquery over the SAME join tree scaled by a fraction. Spark computes the
+# grouped sums once, derives the global threshold with a broadcast scalar,
+# and filters — one scan feeding both sides.
+
+_Q65_ORACLE = f"""
+WITH {_PARTSUPP_CTE}
+SELECT ps_partkey, {oracle_dsum('ps_supplycost * ps_availqty', 'value')}
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_9'
+GROUP BY ps_partkey
+HAVING {oracle_dsum_expr('ps_supplycost * ps_availqty')} > (
+    SELECT {oracle_dsum_expr('ps_supplycost * ps_availqty')} * 0.001
+    FROM partsupp, supplier, nation
+    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_9')
+"""
+
+
+@query(
+    "q65_tpch_q11_important_stock",
+    _Q65_ORACLE,
+    doc="TPC-H Q11: grouped sums filtered against a global-scalar HAVING threshold",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    national = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_9")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    base = ps.join(national, F.col("ps_suppkey") == F.col("s_suppkey"))
+    stock_value = F.col("ps_supplycost") * F.col("ps_availqty")
+    grouped = base.groupBy("ps_partkey").agg(dsum(stock_value, "value"))
+    total = base.agg(dsum(stock_value, "tot"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("tot") * F.lit(0.001))
+        .select("ps_partkey", "value")
+    )
+
+
+# --- q66: TPC-H Q15 — top supplier via VIEW + max-over-view -----------------
+# Reference `benchmark/tpch/q15.sql`: CREATE VIEW revenue, then filter the
+# view against (SELECT MAX(...) FROM revenue). Unlike q47 (window-max
+# variant), this gate registers the revenue frame as a real temp view and
+# lets Spark's scalar-subquery support resolve the max — the reference's
+# exact statement shape.
+
+_Q66_ORACLE = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         {oracle_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-04-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+@query(
+    "q66_tpch_q15_top_supplier_view",
+    _Q66_ORACLE,
+    doc="TPC-H Q15: revenue view + scalar max-over-view (SQL scalar subquery)",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-04-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    rev.createOrReplaceTempView("revenue0")
+    supp.createOrReplaceTempView("q66_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, total_revenue
+        FROM q66_supplier, revenue0
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+# --- q67: TPC-H Q20 — potential part promotion (nested IN chains) -----------
+# Reference `benchmark/tpch/q20.sql`: IN (subquery with IN (subquery) AND a
+# correlated scalar threshold). Spark side: broadcast semi-joins for the IN
+# chains, an aggregate join for the correlated 0.5 * SUM(l_quantity)
+# threshold — the decorrelation Catalyst produces for the SQL form.
+
+_Q67_ORACLE = f"""
+WITH {_PARTSUPP_CTE}
+SELECT s_suppkey, s_name
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > (
+          SELECT 0.5 * ({oracle_dsum_expr('l_quantity')})
+          FROM lineitem
+          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            AND l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'))
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+ORDER BY s_name
+"""
+
+
+@query(
+    "q67_tpch_q20_potential_excess",
+    _Q67_ORACLE,
+    doc="TPC-H Q20: nested IN chains with a correlated quantity threshold",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    small_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("q_partkey"),
+            F.col("l_suppkey").alias("q_suppkey"),
+        )
+        .agg(dsum(F.col("l_quantity"), "qsum"))
+    )
+    excess = (
+        ps.join(
+            F.broadcast(small_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("q_partkey"))
+            & (F.col("ps_suppkey") == F.col("q_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("qsum"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_9")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
     )
