@@ -29,7 +29,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from otterbrix_spark.operators.dml import ManagedTable
+from otterbrix_spark.operators.dml import ManagedTable, MaterializedView
 
 _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.*)$",
@@ -37,6 +37,21 @@ _CREATE_TABLE = re.compile(
 )
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_CREATE_VIEW = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_MATVIEW = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MATVIEW = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*$", re.IGNORECASE
+)
+_DROP_VIEW = re.compile(
+    r"^\s*DROP\s+(MATERIALIZED\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$",
+    re.IGNORECASE,
 )
 _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*?)(\s+RETURNING\s+\*)?\s*$",
@@ -89,6 +104,7 @@ class Catalog:
         self.spark = spark
         self.base_dir = base_dir or tempfile.mkdtemp(prefix="otterbrix-tables-")
         self.tables: dict[str, ManagedTable] = {}
+        self.matviews: dict[str, "MaterializedView"] = {}
 
     def _register(self, table: ManagedTable) -> None:
         self.tables[table.name] = table
@@ -150,6 +166,42 @@ class Catalog:
             table.drop_column(m.group(2))
             self._register(table)
             return self.spark.range(0).select(F.lit(m.group(2)).alias("dropped"))
+
+        # CREATE [OR REPLACE] VIEW: session-scoped logical view, re-resolved
+        # per query (reference executor.cpp view path); CREATE MATERIALIZED
+        # VIEW: parquet-backed snapshot with explicit REFRESH
+        # (reference operator_create_matview.cpp / node_create_matview.hpp)
+        m = _CREATE_MATVIEW.match(sql)
+        if m:
+            name, body = m.group(1), m.group(2)
+            path = os.path.join(self.base_dir, "mv__" + name.replace(".", "__"))
+            mv = MaterializedView(self.spark, path, lambda b=body: self.spark.sql(b))
+            self.matviews[name] = mv
+            mv.df().createOrReplaceTempView(name)
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+
+        m = _REFRESH_MATVIEW.match(sql)
+        if m:
+            name = m.group(1)
+            if name not in self.matviews:
+                raise ValueError(f"unknown materialized view: {name}")
+            self.matviews[name].refresh()
+            self.matviews[name].df().createOrReplaceTempView(name)
+            return self.spark.range(0).select(F.lit(name).alias("refreshed"))
+
+        m = _DROP_VIEW.match(sql)
+        if m:
+            materialized, name = m.group(1), m.group(2)
+            if materialized and name in self.matviews:
+                ManagedTable(self.spark, self.matviews.pop(name).path).drop()
+            self.spark.catalog.dropTempView(name)
+            return self.spark.range(0).select(F.lit(name).alias("dropped"))
+
+        m = _CREATE_VIEW.match(sql)
+        if m:
+            name, body = m.group(1), m.group(2)
+            self.spark.sql(body).createOrReplaceTempView(name)
+            return self.spark.range(0).select(F.lit(name).alias("created"))
 
         m = _CREATE_TABLE.match(sql)
         if m:
@@ -228,7 +280,7 @@ class Catalog:
         return self.spark.sql(sql)
 
     def handles(self, sql: str) -> bool:
-        head = sql.lstrip()[:18].upper()
+        head = sql.lstrip()[:26].upper()
         return any(
             head.startswith(k)
             for k in (
@@ -236,5 +288,8 @@ class Catalog:
                 "SET TIME", "BEGIN", "COMMIT", "ROLLBACK", "ABORT",
                 "CREATE INDEX", "CREATE UNIQUE INDEX", "DROP INDEX",
                 "VACUUM", "CHECKPOINT", "ALTER TABLE",
+                "CREATE VIEW", "CREATE OR REPLACE VIEW",
+                "CREATE MATERIALIZED VIEW", "REFRESH MATERIALIZED",
+                "DROP VIEW", "DROP MATERIALIZED VIEW",
             )
         )

@@ -80,3 +80,37 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = supp.select(F.lit("base").alias("src"))
     inserted = supp.filter(F.col("s_acctbal") > 9000).select(F.lit("inserted").alias("src"))
     return base.unionAll(inserted).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- v01: views through the SQL router --------------------------------------
+# CREATE VIEW + CREATE MATERIALIZED VIEW + REFRESH + query-through-view, all
+# via the SQL statement surface (reference transformer.cpp view statements;
+# executor.cpp:600-665 matview create/refresh). The result read back through
+# the materialized view must equal the plain-SQL equivalent on base tables.
+
+_V01_ORACLE = """
+SELECT c_mktsegment AS segment, COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 100000
+GROUP BY c_mktsegment
+"""
+
+
+@query("v01_sql_view", _V01_ORACLE, doc="CREATE VIEW / MATERIALIZED VIEW / REFRESH via SQL")
+def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql(
+        "CREATE OR REPLACE VIEW v01_big_orders AS "
+        "SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW v01_seg_counts AS "
+        "SELECT c_mktsegment AS segment, COUNT(*) AS n "
+        "FROM v01_big_orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    )
+    eng.sql("REFRESH MATERIALIZED VIEW v01_seg_counts")
+    return eng.sql("SELECT segment, n FROM v01_seg_counts")

@@ -175,3 +175,28 @@ def test_multi_statement_with_comments(engine):
 def test_escaped_quote_in_literal_not_split(engine):
     df = engine.sql("SELECT 'a;b''c;d' AS s")
     assert df.collect()[0][0] == "a;b'c;d"
+
+
+def test_create_view_and_query(engine):
+    engine.sql("CREATE OR REPLACE VIEW v_two AS SELECT 1 AS a UNION ALL SELECT 2")
+    assert sorted(r["a"] for r in engine.sql("SELECT * FROM v_two").collect()) == [1, 2]
+    engine.sql("DROP VIEW v_two")
+
+
+def test_materialized_view_snapshot_and_refresh(engine):
+    engine.sql("CREATE TABLE mvsrc AS SELECT * FROM (VALUES (1), (2)) AS t(x)")
+    engine.sql("CREATE MATERIALIZED VIEW mv_sum AS SELECT CAST(SUM(x) AS BIGINT) AS s FROM mvsrc")
+    assert engine.sql("SELECT s FROM mv_sum").collect()[0][0] == 3
+    # matview is a snapshot: base-table change not visible until REFRESH
+    engine.sql("INSERT INTO mvsrc VALUES (10)")
+    assert engine.sql("SELECT s FROM mv_sum").collect()[0][0] == 3
+    engine.sql("REFRESH MATERIALIZED VIEW mv_sum")
+    assert engine.sql("SELECT s FROM mv_sum").collect()[0][0] == 13
+    engine.sql("DROP MATERIALIZED VIEW mv_sum")
+
+
+def test_refresh_unknown_matview_raises(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown materialized view"):
+        engine.sql("REFRESH MATERIALIZED VIEW nope")
