@@ -54,7 +54,42 @@ def _json_path(keys: list[str]) -> str:
 
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9.]*"
+
+# keywords that can precede a unary minus — never the LHS of a jsonb delete
+_SQL_KEYWORDS = frozenset(
+    """SELECT WHERE AND OR NOT THEN ELSE WHEN CASE END BY ON AS FROM JOIN
+    HAVING LIMIT OFFSET UNION ALL DISTINCT EXCEPT INTERSECT BETWEEN IN LIKE
+    RLIKE ILIKE IS NULL TRUE FALSE SET VALUES RETURNING ORDER GROUP""".split()
+)
 _OPERAND = rf"(?:{_IDENT}\s*\((?:[^()]*)\)|{_IDENT}|\x00\d+\x00)"
+
+
+def _delete_expr(col: str, keys: list[str], depth: int = 0) -> str:
+    """JSONB delete lowered to a type-preserving map<string,variant>
+    round-trip (reference jsonb_delete, `transform_select.cpp:641-736`):
+
+      - ``col - 'k'``      -> map_filter drops the top-level key
+      - ``col #- '{a,b}'`` -> transform_values rebuilds the nested object,
+                              recursing per path step (arbitrary depth)
+
+    Object keys only (array-index deletes are not lowered — the reference's
+    dynamic documents are object-shaped). NULL/malformed JSON -> NULL, and a
+    missing path returns the document unchanged, as in PG.
+    """
+    k, v = f"k{depth}", f"v{depth}"
+    if len(keys) == 1:
+        return (
+            f"to_json(map_filter(from_json({col}, 'map<string,variant>'), "
+            f"({k}, {v}) -> {k} != '{keys[0]}'))"
+        )
+    head, rest = keys[0], keys[1:]
+    inner_src = f"get_json_object({col}, '{_json_path([head])}')"
+    inner_del = _delete_expr(inner_src, rest, depth + 1)
+    return (
+        f"to_json(transform_values(from_json({col}, 'map<string,variant>'), "
+        f"({k}, {v}) -> CASE WHEN {k} = '{head}' THEN parse_json({inner_del}) "
+        f"ELSE {v} END))"
+    )
 
 
 def rewrite(sql: str, literals_resolver=None) -> str:
@@ -64,6 +99,17 @@ def rewrite(sql: str, literals_resolver=None) -> str:
     def lit_at(tok: str) -> str | None:
         m = re.fullmatch("\x00(\\d+)\x00", tok)
         return _lit_text(lits[int(m.group(1))]) if m else None
+
+    # --- #- : path delete (BEFORE #>/#>> so '#-' is never half-matched) -----
+    def fix_path_delete(m: re.Match) -> str:
+        col, tok = m.group(1), m.group(2)
+        text = lit_at(tok)
+        if text is None:
+            return m.group(0)
+        keys = [k.strip() for k in text.strip("{}").split(",") if k.strip()]
+        return _delete_expr(col, keys) if keys else col
+
+    body = re.sub(rf"({_OPERAND})\s*#-\s*(\x00\d+\x00)", fix_path_delete, body)
 
     # --- #>> / #> : path navigation with '{a,b}' literals -------------------
     def fix_path(m: re.Match) -> str:
@@ -98,6 +144,20 @@ def rewrite(sql: str, literals_resolver=None) -> str:
         return f"try_cast({m.group(1)} AS {m.group(2)})"
 
     body = re.sub(rf"({_OPERAND})\s*::\?\s*([A-Za-z_0-9()]+)", fix_variant, body)
+
+    # --- `- 'key'` : top-level jsonb delete ---------------------------------
+    # Only fires when the RHS is a string literal (PG's jsonb - text) AND the
+    # LHS is a real operand, not a SQL keyword (`SELECT - 'x'` is a unary
+    # minus on a literal, not a delete). Runs AFTER the arrow rules so
+    # `->`/`->>` are already consumed.
+    def fix_key_delete(m: re.Match) -> str:
+        col, tok = m.group(1), m.group(2)
+        text = lit_at(tok)
+        if text is None or col.upper() in _SQL_KEYWORDS:
+            return m.group(0)
+        return _delete_expr(col, [text])
+
+    body = re.sub(rf"({_OPERAND})\s*-\s*(\x00\d+\x00)", fix_key_delete, body)
 
     # --- `~` regex-match (avoid matching `!~`, `~*` for now) ----------------
     body = re.sub(

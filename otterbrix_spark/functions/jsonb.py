@@ -49,3 +49,31 @@ def struct_delete(col: Column, *fields: str) -> Column:
     for f_ in fields:
         out = out.dropFields(f_)
     return out
+
+
+def json_delete(col: Column, key: str) -> Column:
+    """``col - 'key'`` on a JSON *text* column: drop a top-level key,
+    type-preserving via a map<string,variant> round-trip (reference
+    jsonb_delete, `transform_select.cpp:641-736`). No UDF."""
+    return F.to_json(
+        F.map_filter(
+            F.from_json(col, "map<string,variant>"), lambda k, v: k != F.lit(key)
+        )
+    )
+
+
+def json_delete_path(col: Column, keys: list[str]) -> Column:
+    """``col #- '{a,b}'`` on a JSON text column: delete at an object path
+    (arbitrary depth, object keys only — see dialect._delete_expr)."""
+    if not keys:
+        return col
+    if len(keys) == 1:
+        return json_delete(col, keys[0])
+    head, rest = keys[0], keys[1:]
+    inner = json_delete_path(F.get_json_object(col, _jsonpath([head])), rest)
+    return F.to_json(
+        F.transform_values(
+            F.from_json(col, "map<string,variant>"),
+            lambda k, v: F.when(k == F.lit(head), F.parse_json(inner)).otherwise(v),
+        )
+    )

@@ -292,3 +292,65 @@ def j11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("arr", "$[1]").cast("bigint")).cast("bigint").alias("sum_second"),
         F.count(F.get_json_object("arr", "$[2]")).alias("n_third"),
     )
+
+
+# --- jd01: JSONB delete operators `-` / `#-` --------------------------------
+# Reference `transform_select.cpp:641-736` (jsonb_delete expressions). The
+# documents are built in-query from event fields (props is single-key), a
+# top-level key and a nested path are deleted through the PG dialect
+# operators, and the result is certified via surviving/removed extracts plus
+# the exact deleted-document text (both engines emit compact JSON).
+
+_JD01_ORACLE = """
+WITH docs AS (
+  SELECT event_id, user_id, event_type,
+         json_object('a', event_id,
+                     'n', json_object('x', user_id,
+                                      'y', CAST(FLOOR(value * 100) AS BIGINT)),
+                     'c', event_type) AS doc
+  FROM events
+  WHERE event_id < 200
+)
+SELECT event_id,
+       json_merge_patch(doc, '{"c":null}')::VARCHAR AS no_c,
+       -- ground-truth nested delete stated directly: merge_patch would
+       -- reorder the patched key to the end, while jsonb delete preserves
+       -- document order (which the Spark lowering does)
+       json_object('a', event_id,
+                   'n', json_object('x', user_id),
+                   'c', event_type)::VARCHAR AS no_ny,
+       json_extract_string(json_merge_patch(doc, '{"n":{"y":null}}'), '$.n.x') AS x_kept,
+       json_extract_string(json_merge_patch(doc, '{"n":{"y":null}}'), '$.n.y') AS y_gone
+FROM docs
+"""
+
+
+@query("jd01_jsonb_delete", _JD01_ORACLE, doc="JSONB delete `- 'key'` and `#- '{path}'` via the dialect")
+def jd01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(
+        """
+        WITH docs AS (
+          SELECT event_id,
+                 to_json(named_struct('a', event_id,
+                                      'n', named_struct('x', user_id,
+                                                        'y', CAST(FLOOR(value * 100) AS BIGINT)),
+                                      'c', event_type)) AS doc
+          FROM events
+          WHERE event_id < 200
+        )
+        , deleted AS (
+          SELECT event_id,
+                 doc - 'c' AS no_c,
+                 doc #- '{n,y}' AS no_ny
+          FROM docs
+        )
+        SELECT event_id, no_c, no_ny,
+               no_ny #>> '{n,x}' AS x_kept,
+               no_ny #>> '{n,y}' AS y_gone
+        FROM deleted
+        """
+    )

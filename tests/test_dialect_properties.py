@@ -77,3 +77,35 @@ def test_rewrite_idempotent_on_rewritten_output():
     for sql in samples:
         once = rewrite(sql)
         assert rewrite(once) == once
+
+
+# -- JSONB delete rewrites (`-` / `#-`) --------------------------------------
+
+
+def test_rewrite_top_level_delete():
+    out = rewrite("SELECT doc - 'k' FROM t")
+    assert "map_filter" in out and "map<string,variant>" in out
+    assert "k0 != 'k'" in out
+
+
+def test_rewrite_path_delete_two_levels():
+    out = rewrite("SELECT doc #- '{a,b}' FROM t")
+    assert "transform_values" in out
+    assert "k1 != 'b'" in out and "= 'a'" in out
+
+
+def test_rewrite_path_delete_three_levels_recurses():
+    out = rewrite("SELECT doc #- '{a,b,c}' FROM t")
+    assert out.count("transform_values") == 2
+    assert "k2 != 'c'" in out
+
+
+def test_minus_without_string_literal_untouched():
+    sql = "SELECT a - b, a - 1, ts - INTERVAL '1 day' FROM t"
+    assert rewrite(sql) == sql
+
+
+def test_path_delete_before_path_navigate_no_interference():
+    out = rewrite("SELECT doc #>> '{a,b}' FROM t")
+    assert "get_json_object(doc, '$.a.b')" in out
+    assert "map_filter" not in out
