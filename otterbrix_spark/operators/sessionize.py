@@ -92,23 +92,49 @@ SESSION_OUT_SCHEMA = T.StructType(
 )
 
 
-def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def streaming_sessionize(
+    stream: DataFrame, gap_minutes: int = 30, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Stateful session assembly over a stream keyed by user_id.
 
     Each micro-batch folds its events into per-key state (open session id,
     last-seen timestamp); sessions are emitted when closed by a
-    gap-exceeding event. A production pipeline would also use the state
-    timeout to flush idle sessions; with availableNow testing the final
-    open session per key remains in state by design.
+    gap-exceeding event.
+
+    With ``idle_timeout_ms`` set, idle open sessions are FLUSHED via
+    ``GroupStateTimeout.ProcessingTimeTimeout``: when a key sees no events
+    for the timeout span, its open session is emitted and the state becomes
+    a tombstone (session counter + last timestamp, no open session) so a
+    returning key continues its session numbering; a second idle timeout
+    removes the tombstone entirely, bounding state for dead keys at
+    2x the timeout. Without it (None), final open sessions stay in state —
+    the availableNow testing mode.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    columns = ["user_id", "session_seq", "n_events", "start_us", "end_us"]
 
     def fold(key, pdf_iter, state: GroupState):
         import pandas as pd
 
         (user_id,) = key
+
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            session_seq, last_us, n_events, start_us = state.get
+            if n_events:
+                # flush the idle open session; keep a tombstone so the seq
+                # counter survives a returning key
+                state.update((session_seq, last_us, 0, None))
+                state.setTimeoutDuration(idle_timeout_ms)
+                yield pd.DataFrame(
+                    [(user_id, session_seq, n_events, start_us, last_us)],
+                    columns=columns,
+                )
+            else:
+                state.remove()  # second idle span: drop the tombstone
+            return
+
         if state.exists:
             session_seq, last_us, n_events, start_us = state.get
         else:
@@ -117,8 +143,8 @@ def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
         closed = []
         for pdf in pdf_iter:
             for us in sorted(pdf["us"].tolist()):
-                if last_us is None or us - last_us > gap_us:
-                    if last_us is not None:
+                if last_us is None or us - last_us > gap_us or n_events == 0:
+                    if n_events:
                         closed.append(
                             (user_id, session_seq, n_events, start_us, last_us)
                         )
@@ -128,11 +154,10 @@ def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 n_events += 1
                 last_us = us
         state.update((session_seq, last_us, n_events, start_us))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_seq", "n_events", "start_us", "end_us"],
-            )
+            yield pd.DataFrame(closed, columns=columns)
 
     prepared = stream.select(
         "user_id", _ts_us(F.col("ts")).alias("us")
@@ -142,5 +167,9 @@ def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -88,3 +88,40 @@ def run_available_now(
         raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
     query.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def run_until_count(
+    df: DataFrame,
+    name: str,
+    target_rows: int,
+    timeout_s: float = 120.0,
+    trigger_ms: int = 500,
+) -> DataFrame:
+    """Execute a streaming frame with a ProcessingTime trigger until the
+    in-memory sink reaches ``target_rows`` (or timeout), then stop.
+
+    Unlike availableNow, the query keeps running EMPTY micro-batches after
+    the input is exhausted — which is what lets ProcessingTimeTimeout state
+    timeouts fire and flush idle sessions."""
+    spark = df.sparkSession
+    query = (
+        df.writeStream.trigger(processingTime=f"{trigger_ms} milliseconds")
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    try:
+        while time.time() < deadline:
+            if spark.table(name).count() >= target_rows:
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError(
+                f"streaming query {name}: sink never reached {target_rows} rows"
+            )
+    finally:
+        query.stop()
+        query.awaitTermination()
+    return spark.table(name)

@@ -53,3 +53,33 @@ def test_streaming_filter_pipeline(spark, sf_dir):
         load_table(spark, sf_dir, "events").filter(F.col("value") > 150).count()
     )
     assert n_stream == n_batch > 0
+
+
+def test_streaming_sessionize_timeout_flush_equals_batch(spark, sf_dir):
+    """With ProcessingTimeTimeout flushing, closed + flushed streaming
+    sessions must equal the batch sessionization EXACTLY (finals included):
+    after the input is exhausted, idle state times out and each key's last
+    open session is emitted."""
+    from otterbrix_spark.operators.sessionize import (
+        session_stats,
+        streaming_sessionize,
+    )
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.streaming import events_stream, run_until_count
+
+    batch = session_stats(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    batch_rows = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in batch.collect()
+    }
+
+    stream = events_stream(spark, sf_dir)
+    sessions = streaming_sessionize(stream, gap_minutes=30, idle_timeout_ms=2000)
+    name = f"flush_{uuid.uuid4().hex[:8]}"
+    result = run_until_count(sessions, name, target_rows=len(batch_rows), timeout_s=120)
+
+    stream_rows = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in result.collect()
+    }
+    assert stream_rows == batch_rows
