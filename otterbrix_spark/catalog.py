@@ -29,7 +29,12 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from otterbrix_spark.operators.dml import ManagedTable, MaterializedView
+from otterbrix_spark.operators.dml import (
+    ManagedTable,
+    MaterializedView,
+    apply_delete,
+    apply_update,
+)
 
 _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.*)$",
@@ -105,10 +110,32 @@ class Catalog:
         self.base_dir = base_dir or tempfile.mkdtemp(prefix="otterbrix-tables-")
         self.tables: dict[str, ManagedTable] = {}
         self.matviews: dict[str, "MaterializedView"] = {}
+        # active transaction: table name -> staged (uncommitted) frame.
+        # None = autocommit. Staged frames are lazy plans over the
+        # unchanged on-disk state, so ROLLBACK is free and COMMIT
+        # materialises every staged table then swaps them in.
+        self._txn: dict[str, DataFrame] | None = None
 
     def _register(self, table: ManagedTable) -> None:
         self.tables[table.name] = table
         table.df().createOrReplaceTempView(table.name)
+
+    def _stage_txn(
+        self,
+        name: str,
+        new_df: DataFrame,
+        matched: DataFrame,
+        verb: str,
+        returning,
+    ) -> DataFrame:
+        """Record a staged frame for ``name`` inside the active transaction
+        and re-register the temp view so in-transaction reads see the
+        uncommitted state (read-your-writes)."""
+        self._txn[name] = new_df
+        new_df.createOrReplaceTempView(name)
+        if returning:
+            return matched
+        return self.spark.range(1).select(F.lit(matched.count()).alias(verb))
 
     def route(self, sql: str) -> DataFrame:
         head = sql.strip().rstrip(";").upper()
@@ -119,11 +146,38 @@ class Catalog:
             self.spark.conf.set("spark.sql.session.timeZone", m.group(1))
             return self.spark.range(0).select(F.lit(m.group(1)).alias("timezone"))
 
-        # transactions: single-statement atomicity only (writes swap
-        # atomically); BEGIN/COMMIT/ROLLBACK accepted as session no-ops —
-        # multi-statement isolation is the documented Delta seam
-        if head in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK", "ABORT"):
-            return self.spark.range(0).select(F.lit(head).alias("txn"))
+        # transactions (reference components/table/transaction.hpp): DML on
+        # managed tables inside BEGIN..COMMIT stages lazy frames per table;
+        # reads-in-txn see the staged state via re-registered temp views
+        # (read-your-writes); COMMIT materialises all staged tables then
+        # swaps them in (write-all-then-swap-all — the crash window is the
+        # swap loop, the plain-parquet analogue of the reference's commit);
+        # ROLLBACK discards the staged frames and restores the views.
+        # DDL (CREATE/DROP TABLE) stays autocommit, as in many engines.
+        if head in ("BEGIN", "BEGIN TRANSACTION"):
+            if self._txn is None:
+                self._txn = {}
+            return self.spark.range(0).select(F.lit("BEGIN").alias("txn"))
+        if head == "COMMIT":
+            staged, self._txn = self._txn, None
+            if staged:
+                # phase 1: materialise every staged frame beside its table
+                pending = []
+                for name, frame in staged.items():
+                    pending.append((self.tables[name], frame))
+                for table, frame in pending:
+                    table.stage(frame)
+                # phase 2: swap all staged directories in
+                for table, _ in pending:
+                    table.commit_staged()
+                for name in staged:
+                    self._register(self.tables[name])
+            return self.spark.range(0).select(F.lit("COMMIT").alias("txn"))
+        if head in ("ROLLBACK", "ABORT"):
+            staged, self._txn = self._txn, None
+            for name in staged or {}:
+                self._register(self.tables[name])  # restore on-disk views
+            return self.spark.range(0).select(F.lit("ROLLBACK").alias("txn"))
 
         # CREATE INDEX: no-op accept — Spark has no user indexes; parquet
         # min/max + bucketing play the role (SURVEY.md §2.1)
@@ -226,6 +280,10 @@ class Catalog:
             table = self.tables[name]
             cond = F.expr(where) if where else F.lit(True)
             sets = {c: F.expr(e) for c, e in _split_set_list(set_clause).items()}
+            if self._txn is not None:
+                base = self._txn.get(name, table.df())
+                new_df, matched = apply_update(base, cond, sets)
+                return self._stage_txn(name, new_df, matched, "updated", returning)
             result = table.update(cond, sets, returning=bool(returning))
             self._register(table)
             if returning:
@@ -237,6 +295,10 @@ class Catalog:
             name, where, returning = m.groups()
             table = self.tables[name]
             cond = F.expr(where) if where else F.lit(True)
+            if self._txn is not None:
+                base = self._txn.get(name, table.df())
+                new_df, matched = apply_delete(base, cond)
+                return self._stage_txn(name, new_df, matched, "deleted", returning)
             result = table.delete(cond, returning=bool(returning))
             self._register(table)
             if returning:
@@ -271,6 +333,10 @@ class Catalog:
                         for f in table.df().schema.fields
                     ]
                 )
+            if self._txn is not None:
+                base = self._txn.get(name, table.df())
+                new_df = base.unionByName(rows.select(*base.columns))
+                return self._stage_txn(name, new_df, rows, "inserted", returning)
             result = table.insert(rows, returning=bool(returning))
             self._register(table)
             if returning:

@@ -42,6 +42,7 @@ class ManagedTable:
         self.spark = spark
         self.path = path
         self.name = name or os.path.basename(path.rstrip("/"))
+        self._staged: str | None = None
 
     # -- scan ---------------------------------------------------------------
     def df(self) -> DataFrame:
@@ -77,21 +78,32 @@ class ManagedTable:
     def df_of(rows: DataFrame) -> DataFrame:
         return rows
 
-    def _swap_in(self, new_df: DataFrame) -> None:
-        """Materialise ``new_df`` beside the table, then atomically swap.
+    def stage(self, new_df: DataFrame) -> None:
+        """Phase 1 of a swap: materialise ``new_df`` beside the table.
 
         Writing over a path Spark is lazily reading from corrupts the scan;
         write-to-temp + directory swap is the plain-parquet equivalent of a
         transactional commit (Delta's log makes this file-level instead of
-        table-level — same API, better asymptotics).
+        table-level — same API, better asymptotics). Split from
+        :meth:`commit_staged` so a multi-table transaction can materialise
+        every table before swapping any.
         """
         parent = os.path.dirname(self.path.rstrip("/"))
         tmp = os.path.join(parent, f".{os.path.basename(self.path)}-{uuid.uuid4().hex}")
         new_df.write.mode("errorifexists").parquet(tmp)
+        self._staged = tmp
+
+    def commit_staged(self) -> None:
+        """Phase 2: swap the staged directory in (two renames + cleanup)."""
         old = self.path + ".old-" + uuid.uuid4().hex
         os.rename(self.path, old)
-        os.rename(tmp, self.path)
+        os.rename(self._staged, self.path)
+        self._staged = None
         shutil.rmtree(old, ignore_errors=True)
+
+    def _swap_in(self, new_df: DataFrame) -> None:
+        self.stage(new_df)
+        self.commit_staged()
 
     def update(
         self,
@@ -110,23 +122,12 @@ class ManagedTable:
         the WHERE against updated columns). One distributed projection, no
         shuffle.
         """
-        current = self.df().withColumn("_matched", F.coalesce(cond, F.lit(False)))
-        updated = current.select(
-            *[
-                (
-                    F.when(F.col("_matched"), set_exprs[c]).otherwise(F.col(c)).alias(c)
-                    if c in set_exprs
-                    else F.col(c)
-                )
-                for c in self.df().columns
-            ],
-            F.col("_matched"),
-        )
+        new_df, matched = apply_update(self.df(), cond, set_exprs)
         if returning:
-            result = updated.filter(F.col("_matched")).drop("_matched").cache()
+            result = matched.cache()
             result.count()
-        n = current.filter(F.col("_matched")).count()
-        self._swap_in(updated.drop("_matched"))
+        n = matched.count()
+        self._swap_in(new_df)
         return result if returning else n
 
     # -- ALTER TABLE (reference operator_alter_column_*.cpp) ----------------
@@ -150,16 +151,47 @@ class ManagedTable:
         row, so the survivor filter is ``NOT coalesce(cond, false)``, never
         ``~cond`` (which would silently drop NULL-predicate rows).
         """
-        current = self.df()
-        matched = F.coalesce(cond, F.lit(False))
+        new_df, matched = apply_delete(self.df(), cond)
         if returning:
-            result = current.filter(matched).cache()
+            result = matched.cache()
             result.count()
         else:
             result = None
-        n = current.filter(matched).count()
-        self._swap_in(current.filter(~matched))
+        n = matched.count()
+        self._swap_in(new_df)
         return result if returning else n
+
+
+# -- pure-frame DML (shared by ManagedTable and transaction staging) ---------
+
+
+def apply_update(
+    df: DataFrame, cond: Column, set_exprs: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """PG-semantics UPDATE as a pure transformation: returns
+    (updated_frame, matched_rows_post_update). WHERE and all SET
+    expressions evaluate against the OLD row (single-select projection)."""
+    current = df.withColumn("_matched", F.coalesce(cond, F.lit(False)))
+    updated = current.select(
+        *[
+            (
+                F.when(F.col("_matched"), set_exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in df.columns
+        ],
+        F.col("_matched"),
+    )
+    matched = updated.filter(F.col("_matched")).drop("_matched")
+    return updated.drop("_matched"), matched
+
+
+def apply_delete(df: DataFrame, cond: Column) -> tuple[DataFrame, DataFrame]:
+    """Three-valued-logic DELETE as a pure transformation: returns
+    (surviving_frame, deleted_rows). NULL predicates keep the row."""
+    matched = F.coalesce(cond, F.lit(False))
+    return df.filter(~matched), df.filter(matched)
 
 
 # -- constraints (distributed validation joins) ------------------------------

@@ -18,6 +18,7 @@ column projection, fully pushdown-friendly.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -62,8 +63,28 @@ def _events_arrow_fallback(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(table.to_pandas())
 
 
+# Per-session DataFrame cache: repeated load_table calls (bench iterations,
+# multi-query workloads) reuse one analyzed relation per (sf_dir, table)
+# instead of re-listing files and re-reading parquet footers every call.
+# DataFrames are immutable, so sharing is safe; keyed weakly on the session
+# so a stopped session's entries are collectable.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; normalises the events timestamp column."""
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if key in per_session:
+        return per_session[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    per_session[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)

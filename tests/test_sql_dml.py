@@ -200,3 +200,48 @@ def test_refresh_unknown_matview_raises(engine):
 
     with _pytest.raises(ValueError, match="unknown materialized view"):
         engine.sql("REFRESH MATERIALIZED VIEW nope")
+
+
+# -- multi-statement transactions (round 2) ----------------------------------
+
+
+def test_txn_commit_multi_table(engine):
+    engine.sql("CREATE TABLE ta AS SELECT * FROM (VALUES (1, 10), (2, 20)) AS t(id, v)")
+    engine.sql("CREATE TABLE tb AS SELECT * FROM (VALUES (1, 'x'), (2, 'y')) AS t(id, s)")
+    engine.sql("BEGIN")
+    engine.sql("UPDATE ta SET v = v + 1 WHERE id = 1")
+    engine.sql("DELETE FROM tb WHERE id = 2")
+    # read-your-writes inside the transaction
+    assert {tuple(r) for r in engine.sql("SELECT * FROM ta").collect()} == {(1, 11), (2, 20)}
+    assert [tuple(r) for r in engine.sql("SELECT * FROM tb").collect()] == [(1, "x")]
+    engine.sql("COMMIT")
+    assert {tuple(r) for r in engine.sql("SELECT * FROM ta").collect()} == {(1, 11), (2, 20)}
+    assert [tuple(r) for r in engine.sql("SELECT * FROM tb").collect()] == [(1, "x")]
+
+
+def test_txn_rollback_restores_state(engine):
+    engine.sql("CREATE TABLE tr AS SELECT * FROM (VALUES (1), (2), (3)) AS t(x)")
+    engine.sql("BEGIN")
+    engine.sql("DELETE FROM tr WHERE x > 1")
+    assert engine.sql("SELECT COUNT(*) AS n FROM tr").collect()[0][0] == 1
+    engine.sql("ROLLBACK")
+    assert engine.sql("SELECT COUNT(*) AS n FROM tr").collect()[0][0] == 3
+
+
+def test_txn_chained_statements_compose(engine):
+    engine.sql("CREATE TABLE tc AS SELECT * FROM (VALUES (1, 100)) AS t(id, v)")
+    engine.sql("BEGIN")
+    engine.sql("INSERT INTO tc VALUES (2, 200)")
+    engine.sql("UPDATE tc SET v = v * 2")       # sees the inserted row -> 200/400
+    engine.sql("DELETE FROM tc WHERE v = 200")  # deletes the original row
+    engine.sql("COMMIT")
+    got = {r["id"]: r["v"] for r in engine.sql("SELECT * FROM tc").collect()}
+    assert got == {2: 400}
+
+
+def test_txn_batch_script_with_commit(engine):
+    engine.sql("CREATE TABLE ts2 AS SELECT * FROM (VALUES (5)) AS t(x)")
+    engine.sql(
+        "BEGIN; INSERT INTO ts2 VALUES (6); UPDATE ts2 SET x = x + 1; COMMIT"
+    )
+    assert sorted(r["x"] for r in engine.sql("SELECT * FROM ts2").collect()) == [6, 7]
