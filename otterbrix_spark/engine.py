@@ -112,11 +112,22 @@ def _split_statements(sql: str) -> list[str]:
     comment-aware: a ';' inside '...', a `--` line comment, or a `/* */`
     block comment never splits the batch (comments are preserved verbatim;
     Spark's parser accepts both forms). Comment-only segments are dropped."""
+    import re as _re
+
     out: list[str] = []
     cur = ""
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
+        if ch == "$":  # PG dollar-quoted string: $tag$ ... $tag$
+            m = _re.match(r"\$[A-Za-z_]\w*\$|\$\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                j = sql.find(tag, i + len(tag))
+                j = n if j == -1 else j + len(tag)
+                cur += sql[i:j]
+                i = j
+                continue
         if ch == "'":  # string literal; '' is an escaped quote inside it
             j = i + 1
             while j < n:

@@ -243,52 +243,80 @@ def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 32,
+    max_iter: int = 16,
 ) -> DataFrame:
     """Cluster assignment over a similarity graph: every node labelled with
     the minimum reachable node id (its connected component / dedup cluster).
 
-    Distributed min-label propagation: each round every node adopts the
-    minimum label among itself and its neighbours; converges in O(diameter)
-    rounds. Per-round cost is one join + one aggregate (hash-partitioned on
-    the node id); `localCheckpoint` truncates lineage between rounds — the
-    same driver-fixpoint machinery as the recursive-CTE operator.
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round is two
+    groupBy+join passes over the edge set, and the round count is
+    O(log² n) — *independent of graph diameter*, unlike plain min-label
+    propagation whose O(diameter) rounds degrade on chain-shaped duplicate
+    clusters. Per round:
 
-    ``edges`` is (a, b) pairs; symmetry is handled here. Returns
+      - large-star: every node connects its strictly-larger neighbours to
+        the minimum of its neighbourhood (including itself);
+      - small-star: every node connects its smaller-or-equal neighbours
+        (and itself) to its minimum smaller neighbour.
+
+    At the fixpoint the edge set is a forest of stars rooted at each
+    component's minimum id. `localCheckpoint` truncates lineage between
+    rounds (same driver-fixpoint machinery as the recursive-CTE operator);
+    the convergence probe is two `exceptAll` emptiness jobs per round.
+
+    ``edges`` is (a, b) pairs; symmetry/self-loops handled here. Returns
     (id_col, cluster_id).
     """
-    sym = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    e = (
+        edges.select(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("g"))
+        .filter(F.col("s") != F.col("g"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        neighbour_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+        # large-star
+        sym = e.select(F.col("s").alias("u"), F.col("g").alias("v")).unionByName(
+            e.select(F.col("g").alias("u"), F.col("s").alias("v"))
         )
-        updated = (
-            labels.join(neighbour_min, labels.node == neighbour_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("s"), F.greatest("v", "m").alias("g"))
+            .filter(F.col("s") != F.col("g"))
+            .distinct()
+        )
+        # small-star over (g -> s) directed-down edges
+        down = ls.select(F.col("g").alias("u"), F.col("s").alias("v"))
+        mins2 = down.groupBy("u").agg(F.min("v").alias("mn"))
+        ss = (
+            down.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("mn"))
+            .unionByName(mins2.select(F.col("u").alias("n"), F.col("mn")))
+            .select(F.least("n", "mn").alias("s"), F.greatest("n", "mn").alias("g"))
+            .filter(F.col("s") != F.col("g"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .isEmpty()
-        )
-        labels = updated
-        if changed:
+        converged = ss.exceptAll(e).isEmpty() and e.exceptAll(ss).isEmpty()
+        e = ss
+        if converged:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    comp = (
+        e.select(F.col("g").alias("node"), F.col("s").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", F.col("node")).alias("cluster_id"),
+        )
+    )

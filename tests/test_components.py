@@ -1,0 +1,45 @@
+"""Connected-components (dedup clustering) unit tests — the alternating
+large-star/small-star algorithm must converge in few rounds even on
+chain-shaped graphs (the worst case for plain min-label propagation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otterbrix_spark.llm.dedup import connected_components
+
+
+def test_chain_graph_converges(spark):
+    nodes = spark.range(12).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], "a: long, b: long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert got == {**{i: 0 for i in range(11)}, 11: 11}
+
+
+def test_two_components_and_isolates(spark):
+    nodes = spark.range(10).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 1), (8, 9), (9, 7)], "a: long, b: long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert got[5] == got[3] == got[1] == 1
+    assert got[8] == got[9] == got[7] == 7
+    assert got[0] == 0 and got[2] == 2 and got[4] == 4 and got[6] == 6
+
+
+def test_duplicate_and_reversed_edges(spark):
+    nodes = spark.range(4).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3)], "a: long, b: long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_bounded_rounds(spark):
+    # a 60-node chain: min-label propagation would need ~60 rounds; the
+    # star algorithm must finish inside the default max_iter=16
+    nodes = spark.range(60).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([(i, i + 1) for i in range(59)], "a: long, b: long")
+    got = connected_components(nodes, edges, max_iter=16)
+    assert {r["cluster_id"] for r in got.collect()} == {0}

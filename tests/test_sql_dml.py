@@ -245,3 +245,14 @@ def test_txn_batch_script_with_commit(engine):
         "BEGIN; INSERT INTO ts2 VALUES (6); UPDATE ts2 SET x = x + 1; COMMIT"
     )
     assert sorted(r["x"] for r in engine.sql("SELECT * FROM ts2").collect()) == [6, 7]
+
+
+def test_dollar_quoted_strings_not_split():
+    from otterbrix_spark.engine import _split_statements
+
+    got = _split_statements("SELECT $$a;b$$ AS x; SELECT $tag$c;d$tag$ AS y")
+    assert got == ["SELECT $$a;b$$ AS x", "SELECT $tag$c;d$tag$ AS y"]
+    # unterminated dollar quote swallows to end (no bogus split)
+    assert _split_statements("SELECT $q$oops; no close") == [
+        "SELECT $q$oops; no close"
+    ]
