@@ -513,3 +513,229 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
+
+
+# --- q68: TPC-H Q8 — national market share ----------------------------------
+# Reference `benchmark/tpch/q8.sql`: per-year share of one nation's volume
+# inside a region. Both the numerator (CASE-guarded) and denominator use the
+# quantised-sum convention; the share is the ratio of the two quantised
+# doubles, computed with the same expression order in both engines.
+
+_Q68_ORACLE = """
+WITH flat AS (
+  SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+         l_extendedprice * (1 - l_discount) AS vol,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'MIDDLE EAST'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+)
+SELECT yr,
+       (CAST(SUM(CAST(FLOOR((CASE WHEN supp_nation = 'NATION_9' THEN vol ELSE 0 END) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+     / (CAST(SUM(CAST(FLOOR(vol * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) AS mkt_share
+FROM flat GROUP BY yr
+"""
+
+
+@query("q68_tpch_q8_market_share", _Q68_ORACLE, doc="TPC-H Q8: CASE-guarded share of volume per year")
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    me_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "MIDDLE EAST")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cnk"))
+    supp_n = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    flat = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(me_nations), F.col("c_nationkey") == F.col("cnk"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+            "supp_nation",
+        )
+    )
+    num = F.when(F.col("supp_nation") == "NATION_9", F.col("vol")).otherwise(F.lit(0.0))
+    qnum = F.floor(num * F.lit(10000.0)).cast("long")
+    qden = F.floor(F.col("vol") * F.lit(10000.0)).cast("long")
+    return flat.groupBy("yr").agg(
+        (
+            (F.sum(qnum).cast("double") / F.lit(10000.0))
+            / (F.sum(qden).cast("double") / F.lit(10000.0))
+        ).alias("mkt_share")
+    )
+
+
+# --- q69: TPC-H Q9 — product-type profit by nation and year -----------------
+# Reference `benchmark/tpch/q9.sql` with the lineitem-derived partsupp
+# supplying ps_supplycost (see _PARTSUPP_CTE).
+
+_Q69_ORACLE = f"""
+WITH {_PARTSUPP_CTE}
+SELECT sn.n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS yr,
+       {oracle_dsum('l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity', 'profit')}
+FROM lineitem
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%blue%'
+GROUP BY 1, 2
+"""
+
+
+@query("q69_tpch_q9_profit", _Q69_ORACLE, doc="TPC-H Q9: multi-join profit rollup by nation/year")
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+
+    blue = part.filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    supp_n = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    ).select("s_suppkey", "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(dsum(profit, "profit"))
+    )
+
+
+# --- q70: TPC-H Q13 — customer order-count distribution ---------------------
+# Reference `benchmark/tpch/q13.sql`: LEFT JOIN with a filter INSIDE the
+# join condition, double aggregation.
+
+_Q70_ORACLE = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+@query("q70_tpch_q13_order_dist", _Q70_ORACLE, doc="TPC-H Q13: left join with on-clause filter + double agg")
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    counts = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- q71: TPC-H Q17 — small-quantity-order revenue --------------------------
+# Reference `benchmark/tpch/q17.sql`: correlated AVG subquery per part,
+# decorrelated into a per-part aggregate join; quantised avg (davg
+# convention) keeps the threshold portable.
+
+_Q71_ORACLE = """
+WITH brand_parts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+per_part AS (
+  SELECT l_partkey,
+         0.2 * ((CAST(SUM(CAST(FLOOR(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(l_quantity)) / 10000.0) AS qty_threshold
+  FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN per_part ON lineitem.l_partkey = per_part.l_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+
+@query("q71_tpch_q17_small_qty", _Q71_ORACLE, doc="TPC-H Q17: correlated per-part AVG threshold")
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    brand_li = li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+    qq = F.floor(F.col("l_quantity") * F.lit(10000.0)).cast("long")
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (
+            F.lit(0.2)
+            * ((F.sum(qq).cast("double") / F.count("l_quantity")) / F.lit(10000.0))
+        ).alias("qty_threshold")
+    )
+    qe = F.floor(F.col("l_extendedprice") * F.lit(10000.0)).cast("long")
+    return (
+        brand_li.join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(qe).cast("double") / F.lit(10000.0) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+# --- q72: TPC-H Q19 — disjunctive predicate revenue -------------------------
+# Reference `benchmark/tpch/q19.sql`: an OR of three (brand, size range,
+# quantity range) conjunctions — the pushdown-through-disjunction shape.
+
+_Q72_ORACLE = f"""
+SELECT {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5  AND 35)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 10 AND 45)
+"""
+
+
+@query("q72_tpch_q19_disjunctive", _Q72_ORACLE, doc="TPC-H Q19: OR of brand/size/quantity conjunctions")
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+    c1 = (F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20)
+    c2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(5, 35)
+    c3 = (F.col("p_brand") == "Brand#19") & F.col("p_size").between(20, 40) & F.col("l_quantity").between(10, 45)
+    return j.filter(c1 | c2 | c3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
