@@ -347,12 +347,16 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- d07: embedding-cosine near-duplicate pairs -----------------------------
-# Candidates-then-verify: banded sign-bit LSH (16 bands x 4 bits) generates
+# Candidates-then-verify: banded sign-bit LSH (8 bands x 8 bits) generates
 # candidates via a per-band equi-join, then the exact cosine runs only on
 # surviving candidates. The oracle mirrors the banding, so the certified
 # result IS the scale-safe plan's result, not an all-pairs cross product's.
+# Band sizing: 4-bit bands keep ~64% of all pairs on uniform-random vectors
+# (measured at sf0.1) — no pruning; 8-bit bands keep ~3%, the right LSH
+# operating point (recall concentrates on high-cosine pairs, which is what
+# near-dup mining queries for).
 
-_D07_BAND_BITS = 4
+_D07_BAND_BITS = 8
 _D07_DIM = 64
 
 

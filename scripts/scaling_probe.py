@@ -27,11 +27,13 @@ sys.path.insert(0, str(REPO))
 REPLICATION = int(os.environ.get("OTX_PROBE_REPL", "5"))
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_QUERIES = [
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q06_forecast_revenue",
-    "d04_minhash_signature",
-    "s01_sessionize",
+    q.strip()
+    for q in os.environ.get(
+        "OTX_PROBE_QUERIES",
+        "q01_pricing_summary,q03_shipping_priority,q06_forecast_revenue,"
+        "d04_minhash_signature,s01_sessionize",
+    ).split(",")
+    if q.strip()
 ]
 
 
