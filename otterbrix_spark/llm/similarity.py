@@ -68,6 +68,52 @@ def signbit_bucket(vec_col: str = "v", n_bits: int = 8) -> F.Column:
     return code.cast("int")
 
 
+def random_hyperplanes(
+    n_bits: int = 8, dim: int = 64, seed: int = 42
+) -> list[list[int]]:
+    """Seeded Rademacher (±1) hyperplanes for sign-projection LSH.
+
+    ±1 weights make the projection an exact signed sum of components —
+    the same left-associated IEEE-double fold in Spark and in generated
+    DuckDB SQL, so bucket codes are bit-identical across engines (a
+    gaussian matrix would also work but ±1 keeps the oracle exact and is
+    the standard SRP variant). Fixed seed = deterministic plans.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def hyperplane_bucket(
+    vec_col: str = "v", n_bits: int = 8, dim: int = 64, seed: int = 42
+) -> F.Column:
+    """LSH bucket code from seeded random-hyperplane sign projections —
+    the production replacement for axis-aligned `signbit_bucket` (which
+    only looks at the first n_bits components)."""
+    code = None
+    for k, w in enumerate(random_hyperplanes(n_bits, dim, seed)):
+        proj = None
+        for i, wi in enumerate(w):
+            term = F.element_at(F.col(vec_col), i + 1) * F.lit(float(wi))
+            proj = term if proj is None else proj + term
+        bit = F.when(proj >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return code.cast("int")
+
+
+def hyperplane_bucket_sql(
+    vec: str = "v", n_bits: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB SQL mirror of :func:`hyperplane_bucket` (same seed → same
+    weights → identical buckets)."""
+    bits = []
+    for k, w in enumerate(random_hyperplanes(n_bits, dim, seed)):
+        terms = " + ".join(f"{vec}[{i + 1}] * ({w[i]}.0)" for i in range(dim))
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(bits)
+
+
 def band_codes(corpus: DataFrame, n_bits: int = 4, dim: int = 64) -> DataFrame:
     """Banded sign-bit LSH: (vec_id, band_idx, band_val).
 
@@ -139,11 +185,39 @@ def neardup_pairs(
 
 
 def bucketed_topk(
-    corpus: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    hyperplane_seed: int | None = None,
 ) -> DataFrame:
     """Approximate top-k within the query's LSH bucket: (query_id,
     neighbor_id, rank). The bucket equi-join replaces the cross join —
-    candidate count drops ~2^n_bits-fold."""
+    candidate count drops ~2^n_bits-fold. With ``hyperplane_seed`` set,
+    buckets come from seeded random-hyperplane projections (production
+    SRP); otherwise from the axis-aligned sign bits (test baseline)."""
+    if hyperplane_seed is not None:
+        bucket = hyperplane_bucket("v", n_bits, seed=hyperplane_seed)
+        c = corpus.withColumn("bucket", bucket)
+        q = queries.withColumn("bucket", bucket).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "bucket",
+        )
+        scored = (
+            c.join(F.broadcast(q), "bucket")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "cos", F.expr(DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qn"))
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+        )
     c = corpus.withColumn("bucket", signbit_bucket("v", n_bits))
     q = queries.withColumn("bucket", signbit_bucket("v", n_bits)).select(
         F.col("vec_id").alias("query_id"),

@@ -217,18 +217,14 @@ def e01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- e02: LSH-bucketed ANN top-k -------------------------------------------
 
 
-def _bucket_sql(vec: str, n_bits: int = 8) -> str:
-    return " + ".join(
-        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
-    )
-
+from otterbrix_spark.llm.similarity import hyperplane_bucket_sql as _hp_sql
 
 _E02_ORACLE = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 n AS (SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-             CAST({_bucket_sql('v')} AS INT) AS bucket
+             CAST({_hp_sql('v', seed=42)} AS INT) AS bucket
       FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM n WHERE vec_id < 5),
 scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
@@ -243,12 +239,12 @@ FROM ranked WHERE rank <= 5
 """
 
 
-@query("e02_knn_lsh", _E02_ORACLE, doc="sign-bit LSH bucketed ANN top-5")
+@query("e02_knn_lsh", _E02_ORACLE, doc="random-hyperplane LSH bucketed ANN top-5")
 def e02(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = similarity.prepare(emb)
     queries = corpus.filter(F.col("vec_id") < 5)
-    res = similarity.bucketed_topk(corpus, queries, k=5)
+    res = similarity.bucketed_topk(corpus, queries, k=5, hyperplane_seed=42)
     return res.withColumn("rank", F.col("rank").cast("int"))
 
 

@@ -739,3 +739,51 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(c1 | c2 | c3).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
     )
+
+
+# --- q73: TPC-H Q22 — global-customer sales opportunity ---------------------
+# Reference `benchmark/tpch/q22.sql`: code-bucketed customers above the
+# positive-balance average (scalar subquery) with NOT EXISTS orders. The
+# corpus has no c_phone, so the country code is c_nationkey % 5 and the
+# anti-join excludes customers holding any URGENT order (every customer has
+# at least one order at these SFs).
+
+_Q73_ORACLE = """
+WITH avg_bal AS (
+  SELECT (CAST(SUM(CAST(FLOOR(c_acctbal * 10000.0) AS BIGINT)) AS DOUBLE)
+          / COUNT(c_acctbal)) / 10000.0 AS a
+  FROM customer WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 2, 3)
+)
+SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey % 5 IN (0, 2, 3) AND c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+@query("q73_tpch_q22_opportunity", _Q73_ORACLE, doc="TPC-H Q22: scalar-avg threshold + NOT EXISTS anti-join")
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    code = (F.col("c_nationkey") % 5).cast("int")
+    eligible = cust.filter(code.isin(0, 2, 3))
+    qb = F.floor(F.col("c_acctbal") * F.lit(10000.0)).cast("long")
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        ((F.sum(qb).cast("double") / F.count("c_acctbal")) / F.lit(10000.0)).alias("a")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        eligible.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(code.alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(qb).cast("double") / F.lit(10000.0)).alias("totacctbal"),
+        )
+    )
