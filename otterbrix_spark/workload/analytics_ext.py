@@ -205,3 +205,104 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), "
         "(l_returnflag, l_linestatus))"
     )
+
+
+# --- k01: skew-salted aggregation equals plain aggregation ------------------
+# Gates operators/skew.salted_count_sum: the two-phase (key, salt) rewrite
+# must be value-identical to the direct groupBy — the oracle is the PLAIN
+# aggregation, so the driver certifies the salted plan's equivalence.
+
+_K01_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total
+FROM events GROUP BY event_type
+"""
+
+
+@query("k01_skew_salted_agg", _K01_ORACLE, doc="salted two-phase aggregation == plain groupBy")
+def k01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.skew import salted_count_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_sum(ev, key="event_type", value="value", n_salts=16)
+
+
+# --- b01: SSB-style star join -----------------------------------------------
+# Star-schema Benchmark flight (reference benchmark/SOURCES.md): fact
+# filtered on two dimension attributes, grouped by a third — one fact scan,
+# every dimension broadcast.
+
+_B01_ORACLE = """
+SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE p_type IN ('PROMO', 'ECONOMY') AND o_orderpriority = '1-URGENT'
+GROUP BY 1, 2
+"""
+
+
+@query("b01_ssb_star", _B01_ORACLE, doc="SSB star join: filtered fact + broadcast dims")
+def b01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q = F.floor(rev * F.lit(10000.0)).cast("long")
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type").isin("PROMO", "ECONOMY")).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(q).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+# --- c04: exact median via row_number (quantile without a sketch) -----------
+# ClickBench-style percentile, kept oracle-exact by selecting the
+# floor((n-1)/2)-th element per group (percentile_disc semantics) instead of
+# engine-specific interpolation.
+
+_C04_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+)
+SELECT event_type, value AS median_value
+FROM ranked WHERE rk = (cnt - 1) // 2 + 1
+"""
+
+
+@query("c04_median_by_type", _C04_ORACLE, doc="exact per-group median via row_number (no sketch)")
+def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.filter(
+        F.col("rk") == F.expr("(cnt - 1) DIV 2 + 1")
+    ).select("event_type", F.col("value").alias("median_value"))
