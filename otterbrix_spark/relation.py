@@ -89,4 +89,9 @@ def from_df(obj, spark: SparkSession | None = None) -> Relation:
             return Relation(spark.createDataFrame(obj.to_pandas()))
     except ImportError:
         pass
+    # polars (reference test_polars_ingest.py): duck-typed — polars is not
+    # installed in this container, but any frame exposing to_arrow() takes
+    # the Arrow path
+    if hasattr(obj, "to_arrow") and callable(obj.to_arrow):
+        return Relation(spark.createDataFrame(obj.to_arrow().to_pandas()))
     return Relation(spark.createDataFrame(obj))

@@ -148,3 +148,16 @@ def test_from_df_arrow_table(engine, spark):
     assert rel.df.count() == 3
     got = engine.execute_sql("SELECT v FROM t_arrow WHERE k = 2").fetchall()
     assert got == [("y",)]
+
+
+def test_from_df_polars_ducktype(engine, spark):
+    # polars is absent in this container; a to_arrow()-bearing frame takes
+    # the Arrow path (reference test_polars_ingest.py parity)
+    import pyarrow as pa
+
+    class FakePolars:
+        def to_arrow(self):
+            return pa.table({"a": [1, 2], "b": ["x", "y"]})
+
+    rel = engine.from_df(FakePolars())
+    assert sorted(rel.fetchall()) == [(1, "x"), (2, "y")]
