@@ -306,3 +306,130 @@ def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rk") == F.expr("(cnt - 1) DIV 2 + 1")
     ).select("event_type", F.col("value").alias("median_value"))
+
+
+# --- ds01: TPC-DS-style cross-period customer INTERSECT ---------------------
+# The DS "customers active in every channel/period" shape: INTERSECT of
+# per-period key sets, realised as chained left_semi joins (no full
+# materialised distinct union).
+
+_DS01_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                      AND o_orderdate < TIMESTAMP '1997-01-01')
+  AND c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                      AND o_orderdate < TIMESTAMP '1998-01-01')
+  AND c_acctbal > 0
+"""
+
+
+@query("ds01_cross_period_intersect", _DS01_ORACLE, doc="TPC-DS shape: active-in-both-periods INTERSECT via semi joins")
+def ds01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def period(lo: str, hi: str):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        ).select("o_custkey")
+
+    return (
+        cust.filter(F.col("c_acctbal") > 0)
+        .join(period("1996-01-01", "1997-01-01"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(period("1997-01-01", "1998-01-01"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey")
+    )
+
+
+# --- ds02: TPC-DS-style year-over-year revenue ratio ------------------------
+# Self-comparison of a yearly aggregate via LAG — the DS "sales growth"
+# shape; the ratio divides two quantised sums with identical expression
+# order in both engines.
+
+_DS02_ORACLE = """
+WITH yearly AS (
+  SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS yr,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, yr, rev,
+       rev / LAG(rev) OVER (PARTITION BY n_name ORDER BY yr) AS yoy
+FROM yearly
+"""
+
+
+@query("ds02_yoy_revenue_ratio", _DS02_ORACLE, doc="TPC-DS shape: year-over-year ratio via LAG over a yearly rollup")
+def ds02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    q = F.floor(F.col("o_totalprice") * F.lit(10000.0)).cast("long")
+    yearly = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg((F.sum(q).cast("double") / F.lit(10000.0)).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return yearly.withColumn("yoy", F.col("rev") / F.lag("rev").over(w))
+
+
+# --- b02: JOB-style selective multi-join chain ------------------------------
+# Join-Order-Benchmark shape: a long chain of equi-joins where selective
+# dimension filters must be pushed below the joins and the optimizer must
+# order the chain (Catalyst + AQE do both).
+
+_B02_ORACLE = """
+SELECT COUNT(*) AS n,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_order
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part     ON l_partkey = p_partkey
+WHERE r_name = 'ASIA' AND p_size < 10 AND s_acctbal > 0
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND c_mktsegment = 'BUILDING'
+"""
+
+
+@query("b02_job_join_chain", _B02_ORACLE, doc="JOB shape: 7-relation chain with selective pushed filters")
+def b02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supp.filter(F.col("s_acctbal") > 0),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part.filter(F.col("p_size") < 10).select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_order"),
+        )
+    )
