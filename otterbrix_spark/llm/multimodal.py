@@ -98,6 +98,54 @@ def decode_assets(assets: DataFrame, decoder=fake_decode) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(run, DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("frame_byte", T.IntegerType(), True),
+        T.StructField("intensity", T.DoubleType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling over binary payloads: each asset expands
+    to ``n_frames`` rows sampled at evenly-spaced byte offsets.
+
+    The decode of a real container format is stubbed (same contract as
+    `real_decode`); the *plumbing* is the production shape — Arrow-batched
+    `mapInPandas` with 1→N row expansion, payload bytes never leaving the
+    executor, output schema typed for downstream joins/aggregations.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                step = max(1, len(payload) // n_frames)
+                for j in range(n_frames):
+                    off = j * step
+                    b = payload[off] if off < len(payload) else None
+                    rows.append(
+                        (
+                            asset_id,
+                            j,
+                            off,
+                            b,
+                            None if b is None else b / 255.0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "frame_idx", "offset", "frame_byte", "intensity"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def documents_as_assets(docs: DataFrame) -> DataFrame:
     """Adapt the documents table into the asset contract for testing: the
     'payload' is a deterministic 16-byte pseudo-media blob (md5 of text)."""

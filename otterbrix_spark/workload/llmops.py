@@ -342,6 +342,33 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("asset_id", "n_bytes")
 
 
+# --- m02: multimodal frame sampling -----------------------------------------
+# Video-style 1->N frame expansion through Arrow-batched mapInPandas; the
+# oracle reproduces the deterministic sampling arithmetic over the same
+# md5-derived pseudo-payload bytes (16-byte payload, 4 frames, step 4).
+
+_M02_ORACLE = """
+WITH h AS (SELECT doc_id AS asset_id, md5(text) AS hx FROM documents),
+f AS (SELECT asset_id, hx, CAST(r.j AS INT) AS frame_idx, r.j * 4 AS "offset"
+      FROM h CROSS JOIN (SELECT UNNEST(range(4)) AS j) r)
+SELECT asset_id, frame_idx, CAST("offset" AS BIGINT) AS "offset",
+       CAST(('0x' || substr(hx, CAST("offset" * 2 + 1 AS INT), 2))::BIGINT AS INT)
+         AS frame_byte,
+       ('0x' || substr(hx, CAST("offset" * 2 + 1 AS INT), 2))::BIGINT / 255.0
+         AS intensity
+FROM f
+"""
+
+
+@query("m02_frame_sampling", _M02_ORACLE, doc="multimodal frame sampling: mapInPandas 1->N expansion")
+def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs)
+    return sample_frames(assets, n_frames=4)
+
+
 # --- d07: embedding-cosine near-duplicate pairs -----------------------------
 # Candidates-then-verify: banded sign-bit LSH (8 bands x 8 bits) generates
 # candidates via a per-band equi-join, then the exact cosine runs only on

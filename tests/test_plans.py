@@ -87,3 +87,32 @@ def test_wholestage_codegen_active(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # '*(N)' prefixes mark whole-stage-codegen'd spans in the plan tree
     assert "WholeStageCodegen" in executed or "*(" in executed
+
+
+def test_hard_tpch_shapes_use_hash_joins(spark, sf_dir):
+    # Q2/Q20: decorrelated plans must stay equi-join shaped — no cartesian
+    # products or nested-loop fallbacks anywhere
+    for name in ("q64_tpch_q2_min_cost_supp", "q67_tpch_q20_potential_excess"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q67_in_chains_are_semi_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q67_tpch_q20_potential_excess")
+    assert "LeftSemi" in plan
+
+
+def test_q65_threshold_is_broadcast_not_recompute(spark, sf_dir):
+    # the HAVING-vs-global-scalar shape: one scan feeds both the grouped
+    # sums and the broadcast threshold — no per-row subquery execution
+    plan = plan_of(spark, sf_dir, "q65_tpch_q11_important_stock")
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_b02_filters_pushed_below_join_chain(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "b02_job_join_chain")
+    # selective dim predicates must reach the scans, not sit above joins
+    pushed = plan.split("PushedFilters:")
+    assert len(pushed) > 3  # several scans carry pushed filters
+    assert "CartesianProduct" not in plan
