@@ -433,3 +433,44 @@ def b02(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_order"),
         )
     )
+
+
+# --- q74: native SQL recursive CTE (date spine + gap-filled counts) ---------
+# Spark 4 executes WITH RECURSIVE natively — this gate runs the recursion
+# through spark.sql (unlike q28/q29, which gate the DataFrame fixpoint
+# operator in operators/recursive.py) and joins the generated month spine
+# against orders so zero-order months appear (gap-filling shape).
+
+_Q74_ORACLE = """
+WITH RECURSIVE spine(m) AS (
+  SELECT TIMESTAMP '1995-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < TIMESTAMP '1996-12-01'
+)
+SELECT CAST(m AS DATE) AS month_start,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+FROM spine LEFT JOIN (
+  SELECT date_trunc('month', o_orderdate) AS om, COUNT(*) AS n
+  FROM orders GROUP BY 1
+) o ON o.om = spine.m
+"""
+
+
+@query("q74_recursive_date_spine", _Q74_ORACLE, doc="native WITH RECURSIVE date spine + gap-filled join")
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q74_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < TIMESTAMP '1996-12-01'
+        )
+        SELECT CAST(m AS DATE) AS month_start,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+        FROM spine LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS om, COUNT(*) AS n
+          FROM q74_orders GROUP BY 1
+        ) o ON o.om = spine.m
+        """
+    )
