@@ -159,7 +159,30 @@ def rewrite(sql: str, literals_resolver=None) -> str:
 
     body = re.sub(rf"({_OPERAND})\s*-\s*(\x00\d+\x00)", fix_key_delete, body)
 
-    # --- `~` regex-match (avoid matching `!~`, `~*` for now) ----------------
+    # --- regex operators: `~` / `!~` / `~*` / `!~*` -------------------------
+    # case-insensitive variants prepend (?i) to the pattern literal;
+    # negated variants wrap in NOT (...). Order matters: longest first.
+    def ci_pattern(tok: str) -> str:
+        text = lit_at(tok)
+        stashed = "'(?i)" + text.replace("'", "''") + "'"
+        lits.append(stashed)
+        return f"\x00{len(lits) - 1}\x00"
+
+    body = re.sub(
+        rf"({_OPERAND})\s*!~\*\s*(\x00\d+\x00)",
+        lambda m: f"NOT ({m.group(1)} RLIKE {ci_pattern(m.group(2))})",
+        body,
+    )
+    body = re.sub(
+        rf"({_OPERAND})\s*~\*\s*(\x00\d+\x00)",
+        lambda m: f"{m.group(1)} RLIKE {ci_pattern(m.group(2))}",
+        body,
+    )
+    body = re.sub(
+        rf"({_OPERAND})\s*!~\s*(\x00\d+\x00)",
+        lambda m: f"NOT ({m.group(1)} RLIKE {m.group(2)})",
+        body,
+    )
     body = re.sub(
         rf"({_OPERAND})\s*~\s*(\x00\d+\x00)",
         lambda m: f"{m.group(1)} RLIKE {m.group(2)}",

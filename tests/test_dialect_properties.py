@@ -109,3 +109,29 @@ def test_path_delete_before_path_navigate_no_interference():
     out = rewrite("SELECT doc #>> '{a,b}' FROM t")
     assert "get_json_object(doc, '$.a.b')" in out
     assert "map_filter" not in out
+
+
+# -- regex operator variants (`!~`, `~*`, `!~*`) ------------------------------
+
+
+def test_rewrite_negated_regex():
+    assert rewrite("SELECT x !~ 'abc' AS m") == "SELECT NOT (x RLIKE 'abc') AS m"
+
+
+def test_rewrite_case_insensitive_regex():
+    assert rewrite("SELECT x ~* 'AbC' AS m") == "SELECT x RLIKE '(?i)AbC' AS m"
+
+
+def test_rewrite_negated_case_insensitive_regex():
+    assert rewrite("SELECT x !~* 'p' AS m") == "SELECT NOT (x RLIKE '(?i)p') AS m"
+
+
+def test_regex_ops_end_to_end(spark):
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT 'Hello' ~ 'ell' AS a, 'Hello' ~ 'xyz' AS b, "
+        "'Hello' !~ 'xyz' AS c, 'Hello' ~* 'HELLO' AS d, 'Hello' !~* 'HELLO' AS e"
+    ).collect()[0]
+    assert tuple(rows) == (True, False, True, True, False)
