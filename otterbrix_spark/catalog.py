@@ -72,6 +72,32 @@ _DELETE = re.compile(
 )
 
 
+# `SET v[1] = ...` — either raw PG form or post-dialect `element_at(v, 1)`
+# (the dialect rewrites subscripts before the router parses the SET list)
+_SUBSCRIPT_TARGET = re.compile(
+    r"^(?:(\w+)\s*\[\s*(\d+)\s*\]|element_at\(\s*(\w+)\s*,\s*(\d+)\s*\))$"
+)
+
+
+def _resolve_set_targets(sets: dict[str, str]) -> dict[str, "F.Column"]:
+    """Turn SET-clause text into Column expressions, lowering PG array-
+    element targets (``SET v[1] = expr``, 1-based — reference
+    test_list_array.cpp) into a positional `transform` over the array."""
+    out: dict[str, F.Column] = {}
+    for target, expr_text in sets.items():
+        m = _SUBSCRIPT_TARGET.match(target)
+        if m:
+            col = m.group(1) or m.group(3)
+            idx = int(m.group(2) or m.group(4))
+            out[col] = F.expr(
+                f"transform({col}, (_x, _i) -> "
+                f"CASE WHEN _i = {idx - 1} THEN ({expr_text}) ELSE _x END)"
+            )
+        else:
+            out[target] = F.expr(expr_text)
+    return out
+
+
 def _split_set_list(set_clause: str) -> dict[str, str]:
     """Split 'a = expr1, b = expr2' respecting parens and quotes."""
     parts: list[str] = []
@@ -279,7 +305,7 @@ class Catalog:
             name, set_clause, where, returning = m.groups()
             table = self.tables[name]
             cond = F.expr(where) if where else F.lit(True)
-            sets = {c: F.expr(e) for c, e in _split_set_list(set_clause).items()}
+            sets = _resolve_set_targets(_split_set_list(set_clause))
             if self._txn is not None:
                 base = self._txn.get(name, table.df())
                 new_df, matched = apply_update(base, cond, sets)

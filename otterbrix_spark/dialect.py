@@ -159,6 +159,15 @@ def rewrite(sql: str, literals_resolver=None) -> str:
 
     body = re.sub(rf"({_OPERAND})\s*-\s*(\x00\d+\x00)", fix_key_delete, body)
 
+    # --- PG array syntax ----------------------------------------------------
+    # ARRAY[a, b, c] -> array(a, b, c); ident[N] (integer literal subscript)
+    # -> element_at(ident, N), preserving PG's 1-based indexing (Spark's
+    # native `[]` subscript is 0-based; element_at is 1-based like PG).
+    body = re.sub(
+        r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", body, flags=re.IGNORECASE
+    )
+    body = re.sub(rf"\b({_IDENT})\s*\[\s*(\d+)\s*\]", r"element_at(\1, \2)", body)
+
     # --- regex operators: `~` / `!~` / `~*` / `!~*` -------------------------
     # case-insensitive variants prepend (?i) to the pattern literal;
     # negated variants wrap in NOT (...). Order matters: longest first.

@@ -171,6 +171,9 @@ def apply_update(
     """PG-semantics UPDATE as a pure transformation: returns
     (updated_frame, matched_rows_post_update). WHERE and all SET
     expressions evaluate against the OLD row (single-select projection)."""
+    unknown = [c for c in set_exprs if c not in df.columns]
+    if unknown:
+        raise ValueError(f"UPDATE SET targets not in table schema: {unknown}")
     current = df.withColumn("_matched", F.coalesce(cond, F.lit(False)))
     updated = current.select(
         *[

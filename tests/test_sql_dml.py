@@ -256,3 +256,32 @@ def test_dollar_quoted_strings_not_split():
     assert _split_statements("SELECT $q$oops; no close") == [
         "SELECT $q$oops; no close"
     ]
+
+
+# -- PG array syntax (reference test_list_array.cpp) --------------------------
+
+
+def test_array_literals_and_one_based_subscript(engine):
+    engine.sql(
+        "CREATE TABLE arr AS SELECT * FROM "
+        "(VALUES (1, ARRAY[10, 20, 30]), (2, ARRAY[40, 50, 60])) AS t(id, v)"
+    )
+    rows = dict(engine.sql("SELECT id, v[1] FROM arr").collect())
+    assert rows == {1: 10, 2: 40}  # 1-based, as in PG
+    assert dict(engine.sql("SELECT id, v[3] FROM arr").collect()) == {1: 30, 2: 60}
+
+
+def test_array_element_update(engine):
+    engine.sql(
+        "CREATE TABLE arru AS SELECT * FROM (VALUES (1, ARRAY[10, 20, 30])) AS t(id, v)"
+    )
+    engine.sql("UPDATE arru SET v[1] = 99 WHERE id = 1")
+    assert engine.sql("SELECT v FROM arru").collect()[0][0] == [99, 20, 30]
+
+
+def test_array_update_expression_uses_old_element(engine):
+    engine.sql(
+        "CREATE TABLE arre AS SELECT * FROM (VALUES (1, ARRAY[5, 6])) AS t(id, v)"
+    )
+    engine.sql("UPDATE arre SET v[2] = v[1] + 100")
+    assert engine.sql("SELECT v FROM arre").collect()[0][0] == [5, 105]
