@@ -40,6 +40,45 @@ _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_TABLE_TYPED = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_DATABASE = re.compile(
+    r"^\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([\w.]+)\s*$",
+    re.IGNORECASE,
+)
+
+# PG/reference type name -> Spark DDL type (scalar part of
+# functions/types_map.LOGICAL_TO_SPARK, spelled as DDL strings)
+_PG_SCALAR_TYPES = {
+    "bool": "boolean", "boolean": "boolean",
+    "tinyint": "tinyint", "smallint": "smallint", "int2": "smallint",
+    "int": "int", "integer": "int", "int4": "int",
+    "bigint": "bigint", "int8": "bigint",
+    "real": "float", "float4": "float",
+    "double": "double", "float8": "double", "double precision": "double",
+    "text": "string", "varchar": "string", "char": "string",
+    "string": "string", "uuid": "string",
+    "date": "date", "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp", "timestamp with time zone": "timestamp",
+    "blob": "binary", "bytea": "binary",
+}
+
+
+def _pg_type_to_ddl(t: str) -> str:
+    """'int[3]' -> 'array<int>', 'varchar(10)' -> 'string', etc."""
+    t = t.strip().lower()
+    arr = re.match(r"^(.+?)\s*\[\s*\d*\s*\]$", t)
+    if arr:
+        return f"array<{_pg_type_to_ddl(arr.group(1))}>"
+    m = re.match(r"^(decimal|numeric)\s*\((\d+)\s*,\s*(\d+)\)$", t)
+    if m:
+        return f"decimal({m.group(2)},{m.group(3)})"
+    base = re.sub(r"\(.*\)$", "", t).strip()
+    if base not in _PG_SCALAR_TYPES:
+        raise ValueError(f"unsupported column type: {t!r}")
+    return _PG_SCALAR_TYPES[base]
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
@@ -96,6 +135,27 @@ def _resolve_set_targets(sets: dict[str, str]) -> dict[str, "F.Column"]:
         else:
             out[target] = F.expr(expr_text)
     return out
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas not nested in (), [] or quotes (column-def lists)."""
+    parts, cur, depth, in_str = [], "", 0, False
+    for ch in text:
+        if ch == "'":
+            in_str = not in_str
+        if not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+                continue
+        cur += ch
+    if cur.strip():
+        parts.append(cur)
+    return parts
 
 
 def _split_set_list(set_clause: str) -> dict[str, str]:
@@ -283,12 +343,34 @@ class Catalog:
             self.spark.sql(body).createOrReplaceTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
+        m = _CREATE_DATABASE.match(sql)
+        if m:
+            # reference CREATE DATABASE scopes collections; managed tables
+            # here are session-scoped, so the statement is an accepted no-op
+            return self.spark.range(0).select(F.lit(m.group(2)).alias(m.group(1).lower()))
+
         m = _CREATE_TABLE.match(sql)
         if m:
             name, body = m.group(1), m.group(2)
             source = self.spark.sql(body)
             path = os.path.join(self.base_dir, name.replace(".", "__"))
             table = ManagedTable.create(self.spark, path, source, name)
+            self._register(table)
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+
+        m = _CREATE_TABLE_TYPED.match(sql)
+        if m and not m.group(2).strip().upper().startswith("SELECT"):
+            name, coldefs = m.group(1), m.group(2)
+            fields = []
+            for part in _split_top_level(coldefs):
+                words = part.strip().split(None, 1)
+                if len(words) != 2:
+                    raise ValueError(f"bad column definition: {part!r}")
+                fields.append(f"{words[0]} {_pg_type_to_ddl(words[1])}")
+            schema = ", ".join(fields)
+            empty = self.spark.createDataFrame([], schema).repartition(1)
+            path = os.path.join(self.base_dir, name.replace(".", "__"))
+            table = ManagedTable.create(self.spark, path, empty, name)
             self._register(table)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
@@ -383,5 +465,6 @@ class Catalog:
                 "CREATE VIEW", "CREATE OR REPLACE VIEW",
                 "CREATE MATERIALIZED VIEW", "REFRESH MATERIALIZED",
                 "DROP VIEW", "DROP MATERIALIZED VIEW",
+                "CREATE DATABASE", "DROP DATABASE",
             )
         )

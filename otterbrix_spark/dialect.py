@@ -55,6 +55,13 @@ def _json_path(keys: list[str]) -> str:
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9.]*"
 
+# type names whose [N] suffix is an array TYPE declaration, not a subscript
+_TYPE_KEYWORDS = frozenset(
+    """bool boolean tinyint smallint int2 int integer int4 bigint int8 real
+    float4 float float8 double text varchar char string uuid date timestamp
+    timestamptz blob bytea decimal numeric""".split()
+)
+
 # keywords that can precede a unary minus — never the LHS of a jsonb delete
 _SQL_KEYWORDS = frozenset(
     """SELECT WHERE AND OR NOT THEN ELSE WHEN CASE END BY ON AS FROM JOIN
@@ -166,7 +173,14 @@ def rewrite(sql: str, literals_resolver=None) -> str:
     body = re.sub(
         r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", body, flags=re.IGNORECASE
     )
-    body = re.sub(rf"\b({_IDENT})\s*\[\s*(\d+)\s*\]", r"element_at(\1, \2)", body)
+
+    def fix_subscript(m: re.Match) -> str:
+        # `int[3]` in a typed CREATE TABLE is an array TYPE, not a subscript
+        if m.group(1).lower() in _TYPE_KEYWORDS:
+            return m.group(0)
+        return f"element_at({m.group(1)}, {m.group(2)})"
+
+    body = re.sub(rf"\b({_IDENT})\s*\[\s*(\d+)\s*\]", fix_subscript, body)
 
     # --- regex operators: `~` / `!~` / `~*` / `!~*` -------------------------
     # case-insensitive variants prepend (?i) to the pattern literal;

@@ -67,9 +67,17 @@ class ManagedTable:
 
     # -- DML ----------------------------------------------------------------
     def insert(self, rows: DataFrame, returning: bool = False) -> DataFrame | int:
-        """INSERT FROM SELECT / VALUES: append write. RETURNING = the
+        """INSERT FROM SELECT / VALUES: append write, with rows aligned AND
+        cast to the table schema (a typed table accepts narrower literals —
+        reference operator_insert coerces on write). RETURNING = the
         inserted frame (reference returns the inserted rows)."""
-        rows = rows.select(*self.df().columns) if self.exists() else rows
+        if self.exists():
+            rows = rows.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in self.df().schema.fields
+                ]
+            )
         count = rows.count()
         rows.write.mode("append").parquet(self.path)
         return self.df_of(rows) if returning else count

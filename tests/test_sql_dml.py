@@ -285,3 +285,30 @@ def test_array_update_expression_uses_old_element(engine):
     )
     engine.sql("UPDATE arre SET v[2] = v[1] + 100")
     assert engine.sql("SELECT v FROM arre").collect()[0][0] == [5, 105]
+
+
+def test_typed_create_table_and_insert(engine):
+    # reference test_list_array.cpp: typed empty table + ARRAY inserts
+    engine.sql("CREATE DATABASE TestDatabase")
+    engine.sql("CREATE TABLE tarr (id bigint, v int[3])")
+    assert engine.sql("SELECT * FROM tarr").collect() == []
+    engine.sql("INSERT INTO tarr VALUES (1, ARRAY[10, 20, 30])")
+    engine.sql("INSERT INTO tarr VALUES (2, ARRAY[40, 50, 60])")
+    rows = {r["id"]: r["v"] for r in engine.sql("SELECT * FROM tarr").collect()}
+    assert rows == {1: [10, 20, 30], 2: [40, 50, 60]}
+    assert dict(engine.sql("SELECT id, v[2] FROM tarr").collect()) == {1: 20, 2: 50}
+    # schema is the declared one (int array, bigint id)
+    dt = dict(engine.sql("SELECT * FROM tarr").dtypes)
+    assert dt == {"id": "bigint", "v": "array<int>"}
+
+
+def test_typed_create_table_scalar_types(engine):
+    engine.sql(
+        "CREATE TABLE tt (a int, b varchar(10), c double precision, "
+        "d decimal(10,2), e timestamp, f bytea)"
+    )
+    dt = dict(engine.sql("SELECT * FROM tt").dtypes)
+    assert dt == {
+        "a": "int", "b": "string", "c": "double",
+        "d": "decimal(10,2)", "e": "timestamp_ntz", "f": "binary",
+    }
