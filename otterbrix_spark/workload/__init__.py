@@ -68,10 +68,11 @@ _FRONT_WINDOW = [
     # hard TPC-H shapes (new this round)
     "q64_tpch_q2_min_cost_supp", "q65_tpch_q11_important_stock",
     "q66_tpch_q15_top_supplier_view", "q67_tpch_q20_potential_excess",
-    # analytics extensions (c03 yields its slot to k01: same family as c01,
-    # while the skew-salted rewrite has no other driver-side row)
+    # analytics extensions (c02/c03 yield their slots to k01 and u01: same
+    # family as c01, while the skew-salted rewrite and the UDF registry had
+    # no driver-side row at all)
     "q50_pivot", "q51_grouping_sets", "a01_approx_distinct",
-    "c01_heavy_hitters", "c02_value_histogram", "k01_skew_salted_agg",
+    "c01_heavy_hitters", "u01_row_udf_predicate", "k01_skew_salted_agg",
     # funnel / retention
     "f01_funnel", "f02_retention",
     # JSON extras (new + previously unverified)

@@ -474,3 +474,66 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o ON o.om = spine.m
         """
     )
+
+
+# --- u01: row UDF in projection AND WHERE (function_predicate) ---------------
+# Reference operators/predicates/function_predicate.cpp + test_udfs.cpp: a
+# registered scalar function usable in both the SELECT list and the WHERE
+# clause. The UDF body is integer math, so the DuckDB oracle states the
+# same arithmetic directly.
+
+_U01_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_orderkey * 2 + 1 AS BIGINT) AS doubled_plus
+FROM orders
+WHERE (o_orderkey * 2 + 1) % 7 = 0 AND o_orderkey < 2000
+"""
+
+
+@query("u01_row_udf_predicate", _U01_ORACLE, doc="row UDF in projection and WHERE (function_predicate)")
+def u01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.functions.udf import FunctionRegistry
+
+    reg = FunctionRegistry(spark)
+    reg.register_row_udf("u01_dp", lambda x: x * 2 + 1, "bigint")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("u01_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, u01_dp(o_orderkey) AS doubled_plus
+        FROM u01_orders
+        WHERE u01_dp(o_orderkey) % 7 = 0 AND o_orderkey < 2000
+        """
+    )
+
+
+# --- u02: vector (Arrow-batched) UDF + SQL macro ------------------------------
+# Reference vector_function + CREATE FUNCTION macro: the pandas UDF runs
+# Arrow-batched; the macro is Spark's native SQL UDF. Deterministic integer
+# math keeps the oracle exact.
+
+_U02_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_custkey * c_custkey AS BIGINT) AS squared,
+       CAST(c_custkey + 1000 AS BIGINT) AS shifted
+FROM customer
+WHERE c_custkey < 500
+"""
+
+
+@query("u02_vector_udf_macro", _U02_ORACLE, doc="Arrow-batched vector UDF + SQL macro")
+def u02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.functions.udf import FunctionRegistry
+
+    reg = FunctionRegistry(spark)
+    reg.register_vector_udf("u02_sq", lambda s: s * s, "bigint")
+    reg.register_macro("u02_shift", ["x BIGINT"], "BIGINT", "x + 1000")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("u02_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, u02_sq(c_custkey) AS squared,
+               u02_shift(c_custkey) AS shifted
+        FROM u02_customer WHERE c_custkey < 500
+        """
+    )
