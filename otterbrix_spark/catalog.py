@@ -196,6 +196,9 @@ class Catalog:
         self.base_dir = base_dir or tempfile.mkdtemp(prefix="otterbrix-tables-")
         self.tables: dict[str, ManagedTable] = {}
         self.matviews: dict[str, "MaterializedView"] = {}
+        # schema-on-write ("computing") tables: CREATE TABLE t () — the
+        # reference's relkind='g' collections (JSONBench flow)
+        self.dynamic: dict[str, "DynamicTable"] = {}
         # active transaction: table name -> staged (uncommitted) frame.
         # None = autocommit. Staged frames are lazy plans over the
         # unchanged on-disk state, so ROLLBACK is free and COMMIT
@@ -359,6 +362,19 @@ class Catalog:
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         m = _CREATE_TABLE_TYPED.match(sql)
+        if m and not m.group(2).strip():
+            # CREATE TABLE t (): dynamic-schema table, columns appear on
+            # insert (reference JSONBench/otterbrix/jsonbench.cpp:238)
+            from otterbrix_spark.sources.dynamic import DynamicTable
+
+            name = m.group(1)
+            path = os.path.join(self.base_dir, "dyn__" + name.replace(".", "__"))
+            dyn = DynamicTable(self.spark, path)
+            self.dynamic[name] = dyn
+            dyn.df().createOrReplaceTempView(name)
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+
+        m = _CREATE_TABLE_TYPED.match(sql)
         if m and not m.group(2).strip().upper().startswith("SELECT"):
             name, coldefs = m.group(1), m.group(2)
             fields = []
@@ -379,6 +395,11 @@ class Catalog:
             name = m.group(1)
             if name in self.tables:
                 self.tables.pop(name).drop()
+                self.spark.catalog.dropTempView(name)
+            elif name in self.dynamic:
+                import shutil
+
+                shutil.rmtree(self.dynamic.pop(name).path, ignore_errors=True)
                 self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
 
@@ -412,6 +433,27 @@ class Catalog:
             if returning:
                 return result
             return self.spark.range(1).select(F.lit(result).alias("deleted"))
+
+        m = _INSERT.match(sql)
+        if m and m.group(1) in self.dynamic:
+            name, body, returning = m.groups()
+            dyn = self.dynamic[name]
+            body = body.strip()
+            cols = None
+            mcols = re.match(r"^\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*(.+)$", body, re.DOTALL)
+            if mcols:
+                cols = [c.strip() for c in mcols.group(1).split(",")]
+                body = mcols.group(2).strip()
+            rows = self.spark.sql(
+                f"SELECT * FROM ({body}) " if body.upper().startswith("VALUES") else body
+            )
+            if cols:
+                rows = rows.toDF(*cols)
+            dyn.insert(rows)  # schema-on-write: new columns extend the table
+            dyn.df().createOrReplaceTempView(name)
+            if returning:
+                return rows
+            return self.spark.range(1).select(F.lit(rows.count()).alias("inserted"))
 
         m = _INSERT.match(sql)
         if m and m.group(1) in self.tables:

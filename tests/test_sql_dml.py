@@ -312,3 +312,15 @@ def test_typed_create_table_scalar_types(engine):
         "a": "int", "b": "string", "c": "double",
         "d": "decimal(10,2)", "e": "timestamp_ntz", "f": "binary",
     }
+
+
+def test_dynamic_table_schema_on_write_via_sql(engine):
+    # reference JSONBench flow: CREATE TABLE t (); insert batches whose
+    # columns differ; reads resolve the union schema with NULL fill
+    engine.sql("CREATE TABLE dynt ()")
+    assert engine.sql("SELECT * FROM dynt").collect() == []
+    engine.sql("INSERT INTO dynt (did, kind) VALUES (1, 'post')")
+    engine.sql("INSERT INTO dynt (did, likes) VALUES (2, 7)")
+    rows = {r["did"]: (r["kind"], r["likes"]) for r in engine.sql("SELECT * FROM dynt").collect()}
+    assert rows == {1: ("post", None), 2: (None, 7)}
+    engine.sql("DROP TABLE dynt")
