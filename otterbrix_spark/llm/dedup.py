@@ -20,7 +20,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from otterbrix_spark.llm.text import WORD_SPLIT
 
@@ -319,4 +319,48 @@ def connected_components(
             F.col("node").alias(id_col),
             F.coalesce("label", F.col("node")).alias("cluster_id"),
         )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm): hash every positioned k-gram, slide a window of
+    ``window`` consecutive hashes, keep each window's minimum; the distinct
+    kept hashes are the fingerprint set. Guarantee: documents sharing any
+    run of >= window + k - 1 words share at least one fingerprint.
+
+    Plan: one explode + two window functions over (doc, position) — a
+    single hash-partitioned shuffle on the doc id; no UDF, no pair join.
+    Returns (id_col, fingerprint).
+    """
+    terms = ", ".join(f"_w[i + {j}]" for j in range(k))
+    gram_array = (
+        f"filter(transform(sequence(0, size(_w) - 1), "
+        f"i -> CASE WHEN i <= size(_w) - {k} THEN concat_ws(' ', {terms}) END), "
+        f"x -> x IS NOT NULL)"
+    )
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    docs = df.select(id_col, text_col).repartition(target, F.col(id_col))
+    grams = (
+        docs.withColumn("_w", F.split(F.col(text_col), WORD_SPLIT))
+        .select(F.col(id_col), F.posexplode(F.expr(gram_array)).alias("pos", "gram"))
+        .withColumn(
+            "hv", F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
+    seq = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        grams.withColumn("fp", F.min("hv").over(win))
+        .withColumn("rn", F.row_number().over(seq))
+        .filter(F.col("rn") >= window)
+        .select(F.col(id_col), F.col("fp").alias("fingerprint"))
+        .distinct()
     )

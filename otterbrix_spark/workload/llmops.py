@@ -673,3 +673,31 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_dup").alias("n_near_dup"),
         )
     )
+
+
+# --- t07: winnowing document fingerprints ------------------------------------
+# Schleimer et al. (SIGMOD'03, the MOSS algorithm): positioned k-gram hashes,
+# window minima, distinct survivors. Guarantees any shared word-run of
+# length >= window + k - 1 produces a shared fingerprint — the standard
+# plagiarism/copy-detection primitive, here as two window functions (one
+# shuffle on doc_id, no UDF).
+
+_T07_ORACLE = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+g AS (SELECT doc_id, i, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+h AS (SELECT doc_id, i, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM g),
+mn AS (SELECT doc_id,
+              MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+       FROM h)
+SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fingerprint
+FROM mn WHERE rn >= 4
+"""
+
+
+@query("t07_winnowing", _T07_ORACLE, doc="winnowing fingerprints (MOSS): window minima over k-gram hashes")
+def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, k=3, window=4)
