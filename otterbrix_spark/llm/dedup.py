@@ -274,6 +274,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()
     for _ in range(max_iter):
         # large-star
         sym = e.select(F.col("s").alias("u"), F.col("g").alias("v")).unionByName(
@@ -303,8 +304,12 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = ss.exceptAll(e).isEmpty() and e.exceptAll(ss).isEmpty()
-        e = ss
+        # convergence probe: counts first (cheap — most rounds change the
+        # edge count); when equal, ONE exceptAll suffices (|A| = |B| and
+        # A\B = {} imply A = B for the distinct edge sets)
+        n_new = ss.count()
+        converged = n_new == n_edges and ss.exceptAll(e).isEmpty()
+        e, n_edges = ss, n_new
         if converged:
             break
     comp = (
