@@ -199,6 +199,8 @@ class Catalog:
         # schema-on-write ("computing") tables: CREATE TABLE t () — the
         # reference's relkind='g' collections (JSONBench flow)
         self.dynamic: dict[str, "DynamicTable"] = {}
+        # sequences (reference operator_sequence.cpp): name -> next value
+        self.sequences: dict[str, int] = {}
         # active transaction: table name -> staged (uncommitted) frame.
         # None = autocommit. Staged frames are lazy plans over the
         # unchanged on-disk state, so ROLLBACK is free and COMMIT
@@ -345,6 +347,40 @@ class Catalog:
             name, body = m.group(1), m.group(2)
             self.spark.sql(body).createOrReplaceTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
+
+        # sequences: CREATE/DROP SEQUENCE, and statement-level nextval /
+        # currval substitution (each nextval() occurrence consumes one
+        # value — covers INSERT VALUES and SELECT nextval; per-row
+        # evaluation over a large SELECT is with_sequence's job)
+        m = re.match(
+            r"^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+            r"(?:\s+START\s+(?:WITH\s+)?(\d+))?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            name, start = m.group(1), int(m.group(2) or 1)
+            self.sequences.setdefault(name, start)
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+        m = re.match(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", sql, re.IGNORECASE)
+        if m:
+            self.sequences.pop(m.group(1), None)
+            return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
+        if re.search(r"\b(nextval|currval)\s*\(", sql, re.IGNORECASE):
+            def sub_seq(mm: re.Match) -> str:
+                fn, name = mm.group(1).lower(), mm.group(2)
+                if name not in self.sequences:
+                    raise ValueError(f"unknown sequence: {name}")
+                value = self.sequences[name]
+                if fn == "nextval":
+                    self.sequences[name] = value + 1
+                    return str(value)
+                return str(value - 1)  # currval: last value handed out
+
+            sql = re.sub(
+                r"\b(nextval|currval)\s*\(\s*'(\w+)'\s*\)", sub_seq, sql,
+                flags=re.IGNORECASE,
+            )
+            return self.route(sql)
 
         m = _CREATE_DATABASE.match(sql)
         if m:
@@ -496,6 +532,8 @@ class Catalog:
         return self.spark.sql(sql)
 
     def handles(self, sql: str) -> bool:
+        if re.search(r"\b(nextval|currval)\s*\(", sql, re.IGNORECASE):
+            return True
         head = sql.lstrip()[:26].upper()
         return any(
             head.startswith(k)
@@ -508,5 +546,6 @@ class Catalog:
                 "CREATE MATERIALIZED VIEW", "REFRESH MATERIALIZED",
                 "DROP VIEW", "DROP MATERIALIZED VIEW",
                 "CREATE DATABASE", "DROP DATABASE",
+                "CREATE SEQUENCE", "DROP SEQUENCE",
             )
         )

@@ -324,3 +324,30 @@ def test_dynamic_table_schema_on_write_via_sql(engine):
     rows = {r["did"]: (r["kind"], r["likes"]) for r in engine.sql("SELECT * FROM dynt").collect()}
     assert rows == {1: ("post", None), 2: (None, 7)}
     engine.sql("DROP TABLE dynt")
+
+
+# -- sequences through SQL (reference operator_sequence.cpp) ------------------
+
+
+def test_sequence_create_nextval_currval(engine):
+    engine.sql("CREATE SEQUENCE seq1 START 100")
+    assert engine.sql("SELECT nextval('seq1') AS v").collect()[0][0] == 100
+    assert engine.sql("SELECT nextval('seq1') AS v").collect()[0][0] == 101
+    assert engine.sql("SELECT currval('seq1') AS v").collect()[0][0] == 101
+    engine.sql("DROP SEQUENCE seq1")
+
+
+def test_sequence_in_insert(engine):
+    engine.sql("CREATE SEQUENCE ids")
+    engine.sql("CREATE TABLE seqt AS SELECT CAST(0 AS BIGINT) AS id, 'seed' AS tag")
+    engine.sql("INSERT INTO seqt VALUES (nextval('ids'), 'a')")
+    engine.sql("INSERT INTO seqt VALUES (nextval('ids'), 'b')")
+    rows = {r["tag"]: r["id"] for r in engine.sql("SELECT * FROM seqt").collect()}
+    assert rows == {"seed": 0, "a": 1, "b": 2}
+
+
+def test_unknown_sequence_raises(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown sequence"):
+        engine.sql("SELECT nextval('nope')")
