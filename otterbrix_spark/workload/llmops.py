@@ -701,3 +701,106 @@ FROM mn WHERE rn >= 4
 def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.winnow_fingerprints(docs, k=3, window=4)
+
+
+# --- t08: quality-filter decisions -------------------------------------------
+# The training-data pipeline's gating step: per-document keep/drop with the
+# triggering reason, from the deterministic t02 quality features. Thresholds
+# follow the usual heuristic filters (Gopher-style length/diversity rules),
+# with priority ordering so the reason is deterministic.
+
+_T08_ORACLE = rf"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+f AS (SELECT doc_id,
+        CAST(len(ws) AS INT) AS n_words,
+        CAST(len(list_distinct(ws)) AS INT) AS n_unique,
+        CAST(len(list_filter(ws, x -> x IN ({_in_list('en')}))) AS INT) AS n_stop,
+        CAST(list_sum(list_transform(ws, x -> strlen(x))) AS INT) AS sum_word_len
+      FROM w)
+SELECT doc_id,
+       CASE WHEN n_words < 5 THEN FALSE
+            WHEN (sum_word_len / n_words) > 12.0 THEN FALSE
+            WHEN (n_unique / n_words) < 0.3 THEN FALSE
+            ELSE TRUE END AS keep,
+       CASE WHEN n_words < 5 THEN 'too_short'
+            WHEN (sum_word_len / n_words) > 12.0 THEN 'gibberish_word_len'
+            WHEN (n_unique / n_words) < 0.3 THEN 'low_diversity'
+            ELSE 'ok' END AS reason
+FROM f
+"""
+
+
+@query("t08_quality_filter", _T08_ORACLE, doc="keep/drop filtering decisions with reasons (Gopher-style rules)")
+def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_ops.with_quality(docs)
+    too_short = F.col("n_words") < 5
+    gibberish = F.col("avg_word_len") > 12.0
+    low_div = (F.col("n_unique") / F.col("n_words")) < 0.3
+    keep = F.when(too_short, F.lit(False)).when(gibberish, F.lit(False)).when(
+        low_div, F.lit(False)
+    ).otherwise(F.lit(True))
+    reason = (
+        F.when(too_short, F.lit("too_short"))
+        .when(gibberish, F.lit("gibberish_word_len"))
+        .when(low_div, F.lit("low_diversity"))
+        .otherwise(F.lit("ok"))
+    )
+    return q.select("doc_id", keep.alias("keep"), reason.alias("reason"))
+
+
+# --- d10: end-to-end corpus cleaning (the dedup pipeline as one gate) --------
+# Composes exact dedup + LSH candidates + Jaccard verify + connected
+# components: a document survives iff it is the minimum id of BOTH its
+# exact-duplicate group and its near-dup cluster — i.e. the canonical
+# representative the cleaned corpus keeps. This is the full "dedup a
+# training corpus" flow certified as one result set.
+
+_D10_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_sig_cte()},
+bands AS ({_bands_sql()}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id),
+verified AS (
+  SELECT p.a, p.b
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+  GROUP BY p.a, p.b
+  HAVING COUNT(*) / (
+    (SELECT COUNT(*) FROM sh WHERE sh.doc_id = p.a)
+    + (SELECT COUNT(*) FROM sh WHERE sh.doc_id = p.b) - COUNT(*)
+  ) >= 0.2
+),
+edges AS (SELECT a AS src, b AS dst FROM verified
+          UNION SELECT b, a FROM verified),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT root AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY root),
+exact AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_can
+          FROM documents)
+SELECT d.doc_id
+FROM exact d JOIN cc ON cc.doc_id = d.doc_id
+WHERE d.doc_id = LEAST(d.exact_can, cc.cluster_id)
+"""
+
+
+@query("d10_corpus_clean", _D10_ORACLE, doc="end-to-end dedup: kept canonical documents after exact + near-dup removal")
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.exact_duplicates(docs)
+    sh = dedup.shingles(docs)
+    cands = dedup.lsh_candidate_pairs(sh)
+    pairs = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.2).select("a", "b")
+    clusters = dedup.connected_components(docs.select("doc_id"), pairs)
+    return (
+        exact.join(clusters, "doc_id")
+        .filter(F.col("doc_id") == F.least("canonical_id", "cluster_id"))
+        .select("doc_id")
+    )
