@@ -787,3 +787,125 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(qb).cast("double") / F.lit(10000.0)).alias("totacctbal"),
         )
     )
+
+
+# --- q75: TPC-H Q12 — shipping mode priority counts -------------------------
+# Reference `benchmark/tpch/q12.sql`: conditional priority counts per mode.
+# The corpus has no l_shipmode, so l_returnflag plays the mode column; the
+# operator structure (join + two CASE-sums + IN/NOT IN predicates) is
+# preserved exactly.
+
+_Q75_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_returnflag IN ('R', 'A')
+GROUP BY l_returnflag
+"""
+
+
+@query("q75_tpch_q12_priority_counts", _Q75_ORACLE, doc="TPC-H Q12: conditional IN/NOT IN priority counts per mode")
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & F.col("l_returnflag").isin("R", "A")
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_count"),
+        )
+    )
+
+
+# --- q76: TPC-H Q21 — suppliers who kept orders waiting ---------------------
+# Reference `benchmark/tpch/q21.sql`: the triple-correlation shape — a
+# correlated MAX, an EXISTS (another supplier in the order) and a NOT
+# EXISTS (no other supplier equally late). No l_receiptdate/commitdate in
+# the corpus, so "late" = holding the order's maximum ship date.
+
+_Q76_ORACLE = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+  AND l1.l_shipdate = (SELECT MAX(l_shipdate) FROM lineitem lm
+                       WHERE lm.l_orderkey = l1.l_orderkey)
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate = l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@query("q76_tpch_q21_waiting_suppliers", _Q76_ORACLE, doc="TPC-H Q21: correlated MAX + EXISTS + NOT EXISTS")
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    mx = li.groupBy(F.col("l_orderkey").alias("m_okey")).agg(
+        F.max("l_shipdate").alias("m_ship")
+    )
+    l1 = li.join(
+        mx,
+        (F.col("l_orderkey") == F.col("m_okey"))
+        & (F.col("l_shipdate") == F.col("m_ship")),
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    laggards = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("l_shipdate") == F.col("d3")),
+            "left_anti",
+        )
+    )
+    return (
+        laggards.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .join(
+            supp.join(
+                F.broadcast(nation.filter(F.col("n_name") == "NATION_9")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
