@@ -537,3 +537,33 @@ def u02(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u02_customer WHERE c_custkey < 500
         """
     )
+
+
+# --- c05: ClickBench signature — high-cardinality group top-k ---------------
+# The ClickBench workload's defining shape: GROUP BY a high-cardinality key
+# (user), ORDER BY count DESC LIMIT k. Partial aggregation + TakeOrdered —
+# never a global sort.
+
+_C05_ORACLE = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total
+FROM events
+GROUP BY user_id
+ORDER BY n DESC, user_id
+LIMIT 10
+"""
+
+
+@query("c05_top_users", _C05_ORACLE, doc="ClickBench shape: high-cardinality group + top-k")
+def c05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(q).cast("double") / F.lit(10000.0)).alias("total"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+    )

@@ -116,3 +116,17 @@ def test_b02_filters_pushed_below_join_chain(spark, sf_dir):
     pushed = plan.split("PushedFilters:")
     assert len(pushed) > 3  # several scans carry pushed filters
     assert "CartesianProduct" not in plan
+
+
+def test_q76_correlations_are_semi_anti_joins(spark, sf_dir):
+    # Q21's EXISTS/NOT EXISTS must lower to LeftSemi/LeftAnti, and the
+    # correlated MAX to an aggregate join — never per-row subqueries
+    plan = plan_of(spark, sf_dir, "q76_tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c05_topk_lowered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c05_top_users")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
