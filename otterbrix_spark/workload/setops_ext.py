@@ -104,3 +104,39 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a.isNull() & a.eqNullSafe(F.lit(None).cast("string")), 1)
         ).alias("n_null_eq_null"),
     )
+
+
+# --- q77: INTERSECT ALL (bag semantics) --------------------------------------
+
+_Q77_ORACLE = """
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+INTERSECT ALL
+SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 3000
+"""
+
+
+@query("q77_intersect_all", _Q77_ORACLE, doc="INTERSECT ALL: multiset intersection keeps duplicates")
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.filter(F.col("c_acctbal") > 9000).select(F.col("c_nationkey").alias("k"))
+    b = supp.filter(F.col("s_acctbal") > 3000).select(F.col("s_nationkey").alias("k"))
+    return a.intersectAll(b)
+
+
+# --- q78: EXCEPT ALL (bag semantics) -----------------------------------------
+
+_Q78_ORACLE = """
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+EXCEPT ALL
+SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 3000
+"""
+
+
+@query("q78_except_all", _Q78_ORACLE, doc="EXCEPT ALL: multiset difference preserves surplus multiplicity")
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    a = cust.filter(F.col("c_acctbal") > 9000).select(F.col("c_nationkey").alias("k"))
+    b = supp.filter(F.col("s_acctbal") > 3000).select(F.col("s_nationkey").alias("k"))
+    return a.exceptAll(b)

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, given, settings, strategies as st
 
 from otterbrix_spark.dialect import rewrite
 from otterbrix_spark.functions.strings import like_to_regex
@@ -27,6 +27,9 @@ _sql_atoms = st.sampled_from(
 @settings(max_examples=200, deadline=None)
 def test_plain_sql_passes_through(atoms):
     sql = " ".join(atoms)
+    # `<operand> - '<literal>'` is no longer plain SQL: the dialect defines
+    # it as jsonb delete (PG's jsonb - text), covered by its own tests
+    assume(not re.search(r"[\w)]\s*-\s*'", sql))
     assert rewrite(sql) == sql
 
 
@@ -135,3 +138,33 @@ def test_regex_ops_end_to_end(spark):
         "'Hello' !~ 'xyz' AS c, 'Hello' ~* 'HELLO' AS d, 'Hello' !~* 'HELLO' AS e"
     ).collect()[0]
     assert tuple(rows) == (True, False, True, True, False)
+
+
+# -- PG array syntax rules ----------------------------------------------------
+
+
+def test_rewrite_array_literal_and_subscript():
+    out = rewrite("SELECT ARRAY[1, 2, 3] AS a, v[2] AS second FROM t")
+    assert "array(1, 2, 3)" in out
+    assert "element_at(v, 2)" in out
+
+
+def test_type_declaration_subscript_untouched():
+    sql = "CREATE TABLE t (id bigint, v int[3], w double[])"
+    out = rewrite(sql)
+    assert "int[3]" in out and "double[]" in out
+    assert "element_at" not in out
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["SELECT", "a", "+", "1", ",", "ARRAY[1,2]", "v[3]", "'lit[1]'"]
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_array_rewrite_never_touches_string_literals(atoms):
+    out = rewrite(" ".join(atoms))
+    assert "'lit[1]'" in out or "lit[1]" not in " ".join(atoms) or "'lit" in out
