@@ -206,3 +206,104 @@ def e03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --- f03: windowed sequence funnel (ClickHouse windowFunnel semantics) ------
+# Max step level reachable through events in time order within a 30-minute
+# window from the chain's first step. Pure window functions: each event
+# carries the latest preceding view; each purchase reads the latest
+# preceding click's carried view (the greedy-latest chain minimises the
+# span, so it decides the exists-question exactly). One shuffle on
+# user_id, no self-joins — the scalable form of the N-way funnel join.
+
+_F03_WINDOW_US = 30 * 60 * 1_000_000
+
+_F03_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events
+),
+chains1 AS (
+  SELECT user_id, event_id, event_type, us,
+         MAX(CASE WHEN event_type = 'view' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+  FROM e
+),
+chains AS (
+  SELECT user_id, event_type, us, last_view,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN last_view END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_chain_view
+  FROM chains1
+),
+levels AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+         MAX(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                   AND us - last_view <= {_F03_WINDOW_US} THEN 1 ELSE 0 END) AS l2,
+         MAX(CASE WHEN event_type = 'purchase' AND click_chain_view IS NOT NULL
+                   AND us - click_chain_view <= {_F03_WINDOW_US} THEN 1 ELSE 0 END) AS l3
+  FROM chains GROUP BY user_id
+)
+SELECT CAST(CASE WHEN l3 = 1 THEN 3 WHEN l2 = 1 THEN 2
+                 WHEN l1 = 1 THEN 1 ELSE 0 END AS INT) AS level,
+       COUNT(*) AS n_users
+FROM levels GROUP BY 1
+"""
+
+
+@query("f03_window_funnel", _F03_ORACLE, doc="windowFunnel: max ordered step level within a 30-min window")
+def f03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(w)
+    chains = e.withColumn("last_view", last_view).withColumn(
+        "click_chain_view",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("last_view")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    win = F.lit(_F03_WINDOW_US)
+    levels = chains.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("l1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("last_view").isNotNull()
+                & (F.col("us") - F.col("last_view") <= win),
+                1,
+            ).otherwise(0)
+        ).alias("l2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("click_chain_view").isNotNull()
+                & (F.col("us") - F.col("click_chain_view") <= win),
+                1,
+            ).otherwise(0)
+        ).alias("l3"),
+    )
+    level = (
+        F.when(F.col("l3") == 1, 3)
+        .when(F.col("l2") == 1, 2)
+        .when(F.col("l1") == 1, 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return levels.groupBy(level.alias("level")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
