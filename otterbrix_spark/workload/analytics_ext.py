@@ -567,3 +567,41 @@ def c05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "user_id")
         .limit(10)
     )
+
+
+# --- s02: session-length distribution (sessionize as a building block) ------
+# Consumes the s01 session operator downstream: histogram of events-per-
+# session plus the bounce share (single-event sessions) — the standard
+# product-analytics rollup over a sessionised stream.
+
+_S02_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM x
+),
+sess AS (SELECT user_id, session_seq, COUNT(*) AS n_events
+         FROM s GROUP BY 1, 2)
+SELECT CAST(n_events AS BIGINT) AS session_len,
+       COUNT(*) AS n_sessions
+FROM sess GROUP BY 1
+"""
+
+
+@query("s02_session_length_dist", _S02_ORACLE, doc="events-per-session histogram over the sessionize operator")
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_stats(ev, gap_minutes=30)
+    return (
+        sess.groupBy(F.col("n_events").cast("bigint").alias("session_len"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
