@@ -70,6 +70,18 @@ _SQL_KEYWORDS = frozenset(
 )
 _OPERAND = rf"(?:{_IDENT}\s*\((?:[^()]*)\)|{_IDENT}|\x00\d+\x00)"
 
+# RHS literals shaped like numbers or PG interval strings are arithmetic
+# (`o_orderdate - '3 days'`, `x - '42'`), never jsonb key deletes.
+_NUM_OR_INTERVAL = re.compile(
+    r"^\s*[+-]?\d+(?:\.\d+)?\s*$"  # numeric-string coercion
+    r"|^\s*(?:[+-]?\d+(?:\.\d+)?\s*"
+    r"(?:years?|yrs?|months?|mons?|weeks?|days?|hours?|hrs?|"
+    r"minutes?|mins?|seconds?|secs?|milliseconds?|ms|microseconds?|us)\s*)+"
+    r"(?:\d{1,3}:\d{2}(?::\d{2}(?:\.\d+)?)?)?\s*$"  # '1 day 01:00:00'
+    r"|^\s*[+-]?\d{1,3}:\d{2}(?::\d{2}(?:\.\d+)?)?\s*$",  # '01:30:00'
+    re.IGNORECASE,
+)
+
 
 def _delete_expr(col: str, keys: list[str], depth: int = 0) -> str:
     """JSONB delete lowered to a type-preserving map<string,variant>
@@ -157,14 +169,25 @@ def rewrite(sql: str, literals_resolver=None) -> str:
     # LHS is a real operand, not a SQL keyword (`SELECT - 'x'` is a unary
     # minus on a literal, not a delete). Runs AFTER the arrow rules so
     # `->`/`->>` are already consumed.
+    # PG only applies `-` as delete when the LHS is typed jsonb; at the text
+    # level we approximate: the LHS must be an identifier / function call
+    # (never a bare string literal — `text - text` is an error in PG), and
+    # the RHS literal must not be interval/number-shaped arithmetic
+    # (`o_orderdate - '3 days'`, `now() - '1 hour'`) nor carry a `::` cast.
     def fix_key_delete(m: re.Match) -> str:
         col, tok = m.group(1), m.group(2)
         text = lit_at(tok)
         if text is None or col.upper() in _SQL_KEYWORDS:
             return m.group(0)
+        if lit_at(col) is not None:  # string-literal LHS: plain SQL, pass through
+            return m.group(0)
+        if _NUM_OR_INTERVAL.match(text):
+            return m.group(0)
         return _delete_expr(col, [text])
 
-    body = re.sub(rf"({_OPERAND})\s*-\s*(\x00\d+\x00)", fix_key_delete, body)
+    body = re.sub(
+        rf"({_OPERAND})\s*-\s*(\x00\d+\x00)(?!\s*::)", fix_key_delete, body
+    )
 
     # --- PG array syntax ----------------------------------------------------
     # ARRAY[a, b, c] -> array(a, b, c); ident[N] (integer literal subscript)
