@@ -199,8 +199,11 @@ class Catalog:
         # schema-on-write ("computing") tables: CREATE TABLE t () — the
         # reference's relkind='g' collections (JSONBench flow)
         self.dynamic: dict[str, "DynamicTable"] = {}
-        # sequences (reference operator_sequence.cpp): name -> next value
+        # sequences (reference operator_sequence.cpp): name -> next value;
+        # _seq_last holds the last value handed out (PG: currval before any
+        # nextval in the session is an error, not start-1)
         self.sequences: dict[str, int] = {}
+        self._seq_last: dict[str, int] = {}
         # active transaction: table name -> staged (uncommitted) frame.
         # None = autocommit. Staged frames are lazy plans over the
         # unchanged on-disk state, so ROLLBACK is free and COMMIT
@@ -364,6 +367,7 @@ class Catalog:
         m = re.match(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", sql, re.IGNORECASE)
         if m:
             self.sequences.pop(m.group(1), None)
+            self._seq_last.pop(m.group(1), None)
             return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
         if re.search(r"\b(nextval|currval)\s*\(", sql, re.IGNORECASE):
             def sub_seq(mm: re.Match) -> str:
@@ -373,8 +377,13 @@ class Catalog:
                 value = self.sequences[name]
                 if fn == "nextval":
                     self.sequences[name] = value + 1
+                    self._seq_last[name] = value
                     return str(value)
-                return str(value - 1)  # currval: last value handed out
+                if name not in self._seq_last:
+                    raise ValueError(
+                        f"currval of sequence \"{name}\" is not yet defined"
+                    )
+                return str(self._seq_last[name])
 
             sql = re.sub(
                 r"\b(nextval|currval)\s*\(\s*'(\w+)'\s*\)", sub_seq, sql,
@@ -521,7 +530,15 @@ class Catalog:
                 )
             if self._txn is not None:
                 base = self._txn.get(name, table.df())
-                new_df = base.unionByName(rows.select(*base.columns))
+                # coerce to the declared schema (mirrors ManagedTable.insert)
+                # so a txn INSERT can't silently widen column types via union
+                rows = rows.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in base.schema.fields
+                    ]
+                )
+                new_df = base.unionByName(rows)
                 return self._stage_txn(name, new_df, rows, "inserted", returning)
             result = table.insert(rows, returning=bool(returning))
             self._register(table)

@@ -92,9 +92,20 @@ def _sql_literal(value) -> str:
         return "NULL"
     if isinstance(value, bool):  # before int: bool is an int subclass
         return "TRUE" if value else "FALSE"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        # repr() of non-finite floats ('inf', 'nan') is not valid SQL
+        if value != value:
+            return "CAST('NaN' AS DOUBLE)"
+        if value == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if value == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
         return repr(value)
-    return "'" + str(value).replace("'", "''") + "'"
+    if isinstance(value, int):
+        return repr(value)
+    # Spark treats backslash as an escape inside string literals — double it
+    # before quote-doubling so a trailing '\' can't swallow the closing quote
+    return "'" + str(value).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _only_comments(stmt: str) -> bool:

@@ -134,9 +134,11 @@ class ManagedTable:
         if returning:
             result = matched.cache()
             result.count()
+            self._swap_in(new_df)
+            return result
         n = matched.count()
         self._swap_in(new_df)
-        return result if returning else n
+        return n
 
     # -- ALTER TABLE (reference operator_alter_column_*.cpp) ----------------
     def add_column(self, col_name: str, dtype: str, default: Column | None = None) -> None:

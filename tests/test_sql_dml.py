@@ -351,3 +351,37 @@ def test_unknown_sequence_raises(engine):
 
     with _pytest.raises(ValueError, match="unknown sequence"):
         engine.sql("SELECT nextval('nope')")
+
+
+def test_currval_before_nextval_raises(engine):
+    engine.sql("CREATE SEQUENCE fresh START 100")
+    with pytest.raises(ValueError, match="not yet defined"):
+        engine.sql("SELECT currval('fresh')")
+    engine.sql("DROP SEQUENCE fresh")
+
+
+# -- parameter binding edge cases ---------------------------------------------
+
+
+def test_param_with_trailing_backslash(engine):
+    row = engine.sql("SELECT $1 AS v", "path\\").collect()[0]
+    assert row["v"] == "path\\"
+
+
+def test_param_nonfinite_floats(engine):
+    import math
+
+    row = engine.sql("SELECT $1 AS a, $2 AS b, $3 AS c",
+                     float("nan"), float("inf"), float("-inf")).collect()[0]
+    assert math.isnan(row["a"]) and row["b"] == float("inf") and row["c"] == float("-inf")
+
+
+def test_txn_insert_coerces_to_declared_schema(engine):
+    engine.sql("CREATE TABLE coercet (id INT, v INT)")
+    engine.sql("BEGIN")
+    engine.sql("INSERT INTO coercet VALUES (1, 2.9)")
+    engine.sql("COMMIT")
+    df = engine.sql("SELECT * FROM coercet")
+    assert dict(df.dtypes)["v"] == "int"
+    assert df.collect()[0]["v"] == 2
+    engine.sql("DROP TABLE coercet")
