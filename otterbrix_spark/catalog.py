@@ -82,6 +82,23 @@ def _pg_type_to_ddl(t: str) -> str:
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
+# constraint DDL (reference ALTER TABLE ... ADD CONSTRAINT —
+# integration/cpp/test/test_correctness_bugs.cpp:430,502,
+# test_large_aggregate_dml.cpp:228: CHECK and FOREIGN KEY [ON DELETE CASCADE])
+_ADD_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+(.*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_CHECK_BODY = re.compile(r"^CHECK\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
+_FK_BODY = re.compile(
+    r"^FOREIGN\s+KEY\s*\(\s*(\w+)\s*\)\s+REFERENCES\s+([\w.]+)\s*"
+    r"\(\s*(\w+)\s*\)(?:\s+ON\s+DELETE\s+(CASCADE|RESTRICT|NO\s+ACTION))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_VIEW = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -188,6 +205,27 @@ def _split_set_list(set_clause: str) -> dict[str, str]:
     return out
 
 
+def _parse_constraint_body(cname: str, body: str) -> dict:
+    """CHECK (...) / FOREIGN KEY (c) REFERENCES p (k) [ON DELETE ...] ->
+    constraint record (reference transformer constraint nodes)."""
+    body = body.strip().rstrip(";").strip()
+    mb = _CHECK_BODY.match(body)
+    if mb:
+        return {"kind": "check", "name": cname, "expr": mb.group(1)}
+    mb = _FK_BODY.match(body)
+    if mb:
+        action = re.sub(r"\s+", " ", (mb.group(4) or "")).strip().lower()
+        return {
+            "kind": "fk",
+            "name": cname,
+            "child_key": mb.group(1),
+            "parent": mb.group(2),
+            "parent_key": mb.group(3),
+            "on_delete": "cascade" if action == "cascade" else "restrict",
+        }
+    raise ValueError(f"unsupported constraint body: {body!r}")
+
+
 class Catalog:
     """Managed-table catalog for the statement router."""
 
@@ -204,6 +242,12 @@ class Catalog:
         # nextval in the session is an error, not start-1)
         self.sequences: dict[str, int] = {}
         self._seq_last: dict[str, int] = {}
+        # constraints per owning table (reference pg_constraint analogue):
+        # {"kind": "check", "name", "expr"} — new/updated rows must satisfy;
+        # {"kind": "fk", "name", "child_key", "parent", "parent_key",
+        #  "on_delete"} — enforced on child INSERT/UPDATE (anti-join lookup)
+        # and parent DELETE (restrict check or cascade)
+        self.table_constraints: dict[str, list[dict]] = {}
         # active transaction: table name -> staged (uncommitted) frame.
         # None = autocommit. Staged frames are lazy plans over the
         # unchanged on-disk state, so ROLLBACK is free and COMMIT
@@ -230,6 +274,112 @@ class Catalog:
         if returning:
             return matched
         return self.spark.range(1).select(F.lit(matched.count()).alias(verb))
+
+    # -- constraint enforcement (reference operator_check_constraint /
+    # -- operator_fk_check / operator_fk_cascade, routed through SQL DDL) ----
+
+    def _live_df(self, name: str) -> DataFrame:
+        """Current frame for a table: staged (read-your-writes) if in txn."""
+        if self._txn is not None and name in self._txn:
+            return self._txn[name]
+        if name in self.tables:
+            return self.tables[name].df()
+        raise ValueError(f"unknown table: {name}")
+
+    def _validate_new_rows(
+        self, name: str, rows: DataFrame, full: DataFrame | None = None
+    ) -> None:
+        """Validate inserted/updated rows of ``name`` against its CHECK, FK
+        and UNIQUE constraints. Only the changed rows are scanned (a CHECK is
+        one filter+count; an FK is one anti-join against the parent; a UNIQUE
+        on insert is one self-groupBy plus one semi-join) — never a
+        full-table revalidation, so the cost tracks the DML size at scale.
+        ``full`` is the post-change frame, passed by UPDATE so UNIQUE can see
+        collisions between updated and untouched rows."""
+        from otterbrix_spark.operators.dml import (
+            ConstraintViolation, check_constraint, fk_check,
+        )
+
+        for c in self.table_constraints.get(name, ()):
+            if c["kind"] == "check":
+                check_constraint(rows, F.expr(c["expr"]), c["name"])
+            elif c["kind"] == "fk":
+                fk_check(
+                    rows, self._live_df(c["parent"]),
+                    c["child_key"], c["parent_key"],
+                )
+            elif c["kind"] == "unique":
+                keys = c["cols"]
+                frame = full if full is not None else rows
+                bad = (
+                    frame.groupBy(*keys).count()
+                    .filter(F.col("count") > 1).count()
+                )
+                if not bad and full is None:
+                    # insert: new keys must also not collide with existing
+                    bad = rows.join(
+                        self._live_df(name).select(*keys), on=keys,
+                        how="left_semi",
+                    ).count()
+                if bad:
+                    raise ConstraintViolation(
+                        f"{c['name']}: duplicate key value on ({', '.join(keys)})"
+                    )
+
+    def _fk_dependents(self, parent: str) -> list[tuple[str, dict]]:
+        return [
+            (child, c)
+            for child, cons in self.table_constraints.items()
+            for c in cons
+            if c["kind"] == "fk" and c["parent"] == parent
+        ]
+
+    def _fk_on_delete(self, name: str, base: DataFrame, cond) -> list[tuple[str, DataFrame]]:
+        """Apply FK semantics for a DELETE on parent ``name``: raise for
+        referencing children under RESTRICT/NO ACTION (checked eagerly,
+        before any mutation), and return the surviving child frames for ON
+        DELETE CASCADE (children first, as in fk_cascade_delete). The doomed
+        key set stays distributed (semi/anti joins, no collect)."""
+        from otterbrix_spark.operators.dml import ConstraintViolation
+
+        cascades: list[tuple[str, DataFrame]] = []
+        deps = self._fk_dependents(name)
+        if not deps:
+            return cascades
+        doomed_base = base.filter(F.coalesce(cond, F.lit(False)))
+        for child_name, c in deps:
+            child = self._live_df(child_name)
+            doomed = (
+                doomed_base.select(F.col(c["parent_key"]).alias("__doomed_key"))
+                .distinct()
+            )
+            on = child[c["child_key"]] == doomed["__doomed_key"]
+            if c.get("on_delete") == "cascade":
+                cascades.append((child_name, child.join(doomed, on, "left_anti")))
+            else:
+                n = child.join(doomed, on, "left_semi").count()
+                if n:
+                    raise ConstraintViolation(
+                        f"{c['name']}: {n} row(s) in {child_name} still "
+                        f"reference deleted {name} rows"
+                    )
+        return cascades
+
+    def _add_constraint(self, name: str, con: dict) -> None:
+        """Register a constraint, validating existing rows first (PG
+        validates on ADD CONSTRAINT; a violating table rejects the DDL)."""
+        if name not in self.tables:
+            raise ValueError(f"unknown table: {name}")
+        if con["kind"] == "fk" and con["parent"] not in self.tables:
+            raise ValueError(f"unknown parent table: {con['parent']}")
+        self.table_constraints.setdefault(name, [])
+        self.table_constraints[name].append(con)
+        try:
+            live = self._live_df(name)
+            self._validate_new_rows(name, live, full=live)
+        except Exception:
+            self.table_constraints[name].pop()
+            raise
 
     def route(self, sql: str) -> DataFrame:
         head = sql.strip().rstrip(";").upper()
@@ -285,6 +435,21 @@ class Catalog:
         # block store; a lake deployment maps these to OPTIMIZE/VACUUM)
         if re.match(r"^\s*(VACUUM|CHECKPOINT)\b", sql, re.IGNORECASE):
             return self.spark.range(0).select(F.lit("maintenance-noop").alias("ok"))
+
+        # ALTER TABLE t ADD/DROP CONSTRAINT (reference
+        # test_correctness_bugs.cpp:430,502 — CHECK and FK through SQL)
+        m = _ADD_CONSTRAINT.match(sql)
+        if m:
+            name, cname, body = m.groups()
+            self._add_constraint(name, _parse_constraint_body(cname, body))
+            return self.spark.range(0).select(F.lit(cname).alias("constraint"))
+        m = _DROP_CONSTRAINT.match(sql)
+        if m:
+            name, cname = m.groups()
+            self.table_constraints[name] = [
+                c for c in self.table_constraints.get(name, []) if c["name"] != cname
+            ]
+            return self.spark.range(0).select(F.lit(cname).alias("dropped"))
 
         # ALTER TABLE t ADD COLUMN c type / RENAME COLUMN a TO b / DROP COLUMN c
         m = re.match(
@@ -422,17 +587,86 @@ class Catalog:
         m = _CREATE_TABLE_TYPED.match(sql)
         if m and not m.group(2).strip().upper().startswith("SELECT"):
             name, coldefs = m.group(1), m.group(2)
-            fields = []
+            fields: list[str] = []
+            cons: list[dict] = []
+            n_anon = 0
             for part in _split_top_level(coldefs):
-                words = part.strip().split(None, 1)
+                p = part.strip()
+                # table-level constraint clauses
+                mcn = re.match(
+                    r"^CONSTRAINT\s+(\w+)\s+(.*)$", p, re.IGNORECASE | re.DOTALL
+                )
+                if mcn:
+                    cons.append(_parse_constraint_body(mcn.group(1), mcn.group(2)))
+                    continue
+                if re.match(r"^(CHECK|FOREIGN\s+KEY)\b", p, re.IGNORECASE):
+                    n_anon += 1
+                    cons.append(_parse_constraint_body(f"{name}_con{n_anon}", p))
+                    continue
+                mpk = re.match(
+                    r"^(PRIMARY\s+KEY|UNIQUE)\s*\(\s*([\w\s,]+?)\s*\)$",
+                    p, re.IGNORECASE,
+                )
+                if mpk:
+                    keys = [k.strip() for k in mpk.group(2).split(",")]
+                    cname = f"{name}_" + ("pkey" if "P" in mpk.group(1).upper() else "key")
+                    cons.append({"kind": "unique", "name": cname, "cols": keys})
+                    if mpk.group(1).upper().startswith("P"):
+                        for k in keys:
+                            cons.append({
+                                "kind": "check", "name": f"{k}_not_null",
+                                "expr": f"{k} IS NOT NULL",
+                            })
+                    continue
+                words = p.split(None, 1)
                 if len(words) != 2:
                     raise ValueError(f"bad column definition: {part!r}")
-                fields.append(f"{words[0]} {_pg_type_to_ddl(words[1])}")
+                colname, rest = words
+                # trailing column constraints: NOT NULL / CHECK / UNIQUE / PK
+                while True:
+                    mnn = re.search(r"\s+NOT\s+NULL$", rest, re.IGNORECASE)
+                    if mnn:
+                        rest = rest[: mnn.start()]
+                        cons.append({
+                            "kind": "check", "name": f"{colname}_not_null",
+                            "expr": f"{colname} IS NOT NULL",
+                        })
+                        continue
+                    mck = re.search(
+                        r"\s+CHECK\s*\((.*)\)$", rest, re.IGNORECASE | re.DOTALL
+                    )
+                    if mck:
+                        rest = rest[: mck.start()]
+                        cons.append({
+                            "kind": "check", "name": f"{colname}_check",
+                            "expr": mck.group(1),
+                        })
+                        continue
+                    mpk = re.search(r"\s+(PRIMARY\s+KEY|UNIQUE)$", rest, re.IGNORECASE)
+                    if mpk:
+                        rest = rest[: mpk.start()]
+                        cons.append({
+                            "kind": "unique", "name": f"{colname}_key",
+                            "cols": [colname],
+                        })
+                        if mpk.group(1).upper().startswith("P"):
+                            cons.append({
+                                "kind": "check", "name": f"{colname}_not_null",
+                                "expr": f"{colname} IS NOT NULL",
+                            })
+                        continue
+                    break
+                fields.append(f"{colname} {_pg_type_to_ddl(rest)}")
             schema = ", ".join(fields)
+            for c in cons:
+                if c["kind"] == "fk" and c["parent"] not in self.tables:
+                    raise ValueError(f"unknown parent table: {c['parent']}")
             empty = self.spark.createDataFrame([], schema).repartition(1)
             path = os.path.join(self.base_dir, name.replace(".", "__"))
             table = ManagedTable.create(self.spark, path, empty, name)
             self._register(table)
+            if cons:
+                self.table_constraints[name] = cons
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         m = _DROP_TABLE.match(sql)
@@ -441,6 +675,13 @@ class Catalog:
             if name in self.tables:
                 self.tables.pop(name).drop()
                 self.spark.catalog.dropTempView(name)
+                self.table_constraints.pop(name, None)
+                # drop FK constraints in other tables that referenced this one
+                for child, cons in self.table_constraints.items():
+                    self.table_constraints[child] = [
+                        c for c in cons
+                        if not (c["kind"] == "fk" and c["parent"] == name)
+                    ]
             elif name in self.dynamic:
                 import shutil
 
@@ -457,8 +698,15 @@ class Catalog:
             if self._txn is not None:
                 base = self._txn.get(name, table.df())
                 new_df, matched = apply_update(base, cond, sets)
+                self._validate_new_rows(name, matched, full=new_df)
                 return self._stage_txn(name, new_df, matched, "updated", returning)
-            result = table.update(cond, sets, returning=bool(returning))
+            result = table.update(
+                cond, sets, returning=bool(returning),
+                validator=(
+                    (lambda m2, f2: self._validate_new_rows(name, m2, full=f2))
+                    if self.table_constraints.get(name) else None
+                ),
+            )
             self._register(table)
             if returning:
                 return result
@@ -471,8 +719,18 @@ class Catalog:
             cond = F.expr(where) if where else F.lit(True)
             if self._txn is not None:
                 base = self._txn.get(name, table.df())
+                # FK semantics first: restrict raises before anything stages;
+                # cascades stage the surviving child frames alongside
+                for child_name, new_child in self._fk_on_delete(name, base, cond):
+                    self._txn[child_name] = new_child
+                    new_child.createOrReplaceTempView(child_name)
                 new_df, matched = apply_delete(base, cond)
                 return self._stage_txn(name, new_df, matched, "deleted", returning)
+            # children first (fk_cascade_delete ordering): restrict checks
+            # run eagerly, cascade swaps materialise before the parent delete
+            for child_name, new_child in self._fk_on_delete(name, table.df(), cond):
+                self.tables[child_name]._swap_in(new_child)
+                self._register(self.tables[child_name])
             result = table.delete(cond, returning=bool(returning))
             self._register(table)
             if returning:
@@ -538,8 +796,10 @@ class Catalog:
                         for f in base.schema.fields
                     ]
                 )
+                self._validate_new_rows(name, rows)
                 new_df = base.unionByName(rows)
                 return self._stage_txn(name, new_df, rows, "inserted", returning)
+            self._validate_new_rows(name, rows)
             result = table.insert(rows, returning=bool(returning))
             self._register(table)
             if returning:

@@ -118,6 +118,7 @@ class ManagedTable:
         cond: Column,
         set_exprs: dict[str, Column],
         returning: bool = False,
+        validator=None,
     ) -> DataFrame | int:
         """UPDATE ... SET ... WHERE cond [RETURNING *].
 
@@ -131,6 +132,11 @@ class ManagedTable:
         shuffle.
         """
         new_df, matched = apply_update(self.df(), cond, set_exprs)
+        if validator is not None:
+            # constraint hook: raises before any state is swapped in, so a
+            # violating UPDATE leaves the table untouched (reference
+            # autocommit-abort semantics, test_correctness_bugs.cpp:430)
+            validator(matched, new_df)
         if returning:
             result = matched.cache()
             result.count()

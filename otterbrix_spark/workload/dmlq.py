@@ -82,6 +82,52 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionAll(inserted).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
 
 
+# --- x01: constraint DDL through SQL (CHECK + FK ON DELETE CASCADE) ---------
+# ALTER TABLE ... ADD CONSTRAINT CHECK / FOREIGN KEY ... ON DELETE CASCADE
+# (reference test_correctness_bugs.cpp:430,502; test_large_aggregate_dml.cpp:
+# 228). The gate runs the full stateful flow: a CHECK-violating INSERT must
+# abort leaving state untouched (a leak changes the group counts and fails
+# the hash), then a parent DELETE cascades into the child. The oracle states
+# the expected end state declaratively over the base tables.
+
+_X01_ORACLE = """
+SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+GROUP BY c_nationkey
+"""
+
+
+@query(
+    "x01_fk_cascade_dml", _X01_ORACLE,
+    doc="ALTER TABLE ADD CONSTRAINT CHECK / FK ON DELETE CASCADE via SQL",
+)
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+    from otterbrix_spark.operators.dml import ConstraintViolation
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x01_nat")
+    eng.sql("DROP TABLE IF EXISTS x01_cust")
+    eng.sql("CREATE TABLE x01_nat AS SELECT n_nationkey, n_regionkey FROM nation")
+    eng.sql("CREATE TABLE x01_cust AS SELECT c_custkey, c_nationkey FROM customer")
+    eng.sql(
+        "ALTER TABLE x01_cust ADD CONSTRAINT fk_nat FOREIGN KEY (c_nationkey) "
+        "REFERENCES x01_nat (n_nationkey) ON DELETE CASCADE"
+    )
+    eng.sql("ALTER TABLE x01_cust ADD CONSTRAINT pos CHECK (c_custkey >= 0)")
+    try:
+        eng.sql("INSERT INTO x01_cust VALUES (-1, 0)")  # must abort, no linger
+    except ConstraintViolation:
+        pass
+    eng.sql("DELETE FROM x01_nat WHERE n_regionkey = 2")
+    return eng.sql(
+        "SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers "
+        "FROM x01_cust GROUP BY c_nationkey"
+    )
+
+
 # --- v01: views through the SQL router --------------------------------------
 # CREATE VIEW + CREATE MATERIALIZED VIEW + REFRESH + query-through-view, all
 # via the SQL statement surface (reference transformer.cpp view statements;
