@@ -182,12 +182,31 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (all shared-shingle
     pairs when ``candidates`` is None): (a, b, common, jaccard >= threshold).
-    """
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+
+    ``max_df`` caps the document frequency of JOIN shingles (a posting-list
+    cap — standard web-scale practice): a stop-word-like shingle shared by
+    df documents contributes O(df²) join rows while carrying no near-dup
+    signal, so without the cap the all-pairs form is quadratic in hot-shingle
+    frequency at corpus scale. Jaccard denominators (per-doc set sizes)
+    always use the FULL shingle sets, so surviving pairs keep exact scores;
+    pairs whose only shared shingles are hot are dropped (they are far below
+    any useful threshold anyway). The df filter is one map-side-combined
+    groupBy plus a semi-join on the same key as the pair join."""
+    join_sh = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle", "left_semi")
+    a = join_sh.select(F.col(id_col).alias("a"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))

@@ -72,7 +72,16 @@ def test_partial_aggregation_map_side_combine(spark, sf_dir):
     assert "partial_sum" in plan and "partial_count" in plan
 
 
-@pytest.mark.parametrize("name", ["d07_embedding_neardup", "e04_label_cohesion"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d07_embedding_neardup", "e04_label_cohesion",
+        # r3: d03's pair join is df-capped (posting-list cap) and t05's
+        # fuzzy match goes through multi-pass blocking — both must stay
+        # equi-join shaped with no nested-loop/cartesian fallback
+        "d03_ngram_jaccard", "t05_edit_distance",
+    ],
+)
 def test_neardup_and_cohesion_are_not_all_pairs(spark, sf_dir, name):
     # the 100 TB contract: candidates-then-verify equi-joins (d07) and the
     # sum-of-unit-vectors identity (e04) — never a quadratic pair join
