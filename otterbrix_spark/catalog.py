@@ -57,6 +57,8 @@ _PG_SCALAR_TYPES = {
     "int": "int", "integer": "int", "int4": "int",
     "bigint": "bigint", "int8": "bigint",
     "real": "float", "float4": "float",
+    # PG: bare FLOAT defaults to float8 (double precision)
+    "float": "double",
     "double": "double", "float8": "double", "double precision": "double",
     "text": "string", "varchar": "string", "char": "string",
     "string": "string", "uuid": "string",
@@ -66,16 +68,27 @@ _PG_SCALAR_TYPES = {
 }
 
 
-def _pg_type_to_ddl(t: str) -> str:
-    """'int[3]' -> 'array<int>', 'varchar(10)' -> 'string', etc."""
+def _pg_type_to_ddl(t: str, custom: dict[str, dict] | None = None) -> str:
+    """'int[3]' -> 'array<int>', 'varchar(10)' -> 'string', etc. ``custom``
+    maps CREATE TYPE names: enum -> string (labels enforced by a generated
+    CHECK), composite -> struct<...> resolved recursively (reference
+    transformer.cpp:75-80, SURVEY §1.2 type mapping)."""
     t = t.strip().lower()
     arr = re.match(r"^(.+?)\s*\[\s*\d*\s*\]$", t)
     if arr:
-        return f"array<{_pg_type_to_ddl(arr.group(1))}>"
+        return f"array<{_pg_type_to_ddl(arr.group(1), custom)}>"
     m = re.match(r"^(decimal|numeric)\s*\((\d+)\s*,\s*(\d+)\)$", t)
     if m:
         return f"decimal({m.group(2)},{m.group(3)})"
     base = re.sub(r"\(.*\)$", "", t).strip()
+    if custom and base in custom:
+        ct = custom[base]
+        if ct["kind"] == "enum":
+            return "string"
+        inner = ",".join(
+            f"{fn}:{_pg_type_to_ddl(ft, custom)}" for fn, ft in ct["fields"]
+        )
+        return f"struct<{inner}>"
     if base not in _PG_SCALAR_TYPES:
         raise ValueError(f"unsupported column type: {t!r}")
     return _PG_SCALAR_TYPES[base]
@@ -242,6 +255,10 @@ class Catalog:
         # nextval in the session is an error, not start-1)
         self.sequences: dict[str, int] = {}
         self._seq_last: dict[str, int] = {}
+        # user types (reference CREATE TYPE, transformer.cpp:75-80):
+        # name -> {"kind": "enum", "labels": [...]} |
+        #         {"kind": "composite", "fields": [(name, pg_type), ...]}
+        self.types: dict[str, dict] = {}
         # constraints per owning table (reference pg_constraint analogue):
         # {"kind": "check", "name", "expr"} — new/updated rows must satisfy;
         # {"kind": "fk", "name", "child_key", "parent", "parent_key",
@@ -516,6 +533,45 @@ class Catalog:
             self.spark.sql(body).createOrReplaceTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
+        # CREATE TYPE (reference T_CreateEnumStmt / T_CompositeTypeStmt,
+        # transformer.cpp:75-80; test_collection_sql.cpp:668-684): enum ->
+        # string column + generated CHECK on its labels; composite ->
+        # struct<...>, resolved recursively in typed CREATE TABLE columns
+        m = re.match(
+            r"^\s*CREATE\s+TYPE\s+([\w.]+)\s+AS\s+ENUM\s*\(\s*(.*?)\s*\)\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name = m.group(1).lower()
+            labels = [
+                lbl.strip().strip("'") for lbl in _split_top_level(m.group(2))
+            ]
+            self.types[name] = {"kind": "enum", "labels": labels}
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+        m = re.match(
+            r"^\s*CREATE\s+TYPE\s+([\w.]+)\s+AS\s*\((.*)\)\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name = m.group(1).lower()
+            fields = []
+            for part in _split_top_level(m.group(2)):
+                words = part.strip().split(None, 1)
+                if len(words) != 2:
+                    raise ValueError(f"bad composite field: {part!r}")
+                fields.append((words[0], words[1]))
+            # resolve now so unknown member types fail at CREATE TYPE time
+            for _, ft in fields:
+                _pg_type_to_ddl(ft, self.types)
+            self.types[name] = {"kind": "composite", "fields": fields}
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+        m = re.match(
+            r"^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", sql, re.IGNORECASE
+        )
+        if m:
+            self.types.pop(m.group(1).lower(), None)
+            return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
+
         # sequences: CREATE/DROP SEQUENCE, and statement-level nextval /
         # currval substitution (each nextval() occurrence consumes one
         # value — covers INSERT VALUES and SELECT nextval; per-row
@@ -656,7 +712,20 @@ class Catalog:
                             })
                         continue
                     break
-                fields.append(f"{colname} {_pg_type_to_ddl(rest)}")
+                base_t = rest.strip().lower()
+                if base_t in self.types and self.types[base_t]["kind"] == "enum":
+                    # enum column: stored as string, labels enforced by a
+                    # generated CHECK (SURVEY §1.2 enum mapping; reference
+                    # rejects non-label values, test_correctness_bugs.cpp:392)
+                    labels = ", ".join(
+                        "'" + lbl.replace("'", "''") + "'"
+                        for lbl in self.types[base_t]["labels"]
+                    )
+                    cons.append({
+                        "kind": "check", "name": f"{colname}_enum",
+                        "expr": f"{colname} IS NULL OR {colname} IN ({labels})",
+                    })
+                fields.append(f"{colname} {_pg_type_to_ddl(rest, self.types)}")
             schema = ", ".join(fields)
             for c in cons:
                 if c["kind"] == "fk" and c["parent"] not in self.tables:
@@ -786,6 +855,10 @@ class Catalog:
                         for f in table.df().schema.fields
                     ]
                 )
+            # positional alignment to the table schema (PG semantics: INSERT
+            # ... SELECT matches by position, not by source column name) —
+            # also what makes constraint exprs resolve against table names
+            rows = rows.toDF(*table.df().columns)
             if self._txn is not None:
                 base = self._txn.get(name, table.df())
                 # coerce to the declared schema (mirrors ManagedTable.insert)
@@ -824,5 +897,6 @@ class Catalog:
                 "DROP VIEW", "DROP MATERIALIZED VIEW",
                 "CREATE DATABASE", "DROP DATABASE",
                 "CREATE SEQUENCE", "DROP SEQUENCE",
+                "CREATE TYPE", "DROP TYPE",
             )
         )

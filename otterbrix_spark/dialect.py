@@ -189,6 +189,12 @@ def rewrite(sql: str, literals_resolver=None) -> str:
         rf"({_OPERAND})\s*-\s*(\x00\d+\x00)(?!\s*::)", fix_key_delete, body
     )
 
+    # --- ROW(...) composite literals (PG row constructor) -------------------
+    # -> struct(...): Spark's positional struct constructor; INSERT-side
+    # schema coercion casts it onto the declared struct<...> column type
+    # (reference composite types, test_collection_sql.cpp:710 INSERT ROW).
+    body = re.sub(r"\bROW\s*\(", "struct(", body, flags=re.IGNORECASE)
+
     # --- PG array syntax ----------------------------------------------------
     # ARRAY[a, b, c] -> array(a, b, c); ident[N] (integer literal subscript)
     # -> element_at(ident, N), preserving PG's 1-based indexing (Spark's

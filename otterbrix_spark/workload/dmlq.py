@@ -128,6 +128,41 @@ def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- y01: CREATE TYPE enum column through SQL -------------------------------
+# Enum maps to string + generated label CHECK (reference
+# transformer.cpp:75-80 CREATE TYPE; test_correctness_bugs.cpp:337-392 enum
+# scan predicates + invalid-label rejection). A non-label INSERT must abort
+# without lingering — a leak would shift the group counts and fail the hash.
+
+_Y01_ORACLE = """
+SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "y01_enum_type_dml", _Y01_ORACLE,
+    doc="CREATE TYPE AS ENUM column: label CHECK + scan predicate via SQL",
+)
+def y01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+    from otterbrix_spark.operators.dml import ConstraintViolation
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS y01_ord")
+    eng.sql("CREATE TYPE status_t AS ENUM('O', 'F', 'P')")
+    eng.sql("CREATE TABLE y01_ord (okey bigint, status status_t)")
+    eng.sql("INSERT INTO y01_ord SELECT o_orderkey, o_orderstatus FROM orders")
+    try:
+        eng.sql("INSERT INTO y01_ord VALUES (-1, 'X')")  # non-label: must abort
+    except ConstraintViolation:
+        pass
+    return eng.sql(
+        "SELECT status, COUNT(*) AS n FROM y01_ord GROUP BY status"
+    )
+
+
 # --- v01: views through the SQL router --------------------------------------
 # CREATE VIEW + CREATE MATERIALIZED VIEW + REFRESH + query-through-view, all
 # via the SQL statement surface (reference transformer.cpp view statements;

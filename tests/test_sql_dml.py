@@ -385,3 +385,54 @@ def test_txn_insert_coerces_to_declared_schema(engine):
     assert dict(df.dtypes)["v"] == "int"
     assert df.collect()[0]["v"] == 2
     engine.sql("DROP TABLE coercet")
+
+
+# -- CREATE TYPE: enum + composite (reference transformer.cpp:75-80, ---------
+# -- test_collection_sql.cpp:660-740, test_correctness_bugs.cpp:337-392) -----
+
+
+def test_create_type_enum_round_trip(engine):
+    from otterbrix_spark.operators.dml import ConstraintViolation
+
+    engine.sql("CREATE TYPE oddness_t AS ENUM('even','odd')")
+    engine.sql("CREATE TABLE te (n INT, kind oddness_t)")
+    engine.sql(
+        "INSERT INTO te VALUES (1,'odd'),(2,'even'),(3,'odd'),(4,'even')"
+    )
+    got = engine.sql("SELECT n FROM te WHERE kind = 'even'").collect()
+    assert sorted(r["n"] for r in got) == [2, 4]
+    # a non-label value must be rejected (enum CHECK), state unchanged
+    with pytest.raises(ConstraintViolation):
+        engine.sql("INSERT INTO te VALUES (5, 'invalid_xyz')")
+    assert engine.sql("SELECT COUNT(*) AS c FROM te").collect()[0][0] == 4
+    engine.sql("DROP TABLE te")
+    engine.sql("DROP TYPE oddness_t")
+
+
+def test_create_type_composite_nested(engine):
+    engine.sql("CREATE TYPE custom_type_field AS (f1 float, f2 int)")
+    engine.sql(
+        "CREATE TYPE custom_type_name AS (f1 int, f2 string, f3 custom_type_field)"
+    )
+    engine.sql("CREATE TABLE tc (custom_type custom_type_name, oddness string)")
+    engine.sql(
+        "INSERT INTO tc VALUES (ROW(1, 'text_1', ROW(1.5, 2)), 'odd'),"
+        " (ROW(2, 'text_2', ROW(2.5, 4)), 'even')"
+    )
+    rows = engine.sql(
+        "SELECT custom_type.f1 AS f1, custom_type.f3.f2 AS inner_f2 FROM tc"
+    ).collect()
+    assert sorted((r["f1"], r["inner_f2"]) for r in rows) == [(1, 2), (2, 4)]
+    # struct round-trips through INSERT ... SELECT (reference copy test)
+    engine.sql("CREATE TABLE tc2 (custom_type custom_type_name, oddness string)")
+    engine.sql("INSERT INTO tc2 SELECT * FROM tc")
+    assert engine.sql("SELECT COUNT(*) AS c FROM tc2").collect()[0][0] == 2
+    engine.sql("DROP TABLE tc2")
+    engine.sql("DROP TABLE tc")
+    engine.sql("DROP TYPE custom_type_name")
+    engine.sql("DROP TYPE custom_type_field")
+
+
+def test_create_type_unknown_member_rejected(engine):
+    with pytest.raises(ValueError, match="unsupported column type"):
+        engine.sql("CREATE TYPE badt AS (f1 nosuchtype)")
