@@ -1,0 +1,434 @@
+"""Benchmark-corpus shapes beyond TPC-H: the window-heavy TPC-DS templates,
+the remaining distinctive ClickBench aggregation forms, and an LDBC SNB BI
+shape (reference ships these query texts — `benchmark/SOURCES.md:1-19`,
+`benchmark/tpcds/query51.tpl`, `query67.tpl`, `query47.tpl`,
+`benchmark/ldbc/bi-1.sql`). Each is re-expressed over the synthetic corpus
+with the SAME plan shape as the original template.
+
+Float discipline: every SUM over doubles is the repo's quantised integer
+sum (functions/numeric.py) and stays in integer space THROUGH the window
+functions, dividing back to double only in the final projection — window
+chains of exact integers hash-match across engines, window chains of
+doubles do not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from otterbrix_spark.sources.registry import load_table
+from otterbrix_spark.workload import query
+
+_Q = 10000.0  # quantisation scale (functions/numeric.SCALE)
+
+
+def _q(col) -> F.Column:
+    return F.floor(col * F.lit(_Q)).cast("long")
+
+
+# --- ds03: TPC-DS Q51 — cumulative channel comparison -----------------------
+# Two sales channels aggregated per (item, period), each with a running
+# cumulative sum, FULL OUTER joined on (item, period), then running MAXes
+# over the joined frame and a cumulative-dominance filter. One shuffle per
+# channel groupBy + one window shuffle on the same key — the partition-
+# by-item layout reuses across both windows at any scale.
+
+_DS03_ORACLE = """
+WITH web_v1 AS (
+  SELECT l_partkey % 25 AS item_band,
+         date_trunc('month', l_shipdate)::DATE AS mon,
+         SUM(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)))
+           OVER (PARTITION BY l_partkey % 25
+                 ORDER BY date_trunc('month', l_shipdate)::DATE
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY 1, 2),
+store_v1 AS (
+  SELECT l_partkey % 25 AS item_band,
+         date_trunc('month', l_shipdate)::DATE AS mon,
+         SUM(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)))
+           OVER (PARTITION BY l_partkey % 25
+                 ORDER BY date_trunc('month', l_shipdate)::DATE
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+  FROM lineitem WHERE l_returnflag = 'A'
+  GROUP BY 1, 2)
+SELECT item_band, mon,
+       CAST(web_cumulative AS DOUBLE) / 10000.0 AS web_cumulative,
+       CAST(store_cumulative AS DOUBLE) / 10000.0 AS store_cumulative
+FROM (
+  SELECT COALESCE(w.item_band, s.item_band) AS item_band,
+         COALESCE(w.mon, s.mon) AS mon,
+         MAX(w.cume) OVER (PARTITION BY COALESCE(w.item_band, s.item_band)
+                           ORDER BY COALESCE(w.mon, s.mon)
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS web_cumulative,
+         MAX(s.cume) OVER (PARTITION BY COALESCE(w.item_band, s.item_band)
+                           ORDER BY COALESCE(w.mon, s.mon)
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS store_cumulative
+  FROM web_v1 w FULL OUTER JOIN store_v1 s
+    ON w.item_band = s.item_band AND w.mon = s.mon
+) y
+WHERE web_cumulative > store_cumulative
+"""
+
+
+@query(
+    "ds03_cumulative_channels", _DS03_ORACLE,
+    doc="TPC-DS Q51 shape: per-channel cumulative windows + full outer + running max",
+)
+def ds03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def channel(flag: str) -> DataFrame:
+        w = (
+            Window.partitionBy("item_band").orderBy("mon")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy(
+                (F.col("l_partkey") % 25).alias("item_band"),
+                F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("mon"),
+            )
+            .agg(F.sum(_q(F.col("l_extendedprice"))).alias("part_sum"))
+            .withColumn("cume", F.sum("part_sum").over(w))
+            .drop("part_sum")
+        )
+
+    web, store = channel("R"), channel("A")
+    joined = web.alias("w").join(
+        store.alias("s"),
+        (F.col("w.item_band") == F.col("s.item_band"))
+        & (F.col("w.mon") == F.col("s.mon")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("w.item_band"), F.col("s.item_band")).alias("item_band"),
+        F.coalesce(F.col("w.mon"), F.col("s.mon")).alias("mon"),
+        F.col("w.cume").alias("wc"),
+        F.col("s.cume").alias("sc"),
+    )
+    run = (
+        Window.partitionBy("item_band").orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("web_cumulative", F.max("wc").over(run))
+        .withColumn("store_cumulative", F.max("sc").over(run))
+        .filter(F.col("web_cumulative") > F.col("store_cumulative"))
+        .select(
+            "item_band", "mon",
+            (F.col("web_cumulative").cast("double") / _Q).alias("web_cumulative"),
+            (F.col("store_cumulative").cast("double") / _Q).alias("store_cumulative"),
+        )
+    )
+
+
+# --- ds04: TPC-DS Q67 — rank over rollup ------------------------------------
+# ROLLUP over the product hierarchy, then a per-category rank of the rolled
+# sums, keeping the top k of every partition. The rollup is one shuffle with
+# partial aggregation; the rank is one window shuffle on the category key.
+# row_number with a total tiebreak (not rank) keeps ties deterministic.
+
+_DS04_ORACLE = """
+WITH sums AS (
+  SELECT p_type, p_brand,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT))
+           AS qsum
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY ROLLUP (p_type, p_brand))
+SELECT p_type, p_brand,
+       CAST(qsum AS DOUBLE) / 10000.0 AS sumsales, rk
+FROM (
+  SELECT p_type, p_brand, qsum,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p_type
+           ORDER BY qsum DESC, p_brand ASC NULLS FIRST) AS INT) AS rk
+  FROM sums) ranked
+WHERE rk <= 5
+"""
+
+
+@query(
+    "ds04_rank_over_rollup", _DS04_ORACLE,
+    doc="TPC-DS Q67 shape: top-k rank within category over a ROLLUP",
+)
+def ds04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sums = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.sum(
+                _q(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("qsum")
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("qsum").desc(), F.col("p_brand").asc_nulls_first()
+    )
+    return (
+        sums.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "p_type", "p_brand",
+            (F.col("qsum").cast("double") / _Q).alias("sumsales"), "rk",
+        )
+    )
+
+
+# --- ds05: TPC-DS Q47 — monthly sums vs in-partition average + neighbours ---
+# Monthly sums per brand, the brand-year average via an unordered window,
+# the previous/next month via lag/lead over the ordered window, and a
+# deviation filter. All three windows share the brand partition key — one
+# window shuffle total.
+
+_DS05_ORACLE = """
+WITH v1 AS (
+  SELECT p_brand,
+         EXTRACT(year FROM l_shipdate) AS yr,
+         EXTRACT(month FROM l_shipdate) AS mon,
+         SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS qsum
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3),
+v2 AS (
+  SELECT p_brand, yr, mon, qsum,
+         SUM(qsum) OVER (PARTITION BY p_brand, yr) AS year_qsum,
+         COUNT(*) OVER (PARTITION BY p_brand, yr) AS year_months,
+         LAG(qsum) OVER (PARTITION BY p_brand ORDER BY yr, mon) AS prev_q,
+         LEAD(qsum) OVER (PARTITION BY p_brand ORDER BY yr, mon) AS next_q
+  FROM v1)
+SELECT p_brand, CAST(yr AS INT) AS yr, CAST(mon AS INT) AS mon,
+       CAST(qsum AS DOUBLE) / 10000.0 AS sum_sales,
+       CAST(year_qsum AS DOUBLE) / year_months / 10000.0 AS avg_monthly_sales,
+       CAST(prev_q AS DOUBLE) / 10000.0 AS psum,
+       CAST(next_q AS DOUBLE) / 10000.0 AS nsum
+FROM v2
+WHERE year_qsum > 0
+  AND abs(qsum * year_months - year_qsum) * 20 > year_qsum * year_months
+"""
+
+
+@query(
+    "ds05_moving_deviation", _DS05_ORACLE,
+    doc="TPC-DS Q47 shape: monthly sums vs window average with lag/lead neighbours",
+)
+def ds05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    v1 = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mon"),
+        )
+        .agg(F.sum(_q(F.col("l_extendedprice"))).alias("qsum"))
+    )
+    by_year = Window.partitionBy("p_brand", "yr")
+    ordered = Window.partitionBy("p_brand").orderBy("yr", "mon")
+    v2 = (
+        v1.withColumn("year_qsum", F.sum("qsum").over(by_year))
+        .withColumn("year_months", F.count(F.lit(1)).over(by_year))
+        .withColumn("prev_q", F.lag("qsum").over(ordered))
+        .withColumn("next_q", F.lead("qsum").over(ordered))
+    )
+    # deviation >5% stated in exact integer arithmetic:
+    # |qsum - year_qsum/year_months| > 0.05 * year_qsum/year_months
+    return (
+        v2.filter(
+            (F.col("year_qsum") > 0)
+            & (
+                F.abs(F.col("qsum") * F.col("year_months") - F.col("year_qsum")) * 20
+                > F.col("year_qsum") * F.col("year_months")
+            )
+        )
+        .select(
+            "p_brand",
+            F.col("yr").cast("int").alias("yr"),
+            F.col("mon").cast("int").alias("mon"),
+            (F.col("qsum").cast("double") / _Q).alias("sum_sales"),
+            (
+                F.col("year_qsum").cast("double") / F.col("year_months") / _Q
+            ).alias("avg_monthly_sales"),
+            (F.col("prev_q").cast("double") / _Q).alias("psum"),
+            (F.col("next_q").cast("double") / _Q).alias("nsum"),
+        )
+    )
+
+
+# --- ds06: TPC-DS Q70 — GROUPING() hierarchy rank ---------------------------
+# Rank within each rollup LEVEL (lochierarchy = grouping(a)+grouping(b)),
+# the shape Q36/Q70/Q86 share: the window partition key is derived from
+# GROUPING() flags, so subtotal rows rank against other subtotals only.
+
+_DS06_ORACLE = """
+WITH sums AS (
+  SELECT n_name, c_mktsegment,
+         GROUPING(n_name) + GROUPING(c_mktsegment) AS lochierarchy,
+         GROUPING(c_mktsegment) AS g_seg,
+         SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS qsum
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY ROLLUP (n_name, c_mktsegment))
+SELECT n_name, c_mktsegment,
+       CAST(lochierarchy AS INT) AS lochierarchy,
+       CAST(qsum AS DOUBLE) / 10000.0 AS total_sales,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY lochierarchy, CASE WHEN g_seg = 1 THEN n_name END
+         ORDER BY qsum DESC, n_name ASC NULLS FIRST,
+                  c_mktsegment ASC NULLS FIRST) AS INT) AS rank_within_parent
+FROM sums
+"""
+
+
+@query(
+    "ds06_grouping_rank", _DS06_ORACLE,
+    doc="TPC-DS Q70 shape: rank within GROUPING()-derived hierarchy level",
+)
+def ds06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sums = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            (F.grouping("n_name") + F.grouping("c_mktsegment")).alias("lochierarchy"),
+            F.grouping("c_mktsegment").alias("g_seg"),
+            F.sum(_q(F.col("o_totalprice"))).alias("qsum"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_seg") == 1, F.col("n_name")),
+    ).orderBy(
+        F.col("qsum").desc(),
+        F.col("n_name").asc_nulls_first(),
+        F.col("c_mktsegment").asc_nulls_first(),
+    )
+    return sums.select(
+        "n_name", "c_mktsegment",
+        F.col("lochierarchy").cast("int").alias("lochierarchy"),
+        (F.col("qsum").cast("double") / _Q).alias("total_sales"),
+        F.row_number().over(w).cast("int").alias("rank_within_parent"),
+    )
+
+
+# --- c06: ClickBench — pattern filter + grouped distinct-ish profile --------
+# The hits-table shape `WHERE URL LIKE '%x%' GROUP BY key ORDER BY cnt
+# LIMIT k` (ClickBench Q21-Q23): a pushed string predicate, a two-key
+# group, MIN/AVG profiles and a deterministic top-k via row_number.
+
+_C06_ORACLE = """
+WITH hits AS (
+  SELECT source, lang, doc_id, n_chars
+  FROM documents WHERE text LIKE '%data%'),
+grouped AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(doc_id) AS BIGINT) AS sample_doc,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+  FROM hits GROUP BY source, lang)
+SELECT source, lang, n, sample_doc, avg_chars
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, source, lang) AS rk
+  FROM grouped) t
+WHERE rk <= 20
+"""
+
+
+@query(
+    "c06_pattern_profile", _C06_ORACLE,
+    doc="ClickBench shape: pushed LIKE filter + grouped profile + top-k",
+)
+def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = (
+        docs.filter(F.col("text").like("%data%"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").cast("long").alias("sample_doc"),
+            (
+                F.sum(F.col("n_chars").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("source"), F.col("lang"))
+    return (
+        grouped.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("source", "lang", "n", "sample_doc", "avg_chars")
+    )
+
+
+# --- l01: LDBC SNB BI-1 — bucketed posting summary with share-of-total ------
+# The BI-1 shape (`benchmark/ldbc/bi-1.sql`): CASE-bucketed dimensions over
+# a time-filtered fact, count/avg/sum per bucket, and each bucket's share
+# of the filtered total via a window over the aggregate — one groupBy
+# shuffle plus one unpartitioned (single tiny row set) window.
+
+_L01_ORACLE = """
+WITH prep AS (
+  SELECT EXTRACT(year FROM ts) AS event_year,
+         event_type = 'purchase' AS is_purchase,
+         CASE WHEN value < 25 THEN 0
+              WHEN value < 50 THEN 1
+              WHEN value < 75 THEN 2
+              ELSE 3 END AS value_bucket,
+         value
+  FROM events WHERE event_type IS NOT NULL),
+agg AS (
+  SELECT event_year, is_purchase, value_bucket,
+         CAST(COUNT(*) AS BIGINT) AS event_count,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 10000.0 AS avg_value,
+         CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS sum_value
+  FROM prep GROUP BY 1, 2, 3)
+SELECT CAST(event_year AS INT) AS event_year, is_purchase,
+       CAST(value_bucket AS INT) AS value_bucket,
+       event_count, avg_value, sum_value,
+       CAST(event_count AS DOUBLE) / SUM(event_count) OVER () AS pct_of_events
+FROM agg
+"""
+
+
+@query(
+    "l01_posting_summary", _L01_ORACLE,
+    doc="LDBC BI-1 shape: bucketed summary + share-of-total window",
+)
+def l01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prep = ev.filter(F.col("event_type").isNotNull()).select(
+        F.year("ts").alias("event_year"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        F.when(F.col("value") < 25, 0)
+        .when(F.col("value") < 50, 1)
+        .when(F.col("value") < 75, 2)
+        .otherwise(3)
+        .alias("value_bucket"),
+        "value",
+    )
+    agg = prep.groupBy("event_year", "is_purchase", "value_bucket").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        (
+            F.sum(_q(F.col("value"))).cast("double") / F.count(F.lit(1)) / _Q
+        ).alias("avg_value"),
+        (F.sum(_q(F.col("value"))).cast("double") / _Q).alias("sum_value"),
+    )
+    return agg.select(
+        F.col("event_year").cast("int").alias("event_year"),
+        "is_purchase",
+        F.col("value_bucket").cast("int").alias("value_bucket"),
+        "event_count", "avg_value", "sum_value",
+        (
+            F.col("event_count").cast("double")
+            / F.sum("event_count").over(Window.partitionBy())
+        ).alias("pct_of_events"),
+    )

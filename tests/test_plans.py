@@ -90,6 +90,34 @@ def test_neardup_and_cohesion_are_not_all_pairs(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ds03_cumulative_channels", "ds04_rank_over_rollup",
+        "ds05_moving_deviation", "ds06_grouping_rank", "c06_pattern_profile",
+    ],
+)
+def test_benchmark_shapes_stay_hash_join_shaped(spark, sf_dir, name):
+    # TPC-DS/ClickBench window templates: rollups, window ranks and the
+    # Q51 full-outer must all lower to hash joins + window exchanges —
+    # no nested-loop/cartesian fallback anywhere
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ds05_single_window_shuffle(spark, sf_dir):
+    # the three ds05 windows share the p_brand partition key: the plan must
+    # not shuffle once per window function
+    plan = plan_of(spark, sf_dir, "ds05_moving_deviation")
+    import re as _re
+
+    exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
+    # one shuffle for the groupBy, at most two for the window chains
+    # (by_year and ordered share the brand prefix; Spark may fuse or keep 2)
+    assert exchanges <= 3, f"{exchanges} hash exchanges:\n{plan[:2000]}"
+
+
 def test_wholestage_codegen_active(spark, sf_dir):
     df = REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir)
     df.collect()  # AQE finalises the physical plan on execution
