@@ -39,6 +39,15 @@ def main() -> None:
     registry = load_all()
     headline = {name: spec for name, spec in registry.items() if spec.bench}
 
+    # cold pass FIRST: uncached parquet scans, cold JIT — what a fresh
+    # cluster sees on its first query batch. Recorded separately so
+    # round-over-round deltas can isolate plan work from cache warming.
+    cold: dict[str, float] = {}
+    for name in sorted(headline):
+        start = time.perf_counter()
+        headline[name].spark_fn(spark, sf_dir).collect()
+        cold[name] = round(time.perf_counter() - start, 4)
+
     # cache the corpus in executor memory: a long-running deployment serves
     # hot tables from the cluster cache (or OS page cache), not cold parquet;
     # the per-session DataFrame cache in load_table makes every query reuse
@@ -74,6 +83,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_value": round(sum(cold.values()), 4),
+                "cold_queries": cold,
                 "sf": sf,
                 "n_queries": len(timings),
             }
