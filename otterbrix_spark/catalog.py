@@ -422,15 +422,25 @@ class Catalog:
         if head == "COMMIT":
             staged, self._txn = self._txn, None
             if staged:
-                # phase 1: materialise every staged frame beside its table
-                pending = []
-                for name, frame in staged.items():
-                    pending.append((self.tables[name], frame))
-                for table, frame in pending:
-                    table.stage(frame)
-                # phase 2: swap all staged directories in
-                for table, _ in pending:
-                    table.commit_staged()
+                from contextlib import ExitStack
+
+                from otterbrix_spark.operators.dml import table_write_lock
+
+                # writer mutex on every touched table, acquired in sorted
+                # name order (deadlock-free against a concurrent engine
+                # committing an overlapping set), held across both phases
+                pending = [
+                    (self.tables[name], staged[name]) for name in sorted(staged)
+                ]
+                with ExitStack() as locks:
+                    for table, _ in pending:
+                        locks.enter_context(table_write_lock(table.path))
+                    # phase 1: materialise every staged frame beside its table
+                    for table, frame in pending:
+                        table.stage(frame)
+                    # phase 2: swap all staged directories in
+                    for table, _ in pending:
+                        table.commit_staged()
                 for name in staged:
                     self._register(self.tables[name])
             return self.spark.range(0).select(F.lit("COMMIT").alias("txn"))

@@ -23,16 +23,39 @@ validation joins (anti-join against parent keys), never driver-side loops.
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 class ConstraintViolation(Exception):
     pass
+
+
+@contextmanager
+def table_write_lock(path: str):
+    """Exclusive writer mutex for a table directory: an O_CREAT lock file
+    beside the table + ``flock(LOCK_EX)``. Two engines (threads OR
+    processes on the same host) cannot interleave stage/commit_staged — the
+    second writer blocks until the first's swap completes, which is what
+    makes the write-all-then-swap-all commit safe under concurrent engines.
+    This covers the reference's single-node transaction_manager scope
+    (`components/table/transaction_manager.hpp`); cross-HOST coordination
+    on a shared object store is the table format's job (Delta/Iceberg
+    optimistic commit) — the documented Delta seam."""
+    lock_path = path.rstrip("/") + ".lock"
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 class ManagedTable:
@@ -79,7 +102,8 @@ class ManagedTable:
                 ]
             )
         count = rows.count()
-        rows.write.mode("append").parquet(self.path)
+        with table_write_lock(self.path):
+            rows.write.mode("append").parquet(self.path)
         return self.df_of(rows) if returning else count
 
     @staticmethod
@@ -110,8 +134,9 @@ class ManagedTable:
         shutil.rmtree(old, ignore_errors=True)
 
     def _swap_in(self, new_df: DataFrame) -> None:
-        self.stage(new_df)
-        self.commit_staged()
+        with table_write_lock(self.path):
+            self.stage(new_df)
+            self.commit_staged()
 
     def update(
         self,

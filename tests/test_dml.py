@@ -192,3 +192,70 @@ def test_with_sequence_dense_multi_partition_no_global_window(spark):
     # every Window must either be partitioned or run on the tiny offsets side
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "spark_partition_id" in plan.lower() or "_pid" in plan
+
+
+# -- writer mutex (reference transaction_manager.hpp single-node scope) ------
+
+
+def test_swap_blocks_on_held_writer_lock(spark, tmp_path):
+    import fcntl
+    import os
+    import threading
+    import time
+
+    from otterbrix_spark.operators.dml import ManagedTable
+
+    path = str(tmp_path / "locked_table")
+    mt = ManagedTable.create(
+        spark, path, spark.range(5).toDF("id"), "locked_table"
+    )
+
+    # a second "engine" holds the writer lock on the same table directory
+    fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+
+    done = threading.Event()
+
+    def writer():
+        mt._swap_in(mt.df().filter("id < 3"))
+        done.set()
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    # while the lock is held, the swap must NOT complete
+    assert not done.wait(timeout=1.5), "swap proceeded under a held writer lock"
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
+    # released: the queued swap completes and the state is the new frame
+    assert done.wait(timeout=30), "swap never completed after lock release"
+    t.join()
+    assert mt.df().count() == 3
+
+
+def test_concurrent_inserts_serialise(spark, tmp_path):
+    import threading
+
+    from otterbrix_spark.operators.dml import ManagedTable
+
+    path = str(tmp_path / "conc_table")
+    mt = ManagedTable.create(
+        spark, path, spark.range(0).toDF("id"), "conc_table"
+    )
+    errors = []
+
+    def insert_batch(offset: int):
+        try:
+            for i in range(3):
+                mt.insert(spark.range(offset + i * 10, offset + i * 10 + 5).toDF("id"))
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [threading.Thread(target=insert_batch, args=(k,)) for k in (100, 200)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # every appended row is present exactly once
+    assert mt.df().count() == 30
+    assert mt.df().select("id").distinct().count() == 30
