@@ -255,6 +255,11 @@ class Catalog:
         # nextval in the session is an error, not start-1)
         self.sequences: dict[str, int] = {}
         self._seq_last: dict[str, int] = {}
+        # registered databases (reference CREATE DATABASE namespaces —
+        # dispatcher scopes every collection as database.collection). Spark
+        # temp views are single-part, so db.table canonicalizes to db__table
+        # at the statement boundary (see canonicalize()).
+        self.databases: set[str] = set()
         # user types (reference CREATE TYPE, transformer.cpp:75-80):
         # name -> {"kind": "enum", "labels": [...]} |
         #         {"kind": "composite", "fields": [(name, pg_type), ...]}
@@ -397,6 +402,24 @@ class Catalog:
         except Exception:
             self.table_constraints[name].pop()
             raise
+
+    def canonicalize(self, sql: str) -> str:
+        """``db.table`` -> ``db__table`` for every registered database
+        (reference tests address all collections as database.collection,
+        e.g. `t.acc`, `AggDb.child`; Spark temp views are single-part).
+        String literals are protected; a bare ``alias.column`` reference is
+        untouched unless the alias shadows a registered database name."""
+        if not self.databases:
+            return sql
+        from otterbrix_spark.dialect import _protect_strings, _restore_strings
+
+        body, lits = _protect_strings(sql)
+        for db in sorted(self.databases, key=len, reverse=True):
+            body = re.sub(
+                rf"\b({re.escape(db)})\.(\w+)", r"\1__\2", body,
+                flags=re.IGNORECASE,
+            )
+        return _restore_strings(body, lits)
 
     def route(self, sql: str) -> DataFrame:
         head = sql.strip().rstrip(";").upper()
@@ -602,7 +625,10 @@ class Catalog:
             return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
         if re.search(r"\b(nextval|currval)\s*\(", sql, re.IGNORECASE):
             def sub_seq(mm: re.Match) -> str:
-                fn, name = mm.group(1).lower(), mm.group(2)
+                # sequence names live inside string literals, which
+                # canonicalize() protects — normalise db.seq here instead
+                fn = mm.group(1).lower()
+                name = mm.group(2).replace(".", "__")
                 if name not in self.sequences:
                     raise ValueError(f"unknown sequence: {name}")
                 value = self.sequences[name]
@@ -617,16 +643,22 @@ class Catalog:
                 return str(self._seq_last[name])
 
             sql = re.sub(
-                r"\b(nextval|currval)\s*\(\s*'(\w+)'\s*\)", sub_seq, sql,
+                r"\b(nextval|currval)\s*\(\s*'([\w.]+)'\s*\)", sub_seq, sql,
                 flags=re.IGNORECASE,
             )
             return self.route(sql)
 
         m = _CREATE_DATABASE.match(sql)
         if m:
-            # reference CREATE DATABASE scopes collections; managed tables
-            # here are session-scoped, so the statement is an accepted no-op
-            return self.spark.range(0).select(F.lit(m.group(2)).alias(m.group(1).lower()))
+            # reference CREATE DATABASE scopes collections as db.table;
+            # registering the name arms canonicalize()'s db.table ->
+            # db__table rewrite for every later statement
+            verb, name = m.group(1).lower(), m.group(2)
+            if verb == "create":
+                self.databases.add(name.lower())
+            else:
+                self.databases.discard(name.lower())
+            return self.spark.range(0).select(F.lit(name).alias(verb))
 
         m = _CREATE_TABLE.match(sql)
         if m:

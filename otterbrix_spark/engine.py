@@ -49,7 +49,7 @@ class Engine:
             for stmt in statements:
                 cur = self.execute_sql(stmt, *params)
             return cur
-        body = rewrite(sql)
+        body = self.catalog.canonicalize(rewrite(sql))
         if params:
             if self.catalog.handles(body):
                 # routed statements (DML/DDL on managed tables, SET ...) go

@@ -183,3 +183,55 @@ def test_drop_constraint(engine):
     engine.sql("INSERT INTO dcon VALUES (-1)")
     assert engine.sql("SELECT COUNT(*) AS c FROM dcon").collect()[0][0] == 1
     engine.sql("DROP TABLE dcon")
+
+
+# -- dotted database.table names (reference dispatcher scoping: every -------
+# -- collection is addressed as database.collection, e.g. t.acc) ------------
+
+
+def test_dotted_names_check_constraint_flow(engine):
+    # the exact reference flow from test_correctness_bugs.cpp:410-476
+    engine.sql("CREATE DATABASE t")
+    engine.sql("CREATE TABLE t.acc (id bigint, age bigint)")
+    engine.sql("ALTER TABLE t.acc ADD CONSTRAINT chk_age CHECK (age > 0)")
+    with pytest.raises(ConstraintViolation):
+        engine.sql("INSERT INTO t.acc (id, age) VALUES (1, -5)")
+    assert engine.sql("SELECT COUNT(id) AS c FROM t.acc").collect()[0][0] == 0
+    engine.sql("INSERT INTO t.acc (id, age) VALUES (1, 42)")
+    assert engine.sql("SELECT COUNT(id) AS c FROM t.acc").collect()[0][0] == 1
+    assert engine.sql("SELECT id FROM t.acc WHERE id = 1").collect()[0][0] == 1
+    engine.sql("DROP TABLE t.acc")
+
+
+def test_dotted_names_fk_cascade_flow(engine):
+    # mirrors test_large_aggregate_dml.cpp:211-260 (AggDb.parent/child)
+    engine.sql("CREATE DATABASE AggDb")
+    engine.sql("CREATE TABLE AggDb.parent (id bigint, name text)")
+    engine.sql("CREATE TABLE AggDb.child (id bigint, parent_id bigint)")
+    engine.sql(
+        "ALTER TABLE AggDb.child ADD CONSTRAINT fk_c "
+        "FOREIGN KEY (parent_id) REFERENCES AggDb.parent (id) ON DELETE CASCADE"
+    )
+    engine.sql("INSERT INTO AggDb.parent VALUES (1, 'p'), (2, 'q')")
+    engine.sql("INSERT INTO AggDb.child VALUES (10, 1), (20, 2), (21, 2)")
+    engine.sql("DELETE FROM AggDb.parent WHERE id = 2")
+    assert engine.sql("SELECT COUNT(*) AS c FROM AggDb.child").collect()[0][0] == 1
+    engine.sql("DROP TABLE AggDb.child")
+    engine.sql("DROP TABLE AggDb.parent")
+
+
+def test_dotted_names_join_and_sequence(engine):
+    engine.sql("CREATE DATABASE ddb")
+    engine.sql("CREATE SEQUENCE ddb.ids START 5")
+    engine.sql("CREATE TABLE ddb.a AS SELECT n_nationkey, n_name FROM nation")
+    engine.sql("CREATE TABLE ddb.b AS SELECT n_nationkey, n_regionkey FROM nation")
+    got = engine.sql(
+        "SELECT COUNT(*) AS c FROM ddb.a JOIN ddb.b "
+        "ON ddb.a.n_nationkey = ddb.b.n_nationkey"
+    ).collect()[0][0]
+    assert got == 25
+    assert engine.sql("SELECT nextval('ddb.ids') AS v").collect()[0][0] == 5
+    assert engine.sql("SELECT currval('ddb.ids') AS v").collect()[0][0] == 5
+    engine.sql("DROP TABLE ddb.a")
+    engine.sql("DROP TABLE ddb.b")
+    engine.sql("DROP SEQUENCE ddb.ids")
