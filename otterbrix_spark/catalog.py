@@ -218,6 +218,39 @@ def _split_set_list(set_clause: str) -> dict[str, str]:
     return out
 
 
+_CREATE_FUNCTION = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([\w.]+)\s*\(([^)]*)\)\s*"
+    r"RETURNS\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s+"
+    r"(?:AS\s+('(?:[^']|'')*')|RETURN\s+(.+))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FUNCTION = re.compile(
+    r"^\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:\(\s*[^)]*\))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _macro_expr(body_literal: str | None, return_expr: str | None,
+                param_names: list[str]) -> str:
+    """Reference CREATE FUNCTION bodies are lambda strings
+    (``'x -> x * 2'``, test_sql_features.cpp:4478) lowered to SQL-body
+    substitution (transform_macro.cpp); Spark ≥3.4 SQL UDFs take
+    ``RETURN <expr>``. Formal lambda names map positionally onto the
+    declared parameter names."""
+    if return_expr is not None:
+        return return_expr.strip()
+    text = body_literal.strip()[1:-1].replace("''", "'").strip()
+    m = re.match(r"^\(?\s*([\w\s,]+?)\s*\)?\s*->\s*(.*)$", text, re.DOTALL)
+    if not m:
+        return text  # plain expression body
+    formals = [p.strip() for p in m.group(1).split(",")]
+    expr = m.group(2).strip()
+    for formal, declared in zip(formals, param_names):
+        if formal != declared:
+            expr = re.sub(rf"\b{re.escape(formal)}\b", declared, expr)
+    return expr
+
+
 def _parse_constraint_body(cname: str, body: str) -> dict:
     """CHECK (...) / FOREIGN KEY (c) REFERENCES p (k) [ON DELETE ...] ->
     constraint record (reference transformer constraint nodes)."""
@@ -270,6 +303,12 @@ class Catalog:
         #  "on_delete"} — enforced on child INSERT/UPDATE (anti-join lookup)
         # and parent DELETE (restrict check or cascade)
         self.table_constraints: dict[str, list[dict]] = {}
+        # persisted SQL functions (reference pg_proc rows,
+        # operator_register_udf.cpp): name -> definition, stored beside the
+        # tables in _functions.json and replayed on engine start so a second
+        # Engine over the same table_dir sees them
+        self.functions: dict[str, dict] = {}
+        self._replay_functions()
         # active transaction: table name -> staged (uncommitted) frame.
         # None = autocommit. Staged frames are lazy plans over the
         # unchanged on-disk state, so ROLLBACK is free and COMMIT
@@ -402,6 +441,39 @@ class Catalog:
         except Exception:
             self.table_constraints[name].pop()
             raise
+
+    # -- persisted SQL functions (pg_proc analogue) --------------------------
+
+    def _functions_path(self) -> str:
+        return os.path.join(self.base_dir, "_functions.json")
+
+    def _register_function(self, name: str, params: list[str],
+                           returns: str, expr: str) -> None:
+        plist = ", ".join(params)
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({plist}) "
+            f"RETURNS {returns} RETURN {expr}"
+        )
+        self.functions[name] = {
+            "params": params, "returns": returns, "expr": expr,
+        }
+
+    def _save_functions(self) -> None:
+        import json
+
+        with open(self._functions_path(), "w") as fh:
+            json.dump(self.functions, fh, indent=1)
+
+    def _replay_functions(self) -> None:
+        import json
+
+        path = self._functions_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as fh:
+            saved = json.load(fh)
+        for name, d in saved.items():
+            self._register_function(name, d["params"], d["returns"], d["expr"])
 
     def canonicalize(self, sql: str) -> str:
         """``db.table`` -> ``db__table`` for every registered database
@@ -565,6 +637,35 @@ class Catalog:
             name, body = m.group(1), m.group(2)
             self.spark.sql(body).createOrReplaceTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
+
+        # CREATE FUNCTION (reference transform_macro.cpp: SQL-body macros,
+        # persisted as pg_proc rows by operator_register_udf.cpp —
+        # definitions land in _functions.json and survive engine restarts)
+        m = _CREATE_FUNCTION.match(sql)
+        if m:
+            name, raw_params, returns, body_lit, ret_expr = m.groups()
+            params, names = [], []
+            for part in _split_top_level(raw_params):
+                words = part.strip().split(None, 1)
+                if not words:
+                    continue
+                pname = words[0]
+                ptype = _pg_type_to_ddl(words[1], self.types) if len(words) > 1 else "double"
+                params.append(f"{pname} {ptype}")
+                names.append(pname)
+            expr = _macro_expr(body_lit, ret_expr, names)
+            self._register_function(
+                name, params, _pg_type_to_ddl(returns, self.types), expr
+            )
+            self._save_functions()
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+        m = _DROP_FUNCTION.match(sql)
+        if m:
+            name = m.group(1)
+            if self.functions.pop(name, None) is not None:
+                self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+                self._save_functions()
+            return self.spark.range(0).select(F.lit(name).alias("dropped"))
 
         # CREATE TYPE (reference T_CreateEnumStmt / T_CompositeTypeStmt,
         # transformer.cpp:75-80; test_collection_sql.cpp:668-684): enum ->
@@ -940,5 +1041,7 @@ class Catalog:
                 "CREATE DATABASE", "DROP DATABASE",
                 "CREATE SEQUENCE", "DROP SEQUENCE",
                 "CREATE TYPE", "DROP TYPE",
+                "CREATE FUNCTION", "CREATE OR REPLACE FUNCTION",
+                "DROP FUNCTION",
             )
         )
