@@ -288,6 +288,7 @@ class Catalog:
         # nextval in the session is an error, not start-1)
         self.sequences: dict[str, int] = {}
         self._seq_last: dict[str, int] = {}
+        self._seq_step: dict[str, int] = {}
         # registered databases (reference CREATE DATABASE namespaces —
         # dispatcher scopes every collection as database.collection). Spark
         # temp views are single-part, so db.table canonicalizes to db__table
@@ -712,12 +713,14 @@ class Catalog:
         # evaluation over a large SELECT is with_sequence's job)
         m = re.match(
             r"^\s*CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
-            r"(?:\s+START\s+(?:WITH\s+)?(\d+))?\s*$",
+            r"(?:\s+START\s+(?:WITH\s+)?(-?\d+))?"
+            r"(?:\s+INCREMENT\s+(?:BY\s+)?(-?\d+))?\s*$",
             sql, re.IGNORECASE,
         )
         if m:
             name, start = m.group(1), int(m.group(2) or 1)
             self.sequences.setdefault(name, start)
+            self._seq_step[name] = int(m.group(3) or 1)
             return self.spark.range(0).select(F.lit(name).alias("created"))
         m = re.match(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", sql, re.IGNORECASE)
         if m:
@@ -734,7 +737,7 @@ class Catalog:
                     raise ValueError(f"unknown sequence: {name}")
                 value = self.sequences[name]
                 if fn == "nextval":
-                    self.sequences[name] = value + 1
+                    self.sequences[name] = value + self._seq_step.get(name, 1)
                     self._seq_last[name] = value
                     return str(value)
                 if name not in self._seq_last:

@@ -436,3 +436,12 @@ def test_create_type_composite_nested(engine):
 def test_create_type_unknown_member_rejected(engine):
     with pytest.raises(ValueError, match="unsupported column type"):
         engine.sql("CREATE TYPE badt AS (f1 nosuchtype)")
+
+
+def test_sequence_increment_by(engine):
+    # reference: CREATE SEQUENCE DdlEmptyDb.ddl_seq START 10 INCREMENT 2
+    # (test_sql_features.cpp:4471)
+    engine.sql("CREATE SEQUENCE stepped START 10 INCREMENT 2")
+    vals = [engine.sql("SELECT nextval('stepped') AS v").collect()[0][0] for _ in range(3)]
+    assert vals == [10, 12, 14]
+    engine.sql("DROP SEQUENCE stepped")

@@ -83,3 +83,67 @@ def test_streaming_sessionize_timeout_flush_equals_batch(spark, sf_dir):
         for r in result.collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data discipline: an event arriving after the watermark has
+    passed its window must be DROPPED from the append-mode aggregate (the
+    semantics SURVEY §2.11 promises for late data; the reference's
+    push-based pipeline has no event-time, so this is the Spark-first
+    superset behaviour). Two micro-batches (maxFilesPerTrigger=1): batch 1
+    advances the watermark; batch 2 carries one too-late event (must not
+    count) and one in-time event (must count)."""
+    import os
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import Row, functions as F
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    base_us = 1_600_002_000_000_000  # hour-aligned event-time anchor (µs)
+    hour_us = 3_600_000_000
+
+    def write_file(name: str, rows: list[tuple[int, int]]) -> None:
+        df = spark.createDataFrame(
+            [Row(event_id=i, ts_us=ts) for i, ts in rows]
+        ).select(
+            "event_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(os.path.join(landing, name))
+
+    # batch 1: three events in hour 0 and one in hour 5 — max event time
+    # hour 5 sets the watermark to hour 4 under a 1-hour delay, which takes
+    # effect from batch 2 on (watermarks commit at batch boundaries)
+    write_file("b1", [(1, base_us), (2, base_us + 1), (3, base_us + 2),
+                      (4, base_us + 5 * hour_us)])
+    time.sleep(1.1)  # file order = modification time order
+    # batch 2: an in-time hour-5 event; the hour-0 window (end < watermark)
+    # finalises and its state evicts at this boundary
+    write_file("b2", [(6, base_us + 5 * hour_us + 1)])
+    time.sleep(1.1)
+    # batch 3: one event back in hour 0 (LATE: watermark passed hour 4 two
+    # batches ago — must be dropped) plus a far-future flush event so every
+    # interesting window closes and append mode emits it
+    write_file("b3", [(5, base_us + 3), (7, base_us + 20 * hour_us)])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("window.start")).alias("win"), "n")
+    )
+    name = f"late_{_uuid.uuid4().hex[:8]}"
+    result = run_available_now(agg, name, output_mode="append")
+    counts = {r["win"]: r["n"] for r in result.collect()}
+    hour0 = base_us // 1_000_000
+    hour5 = hour0 + 5 * 3600
+    # hour-0 window: the 3 on-time events only — the late event 5 is dropped
+    assert counts[hour0] == 3
+    # hour-5 window: both events (the second arrived within the watermark)
+    assert counts[hour5] == 2
