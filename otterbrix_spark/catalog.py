@@ -728,6 +728,45 @@ class Catalog:
             self._seq_last.pop(m.group(1), None)
             return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
         if re.search(r"\b(nextval|currval)\s*\(", sql, re.IGNORECASE):
+            # per-row nextval: INSERT ... SELECT nextval('s'), ... FROM src
+            # assigns a DISTINCT value per source row (PG sequence
+            # semantics), not one statement-level constant. Lowered to a
+            # row_number window; the sequence advances by the inserted row
+            # count. PG's nextval is itself a serialised counter, so the
+            # single-partition window mirrors its semantics — the scale
+            # path for bulk id assignment is with_sequence's
+            # partition-offset renumbering (operators/dml.py).
+            per_row = re.match(
+                r"^\s*INSERT\s+INTO\s+[\w.]+\s+(?:\([^)]*\)\s*)?SELECT\b",
+                sql, re.IGNORECASE,
+            ) and re.search(r"\bFROM\b", sql, re.IGNORECASE)
+            if per_row and re.search(r"\bnextval\s*\(", sql, re.IGNORECASE):
+                used: list[str] = []
+
+                def sub_row(mm: re.Match) -> str:
+                    name = mm.group(1).replace(".", "__")
+                    if name not in self.sequences:
+                        raise ValueError(f"unknown sequence: {name}")
+                    used.append(name)
+                    start = self.sequences[name]
+                    step = self._seq_step.get(name, 1)
+                    return (
+                        f"({start} + (ROW_NUMBER() OVER "
+                        f"(ORDER BY monotonically_increasing_id()) - 1) * {step})"
+                    )
+
+                rewritten = re.sub(
+                    r"\bnextval\s*\(\s*'([\w.]+)'\s*\)", sub_row, sql,
+                    flags=re.IGNORECASE,
+                )
+                result = self.route(rewritten)
+                n = result.collect()[0][0] if result.columns == ["inserted"] else result.count()
+                for name in set(used):
+                    step = self._seq_step.get(name, 1)
+                    self.sequences[name] += int(n) * step
+                    self._seq_last[name] = self.sequences[name] - step
+                return result
+
             def sub_seq(mm: re.Match) -> str:
                 # sequence names live inside string literals, which
                 # canonicalize() protects — normalise db.seq here instead

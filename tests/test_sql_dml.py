@@ -445,3 +445,21 @@ def test_sequence_increment_by(engine):
     vals = [engine.sql("SELECT nextval('stepped') AS v").collect()[0][0] for _ in range(3)]
     assert vals == [10, 12, 14]
     engine.sql("DROP SEQUENCE stepped")
+
+
+def test_per_row_nextval_in_insert_select(engine):
+    # PG semantics: every source row gets a DISTINCT sequence value
+    engine.sql("CREATE SEQUENCE rowids START 100")
+    engine.sql(
+        "CREATE TABLE seq_rows AS SELECT CAST(-1 AS BIGINT) AS id, n_name AS nm "
+        "FROM nation WHERE 1 = 0"
+    )
+    engine.sql("INSERT INTO seq_rows SELECT nextval('rowids'), n_name FROM nation")
+    rows = engine.sql("SELECT id FROM seq_rows").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == list(range(100, 125))  # 25 nations, distinct consecutive ids
+    # statement-level nextval continues AFTER the bulk assignment
+    assert engine.sql("SELECT nextval('rowids') AS v").collect()[0][0] == 125
+    assert engine.sql("SELECT currval('rowids') AS v").collect()[0][0] == 125
+    engine.sql("DROP TABLE seq_rows")
+    engine.sql("DROP SEQUENCE rowids")
