@@ -432,3 +432,186 @@ def l01(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("event_count").over(Window.partitionBy())
         ).alias("pct_of_events"),
     )
+
+
+# --- c07: ClickBench — multiple COUNT(DISTINCT) per group -------------------
+# The hits-table shape `SELECT key, COUNT(DISTINCT UserID), COUNT(DISTINCT
+# SearchPhrase) ... GROUP BY key` (ClickBench Q16-Q19 family): several
+# distinct aggregates in one pass lower to Spark's Expand operator (one
+# replicated row per distinct column, map-side partial dedup before the
+# shuffle) — the multi-distinct plan that matters when each distinct
+# column alone is too big to two-pass.
+
+_C07_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT)) AS BIGINT)
+         AS distinct_values,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "c07_multi_distinct", _C07_ORACLE,
+    doc="ClickBench shape: multiple COUNT(DISTINCT) per group (Expand plan)",
+)
+def c07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct(F.floor("value").cast("long")).alias("distinct_values"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- l02: LDBC SNB BI-2 — tag evolution (split-window counts) ---------------
+# The BI-2 shape (`benchmark/ldbc/bi-2.sql`): one scan of the fact windowed
+# into two adjacent periods with conditional COUNTs, LEFT JOINed back onto
+# the dimension so tags silent in BOTH periods still appear with 0/0, ordered
+# by absolute difference. Period splitting happens INSIDE the aggregate
+# (count(CASE WHEN ...)) — one fact scan, one shuffle on the tag key; the
+# dimension side is tiny and broadcast. At 100 TB the fact scan prunes to the
+# [start, end) range via the pushed timestamp filter before any shuffle.
+
+_L02_ORACLE = """
+WITH dim AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+detail AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00'
+                         THEN event_id END) AS BIGINT) AS count_p1,
+         CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                         THEN event_id END) AS BIGINT) AS count_p2
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-31 00:00:00'
+    AND event_type IS NOT NULL
+  GROUP BY event_type
+)
+SELECT dim.event_type,
+       COALESCE(count_p1, 0) AS count_p1,
+       COALESCE(count_p2, 0) AS count_p2,
+       ABS(COALESCE(count_p1, 0) - COALESCE(count_p2, 0)) AS diff
+FROM dim LEFT JOIN detail ON dim.event_type = detail.event_type
+ORDER BY diff DESC, dim.event_type
+LIMIT 100
+"""
+
+
+@query(
+    "l02_tag_evolution", _L02_ORACLE,
+    doc="LDBC BI-2 shape: adjacent-period conditional counts + left join to dim",
+)
+def l02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    in_range = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-31 00:00:00").cast("timestamp"))
+        & F.col("event_type").isNotNull()
+    )
+    detail = in_range.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < split, F.col("event_id"))).alias("count_p1"),
+        F.count(F.when(F.col("ts") >= split, F.col("event_id"))).alias("count_p2"),
+    )
+    dim = (
+        ev.filter(F.col("event_type").isNotNull())
+        .select("event_type").distinct()
+    )
+    joined = dim.join(detail, "event_type", "left").select(
+        "event_type",
+        F.coalesce("count_p1", F.lit(0)).alias("count_p1"),
+        F.coalesce("count_p2", F.lit(0)).alias("count_p2"),
+        F.abs(
+            F.coalesce("count_p1", F.lit(0)) - F.coalesce("count_p2", F.lit(0))
+        ).alias("diff"),
+    )
+    return joined.orderBy(F.desc("diff"), "event_type").limit(100)
+
+
+# --- l03: LDBC SNB BI-8 — central person scoring (full join of aggregates) --
+# The BI-8 shape (`benchmark/ldbc/bi-8.sql`): two independent per-person
+# scores (interest membership -> +100; message count in a window) FULL OUTER
+# joined so a person with either score survives, then each person's score is
+# augmented with the sum of their peers' scores. The reference's peer step is
+# a LEFT JOIN through the knows edge list; re-expressed here with nation
+# as the peer group, which admits the scale-safe rewrite: peer-sum = one
+# groupBy(nation) of scores, then friend_score = nation_total - own score —
+# linear, no self-join fan-out, same result as summing each peer list.
+
+_L03_ORACLE = """
+WITH interested AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+msg_score AS (
+  SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS message_score
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+  GROUP BY o_custkey
+),
+person_score AS (
+  SELECT COALESCE(i.c_custkey, m.c_custkey) AS c_custkey,
+         CAST(CASE WHEN i.c_custkey IS NULL THEN 0 ELSE 100 END
+              + COALESCE(m.message_score, 0) AS BIGINT) AS score
+  FROM interested i FULL JOIN msg_score m ON i.c_custkey = m.c_custkey
+),
+with_nation AS (
+  SELECT p.c_custkey, p.score, c.c_nationkey
+  FROM person_score p JOIN customer c ON p.c_custkey = c.c_custkey
+),
+nation_total AS (
+  SELECT c_nationkey, CAST(SUM(score) AS BIGINT) AS total
+  FROM with_nation GROUP BY c_nationkey
+)
+SELECT w.c_custkey, w.score,
+       CAST(n.total - w.score AS BIGINT) AS friends_score
+FROM with_nation w JOIN nation_total n ON w.c_nationkey = n.c_nationkey
+ORDER BY w.score + (n.total - w.score) DESC, w.c_custkey
+LIMIT 100
+"""
+
+
+@query(
+    "l03_central_person", _L03_ORACLE,
+    doc="LDBC BI-8 shape: full join of score CTEs + linear peer-sum rewrite",
+)
+def l03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    interested = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("i_custkey")
+    )
+    msg = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_custkey").alias("m_custkey"))
+        .agg(F.count(F.lit(1)).alias("message_score"))
+    )
+    person = interested.join(
+        msg, interested["i_custkey"] == msg["m_custkey"], "full"
+    ).select(
+        F.coalesce("i_custkey", "m_custkey").alias("c_custkey"),
+        (
+            F.when(F.col("i_custkey").isNull(), F.lit(0)).otherwise(F.lit(100))
+            + F.coalesce("message_score", F.lit(0))
+        ).cast("long").alias("score"),
+    )
+    with_nation = person.join(
+        cust.select("c_custkey", "c_nationkey"), "c_custkey"
+    )
+    totals = with_nation.groupBy("c_nationkey").agg(
+        F.sum("score").alias("total")
+    )
+    return (
+        with_nation.join(totals, "c_nationkey")
+        .select(
+            "c_custkey", "score",
+            (F.col("total") - F.col("score")).cast("long").alias("friends_score"),
+        )
+        .orderBy(F.desc(F.col("score") + F.col("friends_score")), "c_custkey")
+        .limit(100)
+    )

@@ -246,6 +246,109 @@ def e03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- e05: IVF multi-probe ANN (nprobe=2) ------------------------------------
+# The recall upgrade over e03: each query probes its TOP-2 nearest centroid
+# lists instead of only its own. The probe set is tiny (queries × centroids,
+# broadcast) and the search remains one equi-join of the assigned corpus
+# against the exploded (query, probed-list) pairs — at a billion vectors the
+# scanned fraction is nprobe/nlists regardless of corpus size, which is the
+# whole point of IVF (reference ships ANN search in its vector service;
+# plan shape per the FAISS IVF design, Johnson et al. 2017).
+
+_E05_NPROBE = 2
+
+_E05_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id % 63 = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, cent.cv)
+                                       / (n.nrm * cent.cn) DESC, cent.cid) AS rk
+    FROM n CROSS JOIN cent
+  ) WHERE rk = 1
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT n.vec_id AS query_id, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.v, cent.cv)
+                                       / (n.nrm * cent.cn) DESC, cent.cid) AS rk
+    FROM n CROSS JOIN cent WHERE n.vec_id < 5
+  ) WHERE rk <= {_E05_NPROBE}
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(n.v, q.qv) / (n.nrm * q.qn) AS cos
+  FROM n
+  JOIN assign ON n.vec_id = assign.vec_id
+  JOIN probe ON assign.cid = probe.cid
+  JOIN q ON probe.query_id = q.query_id
+  WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
+@query(
+    "e05_knn_ivf_nprobe", _E05_ORACLE,
+    doc="IVF multi-probe ANN: top-2 centroid lists per query, equi-join search",
+)
+def e05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from otterbrix_spark.llm.similarity import DOT, prepare
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = prepare(emb)
+    cent = corpus.filter(F.col("vec_id") % 63 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored_cent = corpus.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", F.expr(DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    ranked = scored_cent.withColumn("rk", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rk") == 1).select("vec_id", "cid")
+    # queries probe their top-nprobe lists (query side is tiny -> broadcast)
+    probe = (
+        ranked.filter((F.col("vec_id") < 5) & (F.col("rk") <= _E05_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    probe_q = probe.join(queries, "query_id")
+    scored = (
+        corpus.join(assign, "vec_id")
+        .join(F.broadcast(probe_q), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.expr(DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qn"))
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # --- f03: windowed sequence funnel (ClickHouse windowFunnel semantics) ------
 # Max step level reachable through events in time order within a 30-minute
 # window from the chain's first step. Pure window functions: each event
