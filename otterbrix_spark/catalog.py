@@ -64,6 +64,14 @@ _PG_SCALAR_TYPES = {
     "string": "string", "uuid": "string",
     "date": "date", "timestamp": "timestamp_ntz",
     "timestamptz": "timestamp", "timestamp with time zone": "timestamp",
+    # PG TIME (+ the deprecated timetz): Spark 4.1 TIME, enabled by the
+    # session flag spark.sql.timeType.enabled (session.py). TZ-less like PG.
+    "time": "time", "timetz": "time", "time with time zone": "time",
+    "time without time zone": "time",
+    # PG interval: Spark's day-time interval (PG-style '2 days 3 hours'
+    # literals parse natively; year-month parts need a separate column type
+    # in Spark and are out of scope like the reference's month arithmetic)
+    "interval": "interval day to second",
     "blob": "binary", "bytea": "binary",
 }
 

@@ -59,6 +59,10 @@ def get_spark(
         # no nanosecond timestamp, so scan them as epoch-nano longs and let
         # sources.registry normalise to microsecond timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PG TIME / TIME WITH TIME ZONE columns (reference
+        # test_sql_features.cpp TIME comparisons) map to Spark 4.1's TIME
+        # type, which ships behind this flag
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     for key, value in (extra_conf or {}).items():
@@ -80,6 +84,7 @@ def configure_session(spark: SparkSession) -> None:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.timeType.enabled", "true"),
     ):
         try:
             spark.conf.set(key, value)

@@ -463,3 +463,38 @@ def test_per_row_nextval_in_insert_select(engine):
     assert engine.sql("SELECT currval('rowids') AS v").collect()[0][0] == 125
     engine.sql("DROP TABLE seq_rows")
     engine.sql("DROP SEQUENCE rowids")
+
+
+def test_time_type_columns(engine):
+    # reference test_sql_features.cpp: TIME / TIME WITH TIME ZONE columns
+    # compared against TIME literals (Spark 4.1 TIME type, enabled by
+    # spark.sql.timeType.enabled in session.py; TZ-less like PG's time)
+    engine.sql(
+        "CREATE TABLE shifts (id int, start_t time, end_t time with time zone)"
+    )
+    engine.sql("INSERT INTO shifts VALUES (1, TIME '09:00:00', TIME '17:00:00')")
+    engine.sql("INSERT INTO shifts VALUES (2, TIME '12:30:15', TIME '20:45:00')")
+    pick = lambda sql: sorted(r["id"] for r in engine.sql(sql).collect())
+    assert pick("SELECT id FROM shifts WHERE start_t = TIME '12:30:15'") == [2]
+    assert pick("SELECT id FROM shifts WHERE start_t < TIME '10:00:00'") == [1]
+    assert pick("SELECT id FROM shifts WHERE end_t > TIME '18:00:00'") == [2]
+    # string literals coerce to the declared TIME column on insert
+    engine.sql("INSERT INTO shifts VALUES (3, '23:59:59', '00:00:01')")
+    assert pick("SELECT id FROM shifts WHERE start_t > TIME '23:00:00'") == [3]
+    engine.sql("DROP TABLE shifts")
+
+
+def test_interval_type_columns(engine):
+    # reference test_sql_features.cpp: "WHERE greater than on INTERVAL" —
+    # PG interval maps to Spark's day-time interval; PG-style multi-unit
+    # literals (INTERVAL '1 day 2 hours') parse natively
+    engine.sql("CREATE TABLE spans (id int, dur interval)")
+    engine.sql("INSERT INTO spans VALUES (1, INTERVAL '2 hours')")
+    engine.sql("INSERT INTO spans VALUES (2, INTERVAL '1 day 2 hours')")
+    pick = lambda sql: sorted(r["id"] for r in engine.sql(sql).collect())
+    assert pick("SELECT id FROM spans WHERE dur > INTERVAL '1 day'") == [2]
+    assert pick("SELECT id FROM spans WHERE dur = INTERVAL '2 hours'") == [1]
+    import datetime
+    rows = dict(engine.sql("SELECT id, dur FROM spans").collect())
+    assert rows[2] == datetime.timedelta(days=1, hours=2)
+    engine.sql("DROP TABLE spans")
