@@ -167,3 +167,38 @@ def test_c05_topk_lowered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "c05_top_users")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["c07_multi_distinct", "l02_tag_evolution", "l03_central_person",
+     "e05_knn_ivf_nprobe"],
+)
+def test_round3_shapes_no_nested_loop(spark, sf_dir, name):
+    # c07's Expand multi-distinct, the LDBC split-count/full-join scoring
+    # shapes and the multi-probe IVF search must all stay equi-join +
+    # exchange shaped (the IVF probe/centroid sides are broadcast)
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    if name != "e05_knn_ivf_nprobe":
+        # e05's assign step IS a deliberate broadcast corpus x centroids
+        # (standard IVF: nlists is fixed and tiny); everything else bans BNLJ
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_c07_lowered_to_expand(spark, sf_dir):
+    # multiple COUNT(DISTINCT) in one aggregation: Spark's Expand plan —
+    # one replicated-row pass with partial dedup, not N self-joined scans
+    plan = plan_of(spark, sf_dir, "c07_multi_distinct")
+    assert "Expand" in plan
+    # formatted explain prints each node in the tree AND the details
+    # section — one physical scan == exactly two mentions
+    assert plan.count("Scan parquet") == 2
+
+
+def test_l03_peer_sum_is_linear(spark, sf_dir):
+    # the BI-8 friend-score rewrite: peer totals come from one groupBy and
+    # join back — no person x person self-join fan-out anywhere in the plan
+    plan = plan_of(spark, sf_dir, "l03_central_person")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # map-side combine on the nation totals
