@@ -615,3 +615,134 @@ def l03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.col("score") + F.col("friends_score")), "c_custkey")
         .limit(100)
     )
+
+
+# --- b03: JOB — fact self-join with redundant transitive predicates ---------
+# The second distinctive JOB form (`benchmark/job/16b.sql`, `17*.sql`): the
+# same fact appears in TWO roles joined through a shared key (cast_info +
+# movie_keyword both keyed on movie id), the WHERE carries REDUNDANT
+# transitive equalities (a.id = b.id AND b.id = c.id AND a.id = c.id) the
+# optimizer must collapse rather than double-join, plus OR-of-LIKE dim
+# filters and MIN(string) aggregates. Per-key fan-out is bounded (lines
+# per order ~ cast per movie), so the self-join is linear at any scale.
+
+_B03_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(p.p_name) AS first_part,
+       MIN(o.o_orderpriority) AS first_prio
+FROM lineitem l1, lineitem l2, orders o, part p, supplier s
+WHERE l1.l_orderkey = o.o_orderkey
+  AND l2.l_orderkey = o.o_orderkey
+  AND l1.l_orderkey = l2.l_orderkey
+  AND l1.l_linenumber < l2.l_linenumber
+  AND l1.l_partkey = p.p_partkey
+  AND l2.l_suppkey = s.s_suppkey
+  AND (p.p_name LIKE '%bolt%' OR p.p_name LIKE '%rod%')
+  AND s.s_acctbal > 5000
+"""
+
+
+@query(
+    "b03_job_self_join", _B03_ORACLE,
+    doc="JOB shape: two-role fact self-join + transitive predicates + OR-of-LIKE",
+)
+def b03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = li.select(
+        F.col("l_orderkey").alias("k1"), F.col("l_linenumber").alias("ln1"),
+        F.col("l_partkey").alias("pk1"),
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_linenumber").alias("ln2"),
+        F.col("l_suppkey").alias("sk2"),
+    )
+    p = part.filter(
+        F.col("p_name").like("%bolt%") | F.col("p_name").like("%rod%")
+    ).select("p_partkey", "p_name")
+    s = supp.filter(F.col("s_acctbal") > 5000).select("s_suppkey")
+    return (
+        l1.join(l2, (F.col("k1") == F.col("k2")) & (F.col("ln1") < F.col("ln2")))
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("k1") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("pk1") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("sk2") == F.col("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_name").alias("first_part"),
+            F.min("o_orderpriority").alias("first_prio"),
+        )
+    )
+
+
+# --- c08: ClickBench — regexp-extracted group key + HAVING + top-k ----------
+# The Q29 form: the GROUP BY key is itself a regexp extraction
+# (REGEXP_REPLACE(Referer, ...)), aggregated with AVG(length()) and filtered
+# by HAVING before a top-k. The extraction is a per-row projection that
+# pipelines inside the scan stage — the group count, not the regexp, decides
+# the shuffle. (Spark backreferences are $1, DuckDB's \\1 — each side uses
+# its own dialect; the extracted keys are identical.)
+
+_C08_ORACLE = r"""
+SELECT k,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS l,
+       CAST(COUNT(*) AS BIGINT) AS c,
+       MIN(source) AS first_src
+FROM (
+  SELECT REGEXP_REPLACE(text, '^(\w+)\s.*$', '\1', 's') AS k, text, source
+  FROM documents WHERE text <> ''
+)
+GROUP BY k
+HAVING COUNT(*) > 5
+ORDER BY l DESC, k
+LIMIT 25
+"""
+
+
+@query(
+    "c08_regex_group_key", _C08_ORACLE,
+    doc="ClickBench Q29 shape: regexp-extracted group key + AVG(length) + HAVING",
+)
+def c08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.filter(F.col("text") != "").select(
+        F.regexp_replace("text", r"(?s)^(\w+)\s.*$", "$1").alias("k"),
+        "text", "source",
+    )
+    return (
+        keyed.groupBy("k")
+        .agg(
+            (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("l"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("source").alias("first_src"),
+        )
+        .filter(F.col("c") > 5)
+        .orderBy(F.desc("l"), "k")
+        .limit(25)
+    )
+
+
+# --- c09: ClickBench — wide expression-sum battery --------------------------
+# The Q30 form: dozens of SUM(expr + i) over one scan — a stress on
+# expression codegen width and single-pass partial aggregation (one scan,
+# one map-side combine, 20 accumulators; never 20 passes). Sums are the
+# repo's quantised integers so both engines agree bit-for-bit.
+
+_C09_ORACLE = "SELECT " + ", ".join(
+    f"CAST(SUM(CAST(FLOOR((value + {i}) * 10000.0) AS BIGINT)) AS BIGINT)"
+    f" AS s{i:02d}" for i in range(20)
+) + " FROM events"
+
+
+@query(
+    "c09_wide_sum_battery", _C09_ORACLE,
+    doc="ClickBench Q30 shape: 20 expression sums in one single-pass aggregate",
+)
+def c09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(*[
+        F.sum(_q(F.col("value") + F.lit(i))).alias(f"s{i:02d}")
+        for i in range(20)
+    ])
