@@ -3,6 +3,9 @@ from otterbrix_spark.streaming.pipeline import (
     hourly_rollup_stream,
     run_available_now,
     run_until_count,
+    stream_static_enrich,
+    stream_stream_join,
+    union_streams,
 )
 
 __all__ = [
@@ -10,4 +13,7 @@ __all__ = [
     "hourly_rollup_stream",
     "run_available_now",
     "run_until_count",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "union_streams",
 ]

@@ -125,3 +125,51 @@ def run_until_count(
         query.stop()
         query.awaitTermination()
     return spark.table(name)
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the static (or
+    slowly-refreshed) dimension — the Spark form of the reference's
+    streaming join over a pipelined source + materialized side
+    (`integration/cpp/test/test_streaming_join.cpp` inner/left sections,
+    incl. left-join null padding). The static side broadcasts per batch;
+    no state store is involved, so it scales exactly like the batch join."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: both sides are unbounded; matches are
+    constrained to an event-time band so the state store can evict rows
+    older than the watermark (`test_streaming_join.cpp` cross-batch
+    matching, expressed with the bounded-state semantics Spark requires —
+    an UNBOUNDED stream-stream join cannot evict and is a scale bug, so
+    the band is mandatory, not optional).
+
+    Expects both inputs to carry event-time column ``ts``; emits one row
+    per (left row, right row) pair with right.ts in [left.ts, left.ts +
+    within]."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + INTERVAL {within}"
+        ),
+    )
+
+
+def union_streams(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UNION of two streaming pipelines into one sink
+    (`test_streaming_join.cpp` union_distinct_sinks; distinct-ness over an
+    unbounded union needs watermark+dropDuplicates downstream — callers
+    dedup per key with ``dropDuplicates`` scoped by the watermark)."""
+    return a.unionByName(b)

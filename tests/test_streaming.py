@@ -147,3 +147,101 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert counts[hour0] == 3
     # hour-5 window: both events (the second arrived within the watermark)
     assert counts[hour5] == 2
+
+
+def test_stream_static_join_inner_and_left_padding(spark, sf_dir):
+    # reference test_streaming_join.cpp: inner join correctness + left join
+    # null padding, re-expressed as Spark stream-static joins (the static
+    # side broadcasts per micro-batch; no state store)
+    from pyspark.sql import functions as F
+
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.streaming import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 5)], "event_type string, weight int"
+    )  # deliberately missing 'purchase' -> left join must null-pad
+    stream = events_stream(spark, sf_dir).select("event_id", "event_type")
+
+    inner = stream_static_enrich(stream, dim, "event_type", "inner")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    got_inner = run_available_now(inner, name, output_mode="append")
+    batch = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    want_inner = batch.join(dim, "event_type", "inner").count()
+    assert got_inner.count() == want_inner > 0
+
+    left = stream_static_enrich(stream, dim, "event_type", "left")
+    name2 = f"ssl_{uuid.uuid4().hex[:8]}"
+    got_left = run_available_now(left, name2, output_mode="append")
+    assert got_left.count() == batch.count()  # every stream row survives
+    padded = got_left.filter(F.col("weight").isNull())
+    # exactly the rows whose type is absent from the dim are null-padded
+    assert padded.count() == batch.filter(
+        ~F.col("event_type").isin("view", "click")
+    ).count() > 0
+    assert {r["event_type"] for r in padded.select("event_type").distinct().collect()} \
+        .isdisjoint({"view", "click"})
+
+
+def test_stream_stream_join_matches_batch_band_join(spark, sf_dir):
+    # stream-stream inner join with an event-time band (the bounded-state
+    # form): view->click pairs per user within 30 minutes must equal the
+    # identical batch band join
+    from pyspark.sql import functions as F
+
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.streaming import stream_stream_join
+
+    def side(df, typ):
+        return df.filter(F.col("event_type") == typ).select(
+            "user_id", "event_id", "ts"
+        )
+
+    stream = events_stream(spark, sf_dir)
+    joined = stream_stream_join(
+        side(stream, "view"), side(stream, "click"), "user_id",
+        within="30 minutes",
+    ).select(
+        F.col("l.event_id").alias("view_id"), F.col("r.event_id").alias("click_id")
+    )
+    name = f"s2s_{uuid.uuid4().hex[:8]}"
+    got = run_available_now(joined, name, output_mode="append")
+
+    ev = load_table(spark, sf_dir, "events")
+    bl = side(ev, "view").alias("l")
+    br = side(ev, "click").alias("r")
+    want = bl.join(
+        br,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts >= l.ts "
+            "AND r.ts <= l.ts + INTERVAL 30 minutes"
+        ),
+    ).count()
+    assert got.count() == want > 0
+
+
+def test_union_streams_distinct_sink(spark, sf_dir):
+    # reference test_streaming_join.cpp union_distinct_sinks: two pipelines
+    # union into one sink; per-key dedup via watermark-scoped dropDuplicates
+    from pyspark.sql import functions as F
+
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.streaming import union_streams
+
+    stream = events_stream(spark, sf_dir)
+    a = stream.filter(F.col("value") > 180).select("event_id", "ts")
+    b = stream.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    unioned = union_streams(a, b).withWatermark("ts", "2 hours").dropDuplicates(
+        ["event_id"]
+    )
+    name = f"uni_{uuid.uuid4().hex[:8]}"
+    got = run_available_now(unioned, name, output_mode="append")
+
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.filter((F.col("value") > 180) | (F.col("event_type") == "purchase"))
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert got.count() == want > 0
