@@ -746,3 +746,180 @@ def c09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_q(F.col("value") + F.lit(i))).alias(f"s{i:02d}")
         for i in range(20)
     ])
+
+
+# --- b04: SSB flight 2 — part-brand revenue per year ------------------------
+# SSB Q2.1 template (reference `benchmark/ssb/q2-1.sql`): star join of the
+# fact to part + supplier→geo dims, both filtered, grouped by (year, brand).
+# Spark plan: fact scan with both dim filters pushed through broadcast hash
+# joins (dims are small at any SF: part brands and the supplier→nation→
+# region chain); one shuffle for the final (year, brand) aggregate — the
+# canonical star-join plan at 100 TB.
+
+_B04_ORACLE = """
+SELECT CAST(YEAR(l_shipdate) AS INT) AS yr, p_brand,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "b04_ssb_brand_revenue", _B04_ORACLE,
+    doc="SSB Q2.1 shape: dual-dim-filtered star join grouped by (year, brand)",
+)
+def b04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    amer_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")
+                        .select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(amer_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"), F.col("p_brand")
+        )
+        .agg((F.sum(_q(rev)).cast("double") / F.lit(_Q)).alias("revenue"))
+    )
+
+
+# --- b05: SSB flight 3 — geo-pair volume per year ---------------------------
+# SSB Q3.1 template (`benchmark/ssb/q3-1.sql`): customer-nation × supplier-
+# nation revenue matrix within one region and a year band. Two independent
+# dim chains hang off the fact; both collapse to broadcast joins, the
+# (c_nation, s_nation, year) aggregate is the only shuffle.
+
+_B05_ORACLE = """
+SELECT cn.n_name AS c_nation, sn.n_name AS s_nation,
+       CAST(YEAR(o_orderdate) AS INT) AS yr,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_regionkey = 2 AND sn.n_regionkey = 2
+  AND YEAR(o_orderdate) BETWEEN 1996 AND 1999
+GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "b05_ssb_geo_matrix", _B05_ORACLE,
+    doc="SSB Q3.1 shape: customer-nation x supplier-nation revenue within a region",
+)
+def b05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    asia = nation.filter(F.col("n_regionkey") == 2)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.filter(F.year("o_orderdate").between(1996, 1999)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asia.select(F.col("n_nationkey").alias("cnk"),
+                                    F.col("n_name").alias("c_nation"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(asia.select(F.col("n_nationkey").alias("snk"),
+                                    F.col("n_name").alias("s_nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .groupBy("c_nation", "s_nation",
+                 F.year("o_orderdate").cast("int").alias("yr"))
+        .agg((F.sum(_q(rev)).cast("double") / F.lit(_Q)).alias("revenue"))
+    )
+
+
+# --- b06: SSB flight 4 — profit per (year, customer nation) -----------------
+# SSB Q4.1 template (`benchmark/ssb/q4-1.sql`): profit = revenue − supply
+# cost (derived here from part retail price, as tpch_more derives partsupp),
+# customer AND supplier chains both region-filtered, part mfgr-banded.
+# The profit expression is quantised as ONE unit so both engines floor the
+# identical double.
+
+_B06_ORACLE = """
+SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, cn.n_name AS c_nation,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                            - l_quantity * p_retailprice * 0.1) * 10000.0)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE cn.n_regionkey = 1 AND sn.n_regionkey = 1
+  AND p_type IN ('STANDARD', 'LARGE')
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "b06_ssb_profit", _B06_ORACLE,
+    doc="SSB Q4.1 shape: derived profit rollup, dual region-filtered chains",
+)
+def b06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    amer = nation.filter(F.col("n_regionkey") == 1)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.1)
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type").isin("STANDARD", "LARGE"))
+                        .select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(amer.select(F.col("n_nationkey").alias("cnk"),
+                                    F.col("n_name").alias("c_nation"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(amer.select(F.col("n_nationkey").alias("snk"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"), "c_nation")
+        .agg((F.sum(_q(profit)).cast("double") / F.lit(_Q)).alias("profit"))
+    )
