@@ -923,3 +923,325 @@ def b06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"), "c_nation")
         .agg((F.sum(_q(profit)).cast("double") / F.lit(_Q)).alias("profit"))
     )
+
+
+# --- ds07: TPC-DS Q1 — correlated average threshold -------------------------
+# Template (`benchmark/tpcds/query1.tpl`): per-(customer, group) return
+# totals; keep customers whose total exceeds 1.2x the average of their
+# group. The correlated scalar subquery decorrelates into one extra
+# aggregate over the SAME grouped frame + a broadcast-ready join — two
+# shuffles total (both on the group key), never a per-row subquery.
+# Totals stay quantised integers; the average is the exact division
+# SUM/COUNT done identically in both engines.
+
+_DS07_ORACLE = """
+WITH ctr AS (
+  SELECT o_custkey AS cust, c_nationkey AS nk,
+         SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS total
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2),
+nk_avg AS (
+  SELECT nk, CAST(SUM(total) AS DOUBLE) / COUNT(*) AS avg_total
+  FROM ctr GROUP BY nk)
+SELECT c_name, CAST(ctr.total AS DOUBLE) / 10000.0 AS total_returns
+FROM ctr
+JOIN nk_avg  ON ctr.nk = nk_avg.nk
+JOIN customer ON ctr.cust = c_custkey
+WHERE CAST(ctr.total AS DOUBLE) > avg_total * 1.2
+"""
+
+
+@query(
+    "ds07_return_outliers", _DS07_ORACLE,
+    doc="TPC-DS Q1 shape: correlated avg threshold decorrelated to grouped join",
+)
+def ds07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ctr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(_q(F.col("l_extendedprice"))).alias("total"))
+    )
+    nk_avg = ctr.groupBy("nk").agg(
+        (F.sum("total").cast("double") / F.count(F.lit(1))).alias("avg_total")
+    )
+    return (
+        ctr.join(F.broadcast(nk_avg), "nk")
+        .filter(F.col("total").cast("double") > F.col("avg_total") * 1.2)
+        .join(cust, F.col("cust") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            (F.col("total").cast("double") / F.lit(_Q)).alias("total_returns"),
+        )
+    )
+
+
+# --- ds08: TPC-DS Q88 — time-slice count battery ----------------------------
+# Template (`benchmark/tpcds/query88.tpl`): one output row of eight counts,
+# each counting a 3-hour slice under an OR-of-attributes predicate. The
+# template's literal form is eight cross-joined scalar subqueries (the
+# oracle keeps that shape); the Spark-first plan is ONE scan with eight
+# conditional partial aggregates — 8x less I/O, no join at all.
+
+_DS08_ORACLE = "SELECT * FROM " + ", ".join(
+    f"(SELECT COUNT(*) AS h{3*i:02d}_{3*i+3:02d} FROM events"
+    f" WHERE HOUR(ts) >= {3*i} AND HOUR(ts) < {3*i+3}"
+    f" AND (event_type = 'click' OR value < 50.0)) s{i}"
+    for i in range(8)
+)
+
+
+@query(
+    "ds08_hour_slice_battery", _DS08_ORACLE,
+    doc="TPC-DS Q88 shape: 8 sliced counts — one-pass conditional agg vs 8 subqueries",
+)
+def ds08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = (F.col("event_type") == "click") | (F.col("value") < 50.0)
+    hr = F.hour("ts")
+    return ev.agg(*[
+        F.sum(
+            F.when(base & (hr >= 3 * i) & (hr < 3 * i + 3), 1).otherwise(0)
+        ).alias(f"h{3*i:02d}_{3*i+3:02d}")
+        for i in range(8)
+    ])
+
+
+# --- ds09: TPC-DS Q34/Q73 — order-size bucket customers ---------------------
+# Template (`benchmark/tpcds/query34.tpl`): tickets whose item count lands
+# in a band, joined back to the customer. The inner aggregate groups by the
+# FACT key (orderkey) — high cardinality, but partial aggregation collapses
+# it map-side; the band filter then shrinks the join input to a sliver.
+
+_DS09_ORACLE = """
+SELECT c_name, o_orderkey, cnt
+FROM (
+  SELECT l_orderkey, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_orderkey
+) oc
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE cnt BETWEEN 6 AND 7
+"""
+
+
+@query(
+    "ds09_order_size_band", _DS09_ORACLE,
+    doc="TPC-DS Q34 shape: per-order line-count band joined back to customers",
+)
+def ds09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oc = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(6, 7))
+    )
+    return (
+        oc.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "cnt")
+    )
+
+
+# --- ds10: TPC-DS Q59 — week-over-week revenue comparison -------------------
+# Template (`benchmark/tpcds/query59.tpl`): weekly sales per group for two
+# adjacent years, self-joined on (group, week) to form this-year/next-year
+# ratios. Week buckets are (dayofyear-1)/7 — identical integer arithmetic
+# in both engines (ISO-week functions differ at year boundaries). The CTE
+# aggregates once; the self-join is a shuffle on the same (nk, wk) key the
+# aggregate produced, so AQE reuses the partitioning.
+
+_DS10_ORACLE = """
+WITH wk AS (
+  SELECT c_nationkey AS nk,
+         CAST(YEAR(o_orderdate) AS INT) AS yr,
+         CAST((DAYOFYEAR(o_orderdate) - 1) // 7 AS INT) AS wkno,
+         SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3)
+SELECT a.nk, a.wkno,
+       CAST(a.rev AS DOUBLE) / 10000.0 AS rev_1997,
+       CAST(b.rev AS DOUBLE) / 10000.0 AS rev_1998,
+       CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE) AS wow_ratio
+FROM wk a JOIN wk b ON a.nk = b.nk AND a.wkno = b.wkno AND b.yr = a.yr + 1
+WHERE a.yr = 1997
+"""
+
+
+@query(
+    "ds10_week_over_week", _DS10_ORACLE,
+    doc="TPC-DS Q59 shape: weekly revenue self-joined across adjacent years",
+)
+def ds10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wk = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            ((F.dayofyear("o_orderdate") - 1).cast("long") / F.lit(7))
+            .cast("int").alias("wkno"),
+        )
+        .agg(F.sum(_q(F.col("o_totalprice"))).alias("rev"))
+    )
+    a = wk.filter(F.col("yr") == 1997).alias("a")
+    b = wk.filter(F.col("yr") == 1998).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.nk") == F.col("b.nk")) & (F.col("a.wkno") == F.col("b.wkno")),
+        )
+        .select(
+            F.col("a.nk").alias("nk"),
+            F.col("a.wkno").alias("wkno"),
+            (F.col("a.rev").cast("double") / F.lit(_Q)).alias("rev_1997"),
+            (F.col("b.rev").cast("double") / F.lit(_Q)).alias("rev_1998"),
+            (F.col("b.rev").cast("double") / F.col("a.rev").cast("double"))
+            .alias("wow_ratio"),
+        )
+    )
+
+
+# --- ds11: TPC-DS Q74/Q11 — year-over-year growth across two channels -------
+# Template (`benchmark/tpcds/query74.tpl`): a UNION ALL CTE of per-customer
+# yearly totals tagged by channel, self-joined four ways (two channels x
+# two years); keep customers whose channel-A growth beats channel-B growth.
+# Channels here are returnflag bands (R vs A). One aggregate feeds all four
+# legs; the four-way self-join collapses to a single groupBy-pivot in the
+# Spark plan — one shuffle instead of three joins.
+
+_DS11_ORACLE = """
+WITH year_total AS (
+  SELECT o_custkey AS cust, l_returnflag AS chan,
+         CAST(YEAR(o_orderdate) AS INT) AS yr,
+         SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS total
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag IN ('R', 'A') AND YEAR(o_orderdate) IN (1997, 1998)
+  GROUP BY 1, 2, 3)
+SELECT c_name,
+       CAST(r2.total AS DOUBLE) / CAST(r1.total AS DOUBLE) AS r_growth,
+       CAST(a2.total AS DOUBLE) / CAST(a1.total AS DOUBLE) AS a_growth
+FROM year_total r1
+JOIN year_total r2 ON r1.cust = r2.cust AND r2.chan = 'R' AND r2.yr = 1998
+JOIN year_total a1 ON r1.cust = a1.cust AND a1.chan = 'A' AND a1.yr = 1997
+JOIN year_total a2 ON r1.cust = a2.cust AND a2.chan = 'A' AND a2.yr = 1998
+JOIN customer ON r1.cust = c_custkey
+WHERE r1.chan = 'R' AND r1.yr = 1997 AND r1.total > 0 AND a1.total > 0
+  AND CAST(r2.total AS DOUBLE) / CAST(r1.total AS DOUBLE)
+      > CAST(a2.total AS DOUBLE) / CAST(a1.total AS DOUBLE)
+"""
+
+
+@query(
+    "ds11_yoy_channel_growth", _DS11_ORACLE,
+    doc="TPC-DS Q74 shape: four-way year_total self-join folded to one pivot",
+)
+def ds11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    yt = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .join(
+            orders.filter(F.year("o_orderdate").isin(1997, 1998)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(*[
+            F.sum(
+                F.when(
+                    (F.col("l_returnflag") == ch) & (F.year("o_orderdate") == yr),
+                    _q(F.col("l_extendedprice")),
+                ).otherwise(0)
+            ).alias(f"{ch.lower()}{yr}")
+            # a pivoted sum is only equivalent to the 4-way join when every
+            # leg exists; presence flags below re-impose that
+            for ch in ("R", "A") for yr in (1997, 1998)
+        ] + [
+            F.max(
+                F.when(
+                    (F.col("l_returnflag") == ch) & (F.year("o_orderdate") == yr), 1
+                ).otherwise(0)
+            ).alias(f"has_{ch.lower()}{yr}")
+            for ch in ("R", "A") for yr in (1997, 1998)
+        ])
+    )
+    r_growth = F.col("r1998").cast("double") / F.col("r1997").cast("double")
+    a_growth = F.col("a1998").cast("double") / F.col("a1997").cast("double")
+    return (
+        yt.filter(
+            (F.col("has_r1997") == 1) & (F.col("has_r1998") == 1)
+            & (F.col("has_a1997") == 1) & (F.col("has_a1998") == 1)
+            & (F.col("r1997") > 0) & (F.col("a1997") > 0)
+        )
+        .filter(r_growth > a_growth)
+        .join(cust, F.col("cust") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            r_growth.alias("r_growth"),
+            a_growth.alias("a_growth"),
+        )
+    )
+
+
+# --- ds12: TPC-DS Q16 — EXISTS + NOT EXISTS distinct-count report -----------
+# Template (`benchmark/tpcds/query16.tpl`): orders that have at least one
+# row matching a condition (EXISTS — left-semi) and none matching another
+# (NOT EXISTS — left-anti), then COUNT(DISTINCT) + totals per group. Both
+# subqueries hit the same fact: the semi and anti collapse into ONE
+# aggregate over l_orderkey computing both flags, replacing two shuffled
+# joins with one.
+
+_DS12_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = o.o_orderkey
+                    AND l2.l_linestatus = 'O'
+                    AND l2.l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "ds12_exists_report", _DS12_ORACLE,
+    doc="TPC-DS Q16 shape: EXISTS + NOT EXISTS fused into one per-key flag aggregate",
+)
+def ds12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    flags = li.groupBy("l_orderkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
+        F.max(
+            F.when(
+                (F.col("l_linestatus") == "O") & (F.col("l_quantity") > 45), 1
+            ).otherwise(0)
+        ).alias("has_bad"),
+    )
+    keep = flags.filter((F.col("has_r") == 1) & (F.col("has_bad") == 0))
+    return (
+        orders.join(keep, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_q(F.col("o_totalprice"))).cast("double") / F.lit(_Q))
+            .alias("total_price"),
+        )
+    )
