@@ -1245,3 +1245,115 @@ def ds12(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --- c10: ClickBench Q43 — minute-resolution series with pagination ---------
+# `SELECT DATE_TRUNC('minute', EventTime), COUNT(*) ... GROUP BY 1 ORDER BY 1
+# LIMIT 10 OFFSET 100` (reference `benchmark/clickbench/queries.sql:43`).
+# Ordered pagination over a keyed aggregate: the sort key is the GROUP key,
+# so Spark runs one partial-agg shuffle + a global TakeOrdered of
+# offset+limit rows — no full sort materialisation.
+
+_C10_ORACLE = """
+SELECT CAST(DATE_TRUNC('minute', ts) AS TIMESTAMP) AS m,
+       CAST(COUNT(*) AS BIGINT) AS page_views
+FROM events
+WHERE event_type IN ('view', 'click')
+GROUP BY 1 ORDER BY m LIMIT 10 OFFSET 100
+"""
+
+
+@query(
+    "c10_minute_series_page", _C10_ORACLE,
+    doc="ClickBench Q43 shape: minute buckets, ordered pagination via offset",
+)
+def c10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("m"))
+        .agg(F.count(F.lit(1)).alias("page_views"))
+        .orderBy("m")
+        .offset(100)
+        .limit(10)
+    )
+
+
+# --- c11: ClickBench Q39 — top-k DESC with deep offset ----------------------
+# The `ORDER BY PageViews DESC LIMIT 10 OFFSET 1000` pagination form.
+# Ties are broken on the group key so the page boundary is deterministic in
+# both engines (the published query relies on engine-stable sorts; a
+# distributed engine must not).
+
+_C11_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+FROM events WHERE event_type <> 'error'
+GROUP BY user_id ORDER BY c DESC, user_id LIMIT 10 OFFSET 10
+"""
+
+
+@query(
+    "c11_topk_deep_offset", _C11_ORACLE,
+    doc="ClickBench Q39 shape: top-k by count with offset pagination, keyed tiebreak",
+)
+def c11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .offset(10)
+        .limit(10)
+    )
+
+
+# --- c12: ClickBench Q19 — key point lookup ---------------------------------
+# `SELECT UserID FROM hits WHERE UserID = <const>`: the needle-in-haystack
+# scan the reference's README positions against (its hybrid-storage
+# point-lookup claim, README.md:79). In Spark the predicate reaches the
+# parquet reader as a pushed filter + min/max row-group skip — asserted in
+# the plan audit.
+
+_C12_ORACLE = """
+SELECT event_id, user_id, event_type FROM events WHERE user_id = 7
+"""
+
+
+@query(
+    "c12_point_lookup", _C12_ORACLE,
+    doc="ClickBench Q19 shape: single-key point lookup via pushed filter",
+)
+def c12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("user_id") == 7).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# --- c13: ClickBench Q23 — selective LIKE + raw-row top-k by time -----------
+# `SELECT * FROM hits WHERE URL LIKE '%google%' ORDER BY EventTime LIMIT 10`:
+# no aggregation at all — a filtered raw-row sort. Spark fuses this to
+# TakeOrderedAndProject (per-partition top-10, then a 10-row merge on the
+# driver), so the "sort" never shuffles the full filtered set.
+
+_C13_ORACLE = """
+SELECT event_id, ts, event_type, props
+FROM events
+WHERE props LIKE '%"k": 9%'
+ORDER BY ts, event_id LIMIT 10
+"""
+
+
+@query(
+    "c13_like_row_topk", _C13_ORACLE,
+    doc="ClickBench Q23 shape: LIKE-filtered raw rows, top-k by event time",
+)
+def c13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").like('%"k": 9%'))
+        .select("event_id", "ts", "event_type", "props")
+        .orderBy("ts", "event_id")
+        .limit(10)
+    )
