@@ -1357,3 +1357,266 @@ def c13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .limit(10)
     )
+
+
+# --- l04: LDBC BI-11 — triangle counting over a co-occurrence graph --------
+# BI-11 (`benchmark/ldbc/bi-11.sql`) counts friend triangles with the
+# canonical `p1.id < p2.id < p3.id` dedup ordering. Mapped here onto the
+# supplier co-supply graph: an undirected edge links two suppliers that
+# co-supplied >= 2 distinct orders. The edge build is a per-order pair
+# self-join — bounded by order width (TPC-H orders have <= 7 lineitems),
+# so it is linear in the fact, not quadratic in suppliers. The triangle
+# enumeration is the standard distributed algorithm (Suri & Vassilvitskii,
+# WWW'11): canonical src<dst edges joined E(a,b) |><| E(b,c) |><| E(a,c),
+# each triangle emitted exactly once — three equi-join shuffles on edge
+# endpoints, no cartesian anywhere.
+
+_L04_ORACLE = """
+WITH pairs AS (
+  SELECT l1.l_suppkey AS s1, l2.l_suppkey AS s2, l1.l_orderkey AS okey
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+edges AS (
+  SELECT s1, s2 FROM pairs GROUP BY s1, s2
+  HAVING COUNT(DISTINCT okey) >= 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM edges e1
+JOIN edges e2 ON e1.s2 = e2.s1
+JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+"""
+
+
+@query(
+    "l04_triangle_count", _L04_ORACLE,
+    doc="LDBC BI-11 shape: distributed triangle count over canonical edges",
+)
+def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("r_okey"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = li.join(
+        right,
+        (F.col("l_orderkey") == F.col("r_okey"))
+        & (F.col("l_suppkey") < F.col("s2")),
+    ).select(F.col("l_suppkey").alias("s1"), "s2", "l_orderkey")
+    edges = (
+        pairs.groupBy("s1", "s2")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("s1", "s2")
+    )
+    e2 = edges.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = edges.select(F.col("s1").alias("a3"), F.col("s2").alias("c3"))
+    wedges = edges.join(e2, F.col("s2") == F.col("b"))
+    tri = wedges.join(
+        e3, (F.col("s1") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+# --- l05: LDBC BI-4 — top-100 popular forums and their members' posts ------
+# BI-4 (`benchmark/ldbc/bi-4.sql`): a top-k CTE (popular forums), an EXISTS
+# membership semi-join on persons, and a LEFT JOIN whose ON clause filters
+# messages to the top forums via IN — members with no qualifying message
+# still appear with count 0. Mapped: "forums" = the 20 parts most ordered
+# (by distinct orders), "members" = customers who ever bought a top part,
+# "messages" = their returned (l_returnflag = 'R') lineitems on top parts.
+# The top-k is tiny -> broadcast; membership is a semi-join; the left join
+# keeps every member row (COUNT of NULL = 0, PG semantics).
+
+_L05_ORACLE = """
+WITH top_parts AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey
+  ORDER BY COUNT(DISTINCT l_orderkey) DESC, l_partkey
+  LIMIT 20)
+SELECT c.c_custkey, c.c_name,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS returned_count
+FROM customer c
+LEFT JOIN (
+    SELECT o.o_custkey, li.l_orderkey
+    FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+    WHERE li.l_returnflag = 'R'
+      AND li.l_partkey IN (SELECT l_partkey FROM top_parts)
+  ) l ON l.o_custkey = c.c_custkey
+WHERE EXISTS (
+  SELECT 1 FROM orders o2
+  JOIN lineitem li2 ON li2.l_orderkey = o2.o_orderkey
+  WHERE o2.o_custkey = c.c_custkey
+    AND li2.l_partkey IN (SELECT l_partkey FROM top_parts))
+GROUP BY c.c_custkey, c.c_name
+ORDER BY returned_count DESC, c.c_custkey
+LIMIT 100
+"""
+
+
+@query(
+    "l05_top_forum_members", _L05_ORACLE,
+    doc="LDBC BI-4 shape: top-k CTE + EXISTS membership + filtered LEFT JOIN",
+)
+def l05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    top_parts = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_ord"))
+        .orderBy(F.desc("n_ord"), "l_partkey")
+        .limit(20)
+        .select("l_partkey")
+    )
+    bought_top = li.join(F.broadcast(top_parts), "l_partkey").join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    )
+    members = cust.join(
+        bought_top.select("o_custkey").distinct(),
+        cust["c_custkey"] == F.col("o_custkey"),
+        "left_semi",
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(top_parts), "l_partkey")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "l_orderkey")
+    )
+    joined = members.join(
+        returned, members["c_custkey"] == returned["o_custkey"], "left"
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(F.count("l_orderkey").alias("returned_count"))
+        .orderBy(F.desc("returned_count"), "c_custkey")
+        .limit(100)
+    )
+
+
+# --- l06: LDBC BI-9 — top thread initiators (agg -> join -> re-agg) --------
+# BI-9 (`benchmark/ldbc/bi-9.sql`): a CTE pre-aggregates messages per
+# thread root in a date range, joins the roots back to their creators, and
+# re-aggregates per person (COUNT of threads + SUM of per-thread counts).
+# Mapped: threads = orders, messages = lineitems shipped in the range,
+# creators = customers. Two groupBy shuffles, one fact join; the inner
+# aggregate's map-side combine keeps the join input small at any scale.
+
+_L06_ORACLE = """
+WITH mpp AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS line_count
+  FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+  GROUP BY l_orderkey)
+SELECT c.c_custkey, c.c_name,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS thread_count,
+       CAST(SUM(mpp.line_count) AS BIGINT) AS message_count
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN mpp ON o.o_orderkey = mpp.l_orderkey
+WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY message_count DESC, c.c_custkey
+LIMIT 100
+"""
+
+
+@query(
+    "l06_thread_initiators", _L06_ORACLE,
+    doc="LDBC BI-9 shape: pre-aggregate per thread, join creators, re-aggregate",
+)
+def l06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    mpp = (
+        li.filter(
+            F.col("l_shipdate").between("1995-01-01", "1995-06-30")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-06-30"))
+        .join(mpp, F.col("o_orderkey") == mpp["l_orderkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("thread_count"),
+            F.sum("line_count").alias("message_count"),
+        )
+        .orderBy(F.desc("message_count"), "c_custkey")
+        .limit(100)
+    )
+
+
+# --- l07: LDBC BI-5 — weighted activity score via pre-aggregated LEFT JOINs -
+# BI-5 (`benchmark/ldbc/bi-5.sql`): message rows LEFT JOIN two independent
+# pre-aggregated counts (replies, likes), COALESCE missing to 0, group by
+# creator, then a weighted score `1*m + 2*r + 10*l` ranks the top 100.
+# Mapped: messages = orders, replies = lineitem count per order, likes =
+# returned-line count per order. Both side aggregates combine map-side
+# before their joins; the two LEFT JOINs share the o_orderkey partitioning.
+
+_L07_ORACLE = """
+WITH replies AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_orderkey),
+likes AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+detail AS (
+  SELECT o.o_custkey,
+         CAST(SUM(COALESCE(r.c, 0)) AS BIGINT) AS reply_count,
+         CAST(SUM(COALESCE(lk.c, 0)) AS BIGINT) AS like_count,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS message_count
+  FROM orders o
+  LEFT JOIN replies r ON r.l_orderkey = o.o_orderkey
+  LEFT JOIN likes lk ON lk.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey)
+SELECT o_custkey AS person_id, reply_count, like_count, message_count,
+       CAST(1 * message_count + 2 * reply_count + 10 * like_count
+            AS BIGINT) AS score
+FROM detail
+ORDER BY score DESC, person_id
+LIMIT 100
+"""
+
+
+@query(
+    "l07_activity_score", _L07_ORACLE,
+    doc="LDBC BI-5 shape: two pre-aggregated LEFT JOINs + weighted score",
+)
+def l07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    replies = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("rc"))
+    likes = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_orderkey").alias("lk_key"))
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    detail = (
+        orders.join(
+            replies, orders["o_orderkey"] == replies["l_orderkey"], "left"
+        )
+        .join(likes, orders["o_orderkey"] == F.col("lk_key"), "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.coalesce(F.col("rc"), F.lit(0))).alias("reply_count"),
+            F.sum(F.coalesce(F.col("lc"), F.lit(0))).alias("like_count"),
+            F.count("o_orderkey").alias("message_count"),
+        )
+    )
+    return (
+        detail.select(
+            F.col("o_custkey").alias("person_id"),
+            "reply_count", "like_count", "message_count",
+            (
+                F.col("message_count")
+                + 2 * F.col("reply_count")
+                + 10 * F.col("like_count")
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "person_id")
+        .limit(100)
+    )
