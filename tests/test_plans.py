@@ -202,3 +202,46 @@ def test_l03_peer_sum_is_linear(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "l03_central_person")
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_sum" in plan  # map-side combine on the nation totals
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["l04_triangle_count", "l05_top_forum_members", "l06_thread_initiators",
+     "l07_activity_score", "c10_minute_series_page"],
+)
+def test_ldbc_clickbench_round3_hash_join_shaped(spark, sf_dir, name):
+    # the BI-11 triangle enumeration (canonical-edge equi-joins), the BI-4
+    # membership/left-join stack and the BI-5/BI-9 pre-aggregate joins must
+    # all stay hash-join shaped — no cartesian or nested-loop fallback even
+    # though l04's edge build carries an s1 < s2 inequality (it rides the
+    # l_orderkey equi-key)
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_l05_membership_is_semi_join(spark, sf_dir):
+    # BI-4's EXISTS lowers to a semi-join; the tiny top-k part list is
+    # broadcast into both the membership and message sides
+    plan = plan_of(spark, sf_dir, "l05_top_forum_members")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_c12_point_lookup_pushed(spark, sf_dir):
+    # ClickBench Q19: the single-key predicate must reach the parquet
+    # reader (min/max row-group skipping at scale), not filter post-scan
+    plan = plan_of(spark, sf_dir, "c12_point_lookup")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "EqualTo(user_id,7)" in pushed
+
+
+@pytest.mark.parametrize(
+    "name", ["c11_topk_deep_offset", "c13_like_row_topk"]
+)
+def test_pagination_lowers_to_topk(spark, sf_dir, name):
+    # ORDER BY .. LIMIT k [OFFSET n] fuses to TakeOrderedAndProject
+    # (per-partition top-(n+k), driver merge) — the full sorted result is
+    # never materialised or shuffled
+    plan = plan_of(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan, name
