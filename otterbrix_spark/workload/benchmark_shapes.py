@@ -1620,3 +1620,116 @@ def l07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "person_id")
         .limit(100)
     )
+
+
+# --- b07: JOB 10a form — global MIN over a cyclic join graph ----------------
+# Every JOB query is `SELECT MIN(..), MIN(..) FROM <many tables> WHERE
+# <selective dim predicates + join closure>` with NO group-by — the
+# aggregate collapses a multi-million-row join to one row, and the join
+# graph is cyclic (redundant closure edges like `t.id = mc.movie_id AND
+# t.id = ci.movie_id AND ci.movie_id = mc.movie_id`,
+# `benchmark/job/10a.sql`). Mapped: customer-orders-lineitem-part-supplier
+# -nation with the cycle closed through c_nationkey = s_nationkey, two
+# conjunctive LIKEs on p_name, an IN-list on nation, and a date range.
+# Global min/max aggregate: partial min per partition, single-row merge —
+# nothing materialises the join output at any scale.
+
+_B07_ORACLE = """
+SELECT MIN(p.p_name) AS first_part,
+       MIN(c.c_name) AS first_customer,
+       CAST(MIN(o.o_orderdate) AS DATE) AS earliest_order,
+       CAST(COUNT(*) AS BIGINT) AS qualifying_rows
+FROM customer c, orders o, lineitem l, part p, supplier s, nation n
+WHERE c.c_custkey = o.o_custkey
+  AND o.o_orderkey = l.l_orderkey
+  AND l.l_partkey = p.p_partkey
+  AND l.l_suppkey = s.s_suppkey
+  AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey
+  AND p.p_name LIKE '%o%' AND p.p_name LIKE '%l%'
+  AND n.n_name IN ('NATION_3', 'NATION_7', 'NATION_12', 'NATION_19')
+  AND o.o_orderdate >= DATE '1995-01-01'
+"""
+
+
+@query(
+    "b07_job_global_min", _B07_ORACLE,
+    doc="JOB 10a shape: global MIN over cyclic join with conjunctive LIKEs",
+)
+def b07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    p = part.filter(
+        F.col("p_name").like("%o%") & F.col("p_name").like("%l%")
+    )
+    n = nation.filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_12", "NATION_19")
+    )
+    joined = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .filter(F.col("o_orderdate") >= "1995-01-01")
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(cust["c_nationkey"] == supp["s_nationkey"])
+        .join(F.broadcast(n), supp["s_nationkey"] == n["n_nationkey"])
+    )
+    return joined.agg(
+        F.min("p_name").alias("first_part"),
+        F.min("c_name").alias("first_customer"),
+        F.min("o_orderdate").cast("date").alias("earliest_order"),
+        F.count(F.lit(1)).alias("qualifying_rows"),
+    )
+
+
+# --- b08: JOB 32a form — related entities through a bridge table ------------
+# JOB 32a finds movies linked to keyword-matched movies through the
+# movie_link bridge: seed dim filtered by LIKE -> fact -> bridge key ->
+# fact again -> target dim, then global MIN. Mapped: parts co-ordered with
+# any '%bolt%' part — seed parts to their orders (hop 1), back to the
+# other lineitems of those orders (hop 2, a semi-join on l_orderkey), and
+# out to the target parts with the seed family excluded. The seed order
+# set is the semi-join build side; no pair-explosion materialises.
+
+_B08_ORACLE = """
+WITH seed_orders AS (
+  SELECT DISTINCT l.l_orderkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%bolt%')
+SELECT MIN(p2.p_name) AS first_related,
+       CAST(COUNT(DISTINCT p2.p_partkey) AS BIGINT) AS n_related_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_colines
+FROM lineitem l2
+JOIN part p2 ON l2.l_partkey = p2.p_partkey
+WHERE l2.l_orderkey IN (SELECT l_orderkey FROM seed_orders)
+  AND p2.p_name NOT LIKE '%bolt%'
+"""
+
+
+@query(
+    "b08_job_bridge", _B08_ORACLE,
+    doc="JOB 32a shape: two-hop bridge via seed-order semi-join, global MIN",
+)
+def b08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    seed_parts = part.filter(F.col("p_name").like("%bolt%"))
+    seed_orders = (
+        li.join(F.broadcast(seed_parts), li["l_partkey"] == seed_parts["p_partkey"])
+        .select("l_orderkey")
+        .distinct()
+    )
+    target = part.filter(~F.col("p_name").like("%bolt%"))
+    hop2 = li.join(seed_orders, "l_orderkey", "left_semi")
+    joined = hop2.join(
+        F.broadcast(target), hop2["l_partkey"] == target["p_partkey"]
+    )
+    return joined.agg(
+        F.min("p_name").alias("first_related"),
+        F.countDistinct("p_partkey").alias("n_related_parts"),
+        F.count(F.lit(1)).alias("n_colines"),
+    )

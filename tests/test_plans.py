@@ -245,3 +245,21 @@ def test_pagination_lowers_to_topk(spark, sf_dir, name):
     # never materialised or shuffled
     plan = plan_of(spark, sf_dir, name)
     assert "TakeOrderedAndProject" in plan, name
+
+
+def test_b07_cyclic_join_no_cartesian(spark, sf_dir):
+    # the JOB cyclic-closure graph must resolve to hash joins with the
+    # cycle edge (c_nationkey = s_nationkey) applied as a post-join filter
+    # or join condition — never a cartesian re-derivation
+    plan = plan_of(spark, sf_dir, "b07_job_global_min")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # tiny dims broadcast
+
+
+def test_b08_bridge_is_semi_join(spark, sf_dir):
+    # hop 2 re-enters the fact through a LeftSemi on the seed-order set —
+    # the bridge must not materialise seed x target pairs
+    plan = plan_of(spark, sf_dir, "b08_job_bridge")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
