@@ -1733,3 +1733,128 @@ def b08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_partkey").alias("n_related_parts"),
         F.count(F.lit(1)).alias("n_colines"),
     )
+
+
+# --- ds13: TPC-DS Q38 — COUNT over a three-way INTERSECT of channels -------
+# Q38 (`benchmark/tpcds/query38.tpl`): customers active in ALL THREE sales
+# channels in a window — `SELECT COUNT(*) FROM (distinct-tuples INTERSECT
+# distinct-tuples INTERSECT distinct-tuples)`. Mapped: users with view,
+# click AND purchase activity on the same calendar day. Spark lowers each
+# INTERSECT to a LeftSemi over the distinct sets, so the three channel
+# scans reduce map-side before any pair meets — never a materialised
+# three-way product.
+
+_DS13_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS hot_users FROM (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+) hot_cust
+"""
+
+
+@query(
+    "ds13_channel_intersect", _DS13_ORACLE,
+    doc="TPC-DS Q38 shape: COUNT over three-way INTERSECT of channel tuples",
+)
+def ds13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def channel(kind: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .select("user_id", F.col("ts").cast("date").alias("d"))
+            .distinct()
+        )
+
+    hot = channel("view").intersect(channel("click")).intersect(
+        channel("purchase")
+    )
+    return hot.agg(F.count(F.lit(1)).alias("hot_users"))
+
+
+# --- ds14: TPC-DS Q93 — returns netting via fact-to-fact LEFT JOIN ---------
+# Q93 (`benchmark/tpcds/query93.tpl`): store_sales LEFT OUTER JOIN
+# store_returns on the composite (item, ticket) key, a tiny `reason` dim
+# filter on the returns side, and a CASE that nets returned quantity out
+# of the sale before re-aggregating per customer. Mapped: returns = the
+# R-flagged lines of suppliers in one nation (the selective "reason"),
+# keyed (l_orderkey, l_linenumber); act_sales nets half the quantity when
+# a return matches. Both fact sides shuffle on the same composite key —
+# one co-partitioned SMJ, no replication of the big side.
+
+_DS14_ORACLE = """
+WITH returns AS (
+  SELECT li.l_orderkey AS r_okey, li.l_linenumber AS r_line,
+         FLOOR(li.l_quantity / 2) AS ret_qty
+  FROM lineitem li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  WHERE li.l_returnflag = 'R' AND s.s_nationkey = 5),
+netted AS (
+  SELECT o.o_custkey,
+         CASE WHEN r.ret_qty IS NOT NULL
+              THEN (l.l_quantity - r.ret_qty) * l.l_extendedprice
+              ELSE l.l_quantity * l.l_extendedprice END AS act_sales
+  FROM lineitem l
+  LEFT JOIN returns r
+    ON l.l_orderkey = r.r_okey AND l.l_linenumber = r.r_line
+  JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT o_custkey,
+       CAST(SUM(CAST(FLOOR(act_sales * 10000.0) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS sumsales
+FROM netted
+GROUP BY o_custkey
+ORDER BY sumsales, o_custkey
+LIMIT 100
+"""
+
+
+@query(
+    "ds14_returns_netting", _DS14_ORACLE,
+    doc="TPC-DS Q93 shape: composite-key LEFT JOIN returns netting",
+)
+def ds14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    returns = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            F.broadcast(supp.filter(F.col("s_nationkey") == 5)),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("r_okey"),
+            F.col("l_linenumber").alias("r_line"),
+            F.floor(F.col("l_quantity") / 2).alias("ret_qty"),
+        )
+    )
+    netted = (
+        li.join(
+            returns,
+            (li["l_orderkey"] == returns["r_okey"])
+            & (li["l_linenumber"] == returns["r_line"]),
+            "left",
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            "o_custkey",
+            F.when(
+                F.col("ret_qty").isNotNull(),
+                (F.col("l_quantity") - F.col("ret_qty"))
+                * F.col("l_extendedprice"),
+            )
+            .otherwise(F.col("l_quantity") * F.col("l_extendedprice"))
+            .alias("act_sales"),
+        )
+    )
+    return (
+        netted.groupBy("o_custkey")
+        .agg((F.sum(_q(F.col("act_sales"))).cast("double") / _Q).alias("sumsales"))
+        .orderBy("sumsales", "o_custkey")
+        .limit(100)
+    )

@@ -263,3 +263,20 @@ def test_b08_bridge_is_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "b08_job_bridge")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ds13_intersect_lowers_to_semi_joins(spark, sf_dir):
+    # Q38's three-way INTERSECT: each leg distincts map-side then meets the
+    # next via LeftSemi — no full materialised channel product
+    plan = plan_of(spark, sf_dir, "ds13_channel_intersect")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ds14_composite_key_left_join_shaped(spark, sf_dir):
+    # Q93's fact-to-fact LEFT JOIN on (orderkey, linenumber) must be a
+    # co-partitioned hash/merge join; the reason-dim filter broadcast
+    plan = plan_of(spark, sf_dir, "ds14_returns_netting")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
