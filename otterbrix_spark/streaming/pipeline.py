@@ -173,3 +173,26 @@ def union_streams(a: DataFrame, b: DataFrame) -> DataFrame:
     unbounded union needs watermark+dropDuplicates downstream — callers
     dedup per key with ``dropDuplicates`` scoped by the watermark)."""
     return a.unionByName(b)
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once projection of an at-least-once stream: drop redelivered
+    rows by key while their first arrival is still within the watermark.
+
+    The LLM-ingest twin of batch exact dedup (llm/dedup.exact_dedup): file
+    and queue sources redeliver on retry, so the first streaming stage of a
+    corpus pipeline is a keyed tombstone filter. `dropDuplicatesWithinWatermark`
+    keeps one state-store entry per key and EVICTS it once event time passes
+    the watermark — bounded state at any scale, unlike plain
+    `dropDuplicates` on a stream (which retains every key forever).
+
+    Semantics: a duplicate arriving within `watermark` of the first copy is
+    dropped; one arriving later than that may re-emit (its state is gone).
+    That is the standard trade — dedup horizon == watermark delay — and the
+    redelivery window of real queues (seconds-minutes) sits far inside it.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

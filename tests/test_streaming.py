@@ -245,3 +245,66 @@ def test_union_streams_distinct_sink(spark, sf_dir):
         .count()
     )
     assert got.count() == want > 0
+
+
+def test_stream_dedup_within_watermark_equals_batch_distinct(spark, tmp_path):
+    """At-least-once -> exactly-once: event_id-keyed streaming dedup over
+    three micro-batches with cross-batch redeliveries must equal batch
+    DISTINCT of the same files. Redeliveries all land within the watermark
+    horizon, so the state-store tombstones catch every one."""
+    import os
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import Row, functions as F
+
+    from otterbrix_spark.streaming.pipeline import run_available_now, stream_dedup
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    base_us = 1_600_002_000_000_000
+    minute_us = 60_000_000
+
+    def write_file(name: str, rows: list[tuple[int, int, str]]) -> None:
+        df = spark.createDataFrame(
+            [Row(event_id=i, ts_us=ts, payload=p) for i, ts, p in rows]
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "payload",
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(os.path.join(landing, name))
+
+    # batch 1: four originals
+    write_file("b1", [(1, base_us, "a"), (2, base_us + minute_us, "b"),
+                      (3, base_us + 2 * minute_us, "c"),
+                      (4, base_us + 3 * minute_us, "d")])
+    time.sleep(1.1)
+    # batch 2: redelivers 2 and 3 (same key, same event time — a queue
+    # retry), plus one new event
+    write_file("b2", [(2, base_us + minute_us, "b"),
+                      (3, base_us + 2 * minute_us, "c"),
+                      (5, base_us + 4 * minute_us, "e")])
+    time.sleep(1.1)
+    # batch 3: redelivers 5, new event 6
+    write_file("b3", [(5, base_us + 4 * minute_us, "e"),
+                      (6, base_us + 5 * minute_us, "f")])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    deduped = stream_dedup(stream, ["event_id"], watermark="1 hour")
+    name = f"dedup_{_uuid.uuid4().hex[:8]}"
+    result = run_available_now(deduped, name, output_mode="append")
+    got = sorted((r["event_id"], r["payload"]) for r in result.collect())
+    batch = sorted(
+        (r["event_id"], r["payload"])
+        for r in spark.read.parquet(landing + "/*")
+        .dropDuplicates(["event_id"])
+        .collect()
+    )
+    assert got == batch == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"), (6, "f")
+    ]
