@@ -813,3 +813,104 @@ def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.least("canonical_id", "cluster_id"))
         .select("doc_id")
     )
+
+
+# --- p-series: corpus sampling / mixing / scrubbing -------------------------
+
+from otterbrix_spark.llm import sampling as _sampling  # noqa: E402
+
+_P01_BUCKET = _sampling.hash_bucket_sql("doc_id")
+
+_P01_ORACLE = f"""
+WITH assigned AS (
+  SELECT CASE WHEN {_P01_BUCKET} < 80 THEN 'train'
+              WHEN {_P01_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM documents)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY split
+"""
+
+
+@query(
+    "p01_split_assign", _P01_ORACLE,
+    doc="deterministic 80/10/10 train/val/test split via md5 buckets",
+)
+def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _sampling.split_assign(docs, "doc_id", train=80, val=10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# p02: per-source keep rates 100/75/50/25 by source number mod 4 — the
+# domain-mixing primitive (down-sample over-represented sources). The gate
+# verifies the kept set EXACTLY (counts per source), not statistically:
+# hash-bucket sampling is deterministic, so both engines agree on every row.
+_P02_RATE = "(100 - (CAST(SUBSTR(source, 4) AS INT) % 4) * 25)"
+
+_P02_ORACLE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS kept_docs,
+       CAST(MIN({_P02_RATE}) AS INT) AS rate_pct
+FROM documents
+WHERE {_sampling.hash_bucket_sql("doc_id")} < {_P02_RATE}
+GROUP BY source
+"""
+
+
+@query(
+    "p02_source_mix", _P02_ORACLE,
+    doc="weighted per-source downsampling via deterministic hash buckets",
+)
+def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.lit(100)
+        - (F.substring(F.col("source"), 4, 10).cast("int") % 4) * F.lit(25)
+    )
+    kept = _sampling.weighted_keep(docs, "doc_id", rate)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.min(rate).cast("int").alias("rate_pct"),
+    )
+
+
+# p03: scrub digit runs out of the event props payloads — the PII-redaction
+# plumbing (same regexp_replace shape as email/phone/SSN scrubbing; the
+# synthetic corpus has digits only in props). Pure projection: counts the
+# redacted runs per event type and proves the rewritten text matches.
+_P03_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+         AS runs_redacted,
+       MIN(regexp_replace(props, '[0-9]+', '#', 'g')) AS first_scrubbed
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query(
+    "p03_scrub_digits", _P03_ORACLE,
+    doc="PII-scrub plumbing: regexp redaction of digit runs with run counts",
+)
+def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0))
+        ).alias("runs_redacted"),
+        F.min(F.regexp_replace("props", "[0-9]+", "#")).alias(
+            "first_scrubbed"
+        ),
+    )
