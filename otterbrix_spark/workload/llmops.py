@@ -914,3 +914,61 @@ def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_scrubbed"
         ),
     )
+
+
+# p04: context-window sequence packing. Training pipelines concatenate
+# documents into fixed-size token windows; the deterministic distributed
+# form is CONTIGUOUS packing — order documents by a stable key within each
+# source shard, take the running token total, and bin at
+# floor(tokens_before / window). One window-function shuffle per shard key;
+# no sequential driver loop, and re-running reproduces the same packs
+# (greedy first-fit bin packing, by contrast, is order-racy and
+# inherently serial). Window = 512 whitespace tokens.
+_P04_ORACLE = """
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+              AS BIGINT) AS pack_id
+  FROM toks)
+SELECT source, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY source, pack_id
+"""
+
+
+@query(
+    "p04_sequence_pack", _P04_ORACLE,
+    doc="context-window packing: contiguous token binning per source shard",
+)
+def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)
+        ),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
