@@ -8,11 +8,14 @@ column pushdown into the parquet scan are automatic (visible as
 
 Scale notes: reads are plain ``spark.read.parquet`` — on a cluster these
 split by row-group into tasks; no driver-side materialisation happens
-here. The only special case is the ``events`` table, whose generator
-wrote TIMESTAMP(NANOS) which Spark's vectorised parquet reader rejects;
-with ``spark.sql.legacy.parquet.nanosAsLong=true`` we scan nanos as
-longs and normalise to a microsecond timestamp column — still a pure
-column projection, fully pushdown-friendly.
+here. The only special case is the ``events`` table, whose ``ts``
+column has appeared in three physical forms across generator versions —
+int64 epoch-nanos (scanned as ``bigint`` under
+``spark.sql.legacy.parquet.nanosAsLong=true``), ``timestamp[us]``
+(surfacing as ``timestamp_ntz``), and plain ``timestamp`` —
+``normalize_event_ts`` branches on the observed type (and, for longs, on
+epoch magnitude) and lands every form on a session-UTC ``timestamp``
+column. Still a pure column projection, fully pushdown-friendly.
 """
 
 from __future__ import annotations
@@ -38,6 +41,41 @@ TABLES = (
 # Small dimension tables that should always be broadcast in joins at any
 # scale factor (region: 5 rows, nation: 25 rows — fixed-size in TPC-H).
 BROADCAST_TABLES = {"region", "nation"}
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Land the events ``ts`` column on a session-UTC ``timestamp`` whatever
+    the physical source form was.
+
+    Branches (checked in this order):
+      * ``bigint`` — an epoch integer; the unit is decided per-row by
+        magnitude (2024 epochs: nanos ~1.7e18, micros ~1.7e15, millis
+        ~1.7e12, seconds ~1.7e9). Integer ``DIV``, never ``floor(x/1e3)``:
+        double division loses precision above 2^53.
+      * ``timestamp_ntz`` — cast to ``timestamp`` (exact under the
+        session's UTC zone).
+      * ``timestamp`` — already normal.
+
+    Works identically on batch and streaming frames (pure column
+    expressions, no data-dependent driver logic), so both ingest seams —
+    ``_load_table_uncached`` and ``streaming.pipeline.events_stream`` —
+    share it.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None or dtype.startswith("timestamp_ntz"):
+        if dtype is None:
+            return df
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dtype == "bigint":
+        c = F.col(col)
+        micros = (
+            F.when(c >= F.lit(10**17), F.expr(f"{col} DIV 1000"))
+            .when(c >= F.lit(10**14), c)
+            .when(c >= F.lit(10**11), c * F.lit(1000))
+            .otherwise(c * F.lit(1_000_000))
+        )
+        return df.withColumn(col, F.timestamp_micros(micros))
+    return df
 
 
 def _events_arrow_fallback(spark: SparkSession, path: str) -> DataFrame:
@@ -97,12 +135,7 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         df = spark.read.parquet(path)
     except Exception:
         return _events_arrow_fallback(spark, path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        # epoch-nanos long -> microsecond timestamp (naive/UTC session).
-        # Integer DIV, not floor(x/1000): double division loses precision at
-        # epoch-nano magnitudes (~1.7e18 > 2^53).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_event_ts(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -20,34 +20,36 @@ window aggregation is the same partial+final hash agg as the batch plan.
 
 from __future__ import annotations
 
+import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos (generator format)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from otterbrix_spark.sources.registry import normalize_event_ts
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos -> µs timestamps)."""
+    """File-source stream over the events parquet, ``ts`` normalised to a
+    session-UTC timestamp whatever physical form the generator wrote.
+
+    File streams require an explicit schema; rather than hard-coding one
+    generator era's layout (the round-3 bug: an int64-nanos assumption met
+    a ``timestamp[us]`` file and silently produced 1970 windows), probe the
+    actual file schema with a batch footer read — one driver-side metadata
+    call, no data scan — and reuse ``normalize_event_ts`` so batch and
+    streaming ingest cannot diverge again.
+    """
     # the file stream source requires a directory; select the events file
     # out of the corpus dir with a glob (a real deployment points this at a
     # landing directory that accumulates micro-batch files)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(raw)
 
 
 def hourly_rollup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

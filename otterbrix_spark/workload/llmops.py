@@ -920,10 +920,19 @@ def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documents into fixed-size token windows; the deterministic distributed
 # form is CONTIGUOUS packing — order documents by a stable key within each
 # source shard, take the running token total, and bin at
-# floor(tokens_before / window). One window-function shuffle per shard key;
-# no sequential driver loop, and re-running reproduces the same packs
+# floor(tokens_before / window). Re-running reproduces the same packs
 # (greedy first-fit bin packing, by contrast, is order-racy and
 # inherently serial). Window = 512 whitespace tokens.
+#
+# Scale note (round-4 de-skew): a single `PARTITION BY source` running sum
+# funnels an entire source's corpus through ONE task — a straggler by
+# construction at 100 TB. The implementation therefore computes the prefix
+# sum in two levels: (1) a running sum within (source, doc_id DIV B)
+# sub-shards — parallelism = #shards, bounded task size; (2) a per-source
+# prefix sum over the tiny one-row-per-shard totals, broadcast-joined back
+# as each shard's starting offset. Because `doc_id DIV B` is monotone in
+# doc_id, offset + within-shard running sum equals the global running sum
+# exactly, so the oracle keeps the single-window formulation.
 _P04_ORACLE = """
 WITH toks AS (
   SELECT source, doc_id,
@@ -945,9 +954,11 @@ GROUP BY source, pack_id
 
 @query(
     "p04_sequence_pack", _P04_ORACLE,
-    doc="context-window packing: contiguous token binning per source shard",
+    doc="context-window packing: two-level contiguous token binning "
+        "(sub-shard running sums + broadcast shard offsets — no "
+        "whole-source single-task window)",
 )
-def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p04(spark: SparkSession, sf_dir: str, shard_rows: int = 64) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -956,16 +967,38 @@ def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0))
         .cast("long")
         .alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("source")
+    ).withColumn("shard", F.expr(f"doc_id DIV {shard_rows}"))
+    # Level 1: running sum within each (source, shard) — parallel across
+    # shards, every task bounded by shard_rows documents. (shard_rows=64
+    # here so test-scale data exercises many shards per source; a 100 TB
+    # deployment sizes it ~4096.)
+    w_shard = (
+        Window.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = toks.withColumn(
+    within = toks.withColumn(
+        "before_in_shard", F.sum("n_tokens").over(w_shard) - F.col("n_tokens")
+    )
+    # Level 2: prefix-sum the per-shard totals (one row per shard — tiny)
+    # to get each shard's global starting offset, broadcast back.
+    shard_tot = toks.groupBy("source", "shard").agg(
+        F.sum("n_tokens").alias("shard_tokens")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = shard_tot.withColumn(
+        "shard_offset",
+        F.sum("shard_tokens").over(w_src) - F.col("shard_tokens"),
+    ).select("source", "shard", "shard_offset")
+    packed = within.join(F.broadcast(offsets), ["source", "shard"]).withColumn(
         "pack_id",
         F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)
+            (F.col("shard_offset") + F.col("before_in_shard"))
+            / F.lit(512.0)
         ),
     )
     return packed.groupBy("source", "pack_id").agg(

@@ -280,3 +280,24 @@ def test_ds14_composite_key_left_join_shaped(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_p04_packing_is_sub_sharded(spark, sf_dir):
+    # round-4 de-skew: the running token sum must partition by
+    # (source, shard), never by source alone — otherwise one task sees an
+    # entire source's corpus at 100 TB. The per-source window is only ever
+    # over the tiny one-row-per-shard offsets, and those re-enter the big
+    # side via broadcast.
+    plan = plan_of(spark, sf_dir, "p04_sequence_pack")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    sub_sharded = [s for s in specs if "source" in s and "shard" in s]
+    assert sub_sharded, f"no sub-sharded window in plan:\n{plan[:2000]}"
+    # no window spec may run over a whole source's documents (source-only
+    # partitioning with doc_id ordering = the round-3 straggler shape)
+    whole_source = [
+        s for s in specs if "source" in s and "shard" not in s and "doc_id" in s
+    ]
+    assert not whole_source, f"whole-source window survives: {whole_source}"
+    assert "BroadcastHashJoin" in plan  # offsets join back via broadcast
