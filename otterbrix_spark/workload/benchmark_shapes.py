@@ -1858,3 +1858,293 @@ def ds14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sumsales", "o_custkey")
         .limit(100)
     )
+
+
+# --- ds15: TPC-DS Q64 — two-year snapshot self-join -------------------------
+# Q64 (`benchmark/tpcds/query64.tpl`): the cross-channel item/store rollup
+# is computed once per year and joined WITH ITSELF on the item/store key
+# with `cnt(y+1) <= cnt(y)` — the "did this cohort shrink" snapshot
+# topology. Mapped: per-part yearly (orders, revenue) snapshots for 1995
+# and 1996 joined on partkey where the 1996 revenue did not grow. Both
+# sides are the SAME groupBy shuffle key, so the self-join is
+# co-partitioned — no re-shuffle of either snapshot at any scale.
+
+_DS15_ORACLE = """
+WITH snap AS (
+  SELECT l_partkey AS pkey, EXTRACT(YEAR FROM l_shipdate) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0)
+                  AS BIGINT)) AS qrev
+  FROM lineitem
+  WHERE EXTRACT(YEAR FROM l_shipdate) IN (1995, 1996)
+  GROUP BY 1, 2)
+SELECT a.pkey AS partkey,
+       a.n_lines AS lines_1995, b.n_lines AS lines_1996,
+       CAST(a.qrev AS DOUBLE) / 10000.0 AS rev_1995,
+       CAST(b.qrev AS DOUBLE) / 10000.0 AS rev_1996
+FROM snap a JOIN snap b ON a.pkey = b.pkey
+WHERE a.yr = 1995 AND b.yr = 1996 AND b.qrev <= a.qrev
+ORDER BY partkey
+LIMIT 100
+"""
+
+
+@query(
+    "ds15_snapshot_selfjoin", _DS15_ORACLE,
+    doc="TPC-DS Q64 shape: per-year snapshot aggregate self-joined across "
+        "consecutive years on the grouping key",
+)
+def ds15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    snap = (
+        li.filter(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy(
+            F.col("l_partkey").alias("pkey"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                _q(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("qrev"),
+        )
+    )
+    a = snap.filter(F.col("yr") == 1995).alias("a")
+    b = snap.filter(F.col("yr") == 1996).alias("b")
+    return (
+        a.join(b, F.col("a.pkey") == F.col("b.pkey"))
+        .filter(F.col("b.qrev") <= F.col("a.qrev"))
+        .select(
+            F.col("a.pkey").alias("partkey"),
+            F.col("a.n_lines").alias("lines_1995"),
+            F.col("b.n_lines").alias("lines_1996"),
+            (F.col("a.qrev").cast("double") / _Q).alias("rev_1995"),
+            (F.col("b.qrev").cast("double") / _Q).alias("rev_1996"),
+        )
+        .orderBy("partkey")
+        .limit(100)
+    )
+
+
+# --- ds16: TPC-DS Q78 — cross-channel ratio over an anti-joined channel -----
+# Q78 (`benchmark/tpcds/query78.tpl`): store sales per (year, customer)
+# EXCLUDING returned tickets (LEFT JOIN store_returns ... WHERE sr_ticket
+# IS NULL — an anti-join), LEFT JOINed against the other channels' rollups
+# and reported as a ratio where the other channel is non-empty. Mapped:
+# channel = supplier-key parity; "returned" = any order containing an
+# R-flagged line (order-level anti-join, not a per-line flag filter — the
+# Q78 topology). Ratio = clean even-channel revenue / odd-channel revenue.
+
+_DS16_ORACLE = """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+chan_a AS (
+  SELECT o.o_custkey AS cust, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS a_qty,
+         SUM(CAST(FLOOR(l.l_extendedprice * 10000.0) AS BIGINT)) AS a_qamt
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_suppkey % 2 = 0
+    AND NOT EXISTS (SELECT 1 FROM returned r
+                    WHERE r.l_orderkey = l.l_orderkey)
+  GROUP BY 1, 2),
+chan_b AS (
+  SELECT o.o_custkey AS cust, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+         SUM(CAST(FLOOR(l.l_extendedprice * 10000.0) AS BIGINT)) AS b_qamt
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_suppkey % 2 = 1
+  GROUP BY 1, 2)
+SELECT a.cust AS custkey, a.yr AS yr, a.a_qty AS clean_qty,
+       CAST(a.a_qamt AS DOUBLE) / 10000.0 AS clean_amt,
+       CAST(a.a_qamt AS DOUBLE) / CAST(b.b_qamt AS DOUBLE) AS channel_ratio
+FROM chan_a a JOIN chan_b b ON a.cust = b.cust AND a.yr = b.yr
+WHERE b.b_qamt > 0
+ORDER BY channel_ratio DESC, custkey, yr
+LIMIT 100
+"""
+
+
+@query(
+    "ds16_channel_ratio_anti", _DS16_ORACLE,
+    doc="TPC-DS Q78 shape: per-customer-year channel ratio with the "
+        "primary channel anti-joined against returned orders",
+)
+def ds16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    ).distinct()
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    chan_a = (
+        li.filter(F.col("l_suppkey") % 2 == 0)
+        .join(returned, "l_orderkey", "left_anti")
+        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("a_qty"),
+            F.sum(_q(F.col("l_extendedprice"))).alias("a_qamt"),
+        )
+    )
+    chan_b = (
+        joined.filter(F.col("l_suppkey") % 2 == 1)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(_q(F.col("l_extendedprice"))).alias("b_qamt"))
+    )
+    return (
+        chan_a.join(chan_b, ["cust", "yr"])
+        .filter(F.col("b_qamt") > 0)
+        .select(
+            F.col("cust").alias("custkey"),
+            F.col("yr"),
+            F.col("a_qty").alias("clean_qty"),
+            (F.col("a_qamt").cast("double") / _Q).alias("clean_amt"),
+            (F.col("a_qamt").cast("double") / F.col("b_qamt").cast("double"))
+            .alias("channel_ratio"),
+        )
+        .orderBy(F.col("channel_ratio").desc(), "custkey", "yr")
+        .limit(100)
+    )
+
+
+# --- ds17: TPC-DS Q23 — frequent-item / best-customer cross-shop ------------
+# Q23 (`benchmark/tpcds/query23.tpl`): two independently-derived filter
+# sets — items sold frequently in a period (HAVING count > k) and
+# customers whose spend clears 95% of the MAX per-customer spend (a scalar
+# aggregate reused inside a HAVING) — then the fact re-enters through BOTH
+# sets to a single total. Mapped: frequent parts 1995-1996, best customers
+# by order spend vs 0.95 * max, revenue of their 1997 lines. The scalar
+# max broadcasts; both filter sets meet the fact as LeftSemi joins.
+
+_DS17_ORACLE = """
+WITH freq_parts AS (
+  SELECT l_partkey FROM lineitem
+  WHERE EXTRACT(YEAR FROM l_shipdate) IN (1995, 1996)
+  GROUP BY l_partkey HAVING COUNT(*) > 8),
+cust_spend AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS qspend
+  FROM orders GROUP BY o_custkey),
+best_cust AS (
+  SELECT o_custkey FROM cust_spend
+  WHERE qspend > 0.95 * (SELECT MAX(qspend) FROM cust_spend))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS cross_shop_rev
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE EXTRACT(YEAR FROM l.l_shipdate) = 1997
+  AND l.l_partkey IN (SELECT l_partkey FROM freq_parts)
+  AND o.o_custkey IN (SELECT o_custkey FROM best_cust)
+"""
+
+
+@query(
+    "ds17_frequent_crossshop", _DS17_ORACLE,
+    doc="TPC-DS Q23 shape: frequent-item and scalar-max best-customer "
+        "filter sets semi-joined into the fact",
+)
+def ds17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    freq_parts = (
+        li.filter(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 8)
+        .select("l_partkey")
+    )
+    cust_spend = orders.groupBy("o_custkey").agg(
+        F.sum(_q(F.col("o_totalprice"))).alias("qspend")
+    )
+    max_spend = cust_spend.agg(F.max("qspend").alias("max_spend"))
+    best_cust = (
+        cust_spend.join(F.broadcast(max_spend))
+        .filter(F.col("qspend") > 0.95 * F.col("max_spend"))
+        .select("o_custkey")
+    )
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(freq_parts, "l_partkey", "left_semi")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(best_cust, "o_custkey", "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(
+                    _q(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).cast("double")
+                / _Q
+            ).alias("cross_shop_rev"),
+        )
+    )
+
+
+# --- ds18: TPC-DS Q95 — ship-together orders via EXISTS / NOT EXISTS --------
+# Q95 (`benchmark/tpcds/query95.tpl`): web orders where EXISTS another
+# line of the same order from a DIFFERENT warehouse and NOT EXISTS a
+# return — then COUNT(DISTINCT order) + cost sums. Mapped: orders in a
+# ship window with lines from >= 2 distinct suppliers and no R-flagged
+# line. The oracle keeps the literal EXISTS/NOT EXISTS form; the Spark
+# plan uses the scale-stable reformulation — the EXISTS-with-inequality
+# self-join (ws_wh in the template) is a per-order DISTINCT supplier
+# count, avoiding the quadratic per-order line pairing, and the NOT
+# EXISTS is an order-level anti-join. Semantically identical; the
+# hash-match against the EXISTS oracle proves it.
+
+_DS18_ORACLE = """
+SELECT CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS order_count,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS ship_rev
+FROM lineitem l
+WHERE l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l.l_orderkey
+                AND l2.l_suppkey <> l.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l.l_orderkey
+                    AND l3.l_returnflag = 'R')
+"""
+
+
+@query(
+    "ds18_ship_together", _DS18_ORACLE,
+    doc="TPC-DS Q95 shape: multi-supplier EXISTS + returns NOT EXISTS, "
+        "count-distinct orders",
+)
+def ds18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    ).distinct()
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        )
+        .join(multi_supp, "l_orderkey", "left_semi")
+        .join(returned, "l_orderkey", "left_anti")
+        .agg(
+            F.countDistinct("l_orderkey").alias("order_count"),
+            (
+                F.sum(
+                    _q(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).cast("double")
+                / _Q
+            ).alias("ship_rev"),
+        )
+    )

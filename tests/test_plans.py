@@ -301,3 +301,36 @@ def test_p04_packing_is_sub_sharded(spark, sf_dir):
     ]
     assert not whole_source, f"whole-source window survives: {whole_source}"
     assert "BroadcastHashJoin" in plan  # offsets join back via broadcast
+
+
+def test_ds15_snapshot_selfjoin_copartitioned(spark, sf_dir):
+    # both year snapshots come from the same groupBy key — the self-join
+    # must be hash-shaped on that key, never a nested-loop pairing
+    plan = plan_of(spark, sf_dir, "ds15_snapshot_selfjoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ds16_returns_exclusion_is_anti_join(spark, sf_dir):
+    # Q78's "exclude returned tickets" must lower to a LeftAnti on the
+    # order key, not a filter over a materialised outer join
+    plan = plan_of(spark, sf_dir, "ds16_channel_ratio_anti")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ds17_filter_sets_are_semi_joins(spark, sf_dir):
+    # frequent-parts and best-customer sets must meet the fact as
+    # LeftSemi; the scalar max spend broadcasts
+    plan = plan_of(spark, sf_dir, "ds17_frequent_crossshop")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_ds18_exists_forms_are_semi_anti(spark, sf_dir):
+    # the multi-supplier EXISTS and the returns NOT EXISTS must be one
+    # LeftSemi + one LeftAnti over order-level sets — no per-order line
+    # pairing self-join
+    plan = plan_of(spark, sf_dir, "ds18_ship_together")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

@@ -308,3 +308,82 @@ def test_stream_dedup_within_watermark_equals_batch_distinct(spark, tmp_path):
     assert got == batch == [
         (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"), (6, "f")
     ]
+
+
+def test_stream_stream_join_evicts_state_at_watermark(spark, tmp_path):
+    """Bounded-state certification for the banded stream-stream join: the
+    event-time band + watermark must let the state store EVICT rows once
+    the watermark passes them — the property that makes the join runnable
+    on an unbounded stream. Three micro-batches (maxFilesPerTrigger=1):
+    batch 1's pairs sit in hour 0; batch 2 jumps to hour 10, advancing the
+    watermark far past hour 0; batch 3 triggers another boundary so the
+    eviction is recorded. Asserts both the join RESULT (hour-0 and hour-10
+    pairs, nothing across) and numRowsRemoved > 0 in the state operator's
+    progress — a join that never evicts is a scale bug even when its
+    output is right."""
+    import os
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import Row, functions as F
+
+    from otterbrix_spark.streaming import stream_stream_join
+
+    landing = str(tmp_path / "landing_s2s")
+    os.makedirs(landing)
+    base_us = 1_600_002_000_000_000
+    hour_us = 3_600_000_000
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            [Row(user_id=u, event_type=t, ts_us=ts) for u, t, ts in rows]
+        ).select(
+            "user_id", "event_type",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(os.path.join(landing, name))
+
+    # batch 1: a view+click pair within the 30-min band, hour 0
+    write_file("b1", [(1, "view", base_us), (1, "click", base_us + 60_000_000)])
+    _time.sleep(1.1)
+    # batch 2: a pair at hour 10 — watermark (2h delay) leaps past hour 0
+    write_file("b2", [(2, "view", base_us + 10 * hour_us),
+                      (2, "click", base_us + 10 * hour_us + 60_000_000)])
+    _time.sleep(1.1)
+    # batch 3: far-future singleton; the boundary flushes evictions
+    write_file("b3", [(9, "view", base_us + 30 * hour_us)])
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+
+    def side(typ):
+        return stream.filter(F.col("event_type") == typ).select("user_id", "ts")
+
+    joined = stream_stream_join(
+        side("view"), side("click"), "user_id", within="30 minutes"
+    ).select(F.col("l.user_id").alias("uid"))
+
+    name = f"s2s_evict_{_uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.trigger(availableNow=True)
+        .format("memory").queryName(name).outputMode("append").start()
+    )
+    query.awaitTermination(120)
+    progress = list(query.recentProgress)
+    query.stop()
+
+    got = sorted(r["uid"] for r in spark.table(name).collect())
+    assert got == [1, 2]  # in-band pairs only, none across hours
+
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0, (
+        "watermark never evicted join state: "
+        f"{[p.get('stateOperators') for p in progress]}"
+    )
