@@ -39,50 +39,50 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 # The correctness driver verifies the FIRST 50 registry entries per round.
 # Round 1 checked insertion order (CORRECTNESS_r01.json = entries 0-49);
-# round 2 front-loaded everything r01 left unverified (49/50 green,
-# CORRECTNESS_r02.json). Round 3 makes the window fully verifiable: a01
-# (rows-only by design — its slot can never go green) moves behind the
-# window and stays a local bounds test; its slot plus two single-row TPC-H
-# shapes re-verified in r02 (q45, q47 — same family as q44/q46/q48/q49
-# which remain in-window) rotate out for this round's driver-provable
-# gates: x01 (constraint DDL through SQL — new infra), f03 (windowFunnel)
-# and d10 (end-to-end corpus clean). Gates touching this round's changed
-# shared infra (dialect: jd01/j12; catalog DML: q38-q40/v01/x01; d03/t05
-# plan changes) all sit inside the window.
+# round 2 front-loaded everything r01 left unverified; round 3's window
+# went 50/50 green (CORRECTNESS_r03.json). Round 4 rotates the ENTIRE
+# window (minus the q01 smoke anchor) onto gates with no driver-green row
+# in ANY round — r02/r03 additions the driver never sampled plus this
+# round's new gates — lifting cumulative driver-verified coverage from
+# 101/177 to ~150/177. Everything rotated out stayed green in r01-r03
+# and keeps passing the identical local DuckDB battery
+# (tests/test_workload_oracle.py). Remaining never-sampled gates
+# (ds03-ds12, b03-b06, c03-c06/c08-c11/c13, l01/l02/l06/l07) are queued
+# for the round-5 window.
 _FRONT_WINDOW = [
-    "q22_null_count_semantics",  # r01 hash artifact — fixed oracle, re-prove
-    "q01_pricing_summary",  # flagship / bench headline anchor
-    # dedup family
-    "d03_ngram_jaccard", "d04_minhash_signature", "d05_minhash_lsh",
-    "d06_simhash", "d07_embedding_neardup", "d08_dedup_clusters",
-    "d09_dup_rate_by_source",
-    # similarity search
-    "e01_knn_brute", "e02_knn_lsh", "e03_knn_ivf", "e04_label_cohesion",
-    # text analysis
-    "t01_langid", "t02_quality", "t03_token_count", "t04_tfidf_terms",
-    "t05_edit_distance", "t06_charclass_stats",
-    # multimodal / streaming / windows
-    "m01_multimodal_meta", "s01_sessionize", "w01_window_battery",
-    # DML gates (x01 = constraint DDL: CHECK + FK ON DELETE CASCADE, new r3)
-    "q38_update_returning", "q39_delete_returning", "q40_insert_from_select",
-    "x01_fk_cascade_dml",
-    # set ops + sort extensions
-    "q41_intersect", "q42_except", "q43_order_nulls", "q52_null_safe_eq",
-    # TPC-H shapes (q45/q47 rotated behind the window after r02 proof)
-    "q44_returned_items", "q46_large_orders",
-    "q48_parts_suppliers", "q49_nation_volume",
-    # hard TPC-H shapes (new this round)
-    "q64_tpch_q2_min_cost_supp", "q65_tpch_q11_important_stock",
-    "q66_tpch_q15_top_supplier_view", "q67_tpch_q20_potential_excess",
-    # analytics extensions (c02/c03 yield their slots to k01 and u01: same
-    # family as c01, while the skew-salted rewrite and the UDF registry had
-    # no driver-side row at all; a01 is rows-only by design — local test)
-    "q50_pivot", "q51_grouping_sets",
-    "c01_heavy_hitters", "u01_row_udf_predicate", "k01_skew_salted_agg",
-    # funnel / retention / end-to-end dedup
-    "f01_funnel", "f02_retention", "f03_window_funnel", "d10_corpus_clean",
-    # JSON extras (new + previously unverified)
-    "j12_json_keys", "v01_sql_view", "jd01_jsonb_delete",
+    "q01_pricing_summary",  # flagship / bench headline anchor (r03 green)
+    # round-4 new gates: streaming certification + TPC-DS long tail
+    "s03_streaming_hourly_rollup",
+    "ds15_snapshot_selfjoin", "ds16_channel_ratio_anti",
+    "ds17_frequent_crossshop", "ds18_ship_together",
+    # training-pipeline sampling/packing family (new r3, never sampled;
+    # p04 re-planned this round — two-level de-skewed binning)
+    "p01_split_assign", "p02_source_mix", "p03_scrub_digits",
+    "p04_sequence_pack",
+    # never-sampled infra gates: CREATE TYPE DML, multi-probe IVF,
+    # vector UDF macro, session-length dist, multimodal frame sampling,
+    # winnowing fingerprints, quality filter
+    "y01_enum_type_dml", "e05_knn_ivf_nprobe", "u02_vector_udf_macro",
+    "s02_session_length_dist", "m02_frame_sampling", "t07_winnowing",
+    "t08_quality_filter",
+    # TPC-H long tail (r3, never sampled)
+    "q68_tpch_q8_market_share", "q69_tpch_q9_profit",
+    "q70_tpch_q13_order_dist", "q71_tpch_q17_small_qty",
+    "q72_tpch_q19_disjunctive", "q73_tpch_q22_opportunity",
+    "q74_recursive_date_spine", "q75_tpch_q12_priority_counts",
+    "q76_tpch_q21_waiting_suppliers", "q77_intersect_all", "q78_except_all",
+    # parity tail (r2/r3, never sampled)
+    "q53_having_hidden_agg", "q54_not_exists_conditional", "q55_self_join",
+    "q56_conditional_distinct", "q57_explode_reaggregate",
+    "q61_string_agg", "q62_expression_join_key", "q63_safe_divide",
+    # TPC-DS / SSB / JOB / ClickBench / LDBC representatives (rest queued
+    # for round 5)
+    "ds01_cross_period_intersect", "ds02_yoy_revenue_ratio",
+    "ds13_channel_intersect", "ds14_returns_netting",
+    "b01_ssb_star", "b02_job_join_chain", "b07_job_global_min",
+    "b08_job_bridge",
+    "c02_value_histogram", "c07_multi_distinct", "c12_point_lookup",
+    "l03_central_person", "l04_triangle_count", "l05_top_forum_members",
 ]
 
 
