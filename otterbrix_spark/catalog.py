@@ -103,6 +103,23 @@ def _pg_type_to_ddl(t: str, custom: dict[str, dict] | None = None) -> str:
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
+# Router-owned DDL families: if a statement in one of these families
+# reaches the END of route() without a rule consuming it, the router MUST
+# raise instead of silently handing it to spark.sql — Spark would either
+# fail with an unrelated message or, worse, act on its own catalog and
+# silently diverge from the managed-table state (the failure mode a
+# mis-ordered or too-narrow rule regex would otherwise hide). DML and
+# plain views are deliberately NOT listed: falling through is their
+# supported path for Spark-native targets.
+_OWNED_DDL_FAMILIES = re.compile(
+    r"^\s*(?:(?:CREATE|DROP|ALTER)\s+(?:OR\s+REPLACE\s+)?(?:UNIQUE\s+)?"
+    r"(?:TEMP(?:ORARY)?\s+)?(?:UNLOGGED\s+)?"
+    r"(?:TABLE|TYPE|SEQUENCE|FUNCTION|INDEX|DATABASE|MATERIALIZED\s+VIEW)\b"
+    r"|(?:VACUUM|CHECKPOINT)\b"
+    r"|SET\s+TIME\s*ZONE\b"
+    r"|(?:BEGIN|COMMIT|ROLLBACK|ABORT)\b)",
+    re.IGNORECASE,
+)
 # constraint DDL (reference ALTER TABLE ... ADD CONSTRAINT —
 # integration/cpp/test/test_correctness_bugs.cpp:430,502,
 # test_large_aggregate_dml.cpp:228: CHECK and FOREIGN KEY [ON DELETE CASCADE])
@@ -1072,6 +1089,12 @@ class Catalog:
                 return result
             return self.spark.range(1).select(F.lit(result).alias("inserted"))
 
+        if _OWNED_DDL_FAMILIES.match(sql):
+            raise ValueError(
+                "unrecognised DDL: no router rule matched a statement in a "
+                "router-owned family (refusing silent fall-through to "
+                f"spark.sql): {sql.strip()[:160]!r}"
+            )
         return self.spark.sql(sql)
 
     def handles(self, sql: str) -> bool:

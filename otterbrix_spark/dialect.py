@@ -199,6 +199,22 @@ def rewrite(sql: str, literals_resolver=None) -> str:
     # ARRAY[a, b, c] -> array(a, b, c); ident[N] (integer literal subscript)
     # -> element_at(ident, N), preserving PG's 1-based indexing (Spark's
     # native `[]` subscript is 0-based; element_at is 1-based like PG).
+    # A subscript attached directly to an ARRAY literal or a simple call —
+    # ARRAY[..][2], f(x)[2] — must ALSO go through element_at: leaving the
+    # bare `[2]` hands it to Spark's 0-based subscript, an off-by-one that
+    # parses fine and silently shifts every element (caught by
+    # tests/test_dialect_nested.py).
+    body = re.sub(
+        r"\bARRAY\s*\[([^\[\]]*)\]\s*\[\s*(\d+)\s*\]",
+        r"element_at(array(\1), \2)",
+        body,
+        flags=re.IGNORECASE,
+    )
+    body = re.sub(
+        rf"\b({_IDENT}\s*\([^()]*\))\s*\[\s*(\d+)\s*\]",
+        r"element_at(\1, \2)",
+        body,
+    )
     body = re.sub(
         r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", body, flags=re.IGNORECASE
     )

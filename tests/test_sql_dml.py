@@ -498,3 +498,22 @@ def test_interval_type_columns(engine):
     rows = dict(engine.sql("SELECT id, dur FROM spans").collect())
     assert rows[2] == datetime.timedelta(days=1, hours=2)
     engine.sql("DROP TABLE spans")
+
+
+def test_unrecognised_owned_ddl_raises_not_fallthrough(engine):
+    """A DDL statement in a router-owned family that no rule matches must
+    raise a clear error — never silently fall through to spark.sql, where
+    it could act on Spark's own catalog and diverge from the managed-table
+    state (round-4 router guard)."""
+    for bad in (
+        "ALTER TABLE nosuch SET TBLPROPERTIES ('k'='v')",
+        "CREATE TABLE part_t PARTITION OF parent DEFAULT",
+        "DROP TYPE IF EXISTS nope CASCADE RESTRICT EXTRA",
+    ):
+        with pytest.raises(Exception) as exc:
+            engine.execute_sql(bad)
+        assert "unrecognised DDL" in str(exc.value), bad
+    # a statement a rule DOES claim but cannot parse raises its own
+    # explicit error — also never a silent fall-through
+    with pytest.raises(Exception, match="unsupported column type"):
+        engine.execute_sql("CREATE TABLE weird (a int) PARTITION BY RANGE (a)")
