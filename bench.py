@@ -20,6 +20,10 @@ sys.path.insert(0, str(REPO))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    # machine-load context: absolute wall times on this host vary several-x
+    # with co-tenant load (observed across rounds), so record loadavg at
+    # start and end — cross-round deltas are only interpretable alongside it
+    load_before = os.getloadavg()
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -87,6 +91,8 @@ def main() -> None:
                 "cold_queries": cold,
                 "sf": sf,
                 "n_queries": len(timings),
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -2148,3 +2148,410 @@ def ds18(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ship_rev"),
         )
     )
+
+
+# --- ds19: TPC-DS Q31 — cross-entity quarter-over-quarter growth ------------
+# Q31 (`benchmark/tpcds/query31.tpl`): store and web revenue aggregated
+# per (county, quarter), the per-quarter aggregates self-joined into a
+# sequence, and counties kept where the web growth ratio beats the store
+# growth ratio. Mapped: customer-side order revenue vs supplier-side
+# shipment revenue per (nation, 1995 Q1->Q2); four quarter aggregates meet
+# on the nation key — co-partitioned joins of tiny aggregate outputs.
+
+_DS19_ORACLE = """
+WITH cust_q AS (
+  SELECT c.c_nationkey AS nkey, EXTRACT(QUARTER FROM o.o_orderdate) AS q,
+         SUM(CAST(FLOOR(o.o_totalprice * 10000.0) AS BIGINT)) AS qrev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1995
+    AND EXTRACT(QUARTER FROM o.o_orderdate) IN (1, 2)
+  GROUP BY 1, 2),
+supp_q AS (
+  SELECT s.s_nationkey AS nkey, EXTRACT(QUARTER FROM l.l_shipdate) AS q,
+         SUM(CAST(FLOOR(l.l_extendedprice * 10000.0) AS BIGINT)) AS qrev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE EXTRACT(YEAR FROM l.l_shipdate) = 1995
+    AND EXTRACT(QUARTER FROM l.l_shipdate) IN (1, 2)
+  GROUP BY 1, 2)
+SELECT n.n_name AS nation,
+       CAST(c2.qrev AS DOUBLE) / CAST(c1.qrev AS DOUBLE) AS cust_growth,
+       CAST(s2.qrev AS DOUBLE) / CAST(s1.qrev AS DOUBLE) AS supp_growth
+FROM cust_q c1 JOIN cust_q c2 ON c1.nkey = c2.nkey
+JOIN supp_q s1 ON c1.nkey = s1.nkey
+JOIN supp_q s2 ON c1.nkey = s2.nkey
+JOIN nation n ON c1.nkey = n.n_nationkey
+WHERE c1.q = 1 AND c2.q = 2 AND s1.q = 1 AND s2.q = 2
+  AND c1.qrev > 0 AND s1.qrev > 0
+  AND CAST(s2.qrev AS DOUBLE) / CAST(s1.qrev AS DOUBLE)
+      > CAST(c2.qrev AS DOUBLE) / CAST(c1.qrev AS DOUBLE)
+ORDER BY nation
+"""
+
+
+@query(
+    "ds19_qoq_growth", _DS19_ORACLE,
+    doc="TPC-DS Q31 shape: quarter aggregates self-joined into a growth "
+        "sequence, cross-entity ratio comparison",
+)
+def ds19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    cust_q = (
+        orders.filter(
+            (F.year("o_orderdate") == 1995)
+            & F.quarter("o_orderdate").isin(1, 2)
+        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nkey"),
+            F.quarter("o_orderdate").alias("q"),
+        )
+        .agg(F.sum(_q(F.col("o_totalprice"))).alias("qrev"))
+    )
+    supp_q = (
+        li.filter(
+            (F.year("l_shipdate") == 1995)
+            & F.quarter("l_shipdate").isin(1, 2)
+        )
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nkey"),
+            F.quarter("l_shipdate").alias("q"),
+        )
+        .agg(F.sum(_q(F.col("l_extendedprice"))).alias("qrev"))
+    )
+    c1 = cust_q.filter("q = 1").select("nkey", F.col("qrev").alias("c1"))
+    c2 = cust_q.filter("q = 2").select("nkey", F.col("qrev").alias("c2"))
+    s1 = supp_q.filter("q = 1").select("nkey", F.col("qrev").alias("s1"))
+    s2 = supp_q.filter("q = 2").select("nkey", F.col("qrev").alias("s2"))
+    joined = (
+        c1.join(c2, "nkey").join(s1, "nkey").join(s2, "nkey")
+        .filter((F.col("c1") > 0) & (F.col("s1") > 0))
+        .withColumn(
+            "cust_growth", F.col("c2").cast("double") / F.col("c1").cast("double")
+        )
+        .withColumn(
+            "supp_growth", F.col("s2").cast("double") / F.col("s1").cast("double")
+        )
+        .filter(F.col("supp_growth") > F.col("cust_growth"))
+    )
+    return (
+        joined.join(
+            F.broadcast(nation), joined["nkey"] == nation["n_nationkey"]
+        )
+        .select(
+            F.col("n_name").alias("nation"), "cust_growth", "supp_growth"
+        )
+        .orderBy("nation")
+    )
+
+
+# --- ds20: TPC-DS Q49 — per-channel return-rate double ranking --------------
+# Q49 (`benchmark/tpcds/query49.tpl`): per channel, items ranked BOTH by
+# currency return ratio and by quantity return ratio, keeping items in
+# either top-10, UNION ALL across channels. Mapped: channel = supplier-key
+# mod 3, item band = part-key mod 50; returned = R-flagged lines. Each
+# channel's rollup is one groupBy; the two ranks share one window
+# partition; the union is a plan-level concat of identical shapes.
+
+_DS20_ORACLE = """
+WITH rated AS (
+  SELECT l_suppkey % 3 AS channel, l_partkey % 50 AS band,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS ret_qty,
+         SUM(CAST(l_quantity AS BIGINT)) AS tot_qty,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)
+                  ELSE 0 END) AS ret_amt,
+         SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS tot_amt
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT channel, band,
+         CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) AS qty_ratio,
+         CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE) AS amt_ratio,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY CAST(ret_qty AS DOUBLE)
+                               / CAST(tot_qty AS DOUBLE) DESC, band)
+           AS qty_rank,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY CAST(ret_amt AS DOUBLE)
+                               / CAST(tot_amt AS DOUBLE) DESC, band)
+           AS amt_rank
+  FROM rated WHERE tot_qty > 0 AND tot_amt > 0)
+SELECT channel, band, qty_ratio, amt_ratio, qty_rank, amt_rank
+FROM ranked
+WHERE qty_rank <= 10 OR amt_rank <= 10
+ORDER BY channel, band
+"""
+
+
+@query(
+    "ds20_return_rate_ranks", _DS20_ORACLE,
+    doc="TPC-DS Q49 shape: double ranking by return ratios per channel, "
+        "either-top-10 filter",
+)
+def ds20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = F.col("l_returnflag") == "R"
+    rated = (
+        li.groupBy(
+            (F.col("l_suppkey") % 3).alias("channel"),
+            (F.col("l_partkey") % 50).alias("band"),
+        )
+        .agg(
+            F.sum(
+                F.when(ret, F.col("l_quantity").cast("long")).otherwise(0)
+            ).alias("ret_qty"),
+            F.sum(F.col("l_quantity").cast("long")).alias("tot_qty"),
+            F.sum(
+                F.when(ret, _q(F.col("l_extendedprice"))).otherwise(0)
+            ).alias("ret_amt"),
+            F.sum(_q(F.col("l_extendedprice"))).alias("tot_amt"),
+        )
+        .filter((F.col("tot_qty") > 0) & (F.col("tot_amt") > 0))
+        .withColumn(
+            "qty_ratio",
+            F.col("ret_qty").cast("double") / F.col("tot_qty").cast("double"),
+        )
+        .withColumn(
+            "amt_ratio",
+            F.col("ret_amt").cast("double") / F.col("tot_amt").cast("double"),
+        )
+    )
+    w_qty = Window.partitionBy("channel").orderBy(
+        F.col("qty_ratio").desc(), "band"
+    )
+    w_amt = Window.partitionBy("channel").orderBy(
+        F.col("amt_ratio").desc(), "band"
+    )
+    return (
+        rated.withColumn("qty_rank", F.rank().over(w_qty))
+        .withColumn("amt_rank", F.rank().over(w_amt))
+        .filter((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
+        .select(
+            "channel", "band", "qty_ratio", "amt_ratio",
+            "qty_rank", "amt_rank",
+        )
+        .orderBy("channel", "band")
+    )
+
+
+# --- ds21: TPC-DS Q70 — rollup restricted by a rank-in-subquery set ---------
+# Q70 (`benchmark/tpcds/query70.tpl`): state-level profit ROLLUP, but only
+# over states whose rank inside an INDEPENDENT subquery (top-5 per
+# category by their own aggregate) qualifies — a window computed in a
+# subquery feeding a semi-join, then GROUPING()-keyed ranking of the
+# rollup. Mapped: (region, nation) supplier revenue rollup over nations
+# ranked top-2 within their region.
+
+_DS21_ORACLE = """
+WITH nat_rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(FLOOR(l.l_extendedprice * 10000.0) AS BIGINT)) AS qrev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2),
+top_nations AS (
+  SELECT nation FROM (
+    SELECT nation, RANK() OVER (PARTITION BY region
+                                ORDER BY qrev DESC, nation) AS rk
+    FROM nat_rev) x WHERE rk <= 2)
+SELECT region, nation,
+       CAST(SUM(qrev) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(GROUPING(region) * 2 + GROUPING(nation) AS INTEGER)
+         AS lochierarchy
+FROM nat_rev
+WHERE nation IN (SELECT nation FROM top_nations)
+GROUP BY ROLLUP(region, nation)
+ORDER BY lochierarchy DESC, region NULLS FIRST, nation NULLS FIRST
+"""
+
+
+@query(
+    "ds21_rollup_rank_filter", _DS21_ORACLE,
+    doc="TPC-DS Q70 shape: rollup over a rank-in-subquery semi-joined set",
+)
+def ds21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat_rev = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(_q(F.col("l_extendedprice"))).alias("qrev"))
+    )
+    rk = F.rank().over(
+        Window.partitionBy("region").orderBy(F.col("qrev").desc(), "nation")
+    )
+    top_nations = (
+        nat_rev.withColumn("rk", rk).filter(F.col("rk") <= 2).select("nation")
+    )
+    return (
+        nat_rev.join(top_nations, "nation", "left_semi")
+        .rollup("region", "nation")
+        .agg(
+            (F.sum("qrev").cast("double") / _Q).alias("revenue"),
+            # grouping() must be computed INSIDE the rollup aggregate
+            (F.grouping("region") * 2 + F.grouping("nation"))
+            .cast("int")
+            .alias("lochierarchy"),
+        )
+        .select("region", "nation", "revenue", "lochierarchy")
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("region").asc_nulls_first(),
+            F.col("nation").asc_nulls_first(),
+        )
+    )
+
+
+# --- ds22: TPC-DS Q54 — cohort selection then spend histogram ---------------
+# Q54 (`benchmark/tpcds/query54.tpl`): build a customer cohort from one
+# channel/month, total their spend in the following quarter, bucket the
+# totals into fixed bands, and count customers per band — a CTE chain
+# ending in a histogram over an aggregate. Mapped: cohort = customers
+# with an URGENT order in 1995-03; spend = their Q2-1995 order totals;
+# bands of $50,000.
+
+_DS22_ORACLE = """
+WITH cohort AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND EXTRACT(YEAR FROM o_orderdate) = 1995
+    AND EXTRACT(MONTH FROM o_orderdate) = 3),
+spend AS (
+  SELECT o.o_custkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 10000.0) AS BIGINT)) AS qspend
+  FROM orders o
+  WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1995
+    AND EXTRACT(MONTH FROM o.o_orderdate) IN (4, 5, 6)
+    AND o.o_custkey IN (SELECT o_custkey FROM cohort)
+  GROUP BY 1)
+SELECT CAST(FLOOR(CAST(qspend AS DOUBLE) / 10000.0 / 50000.0) AS BIGINT)
+         AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM spend
+GROUP BY 1
+ORDER BY band
+"""
+
+
+@query(
+    "ds22_cohort_histogram", _DS22_ORACLE,
+    doc="TPC-DS Q54 shape: cohort semi-join then fixed-band spend histogram",
+)
+def ds22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cohort = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1995)
+            & (F.month("o_orderdate") == 3)
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    spend = (
+        orders.filter(
+            (F.year("o_orderdate") == 1995)
+            & F.month("o_orderdate").isin(4, 5, 6)
+        )
+        .join(cohort, "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.sum(_q(F.col("o_totalprice"))).alias("qspend"))
+    )
+    return (
+        spend.select(
+            F.floor(
+                F.col("qspend").cast("double") / _Q / F.lit(50000.0)
+            ).alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("band")
+    )
+
+
+# --- c14: ClickBench prefix grouping with two distinct counts ---------------
+# ClickBench's URL-prefix forms (`benchmark/clickbench/queries.sql` Q21-23:
+# SUBSTRING group key + COUNT(*) + uniq(UserID)): group by a computed
+# string prefix, count rows AND distinct entities, top-N by count. Mapped
+# over documents: 12-char text prefix, distinct sources per prefix.
+
+_C14_ORACLE = """
+SELECT SUBSTRING(text, 1, 12) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+WHERE length(text) > 0
+GROUP BY 1
+ORDER BY n DESC, prefix
+LIMIT 25
+"""
+
+
+@query(
+    "c14_prefix_profile", _C14_ORACLE,
+    doc="ClickBench substring-prefix grouping with count + distinct-count",
+)
+def c14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length("text") > 0)
+        .groupBy(F.substring("text", 1, 12).alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("source").alias("n_sources"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy(F.col("n").desc(), "prefix")
+        .limit(25)
+    )
+
+
+# --- c15: ClickBench conditional-ratio per key (bounce-rate form) -----------
+# ClickBench's bounce-rate style: per key, the ratio of rows meeting a
+# predicate to all rows — one groupBy with conditional sums, no join.
+
+_C15_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN value < 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS low_ratio
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "c15_conditional_ratio", _C15_ORACLE,
+    doc="ClickBench bounce-rate form: per-key conditional ratio in one pass",
+)
+def c15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.when(F.col("value") < 0.1, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("low_ratio"),
+        )
+        .orderBy("event_type")
+    )

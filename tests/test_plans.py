@@ -334,3 +334,28 @@ def test_ds18_exists_forms_are_semi_anti(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ds18_ship_together")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ds19_qoq_growth", "ds20_return_rate_ranks", "ds21_rollup_rank_filter",
+     "ds22_cohort_histogram", "c14_prefix_profile", "c15_conditional_ratio"],
+)
+def test_round4_breadth_shapes_no_nested_loop(spark, sf_dir, name):
+    # Q31's four-aggregate growth join, Q49's double ranking, Q70's
+    # rank-in-subquery rollup, Q54's cohort histogram and the ClickBench
+    # forms must all stay equi-join / exchange shaped
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ds21_top_set_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ds21_rollup_rank_filter")
+    assert "LeftSemi" in plan
+    assert "Expand" in plan  # the rollup lowering
+
+
+def test_ds22_cohort_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ds22_cohort_histogram")
+    assert "LeftSemi" in plan
