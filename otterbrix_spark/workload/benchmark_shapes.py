@@ -2555,3 +2555,88 @@ def c15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- l08: LDBC BI-19/20 — bounded BFS reachability over a derived graph -----
+# The LDBC BI closers are variable-length path queries (cheapest/shortest
+# path between person sets). The distributed form is level-synchronous
+# BFS: frontier -> join edges -> dedup -> subtract visited, one round per
+# hop — each round is an equi-join + distinct, no driver-side adjacency.
+# Edge set: u -> next distinct user within the same activity hour (lead
+# over (hour) windows with a unique tiebreak) — sparse (<= one edge per
+# event), deterministic. Seeds: every 100th user. The oracle states the
+# SAME reachability as a recursive UNION CTE + MIN(hop); hash equality
+# proves the visited-pruned BFS computes identical minimum hop counts.
+
+_L08_ORACLE = """
+WITH ordered AS (
+  SELECT date_trunc('hour', ts) AS hr, user_id, ts, event_id,
+         lead(user_id) OVER (PARTITION BY date_trunc('hour', ts)
+                             ORDER BY ts, event_id) AS next_user
+  FROM events),
+edges AS (
+  SELECT DISTINCT user_id AS src, next_user AS dst
+  FROM ordered
+  WHERE next_user IS NOT NULL AND next_user <> user_id),
+seeds AS (
+  SELECT DISTINCT user_id AS uid FROM events WHERE user_id % 100 = 0),
+reach AS (
+  WITH RECURSIVE r(uid, hop) AS (
+    SELECT uid, 0 FROM seeds
+    UNION
+    SELECT e.dst, r.hop + 1
+    FROM r JOIN edges e ON e.src = r.uid
+    WHERE r.hop < 3)
+  SELECT uid, MIN(hop) AS hop FROM r GROUP BY uid)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM reach GROUP BY hop ORDER BY hop
+"""
+
+
+@query(
+    "l08_bfs_reachability", _L08_ORACLE,
+    doc="LDBC BI-19/20 shape: 3-hop level-synchronous BFS over a derived "
+        "edge graph, min-hop census",
+)
+def l08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy(hr).orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("next_user", F.lead("user_id").over(w))
+        .filter(
+            F.col("next_user").isNotNull()
+            & (F.col("next_user") != F.col("user_id"))
+        )
+        .select(
+            F.col("user_id").alias("src"), F.col("next_user").alias("dst")
+        )
+        .distinct()
+    )
+    seeds = (
+        ev.filter(F.col("user_id") % 100 == 0)
+        .select(F.col("user_id").alias("uid"))
+        .distinct()
+    )
+    # level-synchronous BFS: 3 fixed rounds (not data-dependent), each an
+    # equi-join + distinct + anti-join — the standard distributed BFS.
+    # visited/frontier frames are cached per level so each round's lineage
+    # doesn't recompute every prior level.
+    visited = seeds.withColumn("hop", F.lit(0)).cache()
+    frontier = visited
+    for hop in (1, 2, 3):
+        nxt = (
+            frontier.join(edges, frontier["uid"] == edges["src"])
+            .select(F.col("dst").alias("uid"))
+            .distinct()
+            .join(visited.select("uid"), "uid", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .cache()
+        )
+        visited = visited.unionByName(nxt).cache()
+        frontier = nxt
+    return (
+        visited.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("hop")
+    )

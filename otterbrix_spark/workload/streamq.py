@@ -28,6 +28,7 @@ from otterbrix_spark.streaming.pipeline import (
     events_stream,
     hourly_rollup_stream,
     run_available_now,
+    run_until_count,
 )
 from otterbrix_spark.workload import query
 
@@ -61,4 +62,64 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         "total_value",
+    )
+
+
+# Streaming sessionization: the custom STATEFUL operator
+# (applyInPandasWithState, ProcessingTimeTimeout idle flush) certified
+# against the batch gaps-and-islands SQL. The stream keeps running empty
+# micro-batches after the corpus is exhausted so idle state times out and
+# every key's final open session flushes — at which point the emitted set
+# must equal the batch answer exactly, finals included. The oracle is the
+# same SQL as the batch s01 gate: one operator, two execution models, one
+# truth.
+_S04_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM x
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts)) AS end_us
+FROM s GROUP BY 1, 2
+"""
+
+
+@query(
+    "s04_streaming_sessionize", _S04_ORACLE,
+    doc="streaming certification: applyInPandasWithState sessionization "
+        "with idle-timeout flush, hash-matched against the batch "
+        "gaps-and-islands SQL",
+)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.sessionize import (
+        session_stats,
+        streaming_sessionize,
+    )
+    from otterbrix_spark.sources.registry import load_table
+
+    # the batch row count tells the harness when the stream has flushed
+    # everything (one extra aggregate job — not part of the streaming graph)
+    target = session_stats(
+        load_table(spark, sf_dir, "events"), gap_minutes=30
+    ).count()
+    stream = events_stream(spark, sf_dir)
+    sessions = streaming_sessionize(stream, gap_minutes=30, idle_timeout_ms=2000)
+    name = f"s04_sess_{uuid.uuid4().hex[:8]}"
+    result = run_until_count(
+        sessions, name, target_rows=target, timeout_s=240
+    )
+    return result.select(
+        "user_id", "session_seq", "n_events", "start_us", "end_us"
     )
