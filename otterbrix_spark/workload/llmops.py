@@ -1005,3 +1005,153 @@ def p04(spark: SparkSession, sf_dir: str, shard_rows: int = 64) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+# p05: band-stratified weighted sampling — the "keep more of the long/rare
+# documents" primitive. Weight bands are integer threshold compares on the
+# token count; each band keeps a deterministic md5-bucket fraction
+# (longer docs sampled at higher rates). Entirely integer + md5
+# arithmetic: reproducible under retry, join-free, and bit-exact across
+# engines — the same discipline as p01/p02 (llm/sampling.py), extended
+# from uniform to weighted sampling. A true weighted reservoir (u^(1/w)
+# keys) needs transcendental floats whose last-ulp behaviour differs
+# across engines; band-stratification is the hash-verifiable form and
+# what production corpus pipelines actually ship.
+_P05_SALTED = "md5('p05:' || CAST(doc_id AS VARCHAR))"
+_P05_BUCKET = f"(('0x' || SUBSTR({_P05_SALTED}, 1, 15))::BIGINT % 100)"
+
+_P05_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens
+  FROM documents),
+banded AS (
+  SELECT *,
+         CASE WHEN n_tokens < 32 THEN 0 WHEN n_tokens < 64 THEN 1
+              WHEN n_tokens < 128 THEN 2 ELSE 3 END AS band,
+         CASE WHEN n_tokens < 32 THEN 10 WHEN n_tokens < 64 THEN 25
+              WHEN n_tokens < 128 THEN 50 ELSE 100 END AS rate
+  FROM toks)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN {_P05_BUCKET} < rate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN {_P05_BUCKET} < rate THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+FROM banded GROUP BY band ORDER BY band
+"""
+
+
+@query(
+    "p05_stratified_sample", _P05_ORACLE,
+    doc="band-stratified weighted sampling: deterministic md5-bucket keep "
+        "rates per token-count band",
+)
+def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    n = F.col("n_tokens")
+    band = (
+        F.when(n < 32, 0).when(n < 64, 1).when(n < 128, 2).otherwise(3)
+    )
+    rate = (
+        F.when(n < 32, 10).when(n < 64, 25).when(n < 128, 50).otherwise(100)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("p05:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    kept = bucket < rate
+    return (
+        toks.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+# t09: bigram repetition scoring — the Gopher-rule family's "fraction of
+# duplicate n-grams" quality signal. Per document: 1 - distinct_bigrams /
+# total_bigrams, quantised to an integer BEFORE any cross-row aggregation
+# (per-row IEEE division + FLOOR is bit-deterministic in both engines;
+# summing raw doubles across rows is order-dependent and would break the
+# hash match — the repo-wide float discipline). Pure array expressions:
+# no explode, no shuffle beyond the final per-source aggregate.
+_T09_ORACLE = """
+WITH b AS (
+  SELECT source,
+         list_transform(range(1, len(regexp_extract_all(text, '[^ ]+'))),
+                        i -> regexp_extract_all(text, '[^ ]+')[i] || ' ' ||
+                             regexp_extract_all(text, '[^ ]+')[i + 1])
+           AS bigrams
+  FROM documents
+  WHERE len(regexp_extract_all(text, '[^ ]+')) >= 2),
+scored AS (
+  SELECT source,
+         CAST(FLOOR((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                          / CAST(len(bigrams) AS DOUBLE)) * 10000.0)
+              AS BIGINT) AS rep_q
+  FROM b)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(rep_q) AS BIGINT) AS rep_q_sum,
+       CAST(SUM(CASE WHEN rep_q > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "t09_bigram_repetition", _T09_ORACLE,
+    doc="Gopher-style duplicate-bigram repetition scoring per source "
+        "(quantised ratios, array exprs, no explode)",
+)
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0)
+    b = docs.select(
+        "source", toks.alias("toks")
+    ).filter(F.size("toks") >= 2).select(
+        "source",
+        F.expr(
+            "transform(sequence(0, size(toks) - 2), "
+            "i -> concat(toks[i], ' ', toks[i + 1]))"
+        ).alias("bigrams"),
+    )
+    rep_q = F.floor(
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("bigrams")).cast("double")
+            / F.size("bigrams").cast("double")
+        )
+        * F.lit(10000.0)
+    ).cast("long")
+    return (
+        b.select("source", rep_q.alias("rep_q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("rep_q").alias("rep_q_sum"),
+            F.sum(F.when(F.col("rep_q") > 2000, 1).otherwise(0)).alias(
+                "n_repetitive"
+            ),
+        )
+        .orderBy("source")
+    )
