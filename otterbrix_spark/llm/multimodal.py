@@ -159,3 +159,25 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
             F.length(F.unhex(F.md5("text"))).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def plan_resize(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """Resize planning over decoded dimensions: integer-percent scale to
+    fit the longest edge to ``target``, preserving aspect ratio.
+
+    Runs AFTER the (stubbed) decode as pure column expressions — the
+    actual pixel resample belongs in the same mapInPandas batch as the
+    decoder in production (`real_decode`), but the planning arithmetic
+    (scale selection, output geometry) is engine-side and testable today.
+    Integer percent arithmetic keeps the plan reproducible and
+    cross-engine checkable."""
+    longest = F.greatest(F.col("width"), F.col("height"))
+    scale_pct = F.floor(F.lit(target * 100) / longest).cast("long")
+    return decoded.select(
+        "asset_id",
+        "width",
+        "height",
+        scale_pct.alias("scale_pct"),
+        F.floor(F.col("width") * scale_pct / 100).cast("long").alias("out_w"),
+        F.floor(F.col("height") * scale_pct / 100).cast("long").alias("out_h"),
+    )

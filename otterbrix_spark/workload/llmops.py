@@ -1155,3 +1155,40 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- m03: multimodal resize planning ----------------------------------------
+# Decode (stubbed, deterministic) -> per-asset resize plan: integer-percent
+# scale fitting the longest edge to 224, aspect preserved. The oracle
+# reproduces the fake decoder's dimension derivation (first two payload
+# bytes of the md5 pseudo-payload) and the integer scale arithmetic.
+
+_M03_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         CAST(1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS INT)
+           AS width,
+         CAST(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS INT)
+           AS height
+  FROM documents)
+SELECT asset_id, width, height,
+       CAST(FLOOR(22400 / GREATEST(width, height)) AS BIGINT) AS scale_pct,
+       CAST(FLOOR(width * FLOOR(22400 / GREATEST(width, height)) / 100)
+            AS BIGINT) AS out_w,
+       CAST(FLOOR(height * FLOOR(22400 / GREATEST(width, height)) / 100)
+            AS BIGINT) AS out_h
+FROM dims
+"""
+
+
+@query(
+    "m03_resize_plan", _M03_ORACLE,
+    doc="multimodal resize planning: decode (stubbed) -> integer-percent "
+        "aspect-preserving scale to target edge",
+)
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.multimodal import plan_resize
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_assets(documents_as_assets(docs))
+    return plan_resize(decoded, target=224)
