@@ -354,3 +354,49 @@ def jd01(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM deleted
         """
     )
+
+
+# --- j13: nested dialect constructs through the SQL surface -----------------
+# PG operators NESTED inside CASE / subqueries plus a 1-based ARRAY-literal
+# subscript and operator-bearing string decoys — the silent-misparse zone
+# the round-4 nested battery (tests/test_dialect_nested.py) exercises,
+# promoted to an oracle gate so the external driver certifies the rewrite
+# path, not just pytest. The subscript case is the exact shape of the
+# round-4 bug (ARRAY['a','b'][2] falling through to Spark's 0-based `[]`).
+
+_J13_ORACLE = """
+SELECT t.et AS event_type, t.n_hot AS n_hot, 'a->b#>>c' AS decoy FROM (
+  SELECT event_type AS et,
+         SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       > 50
+                   AND 'click' = ANY(ARRAY['view','click'])
+                  THEN 1 ELSE 0 END) AS n_hot
+  FROM events GROUP BY event_type
+) t WHERE t.n_hot > 0
+ORDER BY event_type
+"""
+
+
+@query(
+    "j13_nested_dialect", _J13_ORACLE,
+    doc="nested dialect: JSONB op inside CASE inside subquery, ARRAY "
+        "literal subscript (1-based), operator decoys in literals",
+)
+def j13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "otx_events_j13"
+    )
+    return eng.sql(
+        "SELECT t.et AS event_type, t.n_hot AS n_hot, 'a->b#>>c' AS decoy "
+        "FROM ( "
+        "  SELECT event_type AS et, "
+        "         SUM(CASE WHEN (props ->> 'k')::bigint > 50 "
+        "                   AND ARRAY['view','click'][2] = 'click' "
+        "                  THEN 1 ELSE 0 END) AS n_hot "
+        "  FROM otx_events_j13 GROUP BY event_type "
+        ") t WHERE t.n_hot > 0 "
+        "ORDER BY event_type"
+    )
