@@ -1,0 +1,107 @@
+"""Continuous aggregate — an incrementally-maintained time-bucket rollup
+(the TimescaleDB continuous-aggregate / materialized hypertable-rollup
+pattern) on partitioned parquet.
+
+The maintained state is a parquet table PARTITIONED BY the time bucket;
+``refresh`` recomputes ONLY the buckets a delta touches and swaps those
+partitions in via dynamic partition overwrite — the untouched history is
+never rewritten or rescanned. At 100 TB of history with a trickle of late
+data this is the difference between an O(delta) maintenance job and an
+O(history) one:
+
+* touched-bucket discovery is an aggregate over the DELTA only (small);
+* the recompute scans the SOURCE filtered to touched buckets — a pushed
+  time-range predicate, so row-group pruning applies (and partition
+  pruning when the source itself is time-partitioned);
+* the write replaces exactly the touched partition directories
+  (``partitionOverwriteMode=dynamic``), an O(touched) commit.
+
+Invariant (tested + oracle-gated): after any build + refresh sequence the
+table equals the full one-shot aggregate over the complete source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_Q = 10000.0
+
+
+def _bucketed(events: DataFrame, bucket_hours: int) -> DataFrame:
+    bucket_us = bucket_hours * 3_600_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return events.withColumn("bucket_us", F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {bucket_us} * {bucket_us}"))
+
+
+def _aggregate(bucketed: DataFrame) -> DataFrame:
+    q = F.floor(F.col("value") * F.lit(_Q)).cast("long")
+    return bucketed.groupBy("bucket_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("qsum"),
+    )
+
+
+class ContinuousAggregate:
+    """Parquet-backed rollup of the events schema per
+    (time bucket, event_type), maintained incrementally."""
+
+    def __init__(self, spark: SparkSession, path: str, bucket_hours: int = 1):
+        self.spark = spark
+        self.path = path
+        self.bucket_hours = bucket_hours
+
+    def build(self, source: DataFrame) -> None:
+        """Full (re)build: one aggregate over the source, written
+        partitioned by bucket so later refreshes can swap buckets."""
+        agg = _aggregate(_bucketed(source, self.bucket_hours))
+        (
+            agg.repartition("bucket_us")
+            .write.mode("overwrite")
+            .partitionBy("bucket_us")
+            .parquet(self.path)
+        )
+
+    def refresh(self, source: DataFrame, delta: DataFrame) -> list[int]:
+        """Incremental maintenance: recompute ONLY the buckets ``delta``
+        touches, from ``source`` (which must already contain the delta
+        rows), and overwrite exactly those partitions. Returns the
+        touched bucket ids."""
+        touched = [
+            r["bucket_us"]
+            for r in _bucketed(delta, self.bucket_hours)
+            .select("bucket_us")
+            .distinct()
+            .collect()  # one tiny driver list: #touched buckets
+        ]
+        if not touched:
+            return []
+        bucket_us = self.bucket_hours * 3_600_000_000
+        lo, hi = min(touched), max(touched) + bucket_us
+        # time-range pushdown to the source scan; exact bucket membership
+        # re-checked after bucketing (the range may span untouched buckets)
+        src = source.filter(
+            (F.col("ts").cast("timestamp") >= F.timestamp_micros(F.lit(lo)))
+            & (F.col("ts").cast("timestamp") < F.timestamp_micros(F.lit(hi)))
+        )
+        agg = _aggregate(_bucketed(src, self.bucket_hours)).filter(
+            F.col("bucket_us").isin(touched)
+        )
+        overwrite_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                agg.repartition("bucket_us")
+                .write.mode("overwrite")
+                .partitionBy("bucket_us")
+                .parquet(self.path)
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", overwrite_mode
+            )
+        return sorted(touched)
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

@@ -105,6 +105,7 @@ def load_all() -> dict[str, QuerySpec]:
     from otterbrix_spark.workload import parity_more  # noqa: F401
     from otterbrix_spark.workload import benchmark_shapes  # noqa: F401
     from otterbrix_spark.workload import streamq  # noqa: F401
+    from otterbrix_spark.workload import temporalq  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _FRONT_WINDOW if n in REGISTRY}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)

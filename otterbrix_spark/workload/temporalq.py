@@ -1,0 +1,174 @@
+"""Oracle gates for the temporal join operators (operators/temporal.py):
+as-of join and bounded-interval range join.
+
+The DuckDB oracles use the NATIVE formulations (ASOF JOIN; plain BETWEEN
+inequality join) while the Spark implementations use the scale-stable
+reformulations (union+window sweep; bucket-expansion equi-join) — the
+hash match proves the reformulations compute identical results, and plan
+audits prove no nested-loop plan survives."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from otterbrix_spark.operators.temporal import as_of_join, interval_join
+from otterbrix_spark.sources.registry import load_table
+from otterbrix_spark.workload import query
+
+# aj01: for every click, the most recent view of the same user at-or-before
+# the click (the kdb `aj` / TimescaleDB ASOF shape). Aggregated per user:
+# clicks, matched clicks, total click-after-view gap — integer microseconds
+# throughout, so the comparison is hash-exact.
+_AJ01_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'view'),
+matched AS (
+  SELECT c.user_id, c.us AS c_us, v.us AS v_us
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND v.us <= c.us)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(COUNT(v_us) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(c_us - v_us), 0) AS BIGINT) AS total_gap_us
+FROM matched GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "aj01_asof_join", _AJ01_ORACLE,
+    doc="as-of join: last view at-or-before each click per user — "
+        "union+window sweep vs native ASOF JOIN oracle",
+)
+def aj01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("us")
+    )
+    joined = as_of_join(clicks, views, key="user_id", left_ts="us", right_ts="us")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("matched_ts").alias("n_matched"),
+            F.coalesce(
+                F.sum(F.col("us") - F.col("matched_ts")), F.lit(0)
+            ).alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# rj01: bounded-interval range join — each purchase opens a 2-hour window;
+# count the same user's clicks inside it (post-purchase engagement). The
+# oracle is the plain BETWEEN inequality join; the implementation is the
+# bucket-expansion equi-join, which is what keeps the plan off
+# BroadcastNestedLoopJoin at any scale.
+_RJ01_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, event_id AS win_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + 7200000000 AS e_us
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'click')
+SELECT p.user_id,
+       CAST(COUNT(DISTINCT p.win_id) AS BIGINT) AS n_windows,
+       CAST(COUNT(c.us) AS BIGINT) AS clicks_in_windows
+FROM purchases p
+LEFT JOIN clicks c
+  ON c.user_id = p.user_id AND c.us BETWEEN p.s_us AND p.e_us
+GROUP BY p.user_id ORDER BY p.user_id
+"""
+
+
+@query(
+    "rj01_interval_join", _RJ01_ORACLE,
+    doc="range join: clicks inside 2h post-purchase windows per user — "
+        "bucket-expansion equi-join vs BETWEEN oracle",
+)
+def rj01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # distinct column names on the two sides: both derive from the same
+    # events frame, and shared names would make the self-join ambiguous
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("s_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        event_ts="c_ts",
+        start_ts="s_ts",
+        end_ts="e_ts",
+        keys=[("c_uid", "p_uid")],
+        bucket_hours=2,
+    )
+    hits = joined.groupBy("win_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    # LEFT semantics of the oracle: windows with no clicks still count
+    per_user = (
+        purchases.join(hits, "win_id", "left")
+        .groupBy(F.col("p_uid").alias("user_id"))
+        .agg(
+            F.countDistinct("win_id").alias("n_windows"),
+            F.coalesce(F.sum("n_clicks"), F.lit(0)).cast("long").alias(
+                "clicks_in_windows"
+            ),
+        )
+        .orderBy("user_id")
+    )
+    return per_user
+
+
+# h01: continuous aggregate (hypertable rollup). The gate BUILDS the
+# rollup from the first ~90% of events, REFRESHES with the late tail
+# (incremental: touched buckets only, dynamic partition overwrite), and
+# returns the maintained table — which must hash-match the oracle's full
+# one-shot aggregate over ALL events. A passing row certifies the
+# maintenance invariant, not just one aggregation.
+_H01_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qsum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "h01_continuous_aggregate", _H01_ORACLE,
+    doc="hypertable rollup: build + incremental refresh (touched-bucket "
+        "partition overwrite) must equal the full aggregate",
+)
+def h01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from otterbrix_spark.operators.rollup import ContinuousAggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cutoff = ev.agg(
+        F.expr("percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.9)")
+    ).collect()[0][0]
+    ca = ContinuousAggregate(
+        spark, tempfile.mkdtemp(prefix="otx-h01-"), bucket_hours=1
+    )
+    ca.build(ev.filter(us < cutoff))
+    ca.refresh(source=ev, delta=ev.filter(us >= cutoff))
+    return ca.df().select(
+        F.col("bucket_us").cast("long").alias("bucket_us"),
+        "event_type", "n", "qsum",
+    )

@@ -359,3 +359,21 @@ def test_ds21_top_set_is_semi_join(spark, sf_dir):
 def test_ds22_cohort_is_semi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ds22_cohort_histogram")
     assert "LeftSemi" in plan
+
+
+def test_asof_join_is_window_not_pairwise(spark, sf_dir):
+    # the as-of join must be the union+window sweep — one window over the
+    # merged timeline, never a pairwise inequality join
+    plan = plan_of(spark, sf_dir, "aj01_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
+    # the range join must equi-join on (key, bucket); an inequality-only
+    # join would lower to BroadcastNestedLoopJoin — the exact scale bug
+    # the bucket expansion exists to prevent
+    plan = plan_of(spark, sf_dir, "rj01_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,89 @@
+"""Continuous-aggregate maintenance: after any build + refresh sequence
+the rollup must equal the full one-shot aggregate, and a refresh must be
+O(delta) — touched buckets only, with the time-range predicate pushed to
+the source scan."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from otterbrix_spark.operators.rollup import ContinuousAggregate, _aggregate, _bucketed
+from otterbrix_spark.sources.registry import load_table
+
+
+def _full(events, bucket_hours=1):
+    return _aggregate(_bucketed(events, bucket_hours))
+
+
+def _as_dict(df):
+    return {
+        (r["bucket_us"], r["event_type"]): (r["n"], r["qsum"])
+        for r in df.collect()
+    }
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.expr("percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.9)")
+    ).collect()[0][0]
+    early = ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) < cutoff)
+    late = ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) >= cutoff)
+
+    ca = ContinuousAggregate(spark, str(tmp_path / "rollup"), bucket_hours=1)
+    ca.build(early)
+    touched = ca.refresh(source=ev, delta=late)
+    assert touched  # the late slice touches at least one bucket
+
+    assert _as_dict(ca.df()) == _as_dict(_full(ev))
+
+
+def test_refresh_touches_only_delta_partitions(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup2")
+    ca = ContinuousAggregate(spark, path, bucket_hours=1)
+    ca.build(ev)
+    before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith("bucket_us=")
+    }
+    # a delta confined to the single latest bucket
+    last_bucket = max(int(d.split("=")[1]) for d in before)
+    delta = _bucketed(ev, 1).filter(F.col("bucket_us") == last_bucket).drop(
+        "bucket_us"
+    )
+    touched = ca.refresh(source=ev, delta=delta)
+    assert touched == [last_bucket]
+    after = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith("bucket_us=")
+    }
+    rewritten = {d for d in before if after[d] != before[d]}
+    assert rewritten == {f"bucket_us={last_bucket}"}
+    # still equal to the full aggregate
+    assert _as_dict(ca.df()) == _as_dict(_full(ev))
+
+
+def test_refresh_pushes_time_range_to_source_scan(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    ca = ContinuousAggregate(spark, str(tmp_path / "rollup3"), bucket_hours=1)
+    ca.build(ev)
+    bucket_us = 3_600_000_000
+    last = _bucketed(ev, 1).agg(F.max("bucket_us")).collect()[0][0]
+    src = ev.filter(
+        (F.col("ts").cast("timestamp") >= F.timestamp_micros(F.lit(last)))
+        & (
+            F.col("ts").cast("timestamp")
+            < F.timestamp_micros(F.lit(last + bucket_us))
+        )
+    )
+    plan = src._sc._jvm.PythonSQLUtils.explainString(
+        src._jdf.queryExecution(), "formatted"
+    )
+    # the refresh's range filter must reach the parquet scan
+    assert "PushedFilters:" in plan
+    assert "ts" in plan.split("PushedFilters:")[1].split("\n")[0]
