@@ -172,3 +172,70 @@ def h01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_us").cast("long").alias("bucket_us"),
         "event_type", "n", "qsum",
     )
+
+
+# sk01: KMV (k-minimum-values) distinct sketch — the mergeable sketch
+# family's simplest member (Bar-Yossef et al.; the theta-sketch core).
+# Estimate = (k-1) * HASH_SPACE / R where R is the k-th smallest distinct
+# hash. With md5-derived hashes the sketch is fully DETERMINISTIC, so
+# unlike a rows-only approx gate the oracle replays the identical
+# arithmetic and the estimate hash-matches bit-for-bit — a sketch with an
+# exact correctness gate. Distributed shape: one distinct + one window
+# top-k per group; at scale the k smallest hashes per group are a tiny
+# mergeable state (the production form keeps only k values per partition
+# then merges — same estimate).
+_SK01_K = 64
+_SK01_SPACE = float(1 << 60)
+
+_SK01_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events),
+ranked AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM h)
+SELECT event_type,
+       CAST(n_exact AS BIGINT) AS exact_distinct,
+       CAST(({_SK01_K} - 1) * {_SK01_SPACE} / CAST(hv AS DOUBLE) AS DOUBLE)
+         AS kmv_estimate
+FROM ranked WHERE rn = {_SK01_K}
+ORDER BY event_type
+"""
+
+
+@query(
+    "sk01_kmv_distinct", _SK01_ORACLE,
+    doc="KMV distinct sketch: deterministic md5 k-minimum-values estimate "
+        "with an exact cross-engine oracle",
+)
+def sk01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    )
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wc = Window.partitionBy("event_type")
+    ranked = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_exact", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        ranked.filter(F.col("rn") == _SK01_K)
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("exact_distinct"),
+            (
+                F.lit(float(_SK01_K - 1))
+                * F.lit(_SK01_SPACE)
+                / F.col("hv").cast("double")
+            ).alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )
