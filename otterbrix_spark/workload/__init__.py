@@ -49,8 +49,8 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # (tests/test_workload_oracle.py). Remaining never-sampled gates queued
 # for the round-5 window: ds03-ds12, b03-b06, c03-c06/c08-c11/c13,
 # l01/l02/l06/l07, plus the later round-4 additions (ds19-ds22, c14/c15,
-# s04, l08, p05, t09, m03) — all pass the identical local battery at
-# sf0.001 AND sf0.01.
+# s04, l08, p05, t09, m03, j13, aj01, rj01, h01, sk01) — all pass the
+# identical local battery at sf0.001 AND sf0.01.
 _FRONT_WINDOW = [
     "q01_pricing_summary",  # flagship / bench headline anchor (r03 green)
     # round-4 new gates: streaming certification + TPC-DS long tail
