@@ -365,7 +365,8 @@ def jd01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-4 bug (ARRAY['a','b'][2] falling through to Spark's 0-based `[]`).
 
 _J13_ORACLE = """
-SELECT t.et AS event_type, t.n_hot AS n_hot, 'a->b#>>c' AS decoy FROM (
+SELECT t.et AS event_type, CAST(t.n_hot AS BIGINT) AS n_hot,
+       'a->b#>>c' AS decoy FROM (
   SELECT event_type AS et,
          SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                        > 50
