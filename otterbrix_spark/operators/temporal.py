@@ -105,23 +105,24 @@ def interval_join(
 
     iv = intervals.withColumn("_s_us", s_us).withColumn("_e_us", e_us)
     # hard stop on unbounded expansion (scale guard): a too-long interval
-    # fails the job with a clear message instead of silently exploding
-    iv = iv.withColumn(
-        "_guard",
-        F.assert_true(
-            (F.col("_e_us") - F.col("_s_us")) <= max_hours * 3_600_000_000,
-            F.lit(f"interval longer than max_hours={max_hours}"),
-        ),
-    )
+    # fails the job with a clear message instead of silently exploding.
+    # The check lives INSIDE the bucket expression — a free-standing
+    # assert column would be pruned away by the optimizer and never run.
+    max_us = max_hours * 3_600_000_000
     iv = iv.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
                 F.expr(f"_s_us DIV {bucket_us}"),
-                F.expr(f"_e_us DIV {bucket_us}"),
+                F.expr(
+                    f"CASE WHEN _e_us - _s_us <= {max_us} "
+                    f"THEN _e_us DIV {bucket_us} "
+                    f"ELSE raise_error('interval longer than "
+                    f"max_hours={max_hours}') END"
+                ),
             )
         ),
-    ).drop("_guard")
+    )
     # integer DIV, not double division: epoch-us magnitudes are exactly
     # representable but a float quotient can truncate off-by-one at exact
     # bucket boundaries
