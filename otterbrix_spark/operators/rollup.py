@@ -18,6 +18,12 @@ O(history) one:
 
 Invariant (tested + oracle-gated): after any build + refresh sequence the
 table equals the full one-shot aggregate over the complete source.
+
+Reference anchor: the closest reference facility is materialized views
+with full refresh (`operator_create_matview.cpp`, SURVEY.md §2.10);
+incremental bucket-level maintenance is the extension this engine adds —
+the capability a time-series deployment of the reference would reach for
+first.
 """
 
 from __future__ import annotations

@@ -19,6 +19,11 @@ is the standard reformulation that stays equi-join/window shaped:
   into an equi-join with a small constant expansion factor — the standard
   range-bucketing trick (Flink/Spark SQL range-join hints do the same
   internally). A plan audit asserts no BroadcastNestedLoopJoin survives.
+
+Reference anchor: the reference engine has no temporal join operators
+(its join surface is `components/physical_plan/operators/join` —
+nested-loop + hash equi-join only, SURVEY.md §2.3); these belong to the
+time-series extension layer this engine adds on top.
 """
 
 from __future__ import annotations
