@@ -239,3 +239,67 @@ def sk01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# g01: gap-filled time buckets — TimescaleDB's time_bucket_gapfill / the
+# dense calendar join. Hourly event counts where hours with NO events
+# still appear (n = 0): generate the dense hour spine with sequence()
+# (engine-side, no driver loop, no data-dependent collect) and LEFT JOIN
+# the sparse aggregate onto it. The spine bounds come from one tiny
+# min/max aggregate broadcast into the sequence — at any scale the spine
+# is O(time range / bucket), independent of corpus size.
+_G01_ORACLE = """
+WITH bounds AS (
+  SELECT (epoch_us(MIN(ts)) // 3600000000) * 3600000000 AS lo,
+         (epoch_us(MAX(ts)) // 3600000000) * 3600000000 AS hi
+  FROM events),
+spine AS (
+  SELECT UNNEST(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+  FROM bounds),
+sparse AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT s.bucket_us, COALESCE(sp.n, 0) AS n
+FROM spine s LEFT JOIN sparse sp ON s.bucket_us = sp.bucket_us
+ORDER BY s.bucket_us
+"""
+
+
+@query(
+    "g01_gapfill", _G01_ORACLE,
+    doc="gap-filled hourly buckets: dense sequence spine LEFT JOIN sparse "
+        "aggregate — empty hours present with n=0",
+)
+def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour_us = 3_600_000_000
+    bounds = ev.agg(
+        F.expr(
+            f"unix_micros(CAST(MIN(ts) AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+        ).alias("lo"),
+        F.expr(
+            f"unix_micros(CAST(MAX(ts) AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+        ).alias("hi"),
+    )
+    # Spark sequence() is stop-INCLUSIVE: lo..hi covers every bucket —
+    # identical to the oracle's exclusive-end range(lo, hi+step, step)
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(hour_us))
+        ).alias("bucket_us")
+    )
+    sparse = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+        ).alias("bucket_us"))
+        .groupBy("bucket_us")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(sparse, "bucket_us", "left")
+        .select("bucket_us", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("bucket_us")
+    )
