@@ -303,3 +303,67 @@ def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket_us", F.coalesce("n", F.lit(0)).alias("n"))
         .orderBy("bucket_us")
     )
+
+
+# w02: event-time RANGE window frames — a VALUE-range sliding frame
+# (`RANGE BETWEEN 2h PRECEDING AND CURRENT ROW`), distinct from w01's
+# ROWS frames: the frame extends by ORDER-BY VALUE distance, so sparse
+# buckets shrink the window naturally (the time-series "trailing 2 hours"
+# without self-joins or bucket explosion). One groupBy + one window
+# shuffle on the same key.
+_W02_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS qsum
+  FROM events GROUP BY 1, 2)
+SELECT event_type, bucket_us, n,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_us
+                         RANGE BETWEEN 7200000000 PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n_3h,
+       CAST(SUM(qsum) OVER (PARTITION BY event_type ORDER BY bucket_us
+                            RANGE BETWEEN 7200000000 PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE) / 10000.0
+         AS sum_3h
+FROM hourly
+ORDER BY event_type, bucket_us
+"""
+
+
+@query(
+    "w02_range_frame", _W02_ORACLE,
+    doc="value-RANGE sliding frames: trailing-2h window by ORDER-BY "
+        "distance over hourly buckets",
+)
+def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+            ).alias("bucket_us"),
+            F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("q"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("qsum"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rangeBetween(-2 * hour_us, 0)
+    )
+    return (
+        hourly.select(
+            "event_type", "bucket_us", "n",
+            F.sum("n").over(w).alias("n_3h"),
+            (F.sum("qsum").over(w).cast("double") / F.lit(10000.0)).alias(
+                "sum_3h"
+            ),
+        )
+        .orderBy("event_type", "bucket_us")
+    )
