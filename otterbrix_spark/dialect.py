@@ -111,6 +111,102 @@ def _delete_expr(col: str, keys: list[str], depth: int = 0) -> str:
     )
 
 
+_GROUP_HEAD = re.compile(rf"(?:\b({_IDENT})\s*)?\(")
+_SUBSCRIPT_AFTER = re.compile(r"\s*\[\s*(\d+)\s*\]")
+# residual 1-based subscript attached to a paren group or bracket that the
+# rewrite rules did not consume — reaching spark.sql would silently apply
+# Spark's 0-based [] semantics (the off-by-one class this layer exists to
+# close), so raise instead of passing through.
+_RESIDUAL_SUB = re.compile(r"[\)\]]\s*\[\s*\d+\s*\]")
+
+
+def _scan_balanced(body: str, open_at: int) -> int:
+    """Index just past the paren group whose '(' is at ``open_at``; -1 if
+    unbalanced. String literals are already stashed, so no quote handling."""
+    depth = 0
+    for i in range(open_at, len(body)):
+        c = body[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return -1
+
+
+def _rewrite_group_subscripts(body: str) -> str:
+    """One left-to-right pass wrapping ``head(...)[N]`` / ``(...)[N]`` in
+    ``element_at`` (PG 1-based). Balanced-paren scanning handles nested call
+    arguments that a single-level regex cannot. Call heads that are type
+    keywords (``numeric(10,2)[3]`` in DDL) are array TYPE declarations, not
+    subscripts, and pass through for the catalog's type mapper. The caller
+    loops to fixpoint, so groups wrapped this pass get their interiors
+    re-scanned next pass."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _GROUP_HEAD.search(body, i)
+        if not m:
+            out.append(body[i:])
+            break
+        open_at = m.end() - 1
+        end = _scan_balanced(body, open_at)
+        if end < 0:  # unbalanced tail: nothing rewritable remains
+            out.append(body[i:])
+            break
+        ident = m.group(1)
+        wrap_start = m.start()
+        if ident and ident.upper() in _SQL_KEYWORDS:
+            # `SELECT (a || b)[1]`: the keyword is not a call head — the
+            # paren group alone is the subscripted operand
+            ident, wrap_start = None, open_at
+        sub = _SUBSCRIPT_AFTER.match(body, end)
+        if sub and not (ident and ident.lower() in _TYPE_KEYWORDS):
+            out.append(body[i:wrap_start])
+            out.append(f"element_at({body[wrap_start:end]}, {sub.group(1)})")
+            i = sub.end()
+        else:
+            # descend INTO the group so nested subscripts are still seen
+            out.append(body[i : open_at + 1])
+            i = open_at + 1
+    return "".join(out)
+
+
+def _call_head_ident(body: str, close_at: int) -> str | None:
+    """Identifier immediately preceding the '(' that matches the ')' at
+    ``close_at``, or None for a bare parenthesized expression."""
+    depth = 0
+    for i in range(close_at, -1, -1):
+        c = body[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            depth -= 1
+            if depth == 0:
+                m = re.search(rf"({_IDENT})\s*$", body[:i])
+                return m.group(1) if m else None
+    return None
+
+
+def _guard_residual_subscripts(body: str) -> None:
+    """Post-pass safety net: any digit subscript still attached to a paren
+    group or bracket after the rewrite rules ran is either a parameterized
+    array TYPE declaration (allowed — the catalog's DDL type mapper owns
+    ``numeric(10,2)[3]``) or a construct this layer failed to lower. Raising
+    beats letting Spark's 0-based ``[]`` silently shift every element."""
+    for m in _RESIDUAL_SUB.finditer(body):
+        if body[m.start()] == ")":
+            head = _call_head_ident(body, m.start())
+            if head and head.lower() in _TYPE_KEYWORDS:
+                continue
+        snippet = body[max(0, m.start() - 40) : m.end() + 10]
+        raise ValueError(
+            "unrewritten 1-based array subscript (would hit Spark's 0-based "
+            f"[] and silently shift elements) near: {snippet!r}"
+        )
+
+
 def rewrite(sql: str, literals_resolver=None) -> str:
     """Rewrite PG-isms into Spark SQL. Idempotent on plain Spark SQL."""
     body, lits = _protect_strings(sql)
@@ -211,11 +307,6 @@ def rewrite(sql: str, literals_resolver=None) -> str:
         flags=re.IGNORECASE,
     )
     body = re.sub(
-        rf"\b({_IDENT}\s*\([^()]*\))\s*\[\s*(\d+)\s*\]",
-        r"element_at(\1, \2)",
-        body,
-    )
-    body = re.sub(
         r"\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", body, flags=re.IGNORECASE
     )
 
@@ -225,7 +316,18 @@ def rewrite(sql: str, literals_resolver=None) -> str:
             return m.group(0)
         return f"element_at({m.group(1)}, {m.group(2)})"
 
-    body = re.sub(rf"\b({_IDENT})\s*\[\s*(\d+)\s*\]", fix_subscript, body)
+    # Fixpoint: the group scanner wraps `f(..)[N]` / `(expr)[N]` (balanced
+    # parens, so nested calls like string_to_array(lower(x), ',')[2] are
+    # caught), the ident rule wraps bare `col[N]`; chains like col[1][2]
+    # converge because each rewrite consumes one digit-subscript and emits
+    # none. Parameterized array TYPES (numeric(10,2)[3]) are skipped here
+    # and vetted by _guard_residual_subscripts below.
+    prev = None
+    while prev != body:
+        prev = body
+        body = _rewrite_group_subscripts(body)
+        body = re.sub(rf"\b({_IDENT})\s*\[\s*(\d+)\s*\]", fix_subscript, body)
+    _guard_residual_subscripts(body)
 
     # --- regex operators: `~` / `!~` / `~*` / `!~*` -------------------------
     # case-insensitive variants prepend (?i) to the pattern literal;

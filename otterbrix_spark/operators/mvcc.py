@@ -129,7 +129,15 @@ class VersionedTable:
                     f"version {current} committed first"
                 )
             nxt = current + 1
-            os.rename(staged, self._version_path(nxt))
+            target = self._version_path(nxt)
+            # Crash recovery: a writer that died between rename and
+            # _set_pointer leaves an orphaned, unreferenced v{n+1} directory
+            # that would wedge every later commit (rename onto a non-empty
+            # dir fails). The pointer is the sole commit authority, so any
+            # directory above it is garbage — clear it under the lock.
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            os.rename(staged, target)
             self._set_pointer(nxt)
             return nxt
 

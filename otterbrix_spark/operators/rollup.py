@@ -28,6 +28,9 @@ first.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _Q = 10000.0
@@ -92,21 +95,36 @@ class ContinuousAggregate:
         agg = _aggregate(_bucketed(src, self.bucket_hours)).filter(
             F.col("bucket_us").isin(touched)
         )
-        overwrite_mode = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # persisted so the retraction check below reuses the computed
+        # aggregate instead of re-scanning the source range
+        agg = agg.persist()
         try:
+            # per-write option, not session conf: mutating the session-global
+            # partitionOverwriteMode races with any concurrent writer in the
+            # same session
             (
                 agg.repartition("bucket_us")
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket_us")
                 .parquet(self.path)
             )
+            # Retraction: dynamic overwrite only rewrites partitions PRESENT
+            # in the output — a touched bucket whose recompute yields zero
+            # rows (all its rows deleted upstream) would silently keep its
+            # stale partition. Delete those partition dirs explicitly.
+            produced = {
+                r["bucket_us"]
+                for r in agg.select("bucket_us").distinct().collect()
+            }
+            for b in touched:
+                if b not in produced:
+                    shutil.rmtree(
+                        os.path.join(self.path, f"bucket_us={b}"),
+                        ignore_errors=True,
+                    )
         finally:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", overwrite_mode
-            )
+            agg.unpersist()
         return sorted(touched)
 
     def df(self) -> DataFrame:

@@ -154,6 +154,8 @@ GROUP BY 1, 2
         "partition overwrite) must equal the full aggregate",
 )
 def h01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
     import tempfile
 
     from otterbrix_spark.operators.rollup import ContinuousAggregate
@@ -163,9 +165,12 @@ def h01(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = ev.agg(
         F.expr("percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.9)")
     ).collect()[0][0]
-    ca = ContinuousAggregate(
-        spark, tempfile.mkdtemp(prefix="otx-h01-"), bucket_hours=1
-    )
+    # scratch dir must outlive this call (the returned DataFrame reads it
+    # lazily), so registration-at-exit — not eager cleanup — closes the
+    # per-invocation disk leak across repeated driver/bench runs
+    scratch = tempfile.mkdtemp(prefix="otx-h01-")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    ca = ContinuousAggregate(spark, scratch, bucket_hours=1)
     ca.build(ev.filter(us < cutoff))
     ca.refresh(source=ev, delta=ev.filter(us >= cutoff))
     return ca.df().select(

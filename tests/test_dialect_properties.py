@@ -168,3 +168,23 @@ def test_type_declaration_subscript_untouched():
 def test_array_rewrite_never_touches_string_literals(atoms):
     out = rewrite(" ".join(atoms))
     assert "'lit[1]'" in out or "lit[1]" not in " ".join(atoms) or "'lit" in out
+
+
+def test_nested_call_subscript_balanced_parens():
+    out = rewrite("SELECT string_to_array(lower(x), ',')[2] FROM t")
+    assert "element_at(string_to_array(lower(x), ','), 2)" in out
+
+
+def test_parameterized_array_type_ddl_survives():
+    out = rewrite("CREATE TABLE t (a numeric(10,2)[3], b varchar(20)[2])")
+    assert "numeric(10,2)[3]" in out and "varchar(20)[2]" in out
+    assert "element_at" not in out
+
+
+def test_paren_group_subscript():
+    assert "element_at((a || b), 1)" in rewrite("SELECT (a || b)[1] FROM t")
+
+
+def test_chained_subscripts_converge():
+    out = rewrite("SELECT col[1][2] FROM t")
+    assert "element_at(element_at(col, 1), 2)" in out

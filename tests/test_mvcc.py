@@ -94,3 +94,20 @@ def test_vacuum_keeps_current_readable(table):
     assert table.df().count() == 10  # current unaffected
     with pytest.raises(ValueError):
         table.as_of(1)
+
+
+def test_orphaned_version_dir_is_reclaimed(table):
+    """A writer that crashed between the version-dir rename and the pointer
+    update leaves an unreferenced v{n+1}; the next commit must clear and
+    reuse it instead of wedging every subsequent commit."""
+    import os
+
+    orphan = table._version_path(table.current_version() + 1)
+    os.makedirs(os.path.join(orphan, "junk"))  # non-empty: rename would fail
+    w = table.begin()
+    n = w.commit(w.frame.filter(F.col("k") < 3))
+    assert n == 2
+    assert table.df().count() == 3
+    # and the table keeps working afterwards
+    w = table.begin()
+    assert w.commit(w.frame) == 3

@@ -87,3 +87,25 @@ def test_refresh_pushes_time_range_to_source_scan(spark, sf_dir, tmp_path):
     # the refresh's range filter must reach the parquet scan
     assert "PushedFilters:" in plan
     assert "ts" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_refresh_retracts_emptied_bucket(spark, tmp_path):
+    """A touched bucket whose recompute yields zero rows must disappear
+    from the rollup (dynamic overwrite alone cannot retract a partition)."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "rollup3")
+    rows = [
+        Row(ts="2024-01-01 00:10:00", event_type="view", value=1.0),
+        Row(ts="2024-01-01 01:10:00", event_type="view", value=2.0),
+    ]
+    ev = spark.createDataFrame(rows)
+    ca = ContinuousAggregate(spark, path, bucket_hours=1)
+    ca.build(ev)
+    assert len(_as_dict(ca.df())) == 2
+    # upstream deleted every row in hour-1; source now holds only hour-0
+    source = spark.createDataFrame([rows[0]])
+    delta = spark.createDataFrame([rows[1]])  # the touched (now-empty) bucket
+    ca.refresh(source=source, delta=delta)
+    got = _as_dict(ca.df())
+    assert len(got) == 1  # hour-1's stale partition is gone, not surviving
