@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed through Arrow-batched `mapInPandas`.
 
-The decode step is STUBBED — the container has no image/audio codecs — but
-the Spark-side plumbing is real and tested: schema contract, partitioning,
-Arrow batch shapes, and the UDF signature are exactly what a production
-decoder would plug into. `fake_decode` is a deterministic stand-in so the
-pipeline is end-to-end testable.
+``real_decode`` is a real (stdlib+numpy) decoder for two uncompressed
+image containers — PPM P6 and BI_RGB BMP — so the pipeline is end-to-end
+honest: header parsing, padded-row geometry, channel statistics from
+actual pixel bytes. Formats needing external codecs (JPEG/PNG/audio/video)
+raise ``ValueError`` at the same seam a production decoder would plug into.
+``fake_decode`` remains as the format-agnostic deterministic stand-in.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python), media
 payloads stay in executor memory one batch at a time, and the metadata-only
@@ -52,16 +53,131 @@ DECODED_SCHEMA = T.StructType(
 
 
 def real_decode(payload: bytes) -> dict:
-    """Decode an image/audio payload into pixels/samples.
+    """Decode an image payload into dimensions + channel-mean feature.
 
-    STUB: requires an image/audio codec library (PIL / libsndfile / ffmpeg)
-    that is not available in this environment. The surrounding pipeline is
-    fully functional with `fake_decode`.
-    """
-    raise NotImplementedError(
-        "media codecs unavailable in this container; use fake_decode for the "
-        "deterministic test path"
+    Stdlib+numpy only — two uncompressed container formats are supported,
+    enough to make the multimodal pipeline end-to-end real without adding
+    codec dependencies (reference BLOB ingestion surface,
+    `components/types/types.hpp:83`):
+
+      - PPM binary (``P6`` magic, maxval <= 255)
+      - BMP, uncompressed BI_RGB, 24- or 32-bit, top-down or bottom-up
+
+    Returns ``{width, height, n_bytes, feature}`` where feature is
+    ``[mean_r/255, mean_g/255, mean_b/255, (mean_r+mean_g+mean_b)/765]``.
+    Channel means are computed from exact integer sums, so for images whose
+    true mean is integral the doubles are bit-exact and cross-engine
+    checkable. Unsupported containers raise ``ValueError`` (a real decode
+    error, not a stub)."""
+    if payload is None:
+        return {"width": None, "height": None, "n_bytes": None, "feature": None}
+    if payload[:2] == b"P6":
+        w, h, sums = _decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        w, h, sums = _decode_bmp(payload)
+    else:
+        raise ValueError(
+            f"unsupported media container (magic {payload[:2]!r}); "
+            "PPM P6 and uncompressed 24/32-bit BMP are supported"
+        )
+    n_px = w * h
+    means = [s / n_px for s in sums]
+    return {
+        "width": w,
+        "height": h,
+        "n_bytes": len(payload),
+        "feature": [
+            means[0] / 255.0,
+            means[1] / 255.0,
+            means[2] / 255.0,
+            (means[0] + means[1] + means[2]) / 765.0,
+        ],
+    }
+
+
+def _decode_ppm(buf: bytes) -> tuple[int, int, list[int]]:
+    """P6 header (whitespace/#-comment tokens: width height maxval) +
+    packed RGB; returns (w, h, per-channel integer sums)."""
+    import numpy as np
+
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(int(buf[i:j]))
+        i = j
+    i += 1  # single whitespace terminating the maxval token
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = 3 * w * h
+    if len(buf) - i < need:
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(buf, np.uint8, count=need, offset=i).reshape(-1, 3)
+    return w, h, [int(px[:, c].sum(dtype=np.int64)) for c in range(3)]
+
+
+def _decode_bmp(buf: bytes) -> tuple[int, int, list[int]]:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB only; rows are padded
+    to 4 bytes and stored bottom-up (positive height) in BGR(A) order."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    _, w, h, _, bpp, compression = struct.unpack_from("<IiiHHI", buf, 14)
+    if compression != 0:
+        raise ValueError("only uncompressed BI_RGB BMP is supported")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    h = abs(h)  # negative height = top-down; irrelevant to sums/dims
+    bytes_px = bpp // 8
+    row_bytes = (w * bytes_px + 3) // 4 * 4
+    if len(buf) - data_off < h * row_bytes:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        buf, np.uint8, count=h * row_bytes, offset=data_off
+    ).reshape(h, row_bytes)
+    px = rows[:, : w * bytes_px].reshape(h, w, bytes_px)
+    # BGR(A) -> RGB channel sums
+    return w, h, [
+        int(px[:, :, 2 - c].sum(dtype=np.int64)) for c in range(3)
+    ]
+
+
+def encode_ppm(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal P6 encoder (constant-color fill) — the synthetic-corpus side
+    of the decode contract; also the production shape for writing decoded
+    tiles back out."""
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(rgb) * (w * h)
+
+
+def encode_bmp24(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder (constant-color fill), rows padded
+    to 4 bytes, bottom-up."""
+    import struct
+
+    r, g, b = rgb
+    row = bytes((b, g, r)) * w
+    row += b"\0" * ((-len(row)) % 4)
+    pixel_data = row * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
     )
+    return header + info + pixel_data
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -79,7 +195,7 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
-def decode_assets(assets: DataFrame, decoder=fake_decode) -> DataFrame:
+def decode_assets(assets: DataFrame, decoder=real_decode) -> DataFrame:
     """Run the decoder over asset payloads as Arrow-batched mapInPandas."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -157,6 +273,54 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.length(F.unhex(F.md5("text"))).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def documents_as_pixel_assets(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into REAL image assets: each doc becomes a
+    valid constant-color image whose geometry and color derive from doc_id
+    by SQL-expressible rules (so a cross-engine oracle can predict every
+    decoded value without a codec):
+
+      width  = 1 + (doc_id * 13) % 64      color r = doc_id % 256
+      height = 1 + (doc_id * 7)  % 64              g = (doc_id * 3) % 256
+      container: even doc_id -> PPM P6             b = (doc_id * 7) % 256
+                 odd  doc_id -> 24-bit BMP
+
+    Encoding runs as an Arrow-batched pandas UDF on the executors — the
+    same seam a production ingest would use to wrap raw camera/scraper
+    bytes into the asset contract."""
+    import pandas as pd  # noqa: F811 (module-level import is the same)
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(doc_id: pd.Series) -> pd.Series:
+        def one(d):
+            if d is None:
+                return None
+            d = int(d)
+            w, h = 1 + (d * 13) % 64, 1 + (d * 7) % 64
+            rgb = (d % 256, (d * 3) % 256, (d * 7) % 256)
+            return encode_ppm(w, h, rgb) if d % 2 == 0 else encode_bmp24(w, h, rgb)
+
+        return doc_id.map(one)
+
+    # two-step select so the encode UDF appears once in the plan; the meta
+    # column references the materialized payload, not a second UDF call
+    base = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        encode(F.col("doc_id")).alias("payload"),
+    )
+    return base.select(
+        "asset_id",
+        F.when(F.col("asset_id") % 2 == 0, F.lit("image/x-portable-pixmap"))
+        .otherwise(F.lit("image/bmp"))
+        .alias("media_type"),
+        "payload",
+        F.struct(
+            (1 + (F.col("asset_id") * 13) % 64).cast("int").alias("width"),
+            (1 + (F.col("asset_id") * 7) % 64).cast("int").alias("height"),
+            F.length("payload").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
 

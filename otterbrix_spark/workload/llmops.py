@@ -334,19 +334,50 @@ def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- m01: multimodal metadata (decode plumbing; fake decoder) ---------------
+# --- m01: multimodal metadata (REAL decode: PPM/BMP containers) -------------
+# Each document becomes a real constant-color image (even doc_id -> PPM P6,
+# odd -> 24-bit BMP; geometry/color SQL-derivable from doc_id — see
+# documents_as_pixel_assets). The oracle predicts the container byte size
+# from the format spec: PPM = "P6\n{w} {h}\n255\n" + 3wh; BMP = 54-byte
+# headers + h rows padded to 4 bytes. The Spark side measures it by
+# DECODING the actual payload bytes.
 
-_M01_ORACLE = """
-SELECT doc_id AS asset_id,
-       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS n_bytes
-FROM documents
+_MM_DIMS_CTE = """
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+         1 + (doc_id * 13) % 64 AS w,
+         1 + (doc_id * 7) % 64 AS h,
+         doc_id % 256 AS r,
+         (doc_id * 3) % 256 AS g,
+         (doc_id * 7) % 256 AS b
+  FROM documents)
+"""
+
+_MM_NBYTES = """
+CAST(CASE WHEN asset_id % 2 = 0
+     THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+          + 3 * w * h
+     ELSE 54 + h * ((3 * w + 3) // 4 * 4)
+     END AS BIGINT)
+"""
+
+_M01_ORACLE = f"""
+{_MM_DIMS_CTE}
+SELECT asset_id, {_MM_NBYTES} AS n_bytes
+FROM dims
 """
 
 
-@query("m01_multimodal_meta", _M01_ORACLE, doc="binary payload columns + metadata (decode stubbed)")
+@query(
+    "m01_multimodal_meta", _M01_ORACLE,
+    doc="binary payload columns + metadata via REAL container decode "
+        "(PPM/BMP headers parsed from actual payload bytes)",
+)
 def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.multimodal import documents_as_pixel_assets
+
     docs = load_table(spark, sf_dir, "documents")
-    assets = documents_as_assets(docs)
+    assets = documents_as_pixel_assets(docs)
     decoded = decode_assets(assets)
     return decoded.select("asset_id", "n_bytes")
 
@@ -1158,24 +1189,19 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- m03: multimodal resize planning ----------------------------------------
-# Decode (stubbed, deterministic) -> per-asset resize plan: integer-percent
-# scale fitting the longest edge to 224, aspect preserved. The oracle
-# reproduces the fake decoder's dimension derivation (first two payload
-# bytes of the md5 pseudo-payload) and the integer scale arithmetic.
+# REAL decode -> per-asset resize plan: integer-percent scale fitting the
+# longest edge to 224, aspect preserved. The dimensions feeding the plan
+# come from parsing actual PPM/BMP headers on the executors; the oracle
+# predicts them from the pixel-asset generation rule and replays the
+# integer scale arithmetic.
 
-_M03_ORACLE = """
-WITH dims AS (
-  SELECT doc_id AS asset_id,
-         CAST(1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS INT)
-           AS width,
-         CAST(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS INT)
-           AS height
-  FROM documents)
-SELECT asset_id, width, height,
-       CAST(FLOOR(22400 / GREATEST(width, height)) AS BIGINT) AS scale_pct,
-       CAST(FLOOR(width * FLOOR(22400 / GREATEST(width, height)) / 100)
+_M03_ORACLE = f"""
+{_MM_DIMS_CTE}
+SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(FLOOR(22400 / GREATEST(w, h)) AS BIGINT) AS scale_pct,
+       CAST(FLOOR(w * FLOOR(22400 / GREATEST(w, h)) / 100)
             AS BIGINT) AS out_w,
-       CAST(FLOOR(height * FLOOR(22400 / GREATEST(width, height)) / 100)
+       CAST(FLOOR(h * FLOOR(22400 / GREATEST(w, h)) / 100)
             AS BIGINT) AS out_h
 FROM dims
 """
@@ -1183,12 +1209,51 @@ FROM dims
 
 @query(
     "m03_resize_plan", _M03_ORACLE,
-    doc="multimodal resize planning: decode (stubbed) -> integer-percent "
-        "aspect-preserving scale to target edge",
+    doc="multimodal resize planning: REAL container decode -> "
+        "integer-percent aspect-preserving scale to target edge",
 )
 def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from otterbrix_spark.llm.multimodal import plan_resize
+    from otterbrix_spark.llm.multimodal import (
+        documents_as_pixel_assets,
+        plan_resize,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    decoded = decode_assets(documents_as_assets(docs))
+    decoded = decode_assets(documents_as_pixel_assets(docs))
     return plan_resize(decoded, target=224)
+
+
+# --- m04: full decode certification ------------------------------------------
+# The strongest multimodal gate: dimensions, container byte size, AND the
+# channel-mean feature vector of every decoded image must match the oracle's
+# format-spec prediction. Constant-color fills make the channel means exact
+# integers, so the derived doubles are bit-identical across engines — a real
+# pixel-statistics decode with an exact cross-engine oracle.
+
+_M04_ORACLE = f"""
+{_MM_DIMS_CTE}
+SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       {_MM_NBYTES} AS n_bytes,
+       r / 255.0 AS f_r, g / 255.0 AS f_g, b / 255.0 AS f_b,
+       (r + g + b) / 765.0 AS f_luma
+FROM dims
+"""
+
+
+@query(
+    "m04_decode_certify", _M04_ORACLE,
+    doc="end-to-end image decode: PPM/BMP header geometry + per-channel "
+        "pixel means hash-matched against the format-spec oracle",
+)
+def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.multimodal import documents_as_pixel_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_assets(documents_as_pixel_assets(docs))
+    return decoded.select(
+        "asset_id", "width", "height", "n_bytes",
+        F.col("feature")[0].alias("f_r"),
+        F.col("feature")[1].alias("f_g"),
+        F.col("feature")[2].alias("f_b"),
+        F.col("feature")[3].alias("f_luma"),
+    )

@@ -42,18 +42,30 @@ def test_struct_delete(spark):
 
 
 def test_multimodal_decode_pipeline(spark, sf_dir):
+    from otterbrix_spark.llm.multimodal import documents_as_pixel_assets
+
     docs = load_table(spark, sf_dir, "documents").limit(50)
-    assets = documents_as_assets(docs)
+    assets = documents_as_pixel_assets(docs)
     # payload is binary, metadata typed
     dtypes = dict(assets.dtypes)
     assert dtypes["payload"] == "binary"
-    decoded = decode_assets(assets)
+    decoded = decode_assets(assets)  # default decoder = real_decode
     rows = decoded.collect()
     assert len(rows) == 50
-    for r in rows[:5]:
-        assert r["n_bytes"] == 16  # md5 payload
-        assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 64
+    for r in rows:
+        d = r["asset_id"]
+        assert r["width"] == 1 + (d * 13) % 64  # parsed from real headers
+        assert r["height"] == 1 + (d * 7) % 64
+        assert r["feature"][0] == (d % 256) / 255.0  # real pixel means
         assert len(r["feature"]) == 4
+
+
+def test_fake_decode_pipeline_still_works(spark, sf_dir):
+    # the format-agnostic stand-in path stays available for opaque payloads
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    decoded = decode_assets(documents_as_assets(docs), decoder=fake_decode)
+    rows = decoded.collect()
+    assert len(rows) == 10 and all(r["n_bytes"] == 16 for r in rows)
 
 
 def test_metadata_query_prunes_payload(spark, sf_dir):
@@ -64,10 +76,27 @@ def test_metadata_query_prunes_payload(spark, sf_dir):
     assert meta_only.count() == docs.count()
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        real_decode(b"\x00" * 16)
-    # deterministic fake path
+def test_real_decode_ppm_and_bmp():
+    from otterbrix_spark.llm.multimodal import encode_bmp24, encode_ppm
+
+    out = real_decode(encode_ppm(3, 2, (10, 20, 30)))
+    assert (out["width"], out["height"]) == (3, 2)
+    assert out["feature"] == [10 / 255.0, 20 / 255.0, 30 / 255.0, 60 / 765.0]
+    # PPM comment in header
+    p = b"P6\n# c\n3 2\n255\n" + bytes((10, 20, 30)) * 6
+    assert real_decode(p)["width"] == 3
+    # BMP: BGR order + 4-byte row padding handled (w=3 -> 9-byte row pads to 12)
+    out = real_decode(encode_bmp24(3, 5, (200, 100, 50)))
+    assert (out["width"], out["height"]) == (3, 5)
+    assert out["feature"][0] == 200 / 255.0 and out["feature"][2] == 50 / 255.0
+
+
+def test_real_decode_rejects_unknown_container():
+    with pytest.raises(ValueError):
+        real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        real_decode(b"P6\n3 2\n255\n\x00")  # truncated pixel data
+    # deterministic fake path unchanged
     a = fake_decode(b"abcdef0123456789")
     b = fake_decode(b"abcdef0123456789")
     assert a == b and a["n_bytes"] == 16
