@@ -38,12 +38,29 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     payload: str | None = None,
+    slice_width: int | None = None,
 ) -> DataFrame:
     """For every LEFT row, attach the greatest ``right_ts`` of the same
     key with ``right_ts <= left_ts`` (NULL when none precedes it).
 
     Returns the left rows plus ``matched_ts`` (and ``matched_payload``
     when ``payload`` names a right-side column to carry).
+
+    **Skew limit of the default path**: the single window pass partitions
+    by ``key``, so one key's whole timeline serialises through one task —
+    correct, but a hot key (one user with 10^9 events) is a straggler by
+    construction. It needs key cardinality >> cores.
+
+    **Two-pass skew-hardened path** (``slice_width`` set): the timeline is
+    cut into fixed slices of ``slice_width`` time units (microseconds when
+    the ts columns are timestamps, else the native units of the numeric ts
+    column). Pass 1 runs the window sweep within each (key, slice) — a hot
+    key now spreads over #slices tasks. Pass 2 fixes up slice boundaries:
+    a per-(key, slice) summary frame (rows = keys x slices, tiny) computes
+    each slice's carry-in (the latest right row of any earlier slice) with
+    a per-key window over slices, and left rows that found no within-slice
+    match coalesce onto the carry-in — the same two-level trick as the
+    p04 sub-shard prefix sums.
     """
     lt = left.select(
         F.col(key),
@@ -58,6 +75,8 @@ def as_of_join(
         else right.select(*rcols),
         allowMissingColumns=True,
     )
+    if slice_width is not None:
+        return _as_of_two_pass(unioned, key, left_ts, payload, slice_width)
     # rows sort by (key, time, side): a right row at time T precedes a left
     # row at the same T, so ties match (<= semantics). last(ignorenulls)
     # carries the most recent right time/payload forward within the key.
@@ -80,6 +99,96 @@ def as_of_join(
     out = carried.filter(F.col("_side") == 1).withColumnRenamed("_t", left_ts)
     drop = ["_side"] + (["_rpay"] if payload else [])
     return out.drop(*drop)
+
+
+def _as_of_two_pass(
+    unioned: DataFrame,
+    key: str,
+    left_ts: str,
+    payload: str | None,
+    slice_width: int,
+) -> DataFrame:
+    """Skew-hardened as-of sweep over the tagged union (see as_of_join).
+
+    Correctness: within a slice, pass 1 is exactly the single-pass sweep
+    restricted to the slice. A left row with no within-slice match takes
+    the carry-in — the latest right row of any strictly earlier slice,
+    whose time is < its slice end <= the left row's slice start <= left
+    time, so the <= ordering always holds; and any right row the carry-in
+    skips over would have been in the left row's own slice, where pass 1
+    wins via coalesce precedence.
+    """
+    dt = dict(unioned.dtypes)["_t"]
+    if dt.startswith(("timestamp", "date")):
+        slice_expr = F.expr(
+            f"unix_micros(CAST(_t AS TIMESTAMP)) DIV {slice_width}"
+        )
+    else:
+        slice_expr = F.expr(f"CAST(_t AS BIGINT) DIV {slice_width}")
+    sliced = unioned.withColumn("_slice", slice_expr)
+
+    # pass 1: the standard sweep, but partitioned by (key, slice) — a hot
+    # key's timeline spreads over as many tasks as it spans slices
+    w1 = (
+        Window.partitionBy(key, "_slice")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = sliced.withColumn(
+        "_m_ts",
+        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w1),
+    )
+    if payload:
+        carried = carried.withColumn(
+            "_m_pay",
+            F.last(
+                F.when(F.col("_side") == 0, F.col("_rpay")), ignorenulls=True
+            ).over(w1),
+        )
+
+    # pass 2: boundary fix-up on a keys x slices summary frame. Every
+    # (key, slice) seen on either side appears (a left-only slice still
+    # needs its carry-in); slices with no right rows carry NULL summaries
+    # that last(ignorenulls) skips.
+    right_agg = [F.max("_t").alias("_last_rt")]
+    if payload:
+        right_agg.append(F.expr("max_by(_rpay, _t)").alias("_last_rpay"))
+    rs = (
+        sliced.filter(F.col("_side") == 0)
+        .groupBy(key, "_slice")
+        .agg(*right_agg)
+    )
+    slices = sliced.select(key, "_slice").distinct()
+    summ = slices.join(rs, [key, "_slice"], "left")
+    wprev = (
+        Window.partitionBy(key)
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_cols = [
+        F.col(key),
+        F.col("_slice"),
+        F.last("_last_rt", ignorenulls=True).over(wprev).alias("_carry_ts"),
+    ]
+    if payload:
+        carry_cols.append(
+            F.last("_last_rpay", ignorenulls=True).over(wprev).alias("_carry_pay")
+        )
+    carry = summ.select(*carry_cols)
+
+    lefts = carried.filter(F.col("_side") == 1).join(
+        carry, [key, "_slice"], "left"
+    )
+    out = lefts.withColumn(
+        "matched_ts", F.coalesce(F.col("_m_ts"), F.col("_carry_ts"))
+    )
+    drop = ["_side", "_slice", "_m_ts", "_carry_ts"]
+    if payload:
+        out = out.withColumn(
+            "matched_payload", F.coalesce(F.col("_m_pay"), F.col("_carry_pay"))
+        )
+        drop += ["_rpay", "_m_pay", "_carry_pay"]
+    return out.withColumnRenamed("_t", left_ts).drop(*drop)
 
 
 def interval_join(

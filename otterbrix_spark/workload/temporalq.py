@@ -66,6 +66,60 @@ def aj01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# aj02: the SKEW-HARDENED two-pass as-of join (slice sub-windows + boundary
+# carry-in fix-up) against the identical native-ASOF oracle shape — same
+# semantics as aj01, different physical plan: a hot key's timeline spreads
+# over one task per 6h slice instead of serialising through one.
+_AJ02_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'click'),
+matched AS (
+  SELECT p.user_id, p.us AS p_us, c.us AS c_us
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.us <= p.us)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(c_us) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(p_us - c_us), 0) AS BIGINT) AS total_gap_us
+FROM matched GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "aj02_asof_join_skew", _AJ02_ORACLE,
+    doc="skew-hardened two-pass as-of join (slice windows + carry-in "
+        "fix-up) vs native ASOF JOIN oracle",
+)
+def aj02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us")
+    )
+    joined = as_of_join(
+        purchases, clicks, key="user_id", left_ts="us", right_ts="us",
+        slice_width=6 * 3_600_000_000,  # 6h slices in epoch-us units
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("matched_ts").alias("n_matched"),
+            F.coalesce(
+                F.sum(F.col("us") - F.col("matched_ts")), F.lit(0)
+            ).alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # rj01: bounded-interval range join — each purchase opens a 2-hour window;
 # count the same user's clicks inside it (post-purchase engagement). The
 # oracle is the plain BETWEEN inequality join; the implementation is the

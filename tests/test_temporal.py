@@ -117,3 +117,89 @@ def test_interval_join_overlong_interval_fails_loudly(spark):
             events, ivs, event_ts="c_ts", start_ts="s_ts", end_ts="e_ts",
             keys=[("uid", "uid")], bucket_hours=2,
         ).count()
+
+
+# --- two-pass (skew-hardened) as-of ------------------------------------------
+
+
+def test_asof_two_pass_equals_single_pass_on_random_data(spark):
+    import random
+
+    rng = random.Random(7)
+    left = _frame(
+        spark,
+        [{"k": rng.randint(1, 3), "t": rng.randint(0, 1000)} for _ in range(200)],
+        "k long, t long",
+    )
+    right = _frame(
+        spark,
+        [
+            {"k": rng.randint(1, 3), "t": rng.randint(0, 1000), "p": f"p{i}"}
+            for i in range(80)
+        ],
+        "k long, t long, p string",
+    )
+    one = as_of_join(left, right, key="k", left_ts="t", right_ts="t", payload="p")
+    two = as_of_join(
+        left, right, key="k", left_ts="t", right_ts="t", payload="p",
+        slice_width=100,
+    )
+    cols = ["k", "t", "matched_ts", "matched_payload"]
+    a = sorted(map(tuple, one.select(cols).collect()))
+    b = sorted(map(tuple, two.select(cols).collect()))
+    assert a == b
+
+
+def test_asof_two_pass_boundary_semantics(spark):
+    # left row in a slice with NO right rows takes the carry-in from the
+    # latest earlier slice; ties at slice boundaries keep <= semantics
+    left = _frame(
+        spark,
+        [{"k": 1, "t": 250}, {"k": 1, "t": 100}, {"k": 1, "t": 99}],
+        "k long, t long",
+    )
+    right = _frame(
+        spark,
+        [{"k": 1, "t": 95, "p": "early"}, {"k": 1, "t": 100, "p": "edge"}],
+        "k long, t long, p string",
+    )
+    out = as_of_join(
+        left, right, key="k", left_ts="t", right_ts="t", payload="p",
+        slice_width=100,
+    )
+    got = {r["t"]: (r["matched_ts"], r["matched_payload"]) for r in out.collect()}
+    assert got[99] == (95, "early")      # within slice 0
+    assert got[100] == (100, "edge")     # tie at slice-1 start: <= match
+    assert got[250] == (100, "edge")     # slice 2 empty: carry-in crosses slices
+
+
+def test_asof_two_pass_spreads_hot_key_over_tasks(spark):
+    # one key holds ~90% of rows; the two-pass plan must put its timeline
+    # through MORE THAN ONE window partition (the single-pass plan cannot)
+    hot = [{"k": 1, "t": i * 10} for i in range(900)]
+    cold = [{"k": 2 + i, "t": i * 10} for i in range(100)]
+    left = _frame(spark, hot + cold, "k long, t long")
+    right = _frame(
+        spark, [{"k": 1, "t": 5}, {"k": 3, "t": 5}], "k long, t long"
+    )
+    out = as_of_join(
+        left, right, key="k", left_ts="t", right_ts="t", slice_width=1000
+    )
+    # mechanical plan check: the pass-1 window partitions by (k, _slice) —
+    # the slice column in the partition spec is what splits a hot key's
+    # timeline across tasks (the single-pass plan partitions by k alone)
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "_slice" in executed
+    win_lines = [ln for ln in executed.splitlines() if "Window" in ln]
+    assert any("_slice" in ln for ln in win_lines)
+    # and the data really spans >1 slice for the hot key
+    n_slices = (
+        left.filter(F.col("k") == 1)
+        .select((F.col("t") / 1000).cast("long").alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_slices > 1
+    # and the result is still the correct as-of answer
+    rows = {r["t"]: r["matched_ts"] for r in out.filter(F.col("k") == 1).collect()}
+    assert rows[0] is None and rows[10] == 5 and rows[8990] == 5
