@@ -2640,3 +2640,290 @@ def l08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("hop")
     )
+
+
+# --- b09: JOB — 9-way double-role snowflake ---------------------------------
+# The JOB 20a/28a topology: the SAME dimension chain appears in TWO roles
+# (nation+region once via the customer, once via the supplier — as JOB binds
+# comp_cast_type twice as cct1/cct2), with selective filters on both roles,
+# an IN-list dim filter, and MIN(string) aggregates. Join ORDER is the whole
+# game: starting from the facts is catastrophic; the right plan reduces each
+# role chain to a broadcast-sized key set first. The oracle carries JOB's
+# redundant comma-FROM transitive predicates for the optimizer to collapse.
+
+_B09_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(p.p_name) AS first_part,
+       MIN(c.c_name) AS first_cust,
+       MIN(s.s_name) AS first_supp
+FROM lineitem l, orders o, customer c, nation n1, region r1,
+     supplier s, nation n2, region r2, part p
+WHERE l.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n1.n_nationkey
+  AND n1.n_regionkey = r1.r_regionkey
+  AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = n2.n_nationkey
+  AND n2.n_regionkey = r2.r_regionkey
+  AND l.l_partkey = p.p_partkey
+  AND r1.r_name = 'EUROPE'
+  AND r2.r_name = 'ASIA'
+  AND p.p_brand IN ('Brand#1', 'Brand#7', 'Brand#13', 'Brand#19')
+  AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+"""
+
+
+@query(
+    "b09_job_double_role_snowflake", _B09_ORACLE,
+    doc="JOB 20a shape: 9-way join, nation+region chain in two roles "
+        "(customer-side EUROPE, supplier-side ASIA) + IN-list dims",
+)
+def b09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    def nations_in(r_name: str) -> DataFrame:
+        # role-reduced chain: region filter -> nation keys (5-ish rows)
+        return (
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == r_name)),
+                nation["n_regionkey"] == region["r_regionkey"],
+            ).select("n_nationkey")
+        )
+
+    cust_eu = cust.join(
+        F.broadcast(nations_in("EUROPE")),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name")
+    supp_as = supp.join(
+        F.broadcast(nations_in("ASIA")),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    p = part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13", "Brand#19")
+    ).select("p_partkey", "p_name")
+    o = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_custkey")
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_partkey")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(cust_eu, o["o_custkey"] == cust_eu["c_custkey"])
+        .join(F.broadcast(supp_as), li["l_suppkey"] == supp_as["s_suppkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_name").alias("first_part"),
+            F.min("c_name").alias("first_cust"),
+            F.min("s_name").alias("first_supp"),
+        )
+    )
+
+
+# --- b10: JOB — hub intersection (one dim reached from two fact paths) ------
+# JOB's complete_cast hub: a movie qualifies only if BOTH auxiliary paths
+# hit it. Mapped: a part qualifies only if shipped by an ASIA supplier AND
+# by a EUROPE supplier. Two EXISTS = two LEFT-SEMI joins onto the hub —
+# never a fact-fact join materialising the cross-path pairs.
+
+_B10_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts, MIN(p.p_name) AS first_part
+FROM part p
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l, supplier s, nation n, region r
+    WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l, supplier s, nation n, region r
+    WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE')
+"""
+
+
+@query(
+    "b10_job_hub_intersection", _B10_ORACLE,
+    doc="JOB hub shape: part must be reached by BOTH region-filtered "
+        "supplier paths — two semi-joins, no cross-path pair join",
+)
+def b10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    def parts_shipped_from(r_name: str) -> DataFrame:
+        nk = nation.join(
+            F.broadcast(region.filter(F.col("r_name") == r_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select("n_nationkey")
+        sk = supp.join(
+            F.broadcast(nk), supp["s_nationkey"] == F.col("n_nationkey")
+        ).select("s_suppkey")
+        return (
+            li.join(F.broadcast(sk), li["l_suppkey"] == F.col("s_suppkey"))
+            .select("l_partkey")
+        )
+
+    out = part.join(
+        parts_shipped_from("ASIA"),
+        part["p_partkey"] == F.col("l_partkey"),
+        "left_semi",
+    ).join(
+        parts_shipped_from("EUROPE"),
+        part["p_partkey"] == F.col("l_partkey"),
+        "left_semi",
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_name").alias("first_part"),
+    )
+
+
+# --- b11: JOB — pure path join across the whole schema ----------------------
+# An 8-table PATH (not star): region -> nation -> supplier -> lineitem ->
+# orders -> customer -> nation -> region, selective filters at BOTH ends
+# (AFRICA suppliers, AMERICA customers). A left-deep order from either end
+# is fine; starting in the middle (fact-fact first) is the classic join-
+# order disaster JOB punishes. Unlike q05's same-nation cycle, the two
+# endpoint chains bind different regions, so no cycle shortcut exists.
+
+_B11_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 10000.0) AS BIGINT))
+            AS BIGINT) AS rev_q
+FROM region r1, nation n1, supplier s, lineitem l, orders o,
+     customer c, nation n2, region r2
+WHERE r1.r_name = 'AFRICA'
+  AND r1.r_regionkey = n1.n_regionkey
+  AND n1.n_nationkey = s.s_nationkey
+  AND s.s_suppkey = l.l_suppkey
+  AND l.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey
+  AND c.c_nationkey = n2.n_nationkey
+  AND n2.n_regionkey = r2.r_regionkey
+  AND r2.r_name = 'AMERICA'
+  AND o.o_orderdate >= DATE '1995-01-01'
+"""
+
+
+@query(
+    "b11_job_path_join", _B11_ORACLE,
+    doc="JOB path shape: 8-table chain with selective filters at both "
+        "ends (AFRICA suppliers -> AMERICA customers)",
+)
+def b11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    def keys_in(r_name: str) -> DataFrame:
+        return nation.join(
+            F.broadcast(region.filter(F.col("r_name") == r_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select("n_nationkey")
+
+    s_af = supp.join(
+        F.broadcast(keys_in("AFRICA")),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    c_am = cust.join(
+        F.broadcast(keys_in("AMERICA")),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01")).select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(s_af), li["l_suppkey"] == s_af["s_suppkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c_am, o["o_custkey"] == c_am["c_custkey"], "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_q(F.col("l_extendedprice"))).alias("rev_q"),
+        )
+    )
+
+
+# --- b12: JOB — mixed-selectivity filter soup over a 7-way join -------------
+# The JOB 28a WHERE-clause mix on one query: IN-list, NOT LIKE, an
+# OR across two different columns (pattern OR numeric), a != on a dim,
+# and a numeric range — with MIN(string) aggregates. The optimizer must
+# rank filters by selectivity, not clause order, when picking the join
+# order; every predicate must reach its scan.
+
+_B12_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(p.p_name) AS first_part,
+       MIN(s.s_name) AS first_supp,
+       MIN(c.c_name) AS first_cust
+FROM lineitem l, part p, supplier s, nation n, region r, orders o, customer c
+WHERE l.l_partkey = p.p_partkey
+  AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND l.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey
+  AND p.p_type IN ('ECONOMY', 'PROMO')
+  AND p.p_name NOT LIKE '%green%'
+  AND (s.s_name LIKE '%7%' OR s.s_acctbal > 9000)
+  AND r.r_name <> 'AFRICA'
+  AND o.o_totalprice > 1000
+"""
+
+
+@query(
+    "b12_job_filter_soup", _B12_ORACLE,
+    doc="JOB 28a filter mix: IN + NOT LIKE + cross-column OR + dim != + "
+        "numeric range over a 7-way join",
+)
+def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    p = part.filter(
+        F.col("p_type").isin("ECONOMY", "PROMO")
+        & ~F.col("p_name").like("%green%")
+    ).select("p_partkey", "p_name")
+    nk = nation.join(
+        F.broadcast(region.filter(F.col("r_name") != "AFRICA")),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey")
+    s = (
+        supp.filter(F.col("s_name").like("%7%") | (F.col("s_acctbal") > 9000))
+        .join(F.broadcast(nk), supp["s_nationkey"] == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    o = orders.filter(F.col("o_totalprice") > 1000).select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(cust.select("c_custkey", "c_name"),
+              o["o_custkey"] == F.col("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_name").alias("first_part"),
+            F.min("s_name").alias("first_supp"),
+            F.min("c_name").alias("first_cust"),
+        )
+    )

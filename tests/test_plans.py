@@ -377,3 +377,33 @@ def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "rj01_interval_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "b09_job_double_role_snowflake", "b10_job_hub_intersection",
+        "b11_job_path_join", "b12_job_filter_soup",
+    ],
+)
+def test_job_order_shapes_no_cartesian(spark, sf_dir, name):
+    # the JOB join-order family: 7-9 way joins must stay hash-join shaped
+    # with the role/dim chains reduced to broadcast builds — a wrong order
+    # surfaces as a cartesian product or nested-loop fallback
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_b10_hub_is_semi_joined(spark, sf_dir):
+    # both EXISTS paths must lower to LEFT-SEMI onto the part hub — the
+    # cross-path pair materialisation JOB punishes must not appear
+    plan = plan_of(spark, sf_dir, "b10_job_hub_intersection")
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_b09_selective_dims_reach_scans(spark, sf_dir):
+    # both region roles' filters and the brand IN-list must be pushed
+    plan = plan_of(spark, sf_dir, "b09_job_double_role_snowflake")
+    assert len(plan.split("PushedFilters:")) > 4
