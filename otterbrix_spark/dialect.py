@@ -189,6 +189,61 @@ def _call_head_ident(body: str, close_at: int) -> str | None:
     return None
 
 
+def _left_operand_start(body: str, end: int) -> int | None:
+    """Start index of the full operand ending just before ``end``:
+    a stashed literal, an identifier, or a balanced paren group with an
+    optional call-head identifier — the backward twin of the subscript
+    scanner, used to give every PG operator rule nested-call LHS support
+    the single-level ``_OPERAND`` regex lacks."""
+    i = end
+    while i > 0 and body[i - 1] in " \t\n":
+        i -= 1
+    if i == 0:
+        return None
+    if body[i - 1] == ")":
+        depth, j = 0, i - 1
+        while j >= 0:
+            if body[j] == ")":
+                depth += 1
+            elif body[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0 or depth != 0:
+            return None
+        m = re.search(rf"({_IDENT})\s*$", body[:j])
+        if m and m.group(1).upper() not in _SQL_KEYWORDS:
+            return m.start(1)
+        return j
+    m = re.search("\x00\\d+\x00$", body[:i])
+    if m:
+        return m.start()
+    m = re.search(rf"{_IDENT}$", body[:i])
+    if m:
+        return m.start()
+    return None
+
+
+def _apply_binop_scanned(body: str, op_re: re.Pattern, make) -> str:
+    """Rewrite residual ``<operand> OP <rhs>`` occurrences whose LHS needed
+    balanced-paren scanning. ``make(lhs, match)`` returns the replacement
+    (or None to leave this occurrence). Restarts after each rewrite so
+    chains collapse left-to-right."""
+    while True:
+        for m in op_re.finditer(body):
+            s = _left_operand_start(body, m.start())
+            if s is None:
+                continue
+            repl = make(body[s : m.start()].rstrip(), m)
+            if repl is None:
+                continue
+            body = body[:s] + repl + body[m.end() :]
+            break
+        else:
+            return body
+
+
 def _guard_residual_subscripts(body: str) -> None:
     """Post-pass safety net: any digit subscript still attached to a paren
     group or bracket after the rewrite rules ran is either a parameterized
@@ -215,50 +270,58 @@ def rewrite(sql: str, literals_resolver=None) -> str:
         m = re.fullmatch("\x00(\\d+)\x00", tok)
         return _lit_text(lits[int(m.group(1))]) if m else None
 
-    # --- #- : path delete (BEFORE #>/#>> so '#-' is never half-matched) -----
-    def fix_path_delete(m: re.Match) -> str:
-        col, tok = m.group(1), m.group(2)
-        text = lit_at(tok)
-        if text is None:
-            return m.group(0)
-        keys = [k.strip() for k in text.strip("{}").split(",") if k.strip()]
-        return _delete_expr(col, keys) if keys else col
+    # Every binary PG operator below rewrites through the balanced-operand
+    # scanner (_apply_binop_scanned), NOT a single-level-paren regex: the
+    # scanner handles nested-call LHS, and — because it always rewrites the
+    # LEFTMOST occurrence first — chains like a -> 'x' ->> 'y' collapse
+    # with PG's left associativity. (A regex pass that skips a complex LHS
+    # would match the INNER pair of a chain first and mis-associate.)
 
-    body = re.sub(rf"({_OPERAND})\s*#-\s*(\x00\d+\x00)", fix_path_delete, body)
+    # --- #- : path delete (BEFORE #>/#>> so '#-' is never half-matched) -----
+    def scanned_path_delete(lhs: str, m: re.Match) -> str | None:
+        text = lit_at(m.group(1))
+        if text is None or lhs.upper() in _SQL_KEYWORDS:
+            return None
+        keys = [k.strip() for k in text.strip("{}").split(",") if k.strip()]
+        return _delete_expr(lhs, keys) if keys else lhs
+
+    body = _apply_binop_scanned(
+        body, re.compile("#-\\s*(\x00\\d+\x00)"), scanned_path_delete
+    )
 
     # --- #>> / #> : path navigation with '{a,b}' literals -------------------
-    def fix_path(m: re.Match) -> str:
-        col, tok = m.group(1), m.group(2)
-        text = lit_at(tok)
-        if text is None:
-            return m.group(0)
+    def scanned_path(lhs: str, m: re.Match) -> str | None:
+        text = lit_at(m.group(1))
+        if text is None or lhs.upper() in _SQL_KEYWORDS:
+            return None
         keys = [k.strip() for k in text.strip("{}").split(",") if k.strip()]
-        path = _json_path(keys)
-        return f"get_json_object({col}, '{path}')"
+        return f"get_json_object({lhs}, '{_json_path(keys)}')"
 
-    body = re.sub(rf"({_OPERAND})\s*#>>?\s*(\x00\d+\x00)", fix_path, body)
+    body = _apply_binop_scanned(
+        body, re.compile("#>>?\\s*(\x00\\d+\x00)"), scanned_path
+    )
 
-    # --- ->> / -> : single-step navigation ----------------------------------
-    def fix_arrow(m: re.Match) -> str:
-        col, tok = m.group(1), m.group(2)
-        text = lit_at(tok)
-        if text is None:
-            return m.group(0)
-        path = _json_path([text])
-        return f"get_json_object({col}, '{path}')"
+    # --- ->> / -> : single-step navigation (chains collapse left-to-right
+    # because the scanner always rewrites the leftmost occurrence first) ----
+    def scanned_arrow(lhs: str, m: re.Match) -> str | None:
+        text = lit_at(m.group(1))
+        if text is None or lhs.upper() in _SQL_KEYWORDS:
+            return None
+        return f"get_json_object({lhs}, '{_json_path([text])}')"
 
-    # apply repeatedly so chains  a -> 'x' -> 'y'  collapse left-to-right
-    pat_arrow = re.compile(rf"({_OPERAND})\s*->>?\s*(\x00\d+\x00)")
-    prev = None
-    while prev != body:
-        prev = body
-        body = pat_arrow.sub(fix_arrow, body, count=1)
+    body = _apply_binop_scanned(
+        body, re.compile("->>?\\s*(\x00\\d+\x00)"), scanned_arrow
+    )
 
     # --- ::? variant-select -> try_cast -------------------------------------
-    def fix_variant(m: re.Match) -> str:
-        return f"try_cast({m.group(1)} AS {m.group(2)})"
+    def scanned_variant(lhs: str, m: re.Match) -> str | None:
+        if lhs.upper() in _SQL_KEYWORDS:
+            return None
+        return f"try_cast({lhs} AS {m.group(1)})"
 
-    body = re.sub(rf"({_OPERAND})\s*::\?\s*([A-Za-z_0-9()]+)", fix_variant, body)
+    body = _apply_binop_scanned(
+        body, re.compile(r"::\?\s*([A-Za-z_0-9()]+)"), scanned_variant
+    )
 
     # --- `- 'key'` : top-level jsonb delete ---------------------------------
     # Only fires when the RHS is a string literal (PG's jsonb - text) AND the
@@ -338,25 +401,30 @@ def rewrite(sql: str, literals_resolver=None) -> str:
         lits.append(stashed)
         return f"\x00{len(lits) - 1}\x00"
 
-    body = re.sub(
-        rf"({_OPERAND})\s*!~\*\s*(\x00\d+\x00)",
-        lambda m: f"NOT ({m.group(1)} RLIKE {ci_pattern(m.group(2))})",
-        body,
+    # regex-match operators through the operand scanner; longest first
+    def scanned_regex(template):
+        def make(lhs: str, m: re.Match) -> str | None:
+            if lhs.upper() in _SQL_KEYWORDS:
+                return None
+            return template(lhs, m.group(1))
+
+        return make
+
+    body = _apply_binop_scanned(
+        body, re.compile("!~\\*\\s*(\x00\\d+\x00)"),
+        scanned_regex(lambda l, t: f"NOT ({l} RLIKE {ci_pattern(t)})"),
     )
-    body = re.sub(
-        rf"({_OPERAND})\s*~\*\s*(\x00\d+\x00)",
-        lambda m: f"{m.group(1)} RLIKE {ci_pattern(m.group(2))}",
-        body,
+    body = _apply_binop_scanned(
+        body, re.compile("~\\*\\s*(\x00\\d+\x00)"),
+        scanned_regex(lambda l, t: f"{l} RLIKE {ci_pattern(t)}"),
     )
-    body = re.sub(
-        rf"({_OPERAND})\s*!~\s*(\x00\d+\x00)",
-        lambda m: f"NOT ({m.group(1)} RLIKE {m.group(2)})",
-        body,
+    body = _apply_binop_scanned(
+        body, re.compile("!~\\s*(\x00\\d+\x00)"),
+        scanned_regex(lambda l, t: f"NOT ({l} RLIKE {t})"),
     )
-    body = re.sub(
-        rf"({_OPERAND})\s*~\s*(\x00\d+\x00)",
-        lambda m: f"{m.group(1)} RLIKE {m.group(2)}",
-        body,
+    body = _apply_binop_scanned(
+        body, re.compile("(?<!!)~\\s*(\x00\\d+\x00)"),
+        scanned_regex(lambda l, t: f"{l} RLIKE {t}"),
     )
 
     return _restore_strings(body, lits)

@@ -188,3 +188,37 @@ def test_paren_group_subscript():
 def test_chained_subscripts_converge():
     out = rewrite("SELECT col[1][2] FROM t")
     assert "element_at(element_at(col, 1), 2)" in out
+
+
+def test_nested_call_lhs_all_operators():
+    # balanced-operand scanning applies to every binary PG operator, not
+    # just subscripts: nested-call LHS must rewrite, not pass through
+    assert "get_json_object(json_extract(j, lower(x)), '$.k')" in rewrite(
+        "SELECT json_extract(j, lower(x)) -> 'k' FROM t"
+    )
+    assert "get_json_object(nullif(f(a), g(b)), '$.a.b')" in rewrite(
+        "SELECT nullif(f(a), g(b)) #>> '{a,b}' FROM t"
+    )
+    assert "try_cast(coalesce(f(x), g(y)) AS int)" in rewrite(
+        "SELECT coalesce(f(x), g(y)) ::? int FROM t"
+    )
+    assert "trim(lower(name)) RLIKE 'abc'" in rewrite(
+        "SELECT trim(lower(name)) ~ 'abc' FROM t"
+    )
+
+
+def test_arrow_chain_left_associative_with_complex_head():
+    # the leftmost-first scanner keeps PG's left associativity even when
+    # the chain head is a nested call the old regex pass skipped
+    out = rewrite("SELECT coalesce(f(x), j) -> 'a' ->> 'b' FROM t")
+    assert (
+        "get_json_object(get_json_object(coalesce(f(x), j), '$.a'), '$.b')"
+        in out
+    )
+
+
+def test_interval_arithmetic_and_prefix_ops_untouched():
+    assert "o_orderdate - '3 days'" in rewrite(
+        "SELECT o_orderdate - '3 days' FROM orders"
+    )
+    assert "~5" in rewrite("SELECT ~5 FROM t")  # prefix bitwise NOT
