@@ -104,14 +104,22 @@ def main() -> None:
     try:
         replicate(spark, BASE_SF, tmp, REPLICATION)
 
+        best_of = int(os.environ.get("OTX_PROBE_BESTOF", "3"))
+
         def run_set(sf_dir: str) -> dict[str, float]:
+            # best-of-N warm: the round-4 ds16 false alarm showed single-shot
+            # readings are dominated by first-pass page cache, not plans
             times: dict[str, float] = {}
             for name in PROBE_QUERIES:
                 registry[name].spark_fn(spark, sf_dir).collect()  # warm
-                t0 = time.perf_counter()
-                registry[name].spark_fn(spark, sf_dir).collect()
-                times[name] = round(time.perf_counter() - t0, 3)
-                print(f"{sf_dir} {name}: {times[name]}s", file=sys.stderr, flush=True)
+                samples = []
+                for _ in range(best_of):
+                    t0 = time.perf_counter()
+                    registry[name].spark_fn(spark, sf_dir).collect()
+                    samples.append(time.perf_counter() - t0)
+                times[name] = round(min(samples), 3)
+                print(f"{sf_dir} {name}: {times[name]}s (best of {best_of})",
+                      file=sys.stderr, flush=True)
             return times
 
         base = run_set(BASE_SF)
