@@ -262,8 +262,23 @@ def _guard_residual_subscripts(body: str) -> None:
         )
 
 
-def rewrite(sql: str, literals_resolver=None) -> str:
-    """Rewrite PG-isms into Spark SQL. Idempotent on plain Spark SQL."""
+def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str:
+    """Rewrite PG-isms into Spark SQL. Idempotent on plain Spark SQL.
+
+    ``mode`` selects the implementation: ``"regex"`` (default, this module)
+    or ``"ast"`` (the tokenizer/parse-tree pass in ``dialect_ast`` — same
+    lowering semantics, structurally parsed). Defaults to the
+    ``OTTERBRIX_DIALECT_MODE`` environment variable so the whole engine can
+    be flipped without code changes; the property suite asserts both paths
+    agree (tests/test_dialect_ast.py)."""
+    if mode is None:
+        import os
+
+        mode = os.environ.get("OTTERBRIX_DIALECT_MODE", "regex")
+    if mode == "ast":
+        from otterbrix_spark.dialect_ast import rewrite_ast
+
+        return rewrite_ast(sql)
     body, lits = _protect_strings(sql)
 
     def lit_at(tok: str) -> str | None:

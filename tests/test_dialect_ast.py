@@ -1,0 +1,237 @@
+"""The tokenizer/AST dialect path (`otterbrix_spark/dialect_ast.py`) —
+VERDICT r3/r4 ask #4: a parse-tree rewrite behind a flag, with the regex
+layer as fallback, both paths exercised by the same property suite.
+
+Three layers of evidence:
+  1. cross-path agreement: regex and AST rewrites are byte-identical over
+     the directed corpus and a randomized atom-concatenation fuzz (with the
+     same ambiguous-minus assume the existing property test uses);
+  2. AST-only robustness: constructs the regex layer cannot handle safely
+     (operators inside comments, quoted identifiers, nested-call delete
+     LHS, parameterized ::? types, expression-vs-DDL subscript context)
+     rewrite correctly instead of silently mis-rewriting;
+  3. end-to-end: the nested-construct oracle gate (j13's shape) runs green
+     with OTTERBRIX_DIALECT_MODE=ast through the full engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import assume, given, settings, strategies as st
+
+from otterbrix_spark.dialect import rewrite
+from otterbrix_spark.dialect_ast import rewrite_ast
+
+DIRECTED_CORPUS = [
+    "SELECT props ->> 'k' FROM events WHERE name ~ '^a'",
+    "SELECT payload #>> '{a,b,c}' FROM t",
+    "SELECT v ::? bigint FROM t",
+    "SELECT doc - 'k' FROM t",
+    "SELECT doc #- '{a,b}' FROM t",
+    "SELECT doc #- '{a,b,c}' FROM t",
+    "SELECT a - b, a - 1, ts - INTERVAL '1 day' FROM t",
+    "SELECT x !~ 'abc' AS m",
+    "SELECT x ~* 'AbC' AS m",
+    "SELECT x !~* 'p' AS m",
+    "SELECT ARRAY[1, 2, 3] AS a, v[2] AS second FROM t",
+    "CREATE TABLE t (id bigint, v int[3], w double[])",
+    "SELECT string_to_array(lower(x), ',')[2] FROM t",
+    "CREATE TABLE t (a numeric(10,2)[3], b varchar(20)[2])",
+    "SELECT (a || b)[1] FROM t",
+    "SELECT col[1][2] FROM t",
+    "SELECT json_extract(j, lower(x)) -> 'k' FROM t",
+    "SELECT nullif(f(a), g(b)) #>> '{a,b}' FROM t",
+    "SELECT coalesce(f(x), g(y)) ::? int FROM t",
+    "SELECT trim(lower(name)) ~ 'abc' FROM t",
+    "SELECT coalesce(f(x), j) -> 'a' ->> 'b' FROM t",
+    "SELECT o_orderdate - '3 days' FROM orders",
+    "SELECT ~5 FROM t",
+    "SELECT 'Hello' ~ 'ell' AS a, 'Hello' !~* 'HELLO' AS e",
+    "SELECT SUM(CASE WHEN (props ->> 'k')::bigint > 50 THEN 1 ELSE 0 END) "
+    "AS n FROM events GROUP BY event_type",
+    "SELECT COUNT(CASE WHEN (props #>> '{k}')::bigint BETWEEN 10 AND 90 "
+    "THEN 1 END) AS mid FROM events GROUP BY event_type",
+    "SELECT SUM(CASE WHEN ARRAY['view','click','purchase'][2] = event_type "
+    "THEN 1 ELSE 0 END) AS n FROM events",
+    "SELECT COUNT(*) AS n FROM (SELECT (props - 'k') AS stripped "
+    "FROM events) s WHERE (s.stripped ->> 'k') IS NULL",
+    "SELECT CONCAT('a->b', '-', 'c#>>d') AS decoy FROM t",
+    "SELECT ROW(1, 'a') AS r",
+    "SELECT CAST(x AS INT), COUNT(*) FROM t GROUP BY 1",
+    "INSERT INTO t VALUES (1, 'x'), (2, 'y')",
+    "UPDATE t SET v[1] = 5 WHERE id = 3",
+]
+
+
+@pytest.mark.parametrize("sql", DIRECTED_CORPUS)
+def test_paths_agree_on_directed_corpus(sql):
+    assert rewrite(sql) == rewrite_ast(sql)
+
+
+_atoms = st.sampled_from(
+    [
+        "SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "AND", "OR",
+        "t1", "col_a", "x", "42", "3.14", "COUNT(*)", "SUM(x)", ",", "=",
+        "<", ">", "<=", ">=", "<>", "+", "-", "*", "/",
+        "CASE WHEN x > 1 THEN 2 ELSE 3 END", "CAST(x AS INT)",
+        "'a literal'", "'it''s quoted'", "NULL", "IS NOT NULL",
+        "props ->> 'k'", "j -> 'a'", "payload #>> '{a,b}'", "name ~ '^a'",
+        "x !~* 'p'", "v ::? bigint", "ARRAY[1,2]", "v[2]", "(a || b)[1]",
+        "doc - 'k'", "o_orderdate - '3 days'", "doc #- '{a,b}'", "~5",
+        "f(g(x))", "lower(x)", "(x + y)", "ts - INTERVAL '1 day'",
+    ]
+)
+
+# random concatenation creates `<rewritten-result> - '<lit>'` adjacencies —
+# delete-vs-arithmetic corners with no canonical answer, where the AST path
+# deliberately refuses the delete (PG would need parens) while the regex
+# path's outcome depends on pass ordering. Same exclusion idea as
+# test_plain_sql_passes_through's assume; atoms that legitimately contain a
+# minus-literal are masked first so only SYNTHETIC adjacencies are skipped.
+_MINUS_LIT = re.compile(r"['\w)\]]\s*-\s*'")
+
+
+def _synthetic_minus(sql: str) -> bool:
+    probe = (
+        sql.replace("doc - 'k'", "D")
+        .replace("o_orderdate - '3 days'", "O")
+        .replace("ts - INTERVAL '1 day'", "T")
+    )
+    return bool(_MINUS_LIT.search(probe))
+
+
+@given(st.lists(_atoms, min_size=1, max_size=8))
+@settings(max_examples=400, deadline=None)
+def test_paths_agree_on_random_concatenation(atoms):
+    sql = " ".join(atoms)
+    assume(not _synthetic_minus(sql))
+    try:
+        expected = rewrite(sql)
+    except ValueError:
+        expected = None  # regex path raised its residual-subscript guard
+    try:
+        got = rewrite_ast(sql)
+    except ValueError:
+        got = None
+    if expected is None:
+        # the AST path may legitimately succeed where the regex path gave
+        # up (stray parens make the regex scanner abandon the tail); it
+        # must never crash differently
+        return
+    if got is None:
+        pytest.fail(f"AST raised where regex succeeded: {sql!r}")
+    assert got == expected, sql
+
+
+@pytest.mark.parametrize("sql", DIRECTED_CORPUS)
+def test_ast_rewrite_idempotent(sql):
+    once = rewrite_ast(sql)
+    assert rewrite_ast(once) == once
+
+
+# -- AST-only robustness: cases the regex layer cannot handle safely ---------
+
+
+def test_operators_inside_comments_survive():
+    sql = (
+        "SELECT props ->> 'k' -- comment with name ~ 'p' and doc - 'x'\n"
+        "FROM t /* block with payload #>> '{a}' */ WHERE id = 1"
+    )
+    out = rewrite_ast(sql)
+    assert "get_json_object(props, '$.k')" in out
+    assert "-- comment with name ~ 'p' and doc - 'x'" in out
+    assert "/* block with payload #>> '{a}' */" in out
+
+
+def test_operators_inside_quoted_identifiers_survive():
+    sql = 'SELECT "weird -> name", props ->> \'k\' FROM t'
+    out = rewrite_ast(sql)
+    assert '"weird -> name"' in out
+    assert "get_json_object(props, '$.k')" in out
+
+
+def test_nested_call_delete_lhs():
+    # the regex path's delete rule only matches single-level call LHS;
+    # the AST path parses arbitrary nesting
+    out = rewrite_ast("SELECT coalesce(doc, other) - 'k' FROM t")
+    assert "map_filter" in out and "coalesce(doc, other)" in out
+
+
+def test_parameterized_variant_cast_type():
+    out = rewrite_ast("SELECT v ::? decimal(10,2) FROM t")
+    assert "try_cast(v AS decimal(10,2))" in out
+
+
+def test_cast_type_not_glued_to_following_group():
+    # `x::bigint (a || b)[1]` is an expression list, not a parameterized
+    # type — the subscript must still lower 1-based
+    out = rewrite_ast("SELECT x::bigint, (a || b)[1] FROM t")
+    assert "x::bigint" in out
+    assert "element_at((a || b), 1)" in out
+
+
+def test_residual_subscript_still_raises():
+    with pytest.raises(ValueError):
+        rewrite_ast("SELECT col[a][2] FROM t")
+
+
+def test_plain_sql_byte_identical_with_comments():
+    sql = (
+        "-- leading comment\n"
+        "SELECT a, b /* inline */ FROM t WHERE x = 'lit -- not a comment'\n"
+    )
+    assert rewrite_ast(sql) == sql
+
+
+# -- end-to-end: engine under OTTERBRIX_DIALECT_MODE=ast ---------------------
+
+
+def test_engine_nested_construct_under_ast_mode(spark, tmp_path, sf_dir, monkeypatch):
+    from otterbrix_spark.engine import Engine
+
+    from oracle import compare
+
+    monkeypatch.setenv("OTTERBRIX_DIALECT_MODE", "ast")
+    eng = Engine(spark, table_dir=str(tmp_path))
+    eng.register_corpus(sf_dir)
+    df = eng.sql(
+        """
+        SELECT t.et AS event_type, t.n_hot AS n_hot FROM (
+          SELECT event_type AS et,
+                 SUM(CASE WHEN (props ->> 'k')::bigint > 50
+                     THEN 1 ELSE 0 END) AS n_hot
+          FROM events GROUP BY event_type
+        ) t WHERE t.n_hot > 0
+        """
+    )
+    compare(
+        df,
+        """
+        SELECT t.et AS event_type, t.n_hot FROM (
+          SELECT event_type AS et,
+                 SUM(CASE WHEN CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) > 50 THEN 1 ELSE 0 END) AS n_hot
+          FROM events GROUP BY event_type
+        ) t WHERE t.n_hot > 0
+        """,
+        sf_dir,
+        "nested_case_subquery_ast_mode",
+    )
+
+
+def test_engine_regex_and_ast_modes_same_rows(spark, tmp_path, sf_dir, monkeypatch):
+    from otterbrix_spark.engine import Engine
+
+    sql = (
+        "SELECT event_type, COUNT(CASE WHEN (props #>> '{k}')::bigint "
+        "BETWEEN 10 AND 90 THEN 1 END) AS mid_band "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
+    eng = Engine(spark, table_dir=str(tmp_path / "a"))
+    eng.register_corpus(sf_dir)
+    regex_rows = [tuple(r) for r in eng.sql(sql).collect()]
+    monkeypatch.setenv("OTTERBRIX_DIALECT_MODE", "ast")
+    ast_rows = [tuple(r) for r in eng.sql(sql).collect()]
+    assert regex_rows == ast_rows and len(regex_rows) > 0
