@@ -184,6 +184,87 @@ def neardup_pairs(
     )
 
 
+def quantize_int8(corpus: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: (vec_id, qv:
+    array<int>, qn: double). ``q_i = floor(v_i / maxabs * 127 + 0.5)`` —
+    the faiss-SQ8-style compression that cuts the candidate-scan bandwidth
+    4x (int8 vs float32) at ~1% recall cost. FLOOR(+0.5) instead of
+    round() keeps the arithmetic formula identical (and therefore
+    bit-identical) across Spark and the DuckDB oracle; int products and
+    sums are exact, so quantized scores are fully deterministic."""
+    maxabs = F.expr("array_max(transform(v, x -> abs(x)))")
+    qv = F.expr("transform(v, x -> CAST(floor(x / _maxabs * 127D + 0.5D) AS INT))")
+    qnorm_sq = F.expr(
+        "aggregate(zip_with(qv, qv, (x, y) -> CAST(x AS BIGINT) * y), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        corpus.withColumn("_maxabs", maxabs)
+        .filter(F.col("_maxabs") > 0)
+        .withColumn("qv", qv)
+        .withColumn("qn", F.sqrt(qnorm_sq.cast("double")))
+        .drop("_maxabs")
+    )
+
+
+_QDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * y), "
+    "0L, (acc, x) -> acc + x)"
+)
+
+
+def quantized_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, n_candidates: int = 50
+) -> DataFrame:
+    """Quantize-then-rerank ANN: (query_id, neighbor_id, rank).
+
+    Stage 1 scores ALL pairs with the int8 dot product (exact integer
+    arithmetic — the cheap scan a real deployment runs over the compressed
+    index) and keeps ``n_candidates`` per query; stage 2 re-ranks only the
+    candidates with the exact double-precision cosine. At corpus scale the
+    stage-1 scan reads 4x less than float and the stage-2 exact work is
+    O(queries x n_candidates), independent of corpus size."""
+    qc = quantize_int8(corpus)
+    q = quantize_int8(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("qn").alias("q_qn"),
+    )
+    qcos = (
+        F.expr(_QDOT.format(a="qv", b="q_qv")).cast("double")
+        / (F.col("qn") * F.col("q_qn"))
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("vec_id")
+    )
+    candidates = (
+        qc.select("vec_id", "qv", "qn")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("qcos", qcos)
+        .withColumn("crank", F.row_number().over(cand_w))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", "vec_id")
+    )
+    nb = corpus.select("vec_id", "v", "nrm")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("exact_qv"),
+        F.col("nrm").alias("exact_qn"),
+    )
+    cos = F.expr(DOT.format(a="v", b="exact_qv")) / (
+        F.col("nrm") * F.col("exact_qn")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        candidates.join(nb, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
 def bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1257,3 +1257,230 @@ def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature")[2].alias("f_b"),
         F.col("feature")[3].alias("f_luma"),
     )
+
+
+# --- t10: benchmark decontamination (13-gram collision) ---------------------
+# The GPT-3-appendix / Dodge-et-al. decontamination rule: a training
+# document is contaminated if it shares any 13-token n-gram with the eval
+# set. The eval split is a deterministic md5 bucket of doc_id (10%); n-gram
+# identity is a 60-bit md5-derived hash of the space-joined window, so both
+# engines compute identical gram sets. Distributed shape: the eval n-gram
+# set is tiny relative to the corpus -> broadcast LEFT SEMI join against
+# the exploded training grams, then one distinct + one aggregate. At 100 TB
+# the train-side explode streams (no all-pairs, no driver collect) and the
+# eval set stays broadcast-sized by construction.
+
+_T10_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         regexp_extract_all(text, '[^ ]+') AS ws,
+         ('0x' || substr(md5('t10:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 < 10 AS is_eval
+  FROM documents),
+g AS (
+  SELECT doc_id, is_eval,
+         ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 12), ' ')),
+                         1, 15))::BIGINT AS h
+  FROM w, UNNEST(range(1, len(ws) - 11)) AS t(i)
+  WHERE len(ws) >= 13),
+ev AS (SELECT DISTINCT h FROM g WHERE is_eval),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (h) WHERE NOT g.is_eval)
+SELECT w.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM w LEFT JOIN bad ON w.doc_id = bad.doc_id
+WHERE NOT w.is_eval
+GROUP BY w.source ORDER BY w.source
+"""
+
+
+@query(
+    "t10_decontamination", _T10_ORACLE,
+    doc="eval-set decontamination: 13-gram hash collision between train "
+        "docs and a deterministic 10% eval split (broadcast semi-join)",
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0).alias("toks"),
+    ).withColumn(
+        "is_eval",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t10:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 100 < 10,
+    )
+    grams = (
+        base.filter(F.size("toks") >= 13)
+        .select(
+            "doc_id", "is_eval",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 12), i -> "
+                    "CAST(conv(substr(md5(concat_ws(' ', slice(toks, i, 13))), "
+                    "1, 15), 16, 10) AS BIGINT))"
+                )
+            ).alias("h"),
+        )
+    )
+    eval_grams = grams.filter(F.col("is_eval")).select("h").distinct()
+    bad = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    return (
+        base.filter(~F.col("is_eval"))
+        .join(bad, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.when(F.col("flag").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- d11: cross-document paragraph-level dedup ------------------------------
+# Lee-et-al.-style exact substring dedup approximated with aligned 10-word
+# chunks ("paragraphs" in the punctuation-free synthetic corpus): a chunk
+# duplicated across >= 2 DISTINCT documents marks every instance. One
+# groupBy over chunk hashes + one join back — the same two-shuffle shape
+# as exact doc dedup, so it scales identically (no pairwise comparison).
+
+_D11_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, source, regexp_extract_all(text, '[^ ]+') AS ws
+  FROM documents WHERE len(regexp_extract_all(text, '[^ ]+')) >= 10),
+ch AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(ws, k * 10 + 1, k * 10 + 10), ' ')), 1, 15))::BIGINT
+           AS h
+  FROM w, UNNEST(range(0, len(ws) // 10)) AS t(k)),
+duph AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+marked AS (
+  SELECT ch.doc_id, ch.source,
+         CASE WHEN duph.h IS NOT NULL THEN 1 ELSE 0 END AS dup
+  FROM ch LEFT JOIN duph ON ch.h = duph.h)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+       CAST(COUNT(DISTINCT CASE WHEN dup = 1 THEN doc_id END) AS BIGINT)
+         AS n_docs_affected
+FROM marked GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "d11_paragraph_dedup", _D11_ORACLE,
+    doc="cross-document paragraph (10-word chunk) duplication profile per "
+        "source — hash-groupBy, no pairwise comparison",
+)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id", "source",
+            F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0).alias("toks"),
+        )
+        .filter(F.size("toks") >= 10)
+        .select(
+            "doc_id", "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST(size(toks) / 10 AS INT) - 1), "
+                    "k -> CAST(conv(substr(md5(concat_ws(' ', "
+                    "slice(toks, k * 10 + 1, 10))), 1, 15), 16, 10) AS BIGINT))"
+                )
+            ).alias("h"),
+        )
+    )
+    duph = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+        .withColumn("isdup", F.lit(1))
+    )
+    marked = chunks.join(duph, "h", "left").withColumn(
+        "dup", F.when(F.col("isdup").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("dup").alias("n_dup_chunks"),
+            F.countDistinct(
+                F.when(F.col("dup") == 1, F.col("doc_id"))
+            ).alias("n_docs_affected"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- e06: int8-quantized ANN with exact re-rank -----------------------------
+# faiss-SQ8-style scalar quantization: stage 1 ranks ALL pairs with the
+# exact-integer int8 dot product (4x less scan bandwidth than float at
+# corpus scale), stage 2 re-ranks only the top-50 candidates per query with
+# the exact double cosine. FLOOR(x/maxabs*127 + 0.5) quantization is
+# formula-identical in both engines, so candidate sets match exactly.
+
+_E06_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM e),
+qz AS (SELECT vec_id, v,
+              list_transform(v, x -> CAST(FLOOR(x / maxabs * 127 + 0.5) AS INT))
+                AS qv
+       FROM m WHERE maxabs > 0),
+n AS (SELECT vec_id, v, qv,
+             sqrt(list_dot_product(qv, qv)) AS qn,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM qz),
+q AS (SELECT vec_id AS query_id, v AS exq, qv AS qqv, qn AS qqn, nrm AS exn
+      FROM n WHERE vec_id < 5),
+s1 AS (SELECT q.query_id, n.vec_id,
+              list_dot_product(n.qv, q.qqv) / (n.qn * q.qqn) AS qcos
+       FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+cand AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY qcos DESC, vec_id) AS crank
+           FROM s1) WHERE crank <= 50),
+s2 AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+              list_dot_product(n.v, q.exq) / (n.nrm * q.exn) AS cos
+       FROM cand c JOIN n ON n.vec_id = c.vec_id
+                  JOIN q ON q.query_id = c.query_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM s2)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query(
+    "e06_knn_quantized", _E06_ORACLE,
+    doc="int8 scalar-quantized ANN scan + exact top-50 re-rank "
+        "(faiss-SQ8 pattern; integer stage-1 scores are bit-deterministic)",
+)
+def e06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.quantized_topk(corpus, queries, k=10, n_candidates=50)
+    return res.withColumn("rank", F.col("rank").cast("int"))

@@ -407,3 +407,25 @@ def test_b09_selective_dims_reach_scans(spark, sf_dir):
     # both region roles' filters and the brand IN-list must be pushed
     plan = plan_of(spark, sf_dir, "b09_job_double_role_snowflake")
     assert len(plan.split("PushedFilters:")) > 4
+
+
+def test_t10_eval_grams_broadcast_semi_join(spark, sf_dir):
+    # the eval n-gram set must reach the train side as a broadcast LEFT
+    # SEMI join — a shuffled semi would move the full train gram explosion
+    plan = plan_of(spark, sf_dir, "t10_decontamination")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_d11_dedup_no_pairwise(spark, sf_dir):
+    # paragraph dedup is groupBy + join-back — never a nested-loop pairwise
+    plan = plan_of(spark, sf_dir, "d11_paragraph_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e06_rerank_joins_are_hash_joins(spark, sf_dir):
+    # stage-1 scan is an intended broadcast of the tiny query set; the
+    # stage-2 re-rank joins must be hash equi-joins on vec_id/query_id
+    plan = plan_of(spark, sf_dir, "e06_knn_quantized")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
