@@ -2927,3 +2927,276 @@ def b12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_name").alias("first_cust"),
         )
     )
+
+
+# --- ds23: TPC-DS Q58/Q83 — three aligned channels within a balance band ----
+# Q58/Q83 (`benchmark/tpcds/query58.tpl`): three per-channel aggregates
+# joined on the item key, keeping keys where EACH channel's revenue falls
+# within a band around the three-channel average. The reference runs three
+# CTE scans + a 3-way join; on Spark the channels partition one fact, so
+# the whole topology fuses into ONE conditional-aggregation scan (presence
+# per channel via conditional counts replaces the inner join's key
+# alignment). The balance band uses integer cross-multiplication on
+# quantised sums — no float comparison can flip across engines.
+
+_DS23_ORACLE = """
+WITH agg AS (
+  SELECT EXTRACT(hour FROM ts) AS hr,
+         SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(FLOOR(value * 10000.0) AS BIGINT) ELSE 0 END) AS s_v,
+         SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(FLOOR(value * 10000.0) AS BIGINT) ELSE 0 END) AS s_c,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 10000.0) AS BIGINT) ELSE 0 END) AS s_p,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_c,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_p
+  FROM events GROUP BY 1)
+SELECT CAST(hr AS INT) AS hr,
+       CAST(s_v AS DOUBLE) / 10000.0 AS view_rev,
+       CAST(s_c AS DOUBLE) / 10000.0 AS click_rev,
+       CAST(s_p AS DOUBLE) / 10000.0 AS purchase_rev
+FROM agg
+WHERE n_v > 0 AND n_c > 0 AND n_p > 0
+  AND 15 * s_v >= 4 * (s_v + s_c + s_p) AND 5 * s_v <= 2 * (s_v + s_c + s_p)
+  AND 15 * s_c >= 4 * (s_v + s_c + s_p) AND 5 * s_c <= 2 * (s_v + s_c + s_p)
+  AND 15 * s_p >= 4 * (s_v + s_c + s_p) AND 5 * s_p <= 2 * (s_v + s_c + s_p)
+ORDER BY hr
+"""
+
+
+@query(
+    "ds23_channel_balance", _DS23_ORACLE,
+    doc="TPC-DS Q58/Q83 shape: three aligned channel aggregates in a "
+        "+/-20%-of-average balance band, fused to one conditional-agg scan",
+)
+def ds23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def chan_sum(kind: str) -> F.Column:
+        return F.sum(
+            F.when(F.col("event_type") == kind, _q(F.col("value"))).otherwise(
+                F.lit(0)
+            )
+        )
+
+    def chan_n(kind: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == kind, 1).otherwise(0))
+
+    agg = ev.groupBy(F.hour("ts").alias("hr")).agg(
+        chan_sum("view").alias("s_v"),
+        chan_sum("click").alias("s_c"),
+        chan_sum("purchase").alias("s_p"),
+        chan_n("view").alias("n_v"),
+        chan_n("click").alias("n_c"),
+        chan_n("purchase").alias("n_p"),
+    )
+    total = F.col("s_v") + F.col("s_c") + F.col("s_p")
+
+    def in_band(s: str):
+        return (15 * F.col(s) >= 4 * total) & (5 * F.col(s) <= 2 * total)
+
+    return (
+        agg.filter(
+            (F.col("n_v") > 0) & (F.col("n_c") > 0) & (F.col("n_p") > 0)
+            & in_band("s_v") & in_band("s_c") & in_band("s_p")
+        )
+        .select(
+            F.col("hr").cast("int").alias("hr"),
+            (F.col("s_v").cast("double") / _Q).alias("view_rev"),
+            (F.col("s_c").cast("double") / _Q).alias("click_rev"),
+            (F.col("s_p").cast("double") / _Q).alias("purchase_rev"),
+        )
+        .orderBy("hr")
+    )
+
+
+# --- ds24: decile segmentation — ntile + percent_rank window battery --------
+# Customer-value decile report (the TPC-DS Q70-family "segment the whole
+# population" topology, exercised through the two window functions the
+# inventory had not yet gated): order totals -> NTILE(10) deciles plus
+# PERCENT_RANK, then per-decile stats. Both windows are rank-arithmetic
+# ((rank-1)/(n-1)) over a deterministic (total, key) ordering, so results
+# are exact across engines; percent_rank bounds are quantised to 1e6.
+# Scale shape: a naive `Window.orderBy(...)` with no partition key drags
+# the WHOLE table into one task — the classic global-window scale-killer.
+# This implementation computes the exact global rank distributively:
+# range-repartition on the sort key, partition-LOCAL row_number (parallel
+# windows), then one O(#partitions) offsets broadcast — p04's two-level
+# prefix-sum trick applied to total-order ranking. NTILE's
+# remainder-spreading semantics and PERCENT_RANK are then pure arithmetic
+# on the exact global rank (the tie-break key is unique, so rank ==
+# row_number). Per-decile stats shuffle 10 groups; nothing single-task.
+
+_DS24_ORACLE = """
+WITH ot AS (
+  SELECT l_orderkey, SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS tot
+  FROM lineitem GROUP BY l_orderkey),
+ranked AS (
+  SELECT l_orderkey, tot,
+         NTILE(10) OVER (ORDER BY tot DESC, l_orderkey) AS decile,
+         PERCENT_RANK() OVER (ORDER BY tot DESC, l_orderkey) AS pr
+  FROM ot)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(tot) AS DOUBLE) / 10000.0 AS min_total,
+       CAST(MAX(tot) AS DOUBLE) / 10000.0 AS max_total,
+       CAST(SUM(tot) AS DOUBLE) / 10000.0 AS sum_total,
+       CAST(FLOOR(MIN(pr) * 1000000.0) AS BIGINT) AS pr_lo_q,
+       CAST(FLOOR(MAX(pr) * 1000000.0) AS BIGINT) AS pr_hi_q
+FROM ranked GROUP BY decile ORDER BY decile
+"""
+
+
+@query(
+    "ds24_decile_profile", _DS24_ORACLE,
+    doc="population decile segmentation: NTILE(10) + PERCENT_RANK over "
+        "order totals, per-decile stats",
+)
+def ds24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ot = li.groupBy("l_orderkey").agg(
+        F.sum(_q(F.col("l_extendedprice"))).alias("tot")
+    )
+    # distributed exact global rank: DETERMINISTIC fixed-width range
+    # buckets on the sort value (repartitionByRange's sampled boundaries
+    # can differ between the offsets job and the final job, silently
+    # shifting ranks), partition-local row_number per bucket, then an
+    # O(#buckets) offsets broadcast
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    lo, hi = ot.agg(F.min("tot"), F.max("tot")).collect()[0]
+    width = max(1, (int(hi) - int(lo)) // n_parts + 1)
+    bucket = F.floor((F.lit(int(hi)) - F.col("tot")) / F.lit(width))
+    loc = ot.withColumn("bkt", bucket).withColumn(
+        "lrn",
+        F.row_number().over(
+            Window.partitionBy("bkt").orderBy(
+                F.col("tot").desc(), F.col("l_orderkey")
+            )
+        ),
+    )
+    sizes = sorted(
+        (r["bkt"], r["c"])
+        for r in loc.groupBy("bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    n = sum(c for _, c in sizes)
+    offsets, acc = [], 0
+    for bkt, c in sizes:
+        offsets.append((int(bkt), acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, ["bkt", "off"])
+    ranked = loc.join(F.broadcast(off_df), "bkt").withColumn(
+        "r", F.col("off") + F.col("lrn")
+    )
+    # NTILE(10) from the exact rank, remainder spread over the first groups
+    big, small = n % 10, n // 10
+    r0 = F.col("r") - 1
+    if small == 0:
+        decile = F.col("r")
+    else:
+        decile = F.when(
+            r0 < big * (small + 1), F.floor(r0 / (small + 1)) + 1
+        ).otherwise(big + F.floor((r0 - big * (small + 1)) / small) + 1)
+    pr = r0.cast("double") / F.lit(float(n - 1))
+    ranked = ranked.withColumn("decile", decile).withColumn("pr", pr)
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("tot").cast("double") / _Q).alias("min_total"),
+            (F.max("tot").cast("double") / _Q).alias("max_total"),
+            (F.sum("tot").cast("double") / _Q).alias("sum_total"),
+            F.floor(F.min("pr") * 1000000.0).cast("long").alias("pr_lo_q"),
+            F.floor(F.max("pr") * 1000000.0).cast("long").alias("pr_hi_q"),
+        )
+        .select(F.col("decile").cast("int").alias("decile"), "n_orders",
+                "min_total", "max_total", "sum_total", "pr_lo_q", "pr_hi_q")
+        .orderBy("decile")
+    )
+
+
+# --- l09: LDBC friend-of-friend recommendation ------------------------------
+# LDBC IC/BI "people you may know": 2-hop neighbours that are NOT already
+# direct neighbours, scored by the number of distinct mutual contacts.
+# Graph = l04's co-supplier edges (>= 2 shared orders, canonical s1 < s2),
+# symmetrised; the 2-hop expansion is two hash equi-joins on vertex ids,
+# the exclusion an anti-join — level-synchronous relational graph
+# traversal, the shape that scales (no adjacency lists on the driver).
+
+_L09_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+edges AS (
+  SELECT s1, s2 FROM pairs GROUP BY s1, s2
+  HAVING COUNT(DISTINCT l_orderkey) >= 2),
+und AS (
+  SELECT s1 AS a, s2 AS b FROM edges
+  UNION ALL SELECT s2, s1 FROM edges),
+two_hop AS (
+  SELECT x.a, y.b AS c, x.b AS mid
+  FROM und x JOIN und y ON x.b = y.a AND x.a <> y.b),
+cand AS (
+  SELECT a, c, COUNT(DISTINCT mid) AS mutuals
+  FROM two_hop t
+  WHERE a < c AND NOT EXISTS (
+    SELECT 1 FROM und d WHERE d.a = t.a AND d.b = t.c)
+  GROUP BY a, c)
+SELECT a, c, CAST(mutuals AS BIGINT) AS mutuals
+FROM cand
+ORDER BY mutuals DESC, a, c
+LIMIT 20
+"""
+
+
+@query(
+    "l09_foaf_recommend", _L09_ORACLE,
+    doc="LDBC people-you-may-know: 2-hop neighbours minus direct edges, "
+        "scored by distinct mutual contacts (equi-joins + anti-join)",
+)
+def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("r_okey"), F.col("l_suppkey").alias("sb")
+    )
+    pairs = li.join(
+        right,
+        (F.col("l_orderkey") == F.col("r_okey"))
+        & (F.col("l_suppkey") < F.col("sb")),
+    ).select(F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2"), "l_orderkey")
+    edges = (
+        pairs.groupBy("s1", "s2")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("s1", "s2")
+    )
+    und = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b")).unionAll(
+        edges.select(F.col("s2").alias("a"), F.col("s1").alias("b"))
+    )
+    hop2 = (
+        und.alias("x")
+        .join(und.alias("y"), F.col("x.b") == F.col("y.a"))
+        .filter(F.col("x.a") != F.col("y.b"))
+        .select(
+            F.col("x.a").alias("a"), F.col("y.b").alias("c"),
+            F.col("x.b").alias("mid"),
+        )
+        .filter(F.col("a") < F.col("c"))
+    )
+    non_direct = hop2.join(
+        und.select(F.col("a").alias("da"), F.col("b").alias("db")),
+        (F.col("a") == F.col("da")) & (F.col("c") == F.col("db")),
+        "left_anti",
+    )
+    return (
+        non_direct.groupBy("a", "c")
+        .agg(F.countDistinct("mid").alias("mutuals"))
+        .orderBy(F.col("mutuals").desc(), "a", "c")
+        .limit(20)
+    )

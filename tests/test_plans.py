@@ -429,3 +429,27 @@ def test_e06_rerank_joins_are_hash_joins(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "e06_knn_quantized")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 2
+
+
+def test_ds23_fused_single_scan(spark, sf_dir):
+    # Q58/Q83's three channel CTEs + 3-way join fuse into ONE scan of the
+    # fact with conditional aggregation — the plan must contain no join
+    plan = plan_of(spark, sf_dir, "ds23_channel_balance")
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_ds24_no_global_single_partition_window(spark, sf_dir):
+    # the decile ranks must come from bucket-partitioned windows + a
+    # broadcast offsets join, never a no-partition-key global window
+    plan = plan_of(spark, sf_dir, "ds24_decile_profile")
+    assert "BroadcastHashJoin" in plan
+    # a global window shows an empty partition spec in the Window node
+    import re as _re
+    assert not _re.search(r"Window \[[^\]]*row_number\(\)[^\]]*\], \[\w+ DESC", plan.replace("\n", " ")) or "partitionBy" not in plan
+
+
+def test_l09_foaf_all_equi_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "l09_foaf_recommend")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
