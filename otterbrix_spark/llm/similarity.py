@@ -317,3 +317,68 @@ def bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+
+
+def kmeans_train(
+    corpus: DataFrame, k: int = 8, n_iter: int = 5
+) -> tuple[list[list[float]], list[float]]:
+    """Iterative Lloyd k-means over an embedding corpus — the IVF coarse
+    quantizer's training loop (each e03-style index build runs this once).
+
+    Returns (final centroids, per-iteration inertia history). Per
+    iteration: centroids broadcast to the executors, nearest-centroid
+    assignment is a map-side cross join + per-vector top-1, and the
+    centroid update aggregates per (cluster, dimension) via posexplode —
+    one shuffle of k*dim partial sums. Only O(k*dim) rows ever reach the
+    driver (the centroids themselves), never vector data; corpus size only
+    affects the distributed stages, so the loop runs unchanged at any
+    scale. Seeding is deterministic (first k vectors by id), making runs
+    reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    spark = corpus.sparkSession
+    e = corpus.select("vec_id", "v").withColumn(
+        "vv", F.expr(DOT.format(a="v", b="v"))
+    )
+    seed_rows = (
+        e.orderBy("vec_id").limit(k).select("v").collect()
+    )
+    centroids = [list(r["v"]) for r in seed_rows]
+    history: list[float] = []
+    for _ in range(n_iter):
+        c_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], ["cid", "cv"]
+        ).withColumn("cc", F.expr(DOT.format(a="cv", b="cv")))
+        d2 = (
+            F.col("vv")
+            - 2 * F.expr(DOT.format(a="v", b="cv"))
+            + F.col("cc")
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cid")
+        assigned = (
+            e.crossJoin(F.broadcast(c_df))
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2", "v")
+        )
+        stats = (
+            assigned.select(
+                "cid", "d2", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"),
+                 F.sum("d2").alias("sd2"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        new_c = {cid: list(c) for cid, c in enumerate(centroids)}
+        for r in stats:
+            new_c.setdefault(r["cid"], [0.0] * dim)
+            new_c[r["cid"]][r["pos"]] = r["sx"] / r["n"]
+        # sd2 is replicated across a cluster's dim positions — count pos 0 only
+        inertia = sum(r["sd2"] for r in stats if r["pos"] == 0)
+        history.append(float(inertia))
+        centroids = [new_c[i] for i in sorted(new_c)]
+    return centroids, history

@@ -1484,3 +1484,94 @@ def e06(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < 5)
     res = similarity.quantized_topk(corpus, queries, k=10, n_candidates=50)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- e07: k-means assignment step (IVF coarse-quantizer training) -----------
+# One Lloyd iteration — the primitive e03's IVF index trains with:
+# deterministic seeding (centroids = vec_id < 8), nearest-centroid
+# assignment by squared L2, per-cluster size + inertia + the new centroid's
+# leading dimensions. All float arithmetic is either single-expression
+# per-row (bit-identical across engines: vv - 2*vc + cc, same
+# left-associated order) or quantised per row BEFORE cross-row summation
+# (sums of doubles are order-dependent; sums of FLOOR-quantised BIGINTs
+# are exact). Distributed shape: the k centroids broadcast; assignment is
+# a map-side cross join + one window over k rows per vector; the update is
+# one groupBy on cluster id — Lloyd's step at any corpus size.
+
+_E07_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+c AS (SELECT vec_id AS cid, v AS cv, vv AS cc FROM n WHERE vec_id < 8),
+d AS (SELECT n.vec_id, c.cid,
+             n.vv - 2 * list_dot_product(n.v, c.cv) + c.cc AS d2,
+             n.v
+      FROM n CROSS JOIN c),
+a AS (SELECT vec_id, cid, d2, v,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cid) AS rn
+      FROM d)
+SELECT CAST(cid AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CAST(FLOOR(d2 * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS inertia,
+       CAST(SUM(CAST(FLOOR(v[1] * 10000.0) AS BIGINT)) AS DOUBLE)
+         / (10000.0 * COUNT(*)) AS new_c_dim1,
+       CAST(SUM(CAST(FLOOR(v[2] * 10000.0) AS BIGINT)) AS DOUBLE)
+         / (10000.0 * COUNT(*)) AS new_c_dim2
+FROM a WHERE rn = 1
+GROUP BY cid ORDER BY cluster
+"""
+
+
+@query(
+    "e07_kmeans_assign", _E07_ORACLE,
+    doc="one Lloyd iteration (IVF coarse-quantizer training step): "
+        "broadcast centroids, nearest-centroid assign, per-cluster update",
+)
+def e07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vv", F.expr(similarity.DOT.format(a="v", b="v")))
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("vv").alias("cc"),
+    )
+    d2 = (
+        F.col("vv")
+        - 2 * F.expr(similarity.DOT.format(a="v", b="cv"))
+        + F.col("cc")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy(F.col("cid").cast("int").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (
+                F.sum(F.floor(F.col("d2") * 10000.0).cast("long")).cast("double")
+                / 10000.0
+            ).alias("inertia"),
+            (
+                F.sum(
+                    F.floor(F.element_at("v", 1) * 10000.0).cast("long")
+                ).cast("double")
+                / (10000.0 * F.count(F.lit(1)))
+            ).alias("new_c_dim1"),
+            (
+                F.sum(
+                    F.floor(F.element_at("v", 2) * 10000.0).cast("long")
+                ).cast("double")
+                / (10000.0 * F.count(F.lit(1)))
+            ).alias("new_c_dim2"),
+        )
+        .orderBy("cluster")
+    )

@@ -43,3 +43,15 @@ def test_long_chain_bounded_rounds(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(59)], "a: long, b: long")
     got = connected_components(nodes, edges, max_iter=16)
     assert {r["cluster_id"] for r in got.collect()} == {0}
+
+
+def test_kmeans_train_converges(spark, sf_dir):
+    from otterbrix_spark.llm import similarity
+    from otterbrix_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    centroids, history = similarity.kmeans_train(corpus, k=4, n_iter=3)
+    assert len(centroids) == 4 and len(centroids[0]) == 64
+    # Lloyd's algorithm never increases inertia
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(history, history[1:]))
