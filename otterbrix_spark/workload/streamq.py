@@ -123,3 +123,50 @@ def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         "user_id", "session_seq", "n_events", "start_us", "end_us"
     )
+
+
+# Stream-stream band join certification: the REAL two-stream join graph
+# (both sides watermarked, event-time band bounding the state store) runs
+# through availableNow into a memory sink and must reproduce the batch
+# band join row-for-row — the reference's cross-batch streaming join
+# (`integration/cpp/test/test_streaming_join.cpp`) certified the same way
+# s03 certified windows. Purchase->click attribution pairs per user
+# within 30 minutes; the DuckDB oracle is the literal batch band join.
+_S05_ORACLE = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@query(
+    "s05_streaming_join", _S05_ORACLE,
+    doc="streaming certification: watermarked stream-stream band join "
+        "(purchase->click attribution), availableNow, hash-matched "
+        "against the batch band join",
+)
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.streaming.pipeline import stream_stream_join
+
+    def side(df: DataFrame, typ: str) -> DataFrame:
+        return df.filter(F.col("event_type") == typ).select(
+            "user_id", "event_id", "ts"
+        )
+
+    stream = events_stream(spark, sf_dir)
+    joined = stream_stream_join(
+        side(stream, "purchase"), side(stream, "click"), "user_id",
+        within="30 minutes",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    name = f"s05_join_{uuid.uuid4().hex[:8]}"
+    return run_available_now(joined, name, output_mode="append")
