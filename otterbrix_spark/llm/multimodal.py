@@ -345,3 +345,129 @@ def plan_resize(decoded: DataFrame, target: int = 224) -> DataFrame:
         F.floor(F.col("width") * scale_pct / 100).cast("long").alias("out_w"),
         F.floor(F.col("height") * scale_pct / 100).cast("long").alias("out_h"),
     )
+
+
+# --- audio: RIFF/WAV PCM16 ---------------------------------------------------
+# The audio leg of the multimodal triad (image decode above, video frame
+# sampling in sample_frames). Same honesty contract as real_decode: the
+# executor-side decoder parses REAL RIFF/WAVE containers (chunked layout,
+# fmt geometry, 16-bit LE PCM payload) and computes integer waveform
+# features, while the oracle predicts them from the generation rule — a
+# format misparse cannot hash-match. Integer features only (peak, abs-sum,
+# zero crossings): no float audio math to drift across engines.
+
+AUDIO_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def encode_wav(n_samples: int, amp: int, half_period: int, rate: int = 8000) -> bytes:
+    """Minimal valid RIFF/WAVE: mono 16-bit PCM square wave — sample i is
+    ``+amp`` when ``(i // half_period) % 2 == 0`` else ``-amp``."""
+    import struct
+
+    frames = bytearray()
+    for i in range(n_samples):
+        v = amp if (i // half_period) % 2 == 0 else -amp
+        frames += struct.pack("<h", v)
+    data = bytes(frames)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    out = b"RIFF"
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return out + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE container (chunk walk, not fixed offsets) and
+    compute integer waveform features from the PCM16 samples."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only mono PCM16 supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    x = np.frombuffer(data, dtype="<i2").astype("int64")
+    signs = np.sign(x)
+    zc = int(np.count_nonzero(signs[1:] != signs[:-1])) if len(x) > 1 else 0
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(len(x)),
+        "peak": int(np.max(np.abs(x))) if len(x) else 0,
+        "sum_abs": int(np.sum(np.abs(x))),
+        "zero_crossings": zc,
+    }
+
+
+def documents_as_audio_assets(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into REAL WAV assets with SQL-predictable
+    waveforms:
+
+      n_samples   = 256 + (doc_id * 37) % 512
+      amplitude   = 1000 + (doc_id * 11) % 20000
+      half_period = 8 + (doc_id * 5) % 24
+    """
+    @F.pandas_udf(T.BinaryType())
+    def encode(doc_id: pd.Series) -> pd.Series:
+        def one(d):
+            if d is None:
+                return None
+            d = int(d)
+            return encode_wav(
+                256 + (d * 37) % 512, 1000 + (d * 11) % 20000, 8 + (d * 5) % 24
+            )
+
+        return doc_id.map(one)
+
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio/wav").alias("media_type"),
+        encode(F.col("doc_id")).alias("payload"),
+    )
+
+
+def decode_audio_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode: (asset_id, sample_rate, n_samples, peak,
+    sum_abs, zero_crossings). Same mapInPandas seam as decode_assets."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for aid, payload in zip(b["asset_id"], b["payload"]):
+                d = decode_wav(bytes(payload))
+                d["asset_id"] = int(aid)
+                rows.append(d)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_samples", "peak",
+                    "sum_abs", "zero_crossings",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, AUDIO_DECODED_SCHEMA
+    )

@@ -1575,3 +1575,42 @@ def e07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- m05: audio decode certification ----------------------------------------
+# The audio leg of the multimodal family: executors parse REAL RIFF/WAVE
+# containers (chunk walk + PCM16 payload) inside mapInPandas; the oracle
+# predicts every integer waveform feature from the asset generation rule.
+# A header misparse, wrong chunk alignment, or endianness slip cannot
+# hash-match.
+
+_M05_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         256 + (doc_id * 37) % 512 AS n,
+         1000 + (doc_id * 11) % 20000 AS amp,
+         8 + (doc_id * 5) % 24 AS half
+  FROM documents)
+SELECT doc_id AS asset_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(amp AS BIGINT) AS peak,
+       CAST(n * amp AS BIGINT) AS sum_abs,
+       CAST((n - 1) // half AS BIGINT) AS zero_crossings
+FROM p
+"""
+
+
+@query(
+    "m05_audio_decode", _M05_ORACLE,
+    doc="end-to-end audio decode: RIFF/WAVE chunk walk + PCM16 integer "
+        "waveform features hash-matched against the format-spec oracle",
+)
+def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.multimodal import (
+        decode_audio_assets,
+        documents_as_audio_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_assets(documents_as_audio_assets(docs))

@@ -100,3 +100,33 @@ def test_real_decode_rejects_unknown_container():
     a = fake_decode(b"abcdef0123456789")
     b = fake_decode(b"abcdef0123456789")
     assert a == b and a["n_bytes"] == 16
+
+
+def test_wav_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    from otterbrix_spark.llm.multimodal import decode_wav, encode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a riff container at all")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVI ")  # wrong form type
+    good = encode_wav(64, 500, 8)
+    with _pytest.raises(ValueError):
+        decode_wav(good[:20])  # truncated before any data chunk
+
+
+def test_wav_decoder_walks_extra_chunks():
+    # a LIST/INFO chunk (odd-sized, word-aligned per RIFF) before fmt/data
+    # must be skipped by the chunk walk, not break parsing
+    import struct
+
+    from otterbrix_spark.llm.multimodal import decode_wav, encode_wav
+
+    base = encode_wav(32, 1234, 8)
+    tail = base[12:]  # fmt + data chunks (RIFF header + WAVE tag are 12 bytes)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"  # pad byte
+    body = b"WAVE" + extra + tail
+    rebuilt = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = decode_wav(rebuilt)
+    assert got["n_samples"] == 32 and got["peak"] == 1234
