@@ -258,3 +258,90 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         debt.alias("n_debt"),
         (rich.cast("double") / F.nullif(debt, F.lit(0))).alias("rich_per_debt"),
     )
+
+
+# --- q79: aggregate FILTER clause -------------------------------------------
+# SQL:2003 `agg(...) FILTER (WHERE ...)` — PG supports it natively and the
+# reference inherits it through the PG grammar; Spark SQL parses it since
+# 3.0. Routed through the full engine surface (dialect rewrite must pass
+# the clause untouched); conditional sums are quantised per the float
+# discipline.
+
+_Q79_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_hot,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT))
+            FILTER (WHERE value > 50.0) AS DOUBLE) / 10000.0 AS hot_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "q79_filter_clause", _Q79_ORACLE,
+    doc="SQL:2003 aggregate FILTER (WHERE ...) clause through the engine",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "otx_events_q79"
+    )
+    return eng.sql(
+        "SELECT event_type, "
+        "       CAST(COUNT(*) AS BIGINT) AS n_all, "
+        "       CAST(COUNT(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_hot, "
+        "       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) "
+        "            FILTER (WHERE value > 50.0) AS DOUBLE) / 10000.0 "
+        "         AS hot_value "
+        "FROM otx_events_q79 GROUP BY event_type ORDER BY event_type"
+    )
+
+
+# --- q80: LATERAL correlated subquery join ----------------------------------
+# PG LATERAL (the reference's grammar carries it): per outer row, a
+# correlated subquery producing a derived table — here top-2 customers by
+# balance per nation. Spark supports lateral correlated subqueries since
+# 3.2 and plans them as a ranked window under the hood; DuckDB runs the
+# identical text.
+
+_Q80_ORACLE = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+     LATERAL (
+       SELECT c_name, c_acctbal FROM customer c
+       WHERE c.c_nationkey = n.n_nationkey
+       ORDER BY c_acctbal DESC, c_name LIMIT 2
+     ) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@query(
+    "q80_lateral_topn", _Q80_ORACLE,
+    doc="LATERAL correlated derived table (per-nation top-2 customers) "
+        "through the engine",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "otx_nation_q80"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "otx_customer_q80"
+    )
+    return eng.sql(
+        "SELECT n.n_name, t.c_name, t.c_acctbal "
+        "FROM otx_nation_q80 n, "
+        "     LATERAL ( "
+        "       SELECT c_name, c_acctbal FROM otx_customer_q80 c "
+        "       WHERE c.c_nationkey = n.n_nationkey "
+        "       ORDER BY c_acctbal DESC, c_name LIMIT 2 "
+        "     ) t "
+        "ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"
+    )
