@@ -41,14 +41,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # the file stream source requires a directory; select the events file
     # out of the corpus dir with a glob (a real deployment points this at a
-    # landing directory that accumulates micro-batch files)
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    # landing directory that accumulates micro-batch files). Corpora where
+    # events.parquet is itself a DIRECTORY of part files (Spark-written,
+    # e.g. the scaling probe's replicated copies) stream that directory
+    # directly — the glob filter matches leaf file NAMES, so it would
+    # silently match nothing against part-*.parquet files.
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     return normalize_event_ts(raw)
 
 

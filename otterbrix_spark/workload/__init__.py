@@ -41,12 +41,16 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # Rounds 1-4 rotated the window so that 149 distinct gates now have a
 # driver-green row (r04 alone certified 49 first-timers). Round 5 rotates
 # onto the FINAL never-sampled tail: the complete round-3/4 leftover list
-# from VERDICT r4 (45 gates) plus 4 of this round's 6 new gates (m04 real
+# from VERDICT r4 (45 gates) plus 4 of this round's new gates (m04 real
 # decode, aj02 skew as-of, b09/b10 JOB order shapes) behind the q01 smoke
-# anchor — completing driver certification of every pre-r5 gate. b11/b12
-# (new r5) queue for round 6; everything rotated out stayed green in a
-# prior driver window AND keeps passing the identical local DuckDB battery
-# (tests/test_workload_oracle.py) at sf0.001 and sf0.01.
+# anchor — completing driver certification of every pre-r5 gate. The
+# remaining round-5 additions queue for the round-6 window: b11/b12 (JOB
+# breadth), t10/d11/e06/e07 (decontamination, paragraph dedup, quantized
+# ANN, k-means step), ds23/ds24/l09 (channel balance, decile profile,
+# FOAF), s05 (stream-stream join certification), m05 (audio decode),
+# q79/q80 (FILTER clause, LATERAL). Everything rotated out stayed green in
+# a prior driver window AND keeps passing the identical local DuckDB
+# battery (tests/test_workload_oracle.py) at sf0.001 and sf0.01.
 _FRONT_WINDOW = [
     "q01_pricing_summary",  # flagship / bench headline anchor (r03+r04 green)
     # TPC-DS long tail (r2/r3, never sampled)
