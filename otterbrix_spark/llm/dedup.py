@@ -388,3 +388,47 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("fp").alias("fingerprint"))
         .distinct()
     )
+
+
+def paragraph_chunks(
+    df: DataFrame, chunk_words: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Aligned ``chunk_words``-word chunk hashes per document — the
+    paragraph proxy for Lee-et-al.-style substring-level dedup:
+    (doc_id, h). Tail words short of a full chunk are dropped."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit("[^ ]+"), 0)
+    return (
+        df.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= chunk_words)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(size(toks) / {chunk_words} "
+                    "AS INT) - 1), "
+                    "k -> CAST(conv(substr(md5(concat_ws(' ', "
+                    f"slice(toks, k * {chunk_words} + 1, {chunk_words}))), "
+                    "1, 15), 16, 10) AS BIGINT))"
+                )
+            ).alias("h"),
+        )
+    )
+
+
+def cross_doc_duplicate_chunks(
+    df: DataFrame, chunk_words: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Chunk instances duplicated across >= 2 DISTINCT documents:
+    (doc_id, h, dup). One groupBy over chunk hashes + one join back —
+    the same two-shuffle plan as exact dedup; no pairwise comparison."""
+    chunks = paragraph_chunks(df, chunk_words=chunk_words, text_col=text_col)
+    duph = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+        .withColumn("isdup", F.lit(1))
+    )
+    return chunks.join(duph, "h", "left").withColumn(
+        "dup", F.when(F.col("isdup").isNotNull(), 1).otherwise(0)
+    ).drop("isdup")

@@ -92,3 +92,49 @@ def fingerprint(col: Column) -> Column:
     whitespace-collapsed text. Identical fingerprints == exact duplicates
     modulo case/whitespace."""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), WORD_SPLIT, " ")))
+
+
+def ngram_hashes(df: DataFrame, n: int = 13, text_col: str = "text") -> DataFrame:
+    """Explode each document into 60-bit md5 hashes of its word-level
+    ``n``-grams: (doc_id, h). Documents shorter than ``n`` words produce no
+    rows. The hash is engine-portable (md5 prefix), so gram sets can be
+    compared across systems."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit("[^ ]+"), 0)
+    return (
+        df.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}), i -> "
+                    "CAST(conv(substr(md5(concat_ws(' ', slice(toks, i, "
+                    f"{n}))), 1, 15), 16, 10) AS BIGINT))"
+                )
+            ).alias("h"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, n: int = 13
+) -> DataFrame:
+    """GPT-3-style eval-set decontamination: flag every training document
+    sharing any word-level ``n``-gram with the eval corpus.
+
+    Returns ``train`` plus a boolean ``contaminated`` column. The eval
+    gram set is distinct-reduced and broadcast (eval corpora are tiny
+    next to training corpora); the train side explodes streamingly into a
+    broadcast LEFT SEMI join — no all-pairs comparison, no driver
+    collect, the shape that holds at 100 TB of training text."""
+    eval_grams = ngram_hashes(eval_docs, n=n).select("h").distinct()
+    bad = (
+        ngram_hashes(train, n=n)
+        .join(F.broadcast(eval_grams), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_contaminated", F.lit(True))
+    )
+    return train.join(bad, "doc_id", "left").withColumn(
+        "contaminated", F.coalesce(F.col("_contaminated"), F.lit(False))
+    ).drop("_contaminated")

@@ -55,3 +55,60 @@ def test_kmeans_train_converges(spark, sf_dir):
     assert len(centroids) == 4 and len(centroids[0]) == 64
     # Lloyd's algorithm never increases inertia
     assert all(b <= a * (1 + 1e-9) for a, b in zip(history, history[1:]))
+
+
+def test_decontaminate_api_matches_gate_counts(spark, sf_dir):
+    # the library decontaminate() must agree with the t10 gate's
+    # per-source contamination counts (same gram arithmetic, same split)
+    from pyspark.sql import functions as F
+
+    from otterbrix_spark.llm import text as text_ops
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.workload import load_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t10:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    base = docs.withColumn("is_eval", bucket < 10)
+    flagged = text_ops.decontaminate(
+        base.filter(~F.col("is_eval")), base.filter(F.col("is_eval")), n=13
+    )
+    api = {
+        (r["source"]): (r["n"], r["c"])
+        for r in flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("contaminated").cast("int")).alias("c"),
+        )
+        .collect()
+    }
+    gate = {
+        r["source"]: (r["n_train_docs"], r["n_contaminated"])
+        for r in load_all()["t10_decontamination"].spark_fn(spark, sf_dir).collect()
+    }
+    assert api == gate and len(gate) > 0
+
+
+def test_paragraph_dedup_api_matches_gate_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from otterbrix_spark.llm import dedup
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.workload import load_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = dedup.cross_doc_duplicate_chunks(docs, chunk_words=10)
+    api = marked.agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.sum("dup").alias("n_dup")
+    ).collect()[0]
+    gate_rows = load_all()["d11_paragraph_dedup"].spark_fn(spark, sf_dir).collect()
+    gate_chunks = sum(r["n_chunks"] for r in gate_rows)
+    gate_dup = sum(r["n_dup_chunks"] for r in gate_rows)
+    assert (api["n_chunks"], api["n_dup"]) == (gate_chunks, gate_dup)
