@@ -225,15 +225,18 @@ def _left_operand_start(body: str, end: int) -> int | None:
     return None
 
 
-def _apply_binop_scanned(body: str, op_re: re.Pattern, make) -> str:
+def _apply_binop_scanned(body: str, op_re: re.Pattern, make, lhs_guard=None) -> str:
     """Rewrite residual ``<operand> OP <rhs>`` occurrences whose LHS needed
     balanced-paren scanning. ``make(lhs, match)`` returns the replacement
-    (or None to leave this occurrence). Restarts after each rewrite so
+    (or None to leave this occurrence). ``lhs_guard(body, start)`` may veto
+    an occurrence by its left context. Restarts after each rewrite so
     chains collapse left-to-right."""
     while True:
         for m in op_re.finditer(body):
             s = _left_operand_start(body, m.start())
             if s is None:
+                continue
+            if lhs_guard is not None and lhs_guard(body, s):
                 continue
             repl = make(body[s : m.start()].rstrip(), m)
             if repl is None:
@@ -342,25 +345,36 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
     # Only fires when the RHS is a string literal (PG's jsonb - text) AND the
     # LHS is a real operand, not a SQL keyword (`SELECT - 'x'` is a unary
     # minus on a literal, not a delete). Runs AFTER the arrow rules so
-    # `->`/`->>` are already consumed.
+    # `->`/`->>` are already consumed — which means deletes CHAIN correctly
+    # after other jsonb rewrites, PG's left associativity.
     # PG only applies `-` as delete when the LHS is typed jsonb; at the text
-    # level we approximate: the LHS must be an identifier / function call
-    # (never a bare string literal — `text - text` is an error in PG), and
-    # the RHS literal must not be interval/number-shaped arithmetic
-    # (`o_orderdate - '3 days'`, `now() - '1 hour'`) nor carry a `::` cast.
-    def fix_key_delete(m: re.Match) -> str:
-        col, tok = m.group(1), m.group(2)
-        text = lit_at(tok)
-        if text is None or col.upper() in _SQL_KEYWORDS:
-            return m.group(0)
-        if lit_at(col) is not None:  # string-literal LHS: plain SQL, pass through
-            return m.group(0)
+    # level we approximate: the LHS must be an identifier / call / paren
+    # group (never a bare string literal — `text - text` is an error in PG,
+    # and never the type of a `::type` cast: `x::bigint - '1'` is
+    # arithmetic), and the RHS literal must not be interval/number-shaped
+    # (`o_orderdate - '3 days'`) nor carry a `::` cast. Routed through the
+    # balanced-operand scanner like every other rule — the old single-level
+    # `_OPERAND` regex swallowed a keyword before a parenthesized LHS
+    # (`SELECT (doc) - 'k'` matched "SELECT (doc)" as a call head).
+    def scanned_key_delete(lhs: str, m: re.Match) -> str | None:
+        text = lit_at(m.group(1))
+        if text is None or lhs.upper() in _SQL_KEYWORDS:
+            return None
+        if lit_at(lhs) is not None:  # string-literal LHS: plain SQL
+            return None
         if _NUM_OR_INTERVAL.match(text):
-            return m.group(0)
-        return _delete_expr(col, [text])
+            return None
+        return _delete_expr(lhs, [text])
 
-    body = re.sub(
-        rf"({_OPERAND})\s*-\s*(\x00\d+\x00)(?!\s*::)", fix_key_delete, body
+    def key_delete_guard(body_: str, s: int) -> bool:
+        # operand preceded by ':' is the type of a `::` cast, not a document
+        return s > 0 and body_[s - 1] == ":"
+
+    body = _apply_binop_scanned(
+        body,
+        re.compile("-\\s*(\x00\\d+\x00)(?!\\s*::)"),
+        scanned_key_delete,
+        lhs_guard=key_delete_guard,
     )
 
     # --- ROW(...) composite literals (PG row constructor) -------------------

@@ -113,10 +113,12 @@ _K_IDENT, _K_CALL, _K_GROUP, _K_LIT, _K_NUM, _K_REWRITTEN = (
 )
 
 
-def _match_close(toks: list[_Tok], i: int, open_c: str, close_c: str) -> int:
+def _match_close(
+    toks: list[_Tok], i: int, open_c: str, close_c: str, end: int | None = None
+) -> int:
     """Index of the token closing the group opened at ``i``; -1 if none."""
     depth = 0
-    for j in range(i, len(toks)):
+    for j in range(i, len(toks) if end is None else end):
         t = toks[j].text
         if t == open_c:
             depth += 1
@@ -138,8 +140,8 @@ def _emit_verbatim(toks: list[_Tok], start: int, end: int) -> str:
     return "".join(parts)
 
 
-def _parse_operand(toks: list[_Tok], i: int):
-    """Parse one operand starting at ``i``. Returns
+def _parse_operand(toks: list[_Tok], i: int, end: int):
+    """Parse one operand starting at ``i`` (bounded by ``end``). Returns
     ``(text, next_index, kind, head_ident)`` or ``None`` when tokens[i]
     cannot start an operand (keywords, operators, unbalanced groups)."""
     t = toks[i]
@@ -147,15 +149,15 @@ def _parse_operand(toks: list[_Tok], i: int):
         up = t.text.upper()
         if up in _SQL_KEYWORDS:
             return None
-        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        nxt = toks[i + 1] if i + 1 < end else None
         if up == "ARRAY" and nxt is not None and nxt.text == "[":
-            close = _match_close(toks, i + 1, "[", "]")
+            close = _match_close(toks, i + 1, "[", "]", end)
             if close < 0:
                 return None
             inner = _transform(toks, i + 2, close)
             return f"array({inner})", close + 1, _K_CALL, "array"
         if nxt is not None and nxt.text == "(":
-            close = _match_close(toks, i + 1, "(", ")")
+            close = _match_close(toks, i + 1, "(", ")", end)
             if close < 0:
                 return None
             inner = _transform(toks, i + 2, close)
@@ -170,7 +172,7 @@ def _parse_operand(toks: list[_Tok], i: int):
     if t.kind == QIDENT:
         return t.text, i + 1, _K_IDENT, None
     if t.text == "(":
-        close = _match_close(toks, i, "(", ")")
+        close = _match_close(toks, i, "(", ")", end)
         if close < 0:
             return None
         inner = _transform(toks, i + 1, close)
@@ -178,19 +180,19 @@ def _parse_operand(toks: list[_Tok], i: int):
     return None
 
 
-def _parse_type_suffix(toks: list[_Tok], i: int):
+def _parse_type_suffix(toks: list[_Tok], i: int, end: int):
     """Type name after ``::?`` — identifier with optional parameter parens
     (``bigint``, ``decimal(10,2)``). Returns ``(text, next_index)`` or
     ``None``."""
-    if i >= len(toks) or toks[i].kind != IDENT:
+    if i >= end or toks[i].kind != IDENT:
         return None
     j = i + 1
     text = toks[i].text
-    if j < len(toks) and toks[j].text == "(" and toks[j].lead == "":
+    if j < end and toks[j].text == "(" and toks[j].lead == "":
         # parameter parens must be GLUED to the type name (`decimal(10,2)`,
         # not `bigint (a || b)` — the latter is a following expression) and
         # contain only parameter-shaped tokens
-        close = _match_close(toks, j, "(", ")")
+        close = _match_close(toks, j, "(", ")", end)
         if close < 0:
             return None
         inner = toks[j + 1 : close]
@@ -212,25 +214,35 @@ def _ci_literal(tok_text: str) -> str:
     return "'(?i)" + _lit_text(tok_text).replace("'", "''") + "'"
 
 
-def _fold(text: str, kind: str, head: str | None, toks: list[_Tok], j: int):
+def _fold(
+    text: str, kind: str, head: str | None, toks: list[_Tok], j: int, end: int
+):
     """Fold postfix/binary PG operators onto the operand ``text`` starting
-    at token ``j``. Returns ``(text, next_index)``. Leaves non-PG operators
-    for the caller (they re-emit verbatim)."""
+    at token ``j`` (bounded by ``end``). Returns ``(text, next_index)``.
+    Leaves non-PG operators for the caller (they re-emit verbatim)."""
     is_type_head = (
         kind == _K_IDENT and head is not None and head.lower() in _TYPE_KEYWORDS
     ) or (
         kind == _K_CALL and head is not None and head.lower() in _TYPE_KEYWORDS
     )
-    while j < len(toks):
+    # `deletable` tracks whether the current text can be the LHS of a
+    # `- 'key'` jsonb delete: primary operands and jsonb-producing folds
+    # (arrows / path ops / deletes / ::? casts) are; literals, booleans
+    # from regex folds, element_at results, `::` casts, and interval
+    # arithmetic tails are not. Mirrors the regex path's pass ordering
+    # (delete runs after the jsonb/variant rules, before subscripts and
+    # regex operators, with a cast-type guard).
+    deletable = kind in (_K_IDENT, _K_CALL, _K_GROUP)
+    while j < end:
         t = toks[j]
         op = t.text
-        nxt = toks[j + 1] if j + 1 < len(toks) else None
+        nxt = toks[j + 1] if j + 1 < end else None
 
         # --- [N] subscript / [..] passthrough -----------------------------
         if op == "[":
             if kind in (_K_LIT, _K_NUM):
                 break  # subscript on a literal: not an array access
-            close = _match_close(toks, j, "[", "]")
+            close = _match_close(toks, j, "[", "]", end)
             if close < 0:
                 break
             if is_type_head:
@@ -243,6 +255,7 @@ def _fold(text: str, kind: str, head: str | None, toks: list[_Tok], j: int):
             if close == j + 2 and toks[j + 1].kind == NUMBER and "." not in toks[j + 1].text:
                 text = f"element_at({text}, {toks[j + 1].text})"
                 kind, head, is_type_head = _K_REWRITTEN, None, False
+                deletable = False
                 j = close + 1
                 continue
             # non-integer subscript: Spark-native semantics, emit verbatim
@@ -255,24 +268,30 @@ def _fold(text: str, kind: str, head: str | None, toks: list[_Tok], j: int):
 
         # --- ::? variant-select cast --------------------------------------
         if op == "::?":
-            parsed = _parse_type_suffix(toks, j + 1)
+            parsed = _parse_type_suffix(toks, j + 1, end)
             if parsed is None:
                 break
             type_text, j2 = parsed
             text = f"try_cast({text} AS {type_text})"
             kind, head, is_type_head = _K_REWRITTEN, None, False
+            deletable = True  # a variant-selected value can be a document
             j = j2
             continue
 
         # --- :: native cast: pass through, keep folding -------------------
         if op == "::":
-            parsed = _parse_type_suffix(toks, j + 1)
+            parsed = _parse_type_suffix(toks, j + 1, end)
             if parsed is None:
                 break
             # verbatim reconstruction keeps the original spacing
             _type_text, end = parsed
             text += t.lead + "::" + toks[j + 1].lead + _emit_verbatim(toks, j + 1, end)
-            kind, head, is_type_head = _K_REWRITTEN, None, False
+            # a following [N] on a TYPE name is an array-type cast
+            # (`x::bigint[3]`), owned by the catalog's type mapper — keep
+            # the type-head fact so the subscript branch passes it through
+            kind, head = _K_REWRITTEN, toks[j + 1].text
+            is_type_head = toks[j + 1].text.lower() in _TYPE_KEYWORDS
+            deletable = False  # `x::bigint - '1'` is arithmetic, not delete
             j = end
             continue
 
@@ -281,6 +300,7 @@ def _fold(text: str, kind: str, head: str | None, toks: list[_Tok], j: int):
             key = _lit_text(nxt.text)
             text = f"get_json_object({text}, '{_json_path([key])}')"
             kind, head, is_type_head = _K_REWRITTEN, None, False
+            deletable = True
             j += 2
             continue
 
@@ -293,29 +313,32 @@ def _fold(text: str, kind: str, head: str | None, toks: list[_Tok], j: int):
             else:
                 text = f"get_json_object({text}, '{_json_path(keys)}')"
             kind, head, is_type_head = _K_REWRITTEN, None, False
+            deletable = True
             j += 2
             continue
 
         # --- `- 'key'` jsonb top-level delete -----------------------------
-        # Fires only on a PRIMARY operand (identifier / call / paren group)
-        # — never on a literal (text-minus-text is arithmetic/error in PG),
-        # never on an already-rewritten result (a RLIKE boolean or an
-        # element_at is not a jsonb document; PG would have required parens)
+        # Fires on deletable text (primary operands and jsonb/variant fold
+        # results — deletes CHAIN, PG's left associativity) — never on a
+        # literal (text-minus-text is arithmetic/error in PG), a regex-fold
+        # boolean, an element_at, or a `::` cast tail
         if op == "-" and nxt is not None and nxt.kind == STRING:
             rhs_text = _lit_text(nxt.text)
-            after = toks[j + 2] if j + 2 < len(toks) else None
+            after = toks[j + 2] if j + 2 < end else None
             if (
-                kind in (_K_IDENT, _K_CALL, _K_GROUP)
+                deletable
                 and not _NUM_OR_INTERVAL.match(rhs_text)
                 and not (after is not None and after.text in ("::", "::?"))
             ):
                 text = _delete_expr(text, [rhs_text])
                 kind, head, is_type_head = _K_REWRITTEN, None, False
+                deletable = True
                 j += 2
                 continue
             # interval/number-string arithmetic: emit verbatim, keep folding
             text += t.lead + "-" + nxt.lead + nxt.text
             kind, head, is_type_head = _K_REWRITTEN, None, False
+            deletable = False  # tail is a literal: arithmetic context
             j += 2
             continue
 
@@ -330,6 +353,7 @@ def _fold(text: str, kind: str, head: str | None, toks: list[_Tok], j: int):
             else:  # !~*
                 text = f"NOT ({text} RLIKE {_ci_literal(nxt.text)})"
             kind, head, is_type_head = _K_REWRITTEN, None, False
+            deletable = False  # boolean result, not a document
             j += 2
             continue
 
@@ -349,13 +373,13 @@ def _transform(toks: list[_Tok], start: int, end: int) -> str:
     i = start
     while i < end:
         t = toks[i]
-        parsed = _parse_operand(toks[:end], i)
+        parsed = _parse_operand(toks, i, end)
         if parsed is None:
             parts.append(t.lead + t.text)
             i += 1
             continue
         text, j, kind, head = parsed
-        text, j = _fold(text, kind, head, toks[:end], j)
+        text, j = _fold(text, kind, head, toks, j, end)
         parts.append(t.lead + text)
         i = j
     return "".join(parts)

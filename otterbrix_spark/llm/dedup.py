@@ -391,17 +391,20 @@ def winnow_fingerprints(
 
 
 def paragraph_chunks(
-    df: DataFrame, chunk_words: int = 10, text_col: str = "text"
+    df: DataFrame, chunk_words: int = 10, text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Aligned ``chunk_words``-word chunk hashes per document — the
     paragraph proxy for Lee-et-al.-style substring-level dedup:
-    (doc_id, h). Tail words short of a full chunk are dropped."""
+    (doc_id, *carry, h). Tail words short of a full chunk are dropped;
+    ``carry`` columns ride along so downstream aggregations need no join
+    back to the document table."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit("[^ ]+"), 0)
     return (
-        df.select("doc_id", toks.alias("toks"))
+        df.select("doc_id", *carry, toks.alias("toks"))
         .filter(F.size("toks") >= chunk_words)
         .select(
-            "doc_id",
+            "doc_id", *carry,
             F.explode(
                 F.expr(
                     f"transform(sequence(0, CAST(size(toks) / {chunk_words} "
@@ -416,12 +419,16 @@ def paragraph_chunks(
 
 
 def cross_doc_duplicate_chunks(
-    df: DataFrame, chunk_words: int = 10, text_col: str = "text"
+    df: DataFrame, chunk_words: int = 10, text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Chunk instances duplicated across >= 2 DISTINCT documents:
-    (doc_id, h, dup). One groupBy over chunk hashes + one join back —
-    the same two-shuffle plan as exact dedup; no pairwise comparison."""
-    chunks = paragraph_chunks(df, chunk_words=chunk_words, text_col=text_col)
+    (doc_id, *carry, h, dup). One groupBy over chunk hashes + one join
+    back — the same two-shuffle plan as exact dedup; no pairwise
+    comparison."""
+    chunks = paragraph_chunks(
+        df, chunk_words=chunk_words, text_col=text_col, carry=carry
+    )
     duph = (
         chunks.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -402,6 +402,8 @@ def decode_wav(payload: bytes) -> dict:
         if len(body) < size:
             raise ValueError("truncated RIFF chunk")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("fmt chunk shorter than PCM header")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if audio_fmt != 1 or channels != 1 or bits != 16:
                 raise ValueError("only mono PCM16 supported")

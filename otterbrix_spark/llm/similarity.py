@@ -338,9 +338,10 @@ def kmeans_train(
     from pyspark.sql import Window as W
 
     spark = corpus.sparkSession
+    # cached: every iteration re-reads the corpus projection otherwise
     e = corpus.select("vec_id", "v").withColumn(
         "vv", F.expr(DOT.format(a="v", b="v"))
-    )
+    ).persist()
     seed_rows = (
         e.orderBy("vec_id").limit(k).select("v").collect()
     )
@@ -363,22 +364,27 @@ def kmeans_train(
             .filter(F.col("rn") == 1)
             .select("vec_id", "cid", "d2", "v")
         )
+        assigned = assigned.persist()
+        # inertia from a tiny per-cluster aggregate (k rows) — NOT smuggled
+        # through the posexplode shuffle, which would replicate each d2
+        # value dim times
+        inertia = sum(
+            r["sd2"]
+            for r in assigned.groupBy("cid").agg(F.sum("d2").alias("sd2")).collect()
+        )
         stats = (
-            assigned.select(
-                "cid", "d2", F.posexplode("v").alias("pos", "x")
-            )
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"),
-                 F.sum("d2").alias("sd2"))
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        assigned.unpersist()
         dim = len(centroids[0])
         new_c = {cid: list(c) for cid, c in enumerate(centroids)}
         for r in stats:
             new_c.setdefault(r["cid"], [0.0] * dim)
             new_c[r["cid"]][r["pos"]] = r["sx"] / r["n"]
-        # sd2 is replicated across a cluster's dim positions — count pos 0 only
-        inertia = sum(r["sd2"] for r in stats if r["pos"] == 0)
         history.append(float(inertia))
         centroids = [new_c[i] for i in sorted(new_c)]
+    e.unpersist()
     return centroids, history

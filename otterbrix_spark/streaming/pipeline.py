@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from otterbrix_spark.sources.registry import normalize_event_ts
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet, ``ts`` normalised to a
     session-UTC timestamp whatever physical form the generator wrote.
 
@@ -48,15 +50,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently match nothing against part-*.parquet files.
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        # availableNow splits the backlog into batches of maxFilesPerTrigger
+        # files; operators whose batch-equivalence needs the whole bounded
+        # corpus in ONE event-time pass (stream-stream joins: a later batch
+        # carrying older timestamps would arrive behind the advanced
+        # watermark and be evicted) pass a bound >= the corpus file count
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isdir(path):
-        raw = spark.readStream.schema(schema).format("parquet").load(path)
+        raw = reader.load(path)
     else:
-        raw = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return normalize_event_ts(raw)
 
 

@@ -3065,6 +3065,8 @@ def ds24(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(#buckets) offsets broadcast
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     lo, hi = ot.agg(F.min("tot"), F.max("tot")).collect()[0]
+    if hi is None:  # empty corpus: emit the (empty) report shape directly
+        lo = hi = 0
     width = max(1, (int(hi) - int(lo)) // n_parts + 1)
     bucket = F.floor((F.lit(int(hi)) - F.col("tot")) / F.lit(width))
     loc = ot.withColumn("bkt", bucket).withColumn(
@@ -3097,7 +3099,11 @@ def ds24(spark: SparkSession, sf_dir: str) -> DataFrame:
         decile = F.when(
             r0 < big * (small + 1), F.floor(r0 / (small + 1)) + 1
         ).otherwise(big + F.floor((r0 - big * (small + 1)) / small) + 1)
-    pr = r0.cast("double") / F.lit(float(n - 1))
+    # PERCENT_RANK over a single row is 0 by definition (both engines);
+    # the r0/(n-1) formula would produce 0/0 = NaN
+    pr = (
+        F.lit(0.0) if n <= 1 else r0.cast("double") / F.lit(float(n - 1))
+    )
     ranked = ranked.withColumn("decile", decile).withColumn("pr", pr)
     return (
         ranked.groupBy("decile")

@@ -1302,10 +1302,7 @@ GROUP BY w.source ORDER BY w.source
 )
 def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "source",
-        F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0).alias("toks"),
-    ).withColumn(
+    base = docs.withColumn(
         "is_eval",
         F.conv(
             F.substring(
@@ -1315,36 +1312,14 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
             16, 10,
         ).cast("long") % 100 < 10,
     )
-    grams = (
-        base.filter(F.size("toks") >= 13)
-        .select(
-            "doc_id", "is_eval",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 12), i -> "
-                    "CAST(conv(substr(md5(concat_ws(' ', slice(toks, i, 13))), "
-                    "1, 15), 16, 10) AS BIGINT))"
-                )
-            ).alias("h"),
-        )
-    )
-    eval_grams = grams.filter(F.col("is_eval")).select("h").distinct()
-    bad = (
-        grams.filter(~F.col("is_eval"))
-        .join(F.broadcast(eval_grams), "h", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("flag", F.lit(1))
+    flagged = text_ops.decontaminate(
+        base.filter(~F.col("is_eval")), base.filter(F.col("is_eval")), n=13
     )
     return (
-        base.filter(~F.col("is_eval"))
-        .join(bad, "doc_id", "left")
-        .groupBy("source")
+        flagged.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_train_docs"),
-            F.sum(F.when(F.col("flag").isNotNull(), 1).otherwise(0)).alias(
-                "n_contaminated"
-            ),
+            F.sum(F.col("contaminated").cast("int")).alias("n_contaminated"),
         )
         .orderBy("source")
     )
@@ -1389,32 +1364,8 @@ FROM marked GROUP BY source ORDER BY source
 )
 def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    chunks = (
-        docs.select(
-            "doc_id", "source",
-            F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0).alias("toks"),
-        )
-        .filter(F.size("toks") >= 10)
-        .select(
-            "doc_id", "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, CAST(size(toks) / 10 AS INT) - 1), "
-                    "k -> CAST(conv(substr(md5(concat_ws(' ', "
-                    "slice(toks, k * 10 + 1, 10))), 1, 15), 16, 10) AS BIGINT))"
-                )
-            ).alias("h"),
-        )
-    )
-    duph = (
-        chunks.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
-        .withColumn("isdup", F.lit(1))
-    )
-    marked = chunks.join(duph, "h", "left").withColumn(
-        "dup", F.when(F.col("isdup").isNotNull(), 1).otherwise(0)
+    marked = dedup.cross_doc_duplicate_chunks(
+        docs, chunk_words=10, carry=("source",)
     )
     return (
         marked.groupBy("source")

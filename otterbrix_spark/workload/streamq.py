@@ -159,7 +159,11 @@ def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", "ts"
         )
 
-    stream = events_stream(spark, sf_dir)
+    # one micro-batch for the whole bounded corpus: with the default
+    # (~1000-file) availableNow batching, a directory corpus whose later
+    # part files span the full event-time range would deliver rows behind
+    # the already-advanced watermark and silently lose join pairs
+    stream = events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
     joined = stream_stream_join(
         side(stream, "purchase"), side(stream, "click"), "user_id",
         within="30 minutes",

@@ -57,58 +57,46 @@ def test_kmeans_train_converges(spark, sf_dir):
     assert all(b <= a * (1 + 1e-9) for a, b in zip(history, history[1:]))
 
 
-def test_decontaminate_api_matches_gate_counts(spark, sf_dir):
-    # the library decontaminate() must agree with the t10 gate's
-    # per-source contamination counts (same gram arithmetic, same split)
+def test_decontaminate_flags_known_overlap(spark):
+    # a train doc sharing a 13-gram with the eval doc is flagged; one with
+    # no shared gram is not; a doc shorter than 13 words cannot be flagged
     from pyspark.sql import functions as F
 
     from otterbrix_spark.llm import text as text_ops
-    from otterbrix_spark.sources.registry import load_table
-    from otterbrix_spark.workload import load_all
 
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("t10:"), F.col("doc_id").cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long") % 100
+    shared = " ".join(f"w{i}" for i in range(13))
+    rows = [
+        (1, "A", f"prefix {shared} suffix"),
+        (2, "A", " ".join(f"x{i}" for i in range(20))),
+        (3, "B", "too short to ever match"),
+    ]
+    train = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    eval_docs = spark.createDataFrame(
+        [(99, "E", f"lead-in {shared} tail words here")],
+        ["doc_id", "source", "text"],
     )
-    base = docs.withColumn("is_eval", bucket < 10)
-    flagged = text_ops.decontaminate(
-        base.filter(~F.col("is_eval")), base.filter(F.col("is_eval")), n=13
-    )
-    api = {
-        (r["source"]): (r["n"], r["c"])
-        for r in flagged.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("contaminated").cast("int")).alias("c"),
-        )
-        .collect()
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in text_ops.decontaminate(train, eval_docs, n=13).collect()
     }
-    gate = {
-        r["source"]: (r["n_train_docs"], r["n_contaminated"])
-        for r in load_all()["t10_decontamination"].spark_fn(spark, sf_dir).collect()
-    }
-    assert api == gate and len(gate) > 0
+    assert got == {1: True, 2: False, 3: False}
 
 
-def test_paragraph_dedup_api_matches_gate_counts(spark, sf_dir):
-    from pyspark.sql import functions as F
-
+def test_cross_doc_duplicate_chunks_marks_shared_paragraph(spark):
     from otterbrix_spark.llm import dedup
-    from otterbrix_spark.sources.registry import load_table
-    from otterbrix_spark.workload import load_all
 
-    docs = load_table(spark, sf_dir, "documents")
-    marked = dedup.cross_doc_duplicate_chunks(docs, chunk_words=10)
-    api = marked.agg(
-        F.count(F.lit(1)).alias("n_chunks"), F.sum("dup").alias("n_dup")
-    ).collect()[0]
-    gate_rows = load_all()["d11_paragraph_dedup"].spark_fn(spark, sf_dir).collect()
-    gate_chunks = sum(r["n_chunks"] for r in gate_rows)
-    gate_dup = sum(r["n_dup_chunks"] for r in gate_rows)
-    assert (api["n_chunks"], api["n_dup"]) == (gate_chunks, gate_dup)
+    para = " ".join(f"p{i}" for i in range(10))
+    other = " ".join(f"q{i}" for i in range(10))
+    rows = [
+        (1, "A", f"{para} {other}"),   # chunk 1 shared, chunk 2 unique
+        (2, "B", f"{para} extra word"),  # chunk 1 shared (tail dropped)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    marked = dedup.cross_doc_duplicate_chunks(
+        docs, chunk_words=10, carry=("source",)
+    ).collect()
+    dup_by_doc = {}
+    for r in marked:
+        dup_by_doc.setdefault(r["doc_id"], []).append(r["dup"])
+    assert sorted(dup_by_doc[1]) == [0, 1]  # shared + unique chunk
+    assert dup_by_doc[2] == [1]

@@ -62,12 +62,24 @@ DIRECTED_CORPUS = [
     "SELECT CAST(x AS INT), COUNT(*) FROM t GROUP BY 1",
     "INSERT INTO t VALUES (1, 'x'), (2, 'y')",
     "UPDATE t SET v[1] = 5 WHERE id = 3",
+    # delete-operator corners: chains, parenthesized/nested LHS, cast guards
+    "SELECT (doc) - 'k' FROM t",
+    "SELECT coalesce(doc, other) - 'k' FROM t",
+    "SELECT doc -> 'a' - 'b' FROM t",
+    "SELECT doc #- '{a,b}' - 'c' FROM t",
+    "SELECT x::bigint - '1' FROM t",
+    "SELECT x::bigint[3] FROM t",
+    "SELECT v[2] - 'k' FROM t",
+    "SELECT name ~ '^a' - 'b' FROM t",
+    "SELECT v ::? bigint - 'k' FROM t",
 ]
 
 
 @pytest.mark.parametrize("sql", DIRECTED_CORPUS)
 def test_paths_agree_on_directed_corpus(sql):
-    assert rewrite(sql) == rewrite_ast(sql)
+    # mode="regex" explicitly: under OTTERBRIX_DIALECT_MODE=ast a bare
+    # rewrite() would dispatch to rewrite_ast and compare it to itself
+    assert rewrite(sql, mode="regex") == rewrite_ast(sql)
 
 
 _atoms = st.sampled_from(
@@ -84,31 +96,22 @@ _atoms = st.sampled_from(
     ]
 )
 
-# random concatenation creates `<rewritten-result> - '<lit>'` adjacencies —
-# delete-vs-arithmetic corners with no canonical answer, where the AST path
-# deliberately refuses the delete (PG would need parens) while the regex
-# path's outcome depends on pass ordering. Same exclusion idea as
-# test_plain_sql_passes_through's assume; atoms that legitimately contain a
-# minus-literal are masked first so only SYNTHETIC adjacencies are skipped.
-_MINUS_LIT = re.compile(r"['\w)\]]\s*-\s*'")
-
-
-def _synthetic_minus(sql: str) -> bool:
-    probe = (
-        sql.replace("doc - 'k'", "D")
-        .replace("o_orderdate - '3 days'", "O")
-        .replace("ts - INTERVAL '1 day'", "T")
-    )
-    return bool(_MINUS_LIT.search(probe))
+# The ONE known intentional divergence: a type keyword ending a `::` cast
+# followed by a whitespace-separated paren group with a digit subscript
+# (`x::bigint (a || b)[1]`) — the regex path must conservatively treat
+# `bigint (...)` as a parameterized array TYPE (DDL can write it spaced),
+# while the AST path knows it just closed a cast and lowers the 1-based
+# subscript. Covered by test_cast_type_not_glued_to_following_group.
+_CAST_GROUP_SUB = re.compile(r"::\s*\w+\s+\(")
 
 
 @given(st.lists(_atoms, min_size=1, max_size=8))
 @settings(max_examples=400, deadline=None)
 def test_paths_agree_on_random_concatenation(atoms):
     sql = " ".join(atoms)
-    assume(not _synthetic_minus(sql))
+    assume(not _CAST_GROUP_SUB.search(sql))
     try:
-        expected = rewrite(sql)
+        expected = rewrite(sql, mode="regex")
     except ValueError:
         expected = None  # regex path raised its residual-subscript guard
     try:
@@ -125,7 +128,18 @@ def test_paths_agree_on_random_concatenation(atoms):
     assert got == expected, sql
 
 
-@pytest.mark.parametrize("sql", DIRECTED_CORPUS)
+# `v[2] - 'k'` is the one non-idempotent corner in BOTH paths: the first
+# pass declines the delete (a subscript result is not a document) but its
+# output `element_at(v, 2) - 'k'` is textually indistinguishable from user
+# input where the delete SHOULD fire, so a second pass rewrites it. The
+# engine rewrites exactly once, so this is a property-test caveat, not an
+# execution path.
+_NON_IDEMPOTENT = {"SELECT v[2] - 'k' FROM t"}
+
+
+@pytest.mark.parametrize(
+    "sql", [s for s in DIRECTED_CORPUS if s not in _NON_IDEMPOTENT]
+)
 def test_ast_rewrite_idempotent(sql):
     once = rewrite_ast(sql)
     assert rewrite_ast(once) == once
@@ -153,8 +167,8 @@ def test_operators_inside_quoted_identifiers_survive():
 
 
 def test_nested_call_delete_lhs():
-    # the regex path's delete rule only matches single-level call LHS;
-    # the AST path parses arbitrary nesting
+    # both paths lower a nested-call delete LHS (the regex path through
+    # the balanced-operand scanner, the AST path structurally)
     out = rewrite_ast("SELECT coalesce(doc, other) - 'k' FROM t")
     assert "map_filter" in out and "coalesce(doc, other)" in out
 
@@ -231,6 +245,7 @@ def test_engine_regex_and_ast_modes_same_rows(spark, tmp_path, sf_dir, monkeypat
     )
     eng = Engine(spark, table_dir=str(tmp_path / "a"))
     eng.register_corpus(sf_dir)
+    monkeypatch.setenv("OTTERBRIX_DIALECT_MODE", "regex")
     regex_rows = [tuple(r) for r in eng.sql(sql).collect()]
     monkeypatch.setenv("OTTERBRIX_DIALECT_MODE", "ast")
     ast_rows = [tuple(r) for r in eng.sql(sql).collect()]

@@ -444,9 +444,10 @@ def test_ds24_no_global_single_partition_window(spark, sf_dir):
     # broadcast offsets join, never a no-partition-key global window
     plan = plan_of(spark, sf_dir, "ds24_decile_profile")
     assert "BroadcastHashJoin" in plan
-    # a global window shows an empty partition spec in the Window node
-    import re as _re
-    assert not _re.search(r"Window \[[^\]]*row_number\(\)[^\]]*\], \[\w+ DESC", plan.replace("\n", " ")) or "partitionBy" not in plan
+    # a no-partition-key global window compiles to an Exchange
+    # SinglePartition before the Window node — the scale-killer this
+    # implementation exists to avoid
+    assert "SinglePartition" not in plan
 
 
 def test_l09_foaf_all_equi_joins(spark, sf_dir):
