@@ -345,3 +345,42 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         "     ) t "
         "ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"
     )
+
+
+# --- q81: PG DISTINCT ON ----------------------------------------------------
+# `SELECT DISTINCT ON (k) ...` — the PG-ism for "first row per key under
+# the query's ORDER BY". Spark has no direct form; the canonical lowering
+# is a row_number window over (key, order) with rank = 1 — one shuffle on
+# the key, identical to PG's semantics when the ORDER BY extends the
+# DISTINCT ON keys. DuckDB runs the literal DISTINCT ON as oracle.
+
+_Q81_ORACLE = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+FROM (
+  SELECT DISTINCT ON (user_id) user_id, event_id, ts
+  FROM events
+  ORDER BY user_id, ts DESC, event_id DESC
+) t ORDER BY user_id
+"""
+
+
+@query(
+    "q81_distinct_on", _Q81_ORACLE,
+    doc="PG DISTINCT ON (latest event per user) lowered to a ranked "
+        "window; DuckDB runs the literal DISTINCT ON as oracle",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        .orderBy("user_id")
+    )

@@ -426,3 +426,55 @@ def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_us")
     )
+
+
+# --- w03: GROUPS window frames (PG 11+), emulated via dense_rank + RANGE ----
+# PG/the reference's grammar supports `GROUPS BETWEEN 1 PRECEDING AND
+# CURRENT ROW` — the frame counts PEER GROUPS (distinct ORDER BY values),
+# not rows. Spark has ROWS and RANGE only; the exact lowering: attach
+# dense_rank over the order key, then a RANGE frame over the integer
+# dense_rank — N group-steps become N rank-units. The oracle derives the
+# same semantics by a completely different route (per-group sums + LAG +
+# join back), so the emulation is proven equivalent, not asserted.
+# Scale: two windows over the same partitioning — one shuffle.
+
+_W03_ORACLE = """
+WITH q AS (
+  SELECT event_id, event_type, CAST(ts AS DATE) AS d,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS qv
+  FROM events),
+g AS (SELECT event_type, d, SUM(qv) AS gs FROM q GROUP BY 1, 2),
+wg AS (
+  SELECT event_type, d,
+         gs + COALESCE(LAG(gs) OVER (PARTITION BY event_type ORDER BY d), 0)
+           AS grp_sum_q
+  FROM g)
+SELECT q.event_id, CAST(wg.grp_sum_q AS DOUBLE) / 10000.0 AS grp_sum
+FROM q JOIN wg ON q.event_type = wg.event_type AND q.d = wg.d
+"""
+
+
+@query(
+    "w03_groups_frame", _W03_ORACLE,
+    doc="GROUPS window frame (PG 11) lowered to dense_rank + RANGE; "
+        "oracle re-derives the frame via group sums + LAG + join",
+)
+def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("q"),
+    )
+    dr = F.dense_rank().over(
+        Window.partitionBy("event_type").orderBy("d")
+    )
+    ranked = ev.withColumn("dr", dr)
+    frame = (
+        Window.partitionBy("event_type").orderBy("dr").rangeBetween(-1, 0)
+    )
+    return ranked.select(
+        "event_id",
+        (F.sum("q").over(frame).cast("double") / 10000.0).alias("grp_sum"),
+    )
