@@ -1565,3 +1565,95 @@ def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_audio_assets(documents_as_audio_assets(docs))
+
+
+# --- d12: SemDeDup — semantic dedup via cluster-then-compare ----------------
+# The SemDeDup recipe (Abbas et al. 2023, public): k-means-cluster the
+# embedding space, then compare pairs ONLY within a cluster — the cluster
+# assignment replaces the quadratic all-pairs scan with k intra-cluster
+# blocks, the same blocking idea as LSH but driven by the semantic
+# geometry the dedup targets. Deterministic seeding (e07's centroids) and
+# exact-arithmetic scoring make the gate oracle-exact. Pair pruning uses
+# the exact cosine; at scale the within-cluster join is an equi-join on
+# cluster id (plan-audited), and cluster sizes bound the block cost.
+
+_D12_ORACLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, list_dot_product(v, v) AS vv,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+c AS (SELECT vec_id AS cid, v AS cv, vv AS cc FROM n WHERE vec_id < 8),
+a AS (SELECT vec_id, cid, v, nrm,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY n.vv - 2 * list_dot_product(n.v, c.cv)
+                                         + c.cc, cid) AS rn
+      FROM n CROSS JOIN c),
+assigned AS (SELECT vec_id, cid, v, nrm FROM a WHERE rn = 1),
+pairs AS (
+  SELECT x.cid, x.vec_id AS a, y.vec_id AS b,
+         list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+  FROM assigned x JOIN assigned y
+    ON x.cid = y.cid AND x.vec_id < y.vec_id)
+SELECT CAST(cid AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_semdup
+FROM pairs GROUP BY cid ORDER BY cluster
+"""
+
+
+@query(
+    "d12_semdedup", _D12_ORACLE,
+    doc="SemDeDup: k-means clusters block the pair comparison; "
+        "within-cluster exact-cosine near-dup counts per cluster",
+)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = similarity.prepare(emb).withColumn(
+        "vv", F.expr(similarity.DOT.format(a="v", b="v"))
+    )
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("vv").alias("cc"),
+    )
+    d2 = (
+        F.col("vv")
+        - 2 * F.expr(similarity.DOT.format(a="v", b="cv"))
+        + F.col("cc")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "v", "nrm")
+    )
+    x = assigned.select(
+        "cid", F.col("vec_id").alias("a"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    y = assigned.select(
+        F.col("cid").alias("cid2"), F.col("vec_id").alias("b"),
+        F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+    )
+    cos = F.expr(similarity.DOT.format(a="av", b="bv")) / (
+        F.col("an") * F.col("bn")
+    )
+    pairs = (
+        x.join(y, (F.col("cid") == F.col("cid2")) & (F.col("a") < F.col("b")))
+        .withColumn("cos", cos)
+    )
+    return (
+        pairs.groupBy(F.col("cid").cast("int").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("cos") >= 0.5, 1).otherwise(0)).alias(
+                "n_semdup"
+            ),
+        )
+        .orderBy("cluster")
+    )

@@ -454,3 +454,10 @@ def test_l09_foaf_all_equi_joins(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "l09_foaf_recommend")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d12_semdedup_intra_cluster_equi_join(spark, sf_dir):
+    # SemDeDup's pair comparison must be an equi-join on cluster id —
+    # never a cross product over the whole corpus
+    plan = plan_of(spark, sf_dir, "d12_semdedup")
+    assert "CartesianProduct" not in plan
