@@ -3206,3 +3206,70 @@ def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mutuals").desc(), "a", "c")
         .limit(20)
     )
+
+
+# --- ds25: TPC-DS Q35/Q69 — boolean algebra over EXISTS channels ------------
+# Q69 (`benchmark/tpcds/query69.tpl`): customers who shop one channel but
+# NOT others — EXISTS(store) AND NOT (EXISTS(web) OR EXISTS(catalog)),
+# then a demographic profile. The Spark lowering keeps every channel
+# membership a LEFT SEMI / LEFT ANTI join (never a per-row subquery):
+# semi on the required channel, anti on the union of the excluded ones.
+# Mapped: customers with a 'purchase' event but neither 'click' nor
+# 'view', profiled by nation.
+
+_DS25_ORACLE = """
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_balance
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@query(
+    "ds25_exists_boolean", _DS25_ORACLE,
+    doc="TPC-DS Q69 shape: EXISTS(channel A) AND NOT EXISTS(channel B) "
+        "as semi + anti joins, then a grouped profile",
+)
+def ds25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned_custs = (
+        orders.join(
+            li.filter(F.col("l_returnflag") == "R").select("l_orderkey"),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+        )
+        .select("o_custkey")
+    )
+    urgent_custs = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_custkey")
+    kept = (
+        cust.join(
+            returned_custs, cust["c_custkey"] == returned_custs["o_custkey"],
+            "left_semi",
+        )
+        .join(
+            urgent_custs, cust["c_custkey"] == urgent_custs["o_custkey"],
+            "left_anti",
+        )
+    )
+    return (
+        kept.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).alias(
+                "n_high_balance"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )

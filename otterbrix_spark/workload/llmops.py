@@ -1657,3 +1657,72 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- p06: context-window chunking with overlap ------------------------------
+# The pre-tokenization chunker every training pipeline runs before p04's
+# packing: split each document into max-32-token windows with an 8-token
+# stride overlap (stride = window - overlap = 24), so long documents
+# produce ceil((n-24+...)/24)-ish segments whose boundaries a resumable
+# pipeline can recompute deterministically. Pure array expressions — no
+# explode until the final per-segment hash, no UDF; the md5 segment
+# fingerprint makes the output content-addressed (the dedup/packing
+# stages downstream key on it).
+
+_P06_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, source, regexp_extract_all(text, '[^ ]+') AS ws
+  FROM documents),
+seg AS (
+  SELECT doc_id, source, k,
+         array_to_string(list_slice(ws, k * 24 + 1,
+                                    LEAST(k * 24 + 32, len(ws))), ' ') AS piece
+  FROM w, UNNEST(range(0, CAST(CEIL(GREATEST(len(ws) - 8, 1) / 24.0)
+                              AS BIGINT))) AS t(k)
+  WHERE len(ws) >= 1)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(piece, '[^ ]+'))) AS BIGINT)
+         AS n_tokens_with_overlap,
+       CAST(COUNT(DISTINCT md5(piece)) AS BIGINT) AS n_distinct_segments
+FROM seg GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "p06_chunk_overlap", _P06_ORACLE,
+    doc="context-window chunking: 32-token segments, 8-token overlap, "
+        "content-addressed md5 fingerprints per segment",
+)
+def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0)
+    segs = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id", "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST(CEIL(GREATEST(size(toks) - 8,"
+                    " 1) / 24.0) AS INT) - 1), k -> concat_ws(' ', "
+                    "slice(toks, k * 24 + 1, "
+                    "LEAST(k * 24 + 32, size(toks)) - k * 24)))"
+                )
+            ).alias("piece"),
+        )
+    )
+    piece_toks = F.regexp_extract_all(F.col("piece"), F.lit("[^ ]+"), 0)
+    return (
+        segs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.size(piece_toks)).alias("n_tokens_with_overlap"),
+            F.countDistinct(F.md5(F.col("piece"))).alias(
+                "n_distinct_segments"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -461,3 +461,9 @@ def test_d12_semdedup_intra_cluster_equi_join(spark, sf_dir):
     # never a cross product over the whole corpus
     plan = plan_of(spark, sf_dir, "d12_semdedup")
     assert "CartesianProduct" not in plan
+
+
+def test_ds25_exists_boolean_is_semi_plus_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ds25_exists_boolean")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
