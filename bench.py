@@ -32,10 +32,14 @@ def main() -> None:
     from otterbrix_spark.session import get_spark
     from otterbrix_spark.workload import load_all
 
+    # shuffle-partition override for A/B experiments (OTX_BENCH_SHUFFLE);
+    # default stays cpus — AQE coalesces small post-shuffle partitions
+    # either way, this only affects the shuffle-write fan-out
+    shuffle = int(os.environ.get("OTX_BENCH_SHUFFLE", cpus))
     spark = get_spark(
         app_name="otterbrix-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle,
         extra_conf={"spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -174,3 +174,53 @@ def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"s05_join_{uuid.uuid4().hex[:8]}"
     return run_available_now(joined, name, output_mode="append")
+
+
+# Stateful streaming anomaly detection certification: the second custom
+# stateful operator (operators/anomaly.py) run as a REAL stream —
+# per-event running-mean verdicts folded through applyInPandasWithState
+# state, aggregated, and hash-matched against the batch cumulative-window
+# oracle. Integer cross-multiplication rule — no float drift between the
+# pandas fold and the SQL window.
+_S06_ORACLE = """
+WITH q AS (
+  SELECT event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS qv
+  FROM events),
+r AS (
+  SELECT event_type, qv,
+         COUNT(*) OVER w AS n_prior,
+         COALESCE(SUM(qv) OVER w, 0) AS s_prior
+  FROM q
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN n_prior >= 10 AND qv * n_prior > 2 * s_prior
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "s06_streaming_anomaly", _S06_ORACLE,
+    doc="streaming certification: stateful running-mean anomaly detector "
+        "(applyInPandasWithState), hash-matched against the batch "
+        "cumulative-window oracle",
+)
+def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.anomaly import streaming_anomalies
+
+    stream = events_stream(spark, sf_dir, max_files_per_trigger=1_000_000)
+    verdicts = streaming_anomalies(stream, min_prior=10, factor=2)
+    name = f"s06_anom_{uuid.uuid4().hex[:8]}"
+    res = run_available_now(verdicts, name, output_mode="append")
+    return (
+        res.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_anomaly").cast("long").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )

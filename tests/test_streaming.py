@@ -387,3 +387,30 @@ def test_stream_stream_join_evicts_state_at_watermark(spark, tmp_path):
         "watermark never evicted join state: "
         f"{[p.get('stateOperators') for p in progress]}"
     )
+
+
+def test_streaming_anomalies_match_batch_twin(spark, sf_dir):
+    # the stateful fold and the batch cumulative window must agree
+    # verdict-for-verdict over the same bounded corpus
+    from otterbrix_spark.operators.anomaly import (
+        batch_anomalies,
+        streaming_anomalies,
+    )
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.streaming.pipeline import run_available_now
+
+    stream = events_stream(spark, sf_dir)
+    name = f"s06t_{uuid.uuid4().hex[:8]}"
+    got = {
+        (r["event_type"], r["event_id"]): r["is_anomaly"]
+        for r in run_available_now(
+            streaming_anomalies(stream), name, output_mode="append"
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["event_id"]): r["is_anomaly"]
+        for r in batch_anomalies(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got == want and sum(got.values()) > 0
