@@ -3273,3 +3273,89 @@ def ds25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- l10: LDBC BI-19-style weighted interaction strength --------------------
+# Pair scores summed over MULTIPLE interaction channels with per-channel
+# weights — the "how strongly are these two connected" shape: weight 10
+# per co-order (any line pair), plus weight 1 per extra shared part
+# between the suppliers across the corpus. Both channels are equi-join
+# aggregates on the canonical (s1 < s2) pair key; the weighted merge is a
+# FULL OUTER join of the two channel aggregates (a pair may exist in one
+# channel only). Top-50 strongest pairs.
+
+_L10_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem),
+co_order AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+         COUNT(DISTINCT a.l_orderkey) AS n_orders
+  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li) a
+  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM li) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2),
+co_part AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+         COUNT(DISTINCT a.l_partkey) AS n_parts
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM li) a
+  JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM li) b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2)
+SELECT COALESCE(o.s1, p.s1) AS s1,
+       COALESCE(o.s2, p.s2) AS s2,
+       CAST(10 * COALESCE(o.n_orders, 0) + COALESCE(p.n_parts, 0) AS BIGINT)
+         AS strength
+FROM co_order o
+FULL OUTER JOIN co_part p ON o.s1 = p.s1 AND o.s2 = p.s2
+ORDER BY strength DESC, s1, s2
+LIMIT 50
+"""
+
+
+@query(
+    "l10_interaction_strength", _L10_ORACLE,
+    doc="LDBC BI-19 shape: weighted pair strength from two interaction "
+        "channels, FULL OUTER merged, top-50",
+)
+def l10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .distinct()
+    )
+
+    def channel(key: str, out: str) -> DataFrame:
+        side = li.select(key, "l_suppkey").distinct()
+        right = side.select(
+            F.col(key).alias("rk"), F.col("l_suppkey").alias("sb")
+        )
+        return (
+            side.join(
+                right,
+                (F.col(key) == F.col("rk"))
+                & (F.col("l_suppkey") < F.col("sb")),
+            )
+            .groupBy(
+                F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2")
+            )
+            .agg(F.countDistinct(key).alias(out))
+        )
+
+    co_order = channel("l_orderkey", "n_orders")
+    co_part = channel("l_partkey", "n_parts")
+    merged = co_order.alias("o").join(
+        co_part.alias("p"),
+        (F.col("o.s1") == F.col("p.s1")) & (F.col("o.s2") == F.col("p.s2")),
+        "full_outer",
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("o.s1"), F.col("p.s1")).alias("s1"),
+            F.coalesce(F.col("o.s2"), F.col("p.s2")).alias("s2"),
+            (
+                10 * F.coalesce(F.col("o.n_orders"), F.lit(0))
+                + F.coalesce(F.col("p.n_parts"), F.lit(0))
+            ).cast("long").alias("strength"),
+        )
+        .orderBy(F.col("strength").desc(), "s1", "s2")
+        .limit(50)
+    )
