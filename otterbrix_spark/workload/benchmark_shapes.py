@@ -3359,3 +3359,47 @@ def l10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("strength").desc(), "s1", "s2")
         .limit(50)
     )
+
+
+# --- c16: rank-with-ties top-k ----------------------------------------------
+# ClickBench-style leaderboard where ties MUST be kept: RANK() (not
+# row_number) over per-user event counts, keep rank <= 3 per event type —
+# the output size is data-dependent (ties expand it), which is exactly
+# the semantic difference this gate pins. Integer counts, no tiebreak
+# column: rows with equal counts share a rank in both engines.
+
+_C16_ORACLE = """
+WITH uc AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, user_id, n,
+         RANK() OVER (PARTITION BY event_type ORDER BY n DESC) AS rk
+  FROM uc)
+SELECT event_type, user_id, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 3
+ORDER BY event_type, rk, user_id
+"""
+
+
+@query(
+    "c16_rank_ties_topk", _C16_ORACLE,
+    doc="leaderboard top-3 with RANK() tie semantics (data-dependent "
+        "output size, unlike row_number top-k)",
+)
+def c16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rk = F.rank().over(
+        Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    )
+    return (
+        uc.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type", "user_id", "n", F.col("rk").cast("int").alias("rk")
+        )
+        .orderBy("event_type", "rk", "user_id")
+    )
