@@ -478,3 +478,41 @@ def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.sum("q").over(frame).cast("double") / 10000.0).alias("grp_sum"),
     )
+
+
+# --- w04: LAST_VALUE ... IGNORE NULLS (gap-carry-forward) -------------------
+# The "last observation carried forward" window semantic — PG/DuckDB spell
+# it `LAST_VALUE(x IGNORE NULLS)`, Spark spells it
+# `last(x, ignorenulls=True)` — over a running frame: every event carries
+# the most recent non-null props['k'] seen so far in its type's timeline.
+# Distinct from g01's bucket gap-fill: this is per-ROW null repair inside
+# one window pass, the standard sensor/ETL forward-fill.
+
+_W04_ORACLE = """
+SELECT event_id,
+       LAST_VALUE(json_extract_string(props, '$.k') IGNORE NULLS)
+         OVER (PARTITION BY event_type
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM events
+"""
+
+
+@query(
+    "w04_ignore_nulls_fill", _W04_ORACLE,
+    doc="LAST_VALUE IGNORE NULLS forward-fill (Spark last(ignorenulls)) "
+        "over a running per-key frame",
+)
+def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.expr("unix_micros(CAST(ts AS TIMESTAMP))"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(
+        F.get_json_object(F.col("props"), "$.k"), ignorenulls=True
+    ).over(w)
+    return ev.select("event_id", filled.alias("filled"))
