@@ -384,3 +384,40 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- q82: boolean + bitwise aggregate battery -------------------------------
+# BOOL_AND / BOOL_OR (PG) and BIT_AND / BIT_OR / BIT_XOR — aggregate
+# families the inventory had not yet gated. All integer/boolean exact:
+# no float pathway exists, so the gate is trivially hash-stable.
+
+_Q82_ORACLE = """
+SELECT c_nationkey,
+       BOOL_AND(c_acctbal > -1000) AS all_above_floor,
+       BOOL_OR(c_acctbal > 9900) AS any_rich,
+       CAST(BIT_AND(c_custkey) AS BIGINT) AS key_band,
+       CAST(BIT_OR(c_custkey) AS BIGINT) AS key_bor,
+       CAST(BIT_XOR(c_custkey) AS BIGINT) AS key_bxor
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@query(
+    "q82_bool_bit_aggs", _Q82_ORACLE,
+    doc="BOOL_AND/BOOL_OR and BIT_AND/BIT_OR/BIT_XOR aggregate battery",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+            F.bool_or(F.col("c_acctbal") > 9900).alias("any_rich"),
+            F.bit_and("c_custkey").cast("long").alias("key_band"),
+            F.bit_or("c_custkey").cast("long").alias("key_bor"),
+            F.bit_xor("c_custkey").cast("long").alias("key_bxor"),
+        )
+        .orderBy("c_nationkey")
+    )
