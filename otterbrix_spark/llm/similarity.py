@@ -319,6 +319,31 @@ def bucketed_topk(
     )
 
 
+def kmeans_assign(e: "DataFrame", c: "DataFrame") -> "DataFrame":
+    """Nearest-centroid assignment — THE shared primitive of e07 (one
+    Lloyd step), d12 (SemDeDup blocking) and kmeans_train's loop, kept in
+    one place so the distance formula and tie-break (d2 asc, cid asc)
+    cannot drift between them.
+
+    ``e``: (vec_id, v, vv, ...extras); ``c``: (cid, cv, cc) — tiny,
+    broadcast. Returns e's rows plus (cid, d2) for the nearest centroid.
+    The d2 association order (vv - 2*dot + cc) is part of the float
+    determinism contract with the DuckDB oracles."""
+    d2 = (
+        F.col("vv")
+        - 2 * F.expr(DOT.format(a="v", b="cv"))
+        + F.col("cc")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cv", "cc")
+    )
+
+
 def kmeans_train(
     corpus: DataFrame, k: int = 8, n_iter: int = 5
 ) -> tuple[list[list[float]], list[float]]:
@@ -351,19 +376,7 @@ def kmeans_train(
         c_df = spark.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)], ["cid", "cv"]
         ).withColumn("cc", F.expr(DOT.format(a="cv", b="cv")))
-        d2 = (
-            F.col("vv")
-            - 2 * F.expr(DOT.format(a="v", b="cv"))
-            + F.col("cc")
-        )
-        w = W.partitionBy("vec_id").orderBy("d2", "cid")
-        assigned = (
-            e.crossJoin(F.broadcast(c_df))
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "d2", "v")
-        )
+        assigned = kmeans_assign(e, c_df).select("vec_id", "cid", "d2", "v")
         assigned = assigned.persist()
         # inertia from a tiny per-cluster aggregate (k rows) — NOT smuggled
         # through the posexplode shuffle, which would replicate each d2

@@ -57,16 +57,25 @@ def streaming_anomalies(
 
         (event_type,) = key
         n_prior, sum_prior = state.get if state.exists else (0, 0)
+        # the iterator delivers the key's rows as MULTIPLE Arrow chunks
+        # (arrow.maxRecordsPerBatch) in arbitrary shuffle order — sorting
+        # per chunk would fold locally-sorted runs out of global time
+        # order; concatenate first, sort the whole micro-batch once
+        chunks = [pdf for pdf in pdf_iter]
+        if not chunks:
+            state.update((n_prior, sum_prior))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["us", "event_id"]
+        )
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["us", "event_id"])
-            for event_id, q in zip(pdf["event_id"], pdf["q"]):
-                flag = int(
-                    n_prior >= min_prior and q * n_prior > factor * sum_prior
-                )
-                out.append((event_type, int(event_id), flag))
-                n_prior += 1
-                sum_prior += int(q)
+        for event_id, q in zip(pdf["event_id"], pdf["q"]):
+            flag = int(
+                n_prior >= min_prior and q * n_prior > factor * sum_prior
+            )
+            out.append((event_type, int(event_id), flag))
+            n_prior += 1
+            sum_prior += int(q)
         state.update((n_prior, sum_prior))
         if out:
             yield pd.DataFrame(out, columns=columns)

@@ -3243,10 +3243,14 @@ def ds25(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # left_semi from orders to the returned lines: at most one row per
+    # order reaches the customer semi-join (an inner join here would
+    # explode orders x returned-lines only for the semi to re-discard)
     returned_custs = (
         orders.join(
             li.filter(F.col("l_returnflag") == "R").select("l_orderkey"),
             orders["o_orderkey"] == F.col("l_orderkey"),
+            "left_semi",
         )
         .select("o_custkey")
     )

@@ -1491,18 +1491,7 @@ def e07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
         F.col("vv").alias("cc"),
     )
-    d2 = (
-        F.col("vv")
-        - 2 * F.expr(similarity.DOT.format(a="v", b="cv"))
-        + F.col("cc")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
-        e.crossJoin(F.broadcast(c))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    assigned = similarity.kmeans_assign(e, c)
     return (
         assigned.groupBy(F.col("cid").cast("int").alias("cluster"))
         .agg(
@@ -1619,18 +1608,8 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
         F.col("vv").alias("cc"),
     )
-    d2 = (
-        F.col("vv")
-        - 2 * F.expr(similarity.DOT.format(a="v", b="cv"))
-        + F.col("cc")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
-        e.crossJoin(F.broadcast(c))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "v", "nrm")
+    assigned = similarity.kmeans_assign(e, c).select(
+        "vec_id", "cid", "v", "nrm"
     )
     x = assigned.select(
         "cid", F.col("vec_id").alias("a"), F.col("v").alias("av"),

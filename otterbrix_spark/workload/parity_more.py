@@ -355,11 +355,12 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DISTINCT ON keys. DuckDB runs the literal DISTINCT ON as oracle.
 
 _Q81_ORACLE = """
-SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+SELECT user_id, event_id, ts_us
 FROM (
-  SELECT DISTINCT ON (user_id) user_id, event_id, ts
+  SELECT DISTINCT ON (user_id) user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
   FROM events
-  ORDER BY user_id, ts DESC, event_id DESC
+  ORDER BY user_id, epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC
 ) t ORDER BY user_id
 """
 
@@ -373,15 +374,17 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # order on epoch MICROSECONDS explicitly: the parquet stores nanos and
+    # the oracle must not resolve sub-microsecond ties the Spark side
+    # (micro-normalized ts) cannot see
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        us.desc(), F.col("event_id").desc()
     )
     return (
         ev.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(
-            "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
-        )
+        .select("user_id", "event_id", us.alias("ts_us"))
         .orderBy("user_id")
     )
 

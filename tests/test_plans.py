@@ -458,9 +458,17 @@ def test_l09_foaf_all_equi_joins(spark, sf_dir):
 
 def test_d12_semdedup_intra_cluster_equi_join(spark, sf_dir):
     # SemDeDup's pair comparison must be an equi-join on cluster id —
-    # never a cross product over the whole corpus
+    # never a cross product over the whole corpus. The ONE allowed
+    # nested-loop join is the deliberate broadcast corpus x centroids
+    # assignment (k is fixed and tiny); a second one would mean the pair
+    # join lost its cid equi-key
     plan = plan_of(spark, sf_dir, "d12_semdedup")
     assert "CartesianProduct" not in plan
+    # the centroid assignment (corpus x 8 centroids, broadcast) appears
+    # once per self-join side — two cheap BNLJ subtrees; a third would
+    # mean the PAIR join itself lost its cid equi-key and went quadratic
+    assert plan.count("- BroadcastNestedLoopJoin") <= 2
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_ds25_exists_boolean_is_semi_plus_anti(spark, sf_dir):
