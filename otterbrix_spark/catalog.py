@@ -82,6 +82,25 @@ def _pg_type_to_ddl(t: str, custom: dict[str, dict] | None = None) -> str:
     CHECK), composite -> struct<...> resolved recursively (reference
     transformer.cpp:75-80, SURVEY §1.2 type mapping)."""
     t = t.strip().lower()
+    # inline generic types (struct<..>/array<..>/map<..>): recurse into the
+    # element types so PG spellings inside them still translate
+    # (reference inline composite columns, test_correctness_bugs.cpp:211)
+    g = re.match(r"^(struct|array|map)\s*<(.*)>$", t, re.DOTALL)
+    if g:
+        kind, inner = g.group(1), g.group(2)
+        if kind == "array":
+            return f"array<{_pg_type_to_ddl(inner, custom)}>"
+        if kind == "map":
+            k, v = _split_top_level(inner)
+            return (
+                f"map<{_pg_type_to_ddl(k, custom)},"
+                f"{_pg_type_to_ddl(v, custom)}>"
+            )
+        fields = []
+        for part in _split_top_level(inner):
+            fn, ft = part.strip().split(":", 1)
+            fields.append(f"{fn.strip()}:{_pg_type_to_ddl(ft, custom)}")
+        return "struct<" + ",".join(fields) + ">"
     arr = re.match(r"^(.+?)\s*\[\s*\d*\s*\]$", t)
     if arr:
         return f"array<{_pg_type_to_ddl(arr.group(1), custom)}>"
@@ -193,8 +212,11 @@ def _resolve_set_targets(sets: dict[str, str]) -> dict[str, "F.Column"]:
 
 
 def _split_top_level(text: str) -> list[str]:
-    """Split on commas not nested in (), [] or quotes (column-def lists)."""
-    parts, cur, depth, in_str = [], "", 0, False
+    """Split on commas not nested in (), [], <> or quotes (column-def
+    lists). Angle brackets only count OUTSIDE parens: a generic type
+    (`struct<a:int, b:int>`) sits at paren depth 0 in a column list,
+    while `<` as a comparison only occurs inside CHECK(...) parens."""
+    parts, cur, depth, angle, in_str = [], "", 0, 0, False
     for ch in text:
         if ch == "'":
             in_str = not in_str
@@ -203,7 +225,11 @@ def _split_top_level(text: str) -> list[str]:
                 depth += 1
             elif ch in ")]":
                 depth -= 1
-            if ch == "," and depth == 0:
+            elif depth == 0 and ch == "<":
+                angle += 1
+            elif depth == 0 and ch == ">" and angle > 0:
+                angle -= 1
+            if ch == "," and depth == 0 and angle == 0:
                 parts.append(cur)
                 cur = ""
                 continue

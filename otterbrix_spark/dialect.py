@@ -377,6 +377,32 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
         lhs_guard=key_delete_guard,
     )
 
+    # --- (composite).* field expansion --------------------------------------
+    # PG expands a composite value with `(expr).*`; Spark's star expansion
+    # is `expr.*` without the parens (reference composite expansion,
+    # test_correctness_bugs.cpp:216 `SELECT (s.p).*`). Only a plain
+    # (possibly dotted) identifier inside the parens qualifies — a general
+    # expression star-expansion needs the analyzer and passes through.
+    # `f(x).*` / `f (x).*` is a CALL's star expansion, not a composite —
+    # the nearest non-space char before '(' must not be an identifier char
+    def fix_composite_star(m: re.Match) -> str:
+        j = m.start() - 1
+        while j >= 0 and m.string[j] in " \t\n":
+            j -= 1
+        if j >= 0 and (m.string[j].isalnum() or m.string[j] in "_."):
+            # identifier directly before '(': a keyword (SELECT (x).*) is
+            # still a composite context; any other identifier is a call
+            k = j
+            while k >= 0 and (m.string[k].isalnum() or m.string[k] in "_."):
+                k -= 1
+            if m.string[k + 1 : j + 1].upper() not in _SQL_KEYWORDS:
+                return m.group(0)
+        return m.group(1) + ".*"
+
+    body = re.sub(
+        rf"\(\s*({_IDENT})\s*\)\s*\.\s*\*", fix_composite_star, body
+    )
+
     # --- ROW(...) composite literals (PG row constructor) -------------------
     # -> struct(...): Spark's positional struct constructor; INSERT-side
     # schema coercion casts it onto the declared struct<...> column type

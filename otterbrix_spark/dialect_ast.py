@@ -295,6 +295,22 @@ def _fold(
             j = end
             continue
 
+        # --- (composite).* field expansion --------------------------------
+        # PG `(s.p).*` -> Spark `s.p.*` (plain dotted identifier only)
+        if (
+            op == "."
+            and nxt is not None
+            and nxt.text == "*"
+            and kind == _K_GROUP
+        ):
+            inner = text[1:-1].strip()
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", inner):
+                text = inner + ".*"
+                kind, head, is_type_head = _K_REWRITTEN, None, False
+                deletable = False
+                j += 2
+                continue
+
         # --- jsonb arrows: -> / ->> ---------------------------------------
         if op in ("->", "->>") and nxt is not None and nxt.kind == STRING:
             key = _lit_text(nxt.text)

@@ -195,3 +195,40 @@ def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.sql("REFRESH MATERIALIZED VIEW v01_seg_counts")
     return eng.sql("SELECT segment, n FROM v01_seg_counts")
+
+
+# --- y02: inline composite columns + (composite).* expansion ----------------
+# Reference composite regression (`integration/cpp/test/
+# test_correctness_bugs.cpp:211-216`): a struct-typed column filled via
+# ROW(...) and expanded with PG's `(s.p).*` syntax. Exercises three seams
+# at once: the DDL parser's angle-bracket-aware column split
+# (`struct<a:int, b:int>` must not split at its inner comma), ROW ->
+# struct lowering, and the dialect's composite-star rewrite (both paths).
+# Data derives from the region table so the oracle is corpus-grounded.
+
+_Y02_ORACLE = """
+SELECT r_regionkey AS id,
+       CAST(r_regionkey * 10 AS INT) AS a,
+       CAST(r_regionkey * 10 + LENGTH(r_name) AS INT) AS b
+FROM region ORDER BY id
+"""
+
+
+@query(
+    "y02_composite_star", _Y02_ORACLE,
+    doc="inline struct column DDL + ROW() insert + (composite).* "
+        "expansion through the dialect",
+)
+def y02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS y02_comp")
+    eng.sql("CREATE TABLE y02_comp (id bigint, p struct<a:int, b:int>)")
+    eng.sql(
+        "INSERT INTO y02_comp SELECT r_regionkey, "
+        "ROW(CAST(r_regionkey * 10 AS INT), "
+        "CAST(r_regionkey * 10 + LENGTH(r_name) AS INT)) FROM region"
+    )
+    return eng.sql("SELECT s.id, (s.p).* FROM y02_comp s ORDER BY s.id")

@@ -250,3 +250,15 @@ def test_engine_regex_and_ast_modes_same_rows(spark, tmp_path, sf_dir, monkeypat
     monkeypatch.setenv("OTTERBRIX_DIALECT_MODE", "ast")
     ast_rows = [tuple(r) for r in eng.sql(sql).collect()]
     assert regex_rows == ast_rows and len(regex_rows) > 0
+
+
+def test_composite_star_both_paths():
+    cases = [
+        ("SELECT (s.p).* FROM t s", "SELECT s.p.* FROM t s"),
+        ("SELECT x, (y).* FROM t", "SELECT x, y.* FROM t"),
+        ("SELECT f(x).* FROM t", "SELECT f(x).* FROM t"),  # call star: keep
+        ("SELECT (a + b).* FROM t", "SELECT (a + b).* FROM t"),  # expr: keep
+    ]
+    for src, want in cases:
+        assert rewrite(src, mode="regex") == want, src
+        assert rewrite_ast(src) == want, src
