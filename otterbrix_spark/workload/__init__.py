@@ -46,10 +46,13 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # anchor — completing driver certification of every pre-r5 gate. The
 # remaining round-5 additions queue for the round-6 window: b11/b12 (JOB
 # breadth), t10/d11/e06/e07 (decontamination, paragraph dedup, quantized
-# ANN, k-means step), ds23/ds24/l09 (channel balance, decile profile,
-# FOAF), s05 (stream-stream join certification), m05 (audio decode),
-# q79/q80 (FILTER clause, LATERAL). Everything rotated out stayed green in
-# a prior driver window AND keeps passing the identical local DuckDB
+# ANN, k-means step), ds23/ds24/ds25/l09/l10/c16 (channel balance, decile
+# profile, exists-boolean, FOAF, interaction strength, rank ties),
+# s05/s06 (stream-stream join + stateful anomaly certifications),
+# m05 (audio decode), d12 (SemDeDup), p06 (chunking), q79-q82/w03/w04/y02
+# (FILTER clause, LATERAL, DISTINCT ON, bool/bit aggs, GROUPS frame,
+# IGNORE NULLS fill, composite star). Everything rotated out stayed green
+# in a prior driver window AND keeps passing the identical local DuckDB
 # battery (tests/test_workload_oracle.py) at sf0.001 and sf0.01.
 _FRONT_WINDOW = [
     "q01_pricing_summary",  # flagship / bench headline anchor (r03+r04 green)
