@@ -91,13 +91,18 @@ def _pg_type_to_ddl(t: str, custom: dict[str, dict] | None = None) -> str:
         if kind == "array":
             return f"array<{_pg_type_to_ddl(inner, custom)}>"
         if kind == "map":
-            k, v = _split_top_level(inner)
+            parts = _split_top_level(inner)
+            if len(parts) != 2:
+                raise ValueError(f"unsupported column type: {t!r}")
+            k, v = parts
             return (
                 f"map<{_pg_type_to_ddl(k, custom)},"
                 f"{_pg_type_to_ddl(v, custom)}>"
             )
         fields = []
         for part in _split_top_level(inner):
+            if ":" not in part:
+                raise ValueError(f"unsupported column type: {t!r}")
             fn, ft = part.strip().split(":", 1)
             fields.append(f"{fn.strip()}:{_pg_type_to_ddl(ft, custom)}")
         return "struct<" + ",".join(fields) + ">"
@@ -225,7 +230,12 @@ def _split_top_level(text: str) -> list[str]:
                 depth += 1
             elif ch in ")]":
                 depth -= 1
-            elif depth == 0 and ch == "<":
+            elif depth == 0 and ch == "<" and (
+                angle > 0
+                or re.search(r"(?:struct|array|map)\s*$", cur, re.IGNORECASE)
+            ):
+                # only a generic-type head opens an angle group — a bare
+                # depth-0 comparison ('a < b') must not suppress splitting
                 angle += 1
             elif depth == 0 and ch == ">" and angle > 0:
                 angle -= 1

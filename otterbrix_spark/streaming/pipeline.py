@@ -102,7 +102,7 @@ def run_available_now(
         query.stop()
         raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
     query.awaitTermination()
-    return df.sparkSession.table(name)
+    return _detach_sink(df.sparkSession, name)
 
 
 def run_until_count(
@@ -139,7 +139,22 @@ def run_until_count(
     finally:
         query.stop()
         query.awaitTermination()
-    return spark.table(name)
+    return _detach_sink(spark, name)
+
+
+def _detach_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Materialise a memory-sink table off the driver and drop the view.
+
+    The memory sink holds every emitted row in DRIVER memory for the
+    session's lifetime; gates create a fresh uuid-named sink per run, so
+    repeated runs (driver batteries, scale probes) accumulate corpus-sized
+    tables until the heap pressure bleeds into unrelated queries (observed
+    as a 22x false scale reading). localCheckpoint moves the rows to
+    executor block storage (spillable, ContextCleaner-collected once the
+    returned frame is garbage) and the temp view is dropped immediately."""
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_static_enrich(

@@ -120,17 +120,10 @@ def main() -> None:
                 times[name] = round(min(samples), 3)
                 print(f"{sf_dir} {name}: {times[name]}s (best of {best_of})",
                       file=sys.stderr, flush=True)
-                # streaming gates leave their memory-sink tables (one per
-                # run, corpus-sized at high replication) in driver memory;
-                # drop them so heap pressure cannot bleed into the NEXT
-                # query's timing (observed: a 22x false reading on the
-                # query following a streaming gate at 5x)
-                for tbl in spark.catalog.listTables():
-                    if tbl.tableType == "TEMPORARY" and "_" in tbl.name and any(
-                        tbl.name.startswith(p)
-                        for p in ("s03_", "s04_", "s05_", "s06_")
-                    ):
-                        spark.catalog.dropTempView(tbl.name)
+            # memory-sink hygiene lives in the streaming harness itself
+            # (pipeline._detach_sink) — every streaming gate's sink is
+            # checkpointed off the driver and dropped on return, so no
+            # per-query cleanup special case is needed here
             return times
 
         base = run_set(BASE_SF)
