@@ -232,7 +232,11 @@ def _split_top_level(text: str) -> list[str]:
                 depth -= 1
             elif depth == 0 and ch == "<" and (
                 angle > 0
-                or re.search(r"(?:struct|array|map)\s*$", cur, re.IGNORECASE)
+                or re.search(
+                    r"(?:^|[^A-Za-z0-9_])(?:struct|array|map)\s*$",
+                    cur,
+                    re.IGNORECASE,
+                )
             ):
                 # only a generic-type head opens an angle group — a bare
                 # depth-0 comparison ('a < b') must not suppress splitting

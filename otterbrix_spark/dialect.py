@@ -225,17 +225,43 @@ def _left_operand_start(body: str, end: int) -> int | None:
     return None
 
 
-def _apply_binop_scanned(body: str, op_re: re.Pattern, make, lhs_guard=None) -> str:
+def _extend_lhs_over_casts(body: str, s: int) -> int:
+    """PG's ``::`` binds tighter than the jsonb/path/regex operators, so an
+    operand that is the TYPE of a cast must pull the cast's own LHS into the
+    operand: ``x::string ->> 'k'`` reads as ``(x::string) ->> 'k'``. Without
+    this the arrow rules wrapped only the type name
+    (``x::get_json_object(string, ...)``) — matches the AST path, which
+    folds the whole cast before applying the operator rules."""
+    while True:
+        k = s
+        while k > 0 and body[k - 1] in " \t\n":
+            k -= 1
+        if k >= 2 and body[k - 1] == ":" and body[k - 2] == ":":
+            prev = _left_operand_start(body, k - 2)
+            if prev is None or prev >= k - 2:
+                return s
+            s = prev
+        else:
+            return s
+
+
+def _apply_binop_scanned(
+    body: str, op_re: re.Pattern, make, lhs_guard=None, extend_casts=False
+) -> str:
     """Rewrite residual ``<operand> OP <rhs>`` occurrences whose LHS needed
     balanced-paren scanning. ``make(lhs, match)`` returns the replacement
     (or None to leave this occurrence). ``lhs_guard(body, start)`` may veto
-    an occurrence by its left context. Restarts after each rewrite so
+    an occurrence by its left context; ``extend_casts`` widens the LHS over
+    ``::`` cast chains (arrow/path/regex rules — NOT the jsonb delete,
+    where a cast tail means arithmetic). Restarts after each rewrite so
     chains collapse left-to-right."""
     while True:
         for m in op_re.finditer(body):
             s = _left_operand_start(body, m.start())
             if s is None:
                 continue
+            if extend_casts:
+                s = _extend_lhs_over_casts(body, s)
             if lhs_guard is not None and lhs_guard(body, s):
                 continue
             repl = make(body[s : m.start()].rstrip(), m)
@@ -268,16 +294,18 @@ def _guard_residual_subscripts(body: str) -> None:
 def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str:
     """Rewrite PG-isms into Spark SQL. Idempotent on plain Spark SQL.
 
-    ``mode`` selects the implementation: ``"regex"`` (default, this module)
-    or ``"ast"`` (the tokenizer/parse-tree pass in ``dialect_ast`` — same
-    lowering semantics, structurally parsed). Defaults to the
-    ``OTTERBRIX_DIALECT_MODE`` environment variable so the whole engine can
-    be flipped without code changes; the property suite asserts both paths
-    agree (tests/test_dialect_ast.py)."""
+    ``mode`` selects the implementation: ``"ast"`` (default — the
+    tokenizer/parse-tree pass in ``dialect_ast``, mirroring the reference's
+    real parser, `components/sql/parser/gram.y`) or ``"regex"`` (this
+    module — the original scanner, kept as the env-var fallback). Defaults
+    to the ``OTTERBRIX_DIALECT_MODE`` environment variable so the whole
+    engine can be flipped without code changes; the property suite asserts
+    both paths agree (tests/test_dialect_ast.py), and the full 223-gate
+    oracle battery passes under both."""
     if mode is None:
         import os
 
-        mode = os.environ.get("OTTERBRIX_DIALECT_MODE", "regex")
+        mode = os.environ.get("OTTERBRIX_DIALECT_MODE", "ast")
     if mode == "ast":
         from otterbrix_spark.dialect_ast import rewrite_ast
 
@@ -304,7 +332,8 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
         return _delete_expr(lhs, keys) if keys else lhs
 
     body = _apply_binop_scanned(
-        body, re.compile("#-\\s*(\x00\\d+\x00)"), scanned_path_delete
+        body, re.compile("#-\\s*(\x00\\d+\x00)"), scanned_path_delete,
+        extend_casts=True,
     )
 
     # --- #>> / #> : path navigation with '{a,b}' literals -------------------
@@ -316,7 +345,8 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
         return f"get_json_object({lhs}, '{_json_path(keys)}')"
 
     body = _apply_binop_scanned(
-        body, re.compile("#>>?\\s*(\x00\\d+\x00)"), scanned_path
+        body, re.compile("#>>?\\s*(\x00\\d+\x00)"), scanned_path,
+        extend_casts=True,
     )
 
     # --- ->> / -> : single-step navigation (chains collapse left-to-right
@@ -328,7 +358,8 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
         return f"get_json_object({lhs}, '{_json_path([text])}')"
 
     body = _apply_binop_scanned(
-        body, re.compile("->>?\\s*(\x00\\d+\x00)"), scanned_arrow
+        body, re.compile("->>?\\s*(\x00\\d+\x00)"), scanned_arrow,
+        extend_casts=True,
     )
 
     # --- ::? variant-select -> try_cast -------------------------------------
@@ -467,19 +498,19 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
 
     body = _apply_binop_scanned(
         body, re.compile("!~\\*\\s*(\x00\\d+\x00)"),
-        scanned_regex(lambda l, t: f"NOT ({l} RLIKE {ci_pattern(t)})"),
+        scanned_regex(lambda l, t: f"NOT ({l} RLIKE {ci_pattern(t)})"), extend_casts=True,
     )
     body = _apply_binop_scanned(
         body, re.compile("~\\*\\s*(\x00\\d+\x00)"),
-        scanned_regex(lambda l, t: f"{l} RLIKE {ci_pattern(t)}"),
+        scanned_regex(lambda l, t: f"{l} RLIKE {ci_pattern(t)}"), extend_casts=True,
     )
     body = _apply_binop_scanned(
         body, re.compile("!~\\s*(\x00\\d+\x00)"),
-        scanned_regex(lambda l, t: f"NOT ({l} RLIKE {t})"),
+        scanned_regex(lambda l, t: f"NOT ({l} RLIKE {t})"), extend_casts=True,
     )
     body = _apply_binop_scanned(
         body, re.compile("(?<!!)~\\s*(\x00\\d+\x00)"),
-        scanned_regex(lambda l, t: f"{l} RLIKE {t}"),
+        scanned_regex(lambda l, t: f"{l} RLIKE {t}"), extend_casts=True,
     )
 
     return _restore_strings(body, lits)

@@ -283,16 +283,18 @@ def _fold(
             parsed = _parse_type_suffix(toks, j + 1, end)
             if parsed is None:
                 break
-            # verbatim reconstruction keeps the original spacing
-            _type_text, end = parsed
-            text += t.lead + "::" + toks[j + 1].lead + _emit_verbatim(toks, j + 1, end)
+            # verbatim reconstruction keeps the original spacing; the slice
+            # bound `end` must stay untouched so folding continues past the
+            # cast (e.g. `x::text ~ 'p'` still reaches the regex-op rule)
+            _type_text, j2 = parsed
+            text += t.lead + "::" + toks[j + 1].lead + _emit_verbatim(toks, j + 1, j2)
             # a following [N] on a TYPE name is an array-type cast
             # (`x::bigint[3]`), owned by the catalog's type mapper — keep
             # the type-head fact so the subscript branch passes it through
             kind, head = _K_REWRITTEN, toks[j + 1].text
             is_type_head = toks[j + 1].text.lower() in _TYPE_KEYWORDS
             deletable = False  # `x::bigint - '1'` is arithmetic, not delete
-            j = end
+            j = j2
             continue
 
         # --- (composite).* field expansion --------------------------------

@@ -401,3 +401,108 @@ def kmeans_train(
         centroids = [new_c[i] for i in sorted(new_c)]
     e.unpersist()
     return centroids, history
+
+
+# --- exact-integer Lloyd k-means (SemDeDup production blocking) -------------
+# Float Lloyd (kmeans_train above) is the right production trainer, but its
+# centroid means are order-dependent float sums, so an external engine can
+# never replay the assignment bit-for-bit. For the oracle-gated SemDeDup
+# path (d13) we train in EXACT integer arithmetic instead: vectors are
+# quantized to bigints (scale 256), centroid updates use integer sums and a
+# deterministic floor division, and every intermediate stays integer-valued
+# and far below 2^53 — so Spark's bigint aggregates and DuckDB's double
+# arithmetic produce identical centroids, identical assignments, identical
+# blocks. Quantization costs nothing for BLOCKING quality (clustering is a
+# heuristic partitioner here; the dedup decision itself uses the exact
+# float cosine on the raw vectors).
+#
+# Scale posture: centroids never leave the executors (the update is a
+# posexplode groupBy re-broadcast, k*dim rows); assignment is a broadcast
+# cross join (O(n*k) distance evals, the inherent Lloyd cost); the only
+# driver value is the corpus count for choosing k. k scales with the corpus
+# (k = n / target_cluster_size, the Abbas et al. SemDeDup regime), holding
+# mean cluster size — and therefore the within-cluster pair cost (n/k)^2 —
+# constant as the corpus grows.
+
+IDOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+KQ_SCALE = 256
+
+
+def _kmeans_exact_quantize(e: DataFrame) -> DataFrame:
+    """(vec_id, v, ...) -> + vq (bigint, scale 256), aq (= vq*256, the
+    vector at centroid scale), aa (= aq·aq, reused by every assignment)."""
+    return (
+        e.withColumn(
+            "vq",
+            F.expr(f"transform(v, x -> CAST(FLOOR(x * {KQ_SCALE}) AS BIGINT))"),
+        )
+        .withColumn("aq", F.expr(f"transform(vq, x -> x * {KQ_SCALE})"))
+        .withColumn("aa", F.expr(IDOT.format(a="aq", b="aq")))
+    )
+
+
+def _kmeans_exact_assign(eq: DataFrame, c: DataFrame) -> DataFrame:
+    """Nearest-centroid under exact integer distance; ties -> lowest cid.
+    ``c``: (cid, cq: array<bigint> at scale 256^2, cc = cq·cq) — tiny,
+    broadcast."""
+    d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        eq.crossJoin(F.broadcast(c))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cq", "cc", "d2")
+    )
+
+
+def kmeans_exact_train_assign(
+    e: DataFrame, target_cluster: int = 64, n_iter: int = 2
+) -> DataFrame:
+    """Train k-means in exact integer arithmetic and return the final
+    assignment (input columns + cid).
+
+    k = max(8, ceil(n / target_cluster)) — production SemDeDup sizing
+    (cluster count grows with the corpus so block sizes stay constant).
+    Seeds are the k lowest vec_ids at centroid scale; each Lloyd update is
+    sum/count per (cid, dim) with centroid component floor(sum*256/n) —
+    floor of an exactly-representable ratio, deterministic in IEEE double
+    and equal to the bigint result. Empty clusters are dropped (their
+    members re-home next assignment), identically on both engines.
+    """
+    import math
+
+    n = e.count()  # O(1) scalar to the driver — sizing only
+    k = max(8, math.ceil(n / target_cluster))
+    eq = _kmeans_exact_quantize(e).persist()
+    seeds = eq.select("vec_id", "aq").orderBy("vec_id").limit(k)
+    c = (
+        seeds.withColumn(
+            "cid", F.row_number().over(Window.orderBy("vec_id")) - 1
+        )
+        .select("cid", F.col("aq").alias("cq"))
+        .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
+    )
+    for _ in range(n_iter):
+        a = _kmeans_exact_assign(eq, c)
+        c = (
+            a.select("cid", F.posexplode("vq").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "cval",
+                F.floor(
+                    F.col("sx").cast("double") * KQ_SCALE / F.col("cnt")
+                ).cast("long"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cq")
+            )
+            .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
+        )
+    out = _kmeans_exact_assign(eq, c).drop("vq", "aq", "aa")
+    return out

@@ -142,6 +142,41 @@ def run_until_count(
     return _detach_sink(spark, name)
 
 
+def run_available_now_counted(
+    df: DataFrame,
+    name: str,
+    timeout_s: float = 120.0,
+    output_mode: str = "complete",
+) -> tuple[DataFrame, int]:
+    """``run_available_now`` that also reports how many micro-batches
+    actually carried input rows — the multi-batch certification gates
+    (s07) assert on it: a run that collapsed into one batch would
+    vacuously pass the batch-equality check without exercising
+    cross-batch state merge."""
+    query = (
+        df.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
+    query.awaitTermination()
+    def _rows(p):  # StreamingQueryProgress: attribute in 4.x, dict in older
+        try:
+            return p.numInputRows
+        except (AttributeError, TypeError):
+            return p["numInputRows"]
+
+    n_batches = sum(1 for p in query.recentProgress if _rows(p) > 0)
+    return _detach_sink(df.sparkSession, name), n_batches
+
+
 def _detach_sink(spark: SparkSession, name: str) -> DataFrame:
     """Materialise a memory-sink table off the driver and drop the view.
 

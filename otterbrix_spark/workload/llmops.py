@@ -1705,3 +1705,148 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- d13: SemDeDup at production parameterization ---------------------------
+# d12 pins k=8 seed centroids so the oracle can replay the assignment; that
+# is the right CORRECTNESS gate but the wrong PRODUCTION shape — SemDeDup
+# (Abbas et al. 2023) scales the cluster count with the corpus so mean
+# cluster size (and the (n/k)^2 within-cluster pair cost) stays constant.
+# d13 runs the real recipe: TRAINED centroids (2 Lloyd iterations), k =
+# ceil(n / 64). The trainer uses exact integer arithmetic (quantized
+# vectors, integer sums, deterministic floor division — every intermediate
+# integer-valued and << 2^53) so DuckDB replays training + assignment
+# bit-for-bit in the unrolled SQL below; the dedup decision itself uses the
+# exact float cosine on the raw vectors, as in d12.
+
+_D13_ASSIGN = """
+  SELECT vec_id, v, vq, aq, aa, nrm, cid FROM (
+    SELECT n0.*, {c}.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n0.vec_id
+             ORDER BY n0.aa - 2 * list_dot_product(
+                        list_transform(n0.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform({c}.cq, x -> CAST(x AS DOUBLE)))
+                      + {c}.cc,
+                      {c}.cid) AS rn
+    FROM n0 CROSS JOIN {c})
+  WHERE rn = 1
+"""
+
+_D13_UPDATE = """
+  SELECT cid, list(cval ORDER BY i) AS cq,
+         list_sum(list_transform(list(cval ORDER BY i),
+                                 x -> CAST(x AS DOUBLE) * x)) AS cc
+  FROM (
+    SELECT cid, i,
+           CAST(FLOOR(CAST(SUM(vq[i]) AS DOUBLE) * 256 / COUNT(*)) AS BIGINT)
+             AS cval
+    FROM {a}, UNNEST(generate_series(1, len(vq))) AS t(i)
+    GROUP BY cid, i)
+  GROUP BY cid
+"""
+
+_D13_ORACLE = (
+    """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n0 AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)) AS vq,
+         list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                        x -> x * 256) AS aq,
+         list_sum(list_transform(
+           list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                          x -> x * 256),
+           x -> CAST(x AS DOUBLE) * x)) AS aa,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+p AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS k FROM n0),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, aq AS cq,
+         list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS cc
+  FROM n0 QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT k FROM p)),
+a1 AS ("""
+    + _D13_ASSIGN.format(c="c0")
+    + """),
+c1 AS ("""
+    + _D13_UPDATE.format(a="a1")
+    + """),
+a2 AS ("""
+    + _D13_ASSIGN.format(c="c1")
+    + """),
+c2 AS ("""
+    + _D13_UPDATE.format(a="a2")
+    + """),
+a3 AS ("""
+    + _D13_ASSIGN.format(c="c2")
+    + """),
+pairs AS (
+  SELECT x.cid, list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+  FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+sizes AS (SELECT cid, COUNT(*) AS csz FROM a3 GROUP BY cid)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM n0) AS n_vectors,
+       (SELECT CAST(k AS BIGINT) FROM p) AS k_planned,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_clusters,
+       (SELECT CAST(MAX(csz) AS BIGINT) FROM sizes) AS max_cluster,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) FROM pairs) AS n_semdup
+"""
+)
+
+
+@query(
+    "d13_semdedup_production", _D13_ORACLE,
+    doc="SemDeDup with TRAINED centroids and corpus-scaled k "
+        "(k = ceil(n/64), 2 exact-integer Lloyd iterations): cluster "
+        "blocking holds mean block size constant as the corpus grows",
+)
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = similarity.prepare(emb)  # (vec_id, v: array<double>, nrm)
+    assigned = similarity.kmeans_exact_train_assign(
+        e, target_cluster=64, n_iter=2
+    ).select("vec_id", "v", "nrm", "cid")
+    x = assigned.select(
+        "cid", F.col("vec_id").alias("a"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    y = assigned.select(
+        F.col("cid").alias("cid2"), F.col("vec_id").alias("b"),
+        F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+    )
+    cos = F.expr(similarity.DOT.format(a="av", b="bv")) / (
+        F.col("an") * F.col("bn")
+    )
+    pairs = x.join(
+        y, (F.col("cid") == F.col("cid2")) & (F.col("a") < F.col("b"))
+    ).withColumn("cos", cos)
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("csz"))
+    import math
+
+    n = e.count()
+    k_planned = max(8, math.ceil(n / 64))
+    summary = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("cos") >= 0.5, 1).otherwise(0)), F.lit(0)
+        ).alias("n_semdup"),
+    )
+    csummary = sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("csz").alias("max_cluster"),
+    )
+    return (
+        summary.crossJoin(csummary)
+        .select(
+            F.lit(n).cast("long").alias("n_vectors"),
+            F.lit(k_planned).cast("long").alias("k_planned"),
+            F.col("n_clusters").cast("long"),
+            F.col("max_cluster").cast("long"),
+            F.col("n_pairs").cast("long"),
+            F.col("n_semdup").cast("long"),
+        )
+    )

@@ -224,3 +224,85 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Multi-batch streaming certification: s03's rollup graph re-run with the
+# corpus split into TIME-SORTED landing files and maxFilesPerTrigger=1, so
+# availableNow processes >= 3 genuine micro-batches and the windowed
+# aggregate's state must merge correctly ACROSS batches (partial windows
+# from batch i are updated by batch i+1). Time-sorting the files is what
+# makes batch-equality hold under real watermark semantics: each batch's
+# minimum event time is >= every earlier batch's maximum, so no row ever
+# arrives behind the advanced watermark and nothing is dropped — the
+# production landing-directory contract (ingest in event-time order)
+# documented in README §streaming. The gate ASSERTS the run really was
+# multi-batch; a single-batch collapse raises rather than vacuously
+# passing.
+_S07_ORACLE = _S03_ORACLE
+
+
+def _sliced_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Write the events corpus as ``<scratch>/events.parquet/part-000i``
+    files sliced into contiguous, ascending event-time ranges (names AND
+    mtimes ascending — the file-stream source orders by both). Harness-side
+    corpus prep, not part of the streaming graph: it stands in for the
+    landing directory a real ingest pipeline appends in event-time order."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from otterbrix_spark.sources.registry import load_table
+
+    scratch = tempfile.mkdtemp(prefix="s07_landing_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    out = os.path.join(scratch, "events.parquet")
+    os.makedirs(out)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min("ts").cast("long"), F.max("ts").cast("long")
+    ).collect()[0]  # two scalars — slicing bounds only
+    width = max(1, (int(hi) - int(lo)) // n_files + 1)
+    for i in range(n_files):
+        s, e = int(lo) + i * width, int(lo) + (i + 1) * width
+        part = ev.filter(
+            (F.col("ts").cast("long") >= s) & (F.col("ts").cast("long") < e)
+        )
+        tmp_i = os.path.join(scratch, f"slice_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp_i)
+        files = glob.glob(os.path.join(tmp_i, "part-*.parquet"))
+        if not files:  # empty time slice: nothing to land
+            continue
+        dst = os.path.join(out, f"part-{i:04d}.parquet")
+        shutil.move(files[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return scratch
+
+
+@query(
+    "s07_streaming_multibatch", _S07_ORACLE,
+    doc="multi-batch streaming certification: hourly rollup over >= 3 "
+        "time-sorted micro-batches (maxFilesPerTrigger=1), cross-batch "
+        "window-state merge hash-matched against the batch SQL",
+)
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=4)
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    rollup = hourly_rollup_stream(stream)
+    name = f"s07_multi_{uuid.uuid4().hex[:8]}"
+    result, n_batches = run_available_now_counted(
+        rollup, name, output_mode="complete"
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"multi-batch certification ran only {n_batches} input batches"
+        )
+    return result.select(
+        F.col("hour_start").cast("timestamp").alias("hour_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )

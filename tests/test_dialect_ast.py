@@ -72,6 +72,15 @@ DIRECTED_CORPUS = [
     "SELECT v[2] - 'k' FROM t",
     "SELECT name ~ '^a' - 'b' FROM t",
     "SELECT v ::? bigint - 'k' FROM t",
+    # cast directly before a PG operator: `::` binds tighter, so the whole
+    # `expr::type` is the operator's LHS (ADVICE r5: the AST `::` fold once
+    # clobbered its slice bound and stopped folding; the regex arrows once
+    # wrapped only the type name)
+    "SELECT x::text ~ 'p' FROM t",
+    "SELECT x::string ->> 'k' FROM t",
+    "SELECT doc::string #>> '{a,b}' FROM t",
+    "SELECT f(x)::string ->> 'k' FROM t",
+    "SELECT x::text !~* 'p' FROM t",
 ]
 
 
@@ -93,6 +102,7 @@ _atoms = st.sampled_from(
         "x !~* 'p'", "v ::? bigint", "ARRAY[1,2]", "v[2]", "(a || b)[1]",
         "doc - 'k'", "o_orderdate - '3 days'", "doc #- '{a,b}'", "~5",
         "f(g(x))", "lower(x)", "(x + y)", "ts - INTERVAL '1 day'",
+        "x::text", "x::text ~ 'p'", "x::string ->> 'k'",
     ]
 )
 
