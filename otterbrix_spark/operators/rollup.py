@@ -127,5 +127,33 @@ class ContinuousAggregate:
             agg.unpersist()
         return sorted(touched)
 
+    def refresh_from(
+        self, table, base_version: int, key_col: str = "event_id"
+    ) -> tuple[int, list[int]]:
+        """Refresh against a ``VersionedTable`` (operators/mvcc.py): pin the
+        CURRENT snapshot, derive the append-delta since ``base_version``
+        (anti-join on ``key_col``), and refresh from the pinned snapshot.
+
+        The whole recompute reads the pinned version DIRECTORY, so writers
+        committing new versions mid-refresh cannot tear the result — the
+        rollup lands on exactly the pinned version's aggregate (MVCC
+        repeatable read composing with incremental maintenance). Returns
+        (pinned_version, touched_buckets); call again with the returned
+        version as ``base_version`` to pick up later commits.
+
+        The delta anti-join shuffles on the key; an append-only source
+        with a monotone ts could prune with a watermark instead. APPEND
+        deltas only: an in-place update/delete keeps (or removes) its key,
+        so it would not surface here — versions that mutate history need a
+        content-level diff or a full rebuild of the affected range.
+        """
+        version, snap = table.snapshot()
+        if version == base_version:
+            return version, []
+        base_keys = table.as_of(base_version).select(key_col)
+        delta = snap.join(base_keys, key_col, "left_anti")
+        touched = self.refresh(source=snap, delta=delta)
+        return version, touched
+
     def df(self) -> DataFrame:
         return self.spark.read.parquet(self.path)

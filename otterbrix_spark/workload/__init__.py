@@ -38,50 +38,39 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The correctness driver verifies the FIRST 50 registry entries per round.
-# Rounds 1-4 rotated the window so that 149 distinct gates now have a
-# driver-green row (r04 alone certified 49 first-timers). Round 5 rotates
-# onto the FINAL never-sampled tail: the complete round-3/4 leftover list
-# from VERDICT r4 (45 gates) plus 4 of this round's new gates (m04 real
-# decode, aj02 skew as-of, b09/b10 JOB order shapes) behind the q01 smoke
-# anchor — completing driver certification of every pre-r5 gate. The
-# remaining round-5 additions queue for the round-6 window: b11/b12 (JOB
-# breadth), t10/d11/e06/e07 (decontamination, paragraph dedup, quantized
-# ANN, k-means step), ds23/ds24/ds25/l09/l10/c16 (channel balance, decile
-# profile, exists-boolean, FOAF, interaction strength, rank ties),
-# s05/s06 (stream-stream join + stateful anomaly certifications),
-# m05 (audio decode), d12 (SemDeDup), p06 (chunking), q79-q82/w03/w04/y02
-# (FILTER clause, LATERAL, DISTINCT ON, bool/bit aggs, GROUPS frame,
-# IGNORE NULLS fill, composite star). Everything rotated out stayed green
-# in a prior driver window AND keeps passing the identical local DuckDB
-# battery (tests/test_workload_oracle.py) at sf0.001 and sf0.01.
+# Rounds 1-5 rotated the window so that 199 distinct gates have a
+# driver-green row (r05 certified 49 first-timers, closing the whole
+# round-3/4 tail). Round 6 rotates onto the LAST never-sampled cohort: the
+# 24 round-5 additions (VERDICT r5 Next #1) plus this round's 7 new gates
+# (d13 production SemDeDup, l11 degree-capped FOAF, s07 multi-batch
+# streaming certification, ds26-ds28 + c17 benchmark breadth) behind the
+# q01 smoke anchor, with the remaining 18 slots used as regression
+# re-checks of the LEAST-recently-verified gates (last driver-green in
+# r01/r02). Everything rotated out stayed green in a prior driver window
+# AND keeps passing the identical local DuckDB battery
+# (tests/test_workload_oracle.py) at sf0.001 and sf0.01.
 _FRONT_WINDOW = [
-    "q01_pricing_summary",  # flagship / bench headline anchor (r03+r04 green)
-    # TPC-DS long tail (r2/r3, never sampled)
-    "ds03_cumulative_channels", "ds04_rank_over_rollup",
-    "ds05_moving_deviation", "ds06_grouping_rank", "ds07_return_outliers",
-    "ds08_hour_slice_battery", "ds09_order_size_band",
-    "ds10_week_over_week", "ds11_yoy_channel_growth", "ds12_exists_report",
-    "ds19_qoq_growth", "ds20_return_rate_ranks", "ds21_rollup_rank_filter",
-    "ds22_cohort_histogram",
-    # ClickBench tail (never sampled)
-    "c03_multikey_frequency", "c04_median_by_type", "c05_top_users",
-    "c06_pattern_profile", "c08_regex_group_key", "c09_wide_sum_battery",
-    "c10_minute_series_page", "c11_topk_deep_offset", "c13_like_row_topk",
-    "c14_prefix_profile", "c15_conditional_ratio",
-    # SSB / JOB (never sampled)
-    "b03_job_self_join", "b04_ssb_brand_revenue", "b05_ssb_geo_matrix",
-    "b06_ssb_profit",
-    # LDBC tail + BFS (never sampled)
-    "l01_posting_summary", "l02_tag_evolution", "l06_thread_initiators",
-    "l07_activity_score", "l08_bfs_reachability",
-    # round-4 marquee operators (never sampled)
-    "j13_nested_dialect", "p05_stratified_sample", "t09_bigram_repetition",
-    "m03_resize_plan", "s04_streaming_sessionize", "aj01_asof_join",
-    "rj01_interval_join", "h01_continuous_aggregate", "sk01_kmv_distinct",
-    "g01_gapfill", "w02_range_frame",
-    # round-5 new gates (4 of 6; b11/b12 wait for the round-6 window)
-    "m04_decode_certify", "aj02_asof_join_skew",
-    "b09_job_double_role_snowflake", "b10_job_hub_intersection",
+    "q01_pricing_summary",  # flagship / bench headline anchor (r03-r05 green)
+    # round-5 additions, never driver-sampled (24)
+    "t10_decontamination", "d11_paragraph_dedup", "d12_semdedup",
+    "e06_knn_quantized", "e07_kmeans_assign", "m05_audio_decode",
+    "p06_chunk_overlap", "y02_composite_star", "q79_filter_clause",
+    "q80_lateral_topn", "q81_distinct_on", "q82_bool_bit_aggs",
+    "b11_job_path_join", "b12_job_filter_soup", "ds23_channel_balance",
+    "ds24_decile_profile", "ds25_exists_boolean", "l09_foaf_recommend",
+    "l10_interaction_strength", "c16_rank_ties_topk", "s05_streaming_join",
+    "s06_streaming_anomaly", "w03_groups_frame", "w04_ignore_nulls_fill",
+    # round-6 new gates (7)
+    "d13_semdedup_production", "l11_foaf_capped", "s07_streaming_multibatch",
+    "ds26_window_over_union", "ds27_cumulative_compare",
+    "ds28_time_band_matrix", "c17_url_domain_agg",
+    # regression re-checks: least-recently-verified (r01/r02) gates (18)
+    "q02_filter_like_regex", "q06_forecast_revenue", "q16_distinct",
+    "q17_union", "q18_union_all", "q19_limit_offset", "q20_having",
+    "q21_case_coalesce_keys", "q23_sort_computed_key",
+    "q24_string_functions", "q25_math_bitwise", "q26_date_parts",
+    "q27_interval_arith", "q28_recursive_series", "q29_recursive_tree",
+    "q30_rollup", "q31_window_topk", "q32_view",
 ]
 
 

@@ -3513,3 +3513,246 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mutuals").desc(), "a", "c")
         .limit(20)
     )
+
+
+# --- ds26: TPC-DS Q2 shape — window over a UNION of channels ----------------
+# Template (`benchmark/tpcds/query2.tpl`): web + catalog weekly sales
+# UNIONed into one stream, then compared period-over-period. The plan
+# topology this adds over ds10/ds11: a Union feeding a Window — each
+# branch aggregates its own filtered scan (map-side partials), the union
+# is shuffle-free, and the LAG window shuffles once on the (channel)
+# partition key. Mapped: expedited vs standard order priorities, monthly.
+
+_DS26_ORACLE = """
+WITH u AS (
+  SELECT 'expedited' AS channel, date_trunc('month', o_orderdate) AS mth,
+         SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS revq
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 2
+  UNION ALL
+  SELECT 'standard', date_trunc('month', o_orderdate),
+         SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT))
+  FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+  GROUP BY 2)
+SELECT channel, CAST(mth AS DATE) AS mth,
+       CAST(revq AS DOUBLE) / 10000.0 AS rev,
+       CAST(LAG(revq) OVER (PARTITION BY channel ORDER BY mth) AS DOUBLE)
+         / 10000.0 AS prev_rev,
+       CAST(revq AS DOUBLE)
+         / CAST(LAG(revq) OVER (PARTITION BY channel ORDER BY mth) AS DOUBLE)
+         AS mom_ratio
+FROM u ORDER BY channel, mth
+"""
+
+
+@query(
+    "ds26_window_over_union", _DS26_ORACLE,
+    doc="TPC-DS Q2 shape: per-channel monthly aggregates UNIONed, then a "
+        "LAG window over the union for month-over-month ratios",
+)
+def ds26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    exped = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+
+    def branch(flt, label):
+        return (
+            orders.filter(flt)
+            .groupBy(F.trunc("o_orderdate", "month").alias("mth"))
+            .agg(F.sum(_q(F.col("o_totalprice"))).alias("revq"))
+            .select(F.lit(label).alias("channel"), "mth", "revq")
+        )
+
+    u = branch(exped, "expedited").unionAll(branch(~exped, "standard"))
+    w = Window.partitionBy("channel").orderBy("mth")
+    prev = F.lag("revq").over(w)
+    return (
+        u.select(
+            "channel",
+            F.col("mth").cast("date").alias("mth"),
+            (F.col("revq").cast("double") / _Q).alias("rev"),
+            (prev.cast("double") / _Q).alias("prev_rev"),
+            (F.col("revq").cast("double") / prev.cast("double")).alias(
+                "mom_ratio"
+            ),
+        )
+        .orderBy("channel", "mth")
+    )
+
+
+# --- ds27: TPC-DS Q51 shape — full-outer join of two cumulative windows -----
+# Template (`benchmark/tpcds/query51.tpl`): web and store DAILY CUMULATIVE
+# sales full-outer-joined on (segment, day), reporting which channel
+# leads. The cumulative windows are PARTITIONED (by user segment) so no
+# single-task global sort exists at scale — Q51's item_sk partitioning,
+# mapped onto user_id % 4 segments over the events stream.
+
+_DS27_ORACLE = """
+WITH c AS (
+  SELECT user_id % 4 AS seg, CAST(ts AS DATE) AS d,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+cc AS (
+  SELECT seg, d, SUM(v) OVER (PARTITION BY seg ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c),
+p AS (
+  SELECT user_id % 4 AS seg, CAST(ts AS DATE) AS d,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+pc AS (
+  SELECT seg, d, SUM(v) OVER (PARTITION BY seg ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS cum
+  FROM p)
+SELECT COALESCE(cc.seg, pc.seg) AS seg,
+       COALESCE(cc.d, pc.d) AS d,
+       CAST(cc.cum AS DOUBLE) / 10000.0 AS click_cum,
+       CAST(pc.cum AS DOUBLE) / 10000.0 AS purchase_cum,
+       CASE WHEN COALESCE(cc.cum, 0) >= COALESCE(pc.cum, 0)
+            THEN 'click' ELSE 'purchase' END AS leader
+FROM cc FULL OUTER JOIN pc ON cc.seg = pc.seg AND cc.d = pc.d
+ORDER BY seg, d
+"""
+
+
+@query(
+    "ds27_cumulative_compare", _DS27_ORACLE,
+    doc="TPC-DS Q51 shape: two per-segment daily cumulative windows "
+        "full-outer-joined to track the leading channel",
+)
+def ds27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def chan(t):
+        g = (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(
+                (F.col("user_id") % 4).alias("seg"),
+                F.col("ts").cast("date").alias("d"),
+            )
+            .agg(F.sum(_q(F.col("value"))).alias("v"))
+        )
+        w = (
+            Window.partitionBy("seg")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return g.select("seg", "d", F.sum("v").over(w).alias("cum"))
+
+    cc, pc = chan("click").alias("cc"), chan("purchase").alias("pc")
+    joined = cc.join(
+        pc,
+        (F.col("cc.seg") == F.col("pc.seg")) & (F.col("cc.d") == F.col("pc.d")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("cc.seg"), F.col("pc.seg")).alias("seg"),
+        F.coalesce(F.col("cc.d"), F.col("pc.d")).alias("d"),
+        (F.col("cc.cum").cast("double") / _Q).alias("click_cum"),
+        (F.col("pc.cum").cast("double") / _Q).alias("purchase_cum"),
+        F.when(
+            F.coalesce(F.col("cc.cum"), F.lit(0))
+            >= F.coalesce(F.col("pc.cum"), F.lit(0)),
+            F.lit("click"),
+        ).otherwise(F.lit("purchase")).alias("leader"),
+    ).orderBy("seg", "d")
+
+
+# --- ds28: TPC-DS Q88 shape — time-band count matrix ------------------------
+# Template (`benchmark/tpcds/query88.tpl`): EIGHT half-hour-band store
+# counts, each its own subquery, cross-joined into a single row. The
+# literal form scans the fact table 8 times; the Spark-first lowering is
+# ONE conditional-aggregation pass (8 SUM(CASE..) partials, one scan, one
+# single-row reduce) — the oracle keeps the 8-subquery formulation to pin
+# the semantics while the plan audit pins the single scan.
+
+_DS28_ORACLE = """
+SELECT * FROM
+  (SELECT CAST(COUNT(*) AS BIGINT) AS b0 FROM events
+   WHERE HOUR(ts) BETWEEN 0 AND 2 AND value > 1.0) t0,
+  (SELECT CAST(COUNT(*) AS BIGINT) AS b1 FROM events
+   WHERE HOUR(ts) BETWEEN 3 AND 5 AND value > 1.0) t1,
+  (SELECT CAST(COUNT(*) AS BIGINT) AS b2 FROM events
+   WHERE HOUR(ts) BETWEEN 6 AND 8 AND value > 1.0) t2,
+  (SELECT CAST(COUNT(*) AS BIGINT) AS b3 FROM events
+   WHERE HOUR(ts) BETWEEN 9 AND 11 AND value > 1.0) t3,
+  (SELECT CAST(COUNT(*) AS BIGINT) AS b4 FROM events
+   WHERE HOUR(ts) BETWEEN 12 AND 14 AND value > 1.0) t4,
+  (SELECT CAST(COUNT(*) AS BIGINT) AS b5 FROM events
+   WHERE HOUR(ts) BETWEEN 15 AND 17 AND value > 1.0) t5,
+  (SELECT CAST(COUNT(*) AS BIGINT) AS b6 FROM events
+   WHERE HOUR(ts) BETWEEN 18 AND 20 AND value > 1.0) t6,
+  (SELECT CAST(COUNT(*) AS BIGINT) AS b7 FROM events
+   WHERE HOUR(ts) BETWEEN 21 AND 23 AND value > 1.0) t7
+"""
+
+
+@query(
+    "ds28_time_band_matrix", _DS28_ORACLE,
+    doc="TPC-DS Q88 shape: 8 time-band counts — literal form is 8 "
+        "subquery scans, lowered to ONE conditional-aggregation pass",
+)
+def ds28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 1.0)
+    h = F.hour("ts")
+    aggs = [
+        F.sum(
+            F.when((h >= lo) & (h <= lo + 2), 1).otherwise(0)
+        ).cast("long").alias(f"b{i}")
+        for i, lo in enumerate(range(0, 24, 3))
+    ]
+    return ev.agg(*aggs)
+
+
+# --- c17: ClickBench Q28 shape — URL-domain extraction aggregate ------------
+# `benchmark/clickbench/queries.sql` Q28: REGEXP the domain out of the
+# Referer, AVG(length(Referer)), COUNT(*) with HAVING, MIN(Referer),
+# ORDER BY avg length — the string-heavy aggregate family. The corpus has
+# no URL column, so the referer is synthesised deterministically from
+# (source, lang, doc_id) first — the regex, length and min-string
+# behaviour being exercised is identical.
+
+_C17_ORACLE = """
+WITH h AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/p'
+           || CAST(doc_id % 100 AS VARCHAR) AS referer
+  FROM documents),
+k AS (
+  SELECT regexp_extract(referer, '^https?://(?:www\\.)?([^/]+)/.*$', 1) AS dom,
+         referer
+  FROM h)
+SELECT dom,
+       AVG(CAST(length(referer) AS BIGINT)) AS avg_len,
+       CAST(COUNT(*) AS BIGINT) AS c,
+       MIN(referer) AS min_ref
+FROM k GROUP BY dom HAVING COUNT(*) > 20
+ORDER BY avg_len DESC, dom LIMIT 25
+"""
+
+
+@query(
+    "c17_url_domain_agg", _C17_ORACLE,
+    doc="ClickBench Q28 shape: regex domain key, AVG(length), HAVING "
+        "count floor, min-string — the string-heavy aggregate family",
+)
+def c17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    referer = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/p"), (F.col("doc_id") % 100).cast("string"),
+    )
+    k = docs.select(
+        F.regexp_extract(
+            referer, r"^https?://(?:www\.)?([^/]+)/.*$", 1
+        ).alias("dom"),
+        referer.alias("referer"),
+    )
+    return (
+        k.groupBy("dom")
+        .agg(
+            F.avg(F.length("referer").cast("long")).alias("avg_len"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("referer").alias("min_ref"),
+        )
+        .filter(F.col("c") > 20)
+        .orderBy(F.col("avg_len").desc(), "dom")
+        .limit(25)
+    )

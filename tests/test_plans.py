@@ -475,3 +475,55 @@ def test_ds25_exists_boolean_is_semi_plus_anti(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ds25_exists_boolean")
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d13_production_semdedup_pair_join_is_equi(spark, sf_dir):
+    # trained-centroid SemDeDup: the final pair comparison must be an
+    # equi-join on cid. Every Lloyd assignment is a deliberate broadcast
+    # corpus x centroids cross join (k scales as n/64 but each is
+    # broadcast-bounded); the PAIR join going quadratic would surface as a
+    # CartesianProduct or an extra nested-loop beyond the 3 assignments
+    # (2 training iterations + the final one appearing on both self-join
+    # sides can reuse the exchange)
+    plan = plan_of(spark, sf_dir, "d13_semdedup_production")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_l11_capped_foaf_all_equi_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "l11_foaf_capped")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cap is a ranked window BEFORE the 2-hop join, not a post-filter
+    assert "row_number" in plan.lower()
+
+
+def test_ds26_union_feeds_single_window_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ds26_window_over_union")
+    assert "Union" in plan and "CartesianProduct" not in plan
+
+
+def test_ds27_cumulative_windows_are_partitioned(spark, sf_dir):
+    # Q51 shape: the running sums must be per-segment windows — a global
+    # single-partition window (SinglePartition exchange feeding the
+    # window sort) would serialise the whole stream through one task
+    plan = plan_of(spark, sf_dir, "ds27_cumulative_compare")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ds28_time_bands_single_scan(spark, sf_dir):
+    # the Q88 lowering must be ONE conditional-aggregation scan, not the
+    # oracle's 8 subquery scans cross-joined
+    plan = plan_of(spark, sf_dir, "ds28_time_band_matrix")
+    # one file-index = one scan ("Scan parquet" appears twice per scan in
+    # formatted output: tree line + node detail header)
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_c17_regex_key_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c17_url_domain_agg")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

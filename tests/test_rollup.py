@@ -109,3 +109,50 @@ def test_refresh_retracts_emptied_bucket(spark, tmp_path):
     ca.refresh(source=source, delta=delta)
     got = _as_dict(ca.df())
     assert len(got) == 1  # hour-1's stale partition is gone, not surviving
+
+
+def test_refresh_composes_with_mvcc_snapshot(spark, sf_dir, tmp_path):
+    """VERDICT r5 Next #8: a writer committing DURING a refresh must not
+    tear the rollup — the refresh reads its pinned snapshot; the next
+    refresh_from picks up the later commit."""
+    from otterbrix_spark.operators.mvcc import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id")
+    n = ev.count()
+    p1 = ev.limit(n // 3)
+    p2 = ev.limit(2 * n // 3)  # superset of p1 (append-only growth)
+    p3 = ev
+
+    vt = VersionedTable.create(spark, str(tmp_path / "vt_events"), p1)
+    ca = ContinuousAggregate(spark, str(tmp_path / "rollup_mvcc"), bucket_hours=1)
+    ca.build(vt.df())
+    assert _as_dict(ca.df()) == _as_dict(_full(p1))
+
+    # commit v2, pin its snapshot (as refresh_from would), then a second
+    # writer lands v3 BEFORE the refresh job runs — the interleaving the
+    # MVCC layer must absorb
+    w = vt.begin()
+    v2 = w.commit(p2)
+    pinned_version, pinned = vt.snapshot()
+    assert pinned_version == v2
+    w2 = vt.begin()
+    v3 = w2.commit(p3)
+    assert v3 == v2 + 1
+
+    delta_v2 = pinned.join(
+        vt.as_of(1).select("event_id"), "event_id", "left_anti"
+    )
+    touched = ca.refresh(source=pinned, delta=delta_v2)
+    assert touched
+    # the refresh saw v2's snapshot, consistently — and NOT v3's rows,
+    # even though v3 committed before the refresh executed
+    assert _as_dict(ca.df()) == _as_dict(_full(p2))
+
+    # the next refresh_from catches the table up to v3
+    ver, touched3 = ca.refresh_from(vt, base_version=v2)
+    assert ver == v3 and touched3
+    assert _as_dict(ca.df()) == _as_dict(_full(p3))
+
+    # idempotent: nothing new since v3
+    ver_again, touched_again = ca.refresh_from(vt, base_version=v3)
+    assert ver_again == v3 and touched_again == []
