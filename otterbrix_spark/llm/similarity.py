@@ -444,16 +444,28 @@ def _kmeans_exact_quantize(e: DataFrame) -> DataFrame:
 def _kmeans_exact_assign(eq: DataFrame, c: DataFrame) -> DataFrame:
     """Nearest-centroid under exact integer distance; ties -> lowest cid.
     ``c``: (cid, cq: array<bigint> at scale 256^2, cc = cq·cq) — tiny,
-    broadcast."""
+    broadcast.
+
+    The argmin is ``min(struct(d2, cid))`` — lexicographic struct MIN is
+    exactly ORDER BY d2, cid — NOT a row_number window: the window form
+    shuffles all n*k scored rows (wide, carrying the vectors) into a
+    per-vector sort, which at production k (k ∝ n/64) is an O(n²/64)
+    shuffle. The aggregate form reduces map-side inside the broadcast
+    cross-join stage, so only n narrow (vec_id, cid) rows shuffle, then
+    one n-row equi-join re-attaches the vector columns."""
     d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        eq.crossJoin(F.broadcast(c))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cq", "cc", "d2")
+    best = (
+        eq.select("vec_id", "aq", "aa")
+        .crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            F.struct(d2.alias("d2"), F.col("cid").alias("cid")).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("sc").alias("sc"))
+        .select("vec_id", F.col("sc.cid").alias("cid"))
     )
+    return eq.join(best, "vec_id")
 
 
 def kmeans_exact_train_assign(

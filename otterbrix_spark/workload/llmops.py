@@ -1850,3 +1850,170 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_semdup").cast("long"),
         )
     )
+
+
+# --- p07: leakage-free (cluster-aware) train/val split ----------------------
+# A plain per-document hash split leaks near-duplicates across the
+# boundary — the val set then scores documents the model effectively
+# trained on. The leakage-free form assigns EVERY member of a duplicate
+# group to the same side by hashing the group REPRESENTATIVE (min doc_id)
+# instead of the document. This gate pins the SQL-replayable group
+# definition (identical full MinHash signature — the band_size=num_hashes
+# corner of d05's LSH); production widens groups to d08's
+# connected-component clusters with the identical rep-hash assignment
+# rule. Leakage is counted WITHOUT materialising pairs: per group,
+# train_members * val_members — an O(#groups) aggregate, never a pair
+# join.
+
+_P07_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_sig_cte()},
+sigstr AS (SELECT doc_id,
+                  {" || ':' || ".join(f'h{i}' for i in range(_NUM_HASHES))}
+                    AS signature
+           FROM sig),
+rep AS (SELECT signature, MIN(doc_id) AS rep FROM sigstr GROUP BY signature),
+a AS (SELECT s.doc_id, s.signature,
+             CASE WHEN {{rep_bucket}} < 90 THEN 1 ELSE 0 END AS g_train,
+             CASE WHEN {{doc_bucket}} < 90 THEN 1 ELSE 0 END AS n_train
+      FROM sigstr s JOIN rep r ON s.signature = r.signature),
+g AS (SELECT signature, COUNT(*) AS n,
+             SUM(g_train) AS gt, SUM(n_train) AS nt
+      FROM a GROUP BY signature)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_groups,
+       CAST(SUM(gt) AS BIGINT) AS train_docs_grouped,
+       CAST(SUM(n - gt) AS BIGINT) AS val_docs_grouped,
+       CAST(SUM(gt * (n - gt)) AS BIGINT) AS leaked_pairs_grouped,
+       CAST(SUM(nt * (n - nt)) AS BIGINT) AS leaked_pairs_naive
+FROM g
+""".format(
+    rep_bucket=_sampling.hash_bucket_sql("r.rep"),
+    doc_bucket=_sampling.hash_bucket_sql("s.doc_id"),
+)
+
+
+@query(
+    "p07_leakage_free_split", _P07_ORACLE,
+    doc="cluster-aware train/val split: hash the duplicate-group "
+        "representative, not the document — signature-identical near-dups "
+        "never straddle the boundary (leaked pairs = 0 vs the naive "
+        "per-doc hash split's count)",
+)
+def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, distinct=False)
+    sigs = dedup.minhash_signature_str(sh)
+    rep = sigs.groupBy("signature").agg(F.min("doc_id").alias("rep"))
+    a = sigs.join(rep, "signature").select(
+        "signature",
+        F.when(_sampling.hash_bucket(F.col("rep")) < 90, 1)
+        .otherwise(0)
+        .alias("g_train"),
+        F.when(_sampling.hash_bucket(F.col("doc_id")) < 90, 1)
+        .otherwise(0)
+        .alias("n_train"),
+    )
+    g = a.groupBy("signature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g_train").alias("gt"),
+        F.sum("n_train").alias("nt"),
+    )
+    return g.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_groups"),
+        F.sum("gt").cast("long").alias("train_docs_grouped"),
+        F.sum(F.col("n") - F.col("gt")).cast("long").alias("val_docs_grouped"),
+        F.sum(F.col("gt") * (F.col("n") - F.col("gt")))
+        .cast("long")
+        .alias("leaked_pairs_grouped"),
+        F.sum(F.col("nt") * (F.col("n") - F.col("nt")))
+        .cast("long")
+        .alias("leaked_pairs_naive"),
+    )
+
+
+# --- e08: ANN recall evaluation --------------------------------------------
+# "Measure, don't guess" applied to the ANN stack itself: recall@10 of the
+# random-hyperplane LSH index (e02's path) against the exact brute-force
+# ground truth (e01's path), per query. The production loop tunes
+# n_bits / nprobe against exactly this metric; the gate certifies the
+# measurement pipeline end-to-end (both sides replayed in the oracle).
+# Cost: ground truth is O(q*n) with q = 20 fixed — the evaluation SAMPLE
+# stays constant as the corpus grows.
+
+_E08_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             CAST({_hp_sql('v', seed=42)} AS INT) AS bucket
+      FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
+      FROM n WHERE vec_id < 20),
+gt AS (SELECT query_id, neighbor_id FROM (
+         SELECT q.query_id, n.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY list_dot_product(n.v, q.qv) / (n.nrm * q.qn) DESC,
+                           n.vec_id) AS rank
+         FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id)
+       WHERE rank <= 10),
+ann AS (SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, n.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY list_dot_product(n.v, q.qv) / (n.nrm * q.qn) DESC,
+                            n.vec_id) AS rank
+          FROM n JOIN q ON n.bucket = q.bucket WHERE n.vec_id <> q.query_id)
+        WHERE rank <= 10),
+hits AS (SELECT a.query_id, COUNT(*) AS n_hits
+         FROM ann a JOIN gt g
+           ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+         GROUP BY a.query_id),
+acnt AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY query_id)
+SELECT q.query_id,
+       CAST(COALESCE(acnt.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS recall_hits_at_10
+FROM q LEFT JOIN acnt ON q.query_id = acnt.query_id
+       LEFT JOIN hits ON q.query_id = hits.query_id
+ORDER BY q.query_id
+"""
+
+
+@query(
+    "e08_ann_recall", _E08_ORACLE,
+    doc="ANN recall@10 evaluation: LSH-bucketed top-10 vs brute-force "
+        "ground truth per query — the metric the index parameters tune "
+        "against, certified end-to-end",
+)
+def e08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    queries = corpus.filter(F.col("vec_id") < 20)
+    gt = similarity.brute_force_topk(corpus, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ann = similarity.bucketed_topk(
+        corpus, queries, k=10, hyperplane_seed=42
+    ).select("query_id", "neighbor_id")
+    hits = ann.join(gt, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    acnt = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(acnt, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_ann", F.lit(0)).cast("long").alias("n_ann"),
+            F.coalesce("n_hits", F.lit(0))
+            .cast("long")
+            .alias("recall_hits_at_10"),
+        )
+        .orderBy("query_id")
+    )

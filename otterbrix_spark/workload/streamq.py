@@ -306,3 +306,75 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+# Streaming INTO the continuous aggregate: the landing directory streams
+# through foreachBatch; every micro-batch appends to a bronze table and
+# triggers an O(delta) ContinuousAggregate.refresh of exactly the buckets
+# that batch touched — the medallion-style incremental pipeline composing
+# the two in-repo maintenance features (streaming micro-batches x
+# partition-overwrite rollup). The certification: after >= 3 real
+# micro-batches the maintained PARQUET table (not the memory sink — the
+# rollup lives on storage) equals the batch hourly aggregate bit-for-bit.
+_S08_ORACLE = _S03_ORACLE
+
+
+@query(
+    "s08_streaming_into_rollup", _S08_ORACLE,
+    doc="streaming -> continuous aggregate: foreachBatch appends bronze + "
+        "O(delta) bucket refresh per micro-batch; the maintained parquet "
+        "rollup equals the batch aggregate after >= 3 batches",
+)
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from otterbrix_spark.operators.rollup import ContinuousAggregate
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=4)
+    scratch = tempfile.mkdtemp(prefix="s08_rollup_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    bronze = os.path.join(scratch, "bronze")
+    ca = ContinuousAggregate(
+        spark, os.path.join(scratch, "rollup"), bucket_hours=1
+    )
+    # empty-schema build so the first refresh has a table to swap into
+    first = spark.read.parquet(os.path.join(landing, "events.parquet"))
+    ca.build(first.limit(0))
+    batches: list[int] = []
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(bronze)
+        source = spark.read.parquet(bronze)
+        ca.refresh(source=source, delta=batch_df)
+        batches.append(batch_id)
+
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .start()
+    )
+    deadline = _time.time() + 180
+    while q.isActive and _time.time() < deadline:
+        _time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("s08 stream did not finish")
+    q.awaitTermination()
+    if len(batches) < 3:
+        raise AssertionError(
+            f"streaming->rollup certification ran only {len(batches)} batches"
+        )
+    return ca.df().select(
+        F.timestamp_micros(F.col("bucket_us")).alias("hour_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("qsum").cast("double") / 10000.0).alias("total_value"),
+    )

@@ -527,3 +527,21 @@ def test_c17_regex_key_stays_jvm_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "c17_url_domain_agg")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_p07_split_no_pairwise(spark, sf_dir):
+    # leakage accounting is an O(#groups) aggregate — no pair join, no
+    # cross product anywhere in the split plan
+    plan = plan_of(spark, sf_dir, "p07_leakage_free_split")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e08_recall_ann_side_is_bucket_equi_join(spark, sf_dir):
+    # ground truth is the deliberate broadcast cross join (20 fixed
+    # queries); the ANN side must stay a bucket equi-join — a second
+    # nested-loop would mean the index path lost its bucket key
+    plan = plan_of(spark, sf_dir, "e08_ann_recall")
+    assert "CartesianProduct" not in plan
+    assert plan.count("- BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
