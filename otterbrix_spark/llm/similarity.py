@@ -468,6 +468,46 @@ def _kmeans_exact_assign(eq: DataFrame, c: DataFrame) -> DataFrame:
     return eq.join(best, "vec_id")
 
 
+# Above ~this many centroids the per-row expression arithmetic (k array
+# dot products per vector, interpreted inside codegen) loses to an
+# Arrow-batched int64 matmul by orders of magnitude — the 25x probe
+# measured the expression form's O(n*k) term at ~100s wall for n=50k,
+# k=782. Both paths produce IDENTICAL assignments (exact integer
+# arithmetic; np.argmin's first-minimum = lowest cid after sorting
+# columns by cid), asserted by tests/test_components.py.
+KMEANS_NP_THRESHOLD = 32
+
+
+def _kmeans_exact_assign_np(eq: DataFrame, c_rows) -> DataFrame:
+    """Numpy twin of :func:`_kmeans_exact_assign` for large k: centroids
+    (O(k*dim) bigints — the one sanctioned driver round-trip, same class
+    as kmeans_train's stats) are closed over; each Arrow batch computes
+    D2 = -2*A@C.T + cc (the per-row ``aa`` term is constant across
+    centroids, so it cannot change the argmin) in exact int64 and emits
+    (vec_id, cid)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(c_rows, key=lambda r: r["cid"])
+    C = np.array([list(r["cq"]) for r in rows], dtype=np.int64)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            A = np.stack(pdf["aq"].to_numpy()).astype(np.int64)
+            d2 = -2 * (A @ C.T) + cc[None, :]
+            idx = d2.argmin(axis=1)  # first minimum = lowest cid
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cid": cids[idx]}
+            )
+
+    best = eq.select("vec_id", "aq").mapInPandas(
+        assign, "vec_id long, cid long"
+    )
+    return eq.join(best, "vec_id")
+
+
 def kmeans_exact_train_assign(
     e: DataFrame, target_cluster: int = 64, n_iter: int = 2
 ) -> DataFrame:
@@ -495,8 +535,17 @@ def kmeans_exact_train_assign(
         .select("cid", F.col("aq").alias("cq"))
         .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
     )
+    # large k: collect the (tiny) centroid frame once per pass and assign
+    # via exact int64 matmul in Arrow batches; small k stays pure-JVM so
+    # the oracle gate (k=8 at driver scale) exercises the expression path
+    # while the cross-path equality test covers the numpy path
+    def assign(frame, cents):
+        if k > KMEANS_NP_THRESHOLD:
+            return _kmeans_exact_assign_np(frame, cents.collect())
+        return _kmeans_exact_assign(frame, cents)
+
     for _ in range(n_iter):
-        a = _kmeans_exact_assign(eq, c)
+        a = assign(eq, c)
         c = (
             a.select("cid", F.posexplode("vq").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -516,5 +565,5 @@ def kmeans_exact_train_assign(
             )
             .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
         )
-    out = _kmeans_exact_assign(eq, c).drop("vq", "aq", "aa")
+    out = assign(eq, c).drop("vq", "aq", "aa")
     return out

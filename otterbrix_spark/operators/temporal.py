@@ -39,9 +39,19 @@ def as_of_join(
     right_ts: str,
     payload: str | None = None,
     slice_width: int | None = None,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For every LEFT row, attach the greatest ``right_ts`` of the same
     key with ``right_ts <= left_ts`` (NULL when none precedes it).
+
+    ``direction="forward"`` flips the match to the SMALLEST ``right_ts``
+    with ``right_ts >= left_ts`` (the other half of pandas
+    ``merge_asof``'s direction matrix); ``tolerance`` (same units as the
+    ts columns) nulls out matches farther than the bound — a pure column
+    postcondition, no plan change. The forward form is the same one-pass
+    window sweep run with a mirrored frame (first-following instead of
+    last-preceding); the two-pass skew path supports backward only.
 
     Returns the left rows plus ``matched_ts`` (and ``matched_payload``
     when ``payload`` names a right-side column to carry).
@@ -76,29 +86,73 @@ def as_of_join(
         allowMissingColumns=True,
     )
     if slice_width is not None:
-        return _as_of_two_pass(unioned, key, left_ts, payload, slice_width)
-    # rows sort by (key, time, side): a right row at time T precedes a left
-    # row at the same T, so ties match (<= semantics). last(ignorenulls)
-    # carries the most recent right time/payload forward within the key.
-    w = (
-        Window.partitionBy(key)
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+        if direction != "backward":
+            raise ValueError("two-pass skew path supports backward only")
+        out = _as_of_two_pass(unioned, key, left_ts, payload, slice_width)
+        return _apply_tolerance(out, left_ts, payload, direction, tolerance)
+    if direction == "forward":
+        # rows sort by (key, time, side DESC): a left row at time T comes
+        # BEFORE a right row at the same T, so ties match (>= semantics).
+        # first(ignorenulls) over the following frame picks the nearest
+        # right row at-or-after.
+        w = (
+            Window.partitionBy(key)
+            .orderBy("_t", F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
+    else:
+        # rows sort by (key, time, side): a right row at time T precedes a
+        # left row at the same T, so ties match (<= semantics).
+        # last(ignorenulls) carries the most recent right time forward.
+        w = (
+            Window.partitionBy(key)
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
     carried = unioned.withColumn(
         "matched_ts",
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w),
+        pick(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w),
     )
     if payload:
         carried = carried.withColumn(
             "matched_payload",
-            F.last(
+            pick(
                 F.when(F.col("_side") == 0, F.col("_rpay")), ignorenulls=True
             ).over(w),
         )
     out = carried.filter(F.col("_side") == 1).withColumnRenamed("_t", left_ts)
     drop = ["_side"] + (["_rpay"] if payload else [])
-    return out.drop(*drop)
+    return _apply_tolerance(out.drop(*drop), left_ts, payload, direction, tolerance)
+
+
+def _apply_tolerance(
+    out: DataFrame,
+    left_ts: str,
+    payload: str | None,
+    direction: str,
+    tolerance: int | None,
+) -> DataFrame:
+    """Null out matches farther than ``tolerance`` from the left row —
+    a pure column postcondition on the already-computed nearest match."""
+    if tolerance is None:
+        return out
+    gap = (
+        F.col("matched_ts") - F.col(left_ts)
+        if direction == "forward"
+        else F.col(left_ts) - F.col("matched_ts")
+    )
+    # _ok materialised FIRST: the payload when() must test the original
+    # matched_ts, not the one already nulled by the previous withColumn
+    out = out.withColumn("_ok", gap <= F.lit(tolerance)).withColumn(
+        "matched_ts", F.when(F.col("_ok"), F.col("matched_ts"))
+    )
+    if payload:
+        out = out.withColumn(
+            "matched_payload", F.when(F.col("_ok"), F.col("matched_payload"))
+        )
+    return out.drop("_ok")
 
 
 def _as_of_two_pass(

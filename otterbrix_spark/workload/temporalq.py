@@ -516,3 +516,193 @@ def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.col("props"), "$.k"), ignorenulls=True
     ).over(w)
     return ev.select("event_id", filled.alias("filled"))
+
+
+# aj03: the FORWARD half of the as-of matrix, with a tolerance bound —
+# pandas merge_asof(direction="forward", tolerance=...): for every view,
+# the FIRST click of the same user at-or-after the view and within 30
+# minutes (view -> click attribution with an attribution window). Same
+# one-pass union+window sweep as aj01 run with a mirrored frame; the
+# tolerance is a column postcondition, not a plan change. The oracle is
+# the declarative range-join formulation (DuckDB's IEJoin handles it at
+# oracle scale; the Spark plan must NOT take that shape — audited).
+_AJ03_ORACLE = """
+WITH views AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'view'),
+clicks AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'click'),
+m AS (
+  SELECT v.event_id, v.user_id, v.us AS v_us, MIN(c.us) AS c_us
+  FROM views v LEFT JOIN clicks c
+    ON v.user_id = c.user_id AND c.us >= v.us
+   AND c.us <= v.us + 1800000000
+  GROUP BY v.event_id, v.user_id, v.us)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(COUNT(c_us) AS BIGINT) AS n_attributed,
+       CAST(COALESCE(SUM(c_us - v_us), 0) AS BIGINT) AS total_wait_us
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "aj03_asof_forward_tolerance", _AJ03_ORACLE,
+    doc="forward as-of join with 30-minute tolerance: first click "
+        "at-or-after each view within the attribution window",
+)
+def aj03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", us.alias("us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us")
+    )
+    joined = as_of_join(
+        views, clicks, key="user_id", left_ts="us", right_ts="us",
+        direction="forward", tolerance=30 * 60 * 1_000_000,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count("matched_ts").alias("n_attributed"),
+            F.coalesce(
+                F.sum(F.col("matched_ts") - F.col("us")), F.lit(0)
+            ).cast("long").alias("total_wait_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# g02: gap-fill with LINEAR INTERPOLATION — the sensor-series twin of
+# g01's zero-fill (TimescaleDB `interpolate()` over time_bucket_gapfill).
+# Empty hours get prev + (next - prev) * (t - t_prev) / (t_next - t_prev)
+# from the nearest known buckets on each side; leading/trailing gaps (no
+# neighbour on one side) stay NULL. Bucket values are quantised-sum
+# averages (exact integer sums / count), and the interpolation expression
+# is written with the identical association on both engines, so the
+# doubles are bit-identical. Two window sweeps over the SPINE (O(time
+# range), corpus-size independent) — the heavy work stays in the bucket
+# aggregate.
+_G02_ORACLE = """
+WITH bounds AS (
+  SELECT (epoch_us(MIN(ts)) // 3600000000) * 3600000000 AS lo,
+         (epoch_us(MAX(ts)) // 3600000000) * 3600000000 AS hi
+  FROM events),
+spine AS (
+  SELECT UNNEST(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+  FROM bounds),
+sparse AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS qsum,
+         COUNT(*) AS cnt
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+j AS (
+  SELECT s.bucket_us,
+         CAST(sp.qsum AS DOUBLE) / (sp.cnt * 10000.0) AS v
+  FROM spine s LEFT JOIN sparse sp ON s.bucket_us = sp.bucket_us),
+n AS (
+  SELECT bucket_us, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           ORDER BY bucket_us ROWS UNBOUNDED PRECEDING) AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER (ORDER BY bucket_us ROWS UNBOUNDED PRECEDING) AS pt,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           ORDER BY bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER (ORDER BY bucket_us
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j)
+SELECT bucket_us,
+       CASE WHEN v IS NOT NULL THEN 'known'
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+            ELSE 'edge' END AS kind,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * CAST(bucket_us - pt AS DOUBLE)
+                                  / CAST(nt - pt AS DOUBLE)
+            END AS val
+FROM n ORDER BY bucket_us
+"""
+
+
+@query(
+    "g02_gapfill_interpolate", _G02_ORACLE,
+    doc="gap-fill with linear interpolation between nearest known "
+        "buckets; leading/trailing gaps stay NULL",
+)
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    bucket = F.expr(
+        f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+    )
+    sparse = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("bucket_us"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 10000.0).cast("long")).alias(
+                "qsum"
+            ),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    bounds = ev.agg(
+        F.expr(
+            f"unix_micros(CAST(MIN(ts) AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+        ).alias("lo"),
+        F.expr(
+            f"unix_micros(CAST(MAX(ts) AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+        ).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(hour_us))
+        ).alias("bucket_us")
+    )
+    j = spine.join(sparse, "bucket_us", "left").select(
+        "bucket_us",
+        (F.col("qsum").cast("double") / (F.col("cnt") * 10000.0)).alias("v"),
+    )
+    wb = Window.orderBy("bucket_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.orderBy("bucket_us").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    t_known = F.when(F.col("v").isNotNull(), F.col("bucket_us"))
+    n = j.select(
+        "bucket_us",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(t_known, ignorenulls=True).over(wb).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(t_known, ignorenulls=True).over(wf).alias("nt"),
+    )
+    # association mirrors the oracle exactly: ((nv - pv) * dt) / span —
+    # the other grouping differs in the last ulp and fails the hash
+    interp = F.col("pv") + (
+        (F.col("nv") - F.col("pv"))
+        * (F.col("bucket_us") - F.col("pt")).cast("double")
+    ) / (F.col("nt") - F.col("pt")).cast("double")
+    both = F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    return (
+        n.select(
+            "bucket_us",
+            F.when(F.col("v").isNotNull(), F.lit("known"))
+            .when(both, F.lit("interp"))
+            .otherwise(F.lit("edge"))
+            .alias("kind"),
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(both, interp)
+            .alias("val"),
+        )
+        .orderBy("bucket_us")
+    )

@@ -100,3 +100,47 @@ def test_cross_doc_duplicate_chunks_marks_shared_paragraph(spark):
         dup_by_doc.setdefault(r["doc_id"], []).append(r["dup"])
     assert sorted(dup_by_doc[1]) == [0, 1]  # shared + unique chunk
     assert dup_by_doc[2] == [1]
+
+
+def test_kmeans_assign_numpy_path_equals_expression_path(spark, sf_dir):
+    """The Arrow/numpy assignment (large-k fast path) must produce the
+    IDENTICAL (vec_id, cid) mapping as the JVM expression path — exact
+    integer arithmetic on both sides, ties to lowest cid."""
+    from pyspark.sql import functions as F
+
+    from otterbrix_spark.llm import similarity
+    from otterbrix_spark.llm.similarity import (
+        _kmeans_exact_assign,
+        _kmeans_exact_assign_np,
+        _kmeans_exact_quantize,
+    )
+    from otterbrix_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = _kmeans_exact_quantize(similarity.prepare(emb))
+    # duplicate centroids force distance ties: the tie-break must agree
+    seeds = eq.orderBy("vec_id").limit(40)
+    from pyspark.sql import Window
+
+    c = (
+        seeds.withColumn(
+            "cid", F.row_number().over(Window.orderBy("vec_id")) - 1
+        )
+        .select("cid", F.col("aq").alias("cq"))
+        .withColumn("cc", F.expr(similarity.IDOT.format(a="cq", b="cq")))
+    )
+    dup = c.filter(F.col("cid") == 0).select(
+        (F.col("cid") + 40).alias("cid"), "cq", "cc"
+    )
+    c = c.unionByName(dup)
+    jvm = {
+        (r["vec_id"], r["cid"])
+        for r in _kmeans_exact_assign(eq, c).select("vec_id", "cid").collect()
+    }
+    np_ = {
+        (r["vec_id"], r["cid"])
+        for r in _kmeans_exact_assign_np(eq, c.collect())
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert jvm == np_

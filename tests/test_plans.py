@@ -545,3 +545,12 @@ def test_e08_recall_ann_side_is_bucket_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("- BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_aj03_forward_asof_is_window_not_pairwise(spark, sf_dir):
+    # the oracle declares a range join; the engine must take the
+    # union+window sweep instead — no nested-loop pair matching
+    plan = plan_of(spark, sf_dir, "aj03_asof_forward_tolerance")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

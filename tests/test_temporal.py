@@ -203,3 +203,44 @@ def test_asof_two_pass_spreads_hot_key_over_tasks(spark):
     # and the result is still the correct as-of answer
     rows = {r["t"]: r["matched_ts"] for r in out.filter(F.col("k") == 1).collect()}
     assert rows[0] is None and rows[10] == 5 and rows[8990] == 5
+
+
+def test_asof_forward_tie_and_tolerance(spark):
+    """A right row at the SAME timestamp matches (>= semantics); a match
+    beyond the tolerance is nulled; an earlier right row never matches
+    forward."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 500), (2, 100)], "user_id long, us long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100), (1, 90), (1, 1000), (2, 99)], "user_id long, us long"
+    )
+    from otterbrix_spark.operators.temporal import as_of_join
+
+    out = {
+        (r["user_id"], r["us"]): r["matched_ts"]
+        for r in as_of_join(
+            left, right, key="user_id", left_ts="us", right_ts="us",
+            direction="forward", tolerance=200,
+        ).collect()
+    }
+    assert out[(1, 100)] == 100  # tie matches
+    assert out[(1, 500)] is None  # 1000 is beyond tolerance 200
+    assert out[(2, 100)] is None  # only an earlier right row exists
+
+
+def test_asof_backward_tolerance(spark):
+    left = spark.createDataFrame([(1, 500)], "user_id long, us long")
+    right = spark.createDataFrame([(1, 100)], "user_id long, us long")
+    from otterbrix_spark.operators.temporal import as_of_join
+
+    row = as_of_join(
+        left, right, key="user_id", left_ts="us", right_ts="us",
+        tolerance=100,
+    ).collect()[0]
+    assert row["matched_ts"] is None  # gap 400 > tolerance 100
+    row = as_of_join(
+        left, right, key="user_id", left_ts="us", right_ts="us",
+        tolerance=400,
+    ).collect()[0]
+    assert row["matched_ts"] == 100
