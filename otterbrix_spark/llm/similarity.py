@@ -495,6 +495,8 @@ def _kmeans_exact_assign_np(eq: DataFrame, c_rows) -> DataFrame:
 
     def assign(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack needs at least one array
+                continue
             A = np.stack(pdf["aq"].to_numpy()).astype(np.int64)
             d2 = -2 * (A @ C.T) + cc[None, :]
             idx = d2.argmin(axis=1)  # first minimum = lowest cid
@@ -508,24 +510,35 @@ def _kmeans_exact_assign_np(eq: DataFrame, c_rows) -> DataFrame:
     return eq.join(best, "vec_id")
 
 
+def kmeans_plan_k(n: int, target_cluster: int = 64) -> int:
+    """The ONE sizing formula: k = max(8, ceil(n / target_cluster)).
+    Shared by the trainer and the gates that report k, so the reported
+    value can never drift from the k actually trained."""
+    import math
+
+    return max(8, math.ceil(n / target_cluster))
+
+
 def kmeans_exact_train_assign(
-    e: DataFrame, target_cluster: int = 64, n_iter: int = 2
+    e: DataFrame,
+    target_cluster: int = 64,
+    n_iter: int = 2,
+    k: int | None = None,
 ) -> DataFrame:
     """Train k-means in exact integer arithmetic and return the final
     assignment (input columns + cid).
 
-    k = max(8, ceil(n / target_cluster)) — production SemDeDup sizing
-    (cluster count grows with the corpus so block sizes stay constant).
+    k defaults to :func:`kmeans_plan_k` — production SemDeDup sizing
+    (cluster count grows with the corpus so block sizes stay constant);
+    callers that already counted the corpus pass ``k`` to skip the scan.
     Seeds are the k lowest vec_ids at centroid scale; each Lloyd update is
     sum/count per (cid, dim) with centroid component floor(sum*256/n) —
     floor of an exactly-representable ratio, deterministic in IEEE double
     and equal to the bigint result. Empty clusters are dropped (their
     members re-home next assignment), identically on both engines.
     """
-    import math
-
-    n = e.count()  # O(1) scalar to the driver — sizing only
-    k = max(8, math.ceil(n / target_cluster))
+    if k is None:
+        k = kmeans_plan_k(e.count(), target_cluster)
     eq = _kmeans_exact_quantize(e).persist()
     seeds = eq.select("vec_id", "aq").orderBy("vec_id").limit(k)
     c = (
@@ -565,5 +578,12 @@ def kmeans_exact_train_assign(
             )
             .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
         )
-    out = assign(eq, c).drop("vq", "aq", "aa")
+    # materialise the final assignment compactly, then release the wide
+    # quantized cache — without this every gate run leaves a corpus-sized
+    # (v + vq + aq + aa) frame resident for the session (the cache-pressure
+    # class the round-5 probe diagnosed); the checkpoint also stops the
+    # gate's pair SELF-join from re-executing the whole training DAG once
+    # per side. localCheckpoint blocks are GC-released with the frame.
+    out = assign(eq, c).drop("vq", "aq", "aa").localCheckpoint(eager=True)
+    eq.unpersist()
     return out

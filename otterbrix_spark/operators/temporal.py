@@ -138,11 +138,16 @@ def _apply_tolerance(
     a pure column postcondition on the already-computed nearest match."""
     if tolerance is None:
         return out
-    gap = (
-        F.col("matched_ts") - F.col(left_ts)
-        if direction == "forward"
-        else F.col(left_ts) - F.col("matched_ts")
-    )
+    from pyspark.sql.types import TimestampType, TimestampNTZType
+
+    # timestamp ts columns: difference is an interval, not comparable to an
+    # integer tolerance — compare in epoch microseconds instead (tolerance
+    # is then in microseconds, the documented unit for timestamp inputs)
+    if isinstance(out.schema[left_ts].dataType, (TimestampType, TimestampNTZType)):
+        m, l = F.unix_micros("matched_ts"), F.unix_micros(F.col(left_ts))
+    else:
+        m, l = F.col("matched_ts"), F.col(left_ts)
+    gap = m - l if direction == "forward" else l - m
     # _ok materialised FIRST: the payload when() must test the original
     # matched_ts, not the one already nulled by the previous withColumn
     out = out.withColumn("_ok", gap <= F.lit(tolerance)).withColumn(

@@ -88,21 +88,7 @@ def run_available_now(
     """Execute a streaming frame over all currently-available input
     (micro-batch catch-up), collect into an in-memory sink, return the
     result table. This is the bounded-execution harness the tests use."""
-    query = (
-        df.writeStream.trigger(availableNow=True)
-        .format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
-    deadline = time.time() + timeout_s
-    while query.isActive and time.time() < deadline:
-        time.sleep(0.2)
-    if query.isActive:
-        query.stop()
-        raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
-    query.awaitTermination()
-    return _detach_sink(df.sparkSession, name)
+    return run_available_now_counted(df, name, timeout_s, output_mode)[0]
 
 
 def run_until_count(

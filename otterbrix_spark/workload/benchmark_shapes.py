@@ -3693,10 +3693,12 @@ SELECT * FROM
 def ds28(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 1.0)
     h = F.hour("ts")
+    # count(when(...)) so an EMPTY filtered input yields 0 per band like
+    # the oracle's COUNT(*) subqueries (sum over zero rows would be NULL)
     aggs = [
-        F.sum(
-            F.when((h >= lo) & (h <= lo + 2), 1).otherwise(0)
-        ).cast("long").alias(f"b{i}")
+        F.count(F.when((h >= lo) & (h <= lo + 2), 1))
+        .cast("long")
+        .alias(f"b{i}")
         for i, lo in enumerate(range(0, 24, 3))
     ]
     return ev.agg(*aggs)

@@ -1807,8 +1807,10 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM n0) AS n_vectors,
 def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = similarity.prepare(emb)  # (vec_id, v: array<double>, nrm)
+    n = e.count()  # the one corpus count: sizes k AND the report column
+    k_planned = similarity.kmeans_plan_k(n, target_cluster=64)
     assigned = similarity.kmeans_exact_train_assign(
-        e, target_cluster=64, n_iter=2
+        e, n_iter=2, k=k_planned
     ).select("vec_id", "v", "nrm", "cid")
     x = assigned.select(
         "cid", F.col("vec_id").alias("a"), F.col("v").alias("av"),
@@ -1825,10 +1827,6 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
         y, (F.col("cid") == F.col("cid2")) & (F.col("a") < F.col("b"))
     ).withColumn("cos", cos)
     sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("csz"))
-    import math
-
-    n = e.count()
-    k_planned = max(8, math.ceil(n / 64))
     summary = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.coalesce(

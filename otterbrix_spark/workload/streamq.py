@@ -263,6 +263,18 @@ def _sliced_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> st
     lo, hi = ev.agg(
         F.min("ts").cast("long"), F.max("ts").cast("long")
     ).collect()[0]  # two scalars — slicing bounds only
+    if hi is None:
+        # empty corpus: land one schema-only file so the stream starts
+        # cleanly; the gate's >= 3-batch assertion then fails with its own
+        # meaningful message instead of a TypeError here
+        ev.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(scratch, "slice_empty")
+        )
+        files = glob.glob(
+            os.path.join(scratch, "slice_empty", "part-*.parquet")
+        )
+        shutil.move(files[0], os.path.join(out, "part-0000.parquet"))
+        return scratch
     width = max(1, (int(hi) - int(lo)) // n_files + 1)
     for i in range(n_files):
         s, e = int(lo) + i * width, int(lo) + (i + 1) * width

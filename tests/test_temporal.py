@@ -244,3 +244,29 @@ def test_asof_backward_tolerance(spark):
         tolerance=400,
     ).collect()[0]
     assert row["matched_ts"] == 100
+
+
+def test_asof_tolerance_on_timestamp_columns(spark):
+    """tolerance must work when the ts columns are TIMESTAMPs (the gap is
+    an interval; the guard compares epoch micros) — review r6 finding."""
+    from pyspark.sql import functions as F
+
+    from otterbrix_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    # gap = 600s; tolerance in MICROSECONDS for timestamp inputs
+    within = as_of_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        tolerance=601_000_000,
+    ).collect()[0]
+    assert within["matched_ts"] is not None
+    beyond = as_of_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        tolerance=599_000_000,
+    ).collect()[0]
+    assert beyond["matched_ts"] is None
