@@ -3758,3 +3758,175 @@ def c17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_len").desc(), "dom")
         .limit(25)
     )
+
+
+# --- ds29: TPC-DS Q66 shape — month PIVOT matrix ----------------------------
+# Template (`benchmark/tpcds/query66.tpl`): per-warehouse sales spread
+# across 12 month columns (jan_sales..dec_sales). The Spark lowering is
+# the NATIVE relational pivot (`groupBy().pivot(values).agg()`), with the
+# month domain pinned so the plan is a single pass (an unpinned pivot
+# runs an extra distinct-values job); the oracle is the classic 12-way
+# CASE-sum formulation the template expands to.
+
+_DS29_SUMS = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN MONTH(o_orderdate) = {m} THEN "
+    f"CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT) ELSE 0 END) AS DOUBLE)"
+    f" / 10000.0 AS m{m:02d}_sales"
+    for m in range(1, 13)
+)
+
+_DS29_ORACLE = f"""
+SELECT c_nationkey,
+       {_DS29_SUMS},
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE YEAR(o_orderdate) = 1997
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@query(
+    "ds29_month_pivot", _DS29_ORACLE,
+    doc="TPC-DS Q66 shape: per-nation monthly sales matrix via the NATIVE "
+        "groupBy().pivot() with a pinned value domain (single pass)",
+)
+def ds29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_nationkey",
+            F.month("o_orderdate").alias("m"),
+            _q(F.col("o_totalprice")).alias("pq"),
+        )
+    )
+    pivoted = (
+        base.groupBy("c_nationkey")
+        .pivot("m", list(range(1, 13)))
+        .agg(F.coalesce(F.sum("pq"), F.lit(0)))
+    )
+    counts = base.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sel = [F.col("c_nationkey")] + [
+        (F.coalesce(F.col(f"`{m}`"), F.lit(0)).cast("double") / _Q).alias(
+            f"m{m:02d}_sales"
+        )
+        for m in range(1, 13)
+    ] + []
+    return (
+        pivoted.join(counts, "c_nationkey")
+        .select(*sel, "n_orders")
+        .orderBy("c_nationkey")
+    )
+
+
+# --- ds30: TPC-DS Q17/Q29 shape — fact-to-fact-to-fact chain ----------------
+# Template (`benchmark/tpcds/query17.tpl`): a store sale, its return, and
+# the customer's subsequent catalog purchase of the SAME item — three
+# fact references chained on (customer, item) with time ordering.
+# Mapped: a returned line (l_returnflag = 'R'), joined to the same
+# customer RE-ordering the same part later — two fact scans of lineitem
+# chained through orders on (custkey, partkey) with date progression.
+# The chain is two hash equi-joins on composite keys; quantity stats per
+# nation close the shape.
+
+_DS30_ORACLE = """
+WITH ret AS (
+  SELECT o.o_custkey AS ck, l.l_partkey AS pk, o.o_orderdate AS rdate,
+         l.l_quantity AS rqty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'),
+rebuy AS (
+  SELECT o.o_custkey AS ck, l.l_partkey AS pk, o.o_orderdate AS bdate,
+         l.l_quantity AS bqty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag <> 'R'),
+chain AS (
+  SELECT r.ck, r.pk, r.rqty, b.bqty
+  FROM ret r JOIN rebuy b
+    ON r.ck = b.ck AND r.pk = b.pk AND b.bdate > r.rdate)
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_chains,
+       CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers,
+       CAST(SUM(rqty) AS BIGINT) AS returned_qty,
+       CAST(SUM(bqty) AS BIGINT) AS rebought_qty
+FROM chain JOIN customer c ON chain.ck = c.c_custkey
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+"""
+
+
+@query(
+    "ds30_return_rebuy_chain", _DS30_ORACLE,
+    doc="TPC-DS Q17/Q29 shape: fact-to-fact chain (returned line -> later "
+        "re-purchase of the same part by the same customer) through "
+        "composite-key hash joins",
+)
+def ds30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    ret = lo.filter(F.col("l_returnflag") == "R").select(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"),
+        F.col("o_orderdate").alias("rdate"), F.col("l_quantity").alias("rqty"),
+    )
+    rebuy = lo.filter(F.col("l_returnflag") != "R").select(
+        F.col("o_custkey").alias("ck2"), F.col("l_partkey").alias("pk2"),
+        F.col("o_orderdate").alias("bdate"), F.col("l_quantity").alias("bqty"),
+    )
+    chain = ret.join(
+        rebuy,
+        (F.col("ck") == F.col("ck2"))
+        & (F.col("pk") == F.col("pk2"))
+        & (F.col("bdate") > F.col("rdate")),
+    )
+    return (
+        chain.join(cust, F.col("ck") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_chains"),
+            F.countDistinct("ck").alias("n_customers"),
+            F.sum("rqty").cast("long").alias("returned_qty"),
+            F.sum("bqty").cast("long").alias("rebought_qty"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --- c18: ClickBench Q33 shape — derived arithmetic group keys --------------
+# `SELECT ClientIP, ClientIP - 1, ClientIP - 2, ClientIP - 3, COUNT(*) ...
+# GROUP BY` all four: grouping keys that are EXPRESSIONS over one column.
+# Catalyst recognises the functional dependency (all four derive from
+# user_id) so the hash agg keys on the expressions without widening the
+# shuffle; top-10 by count closes the shape.
+
+_C18_ORACLE = """
+SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2, user_id - 3 AS u3,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM events
+GROUP BY user_id, u1, u2, u3
+ORDER BY c DESC, user_id LIMIT 10
+"""
+
+
+@query(
+    "c18_derived_key_group", _C18_ORACLE,
+    doc="ClickBench Q33 shape: GROUP BY a column plus arithmetic "
+        "derivations of it, top-10 by count",
+)
+def c18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            (F.col("user_id") - 1).alias("u1"),
+            (F.col("user_id") - 2).alias("u2"),
+            (F.col("user_id") - 3).alias("u3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "user_id")
+        .limit(10)
+    )

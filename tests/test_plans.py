@@ -554,3 +554,25 @@ def test_aj03_forward_asof_is_window_not_pairwise(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_ds29_pivot_single_pass_no_values_job(spark, sf_dir):
+    # pinned pivot domain: the plan must not run a distinct-values job
+    # and the matrix must come from one aggregation pass per input
+    plan = plan_of(spark, sf_dir, "ds29_month_pivot")
+    assert "pivotfirst" in plan.lower() or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ds30_chain_is_composite_key_hash_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ds30_return_rebuy_chain")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c18_derived_keys_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c18_derived_key_group")
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 1
+    assert "TakeOrderedAndProject" in plan
