@@ -390,3 +390,74 @@ def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("qsum").cast("double") / 10000.0).alias("total_value"),
     )
+
+
+# Streaming DEDUPLICATION certification: Structured Streaming's stateful
+# dropDuplicates-with-watermark operator, driven with REAL duplicate
+# arrivals — the landing directory contains every time-slice file TWICE
+# (the at-least-once delivery a file-based ingest actually produces), and
+# the stream must emit each event exactly once. State is bounded by the
+# watermark: an event_id's dedup entry is dropped once the watermark
+# passes its event time, which is safe here because the duplicate files
+# land in the same time order as the originals (the README ingest-order
+# contract). Certified against batch DISTINCT over the same corpus.
+_S09_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _duplicated_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Time-sliced landing dir where every slice file appears twice
+    (part-000iA / part-000iB, adjacent in mtime order) — at-least-once
+    file delivery."""
+    import glob
+    import os
+    import shutil
+
+    scratch = _sliced_events_dir(spark, sf_dir, n_files=3)
+    out = os.path.join(scratch, "events.parquet")
+    for f in sorted(glob.glob(os.path.join(out, "part-*.parquet"))):
+        # suffix-only rename: str.replace would hit the DIRECTORY name's
+        # ".parquet" first (events.parquet/ -> eventsb.parquet/)
+        dup = f[: -len(".parquet")] + "b.parquet"
+        shutil.copyfile(f, dup)
+        st = os.stat(f)
+        os.utime(dup, (st.st_atime + 1, st.st_mtime + 1))
+    return scratch
+
+
+@query(
+    "s09_streaming_dedup", _S09_ORACLE,
+    doc="streaming dedup certification: dropDuplicates + watermark over a "
+        "landing directory with every file delivered TWICE — exactly-once "
+        "output hash-matched against batch DISTINCT",
+)
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    landing = _duplicated_landing_dir(spark, sf_dir)
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type", "user_id")
+    )
+    name = f"s09_dedup_{uuid.uuid4().hex[:8]}"
+    result, n_batches = run_available_now_counted(
+        deduped, name, output_mode="append"
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"streaming dedup certification ran only {n_batches} batches"
+        )
+    return (
+        result.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
