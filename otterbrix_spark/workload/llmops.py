@@ -2015,3 +2015,77 @@ def e08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- t11: boilerplate-chunk removal ----------------------------------------
+# The CCNet-style corpus cleaning step that FOLLOWS d11's duplication
+# profile: chunks whose document frequency reaches a threshold (headers,
+# navigation, license blurbs — df >= 3 here) are BOILERPLATE and are
+# stripped from every document; the report certifies the cleaned corpus
+# per source. Mechanics stay all-relational: chunk-hash groupBy for df,
+# then a LEFT ANTI join drops boilerplate chunks — no pairwise text
+# comparison anywhere, so the shape survives any corpus size.
+
+_T11_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, source, regexp_extract_all(text, '[^ ]+') AS ws
+  FROM documents WHERE len(regexp_extract_all(text, '[^ ]+')) >= 10),
+ch AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(ws, k * 10 + 1, k * 10 + 10), ' ')), 1, 15))::BIGINT
+           AS h
+  FROM w, UNNEST(range(0, len(ws) // 10)) AS t(k)),
+bp AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+kept AS (
+  SELECT ch.* FROM ch LEFT JOIN bp ON ch.h = bp.h WHERE bp.h IS NULL)
+SELECT ch.source,
+       CAST(COUNT(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) - (SELECT COUNT(*) FROM kept k2
+                        WHERE k2.source = ch.source) AS BIGINT)
+         AS n_removed,
+       CAST((SELECT COUNT(*) FROM kept k3 WHERE k3.source = ch.source) * 10
+            AS BIGINT) AS tokens_retained
+FROM ch GROUP BY ch.source ORDER BY ch.source
+"""
+
+
+@query(
+    "t11_boilerplate_removal", _T11_ORACLE,
+    doc="CCNet-style boilerplate stripping: chunks with document "
+        "frequency >= 3 dropped via hash-df groupBy + anti join; cleaned "
+        "corpus report per source",
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = dedup.paragraph_chunks(docs, chunk_words=10, carry=("source",))
+    bp = (
+        ch.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("h")
+    )
+    kept = ch.join(bp, "h", "left_anti")
+    total = ch.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    kept_counts = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        total.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            (F.coalesce("n_kept", F.lit(0)) * 10)
+            .cast("long")
+            .alias("tokens_retained"),
+        )
+        .orderBy("source")
+    )

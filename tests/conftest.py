@@ -18,7 +18,17 @@ SF_DIR_MID = os.environ.get("OTX_TEST_SF_DIR_MID", "/root/testdata/sf0.01")
 def spark():
     from otterbrix_spark.session import get_spark
 
-    spark = get_spark(app_name="otterbrix-tests", shuffle_partitions=8)
+    # default driver heap (1g) OOMs on the heaviest graph shapes when the
+    # battery is pointed at sf0.1 (OTX_TEST_SF_DIR) — and one OOM poisons
+    # the shared JVM for every later test. 8g covers the full battery at
+    # sf0.1; override with OTX_TEST_DRIVER_MEM.
+    spark = get_spark(
+        app_name="otterbrix-tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("OTX_TEST_DRIVER_MEM", "8g")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
 
