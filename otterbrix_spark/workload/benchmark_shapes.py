@@ -3930,3 +3930,126 @@ def c18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "user_id")
         .limit(10)
     )
+
+
+# --- ds31: TPC-DS Q21 shape — before/after pivot-date ratio band ------------
+# Template (`benchmark/tpcds/query21.tpl`): per (warehouse, item)
+# inventory split into before/after a pivot date, keeping rows whose
+# after/before ratio sits inside [2/3, 3/2]. One conditional-agg pass
+# over the fact; the ratio HAVING is exact integer cross-multiplication
+# (3*after between 2*before and ... is wrong — Q21's band is
+# 2/3 <= a/b <= 3/2, i.e. 2b <= 3a AND 2a <= 3b) — no float division in
+# the predicate at all.
+
+_DS31_ORACLE = """
+SELECT l_suppkey, l_partkey,
+       CAST(SUM(CASE WHEN l_shipdate < DATE '1997-07-01'
+                     THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_before,
+       CAST(SUM(CASE WHEN l_shipdate >= DATE '1997-07-01'
+                     THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_after
+FROM lineitem
+GROUP BY l_suppkey, l_partkey
+HAVING SUM(CASE WHEN l_shipdate < DATE '1997-07-01'
+               THEN l_quantity ELSE 0 END) > 0
+   AND SUM(CASE WHEN l_shipdate >= DATE '1997-07-01'
+               THEN l_quantity ELSE 0 END) > 0
+   AND 2 * SUM(CASE WHEN l_shipdate < DATE '1997-07-01'
+                    THEN l_quantity ELSE 0 END)
+       <= 3 * SUM(CASE WHEN l_shipdate >= DATE '1997-07-01'
+                       THEN l_quantity ELSE 0 END)
+   AND 2 * SUM(CASE WHEN l_shipdate >= DATE '1997-07-01'
+                    THEN l_quantity ELSE 0 END)
+       <= 3 * SUM(CASE WHEN l_shipdate < DATE '1997-07-01'
+                       THEN l_quantity ELSE 0 END)
+ORDER BY l_suppkey, l_partkey
+"""
+
+
+@query(
+    "ds31_inventory_ratio_band", _DS31_ORACLE,
+    doc="TPC-DS Q21 shape: before/after pivot-date quantity split with an "
+        "exact cross-multiplied ratio band in HAVING — one scan, no float "
+        "division in the predicate",
+)
+def ds31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pivot = F.lit("1997-07-01").cast("date")
+    before = F.sum(
+        F.when(F.col("l_shipdate") < pivot, F.col("l_quantity")).otherwise(0)
+    )
+    after = F.sum(
+        F.when(F.col("l_shipdate") >= pivot, F.col("l_quantity")).otherwise(0)
+    )
+    g = li.groupBy("l_suppkey", "l_partkey").agg(
+        before.cast("long").alias("qty_before"),
+        after.cast("long").alias("qty_after"),
+    )
+    return (
+        g.filter(
+            (F.col("qty_before") > 0)
+            & (F.col("qty_after") > 0)
+            & (2 * F.col("qty_before") <= 3 * F.col("qty_after"))
+            & (2 * F.col("qty_after") <= 3 * F.col("qty_before"))
+        )
+        .orderBy("l_suppkey", "l_partkey")
+    )
+
+
+# --- ds32: TPC-DS Q34/Q73 shape — frequent multi-trip customers -------------
+# Template (`benchmark/tpcds/query34.tpl`): trips (orders) with an item
+# count inside a band, then a SECOND grouping level keeps only customers
+# with >= 2 such trips. Two stacked aggregations — trip-level then
+# customer-level — with the band filter between them; the customer join
+# lands AFTER both reductions, so only qualifying customers are joined.
+
+_DS32_ORACLE = """
+WITH trips AS (
+  SELECT o_custkey, l_orderkey, COUNT(*) AS items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_orderkey
+  HAVING COUNT(*) BETWEEN 5 AND 7),
+freq AS (
+  SELECT o_custkey, COUNT(*) AS n_trips, SUM(items) AS total_items
+  FROM trips GROUP BY o_custkey HAVING COUNT(*) >= 2)
+SELECT c.c_name, f.o_custkey AS custkey,
+       CAST(f.n_trips AS BIGINT) AS n_trips,
+       CAST(f.total_items AS BIGINT) AS total_items
+FROM freq f JOIN customer c ON f.o_custkey = c.c_custkey
+ORDER BY n_trips DESC, custkey
+"""
+
+
+@query(
+    "ds32_frequent_trips", _DS32_ORACLE,
+    doc="TPC-DS Q34/Q73 shape: banded trip-size aggregation stacked under "
+        "a customer-frequency aggregation; dimension join only after both "
+        "reductions",
+)
+def ds32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    trips = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_orderkey")
+        .agg(F.count(F.lit(1)).alias("items"))
+        .filter(F.col("items").between(5, 7))
+    )
+    freq = (
+        trips.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.sum("items").alias("total_items"),
+        )
+        .filter(F.col("n_trips") >= 2)
+    )
+    return (
+        freq.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_trips").cast("long").alias("n_trips"),
+            F.col("total_items").cast("long").alias("total_items"),
+        )
+        .orderBy(F.col("n_trips").desc(), "custkey")
+    )

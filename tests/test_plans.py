@@ -576,3 +576,17 @@ def test_c18_derived_keys_single_shuffle(spark, sf_dir):
 
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ds31_single_scan_integer_predicate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ds31_inventory_ratio_band")
+    assert plan.count("InMemoryFileIndex") == 1  # one conditional-agg pass
+    assert "CartesianProduct" not in plan
+
+
+def test_ds32_dimension_join_after_reductions(spark, sf_dir):
+    # customer must join AFTER both aggregation levels — the join input on
+    # the fact side is the reduced freq frame, not raw lineitem
+    plan = plan_of(spark, sf_dir, "ds32_frequent_trips")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
