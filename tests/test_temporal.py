@@ -270,3 +270,59 @@ def test_asof_tolerance_on_timestamp_columns(spark):
         tolerance=599_000_000,
     ).collect()[0]
     assert beyond["matched_ts"] is None
+
+
+def test_asof_join_agrees_with_pandas_merge_asof(spark):
+    """Property check against an INDEPENDENT reference implementation:
+    pandas.merge_asof, both directions, with and without tolerance, on
+    deterministic pseudo-random integer data (ties included)."""
+    import pandas as pd
+
+    from otterbrix_spark.operators.temporal import as_of_join
+
+    import random
+
+    rng = random.Random(1234)
+    for direction in ("backward", "forward"):
+        for tolerance in (None, 7):
+            left_rows = sorted(
+                (rng.randrange(3), rng.randrange(40))
+                for _ in range(60)
+            )
+            right_rows = sorted(
+                (rng.randrange(3), rng.randrange(40))
+                for _ in range(50)
+            )
+            lpd = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values(
+                ["t", "k"], kind="stable"
+            ).reset_index(drop=True)
+            rpd = pd.DataFrame(right_rows, columns=["k", "t"]).sort_values(
+                ["t", "k"], kind="stable"
+            ).reset_index(drop=True)
+            # carry the matched right ts explicitly (mt)
+            rpd2 = rpd.assign(mt=rpd["t"])
+            expected = pd.merge_asof(
+                lpd, rpd2, on="t", by="k", direction=direction,
+                tolerance=tolerance, suffixes=("", "_r"),
+                allow_exact_matches=True,
+            )
+            ldf = spark.createDataFrame(lpd, "k long, t long")
+            rdf = spark.createDataFrame(rpd, "k long, t long")
+            got = as_of_join(
+                ldf, rdf, key="k", left_ts="t", right_ts="t",
+                direction=direction, tolerance=tolerance,
+            ).collect()
+            # multiset comparison per (k, t): multiple identical left rows
+            # must each carry the same match
+            from collections import Counter
+
+            got_c = Counter((r["k"], r["t"], r["matched_ts"]) for r in got)
+            exp_c = Counter(
+                (
+                    int(r.k),
+                    int(r.t),
+                    None if pd.isna(r.mt) else int(r.mt),
+                )
+                for r in expected.itertuples()
+            )
+            assert got_c == exp_c, (direction, tolerance)
