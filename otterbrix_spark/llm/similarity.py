@@ -587,3 +587,88 @@ def kmeans_exact_train_assign(
     out = assign(eq, c).drop("vq", "aq", "aa").localCheckpoint(eager=True)
     eq.unpersist()
     return out
+
+
+# --- persisted IVF index (build -> parquet partitioned by cell -> query) ----
+# The index LIFECYCLE the in-query IVF gates (e03/e05) skip: centroids
+# assign every vector to a cell, the index is WRITTEN as parquet
+# partitioned by cell id, and a query reads back ONLY its nprobe nearest
+# cells — on disk that is partition pruning (Spark's dynamic partition
+# pruning once the probe side is a join), the storage-level analogue of
+# the reference's index_scan. Assignment reuses the exact-integer
+# distance (scale-256 quantization) so an external oracle replays the
+# cell layout bit-for-bit.
+
+
+def ivf_persist_build(corpus: DataFrame, path: str, n_cells: int = 8) -> None:
+    """Assign each vector to its nearest seed centroid (the n_cells lowest
+    vec_ids, exact integer distance, ties -> lowest cid) and write the
+    index partitioned by cell: one directory per cell, prunable at scan."""
+    eq = _kmeans_exact_quantize(corpus)
+    c = (
+        eq.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("aq").alias("cq"))
+        .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
+    )
+    assigned = _kmeans_exact_assign(eq, c).select("vec_id", "v", "nrm", "cid")
+    (
+        assigned.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def ivf_persist_query(
+    spark, path: str, queries: DataFrame, k: int = 5, nprobe: int = 2,
+    n_cells: int = 8,
+) -> DataFrame:
+    """Top-k through the persisted index: each query probes its ``nprobe``
+    nearest cells (same exact-integer distance as the build), the index
+    scan joins on the PARTITION column (dynamic partition pruning — only
+    probed cell directories are read), and the exact cosine reranks
+    within the candidates. Returns (query_id, neighbor_id, rank)."""
+    qq = _kmeans_exact_quantize(queries)
+    # centroids are the INDEX's seed rows (recomputing them from the query
+    # frame would be wrong for query sets disjoint from the corpus)
+    idx = spark.read.parquet(path)
+    seeds = (
+        idx.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cid"), "v")
+        .withColumn(
+            "cq",
+            F.expr(
+                f"transform(transform(v, x -> CAST(FLOOR(x * {KQ_SCALE}) AS"
+                f" BIGINT)), x -> x * {KQ_SCALE})"
+            ),
+        )
+        .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
+        .select("cid", "cq", "cc")
+    )
+    d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    probes = (
+        qq.crossJoin(F.broadcast(seeds))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cid").alias("probe_cid"),
+        )
+    )
+    cand = idx.join(
+        probes, idx["cid"] == probes["probe_cid"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cos = F.expr(DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qn"))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

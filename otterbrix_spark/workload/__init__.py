@@ -41,12 +41,12 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # Rounds 1-5 rotated the window so that 199 distinct gates have a
 # driver-green row (r05 certified 49 first-timers, closing the whole
 # round-3/4 tail). Round 6 rotates onto the LAST never-sampled cohort: the
-# 24 round-5 additions (VERDICT r5 Next #1) plus this round's 19 new gates
+# 24 round-5 additions (VERDICT r5 Next #1) plus this round's 20 new gates
 # (d13 production SemDeDup, l11 degree-capped FOAF, s07 multi-batch,
 # s08 streaming->rollup, aj03 forward-tolerance as-of, g02 interpolating
 # gapfill, p07 leakage-free split, e08 ANN recall, ds26-ds30 + c17,
 # c18, native-pivot and fact-chain shapes)
-# behind the q01 smoke anchor, with the remaining 6 slots used as
+# behind the q01 smoke anchor, with the remaining 5 slots used as
 # regression re-checks of the LEAST-recently-verified gates (last
 # driver-green in r01/r02). Everything rotated out stayed green in a prior driver window
 # AND keeps passing the identical local DuckDB battery
@@ -62,7 +62,7 @@ _FRONT_WINDOW = [
     "ds24_decile_profile", "ds25_exists_boolean", "l09_foaf_recommend",
     "l10_interaction_strength", "c16_rank_ties_topk", "s05_streaming_join",
     "s06_streaming_anomaly", "w03_groups_frame", "w04_ignore_nulls_fill",
-    # round-6 new gates (19)
+    # round-6 new gates (20)
     "d13_semdedup_production", "l11_foaf_capped", "s07_streaming_multibatch",
     "ds26_window_over_union", "ds27_cumulative_compare",
     "ds28_time_band_matrix", "c17_url_domain_agg",
@@ -71,9 +71,10 @@ _FRONT_WINDOW = [
     "ds29_month_pivot", "ds30_return_rebuy_chain", "c18_derived_key_group",
     "s09_streaming_dedup", "t11_boilerplate_removal",
     "ds31_inventory_ratio_band", "ds32_frequent_trips",
-    # regression re-checks: least-recently-verified (r01/r02) gates (6)
+    "e09_ivf_persisted_index",
+    # regression re-checks: least-recently-verified (r01/r02) gates (5)
     "q02_filter_like_regex", "q06_forecast_revenue", "q16_distinct",
-    "q17_union", "q18_union_all", "q19_limit_offset",
+    "q17_union", "q18_union_all",
 ]
 
 

@@ -2089,3 +2089,90 @@ def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- e09: persisted IVF index lifecycle --------------------------------------
+# e03/e05 build their IVF structure inside the query; e09 runs the real
+# index LIFECYCLE: build -> parquet partitioned by cell id -> query that
+# reads ONLY its nprobe nearest cells. On disk that is partition pruning
+# (the probe side joins on the partition column, so Spark's dynamic
+# partition pruning skips unprobed cell directories) — the storage-level
+# analogue of the reference's index_scan (`components/index/`), which this
+# engine otherwise replaces with parquet min/max. The oracle replays the
+# exact-integer cell assignment + probe selection + exact-cosine rerank
+# straight off the embeddings table — the parquet index is a layout of
+# the same rows, so the results must match bit-for-bit.
+
+_E09_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                        x -> x * 256) AS aq,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+n2 AS (
+  SELECT vec_id, v, aq, nrm,
+         list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS aa
+  FROM n),
+c AS (SELECT vec_id AS cid, aq AS cq,
+             list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS cc
+      FROM n2 WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, nrm, cid FROM (
+    SELECT n2.vec_id, n2.v, n2.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+             ORDER BY n2.aa - 2 * list_dot_product(
+                        list_transform(n2.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c.cq, x -> CAST(x AS DOUBLE)))
+                      + c.cc, c.cid) AS rn
+    FROM n2 CROSS JOIN c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, qn, probe_cid FROM (
+    SELECT n2.vec_id AS query_id, n2.v AS qv, n2.nrm AS qn,
+           c.cid AS probe_cid,
+           ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+             ORDER BY n2.aa - 2 * list_dot_product(
+                        list_transform(n2.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c.cq, x -> CAST(x AS DOUBLE)))
+                      + c.cc, c.cid) AS rn
+    FROM n2 CROSS JOIN c WHERE n2.vec_id < 5) WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS cos
+  FROM assigned a JOIN probes p ON a.cid = p.probe_cid
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand) WHERE rank <= 5
+"""
+
+
+@query(
+    "e09_ivf_persisted_index", _E09_ORACLE,
+    doc="persisted IVF index lifecycle: build -> parquet partitioned by "
+        "cell -> nprobe=2 query with dynamic partition pruning (only "
+        "probed cell directories read) -> exact-cosine rerank",
+)
+def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    scratch = tempfile.mkdtemp(prefix="e09_ivf_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = os.path.join(scratch, "ivf_index")
+    similarity.ivf_persist_build(corpus, path, n_cells=8)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.ivf_persist_query(
+        spark, path, queries, k=5, nprobe=2, n_cells=8
+    )
+    return res.withColumn("rank", F.col("rank").cast("int"))

@@ -590,3 +590,13 @@ def test_ds32_dimension_join_after_reductions(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ds32_frequent_trips")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e09_index_scan_partition_pruned(spark, sf_dir):
+    # the persisted-IVF query must read ONLY probed cell directories:
+    # the index scan carries a dynamic-pruning partition filter on cid
+    # (the probe side is a join, so static pruning can't do it)
+    plan = plan_of(spark, sf_dir, "e09_ivf_persisted_index")
+    assert "PartitionFilters" in plan
+    assert "dynamicpruning" in plan.lower()
+    assert "CartesianProduct" not in plan
