@@ -603,14 +603,23 @@ def kmeans_exact_train_assign(
 def ivf_persist_build(corpus: DataFrame, path: str, n_cells: int = 8) -> None:
     """Assign each vector to its nearest seed centroid (the n_cells lowest
     vec_ids, exact integer distance, ties -> lowest cid) and write the
-    index partitioned by cell: one directory per cell, prunable at scan."""
+    index partitioned by cell (one directory per cell, prunable at scan)
+    plus a tiny ``<path>_seeds`` side file holding the centroids — the
+    query must never scan the whole index just to rediscover them."""
     eq = _kmeans_exact_quantize(corpus)
     c = (
         eq.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cid"), F.col("aq").alias("cq"))
         .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
     )
+    c.coalesce(1).write.mode("overwrite").parquet(path + "_seeds")
     assigned = _kmeans_exact_assign(eq, c).select("vec_id", "v", "nrm", "cid")
+    if assigned.isEmpty():
+        # partitionBy over zero rows writes no schema-bearing files and the
+        # read side then cannot infer a schema; an UNPARTITIONED empty file
+        # keeps the lifecycle total (queries return empty, like the oracle)
+        assigned.coalesce(1).write.mode("overwrite").parquet(path)
+        return
     (
         assigned.repartition("cid")
         .write.mode("overwrite")
@@ -620,8 +629,7 @@ def ivf_persist_build(corpus: DataFrame, path: str, n_cells: int = 8) -> None:
 
 
 def ivf_persist_query(
-    spark, path: str, queries: DataFrame, k: int = 5, nprobe: int = 2,
-    n_cells: int = 8,
+    spark, path: str, queries: DataFrame, k: int = 5, nprobe: int = 2
 ) -> DataFrame:
     """Top-k through the persisted index: each query probes its ``nprobe``
     nearest cells (same exact-integer distance as the build), the index
@@ -629,22 +637,11 @@ def ivf_persist_query(
     probed cell directories are read), and the exact cosine reranks
     within the candidates. Returns (query_id, neighbor_id, rank)."""
     qq = _kmeans_exact_quantize(queries)
-    # centroids are the INDEX's seed rows (recomputing them from the query
-    # frame would be wrong for query sets disjoint from the corpus)
+    # centroids come from the build-time side file — scanning the index
+    # for its seed ROWS would touch every cell directory on every query,
+    # eroding exactly the pruning benefit the layout exists for
     idx = spark.read.parquet(path)
-    seeds = (
-        idx.filter(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cid"), "v")
-        .withColumn(
-            "cq",
-            F.expr(
-                f"transform(transform(v, x -> CAST(FLOOR(x * {KQ_SCALE}) AS"
-                f" BIGINT)), x -> x * {KQ_SCALE})"
-            ),
-        )
-        .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
-        .select("cid", "cq", "cc")
-    )
+    seeds = spark.read.parquet(path + "_seeds")
     d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     probes = (

@@ -91,6 +91,13 @@ def run_available_now(
     return run_available_now_counted(df, name, timeout_s, output_mode)[0]
 
 
+# run_available_now_counted returns (result, batches_with_input,
+# final_state_rows) — the third element is the LAST progress report's
+# total state-store rows, which the dedup certification (s09) uses to
+# prove watermark eviction actually happened (a dedup key set that only
+# ever grows is the state leak the gate exists to rule out).
+
+
 def run_until_count(
     df: DataFrame,
     name: str,
@@ -160,7 +167,24 @@ def run_available_now_counted(
             return p["numInputRows"]
 
     n_batches = sum(1 for p in query.recentProgress if _rows(p) > 0)
-    return _detach_sink(df.sparkSession, name), n_batches
+
+    def _state_rows(p):
+        try:
+            ops = p.stateOperators
+        except (AttributeError, TypeError):
+            ops = p["stateOperators"]
+        total = 0
+        for op in ops:
+            try:
+                total += op.numRowsTotal
+            except (AttributeError, TypeError):
+                total += op["numRowsTotal"]
+        return total
+
+    final_state_rows = (
+        _state_rows(query.recentProgress[-1]) if query.recentProgress else 0
+    )
+    return _detach_sink(df.sparkSession, name), n_batches, final_state_rows
 
 
 def _detach_sink(spark: SparkSession, name: str) -> DataFrame:

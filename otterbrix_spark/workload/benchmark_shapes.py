@@ -3802,25 +3802,25 @@ def ds29(spark: SparkSession, sf_dir: str) -> DataFrame:
             _q(F.col("o_totalprice")).alias("pq"),
         )
     )
+    # ONE aggregation pass: the pivot carries both the month sums and the
+    # month counts; n_orders is the sum of the 12 count columns — no
+    # second groupBy, no join back
     pivoted = (
         base.groupBy("c_nationkey")
         .pivot("m", list(range(1, 13)))
-        .agg(F.coalesce(F.sum("pq"), F.lit(0)))
-    )
-    counts = base.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n_orders")
+        .agg(F.sum("pq").alias("s"), F.count(F.lit(1)).alias("c"))
     )
     sel = [F.col("c_nationkey")] + [
-        (F.coalesce(F.col(f"`{m}`"), F.lit(0)).cast("double") / _Q).alias(
+        (F.coalesce(F.col(f"`{m}_s`"), F.lit(0)).cast("double") / _Q).alias(
             f"m{m:02d}_sales"
         )
         for m in range(1, 13)
-    ] + []
-    return (
-        pivoted.join(counts, "c_nationkey")
-        .select(*sel, "n_orders")
-        .orderBy("c_nationkey")
-    )
+    ]
+    n_orders = sum(
+        (F.coalesce(F.col(f"`{m}_c`"), F.lit(0)) for m in range(1, 13)),
+        F.lit(0),
+    ).cast("long").alias("n_orders")
+    return pivoted.select(*sel, n_orders).orderBy("c_nationkey")
 
 
 # --- ds30: TPC-DS Q17/Q29 shape — fact-to-fact-to-fact chain ----------------

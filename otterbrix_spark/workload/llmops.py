@@ -2172,7 +2172,5 @@ def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(scratch, "ivf_index")
     similarity.ivf_persist_build(corpus, path, n_cells=8)
     queries = corpus.filter(F.col("vec_id") < 5)
-    res = similarity.ivf_persist_query(
-        spark, path, queries, k=5, nprobe=2, n_cells=8
-    )
+    res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
     return res.withColumn("rank", F.col("rank").cast("int"))

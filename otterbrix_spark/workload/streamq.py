@@ -305,7 +305,7 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, landing, max_files_per_trigger=1)
     rollup = hourly_rollup_stream(stream)
     name = f"s07_multi_{uuid.uuid4().hex[:8]}"
-    result, n_batches = run_available_now_counted(
+    result, n_batches, _state = run_available_now_counted(
         rollup, name, output_mode="complete"
     )
     if n_batches < 3:
@@ -440,18 +440,30 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     landing = _duplicated_landing_dir(spark, sf_dir)
     stream = events_stream(spark, landing, max_files_per_trigger=1)
+    # ts is PART OF the dedup subset: Spark only evicts dedup state when
+    # the watermarked event-time column is in the key (a bare
+    # dropDuplicates(["event_id"]) keeps every key forever — measured
+    # numRowsRemoved=0, the unbounded-state leak this gate exists to rule
+    # out). Duplicate file deliveries carry identical (event_id, ts), so
+    # the wider key still dedupes them exactly.
     deduped = (
         stream.withWatermark("ts", "2 hours")
-        .dropDuplicates(["event_id"])
+        .dropDuplicates(["event_id", "ts"])
         .select("event_id", "event_type", "user_id")
     )
     name = f"s09_dedup_{uuid.uuid4().hex[:8]}"
-    result, n_batches = run_available_now_counted(
+    result, n_batches, state_rows = run_available_now_counted(
         deduped, name, output_mode="append"
     )
     if n_batches < 3:
         raise AssertionError(
             f"streaming dedup certification ran only {n_batches} batches"
+        )
+    n_total = result.count()
+    if n_total > 0 and state_rows >= n_total:
+        raise AssertionError(
+            "watermark never evicted dedup state "
+            f"({state_rows} state rows for {n_total} events)"
         )
     return (
         result.groupBy("event_type")

@@ -557,10 +557,17 @@ def test_aj03_forward_asof_is_window_not_pairwise(spark, sf_dir):
 
 
 def test_ds29_pivot_single_pass_no_values_job(spark, sf_dir):
-    # pinned pivot domain: the plan must not run a distinct-values job
-    # and the matrix must come from one aggregation pass per input
+    # pinned pivot domain: the matrix AND the row counts must come from
+    # ONE aggregation pass — exactly one hash-partition exchange, no join
+    # back for n_orders, no distinct-values job
     plan = plan_of(spark, sf_dir, "ds29_month_pivot")
-    assert "pivotfirst" in plan.lower() or "partial_sum" in plan
+    import re as _re
+
+    # the ONLY join is the orders x customer input join — a join AFTER the
+    # aggregate (a counts join-back) would make it two
+    assert plan.count("Join type: Inner") == 1
+    # one grouped aggregation pass (partial+final pair), not two
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) <= 1
     assert "CartesianProduct" not in plan
 
 
@@ -593,10 +600,12 @@ def test_ds32_dimension_join_after_reductions(spark, sf_dir):
 
 
 def test_e09_index_scan_partition_pruned(spark, sf_dir):
-    # the persisted-IVF query must read ONLY probed cell directories:
-    # the index scan carries a dynamic-pruning partition filter on cid
-    # (the probe side is a join, so static pruning can't do it)
+    # the persisted-IVF query must read ONLY probed cell directories: the
+    # index scan carries a NON-EMPTY dynamic-pruning partition filter on
+    # cid (a bare "PartitionFilters" check is vacuous — the line prints
+    # "[]" for every partitioned scan), and NO scan may read the whole
+    # index with an empty partition filter
     plan = plan_of(spark, sf_dir, "e09_ivf_persisted_index")
-    assert "PartitionFilters" in plan
     assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters: []" not in plan
     assert "CartesianProduct" not in plan
