@@ -401,3 +401,46 @@ def j13(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") t WHERE t.n_hot > 0 "
         "ORDER BY event_type"
     )
+
+
+# --- j14: exact distribution stats over a jsonb-extracted numeric ----------
+# Composition the earlier jsonb gates don't exercise: the extracted value
+# feeds an EXACT order-statistic aggregate (median via percentile — both
+# engines compute exact order statistics, order-independent by
+# definition) alongside min/max per group. Extraction stays
+# get_json_object + cast — JVM-side, pushdown-friendly.
+
+_J14_ORACLE = """
+SELECT event_type,
+       CAST(MEDIAN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS DOUBLE) AS med_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "j14_jsonb_median", _J14_ORACLE,
+    doc="exact median/min/max of a jsonb-extracted numeric per group — "
+        "order-statistic aggregate over get_json_object + cast",
+)
+def j14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(percentile(CAST(get_json_object(props, '$.k') AS"
+                " BIGINT), 0.5) AS DOUBLE)"
+            ).alias("med_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(k).alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
