@@ -539,6 +539,51 @@ def u02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- u03: grouped-aggregate (pandas GROUPED_AGG) UDAF ------------------------
+# Reference aggregate_function (`test_udfs.cpp` aggregate registration):
+# the UDAF path — a pandas Series -> scalar fold registered through the
+# same FunctionRegistry and used inside GROUP BY. The body is an integer
+# sum of quantized values (exact, order-independent), so the DuckDB oracle
+# states the identical arithmetic. Per-group pandas batches run
+# Arrow-batched on the executors; only the k group scalars return.
+
+_U03_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qsum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "u03_aggregate_udaf", _U03_ORACLE,
+    doc="grouped-aggregate UDAF (pandas GROUPED_AGG): quantized-sum fold "
+        "per group, exact vs the oracle's SUM(FLOOR(x*1e4))",
+)
+def u03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from otterbrix_spark.functions.udf import FunctionRegistry
+
+    reg = FunctionRegistry(spark)
+    reg.register_agg_udf(
+        "u03_qsum",
+        lambda s: int(np.floor(s.to_numpy() * 10000.0).astype("int64").sum()),
+        "bigint",
+    )
+    # Spark cannot mix GROUPED_AGG pandas UDFs with built-in aggregates in
+    # one aggregation, so the row count is a second UDAF
+    reg.register_agg_udf("u03_cnt", lambda s: len(s), "bigint")
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("u03_events")
+    return spark.sql(
+        """
+        SELECT event_type, u03_qsum(value) AS qsum, u03_cnt(value) AS n
+        FROM u03_events GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
 # --- c05: ClickBench signature — high-cardinality group top-k ---------------
 # The ClickBench workload's defining shape: GROUP BY a high-cardinality key
 # (user), ORDER BY count DESC LIMIT k. Partial aggregation + TakeOrdered —

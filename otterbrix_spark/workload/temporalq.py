@@ -706,3 +706,43 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_us")
     )
+
+
+# w05: the remaining ranking-family window functions — NTILE, CUME_DIST,
+# PERCENT_RANK — in one battery. The window ORDER BY is total (quantized
+# price, then key), so ties are impossible and every function is exactly
+# determined; CUME_DIST and PERCENT_RANK are exact integer ratios cast to
+# double identically in both engines.
+_W05_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       NTILE(4) OVER w AS quartile,
+       CUME_DIST() OVER w AS cd,
+       PERCENT_RANK() OVER w AS pr
+FROM (SELECT o_orderkey, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS qp
+      FROM orders WHERE o_orderkey < 3000)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY qp, o_orderkey)
+"""
+
+
+@query(
+    "w05_ranking_battery", _W05_ORACLE,
+    doc="NTILE / CUME_DIST / PERCENT_RANK battery over a total (tie-free) "
+        "window order",
+)
+def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 3000
+    )
+    qp = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(qp, F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
