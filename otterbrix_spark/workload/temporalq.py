@@ -746,3 +746,53 @@ def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+# h02: the MVCC-BACKED continuous aggregate — rollup maintenance composed
+# with snapshot isolation (VERDICT r5 Next #8 as a driver-certifiable
+# gate). The events corpus becomes a VersionedTable: v1 holds the first
+# ~80% (by event_id), the rollup builds from v1's snapshot, v2 commits the
+# full corpus, and refresh_from pins v2's snapshot, derives the
+# append-delta by key anti-join, and refreshes only the touched buckets.
+# The maintained table must equal the oracle's one-shot full aggregate —
+# certifying build + versioned refresh + delta derivation in one row set.
+_H02_ORACLE = _H01_ORACLE
+
+
+@query(
+    "h02_mvcc_continuous_aggregate", _H02_ORACLE,
+    doc="continuous aggregate maintained against MVCC snapshots: build "
+        "from v1, commit v2, refresh_from derives the append-delta and "
+        "recomputes touched buckets only — equals the full aggregate",
+)
+def h02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from otterbrix_spark.operators.mvcc import VersionedTable
+    from otterbrix_spark.operators.rollup import ContinuousAggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.expr("percentile_approx(event_id, 0.8)")
+    ).collect()[0][0]
+    scratch = tempfile.mkdtemp(prefix="otx-h02-")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    vt = VersionedTable.create(
+        spark, os.path.join(scratch, "vt"),
+        ev.filter(F.col("event_id") <= cutoff),
+    )
+    ca = ContinuousAggregate(
+        spark, os.path.join(scratch, "rollup"), bucket_hours=1
+    )
+    ca.build(vt.df())
+    w = vt.begin()
+    v2 = w.commit(ev)
+    ver, touched = ca.refresh_from(vt, base_version=v2 - 1)
+    assert ver == v2 and touched, (ver, len(touched))
+    return ca.df().select(
+        F.col("bucket_us").cast("long").alias("bucket_us"),
+        "event_type", "n", "qsum",
+    )
