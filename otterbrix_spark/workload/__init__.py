@@ -27,6 +27,21 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def scratch_dir(prefix: str) -> str:
+    """Per-invocation scratch directory for gates that materialise state
+    (rollups, landing dirs, persisted indexes). Cleanup is registered
+    AT EXIT, not eager: the DataFrame a gate returns reads the directory
+    LAZILY (the driver collects it later), so an eager rmtree would yank
+    the files out from under the read."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
     """Decorator registering a (spark_fn, oracle_sql) pair under ``name``."""
 
@@ -41,13 +56,13 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # Rounds 1-5 rotated the window so that 199 distinct gates have a
 # driver-green row (r05 certified 49 first-timers, closing the whole
 # round-3/4 tail). Round 6 rotates onto the LAST never-sampled cohort: the
-# 24 round-5 additions (VERDICT r5 Next #1) plus this round's 20 new gates
+# 24 round-5 additions (VERDICT r5 Next #1) plus this round's 24 new gates
 # (d13 production SemDeDup, l11 degree-capped FOAF, s07 multi-batch,
 # s08 streaming->rollup, aj03 forward-tolerance as-of, g02 interpolating
 # gapfill, p07 leakage-free split, e08 ANN recall, ds26-ds30 + c17,
 # c18, native-pivot and fact-chain shapes)
-# behind the q01 smoke anchor, with the remaining 5 slots used as
-# regression re-checks of the LEAST-recently-verified gates (last
+# behind the q01 smoke anchor, with the single remaining slot a
+# regression re-check of the LEAST-recently-verified gate (last
 # driver-green in r01/r02). Everything rotated out stayed green in a prior driver window
 # AND keeps passing the identical local DuckDB battery
 # (tests/test_workload_oracle.py) at sf0.001 and sf0.01.
@@ -62,7 +77,7 @@ _FRONT_WINDOW = [
     "ds24_decile_profile", "ds25_exists_boolean", "l09_foaf_recommend",
     "l10_interaction_strength", "c16_rank_ties_topk", "s05_streaming_join",
     "s06_streaming_anomaly", "w03_groups_frame", "w04_ignore_nulls_fill",
-    # round-6 new gates (20)
+    # round-6 new gates (24)
     "d13_semdedup_production", "l11_foaf_capped", "s07_streaming_multibatch",
     "ds26_window_over_union", "ds27_cumulative_compare",
     "ds28_time_band_matrix", "c17_url_domain_agg",
@@ -71,10 +86,10 @@ _FRONT_WINDOW = [
     "ds29_month_pivot", "ds30_return_rebuy_chain", "c18_derived_key_group",
     "s09_streaming_dedup", "t11_boilerplate_removal",
     "ds31_inventory_ratio_band", "ds32_frequent_trips",
-    "e09_ivf_persisted_index",
-    # regression re-checks: least-recently-verified (r01/r02) gates (5)
-    "q02_filter_like_regex", "q06_forecast_revenue", "q16_distinct",
-    "q17_union", "q18_union_all",
+    "e09_ivf_persisted_index", "j14_jsonb_median", "u03_aggregate_udaf",
+    "w05_ranking_battery", "h02_mvcc_continuous_aggregate",
+    # regression re-check: least-recently-verified (r01/r02) gate (1)
+    "q02_filter_like_regex",
 ]
 
 

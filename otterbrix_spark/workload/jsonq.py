@@ -434,10 +434,7 @@ def j14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.expr(
-                "CAST(percentile(CAST(get_json_object(props, '$.k') AS"
-                " BIGINT), 0.5) AS DOUBLE)"
-            ).alias("med_k"),
+            F.percentile(k, F.lit(0.5)).cast("double").alias("med_k"),
             F.min(k).alias("min_k"),
             F.max(k).alias("max_k"),
             F.count(k).alias("n_with_k"),

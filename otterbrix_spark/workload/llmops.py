@@ -2160,15 +2160,13 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
         "probed cell directories read) -> exact-cosine rerank",
 )
 def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import shutil
-    import tempfile
+
+    from otterbrix_spark.workload import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = similarity.prepare(emb)
-    scratch = tempfile.mkdtemp(prefix="e09_ivf_")
-    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    scratch = scratch_dir("e09_ivf_")
     path = os.path.join(scratch, "ivf_index")
     similarity.ivf_persist_build(corpus, path, n_cells=8)
     queries = corpus.filter(F.col("vec_id") < 5)

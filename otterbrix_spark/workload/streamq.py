@@ -247,16 +247,14 @@ def _sliced_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> st
     mtimes ascending — the file-stream source orders by both). Harness-side
     corpus prep, not part of the streaming graph: it stands in for the
     landing directory a real ingest pipeline appends in event-time order."""
-    import atexit
     import glob
     import os
     import shutil
-    import tempfile
 
     from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.workload import scratch_dir
 
-    scratch = tempfile.mkdtemp(prefix="s07_landing_")
-    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    scratch = scratch_dir("s07_landing_")
     out = os.path.join(scratch, "events.parquet")
     os.makedirs(out)
     ev = load_table(spark, sf_dir, "events")
@@ -338,17 +336,14 @@ _S08_ORACLE = _S03_ORACLE
         "rollup equals the batch aggregate after >= 3 batches",
 )
 def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import shutil
-    import tempfile
     import time as _time
 
     from otterbrix_spark.operators.rollup import ContinuousAggregate
+    from otterbrix_spark.workload import scratch_dir
 
     landing = _sliced_events_dir(spark, sf_dir, n_files=4)
-    scratch = tempfile.mkdtemp(prefix="s08_rollup_")
-    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    scratch = scratch_dir("s08_rollup_")
     bronze = os.path.join(scratch, "bronze")
     ca = ContinuousAggregate(
         spark, os.path.join(scratch, "rollup"), bucket_hours=1

@@ -208,22 +208,15 @@ GROUP BY 1, 2
         "partition overwrite) must equal the full aggregate",
 )
 def h01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
-
     from otterbrix_spark.operators.rollup import ContinuousAggregate
+    from otterbrix_spark.workload import scratch_dir
 
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     cutoff = ev.agg(
         F.expr("percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.9)")
     ).collect()[0][0]
-    # scratch dir must outlive this call (the returned DataFrame reads it
-    # lazily), so registration-at-exit — not eager cleanup — closes the
-    # per-invocation disk leak across repeated driver/bench runs
-    scratch = tempfile.mkdtemp(prefix="otx-h01-")
-    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    scratch = scratch_dir("otx-h01-")
     ca = ContinuousAggregate(spark, scratch, bucket_hours=1)
     ca.build(ev.filter(us < cutoff))
     ca.refresh(source=ev, delta=ev.filter(us >= cutoff))
@@ -766,20 +759,17 @@ _H02_ORACLE = _H01_ORACLE
         "recomputes touched buckets only — equals the full aggregate",
 )
 def h02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from otterbrix_spark.operators.mvcc import VersionedTable
     from otterbrix_spark.operators.rollup import ContinuousAggregate
+    from otterbrix_spark.workload import scratch_dir
 
     ev = load_table(spark, sf_dir, "events")
     cutoff = ev.agg(
         F.expr("percentile_approx(event_id, 0.8)")
     ).collect()[0][0]
-    scratch = tempfile.mkdtemp(prefix="otx-h02-")
-    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    scratch = scratch_dir("otx-h02-")
     vt = VersionedTable.create(
         spark, os.path.join(scratch, "vt"),
         ev.filter(F.col("event_id") <= cutoff),
