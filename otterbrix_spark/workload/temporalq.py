@@ -786,3 +786,93 @@ def h02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_us").cast("long").alias("bucket_us"),
         "event_type", "n", "qsum",
     )
+
+
+# sk02: KMV sketch MERGEABILITY — the property that makes a sketch a
+# distributed aggregate: per-shard sketches (k smallest hashes of each of
+# 4 disjoint shards) merged by taking the k smallest of their union must
+# yield the IDENTICAL estimate as sketching the whole corpus directly
+# (any global k-minimum lives inside its shard's k minima). Deterministic
+# md5 hashes make both paths exactly replayable; the gate emits both
+# estimates plus the equality flag, and the direct path's k-th minimum is
+# a TakeOrdered top-k — never a global single-task window.
+_SK02_K = 64
+_SK02_SPACE = float(1 << 60)
+
+_SK02_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT user_id,
+         ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events),
+persh AS (
+  SELECT hv, ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY hv) AS rn
+  FROM h),
+merged AS (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+  FROM persh WHERE rn <= {_SK02_K}),
+direct AS (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM h),
+p AS (SELECT LEAST({_SK02_K}, (SELECT COUNT(*) FROM h)) AS kth,
+             (SELECT COUNT(*) FROM h) AS n)
+SELECT CAST(n AS BIGINT) AS exact_distinct,
+       CAST(CASE WHEN n < {_SK02_K} THEN CAST(n AS DOUBLE)
+            ELSE ({_SK02_K} - 1) * {_SK02_SPACE}
+                 / CAST((SELECT hv FROM direct WHERE rn = p.kth) AS DOUBLE)
+            END AS DOUBLE) AS direct_estimate,
+       CAST(CASE WHEN n < {_SK02_K} THEN CAST(n AS DOUBLE)
+            ELSE ({_SK02_K} - 1) * {_SK02_SPACE}
+                 / CAST((SELECT hv FROM merged WHERE rn = p.kth) AS DOUBLE)
+            END AS DOUBLE) AS merged_estimate,
+       (SELECT hv FROM direct WHERE rn = p.kth)
+         = (SELECT hv FROM merged WHERE rn = p.kth) AS merge_exact
+FROM p
+"""
+
+
+@query(
+    "sk02_kmv_merge", _SK02_ORACLE,
+    doc="KMV sketch mergeability: k smallest of 4 per-shard sketch unions "
+        "equals the direct whole-corpus sketch — the distributed-aggregate "
+        "property, certified exactly",
+)
+def sk02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = ev.select("user_id").distinct().select(
+        "user_id", hv.alias("hv")
+    )
+    persh = h.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.col("user_id") % 4).orderBy("hv")
+        ),
+    )
+    kept = persh.filter(F.col("rn") <= _SK02_K).select("hv")
+    # k-th minimum via sort+limit (TakeOrdered) then max — the scale-safe
+    # form for BOTH paths; the merged set is <= 4k rows anyway
+    merged_kth = kept.orderBy("hv").limit(_SK02_K).agg(F.max("hv")).collect()[0][0]
+    direct_kth = h.orderBy("hv").limit(_SK02_K).agg(F.max("hv")).collect()[0][0]
+    n_exact = h.count()
+
+    def est(kth):
+        # standard KMV small-cardinality rule: with fewer than k distinct
+        # values the sketch holds ALL of them — report the exact count
+        if n_exact < _SK02_K:
+            return float(n_exact)
+        return (_SK02_K - 1) * _SK02_SPACE / float(kth)
+    return ev.sparkSession.createDataFrame(
+        [
+            (
+                n_exact,
+                est(direct_kth),
+                est(merged_kth),
+                bool(direct_kth == merged_kth),
+            )
+        ],
+        "exact_distinct bigint, direct_estimate double, "
+        "merged_estimate double, merge_exact boolean",
+    )
