@@ -439,3 +439,51 @@ def cross_doc_duplicate_chunks(
     return chunks.join(duph, "h", "left").withColumn(
         "dup", F.when(F.col("isdup").isNotNull(), 1).otherwise(0)
     ).drop("isdup")
+
+
+def containment_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """One-sided CONTAINMENT near-dup pairs: (a, b, common, containment)
+    where containment = |A ∩ B| / min(|A|, |B|).
+
+    Jaccard under-scores subset duplicates: a document fully embedded in a
+    much larger one has |A∩B|/|A∪B| ≈ |A|/|B| (arbitrarily small) but
+    containment 1.0 — the quote/boilerplate-inclusion case (Lee et al.
+    "Deduplicating Training Data..." track both). Mechanics are d03's
+    df-capped shared-shingle equi-join with a different scoring
+    denominator; the same posting-list cap bounds hot shingles."""
+    join_sh = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle", "left_semi")
+    a = join_sh.select(F.col(id_col).alias("a"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b"
+        )
+        .withColumn(
+            "containment", F.col("common") / F.least("na", "nb")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "common", "containment")
+    )

@@ -4053,3 +4053,40 @@ def ds32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_trips").desc(), "custkey")
     )
+
+
+# --- ds33: TPC-DS Q90 shape — am/pm activity ratio --------------------------
+# Template (`benchmark/tpcds/query90.tpl`): the ratio of morning-window
+# to evening-window counts, written in the template as two scalar
+# subqueries cross-joined. Lowered (like ds28) to ONE conditional-agg
+# scan; the ratio is exact-integer counts divided once at the end.
+
+_DS33_ORACLE = """
+SELECT CAST(am.c AS BIGINT) AS am_count,
+       CAST(pm.c AS BIGINT) AS pm_count,
+       CAST(am.c AS DOUBLE) / CAST(pm.c AS DOUBLE) AS am_pm_ratio
+FROM (SELECT COUNT(*) AS c FROM events
+      WHERE HOUR(ts) BETWEEN 6 AND 11 AND value > 0.5) am,
+     (SELECT COUNT(*) AS c FROM events
+      WHERE HOUR(ts) BETWEEN 18 AND 23 AND value > 0.5) pm
+"""
+
+
+@query(
+    "ds33_am_pm_ratio", _DS33_ORACLE,
+    doc="TPC-DS Q90 shape: morning/evening count ratio — template's two "
+        "scalar subqueries lowered to one conditional-agg scan",
+)
+def ds33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0.5)
+    h = F.hour("ts")
+    agg = ev.agg(
+        F.count(F.when((h >= 6) & (h <= 11), 1)).alias("am_count"),
+        F.count(F.when((h >= 18) & (h <= 23), 1)).alias("pm_count"),
+    )
+    return agg.select(
+        F.col("am_count").cast("long"),
+        F.col("pm_count").cast("long"),
+        (F.col("am_count").cast("double") / F.col("pm_count").cast("double"))
+        .alias("am_pm_ratio"),
+    )

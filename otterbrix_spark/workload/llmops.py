@@ -2172,3 +2172,36 @@ def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < 5)
     res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- d14: containment (one-sided) near-dup pairs ----------------------------
+# Jaccard misses subset duplicates (a short doc fully embedded in a long
+# one scores |A|/|B|, arbitrarily low); containment |A∩B|/min(|A|,|B|)
+# scores it 1.0 — the quote/boilerplate-inclusion case a real corpus
+# cleaner must catch alongside d03's symmetric Jaccard. Same df-capped
+# shared-shingle equi-join; only the denominator changes.
+
+_D14_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+shj AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+cand AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
+         FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT cand.a, cand.b, cand.common,
+       cand.common / LEAST(sa.n, sb.n) AS containment
+FROM cand JOIN sz sa ON cand.a = sa.doc_id JOIN sz sb ON cand.b = sb.doc_id
+WHERE cand.common / LEAST(sa.n, sb.n) >= 0.6
+"""
+
+
+@query(
+    "d14_containment_pairs", _D14_ORACLE,
+    doc="one-sided containment near-dup pairs (|A∩B|/min(|A|,|B|)): the "
+        "subset-duplicate detector Jaccard misses, df-capped equi-join",
+)
+def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    return dedup.containment_pairs(sh, threshold=0.6, max_df=20)

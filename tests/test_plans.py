@@ -609,3 +609,15 @@ def test_e09_index_scan_partition_pruned(spark, sf_dir):
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters: []" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d14_containment_no_all_pairs(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "d14_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ds33_ratio_single_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ds33_am_pm_ratio")
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "CartesianProduct" not in plan
