@@ -22,10 +22,24 @@ from __future__ import annotations
 
 import os
 import time
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from otterbrix_spark.sources.registry import normalize_event_ts
+
+
+@dataclass(frozen=True)
+class StreamStateStats:
+    """State-store metrics aggregated over every progress report of a
+    bounded (availableNow) run. ``max_rows_total`` is the PEAK concurrent
+    state rows across micro-batches — the bounded-state certification
+    metric; ``rows_removed`` is summed watermark evictions — the proof
+    that eviction actually fired (not just that the final report was
+    empty)."""
+
+    max_rows_total: int
+    rows_removed: int
 
 
 def events_stream(
@@ -92,10 +106,8 @@ def run_available_now(
 
 
 # run_available_now_counted returns (result, batches_with_input,
-# final_state_rows) — the third element is the LAST progress report's
-# total state-store rows, which the dedup certification (s09) uses to
-# prove watermark eviction actually happened (a dedup key set that only
-# ever grows is the state leak the gate exists to rule out).
+# StreamStateStats) — see the dataclass and the function docstring for the
+# state-metric semantics the dedup certification (s09) relies on.
 
 
 def run_until_count(
@@ -140,12 +152,20 @@ def run_available_now_counted(
     name: str,
     timeout_s: float = 120.0,
     output_mode: str = "complete",
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, "StreamStateStats"]:
     """``run_available_now`` that also reports how many micro-batches
     actually carried input rows — the multi-batch certification gates
     (s07) assert on it: a run that collapsed into one batch would
     vacuously pass the batch-equality check without exercising
-    cross-batch state merge."""
+    cross-batch state merge.
+
+    Returns ``(result, batches_with_input, state_stats)``: the third
+    element aggregates state-store metrics across EVERY progress report
+    (``max_rows_total`` = peak concurrent state rows, ``rows_removed`` =
+    summed evictions). The dedup certification (s09) asserts on it to
+    prove watermark eviction actually happened; availableNow's final
+    micro-batch is often empty and reports zero state rows, so reading
+    only the last report would pass that check vacuously."""
     query = (
         df.writeStream.trigger(availableNow=True)
         .format("memory")
@@ -168,7 +188,7 @@ def run_available_now_counted(
 
     n_batches = sum(1 for p in query.recentProgress if _rows(p) > 0)
 
-    def _state_rows(p):
+    def _state_metric(p, metric):
         try:
             ops = p.stateOperators
         except (AttributeError, TypeError):
@@ -176,15 +196,21 @@ def run_available_now_counted(
         total = 0
         for op in ops:
             try:
-                total += op.numRowsTotal
+                total += getattr(op, metric)
             except (AttributeError, TypeError):
-                total += op["numRowsTotal"]
+                total += op[metric]
         return total
 
-    final_state_rows = (
-        _state_rows(query.recentProgress[-1]) if query.recentProgress else 0
+    stats = StreamStateStats(
+        max_rows_total=max(
+            (_state_metric(p, "numRowsTotal") for p in query.recentProgress),
+            default=0,
+        ),
+        rows_removed=sum(
+            _state_metric(p, "numRowsRemoved") for p in query.recentProgress
+        ),
     )
-    return _detach_sink(df.sparkSession, name), n_batches, final_state_rows
+    return _detach_sink(df.sparkSession, name), n_batches, stats
 
 
 def _detach_sink(spark: SparkSession, name: str) -> DataFrame:

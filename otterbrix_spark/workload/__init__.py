@@ -27,17 +27,31 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+_SCRATCH_BY_PREFIX: dict[str, str] = {}
+
+
 def scratch_dir(prefix: str) -> str:
-    """Per-invocation scratch directory for gates that materialise state
+    """Per-gate scratch directory for gates that materialise state
     (rollups, landing dirs, persisted indexes). Cleanup is registered
     AT EXIT, not eager: the DataFrame a gate returns reads the directory
     LAZILY (the driver collects it later), so an eager rmtree would yank
-    the files out from under the read."""
+    the files out from under the read.
+
+    Re-invoking the SAME gate (same prefix) in a long-lived session —
+    driver batteries, bench loops, scale probes — RECLAIMS the previous
+    invocation's directory first, so disk use stays bounded at one
+    corpus copy per gate instead of one per invocation. Safe because by
+    the time a gate is re-invoked, its previous result has been
+    consumed (the driver collects each gate's frame before moving on)."""
     import atexit
     import shutil
     import tempfile
 
+    prev = _SCRATCH_BY_PREFIX.pop(prefix, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
     path = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_BY_PREFIX[prefix] = path
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 

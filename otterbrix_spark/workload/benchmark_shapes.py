@@ -4064,7 +4064,7 @@ def ds32(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DS33_ORACLE = """
 SELECT CAST(am.c AS BIGINT) AS am_count,
        CAST(pm.c AS BIGINT) AS pm_count,
-       CAST(am.c AS DOUBLE) / CAST(pm.c AS DOUBLE) AS am_pm_ratio
+       CAST(am.c AS DOUBLE) / CAST(NULLIF(pm.c, 0) AS DOUBLE) AS am_pm_ratio
 FROM (SELECT COUNT(*) AS c FROM events
       WHERE HOUR(ts) BETWEEN 6 AND 11 AND value > 0.5) am,
      (SELECT COUNT(*) AS c FROM events
@@ -4084,9 +4084,14 @@ def ds33(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when((h >= 6) & (h <= 11), 1)).alias("am_count"),
         F.count(F.when((h >= 18) & (h <= 23), 1)).alias("pm_count"),
     )
+    # Zero guard: on an empty evening band DuckDB's IEEE default yields
+    # Infinity while Spark yields NULL — NULLIF in the oracle and an
+    # explicit when() here make both engines emit NULL.
     return agg.select(
         F.col("am_count").cast("long"),
         F.col("pm_count").cast("long"),
-        (F.col("am_count").cast("double") / F.col("pm_count").cast("double"))
-        .alias("am_pm_ratio"),
+        F.when(
+            F.col("pm_count") != 0,
+            F.col("am_count").cast("double") / F.col("pm_count").cast("double"),
+        ).alias("am_pm_ratio"),
     )

@@ -447,7 +447,7 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "user_id")
     )
     name = f"s09_dedup_{uuid.uuid4().hex[:8]}"
-    result, n_batches, state_rows = run_available_now_counted(
+    result, n_batches, state = run_available_now_counted(
         deduped, name, output_mode="append"
     )
     if n_batches < 3:
@@ -455,10 +455,19 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"streaming dedup certification ran only {n_batches} batches"
         )
     n_total = result.count()
-    if n_total > 0 and state_rows >= n_total:
+    # PEAK state rows across all progress reports, not the last report's
+    # (availableNow's final micro-batch is often empty and reports zero
+    # state rows, which would pass a last-report check vacuously), plus a
+    # direct eviction count: both must show the watermark bounding state.
+    if n_total > 0 and state.max_rows_total >= n_total:
         raise AssertionError(
             "watermark never evicted dedup state "
-            f"({state_rows} state rows for {n_total} events)"
+            f"(peak {state.max_rows_total} state rows for {n_total} events)"
+        )
+    if n_total > 0 and state.rows_removed <= 0:
+        raise AssertionError(
+            "watermark reported zero evicted dedup-state rows "
+            f"across {n_batches} batches"
         )
     return (
         result.groupBy("event_type")

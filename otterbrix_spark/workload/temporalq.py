@@ -781,7 +781,13 @@ def h02(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = vt.begin()
     v2 = w.commit(ev)
     ver, touched = ca.refresh_from(vt, base_version=v2 - 1)
-    assert ver == v2 and touched, (ver, len(touched))
+    # Explicit raise, not `assert`: the certification invariant must
+    # survive `python -O` (a no-op refresh would otherwise pass silently).
+    if ver != v2 or not touched:
+        raise AssertionError(
+            f"continuous-aggregate refresh did not advance: version {ver} "
+            f"(wanted {v2}), {len(touched)} touched buckets"
+        )
     return ca.df().select(
         F.col("bucket_us").cast("long").alias("bucket_us"),
         "event_type", "n", "qsum",
