@@ -519,14 +519,16 @@ def kmeans_plan_k(n: int, target_cluster: int = 64) -> int:
     return max(8, math.ceil(n / target_cluster))
 
 
-def kmeans_exact_train_assign(
+def kmeans_exact_train(
     e: DataFrame,
     target_cluster: int = 64,
     n_iter: int = 2,
     k: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Train k-means in exact integer arithmetic and return the final
-    assignment (input columns + cid).
+    ``(assignment, centroids)`` pair — assignment is the input columns +
+    cid; centroids is the tiny (cid, cq, cc) frame the persisted-index
+    build writes as its side file.
 
     k defaults to :func:`kmeans_plan_k` — production SemDeDup sizing
     (cluster count grows with the corpus so block sizes stay constant);
@@ -584,9 +586,23 @@ def kmeans_exact_train_assign(
     # class the round-5 probe diagnosed); the checkpoint also stops the
     # gate's pair SELF-join from re-executing the whole training DAG once
     # per side. localCheckpoint blocks are GC-released with the frame.
+    # The centroid frame is checkpointed too (k rows) so returning it does
+    # not keep the n_iter-deep training DAG alive past eq.unpersist().
+    c = c.localCheckpoint(eager=True)
     out = assign(eq, c).drop("vq", "aq", "aa").localCheckpoint(eager=True)
     eq.unpersist()
-    return out
+    return out, c
+
+
+def kmeans_exact_train_assign(
+    e: DataFrame,
+    target_cluster: int = 64,
+    n_iter: int = 2,
+    k: int | None = None,
+) -> DataFrame:
+    """:func:`kmeans_exact_train` returning only the assignment — the
+    SemDeDup-shaped callers (d13) that never need the centroids back."""
+    return kmeans_exact_train(e, target_cluster, n_iter, k)[0]
 
 
 # --- persisted IVF index (build -> parquet partitioned by cell -> query) ----
@@ -600,12 +616,29 @@ def kmeans_exact_train_assign(
 # cell layout bit-for-bit.
 
 
-def ivf_persist_build(corpus: DataFrame, path: str, n_cells: int = 8) -> None:
-    """Assign each vector to its nearest seed centroid (the n_cells lowest
-    vec_ids, exact integer distance, ties -> lowest cid) and write the
-    index partitioned by cell (one directory per cell, prunable at scan)
-    plus a tiny ``<path>_seeds`` side file holding the centroids — the
-    query must never scan the whole index just to rediscover them."""
+def ivf_persist_build(
+    corpus: DataFrame, path: str, n_cells: int = 8, train_iters: int = 0
+) -> None:
+    """Assign each vector to its nearest centroid (exact integer distance,
+    ties -> lowest cid) and write the index partitioned by cell (one
+    directory per cell, prunable at scan) plus a tiny ``<path>_seeds``
+    side file holding the centroids — the query must never scan the whole
+    index just to rediscover them.
+
+    ``train_iters > 0`` runs that many exact-integer Lloyd iterations
+    (:func:`kmeans_exact_train`) so the cells follow the ACTUAL key
+    distribution instead of the first ``n_cells`` vec_ids — untrained
+    seeds skew cell sizes (and therefore per-probe scan cost and recall)
+    on any clustered real-world distribution, the same reason the
+    reference builds its indexes from the stored key distribution
+    (`components/index/`, `services/index/btree_index_disk.cpp`).
+    ``train_iters=0`` keeps the legacy seed-only layout (e09's gate)."""
+    if train_iters > 0:
+        assigned, c = kmeans_exact_train(corpus, n_iter=train_iters, k=n_cells)
+        c.coalesce(1).write.mode("overwrite").parquet(path + "_seeds")
+        assigned = assigned.select("vec_id", "v", "nrm", "cid")
+        _ivf_persist_write(assigned, path)
+        return
     eq = _kmeans_exact_quantize(corpus)
     c = (
         eq.filter(F.col("vec_id") < n_cells)
@@ -614,6 +647,10 @@ def ivf_persist_build(corpus: DataFrame, path: str, n_cells: int = 8) -> None:
     )
     c.coalesce(1).write.mode("overwrite").parquet(path + "_seeds")
     assigned = _kmeans_exact_assign(eq, c).select("vec_id", "v", "nrm", "cid")
+    _ivf_persist_write(assigned, path)
+
+
+def _ivf_persist_write(assigned: DataFrame, path: str) -> None:
     if assigned.isEmpty():
         # partitionBy over zero rows writes no schema-bearing files and the
         # read side then cannot infer a schema; an UNPARTITIONED empty file

@@ -2174,6 +2174,101 @@ def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("rank", F.col("rank").cast("int"))
 
 
+# --- e10: persisted IVF index with TRAINED centroids ------------------------
+# e09 certifies the index LIFECYCLE with seed cells (first n_cells
+# vec_ids); e10 certifies the index QUALITY path: cells come from 2
+# exact-integer Lloyd iterations (the d13 trainer), so the layout follows
+# the actual key distribution — the reference's index machinery always
+# builds from stored keys (`components/index/`,
+# `services/index/btree_index_disk.cpp`). Untrained seeds skew cell
+# sizes, which skews both per-probe scan cost and recall on clustered
+# data. The oracle unrolls training exactly as d13 does (a1..a3, c1..c2),
+# then replays probe selection + exact-cosine rerank against the FINAL
+# centroids/assignment — the parquet index is a layout of the same rows,
+# so results must match bit-for-bit. Production sizing passes
+# k = kmeans_plan_k(n) instead of the gate's fixed 8.
+
+_E10_ORACLE = (
+    """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n0 AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)) AS vq,
+         list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                        x -> x * 256) AS aq,
+         list_sum(list_transform(
+           list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                          x -> x * 256),
+           x -> CAST(x AS DOUBLE) * x)) AS aa,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, aq AS cq,
+         list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS cc
+  FROM n0 QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+a1 AS ("""
+    + _D13_ASSIGN.format(c="c0")
+    + """),
+c1 AS ("""
+    + _D13_UPDATE.format(a="a1")
+    + """),
+a2 AS ("""
+    + _D13_ASSIGN.format(c="c1")
+    + """),
+c2 AS ("""
+    + _D13_UPDATE.format(a="a2")
+    + """),
+a3 AS ("""
+    + _D13_ASSIGN.format(c="c2")
+    + """),
+probes AS (
+  SELECT query_id, qv, qn, probe_cid FROM (
+    SELECT n0.vec_id AS query_id, n0.v AS qv, n0.nrm AS qn,
+           c2.cid AS probe_cid,
+           ROW_NUMBER() OVER (PARTITION BY n0.vec_id
+             ORDER BY n0.aa - 2 * list_dot_product(
+                        list_transform(n0.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c2.cq, x -> CAST(x AS DOUBLE)))
+                      + c2.cc, c2.cid) AS rn
+    FROM n0 CROSS JOIN c2 WHERE n0.vec_id < 5) WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS cos
+  FROM a3 a JOIN probes p ON a.cid = p.probe_cid
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand) WHERE rank <= 5
+"""
+)
+
+
+@query(
+    "e10_ivf_trained_index", _E10_ORACLE,
+    doc="persisted IVF index built from TRAINED centroids (2 exact-integer "
+        "Lloyd iterations): cells follow the key distribution, balancing "
+        "per-probe scan cost; same partition-pruned query path as e09",
+)
+def e10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.workload import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    scratch = scratch_dir("e10_ivf_")
+    path = os.path.join(scratch, "ivf_index")
+    similarity.ivf_persist_build(corpus, path, n_cells=8, train_iters=2)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
 # --- d14: containment (one-sided) near-dup pairs ----------------------------
 # Jaccard misses subset duplicates (a short doc fully embedded in a long
 # one scores |A|/|B|, arbitrarily low); containment |A∩B|/min(|A|,|B|)

@@ -119,9 +119,14 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 150)
         .select("l_orderkey")
     )
+    # Join order matters at scale: the >150-quantity HAVING filter is
+    # highly selective, so semi-join orders against it FIRST, then join
+    # customer onto the surviving handful. Catalyst does not reorder
+    # through a left_semi on its own; the naive customer-first order
+    # shuffles the full customer x orders join and throws most of it away.
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(big, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        orders.join(big, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
