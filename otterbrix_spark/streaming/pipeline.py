@@ -173,34 +173,10 @@ def run_available_now_counted(
         .outputMode(output_mode)
         .start()
     )
-    deadline = time.time() + timeout_s
-    while query.isActive and time.time() < deadline:
-        time.sleep(0.2)
-    if query.isActive:
-        query.stop()
-        raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
-    query.awaitTermination()
-    def _rows(p):  # StreamingQueryProgress: attribute in 4.x, dict in older
-        try:
-            return p.numInputRows
-        except (AttributeError, TypeError):
-            return p["numInputRows"]
-
-    n_batches = sum(1 for p in query.recentProgress if _rows(p) > 0)
-
-    def _state_metric(p, metric):
-        try:
-            ops = p.stateOperators
-        except (AttributeError, TypeError):
-            ops = p["stateOperators"]
-        total = 0
-        for op in ops:
-            try:
-                total += getattr(op, metric)
-            except (AttributeError, TypeError):
-                total += op[metric]
-        return total
-
+    _await_bounded(query, name, timeout_s)
+    n_batches = sum(
+        1 for p in query.recentProgress if _progress_rows(p) > 0
+    )
     stats = StreamStateStats(
         max_rows_total=max(
             (_state_metric(p, "numRowsTotal") for p in query.recentProgress),
@@ -211,6 +187,71 @@ def run_available_now_counted(
         ),
     )
     return _detach_sink(df.sparkSession, name), n_batches, stats
+
+
+def _await_bounded(query, name: str, timeout_s: float) -> None:
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
+    query.awaitTermination()
+
+
+def _progress_rows(p):  # StreamingQueryProgress: attribute in 4.x, dict in older
+    try:
+        return p.numInputRows
+    except (AttributeError, TypeError):
+        return p["numInputRows"]
+
+
+def _state_metric(p, metric):
+    try:
+        ops = p.stateOperators
+    except (AttributeError, TypeError):
+        ops = p["stateOperators"]
+    total = 0
+    for op in ops:
+        try:
+            total += getattr(op, metric)
+        except (AttributeError, TypeError):
+            total += op[metric]
+    return total
+
+
+def run_available_now_to_files(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_s: float = 120.0,
+) -> tuple[int, int]:
+    """One availableNow pass into a parquet FILE sink with a durable
+    checkpoint; returns ``(batches_with_input, input_rows)``.
+
+    Unlike the memory-sink harness this SURVIVES restart: re-invoking
+    with the same checkpoint resumes from the recorded source offsets
+    (already-committed files are not re-read), recovers operator state
+    (watermark, dedup keys) from the state store, and the file sink's
+    ``_spark_metadata`` commit log keeps the output exactly-once even if
+    a batch was interrupted mid-write — the production recovery contract
+    the restart certification (s10) exercises. Read the output back with
+    a plain ``spark.read.parquet(out_dir)``: the batch reader honours
+    the commit log, so orphan files from an uncommitted batch are
+    invisible."""
+    query = (
+        df.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    _await_bounded(query, out_dir, timeout_s)
+    progress = query.recentProgress
+    n_batches = sum(1 for p in progress if _progress_rows(p) > 0)
+    input_rows = sum(_progress_rows(p) for p in progress)
+    return n_batches, input_rows
 
 
 def _detach_sink(spark: SparkSession, name: str) -> DataFrame:

@@ -477,3 +477,102 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- s10: restart-from-checkpoint certification ------------------------------
+# Every other streaming gate certifies a single uninterrupted run; a
+# production pipeline actually relies on what happens when the query is
+# STOPPED and RESUMED — source offsets, watermark, and dedup state must
+# all come back from the checkpoint, and the file sink's commit log must
+# keep the output exactly-once across the boundary. Phase 1 lands half
+# the time-sliced corpus and runs an availableNow pass to completion
+# (checkpointed parquet sink); phase 2 lands the remaining slices PLUS a
+# re-delivery of every phase-1 file and resumes from the same checkpoint.
+# A correct resume (a) does not re-read committed files, (b) suppresses
+# the re-delivered rows (recovered dedup state or recovered-watermark
+# late-drop — both correct), and (c) the combined output hash-matches the
+# batch aggregate over the corpus. The gate asserts all three; the oracle
+# is the same batch SQL as s09 (dedup output = the original events).
+
+_S10_ORACLE = _S09_ORACLE
+
+
+@query(
+    "s10_streaming_restart", _S10_ORACLE,
+    doc="restart-from-checkpoint certification: availableNow pass, stop, "
+        "land more files + re-deliveries, resume from the same checkpoint "
+        "-> exactly-once output hash-matched against the batch aggregate",
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from otterbrix_spark.streaming.pipeline import (
+        run_available_now_to_files,
+    )
+    from otterbrix_spark.workload import scratch_dir
+
+    full = _sliced_events_dir(spark, sf_dir, n_files=4)
+    parts = sorted(
+        glob.glob(os.path.join(full, "events.parquet", "part-*.parquet"))
+    )
+    scratch = scratch_dir("s10_restart_")
+    landing = os.path.join(scratch, "events.parquet")
+    os.makedirs(landing)
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    base = 1_700_000_000
+
+    def land(src_file: str, name: str, seq: int) -> None:
+        dst = os.path.join(landing, name)
+        shutil.copyfile(src_file, dst)
+        os.utime(dst, (base + seq * 60, base + seq * 60))
+
+    half = max(1, len(parts) // 2)
+    for i, f in enumerate(parts[:half]):
+        land(f, f"part-{i:04d}.parquet", i)
+
+    def graph() -> DataFrame:
+        stream = events_stream(spark, scratch, max_files_per_trigger=1)
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .dropDuplicates(["event_id", "ts"])
+            .select("event_id", "event_type", "user_id")
+        )
+
+    n1, in1 = run_available_now_to_files(graph(), out, ckpt)
+    rows_after_run1 = spark.read.parquet(out).count()
+    # phase 2: the remaining slices, then a RE-DELIVERY of every phase-1
+    # file (later mtimes, so the new slices advance the watermark first)
+    for j, f in enumerate(parts[half:]):
+        land(f, f"part-{half + j:04d}.parquet", half + j)
+    for j, f in enumerate(parts[:half]):
+        land(f, f"redeliver-{j:04d}.parquet", len(parts) + j)
+    n2, in2 = run_available_now_to_files(graph(), out, ckpt)
+    result = spark.read.parquet(out)
+    n_total = result.count()
+    emitted2 = n_total - rows_after_run1
+    if n1 < 1 or n2 < 1:
+        raise AssertionError(
+            f"restart certification needs input batches on BOTH sides of "
+            f"the restart (run1={n1}, run2={n2})"
+        )
+    if in2 <= emitted2:
+        raise AssertionError(
+            "resumed run emitted every input row — re-delivered phase-1 "
+            f"rows were not suppressed ({emitted2} emitted of {in2} input)"
+        )
+    if rows_after_run1 >= n_total:
+        raise AssertionError(
+            "resumed run emitted nothing — checkpoint resume did not "
+            "process the newly landed slices"
+        )
+    return (
+        result.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
