@@ -232,3 +232,94 @@ def y02(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(r_regionkey * 10 + LENGTH(r_name) AS INT)) FROM region"
     )
     return eng.sql("SELECT s.id, (s.p).* FROM y02_comp s ORDER BY s.id")
+
+
+# --- y03: dynamic-schema table (schema-on-write + widening + variant) -------
+# §1.1's signature feature gets its driver gate: a DynamicTable ingests
+# three batches with DIFFERENT schemas (reference `relkind='g'` computing
+# tables, catalog `pg_computed_column` versioning —
+# `components/catalog/system_table_schemas.cpp:17-18,234`; WAL
+# `PHYSICAL_ADD_COLUMN` `services/wal/record.hpp:16-21`):
+#   b1: (id, amount DOUBLE)               — o_orderkey % 3 = 0
+#   b2: (id, amount BIGINT, status)       — % 3 = 1; numeric widening
+#   b3: (id, amount VARCHAR(non-numeric), status) — % 3 = 2; widens the
+#       column to string, the `::?` variant case
+# The union read surfaces absent columns as NULL; variant_select
+# recovers the typed view (values genuinely castable to DOUBLE — b1's
+# roundtripped doubles and b2's integers; b3's priority strings drop).
+# The oracle replays the union + try_cast semantics straight off orders.
+# Scale: batches are parquet appends, the union read is a per-batch
+# projection (no shuffle), the summary one partial+final agg.
+
+_Y03_ORACLE = """
+WITH b1 AS (
+  SELECT o_orderkey AS id, o_totalprice AS amt_d,
+         CAST(NULL AS VARCHAR) AS status
+  FROM orders WHERE o_orderkey % 3 = 0),
+b2 AS (
+  SELECT o_orderkey AS id, CAST(o_orderkey AS DOUBLE) AS amt_d,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 = 1),
+b3 AS (
+  SELECT o_orderkey AS id, CAST(NULL AS DOUBLE) AS amt_d,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 3 = 2),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_status_null,
+       CAST(COUNT(amt_d) AS BIGINT) AS n_amount_double,
+       CAST(SUM(CAST(FLOOR(amt_d * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS amount_sum
+FROM u
+"""
+
+
+@query(
+    "y03_dynamic_schema", _Y03_ORACLE,
+    doc="dynamic-schema table: three batches with different schemas "
+        "(new column, numeric widening, string-conflict variant), union "
+        "read with NULL backfill + variant_select typed recovery",
+)
+def y03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.sources.dynamic import DynamicTable
+    from otterbrix_spark.workload import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    dt = DynamicTable(spark, os.path.join(scratch_dir("y03_dyn_"), "t"))
+    k = F.col("o_orderkey")
+    dt.insert(
+        orders.filter(k % 3 == 0).select(
+            k.alias("id"), F.col("o_totalprice").alias("amount")
+        )
+    )
+    dt.insert(
+        orders.filter(k % 3 == 1).select(
+            k.alias("id"),
+            k.cast("long").alias("amount"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    dt.insert(
+        orders.filter(k % 3 == 2).select(
+            k.alias("id"),
+            F.col("o_orderpriority").alias("amount"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    full = dt.df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("status").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_status_null"),
+    )
+    typed = dt.variant_select("amount", "double").agg(
+        F.count(F.lit(1)).alias("n_amount_double"),
+        (
+            F.sum(F.floor(F.col("amount") * 100.0).cast("long"))
+            .cast("double") / 100.0
+        ).alias("amount_sum"),
+    )
+    return full.crossJoin(typed)
