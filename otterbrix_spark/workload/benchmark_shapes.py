@@ -4095,3 +4095,344 @@ def ds33(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("am_count").cast("double") / F.col("pm_count").cast("double"),
         ).alias("am_pm_ratio"),
     )
+
+
+# --- ds34: TPC-DS Q72 shape — date-dim TRIPLE role with cross-role preds ----
+# Template (`benchmark/tpcds/query72.tpl`): catalog_sales x inventory with
+# date_dim joined THREE times (sold / inventory / ship roles), week
+# equality BETWEEN roles (d1.d_week_seq = d2.d_week_seq), a day-offset
+# inequality (d3.d_date > d1.d_date + 5), a LEFT JOIN whose null-ness is
+# counted (promo vs no_promo), group + topk. Re-authored on the repo
+# corpus: lineitem x orders, a derived dense date dim (spine from one
+# tiny min/max agg — O(days), broadcast at any scale) in the order-date /
+# ship-date / derived-receipt-date roles, promo = the p_size >= 40 part
+# subset. All three dim joins broadcast; the only big shuffle is the
+# lineitem-orders join + final agg.
+
+_DS34_ORACLE = """
+WITH bounds AS (
+  SELECT (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders) AS lo,
+         (SELECT MAX(CAST(l_shipdate AS DATE)) + 7 FROM lineitem) AS hi),
+dd AS (
+  SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d_date
+  FROM bounds),
+dd2 AS (
+  SELECT d_date,
+         CAST(datediff('day', DATE '1970-01-01', d_date) // 7 AS BIGINT)
+           AS d_week_seq
+  FROM dd),
+f AS (
+  SELECT l.l_partkey, l.l_returnflag,
+         d1.d_week_seq AS week_seq, d1.d_date AS order_d
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN dd2 d1 ON d1.d_date = CAST(o.o_orderdate AS DATE)
+  JOIN dd2 d2 ON d2.d_date = CAST(l.l_shipdate AS DATE)
+             AND d1.d_week_seq = d2.d_week_seq
+  JOIN dd2 d3 ON d3.d_date = CAST(l.l_shipdate AS DATE) + l.l_linenumber
+             AND d3.d_date > d1.d_date + 5)
+SELECT f.week_seq, f.l_returnflag,
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS no_promo,
+       CAST(SUM(CASE WHEN p.p_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS promo,
+       CAST(COUNT(*) AS BIGINT) AS total_cnt
+FROM f LEFT JOIN (SELECT p_partkey FROM part WHERE p_size >= 40) p
+  ON f.l_partkey = p.p_partkey
+GROUP BY f.week_seq, f.l_returnflag
+ORDER BY total_cnt DESC, f.week_seq, f.l_returnflag
+LIMIT 30
+"""
+
+
+@query(
+    "ds34_week_chain_triple_date", _DS34_ORACLE,
+    doc="TPC-DS Q72 shape: one date dim joined in THREE roles with "
+        "cross-role week equality + day-offset predicates, null-counted "
+        "promo left join, top-30",
+)
+def ds34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    bounds = (
+        orders.agg(F.min(F.to_date("o_orderdate")).alias("lo"))
+        .crossJoin(
+            li.agg(F.date_add(F.max(F.to_date("l_shipdate")), 7).alias("hi"))
+        )
+    )
+    dd = (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("d_date"))
+        .withColumn(
+            "d_week_seq",
+            (F.datediff("d_date", F.lit("1970-01-01").cast("date")) / 7)
+            .cast("long"),
+        )
+        # O(days) rows; checkpoint so the spine (and its 1-row bounds
+        # cross join) computes ONCE instead of once per date role
+        .localCheckpoint(eager=True)
+    )
+    d1 = dd.select(
+        F.col("d_date").alias("d1_date"), F.col("d_week_seq").alias("week_seq")
+    )
+    d2 = dd.select(
+        F.col("d_date").alias("d2_date"), F.col("d_week_seq").alias("w2")
+    )
+    d3 = dd.select(F.col("d_date").alias("d3_date"))
+    promo = part.filter(F.col("p_size") >= 40).select("p_partkey")
+    f = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(d1), F.col("d1_date") == F.to_date("o_orderdate")
+        )
+        .join(
+            F.broadcast(d2),
+            (F.col("d2_date") == F.to_date("l_shipdate"))
+            & (F.col("week_seq") == F.col("w2")),
+        )
+        .join(
+            F.broadcast(d3),
+            (
+                F.col("d3_date")
+                == F.expr("date_add(to_date(l_shipdate), l_linenumber)")
+            )
+            & (F.col("d3_date") > F.date_add("d1_date", 5)),
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left")
+    )
+    return (
+        f.groupBy("week_seq", "l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("p_partkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("no_promo"),
+            F.sum(F.when(F.col("p_partkey").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("promo"),
+            F.count(F.lit(1)).alias("total_cnt"),
+        )
+        .orderBy(F.col("total_cnt").desc(), "week_seq", "l_returnflag")
+        .limit(30)
+    )
+
+
+# --- ds35: TPC-DS Q14 shape — INTERSECT-driven cross-channel agg ------------
+# Template (`benchmark/tpcds/query14.tpl`): cross_items = the item keys
+# present in ALL THREE sales channels (two INTERSECTs), avg_sales = a
+# scalar threshold over the UNION ALL of the channels, then a per-channel
+# aggregate restricted (IN-subquery -> semi-join) to cross_items and
+# HAVING-filtered against the scalar. Re-authored on events: channels =
+# click/view/purchase, items = user_ids, sales = quantized value sums.
+# The INTERSECT chain lowers to semi-joins over distinct keys (one
+# shuffle per channel), the scalar is a broadcast threshold, the final
+# agg is two-level (per user then per channel) — no shape in the corpus
+# repeats this topology.
+
+_DS35_ORACLE = """
+WITH cross_users AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+chan AS (
+  SELECT event_type, user_id,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS qsum
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+    AND user_id IN (SELECT user_id FROM cross_users)
+  GROUP BY event_type, user_id),
+avg_sales AS (
+  SELECT CAST(SUM(qsum) AS DOUBLE) / COUNT(*) AS threshold
+  FROM chan)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(qsum) AS DOUBLE) / 10000.0 AS total_value
+FROM chan
+WHERE CAST(qsum AS DOUBLE) > (SELECT threshold FROM avg_sales)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "ds35_cross_channel_intersect", _DS35_ORACLE,
+    doc="TPC-DS Q14 shape: INTERSECT chain of per-channel key sets, "
+        "UNION-derived scalar threshold, semi-join-restricted per-channel "
+        "aggregate with HAVING vs the scalar",
+)
+def ds35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t).select("user_id").distinct()
+        )
+
+    cross_users = (
+        users("click").intersect(users("view")).intersect(users("purchase"))
+    )
+    chan = (
+        ev.filter(
+            F.col("event_type").isin("click", "view", "purchase")
+        )
+        .join(cross_users, "user_id", "left_semi")
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(_q(F.col("value"))).alias("qsum"))
+    )
+    chan = chan.localCheckpoint(eager=False)  # reused by scalar + final agg
+    threshold = (
+        chan.agg(
+            (F.sum("qsum").cast("double") / F.count(F.lit(1))).alias("t")
+        )
+    )
+    return (
+        chan.crossJoin(F.broadcast(threshold))
+        .filter(F.col("qsum").cast("double") > F.col("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.sum("qsum").cast("double") / _Q).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- c19: ClickBench Q19 shape — time-part + high-card key top-10 -----------
+# `benchmark/clickbench/queries.sql:19`: GROUP BY (UserID,
+# minute(EventTime), SearchPhrase) ORDER BY count DESC LIMIT 10 — the
+# cardinality-explosion grouping (user x minute x phrase) that stresses
+# partial aggregation: the per-key counts are tiny, so the map-side
+# combine barely reduces and the shuffle carries ~input-size groups.
+# Re-authored on events with deterministic tiebreaks (the template's bare
+# ORDER BY count leaves ties unordered). TopK lowers to
+# TakeOrderedAndProject — no global sort.
+
+_C19_ORACLE = """
+SELECT user_id, CAST(EXTRACT(minute FROM ts) AS INT) AS m, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY user_id, m, event_type
+ORDER BY n DESC, user_id, m, event_type
+LIMIT 10
+"""
+
+
+@query(
+    "c19_minute_phrase_topk", _C19_ORACLE,
+    doc="ClickBench Q19 shape: (user, minute-of-hour, type) grouping — "
+        "cardinality explosion through partial agg, top-10",
+)
+def c19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.minute("ts").alias("m"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id", "m", "event_type")
+        .limit(10)
+    )
+
+
+# --- l12: LDBC BI-15 shape — interaction-weighted bounded shortest path -----
+# Template (`benchmark/ldbc/bi-15.sql`): edge weights derived from an
+# interaction aggregate (10/(w+10) per knows-edge), then a weighted
+# shortest path between people. Re-authored on the co-supplier graph
+# (l09/l11's): edge weight = co-order count, per-edge cost the template's
+# reciprocal-interaction form held EXACT-INTEGER (floor(1e6/(w+10)) —
+# float path sums differ in the last ulp between engines depending on
+# association, the g02 lesson), out-degree capped at 5 (l11's bound: the
+# frontier is at most 5^k from any source regardless of the degree
+# distribution), and the path search is 3 rounds of Bellman-Ford
+# RELAXATION: dist_k = min(dist_{k-1}, min over edges(dist_{k-1}[src] +
+# cost)) — O(V) state per round, never path enumeration; each round is
+# one equi-join + one groupBy-min on the node key. Positive costs give
+# prefix optimality, so 3 relaxation rounds = exact min over <=3-hop
+# walks, which is what the oracle's bounded recursive CTE enumerates.
+
+_L12_ORACLE = """
+WITH RECURSIVE so AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2),
+e0 AS (
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS w
+  FROM so a JOIN so b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  GROUP BY 1, 2),
+e AS (
+  SELECT src, dst, CAST(FLOOR(1000000.0 / (w + 10)) AS BIGINT) AS cost
+  FROM e0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+    CAST(FLOOR(1000000.0 / (w + 10)) AS BIGINT), dst) <= 5),
+s AS (SELECT MIN(src) AS root FROM e),
+walk(dst, cost, depth) AS (
+  SELECT e.dst, e.cost, 1 FROM e JOIN s ON e.src = s.root
+  UNION ALL
+  SELECT e.dst, w.cost + e.cost, w.depth + 1
+  FROM walk w JOIN e ON e.src = w.dst WHERE w.depth < 3)
+SELECT dst, CAST(MIN(cost) AS BIGINT) AS best_cost
+FROM walk WHERE dst <> (SELECT root FROM s)
+GROUP BY dst ORDER BY best_cost, dst LIMIT 20
+"""
+
+
+@query(
+    "l12_weighted_path", _L12_ORACLE,
+    doc="LDBC BI-15 shape: interaction-weighted edges (exact-integer "
+        "reciprocal cost), out-degree cap 5, 3-round Bellman-Ford "
+        "relaxation = exact min-cost over <=3-hop walks",
+)
+def l12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    so = li.select("l_orderkey", "l_suppkey").distinct()
+    right = so.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb")
+    )
+    e0 = (
+        so.join(
+            right,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("l_suppkey") != F.col("sb")),
+        )
+        .groupBy(F.col("l_suppkey").alias("src"), F.col("sb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    cost = F.floor(1000000.0 / (F.col("w") + 10)).cast("long")
+    wcap = Window.partitionBy("src").orderBy(cost, "dst")
+    e = (
+        e0.withColumn("cost", cost)
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 5)
+        .select("src", "dst", "cost")
+        .localCheckpoint(eager=True)  # reused every relaxation round
+    )
+    root = e.agg(F.min("src").alias("root"))
+    dist = (
+        e.join(F.broadcast(root), F.col("src") == F.col("root"))
+        .select("dst", "cost")
+    )
+    hop = e.select(
+        F.col("src").alias("hsrc"), F.col("dst").alias("hdst"),
+        F.col("cost").alias("hcost"),
+    )
+    for _ in range(2):
+        relaxed = dist.join(hop, F.col("dst") == F.col("hsrc")).select(
+            F.col("hdst").alias("dst"),
+            (F.col("cost") + F.col("hcost")).alias("cost"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("dst")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return (
+        dist.crossJoin(F.broadcast(root))
+        .filter(F.col("dst") != F.col("root"))
+        .select("dst", F.col("cost").alias("best_cost"))
+        .orderBy("best_cost", "dst")
+        .limit(20)
+    )

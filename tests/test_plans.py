@@ -658,3 +658,38 @@ def test_e10_trained_index_partition_pruned(spark, sf_dir):
     assert "dynamicpruning" in plan.lower()
     assert "PartitionFilters: []" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ds34_week_chain_triple_date",
+        "ds35_cross_channel_intersect",
+        "c19_minute_phrase_topk",
+        "l12_weighted_path",
+        "y03_dynamic_schema",
+        "s10_streaming_restart",
+    ],
+)
+def test_round7_shapes_no_nested_loop(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    # scalar-threshold / root broadcasts are the only BNLJ-free cross
+    # joins allowed; anything nested-loop over row data is a scale bug
+    assert "BroadcastNestedLoopJoin" not in plan or name in (
+        "ds35_cross_channel_intersect",  # 1-row scalar threshold crossJoin
+        "l12_weighted_path",  # 1-row root crossJoin
+        "y03_dynamic_schema",  # two 1-row summary aggregates crossJoined
+    )
+
+
+def test_c19_topk_lowered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c19_minute_phrase_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ds34_date_dims_broadcast(spark, sf_dir):
+    # the three date-role joins must all broadcast the tiny spine; the
+    # only big shuffle is lineitem x orders + the final aggregate
+    plan = plan_of(spark, sf_dir, "ds34_week_chain_triple_date")
+    assert plan.count("BroadcastHashJoin") >= 4  # d1, d2, d3, promo
