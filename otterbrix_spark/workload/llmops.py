@@ -2300,3 +2300,95 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingles(docs)
     return dedup.containment_pairs(sh, threshold=0.6, max_df=20)
+
+
+# --- t12: Gopher repetition filters -----------------------------------------
+# The within-document repetition family from Gopher (Rae et al. 2021,
+# Table A1) that t09's bigram filter left out: duplicate-WORD fraction
+# (1 - distinct/total) and top-bigram concentration (most frequent
+# bigram's share of all bigrams) — the two cheapest and highest-recall
+# repetition signals a corpus cleaner runs on every document. Pure array
+# expressions up to one per-doc bigram mode (explode -> count ->
+# max(struct) argmax, n narrow rows through the shuffle, never a
+# window over exploded bigrams). Fractions are single divisions of exact
+# integers; the mode tie-break (highest count, then largest bigram) is
+# pinned identically in both engines.
+
+_T12_ORACLE = """
+WITH w AS (
+  SELECT doc_id, source, regexp_extract_all(text, '[^ ]+') AS ws
+  FROM documents),
+b AS (
+  SELECT doc_id, source,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct,
+         ws
+  FROM w WHERE len(ws) >= 2),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM b, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+bgc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, n AS top_bigram_n FROM bgc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, g DESC) = 1)
+SELECT b.doc_id, b.source,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       CAST(b.n_distinct AS BIGINT) AS n_distinct,
+       CAST(t.top_bigram_n AS BIGINT) AS top_bigram_n,
+       CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words AS dup_word_frac,
+       CAST(t.top_bigram_n AS DOUBLE) / (b.n_words - 1) AS top_bigram_frac,
+       (CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words < 0.5
+        AND CAST(t.top_bigram_n AS DOUBLE) / (b.n_words - 1) < 0.2)
+         AS passes_gopher
+FROM b JOIN top t ON b.doc_id = t.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@query(
+    "t12_repetition_filters", _T12_ORACLE,
+    doc="Gopher repetition filters: duplicate-word fraction + top-bigram "
+        "concentration per document, exact-integer counts, single-division "
+        "fractions, pinned mode tie-break",
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0)
+    b = (
+        docs.select("doc_id", "source", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .withColumn("n_words", F.size("ws").cast("long"))
+        .withColumn("n_distinct", F.size(F.array_distinct("ws")).cast("long"))
+    )
+    bg = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    top = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("n", "g")).alias("m"))
+        .select("doc_id", F.col("m.n").alias("top_bigram_n"))
+    )
+    dup_frac = (
+        (F.col("n_words") - F.col("n_distinct")).cast("double")
+        / F.col("n_words")
+    )
+    top_frac = F.col("top_bigram_n").cast("double") / (F.col("n_words") - 1)
+    return (
+        b.join(top, "doc_id")
+        .select(
+            "doc_id", "source", "n_words", "n_distinct",
+            F.col("top_bigram_n").cast("long").alias("top_bigram_n"),
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_frac < 0.5) & (top_frac < 0.2)).alias("passes_gopher"),
+        )
+        .orderBy("doc_id")
+    )

@@ -882,3 +882,92 @@ def sk02(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct bigint, direct_estimate double, "
         "merged_estimate double, merge_exact boolean",
     )
+
+
+# sk03: KMV sketch SET ALGEBRA — theta-sketch intersection (Dasgupta et
+# al., "Theta sketch framework"). sk01 estimates one set's cardinality,
+# sk02 proves per-shard mergeability; sk03 completes the algebra real
+# deployments use: |A ∩ B| without ever materialising the intersection.
+# Method: k smallest hashes of the UNION carry membership flags for each
+# side; Jaccard-hat = |{union-sketch entries in both}| / k, and
+# |A ∩ B|-hat = union-cardinality-hat * Jaccard-hat. Deterministic md5
+# hashes -> the oracle replays the identical arithmetic bit-for-bit.
+# Distributed shape: one distinct + one membership groupBy + a top-k
+# (TakeOrderedAndProject — per-partition k then merge, NO global sort)
+# + a 64-row aggregate; the exact intersection is computed alongside
+# only as the gate's reference column.
+_SK03_K = 64
+
+_SK03_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type IN ('click', 'purchase')),
+m AS (
+  SELECT hv,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM h GROUP BY hv),
+topk AS (SELECT * FROM m ORDER BY hv LIMIT {_SK03_K}),
+agg AS (
+  SELECT MAX(hv) AS r,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS both_in
+  FROM topk),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM m WHERE in_a = 1 AND in_b = 1)
+SELECT ex.exact_intersection,
+       agg.both_in,
+       CAST(agg.both_in AS DOUBLE) / {_SK03_K}.0 AS kmv_jaccard,
+       ({_SK03_K - 1}.0 * {_SK01_SPACE} / CAST(agg.r AS DOUBLE))
+         * (CAST(agg.both_in AS DOUBLE) / {_SK03_K}.0)
+         AS kmv_intersection_estimate
+FROM agg, ex
+"""
+
+
+@query(
+    "sk03_kmv_intersection", _SK03_ORACLE,
+    doc="theta-sketch intersection: union KMV sketch with membership "
+        "flags, Jaccard-hat * union-cardinality-hat, exact deterministic "
+        "oracle; top-k via TakeOrderedAndProject, no global sort",
+)
+def sk03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    )
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    m = h.groupBy("hv").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("in_b"),
+    )
+    m = m.localCheckpoint(eager=False)  # reused: top-k sketch + exact ref
+    topk = m.orderBy("hv").limit(_SK03_K)
+    agg = topk.agg(
+        F.max("hv").alias("r"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("both_in"),
+    )
+    ex = (
+        m.filter((F.col("in_a") == 1) & (F.col("in_b") == 1))
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    union_card = (
+        F.lit(float(_SK03_K - 1)) * F.lit(_SK01_SPACE)
+        / F.col("r").cast("double")
+    )
+    jac = F.col("both_in").cast("double") / F.lit(float(_SK03_K))
+    return ex.crossJoin(F.broadcast(agg)).select(
+        "exact_intersection",
+        "both_in",
+        jac.alias("kmv_jaccard"),
+        (union_card * jac).alias("kmv_intersection_estimate"),
+    )
