@@ -129,21 +129,21 @@ def minhash_signature_str(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     sh: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """Candidate pairs (a < b) sharing at least one LSH band.
-
-    Bands are concatenations of `band_size` consecutive minhash values; the
-    pair space is generated by a self-equi-join on (band_index, band_value) —
-    a hash-partitioned shuffle join, never a cross join.
-    """
+    """(id, band_idx, band_val) rows — each document's LSH band values
+    (concatenations of `band_size` consecutive minhash values). The band
+    frame is both the self-join input of :func:`lsh_candidate_pairs` and
+    the PERSISTED state of an incremental dedup index (d15): stored
+    bucketed on the band value, a delta batch's bands join it with no
+    shuffle on the index side."""
     sigs = minhash_signatures(sh, id_col, num_hashes)
     n_bands = num_hashes // band_size
-    bands = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -163,6 +163,20 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_val")
+
+
+def lsh_candidate_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one LSH band.
+
+    The pair space is generated by a self-equi-join on (band_index,
+    band_value) — a hash-partitioned shuffle join, never a cross join.
+    """
+    bands = lsh_bands(sh, id_col, num_hashes, band_size)
     left = bands.select(
         F.col(id_col).alias("a"), F.col("band_idx"), F.col("band_val")
     )

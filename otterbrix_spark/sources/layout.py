@@ -21,7 +21,23 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_col: str | None = None,
 ) -> None:
-    """Persist as a bucketed managed table (session catalog)."""
+    """Persist as a bucketed managed table (session catalog).
+
+    Drops any previous incarnation first — including the ORPHANED case
+    where a prior session's managed location survives on disk without a
+    catalog entry in this session (saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if warehouse:
+        shutil.rmtree(
+            f"{warehouse.rstrip('/')}/{table_name.lower()}",
+            ignore_errors=True,
+        )
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

@@ -67,43 +67,43 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The correctness driver verifies the FIRST 50 registry entries per round.
-# Rounds 1-5 rotated the window so that 199 distinct gates have a
-# driver-green row (r05 certified 49 first-timers, closing the whole
-# round-3/4 tail). Round 6 rotates onto the LAST never-sampled cohort: the
-# 24 round-5 additions (VERDICT r5 Next #1) plus this round's 24 new gates
-# (d13 production SemDeDup, l11 degree-capped FOAF, s07 multi-batch,
-# s08 streaming->rollup, aj03 forward-tolerance as-of, g02 interpolating
-# gapfill, p07 leakage-free split, e08 ANN recall, ds26-ds30 + c17,
-# c18, native-pivot and fact-chain shapes)
-# behind the q01 smoke anchor, with the single remaining slot a
-# regression re-check of the LEAST-recently-verified gate (last
-# driver-green in r01/r02). Everything rotated out stayed green in a prior driver window
-# AND keeps passing the identical local DuckDB battery
-# (tests/test_workload_oracle.py) at sf0.001 and sf0.01.
+# Round-7 window: the q01 anchor; the 3 gates that landed after the
+# round-6 window froze and were never driver-sampled (d14, ds33, sk02 —
+# VERDICT r6 Next #1, completing 250/250 cumulative certification); the
+# 11 round-7 additions (e10 trained IVF, s10 restart-from-checkpoint,
+# y03 dynamic schema, ds34/ds35/c19/l12 breadth shapes, t12 repetition
+# filters, sk03 sketch intersection, s11 native session windows, d15
+# incremental dedup index); then the LEAST-recently-verified regression
+# fills — all 3 remaining r02 gates and the 32 oldest r01 gates (their
+# last driver row is round 1). The 15 r01 gates that do not fit
+# (q23-q37: computed-key sort, string/math/date/interval scalars,
+# recursive CTEs, rollup, window topk, view, VALUES, no-scan select,
+# comma-FROM, ANY/ALL, NOT IN) rotate in next round; everything rotated out keeps passing the
+# identical local DuckDB battery (tests/test_workload_oracle.py).
 _FRONT_WINDOW = [
-    "q01_pricing_summary",  # flagship / bench headline anchor (r03-r05 green)
-    # round-5 additions, never driver-sampled (24)
-    "t10_decontamination", "d11_paragraph_dedup", "d12_semdedup",
-    "e06_knn_quantized", "e07_kmeans_assign", "m05_audio_decode",
-    "p06_chunk_overlap", "y02_composite_star", "q79_filter_clause",
-    "q80_lateral_topn", "q81_distinct_on", "q82_bool_bit_aggs",
-    "b11_job_path_join", "b12_job_filter_soup", "ds23_channel_balance",
-    "ds24_decile_profile", "ds25_exists_boolean", "l09_foaf_recommend",
-    "l10_interaction_strength", "c16_rank_ties_topk", "s05_streaming_join",
-    "s06_streaming_anomaly", "w03_groups_frame", "w04_ignore_nulls_fill",
-    # round-6 new gates (24)
-    "d13_semdedup_production", "l11_foaf_capped", "s07_streaming_multibatch",
-    "ds26_window_over_union", "ds27_cumulative_compare",
-    "ds28_time_band_matrix", "c17_url_domain_agg",
-    "p07_leakage_free_split", "e08_ann_recall", "s08_streaming_into_rollup",
-    "aj03_asof_forward_tolerance", "g02_gapfill_interpolate",
-    "ds29_month_pivot", "ds30_return_rebuy_chain", "c18_derived_key_group",
-    "s09_streaming_dedup", "t11_boilerplate_removal",
-    "ds31_inventory_ratio_band", "ds32_frequent_trips",
-    "e09_ivf_persisted_index", "j14_jsonb_median", "u03_aggregate_udaf",
-    "w05_ranking_battery", "h02_mvcc_continuous_aggregate",
-    # regression re-check: least-recently-verified (r01/r02) gate (1)
-    "q02_filter_like_regex",
+    "q01_pricing_summary",
+    # never driver-sampled (landed post-window in round 6)
+    "d14_containment_pairs", "ds33_am_pm_ratio", "sk02_kmv_merge",
+    # round-7 additions
+    "e10_ivf_trained_index", "s10_streaming_restart", "y03_dynamic_schema",
+    "ds34_week_chain_triple_date", "ds35_cross_channel_intersect",
+    "c19_minute_phrase_topk", "l12_weighted_path", "t12_repetition_filters",
+    "sk03_kmv_intersection", "s11_session_window_native",
+    "d15_incremental_dedup_index",
+    # least-recently-verified regression fills: all r02 survivors (3)
+    "a01_approx_distinct", "q45_promo_revenue", "q47_top_supplier",
+    # ... and the 32 oldest r01 gates
+    "d01_dedup_exact", "d02_fingerprint", "j01_event_counts",
+    "j02_distinct_users", "j03_filtered_in", "j04_first_activity",
+    "j05_activity_span", "j06_jsonb_extract", "j07_jsonb_missing_path",
+    "j08_hourly_rollup", "j09_dialect_sql", "j10_nested_jsonb_paths",
+    "j11_json_array_nav", "q03_shipping_priority", "q04_exists_semi",
+    "q05_local_supplier", "q06_forecast_revenue", "q07_cross_join",
+    "q08_theta_join", "q09_left_join", "q10_right_join",
+    "q11_full_outer_join", "q12_in_subquery", "q13_not_exists_anti",
+    "q14_scalar_subquery", "q15_correlated_scalar", "q16_distinct",
+    "q17_union", "q18_union_all", "q19_limit_offset", "q20_having",
+    "q21_case_coalesce_keys",
 ]
 
 

@@ -576,3 +576,63 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- s11: NATIVE session windows (streaming) ---------------------------------
+# s01/s04 certify the CUSTOM sessionizer (applyInPandasWithState); s11
+# certifies Spark's NATIVE session_window aggregation — the idiomatic
+# form a Spark-first deployment reaches for before writing any stateful
+# UDF — against the same gaps-and-islands batch oracle. Boundary pinned
+# explicitly: session_window treats a session as [first, last + gap) and
+# an event at EXACTLY prev + gap starts a NEW session, so the oracle
+# breaks on gap >= 30min (the custom s01/s04 family breaks on > 30min —
+# a real semantic difference between the two operators, worth its own
+# gate). end_us certifies the window-end contract (last event + gap).
+
+_S11_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM x
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts)) + 1800000000 AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, grp
+ORDER BY user_id, start_us
+"""
+
+
+@query(
+    "s11_session_window_native", _S11_ORACLE,
+    doc="NATIVE streaming session_window aggregation (vs the custom "
+        "stateful sessionizer): [first, last+gap) sessions, boundary "
+        "event at exactly prev+gap starts a new session",
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+    name = f"s11_sess_{uuid.uuid4().hex[:8]}"
+    result = run_available_now(agg, name, output_mode="complete")
+    return result.orderBy("user_id", "start_us")

@@ -693,3 +693,20 @@ def test_ds34_date_dims_broadcast(spark, sf_dir):
     # only big shuffle is lineitem x orders + the final aggregate
     plan = plan_of(spark, sf_dir, "ds34_week_chain_triple_date")
     assert plan.count("BroadcastHashJoin") >= 4  # d1, d2, d3, promo
+
+
+def test_d15_index_side_bucket_join(spark, sf_dir):
+    # the persisted band index is bucketed on the band key: the delta
+    # probe join must read it bucket-aligned (no Exchange above the
+    # index scan), shuffling only the delta side
+    plan = plan_of(spark, sf_dir, "d15_incremental_dedup_index")
+    assert "Bucketed: true" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s11_session_window_single_state_shuffle(spark, sf_dir):
+    # native session windows: one hash-partitioned state shuffle on the
+    # session key, no cartesian anything
+    plan = plan_of(spark, sf_dir, "s11_session_window_native")
+    assert "CartesianProduct" not in plan
