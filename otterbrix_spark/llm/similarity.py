@@ -706,3 +706,26 @@ def ivf_persist_query(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+
+
+def ivf_persist_add(spark, path: str, delta: DataFrame) -> None:
+    """Incrementally add vectors to a persisted IVF index: assign the
+    delta against the STORED centroids (the ``<path>_seeds`` side file —
+    cells never move on add, the invariant that keeps the operation
+    O(delta) and existing cell directories untouched) and APPEND to the
+    partitioned layout. Periodic re-training/re-build handles drift, the
+    same split the reference makes between index insert and index
+    rebuild (`services/index/`, `components/index/`)."""
+    seeds = spark.read.parquet(path + "_seeds")
+    eq = _kmeans_exact_quantize(delta)
+    assigned = _kmeans_exact_assign(eq, seeds).select(
+        "vec_id", "v", "nrm", "cid"
+    )
+    if assigned.isEmpty():
+        return
+    (
+        assigned.repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(path)
+    )

@@ -2498,3 +2498,120 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id", "old_id")
     )
+
+
+# --- e11: INCREMENTAL add to the persisted IVF index ------------------------
+# e10 certifies the trained BUILD; e11 certifies the other half of the
+# index lifecycle: a delta batch of new vectors added WITHOUT a rebuild.
+# The add assigns the delta against the STORED centroids (side file) and
+# appends to the partitioned layout — existing cell directories are
+# untouched and the work is O(delta), the same insert-vs-rebuild split
+# as the reference's index services (`services/index/`). Centroids are
+# trained on the OLD 90% only (the index predates the delta); the oracle
+# replays exactly that: train on old, assign old AND delta against the
+# final centroids, union, probe, rerank.
+
+_E11_SRC_ASSIGN = """
+  SELECT vec_id, v, vq, aq, aa, nrm, cid FROM (
+    SELECT s.*, {c}.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+             ORDER BY s.aa - 2 * list_dot_product(
+                        list_transform(s.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform({c}.cq, x -> CAST(x AS DOUBLE)))
+                      + {c}.cc,
+                      {c}.cid) AS rn
+    FROM {src} s CROSS JOIN {c})
+  WHERE rn = 1
+"""
+
+_E11_ORACLE = (
+    """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n0 AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)) AS vq,
+         list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                        x -> x * 256) AS aq,
+         list_sum(list_transform(
+           list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                          x -> x * 256),
+           x -> CAST(x AS DOUBLE) * x)) AS aa,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+no AS (SELECT * FROM n0 WHERE vec_id % 10 <> 0),
+nd AS (SELECT * FROM n0 WHERE vec_id % 10 = 0),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, aq AS cq,
+         list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS cc
+  FROM no QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+a1 AS ("""
+    + _E11_SRC_ASSIGN.format(src="no", c="c0")
+    + """),
+c1 AS ("""
+    + _D13_UPDATE.format(a="a1")
+    + """),
+a2 AS ("""
+    + _E11_SRC_ASSIGN.format(src="no", c="c1")
+    + """),
+c2 AS ("""
+    + _D13_UPDATE.format(a="a2")
+    + """),
+a3 AS ("""
+    + _E11_SRC_ASSIGN.format(src="no", c="c2")
+    + """),
+ad AS ("""
+    + _E11_SRC_ASSIGN.format(src="nd", c="c2")
+    + """),
+idx AS (SELECT vec_id, v, nrm, cid FROM a3
+        UNION ALL SELECT vec_id, v, nrm, cid FROM ad),
+probes AS (
+  SELECT query_id, qv, qn, probe_cid FROM (
+    SELECT n0.vec_id AS query_id, n0.v AS qv, n0.nrm AS qn,
+           c2.cid AS probe_cid,
+           ROW_NUMBER() OVER (PARTITION BY n0.vec_id
+             ORDER BY n0.aa - 2 * list_dot_product(
+                        list_transform(n0.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c2.cq, x -> CAST(x AS DOUBLE)))
+                      + c2.cc, c2.cid) AS rn
+    FROM n0 CROSS JOIN c2 WHERE n0.vec_id < 5) WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS cos
+  FROM idx a JOIN probes p ON a.cid = p.probe_cid
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand) WHERE rank <= 5
+"""
+)
+
+
+@query(
+    "e11_ivf_incremental_add", _E11_ORACLE,
+    doc="incremental IVF add: delta vectors assigned against the STORED "
+        "centroids (trained on the pre-existing corpus) and APPENDED to "
+        "the partitioned layout — O(delta), no rebuild; query spans old "
+        "and new rows through the same partition-pruned path",
+)
+def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.workload import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    is_new = F.col("vec_id") % 10 == 0
+    scratch = scratch_dir("e11_ivf_")
+    path = os.path.join(scratch, "ivf_index")
+    similarity.ivf_persist_build(
+        corpus.filter(~is_new), path, n_cells=8, train_iters=2
+    )
+    similarity.ivf_persist_add(spark, path, corpus.filter(is_new))
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
+    return res.withColumn("rank", F.col("rank").cast("int"))

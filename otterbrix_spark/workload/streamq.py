@@ -636,3 +636,48 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s11_sess_{uuid.uuid4().hex[:8]}"
     result = run_available_now(agg, name, output_mode="complete")
     return result.orderBy("user_id", "start_us")
+
+
+# --- s12: SLIDING event-time windows (streaming) -----------------------------
+# s03 certifies tumbling windows; s12 certifies the overlapping form —
+# window(ts, 2h, 30m): every event lands in exactly 4 epoch-aligned
+# windows. The oracle replays the window membership arithmetically
+# (start = (floor(us/30m) - k) * 30m for k in 0..3 — exact integers, no
+# float bucketing), which pins BOTH the slide alignment and the
+# duration/slide ratio. Scale: the streaming plan expands each row to
+# its 4 windows BEFORE the state shuffle (same Expand as the batch
+# form), state is duration/slide x keys — bounded by the watermark.
+
+_S12_ORACLE = """
+SELECT ws_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         ((epoch_us(ts) // 1800000000) - k) * 1800000000 AS ws_us
+  FROM events, UNNEST(range(0, 4)) AS t(k))
+GROUP BY ws_us, event_type
+ORDER BY ws_us, event_type
+"""
+
+
+@query(
+    "s12_sliding_window", _S12_ORACLE,
+    doc="streaming sliding windows (2h duration, 30m slide): every event "
+        "in exactly 4 epoch-aligned windows, hash-matched against the "
+        "arithmetic window-membership oracle",
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "2 hours", "30 minutes"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("ws_us"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"s12_slide_{uuid.uuid4().hex[:8]}"
+    result = run_available_now(agg, name, output_mode="complete")
+    return result.orderBy("ws_us", "event_type")

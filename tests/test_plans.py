@@ -710,3 +710,31 @@ def test_s11_session_window_single_state_shuffle(spark, sf_dir):
     # session key, no cartesian anything
     plan = plan_of(spark, sf_dir, "s11_session_window_native")
     assert "CartesianProduct" not in plan
+
+
+def test_e11_incremental_query_partition_pruned(spark, sf_dir):
+    # the combined (built + appended) index must still query through
+    # dynamic partition pruning — appends land inside cell directories
+    plan = plan_of(spark, sf_dir, "e11_ivf_incremental_add")
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters: []" not in plan
+
+
+def test_s12_sliding_window_expand_before_shuffle(spark, sf_dir):
+    # a streaming gate's returned frame is the materialised sink, so
+    # audit the STREAMING graph's analyzed plan directly: sliding
+    # windows must expand each row to its duration/slide windows before
+    # the state aggregate (Expand node), never join against a window dim
+    # (a streaming frame refuses optimizedPlan without a sink, and the
+    # window() expansion lowering is identical batch/streaming, so audit
+    # the batch twin of the same graph)
+    from otterbrix_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "2 hours", "30 minutes"), F.col("event_type")
+    ).count()
+    optimized = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert "Expand" in optimized
+    assert "Join" not in optimized
