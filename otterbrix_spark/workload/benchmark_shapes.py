@@ -4436,3 +4436,99 @@ def l12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("best_cost", "dst")
         .limit(20)
     )
+
+
+# --- b13: JOB — fact-fact-dim TRIANGLE with a redundant transitive edge -----
+# The JOB 32a-family topology (`benchmark/job/32a.sql`): two fact roles
+# over the SAME entity plus the dim, with all THREE equalities written
+# out (t.id = mc.movie_id AND t.id = ci.movie_id AND ci.movie_id =
+# mc.movie_id) — the redundant edge is what lets an optimizer pick any
+# of the three join orders. Re-authored: two lineitem roles on one order
+# (a returned line paired with a high-quantity line of the same order)
+# plus the orders dim. The self-join must stay a hash join on the order
+# key; the pair space within an order is bounded by lines-per-order.
+
+_B13_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       MIN(o.o_orderpriority) AS first_priority
+FROM lineitem l1, lineitem l2, orders o
+WHERE l1.l_orderkey = o.o_orderkey
+  AND l2.l_orderkey = o.o_orderkey
+  AND l1.l_orderkey = l2.l_orderkey
+  AND l1.l_returnflag = 'R'
+  AND l2.l_quantity > 30
+  AND l1.l_linenumber <> l2.l_linenumber
+"""
+
+
+@query(
+    "b13_job_triangle", _B13_ORACLE,
+    doc="JOB 32a triangle: two fact roles + dim with the redundant "
+        "transitive equality spelled out — returned line paired with a "
+        "high-quantity line of the same order",
+)
+def b13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k1"), F.col("l_linenumber").alias("ln1")
+    )
+    l2 = li.filter(F.col("l_quantity") > 30).select(
+        F.col("l_orderkey").alias("k2"), F.col("l_linenumber").alias("ln2")
+    )
+    return (
+        l1.join(l2, (F.col("k1") == F.col("k2")) & (F.col("ln1") != F.col("ln2")))
+        .join(orders, F.col("k1") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.min("o_orderpriority").alias("first_priority"),
+        )
+    )
+
+
+# --- b15: SSB Q1.1 — flat fact filter + derived-measure sum -----------------
+# `benchmark/ssb/q1-1.sql`: one fact scan, band predicates on discount
+# and quantity, a year filter, and SUM(extendedprice * discount) — the
+# no-join baseline every star-schema engine is measured against (its
+# whole cost is scan + pushed filters + one agg). The product is
+# quantized AFTER the single multiply (floor(p*d*1e4)) — one double
+# product is bit-identical across engines, sums stay integer.
+
+_B15_ORACLE = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000.0) AS BIGINT))
+            AS BIGINT) AS revenue_q,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_discount BETWEEN 0.01 AND 0.03
+  AND l_quantity < 25
+  AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+"""
+
+
+@query(
+    "b15_ssb_flat_revenue", _B15_ORACLE,
+    doc="SSB Q1.1: single fact scan with band predicates and a "
+        "derived-measure quantized sum — the pushdown baseline",
+)
+def b15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_discount").between(0.01, 0.03)
+            & (F.col("l_quantity") < 25)
+            & (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.col("l_discount") * 10000.0
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -738,3 +738,18 @@ def test_s12_sliding_window_expand_before_shuffle(spark, sf_dir):
     optimized = agg._jdf.queryExecution().optimizedPlan().toString()
     assert "Expand" in optimized
     assert "Join" not in optimized
+
+
+def test_b13_triangle_stays_hash_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "b13_job_triangle")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_b15_filters_pushed_to_fact_scan(spark, sf_dir):
+    # the SSB flat baseline is all pushdown: discount band, quantity,
+    # and the shipdate range must reach the parquet scan
+    plan = plan_of(spark, sf_dir, "b15_ssb_flat_revenue")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    assert "l_shipdate" in pushed
