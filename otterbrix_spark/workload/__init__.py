@@ -70,17 +70,17 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # Round-7 window: the q01 anchor; the 3 gates that landed after the
 # round-6 window froze and were never driver-sampled (d14, ds33, sk02 —
 # VERDICT r6 Next #1, completing 250/250 cumulative certification); the
-# 15 round-7 additions (e10 trained IVF, s10 restart-from-checkpoint,
-# y03 dynamic schema, ds34/ds35/c19/l12/b13/b15 breadth shapes, t12
-# repetition filters, sk03 sketch intersection, s11 native session
-# windows, d15 incremental dedup index, e11 incremental IVF add, s12
-# sliding windows); then the LEAST-recently-verified regression fills —
-# all 3 remaining r02 gates and the 28 oldest r01 gates (their last
-# driver row is round 1). The 19 r01 gates that do not fit (q18-q37:
-# UNION ALL, LIMIT/OFFSET, HAVING, CASE/COALESCE keys, computed-key
-# sort, string/math/date/interval scalars, recursive CTEs, rollup,
-# window topk, view, VALUES, no-scan select, comma-FROM, ANY/ALL,
-# NOT IN) rotate in next round; everything rotated out keeps passing the
+# 17 round-7 additions (e10 trained IVF, s10 restart-from-checkpoint,
+# y03 dynamic schema, ds34/ds35/ds36/c19/c20/l12/b13/b15 breadth
+# shapes, t12 repetition filters, sk03 sketch intersection, s11 native
+# session windows, d15 incremental dedup index, e11 incremental IVF
+# add, s12 sliding windows); then the LEAST-recently-verified
+# regression fills — all 3 remaining r02 gates and the 25 oldest r01
+# gates (their last driver row is round 1). The 22 r01 gates that do
+# not fit (q16-q37: DISTINCT, UNION/UNION ALL, LIMIT/OFFSET, HAVING,
+# CASE/COALESCE keys, computed-key sort, string/math/date/interval
+# scalars, recursive CTEs, rollup, window topk, view, VALUES, no-scan
+# select, comma-FROM, ANY/ALL, NOT IN) rotate in next round; everything rotated out keeps passing the
 # identical local DuckDB battery (tests/test_workload_oracle.py).
 _FRONT_WINDOW = [
     "q01_pricing_summary",
@@ -93,9 +93,10 @@ _FRONT_WINDOW = [
     "sk03_kmv_intersection", "s11_session_window_native",
     "d15_incremental_dedup_index", "e11_ivf_incremental_add",
     "s12_sliding_window", "b13_job_triangle", "b15_ssb_flat_revenue",
+    "ds36_frequent_best_compose", "c20_row_fetch_topk",
     # least-recently-verified regression fills: all r02 survivors (3)
     "a01_approx_distinct", "q45_promo_revenue", "q47_top_supplier",
-    # ... and the 28 oldest r01 gates
+    # ... and the 25 oldest r01 gates
     "d01_dedup_exact", "d02_fingerprint", "j01_event_counts",
     "j02_distinct_users", "j03_filtered_in", "j04_first_activity",
     "j05_activity_span", "j06_jsonb_extract", "j07_jsonb_missing_path",
@@ -104,8 +105,7 @@ _FRONT_WINDOW = [
     "q05_local_supplier", "q06_forecast_revenue", "q07_cross_join",
     "q08_theta_join", "q09_left_join", "q10_right_join",
     "q11_full_outer_join", "q12_in_subquery", "q13_not_exists_anti",
-    "q14_scalar_subquery", "q15_correlated_scalar", "q16_distinct",
-    "q17_union",
+    "q14_scalar_subquery", "q15_correlated_scalar",
 ]
 
 

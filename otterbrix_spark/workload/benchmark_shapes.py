@@ -4532,3 +4532,110 @@ def b15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --- ds36: TPC-DS Q23 shape — two reduction CTEs semi-joined into the fact --
+# Template (`benchmark/tpcds/query23.tpl`): frequent_ss_items (items sold
+# on > 4 distinct dates) and best_store_customers (top spenders) are
+# computed INDEPENDENTLY, then the final sum keeps only fact rows hitting
+# BOTH sets. Re-authored: frequent parts = shipped on > 4 distinct dates;
+# best customers = top-100 by quantized spend (rank with custkey
+# tiebreak — a deterministic stand-in for the template's percentile
+# cutoff); result = revenue of frequent parts sold to best customers.
+# Both reductions are map-side-combinable aggregates; the fact keeps two
+# semi-joins (no row widening) and one final agg.
+
+_DS36_ORACLE = """
+WITH freq AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey
+  HAVING COUNT(DISTINCT CAST(l_shipdate AS DATE)) > 4),
+spend AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT)) AS sp
+  FROM orders GROUP BY o_custkey),
+best AS (
+  SELECT o_custkey FROM spend
+  QUALIFY ROW_NUMBER() OVER (ORDER BY sp DESC, o_custkey) <= 100)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 10000.0) AS BIGINT))
+            AS BIGINT) AS rev_q
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
+  AND o.o_custkey IN (SELECT o_custkey FROM best)
+"""
+
+
+@query(
+    "ds36_frequent_best_compose", _DS36_ORACLE,
+    doc="TPC-DS Q23 shape: two independent reduction CTEs (frequent "
+        "parts, top-spend customers) semi-joined into the fact",
+)
+def ds36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct(F.to_date("l_shipdate")).alias("nd"))
+        .filter(F.col("nd") > 4)
+        .select("l_partkey")
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_q(F.col("o_totalprice"))).alias("sp")
+    )
+    w = Window.orderBy(F.col("sp").desc(), "o_custkey")
+    best = (
+        spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("o_custkey")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(freq, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_q(F.col("l_extendedprice"))).alias("rev_q"),
+        )
+    )
+
+
+# --- c20: ClickBench row-fetch — SELECT * with filter + top-10 ---------------
+# `benchmark/clickbench/queries.sql:23`: SELECT * ... WHERE URL LIKE
+# '%google%' ORDER BY EventTime LIMIT 10 — the WIDE-ROW retrieval shape
+# every aggregate gate leaves untested: column pruning must NOT kick in
+# (all columns read), the contains-filter is pushed to the scan, and the
+# order+limit lowers to a top-k carrying full rows. Deterministic
+# tiebreak on event_id (the template's bare ORDER BY EventTime ties).
+
+_C20_ORACLE = """
+SELECT event_id, epoch_us(ts) AS us, user_id, event_type,
+       CAST(FLOOR(value * 10000.0) AS BIGINT) AS value_q, props
+FROM events
+WHERE props LIKE '%9}'
+ORDER BY us, event_id
+LIMIT 10
+"""
+
+
+@query(
+    "c20_row_fetch_topk", _C20_ORACLE,
+    doc="ClickBench Q23 shape: SELECT * wide-row retrieval with a "
+        "contains filter and ORDER BY time LIMIT 10 — full-width top-k",
+)
+def c20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").like("%9}"))
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "user_id",
+            "event_type",
+            _q(F.col("value")).alias("value_q"),
+            "props",
+        )
+        .orderBy("us", "event_id")
+        .limit(10)
+    )

@@ -753,3 +753,20 @@ def test_b15_filters_pushed_to_fact_scan(spark, sf_dir):
     pushed = plan.split("PushedFilters:")[1].split("\n")[0]
     assert "l_discount" in pushed and "l_quantity" in pushed
     assert "l_shipdate" in pushed
+
+
+def test_ds36_reductions_are_semi_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ds36_frequent_best_compose")
+    assert plan.count("LeftSemi") >= 2  # both reduction sets semi-join
+    assert "CartesianProduct" not in plan
+
+
+def test_c20_wide_row_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "c20_row_fetch_topk")
+    assert "TakeOrderedAndProject" in plan
+    # SELECT *: every events column must survive into the scan schema
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    for col in ("event_id", "user_id", "event_type", "value", "props"):
+        assert col in read_schema, col
+    # the contains filter is pushed to the scan
+    assert "props" in plan.split("PushedFilters:")[1].split("\n")[0]
