@@ -157,3 +157,70 @@ class ContinuousAggregate:
 
     def df(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+
+class CoarsenedAggregate:
+    """A coarser rollup maintained FROM a finer ``ContinuousAggregate``
+    table (hourly -> daily), forming a refresh CHAIN: the daily level is
+    recomputed from the HOURLY table — never from the raw source — so a
+    delta that touches k hourly buckets costs a scan of the touched DAYS'
+    hourly rows (tens of rows), not a rescan of the events history. This
+    is TimescaleDB's hierarchical continuous aggregate; the reference's
+    closest facility is again full-refresh matviews (SURVEY.md §2.10).
+
+    The counts/sums are decomposable aggregates, so the coarse level sums
+    the fine level's partials exactly (the same map-side-combine algebra
+    Spark itself uses inside one aggregate)."""
+
+    def __init__(self, spark: SparkSession, path: str, bucket_hours: int = 24):
+        self.spark = spark
+        self.path = path
+        self.bucket_hours = bucket_hours
+
+    def _coarsen(self, fine: DataFrame) -> DataFrame:
+        bucket_us = self.bucket_hours * 3_600_000_000
+        day = F.expr(
+            f"CAST(bucket_us AS BIGINT) DIV {bucket_us} * {bucket_us}"
+        )
+        return (
+            fine.groupBy(day.alias("coarse_us"), "event_type")
+            .agg(F.sum("n").alias("n"), F.sum("qsum").alias("qsum"))
+        )
+
+    def build(self, fine: DataFrame) -> None:
+        (
+            self._coarsen(fine)
+            .repartition("coarse_us")
+            .write.mode("overwrite")
+            .partitionBy("coarse_us")
+            .parquet(self.path)
+        )
+
+    def refresh(self, fine: DataFrame, touched_fine: list[int]) -> list[int]:
+        """Recompute only the coarse buckets containing ``touched_fine``
+        (the fine level's touched-bucket list from its own refresh).
+        Reads the fine TABLE filtered to those coarse ranges — partition
+        pruning on the fine table's bucket_us partitioning."""
+        if not touched_fine:
+            return []
+        bucket_us = self.bucket_hours * 3_600_000_000
+        touched = sorted({int(b) // bucket_us * bucket_us for b in touched_fine})
+        members = [
+            b
+            for day in touched
+            for b in range(day, day + bucket_us, 3_600_000_000)
+        ]
+        # isin on the raw partition column (no cast) keeps partition pruning
+        src = fine.filter(F.col("bucket_us").isin(members))
+        agg = self._coarsen(src).filter(F.col("coarse_us").isin(touched))
+        (
+            agg.repartition("coarse_us")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("coarse_us")
+            .parquet(self.path)
+        )
+        return touched
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

@@ -971,3 +971,169 @@ def sk03(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("kmv_jaccard"),
         (union_card * jac).alias("kmv_intersection_estimate"),
     )
+
+
+# g03: gap-fill with LOCF (last observation carried forward) under a
+# STALENESS HORIZON — TimescaleDB `locf()` with the production guard a
+# raw carry-forward lacks: a sensor that went silent should not keep
+# reporting its last value forever. Empty hours inherit the most recent
+# known bucket value only while the gap is <= 6 hours; older carries are
+# reported as 'gap' with NULL. One backward window sweep over the spine
+# (O(time range)); the bucket aggregate stays the only corpus-sized scan.
+# Bucket values are quantised-sum averages with identical association on
+# both engines (the g02 rule), carried values are bit-copies of them.
+_G03_HORIZON_US = 6 * 3_600_000_000
+
+_G03_ORACLE = f"""
+WITH bounds AS (
+  SELECT (epoch_us(MIN(ts)) // 3600000000) * 3600000000 AS lo,
+         (epoch_us(MAX(ts)) // 3600000000) * 3600000000 AS hi
+  FROM events),
+spine AS (
+  SELECT UNNEST(range(lo, hi + 3600000000, 3600000000)) AS bucket_us
+  FROM bounds),
+sparse AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS qsum,
+         COUNT(*) AS cnt
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+j AS (
+  SELECT s.bucket_us,
+         CAST(sp.qsum AS DOUBLE) / (sp.cnt * 10000.0) AS v
+  FROM spine s LEFT JOIN sparse sp ON s.bucket_us = sp.bucket_us),
+n AS (
+  SELECT bucket_us, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           ORDER BY bucket_us ROWS UNBOUNDED PRECEDING) AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER (ORDER BY bucket_us ROWS UNBOUNDED PRECEDING) AS pt
+  FROM j)
+SELECT bucket_us,
+       CASE WHEN v IS NOT NULL THEN 'known'
+            WHEN pv IS NOT NULL
+                 AND bucket_us - pt <= {_G03_HORIZON_US} THEN 'locf'
+            ELSE 'gap' END AS kind,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL
+                 AND bucket_us - pt <= {_G03_HORIZON_US} THEN pv
+            END AS val
+FROM n ORDER BY bucket_us
+"""
+
+
+@query(
+    "g03_gapfill_locf", _G03_ORACLE,
+    doc="gap-fill with last-observation-carried-forward bounded by a "
+        "6-hour staleness horizon; older gaps stay NULL",
+)
+def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    bucket = F.expr(
+        f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+    )
+    sparse = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("bucket_us"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 10000.0).cast("long")).alias("qsum"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    bounds = ev.agg(
+        F.expr(
+            f"unix_micros(CAST(MIN(ts) AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+        ).alias("lo"),
+        F.expr(
+            f"unix_micros(CAST(MAX(ts) AS TIMESTAMP)) DIV {hour_us} * {hour_us}"
+        ).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(hour_us))).alias(
+            "bucket_us"
+        )
+    )
+    j = spine.join(sparse, "bucket_us", "left").select(
+        "bucket_us",
+        (F.col("qsum").cast("double") / (F.col("cnt") * 10000.0)).alias("v"),
+    )
+    wb = Window.orderBy("bucket_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t_known = F.when(F.col("v").isNotNull(), F.col("bucket_us"))
+    n = j.select(
+        "bucket_us",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(t_known, ignorenulls=True).over(wb).alias("pt"),
+    )
+    fresh = F.col("pv").isNotNull() & (
+        (F.col("bucket_us") - F.col("pt")) <= F.lit(_G03_HORIZON_US)
+    )
+    return (
+        n.select(
+            "bucket_us",
+            F.when(F.col("v").isNotNull(), F.lit("known"))
+            .when(fresh, F.lit("locf"))
+            .otherwise(F.lit("gap"))
+            .alias("kind"),
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(fresh, F.col("pv"))
+            .alias("val"),
+        )
+        .orderBy("bucket_us")
+    )
+
+
+# h03: HIERARCHICAL continuous aggregate — an hourly rollup feeding a
+# daily rollup (TimescaleDB's continuous-aggregate-on-continuous-
+# aggregate). The refresh CHAIN is the point: the delta refreshes the
+# hourly level O(touched hours) from the source, then the daily level
+# recomputes O(touched days) FROM THE HOURLY TABLE — the raw events
+# history is never rescanned for the coarse level, because count/qsum
+# are decomposable partials the coarse level can sum exactly. The gate
+# builds both levels from the first ~90%, refreshes the chain with the
+# tail, and the daily table must equal the oracle's one-shot daily
+# aggregate over the full corpus.
+_H03_ORACLE = """
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS coarse_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qsum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "h03_hierarchical_rollup", _H03_ORACLE,
+    doc="hourly->daily continuous-aggregate chain: daily level refreshes "
+        "from the hourly table's partials, never rescanning the source",
+)
+def h03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.rollup import (
+        ContinuousAggregate,
+        CoarsenedAggregate,
+    )
+    from otterbrix_spark.workload import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cutoff = ev.agg(
+        F.expr("percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.9)")
+    ).collect()[0][0]
+    scratch = scratch_dir("otx-h03-")
+    hourly = ContinuousAggregate(spark, f"{scratch}/hourly", bucket_hours=1)
+    daily = CoarsenedAggregate(spark, f"{scratch}/daily", bucket_hours=24)
+    hourly.build(ev.filter(us < cutoff))
+    daily.build(hourly.df())
+    touched_hours = hourly.refresh(source=ev, delta=ev.filter(us >= cutoff))
+    touched_days = daily.refresh(hourly.df(), touched_hours)
+    if not touched_days:
+        raise AssertionError("h03: refresh chain touched no daily buckets")
+    return daily.df().select(
+        F.col("coarse_us").cast("long").alias("coarse_us"),
+        "event_type", "n", "qsum",
+    )
