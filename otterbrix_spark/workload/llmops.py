@@ -2615,3 +2615,259 @@ def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < 5)
     res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- t13: BM25 retrieval ranking (fixed-point) ------------------------------
+# BM25 top-k over the documents corpus for a fixed query-term set — the
+# classic sparse-retrieval scorer (Robertson/Spärck Jones; the ranking
+# behind Lucene/Elasticsearch and the BM25 stage of hybrid RAG pipelines).
+# Determinism: the whole score is computed in FIXED-POINT INTEGER
+# arithmetic (micro units, k1=1.2 b=0.75 as milli constants, rational idf
+# N/df in the t04 family — no ln, no doubles), so both engines agree
+# bit-for-bit at any scale; 64-bit bounds: tfw_micro <= 2.2e6,
+# idf_micro <= N*1e6, product <= ~1e16 << 2^63. Distributed shape: one
+# word explode -> tf groupBy restricted to the 3 query terms, df + avgdl
+# as broadcast scalars, top-20 via TakeOrderedAndProject — no windows, no
+# UDFs, no driver row data.
+_T13_TERMS = ("spark", "join", "window")
+_T13_K1_MILLI = 1200  # k1 = 1.2
+_T13_B_MILLI = 750  # b = 0.75
+_T13_TOPK = 20
+
+_T13_TERMS_SQL = ", ".join(f"'{t}'" for t in _T13_TERMS)
+
+_T13_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+  FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total_words,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w),
+tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM w WHERE word IN ({_T13_TERMS_SQL}) GROUP BY doc_id, word),
+df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY word),
+scored AS (
+  SELECT t.doc_id,
+         ((t.tf * {(_T13_K1_MILLI + 1000)} * 1000000)
+          // (t.tf * 1000000
+              + ({_T13_K1_MILLI} * (1000000 - {_T13_B_MILLI} * 1000
+                 + ({_T13_B_MILLI} * ((d.dl * 1000000000)
+                    // ((s.total_words * 1000) // s.n_docs))) // 1000))
+                // 1000))
+         * ((s.n_docs * 1000000) // f.df) // 1000000 AS term_score
+  FROM tf t
+  JOIN dl d USING (doc_id)
+  JOIN df f USING (word)
+  CROSS JOIN stats s)
+SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS bm25_micro
+FROM scored GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id LIMIT {_T13_TOPK}
+"""
+
+
+@query(
+    "t13_bm25_topk", _T13_ORACLE,
+    doc="fixed-point BM25 top-20 retrieval for a 3-term query (rational "
+        "idf, integer micro-unit arithmetic — exact on both engines)",
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    )
+    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = w.agg(
+        F.count(F.lit(1)).alias("total_words"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    tf = (
+        w.filter(F.col("word").isin(*_T13_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # the fixed-point expression mirrors the oracle's DIV nesting exactly —
+    # any re-association changes the truncation points and the hash
+    term_score = F.expr(
+        f"((tf * {_T13_K1_MILLI + 1000} * 1000000)"
+        f" DIV (tf * 1000000"
+        f"      + ({_T13_K1_MILLI} * (1000000 - {_T13_B_MILLI} * 1000"
+        f"         + ({_T13_B_MILLI} * ((dl * 1000000000)"
+        f"            DIV ((total_words * 1000) DIV n_docs))) DIV 1000))"
+        f"        DIV 1000))"
+        f" * ((n_docs * 1000000) DIV df) DIV 1000000"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").cast("long").alias("bm25_micro"))
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(_T13_TOPK)
+    )
+
+
+# --- d16: quality-ranked cluster representative -----------------------------
+# The step AFTER dedup clustering (d08): for every multi-member duplicate
+# cluster, keep the BEST document — max word count, tie-broken to the
+# smallest doc_id — instead of d10's first-canonical choice. This is the
+# production "keep best" policy (dedup should drop the truncated mirror,
+# not the original). Spark side picks representatives with a min(struct)
+# argmax over the cluster assignment — one groupBy, never an n*k window
+# shuffle; the oracle replays the d08 transitive closure and ranks with a
+# window (oracle-only — it does not need to scale).
+_D16_ORACLE = f"""
+WITH wc AS (
+  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS wc
+  FROM documents),
+clus AS (SELECT * FROM ({_D08_ORACLE})),
+sized AS (
+  SELECT c.cluster_id, c.doc_id, w.wc,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY w.wc DESC, c.doc_id) AS rk
+  FROM clus c JOIN wc w USING (doc_id))
+SELECT cluster_id, doc_id AS rep_doc_id, wc AS rep_wc,
+       CAST(n_members AS BIGINT) AS n_members
+FROM sized WHERE rk = 1 AND n_members >= 2
+ORDER BY cluster_id
+"""
+
+
+@query(
+    "d16_cluster_best_rep", _D16_ORACLE,
+    doc="keep-best dedup representative: per duplicate cluster, the max-"
+        "word-count member (tie: min doc_id) via min(struct) argmax",
+)
+def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    cands = dedup.lsh_candidate_pairs(sh)
+    pairs = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.2).select(
+        "a", "b"
+    )
+    clus = dedup.connected_components(docs.select("doc_id"), pairs)
+    wc = docs.select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("wc")
+    )
+    best = (
+        clus.join(wc, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.struct((-F.col("wc")).alias("neg_wc"),
+                           F.col("doc_id").alias("doc_id"))).alias("rep"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return best.select(
+        "cluster_id",
+        F.col("rep.doc_id").alias("rep_doc_id"),
+        (-F.col("rep.neg_wc")).cast("long").alias("rep_wc"),
+        F.col("n_members").cast("long").alias("n_members"),
+    ).orderBy("cluster_id")
+
+
+# --- p08: exact-quota domain mixing -----------------------------------------
+# Epoch-construction mixing with EXACT per-source quotas: a 40%-of-corpus
+# token budget allocated UNIFORMLY across sources by largest-remainder
+# rounding (base = budget DIV n_src; the budget % n_src lexicographically
+# first sources get one extra), then exactly quota docs selected per
+# source by md5 rank. p02's rate-based keep hits its mixture only in
+# expectation; training-epoch construction needs exact counts. The
+# selection window partitions by source — per-domain top-N, bounded by
+# the largest domain; at real corpus scale the same rank-filter runs as
+# an approximate-quantile hash-threshold pre-filter + exact top-up, which
+# keeps the per-domain sort O(quota).
+_P08_BUDGET_PCT = 40
+
+_P08_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_src FROM per_src),
+quota AS (
+  SELECT p.source, p.cnt,
+         (t.n_docs * {_P08_BUDGET_PCT} // 100) // t.n_src
+         + CASE WHEN ROW_NUMBER() OVER (ORDER BY p.source)
+                     <= (t.n_docs * {_P08_BUDGET_PCT} // 100) % t.n_src
+                THEN 1 ELSE 0 END AS q
+  FROM per_src p CROSS JOIN tot t),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5('p08:' || CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS rk
+  FROM documents d)
+SELECT q.source,
+       CAST(LEAST(q.q, q.cnt) AS BIGINT) AS quota,
+       CAST(COUNT(r.doc_id) AS BIGINT) AS selected,
+       CAST(COALESCE(SUM(r.n_chars), 0) AS BIGINT) AS selected_chars
+FROM quota q
+LEFT JOIN ranked r ON r.source = q.source AND r.rk <= q.q
+GROUP BY q.source, q.q, q.cnt
+ORDER BY q.source
+"""
+
+
+@query(
+    "p08_quota_mix", _P08_ORACLE,
+    doc="exact-quota domain mixing: largest-remainder uniform allocation "
+        "of a 40% budget across sources, md5-rank selection per source",
+)
+def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per_src.agg(
+        F.sum("cnt").alias("n_docs"), F.count(F.lit(1)).alias("n_src")
+    )
+    wsrc = Window.orderBy("source")
+    quota = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("budget", F.expr(f"n_docs * {_P08_BUDGET_PCT} DIV 100"))
+        .withColumn(
+            "q",
+            F.expr("budget DIV n_src")
+            + F.when(
+                F.row_number().over(wsrc) <= F.expr("budget % n_src"), 1
+            ).otherwise(0),
+        )
+        .select("source", "cnt", "q")
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("p08:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", F.row_number().over(wrank).alias("rk")
+    )
+    sel = ranked.join(F.broadcast(quota), "source").filter(
+        F.col("rk") <= F.col("q")
+    )
+    agg = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("selected"),
+        F.sum("n_chars").alias("selected_chars"),
+    )
+    return (
+        quota.join(agg, "source", "left")
+        .select(
+            "source",
+            F.least(F.col("q"), F.col("cnt")).cast("long").alias("quota"),
+            F.coalesce(F.col("selected"), F.lit(0)).cast("long").alias(
+                "selected"
+            ),
+            F.coalesce(F.col("selected_chars"), F.lit(0)).cast("long").alias(
+                "selected_chars"
+            ),
+        )
+        .orderBy("source")
+    )
