@@ -4639,3 +4639,196 @@ def c20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("us", "event_id")
         .limit(10)
     )
+
+
+# --- ds37: TPC-DS Q11 shape — year-over-year growth comparison --------------
+# Template (`benchmark/tpcds/query11.tpl`): customers whose WEB-channel
+# year-over-year growth ratio exceeds their STORE-channel growth ratio.
+# The template compares two ratios of yearly sums; the repo lowering makes
+# the comparison EXACT by cross-multiplication (web2/web1 > store2/store1
+# <=> web2*store1 > store2*web1 over positive integers) — no division, no
+# float ulp hazard, and the growth ordering key is an integer ppm. Cents
+# quantisation (1e2, not the usual 1e4) keeps the cross products inside
+# 64 bits: yearly sums <= ~1e8 cents, products <= ~1e16 << 2^63.
+# Distributed shape: one orderkey shuffle join + one custkey groupBy with
+# conditional aggregates (the 4-way pivot), filter + top-100.
+
+_DS37_ORACLE = """
+WITH sales AS (
+  SELECT o_custkey AS cust, YEAR(o_orderdate) AS yr,
+         CASE WHEN l_partkey % 2 = 1 THEN 'web' ELSE 'store' END AS chan,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0)
+             AS BIGINT)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE YEAR(o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2, 3),
+p AS (
+  SELECT cust,
+         SUM(CASE WHEN yr = 1995 AND chan = 'web' THEN rev ELSE 0 END) AS web1,
+         SUM(CASE WHEN yr = 1996 AND chan = 'web' THEN rev ELSE 0 END) AS web2,
+         SUM(CASE WHEN yr = 1995 AND chan = 'store' THEN rev ELSE 0 END) AS store1,
+         SUM(CASE WHEN yr = 1996 AND chan = 'store' THEN rev ELSE 0 END) AS store2
+  FROM sales GROUP BY cust)
+SELECT cust, web1, web2, store1, store2,
+       web2 * 1000000 // web1 AS web_growth_ppm
+FROM p
+WHERE web1 > 0 AND store1 > 0 AND web2 * store1 > store2 * web1
+ORDER BY web_growth_ppm DESC, cust LIMIT 100
+"""
+
+
+@query(
+    "ds37_yoy_growth_compare", _DS37_ORACLE,
+    doc="TPC-DS Q11 shape: web-vs-store year-over-year growth compared "
+        "by exact integer cross-multiplication (no float ratios)",
+)
+def ds37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    web = F.col("l_partkey") % 2 == 1
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        F.year("o_orderdate").alias("yr"),
+        F.when(web, "web").otherwise("store").alias("chan"),
+        cents.alias("cents"),
+    )
+
+    def _band(yr: int, chan: str):
+        return F.sum(
+            F.when((F.col("yr") == yr) & (F.col("chan") == chan),
+                   F.col("cents")).otherwise(F.lit(0))
+        )
+
+    p = j.groupBy("cust").agg(
+        _band(1995, "web").alias("web1"),
+        _band(1996, "web").alias("web2"),
+        _band(1995, "store").alias("store1"),
+        _band(1996, "store").alias("store2"),
+    )
+    return (
+        p.filter(
+            (F.col("web1") > 0)
+            & (F.col("store1") > 0)
+            & (F.col("web2") * F.col("store1")
+               > F.col("store2") * F.col("web1"))
+        )
+        .select(
+            "cust", "web1", "web2", "store1", "store2",
+            F.expr("web2 * 1000000 DIV web1").alias("web_growth_ppm"),
+        )
+        .orderBy(F.col("web_growth_ppm").desc(), "cust")
+        .limit(100)
+    )
+
+
+# --- b16: JOB shape — min-string star with disjunctive LIKE filters ---------
+# The Join Order Benchmark's signature form (`benchmark/job/*.sql`): a
+# star of dimension equality joins whose SELECT list is MIN() over
+# STRING columns from different tables, filtered by disjunctive LIKE
+# predicates — the optimizer stress is join ordering under non-sargable
+# string filters. Lowered over part/supplier/nation around lineitem; all
+# three dims broadcast, so the only shuffle is the final single-row
+# aggregate's partial merge.
+
+_B16_ORACLE = """
+SELECT MIN(p_name) AS min_part, MIN(s_name) AS min_supp,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE (p_type LIKE '%BRASS%' OR p_type LIKE '%COPPER%')
+  AND n_name IN ('FRANCE', 'GERMANY', 'RUSSIA')
+  AND l_quantity > 30
+"""
+
+
+@query(
+    "b16_job_min_star", _B16_ORACLE,
+    doc="JOB shape: MIN(string) star aggregate under disjunctive LIKE "
+        "dimension filters — broadcast dims, single-row result",
+)
+def b16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("%BRASS%") | F.col("p_type").like("%COPPER%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("FRANCE", "GERMANY", "RUSSIA")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return j.agg(
+        F.min("p_name").alias("min_part"),
+        F.min("s_name").alias("min_supp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- c21: ClickBench shape — multi-group regex key + COUNT(DISTINCT) --------
+# ClickBench's regex-heavy rows (`benchmark/clickbench/queries.sql` Q22/
+# Q24 family): extract MULTIPLE capture groups from a URL-shaped string
+# in one pattern, group by the extracted pair, and count rows AND
+# distinct users per key — the distinct-aggregate-over-derived-key form
+# c17 (AVG/MIN battery) does not cover. The URL is synthesised from the
+# events row (the corpus has no URL column); the regex work is identical.
+# Distributed shape: one partial-aggregated groupBy carrying the distinct
+# user set (Spark plans COUNT DISTINCT as a two-phase expand aggregate),
+# then TakeOrderedAndProject top-10.
+
+_C21_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         '/cat/' || event_type || '/item/'
+           || regexp_extract(props, '[0-9]+', 0) || '/view' AS url
+  FROM events WHERE props IS NOT NULL),
+k AS (
+  SELECT user_id,
+         regexp_extract(url, '^/cat/([a-z]+)/item/([0-9]+)/', 1) AS cat,
+         regexp_extract(url, '^/cat/([a-z]+)/item/([0-9]+)/', 2) AS item
+  FROM u)
+SELECT cat, item,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users
+FROM k GROUP BY cat, item
+ORDER BY hits DESC, uniq_users DESC, cat, item LIMIT 10
+"""
+
+
+@query(
+    "c21_regex_multigroup_uniq", _C21_ORACLE,
+    doc="ClickBench shape: two-group regex extraction key with COUNT + "
+        "COUNT(DISTINCT user) and top-10 — distinct agg over derived key",
+)
+def c21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    url = F.concat(
+        F.lit("/cat/"), F.col("event_type"), F.lit("/item/"),
+        F.regexp_extract("props", r"[0-9]+", 0), F.lit("/view"),
+    )
+    pat = r"^/cat/([a-z]+)/item/([0-9]+)/"
+    k = ev.select(
+        "user_id",
+        F.regexp_extract(url, pat, 1).alias("cat"),
+        F.regexp_extract(url, pat, 2).alias("item"),
+    )
+    return (
+        k.groupBy("cat", "item")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+        .orderBy(
+            F.col("hits").desc(), F.col("uniq_users").desc(), "cat", "item"
+        )
+        .limit(10)
+    )
