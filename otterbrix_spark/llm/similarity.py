@@ -617,7 +617,11 @@ def kmeans_exact_train_assign(
 
 
 def ivf_persist_build(
-    corpus: DataFrame, path: str, n_cells: int = 8, train_iters: int = 0
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    train_iters: int = 0,
+    payload: DataFrame | None = None,
 ) -> None:
     """Assign each vector to its nearest centroid (exact integer distance,
     ties -> lowest cid) and write the index partitioned by cell (one
@@ -632,21 +636,32 @@ def ivf_persist_build(
     on any clustered real-world distribution, the same reason the
     reference builds its indexes from the stored key distribution
     (`components/index/`, `services/index/btree_index_disk.cpp`).
-    ``train_iters=0`` keeps the legacy seed-only layout (e09's gate)."""
+    ``train_iters=0`` keeps the legacy seed-only layout (e09's gate).
+
+    ``payload`` (optional): extra filterable attributes keyed by vec_id
+    (label, language, license, ...) stored IN the index rows — the
+    filtered-vector-search pattern (Milvus/pgvector attribute filtering):
+    a metadata predicate at query time then prunes inside the parquet
+    scan of the probed cells instead of post-filtering reranked results
+    (which silently returns < k hits). One equi-join on vec_id at build
+    time; the query path is unchanged except the pushed filter."""
     if train_iters > 0:
         assigned, c = kmeans_exact_train(corpus, n_iter=train_iters, k=n_cells)
         c.coalesce(1).write.mode("overwrite").parquet(path + "_seeds")
         assigned = assigned.select("vec_id", "v", "nrm", "cid")
-        _ivf_persist_write(assigned, path)
-        return
-    eq = _kmeans_exact_quantize(corpus)
-    c = (
-        eq.filter(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cid"), F.col("aq").alias("cq"))
-        .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
-    )
-    c.coalesce(1).write.mode("overwrite").parquet(path + "_seeds")
-    assigned = _kmeans_exact_assign(eq, c).select("vec_id", "v", "nrm", "cid")
+    else:
+        eq = _kmeans_exact_quantize(corpus)
+        c = (
+            eq.filter(F.col("vec_id") < n_cells)
+            .select(F.col("vec_id").alias("cid"), F.col("aq").alias("cq"))
+            .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
+        )
+        c.coalesce(1).write.mode("overwrite").parquet(path + "_seeds")
+        assigned = _kmeans_exact_assign(eq, c).select(
+            "vec_id", "v", "nrm", "cid"
+        )
+    if payload is not None:
+        assigned = assigned.join(payload, "vec_id")
     _ivf_persist_write(assigned, path)
 
 
@@ -666,18 +681,31 @@ def _ivf_persist_write(assigned: DataFrame, path: str) -> None:
 
 
 def ivf_persist_query(
-    spark, path: str, queries: DataFrame, k: int = 5, nprobe: int = 2
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    pre_filter: F.Column | str | None = None,
 ) -> DataFrame:
     """Top-k through the persisted index: each query probes its ``nprobe``
     nearest cells (same exact-integer distance as the build), the index
     scan joins on the PARTITION column (dynamic partition pruning — only
     probed cell directories are read), and the exact cosine reranks
-    within the candidates. Returns (query_id, neighbor_id, rank)."""
+    within the candidates. Returns (query_id, neighbor_id, rank).
+
+    ``pre_filter``: optional metadata predicate over index columns (see
+    ``ivf_persist_build(payload=...)``), applied to the index scan BEFORE
+    the distance compute — it reaches the parquet reader as a pushed
+    filter inside the probed cells, and the top-k ranks only qualifying
+    vectors (pre-filtering, not the lossy post-filter)."""
     qq = _kmeans_exact_quantize(queries)
     # centroids come from the build-time side file — scanning the index
     # for its seed ROWS would touch every cell directory on every query,
     # eroding exactly the pruning benefit the layout exists for
     idx = spark.read.parquet(path)
+    if pre_filter is not None:
+        idx = idx.filter(pre_filter)
     seeds = spark.read.parquet(path + "_seeds")
     d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
@@ -708,7 +736,9 @@ def ivf_persist_query(
     )
 
 
-def ivf_persist_add(spark, path: str, delta: DataFrame) -> None:
+def ivf_persist_add(
+    spark, path: str, delta: DataFrame, payload: DataFrame | None = None
+) -> None:
     """Incrementally add vectors to a persisted IVF index: assign the
     delta against the STORED centroids (the ``<path>_seeds`` side file —
     cells never move on add, the invariant that keeps the operation
@@ -721,6 +751,10 @@ def ivf_persist_add(spark, path: str, delta: DataFrame) -> None:
     assigned = _kmeans_exact_assign(eq, seeds).select(
         "vec_id", "v", "nrm", "cid"
     )
+    if payload is not None:
+        # a payload-bearing index must be appended WITH its payload —
+        # a bare append would null the attribute columns for new rows
+        assigned = assigned.join(payload, "vec_id")
     if assigned.isEmpty():
         return
     (

@@ -2871,3 +2871,96 @@ def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- e12: FILTERED vector search (attribute pre-filter in the index) --------
+# Metadata-filtered ANN — "nearest neighbours WHERE label is even" — the
+# filtered-vector-search pattern every production vector store exposes
+# (Milvus/pgvector attribute filters). The label is stored IN the index
+# rows as a payload column at build time, and the query applies the
+# predicate to the index scan BEFORE the distance compute, so (a) it
+# reaches the parquet reader as a pushed filter inside the probed cell
+# directories, and (b) top-k ranks only qualifying vectors — unlike
+# post-filtering the reranked list, which silently returns fewer than k.
+# Oracle: the e09 seed-cell replay with the same predicate on candidates.
+
+_E12_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v,
+         list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                        x -> x * 256) AS aq,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+n2 AS (
+  SELECT vec_id, label, v, aq, nrm,
+         list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS aa
+  FROM n),
+c AS (SELECT vec_id AS cid, aq AS cq,
+             list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS cc
+      FROM n2 WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, label, v, nrm, cid FROM (
+    SELECT n2.vec_id, n2.label, n2.v, n2.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+             ORDER BY n2.aa - 2 * list_dot_product(
+                        list_transform(n2.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c.cq, x -> CAST(x AS DOUBLE)))
+                      + c.cc, c.cid) AS rn
+    FROM n2 CROSS JOIN c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, qn, probe_cid FROM (
+    SELECT n2.vec_id AS query_id, n2.v AS qv, n2.nrm AS qn,
+           c.cid AS probe_cid,
+           ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+             ORDER BY n2.aa - 2 * list_dot_product(
+                        list_transform(n2.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c.cq, x -> CAST(x AS DOUBLE)))
+                      + c.cc, c.cid) AS rn
+    FROM n2 CROSS JOIN c WHERE n2.vec_id < 5) WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.label,
+         list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS cos
+  FROM assigned a JOIN probes p ON a.cid = p.probe_cid
+  WHERE a.vec_id <> p.query_id AND a.label % 2 = 0)
+SELECT query_id, neighbor_id, CAST(label AS INT) AS label,
+       CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand) WHERE rank <= 5
+"""
+
+
+@query(
+    "e12_filtered_ann", _E12_ORACLE,
+    doc="metadata-filtered vector search: label payload stored in the "
+        "persisted IVF index, predicate pushed into the probed cell scan "
+        "BEFORE distance ranking (pre-filter, not lossy post-filter)",
+)
+def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.workload import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    scratch = scratch_dir("e12_ivf_")
+    path = os.path.join(scratch, "ivf_index")
+    similarity.ivf_persist_build(corpus, path, n_cells=8, payload=labels)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.ivf_persist_query(
+        spark, path, queries, k=5, nprobe=2, pre_filter="label % 2 = 0"
+    )
+    idx_lbl = spark.read.parquet(path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("int").alias("label"),
+    )
+    return res.join(idx_lbl, "neighbor_id").select(
+        "query_id", "neighbor_id", "label",
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -681,3 +681,57 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s12_slide_{uuid.uuid4().hex[:8]}"
     result = run_available_now(agg, name, output_mode="complete")
     return result.orderBy("ws_us", "event_type")
+
+
+# s13: STREAM-STATIC enrichment join — the canonical deployment shape a
+# dimension-enriched event pipeline runs: the unbounded fact stream joins
+# a bounded dimension table (no watermark needed on the static side; the
+# dimension is broadcast into every micro-batch), then a watermarked
+# event-time rollup aggregates per (hour, nation). Certifies the third
+# streaming join family next to stream-stream (s05) and stream->rollup
+# (s08): static-side broadcast, no state kept for the dimension, state
+# bounded by the watermark for the aggregate alone. Hash-matched against
+# the identical batch join+rollup.
+_S13_ORACLE = """
+SELECT date_trunc('hour', e.ts) AS hour_start, c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(e.value * 10000.0) AS BIGINT)) AS BIGINT) AS qsum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "s13_stream_static_enrich", _S13_ORACLE,
+    doc="streaming certification: stream-static dimension enrichment "
+        "(broadcast per micro-batch) feeding a watermarked hourly rollup",
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.sources.registry import load_table
+
+    stream = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    q = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour"), F.col("c_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(q).alias("qsum"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "c_nationkey",
+            "n",
+            "qsum",
+        )
+    )
+    name = f"s13_enrich_{uuid.uuid4().hex[:8]}"
+    result = run_available_now(agg, name, output_mode="complete")
+    return result.select(
+        F.col("hour_start").cast("timestamp").alias("hour_start"),
+        "c_nationkey", "n", "qsum",
+    )
