@@ -2964,3 +2964,91 @@ def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "label",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# --- d17: MinHash estimator accuracy (estimate vs exact, both gated) --------
+# d05 uses MinHash only to PROPOSE candidates and verifies with exact
+# Jaccard; d17 gates the ESTIMATOR itself: per candidate pair, the
+# signature-agreement fraction (matches/8 — the unbiased MinHash Jaccard
+# estimate) side-by-side with the exact shingle Jaccard and the absolute
+# error. This is the tuning artifact for choosing num_hashes/band shape
+# at corpus scale (how tight is the estimate at the 0.2 threshold?), and
+# with md5-derived permutations the estimate is fully deterministic — an
+# exact oracle for an approximate statistic, like sk01/e08. est/8 and
+# the single-division exact Jaccard are both correctly-rounded single
+# IEEE ops, so the error column hash-matches bit-for-bit.
+
+_D17_AGREE = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+    for i in range(_NUM_HASHES)
+)
+
+_D17_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_sig_cte()},
+bands AS ({_bands_sql()}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id),
+agree AS (
+  SELECT c.a, c.b, ({_D17_AGREE}) AS est_matches
+  FROM cand c JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b),
+common AS (SELECT p.a, p.b, COUNT(*) AS common
+           FROM cand p
+           JOIN sh sa ON sa.doc_id = p.a
+           JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+           GROUP BY 1, 2),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT g.a, g.b,
+       CAST(g.est_matches AS BIGINT) AS est_matches,
+       g.est_matches / {float(_NUM_HASHES)} AS est_jaccard,
+       co.common / (sa.n + sb.n - co.common) AS exact_jaccard,
+       ABS(g.est_matches / {float(_NUM_HASHES)}
+           - co.common / (sa.n + sb.n - co.common)) AS abs_err
+FROM agree g
+JOIN common co ON co.a = g.a AND co.b = g.b
+JOIN sz sa ON g.a = sa.doc_id
+JOIN sz sb ON g.b = sb.doc_id
+"""
+
+
+@query(
+    "d17_minhash_estimate_accuracy", _D17_ORACLE,
+    doc="MinHash Jaccard ESTIMATE (signature agreement / 8) vs exact "
+        "Jaccard per LSH candidate pair, with the absolute error — the "
+        "estimator-tuning artifact, deterministically oracle-gated",
+)
+def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    cands = dedup.lsh_candidate_pairs(sh)
+    sig = dedup.minhash_signatures(sh)
+    sa = sig.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(_NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(_NUM_HASHES)],
+    )
+    agree_expr = None
+    for i in range(_NUM_HASHES):
+        term = F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        agree_expr = term if agree_expr is None else agree_expr + term
+    est = (
+        cands.join(sa, "a").join(sb, "b")
+        .select("a", "b", agree_expr.cast("long").alias("est_matches"))
+    )
+    exact = dedup.jaccard_pairs(sh, candidates=cands, threshold=0.0)
+    est_j = F.col("est_matches") / F.lit(float(_NUM_HASHES))
+    return (
+        est.join(exact, ["a", "b"])
+        .select(
+            "a", "b", "est_matches",
+            est_j.alias("est_jaccard"),
+            F.col("jaccard").alias("exact_jaccard"),
+            F.abs(est_j - F.col("jaccard")).alias("abs_err"),
+        )
+    )

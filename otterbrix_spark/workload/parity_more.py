@@ -424,3 +424,90 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- a02: EXACT interpolated percentiles ------------------------------------
+# Spark `percentile` (the exact sort-based aggregate, not percentile_approx)
+# against DuckDB `quantile_cont` — the §2.4 order-statistics parity gate
+# that a01's rows-only approx-distinct cannot give. Determinism: the
+# inputs are integer cents, and at probabilities {.25,.5,.75,.9} both
+# engines interpolate lo + (hi-lo)*frac where frac has an exact binary
+# representation and lo/hi are integers << 2^50 — every intermediate is
+# exactly representable, so the doubles agree bit-for-bit regardless of
+# each engine's association. At scale the exact percentile is a per-group
+# sort of cents values — for hot groups the production path is
+# percentile_approx; this gate pins the exact semantics.
+
+_A02_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT), 0.25) AS p25,
+       quantile_cont(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT), 0.50) AS p50,
+       quantile_cont(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT), 0.75) AS p75,
+       quantile_cont(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT), 0.90) AS p90
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "a02_exact_percentiles", _A02_ORACLE,
+    doc="exact interpolated percentiles (.25/.5/.75/.9) over integer "
+        "cents per group — Spark percentile vs DuckDB quantile_cont",
+)
+def a02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(cents, F.lit(0.25)).alias("p25"),
+            F.percentile(cents, F.lit(0.50)).alias("p50"),
+            F.percentile(cents, F.lit(0.75)).alias("p75"),
+            F.percentile(cents, F.lit(0.90)).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q83: GROUPING SETS with GROUPING() markers -----------------------------
+# Explicit GROUPING SETS (not the rollup/cube shorthands ds04/ds06/ds21
+# already gate) plus the GROUPING() super-aggregate markers that
+# disambiguate "NULL because grouped out" from "NULL in the data" — the
+# part of SQL:2003 grouping the shorthand gates leave uncovered. The
+# marker bitmask is written explicitly (GROUPING(a)*2 + GROUPING(b)) on
+# both engines so the semantics compared are the per-column flags.
+
+_Q83_ORACLE = """
+SELECT o_orderpriority, YEAR(o_orderdate) AS yr,
+       GROUPING(o_orderpriority) * 2 + GROUPING(YEAR(o_orderdate)) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, YEAR(o_orderdate)),
+                        (o_orderpriority), (YEAR(o_orderdate)), ())
+ORDER BY gid, o_orderpriority NULLS FIRST, yr NULLS FIRST
+"""
+
+
+@query(
+    "q83_grouping_sets_markers", _Q83_ORACLE,
+    doc="explicit GROUPING SETS with GROUPING() bitmask markers "
+        "distinguishing grouped-out NULLs from data NULLs",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q83_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, YEAR(o_orderdate) AS yr,
+               GROUPING(o_orderpriority) * 2 + GROUPING(YEAR(o_orderdate))
+                 AS gid,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS cents
+        FROM q83_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, YEAR(o_orderdate)),
+                                (o_orderpriority), (YEAR(o_orderdate)), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, yr NULLS FIRST
+    """)
