@@ -4832,3 +4832,121 @@ def c21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+# --- l13: local clustering coefficient over the co-supplier graph -----------
+# Graph analytics beyond reachability (l08/l12) and recommendation (l11):
+# the per-node LOCAL CLUSTERING COEFFICIENT — closed wedges / wedges over
+# each node's top-M neighbourhood — the LDBC/graph-mining statistic for
+# community tightness. Scale discipline matches l11: the wedge set is
+# generated from the DEGREE-CAPPED adjacency (top-5 by weight), so wedges
+# per node are bounded by M(M-1)/2 at any degree distribution; closure is
+# one equi-join of wedges against the canonical (s1<s2) edge set.
+# cc = closed/wedges is a single exact division of small integers.
+
+_L13_CAP = 5
+
+_L13_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+edges AS (
+  SELECT s1, s2, COUNT(DISTINCT l_orderkey) AS w FROM pairs GROUP BY s1, s2
+  HAVING COUNT(DISTINCT l_orderkey) >= 2),
+und AS (
+  SELECT s1 AS a, s2 AS b, w FROM edges
+  UNION ALL SELECT s2, s1, w FROM edges),
+capped AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+    FROM und) WHERE rn <= {_L13_CAP}),
+wedges AS (
+  SELECT x.a AS node, x.b AS u, y.b AS v
+  FROM capped x JOIN capped y ON x.a = y.a AND x.b < y.b),
+closed AS (
+  SELECT w.node, COUNT(*) AS closed
+  FROM wedges w JOIN edges e ON e.s1 = w.u AND e.s2 = w.v
+  GROUP BY w.node),
+tot AS (SELECT node, COUNT(*) AS wedges FROM wedges GROUP BY node)
+SELECT t.node,
+       CAST(t.wedges AS BIGINT) AS wedges,
+       CAST(COALESCE(c.closed, 0) AS BIGINT) AS closed,
+       COALESCE(c.closed, 0) / t.wedges AS cc
+FROM tot t LEFT JOIN closed c ON t.node = c.node
+ORDER BY cc DESC, t.node LIMIT 25
+"""
+
+
+@query(
+    "l13_clustering_coefficient", _L13_ORACLE,
+    doc="local clustering coefficient per node over the degree-capped "
+        "co-supplier graph: closed/total wedges, wedges bounded by "
+        "M(M-1)/2 per node",
+)
+def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("r_okey"), F.col("l_suppkey").alias("sb")
+    )
+    pairs = li.join(
+        right,
+        (F.col("l_orderkey") == F.col("r_okey"))
+        & (F.col("l_suppkey") < F.col("sb")),
+    ).select(
+        F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2"), "l_orderkey"
+    )
+    edges = (
+        pairs.groupBy("s1", "s2")
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    und = edges.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b"), "w"
+    ).unionAll(
+        edges.select(F.col("s2").alias("a"), F.col("s1").alias("b"), "w")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("a").orderBy(F.col("w").desc(), "b")
+    )
+    capped = (
+        und.withColumn("rn", rn).filter(F.col("rn") <= _L13_CAP).drop("rn", "w")
+    )
+    wedges = (
+        capped.alias("x")
+        .join(capped.alias("y"),
+              (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")))
+        .select(
+            F.col("x.a").alias("node"),
+            F.col("x.b").alias("u"),
+            F.col("y.b").alias("v"),
+        )
+    )
+    closed = (
+        wedges.join(
+            edges.select("s1", "s2"),
+            (F.col("u") == F.col("s1")) & (F.col("v") == F.col("s2")),
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("closed"))
+    )
+    tot = wedges.groupBy("node").agg(F.count(F.lit(1)).alias("wedges"))
+    return (
+        tot.join(closed, "node", "left")
+        .select(
+            "node",
+            "wedges",
+            F.coalesce(F.col("closed"), F.lit(0)).alias("closed"),
+            (F.coalesce(F.col("closed"), F.lit(0)) / F.col("wedges")).alias(
+                "cc"
+            ),
+        )
+        .orderBy(F.col("cc").desc(), "node")
+        .limit(25)
+    )

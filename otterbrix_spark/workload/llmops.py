@@ -3052,3 +3052,55 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_j - F.col("jaccard")).alias("abs_err"),
         )
     )
+
+
+# --- t14: cross-document n-gram novelty scoring -----------------------------
+# Data-valuation / contribution scoring: processing documents in arrival
+# order (doc_id), a document's novelty is the fraction of its DISTINCT
+# 3-gram shingles never seen in any earlier document — the statistic
+# dedup-aware curriculum builders and data-pricing pipelines compute
+# ("how much new text does this source actually add?"). Distributed
+# shape: first-seen owner per shingle is ONE map-side-combinable MIN
+# groupBy (no ordered scan, no state), then a per-doc conditional count;
+# novelty = novel/total is a single exact division. The same statistic
+# drives the d10-style keep decision at corpus scale without materialising
+# any pairwise comparison.
+
+_T14_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+first_seen AS (SELECT shingle, MIN(doc_id) AS owner FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.owner = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel,
+       SUM(CASE WHEN f.owner = sh.doc_id THEN 1 ELSE 0 END) / COUNT(*)
+         AS novelty
+FROM sh JOIN first_seen f USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+@query(
+    "t14_ngram_novelty", _T14_ORACLE,
+    doc="per-document novelty: fraction of distinct 3-gram shingles first "
+        "seen in this document (arrival order = doc_id) — one MIN groupBy, "
+        "no pairwise comparisons",
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    novel = F.sum(
+        F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("long").alias("novel"),
+        )
+        .withColumn(
+            "novelty", F.col("novel") / F.col("n_shingles")
+        )
+    )

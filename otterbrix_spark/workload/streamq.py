@@ -735,3 +735,125 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_start").cast("timestamp").alias("hour_start"),
         "c_nationkey", "n", "qsum",
     )
+
+
+# s14: streaming UPSERT into a keyed table (SCD type-1 "latest state per
+# key") through foreachBatch — the remaining production sink family next
+# to append (s05/s07), complete-mode rollup (s03), and foreachBatch->
+# continuous-aggregate (s08). Each micro-batch merges into a parquet
+# table partitioned by key bucket: union the touched buckets' current
+# rows with the batch, keep the argmax by (ts, event_id) per user, and
+# dynamic-partition-overwrite exactly the touched buckets. The merge is
+# a pure function of (existing, batch) — IDEMPOTENT under micro-batch
+# replay, which is what makes foreachBatch exactly-once in practice; the
+# gate re-applies the full corpus as a duplicate "retry" batch after the
+# stream finishes and the table must still hash-match the batch argmax
+# oracle.
+_S14_N_BUCKETS = 16
+
+_S14_ORACLE = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+FROM (SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+@query(
+    "s14_streaming_upsert", _S14_ORACLE,
+    doc="streaming certification: foreachBatch keyed upsert (latest state "
+        "per user, bucket-partitioned dynamic overwrite), idempotent "
+        "under batch replay — table equals the batch argmax",
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.workload import scratch_dir
+
+    scratch = scratch_dir("s14_upsert_")
+    table = os.path.join(scratch, "latest_by_user")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select(
+            "user_id", "ts", "event_type", "value", "event_id"
+        ).withColumn("bucket", F.col("user_id") % _S14_N_BUCKETS)
+        touched = [
+            r["bucket"] for r in b.select("bucket").distinct().collect()
+        ]  # tiny driver list: bucket ids only
+        if not touched:
+            return
+        sess = batch.sparkSession
+        try:
+            existing = sess.read.parquet(table).filter(
+                F.col("bucket").isin(touched)
+            )
+            merged_src = existing.unionByName(b)
+        except AnalysisException:  # first batch: table does not exist yet
+            merged_src = b
+        # argmax by (ts, event_id) via max(struct) — one narrow groupBy
+        # per bucket, never a window over the full history
+        latest = (
+            merged_src.groupBy("user_id", "bucket")
+            .agg(
+                F.max(
+                    F.struct("ts", "event_id", "event_type", "value")
+                ).alias("s")
+            )
+            .select(
+                "user_id", "bucket",
+                F.col("s.ts").alias("ts"),
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.event_type").alias("event_type"),
+                F.col("s.value").alias("value"),
+            )
+        )
+        (
+            latest.repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(table)
+        )
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=4)
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    name = f"s14_upsert_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(upsert)
+        .option(
+            "checkpointLocation", os.path.join(scratch, "ckpt_" + name)
+        )
+        .start()
+    )
+    from otterbrix_spark.streaming.pipeline import _await_bounded
+
+    _await_bounded(q, name, timeout_s=180.0)
+    n_batches = sum(
+        1
+        for p in q.recentProgress
+        if (p.numInputRows if hasattr(p, "numInputRows") else p["numInputRows"])
+        > 0
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"s14 upsert ran only {n_batches} input micro-batches"
+        )
+    # retry semantics: re-apply the ENTIRE corpus as a duplicate batch —
+    # the idempotent merge must leave the table at the same fixpoint
+    # (the oracle hash-match below fails if it did not)
+    ev = load_table(spark, sf_dir, "events")
+    upsert(ev, batch_id=-1)
+    return (
+        spark.read.parquet(table)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+            "value",
+        )
+    )
