@@ -70,23 +70,26 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # Round-7 window: the q01 anchor; the 3 gates that landed after the
 # round-6 window froze and were never driver-sampled (d14, ds33, sk02 —
 # VERDICT r6 Next #1, completing 250/250 cumulative certification); the
-# 17 round-7 additions (e10 trained IVF, s10 restart-from-checkpoint,
-# y03 dynamic schema, ds34/ds35/ds36/c19/c20/l12/b13/b15 breadth
-# shapes, t12 repetition filters, sk03 sketch intersection, s11 native
-# session windows, d15 incremental dedup index, e11 incremental IVF
-# add, s12 sliding windows); then the LEAST-recently-verified
-# regression fills — all 3 remaining r02 gates and the 25 oldest r01
-# gates (their last driver row is round 1). The 22 r01 gates that do
-# not fit (q16-q37: DISTINCT, UNION/UNION ALL, LIMIT/OFFSET, HAVING,
-# CASE/COALESCE keys, computed-key sort, string/math/date/interval
-# scalars, recursive CTEs, rollup, window topk, view, VALUES, no-scan
-# select, comma-FROM, ANY/ALL, NOT IN) rotate in next round; everything rotated out keeps passing the
+# 17 early-round-7 additions (e10 trained IVF, s10 restart-from-
+# checkpoint, y03 dynamic schema, ds34/ds35/ds36/c19/c20/l12/b13/b15
+# breadth shapes, t12 repetition filters, sk03 sketch intersection,
+# s11 native session windows, d15 incremental dedup index, e11
+# incremental IVF add, s12 sliding windows); the 16 late-round-7
+# additions (g03 LOCF, h03 hierarchical rollup, t13 BM25, d16 keep-best
+# rep, p08 quota mix, ds37 YoY compare, b16 JOB min-star, c21 regex
+# distinct, e12 filtered ANN, s13 stream-static join, d17 minhash
+# accuracy, a02 exact percentiles, q83 grouping sets, t14 novelty,
+# l13 clustering coefficient, s14 streaming upsert — first-time
+# certification outranks re-checks); then the LEAST-recently-verified
+# regression fills — the 3 remaining r02 gates and the 10 oldest r01
+# gates. The r01 gates that do not fit (j09-j11, q03-q37) are the
+# round-8 regression backlog; everything rotated out keeps passing the
 # identical local DuckDB battery (tests/test_workload_oracle.py).
 _FRONT_WINDOW = [
     "q01_pricing_summary",
     # never driver-sampled (landed post-window in round 6)
     "d14_containment_pairs", "ds33_am_pm_ratio", "sk02_kmv_merge",
-    # round-7 additions
+    # early round-7 additions
     "e10_ivf_trained_index", "s10_streaming_restart", "y03_dynamic_schema",
     "ds34_week_chain_triple_date", "ds35_cross_channel_intersect",
     "c19_minute_phrase_topk", "l12_weighted_path", "t12_repetition_filters",
@@ -94,18 +97,21 @@ _FRONT_WINDOW = [
     "d15_incremental_dedup_index", "e11_ivf_incremental_add",
     "s12_sliding_window", "b13_job_triangle", "b15_ssb_flat_revenue",
     "ds36_frequent_best_compose", "c20_row_fetch_topk",
+    # late round-7 additions (this window's first-timers)
+    "g03_gapfill_locf", "h03_hierarchical_rollup", "t13_bm25_topk",
+    "d16_cluster_best_rep", "p08_quota_mix", "ds37_yoy_growth_compare",
+    "b16_job_min_star", "c21_regex_multigroup_uniq", "e12_filtered_ann",
+    "s13_stream_static_enrich", "d17_minhash_estimate_accuracy",
+    "a02_exact_percentiles", "q83_grouping_sets_markers",
+    "t14_ngram_novelty", "l13_clustering_coefficient",
+    "s14_streaming_upsert",
     # least-recently-verified regression fills: all r02 survivors (3)
     "a01_approx_distinct", "q45_promo_revenue", "q47_top_supplier",
-    # ... and the 25 oldest r01 gates
+    # ... and the 10 oldest r01 gates
     "d01_dedup_exact", "d02_fingerprint", "j01_event_counts",
     "j02_distinct_users", "j03_filtered_in", "j04_first_activity",
     "j05_activity_span", "j06_jsonb_extract", "j07_jsonb_missing_path",
-    "j08_hourly_rollup", "j09_dialect_sql", "j10_nested_jsonb_paths",
-    "j11_json_array_nav", "q03_shipping_priority", "q04_exists_semi",
-    "q05_local_supplier", "q06_forecast_revenue", "q07_cross_join",
-    "q08_theta_join", "q09_left_join", "q10_right_join",
-    "q11_full_outer_join", "q12_in_subquery", "q13_not_exists_anti",
-    "q14_scalar_subquery", "q15_correlated_scalar",
+    "j08_hourly_rollup",
 ]
 
 
