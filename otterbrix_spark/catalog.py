@@ -180,6 +180,16 @@ _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*?)(\s+RETURNING\s+\*)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# PG upsert (reference dialect family: INSERT ... ON CONFLICT <arbiter>
+# DO NOTHING | DO UPDATE SET ...): the arbiter column list must name a
+# declared PRIMARY KEY / UNIQUE constraint, exactly as PG requires an
+# arbiter index
+_INSERT_CONFLICT = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*?)\s+ON\s+CONFLICT\s*"
+    r"\(\s*([\w\s,]+?)\s*\)\s+DO\s+"
+    r"(NOTHING|UPDATE\s+SET\s+.*?)(\s+RETURNING\s+\*)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?(\s+RETURNING\s+\*)?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -401,6 +411,153 @@ class Catalog:
         if returning:
             return matched
         return self.spark.range(1).select(F.lit(matched.count()).alias(verb))
+
+    def _insert_on_conflict(
+        self, name: str, body: str, key_csv: str, action: str, returning
+    ) -> DataFrame:
+        """PG upsert: INSERT ... ON CONFLICT (keys) DO NOTHING | DO UPDATE
+        SET col = expr[, ...]. ``EXCLUDED.col`` in SET expressions refers to
+        the proposed incoming row, as in PG. Distributed shape: the merge is
+        two hash joins on the arbiter key (anti for survivors, inner for
+        matches) plus a union — never a per-row loop; at scale this is the
+        standard shuffle-merge an upsert-capable lakehouse write performs.
+        RETURNING * yields the affected rows (inserted + updated, never the
+        DO NOTHING skips), matching PG."""
+        from otterbrix_spark.operators.dml import ConstraintViolation
+
+        table = self.tables[name]
+        keys = [k.strip() for k in key_csv.split(",")]
+        arbiters = [
+            set(c["cols"])
+            for c in self.table_constraints.get(name, ())
+            if c["kind"] == "unique"
+        ]
+        if set(keys) not in arbiters:
+            raise ValueError(
+                f"ON CONFLICT ({key_csv}): no PRIMARY KEY or UNIQUE "
+                f"constraint on {name} matches the arbiter columns "
+                "(PG requires an arbiter index)"
+            )
+        base = (
+            self._txn.get(name, table.df())
+            if self._txn is not None
+            else table.df()
+        )
+        # incoming rows: same body forms as plain INSERT (column list +
+        # VALUES/SELECT, positional alignment to the table schema)
+        body = body.strip()
+        cols = None
+        mcols = re.match(
+            r"^\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*(.+)$", body, re.DOTALL
+        )
+        if mcols:
+            cols = [c.strip() for c in mcols.group(1).split(",")]
+            body = mcols.group(2).strip()
+        rows = self.spark.sql(
+            f"SELECT * FROM ({body}) "
+            if body.upper().startswith("VALUES")
+            else body
+        )
+        if cols:
+            rows = rows.toDF(*cols)
+            rows = rows.select(
+                *[
+                    F.col(f.name)
+                    if f.name in cols
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in base.schema.fields
+                ]
+            )
+        rows = rows.toDF(*base.columns).select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in base.schema.fields
+            ]
+        )
+        non_keys = [c for c in base.columns if c not in keys]
+        if action.upper() == "NOTHING":
+            # within-batch duplicates: first proposed row wins (PG inserts
+            # it, later duplicates conflict against it and are skipped).
+            # monotonically_increasing_id over the incoming frame preserves
+            # VALUES order (single input partition for literal VALUES).
+            tagged = rows.withColumn("__mid", F.monotonically_increasing_id())
+            rows = (
+                tagged.groupBy(*keys)
+                .agg(
+                    F.min(F.struct("__mid", *non_keys)).alias("__s")
+                )
+                .select(*keys, *[F.col(f"__s.{c}").alias(c) for c in non_keys])
+                .select(*base.columns)
+            )
+            fresh = rows.join(base.select(*keys), keys, "left_anti")
+            new_df = base.unionByName(fresh)
+            affected = fresh
+        else:
+            dup = rows.groupBy(*keys).count().filter(F.col("count") > 1)
+            if dup.count() > 0:
+                raise ConstraintViolation(
+                    "ON CONFLICT DO UPDATE command cannot affect row a "
+                    "second time (duplicate arbiter keys in one INSERT)"
+                )
+            set_clause = re.sub(
+                r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE | re.DOTALL
+            )
+            # EXCLUDED.col -> the proposed row's column (joined alongside);
+            # <table>.col -> the existing row's column (PG lets SET exprs
+            # qualify the target table by name)
+            def _rewrite(expr: str) -> str:
+                expr = re.sub(
+                    r"\bEXCLUDED\s*\.\s*(\w+)", r"__excl_\1", expr,
+                    flags=re.IGNORECASE,
+                )
+                return re.sub(
+                    rf"\b{re.escape(name)}\s*\.\s*(\w+)", r"\1", expr,
+                    flags=re.IGNORECASE,
+                )
+
+            set_texts = {
+                col: _rewrite(expr)
+                for col, expr in _split_set_list(set_clause).items()
+            }
+            sets = _resolve_set_targets(set_texts)
+            excl = rows.select(
+                *keys, *[F.col(c).alias(f"__excl_{c}") for c in non_keys]
+            )
+            updated = (
+                base.join(excl, keys)
+                .select(
+                    *[
+                        sets.get(c, F.col(c)).alias(c)
+                        for c in base.columns
+                    ]
+                )
+                .select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in base.schema.fields
+                    ]
+                )
+            )
+            unchanged = base.join(rows.select(*keys), keys, "left_anti")
+            fresh = rows.join(base.select(*keys), keys, "left_anti")
+            new_df = unchanged.unionByName(updated).unionByName(fresh)
+            affected = updated.unionByName(fresh)
+        self._validate_new_rows(name, affected, full=new_df)
+        if self._txn is not None:
+            return self._stage_txn(name, new_df, affected, "upserted", returning)
+        # pin the affected rows BEFORE the swap: they are lazy plans over
+        # the pre-swap files, which _swap_in deletes (same discipline as
+        # ManagedTable.update RETURNING)
+        if returning:
+            result = affected.cache()
+            result.count()
+            table._swap_in(new_df)
+            self._register(table)
+            return result
+        n = affected.count()
+        table._swap_in(new_df)
+        self._register(table)
+        return self.spark.range(1).select(F.lit(n).alias("upserted"))
 
     # -- constraint enforcement (reference operator_check_constraint /
     # -- operator_fk_check / operator_fk_cascade, routed through SQL DDL) ----
@@ -1055,6 +1212,10 @@ class Catalog:
             if returning:
                 return result
             return self.spark.range(1).select(F.lit(result).alias("deleted"))
+
+        m = _INSERT_CONFLICT.match(sql)
+        if m and m.group(1) in self.tables:
+            return self._insert_on_conflict(*m.groups())
 
         m = _INSERT.match(sql)
         if m and m.group(1) in self.dynamic:

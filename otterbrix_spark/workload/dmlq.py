@@ -323,3 +323,54 @@ def y03(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("amount_sum"),
     )
     return full.crossJoin(typed)
+
+
+# --- x02: INSERT ... ON CONFLICT upsert (PG arbiter semantics) --------------
+# The PG upsert statement routed through the engine: seed half the keys,
+# run a DO UPDATE batch that both accumulates into conflicting rows and
+# inserts fresh ones, then a DO NOTHING re-delivery that must skip every
+# conflict. Key bands are modulo-based so the gate exercises all four
+# outcomes (kept / accumulated / inserted / zero-inserted) at every SF.
+# The merge itself is two hash joins + a union (catalog._insert_on_conflict)
+# — the shuffle-merge shape an upsert-capable lakehouse write runs at scale.
+
+_X02_ORACLE = """
+SELECT c_custkey AS k,
+       CAST(CASE c_custkey % 4
+            WHEN 0 THEN FLOOR(c_acctbal * 100.0)
+            WHEN 1 THEN 2 * FLOOR(c_acctbal * 100.0)
+            WHEN 2 THEN FLOOR(c_acctbal * 100.0)
+            ELSE 0 END AS BIGINT) AS bal
+FROM customer
+"""
+
+
+@query(
+    "x02_upsert_on_conflict", _X02_ORACLE,
+    doc="INSERT ... ON CONFLICT (k) DO UPDATE SET (accumulate via "
+        "EXCLUDED) and DO NOTHING re-delivery, PG arbiter semantics",
+)
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x02_acct")
+    eng.sql("CREATE TABLE x02_acct (k BIGINT PRIMARY KEY, bal BIGINT)")
+    eng.sql(
+        "INSERT INTO x02_acct SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer "
+        "WHERE c_custkey % 4 IN (0, 1)"
+    )
+    eng.sql(
+        "INSERT INTO x02_acct SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer "
+        "WHERE c_custkey % 4 IN (1, 2) "
+        "ON CONFLICT (k) DO UPDATE SET bal = x02_acct.bal + EXCLUDED.bal"
+    )
+    eng.sql(
+        "INSERT INTO x02_acct SELECT c_custkey, CAST(0 AS BIGINT) "
+        "FROM customer WHERE c_custkey % 4 IN (2, 3) "
+        "ON CONFLICT (k) DO NOTHING"
+    )
+    return eng.sql("SELECT k, bal FROM x02_acct")

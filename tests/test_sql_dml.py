@@ -517,3 +517,82 @@ def test_unrecognised_owned_ddl_raises_not_fallthrough(engine):
     # explicit error — also never a silent fall-through
     with pytest.raises(Exception, match="unsupported column type"):
         engine.execute_sql("CREATE TABLE weird (a int) PARTITION BY RANGE (a)")
+
+
+# --- INSERT ... ON CONFLICT (PG upsert) -------------------------------------
+
+
+def test_upsert_do_update_accumulate(engine):
+    engine.execute_sql("CREATE TABLE kv (k INT PRIMARY KEY, v INT)")
+    engine.execute_sql("INSERT INTO kv VALUES (1, 10), (2, 20)")
+    n = engine.execute_sql(
+        "INSERT INTO kv VALUES (2, 5), (3, 30) "
+        "ON CONFLICT (k) DO UPDATE SET v = kv.v + EXCLUDED.v"
+    ).value("upserted", 0)
+    assert n == 2
+    rows = dict(engine.execute_sql("SELECT * FROM kv").fetchall())
+    assert rows == {1: 10, 2: 25, 3: 30}
+
+
+def test_upsert_do_nothing_skips_conflicts(engine):
+    engine.execute_sql("CREATE TABLE kn (k INT PRIMARY KEY, v INT)")
+    engine.execute_sql("INSERT INTO kn VALUES (1, 10)")
+    n = engine.execute_sql(
+        "INSERT INTO kn VALUES (1, 99), (2, 20), (2, 21) "
+        "ON CONFLICT (k) DO NOTHING"
+    ).value("upserted", 0)
+    # k=1 conflicts with the table, the second k=2 conflicts with the
+    # first proposed k=2 (PG: first proposed row wins within the batch)
+    assert n == 1
+    rows = dict(engine.execute_sql("SELECT * FROM kn").fetchall())
+    assert rows == {1: 10, 2: 20}
+
+
+def test_upsert_returning_affected_rows(engine):
+    engine.execute_sql("CREATE TABLE kr (k INT PRIMARY KEY, v INT)")
+    engine.execute_sql("INSERT INTO kr VALUES (1, 1)")
+    rows = sorted(
+        engine.execute_sql(
+            "INSERT INTO kr VALUES (1, 100), (5, 50) "
+            "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v RETURNING *"
+        ).fetchall()
+    )
+    assert rows == [(1, 100), (5, 50)]
+
+
+def test_upsert_requires_arbiter_constraint(engine):
+    import pytest
+
+    engine.execute_sql("CREATE TABLE na (k INT, v INT)")
+    with pytest.raises(ValueError, match="arbiter"):
+        engine.execute_sql(
+            "INSERT INTO na VALUES (1, 1) ON CONFLICT (k) DO NOTHING"
+        )
+
+
+def test_upsert_duplicate_arbiter_in_batch_raises(engine):
+    import pytest
+
+    from otterbrix_spark.operators.dml import ConstraintViolation
+
+    engine.execute_sql("CREATE TABLE dup (k INT PRIMARY KEY, v INT)")
+    with pytest.raises(ConstraintViolation, match="second time"):
+        engine.execute_sql(
+            "INSERT INTO dup VALUES (1, 1), (1, 2) "
+            "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v"
+        )
+
+
+def test_upsert_inside_transaction_rolls_back(engine):
+    engine.execute_sql("CREATE TABLE tx (k INT PRIMARY KEY, v INT)")
+    engine.execute_sql("INSERT INTO tx VALUES (1, 10)")
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "INSERT INTO tx VALUES (1, 99), (2, 20) "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v"
+    )
+    staged = dict(engine.execute_sql("SELECT * FROM tx").fetchall())
+    assert staged == {1: 99, 2: 20}  # read-your-writes inside the txn
+    engine.execute_sql("ROLLBACK")
+    rows = dict(engine.execute_sql("SELECT * FROM tx").fetchall())
+    assert rows == {1: 10}
