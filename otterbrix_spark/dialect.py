@@ -362,6 +362,93 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
         extend_casts=True,
     )
 
+    # --- @> / <@ : jsonb containment (literal pattern side) ----------------
+    # PG containment with the pattern as a LITERAL expands at rewrite time
+    # into a conjunction of get_json_object comparisons (functions/jsonb.
+    # containment_sql documents the supported subset). `a @> '{..}'` takes
+    # the scanned LHS operand; `'{..}' <@ b` is the mirrored form with the
+    # literal on the left and a simple identifier/call RHS. Non-literal
+    # patterns stay untouched (and fail downstream loudly) — PG evaluates
+    # dynamic containment row-wise, which this text-level layer cannot.
+    def scanned_contains(lhs: str, m: re.Match) -> str | None:
+        text = lit_at(m.group(1))
+        if text is None or lhs.upper() in _SQL_KEYWORDS:
+            return None
+        from otterbrix_spark.functions.jsonb import containment_sql
+
+        try:
+            return containment_sql(lhs, text)
+        except ValueError:
+            return None
+
+    body = _apply_binop_scanned(
+        body, re.compile("@>\\s*(\x00\\d+\x00)"), scanned_contains,
+        extend_casts=True,
+    )
+
+    def _contained_sub(m: re.Match) -> str:
+        text = lit_at(m.group(1))
+        if text is None:
+            return m.group(0)
+        from otterbrix_spark.functions.jsonb import containment_sql
+
+        try:
+            return containment_sql(m.group(2), text)
+        except ValueError:
+            return m.group(0)
+
+    body = re.sub(
+        "(\x00\\d+\x00)\\s*<@\\s*([A-Za-z_][\\w.]*(?:\\((?:[^()]|\\([^()]*\\))*\\))?)",
+        _contained_sub,
+        body,
+    )
+
+    # --- ? / ?| / ?& : jsonb key existence ---------------------------------
+    # `a ? 'k'` (single key), `a ?| ARRAY['k1','k2']` (any), `a ?& ...`
+    # (all). $1-style parameters are the engine's placeholder syntax, so
+    # `?` is unambiguous here. ?|/?& run FIRST so `?` never half-matches.
+    def _keys_pred(joiner: str):
+        def make(lhs: str, m: re.Match) -> str | None:
+            if lhs.upper() in _SQL_KEYWORDS:
+                return None
+            from otterbrix_spark.functions.jsonb import key_exists_sql
+
+            keys = [lit_at(t) for t in re.findall("\x00\\d+\x00", m.group(1))]
+            if not keys or any(k is None for k in keys):
+                return None
+            return (
+                "(" + joiner.join(key_exists_sql(lhs, k) for k in keys) + ")"
+            )
+
+        return make
+
+    _ARR_LIT = "ARRAY\\s*\\[\\s*(\x00\\d+\x00(?:\\s*,\\s*\x00\\d+\x00)*)\\s*\\]"
+    body = _apply_binop_scanned(
+        body,
+        re.compile("\\?\\|\\s*" + _ARR_LIT, re.IGNORECASE),
+        _keys_pred(" OR "),
+        extend_casts=True,
+    )
+    body = _apply_binop_scanned(
+        body,
+        re.compile("\\?&\\s*" + _ARR_LIT, re.IGNORECASE),
+        _keys_pred(" AND "),
+        extend_casts=True,
+    )
+
+    def scanned_key_exists(lhs: str, m: re.Match) -> str | None:
+        text = lit_at(m.group(1))
+        if text is None or lhs.upper() in _SQL_KEYWORDS:
+            return None
+        from otterbrix_spark.functions.jsonb import key_exists_sql
+
+        return key_exists_sql(lhs, text)
+
+    body = _apply_binop_scanned(
+        body, re.compile("\\?\\s*(\x00\\d+\x00)"), scanned_key_exists,
+        extend_casts=True,
+    )
+
     # --- ::? variant-select -> try_cast -------------------------------------
     def scanned_variant(lhs: str, m: re.Match) -> str | None:
         if lhs.upper() in _SQL_KEYWORDS:

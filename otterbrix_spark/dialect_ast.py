@@ -57,7 +57,7 @@ _TOKEN_RE = re.compile(
       | \d+(?:\.\d+)?(?:[eE][+-]?\d+)?                   # number
       | [A-Za-z_][A-Za-z0-9_]*
         (?:\.[A-Za-z_][A-Za-z0-9_]*)*                    # (dotted) identifier
-      | ->>|\#>>|!~\*|::\?|->|\#>|\#-|::|!~|~\*
+      | ->>|\#>>|!~\*|::\?|->|\#>|\#-|::|!~|~\*|@>|<@|\?\||\?&
       | \|\||<=|>=|<>|!=
       | .                                                # any single char
     )
@@ -359,6 +359,73 @@ def _fold(
             deletable = False  # tail is a literal: arithmetic context
             j += 2
             continue
+
+        # --- jsonb containment: @> (literal pattern) / <@ (literal LHS) ---
+        if op == "@>" and nxt is not None and nxt.kind == STRING:
+            from otterbrix_spark.functions.jsonb import containment_sql
+
+            try:
+                text = containment_sql(text, _lit_text(nxt.text))
+            except ValueError:
+                break  # outside the literal-pattern subset: leave verbatim
+            kind, head, is_type_head = _K_REWRITTEN, None, False
+            deletable = False  # boolean result
+            j += 2
+            continue
+
+        if op == "<@" and kind == _K_LIT:
+            parsed_rhs = _parse_operand(toks, j + 1, end)
+            if parsed_rhs is None:
+                break
+            from otterbrix_spark.functions.jsonb import containment_sql
+
+            rhs_text, j2, _rk, _rh = parsed_rhs
+            try:
+                text = containment_sql(rhs_text, _lit_text(text))
+            except ValueError:
+                break
+            kind, head, is_type_head = _K_REWRITTEN, None, False
+            deletable = False
+            j = j2
+            continue
+
+        # --- jsonb key existence: ? 'k' / ?| ARRAY[..] / ?& ARRAY[..] ------
+        if op == "?" and nxt is not None and nxt.kind == STRING:
+            from otterbrix_spark.functions.jsonb import key_exists_sql
+
+            text = key_exists_sql(text, _lit_text(nxt.text))
+            kind, head, is_type_head = _K_REWRITTEN, None, False
+            deletable = False
+            j += 2
+            continue
+
+        if (
+            op in ("?|", "?&")
+            and nxt is not None
+            and nxt.kind == IDENT
+            and nxt.text.upper() == "ARRAY"
+            and j + 2 < end
+            and toks[j + 2].text == "["
+        ):
+            close = _match_close(toks, j + 2, "[", "]", end)
+            inner = toks[j + 3 : close] if close > 0 else []
+            if close > 0 and all(
+                t.kind == STRING or t.text == "," for t in inner
+            ):
+                from otterbrix_spark.functions.jsonb import key_exists_sql
+
+                keys = [_lit_text(t.text) for t in inner if t.kind == STRING]
+                joiner = " OR " if op == "?|" else " AND "
+                text = (
+                    "("
+                    + joiner.join(key_exists_sql(text, k) for k in keys)
+                    + ")"
+                )
+                kind, head, is_type_head = _K_REWRITTEN, None, False
+                deletable = False
+                j = close + 1
+                continue
+            break
 
         # --- regex-match operators ----------------------------------------
         if op in _REGEX_OPS and nxt is not None and nxt.kind == STRING:

@@ -77,3 +77,58 @@ def json_delete_path(col: Column, keys: list[str]) -> Column:
             lambda k, v: F.when(k == F.lit(head), F.parse_json(inner)).otherwise(v),
         )
     )
+
+
+def containment_sql(lhs_sql: str, pattern_json: str) -> str:
+    """Expand PG jsonb containment ``lhs @> '<pattern>'`` into a
+    conjunction of ``get_json_object`` path comparisons — pure Spark SQL
+    text, JVM-side, codegen-friendly (the dialect layer calls this at
+    REWRITE time, so the pattern must be a literal).
+
+    Supported pattern subset (raises ValueError outside it, which makes
+    the dialect leave the operator untouched and fail loudly downstream
+    instead of silently mis-evaluating): a JSON OBJECT literal with
+    nested-object / string / number / boolean leaves. Numbers compare
+    through CAST AS DOUBLE so ``69`` matches ``69.0`` (PG numeric jsonb
+    equality); ``null`` leaves and array values are outside the subset —
+    ``get_json_object`` cannot distinguish "key missing" from "key null",
+    and PG array containment is multiset semantics.
+    """
+    import json
+
+    obj = json.loads(pattern_json)
+    if not isinstance(obj, dict):
+        raise ValueError("jsonb containment pattern must be a JSON object")
+    conds: list[str] = []
+
+    def walk(prefix: list[str], o: dict) -> None:
+        for k, v in o.items():
+            p = prefix + [k]
+            probe = f"get_json_object({lhs_sql}, '{_jsonpath(p)}')"
+            if isinstance(v, dict):
+                walk(p, v)
+            elif isinstance(v, bool):
+                conds.append(f"{probe} = '{'true' if v else 'false'}'")
+            elif v is None or isinstance(v, list):
+                raise ValueError(
+                    "null/array values unsupported in jsonb containment "
+                    "pattern"
+                )
+            elif isinstance(v, (int, float)):
+                conds.append(f"CAST({probe} AS DOUBLE) = {float(v)!r}")
+            else:
+                esc = str(v).replace("'", "''")
+                conds.append(f"{probe} = '{esc}'")
+
+    walk([], obj)
+    return "(" + " AND ".join(conds) + ")" if conds else "true"
+
+
+def key_exists_sql(lhs_sql: str, key: str) -> str:
+    """``lhs ? 'key'``: top-level object key existence as Spark SQL text.
+    Subset note: PG's ``?`` on a json NULL value yields true (the key
+    exists); ``get_json_object`` returns NULL for both missing and null,
+    so null-valued keys read as absent here — same boundary as
+    containment_sql."""
+    esc = key.replace("'", "''")
+    return f"get_json_object({lhs_sql}, '{_jsonpath([esc])}') IS NOT NULL"

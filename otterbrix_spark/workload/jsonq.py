@@ -441,3 +441,49 @@ def j14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- j15: JSONB containment + key existence (@> / ? / ?|) -------------------
+# The PG jsonb predicate operators routed through the ENGINE's SQL seam
+# (both dialect paths lower them — dialect.py scanner rules and
+# dialect_ast._fold): `@>` literal-pattern containment expands to
+# get_json_object comparisons at rewrite time, `?`/`?|` to existence
+# probes. The synthetic props payloads are flat {"k": <int>} objects, so
+# the gate exercises number-match containment (69 matches 69.0 — PG
+# numeric jsonb equality via the CAST AS DOUBLE lowering), a non-matching
+# pattern band, and any-key existence.
+
+_J15_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                          = 69.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_k69,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                          OR json_extract_string(props, '$.zz') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_has_any,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.zz') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_has_zz
+FROM events WHERE props IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "j15_jsonb_containment", _J15_ORACLE,
+    doc="PG jsonb predicate operators through the SQL seam: @> literal "
+        "containment, ? / ?| key existence — rewrite-time expansion to "
+        "get_json_object probes on both dialect paths",
+)
+def j15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(
+        "SELECT event_type, "
+        "SUM(CASE WHEN props @> '{\"k\": 69}' THEN 1 ELSE 0 END) AS n_k69, "
+        "SUM(CASE WHEN props ?| ARRAY['k', 'zz'] THEN 1 ELSE 0 END) "
+        "AS n_has_any, "
+        "SUM(CASE WHEN props ? 'zz' THEN 1 ELSE 0 END) AS n_has_zz "
+        "FROM events WHERE props IS NOT NULL "
+        "GROUP BY event_type ORDER BY event_type"
+    )

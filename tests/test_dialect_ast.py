@@ -81,6 +81,16 @@ DIRECTED_CORPUS = [
     "SELECT doc::string #>> '{a,b}' FROM t",
     "SELECT f(x)::string ->> 'k' FROM t",
     "SELECT x::text !~* 'p' FROM t",
+    # jsonb containment / key-existence operators (@> <@ ? ?| ?&)
+    'SELECT * FROM events WHERE props @> \'{"k": 69}\'',
+    'SELECT * FROM events WHERE props @> \'{"a": {"b": "x"}, "c": true}\'',
+    'SELECT * FROM events WHERE \'{"k": 1}\' <@ props',
+    "SELECT props ? 'k' AS has_k FROM events",
+    "SELECT * FROM events WHERE props ?| ARRAY['k', 'z']",
+    "SELECT * FROM events WHERE props ?& ARRAY['k', 'z']",
+    "SELECT coalesce(doc, other) @> '{\"k\": 2}' FROM t",
+    "SELECT CASE WHEN a @> '{\"t\": \"x\"}' THEN 1 END FROM t",
+    "SELECT doc::string @> '{\"k\": 5}' FROM t",
 ]
 
 
