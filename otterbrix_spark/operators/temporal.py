@@ -46,12 +46,16 @@ def as_of_join(
     key with ``right_ts <= left_ts`` (NULL when none precedes it).
 
     ``direction="forward"`` flips the match to the SMALLEST ``right_ts``
-    with ``right_ts >= left_ts`` (the other half of pandas
-    ``merge_asof``'s direction matrix); ``tolerance`` (same units as the
-    ts columns) nulls out matches farther than the bound — a pure column
-    postcondition, no plan change. The forward form is the same one-pass
-    window sweep run with a mirrored frame (first-following instead of
-    last-preceding); the two-pass skew path supports backward only.
+    with ``right_ts >= left_ts``; ``direction="nearest"`` picks the
+    CLOSER of the two (tie -> backward) — completing pandas
+    ``merge_asof``'s direction matrix. ``tolerance`` (same units as the
+    ts columns) nulls out matches farther than the bound — for the
+    one-sided directions a pure column postcondition, for nearest a
+    per-side precondition before the choice (pandas semantics). The
+    forward form is the same one-pass window sweep run with a mirrored
+    frame (first-following instead of last-preceding); nearest runs both
+    frames over one sorted partition (same single shuffle); the two-pass
+    skew path supports backward only.
 
     Returns the left rows plus ``matched_ts`` (and ``matched_payload``
     when ``payload`` names a right-side column to carry).
@@ -90,6 +94,17 @@ def as_of_join(
             raise ValueError("two-pass skew path supports backward only")
         out = _as_of_two_pass(unioned, key, left_ts, payload, slice_width)
         return _apply_tolerance(out, left_ts, payload, direction, tolerance)
+    if direction == "nearest":
+        # the third merge_asof direction: the CLOSER of the at-or-before
+        # and at-or-after matches (tie -> backward). ONE sorted window
+        # partition serves both frames — Spark reuses the sort, so this
+        # costs the same single shuffle as either one-sided sweep. A
+        # right row exactly at a left row's time sorts before it (side
+        # asc) and is seen only by the backward frame; that match has
+        # gap 0, which dominates anything forward could offer, so the
+        # asymmetry never changes the result. Tolerance applies PER SIDE
+        # before choosing (pandas semantics: nearest within tolerance).
+        return _as_of_nearest(unioned, key, left_ts, payload, tolerance)
     if direction == "forward":
         # rows sort by (key, time, side DESC): a left row at time T comes
         # BEFORE a right row at the same T, so ties match (>= semantics).
@@ -125,6 +140,65 @@ def as_of_join(
     out = carried.filter(F.col("_side") == 1).withColumnRenamed("_t", left_ts)
     drop = ["_side"] + (["_rpay"] if payload else [])
     return _apply_tolerance(out.drop(*drop), left_ts, payload, direction, tolerance)
+
+
+def _as_of_nearest(
+    unioned: DataFrame,
+    key: str,
+    left_ts: str,
+    payload: str | None,
+    tolerance: int | None,
+) -> DataFrame:
+    """Nearest-direction sweep over the tagged union (see as_of_join):
+    backward and forward candidates from two frames over ONE sorted
+    partition, then a per-row choice of the closer (tie -> backward)."""
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    right_t = F.when(F.col("_side") == 0, F.col("_t"))
+    carried = unioned.withColumn(
+        "_bwd", F.last(right_t, ignorenulls=True).over(wb)
+    ).withColumn("_fwd", F.first(right_t, ignorenulls=True).over(wf))
+    if payload:
+        right_p = F.when(F.col("_side") == 0, F.col("_rpay"))
+        carried = carried.withColumn(
+            "_bpay", F.last(right_p, ignorenulls=True).over(wb)
+        ).withColumn("_fpay", F.first(right_p, ignorenulls=True).over(wf))
+    out = carried.filter(F.col("_side") == 1)
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(out.schema["_t"].dataType, (TimestampType, TimestampNTZType)):
+        t = F.unix_micros(F.col("_t"))
+        b, f = F.unix_micros(F.col("_bwd")), F.unix_micros(F.col("_fwd"))
+    else:
+        t, b, f = F.col("_t"), F.col("_bwd"), F.col("_fwd")
+    bgap, fgap = t - b, f - t
+    b_ok = F.col("_bwd").isNotNull() & (
+        F.lit(True) if tolerance is None else bgap <= F.lit(tolerance)
+    )
+    f_ok = F.col("_fwd").isNotNull() & (
+        F.lit(True) if tolerance is None else fgap <= F.lit(tolerance)
+    )
+    use_b = (b_ok & f_ok & (bgap <= fgap)) | (b_ok & ~f_ok)
+    out = out.withColumn(
+        "matched_ts",
+        F.when(use_b, F.col("_bwd")).when(f_ok, F.col("_fwd")),
+    )
+    drop = ["_side", "_bwd", "_fwd"]
+    if payload:
+        out = out.withColumn(
+            "matched_payload",
+            F.when(use_b, F.col("_bpay")).when(f_ok, F.col("_fpay")),
+        )
+        drop += ["_bpay", "_fpay", "_rpay"]
+    return out.withColumnRenamed("_t", left_ts).drop(*drop)
 
 
 def _apply_tolerance(

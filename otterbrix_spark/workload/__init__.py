@@ -105,13 +105,13 @@ _FRONT_WINDOW = [
     "a02_exact_percentiles", "q83_grouping_sets_markers",
     "t14_ngram_novelty", "l13_clustering_coefficient",
     "s14_streaming_upsert", "x02_upsert_on_conflict",
-    "j15_jsonb_containment",
+    "j15_jsonb_containment", "aj04_asof_nearest",
     # least-recently-verified regression fills: all r02 survivors (3)
     "a01_approx_distinct", "q45_promo_revenue", "q47_top_supplier",
     # ... and the 10 oldest r01 gates
     "d01_dedup_exact", "d02_fingerprint", "j01_event_counts",
     "j02_distinct_users", "j03_filtered_in", "j04_first_activity",
-    "j05_activity_span", "j06_jsonb_extract",
+    "j05_activity_span",
 ]
 
 

@@ -1137,3 +1137,70 @@ def h03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("coarse_us").cast("long").alias("coarse_us"),
         "event_type", "n", "qsum",
     )
+
+
+# aj04: NEAREST-direction as-of join with tolerance — the third direction
+# of the merge_asof matrix (aj01 backward, aj03 forward+tolerance): every
+# view matches its CLOSEST click of the same user within 30 minutes,
+# whichever side it falls on (tie -> backward, pandas semantics — also
+# property-tested against pandas.merge_asof in tests/test_temporal.py).
+# The Spark plan is ONE sorted window partition serving both the
+# backward and forward frames (same single shuffle as a one-sided sweep);
+# the oracle is the NAIVE per-row nearest search (correlated subquery
+# over an inequality — exactly the quadratic formulation the operator
+# exists to avoid; fine as an oracle at test SF).
+_AJ04_TOL_US = 30 * 60 * 1_000_000
+
+_AJ04_ORACLE = f"""
+WITH views AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'view'),
+clicks AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'click'),
+matched AS (
+  SELECT v.user_id, v.us,
+         (SELECT c.us FROM clicks c
+          WHERE c.user_id = v.user_id
+            AND abs(c.us - v.us) <= {_AJ04_TOL_US}
+          ORDER BY abs(c.us - v.us), (c.us > v.us), c.us
+          LIMIT 1) AS m_us
+  FROM views v)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(COUNT(m_us) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(abs(m_us - us)), 0) AS BIGINT) AS total_abs_gap_us
+FROM matched GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "aj04_asof_nearest", _AJ04_ORACLE,
+    doc="nearest-direction as-of join with 30-minute tolerance: closest "
+        "click either side of each view, tie -> backward (pandas "
+        "merge_asof semantics)",
+)
+def aj04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", us.alias("us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us")
+    )
+    joined = as_of_join(
+        views, clicks, key="user_id", left_ts="us", right_ts="us",
+        direction="nearest", tolerance=_AJ04_TOL_US,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count("matched_ts").alias("n_matched"),
+            F.coalesce(
+                F.sum(F.abs(F.col("matched_ts") - F.col("us"))), F.lit(0)
+            ).cast("long").alias("total_abs_gap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -283,7 +283,7 @@ def test_asof_join_agrees_with_pandas_merge_asof(spark):
     import random
 
     rng = random.Random(1234)
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         for tolerance in (None, 7):
             left_rows = sorted(
                 (rng.randrange(3), rng.randrange(40))
