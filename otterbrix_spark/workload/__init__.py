@@ -106,12 +106,12 @@ _FRONT_WINDOW = [
     "t14_ngram_novelty", "l13_clustering_coefficient",
     "s14_streaming_upsert", "x02_upsert_on_conflict",
     "j15_jsonb_containment", "aj04_asof_nearest",
+    "ds38_channel_full_outer", "c22_share_of_group",
     # least-recently-verified regression fills: all r02 survivors (3)
     "a01_approx_distinct", "q45_promo_revenue", "q47_top_supplier",
     # ... and the 10 oldest r01 gates
     "d01_dedup_exact", "d02_fingerprint", "j01_event_counts",
-    "j02_distinct_users", "j03_filtered_in", "j04_first_activity",
-    "j05_activity_span",
+    "j02_distinct_users", "j03_filtered_in",
 ]
 
 

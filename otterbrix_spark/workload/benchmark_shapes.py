@@ -4950,3 +4950,140 @@ def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cc").desc(), "node")
         .limit(25)
     )
+
+
+# --- ds38: TPC-DS Q78 shape — FULL OUTER channel comparison -----------------
+# Template (`benchmark/tpcds/query78.tpl`): two channels aggregated
+# SEPARATELY per (entity, year), FULL OUTER joined, COALESCE'd, and
+# ordered by a cross-channel ratio — the topology where one channel may
+# have no row at all (ds37's conditional-aggregate pivot cannot express
+# "entity sold on web but never in store"; the outer join can). Ratio is
+# an integer ppm with a NULLIF zero guard, identically associated on
+# both engines.
+
+_DS38_ORACLE = """
+WITH web AS (
+  SELECT l_suppkey AS supp, YEAR(l_shipdate) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS web_qty,
+         CAST(COUNT(*) AS BIGINT) AS web_lines
+  FROM lineitem WHERE l_partkey % 2 = 1
+  GROUP BY 1, 2),
+store AS (
+  SELECT l_suppkey AS supp, YEAR(l_shipdate) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS store_qty,
+         CAST(COUNT(*) AS BIGINT) AS store_lines
+  FROM lineitem WHERE l_partkey % 2 = 0
+  GROUP BY 1, 2)
+SELECT COALESCE(w.supp, s.supp) AS supp,
+       COALESCE(w.yr, s.yr) AS yr,
+       COALESCE(w.web_qty, 0) AS web_qty,
+       COALESCE(s.store_qty, 0) AS store_qty,
+       COALESCE(w.web_qty, 0) * 1000000
+         // NULLIF(COALESCE(s.store_qty, 0), 0) AS web_store_ppm
+FROM web w FULL OUTER JOIN store s ON w.supp = s.supp AND w.yr = s.yr
+ORDER BY web_store_ppm DESC NULLS FIRST,
+         supp, yr
+LIMIT 50
+"""
+
+
+@query(
+    "ds38_channel_full_outer", _DS38_ORACLE,
+    doc="TPC-DS Q78 shape: per-channel aggregates FULL OUTER joined with "
+        "COALESCE and an integer-ppm cross-channel ratio (NULLIF guard)",
+)
+def ds38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def chan(pred, qty_name, lines_name):
+        return (
+            li.filter(pred)
+            .groupBy(
+                F.col("l_suppkey").alias("supp"),
+                F.year("l_shipdate").alias("yr"),
+            )
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).alias(qty_name),
+                F.count(F.lit(1)).alias(lines_name),
+            )
+        )
+
+    web = chan(F.col("l_partkey") % 2 == 1, "web_qty", "web_lines")
+    store = chan(F.col("l_partkey") % 2 == 0, "store_qty", "store_lines")
+    w, s = web.alias("w"), store.alias("s")
+    j = w.join(
+        s,
+        (F.col("w.supp") == F.col("s.supp")) & (F.col("w.yr") == F.col("s.yr")),
+        "full_outer",
+    )
+    web_qty = F.coalesce(F.col("w.web_qty"), F.lit(0))
+    store_qty = F.coalesce(F.col("s.store_qty"), F.lit(0))
+    return (
+        j.select(
+            F.coalesce(F.col("w.supp"), F.col("s.supp")).alias("supp"),
+            F.coalesce(F.col("w.yr"), F.col("s.yr")).alias("yr"),
+            web_qty.alias("web_qty"),
+            store_qty.alias("store_qty"),
+            F.expr(
+                "COALESCE(w.web_qty, 0) * 1000000"
+                " DIV NULLIF(COALESCE(s.store_qty, 0), 0)"
+            ).alias("web_store_ppm"),
+        )
+        .orderBy(
+            F.col("web_store_ppm").desc_nulls_first(), "supp", "yr"
+        )
+        .limit(50)
+    )
+
+
+# --- c22: ClickBench shape — share-of-group window percent ------------------
+# The "top contributors with share %" analytics form: per (event_type,
+# user) hit counts, each row's share of its TYPE's total via a window
+# partition sum, top-5 users per type by share. Integer ppm (hits * 1e6
+# DIV group total) keeps the window chain exact; the final rank is a
+# second window over the SAME partitioning — one shuffle serves both.
+
+_C22_ORACLE = """
+WITH u AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM events GROUP BY 1, 2),
+sh AS (
+  SELECT event_type, user_id, hits,
+         hits * 1000000 // SUM(hits) OVER (PARTITION BY event_type)
+           AS share_ppm
+  FROM u)
+SELECT event_type, user_id, hits, share_ppm FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY hits DESC, user_id) AS rk
+  FROM sh) WHERE rk <= 5
+ORDER BY event_type, hits DESC, user_id
+"""
+
+
+@query(
+    "c22_share_of_group", _C22_ORACLE,
+    doc="share-of-group window percent: per-user hit share (integer ppm) "
+        "of its event type's total, top-5 per type — both windows reuse "
+        "one partitioning",
+)
+def c22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    wp = Window.partitionBy("event_type")
+    # integer DIV by the window total, exact on both engines
+    sh = u.withColumn("_tot", F.sum("hits").over(wp)).withColumn(
+        "share_ppm", F.expr("hits * 1000000 DIV _tot")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("hits").desc(), "user_id"
+        )
+    )
+    return (
+        sh.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "user_id", "hits", "share_ppm")
+        .orderBy("event_type", F.col("hits").desc(), "user_id")
+    )
