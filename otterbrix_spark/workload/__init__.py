@@ -107,11 +107,11 @@ _FRONT_WINDOW = [
     "s14_streaming_upsert", "x02_upsert_on_conflict",
     "j15_jsonb_containment", "aj04_asof_nearest",
     "ds38_channel_full_outer", "c22_share_of_group",
+    "m06_pair_integrity", "p09_curriculum_phases",
     # least-recently-verified regression fills: all r02 survivors (3)
     "a01_approx_distinct", "q45_promo_revenue", "q47_top_supplier",
     # ... and the 10 oldest r01 gates
     "d01_dedup_exact", "d02_fingerprint", "j01_event_counts",
-    "j02_distinct_users", "j03_filtered_in",
 ]
 
 

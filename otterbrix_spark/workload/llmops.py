@@ -3104,3 +3104,156 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty", F.col("novel") / F.col("n_shingles")
         )
     )
+
+
+# --- m06: image-text pairing integrity audit --------------------------------
+# The dataset-curation audit an image-caption training set needs before
+# training: which documents have BOTH modalities, which are orphans on
+# either side, and how many images are byte-duplicates (same payload
+# fingerprint) within a source. Assets exist for doc_id % 3 != 0 and
+# captions for doc_id % 2 = 0 (deterministic availability bands), so the
+# FULL OUTER pairing exercises all three outcomes at every SF. Payload
+# fingerprints reuse the documents_as_assets contract (md5 of text), so
+# byte-duplicate images == duplicate texts — SQL-predictable on both
+# engines. One full-outer id join + one fingerprint groupBy per source.
+
+_M06_ORACLE = """
+WITH assets AS (
+  SELECT doc_id, source, md5(text) AS payload_fp FROM documents
+  WHERE doc_id % 3 <> 0),
+captions AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0),
+paired AS (
+  SELECT COALESCE(a.source, c.source) AS source,
+         a.doc_id IS NOT NULL AS has_image,
+         c.doc_id IS NOT NULL AS has_caption
+  FROM assets a FULL OUTER JOIN captions c ON a.doc_id = c.doc_id),
+dups AS (
+  SELECT source, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dup_images
+  FROM (SELECT source, payload_fp, COUNT(*) AS n FROM assets
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+  GROUP BY source)
+SELECT p.source,
+       CAST(SUM(CASE WHEN has_image AND has_caption THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_paired,
+       CAST(SUM(CASE WHEN has_image AND NOT has_caption THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_image_only,
+       CAST(SUM(CASE WHEN has_caption AND NOT has_image THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_caption_only,
+       CAST(COALESCE(MIN(d.n_dup_images), 0) AS BIGINT) AS n_dup_images
+FROM paired p LEFT JOIN dups d ON p.source = d.source
+GROUP BY p.source ORDER BY p.source
+"""
+
+
+@query(
+    "m06_pair_integrity", _M06_ORACLE,
+    doc="image-caption pairing audit: FULL OUTER modality join (paired / "
+        "image-only / caption-only per source) + byte-duplicate image "
+        "detection via payload fingerprint groupBy",
+)
+def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "source", F.md5("text").alias("payload_fp")
+    )
+    captions = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("source").alias("c_source")
+    )
+    paired = assets.join(captions, "doc_id", "full_outer").select(
+        F.coalesce(F.col("source"), F.col("c_source")).alias("source"),
+        F.col("payload_fp").isNotNull().alias("has_image"),
+        F.col("c_source").isNotNull().alias("has_caption"),
+    )
+    dups = (
+        assets.groupBy("source", "payload_fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_dup_images"))
+    )
+    agg = paired.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("has_image") & F.col("has_caption"), 1).otherwise(0)
+        ).cast("long").alias("n_paired"),
+        F.sum(
+            F.when(F.col("has_image") & ~F.col("has_caption"), 1).otherwise(0)
+        ).cast("long").alias("n_image_only"),
+        F.sum(
+            F.when(F.col("has_caption") & ~F.col("has_image"), 1).otherwise(0)
+        ).cast("long").alias("n_caption_only"),
+    )
+    return (
+        agg.join(dups, "source", "left")
+        .select(
+            "source", "n_paired", "n_image_only", "n_caption_only",
+            F.coalesce(F.col("n_dup_images"), F.lit(0)).cast("long").alias(
+                "n_dup_images"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- p09: curriculum ordering by quality decile -----------------------------
+# Curriculum construction: rank the corpus by an exact integer quality
+# score (word count + 3x stopword hits — the t02/t08 scoring family) and
+# cut it into 10 training phases with NTILE over a TOTAL order (score,
+# doc_id — tie-free, so the decile assignment is exactly determined).
+# Phase stats (docs, score range, chars) are what the training scheduler
+# consumes. NTILE over a global order is a single-partition sort at the
+# ranking step; the production path at corpus scale ranks by
+# (score band, hash) or samples score quantiles first — the gate pins
+# the exact semantics.
+
+_P09_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         CAST(len(regexp_split_to_array(text, '\\s+'))
+              + 3 * (len(text) - len(replace(text, ' the ', '')))
+                / len(' the ') AS BIGINT) AS score
+  FROM documents),
+phased AS (
+  SELECT doc_id, n_chars, score,
+         NTILE(10) OVER (ORDER BY score, doc_id) AS phase
+  FROM scored)
+SELECT phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM phased GROUP BY phase ORDER BY phase
+"""
+
+
+@query(
+    "p09_curriculum_phases", _P09_ORACLE,
+    doc="curriculum construction: exact integer quality score -> NTILE "
+        "deciles over a tie-free total order -> per-phase stats",
+)
+def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    the_hits = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the "))))
+        / F.length(F.lit(" the "))
+    ).cast("long")
+    scored = docs.select(
+        "doc_id", "n_chars",
+        (F.size(F.split("text", r"\s+")).cast("long") + 3 * the_hits).alias(
+            "score"
+        ),
+    )
+    phase = F.ntile(10).over(Window.orderBy("score", "doc_id"))
+    return (
+        scored.withColumn("phase", phase)
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("phase")
+    )
