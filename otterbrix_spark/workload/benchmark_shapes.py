@@ -4664,13 +4664,17 @@ WITH sales AS (
   GROUP BY 1, 2, 3),
 p AS (
   SELECT cust,
-         SUM(CASE WHEN yr = 1995 AND chan = 'web' THEN rev ELSE 0 END) AS web1,
-         SUM(CASE WHEN yr = 1996 AND chan = 'web' THEN rev ELSE 0 END) AS web2,
-         SUM(CASE WHEN yr = 1995 AND chan = 'store' THEN rev ELSE 0 END) AS store1,
-         SUM(CASE WHEN yr = 1996 AND chan = 'store' THEN rev ELSE 0 END) AS store2
+         CAST(SUM(CASE WHEN yr = 1995 AND chan = 'web' THEN rev ELSE 0 END)
+              AS BIGINT) AS web1,
+         CAST(SUM(CASE WHEN yr = 1996 AND chan = 'web' THEN rev ELSE 0 END)
+              AS BIGINT) AS web2,
+         CAST(SUM(CASE WHEN yr = 1995 AND chan = 'store' THEN rev ELSE 0 END)
+              AS BIGINT) AS store1,
+         CAST(SUM(CASE WHEN yr = 1996 AND chan = 'store' THEN rev ELSE 0 END)
+              AS BIGINT) AS store2
   FROM sales GROUP BY cust)
 SELECT cust, web1, web2, store1, store2,
-       web2 * 1000000 // web1 AS web_growth_ppm
+       CAST(web2 * 1000000 // web1 AS BIGINT) AS web_growth_ppm
 FROM p
 WHERE web1 > 0 AND store1 > 0 AND web2 * store1 > store2 * web1
 ORDER BY web_growth_ppm DESC, cust LIMIT 100
@@ -5049,8 +5053,9 @@ WITH u AS (
   FROM events GROUP BY 1, 2),
 sh AS (
   SELECT event_type, user_id, hits,
-         hits * 1000000 // SUM(hits) OVER (PARTITION BY event_type)
-           AS share_ppm
+         CAST(hits * 1000000
+              // CAST(SUM(hits) OVER (PARTITION BY event_type) AS BIGINT)
+              AS BIGINT) AS share_ppm
   FROM u)
 SELECT event_type, user_id, hits, share_ppm FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
