@@ -74,17 +74,20 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # checkpoint, y03 dynamic schema, ds34/ds35/ds36/c19/c20/l12/b13/b15
 # breadth shapes, t12 repetition filters, sk03 sketch intersection,
 # s11 native session windows, d15 incremental dedup index, e11
-# incremental IVF add, s12 sliding windows); the 16 late-round-7
+# incremental IVF add, s12 sliding windows); the 26 late-round-7
 # additions (g03 LOCF, h03 hierarchical rollup, t13 BM25, d16 keep-best
 # rep, p08 quota mix, ds37 YoY compare, b16 JOB min-star, c21 regex
 # distinct, e12 filtered ANN, s13 stream-static join, d17 minhash
 # accuracy, a02 exact percentiles, q83 grouping sets, t14 novelty,
-# l13 clustering coefficient, s14 streaming upsert — first-time
-# certification outranks re-checks); then the LEAST-recently-verified
-# regression fills — the 3 remaining r02 gates and the 10 oldest r01
-# gates. The r01 gates that do not fit (j09-j11, q03-q37) are the
-# round-8 regression backlog; everything rotated out keeps passing the
-# identical local DuckDB battery (tests/test_workload_oracle.py).
+# l13 clustering coefficient, s14 streaming upsert, x02 upsert, j15
+# jsonb containment, aj04 nearest as-of, ds38 full-outer channels, c22
+# share-of-group, m06 pair integrity, p09 curriculum, sk04 a-not-b,
+# w06 exclude-current-row, t15 vocab stats — first-time certification
+# outranks re-checks); then the LEAST-recently-verified regression
+# fills — the 3 remaining r02 gates. The r01 gates (d01-d02, j01-j11,
+# q03-q37) are the round-8 regression backlog; everything rotated out
+# keeps passing the identical local DuckDB battery
+# (tests/test_workload_oracle.py) at three SFs every round.
 _FRONT_WINDOW = [
     "q01_pricing_summary",
     # never driver-sampled (landed post-window in round 6)
@@ -108,10 +111,9 @@ _FRONT_WINDOW = [
     "j15_jsonb_containment", "aj04_asof_nearest",
     "ds38_channel_full_outer", "c22_share_of_group",
     "m06_pair_integrity", "p09_curriculum_phases",
+    "sk04_kmv_a_not_b", "w06_exclude_current_row", "t15_vocab_stats",
     # least-recently-verified regression fills: all r02 survivors (3)
     "a01_approx_distinct", "q45_promo_revenue", "q47_top_supplier",
-    # ... and the 10 oldest r01 gates
-    "d01_dedup_exact", "d02_fingerprint", "j01_event_counts",
 ]
 
 

@@ -3257,3 +3257,63 @@ def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+# --- t15: corpus vocabulary statistics (type-token ratio, hapax) ------------
+# Corpus-linguistics quality metrics per source: vocabulary size (types),
+# token count, TYPE-TOKEN RATIO, and the HAPAX fraction (words occurring
+# exactly once) — the diversity signals corpus reports (C4, Gopher, The
+# Pile) publish per slice, and the cheapest detector for template/boiler-
+# plate-heavy or synthetic-duplicated sources (low TTR, low hapax).
+# Distributed shape: one (source, word) groupBy with map-side combine,
+# then one per-source reduce; ratios are single exact divisions.
+
+_T15_ORACLE = """
+WITH w AS (
+  SELECT source, UNNEST(regexp_split_to_array(text, '\\s+')) AS word
+  FROM documents),
+wc AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w GROUP BY source, word)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS tokens,
+       CAST(COUNT(*) AS BIGINT) AS types,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       COUNT(*) / CAST(SUM(n) AS DOUBLE) AS type_token_ratio,
+       SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+         AS hapax_fraction
+FROM wc GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "t15_vocab_stats", _T15_ORACLE,
+    doc="per-source vocabulary statistics: type-token ratio and hapax "
+        "fraction — the corpus-diversity quality signals, one combinable "
+        "groupBy",
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split("text", r"\s+")).alias("word")
+    )
+    wc = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("tokens"),
+            F.count(F.lit(1)).alias("types"),
+            hapax.cast("long").alias("hapax"),
+        )
+        .select(
+            "source", "tokens", "types", "hapax",
+            (F.col("types") / F.col("tokens").cast("double")).alias(
+                "type_token_ratio"
+            ),
+            (F.col("hapax") / F.col("types").cast("double")).alias(
+                "hapax_fraction"
+            ),
+        )
+        .orderBy("source")
+    )

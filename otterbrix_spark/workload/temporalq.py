@@ -1204,3 +1204,160 @@ def aj04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# sk04: theta-sketch A-NOT-B — the remaining member of the sketch set
+# algebra (sk01 cardinality, sk02 merge, sk03 intersection): |A \ B|
+# estimated from the union sketch's membership flags as
+# union-cardinality-hat * |{topk: in_a AND NOT in_b}| / k (Dasgupta et
+# al.'s a-not-b operation). The retention/churn question ("clicked but
+# never purchased") answered without materialising the difference set;
+# deterministic md5 hashes give it an exact oracle like its siblings.
+_SK04_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE event_type IN ('click', 'purchase')),
+m AS (
+  SELECT hv,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM h GROUP BY hv),
+topk AS (SELECT * FROM m ORDER BY hv LIMIT {_SK03_K}),
+agg AS (
+  SELECT MAX(hv) AS r,
+         CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS a_not_b_in
+  FROM topk),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_a_not_b
+  FROM m WHERE in_a = 1 AND in_b = 0)
+SELECT ex.exact_a_not_b,
+       agg.a_not_b_in,
+       ({_SK03_K - 1}.0 * {_SK01_SPACE} / CAST(agg.r AS DOUBLE))
+         * (CAST(agg.a_not_b_in AS DOUBLE) / {_SK03_K}.0)
+         AS kmv_a_not_b_estimate
+FROM agg, ex
+"""
+
+
+@query(
+    "sk04_kmv_a_not_b", _SK04_ORACLE,
+    doc="theta-sketch A-NOT-B: clicked-but-never-purchased cardinality "
+        "from the union sketch's membership flags — completes the sketch "
+        "set algebra with an exact deterministic oracle",
+)
+def sk04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    )
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    m = h.groupBy("hv").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("in_b"),
+    )
+    m = m.localCheckpoint(eager=False)
+    topk = m.orderBy("hv").limit(_SK03_K)
+    agg = topk.agg(
+        F.max("hv").alias("r"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long").alias(
+            "a_not_b_in"
+        ),
+    )
+    ex = (
+        m.filter((F.col("in_a") == 1) & (F.col("in_b") == 0))
+        .agg(F.count(F.lit(1)).alias("exact_a_not_b"))
+    )
+    union_card = (
+        F.lit(float(_SK03_K - 1)) * F.lit(_SK01_SPACE)
+        / F.col("r").cast("double")
+    )
+    return ex.crossJoin(F.broadcast(agg)).select(
+        "exact_a_not_b",
+        "a_not_b_in",
+        (
+            union_card
+            * (F.col("a_not_b_in").cast("double") / F.lit(float(_SK03_K)))
+        ).alias("kmv_a_not_b_estimate"),
+    )
+
+
+# w06: peer comparison EXCLUDING SELF — SQL:2003's EXCLUDE CURRENT ROW
+# frame, which Spark's window API lacks; the standard lowering is
+# (group aggregate - own contribution) computed from ONE window sum,
+# i.e. the exclusion is algebra, not a second shuffle. Each order is
+# compared against the average cents of the OTHER orders of its
+# priority band: peer_avg_cents = (band_sum - own) / (band_n - 1),
+# integer-exact numerator and a single division. Bands with one order
+# yield NULL (no peers).
+_W06_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 4000),
+w AS (
+  SELECT o_orderkey, o_orderpriority, cents,
+         CAST(SUM(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS band_sum,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+           AS band_n
+  FROM o)
+SELECT o_orderkey, o_orderpriority, cents,
+       CASE WHEN band_n > 1
+            THEN CAST(band_sum - cents AS DOUBLE) / (band_n - 1) END
+         AS peer_avg_cents,
+       CAST(CASE WHEN band_n > 1 AND cents * (band_n - 1)
+                      > (band_sum - cents) THEN 1 ELSE 0 END AS BIGINT)
+         AS above_peers
+FROM w ORDER BY o_orderkey
+"""
+
+
+@query(
+    "w06_exclude_current_row", _W06_ORACLE,
+    doc="EXCLUDE CURRENT ROW frame semantics via window-sum algebra: "
+        "peer average without self from one window pass; above-peer flag "
+        "by integer cross-multiplication",
+)
+def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 4000
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    o = orders.select(
+        "o_orderkey", "o_orderpriority", cents.alias("cents")
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    w = o.withColumn("band_sum", F.sum("cents").over(wp)).withColumn(
+        "band_n", F.count(F.lit(1)).over(wp)
+    )
+    has_peers = F.col("band_n") > 1
+    return (
+        w.select(
+            "o_orderkey", "o_orderpriority", "cents",
+            F.when(
+                has_peers,
+                (F.col("band_sum") - F.col("cents")).cast("double")
+                / (F.col("band_n") - 1),
+            ).alias("peer_avg_cents"),
+            F.when(
+                has_peers
+                & (
+                    F.col("cents") * (F.col("band_n") - 1)
+                    > F.col("band_sum") - F.col("cents")
+                ),
+                1,
+            ).otherwise(0).cast("long").alias("above_peers"),
+        )
+        .orderBy("o_orderkey")
+    )
