@@ -5092,3 +5092,120 @@ def c22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id", "hits", "share_ppm")
         .orderBy("event_type", F.col("hits").desc(), "user_id")
     )
+
+
+# --- l14: fixed-point PageRank (3 exact-integer power iterations) -----------
+# The canonical graph-analytics workload, run over the co-supplier graph
+# in FIXED-POINT INTEGER arithmetic so the oracle can replay it exactly
+# (the d13/e10 Lloyd-unroll discipline applied to power iteration):
+# pr_0 = 1e6; pr_{t+1}(v) = 0.15e6 + (850 * sum_{u->v} (pr_t(u) DIV
+# outdeg(u))) DIV 1000 — every step is positive-integer DIV, identical
+# truncation on both engines, values bounded ~1e6 x |V|. Distributed
+# shape per iteration: one contributions groupBy on dst + one left join
+# back to the node set (the classic Pregel/GraphX PageRank step as two
+# DataFrame ops); the oracle unrolls the three iterations as chained
+# CTEs. Dangling nodes cannot occur (the bidirected edge set gives every
+# node outdeg >= 1).
+
+_L14_ITERS = 3
+
+_L14_ITER_TMPL = """
+{name} AS (
+  SELECT n.node,
+         CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.pr // d.deg) AS BIGINT) AS s
+    FROM e JOIN {prev} p ON p.node = e.src
+           JOIN deg d ON d.node = e.src
+    GROUP BY e.dst) c ON c.node = n.node)
+"""
+
+_L14_ORACLE = (
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+edges AS (
+  SELECT s1, s2 FROM pairs GROUP BY s1, s2
+  HAVING COUNT(DISTINCT l_orderkey) >= 2),
+e AS (SELECT s1 AS src, s2 AS dst FROM edges
+      UNION ALL SELECT s2, s1 FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM e GROUP BY src),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),"""
+    + ",".join(
+        _L14_ITER_TMPL.format(name=f"pr{i + 1}", prev=f"pr{i}")
+        for i in range(_L14_ITERS)
+    )
+    + f"""
+SELECT node, pr AS pagerank_fp
+FROM pr{_L14_ITERS}
+ORDER BY pagerank_fp DESC, node LIMIT 25
+"""
+)
+
+
+@query(
+    "l14_pagerank_fixed_point", _L14_ORACLE,
+    doc="PageRank, 3 exact-integer power iterations over the co-supplier "
+        "graph (Pregel step = contributions groupBy + node left join); "
+        "oracle unrolls the iterations as chained CTEs",
+)
+def l14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("r_okey"), F.col("l_suppkey").alias("sb")
+    )
+    pairs = li.join(
+        right,
+        (F.col("l_orderkey") == F.col("r_okey"))
+        & (F.col("l_suppkey") < F.col("sb")),
+    ).select(
+        F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2"), "l_orderkey"
+    )
+    edges = (
+        pairs.groupBy("s1", "s2")
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("s1", "s2")
+    )
+    e = edges.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionAll(edges.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+    # iterated frames are reused across every iteration's two joins —
+    # localCheckpoint truncates the growing lineage (recursive-CTE
+    # discipline) and the tiny node/degree frames persist once
+    e = e.localCheckpoint(eager=False)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = nodes.select("node", F.lit(1_000_000).cast("long").alias("pr"))
+    for _ in range(_L14_ITERS):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("pr DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "CAST(150000 + (850 * COALESCE(s, 0)) DIV 1000 AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        pr.select("node", F.col("pr").alias("pagerank_fp"))
+        .orderBy(F.col("pagerank_fp").desc(), "node")
+        .limit(25)
+    )

@@ -1361,3 +1361,79 @@ def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# g04: TIME-WEIGHTED AVERAGE — TimescaleDB's time_weighted_average with
+# LOCF weighting: each observation's value counts for the duration until
+# the NEXT observation, TWA = sum(v_i * (t_{i+1} - t_i)) / (t_n - t_0).
+# The un-weighted mean over-counts burst periods; the TWA is the honest
+# per-user engagement statistic on irregular samples. Exact arithmetic:
+# quantised values (1e4) x microsecond durations are exact BIGINT
+# products (v <= 1e6 quanta, gaps <= ~1e13 us -> products < 2^53 and
+# summed in 64-bit integers on both engines), divided once at the end.
+# One LEAD window per user + one aggregate; users with < 2 events have
+# no duration and yield NULL.
+_G04_ORACLE = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS qv
+  FROM events WHERE event_type = 'purchase'),
+d AS (
+  SELECT user_id, us, qv,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, qv) AS next_us
+  FROM p),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN next_us IS NOT NULL
+                       THEN qv * (next_us - us) ELSE 0 END) AS BIGINT)
+           AS weighted_sum,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM d GROUP BY user_id)
+SELECT user_id, n_obs, span_us,
+       CASE WHEN span_us > 0
+            THEN CAST(weighted_sum AS DOUBLE) / span_us / 10000.0 END
+         AS time_weighted_avg
+FROM agg ORDER BY user_id
+"""
+
+
+@query(
+    "g04_time_weighted_avg", _G04_ORACLE,
+    doc="time-weighted average with LOCF weighting (TimescaleDB "
+        "time_weight): exact integer value x duration products, one LEAD "
+        "window per user",
+)
+def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 10000.0).cast("long").alias("qv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "qv")
+    d = p.withColumn("next_us", F.lead("us").over(w))
+    agg = d.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("next_us").isNotNull(),
+                F.col("qv") * (F.col("next_us") - F.col("us")),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("weighted_sum"),
+        (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return (
+        agg.select(
+            "user_id", "n_obs", "span_us",
+            F.when(
+                F.col("span_us") > 0,
+                F.col("weighted_sum").cast("double")
+                / F.col("span_us")
+                / 10000.0,
+            ).alias("time_weighted_avg"),
+        )
+        .orderBy("user_id")
+    )
