@@ -194,6 +194,14 @@ _UPDATE = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?(\s+RETURNING\s+\*)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# PG join-update: UPDATE t SET ... FROM src [AS alias] WHERE <join cond>.
+# SET/WHERE expressions may reference both tables (qualify on ambiguity).
+_UPDATE_FROM = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+FROM\s+([\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?"
+    r"\s+WHERE\s+(.*?)(\s+RETURNING\s+\*)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(\s+RETURNING\s+\*)?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -558,6 +566,70 @@ class Catalog:
         table._swap_in(new_df)
         self._register(table)
         return self.spark.range(1).select(F.lit(n).alias("upserted"))
+
+    def _update_from(
+        self, name, set_clause, src_name, src_alias, where, returning
+    ) -> DataFrame:
+        """PG join-update: UPDATE t SET ... FROM src WHERE <join cond>.
+        SET and WHERE expressions may reference both tables (qualified on
+        ambiguity, as in PG). Where PG silently applies an ARBITRARY
+        matching src row when several match one target row, this engine
+        REFUSES (deterministic-results policy — the same stance as the
+        ON CONFLICT duplicate-arbiter guard). Distributed shape: one join
+        on the predicate, one anti-join for untouched rows, one union —
+        the shuffle-merge of a lakehouse MERGE-matched clause."""
+        from otterbrix_spark.operators.dml import ConstraintViolation
+
+        table = self.tables[name]
+        base = (
+            self._txn.get(name, table.df())
+            if self._txn is not None
+            else table.df()
+        )
+        alias = src_alias or src_name
+        src = self.spark.table(src_name)
+        # localCheckpoint PINS the row ids: the tagged frame feeds three
+        # separate actions (dup guard, update, anti-join) and the ids must
+        # be identical in each
+        tagged = base.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        joined = tagged.alias(name).join(src.alias(alias), F.expr(where))
+        dup = (
+            joined.groupBy("__rid").count().filter(F.col("count") > 1)
+        )
+        if dup.count() > 0:
+            raise ConstraintViolation(
+                f"UPDATE {name} FROM {src_name}: a target row matches "
+                "multiple source rows (PG applies an arbitrary one; this "
+                "engine refuses non-deterministic updates)"
+            )
+        sets = _resolve_set_targets(_split_set_list(set_clause))
+        updated = joined.select(
+            *[
+                sets.get(f.name, F.col(f"{name}.{f.name}"))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in base.schema.fields
+            ]
+        )
+        unchanged = tagged.join(
+            joined.select("__rid"), "__rid", "left_anti"
+        ).drop("__rid")
+        new_df = unchanged.unionByName(updated)
+        self._validate_new_rows(name, updated, full=new_df)
+        if self._txn is not None:
+            return self._stage_txn(name, new_df, updated, "updated", returning)
+        if returning:
+            result = updated.cache()
+            result.count()
+            table._swap_in(new_df)
+            self._register(table)
+            return result
+        n = updated.count()
+        table._swap_in(new_df)
+        self._register(table)
+        return self.spark.range(1).select(F.lit(n).alias("updated"))
 
     # -- constraint enforcement (reference operator_check_constraint /
     # -- operator_fk_check / operator_fk_cascade, routed through SQL DDL) ----
@@ -1164,6 +1236,20 @@ class Catalog:
                 shutil.rmtree(self.dynamic.pop(name).path, ignore_errors=True)
                 self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
+
+        m = _UPDATE_FROM.match(sql)
+        if (
+            m
+            and m.group(1) in self.tables
+            # guard against a plain UPDATE whose WHERE contains a
+            # subquery (`... WHERE id IN (SELECT .. FROM u WHERE ..)`) —
+            # there the regex's non-greedy SET slice swallows the outer
+            # WHERE and splits inside the subquery, leaving unbalanced
+            # parens / a stray WHERE in the captured set-clause
+            and m.group(2).count("(") == m.group(2).count(")")
+            and not re.search(r"\bWHERE\b", m.group(2), re.IGNORECASE)
+        ):
+            return self._update_from(*m.groups())
 
         m = _UPDATE.match(sql)
         if m and m.group(1) in self.tables:

@@ -374,3 +374,47 @@ def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ON CONFLICT (k) DO NOTHING"
     )
     return eng.sql("SELECT k, bal FROM x02_acct")
+
+
+# --- q84: UPDATE ... FROM (PG join-update) ----------------------------------
+# The join-update statement through the engine: balances adjusted from a
+# second table joined on the key (catalog._update_from — one predicate
+# join + anti-join + union, the MERGE-matched shuffle shape; multi-match
+# targets are REFUSED rather than PG's arbitrary pick). Modulo key band
+# so matched and untouched rows both exist at every SF.
+
+_Q84_ORACLE = """
+SELECT c_custkey,
+       CAST(FLOOR(c_acctbal * 100.0)
+            + CASE WHEN c_custkey % 3 = 0 THEN c_nationkey * 10 ELSE 0 END
+            AS BIGINT) AS cents
+FROM customer
+"""
+
+
+@query(
+    "q84_update_from", _Q84_ORACLE,
+    doc="UPDATE ... FROM join-update via SQL: adjustment table joined on "
+        "the key, deterministic multi-match refusal",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS q84_bal")
+    eng.sql("DROP TABLE IF EXISTS q84_adj")
+    eng.sql(
+        "CREATE TABLE q84_bal AS SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents FROM customer"
+    )
+    eng.sql(
+        "CREATE TABLE q84_adj AS SELECT c_custkey AS k, "
+        "CAST(c_nationkey * 10 AS BIGINT) AS delta "
+        "FROM customer WHERE c_custkey % 3 = 0"
+    )
+    eng.sql(
+        "UPDATE q84_bal SET cents = q84_bal.cents + q84_adj.delta "
+        "FROM q84_adj WHERE q84_bal.c_custkey = q84_adj.k"
+    )
+    return eng.sql("SELECT c_custkey, cents FROM q84_bal")

@@ -596,3 +596,70 @@ def test_upsert_inside_transaction_rolls_back(engine):
     engine.execute_sql("ROLLBACK")
     rows = dict(engine.execute_sql("SELECT * FROM tx").fetchall())
     assert rows == {1: 10}
+
+
+# --- UPDATE ... FROM (PG join-update) ---------------------------------------
+
+
+def test_update_from_join(engine):
+    engine.execute_sql("CREATE TABLE acct AS SELECT 1 AS id, 100 AS bal")
+    engine.execute_sql("INSERT INTO acct VALUES (2, 200), (3, 300)")
+    engine.execute_sql("CREATE TABLE adj AS SELECT 1 AS aid, 5 AS delta")
+    engine.execute_sql("INSERT INTO adj VALUES (3, 30)")
+    n = engine.execute_sql(
+        "UPDATE acct SET bal = acct.bal + adj.delta FROM adj "
+        "WHERE acct.id = adj.aid"
+    ).value("updated", 0)
+    assert n == 2
+    rows = dict(engine.execute_sql("SELECT * FROM acct").fetchall())
+    assert rows == {1: 105, 2: 200, 3: 330}
+
+
+def test_update_from_alias_and_returning(engine):
+    engine.execute_sql("CREATE TABLE uf AS SELECT 1 AS id, 'old' AS tag")
+    engine.execute_sql("CREATE TABLE names AS SELECT 1 AS nid, 'new' AS nm")
+    rows = engine.execute_sql(
+        "UPDATE uf SET tag = s.nm FROM names AS s WHERE uf.id = s.nid "
+        "RETURNING *"
+    ).fetchall()
+    assert rows == [(1, "new")]
+
+
+def test_update_from_multimatch_refused(engine):
+    import pytest
+
+    from otterbrix_spark.operators.dml import ConstraintViolation
+
+    engine.execute_sql("CREATE TABLE mm AS SELECT 1 AS id, 0 AS v")
+    engine.execute_sql("CREATE TABLE srcm AS SELECT 1 AS sid, 10 AS d")
+    engine.execute_sql("INSERT INTO srcm VALUES (1, 20)")
+    with pytest.raises(ConstraintViolation, match="multiple source rows"):
+        engine.execute_sql(
+            "UPDATE mm SET v = srcm.d FROM srcm WHERE mm.id = srcm.sid"
+        )
+
+
+def test_update_with_subquery_where_still_plain_update(engine):
+    # the join-update router must NOT hijack a plain UPDATE whose WHERE
+    # carries a subquery containing FROM/WHERE
+    engine.execute_sql("CREATE TABLE pu AS SELECT 1 AS id, 0 AS v")
+    engine.execute_sql("INSERT INTO pu VALUES (2, 0), (3, 0)")
+    engine.execute_sql("CREATE TABLE pk AS SELECT 2 AS kid, 1 AS flag")
+    engine.execute_sql(
+        "UPDATE pu SET v = 9 "
+        "WHERE id IN (SELECT kid FROM pk WHERE flag = 1)"
+    )
+    rows = dict(engine.execute_sql("SELECT * FROM pu").fetchall())
+    assert rows == {1: 0, 2: 9, 3: 0}
+
+
+def test_update_from_inside_transaction(engine):
+    engine.execute_sql("CREATE TABLE txu AS SELECT 1 AS id, 10 AS v")
+    engine.execute_sql("CREATE TABLE txs AS SELECT 1 AS sid, 99 AS nv")
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "UPDATE txu SET v = txs.nv FROM txs WHERE txu.id = txs.sid"
+    )
+    assert dict(engine.execute_sql("SELECT * FROM txu").fetchall()) == {1: 99}
+    engine.execute_sql("ROLLBACK")
+    assert dict(engine.execute_sql("SELECT * FROM txu").fetchall()) == {1: 10}
