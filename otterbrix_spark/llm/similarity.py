@@ -763,3 +763,82 @@ def ivf_persist_add(
         .partitionBy("cid")
         .parquet(path)
     )
+
+
+def ivf_quantized_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 12,
+) -> DataFrame:
+    """The production ANN stack COMPOSED: partition-pruned IVF candidate
+    generation (ivf_persist_query's probe path) -> int8 quantized
+    stage-1 scoring over the probed cells (quantize_int8's SQ8 scheme,
+    4x less candidate bandwidth) -> exact-cosine rerank of the
+    ``shortlist`` survivors. At 100 TB this is the shape that matters:
+    the float vectors are touched only for shortlist x queries rows;
+    everything corpus-sized moves through int8 products inside pruned
+    cell directories. Deterministic end-to-end (integer dots, single
+    divisions), so the whole composition is exactly oracle-replayable."""
+    qq = _kmeans_exact_quantize(queries)
+    idx = spark.read.parquet(path)
+    seeds = spark.read.parquet(path + "_seeds")
+    d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    probes = (
+        qq.crossJoin(F.broadcast(seeds))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("query_v"),
+            F.col("nrm").alias("query_nrm"),
+            F.col("cid").alias("probe_cid"),
+        )
+    )
+    # SQ8 both sides (identical FLOOR(+0.5) formula as quantize_int8)
+    qprobes = (
+        quantize_int8(
+            probes.select(
+                F.col("query_id").alias("vec_id"),
+                F.col("query_v").alias("v"),
+            ).distinct()
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("query_qv"),
+            F.col("qn").alias("query_qn"),
+        )
+    )
+    qidx = quantize_int8(idx.select("vec_id", "v", "nrm", "cid"))
+    cand = (
+        qidx.join(probes, qidx["cid"] == probes["probe_cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qprobes), "query_id")
+    )
+    qcos = F.expr(_QDOT.format(a="qv", b="query_qv")).cast("double") / (
+        F.col("qn") * F.col("query_qn")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("vec_id")
+    )
+    short = (
+        cand.withColumn("qcos", qcos)
+        .withColumn("crank", F.row_number().over(ws))
+        .filter(F.col("crank") <= shortlist)
+    )
+    cos = F.expr(DOT.format(a="v", b="query_v")) / (
+        F.col("nrm") * F.col("query_nrm")
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        short.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

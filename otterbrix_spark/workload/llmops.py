@@ -3317,3 +3317,115 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- e13: the COMPOSED production ANN stack — IVF x int8 x exact rerank -----
+# e09/e10 certify the partition-pruned IVF index, e06 certifies int8
+# quantize-rerank over the full corpus; e13 certifies their COMPOSITION —
+# the stack a real deployment runs: probed-cell candidate generation
+# (only nprobe cell directories read) -> SQ8 int8 stage-1 scoring of the
+# candidates (4x less bandwidth than float) -> exact-cosine rerank of a
+# 12-deep shortlist. Deterministic end-to-end (integer dot products,
+# single divisions, FLOOR(+0.5) quantisation), so the full three-stage
+# pipeline replays exactly in the oracle.
+
+_E13_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                        x -> x * 256) AS aq,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+n2 AS (
+  SELECT vec_id, v, aq, nrm,
+         list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS aa
+  FROM n),
+c AS (SELECT vec_id AS cid, aq AS cq,
+             list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS cc
+      FROM n2 WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, nrm, cid FROM (
+    SELECT n2.vec_id, n2.v, n2.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+             ORDER BY n2.aa - 2 * list_dot_product(
+                        list_transform(n2.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c.cq, x -> CAST(x AS DOUBLE)))
+                      + c.cc, c.cid) AS rn
+    FROM n2 CROSS JOIN c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, qn, probe_cid FROM (
+    SELECT n2.vec_id AS query_id, n2.v AS qv, n2.nrm AS qn,
+           c.cid AS probe_cid,
+           ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+             ORDER BY n2.aa - 2 * list_dot_product(
+                        list_transform(n2.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c.cq, x -> CAST(x AS DOUBLE)))
+                      + c.cc, c.cid) AS rn
+    FROM n2 CROSS JOIN c WHERE n2.vec_id < 5) WHERE rn <= 2),
+qq AS (
+  SELECT query_id, qv AS queryv, qn AS qnrm,
+         list_max(list_transform(qv, x -> abs(x))) AS ma
+  FROM (SELECT DISTINCT query_id, qv, qn FROM probes)),
+qq2 AS (
+  SELECT query_id, queryv, qnrm,
+         list_transform(queryv,
+                        x -> CAST(FLOOR(x / ma * 127 + 0.5) AS INT)) AS qqv
+  FROM qq WHERE ma > 0),
+qq3 AS (SELECT query_id, queryv, qnrm, qqv,
+               sqrt(list_dot_product(qqv, qqv)) AS qqn FROM qq2),
+ai AS (
+  SELECT vec_id, cid, v, nrm,
+         list_max(list_transform(v, x -> abs(x))) AS ma
+  FROM assigned),
+ai2 AS (
+  SELECT vec_id, cid, v, nrm,
+         list_transform(v, x -> CAST(FLOOR(x / ma * 127 + 0.5) AS INT)) AS cqv
+  FROM ai WHERE ma > 0),
+ai3 AS (SELECT vec_id, cid, v, nrm, cqv,
+               sqrt(list_dot_product(cqv, cqv)) AS cqn FROM ai2),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.v, a.nrm, q.queryv, q.qnrm,
+         list_dot_product(a.cqv, q.qqv) / (a.cqn * q.qqn) AS qcos
+  FROM ai3 a
+  JOIN probes p ON a.cid = p.probe_cid AND a.vec_id <> p.query_id
+  JOIN qq3 q ON q.query_id = p.query_id),
+short AS (SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY qcos DESC, vec_id) AS crank
+    FROM cand) WHERE crank <= 12),
+s2 AS (SELECT query_id, vec_id AS neighbor_id,
+              list_dot_product(v, queryv) / (nrm * qnrm) AS cos
+       FROM short)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s2) WHERE rank <= 5
+"""
+
+
+@query(
+    "e13_ivf_quantized_stack", _E13_ORACLE,
+    doc="composed production ANN: partition-pruned IVF probes -> int8 "
+        "SQ8 stage-1 over probed cells -> exact-cosine rerank of the "
+        "12-deep shortlist; the whole 3-stage pipeline oracle-replayed",
+)
+def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.workload import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    scratch = scratch_dir("e13_ivf_")
+    path = os.path.join(scratch, "ivf_index")
+    similarity.ivf_persist_build(corpus, path, n_cells=8)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.ivf_quantized_query(
+        spark, path, queries, k=5, nprobe=2, shortlist=12
+    )
+    return res.withColumn("rank", F.col("rank").cast("int"))
