@@ -3429,3 +3429,97 @@ def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, queries, k=5, nprobe=2, shortlist=12
     )
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- d18: canonical-URL dedup ------------------------------------------------
+# The #1 dedup pass of every web corpus: canonicalise URLs (lowercase
+# host, strip scheme / www / query string / fragment / trailing slash)
+# and keep one document per canonical URL. The corpus has no URL column,
+# so each doc gets a deterministic messy URL (scheme, case, query-string
+# and fragment noise all derived from doc_id) that canonicalises into
+# doc_id % 40 collision groups — the regex-normalisation chain being
+# certified is exactly the production one. One regexp chain + one
+# groupBy; keep-rule = min doc_id per canonical URL.
+
+_D18_ORACLE = """
+WITH u AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END
+         || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+         || source || '.Example.COM/p/' || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '/?utm=' || CAST(doc_id AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN '#frag' || CAST(doc_id AS VARCHAR) ELSE '' END
+           AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id, source,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url), '^https?://(www\\.)?', ''),
+             '[?#].*$', ''),
+           '/$', '') AS curl
+  FROM u),
+g AS (
+  SELECT curl, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM canon GROUP BY curl)
+SELECT c.source, 
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.doc_id = g.canonical_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(MAX(g.group_size) AS BIGINT) AS max_group
+FROM canon c JOIN g ON c.curl = g.curl
+GROUP BY c.source ORDER BY c.source
+"""
+
+
+@query(
+    "d18_url_canonical_dedup", _D18_ORACLE,
+    doc="canonical-URL dedup: lowercase + scheme/www/query/fragment/"
+        "trailing-slash normalisation chain, keep min doc_id per "
+        "canonical URL — the first dedup pass of a web corpus",
+)
+def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("HTTP://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/?utm="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("#frag"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"^https?://(www\.)?", ""),
+            r"[?#].*$", "",
+        ),
+        r"/$", "",
+    )
+    canon = docs.select("doc_id", "source", curl.alias("curl"))
+    g = canon.groupBy("curl").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        canon.join(g, "curl")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("canonical_id"), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            F.max("group_size").alias("max_group"),
+        )
+        .orderBy("source")
+    )

@@ -857,3 +857,113 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+
+
+# s15: stream-stream LEFT OUTER join — the outer-join state machine that
+# inner joins (s05) never exercise: an unmatched left row may only be
+# emitted (null-padded) once the WATERMARK proves no matching right row
+# can still arrive, so correct results REQUIRE correct state eviction —
+# emit too early and a late match contradicts the null row, never emit
+# and tail rows are lost. Over a bounded corpus the tail lefts would sit
+# in state forever (no later data to advance the watermark), so the
+# harness appends two far-future SENTINEL slices (user_id -1, filtered
+# from the result) — the stand-in for the next hour of a real feed; the
+# second sentinel batch flushes the state the first one released. The
+# certification: null-padded + matched rows together hash-match the
+# batch LEFT JOIN over the real corpus.
+_S15_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query(
+    "s15_streaming_left_outer", _S15_ORACLE,
+    doc="streaming certification: stream-stream LEFT OUTER band join — "
+        "null-padded rows emitted only as the watermark closes the join "
+        "window; sentinel slices advance the watermark past the corpus "
+        "tail; hash-matched against the batch LEFT JOIN",
+)
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=3)
+    out = os.path.join(landing, "events.parquet")
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    hi_us = int(hi.timestamp() * 1_000_000)
+    hour_us = 3_600_000_000
+    norm = load_table(spark, landing, "events")  # slice schema (normalised)
+    for i, offset_h in enumerate((5, 6)):
+        sent = norm.limit(0)
+        rows = []
+        for etype in ("purchase", "click"):
+            rows.append(
+                norm.limit(1).select(
+                    F.lit(-1 - i).cast(
+                        dict(norm.dtypes)["event_id"]
+                    ).alias("event_id"),
+                    F.timestamp_micros(
+                        F.lit(hi_us + offset_h * hour_us)
+                    ).cast(dict(norm.dtypes)["ts"]).alias("ts"),
+                    F.lit(-1).cast(dict(norm.dtypes)["user_id"]).alias(
+                        "user_id"
+                    ),
+                    F.lit(etype).alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                ).select(*norm.columns)
+            )
+        sent = rows[0].unionByName(rows[1])
+        tmp = os.path.join(landing, f"sentinel_{i}")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"part-9{i:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_800_000_000 + i * 60, 1_800_000_000 + i * 60))
+
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+
+    def side(typ: str, idcol: str) -> DataFrame:
+        return stream.filter(F.col("event_type") == typ).select(
+            F.col("user_id"), F.col("event_id").alias(idcol), F.col("ts")
+        )
+
+    left = side("purchase", "purchase_id").withWatermark("ts", "2 hours")
+    right = (
+        side("click", "click_id")
+        .withColumnRenamed("ts", "r_ts")
+        .withColumnRenamed("user_id", "r_user")
+        .withWatermark("r_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = r_user AND r_ts >= ts "
+            "AND r_ts <= ts + INTERVAL 30 MINUTE"
+        ),
+        "left_outer",
+    ).select("user_id", "purchase_id", "click_id")
+    name = f"s15_louter_{uuid.uuid4().hex[:8]}"
+    result, n_batches, _stats = run_available_now_counted(
+        joined, name, timeout_s=180.0, output_mode="append"
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"s15 ran only {n_batches} input micro-batches"
+        )
+    return result.filter(F.col("user_id") >= 0)
