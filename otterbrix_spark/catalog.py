@@ -206,6 +206,28 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(\s+RETURNING\s+\*)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# PG 15 MERGE (reference upsert family, same statement surface as
+# postgresql MERGE INTO): target and source are table/view names, the
+# WHEN list is ordered and first-match-wins per candidate row.
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+    r"\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
+    r"\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# one WHEN [NOT] MATCHED [AND cond] THEN <action> clause; the lookahead
+# stops each action text at the next WHEN (or end of statement)
+_MERGE_WHEN = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?|DO\s+NOTHING)"
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_INSERT = re.compile(
+    r"^INSERT\s*(?:\(\s*(\w+(?:\s*,\s*\w+)*)\s*\))?\s*"
+    r"VALUES\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 # `SET v[1] = ...` — either raw PG form or post-dialect `element_at(v, 1)`
@@ -630,6 +652,179 @@ class Catalog:
         table._swap_in(new_df)
         self._register(table)
         return self.spark.range(1).select(F.lit(n).alias("updated"))
+
+    def _merge_into(
+        self, name, t_alias, src_name, src_alias, on_text, when_text
+    ) -> DataFrame:
+        """PG 15 MERGE INTO t USING s ON cond WHEN [NOT] MATCHED [AND c]
+        THEN UPDATE SET ... | DELETE | INSERT (...) VALUES (...) |
+        DO NOTHING. The WHEN list is ordered: per candidate row the FIRST
+        clause of the matching kind whose AND-condition holds fires; a
+        row no clause fires for is left alone (matched) or skipped (not
+        matched). Like ``_update_from`` (and unlike PG's arbitrary pick),
+        a target row matched by several source rows is REFUSED.
+
+        Distributed shape — the lakehouse merge: ONE equi/theta join for
+        matched candidates, ONE anti-join each way for untouched target
+        rows and not-matched source rows, one union. Clause selection is
+        a column-level CASE cascade over the joined frame (no per-clause
+        re-join, no per-row loop); at 100 TB this is exactly the
+        shuffle-merge a Delta/Iceberg MERGE executes."""
+        from otterbrix_spark.operators.dml import ConstraintViolation
+
+        table = self.tables[name]
+        base = (
+            self._txn.get(name, table.df())
+            if self._txn is not None
+            else table.df()
+        )
+        t_alias = t_alias or name
+        src_alias = src_alias or src_name
+        src = self.spark.table(src_name)
+        clauses = [
+            (not bool(m.group(1)), m.group(2), m.group(3).strip())
+            for m in _MERGE_WHEN.finditer(when_text)
+        ]  # (is_matched, and_cond_text | None, action_text)
+        if not clauses:
+            raise ValueError(f"MERGE INTO {name}: no WHEN clauses parsed")
+
+        # localCheckpoint pins the target row ids across the dup guard,
+        # the matched pass and the untouched anti-join (same discipline
+        # as _update_from)
+        tagged = base.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        joined = tagged.alias(t_alias).join(
+            src.alias(src_alias), F.expr(on_text)
+        )
+        if joined.groupBy("__rid").count().filter(F.col("count") > 1).count():
+            raise ConstraintViolation(
+                f"MERGE INTO {name}: a target row matches multiple source "
+                "rows (PG raises 'cannot affect row a second time'; this "
+                "engine refuses the same way)"
+            )
+
+        def _fire(kinds):
+            """First-match-wins clause index as a CASE cascade column."""
+            out = F.lit(-1)
+            for idx, (_, cond, _) in reversed(list(kinds)):
+                hit = F.expr(cond) if cond else F.lit(True)
+                out = F.when(hit, F.lit(idx)).otherwise(out)
+            return out
+
+        matched_cl = [(i, c) for i, c in enumerate(clauses) if c[0]]
+        notm_cl = [(i, c) for i, c in enumerate(clauses) if not c[0]]
+
+        fields = base.schema.fields
+        upd_idx, del_idx = [], []
+        col_chain: dict[str, F.Column] = {}
+        for i, (_, _, action) in matched_cl:
+            up = action.upper()
+            if up.startswith("UPDATE"):
+                upd_idx.append(i)
+                sets = _resolve_set_targets(
+                    _split_set_list(
+                        re.sub(r"^UPDATE\s+SET\s+", "", action,
+                               flags=re.IGNORECASE | re.DOTALL)
+                    )
+                )
+                for col, val in sets.items():
+                    prev = col_chain.get(col)
+                    cond = F.col("__fire") == i
+                    col_chain[col] = (
+                        F.when(cond, val) if prev is None
+                        else prev.when(cond, val)
+                    )
+            elif up == "DELETE":
+                del_idx.append(i)
+            elif up not in ("DO NOTHING",):
+                raise ValueError(
+                    f"MERGE WHEN MATCHED: unsupported action {action!r}"
+                )
+        fired = joined.withColumn("__fire", _fire(matched_cl))
+        matched_after = (
+            fired.filter(~F.col("__fire").isin(del_idx) if del_idx
+                         else F.lit(True))
+            .select(
+                "__fire",
+                *[
+                    (
+                        col_chain[f.name].otherwise(
+                            F.col(f"{t_alias}.{f.name}")
+                        )
+                        if f.name in col_chain
+                        else F.col(f"{t_alias}.{f.name}")
+                    ).cast(f.dataType).alias(f.name)
+                    for f in fields
+                ],
+            )
+        )
+        updated = matched_after.filter(
+            F.col("__fire").isin(upd_idx) if upd_idx else F.lit(False)
+        ).drop("__fire")
+        matched_after = matched_after.drop("__fire")
+
+        not_matched = src.alias(src_alias).join(
+            tagged.alias(t_alias), F.expr(on_text), "left_anti"
+        )
+        ins_frames = []
+        nm_fired = not_matched.withColumn("__fire", _fire(notm_cl))
+        for i, (_, _, action) in notm_cl:
+            if action.upper() == "DO NOTHING":
+                continue
+            m_ins = _MERGE_INSERT.match(action)
+            if not m_ins:
+                raise ValueError(
+                    f"MERGE WHEN NOT MATCHED: unsupported action {action!r}"
+                )
+            cols = (
+                [c.strip() for c in m_ins.group(1).split(",")]
+                if m_ins.group(1) else [f.name for f in fields]
+            )
+            exprs = _split_top_level(m_ins.group(2))
+            if len(cols) != len(exprs):
+                raise ValueError(
+                    "MERGE INSERT: column list and VALUES arity differ"
+                )
+            by_col = dict(zip(cols, exprs))
+            ins_frames.append(
+                nm_fired.filter(F.col("__fire") == i).select(
+                    *[
+                        (
+                            F.expr(by_col[f.name]) if f.name in by_col
+                            else F.lit(None)
+                        ).cast(f.dataType).alias(f.name)
+                        for f in fields
+                    ]
+                )
+            )
+        inserted = ins_frames[0] if ins_frames else None
+        for extra in (ins_frames or [])[1:]:
+            inserted = inserted.unionByName(extra)
+
+        unchanged = tagged.join(
+            joined.select("__rid"), "__rid", "left_anti"
+        ).drop("__rid")
+        new_df = unchanged.unionByName(matched_after)
+        affected = updated
+        if inserted is not None:
+            new_df = new_df.unionByName(inserted)
+            affected = affected.unionByName(inserted)
+        self._validate_new_rows(name, affected, full=new_df)
+        n_del = (
+            fired.filter(F.col("__fire").isin(del_idx)).count()
+            if del_idx else 0
+        )
+        if self._txn is not None:
+            self._txn[name] = new_df
+            new_df.createOrReplaceTempView(name)
+            return self.spark.range(1).select(
+                F.lit(affected.count() + n_del).alias("merged")
+            )
+        n = affected.count() + n_del
+        table._swap_in(new_df)
+        self._register(table)
+        return self.spark.range(1).select(F.lit(n).alias("merged"))
 
     # -- constraint enforcement (reference operator_check_constraint /
     # -- operator_fk_check / operator_fk_cascade, routed through SQL DDL) ----
@@ -1237,6 +1432,10 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
 
+        m = _MERGE.match(sql)
+        if m and m.group(1) in self.tables:
+            return self._merge_into(*m.groups())
+
         m = _UPDATE_FROM.match(sql)
         if (
             m
@@ -1392,6 +1591,7 @@ class Catalog:
             head.startswith(k)
             for k in (
                 "CREATE TABLE", "DROP TABLE", "INSERT", "UPDATE", "DELETE",
+                "MERGE",
                 "SET TIME", "BEGIN", "COMMIT", "ROLLBACK", "ABORT",
                 "CREATE INDEX", "CREATE UNIQUE INDEX", "DROP INDEX",
                 "VACUUM", "CHECKPOINT", "ALTER TABLE",

@@ -418,3 +418,63 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM q84_adj WHERE q84_bal.c_custkey = q84_adj.k"
     )
     return eng.sql("SELECT c_custkey, cents FROM q84_bal")
+
+
+# --- x03: MERGE INTO (PG 15 statement surface) ------------------------------
+# The full three-clause merge through the engine (catalog._merge_into —
+# one candidate join + two anti-joins + a column-level CASE cascade for
+# first-match-wins clause selection, the Delta/Iceberg MERGE shuffle
+# shape; reference upsert family: components/logical_plan/node_insert.cpp
+# + node_update.cpp route the same matched/not-matched split). Key bands
+# by c_custkey % 4: 0 -> target-only (untouched), 1 -> matched (DELETE
+# when negative balance, else UPDATE accumulate), 2 -> source-only
+# (INSERT), 3 -> in neither. The oracle replays the final table state in
+# closed form over customer.
+
+_X03_ORACLE = """
+WITH c AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents,
+         CAST(c_nationkey * 100 + 7 AS BIGINT) AS delta
+  FROM customer)
+SELECT k,
+       CASE WHEN k % 4 = 0 THEN cents
+            WHEN k % 4 = 1 THEN cents + delta
+            ELSE delta END AS bal
+FROM c
+WHERE k % 4 IN (0, 1, 2)
+  AND NOT (k % 4 = 1 AND cents < 0)
+"""
+
+
+@query(
+    "x03_merge_statement", _X03_ORACLE,
+    doc="PG 15 MERGE INTO: WHEN MATCHED AND .. DELETE / WHEN MATCHED "
+        "UPDATE / WHEN NOT MATCHED INSERT, first-match-wins clause order, "
+        "multi-match refusal",
+)
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x03_acct")
+    eng.sql("DROP TABLE IF EXISTS x03_src")
+    eng.sql("CREATE TABLE x03_acct (k BIGINT PRIMARY KEY, bal BIGINT)")
+    eng.sql(
+        "INSERT INTO x03_acct SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer "
+        "WHERE c_custkey % 4 IN (0, 1)"
+    )
+    eng.sql(
+        "CREATE TABLE x03_src AS SELECT c_custkey AS k, "
+        "CAST(c_nationkey * 100 + 7 AS BIGINT) AS delta "
+        "FROM customer WHERE c_custkey % 4 IN (1, 2)"
+    )
+    eng.sql(
+        "MERGE INTO x03_acct USING x03_src ON x03_acct.k = x03_src.k "
+        "WHEN MATCHED AND x03_acct.bal < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET bal = x03_acct.bal + x03_src.delta "
+        "WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (x03_src.k, x03_src.delta)"
+    )
+    return eng.sql("SELECT k, bal FROM x03_acct")

@@ -663,3 +663,94 @@ def test_update_from_inside_transaction(engine):
     assert dict(engine.execute_sql("SELECT * FROM txu").fetchall()) == {1: 99}
     engine.execute_sql("ROLLBACK")
     assert dict(engine.execute_sql("SELECT * FROM txu").fetchall()) == {1: 10}
+
+
+# --- MERGE INTO (PG 15 statement, catalog._merge_into) ----------------------
+
+
+def _merge_fixture(engine):
+    engine.execute_sql("CREATE TABLE m_t (k BIGINT PRIMARY KEY, v BIGINT)")
+    engine.execute_sql("INSERT INTO m_t VALUES (1, 10), (2, -5), (3, 30)")
+    engine.execute_sql(
+        "CREATE TABLE m_s AS SELECT * FROM "
+        "(VALUES (2, 100), (3, 200), (4, 400)) AS s(k, d)"
+    )
+
+
+def test_merge_three_clauses(engine):
+    _merge_fixture(engine)
+    n = engine.execute_sql(
+        "MERGE INTO m_t USING m_s ON m_t.k = m_s.k "
+        "WHEN MATCHED AND m_t.v < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = m_t.v + m_s.d "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (m_s.k, m_s.d)"
+    ).value("merged", 0)
+    assert n == 3  # 1 delete + 1 update + 1 insert
+    rows = sorted(engine.execute_sql("SELECT * FROM m_t").fetchall())
+    assert rows == [(1, 10), (3, 230), (4, 400)]
+
+
+def test_merge_first_match_wins_clause_order(engine):
+    _merge_fixture(engine)
+    # the unconditional UPDATE precedes the DELETE, so the DELETE can
+    # never fire (PG evaluates WHEN clauses in statement order)
+    engine.execute_sql(
+        "MERGE INTO m_t USING m_s ON m_t.k = m_s.k "
+        "WHEN MATCHED THEN UPDATE SET v = 0 "
+        "WHEN MATCHED AND m_t.v < 0 THEN DELETE"
+    )
+    rows = sorted(engine.execute_sql("SELECT * FROM m_t").fetchall())
+    assert rows == [(1, 10), (2, 0), (3, 0)]
+
+
+def test_merge_do_nothing_and_unmatched_rows_kept(engine):
+    _merge_fixture(engine)
+    # matched rows with non-negative v fall through every MATCHED clause
+    # and stay unchanged; NOT MATCHED DO NOTHING suppresses the insert
+    engine.execute_sql(
+        "MERGE INTO m_t USING m_s ON m_t.k = m_s.k "
+        "WHEN MATCHED AND m_t.v < 0 THEN UPDATE SET v = m_s.d "
+        "WHEN NOT MATCHED THEN DO NOTHING"
+    )
+    rows = sorted(engine.execute_sql("SELECT * FROM m_t").fetchall())
+    assert rows == [(1, 10), (2, 100), (3, 30)]
+
+
+def test_merge_multimatch_refused(engine):
+    _merge_fixture(engine)
+    engine.execute_sql("INSERT INTO m_s VALUES (3, 999)")
+    with pytest.raises(Exception, match="multiple source rows"):
+        engine.execute_sql(
+            "MERGE INTO m_t USING m_s ON m_t.k = m_s.k "
+            "WHEN MATCHED THEN UPDATE SET v = m_s.d"
+        )
+
+
+def test_merge_insert_defaults_missing_columns_to_null(engine):
+    engine.execute_sql(
+        "CREATE TABLE m3 (k BIGINT PRIMARY KEY, a BIGINT, b STRING)"
+    )
+    engine.execute_sql("INSERT INTO m3 VALUES (1, 1, 'x')")
+    engine.execute_sql(
+        "CREATE TABLE m3s AS SELECT * FROM (VALUES (7), (8)) AS s(k)"
+    )
+    engine.execute_sql(
+        "MERGE INTO m3 USING m3s ON m3.k = m3s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, a) VALUES (m3s.k, m3s.k * 2)"
+    )
+    rows = sorted(engine.execute_sql("SELECT * FROM m3").fetchall())
+    assert rows == [(1, 1, "x"), (7, 14, None), (8, 16, None)]
+
+
+def test_merge_inside_transaction_rolls_back(engine):
+    _merge_fixture(engine)
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "MERGE INTO m_t USING m_s ON m_t.k = m_s.k "
+        "WHEN MATCHED THEN UPDATE SET v = 0"
+    )
+    staged = sorted(engine.execute_sql("SELECT * FROM m_t").fetchall())
+    assert staged == [(1, 10), (2, 0), (3, 0)]  # read-your-writes
+    engine.execute_sql("ROLLBACK")
+    rows = sorted(engine.execute_sql("SELECT * FROM m_t").fetchall())
+    assert rows == [(1, 10), (2, -5), (3, 30)]
