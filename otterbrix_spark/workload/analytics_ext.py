@@ -650,3 +650,64 @@ def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.groupBy(F.col("n_events").cast("bigint").alias("session_len"))
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+# --- k02: skew-salted join equals plain join --------------------------------
+# Gates operators/skew.salted_join: ~70% of events collapse onto one hot
+# key (user_id % 10 < 7 -> 0), the classic skew that stalls a shuffle
+# join on the hot key's single reducer. The salted rewrite spreads the
+# hot key over 8 (key, salt) slots and replicates the 97-row dim 8x;
+# the oracle is the PLAIN join+aggregate, so the driver certifies the
+# rewrite's value-equivalence. At sf0.1 the replicated dim is trivially
+# broadcastable and Catalyst picks BHJ; the rewrite's value is at the
+# scale where the dim exceeds the broadcast threshold but not the
+# replication budget — AQE skew-split is the first line of defence,
+# this is the explicit second (see operators/skew.py module doc).
+# Payload uses MIN(cents) and FLOOR(value) so qv x payload x |events|
+# stays far below 2^63 at any SF.
+
+_K02_ORACLE = """
+WITH e AS (
+  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id % 97 END AS uk,
+         CAST(FLOOR(value) AS BIGINT) AS qv
+  FROM events),
+d AS (
+  SELECT c_custkey % 97 AS uk,
+         CAST(MIN(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+           AS payload
+  FROM customer GROUP BY 1)
+SELECT e.uk, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(e.qv * d.payload) AS BIGINT) AS wsum
+FROM e JOIN d ON e.uk = d.uk
+GROUP BY e.uk
+"""
+
+
+@query(
+    "k02_skew_salted_join", _K02_ORACLE,
+    doc="skew-salted join (hot key spread over 8 salts, dim replicated) "
+        "== plain join+aggregate",
+)
+def k02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    e = ev.select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id") % 97)
+        .cast("long")
+        .alias("uk"),
+        F.floor(F.col("value")).cast("long").alias("qv"),
+        F.col("event_id"),
+    )
+    d = cust.groupBy((F.col("c_custkey") % 97).cast("long").alias("uk")).agg(
+        F.min(F.floor(F.col("c_acctbal") * 100.0).cast("long"))
+        .cast("long")
+        .alias("payload")
+    )
+    joined = salted_join(e, d, key="uk", n_salts=8, salt_cols=["event_id"])
+    return joined.groupBy("uk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qv") * F.col("payload")).cast("long").alias("wsum"),
+    )

@@ -1437,3 +1437,168 @@ def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# g05: COUNTER-RESET RATE — TimescaleDB counter_agg/delta/num_resets/rate
+# over a counter that occasionally resets to zero: per user, ordered by
+# (ts, event_id), each sample's contribution is sample - prev if the
+# counter advanced, else sample (a reset means the counter restarted
+# from 0 and climbed to the observed value). total_increase and
+# n_resets are exact BIGINTs; the per-second rate is ONE double
+# division at the end (identical association on both engines).
+# Distributed shape: one LAG window per user + one aggregate — the same
+# single-shuffle plan as g04.
+
+_G05_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS qv
+  FROM events WHERE event_type IN ('click', 'view')),
+d AS (
+  SELECT user_id, us, qv,
+         LAG(qv) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM p)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(COUNT(CASE WHEN prev > qv THEN 1 END) AS BIGINT) AS n_resets,
+       CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                     WHEN qv >= prev THEN qv - prev
+                     ELSE qv END) AS BIGINT) AS total_increase,
+       CASE WHEN MAX(us) > MIN(us)
+            THEN CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                               WHEN qv >= prev THEN qv - prev
+                               ELSE qv END) AS DOUBLE)
+                 / (CAST(MAX(us) - MIN(us) AS DOUBLE) / 1000000.0)
+                 / 10000.0 END AS rate_per_s
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "g05_counter_rate", _G05_ORACLE,
+    doc="TimescaleDB counter_agg: reset-aware delta/num_resets/rate, one "
+        "LAG window per user (reference temporal family; hyperfunction "
+        "counter semantics)",
+)
+def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 10000.0).cast("long").alias("qv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = p.withColumn("prev", F.lag("qv").over(w))
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("qv") >= F.col("prev"), F.col("qv") - F.col("prev"))
+        .otherwise(F.col("qv"))
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count(F.when(F.col("prev") > F.col("qv"), 1)).alias("n_resets"),
+        F.sum(inc).cast("long").alias("total_increase"),
+        F.max("us").alias("mx"),
+        F.min("us").alias("mn"),
+    )
+    return (
+        agg.select(
+            "user_id", "n_obs", "n_resets", "total_increase",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.col("total_increase").cast("double")
+                / ((F.col("mx") - F.col("mn")).cast("double") / 1000000.0)
+                / 10000.0,
+            ).alias("rate_per_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# sk05: COUNT-MIN SKETCH — the linear frequency sketch next to KMV's
+# distinct-count family (sk01-sk04): depth-4 x width-256 table of
+# md5-derived bucket counts, point estimate = MIN over the 4 rows.
+# Exactly deterministic (md5 buckets, integer counts) and MERGEABLE BY
+# ADDITION — per-partition tables sum cell-wise, which is why one
+# groupBy over (row, bucket) builds it distributed with map-side
+# combine; n rows shuffle into 1024 cells regardless of corpus size.
+# The gate scores the top-20 true-frequency users against their CMS
+# estimates (est >= true by construction; the overestimate is the
+# collision mass the width parameter tunes).
+
+_SK05_W = 256
+
+_SK05_ORACLE = """
+WITH e AS (SELECT user_id FROM events),
+js AS (SELECT UNNEST([0, 1, 2, 3]) AS j),
+x AS (SELECT user_id, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                 || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 256 AS bucket
+      FROM e, js),
+cms AS (SELECT j, bucket, COUNT(*) AS c FROM x GROUP BY 1, 2),
+t AS (SELECT user_id, COUNT(*) AS true_n FROM e GROUP BY 1
+      ORDER BY true_n DESC, user_id LIMIT 20),
+tb AS (SELECT t.user_id, t.true_n, js.j,
+              ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+                                  || CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT
+                % 256 AS bucket
+       FROM t, js)
+SELECT tb.user_id,
+       CAST(tb.true_n AS BIGINT) AS true_n,
+       CAST(MIN(cms.c) AS BIGINT) AS est_n
+FROM tb JOIN cms ON cms.j = tb.j AND cms.bucket = tb.bucket
+GROUP BY 1, 2
+"""
+
+
+def _sk05_bucket(j: int, col: F.Column) -> F.Column:
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(_SK05_W),
+    )
+
+
+@query(
+    "sk05_count_min", _SK05_ORACLE,
+    doc="count-min sketch: depth-4 md5 bucket table built in one groupBy, "
+        "point estimates (min over rows) scored against exact top-20 "
+        "frequencies",
+)
+def sk05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    uid = F.col("user_id")
+    cms = (
+        ev.select(
+            F.posexplode(
+                F.array(*[_sk05_bucket(j, uid) for j in range(4)])
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "user_id")
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id", "true_n",
+        F.posexplode(
+            F.array(*[_sk05_bucket(j, uid) for j in range(4)])
+        ).alias("j", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").cast("long").alias("est_n"))
+        .select("user_id", F.col("true_n").cast("long").alias("true_n"), "est_n")
+    )
