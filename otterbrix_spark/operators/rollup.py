@@ -42,9 +42,9 @@ def _bucketed(events: DataFrame, bucket_hours: int) -> DataFrame:
     return events.withColumn("bucket_us", F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {bucket_us} * {bucket_us}"))
 
 
-def _aggregate(bucketed: DataFrame) -> DataFrame:
+def _aggregate(bucketed: DataFrame, group_col: str = "event_type") -> DataFrame:
     q = F.floor(F.col("value") * F.lit(_Q)).cast("long")
-    return bucketed.groupBy("bucket_us", "event_type").agg(
+    return bucketed.groupBy("bucket_us", group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(q).alias("qsum"),
     )
@@ -54,15 +54,26 @@ class ContinuousAggregate:
     """Parquet-backed rollup of the events schema per
     (time bucket, event_type), maintained incrementally."""
 
-    def __init__(self, spark: SparkSession, path: str, bucket_hours: int = 1):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_hours: int = 1,
+        group_col: str = "event_type",
+    ):
         self.spark = spark
         self.path = path
         self.bucket_hours = bucket_hours
+        # the non-time grouping dimension; a JOIN-enriched rollup (h04)
+        # passes a dimension attribute here and pre-joined source frames —
+        # the bucket-maintenance machinery is agnostic to where the group
+        # column came from
+        self.group_col = group_col
 
     def build(self, source: DataFrame) -> None:
         """Full (re)build: one aggregate over the source, written
         partitioned by bucket so later refreshes can swap buckets."""
-        agg = _aggregate(_bucketed(source, self.bucket_hours))
+        agg = _aggregate(_bucketed(source, self.bucket_hours), self.group_col)
         (
             agg.repartition("bucket_us")
             .write.mode("overwrite")
@@ -92,9 +103,9 @@ class ContinuousAggregate:
             (F.col("ts").cast("timestamp") >= F.timestamp_micros(F.lit(lo)))
             & (F.col("ts").cast("timestamp") < F.timestamp_micros(F.lit(hi)))
         )
-        agg = _aggregate(_bucketed(src, self.bucket_hours)).filter(
-            F.col("bucket_us").isin(touched)
-        )
+        agg = _aggregate(
+            _bucketed(src, self.bucket_hours), self.group_col
+        ).filter(F.col("bucket_us").isin(touched))
         # persisted so the retraction check below reuses the computed
         # aggregate instead of re-scanning the source range
         agg = agg.persist()

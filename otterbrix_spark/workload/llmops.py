@@ -3523,3 +3523,49 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- t16: BPE first-merge pair statistics ------------------------------------
+# The statistic a byte-pair-encoding trainer computes each merge round:
+# adjacent symbol-pair frequencies across the corpus (Sennrich et al.
+# 2016 — the first round is over characters). Top-30 pairs by count with
+# a deterministic (count DESC, pair ASC) total order. Distributed shape:
+# explode words -> explode the length-1 positions per word -> ONE
+# combinable groupBy; 100 TB posture is the same as every shingle op
+# (d03/d04) — the pair stream is map-side combined, never collected.
+
+_T16_ORACLE = """
+WITH w AS (
+  SELECT UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS w
+  FROM documents),
+p AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair
+  FROM (SELECT w, UNNEST(range(1, length(w))) AS i
+        FROM w WHERE length(w) >= 2))
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30
+"""
+
+
+@query(
+    "t16_bpe_pair_count", _T16_ORACLE,
+    doc="BPE merge-round statistic: adjacent character-pair frequencies "
+        "(one combinable groupBy over exploded positions), deterministic "
+        "top-30",
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )

@@ -511,3 +511,52 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority), (YEAR(o_orderdate)), ())
         ORDER BY gid, o_orderpriority NULLS FIRST, yr NULLS FIRST
     """)
+
+
+# --- q85: UNPIVOT / stack (wide -> long) -------------------------------------
+# The inverse of q50's PIVOT: a conditional-aggregate wide frame (revenue
+# cents per order-priority x year column) unpivoted back to long form
+# with Spark's native DataFrame.unpivot (SQL stack()). The oracle lowers
+# the unpivot to the engine-agnostic UNION ALL form. NULL cells (a
+# priority with no orders in a year) are KEPT, matching SQL UNPIVOT
+# INCLUDE NULLS — both engines emit the row with a NULL measure.
+
+_Q85_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1996
+                       THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) END)
+              AS BIGINT) AS y1996,
+         CAST(SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1997
+                       THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) END)
+              AS BIGINT) AS y1997,
+         CAST(SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1998
+                       THEN CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) END)
+              AS BIGINT) AS y1998
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, 'y1996' AS yr, y1996 AS cents FROM wide
+UNION ALL
+SELECT o_orderpriority, 'y1997' AS yr, y1997 AS cents FROM wide
+UNION ALL
+SELECT o_orderpriority, 'y1998' AS yr, y1998 AS cents FROM wide
+"""
+
+
+@query(
+    "q85_unpivot", _Q85_ORACLE,
+    doc="UNPIVOT (DataFrame.unpivot / stack): wide conditional-aggregate "
+        "frame back to long form, NULL cells kept",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("long")
+    wide = orders.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(yr == y, cents)).cast("long").alias(f"y{y}")
+            for y in (1996, 1997, 1998)
+        ]
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["y1996", "y1997", "y1998"], "yr", "cents"
+    )

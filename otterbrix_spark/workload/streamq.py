@@ -967,3 +967,90 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"s15 ran only {n_batches} input micro-batches"
         )
     return result.filter(F.col("user_id") >= 0)
+
+
+# --- s16: dropDuplicatesWithinWatermark certification ------------------------
+# s09 certifies exact re-delivery (identical event_id AND ts, so the
+# ts-widened dedup key both dedupes and evicts). The harder production
+# case is JITTERED re-delivery — the retry carries the same event_id but
+# a slightly different event time (re-serialisation, clock skew), which
+# the ts-widened key MISSES (different ts -> different key -> duplicate
+# passes). Spark's dropDuplicatesWithinWatermark exists precisely for
+# this: the dedup key is event_id ALONE, state still expires once the
+# watermark passes the first arrival's event time. The landing directory
+# delivers every slice file twice, the second copy's ts shifted +30s;
+# exactly-once output is hash-matched against batch DISTINCT, and state
+# eviction is asserted the s09 way (peak state < emitted rows AND
+# numRowsRemoved > 0 summed over all progress reports).
+
+_S16_ORACLE = _S09_ORACLE
+
+
+def _jittered_dup_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Landing dir where every slice file appears twice, the duplicate
+    copy re-timestamped +30s (jittered at-least-once delivery)."""
+    import glob
+    import os
+    import shutil
+
+    scratch = _sliced_events_dir(spark, sf_dir, n_files=3)
+    out = os.path.join(scratch, "events.parquet")
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    ):
+        shifted = spark.read.parquet(f).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")
+        )
+        tmp_i = os.path.join(scratch, f"jitter_{i}")
+        shifted.coalesce(1).write.mode("overwrite").parquet(tmp_i)
+        src = glob.glob(os.path.join(tmp_i, "part-*.parquet"))[0]
+        dup = f[: -len(".parquet")] + "b.parquet"
+        shutil.move(src, dup)
+        st = os.stat(f)
+        os.utime(dup, (st.st_atime + 1, st.st_mtime + 1))
+    return scratch
+
+
+@query(
+    "s16_dedup_within_watermark", _S16_ORACLE,
+    doc="streaming dedup of JITTERED re-delivery: "
+        "dropDuplicatesWithinWatermark on event_id alone (retry carries a "
+        "shifted ts the s09 key would miss), state eviction asserted",
+)
+def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    landing = _jittered_dup_landing_dir(spark, sf_dir)
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "user_id")
+    )
+    name = f"s16_dedup_{uuid.uuid4().hex[:8]}"
+    result, n_batches, state = run_available_now_counted(
+        deduped, name, output_mode="append"
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"s16 dedup certification ran only {n_batches} batches"
+        )
+    n_total = result.count()
+    if n_total > 0 and state.max_rows_total >= n_total:
+        raise AssertionError(
+            "watermark never evicted dedup-within-watermark state "
+            f"(peak {state.max_rows_total} state rows for {n_total} events)"
+        )
+    if n_total > 0 and state.rows_removed <= 0:
+        raise AssertionError(
+            "zero evicted state rows across "
+            f"{n_batches} batches (state would grow without bound)"
+        )
+    return (
+        result.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

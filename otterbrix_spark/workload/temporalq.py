@@ -1602,3 +1602,60 @@ def sk05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("long").alias("est_n"))
         .select("user_id", F.col("true_n").cast("long").alias("true_n"), "est_n")
     )
+
+
+# h04: JOIN-ENRICHED CONTINUOUS AGGREGATE — incremental maintenance of a
+# rollup whose group key comes from a DIMENSION JOIN (events LEFT JOIN
+# customer on user_id, grouped per (hour bucket, nation segment)). The
+# IVM insight: with a static dimension, the join distributes over the
+# delta — refresh(joined_source, joined_delta) recomputes only the
+# delta-touched buckets, and the join runs only over the touched-bucket
+# slice of the fact (a time-range-pushed scan), never the full history.
+# Unmatched users fall into segment -1 (COALESCE), so the rollup is a
+# partition of ALL events. Oracle = the one-shot join+aggregate.
+
+_H04_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+       COALESCE(c_nationkey, -1) AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qsum
+FROM events LEFT JOIN customer ON events.user_id = customer.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "h04_join_rollup", _H04_ORACLE,
+    doc="continuous aggregate over a dimension JOIN: build + delta "
+        "refresh of the enriched rollup equals the one-shot "
+        "join+aggregate (static-dim IVM)",
+)
+def h04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.rollup import ContinuousAggregate
+    from otterbrix_spark.workload import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("uid"), F.col("c_nationkey").alias("nk")
+    )
+    enriched = (
+        ev.join(F.broadcast(dim), ev.user_id == dim.uid, "left")
+        .withColumn("seg", F.coalesce(F.col("nk"), F.lit(-1)).cast("long"))
+        .drop("uid", "nk")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cutoff = ev.agg(
+        F.expr("percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.9)")
+    ).collect()[0][0]  # one scalar — the build/delta split point
+    scratch = scratch_dir("otx-h04-")
+    ca = ContinuousAggregate(spark, scratch, bucket_hours=1, group_col="seg")
+    ca.build(enriched.filter(us < cutoff))
+    touched = ca.refresh(source=enriched, delta=enriched.filter(us >= cutoff))
+    if not touched:
+        raise AssertionError("h04: refresh touched no buckets")
+    return ca.df().select(
+        F.col("bucket_us").cast("long").alias("bucket_us"),
+        F.col("seg").cast("long").alias("seg"),
+        "n", "qsum",
+    )
