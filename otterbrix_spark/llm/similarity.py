@@ -699,6 +699,8 @@ def ivf_persist_query(
     the distance compute — it reaches the parquet reader as a pushed
     filter inside the probed cells, and the top-k ranks only qualifying
     vectors (pre-filtering, not the lossy post-filter)."""
+    import os
+
     qq = _kmeans_exact_quantize(queries)
     # centroids come from the build-time side file — scanning the index
     # for its seed ROWS would touch every cell directory on every query,
@@ -706,6 +708,16 @@ def ivf_persist_query(
     idx = spark.read.parquet(path)
     if pre_filter is not None:
         idx = idx.filter(pre_filter)
+    # tombstone side file (ivf_persist_delete): deleted ids are excluded
+    # from candidates with one broadcast anti-join — the index layout is
+    # never rewritten on delete, compaction happens at the next rebuild
+    tomb = path + "_tombstones"
+    if os.path.isdir(tomb):
+        idx = idx.join(
+            F.broadcast(spark.read.parquet(tomb).select("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
     seeds = spark.read.parquet(path + "_seeds")
     d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
@@ -763,6 +775,20 @@ def ivf_persist_add(
         .partitionBy("cid")
         .parquet(path)
     )
+
+
+def ivf_persist_delete(spark, path: str, ids: DataFrame) -> None:
+    """Delete vectors from a persisted IVF index by TOMBSTONE: append the
+    ids to the ``<path>_tombstones`` side file — an O(delta) metadata
+    write, the partitioned cell layout is untouched. ``ivf_persist_query``
+    anti-joins the tombstones (broadcast — the side file stays tiny
+    relative to the index) so deleted vectors can never be returned;
+    space is reclaimed at the next full rebuild, the same
+    delete-as-tombstone / compact-on-rebuild split every LSM-ish index
+    makes (reference: index drop/modify in `services/index/`,
+    `components/index/` — the disk layouts there also defer physical
+    reclamation)."""
+    ids.select("vec_id").write.mode("append").parquet(path + "_tombstones")
 
 
 def ivf_quantized_query(

@@ -41,9 +41,18 @@ def as_of_join(
     slice_width: int | None = None,
     direction: str = "backward",
     tolerance: int | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For every LEFT row, attach the greatest ``right_ts`` of the same
     key with ``right_ts <= left_ts`` (NULL when none precedes it).
+
+    ``allow_exact_matches=False`` (pandas merge_asof's flag) makes the
+    boundary STRICT — backward matches require ``right_ts < left_ts``,
+    forward ``right_ts > left_ts``. Implementation cost: zero — only the
+    tie ORDER of the union's side column flips, so a same-timestamp
+    right row sorts outside the current row's frame instead of inside
+    it. Supported for the one-sided directions (nearest and the
+    two-pass skew path keep the default inclusive boundary).
 
     ``direction="forward"`` flips the match to the SMALLEST ``right_ts``
     with ``right_ts >= left_ts``; ``direction="nearest"`` picks the
@@ -89,9 +98,17 @@ def as_of_join(
         else right.select(*rcols),
         allowMissingColumns=True,
     )
+    if not allow_exact_matches and direction not in ("backward", "forward"):
+        raise ValueError(
+            "allow_exact_matches=False supports backward/forward only"
+        )
     if slice_width is not None:
         if direction != "backward":
             raise ValueError("two-pass skew path supports backward only")
+        if not allow_exact_matches:
+            raise ValueError(
+                "two-pass skew path keeps the inclusive boundary"
+            )
         out = _as_of_two_pass(unioned, key, left_ts, payload, slice_width)
         return _apply_tolerance(out, left_ts, payload, direction, tolerance)
     if direction == "nearest":
@@ -110,9 +127,12 @@ def as_of_join(
         # BEFORE a right row at the same T, so ties match (>= semantics).
         # first(ignorenulls) over the following frame picks the nearest
         # right row at-or-after.
+        # strict (>): flip the tie order — a right row at the same T
+        # sorts BEFORE the left row, outside the following frame
+        tie = F.col("_side").desc() if allow_exact_matches else F.col("_side")
         w = (
             Window.partitionBy(key)
-            .orderBy("_t", F.col("_side").desc())
+            .orderBy("_t", tie)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = F.first
@@ -120,9 +140,12 @@ def as_of_join(
         # rows sort by (key, time, side): a right row at time T precedes a
         # left row at the same T, so ties match (<= semantics).
         # last(ignorenulls) carries the most recent right time forward.
+        # strict (<): flip the tie order — a right row at the same T
+        # sorts AFTER the left row, outside the preceding frame
+        tie = F.col("_side") if allow_exact_matches else F.col("_side").desc()
         w = (
             Window.partitionBy(key)
-            .orderBy("_t", "_side")
+            .orderBy("_t", tie)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = F.last

@@ -3569,3 +3569,100 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(30)
     )
+
+
+# --- e14: IVF index DELETE (tombstones) --------------------------------------
+# Index maintenance's remaining verb after build (e09/e10), add (e11) and
+# filtered query (e12): DELETE. ivf_persist_delete appends ids to a
+# tombstone side file (O(delta) metadata write, cell directories
+# untouched); the query path anti-joins the tombstones so deleted
+# vectors can never be returned, and physical reclamation is deferred to
+# the next rebuild — the delete-as-tombstone / compact-on-rebuild split
+# of every LSM-ish index. Oracle: the e10/e11 trained-IVF replay over
+# the FULL corpus with the deleted band excluded from the index side
+# (queries may still BE deleted ids — a query vector need not live in
+# the index).
+
+_E14_ORACLE = (
+    """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n0 AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)) AS vq,
+         list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                        x -> x * 256) AS aq,
+         list_sum(list_transform(
+           list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                          x -> x * 256),
+           x -> CAST(x AS DOUBLE) * x)) AS aa,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, aq AS cq,
+         list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS cc
+  FROM n0 QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+a1 AS ("""
+    + _E11_SRC_ASSIGN.format(src="n0", c="c0")
+    + """),
+c1 AS ("""
+    + _D13_UPDATE.format(a="a1")
+    + """),
+a2 AS ("""
+    + _E11_SRC_ASSIGN.format(src="n0", c="c1")
+    + """),
+c2 AS ("""
+    + _D13_UPDATE.format(a="a2")
+    + """),
+a3 AS ("""
+    + _E11_SRC_ASSIGN.format(src="n0", c="c2")
+    + """),
+idx AS (SELECT vec_id, v, nrm, cid FROM a3 WHERE vec_id % 10 <> 0),
+probes AS (
+  SELECT query_id, qv, qn, probe_cid FROM (
+    SELECT n0.vec_id AS query_id, n0.v AS qv, n0.nrm AS qn,
+           c2.cid AS probe_cid,
+           ROW_NUMBER() OVER (PARTITION BY n0.vec_id
+             ORDER BY n0.aa - 2 * list_dot_product(
+                        list_transform(n0.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c2.cq, x -> CAST(x AS DOUBLE)))
+                      + c2.cc, c2.cid) AS rn
+    FROM n0 CROSS JOIN c2 WHERE n0.vec_id < 5) WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS cos
+  FROM idx a JOIN probes p ON a.cid = p.probe_cid
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand) WHERE rank <= 5
+"""
+)
+
+
+@query(
+    "e14_ivf_delete", _E14_ORACLE,
+    doc="IVF tombstone delete: O(delta) side-file append, deleted ids "
+        "anti-joined out of the query path, compaction deferred to "
+        "rebuild",
+)
+def e14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.workload import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    scratch = scratch_dir("e14_ivf_")
+    path = os.path.join(scratch, "ivf_index")
+    similarity.ivf_persist_build(corpus, path, n_cells=8, train_iters=2)
+    similarity.ivf_persist_delete(
+        spark, path, corpus.filter(F.col("vec_id") % 10 == 0)
+    )
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
+    return res.withColumn("rank", F.col("rank").cast("int"))

@@ -560,3 +560,70 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["o_orderpriority"], ["y1996", "y1997", "y1998"], "yr", "cents"
     )
+
+
+# --- a03: ordered-set aggregates (WITHIN GROUP) ------------------------------
+# PG's ordered-set aggregate surface — percentile_cont / percentile_disc
+# / mode() WITHIN GROUP (ORDER BY ...) — runs NATIVELY in Spark SQL
+# (4.x), so the statement goes through the engine to certify the dialect
+# re-emits it untouched. Determinism: cents are exact BIGINTs;
+# percentile_cont's lerp at f=0.5 multiplies by an exactly-representable
+# 0.5; percentile_disc is the first value with cume_dist >= f (SQL
+# standard, both engines); mode() ties resolve to the FIRST value in the
+# WITHIN GROUP order (PG semantics — verified on Spark 4.1), which the
+# oracle replays as an explicit (freq DESC, value ASC) argmin so no
+# engine-internal tie choice is trusted.
+
+_A03_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS c
+  FROM lineitem),
+st AS (
+  SELECT g, c,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY c) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n,
+         CUME_DIST() OVER (PARTITION BY g ORDER BY c) AS cd
+  FROM base),
+mc AS (
+  SELECT g,
+         MIN(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) THEN c END) AS lo,
+         MIN(CASE WHEN rn = CAST(CEIL((n - 1) * 0.5) AS BIGINT) THEN c END) AS hi,
+         MIN((n - 1) * 0.5 - FLOOR((n - 1) * 0.5)) AS frac
+  FROM st GROUP BY g),
+pd AS (SELECT g, MIN(c) AS p90_disc FROM st WHERE cd >= 0.9 GROUP BY g),
+freq AS (SELECT g, c, COUNT(*) AS f FROM base GROUP BY g, c),
+md AS (
+  SELECT g, c AS mode_cents FROM (
+    SELECT g, c, ROW_NUMBER() OVER (PARTITION BY g ORDER BY f DESC, c) AS rn
+    FROM freq) WHERE rn = 1)
+SELECT mc.g,
+       CAST(mc.lo AS DOUBLE) + CAST(mc.hi - mc.lo AS DOUBLE) * mc.frac
+         AS med_cents,
+       CAST(pd.p90_disc AS BIGINT) AS p90_disc,
+       CAST(md.mode_cents AS BIGINT) AS mode_cents
+FROM mc JOIN pd ON mc.g = pd.g JOIN md ON mc.g = md.g
+"""
+
+
+@query(
+    "a03_ordered_set_aggs", _A03_ORACLE,
+    doc="PG ordered-set aggregates: percentile_cont / percentile_disc / "
+        "mode() WITHIN GROUP through the engine; oracle replays lerp, "
+        "cume_dist threshold, and first-in-order mode explicitly",
+)
+def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(
+        "SELECT l_returnflag AS g, "
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY "
+        "  CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS med_cents, "
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY "
+        "  CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS p90_disc, "
+        "mode() WITHIN GROUP (ORDER BY "
+        "  CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS mode_cents "
+        "FROM lineitem GROUP BY l_returnflag"
+    )

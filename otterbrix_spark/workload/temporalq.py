@@ -1659,3 +1659,84 @@ def h04(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seg").cast("long").alias("seg"),
         "n", "qsum",
     )
+
+
+# aj05: STRICT as-of join — pandas merge_asof(allow_exact_matches=False):
+# backward requires right_ts < left_ts, forward right_ts > left_ts. The
+# implementation cost in the union+window sweep is ZERO — only the tie
+# order of the side column flips, so a same-timestamp right row sorts
+# outside the current row's frame. One gate certifies both strict
+# directions against DuckDB's native strict ASOF JOIN (r.us < l.us /
+# r.us > l.us); tie coverage is deterministic in the property suite
+# (test_temporal.py), which pins same-timestamp behaviour against
+# pandas.merge_asof on both paths.
+
+_AJ05_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'click'),
+views AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE event_type = 'view'),
+b AS (
+  SELECT c.user_id, c.us AS c_us, v.us AS v_us
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND v.us < c.us),
+f AS (
+  SELECT c.user_id, c.us AS c_us, v.us AS v_us
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND v.us > c.us),
+ab AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_clicks,
+         CAST(COUNT(v_us) AS BIGINT) AS n_back,
+         CAST(COALESCE(SUM(c_us - v_us), 0) AS BIGINT) AS back_gap_us
+  FROM b GROUP BY user_id),
+af AS (
+  SELECT user_id,
+         CAST(COUNT(v_us) AS BIGINT) AS n_fwd,
+         CAST(COALESCE(SUM(v_us - c_us), 0) AS BIGINT) AS fwd_gap_us
+  FROM f GROUP BY user_id)
+SELECT ab.user_id, ab.n_clicks, ab.n_back, ab.back_gap_us,
+       af.n_fwd, af.fwd_gap_us
+FROM ab JOIN af ON ab.user_id = af.user_id
+ORDER BY ab.user_id
+"""
+
+
+@query(
+    "aj05_asof_strict", _AJ05_ORACLE,
+    doc="strict as-of join (allow_exact_matches=False) both directions "
+        "vs DuckDB native strict ASOF JOIN",
+)
+def aj05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("us")
+    )
+    b = as_of_join(
+        clicks, views, key="user_id", left_ts="us", right_ts="us",
+        allow_exact_matches=False,
+    )
+    f = as_of_join(
+        clicks, views, key="user_id", left_ts="us", right_ts="us",
+        direction="forward", allow_exact_matches=False,
+    )
+    ab = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("matched_ts").alias("n_back"),
+        F.coalesce(F.sum(F.col("us") - F.col("matched_ts")), F.lit(0))
+        .cast("long")
+        .alias("back_gap_us"),
+    )
+    af = f.groupBy("user_id").agg(
+        F.count("matched_ts").alias("n_fwd"),
+        F.coalesce(F.sum(F.col("matched_ts") - F.col("us")), F.lit(0))
+        .cast("long")
+        .alias("fwd_gap_us"),
+    )
+    return ab.join(af, "user_id").orderBy("user_id")

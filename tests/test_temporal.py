@@ -326,3 +326,69 @@ def test_asof_join_agrees_with_pandas_merge_asof(spark):
                 for r in expected.itertuples()
             )
             assert got_c == exp_c, (direction, tolerance)
+
+
+def test_asof_strict_agrees_with_pandas_merge_asof(spark):
+    """allow_exact_matches=False parity: backward/forward strict
+    boundaries against pandas.merge_asof on tie-heavy data."""
+    import random
+    from collections import Counter
+
+    import pandas as pd
+
+    from otterbrix_spark.operators.temporal import as_of_join
+
+    rng = random.Random(4321)
+    for direction in ("backward", "forward"):
+        for tolerance in (None, 5):
+            # small value range -> plenty of exact-timestamp ties, the
+            # case the flag exists for
+            left_rows = sorted(
+                (rng.randrange(3), rng.randrange(15)) for _ in range(50)
+            )
+            right_rows = sorted(
+                (rng.randrange(3), rng.randrange(15)) for _ in range(40)
+            )
+            lpd = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values(
+                ["t", "k"], kind="stable"
+            ).reset_index(drop=True)
+            rpd = pd.DataFrame(right_rows, columns=["k", "t"]).sort_values(
+                ["t", "k"], kind="stable"
+            ).reset_index(drop=True)
+            expected = pd.merge_asof(
+                lpd, rpd.assign(mt=rpd["t"]), on="t", by="k",
+                direction=direction, tolerance=tolerance,
+                suffixes=("", "_r"), allow_exact_matches=False,
+            )
+            got = as_of_join(
+                spark.createDataFrame(lpd, "k long, t long"),
+                spark.createDataFrame(rpd, "k long, t long"),
+                key="k", left_ts="t", right_ts="t",
+                direction=direction, tolerance=tolerance,
+                allow_exact_matches=False,
+            ).collect()
+            got_c = Counter((r["k"], r["t"], r["matched_ts"]) for r in got)
+            exp_c = Counter(
+                (int(r.k), int(r.t), None if pd.isna(r.mt) else int(r.mt))
+                for r in expected.itertuples()
+            )
+            assert got_c == exp_c, (direction, tolerance)
+
+
+def test_asof_strict_unsupported_combinations_raise(spark):
+    import pytest
+
+    from otterbrix_spark.operators.temporal import as_of_join
+
+    ldf = spark.createDataFrame([(1, 1)], "k long, t long")
+    rdf = spark.createDataFrame([(1, 1)], "k long, t long")
+    with pytest.raises(ValueError, match="backward/forward"):
+        as_of_join(
+            ldf, rdf, key="k", left_ts="t", right_ts="t",
+            direction="nearest", allow_exact_matches=False,
+        )
+    with pytest.raises(ValueError, match="inclusive"):
+        as_of_join(
+            ldf, rdf, key="k", left_ts="t", right_ts="t",
+            slice_width=10, allow_exact_matches=False,
+        )
