@@ -409,6 +409,10 @@ class Catalog:
         #  "on_delete"} — enforced on child INSERT/UPDATE (anti-join lookup)
         # and parent DELETE (restrict check or cascade)
         self.table_constraints: dict[str, list[dict]] = {}
+        # column DEFAULT expressions per table (PG pg_attrdef analogue):
+        # {table: {column: expr_text}} — applied when an INSERT omits the
+        # column (explicit column list, or a short VALUES row list)
+        self.table_defaults: dict[str, dict[str, str]] = {}
         # persisted SQL functions (reference pg_proc rows,
         # operator_register_udf.cpp): name -> definition, stored beside the
         # tables in _functions.json and replayed on engine start so a second
@@ -490,11 +494,14 @@ class Catalog:
         )
         if cols:
             rows = rows.toDF(*cols)
+            dfl = self.table_defaults.get(name, {})
             rows = rows.select(
                 *[
                     F.col(f.name)
                     if f.name in cols
-                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    else (
+                        F.expr(dfl[f.name]) if f.name in dfl else F.lit(None)
+                    ).cast(f.dataType).alias(f.name)
                     for f in base.schema.fields
                 ]
             )
@@ -1319,6 +1326,7 @@ class Catalog:
             name, coldefs = m.group(1), m.group(2)
             fields: list[str] = []
             cons: list[dict] = []
+            defaults: dict[str, str] = {}
             n_anon = 0
             for part in _split_top_level(coldefs):
                 p = part.strip()
@@ -1385,6 +1393,16 @@ class Catalog:
                                 "expr": f"{colname} IS NOT NULL",
                             })
                         continue
+                    # DEFAULT <expr> (PG pg_attrdef): stripped AFTER the
+                    # other trailing clauses, so `DEFAULT 5 NOT NULL`
+                    # and `NOT NULL DEFAULT 5` both parse
+                    mdf = re.search(
+                        r"\s+DEFAULT\s+(.+)$", rest, re.IGNORECASE | re.DOTALL
+                    )
+                    if mdf and mdf.group(1).count("(") == mdf.group(1).count(")"):
+                        rest = rest[: mdf.start()]
+                        defaults[colname] = mdf.group(1).strip()
+                        continue
                     break
                 base_t = rest.strip().lower()
                 if base_t in self.types and self.types[base_t]["kind"] == "enum":
@@ -1410,6 +1428,11 @@ class Catalog:
             self._register(table)
             if cons:
                 self.table_constraints[name] = cons
+            if defaults:
+                # validate now: a broken default should fail at CREATE time
+                for col, expr in defaults.items():
+                    self.spark.range(1).select(F.expr(expr).alias(col))
+                self.table_defaults[name] = defaults
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         m = _DROP_TABLE.match(sql)
@@ -1419,6 +1442,7 @@ class Catalog:
                 self.tables.pop(name).drop()
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
+                self.table_defaults.pop(name, None)
                 # drop FK constraints in other tables that referenced this one
                 for child, cons in self.table_constraints.items():
                     self.table_constraints[child] = [
@@ -1536,18 +1560,28 @@ class Catalog:
                 body = mcols.group(2).strip()
             if body.upper().startswith("VALUES"):
                 rows = self.spark.sql(f"SELECT * FROM ({body}) ")
+                if not cols and len(rows.columns) < len(table.df().columns):
+                    # PG: a short VALUES row list targets the leading
+                    # columns; the rest take their DEFAULT (or NULL)
+                    cols = table.df().columns[: len(rows.columns)]
                 rows = rows.toDF(*(cols or table.df().columns))
             else:
                 rows = self.spark.sql(body)
                 if cols:
                     rows = rows.toDF(*cols)
             if cols:
-                # reorder to the table schema, NULL-backfilling omitted columns
+                # reorder to the table schema; omitted columns take their
+                # declared DEFAULT expression, else NULL (PG semantics)
+                dfl = self.table_defaults.get(name, {})
                 rows = rows.select(
                     *[
                         F.col(f.name)
                         if f.name in cols
-                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        else (
+                            F.expr(dfl[f.name])
+                            if f.name in dfl
+                            else F.lit(None)
+                        ).cast(f.dataType).alias(f.name)
                         for f in table.df().schema.fields
                     ]
                 )

@@ -478,3 +478,53 @@ def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (x03_src.k, x03_src.delta)"
     )
     return eng.sql("SELECT k, bal FROM x03_acct")
+
+
+# --- x04: column DEFAULT expressions -----------------------------------------
+# PG pg_attrdef surface: DEFAULT clauses in typed CREATE TABLE, applied
+# whenever an INSERT omits the column — via an explicit column list or a
+# short VALUES row list (PG fills the trailing columns). Defaults
+# compose with the other trailing column clauses in either order
+# (`DEFAULT 5 NOT NULL` / `NOT NULL DEFAULT 5`). Reference DDL family:
+# components/sql/transformer (column definitions), SURVEY §2.10.
+
+_X04_ORACLE = """
+SELECT c_custkey AS k,
+       'new' AS status,
+       CAST(CASE WHEN c_custkey % 3 = 0 THEN 100
+                 ELSE c_nationkey END AS BIGINT) AS score,
+       CAST(-5 AS BIGINT) AS neg
+FROM customer WHERE c_custkey % 3 IN (0, 1)
+UNION ALL
+SELECT -1, 'manual', 100, -5
+"""
+
+
+@query(
+    "x04_column_defaults", _X04_ORACLE,
+    doc="CREATE TABLE column DEFAULTs: applied on omitted columns "
+        "(explicit column list + PG short-VALUES fill), composing with "
+        "NOT NULL in either clause order",
+)
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x04_t")
+    eng.sql(
+        "CREATE TABLE x04_t (k BIGINT PRIMARY KEY, "
+        "status STRING DEFAULT 'new', "
+        "score BIGINT DEFAULT 100 NOT NULL, "
+        "neg BIGINT NOT NULL DEFAULT -5)"
+    )
+    eng.sql(
+        "INSERT INTO x04_t (k) SELECT c_custkey FROM customer "
+        "WHERE c_custkey % 3 = 0"
+    )
+    eng.sql(
+        "INSERT INTO x04_t (k, score) SELECT c_custkey, c_nationkey "
+        "FROM customer WHERE c_custkey % 3 = 1"
+    )
+    eng.sql("INSERT INTO x04_t VALUES (-1, 'manual')")
+    return eng.sql("SELECT k, status, score, neg FROM x04_t")

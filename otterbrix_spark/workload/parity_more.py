@@ -627,3 +627,56 @@ def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS mode_cents "
         "FROM lineitem GROUP BY l_returnflag"
     )
+
+
+# --- q86: UNNEST WITH ORDINALITY ---------------------------------------------
+# PG's ordinality-preserving unnest: a deterministic per-order array
+# (line part keys in l_linenumber order) is exploded WITH its 1-based
+# position, and the position must survive the round trip — the property
+# that distinguishes posexplode from a bare explode (where Spark makes
+# no order promise). Output: the ordinality-weighted key sum per order
+# plus the first/last array elements by ordinality, which is non-trivially
+# wrong under any element reordering.
+
+_Q86_ORACLE = """
+WITH arrs AS (
+  SELECT l_orderkey,
+         list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts
+  FROM lineitem GROUP BY l_orderkey),
+u AS (
+  SELECT l_orderkey, parts[CAST(ord AS INT)] AS part, ord
+  FROM (SELECT l_orderkey, parts,
+               UNNEST(range(1, len(parts) + 1)) AS ord
+        FROM arrs))
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(part * ord) AS BIGINT) AS wsum,
+       CAST(MIN(CASE WHEN ord = 1 THEN part END) AS BIGINT) AS first_part
+FROM u GROUP BY l_orderkey
+"""
+
+
+@query(
+    "q86_with_ordinality", _Q86_ORACLE,
+    doc="UNNEST WITH ORDINALITY (posexplode): 1-based positions survive "
+        "the explode; ordinality-weighted checksum per order",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "transform("
+            "  array_sort(collect_list(struct(l_linenumber, l_partkey))),"
+            "  s -> s.l_partkey)"
+        ).alias("parts")
+    )
+    u = arrs.select(
+        "l_orderkey", F.posexplode("parts").alias("pos", "part")
+    ).withColumn("ord", F.col("pos") + 1)
+    return u.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("part") * F.col("ord")).cast("long").alias("wsum"),
+        F.min(F.when(F.col("ord") == 1, F.col("part")))
+        .cast("long")
+        .alias("first_part"),
+    )

@@ -1054,3 +1054,113 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- s17: stream-stream FULL OUTER join --------------------------------------
+# Completes the stream-stream join family (s05 inner, s15 left outer):
+# FULL OUTER exercises BOTH sides of the outer-join state machine — an
+# unmatched purchase null-pads its click columns AND an unmatched click
+# null-pads its purchase columns, each only once the opposite side's
+# watermark proves no match can still arrive. Same sentinel-slice
+# harness as s15 (two far-future slices stand in for the feed's next
+# hour; the second flushes what the first released); certification is
+# the hash match against the batch FULL JOIN over the real corpus.
+
+_S17_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+SELECT COALESCE(p.user_id, c.user_id) AS uid,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM p FULL OUTER JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query(
+    "s17_streaming_full_outer", _S17_ORACLE,
+    doc="streaming certification: stream-stream FULL OUTER band join — "
+        "both sides' unmatched rows emitted on watermark close, "
+        "hash-matched against the batch FULL JOIN",
+)
+def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=3)
+    out = os.path.join(landing, "events.parquet")
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    hi_us = int(hi.timestamp() * 1_000_000)
+    hour_us = 3_600_000_000
+    norm = load_table(spark, landing, "events")
+    for i, offset_h in enumerate((5, 6)):
+        rows = []
+        for etype in ("purchase", "click"):
+            rows.append(
+                norm.limit(1).select(
+                    F.lit(-1 - i).cast(
+                        dict(norm.dtypes)["event_id"]
+                    ).alias("event_id"),
+                    F.timestamp_micros(
+                        F.lit(hi_us + offset_h * hour_us)
+                    ).cast(dict(norm.dtypes)["ts"]).alias("ts"),
+                    F.lit(-1).cast(dict(norm.dtypes)["user_id"]).alias(
+                        "user_id"
+                    ),
+                    F.lit(etype).alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                ).select(*norm.columns)
+            )
+        sent = rows[0].unionByName(rows[1])
+        tmp = os.path.join(landing, f"sentinel_{i}")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"part-9{i:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_800_000_000 + i * 60, 1_800_000_000 + i * 60))
+
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+
+    def side(typ: str, idcol: str) -> DataFrame:
+        return stream.filter(F.col("event_type") == typ).select(
+            F.col("user_id"), F.col("event_id").alias(idcol), F.col("ts")
+        )
+
+    left = side("purchase", "purchase_id").withWatermark("ts", "2 hours")
+    right = (
+        side("click", "click_id")
+        .withColumnRenamed("ts", "r_ts")
+        .withColumnRenamed("user_id", "r_user")
+        .withWatermark("r_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = r_user AND r_ts >= ts "
+            "AND r_ts <= ts + INTERVAL 30 MINUTE"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("r_user")).alias("uid"),
+        "purchase_id",
+        "click_id",
+    )
+    name = f"s17_fouter_{uuid.uuid4().hex[:8]}"
+    result, n_batches, _stats = run_available_now_counted(
+        joined, name, timeout_s=240.0, output_mode="append"
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"s17 ran only {n_batches} input micro-batches"
+        )
+    return result.filter(F.col("uid") >= 0)

@@ -754,3 +754,52 @@ def test_merge_inside_transaction_rolls_back(engine):
     engine.execute_sql("ROLLBACK")
     rows = sorted(engine.execute_sql("SELECT * FROM m_t").fetchall())
     assert rows == [(1, 10), (2, -5), (3, 30)]
+
+
+# --- column DEFAULTs (catalog.table_defaults) -------------------------------
+
+
+def test_default_applied_on_omitted_column(engine):
+    engine.execute_sql(
+        "CREATE TABLE d1 (k BIGINT, v BIGINT DEFAULT 7, s STRING DEFAULT 'x')"
+    )
+    engine.execute_sql("INSERT INTO d1 (k) VALUES (1)")
+    engine.execute_sql("INSERT INTO d1 (k, v) VALUES (2, 99)")
+    rows = sorted(engine.execute_sql("SELECT * FROM d1").fetchall())
+    assert rows == [(1, 7, "x"), (2, 99, "x")]
+
+
+def test_default_expression_and_clause_order(engine):
+    engine.execute_sql(
+        "CREATE TABLE d2 (k BIGINT, a BIGINT DEFAULT 6 * 7 NOT NULL, "
+        "b BIGINT NOT NULL DEFAULT -5)"
+    )
+    engine.execute_sql("INSERT INTO d2 (k) VALUES (1)")
+    assert engine.execute_sql("SELECT * FROM d2").fetchall() == [(1, 42, -5)]
+
+
+def test_default_short_values_fill(engine):
+    engine.execute_sql(
+        "CREATE TABLE d3 (k BIGINT, v BIGINT DEFAULT 3, w BIGINT)"
+    )
+    engine.execute_sql("INSERT INTO d3 VALUES (1)")  # v -> 3, w -> NULL
+    assert engine.execute_sql("SELECT * FROM d3").fetchall() == [(1, 3, None)]
+
+
+def test_default_in_upsert_insert_path(engine):
+    engine.execute_sql(
+        "CREATE TABLE d4 (k BIGINT PRIMARY KEY, v BIGINT DEFAULT 11)"
+    )
+    engine.execute_sql("INSERT INTO d4 (k) VALUES (1)")
+    engine.execute_sql(
+        "INSERT INTO d4 (k) VALUES (1), (2) ON CONFLICT (k) DO NOTHING"
+    )
+    rows = sorted(engine.execute_sql("SELECT * FROM d4").fetchall())
+    assert rows == [(1, 11), (2, 11)]
+
+
+def test_broken_default_fails_at_create_time(engine):
+    with pytest.raises(Exception):
+        engine.execute_sql(
+            "CREATE TABLE d5 (k BIGINT, v BIGINT DEFAULT no_such_fn(1))"
+        )
