@@ -46,6 +46,94 @@ def _lit_text(token: str) -> str:
     return token[1:-1].replace("''", "'")
 
 
+# --- QUALIFY (PG-adjacent window filter, absent from Spark's grammar) --------
+# Lowered structurally, not by regex alone: the owning SELECT is found by a
+# depth-aware backward scan, the predicate's end by a depth-aware forward
+# scan, so QUALIFY inside CTEs/subqueries and QUALIFY predicates containing
+# parenthesized window calls both work. Two lowering shapes:
+#   pred references select-list ALIASES (no OVER in the predicate):
+#       SELECT <list> FROM ... QUALIFY p  →  SELECT * FROM (SELECT <list>
+#       FROM ...) WHERE p
+#   pred contains window calls directly:
+#       →  SELECT * EXCEPT(__otx_qualify) FROM (SELECT <list>,
+#          (p) AS __otx_qualify FROM ...) WHERE __otx_qualify
+# (Mixing an alias reference and a direct window call in one QUALIFY is not
+# supported — the hidden-column form cannot see sibling aliases.)
+
+_QUAL_TOK = re.compile(r"[()]|\b[A-Za-z_][A-Za-z0-9_]*\b")
+_QUAL_TAIL_KWS = {
+    "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "FETCH",
+}
+
+
+def _rewrite_qualify(body: str) -> str:
+    """Rewrite every QUALIFY clause in string-protected SQL text."""
+    while True:
+        m = re.search(r"\bQUALIFY\b", body, re.IGNORECASE)
+        if m is None:
+            return body
+        qstart, qkw_end = m.start(), m.end()
+
+        depth = 0
+        pred_end = len(body)
+        for t in _QUAL_TOK.finditer(body, qkw_end):
+            tx = t.group(0)
+            if tx == "(":
+                depth += 1
+            elif tx == ")":
+                if depth == 0:
+                    pred_end = t.start()
+                    break
+                depth -= 1
+            elif depth == 0 and tx.upper() in _QUAL_TAIL_KWS:
+                pred_end = t.start()
+                break
+
+        depth = 0
+        sel_start = None
+        for t in reversed(list(_QUAL_TOK.finditer(body, 0, qstart))):
+            tx = t.group(0)
+            if tx == ")":
+                depth += 1
+            elif tx == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and tx.upper() == "SELECT":
+                sel_start = t.start()
+                break
+        if sel_start is None:
+            raise ValueError("QUALIFY without an owning SELECT")
+
+        inner = body[sel_start:qstart].rstrip()
+        pred = body[qkw_end:pred_end].strip()
+        if re.search(r"\bOVER\b", pred, re.IGNORECASE):
+            depth = 0
+            from_at = len(inner)
+            for t in _QUAL_TOK.finditer(inner, len("SELECT")):
+                tx = t.group(0)
+                if tx == "(":
+                    depth += 1
+                elif tx == ")":
+                    depth -= 1
+                elif depth == 0 and tx.upper() == "FROM":
+                    from_at = t.start()
+                    break
+            spliced = (
+                inner[:from_at].rstrip()
+                + f", ({pred}) AS __otx_qualify "
+                + inner[from_at:]
+            )
+            new = (
+                "SELECT * EXCEPT(__otx_qualify) FROM ("
+                + spliced
+                + ") WHERE __otx_qualify"
+            )
+        else:
+            new = f"SELECT * FROM ({inner}) WHERE {pred}"
+        body = body[:sel_start] + new + " " + body[pred_end:]
+
+
 def _json_path(keys: list[str]) -> str:
     out = "$"
     for k in keys:
@@ -311,6 +399,7 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
 
         return rewrite_ast(sql)
     body, lits = _protect_strings(sql)
+    body = _rewrite_qualify(body)
 
     def lit_at(tok: str) -> str | None:
         m = re.fullmatch("\x00(\\d+)\x00", tok)

@@ -42,6 +42,8 @@ from otterbrix_spark.dialect import (
     _json_path,
     _lit_text,
     _protect_strings,
+    _restore_strings,
+    _rewrite_qualify,
 )
 
 # ---------------------------------------------------------------------------
@@ -477,6 +479,11 @@ def rewrite_ast(sql: str) -> str:
     the same way the regex path does."""
     toks, tail = _tokenize(sql)
     out = _transform(toks, 0, len(toks)) + tail
-    body, _lits = _protect_strings(out)
+    body, lits = _protect_strings(out)
     _guard_residual_subscripts(body)
+    # QUALIFY is a clause-level restructuring, not an operator lowering, so
+    # both dialect modes share the depth-aware scanner in ``dialect``
+    qbody = _rewrite_qualify(body)
+    if qbody is not body:
+        out = _restore_strings(qbody, lits)
     return out

@@ -680,3 +680,86 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_part"),
     )
+
+
+# --- q87: QUALIFY clause (dialect lowering) -----------------------------------
+# DuckDB/Snowflake-style QUALIFY is absent from Spark's grammar; the dialect
+# layer lowers it structurally (dialect.py::_rewrite_qualify, both regex and
+# ast modes): an alias-referencing QUALIFY becomes a subquery + WHERE, a
+# QUALIFY holding a window call directly becomes a hidden boolean column
+# (* EXCEPT(__otx_qualify)). This gate exercises BOTH shapes in one
+# statement — inside a CTE (alias form) and over a grouped query (direct
+# window over an aggregate) — and the oracle runs the SAME text natively
+# on DuckDB, which has QUALIFY in its grammar.
+
+_Q87_SQL = """
+WITH top3 AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+  QUALIFY rn <= 3
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS spend_cents
+FROM top3
+GROUP BY o_custkey
+QUALIFY rank() OVER (ORDER BY SUM(cents) DESC, o_custkey) <= 50
+"""
+
+
+@query(
+    "q87_qualify", _Q87_SQL,
+    doc="QUALIFY clause lowering: alias form in a CTE + direct window-over-"
+        "aggregate form after GROUP BY; oracle runs the identical text on "
+        "DuckDB's native QUALIFY",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(_Q87_SQL)
+
+
+# --- q88: named WINDOW clause --------------------------------------------------
+# SQL:2003 <window clause>: one named spec shared by several window
+# functions (`OVER w`). Native in BOTH engines (Spark SqlBase.g4
+# windowClause; DuckDB window clause), so this is a passthrough parity
+# gate — the dialect layer must leave it byte-identical. The window
+# contribution is folded into integer-exact per-flag checksums so the
+# compare stays small while any frame/order divergence still breaks it.
+
+_Q88_SQL = """
+WITH w_rows AS (
+  SELECT l_returnflag,
+         SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) OVER w
+           AS run_cents,
+         row_number() OVER w AS rn,
+         COALESCE(lag(l_partkey) OVER w, 0) AS prev_part
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(run_cents) AS BIGINT) AS sum_run_cents,
+       CAST(SUM(rn * prev_part) AS BIGINT) AS rn_prev_checksum
+FROM w_rows
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q88_named_window", _Q88_SQL,
+    doc="named WINDOW clause shared by three window functions (OVER w); "
+        "passthrough parity on both engines",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(_Q88_SQL)

@@ -282,3 +282,60 @@ def test_composite_star_both_paths():
     for src, want in cases:
         assert rewrite(src, mode="regex") == want, src
         assert rewrite_ast(src) == want, src
+
+
+# --- QUALIFY lowering (both modes share dialect._rewrite_qualify) ------------
+
+
+QUALIFY_CASES = [
+    # alias-referencing predicate -> subquery + WHERE, tail preserved
+    (
+        "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t "
+        "QUALIFY rn <= 3 ORDER BY a LIMIT 5",
+        "SELECT * FROM (SELECT a, row_number() OVER (ORDER BY b) AS rn "
+        "FROM t) WHERE rn <= 3 ORDER BY a LIMIT 5",
+    ),
+    # direct window call -> hidden column + * EXCEPT
+    (
+        "SELECT a, b FROM t QUALIFY row_number() "
+        "OVER (PARTITION BY a ORDER BY b) = 1",
+        "SELECT * EXCEPT(__otx_qualify) FROM (SELECT a, b, (row_number() "
+        "OVER (PARTITION BY a ORDER BY b) = 1) AS __otx_qualify FROM t) "
+        "WHERE __otx_qualify",
+    ),
+]
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+@pytest.mark.parametrize("src,expected", QUALIFY_CASES)
+def test_qualify_lowering(mode, src, expected):
+    assert " ".join(rewrite(src, mode=mode).split()) == expected
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_qualify_inside_cte_scopes_to_its_select(mode):
+    out = rewrite(
+        "WITH x AS (SELECT a, rank() OVER (ORDER BY b) AS r FROM t "
+        "QUALIFY r < 10) SELECT * FROM x ORDER BY a",
+        mode=mode,
+    )
+    norm = " ".join(out.split())
+    assert norm.startswith("WITH x AS (SELECT * FROM (SELECT a,")
+    assert norm.endswith("WHERE r < 10 ) SELECT * FROM x ORDER BY a")
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_qualify_word_in_string_literal_untouched(mode):
+    src = "SELECT 'QUALIFY me' AS s FROM t"
+    assert rewrite(src, mode=mode) == src
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_qualify_executes_on_spark(spark, mode):
+    out = rewrite(
+        "SELECT a, b FROM VALUES (1, 10), (1, 20), (2, 5) t(a, b) "
+        "QUALIFY row_number() OVER (PARTITION BY a ORDER BY b DESC) = 1",
+        mode=mode,
+    )
+    rows = sorted(tuple(r) for r in spark.sql(out).collect())
+    assert rows == [(1, 20), (2, 5)]
