@@ -763,3 +763,55 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark)
     eng.register_corpus(sf_dir)
     return eng.sql(_Q88_SQL)
+
+
+# --- a04: statistical aggregates from exact integer moments -------------------
+# corr / covar_samp / stddev / regr_slope computed the distributed-correct
+# way: ONE pass accumulating six integer moments (n, Σx, Σy, Σxy, Σx², Σy²)
+# that combine map-side and merge associatively — the same reason sketches
+# (sk01/sk02) are mergeable. Calling each engine's native corr()/stddev()
+# would NOT hash-match (Welford vs naive accumulation, partition-order-
+# dependent float merges); deriving them from exact BIGINT moments with a
+# bit-identical final double expression on both engines is deterministic:
+# bigint→double conversion and each IEEE op round identically. x = whole
+# quantity units, y = whole dollars, so every moment is an exact integer
+# (Σy² stays under BIGINT range through sf1).
+
+_A04_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                * CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(nd AS BIGINT) AS n,
+       (nd * sxy - sx * sy) / (nd * (nd - 1.0)) AS covar_samp,
+       SQRT((nd * sxx - sx * sx) / (nd * (nd - 1.0))) AS stddev_x,
+       SQRT((nd * syy - sy * sy) / (nd * (nd - 1.0))) AS stddev_y,
+       (nd * sxy - sx * sy)
+         / (SQRT(nd * sxx - sx * sx) * SQRT(nd * syy - sy * sy)) AS corr_xy,
+       (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS regr_slope
+FROM m
+"""
+
+
+@query(
+    "a04_stats_moments", _A04_SQL,
+    doc="corr/covar_samp/stddev/regr_slope from exact integer moments — "
+        "single-pass, map-side-combinable; identical IEEE expression on "
+        "both engines makes the doubles bit-exact",
+)
+def a04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(_A04_SQL)

@@ -290,6 +290,60 @@ def _sliced_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> st
     return scratch
 
 
+def _append_sentinel_slices(
+    spark: SparkSession,
+    sf_dir: str,
+    landing: str,
+    event_types: tuple[str, ...],
+    offsets_h: tuple[int, ...] = (5, 6),
+) -> None:
+    """Land ``len(offsets_h)`` far-future sentinel files (names and mtimes
+    AFTER every real slice) into a ``_sliced_events_dir`` landing dir — the
+    stand-in for the feed's next hour of traffic that lets availableNow
+    runs advance the watermark past the real corpus and flush
+    append-mode state (outer-join null pads, final windows). One sentinel
+    row per event type per slice, all with negative ids so gates can
+    filter them back out. The SECOND slice flushes whatever state the
+    first one's watermark advance released — outer joins and chained
+    aggregations both need that extra turn of the crank."""
+    import glob
+    import os
+    import shutil
+
+    from otterbrix_spark.sources.registry import load_table
+
+    out = os.path.join(landing, "events.parquet")
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    hi_us = int(hi.timestamp() * 1_000_000)
+    hour_us = 3_600_000_000
+    norm = load_table(spark, landing, "events")  # slice schema (normalised)
+    dtypes = dict(norm.dtypes)
+    for i, offset_h in enumerate(offsets_h):
+        rows = [
+            norm.limit(1).select(
+                F.lit(-1 - i).cast(dtypes["event_id"]).alias("event_id"),
+                F.timestamp_micros(
+                    F.lit(hi_us + offset_h * hour_us)
+                ).cast(dtypes["ts"]).alias("ts"),
+                F.lit(-1).cast(dtypes["user_id"]).alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            ).select(*norm.columns)
+            for etype in event_types
+        ]
+        sent = rows[0]
+        for r in rows[1:]:
+            sent = sent.unionByName(r)
+        tmp = os.path.join(landing, f"sentinel_{i}")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"part-9{i:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (1_800_000_000 + i * 60, 1_800_000_000 + i * 60))
+
+
 @query(
     "s07_streaming_multibatch", _S07_ORACLE,
     doc="multi-batch streaming certification: hourly rollup over >= 3 "
@@ -894,48 +948,10 @@ FROM p LEFT JOIN c
         "tail; hash-matched against the batch LEFT JOIN",
 )
 def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-
-    from otterbrix_spark.sources.registry import load_table
     from otterbrix_spark.streaming.pipeline import run_available_now_counted
 
     landing = _sliced_events_dir(spark, sf_dir, n_files=3)
-    out = os.path.join(landing, "events.parquet")
-    ev = load_table(spark, sf_dir, "events")
-    hi = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
-    hi_us = int(hi.timestamp() * 1_000_000)
-    hour_us = 3_600_000_000
-    norm = load_table(spark, landing, "events")  # slice schema (normalised)
-    for i, offset_h in enumerate((5, 6)):
-        sent = norm.limit(0)
-        rows = []
-        for etype in ("purchase", "click"):
-            rows.append(
-                norm.limit(1).select(
-                    F.lit(-1 - i).cast(
-                        dict(norm.dtypes)["event_id"]
-                    ).alias("event_id"),
-                    F.timestamp_micros(
-                        F.lit(hi_us + offset_h * hour_us)
-                    ).cast(dict(norm.dtypes)["ts"]).alias("ts"),
-                    F.lit(-1).cast(dict(norm.dtypes)["user_id"]).alias(
-                        "user_id"
-                    ),
-                    F.lit(etype).alias("event_type"),
-                    F.lit(0.0).alias("value"),
-                    F.lit(None).cast("string").alias("props"),
-                ).select(*norm.columns)
-            )
-        sent = rows[0].unionByName(rows[1])
-        tmp = os.path.join(landing, f"sentinel_{i}")
-        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(out, f"part-9{i:03d}.parquet")
-        shutil.move(src, dst)
-        os.utime(dst, (1_800_000_000 + i * 60, 1_800_000_000 + i * 60))
-
+    _append_sentinel_slices(spark, sf_dir, landing, ("purchase", "click"))
     stream = events_stream(spark, landing, max_files_per_trigger=1)
 
     def side(typ: str, idcol: str) -> DataFrame:
@@ -1088,47 +1104,10 @@ FROM p FULL OUTER JOIN c
         "hash-matched against the batch FULL JOIN",
 )
 def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-
-    from otterbrix_spark.sources.registry import load_table
     from otterbrix_spark.streaming.pipeline import run_available_now_counted
 
     landing = _sliced_events_dir(spark, sf_dir, n_files=3)
-    out = os.path.join(landing, "events.parquet")
-    ev = load_table(spark, sf_dir, "events")
-    hi = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
-    hi_us = int(hi.timestamp() * 1_000_000)
-    hour_us = 3_600_000_000
-    norm = load_table(spark, landing, "events")
-    for i, offset_h in enumerate((5, 6)):
-        rows = []
-        for etype in ("purchase", "click"):
-            rows.append(
-                norm.limit(1).select(
-                    F.lit(-1 - i).cast(
-                        dict(norm.dtypes)["event_id"]
-                    ).alias("event_id"),
-                    F.timestamp_micros(
-                        F.lit(hi_us + offset_h * hour_us)
-                    ).cast(dict(norm.dtypes)["ts"]).alias("ts"),
-                    F.lit(-1).cast(dict(norm.dtypes)["user_id"]).alias(
-                        "user_id"
-                    ),
-                    F.lit(etype).alias("event_type"),
-                    F.lit(0.0).alias("value"),
-                    F.lit(None).cast("string").alias("props"),
-                ).select(*norm.columns)
-            )
-        sent = rows[0].unionByName(rows[1])
-        tmp = os.path.join(landing, f"sentinel_{i}")
-        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(out, f"part-9{i:03d}.parquet")
-        shutil.move(src, dst)
-        os.utime(dst, (1_800_000_000 + i * 60, 1_800_000_000 + i * 60))
-
+    _append_sentinel_slices(spark, sf_dir, landing, ("purchase", "click"))
     stream = events_stream(spark, landing, max_files_per_trigger=1)
 
     def side(typ: str, idcol: str) -> DataFrame:
@@ -1164,3 +1143,72 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"s17 ran only {n_batches} input micro-batches"
         )
     return result.filter(F.col("uid") >= 0)
+
+
+# --- s18: CHAINED stateful aggregations in one streaming query ----------------
+# Two stateful operators back to back — a 5-minute tumbling count per
+# event type re-aggregated into hourly totals via window_time() — in a
+# SINGLE streaming graph (Spark 3.4+ multiple-stateful-operator support;
+# chained aggs require append mode, so final windows only emit once the
+# watermark passes them: the sentinel slices stand in for the feed's
+# next hour). n_sub = the number of distinct non-empty 5-minute
+# sub-windows per hour certifies the FIRST aggregation's output really
+# flowed through the second (a single-agg plan could fake n but not
+# n_sub). Epoch-aligned 5-min windows never straddle an hour boundary,
+# so window_time (end - 1us) buckets each sub-window into its start's
+# hour. Scale: both aggs are hash-partitioned on their window keys;
+# state is O(open windows x types), bounded by the watermark.
+
+_S18_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT epoch_us(ts) // 300000000) AS BIGINT) AS n_sub
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_us, event_type
+"""
+
+
+@query(
+    "s18_chained_stateful", _S18_ORACLE,
+    doc="streaming certification: two chained stateful aggregations "
+        "(5-min tumbling counts re-aggregated hourly via window_time) in "
+        "one append-mode query, hash-matched against the batch rollup",
+)
+def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=3)
+    _append_sentinel_slices(spark, sf_dir, landing, ("__sentinel__",))
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+
+    agg5 = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n5"))
+    )
+    hourly = (
+        agg5.groupBy(
+            F.window(F.window_time("window"), "1 hour"), "event_type"
+        )
+        .agg(
+            F.sum("n5").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_sub"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("hour_us"),
+            "event_type",
+            "n",
+            "n_sub",
+        )
+    )
+    name = f"s18_chain_{uuid.uuid4().hex[:8]}"
+    result, n_batches, _stats = run_available_now_counted(
+        hourly, name, timeout_s=240.0, output_mode="append"
+    )
+    if n_batches < 3:
+        raise AssertionError(f"s18 ran only {n_batches} input micro-batches")
+    return result.filter(F.col("event_type") != "__sentinel__").orderBy(
+        "hour_us", "event_type"
+    )
