@@ -197,6 +197,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_df: int | None = None,
+    with_union: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (all shared-shingle
     pairs when ``candidates`` is None): (a, b, common, jaccard >= threshold).
@@ -230,13 +231,18 @@ def jaccard_pairs(
     if candidates is not None:
         common = common.join(candidates, ["a", "b"], "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    return (
+    out = (
         common.join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
-        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("common"))
+        .withColumn("jaccard", F.col("common") / F.col("uni"))
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "common", "jaccard")
     )
+    # ``with_union`` exposes the exact integer denominator so callers can
+    # compare Jaccard against a threshold by cross-multiplication
+    # (100*common >= pct*uni) instead of a float ratio (d19)
+    cols = ["a", "b", "common"] + (["uni"] if with_union else []) + ["jaccard"]
+    return out.select(*cols)
 
 
 def simhash(

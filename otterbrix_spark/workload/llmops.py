@@ -3666,3 +3666,92 @@ def e14(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < 5)
     res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- d19: LSH band-tuning evaluation (precision/recall vs exact truth) -------
+# The metric that drives (bands x band_size) tuning in a production dedup
+# pipeline: over the SAME corpus, how many truly-near-duplicate pairs
+# (exact Jaccard >= t, df-capped posting-list join — the d03 truth
+# generator) does the banded index recall, and how much of the candidate
+# set is true? Emitted as exact integer counts per threshold — recall =
+# n_hits/n_truth, precision = n_hits/n_cand — with every Jaccard-vs-
+# threshold comparison done by integer cross-multiplication
+# (100*common >= pct*uni), never a float ratio. The S-curve is visible in
+# the rows: recall falls as t rises past the band collision probability.
+# Scale: truth pairs come from the df-capped shingle equi-join (never
+# all-pairs), candidates from the band equi-join; the threshold explode
+# is x4 on the PAIR aggregate, not the corpus.
+
+_D19_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_sig_cte()},
+bands AS ({_bands_sql()}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) <= {_D03_MAX_DF}),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+common AS (SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS common
+           FROM shr sa JOIN shr sb
+             ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+           GROUP BY 1, 2),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT c.a, c.b, c.common,
+                 sa.n + sb.n - c.common AS uni,
+                 CASE WHEN cand.a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+          FROM common c
+          JOIN sz sa ON c.a = sa.doc_id
+          JOIN sz sb ON c.b = sb.doc_id
+          LEFT JOIN cand ON cand.a = c.a AND cand.b = c.b),
+thr AS (SELECT UNNEST([30, 50, 70, 90]) AS thr_pct),
+cn AS (SELECT COUNT(*) AS n_cand FROM cand)
+SELECT CAST(thr_pct AS BIGINT) AS thr_pct,
+       CAST(COUNT(CASE WHEN 100 * common >= thr_pct * uni THEN 1 END)
+            AS BIGINT) AS n_truth,
+       CAST(COUNT(CASE WHEN is_cand = 1 AND 100 * common >= thr_pct * uni
+                       THEN 1 END) AS BIGINT) AS n_hits,
+       CAST(MAX(n_cand) AS BIGINT) AS n_cand
+FROM pairs, thr, cn
+GROUP BY thr_pct
+"""
+
+
+@query(
+    "d19_lsh_tuning_eval", _D19_ORACLE,
+    doc="LSH band recall/precision vs exact df-capped Jaccard truth per "
+        "threshold — the (bands x band_size) tuning metric, integer-exact "
+        "via cross-multiplied threshold comparisons",
+)
+def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    cands = dedup.lsh_candidate_pairs(sh)
+    allp = dedup.jaccard_pairs(
+        sh, threshold=0.0, max_df=_D03_MAX_DF, with_union=True
+    )
+    flagged = allp.join(
+        cands.withColumn("is_cand", F.lit(1)), ["a", "b"], "left"
+    ).select(
+        "common", "uni", F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand")
+    )
+    cand_n = cands.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    above = (100 * F.col("common")) >= (F.col("thr_pct") * F.col("uni"))
+    return (
+        flagged.select(
+            "common", "uni", "is_cand",
+            F.explode(
+                F.array(*[F.lit(t) for t in (30, 50, 70, 90)])
+            ).alias("thr_pct"),
+        )
+        .groupBy("thr_pct")
+        .agg(
+            F.sum(F.when(above, 1).otherwise(0)).cast("long").alias("n_truth"),
+            F.sum(F.when(above & (F.col("is_cand") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn("thr_pct", F.col("thr_pct").cast("long"))
+        .crossJoin(F.broadcast(cand_n))
+    )
