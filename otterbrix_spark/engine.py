@@ -24,6 +24,10 @@ class Engine:
         self.spark = spark or get_spark()
         configure_session(self.spark)
         self.catalog = Catalog(self.spark, table_dir)
+        # PG prepared statements (reference parsenodes PrepareStmt /
+        # ExecuteStmt / DeallocateStmt): name -> raw statement text with
+        # $n placeholders, bound at EXECUTE time
+        self._prepared: dict[str, str] = {}
 
     # -- catalog ------------------------------------------------------------
     def register_corpus(self, sf_dir: str) -> None:
@@ -49,6 +53,9 @@ class Engine:
             for stmt in statements:
                 cur = self.execute_sql(stmt, *params)
             return cur
+        handled = self._prepared_statement(sql, params)
+        if handled is not None:
+            return handled
         body = self.catalog.canonicalize(rewrite(sql))
         if params:
             if self.catalog.handles(body):
@@ -75,6 +82,89 @@ class Engine:
 
     def sql(self, sql: str, *params) -> DataFrame:
         return self.execute_sql(sql, *params).df
+
+    # -- prepared statements (PG PREPARE / EXECUTE / DEALLOCATE) ------------
+    def _prepared_statement(self, sql: str, params) -> "Cursor | None":
+        """Route PREPARE / EXECUTE / DEALLOCATE; None if ``sql`` is neither.
+
+        PG semantics (reference grammar PrepareStmt/ExecuteStmt nodes):
+        PREPARE stores the statement TEXT with its $n placeholders — any
+        optional parameter-type list is accepted and ignored, since Spark's
+        binder infers types; EXECUTE folds the call's literal arguments
+        into the $n slots (the reference's parameter_node_t constant
+        folding) and runs the stored text through the normal path, so
+        prepared DML, DDL and SELECT all work; re-PREPARE of a live name
+        errors as in PG; DEALLOCATE [ALL] drops."""
+        import re
+
+        m = re.match(
+            r"^\s*PREPARE\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s+AS\s+(.+)$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name = m.group(1).lower()
+            if name in self._prepared:
+                raise ValueError(
+                    f'prepared statement "{name}" already exists'
+                )
+            self._prepared[name] = m.group(3).strip().rstrip(";")
+            return Cursor(
+                self.spark.sql(f"SELECT '{name}' AS prepared LIMIT 0")
+            )
+        m = re.match(
+            r"^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*;?\s*$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name = m.group(1).lower()
+            if name not in self._prepared:
+                raise ValueError(f'prepared statement "{name}" does not exist')
+            body = self._prepared[name]
+            from otterbrix_spark.catalog import _split_top_level
+
+            args = [
+                a.strip()
+                for a in _split_top_level(m.group(2) or "")
+                if a.strip()
+            ]
+            if args:
+                from otterbrix_spark.dialect import (
+                    _protect_strings,
+                    _restore_strings,
+                )
+
+                # simple literals substitute bare so downstream dialect
+                # rules that pattern-match literal operands (e.g. `~ '<re>'`)
+                # still fire; anything else gets defensive parens
+                simple = re.compile(
+                    r"'(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+                    r"|NULL|TRUE|FALSE",
+                    re.IGNORECASE,
+                )
+
+                def bind(mm: re.Match) -> str:
+                    arg = args[int(mm.group(1)) - 1]
+                    return arg if simple.fullmatch(arg) else f"({arg})"
+
+                protected, lits = _protect_strings(body)
+                protected = re.sub(r"\$(\d+)", bind, protected)
+                body = _restore_strings(protected, lits)
+            return self.execute_sql(body, *params)
+        m = re.match(
+            r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(ALL|[A-Za-z_]\w*)\s*;?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if m:
+            name = m.group(1).lower()
+            if name == "all":
+                self._prepared.clear()
+            elif self._prepared.pop(name, None) is None:
+                raise ValueError(f'prepared statement "{name}" does not exist')
+            return Cursor(self.spark.sql("SELECT 'ok' AS deallocated LIMIT 0"))
+        return None
 
     # -- entry point B bridge ----------------------------------------------
     def from_df(self, obj, name: str | None = None):

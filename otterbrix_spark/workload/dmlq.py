@@ -528,3 +528,52 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.sql("INSERT INTO x04_t VALUES (-1, 'manual')")
     return eng.sql("SELECT k, status, score, neg FROM x04_t")
+
+
+# --- x05: prepared statements (PREPARE / EXECUTE / DEALLOCATE) ----------------
+# PG's server-side prepared statements (reference grammar PrepareStmt /
+# ExecuteStmt / DeallocateStmt, parsenodes.h): the statement TEXT is
+# stored once with $n placeholders and every EXECUTE folds that call's
+# literal arguments into the slots before the normal dialect -> plan
+# path runs — so prepared DML (the INSERT below) and prepared SELECT
+# both work, and arguments holding commas or quotes bind correctly. The
+# gate runs one prepared INSERT twice with different (segment, modulus)
+# bindings, deallocates, and reads the table back.
+
+_X05_ORACLE = """
+SELECT 'BUILDING' AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0
+UNION ALL
+SELECT 'MACHINERY', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0
+"""
+
+
+@query(
+    "x05_prepared_statements", _X05_ORACLE,
+    doc="PREPARE/EXECUTE/DEALLOCATE: one stored parameterised INSERT "
+        "executed under two different bindings, then read back",
+)
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x05_t")
+    eng.sql("CREATE TABLE x05_t (seg STRING, n BIGINT, bal_cents BIGINT)")
+    eng.sql(
+        "PREPARE segagg (STRING, BIGINT) AS "
+        "INSERT INTO x05_t "
+        "SELECT c_mktsegment, COUNT(*), "
+        "       SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) "
+        "FROM customer "
+        "WHERE c_mktsegment = $1 AND c_custkey % $2 = 0 "
+        "GROUP BY c_mktsegment"
+    )
+    eng.sql("EXECUTE segagg('BUILDING', 2)")
+    eng.sql("EXECUTE segagg('MACHINERY', 3)")
+    eng.sql("DEALLOCATE segagg")
+    return eng.sql("SELECT seg, n, bal_cents FROM x05_t")

@@ -3755,3 +3755,64 @@ def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("thr_pct", F.col("thr_pct").cast("long"))
         .crossJoin(F.broadcast(cand_n))
     )
+
+
+# --- t17: integer-exact IDF rarity scoring ------------------------------------
+# The unigram-LM quality filter of a data pipeline (CCNet / Gopher style:
+# drop documents whose tokens are "too rare" or "too common" for the
+# corpus), recast integer-exact so both engines agree bit-for-bit: no
+# log() — the per-token weight is (100 * D) DIV df(token) with D = corpus
+# document count and df = token document frequency, summed over each
+# document's DISTINCT tokens. Monotone in true IDF, so the filter's
+# ordering/banding decisions are the same ones a log-weighted scorer
+# makes. Scale: one distinct-token explode, one map-side-combined df
+# groupBy, one broadcast of the scalar D — never a per-row UDF.
+
+_T17_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents
+  WHERE length(text) > 0
+),
+df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+d AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM((100 * d.n_docs) // df.df) AS BIGINT) AS rarity_score
+FROM tok t JOIN df ON t.token = df.token CROSS JOIN d
+GROUP BY t.doc_id
+"""
+
+
+@query(
+    "t17_idf_rarity", _T17_ORACLE,
+    doc="integer-exact IDF rarity score per document: sum over distinct "
+        "tokens of (100*D) DIV df — the unigram quality-filter signal "
+        "without float log drift",
+)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+        )
+        .distinct()
+    )
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    d = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tok.join(df, "token")
+        .crossJoin(F.broadcast(d))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            # true integer DIV, never float /: a float quotient one ulp
+            # under an exact integer would truncate off-by-one
+            F.sum(F.expr("(100L * n_docs) DIV df"))
+            .cast("long")
+            .alias("rarity_score"),
+        )
+    )

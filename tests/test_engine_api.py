@@ -161,3 +161,49 @@ def test_from_df_polars_ducktype(engine, spark):
 
     rel = engine.from_df(FakePolars())
     assert sorted(rel.fetchall()) == [(1, "x"), (2, "y")]
+
+
+# --- prepared statements (PREPARE / EXECUTE / DEALLOCATE) --------------------
+
+
+def test_prepare_execute_select(engine):
+    engine.execute_sql("PREPARE q AS SELECT $1 + $2 AS s")
+    assert engine.execute_sql("EXECUTE q(2, 3)").fetchall() == [(5,)]
+    # re-execute with different arguments reuses the stored text
+    assert engine.execute_sql("EXECUTE q(10, -4)").fetchall() == [(6,)]
+    engine.execute_sql("DEALLOCATE q")
+
+
+def test_prepare_execute_dml_and_string_args(engine):
+    engine.execute_sql("CREATE TABLE prep_t (k BIGINT, v STRING)")
+    engine.execute_sql("PREPARE ins (BIGINT, STRING) AS "
+                       "INSERT INTO prep_t VALUES ($1, $2)")
+    engine.execute_sql("EXECUTE ins(1, 'a')")
+    engine.execute_sql("EXECUTE ins(2, 'has, comma')")
+    rows = sorted(engine.execute_sql("SELECT * FROM prep_t").fetchall())
+    assert rows == [(1, "a"), (2, "has, comma")]
+
+
+def test_prepare_duplicate_name_raises(engine):
+    engine.execute_sql("PREPARE dup AS SELECT 1")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute_sql("PREPARE dup AS SELECT 2")
+    engine.execute_sql("DEALLOCATE PREPARE dup")
+
+
+def test_execute_unknown_and_deallocate_all(engine):
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute_sql("EXECUTE nope(1)")
+    engine.execute_sql("PREPARE p1 AS SELECT 1")
+    engine.execute_sql("PREPARE p2 AS SELECT 2")
+    engine.execute_sql("DEALLOCATE ALL")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute_sql("EXECUTE p1")
+
+
+def test_prepared_statement_with_pg_dialect_body(engine):
+    # the stored text goes through the normal dialect path at EXECUTE time
+    engine.execute_sql(
+        "PREPARE rx AS SELECT 'abc' ~ $1 AS m"
+    )
+    assert engine.execute_sql("EXECUTE rx('^a')").fetchall() == [(True,)]
