@@ -124,6 +124,13 @@ def _pg_type_to_ddl(t: str, custom: dict[str, dict] | None = None) -> str:
     if base not in _PG_SCALAR_TYPES:
         raise ValueError(f"unsupported column type: {t!r}")
     return _PG_SCALAR_TYPES[base]
+_COPY_STMT = re.compile(
+    r"^\s*COPY\s+(?:\((?P<q>.+)\)|(?P<tbl>[A-Za-z_]\w*)\s*"
+    r"(?:\((?P<cols>[^)]*)\))?)\s+(?P<dir>FROM|TO)\s+'(?P<path>[^']+)'"
+    r"\s*(?:WITH\s*)?(?:\((?P<opts>[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
@@ -1042,6 +1049,18 @@ class Catalog:
                 self._register(self.tables[name])  # restore on-disk views
             return self.spark.range(0).select(F.lit("ROLLBACK").alias("txn"))
 
+        # COPY (PG CopyStmt, reference parsenodes.h PARENTSTMTTYPE_COPY):
+        # bulk file <-> table transfer. COPY t FROM 'path' reads the file
+        # with the table's declared schema and funnels through the normal
+        # INSERT path (defaults, constraints, txn staging all apply — as
+        # in PG, COPY is just fast INSERT). COPY t/(query) TO 'path'
+        # writes a parquet/csv/json DIRECTORY: on Spark the sink is
+        # partition-parallel by design; a 100 TB export must fan out, so
+        # the single-file contract is deliberately not emulated.
+        m = _COPY_STMT.match(sql)
+        if m:
+            return self._copy(m)
+
         # CREATE INDEX: no-op accept — Spark has no user indexes; parquet
         # min/max + bucketing play the role (SURVEY.md §2.1)
         if re.match(r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\b", sql, re.IGNORECASE):
@@ -1636,6 +1655,72 @@ class Catalog:
                 "CREATE SEQUENCE", "DROP SEQUENCE",
                 "CREATE TYPE", "DROP TYPE",
                 "CREATE FUNCTION", "CREATE OR REPLACE FUNCTION",
-                "DROP FUNCTION",
+                "DROP FUNCTION", "COPY",
             )
         )
+
+    def _copy(self, m: re.Match) -> DataFrame:
+        """Execute a matched COPY statement (see route() for semantics)."""
+        qtext, tname, cols_txt = m.group("q"), m.group("tbl"), m.group("cols")
+        direction = m.group("dir").upper()
+        path = m.group("path")
+        opts: dict[str, str] = {}
+        for part in _split_top_level(m.group("opts") or ""):
+            p = part.strip()
+            if not p:
+                continue
+            kv = p.split(None, 1)
+            opts[kv[0].upper()] = (
+                kv[1].strip().strip("'") if len(kv) > 1 else "true"
+            )
+        fmt = opts.get("FORMAT", "csv").lower()
+        if fmt not in ("csv", "parquet", "json"):
+            raise ValueError(f"COPY: unsupported FORMAT {fmt}")
+        header = opts.get("HEADER", "false").lower() in ("true", "on", "1")
+        delim = opts.get("DELIMITER", ",")
+
+        if direction == "TO":
+            if qtext is not None:
+                out = self.spark.sql(qtext)
+            else:
+                if tname not in self.tables:
+                    raise ValueError(f"COPY: unknown table {tname}")
+                out = self.tables[tname].df()
+                if cols_txt:
+                    out = out.select(
+                        *[c.strip() for c in cols_txt.split(",") if c.strip()]
+                    )
+            writer = out.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                writer = writer.option("header", header).option("sep", delim)
+            writer.save(path)
+            n = out.count()
+            return self.spark.range(1).select(F.lit(n).alias("copied"))
+
+        if tname is None or tname not in self.tables:
+            raise ValueError(f"COPY: unknown table {tname}")
+        table = self.tables[tname]
+        cols = [c.strip() for c in (cols_txt or "").split(",") if c.strip()]
+        reader = self.spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", header).option("sep", delim)
+            # the file carries no types: parse with the DECLARED column
+            # types (PG reads COPY text through each column's input
+            # function for the same reason)
+            fields = [
+                f for f in table.df().schema.fields
+                if not cols or f.name in cols
+            ]
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType(fields))
+        rows = reader.load(path)
+        view = f"__otx_copy_{tname}"
+        rows.createOrReplaceTempView(view)
+        col_list = f" ({', '.join(cols)})" if cols else ""
+        try:
+            return self.route(
+                f"INSERT INTO {tname}{col_list} SELECT * FROM {view}"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)

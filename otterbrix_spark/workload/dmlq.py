@@ -577,3 +577,52 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql("EXECUTE segagg('MACHINERY', 3)")
     eng.sql("DEALLOCATE segagg")
     return eng.sql("SELECT seg, n, bal_cents FROM x05_t")
+
+
+# --- x06: COPY statement (bulk file <-> table) --------------------------------
+# PG CopyStmt (reference parser parsenodes.h PARENTSTMTTYPE_COPY): COPY
+# (query) TO exports through the partition-parallel Spark sink (a
+# DIRECTORY of files — the 100 TB contract; PG's single-file form is
+# deliberately not emulated), and COPY t FROM funnels the files through
+# the normal INSERT path, so declared DEFAULTs and constraints apply to
+# bulk loads exactly as they do in PG. The gate exports a filtered
+# customer slice to CSV, bulk-loads it into a typed table with a
+# DEFAULT-bearing extra column, and reads the table back.
+
+_X06_ORACLE = """
+SELECT c_custkey AS k, c_mktsegment AS seg,
+       CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_cents,
+       'loaded' AS src
+FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+@query(
+    "x06_copy_statement", _X06_ORACLE,
+    doc="COPY (query) TO csv directory + COPY t (cols) FROM: bulk "
+        "export/load through the INSERT path with DEFAULT fill",
+)
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.engine import Engine
+    from otterbrix_spark.workload import scratch_dir
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    out = os.path.join(scratch_dir("x06_copy_"), "export_csv")
+    eng.sql(
+        "COPY (SELECT c_custkey, c_mktsegment, "
+        "             CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_cents "
+        "      FROM customer WHERE c_custkey % 10 = 0) "
+        f"TO '{out}' WITH (FORMAT csv, HEADER)"
+    )
+    eng.sql("DROP TABLE IF EXISTS x06_t")
+    eng.sql(
+        "CREATE TABLE x06_t (k BIGINT, seg STRING, bal_cents BIGINT, "
+        "src STRING DEFAULT 'loaded')"
+    )
+    eng.sql(
+        f"COPY x06_t (k, seg, bal_cents) FROM '{out}' (FORMAT csv, HEADER)"
+    )
+    return eng.sql("SELECT k, seg, bal_cents, src FROM x06_t")

@@ -803,3 +803,49 @@ def test_broken_default_fails_at_create_time(engine):
         engine.execute_sql(
             "CREATE TABLE d5 (k BIGINT, v BIGINT DEFAULT no_such_fn(1))"
         )
+
+
+# --- COPY statement (PG CopyStmt) --------------------------------------------
+
+
+def test_copy_to_from_csv_roundtrip(engine, tmp_path):
+    engine.execute_sql("CREATE TABLE cp_src (k BIGINT, v STRING)")
+    engine.execute_sql(
+        "INSERT INTO cp_src VALUES (1, 'a'), (2, 'has, comma'), (3, NULL)"
+    )
+    engine.execute_sql(
+        f"COPY cp_src TO '{tmp_path}/out' WITH (FORMAT csv, HEADER)"
+    )
+    engine.execute_sql("CREATE TABLE cp_dst (k BIGINT, v STRING)")
+    engine.execute_sql(f"COPY cp_dst FROM '{tmp_path}/out' (FORMAT csv, HEADER)")
+    rows = sorted(engine.execute_sql("SELECT * FROM cp_dst").fetchall())
+    assert rows == [(1, "a"), (2, "has, comma"), (3, None)]
+
+
+def test_copy_query_to_parquet(engine, tmp_path):
+    engine.execute_sql("CREATE TABLE cp_q (k BIGINT, v STRING)")
+    engine.execute_sql("INSERT INTO cp_q VALUES (1, 'x'), (2, 'y')")
+    engine.execute_sql(
+        f"COPY (SELECT k * 10 AS k10 FROM cp_q WHERE k = 2) "
+        f"TO '{tmp_path}/q' (FORMAT parquet)"
+    )
+    assert [tuple(r) for r in
+            engine.spark.read.parquet(f"{tmp_path}/q").collect()] == [(20,)]
+
+
+def test_copy_from_subset_columns_apply_defaults(engine, tmp_path):
+    engine.execute_sql("CREATE TABLE cp_d (k BIGINT, v STRING DEFAULT 'dflt')")
+    engine.execute_sql("CREATE TABLE cp_d_src (k BIGINT)")
+    engine.execute_sql("INSERT INTO cp_d_src VALUES (7)")
+    engine.execute_sql(f"COPY cp_d_src TO '{tmp_path}/k' (FORMAT csv, HEADER)")
+    engine.execute_sql(f"COPY cp_d (k) FROM '{tmp_path}/k' (FORMAT csv, HEADER)")
+    assert engine.execute_sql("SELECT * FROM cp_d").fetchall() == [(7, "dflt")]
+
+
+def test_copy_from_enforces_constraints(engine, tmp_path):
+    engine.execute_sql("CREATE TABLE cp_c_src (k BIGINT)")
+    engine.execute_sql("INSERT INTO cp_c_src VALUES (-1)")
+    engine.execute_sql(f"COPY cp_c_src TO '{tmp_path}/neg' (FORMAT parquet)")
+    engine.execute_sql("CREATE TABLE cp_c (k BIGINT CHECK (k > 0))")
+    with pytest.raises(Exception):
+        engine.execute_sql(f"COPY cp_c FROM '{tmp_path}/neg' (FORMAT parquet)")
