@@ -1498,7 +1498,18 @@ class Catalog:
             name, set_clause, where, returning = m.groups()
             table = self.tables[name]
             cond = F.expr(where) if where else F.lit(True)
-            sets = _resolve_set_targets(_split_set_list(set_clause))
+            set_texts = _split_set_list(set_clause)
+            # PG: SET col = DEFAULT assigns the declared default (or NULL)
+            dfl = self.table_defaults.get(name, {})
+            set_texts = {
+                col: (
+                    dfl.get(col, "NULL")
+                    if expr.strip().upper() == "DEFAULT"
+                    else expr
+                )
+                for col, expr in set_texts.items()
+            }
+            sets = _resolve_set_targets(set_texts)
             if self._txn is not None:
                 base = self._txn.get(name, table.df())
                 new_df, matched = apply_update(base, cond, sets)
@@ -1577,7 +1588,23 @@ class Catalog:
             if mcols:
                 cols = [c.strip() for c in mcols.group(1).split(",")]
                 body = mcols.group(2).strip()
-            if body.upper().startswith("VALUES"):
+            if re.fullmatch(r"DEFAULT\s+VALUES", body, re.IGNORECASE):
+                # PG: INSERT INTO t DEFAULT VALUES — one row, every column
+                # from its declared DEFAULT (or NULL)
+                dfl = self.table_defaults.get(name, {})
+                rows = self.spark.range(1).select(
+                    *[
+                        (
+                            F.expr(dfl[f.name])
+                            if f.name in dfl
+                            else F.lit(None)
+                        ).cast(f.dataType).alias(f.name)
+                        for f in table.df().schema.fields
+                    ]
+                )
+                cols = None
+            elif body.upper().startswith("VALUES"):
+                body = self._fold_values_defaults(name, body, cols)
                 rows = self.spark.sql(f"SELECT * FROM ({body}) ")
                 if not cols and len(rows.columns) < len(table.df().columns):
                     # PG: a short VALUES row list targets the leading
@@ -1658,6 +1685,35 @@ class Catalog:
                 "DROP FUNCTION", "COPY",
             )
         )
+
+    def _fold_values_defaults(
+        self, name: str, body: str, cols: "list[str] | None"
+    ) -> str:
+        """Replace top-level DEFAULT keywords inside VALUES row tuples with
+        the target column's declared default expression (or NULL) — the PG
+        `INSERT ... VALUES (1, DEFAULT)` form, folded as text before Spark
+        parses the VALUES list (Spark has no DEFAULT expression node
+        here)."""
+        if not re.search(r"\bDEFAULT\b", body, re.IGNORECASE):
+            return body
+        targets = cols or [f.name for f in self.tables[name].df().schema.fields]
+        dfl = self.table_defaults.get(name, {})
+        rows_txt = body[len("VALUES"):]
+        out_rows = []
+        for row in _split_top_level(rows_txt):
+            row = row.strip()
+            if not (row.startswith("(") and row.endswith(")")):
+                out_rows.append(row)
+                continue
+            items = _split_top_level(row[1:-1])
+            folded = [
+                dfl.get(targets[i], "NULL")
+                if it.strip().upper() == "DEFAULT" and i < len(targets)
+                else it.strip()
+                for i, it in enumerate(items)
+            ]
+            out_rows.append("(" + ", ".join(folded) + ")")
+        return "VALUES " + ", ".join(out_rows)
 
     def _copy(self, m: re.Match) -> DataFrame:
         """Execute a matched COPY statement (see route() for semantics)."""

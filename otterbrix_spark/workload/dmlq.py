@@ -497,6 +497,8 @@ SELECT c_custkey AS k,
 FROM customer WHERE c_custkey % 3 IN (0, 1)
 UNION ALL
 SELECT -1, 'manual', 100, -5
+UNION ALL
+SELECT -2, 'new', 7, -5
 """
 
 
@@ -527,6 +529,8 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM customer WHERE c_custkey % 3 = 1"
     )
     eng.sql("INSERT INTO x04_t VALUES (-1, 'manual')")
+    # PG DEFAULT keyword inside a VALUES tuple (folded per target column)
+    eng.sql("INSERT INTO x04_t VALUES (-2, DEFAULT, 7, DEFAULT)")
     return eng.sql("SELECT k, status, score, neg FROM x04_t")
 
 

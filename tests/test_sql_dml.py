@@ -849,3 +849,50 @@ def test_copy_from_enforces_constraints(engine, tmp_path):
     engine.execute_sql("CREATE TABLE cp_c (k BIGINT CHECK (k > 0))")
     with pytest.raises(Exception):
         engine.execute_sql(f"COPY cp_c FROM '{tmp_path}/neg' (FORMAT parquet)")
+
+
+# --- DEFAULT keyword forms (INSERT DEFAULT VALUES / VALUES(DEFAULT) / SET) ---
+
+
+def test_insert_default_values_row(engine):
+    engine.execute_sql(
+        "CREATE TABLE dv (k BIGINT DEFAULT 42, v STRING DEFAULT 'x', w BIGINT)"
+    )
+    engine.execute_sql("INSERT INTO dv DEFAULT VALUES")
+    assert engine.execute_sql("SELECT * FROM dv").fetchall() == [(42, "x", None)]
+
+
+def test_insert_default_keyword_in_values(engine):
+    engine.execute_sql(
+        "CREATE TABLE dv2 (k BIGINT, v STRING DEFAULT 'dd', w BIGINT DEFAULT 7)"
+    )
+    engine.execute_sql("INSERT INTO dv2 VALUES (1, DEFAULT, 5), (2, 'y', DEFAULT)")
+    rows = sorted(engine.execute_sql("SELECT * FROM dv2").fetchall())
+    assert rows == [(1, "dd", 5), (2, "y", 7)]
+
+
+def test_insert_default_keyword_with_column_list(engine):
+    engine.execute_sql(
+        "CREATE TABLE dv3 (k BIGINT, v STRING DEFAULT 'z', w BIGINT DEFAULT 9)"
+    )
+    engine.execute_sql("INSERT INTO dv3 (w, k) VALUES (DEFAULT, 3)")
+    assert engine.execute_sql("SELECT * FROM dv3").fetchall() == [(3, "z", 9)]
+
+
+def test_update_set_default(engine):
+    engine.execute_sql(
+        "CREATE TABLE dv4 (k BIGINT, v STRING DEFAULT 'restored', w BIGINT)"
+    )
+    engine.execute_sql("INSERT INTO dv4 VALUES (1, 'changed', 10)")
+    engine.execute_sql("UPDATE dv4 SET v = DEFAULT, w = DEFAULT WHERE k = 1")
+    assert engine.execute_sql("SELECT * FROM dv4").fetchall() == [
+        (1, "restored", None)
+    ]
+
+
+def test_values_string_containing_default_untouched(engine):
+    engine.execute_sql("CREATE TABLE dv5 (k BIGINT, v STRING DEFAULT 'a')")
+    engine.execute_sql("INSERT INTO dv5 VALUES (1, 'use DEFAULT here')")
+    assert engine.execute_sql("SELECT * FROM dv5").fetchall() == [
+        (1, "use DEFAULT here")
+    ]
