@@ -868,3 +868,165 @@ def ivf_quantized_query(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+
+
+# --- product quantization (PQ) ------------------------------------------------
+# The memory-compression leg of the ANN stack (Jégou et al. 2011, the
+# reference's vector-index family: components/index/): vectors are split
+# into n_sub subspaces, each subspace gets its own small codebook
+# (exact-integer k-means — the d13 trainer's arithmetic), and a vector is
+# stored as n_sub one-byte codes. Query-time ranking is the asymmetric
+# distance (ADC): a per-query lookup table of (subspace, code) -> d2 —
+# n_sub*k_codes entries, broadcast — summed over each stored vector's
+# codes, so the scored stream is (vec_id, m, code) integers, never raw
+# vectors. All arithmetic is exact integer (scale-256 quantization,
+# floor-division centroid updates), so an external engine replays
+# training, encoding, and ADC ranking bit-for-bit.
+
+
+def pq_subvectors(e: DataFrame, n_sub: int, sub_dim: int) -> DataFrame:
+    """(vec_id, m, svq, saq, ss): per-subspace quantized slices at the
+    trainer's scales (svq = floor(v*256) slice, saq = svq*256,
+    ss = saq·saq)."""
+    eq = e.withColumn(
+        "vq",
+        F.expr(f"transform(v, x -> CAST(FLOOR(x * {KQ_SCALE}) AS BIGINT))"),
+    )
+    sub = eq.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"),
+                        F.expr(
+                            f"slice(vq, {mi * sub_dim + 1}, {sub_dim})"
+                        ).alias("svq"),
+                    )
+                    for mi in range(n_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.svq")
+    return sub.withColumn(
+        "saq", F.expr(f"transform(svq, x -> x * {KQ_SCALE})")
+    ).withColumn("ss", F.expr(IDOT.format(a="saq", b="saq")))
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vec_id, m); ties -> lowest code. Same
+    min(struct) argmin as _kmeans_exact_assign — only narrow
+    (vec_id, m, code) rows shuffle."""
+    d2 = (
+        F.col("ss")
+        - 2 * F.expr(IDOT.format(a="saq", b="cq"))
+        + F.col("cc")
+    )
+    best = (
+        sub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(d2.alias("d2"), F.col("code").alias("code")).alias("sc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("sc").alias("sc"))
+        .select("vec_id", "m", F.col("sc.code").alias("code"))
+    )
+    return sub.join(best, ["vec_id", "m"])
+
+
+def pq_train_encode(
+    e: DataFrame, n_sub: int = 4, k_codes: int = 8, n_iter: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    Returns ``(codes, codebook)``: codes = (vec_id, m, code) — the stored
+    compressed representation, n_sub small ints per vector; codebook =
+    (m, code, cq, cc) — n_sub * k_codes rows, broadcastable everywhere.
+    Seeds are the k_codes lowest vec_ids' subvectors (identically per
+    subspace); each Lloyd update is the d13 floor-division integer mean.
+    Empty codes drop out and re-home next assignment, as in the trainer.
+    """
+    dim = len(e.select("v").first()["v"])
+    sub_dim = dim // n_sub
+    if sub_dim * n_sub != dim:
+        raise ValueError(f"PQ: dim {dim} not divisible by n_sub {n_sub}")
+    sub = pq_subvectors(e, n_sub, sub_dim).persist()
+    seeds = (
+        sub.select("vec_id").distinct().orderBy("vec_id").limit(k_codes)
+        .withColumn(
+            "code", F.row_number().over(Window.orderBy("vec_id")) - 1
+        )
+    )
+    cb = (
+        sub.join(seeds, "vec_id")
+        .select("m", "code", F.col("saq").alias("cq"))
+        .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
+    )
+    for _ in range(n_iter):
+        a = _pq_assign(sub, cb)
+        cb = (
+            a.select("m", "code", F.posexplode("svq").alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "cval",
+                F.floor(
+                    F.col("sx").cast("double") * KQ_SCALE / F.col("cnt")
+                ).cast("long"),
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cq")
+            )
+            .withColumn("cc", F.expr(IDOT.format(a="cq", b="cq")))
+        )
+    cb = cb.localCheckpoint(eager=True)
+    codes = (
+        _pq_assign(sub, cb)
+        .select("vec_id", "m", "code")
+        .localCheckpoint(eager=True)
+    )
+    sub.unpersist()
+    return codes, cb
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries_sub: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k: (q_id, rank, vec_id, adc).
+
+    The per-query LUT (q_id, m, code, d2) has |queries| * n_sub * k_codes
+    rows — broadcast; stored codes join it on (m, code) and sum to the
+    ADC, so the ranking never touches a raw corpus vector: that is the
+    PQ memory contract (n_sub bytes + one LUT lookup per subspace per
+    candidate at 100 TB scale)."""
+    d2 = (
+        F.col("ss")
+        - 2 * F.expr(IDOT.format(a="saq", b="cq"))
+        + F.col("cc")
+    )
+    lut = (
+        queries_sub.select(F.col("vec_id").alias("q_id"), "m", "saq", "ss")
+        .join(codebook, "m")
+        .select("q_id", "m", "code", d2.alias("d2"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", F.col("adc").cast("long").alias("adc"))
+    )

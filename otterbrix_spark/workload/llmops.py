@@ -3816,3 +3816,119 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rarity_score"),
         )
     )
+
+
+# --- e15: product quantization (PQ) ANN --------------------------------------
+# The compression leg the composed stack (e13) lacks: per-subspace
+# codebooks (exact-integer k-means, one Lloyd iteration from the k_codes
+# lowest vec_ids) encode each vector as n_sub=4 small codes; queries rank
+# by asymmetric distance through a broadcast (subspace, code) -> d2
+# lookup table, never touching raw corpus vectors. The oracle replays
+# training, encoding, and ADC ranking bit-for-bit — the subspace axis is
+# a GROUP KEY (m) in every step, so the SQL is one parameterised pass,
+# not n_sub unrolled copies.
+
+_E15_SUB_DIM = 16
+_E15_N_SUB = 4
+_E15_K_CODES = 8
+
+_E15_ASSIGN = f"""
+  SELECT vec_id, m, svq, saq, ss, code FROM (
+    SELECT sub.vec_id, sub.m, sub.svq, sub.saq, sub.ss, {{c}}.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY sub.vec_id, sub.m
+             ORDER BY sub.ss - 2 * list_dot_product(
+                        list_transform(sub.saq, x -> CAST(x AS DOUBLE)),
+                        list_transform({{c}}.cq, x -> CAST(x AS DOUBLE)))
+                      + {{c}}.cc,
+                      {{c}}.code) AS rn
+    FROM sub JOIN {{c}} ON sub.m = {{c}}.m)
+  WHERE rn = 1
+"""
+
+_E15_ORACLE = (
+    f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n0 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)) AS vq
+  FROM e),
+sub AS (
+  SELECT vec_id, m,
+         list_transform(generate_series(1, {_E15_SUB_DIM}),
+                        i -> vq[m * {_E15_SUB_DIM} + i]) AS svq,
+         list_transform(generate_series(1, {_E15_SUB_DIM}),
+                        i -> vq[m * {_E15_SUB_DIM} + i] * 256) AS saq,
+         list_sum(list_transform(
+           list_transform(generate_series(1, {_E15_SUB_DIM}),
+                          i -> vq[m * {_E15_SUB_DIM} + i] * 256),
+           x -> CAST(x AS DOUBLE) * x)) AS ss
+  FROM n0, UNNEST(generate_series(0, {_E15_N_SUB - 1})) AS t(m)),
+s0 AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM n0 QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {_E15_K_CODES}),
+c0 AS (
+  SELECT sub.m, s0.code, sub.saq AS cq,
+         list_sum(list_transform(sub.saq, x -> CAST(x AS DOUBLE) * x)) AS cc
+  FROM sub JOIN s0 USING (vec_id)),
+a1 AS ("""
+    + _E15_ASSIGN.format(c="c0")
+    + f"""),
+c1 AS (
+  SELECT m, code, list(cval ORDER BY i) AS cq,
+         list_sum(list_transform(list(cval ORDER BY i),
+                                 x -> CAST(x AS DOUBLE) * x)) AS cc
+  FROM (
+    SELECT m, code, i,
+           CAST(FLOOR(CAST(SUM(svq[i]) AS DOUBLE) * 256 / COUNT(*))
+                AS BIGINT) AS cval
+    FROM a1, UNNEST(generate_series(1, {_E15_SUB_DIM})) AS t(i)
+    GROUP BY m, code, i)
+  GROUP BY m, code),
+a2 AS ("""
+    + _E15_ASSIGN.format(c="c1")
+    + """),
+q AS (SELECT vec_id AS q_id, m, saq, ss FROM sub WHERE vec_id < 5),
+lut AS (
+  SELECT q.q_id, c1.m, c1.code,
+         q.ss - 2 * list_dot_product(
+           list_transform(q.saq, x -> CAST(x AS DOUBLE)),
+           list_transform(c1.cq, x -> CAST(x AS DOUBLE)))
+         + c1.cc AS d2
+  FROM q JOIN c1 ON q.m = c1.m),
+sc AS (
+  SELECT lut.q_id, a2.vec_id, SUM(lut.d2) AS adc
+  FROM a2 JOIN lut ON a2.m = lut.m AND a2.code = lut.code
+  WHERE a2.vec_id != lut.q_id
+  GROUP BY 1, 2)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       CAST(adc AS BIGINT) AS adc
+FROM (
+  SELECT q_id, vec_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+  FROM sc)
+WHERE rank <= 10
+"""
+)
+
+
+@query(
+    "e15_product_quantization", _E15_ORACLE,
+    doc="PQ ANN: per-subspace exact-integer codebooks (1 Lloyd iteration), "
+        "4-code encoding, asymmetric-distance top-10 through a broadcast "
+        "LUT — training, encoding and ranking oracle-replayed",
+)
+def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = similarity.prepare(emb)
+    codes, cb = similarity.pq_train_encode(
+        e, n_sub=_E15_N_SUB, k_codes=_E15_K_CODES, n_iter=1
+    )
+    qsub = similarity.pq_subvectors(
+        e.filter(F.col("vec_id") < 5), _E15_N_SUB, _E15_SUB_DIM
+    )
+    out = similarity.pq_adc_topk(codes, cb, qsub, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
