@@ -1212,3 +1212,50 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.filter(F.col("event_type") != "__sentinel__").orderBy(
         "hour_us", "event_type"
     )
+
+
+# --- s19: stateful milestone counter certification -----------------------------
+# A third custom stateful operator: per-user milestone crossings (the
+# event that is the user's 1st / 10th / 100th / 1000th), deterministic
+# under the time-sorted landing contract the other multi-batch gates
+# certify (batches ascend in event time; the fold sorts within a batch by
+# (ts, event_id)). The crossing only emits once, in whichever micro-batch
+# the count passes the threshold — so a correct result REQUIRES state to
+# carry the running count across batches; the >= 3-batch assertion rules
+# out a single-batch collapse. The operator also ships a
+# transformWithState twin (Spark 4 arbitrary-state API) that is
+# availability-gated on google.protobuf — absent in this container —
+# mirrored by a skip-marked test, like the Avro reader.
+
+_S19_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, CAST(rn AS BIGINT) AS milestone, event_id
+FROM r WHERE rn IN (1, 10, 100, 1000)
+"""
+
+
+@query(
+    "s19_milestone_counter", _S19_ORACLE,
+    doc="streaming certification: stateful per-user milestone counter "
+        "across >= 3 micro-batches, hash-matched against the batch "
+        "row_number milestones (applyInPandasWithState; "
+        "transformWithState twin availability-gated)",
+)
+def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.milestones import milestone_stream
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=3)
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    crossings = milestone_stream(stream)
+    name = f"s19_tws_{uuid.uuid4().hex[:8]}"
+    result, n_batches, _stats = run_available_now_counted(
+        crossings, name, timeout_s=240.0, output_mode="append"
+    )
+    if n_batches < 3:
+        raise AssertionError(f"s19 ran only {n_batches} input micro-batches")
+    return result.orderBy("user_id", "milestone")

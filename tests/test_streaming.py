@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
+
 from otterbrix_spark.streaming import (
     events_stream,
     hourly_rollup_stream,
@@ -414,3 +416,62 @@ def test_streaming_anomalies_match_batch_twin(spark, sf_dir):
         ).collect()
     }
     assert got == want and sum(got.values()) > 0
+
+
+# --- milestone operator: applyInPandasWithState + transformWithState twin ----
+
+
+def test_milestone_batch_semantics(spark, tmp_path):
+    """The fold's crossing arithmetic, checked directly on pandas frames."""
+    import pandas as pd
+
+    from otterbrix_spark.operators.milestones import MILESTONES, _crossings
+
+    batch = pd.DataFrame(
+        {"event_id": list(range(100, 125)), "ts": list(range(25))}
+    )
+    # prev=0: crossings at the 1st and 10th rows
+    rows = _crossings(7, batch, 0)
+    assert [(r["milestone"], r["event_id"]) for r in rows] == [
+        (1, 100), (10, 109)]
+    # prev=95: the 100th overall event is this batch's 5th row
+    rows = _crossings(7, batch, 95)
+    assert [(r["milestone"], r["event_id"]) for r in rows] == [(100, 104)]
+    assert MILESTONES == (1, 10, 100, 1000)
+
+
+def test_milestone_tws_twin_matches(spark, sf_dir):
+    """transformWithState twin equals the applyInPandasWithState path.
+
+    Availability-gated like the Avro reader: the TWS Python state server
+    imports google.protobuf, absent in this container; on a stock
+    PySpark 4 + protobuf install this test runs both paths and compares.
+    """
+    from otterbrix_spark.operators.milestones import tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithState needs google.protobuf (not installed)")
+
+    import uuid
+
+    from otterbrix_spark.operators.milestones import (
+        milestone_stream,
+        milestone_stream_tws,
+    )
+    from otterbrix_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    a = run_available_now(
+        milestone_stream(events_stream(spark, sf_dir)),
+        f"ms_a_{uuid.uuid4().hex[:8]}", output_mode="append")
+    b = run_available_now(
+        milestone_stream_tws(events_stream(spark, sf_dir)),
+        f"ms_b_{uuid.uuid4().hex[:8]}", output_mode="append")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
