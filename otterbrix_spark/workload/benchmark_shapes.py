@@ -5209,3 +5209,115 @@ def l14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank_fp").desc(), "node")
         .limit(25)
     )
+
+
+# --- c23: ClickBench Q38 shape — conditional source/destination matrix ------
+# Template (`benchmark/clickbench/queries.sql` Q38): a traffic matrix
+# whose grouping key is CONDITIONAL — Src collapses to '' unless both
+# engine ids are zero — over a five-column composite key, ranked and
+# paged with a deep OFFSET. The conditional key means the groupBy key
+# itself is an expression tree, and correct paging requires a total
+# order (count ties broken by every key column).
+
+_C23_ORACLE = """
+SELECT src_id, eng_id, adv_id, src, dst, CAST(COUNT(*) AS BIGINT) AS pv
+FROM (
+  SELECT user_id % 5 AS src_id,
+         event_id % 4 AS eng_id,
+         event_id % 3 AS adv_id,
+         CASE WHEN event_id % 4 = 0 AND event_id % 3 = 0
+              THEN 'ref-' || CAST(user_id % 11 AS VARCHAR) ELSE '' END AS src,
+         event_type AS dst
+  FROM events WHERE value >= 0.1)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY pv DESC, src_id, eng_id, adv_id, src, dst
+LIMIT 10 OFFSET 100
+"""
+
+
+@query(
+    "c23_conditional_src_dst", _C23_ORACLE,
+    doc="ClickBench Q38 shape: conditional composite grouping key "
+        "(Src collapses unless both engine ids are 0) + deep OFFSET page",
+)
+def c23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 0.1)
+    keyed = ev.select(
+        (F.col("user_id") % 5).alias("src_id"),
+        (F.col("event_id") % 4).alias("eng_id"),
+        (F.col("event_id") % 3).alias("adv_id"),
+        F.when(
+            (F.col("event_id") % 4 == 0) & (F.col("event_id") % 3 == 0),
+            F.concat(F.lit("ref-"), (F.col("user_id") % 11).cast("string")),
+        ).otherwise(F.lit("")).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    return (
+        keyed.groupBy("src_id", "eng_id", "adv_id", "src", "dst")
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .orderBy(
+            F.col("pv").desc(), "src_id", "eng_id", "adv_id", "src", "dst"
+        )
+        .offset(100)
+        .limit(10)
+    )
+
+
+# --- ds39: TPC-DS Q35 shape — AND-of-(EXISTS OR EXISTS) demographics --------
+# Template (`benchmark/tpcds/query35.tpl`): customers who bought in the
+# anchor channel AND show activity in at least one of two secondary
+# channels, profiled by demographic attributes with a stats battery.
+# The distinctive topology is the BOOLEAN COMBINATION of semi-joins —
+# EXISTS(store) AND (EXISTS(web) OR EXISTS(catalog)) — which Spark
+# lowers as one semi-join against the anchor plus one semi-join against
+# the UNION of the two secondary key sets (an OR of EXISTS must not
+# become two stacked semi-joins: that computes AND).
+
+_DS39_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+                AND e.event_type = 'purchase')
+  AND (EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+                 AND e.event_type = 'click')
+       OR EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+                    AND e.event_type = 'view'))
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@query(
+    "ds39_exists_or_exists", _DS39_ORACLE,
+    doc="TPC-DS Q35 shape: EXISTS(anchor) AND (EXISTS OR EXISTS) lowered "
+        "as semi-join + semi-join-against-union, demographic stats battery",
+)
+def ds39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            F.col("user_id").alias("c_custkey")
+        )
+
+    anchor = users("purchase")
+    either = users("click").unionByName(users("view")).distinct()
+    cents = F.floor(F.col("c_acctbal") * 100.0).cast("long")
+    return (
+        cust.join(anchor, "c_custkey", "left_semi")
+        .join(either, "c_custkey", "left_semi")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+            F.sum(cents).alias("sum_cents"),
+        )
+    )
