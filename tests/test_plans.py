@@ -669,6 +669,14 @@ def test_e10_trained_index_partition_pruned(spark, sf_dir):
         "l12_weighted_path",
         "y03_dynamic_schema",
         "s10_streaming_restart",
+        "q86_with_ordinality",
+        "q87_qualify",
+        "q88_named_window",
+        "a04_stats_moments",
+        "t17_idf_rarity",
+        "c23_conditional_src_dst",
+        "ds39_exists_or_exists",
+        "d19_lsh_tuning_eval",
     ],
 )
 def test_round7_shapes_no_nested_loop(spark, sf_dir, name):
@@ -680,6 +688,8 @@ def test_round7_shapes_no_nested_loop(spark, sf_dir, name):
         "ds35_cross_channel_intersect",  # 1-row scalar threshold crossJoin
         "l12_weighted_path",  # 1-row root crossJoin
         "y03_dynamic_schema",  # two 1-row summary aggregates crossJoined
+        "t17_idf_rarity",  # 1-row corpus-count D crossJoin
+        "d19_lsh_tuning_eval",  # 1-row candidate-total crossJoin
     )
 
 
@@ -770,3 +780,29 @@ def test_c20_wide_row_topk(spark, sf_dir):
         assert col in read_schema, col
     # the contains filter is pushed to the scan
     assert "props" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_q87_qualify_lowered_to_window_filter(spark, sf_dir):
+    """QUALIFY must become an ordinary filter above the window — one
+    window exchange per spec, no extra shuffle from the lowering."""
+    plan = plan_of(spark, sf_dir, "q87_qualify")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q88_named_window_single_exchange(spark, sf_dir):
+    """Three functions over ONE named spec: a single window operator over
+    a single hash exchange on the partition key, not one per function."""
+    plan = plan_of(spark, sf_dir, "q88_named_window")
+    inner = plan.split("AdaptiveSparkPlan")[-1]
+    # all three window functions share the (l_orderkey, l_linenumber) sort
+    assert inner.count("Window") <= 2  # operator + its detail block header
+
+
+def test_e15_adc_ranking_is_broadcast_lut(spark, sf_dir):
+    """PQ query-time contract: stored codes join a BROADCAST lookup table
+    on (m, code); no raw-vector join, no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "e15_product_quantization")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
