@@ -112,8 +112,11 @@ _FRONT_WINDOW = [
     "ds38_channel_full_outer", "c22_share_of_group",
     "m06_pair_integrity", "p09_curriculum_phases",
     "sk04_kmv_a_not_b", "w06_exclude_current_row", "t15_vocab_stats",
-    # least-recently-verified regression fills: all r02 survivors (3)
-    "a01_approx_distinct", "q45_promo_revenue", "q47_top_supplier",
+    # closing-session first-timers (replacing the r02 regression fills:
+    # with 70+ never-driver-verified gates in the registry, a window slot
+    # spent re-verifying an r01/r02 gate costs a first-time certification;
+    # the displaced regression re-checks move to the round-8 backlog)
+    "q87_qualify", "a04_stats_moments", "t17_idf_rarity",
 ]
 
 
