@@ -1740,3 +1740,125 @@ def aj05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fwd_gap_us"),
     )
     return ab.join(af, "user_id").orderBy("user_id")
+
+
+# --- g06: LTTB downsampling --------------------------------------------------
+# Largest-Triangle-Three-Buckets (Steinarsson 2013; TimescaleDB's
+# lttb()): per user series, keep first/last, split the interior into 14
+# equal-count buckets, and walking left to right select from each bucket
+# the point forming the largest triangle with the previous selection and
+# the next bucket's centroid. The choice chain is SEQUENTIAL within a
+# series — the class of operator that cannot be one windowed expression —
+# and parallel across series: applyInPandas with an exact-int64 loop
+# (operators/downsample.py). The oracle replays all 14 selection steps as
+# an UNROLLED argmax chain (MAX over a (area, -event_id) struct per
+# step — the same min(struct) idiom the k-means assigner uses), with the
+# centroid division cleared by count multiplication so every comparison
+# is integer-exact.
+
+_G06_NB = 16
+_G06_AREA = (
+    "abs((p.px * a.cm - a.sx) * (i.y - p.py)"
+    " - (p.px - i.x) * (a.sy - p.py * a.cm))"
+)
+
+
+def _g06_steps() -> str:
+    steps = []
+    for b in range(_G06_NB - 2):
+        steps.append(f"""
+s{b + 1} AS (
+  SELECT user_id, r['eid'] AS event_id, r['cx'] AS px, r['cy'] AS py
+  FROM (
+    SELECT i.user_id,
+           MAX({{'area': {_G06_AREA}, 'neg': -i.event_id,
+                'eid': i.event_id, 'cx': i.x, 'cy': i.y}}) AS r
+    FROM interior i
+    JOIN s{b} p USING (user_id)
+    JOIN anch a ON a.user_id = i.user_id AND a.b = {b}
+    WHERE i.b = {b}
+    GROUP BY i.user_id))""")
+    return ",".join(steps)
+
+
+_G06_ORACLE = (
+    f"""
+WITH pts AS (
+  SELECT user_id, event_id,
+         (epoch_us(CAST(ts AS TIMESTAMP))
+          - MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+              OVER (PARTITION BY user_id)) // 1000000 AS x,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS y
+  FROM events),
+o AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY x, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM pts),
+small AS (
+  SELECT user_id, CAST(rn - 1 AS BIGINT) AS sel_seq, event_id, x, y
+  FROM o WHERE n <= {_G06_NB}),
+big AS (SELECT * FROM o WHERE n > {_G06_NB}),
+firstp AS (SELECT user_id, event_id, x, y FROM big WHERE rn = 1),
+lastp AS (SELECT user_id, event_id, x, y FROM big WHERE rn = n),
+interior AS (
+  SELECT user_id, event_id, x, y,
+         ((rn - 2) * {_G06_NB - 2}) // (n - 2) AS b
+  FROM big WHERE rn > 1 AND rn < n),
+anch AS (
+  SELECT user_id, b - 1 AS b, COUNT(*) AS cm,
+         SUM(x) AS sx, SUM(y) AS sy
+  FROM interior WHERE b >= 1 GROUP BY user_id, b
+  UNION ALL
+  SELECT user_id, {_G06_NB - 3} AS b, 1 AS cm, x AS sx, y AS sy
+  FROM lastp),
+s0 AS (SELECT user_id, event_id, x AS px, y AS py FROM firstp),"""
+    + _g06_steps()
+    + f"""
+SELECT user_id, sel_seq, event_id, x, y FROM small
+UNION ALL
+SELECT user_id, CAST(0 AS BIGINT), event_id, x, y FROM firstp
+UNION ALL
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT user_id, CAST({b + 1} AS BIGINT), event_id, px AS x, "
+        f"py AS y FROM s{b + 1}"
+        for b in range(_G06_NB - 2)
+    )
+    + f"""
+UNION ALL
+SELECT user_id, CAST({_G06_NB - 1} AS BIGINT), event_id, x, y FROM lastp
+"""
+)
+
+
+@query(
+    "g06_lttb_downsample", _G06_ORACLE,
+    doc="LTTB downsampling to 16 points per user series: sequential "
+        "per-series triangle-argmax chain (applyInPandas int64 loop) "
+        "vs a 14-step unrolled argmax-chain oracle, integer-exact",
+)
+def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from otterbrix_spark.operators.downsample import lttb
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # integer DIV, never float /: a float quotient one ulp under an exact
+    # integer truncates off-by-one (TESTDATA nanos pitfall class)
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (us - F.min(us).over(Window.partitionBy("user_id"))).alias("dus"),
+        F.floor(F.col("value") * 10000.0).cast("long").alias("y"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr("dus DIV 1000000").alias("x"),
+        "y",
+    )
+    return lttb(
+        pts, "user_id", "x", "y", "event_id", n_buckets=_G06_NB
+    ).select("user_id", "sel_seq", "event_id", "x", "y")

@@ -392,3 +392,36 @@ def test_asof_strict_unsupported_combinations_raise(spark):
             ldf, rdf, key="k", left_ts="t", right_ts="t",
             slice_width=10, allow_exact_matches=False,
         )
+
+
+# --- LTTB downsampling (operators/downsample.py) -----------------------------
+
+
+def test_lttb_small_series_passthrough():
+    import pandas as pd
+
+    from otterbrix_spark.operators.downsample import lttb_select
+
+    pdf = pd.DataFrame({"event_id": [3, 1, 2], "x": [30, 10, 20],
+                        "y": [1, 2, 3]})
+    out = lttb_select(pdf, n_buckets=16)
+    # n <= buckets: every point kept, ordered by (x, event_id)
+    assert out["event_id"].tolist() == [1, 2, 3]
+    assert out["sel_seq"].tolist() == [0, 1, 2]
+
+
+def test_lttb_selects_extremes_and_endpoints():
+    import pandas as pd
+
+    from otterbrix_spark.operators.downsample import lttb_select
+
+    # a spike at x=50 must survive a 4-bucket downsample of a flat series
+    xs = list(range(101))
+    ys = [0] * 101
+    ys[50] = 1000
+    pdf = pd.DataFrame({"event_id": xs, "x": xs, "y": ys})
+    out = lttb_select(pdf, n_buckets=4)
+    assert len(out) == 4
+    assert out["event_id"].iloc[0] == 0  # first endpoint
+    assert out["event_id"].iloc[-1] == 100  # last endpoint
+    assert 50 in out["event_id"].tolist()  # the spike
