@@ -448,3 +448,67 @@ def f03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levels.groupBy(level.alias("level")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# --- f04: conversion-latency distribution ------------------------------------
+# The product-analytics follow-up to the funnel (f01): among converting
+# users (first view -> first later purchase), how long did conversion
+# take — exact interpolated percentiles of the latency in whole seconds,
+# cohorted by user id band. first-touch attribution per user is two
+# conditional MINs in ONE pass over events (no self-join); the
+# percentile family is the a02-certified exact order statistic, safe
+# cross-engine on integer seconds.
+
+_F04_ORACLE = """
+WITH t AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v_us,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p_us
+  FROM events GROUP BY user_id),
+lat AS (
+  SELECT user_id % 4 AS cohort, (p_us - v_us) // 1000000 AS lat_s
+  FROM t WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us > v_us)
+SELECT cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(lat_s, 0.50) AS p50_s,
+       quantile_cont(lat_s, 0.90) AS p90_s,
+       quantile_cont(lat_s, 0.99) AS p99_s
+FROM lat GROUP BY cohort ORDER BY cohort
+"""
+
+
+@query(
+    "f04_conversion_latency", _F04_ORACLE,
+    doc="first-view -> first-purchase conversion latency percentiles per "
+        "cohort: two conditional MINs in one pass, exact order statistics",
+)
+def f04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    t = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    lat = (
+        t.filter(
+            F.col("v_us").isNotNull()
+            & F.col("p_us").isNotNull()
+            & (F.col("p_us") > F.col("v_us"))
+        )
+        .select(
+            (F.col("user_id") % 4).alias("cohort"),
+            F.expr("(p_us - v_us) DIV 1000000").alias("lat_s"),
+        )
+    )
+    return (
+        lat.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.percentile("lat_s", F.lit(0.50)).alias("p50_s"),
+            F.percentile("lat_s", F.lit(0.90)).alias("p90_s"),
+            F.percentile("lat_s", F.lit(0.99)).alias("p99_s"),
+        )
+        .orderBy("cohort")
+    )

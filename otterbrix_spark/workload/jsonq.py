@@ -487,3 +487,60 @@ def j15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM events WHERE props IS NOT NULL "
         "GROUP BY event_type ORDER BY event_type"
     )
+
+
+# --- j16: jsonb_agg (JSON aggregation) ---------------------------------------
+# PG's jsonb_agg / jsonb_object_agg surface: aggregate rows INTO a JSON
+# document. Spark lowering: to_json(collect_list(struct(...))) with an
+# explicit element order (rnk) pinned on both engines — a JSON string is
+# hash-compared verbatim, so serialization must agree byte-for-byte
+# (verified: both engines emit compact {"k":v} with identical escaping
+# for BIGINT + VARCHAR payloads). Per event type, the top-3 users by
+# event count (count desc, user_id tiebreak) packed as
+# [{"rnk":1,"u":...,"n":...}, ...].
+
+_J16_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id),
+r AS (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rnk
+  FROM c)
+SELECT event_type,
+       '[' || string_agg(json_object('rnk', rnk, 'u', user_id,
+                                     'n', n)::VARCHAR,
+                         ',' ORDER BY rnk) || ']' AS top_json
+FROM r WHERE rnk <= 3
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "j16_jsonb_agg", _J16_ORACLE,
+    doc="jsonb_agg lowering: rows aggregated into a JSON array document "
+        "with pinned element order, byte-identical serialization",
+)
+def j16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), "user_id"
+    )
+    r = c.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(F.struct("rnk", F.col("user_id").alias("u"), "n"))
+                )
+            ).alias("top_json")
+        )
+        .orderBy("event_type")
+    )

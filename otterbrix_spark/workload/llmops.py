@@ -3932,3 +3932,144 @@ def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = similarity.pq_adc_topk(codes, cb, qsub, k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- d20: SimHash near-dup PAIRS via pigeonhole bands ------------------------
+# d06 computes the fingerprints; d20 adds the pairing that makes SimHash a
+# dedup operator at scale (Manku et al., WWW 2007 — Google's web-crawl
+# near-dup detector): hamming(a, b) <= 3 on a 16-bit fingerprint implies
+# at least one of 4 disjoint 4-bit bands is IDENTICAL, so candidates come
+# from a band equi-join (hash shuffle, never all-pairs) and only
+# candidates pay the popcount verify. Same band-then-verify scale shape
+# as MinHash LSH (d05), over the orthogonal fingerprint family.
+
+_D20_ORACLE = (
+    "WITH sims AS ("
+    + _simhash_oracle()
+    + """),
+bands AS (
+  SELECT doc_id, b, (simhash >> (4 * b)) & 15 AS bv
+  FROM sims, UNNEST([0, 1, 2, 3]) AS t(b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+SELECT cand.a, cand.b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN sims sa ON sa.doc_id = cand.a
+JOIN sims sb ON sb.doc_id = cand.b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+)
+
+
+@query(
+    "d20_simhash_pairs", _D20_ORACLE,
+    doc="SimHash near-dup pairs: pigeonhole 4x4-bit band equi-join for "
+        "candidates, popcount(xor) <= 3 verify — never all-pairs",
+)
+def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sim = dedup.simhash(docs)
+    bands = sim.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("simhash"), 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.b", "s.bv")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    sb = sim.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# --- t18: vocabulary growth curve (Heaps' law) -------------------------------
+# The corpus-health diagnostic a tokenizer team reads before training:
+# cumulative distinct-token count as the corpus grows in a fixed
+# deterministic order (doc_id). V(d) = tokens whose FIRST occurrence is
+# at or before doc d — so the curve is a first-occurrence aggregation
+# (min doc per token, one map-side-combined groupBy), never a quadratic
+# re-scan per prefix. Reported at 10 corpus-decile checkpoints; a flat
+# curve signals saturated/duplicated text, a Heaps-like power law
+# signals healthy diversity. Exact integers throughout.
+
+_T18_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents WHERE length(text) > 0),
+firsts AS (SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token),
+d AS (SELECT MAX(doc_id) AS max_doc FROM documents),
+grid AS (
+  SELECT k, (k * max_doc) // 10 AS cutoff
+  FROM d, UNNEST(generate_series(1, 10)) AS t(k))
+SELECT CAST(k AS BIGINT) AS decile,
+       CAST(cutoff AS BIGINT) AS cutoff_doc,
+       CAST(COUNT(CASE WHEN first_doc <= cutoff THEN 1 END) AS BIGINT)
+         AS vocab_size
+FROM grid, firsts
+GROUP BY k, cutoff ORDER BY decile
+"""
+
+
+@query(
+    "t18_vocab_growth", _T18_ORACLE,
+    doc="Heaps'-law vocabulary growth at 10 corpus deciles: "
+        "first-occurrence groupBy, never per-prefix rescans",
+)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    )
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    d = docs.agg(F.max("doc_id").alias("max_doc"))
+    grid = (
+        spark.range(1, 11)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(d))
+        .select("k", F.expr("(k * max_doc) DIV 10").alias("cutoff"))
+    )
+    return (
+        firsts.crossJoin(F.broadcast(grid))
+        .groupBy("k", "cutoff")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") <= F.col("cutoff"), 1).otherwise(0)
+            ).cast("long").alias("vocab_size")
+        )
+        .select(
+            F.col("k").cast("long").alias("decile"),
+            F.col("cutoff").cast("long").alias("cutoff_doc"),
+            "vocab_size",
+        )
+        .orderBy("decile")
+    )
