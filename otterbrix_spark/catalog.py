@@ -1091,14 +1091,25 @@ class Catalog:
 
         # ALTER TABLE t ADD COLUMN c type / RENAME COLUMN a TO b / DROP COLUMN c
         m = re.match(
-            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()]+)\s*$",
-            sql, re.IGNORECASE,
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()]+)"
+            r"(?:\s+DEFAULT\s+(.+?))?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
         )
         if m and m.group(1) in self.tables:
-            table = self.tables[m.group(1)]
-            table.add_column(m.group(2), m.group(3))
+            name, col, dtype, dflt = m.groups()
+            table = self.tables[name]
+            if dflt:
+                # PG: ADD COLUMN ... DEFAULT backfills EXISTING rows with
+                # the default and records it for future INSERTs
+                dflt = dflt.strip()
+                table.add_column(
+                    col, dtype, default=F.expr(dflt).cast(dtype)
+                )
+                self.table_defaults.setdefault(name, {})[col] = dflt
+            else:
+                table.add_column(col, dtype)
             self._register(table)
-            return self.spark.range(0).select(F.lit(m.group(2)).alias("added"))
+            return self.spark.range(0).select(F.lit(col).alias("added"))
         m = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
             sql, re.IGNORECASE,

@@ -630,3 +630,49 @@ def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"COPY x06_t (k, seg, bal_cents) FROM '{out}' (FORMAT csv, HEADER)"
     )
     return eng.sql("SELECT k, seg, bal_cents, src FROM x06_t")
+
+
+# --- y04: schema evolution (ALTER ADD COLUMN DEFAULT backfill) ----------------
+# PG's online schema-evolution sequence: rows inserted under schema v1,
+# ALTER TABLE ADD COLUMN ... DEFAULT backfills them AND becomes the
+# default for later inserts, RENAME COLUMN rewrites the projection —
+# reference PHYSICAL_ADD_COLUMN family (operators/dml.py:175). The gate
+# interleaves inserts across three schema versions and reads the final
+# table back.
+
+_Y04_ORACLE = """
+SELECT c_custkey AS k, 'v1' AS phase, CAST(0 AS BIGINT) AS score2
+FROM customer WHERE c_custkey % 4 = 0
+UNION ALL
+SELECT c_custkey, 'v2', 0
+FROM customer WHERE c_custkey % 4 = 1
+UNION ALL
+SELECT c_custkey, 'v3', c_nationkey
+FROM customer WHERE c_custkey % 4 = 2
+"""
+
+
+@query(
+    "y04_schema_evolution", _Y04_ORACLE,
+    doc="ALTER TABLE ADD COLUMN DEFAULT backfill + RENAME COLUMN across "
+        "three interleaved insert phases",
+)
+def y04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS y04_t")
+    eng.sql("CREATE TABLE y04_t (k BIGINT)")
+    eng.sql("INSERT INTO y04_t SELECT c_custkey FROM customer "
+            "WHERE c_custkey % 4 = 0")
+    # v2: phase column, backfilling the v1 rows with 'v1'
+    eng.sql("ALTER TABLE y04_t ADD COLUMN phase STRING DEFAULT 'v1'")
+    eng.sql("INSERT INTO y04_t (k, phase) SELECT c_custkey, 'v2' "
+            "FROM customer WHERE c_custkey % 4 = 1")
+    # v3: score column, zero-backfilled, then fully-specified inserts
+    eng.sql("ALTER TABLE y04_t ADD COLUMN score BIGINT DEFAULT 0")
+    eng.sql("INSERT INTO y04_t SELECT c_custkey, 'v3', c_nationkey "
+            "FROM customer WHERE c_custkey % 4 = 2")
+    eng.sql("ALTER TABLE y04_t RENAME COLUMN score TO score2")
+    return eng.sql("SELECT k, phase, score2 FROM y04_t")

@@ -896,3 +896,23 @@ def test_values_string_containing_default_untouched(engine):
     assert engine.execute_sql("SELECT * FROM dv5").fetchall() == [
         (1, "use DEFAULT here")
     ]
+
+
+def test_alter_add_column_with_default_backfills(engine):
+    engine.execute_sql("CREATE TABLE ac (k BIGINT)")
+    engine.execute_sql("INSERT INTO ac VALUES (1), (2)")
+    engine.execute_sql("ALTER TABLE ac ADD COLUMN v BIGINT DEFAULT 7")
+    # existing rows backfilled
+    assert sorted(engine.execute_sql("SELECT * FROM ac").fetchall()) == [
+        (1, 7), (2, 7)]
+    # future INSERTs that omit the column take the default too
+    engine.execute_sql("INSERT INTO ac (k) VALUES (3)")
+    assert sorted(engine.execute_sql("SELECT * FROM ac").fetchall()) == [
+        (1, 7), (2, 7), (3, 7)]
+
+
+def test_alter_add_column_without_default_nulls(engine):
+    engine.execute_sql("CREATE TABLE ac2 (k BIGINT)")
+    engine.execute_sql("INSERT INTO ac2 VALUES (1)")
+    engine.execute_sql("ALTER TABLE ac2 ADD COLUMN w STRING")
+    assert engine.execute_sql("SELECT * FROM ac2").fetchall() == [(1, None)]
