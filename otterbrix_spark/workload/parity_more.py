@@ -815,3 +815,65 @@ def a04(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark)
     eng.register_corpus(sf_dir)
     return eng.sql(_A04_SQL)
+
+
+# --- r01: Relation API chain (entry point B) ---------------------------------
+# The reference's second client contract — Python relation chaining
+# (`relation_initialize.cpp:49-56`, integration python relation tests) —
+# certified through the driver: a pandas dimension frame enters via
+# from_df, joins the parquet fact relation, and the whole
+# filter -> join -> group -> order -> limit chain runs as ONE lazy Spark
+# plan (each Relation wraps a DataFrame; nothing materialises before the
+# driver's collect). The oracle states the same pipeline declaratively.
+
+_R01_ORACLE = """
+SELECT n.label AS region_label, c_mktsegment AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer
+JOIN (SELECT n_nationkey, 'N' || CAST(n_regionkey AS VARCHAR) AS label
+      FROM nation) n
+  ON c_nationkey = n.n_nationkey
+WHERE c_acctbal > 0
+GROUP BY 1, 2
+ORDER BY n_cust DESC, region_label, seg
+LIMIT 20
+"""
+
+
+@query(
+    "r01_relation_chain", _R01_ORACLE,
+    doc="Relation API (entry point B): from_df pandas dim -> join parquet "
+        "fact -> group/order/limit as one lazy chain",
+)
+def r01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.relation import Relation, from_df
+
+    nat = load_table(spark, sf_dir, "nation")
+    dim_pdf = nat.select("n_nationkey", "n_regionkey").toPandas()
+    dim_pdf["label"] = "N" + dim_pdf["n_regionkey"].astype(str)
+    dim = from_df(dim_pdf[["n_nationkey", "label"]], spark=spark)
+
+    cust = Relation(load_table(spark, sf_dir, "customer"))
+    chain = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
+        .group(
+            [F.col("label").alias("region_label"), F.col("c_mktsegment")],
+            {
+                "n_cust": ("count", "c_custkey"),
+                "bal_cents": F.sum(
+                    F.floor(F.col("c_acctbal") * 100.0).cast("long")
+                ),
+            },
+        )
+        .order(F.col("n_cust").desc(), "region_label", "c_mktsegment")
+        .limit(20)
+    )
+    return chain.df.select(
+        "region_label",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("n_cust").cast("long").alias("n_cust"),
+        "bal_cents",
+    )
