@@ -1862,3 +1862,119 @@ def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb(
         pts, "user_id", "x", "y", "event_id", n_buckets=_G06_NB
     ).select("user_id", "sel_seq", "event_id", "x", "y")
+
+
+# --- sk06: mergeable histogram-quantile sketch -------------------------------
+# Completes the sketch family (KMV distinct sk01/02, set algebra sk03/04,
+# count-min sk05) with the QUANTILE sketch: a fixed 1024-bucket
+# equi-width histogram over quantized order totals. Everything is
+# deterministic integers, so unlike t-digest the external oracle replays
+# it exactly: bucket = (cents - lo) * 1024 / (hi - lo + 1) (integer
+# arithmetic), quantile estimate = left edge of the first bucket whose
+# cumulative count reaches ceil(q * n). MERGEABILITY — the property that
+# makes it a distributed aggregate — is certified structurally: the
+# sketch is built per order-priority shard AND the merged total is
+# derived by summing the shard sketches; the oracle recomputes the
+# merged quantiles from the raw data, so a non-mergeable path could not
+# hash-match.
+
+_SK06_B = 1024
+
+_SK06_ORACLE = f"""
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+bounds AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM v),
+b AS (
+  SELECT o_orderpriority,
+         ((cents - lo) * {_SK06_B}) // (hi - lo + 1) AS bucket
+  FROM v, bounds),
+shard AS (
+  SELECT o_orderpriority, bucket, COUNT(*) AS cnt
+  FROM b GROUP BY o_orderpriority, bucket),
+merged AS (SELECT bucket, SUM(cnt) AS cnt FROM shard GROUP BY bucket),
+cum AS (
+  SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+         (SELECT SUM(cnt) FROM merged) AS n
+  FROM merged),
+q AS (SELECT UNNEST([50, 90, 99]) AS q_pct),
+hit AS (
+  SELECT q_pct, MIN(bucket) AS qbucket
+  FROM cum, q
+  WHERE cum * 100 >= q_pct * n
+  GROUP BY q_pct)
+SELECT CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(qbucket AS BIGINT) AS qbucket,
+       CAST(lo + (qbucket * (hi - lo + 1)) // {_SK06_B} AS BIGINT)
+         AS q_est_cents,
+       (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM shard)
+         AS n_shards_merged
+FROM hit, bounds
+ORDER BY q_pct
+"""
+
+
+@query(
+    "sk06_histogram_quantile", _SK06_ORACLE,
+    doc="mergeable histogram-quantile sketch: per-shard 1024-bucket "
+        "histograms summed into the merged sketch, integer-exact "
+        "quantile edges — the distributed-aggregate property certified",
+)
+def sk06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    bounds = v.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    b = v.crossJoin(F.broadcast(bounds)).select(
+        "o_orderpriority",
+        "lo",
+        "hi",
+        F.expr(f"((cents - lo) * {_SK06_B}) DIV (hi - lo + 1)").alias(
+            "bucket"
+        ),
+    )
+    # per-shard sketches (the state a distributed aggregate would hold)...
+    shard = b.groupBy("o_orderpriority", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # ...merged by bucket-wise summation — the mergeability contract
+    merged = shard.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql import Window
+
+    cum = merged.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket"))
+    ).crossJoin(
+        F.broadcast(merged.agg(F.sum("cnt").alias("n")))
+    )
+    qs = cum.select(
+        "bucket",
+        "cum",
+        "n",
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q_pct"),
+    )
+    hit = (
+        qs.filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+        .groupBy("q_pct")
+        .agg(F.min("bucket").alias("qbucket"))
+    )
+    n_shards = shard.agg(
+        F.countDistinct("o_orderpriority").alias("n_shards_merged")
+    )
+    return (
+        hit.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(n_shards))
+        .select(
+            F.col("q_pct").cast("long"),
+            F.col("qbucket").cast("long"),
+            F.expr(f"lo + (qbucket * (hi - lo + 1)) DIV {_SK06_B}")
+            .cast("long")
+            .alias("q_est_cents"),
+            "n_shards_merged",
+        )
+        .orderBy("q_pct")
+    )
