@@ -877,3 +877,46 @@ def r01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cust").cast("long").alias("n_cust"),
         "bal_cents",
     )
+
+
+# --- w07: time-interval RANGE frames -----------------------------------------
+# The window-frame family's remaining member (w01 rows, w02 numeric
+# range, w03 groups, w06 exclude): RANGE BETWEEN INTERVAL ... PRECEDING
+# over a timestamp ORDER BY — the trailing-hour moving aggregate every
+# monitoring query wants, native in both engines (no gaps-and-islands
+# rewrite). RANGE frames include ORDER-BY peers, so equal timestamps
+# contribute symmetrically on both engines; the checksum folds per-row
+# frame counts into per-type sums, which any peer-handling or boundary
+# divergence breaks.
+
+_W07_SQL = """
+WITH w AS (
+  SELECT event_type,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS n_hour,
+         SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS v_hour
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_hour) AS BIGINT) AS sum_trailing_counts,
+       CAST(SUM(v_hour) AS BIGINT) AS sum_trailing_values
+FROM w GROUP BY event_type
+"""
+
+
+@query(
+    "w07_interval_range_frame", _W07_SQL,
+    doc="RANGE BETWEEN INTERVAL 1 HOUR PRECEDING over timestamp order — "
+        "trailing-window moving aggregates, passthrough on both engines",
+)
+def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(_W07_SQL)
