@@ -1030,3 +1030,67 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", F.col("adc").cast("long").alias("adc"))
     )
+
+
+def ivf_persist_compact(spark, path: str) -> dict:
+    """Fold the tombstone side file into the cell layout — the LSM-style
+    compaction :func:`ivf_persist_delete` defers: rewrite ONLY the cell
+    directories holding tombstoned vectors (Spark's DYNAMIC partition
+    overwrite replaces exactly the partitions present in the written
+    frame), remove directories whose every vector was deleted, then
+    truncate the side file. Cost is O(affected cells), never O(index);
+    the surviving cells' files are not touched (asserted by the e16
+    gate's mtime audit). The kept rows are checkpointed BEFORE the
+    overwrite so the job never reads the directories it is replacing.
+
+    Returns {"cells_rewritten", "ids_removed"} — driver-side metadata
+    scalars only."""
+    import os
+    import shutil
+
+    tomb = path + "_tombstones"
+    if not os.path.exists(tomb):
+        return {"cells_rewritten": 0, "ids_removed": 0}
+    tombs = spark.read.parquet(tomb).select("vec_id").distinct()
+    n_removed = tombs.count()
+    if n_removed == 0:
+        return {"cells_rewritten": 0, "ids_removed": 0}
+    idx = spark.read.parquet(path)
+    affected = [
+        r["cid"]
+        for r in idx.join(tombs, "vec_id", "left_semi")
+        .select("cid")
+        .distinct()
+        .collect()  # O(#cells) metadata scalars
+    ]
+    if affected:
+        keep = (
+            idx.filter(F.col("cid").isin(affected))
+            .join(F.broadcast(tombs), "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        surviving = {
+            r["cid"] for r in keep.select("cid").distinct().collect()
+        }
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                keep.repartition("cid")
+                .write.mode("overwrite")
+                .partitionBy("cid")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for cid in affected:
+            if cid not in surviving:
+                shutil.rmtree(
+                    os.path.join(path, f"cid={cid}"), ignore_errors=True
+                )
+    spark.range(0).select(F.col("id").alias("vec_id")).write.mode(
+        "overwrite"
+    ).parquet(tomb)
+    return {"cells_rewritten": len(affected), "ids_removed": n_removed}

@@ -4073,3 +4073,69 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- e16: IVF compaction (tombstones folded into the cell layout) ------------
+# Completes the persisted-index lifecycle (build e09/e10 -> add e11 ->
+# delete e14 -> COMPACT): the whole cell containing vec_id 0 is
+# tombstoned, compaction rewrites ONLY affected cell directories via
+# dynamic partition overwrite (a fully-emptied cell's directory is
+# REMOVED — the rmtree path), sibling cells' files stay untouched
+# (mtime-audited), and the tombstone side file is truncated. The
+# post-compaction query runs with an EMPTY tombstone set, so a physical
+# remnant of a deleted vector would surface and break the hash. Oracle:
+# trained-IVF replay with the deleted cell excluded from the index side.
+
+_E16_ORACLE = _E14_ORACLE.replace(
+    "idx AS (SELECT vec_id, v, nrm, cid FROM a3 WHERE vec_id % 10 <> 0)",
+    "idx AS (SELECT vec_id, v, nrm, cid FROM a3 "
+    "WHERE cid <> (SELECT cid FROM a3 WHERE vec_id = 0))",
+)
+
+
+@query(
+    "e16_ivf_compaction", _E16_ORACLE,
+    doc="IVF compaction: tombstoned cell physically rewritten/removed via "
+        "dynamic partition overwrite, sibling cells untouched (mtime "
+        "audit), tombstone side file truncated",
+)
+def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.workload import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    scratch = scratch_dir("e16_ivf_")
+    path = os.path.join(scratch, "ivf_index")
+    similarity.ivf_persist_build(corpus, path, n_cells=8, train_iters=2)
+    idx = spark.read.parquet(path)
+    cell0 = idx.filter(F.col("vec_id") == 0).select("cid").collect()[0][0]
+    similarity.ivf_persist_delete(
+        spark, path, idx.filter(F.col("cid") == cell0).select("vec_id")
+    )
+    mtimes = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith("cid=")
+    }
+    stats = similarity.ivf_persist_compact(spark, path)
+    if stats["cells_rewritten"] != 1:
+        raise AssertionError(
+            f"e16: expected exactly 1 affected cell, got {stats}"
+        )
+    if os.path.isdir(os.path.join(path, f"cid={cell0}")):
+        raise AssertionError("e16: fully-emptied cell directory survived")
+    for d, t in mtimes.items():
+        if d != f"cid={cell0}" and os.path.getmtime(
+            os.path.join(path, d)
+        ) != t:
+            raise AssertionError(f"e16: untouched cell {d} was rewritten")
+    if spark.read.parquet(path + "_tombstones").count() != 0:
+        raise AssertionError("e16: tombstone side file not truncated")
+    post = spark.read.parquet(path)
+    if post.filter(F.col("cid") == cell0).count() != 0:
+        raise AssertionError("e16: deleted vectors physically present")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
+    return res.withColumn("rank", F.col("rank").cast("int"))
