@@ -60,6 +60,69 @@ def _lit_text(token: str) -> str:
 # (Mixing an alias reference and a direct window call in one QUALIFY is not
 # supported — the hidden-column form cannot see sibling aliases.)
 
+# --- SIMILAR TO (PG SQL-regex match) -----------------------------------------
+# PG's third pattern-match operator (after LIKE and ~): SQL-regex, where
+# % and _ are the wildcards, | * + ? {} () [] keep their regex meanings,
+# and . ^ $ are LITERALS. Lowered to an anchored RLIKE; the negated form
+# uses Spark's native NOT RLIKE so the LHS never needs re-parsing.
+
+
+def _similar_to_regex(pat: str) -> str:
+    """SQL-regex pattern text -> anchored Java regex."""
+    out, i, depth = [], 0, 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\" and i + 1 < len(pat):  # escaped char: literal
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if depth:
+            out.append(ch)
+            if ch == "]":
+                depth = 0
+        elif ch == "[":
+            depth = 1
+            out.append(ch)
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch in ".^$":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _rewrite_similar_to(body: str, lits: list[str]) -> str:
+    """Rewrite [NOT] SIMILAR TO '<pat>' in string-protected SQL text.
+    Appends converted patterns to ``lits`` as new stashed literals."""
+
+    def sub(m: re.Match) -> str:
+        pat = _lit_text(lits[int(m.group("lit"))])
+        # double the backslashes: Spark's SQL string parser consumes one
+        # level of escaping before the regex engine sees the pattern
+        converted = (
+            "'"
+            + _similar_to_regex(pat)
+            .replace("\\", "\\\\")
+            .replace("'", "''")
+            + "'"
+        )
+        lits.append(converted)
+        tok = f"\x00{len(lits) - 1}\x00"
+        neg = "NOT " if m.group("neg") else ""
+        return f"{neg}RLIKE {tok}"
+
+    return re.sub(
+        r"(?P<neg>NOT\s+)?SIMILAR\s+TO\s+\x00(?P<lit>\d+)\x00",
+        sub,
+        body,
+        flags=re.IGNORECASE,
+    )
+
+
 _QUAL_TOK = re.compile(r"[()]|\b[A-Za-z_][A-Za-z0-9_]*\b")
 _QUAL_TAIL_KWS = {
     "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "FETCH",
@@ -400,6 +463,7 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
         return rewrite_ast(sql)
     body, lits = _protect_strings(sql)
     body = _rewrite_qualify(body)
+    body = _rewrite_similar_to(body, lits)
 
     def lit_at(tok: str) -> str | None:
         m = re.fullmatch("\x00(\\d+)\x00", tok)

@@ -44,6 +44,7 @@ from otterbrix_spark.dialect import (
     _protect_strings,
     _restore_strings,
     _rewrite_qualify,
+    _rewrite_similar_to,
 )
 
 # ---------------------------------------------------------------------------
@@ -481,9 +482,11 @@ def rewrite_ast(sql: str) -> str:
     out = _transform(toks, 0, len(toks)) + tail
     body, lits = _protect_strings(out)
     _guard_residual_subscripts(body)
-    # QUALIFY is a clause-level restructuring, not an operator lowering, so
-    # both dialect modes share the depth-aware scanner in ``dialect``
+    # QUALIFY (clause-level restructuring) and SIMILAR TO (pattern-literal
+    # conversion) are shared with the regex mode — both operate on the
+    # string-protected text, not on operators needing operand folding
     qbody = _rewrite_qualify(body)
+    qbody = _rewrite_similar_to(qbody, lits)
     if qbody is not body:
         out = _restore_strings(qbody, lits)
     return out

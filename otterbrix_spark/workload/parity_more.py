@@ -920,3 +920,46 @@ def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark)
     eng.register_corpus(sf_dir)
     return eng.sql(_W07_SQL)
+
+
+# --- q89: SIMILAR TO (PG SQL-regex) ------------------------------------------
+# PG's third pattern operator: % and _ are wildcards, | + () [] keep
+# regex meaning, and . ^ $ are LITERALS — lowered by the dialect
+# (both modes share dialect._rewrite_similar_to) to an anchored RLIKE.
+# DuckDB's own SIMILAR TO is plain-regex (verified: 'abc' SIMILAR TO
+# 'a%' is FALSE there), so the oracle states the CONVERTED anchored
+# regex explicitly — pinning the documented conversion, not echoing it.
+
+_Q89_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM customer
+WHERE regexp_matches(c_name, '^(?:Customer#.*[13579])$')
+  AND NOT regexp_matches(c_mktsegment, '^(?:(AUTO|BUILD).*)$')
+GROUP BY c_mktsegment
+"""
+
+
+@query(
+    "q89_similar_to", _Q89_ORACLE,
+    doc="[NOT] SIMILAR TO lowering: SQL-regex wildcards + bracket class "
+        "+ alternation, anchored RLIKE on Spark, conversion pinned by an "
+        "explicit-regex oracle",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(
+        "SELECT c_mktsegment, "
+        "       CAST(COUNT(*) AS BIGINT) AS n, "
+        "       CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)"
+        "         AS bal_cents "
+        "FROM customer "
+        "WHERE c_name SIMILAR TO 'Customer#%[13579]' "
+        "  AND c_mktsegment NOT SIMILAR TO '(AUTO|BUILD)%' "
+        "GROUP BY c_mktsegment"
+    )

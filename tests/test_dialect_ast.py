@@ -339,3 +339,37 @@ def test_qualify_executes_on_spark(spark, mode):
     )
     rows = sorted(tuple(r) for r in spark.sql(out).collect())
     assert rows == [(1, 20), (2, 5)]
+
+
+# --- SIMILAR TO lowering ------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_similar_to_lowering(mode):
+    out = rewrite("SELECT a FROM t WHERE x SIMILAR TO 'v1.2%'", mode=mode)
+    assert out == "SELECT a FROM t WHERE x RLIKE '^(?:v1\\\\.2.*)$'"
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_not_similar_to_and_class(mode):
+    out = rewrite(
+        "SELECT a FROM t WHERE x NOT SIMILAR TO '%[%_]end'", mode=mode
+    )
+    assert out == "SELECT a FROM t WHERE x NOT RLIKE '^(?:.*[%_]end)$'"
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_similar_to_in_string_untouched(mode):
+    src = "SELECT 'x SIMILAR TO y' AS s FROM t"
+    assert rewrite(src, mode=mode) == src
+
+
+def test_similar_to_semantics_on_spark(spark):
+    from otterbrix_spark.dialect import rewrite as rw
+
+    rows = spark.sql(
+        rw("SELECT v FROM VALUES ('abc'), ('a.c'), ('axc') t(v) "
+           "WHERE v SIMILAR TO 'a.c'")
+    ).collect()
+    # '.' is a LITERAL in SQL-regex: only the actual dot matches
+    assert [r.v for r in rows] == ["a.c"]
