@@ -1978,3 +1978,79 @@ def sk06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_pct")
     )
+
+
+# --- h05: MVCC time travel (AS OF version reads) -----------------------------
+# SQL:2011 temporal reads over the MVCC layer: every committed version
+# stays addressable (`VersionedTable.as_of`, mvcc.py:98) until vacuumed,
+# so "the table as of version n" is a pointer lookup + parquet read —
+# no log replay. The gate commits three versions (base subset -> price
+# restatement -> low-priority purge), reads ALL THREE back as-of and
+# unions them with version labels; any snapshot bleeding into another
+# (the isolation bug time travel exists to rule out) shifts a phase's
+# counts and fails the hash. Also certifies vacuum retention: after
+# vacuum(keep=2), version 0 is GONE (raises) while 1 and 2 still read.
+
+_H05_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 = 0),
+v1 AS (SELECT o_orderkey, o_orderpriority,
+              cents + 500 AS cents FROM base),
+v2 AS (SELECT * FROM v1 WHERE o_orderpriority <> '5-LOW')
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents FROM base
+UNION ALL
+SELECT 2, COUNT(*), SUM(cents) FROM v1
+UNION ALL
+SELECT 3, COUNT(*), SUM(cents) FROM v2
+"""
+
+
+@query(
+    "h05_mvcc_time_travel", _H05_ORACLE,
+    doc="MVCC time travel: three committed versions all addressable "
+        "AS OF, vacuum retention enforced (the oldest version "
+        "unreadable after vacuum(keep=2), newer two intact)",
+)
+def h05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.operators.mvcc import VersionedTable
+    from otterbrix_spark.workload import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    scratch = scratch_dir("otx-h05-")
+    vt = VersionedTable.create(spark, os.path.join(scratch, "vt"), base)
+    w1 = vt.begin()
+    w1.commit(vt.df().withColumn("cents", F.col("cents") + 500))
+    w2 = vt.begin()
+    w2.commit(vt.df().filter(F.col("o_orderpriority") != "5-LOW"))
+
+    def phase(ver: int) -> DataFrame:
+        return vt.as_of(ver).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select(F.lit(ver).cast("int").alias("version"), "n", "total_cents")
+
+    out = phase(1).unionByName(phase(2)).unionByName(phase(3))
+    out = out.localCheckpoint(eager=True)  # pin BEFORE vacuum drops v1
+
+    removed = vt.vacuum(keep=2)
+    if 1 not in removed:
+        raise AssertionError(f"h05: vacuum(keep=2) kept version 1 ({removed})")
+    try:
+        vt.as_of(1).count()
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("h05: vacuumed version 1 still readable")
+    if vt.as_of(2).count() == 0 or vt.as_of(3).count() == 0:
+        raise AssertionError("h05: retained versions unreadable after vacuum")
+    return out
