@@ -250,19 +250,31 @@ def simhash(
 ) -> DataFrame:
     """Per-document SimHash over the distinct word set.
 
-    Word hash = first 4 hex chars of md5 (16 bits); each bit contributes
+    Word hash = first ceil(bits/4) hex chars of md5 (bits wide, max 60 so
+    the value stays positive in a signed int64); each bit contributes
     ±1 to its position's balance; the sign of the balance sets the output
-    bit (ties -> 0). Returns (id, simhash).
+    bit (ties -> 0). Returns (id, simhash). 16 bits is the d06 legacy
+    width; the PAIRING gate (d20) uses 60 bits — band cardinality, and
+    with it the pigeonhole join's collision rate, scales with width
+    (Manku et al. use 64-bit fingerprints for exactly this reason).
     """
+    if bits > 60:
+        raise ValueError("simhash: bits > 60 overflows a signed int64")
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    hex_chars = (bits + 3) // 4
     wrds = (
         df.select(id_col, text_col)
         .repartition(target, F.col(id_col))  # same single-split guard as shingles()
         .withColumn("_w", F.split(F.col(text_col), WORD_SPLIT))
         .select(F.col(id_col), F.explode("_w").alias("word"))
         .distinct()
-        .withColumn("hv", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long"))
+        .withColumn(
+            "hv",
+            F.conv(
+                F.substring(F.md5("word"), 1, hex_chars), 16, 10
+            ).cast("long"),
+        )
     )
     balance_aggs = [
         F.sum(

@@ -169,15 +169,19 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle(bits: int = 16) -> str:
+    hex_chars = (bits + 3) // 4
     balances = ",\n        ".join(
         f"SUM(((hv >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
     )
-    sim = " + ".join(f"(CASE WHEN s{j} > 0 THEN 1 << {j} ELSE 0 END)" for j in range(bits))
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(bits)
+    )
     return rf"""
 WITH wx AS (SELECT DISTINCT doc_id, word
             FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS word
                   FROM documents)),
-h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS hv FROM wx),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, {hex_chars}))::BIGINT AS hv FROM wx),
 s AS (SELECT doc_id,
         {balances}
       FROM h GROUP BY doc_id)
@@ -3937,18 +3941,22 @@ def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- d20: SimHash near-dup PAIRS via pigeonhole bands ------------------------
 # d06 computes the fingerprints; d20 adds the pairing that makes SimHash a
 # dedup operator at scale (Manku et al., WWW 2007 — Google's web-crawl
-# near-dup detector): hamming(a, b) <= 3 on a 16-bit fingerprint implies
-# at least one of 4 disjoint 4-bit bands is IDENTICAL, so candidates come
-# from a band equi-join (hash shuffle, never all-pairs) and only
-# candidates pay the popcount verify. Same band-then-verify scale shape
-# as MinHash LSH (d05), over the orthogonal fingerprint family.
+# near-dup detector): hamming(a, b) <= 3 implies at least one of 4
+# disjoint bands is IDENTICAL, so candidates come from a band equi-join
+# (hash shuffle, never all-pairs) and only candidates pay the popcount
+# verify. Same band-then-verify scale shape as MinHash LSH (d05), over
+# the orthogonal fingerprint family. The fingerprint here is 60-bit with
+# 15-bit bands — NOT d06's legacy 16 bits: band cardinality bounds the
+# join's collision fan-out (2^15 values/band vs 16), and the first 5x
+# probe of a 4-bit-band draft measured exactly that quadratic blowup —
+# Manku et al. run 64-bit fingerprints for the same reason.
 
 _D20_ORACLE = (
     "WITH sims AS ("
-    + _simhash_oracle()
+    + _simhash_oracle(60)
     + """),
 bands AS (
-  SELECT doc_id, b, (simhash >> (4 * b)) & 15 AS bv
+  SELECT doc_id, b, (simhash >> (15 * b)) & 32767 AS bv
   FROM sims, UNNEST([0, 1, 2, 3]) AS t(b)),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -3971,7 +3979,7 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 )
 def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sim = dedup.simhash(docs)
+    sim = dedup.simhash(docs, bits=60)
     bands = sim.select(
         "doc_id",
         F.explode(
@@ -3979,8 +3987,8 @@ def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("b"),
-                        F.shiftright(F.col("simhash"), 4 * b)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftright(F.col("simhash"), 15 * b)
+                        .bitwiseAND(F.lit(32767))
                         .alias("bv"),
                     )
                     for b in range(4)
