@@ -2002,9 +2002,9 @@ v2 AS (SELECT * FROM v1 WHERE o_orderpriority <> '5-LOW')
 SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(cents) AS BIGINT) AS total_cents FROM base
 UNION ALL
-SELECT 2, COUNT(*), SUM(cents) FROM v1
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v1
 UNION ALL
-SELECT 3, COUNT(*), SUM(cents) FROM v2
+SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v2
 """
 
 
@@ -2054,3 +2054,73 @@ def h05(spark: SparkSession, sf_dir: str) -> DataFrame:
     if vt.as_of(2).count() == 0 or vt.as_of(3).count() == 0:
         raise AssertionError("h05: retained versions unreadable after vacuum")
     return out
+
+
+# g08: OHLC BARS — the candlestick rollup every hypertable/financial
+# pipeline runs (TimescaleDB ohlc()/candlestick_agg; the reference's
+# temporal aggregate family): per (user, day) the first/last observed
+# value by (ts, event_id), the min/max, the volume, and a VWAP.
+# Distributed shape: ONE groupBy with map-side-combinable aggregates —
+# open/close via the min/max(struct) argmin idiom (first/last fold into
+# partial aggregates, so a 100 TB tick table never shuffles raw rows,
+# only one partial bar per (key, bucket, map partition)). Values are
+# quantized integers; VWAP is one double division at the end with
+# identical association on both engines; the (us, event_id) order key is
+# unique, so first/last are deterministic.
+
+_G08_ORACLE = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS qv
+  FROM events)
+SELECT user_id,
+       (us // 86400000000) * 86400000000 AS bucket_us,
+       FIRST(qv ORDER BY us, event_id) AS open_qv,
+       MAX(qv) AS high_qv,
+       MIN(qv) AS low_qv,
+       LAST(qv ORDER BY us, event_id) AS close_qv,
+       CAST(COUNT(*) AS BIGINT) AS volume,
+       CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 10000.0 AS vwap
+FROM p GROUP BY 1, 2
+ORDER BY user_id, bucket_us
+"""
+
+
+@query(
+    "g08_ohlc_bars", _G08_ORACLE,
+    doc="OHLC candlestick bars per (user, day): open/close via "
+        "min/max(struct) argmin — map-side combinable, one shuffle, no "
+        "window over raw ticks; exact-integer OHLC + single-division VWAP",
+)
+def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 10000.0).cast("long").alias("qv"),
+    )
+    b = p.withColumn(
+        "bucket_us", F.expr("us DIV 86400000000") * F.lit(86400000000)
+    )
+    return (
+        b.groupBy("user_id", "bucket_us")
+        .agg(
+            F.min(F.struct("us", "event_id", "qv")).alias("o"),
+            F.max(F.struct("us", "event_id", "qv")).alias("c"),
+            F.max("qv").alias("high_qv"),
+            F.min("qv").alias("low_qv"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum("qv").cast("long").alias("sum_qv"),
+        )
+        .select(
+            "user_id", "bucket_us",
+            F.col("o.qv").alias("open_qv"),
+            "high_qv", "low_qv",
+            F.col("c.qv").alias("close_qv"),
+            "volume",
+            (F.col("sum_qv").cast("double") / F.col("volume") / 10000.0
+             ).alias("vwap"),
+        )
+        .orderBy("user_id", "bucket_us")
+    )
