@@ -2124,3 +2124,233 @@ def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket_us")
     )
+
+
+# g07 (registered after g08; numbering is historical): truncated EWMA —
+# exponentially-weighted moving average with ratio 1/2 over the last
+# K = 8 observations per user. The weight depends on the DISTANCE from
+# the current row, which no ROWS/RANGE frame can express (frames weight
+# every member equally). Scale lowering: each observation is exploded
+# into K (target_rn = rn + d, weight = 2^(K-1-d)) contributions and
+# re-aggregated by (user, target_rn) — K narrow rows per input through
+# ONE shuffle, instead of re-reading a K-row trailing window per output
+# row. Weights are exact powers of two, numerator/denominator exact
+# BIGINTs, the EWMA itself one double division at the end; rows near the
+# partition start naturally renormalize (fewer taps -> smaller
+# denominator) identically on both engines.
+
+_G07_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS qv
+  FROM events),
+r AS (
+  SELECT user_id, us, qv,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS rn
+  FROM p),
+c AS (
+  SELECT user_id, rn + d AS target_rn,
+         qv * (CAST(1 AS BIGINT) << (7 - d)) AS wqv,
+         CAST(1 AS BIGINT) << (7 - d) AS w
+  FROM r, UNNEST(generate_series(0, 7)) AS t(d)),
+a AS (
+  SELECT user_id, target_rn, SUM(wqv) AS num, SUM(w) AS den
+  FROM c GROUP BY 1, 2)
+SELECT r.user_id, CAST(r.rn AS BIGINT) AS rn, r.us,
+       CAST(a.num AS BIGINT) AS num,
+       CAST(a.den AS BIGINT) AS den,
+       CAST(a.num AS DOUBLE) / a.den / 10000.0 AS ewma
+FROM r JOIN a ON r.user_id = a.user_id AND r.rn = a.target_rn
+ORDER BY 1, 2
+"""
+
+
+@query(
+    "g07_ewma_truncated", _G07_ORACLE,
+    doc="truncated EWMA (ratio 1/2, 8 taps): distance-dependent weights "
+        "no window frame expresses, lowered to a K-offset explode + "
+        "re-aggregate — K narrow rows per input, one shuffle, exact "
+        "power-of-two weights",
+)
+def g07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    K = 8
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 10000.0).cast("long").alias("qv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = p.withColumn("rn", F.row_number().over(w)).drop("event_id")
+    c = (
+        r.select(
+            "user_id", "rn", "qv",
+            F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("d"),
+        )
+        .select(
+            "user_id",
+            (F.col("rn") + F.col("d")).alias("target_rn"),
+            (F.col("qv") * F.expr("shiftleft(CAST(1 AS BIGINT), 7 - d)")
+             ).alias("wqv"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), 7 - d)").alias("w"),
+        )
+    )
+    a = (
+        c.groupBy("user_id", "target_rn")
+        .agg(
+            F.sum("wqv").cast("long").alias("num"),
+            F.sum("w").cast("long").alias("den"),
+        )
+        .withColumnRenamed("user_id", "a_user")
+    )
+    return (
+        r.join(
+            a,
+            (F.col("user_id") == F.col("a_user"))
+            & (F.col("rn") == F.col("target_rn")),
+        )
+        .select(
+            "user_id",
+            F.col("rn").cast("long").alias("rn"),
+            "us", "num", "den",
+            (F.col("num").cast("double") / F.col("den") / 10000.0
+             ).alias("ewma"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+# sk07: BLOOM-FILTER SEMI-JOIN — the distributed runtime-filter pattern
+# (what Spark's own spark.sql.optimizer.runtime.bloomFilter.enabled
+# injects, built explicitly so the mechanics are certified): the build
+# side's keys are hashed by k = 4 md5-derived functions into an
+# m = 256-bit array; the probe side passes if ALL k bits are set.
+# Distributed shape: the bit array is a DISTINCT over O(m) positions
+# (bounded by the FILTER size, never the data — the same O(k*dim)
+# driver-state budget as the k-means centroids), broadcast back as a
+# 4-word BIGINT literal; the probe test is pure JVM bit arithmetic —
+# zero shuffle added to the probe side, which is the entire point of a
+# runtime filter at 100 TB. m is deliberately small so false positives
+# actually occur: they are DETERMINISTIC (md5), so the oracle counts
+# the identical FP set; n_false_pos is the collision mass the m/k
+# parameters tune, scored here per priority band next to ground truth.
+
+_SK07_ORACLE = """
+WITH build AS (
+  SELECT DISTINCT c_custkey AS key FROM customer
+  WHERE c_mktsegment = 'BUILDING'),
+js AS (SELECT UNNEST([0, 1, 2, 3]) AS j),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':'
+                             || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+           % 256 AS pos
+  FROM build, js),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders),
+pp AS (
+  SELECT o_orderkey,
+         ('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':'
+                             || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+           % 256 AS pos
+  FROM probe, js),
+hits AS (
+  SELECT o_orderkey, COUNT(*) AS nhit
+  FROM pp JOIN bits USING (pos) GROUP BY 1),
+flags AS (
+  SELECT p.o_orderkey, p.o_orderpriority,
+         COALESCE(h.nhit, 0) = 4 AS bloom_pass,
+         b.key IS NOT NULL AS is_member
+  FROM probe p
+  LEFT JOIN hits h USING (o_orderkey)
+  LEFT JOIN build b ON p.o_custkey = b.key)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM flags GROUP BY 1 ORDER BY 1
+"""
+
+
+def _sk07_pos(j: int, col: F.Column) -> F.Column:
+    """Bloom hash j: md5-derived position in [0, 256)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{j}:"), col.cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(256),
+    )
+
+
+@query(
+    "sk07_bloom_filter_join", _SK07_ORACLE,
+    doc="Bloom-filter runtime semi-join: 256-bit/4-hash filter built "
+        "distributed, broadcast as 4 BIGINT words, probe tested with pure "
+        "JVM bit arithmetic — deterministic false positives scored "
+        "against exact membership",
+)
+def sk07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    # O(m) driver state: the set bit positions (<= 256 ints), never keys.
+    pos_rows = (
+        build.select(_sk07_pos(0, F.col("key")).alias("pos"))
+        .unionByName(build.select(_sk07_pos(1, F.col("key")).alias("pos")))
+        .unionByName(build.select(_sk07_pos(2, F.col("key")).alias("pos")))
+        .unionByName(build.select(_sk07_pos(3, F.col("key")).alias("pos")))
+        .distinct()
+        .collect()
+    )
+    words = [0, 0, 0, 0]
+    for row in pos_rows:
+        words[row.pos // 64] |= 1 << (row.pos % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words_lit = F.array(*[F.lit(w).cast("long") for w in words])
+
+    probe = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+    for j in range(4):
+        probe = probe.withColumn(f"p{j}", _sk07_pos(j, F.col("o_custkey")))
+    test = None
+    for j in range(4):
+        t = (
+            F.element_at(words_lit, (F.col(f"p{j}") / 64).cast("int") + 1)
+            .bitwiseAND(F.expr(f"shiftleft(CAST(1 AS BIGINT), p{j} % 64)"))
+            != 0
+        )
+        test = t if test is None else (test & t)
+    flagged = probe.withColumn("bloom_pass", test).join(
+        F.broadcast(build.withColumn("m", F.lit(1))),
+        F.col("o_custkey") == F.col("key"),
+        "left",
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            .cast("long").alias("n_bloom_pass"),
+            F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_true"),
+            F.sum(
+                F.when(F.col("bloom_pass") & F.col("m").isNull(), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_false_pos"),
+        )
+        .orderBy("o_orderpriority")
+    )
