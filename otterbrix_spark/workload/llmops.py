@@ -4147,3 +4147,67 @@ def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") < 5)
     res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --- e17: Gram matrix (X^T X) --------------------------------------------
+# The covariance/whitening primitive every distributed PCA, ZCA, or
+# linear-probe pipeline starts from: G[i][j] = sum over all vectors of
+# x_i * x_j, here over the first 16 embedding dimensions. The d^2/2
+# products per row ARE the computation; the distributed win is that the
+# shuffle carries only d(d+1)/2 = 136 partial cells per map partition
+# (map-side combine), never the vectors — at 100 TB the reduce side is
+# O(d^2), independent of corpus size. The expansion itself stays inside
+# whole-stage codegen: nested array `transform` lambdas + one `inline`,
+# no Python. Components are quantized to integers (|q| <= 1000, products
+# <= 1e6, sums far below 2^63), so the Gram cells hash bit-exact.
+
+_E17_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding[1:16],
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0)
+                                  AS BIGINT)) AS qv
+  FROM embeddings),
+x AS (
+  SELECT vec_id, i, qv[i] AS qi
+  FROM q, UNNEST(generate_series(1, 16)) AS t(i)),
+p AS (
+  SELECT a.i AS i, b.i AS j, a.qi * b.qi AS p
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i)
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+       CAST(SUM(p) AS BIGINT) AS g
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query(
+    "e17_gram_matrix", _E17_ORACLE,
+    doc="distributed Gram matrix (X^T X over 16 dims): nested transform "
+        "lambdas + inline keep the d^2 expansion in codegen; shuffle "
+        "carries 136 partial cells per partition, never vectors",
+)
+def e17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            F.slice(F.col("embedding"), 1, 16),
+            lambda x: F.floor(x.cast("double") * 1000.0).cast("long"),
+        ).alias("qv")
+    )
+    cells = q.select(
+        F.expr(
+            "inline(flatten(transform(qv, (x, i) -> "
+            "transform(slice(qv, i + 1, 16 - i), (y, k) -> "
+            "struct(i AS i, i + k AS j, x * y AS p)))))"
+        )
+    )
+    return (
+        cells.groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("g"))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "g",
+        )
+        .orderBy("i", "j")
+    )

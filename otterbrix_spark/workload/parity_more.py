@@ -963,3 +963,152 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  AND c_mktsegment NOT SIMILAR TO '(AUTO|BUILD)%' "
         "GROUP BY c_mktsegment"
     )
+
+
+# --- a05: arg_max / arg_min aggregates --------------------------------------
+# PG's DISTINCT ON and DuckDB's arg_max/arg_min answer the same question
+# ("the row that attains the group's extreme") — Spark's native spelling
+# is max_by/min_by. Determinism requires a UNIQUE ordering key, so the
+# gate composes one arithmetically: cents * 1e8 + custkey (a documented
+# tie-break, the same discipline as the t12 mode tie-break). max_by is
+# map-side combinable — at scale this is ONE aggregate shuffle, not a
+# row_number window over the whole table.
+
+_A05_ORACLE = """
+WITH c AS (
+  SELECT c_mktsegment, c_name,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) * 100000000 + c_custkey
+           AS ord,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents
+  FROM customer)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       arg_max(c_name, ord) AS richest,
+       arg_min(c_name, ord) AS poorest,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents
+FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query(
+    "a05_arg_extremes", _A05_ORACLE,
+    doc="max_by/min_by vs arg_max/arg_min: group-extreme row extraction "
+        "as ONE map-side-combinable aggregate (no row_number window), "
+        "unique arithmetic ordering key pins determinism",
+)
+def a05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_mktsegment", "c_name",
+        (F.floor(F.col("c_acctbal") * 100.0).cast("long") * 100000000
+         + F.col("c_custkey")).alias("ord"),
+        F.floor(F.col("c_acctbal") * 100.0).cast("long").alias("cents"),
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max_by("c_name", "ord").alias("richest"),
+            F.min_by("c_name", "ord").alias("poorest"),
+            F.max("cents").alias("max_cents"),
+            F.min("cents").alias("min_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- q90: GROUP BY ALL / ORDER BY ALL ---------------------------------------
+# The analyst-shorthand clauses both engines now support NATIVELY (Spark
+# 3.4+, DuckDB): every non-aggregate select item becomes a grouping key,
+# and the result orders by all output columns left-to-right. The gate
+# runs the IDENTICAL text through the engine facade and DuckDB — the
+# hash match certifies the dialect layer passes the clauses through
+# rather than mangling them, and that both engines resolve ALL to the
+# same key set.
+
+_Q90_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+WHERE l_quantity < 10
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query(
+    "q90_group_order_by_all", _Q90_SQL,
+    doc="GROUP BY ALL + ORDER BY ALL: identical text on both engines; "
+        "certifies dialect passthrough and matching ALL-resolution",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(_Q90_SQL)
+
+
+# --- q91: array higher-order functions --------------------------------------
+# The lambda family (transform / filter / aggregate / exists) is how
+# Spark keeps per-row array work inside codegen instead of exploding;
+# DuckDB's list_* functions are the same surface. The oracle deliberately
+# recomputes the same quantities RELATIONALLY (UNNEST + aggregate) so the
+# match certifies the lambdas' VALUES, not merely that both engines share
+# a function name.
+
+_Q91_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM documents),
+x AS (SELECT doc_id, UNNEST(ws) AS word FROM w),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_words,
+         SUM(CASE WHEN length(word) > 3 THEN 1 ELSE 0 END) AS n_long,
+         SUM(CASE WHEN length(word) > 3 THEN length(word) ELSE 0 END)
+           AS long_chars,
+         MAX(length(word)) AS max_len,
+         BOOL_OR(word = 'the') AS has_the
+  FROM x GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_long AS BIGINT) AS n_long,
+       CAST(long_chars AS BIGINT) AS long_chars,
+       CAST(max_len AS BIGINT) AS max_len,
+       has_the
+FROM agg ORDER BY doc_id
+"""
+
+
+@query(
+    "q91_array_lambdas", _Q91_ORACLE,
+    doc="array higher-order functions (transform/filter/aggregate/exists) "
+        "vs a relational UNNEST oracle: per-row array work stays in "
+        "codegen, values certified not just names",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit("[^ ]+"), 0).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    return (
+        w.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.expr("CAST(size(filter(ws, x -> length(x) > 3)) AS BIGINT)")
+            .alias("n_long"),
+            F.expr(
+                "aggregate(filter(ws, x -> length(x) > 3), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+            ).alias("long_chars"),
+            F.expr(
+                "CAST(array_max(transform(ws, x -> length(x))) AS BIGINT)"
+            ).alias("max_len"),
+            F.expr("exists(ws, x -> x = 'the')").alias("has_the"),
+        )
+        .orderBy("doc_id")
+    )
