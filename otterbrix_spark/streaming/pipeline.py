@@ -40,6 +40,7 @@ class StreamStateStats:
 
     max_rows_total: int
     rows_removed: int
+    rows_dropped_late: int = 0
 
 
 def events_stream(
@@ -185,6 +186,10 @@ def run_available_now_counted(
         rows_removed=sum(
             _state_metric(p, "numRowsRemoved") for p in query.recentProgress
         ),
+        rows_dropped_late=sum(
+            _state_metric(p, "numRowsDroppedByWatermark", default=0)
+            for p in query.recentProgress
+        ),
     )
     return _detach_sink(df.sparkSession, name), n_batches, stats
 
@@ -206,7 +211,7 @@ def _progress_rows(p):  # StreamingQueryProgress: attribute in 4.x, dict in olde
         return p["numInputRows"]
 
 
-def _state_metric(p, metric):
+def _state_metric(p, metric, default=None):
     try:
         ops = p.stateOperators
     except (AttributeError, TypeError):
@@ -216,7 +221,12 @@ def _state_metric(p, metric):
         try:
             total += getattr(op, metric)
         except (AttributeError, TypeError):
-            total += op[metric]
+            try:
+                total += op[metric]
+            except KeyError:
+                if default is None:
+                    raise
+                total += default
     return total
 
 

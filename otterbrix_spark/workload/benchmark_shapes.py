@@ -5321,3 +5321,139 @@ def ds39(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("sum_cents"),
         )
     )
+
+
+# --- c24: regexp_replace with backreferences + global flag ------------------
+# ClickBench's referer-rewrite family (queries.sql Q28/Q29) leans on two
+# cross-engine regex pitfalls this gate pins: (1) backreference SPELLING
+# — Spark/Java wants '$1', DuckDB/RE2 wants '\\1'; (2) replace-ALL
+# semantics — Spark's regexp_replace is global by default, DuckDB's
+# replaces only the FIRST match unless the 'g' option is passed. The
+# oracle states the DuckDB spellings explicitly, so a silent first-match
+# divergence (the second digit run surviving) fails the hash. Pure
+# codegen string expressions; one aggregate shuffle on the masked key.
+
+_C24_ORACLE = r"""
+WITH raw AS (
+  SELECT source || '/' || CAST(doc_id AS VARCHAR) || '/sz'
+           || CAST(n_chars AS VARCHAR) || '/' || lang AS path
+  FROM documents),
+k AS (
+  SELECT regexp_replace(path, '[0-9]+', '#', 'g') AS masked,
+         regexp_replace(path, '^([a-z]+[0-9]*)/([0-9]+)', '\2:\1') AS swapped,
+         path
+  FROM raw)
+SELECT masked,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(length(swapped)) AS BIGINT) AS swapped_chars,
+       MIN(swapped) AS first_swapped
+FROM k GROUP BY masked ORDER BY masked
+"""
+
+
+@query(
+    "c24_regex_replace_backref", _C24_ORACLE,
+    doc="regexp_replace backreference + global-flag parity: Spark '$1' "
+        "global-default vs DuckDB '\\1' with explicit 'g' — both "
+        "divergences pinned by the hash",
+)
+def c24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("/sz"), F.col("n_chars").cast("string"), F.lit("/"),
+        F.col("lang"),
+    )
+    k = docs.select(
+        F.regexp_replace(path, r"[0-9]+", "#").alias("masked"),
+        F.regexp_replace(path, r"^([a-z]+[0-9]*)/([0-9]+)", r"$2:$1")
+        .alias("swapped"),
+    )
+    return (
+        k.groupBy("masked")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("swapped")).cast("long").alias("swapped_chars"),
+            F.min("swapped").alias("first_swapped"),
+        )
+        .orderBy("masked")
+    )
+
+
+# --- ds40: monthly outliers with lag/lead neighbors (TPC-DS Q47) ------------
+# The Q47/Q57 topology: monthly sums per key, each month scored against
+# its YEAR's average (a second, wider window over the same partition),
+# outliers reported WITH their neighboring months via LAG/LEAD — three
+# window passes sharing ONE (key) shuffle because they share the
+# partition key (Catalyst collapses same-partitioning windows into one
+# exchange). The deviation test is cross-multiplied exact integers
+# (s * nm * 100 vs ys * 110/90) — no float division before the filter.
+
+_DS40_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS p,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM orders GROUP BY 1, 2, 3),
+w AS (
+  SELECT p, y, mo, s,
+         SUM(s) OVER (PARTITION BY p, y) AS ys,
+         COUNT(*) OVER (PARTITION BY p, y) AS nm,
+         LAG(s) OVER (PARTITION BY p ORDER BY y, mo) AS prev_s,
+         LEAD(s) OVER (PARTITION BY p ORDER BY y, mo) AS next_s
+  FROM m)
+SELECT p, y, mo, s,
+       CAST(prev_s AS BIGINT) AS prev_s,
+       CAST(next_s AS BIGINT) AS next_s
+FROM w
+WHERE nm = 12
+  AND (s * nm * 100 > ys * 110 OR s * nm * 100 < ys * 90)
+ORDER BY p, y, mo
+"""
+
+
+@query(
+    "ds40_monthly_outlier_neighbors", _DS40_ORACLE,
+    doc="TPC-DS Q47 shape: monthly sums vs year average + LAG/LEAD "
+        "neighbors — same-key windows share one shuffle, deviation test "
+        "in cross-multiplied integers",
+)
+def ds40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("long").alias("s")
+        )
+    )
+    wy = Window.partitionBy("p", "y")
+    wo = Window.partitionBy("p").orderBy("y", "mo")
+    w = m.select(
+        "p", "y", "mo", "s",
+        F.sum("s").over(wy).alias("ys"),
+        F.count(F.lit(1)).over(wy).alias("nm"),
+        F.lag("s").over(wo).alias("prev_s"),
+        F.lead("s").over(wo).alias("next_s"),
+    )
+    return (
+        w.filter(
+            (F.col("nm") == 12)
+            & (
+                (F.col("s") * F.col("nm") * 100 > F.col("ys") * 110)
+                | (F.col("s") * F.col("nm") * 100 < F.col("ys") * 90)
+            )
+        )
+        .select(
+            "p", "y", "mo", "s",
+            F.col("prev_s").cast("long").alias("prev_s"),
+            F.col("next_s").cast("long").alias("next_s"),
+        )
+        .orderBy("p", "y", "mo")
+    )

@@ -1259,3 +1259,100 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_batches < 3:
         raise AssertionError(f"s19 ran only {n_batches} input micro-batches")
     return result.orderBy("user_id", "milestone")
+
+
+# --- s20: late-data DROP certification ----------------------------------------
+# Every other streaming gate certifies the happy path (all input inside
+# the watermark). This one certifies the NEGATIVE path a production
+# pipeline actually relies on: rows arriving later than the watermark
+# allows are DROPPED — not silently aggregated twice, not crashing the
+# query. The landing dir replays the corpus' earliest two hours (with
+# shifted event ids) AFTER the time-sorted slices have advanced the
+# watermark weeks past them; the gate then asserts
+# (1) numRowsDroppedByWatermark summed over ALL progress reports is
+# positive — the drop genuinely fired in the state operator, and
+# (2) the append-mode result still hash-matches the batch rollup over
+# the ORIGINAL corpus — i.e. the replayed rows left no trace. If Spark
+# ever aggregated the late rows, the duplicated early windows would
+# shift the hash; if it never dropped them (e.g. the watermark silently
+# detached), assertion (1) fires.
+
+_S20_ORACLE = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qsum
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_us, event_type
+"""
+
+
+@query(
+    "s20_late_drop",
+    _S20_ORACLE,
+    doc="streaming certification: rows behind the watermark are dropped "
+        "(numRowsDroppedByWatermark > 0 asserted) and the append-mode "
+        "result still equals the batch rollup over the on-time corpus",
+)
+def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=4)
+    out = os.path.join(landing, "events.parquet")
+
+    # Replay the corpus' first two hours with shifted ids, landed with an
+    # mtime AFTER every real slice (but before the sentinels): by the
+    # time the file source reaches it, the watermark sits weeks ahead.
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.agg(F.min(F.col("ts").cast("long"))).collect()[0][0]
+    if lo is not None:
+        late = (
+            ev.filter(F.col("ts").cast("long") < int(lo) + 2 * 3600)
+            .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+        )
+        tmp = os.path.join(landing, "late_replay")
+        late.coalesce(1).write.mode("overwrite").parquet(tmp)
+        files = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if files:
+            dst = os.path.join(out, "part-8000.parquet")
+            shutil.move(files[0], dst)
+            os.utime(dst, (1_750_000_000, 1_750_000_000))
+
+    _append_sentinel_slices(spark, sf_dir, landing, ("__sentinel__",))
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    q = F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+    hourly = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(q).cast("long").alias("qsum"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("hour_us"),
+            "event_type",
+            "n",
+            "qsum",
+        )
+    )
+    name = f"s20_late_{uuid.uuid4().hex[:8]}"
+    result, n_batches, stats = run_available_now_counted(
+        hourly, name, timeout_s=240.0, output_mode="append"
+    )
+    if n_batches < 3:
+        raise AssertionError(f"s20 ran only {n_batches} input micro-batches")
+    if stats.rows_dropped_late <= 0:
+        raise AssertionError(
+            "s20: no rows were dropped by the watermark — the late replay "
+            "was either aggregated (duplicating early windows) or never "
+            "reached the state operator"
+        )
+    return result.filter(F.col("event_type") != "__sentinel__").orderBy(
+        "hour_us", "event_type"
+    )
