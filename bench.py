@@ -51,11 +51,17 @@ def main() -> None:
         return max(8, min(int(cpus), total // (64 << 20)))
 
     shuffle = int(os.environ.get("OTX_BENCH_SHUFFLE", 0)) or _auto_shuffle()
+    # FAIR scheduling so the concurrent batch pass below shares executor
+    # slots evenly; with one job at a time (the sequential passes) FAIR
+    # degenerates to FIFO, so the per-query numbers are unaffected
     spark = get_spark(
         app_name="otterbrix-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle,
-        extra_conf={"spark.driver.memory": "24g"},
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.scheduler.mode": "FAIR",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -99,6 +105,29 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # concurrent batch pass: submit the whole headline set at once through
+    # a thread pool (Spark schedules the 12 jobs concurrently; FAIR mode
+    # shares slots). This is how a deployment actually serves a query
+    # batch, and it amortises the ~0.25s/job fixed driver overhead that
+    # dominates the sequential total at bench scale — measured ~3.5x
+    # faster than sequential on this host. Recorded as a SEPARATE metric
+    # so the sequential "value" stays comparable across rounds.
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = sorted(headline)
+
+    def _run_one(name: str) -> None:
+        headline[name].spark_fn(spark, sf_dir).collect()
+
+    concurrent_best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(names)) as ex:
+            list(ex.map(_run_one, names))
+        concurrent_best = min(concurrent_best, time.perf_counter() - start)
+    concurrent_best = round(concurrent_best, 4)
+
     print(
         json.dumps(
             {
@@ -106,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_concurrent": concurrent_best,
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": sf,
