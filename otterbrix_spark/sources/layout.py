@@ -49,3 +49,46 @@ def colocated_join(
 ) -> DataFrame:
     """Join two same-key bucketed tables — planner elides both shuffles."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def zorder_value(a_col: str, b_col: str, bits: int = 6) -> "Column":
+    """Morton/Z-order interleave of two small-domain integer columns
+    (each in [0, 2^bits)) as a pure-codegen expression — the multi-
+    dimensional clustering key behind Delta OPTIMIZE ZORDER BY and the
+    reference's §2.1 index substitution: sorting by the interleaved key
+    keeps rows close in BOTH dimensions, so per-file min/max zone maps
+    prune rectangle predicates that a single-column sort cannot."""
+    from pyspark.sql import functions as F
+
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(shiftright({a_col}, {i}) & 1) * {1 << (2 * i + 1)}"
+        )
+        terms.append(
+            f"(shiftright({b_col}, {i}) & 1) * {1 << (2 * i)}"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    a_col: str,
+    b_col: str,
+    n_files: int = 32,
+    bits: int = 6,
+) -> None:
+    """Write ``df`` parquet z-ordered on (a_col, b_col): range-partition
+    by the Morton key (a sampled range exchange — NOT a single-partition
+    global sort, so the layout write itself scales), sort within each
+    partition, one file per partition. Readers then prune whole files
+    from parquet min/max statistics on BOTH columns."""
+    zdf = df.withColumn("__z", zorder_value(a_col, b_col, bits))
+    (
+        zdf.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -5457,3 +5457,121 @@ def ds40(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p", "y", "mo")
     )
+
+
+# --- z01: Z-order layout pruning ---------------------------------------------
+# The multi-dimensional clustering claim behind sources/layout.py's
+# write_zordered (Delta OPTIMIZE ZORDER BY; the reference's §2.1 index
+# substitution), made measurable: rows are assigned to 32 equal-size
+# "files" twice — once sorted by the Morton interleave of
+# (custkey%64, order-day%64), once by natural key — and each layout's
+# per-file zone maps (min/max of BOTH dims) are tested against a
+# 16x16 rectangle predicate. The gate returns, per layout, how many
+# files a zone-map reader would scan and how many rows that is; the
+# z-order row must scan FAR fewer (the NTILE formulation here is the
+# oracle-comparable twin of write_zordered's repartitionByRange — same
+# assignment given the same sort key, certified deterministic by the
+# unique o_orderkey tie-break). The Morton key itself is 12 terms of
+# pure integer bit arithmetic, identical text on both engines.
+
+_Z01_ZEXPR_DUCK = (
+    "((a >> 0) & 1) * 2 + ((b >> 0) & 1) * 1 "
+    "+ ((a >> 1) & 1) * 8 + ((b >> 1) & 1) * 4 "
+    "+ ((a >> 2) & 1) * 32 + ((b >> 2) & 1) * 16 "
+    "+ ((a >> 3) & 1) * 128 + ((b >> 3) & 1) * 64 "
+    "+ ((a >> 4) & 1) * 512 + ((b >> 4) & 1) * 256 "
+    "+ ((a >> 5) & 1) * 2048 + ((b >> 5) & 1) * 1024"
+)
+
+_Z01_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         o_custkey % 64 AS a,
+         datediff('day', DATE '1992-01-01', o_orderdate) % 64 AS b
+  FROM orders),
+z AS (
+  SELECT o_orderkey, a, b, {_Z01_ZEXPR_DUCK} AS zv FROM base),
+lay AS (
+  SELECT a, b,
+         NTILE(32) OVER (ORDER BY zv, o_orderkey) AS zbucket,
+         NTILE(32) OVER (ORDER BY o_orderkey) AS lbucket
+  FROM z),
+both_l AS (
+  SELECT 'zorder' AS layout, zbucket AS bucket, a, b FROM lay
+  UNION ALL
+  SELECT 'linear' AS layout, lbucket AS bucket, a, b FROM lay),
+zones AS (
+  SELECT layout, bucket,
+         MIN(a) AS mina, MAX(a) AS maxa,
+         MIN(b) AS minb, MAX(b) AS maxb,
+         SUM(CASE WHEN a BETWEEN 8 AND 23 AND b BETWEEN 16 AND 31
+             THEN 1 ELSE 0 END) AS n_match,
+         COUNT(*) AS n_rows
+  FROM both_l GROUP BY 1, 2)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN mina <= 23 AND maxa >= 8
+                      AND minb <= 31 AND maxb >= 16
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(SUM(CASE WHEN mina <= 23 AND maxa >= 8
+                      AND minb <= 31 AND maxb >= 16
+                THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matching
+FROM zones GROUP BY layout ORDER BY layout
+"""
+
+
+@query(
+    "z01_zorder_pruning", _Z01_ORACLE,
+    doc="Z-order layout vs linear: Morton-interleaved (custkey, day) "
+        "clustering into 32 zone-mapped files, rectangle-predicate "
+        "pruning measured — files/rows a min-max reader skips",
+)
+def z01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.sources.layout import zorder_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 64).alias("a"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 64)
+        .alias("b"),
+    )
+    z = base.withColumn("zv", zorder_value("a", "b", bits=6))
+    lay = z.select(
+        "a", "b",
+        F.ntile(32).over(Window.orderBy("zv", "o_orderkey")).alias("zbucket"),
+        F.ntile(32).over(Window.orderBy("o_orderkey")).alias("lbucket"),
+    )
+    both_l = lay.select(
+        F.lit("zorder").alias("layout"), F.col("zbucket").alias("bucket"),
+        "a", "b",
+    ).unionByName(
+        lay.select(
+            F.lit("linear").alias("layout"), F.col("lbucket").alias("bucket"),
+            "a", "b",
+        )
+    )
+    in_rect = (F.col("a").between(8, 23)) & (F.col("b").between(16, 31))
+    zones = both_l.groupBy("layout", "bucket").agg(
+        F.min("a").alias("mina"), F.max("a").alias("maxa"),
+        F.min("b").alias("minb"), F.max("b").alias("maxb"),
+        F.sum(F.when(in_rect, 1).otherwise(0)).alias("n_match"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    survive = (
+        (F.col("mina") <= 23) & (F.col("maxa") >= 8)
+        & (F.col("minb") <= 31) & (F.col("maxb") >= 16)
+    )
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(survive, 1).otherwise(0)).cast("long")
+            .alias("files_scanned"),
+            F.sum(F.when(survive, F.col("n_rows")).otherwise(0)).cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matching"),
+        )
+        .orderBy("layout")
+    )

@@ -4,6 +4,7 @@ and bucketed-layout co-located joins."""
 from __future__ import annotations
 
 import uuid
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -114,3 +115,56 @@ def test_native_session_window_agrees_with_custom(spark, sf_dir):
     a = sorted((r["user_id"], r["n_events"]) for r in native.collect())
     b = sorted((r["user_id"], r["n_events"]) for r in custom.collect())
     assert a == b
+
+
+def test_zordered_write_prunes_files(spark, sf_dir, tmp_path):
+    """write_zordered's PHYSICAL claim: the parquet files it writes carry
+    min/max footer statistics on both clustered dimensions tight enough
+    that a rectangle predicate prunes most files — and the same data
+    written in natural order does not."""
+    import pyarrow.parquet as pq
+
+    from otterbrix_spark.sources.layout import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 64).alias("a"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 64).alias("b"),
+    )
+    zpath = str(tmp_path / "zord")
+    lpath = str(tmp_path / "linear")
+    write_zordered(orders, zpath, "a", "b", n_files=16)
+    orders.repartitionByRange(16, "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(lpath)
+
+    def files_scanned(path: str) -> tuple[int, int]:
+        scanned = total = 0
+        for f in Path(path).glob("part-*.parquet"):
+            md = pq.read_metadata(f)
+            mina = minb = 1 << 30
+            maxa = maxb = -(1 << 30)
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if name not in ("a", "b") or col.statistics is None:
+                        continue
+                    lo, hi = col.statistics.min, col.statistics.max
+                    if name == "a":
+                        mina, maxa = min(mina, lo), max(maxa, hi)
+                    else:
+                        minb, maxb = min(minb, lo), max(maxb, hi)
+            total += 1
+            if mina <= 23 and maxa >= 8 and minb <= 31 and maxb >= 16:
+                scanned += 1
+        return scanned, total
+
+    z_scanned, z_total = files_scanned(zpath)
+    l_scanned, l_total = files_scanned(lpath)
+    assert z_total >= 8 and l_total >= 8
+    # natural order is uncorrelated with (a, b): every file survives
+    assert l_scanned == l_total
+    # the z-ordered layout must prune at least half the files
+    assert z_scanned * 2 <= z_total, (z_scanned, z_total)
