@@ -197,6 +197,91 @@ def _rewrite_qualify(body: str) -> str:
         body = body[:sel_start] + new + " " + body[pred_end:]
 
 
+_FETCH_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+(ONLY|WITH\s+TIES)",
+    re.IGNORECASE,
+)
+# clause keywords that terminate the backward ORDER-BY scan: hitting one
+# at depth 0 means the FETCH has no owning ORDER BY at this query level
+_FETCH_STOP_KWS = {
+    "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "QUALIFY",
+    "UNION", "INTERSECT", "EXCEPT", "LIMIT", "VALUES",
+}
+
+
+def _rewrite_fetch(body: str) -> str:
+    """Lower SQL-standard FETCH clauses (PG surface Spark doesn't parse;
+    reference grammar components/sql/parser) in string-protected text:
+
+    - ``[OFFSET k ROWS] FETCH FIRST|NEXT [n] ROWS ONLY`` -> ``LIMIT n
+      [OFFSET k]`` (count defaults to 1, as PG).
+    - ``ORDER BY <keys> FETCH FIRST n ROWS WITH TIES`` -> ``QUALIFY
+      RANK() OVER (ORDER BY <keys>) <= n ORDER BY <keys>`` — the
+      standard equivalence (peers of the n-th row share its rank), then
+      the existing QUALIFY pass finishes the lowering. Runs BEFORE
+      ``_rewrite_qualify`` in both dialect modes for exactly that reason.
+    """
+    while True:
+        m = _FETCH_RE.search(body)
+        if m is None:
+            return body
+        n = int(m.group(1) or 1)
+        ties = m.group(2).upper().startswith("WITH")
+        clause_start = m.start()
+        offset = None
+        off_m = re.search(
+            r"\bOFFSET\s+(\d+)\s+(?:ROWS?\s+)?$", body[:clause_start],
+            re.IGNORECASE,
+        )
+        if off_m is not None:
+            offset = int(off_m.group(1))
+            clause_start = off_m.start()
+
+        # owning ORDER BY: scan backward at depth 0; identifiers and
+        # sort modifiers (ASC/DESC/NULLS/...) pass through, any clause
+        # keyword means this FETCH has no ORDER BY of its own
+        order_at = None
+        depth = 0
+        for t in reversed(list(_QUAL_TOK.finditer(body, 0, clause_start))):
+            tx = t.group(0)
+            if tx == ")":
+                depth += 1
+            elif tx == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                kw = tx.upper()
+                if kw == "ORDER":
+                    order_at = t.start()
+                    break
+                if kw in _FETCH_STOP_KWS:
+                    break
+
+        if ties:
+            if offset is not None:
+                raise ValueError(
+                    "FETCH ... WITH TIES combined with OFFSET is not "
+                    "supported"
+                )
+            if order_at is None:
+                raise ValueError("FETCH ... WITH TIES requires ORDER BY")
+            km = re.match(
+                r"ORDER\s+BY\s+", body[order_at:], re.IGNORECASE
+            )
+            keys = body[order_at + km.end():clause_start].strip()
+            new = (
+                f"QUALIFY RANK() OVER (ORDER BY {keys}) <= {n} "
+                f"ORDER BY {keys} "
+            )
+            body = body[:order_at] + new + body[m.end():]
+        else:
+            new = f"LIMIT {n}"
+            if offset is not None:
+                new += f" OFFSET {offset}"
+            body = body[:clause_start] + new + " " + body[m.end():]
+
+
 def _json_path(keys: list[str]) -> str:
     out = "$"
     for k in keys:
@@ -462,6 +547,7 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
 
         return rewrite_ast(sql)
     body, lits = _protect_strings(sql)
+    body = _rewrite_fetch(body)
     body = _rewrite_qualify(body)
     body = _rewrite_similar_to(body, lits)
 

@@ -43,6 +43,7 @@ from otterbrix_spark.dialect import (
     _lit_text,
     _protect_strings,
     _restore_strings,
+    _rewrite_fetch,
     _rewrite_qualify,
     _rewrite_similar_to,
 )
@@ -485,7 +486,8 @@ def rewrite_ast(sql: str) -> str:
     # QUALIFY (clause-level restructuring) and SIMILAR TO (pattern-literal
     # conversion) are shared with the regex mode — both operate on the
     # string-protected text, not on operators needing operand folding
-    qbody = _rewrite_qualify(body)
+    qbody = _rewrite_fetch(body)
+    qbody = _rewrite_qualify(qbody)
     qbody = _rewrite_similar_to(qbody, lits)
     if qbody is not body:
         out = _restore_strings(qbody, lits)

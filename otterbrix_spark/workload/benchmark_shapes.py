@@ -5575,3 +5575,90 @@ def z01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# --- l15: common-neighbor Jaccard (link prediction) -------------------------
+# The classic link-prediction score (LDBC BI's people-similarity family):
+# two users' similarity = Jaccard of their active-HOUR sets. Same scale
+# discipline as the d03 shingle join: candidate pairs come from an
+# equi-join on shared hours with hot hours (>50 active users) df-capped
+# out of PAIRING — the pigeonhole bound on join fan-out — while the
+# Jaccard DENOMINATORS use exact full-set degrees, so capping only
+# (conservatively) under-counts intersections of celebrity-hour pairs,
+# it never corrupts set sizes. The ranking score is an integer DIV
+# cross-multiplication — no float ratio ordering.
+
+_L15_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h FROM events),
+deg AS (SELECT user_id, COUNT(*) AS d FROM ud GROUP BY 1),
+hot AS (SELECT h FROM ud GROUP BY h HAVING COUNT(*) > 50),
+eligible AS (
+  SELECT user_id, h FROM ud WHERE h NOT IN (SELECT h FROM hot)),
+pairs AS (
+  SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS inter
+  FROM eligible a
+  JOIN eligible b ON a.h = b.h AND a.user_id < b.user_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT u1, u2, inter, da.d AS d1, db.d AS d2,
+         (inter * 1000000) // (da.d + db.d - inter) AS score
+  FROM pairs
+  JOIN deg da ON u1 = da.user_id
+  JOIN deg db ON u2 = db.user_id)
+SELECT u1, u2,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(d1 AS BIGINT) AS d1,
+       CAST(d2 AS BIGINT) AS d2,
+       CAST(score AS BIGINT) AS score
+FROM j ORDER BY score DESC, u1, u2 LIMIT 20
+"""
+
+
+@query(
+    "l15_neighbor_jaccard", _L15_ORACLE,
+    doc="link-prediction Jaccard over active-hour sets: df-capped "
+        "co-presence equi-join for candidates, exact full-set degree "
+        "denominators, integer DIV ranking",
+)
+def l15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000")
+        .alias("h"),
+    ).distinct()
+    deg = ud.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+    hot = ud.groupBy("h").agg(F.count(F.lit(1)).alias("nh")).filter(
+        F.col("nh") > 50
+    ).select("h")
+    eligible = ud.join(hot, "h", "left_anti")
+    a = eligible.select(F.col("user_id").alias("u1"), "h")
+    b = eligible.select(F.col("user_id").alias("u2"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.select(F.col("user_id").alias("u1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("user_id").alias("u2"), F.col("d").alias("d2"))
+    j = (
+        pairs.join(da, "u1")
+        .join(db, "u2")
+        .withColumn(
+            "score",
+            F.expr("(inter * 1000000) DIV (d1 + d2 - inter)"),
+        )
+    )
+    return (
+        j.select(
+            "u1", "u2",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("d1").cast("long").alias("d1"),
+            F.col("d2").cast("long").alias("d2"),
+            F.col("score").cast("long").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "u1", "u2")
+        .limit(20)
+    )

@@ -544,3 +544,53 @@ def j16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- j17: VARIANT type ----------------------------------------------------
+# Spark 4's native semi-structured VARIANT type (parse_json ->
+# variant_get), the engine-level answer to the reference's jsonb column
+# family (components/document): unlike get_json_object's per-access
+# string re-parse, VARIANT parses ONCE into a binary-encoded value that
+# every subsequent path access reads directly — the difference between
+# O(accesses x parse) and O(parse + accesses) on a 100 TB props column.
+# The try_* forms make malformed rows NULL instead of failing the scan.
+# Oracle: DuckDB's JSON extraction over the same props strings.
+
+_J17_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM x GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "j17_variant_type", _J17_ORACLE,
+    doc="Spark 4 VARIANT: try_parse_json once into binary-encoded "
+        "variant, typed variant_get path access — no per-access string "
+        "re-parse; DuckDB JSON extraction oracle",
+)
+def j17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.try_variant_get(
+            F.try_parse_json(F.col("props")), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1112,3 +1112,43 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- q92: FETCH FIRST ... WITH TIES ------------------------------------------
+# The SQL-standard top-n clause PG ships and Spark's grammar lacks
+# entirely; the dialect layer lowers ONLY-form to LIMIT/OFFSET and
+# WITH TIES through the standard RANK() equivalence + the existing
+# QUALIFY pass (dialect.py::_rewrite_fetch, shared by both modes).
+# DuckDB doesn't parse WITH TIES either, so the oracle states the
+# RANK() equivalence explicitly — pinning the documented lowering.
+# The tie band (o_orderkey % 50) makes the peers-of-the-nth-row
+# semantics bite: LIMIT 55 would cut a band mid-way, WITH TIES must
+# extend to the full band.
+
+_Q92_ORACLE = """
+SELECT band, o_orderkey, o_orderpriority FROM (
+  SELECT o_orderkey % 50 AS band, o_orderkey, o_orderpriority,
+         RANK() OVER (ORDER BY o_orderkey % 50) AS r
+  FROM orders)
+WHERE r <= 55
+ORDER BY band, o_orderkey
+"""
+
+
+@query(
+    "q92_fetch_with_ties", _Q92_ORACLE,
+    doc="FETCH FIRST n ROWS WITH TIES: dialect lowering via the RANK() "
+        "equivalence + QUALIFY pass, band ties force the peers-extension "
+        "semantics",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(
+        "SELECT o_orderkey % 50 AS band, o_orderkey, o_orderpriority "
+        "FROM orders "
+        "ORDER BY o_orderkey % 50 "
+        "FETCH FIRST 55 ROWS WITH TIES"
+    )

@@ -373,3 +373,52 @@ def test_similar_to_semantics_on_spark(spark):
     ).collect()
     # '.' is a LITERAL in SQL-regex: only the actual dot matches
     assert [r.v for r in rows] == ["a.c"]
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_fetch_only_lowered(mode):
+    out = rewrite(
+        "SELECT a FROM t ORDER BY a FETCH FIRST 5 ROWS ONLY", mode=mode
+    )
+    assert "LIMIT 5" in out and "FETCH" not in out
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_fetch_offset_and_default_count(mode):
+    out = rewrite(
+        "SELECT a FROM t ORDER BY a OFFSET 3 ROWS FETCH NEXT 5 ROWS ONLY",
+        mode=mode,
+    )
+    assert "LIMIT 5 OFFSET 3" in out
+    out = rewrite("SELECT a FROM t FETCH FIRST ROW ONLY", mode=mode)
+    assert "LIMIT 1" in out
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_fetch_with_ties_lowers_through_qualify(mode):
+    out = rewrite(
+        "SELECT a, b FROM t ORDER BY b DESC, a FETCH FIRST 10 ROWS WITH TIES",
+        mode=mode,
+    )
+    assert "RANK() OVER (ORDER BY b DESC, a) <= 10" in out
+    assert out.rstrip().endswith("ORDER BY b DESC, a")
+    assert "FETCH" not in out and "QUALIFY" not in out
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_fetch_with_ties_requires_order_by(mode):
+    with pytest.raises(ValueError, match="WITH TIES"):
+        rewrite("SELECT a FROM t FETCH FIRST 5 ROWS WITH TIES", mode=mode)
+
+
+def test_fetch_with_ties_semantics_on_spark(spark):
+    from otterbrix_spark.dialect import rewrite as rw
+
+    rows = spark.sql(
+        rw(
+            "SELECT v FROM VALUES (1), (1), (2), (2), (3) t(v) "
+            "ORDER BY v FETCH FIRST 3 ROWS WITH TIES"
+        )
+    ).collect()
+    # third row is a peer of the 2-group: both 2s included, the 3 is not
+    assert sorted(r.v for r in rows) == [1, 1, 2, 2]
