@@ -282,6 +282,63 @@ def _rewrite_fetch(body: str) -> str:
             body = body[:clause_start] + new + " " + body[m.end():]
 
 
+_FILTER_OVER_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE)
+
+
+def _rewrite_filter_over(body: str) -> str:
+    """Lower ``agg(args) FILTER (WHERE p) OVER w`` — legal PG/DuckDB,
+    rejected by Spark ("window aggregate function with filter predicate
+    is not supported") — to ``agg(CASE WHEN p THEN args END) OVER w``
+    (``COUNT(*)`` counts ``CASE WHEN p THEN 1 END``). Grouped-aggregate
+    FILTER (no OVER) is left alone: Spark parses that natively."""
+    while True:
+        found = None
+        for m in _FILTER_OVER_RE.finditer(body):
+            depth, i = 1, m.end()
+            while i < len(body) and depth:
+                if body[i] == "(":
+                    depth += 1
+                elif body[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                break  # unbalanced; leave for Spark's parser to report
+            pred = body[m.end():i - 1].strip()
+            if not re.match(r"\s*OVER\b", body[i:], re.IGNORECASE):
+                continue  # grouped-agg FILTER: native
+            j = m.start() - 1
+            while j >= 0 and body[j].isspace():
+                j -= 1
+            if j < 0 or body[j] != ")":
+                continue
+            depth, k = 1, j - 1
+            while k >= 0:
+                if body[k] == ")":
+                    depth += 1
+                elif body[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            args = body[k + 1:j].strip()
+            fm = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$", body[:k])
+            if fm is None:
+                continue
+            found = (fm.start(1), i, fm.group(1), args, pred)
+            break
+        if found is None:
+            return body
+        start, end, fn, args, pred = found
+        if args in ("*", ""):
+            new = f"{fn}(CASE WHEN {pred} THEN 1 END)"
+        else:
+            dm = re.match(r"DISTINCT\s+(.*)$", args, re.IGNORECASE | re.S)
+            inner = dm.group(1) if dm else args
+            kw = "DISTINCT " if dm else ""
+            new = f"{fn}({kw}CASE WHEN {pred} THEN {inner} END)"
+        body = body[:start] + new + body[end:]
+
+
 def _json_path(keys: list[str]) -> str:
     out = "$"
     for k in keys:
@@ -548,6 +605,7 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
         return rewrite_ast(sql)
     body, lits = _protect_strings(sql)
     body = _rewrite_fetch(body)
+    body = _rewrite_filter_over(body)
     body = _rewrite_qualify(body)
     body = _rewrite_similar_to(body, lits)
 

@@ -44,6 +44,7 @@ from otterbrix_spark.dialect import (
     _protect_strings,
     _restore_strings,
     _rewrite_fetch,
+    _rewrite_filter_over,
     _rewrite_qualify,
     _rewrite_similar_to,
 )
@@ -487,6 +488,7 @@ def rewrite_ast(sql: str) -> str:
     # conversion) are shared with the regex mode — both operate on the
     # string-protected text, not on operators needing operand folding
     qbody = _rewrite_fetch(body)
+    qbody = _rewrite_filter_over(qbody)
     qbody = _rewrite_qualify(qbody)
     qbody = _rewrite_similar_to(qbody, lits)
     if qbody is not body:

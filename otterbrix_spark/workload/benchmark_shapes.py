@@ -5662,3 +5662,79 @@ def l15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "u1", "u2")
         .limit(20)
     )
+
+
+# --- ds41: CTE consumed twice (TPC-DS Q64 topology) -------------------------
+# Q64's signature: an expensive multi-join CTE (cross_sales) referenced
+# TWICE in the same query at different filter values (consecutive
+# years), joined to itself on the dimension key. At scale the question
+# is whether the engine recomputes the CTE per reference — Spark inlines
+# CTEs, but because both branches share an identical aggregate subplan
+# up to the year filter, AQE's exchange reuse kicks in where the
+# partitioning matches; either way the self-join shuffles only the
+# AGGREGATED (brand, year) rows, never the fact table twice through the
+# join. Growth predicate in exact integers.
+
+_DS41_ORACLE = """
+WITH cross_sales AS (
+  SELECT p.p_brand AS brand,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS y,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2)
+SELECT c1.brand,
+       c1.cents AS cents_1995, c2.cents AS cents_1996,
+       c1.n AS n_1995, c2.n AS n_1996
+FROM cross_sales c1
+JOIN cross_sales c2 ON c1.brand = c2.brand
+WHERE c1.y = 1995 AND c2.y = 1996
+  AND c2.cents * 100 > c1.cents * 105
+ORDER BY c1.brand
+"""
+
+
+@query(
+    "ds41_cte_reused_selfjoin", _DS41_ORACLE,
+    doc="TPC-DS Q64 topology: multi-join CTE referenced twice, "
+        "year-over-year self-join on the aggregated grain only, integer "
+        "growth predicate",
+)
+def ds41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").cast("long").alias("y"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long").alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    c1 = cs.filter(F.col("y") == 1995).select(
+        "brand",
+        F.col("cents").alias("cents_1995"),
+        F.col("n").alias("n_1995"),
+    )
+    c2 = cs.filter(F.col("y") == 1996).select(
+        F.col("brand").alias("brand2"),
+        F.col("cents").alias("cents_1996"),
+        F.col("n").alias("n_1996"),
+    )
+    return (
+        c1.join(c2, F.col("brand") == F.col("brand2"))
+        .filter(F.col("cents_1996") * 100 > F.col("cents_1995") * 105)
+        .select(
+            "brand", "cents_1995", "cents_1996", "n_1995", "n_1996",
+        )
+        .orderBy("brand")
+    )

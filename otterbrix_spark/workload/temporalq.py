@@ -2354,3 +2354,61 @@ def sk07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# w08: FILTER clause on WINDOW aggregates — legal PG (and DuckDB runs it
+# natively in the oracle below), but Spark's planner refuses it
+# outright ("window aggregate function with filter predicate is not
+# supported"); the dialect layer lowers it to the CASE-WHEN form in both
+# modes (dialect.py::_rewrite_filter_over). The gate is the running
+# conditional sum every funnel/billing pipeline writes: per user, the
+# cumulative count and sum of HIGH-value events over an ordered frame —
+# with the empty-filtered-prefix NULL/0 semantics (SUM NULL, COUNT 0)
+# matching across engines by construction of the lowering.
+
+_W08_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 10000.0) AS BIGINT) AS qv, value
+  FROM events)
+SELECT user_id, event_id,
+       CAST(COUNT(*) FILTER (WHERE value > 50.0) OVER (
+              PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_hot,
+       CAST(SUM(qv) FILTER (WHERE value > 50.0) OVER (
+              PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_hot
+FROM p ORDER BY user_id, event_id
+"""
+
+
+@query(
+    "w08_filter_over_window", _W08_ORACLE,
+    doc="FILTER (WHERE ...) on window aggregates: Spark refuses it, the "
+        "dialect lowers to CASE WHEN in both modes; running conditional "
+        "count/sum vs DuckDB's native window FILTER",
+)
+def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "otx_events_w08"
+    )
+    return eng.sql(
+        "SELECT user_id, event_id, "
+        "  CAST(COUNT(*) FILTER (WHERE value > 50.0) OVER ("
+        "         PARTITION BY user_id "
+        "         ORDER BY unix_micros(CAST(ts AS TIMESTAMP)), event_id "
+        "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "       AS BIGINT) AS n_hot, "
+        "  CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) "
+        "         FILTER (WHERE value > 50.0) OVER ("
+        "         PARTITION BY user_id "
+        "         ORDER BY unix_micros(CAST(ts AS TIMESTAMP)), event_id "
+        "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        "       AS BIGINT) AS cum_hot "
+        "FROM otx_events_w08 ORDER BY user_id, event_id"
+    )

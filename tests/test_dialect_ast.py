@@ -422,3 +422,36 @@ def test_fetch_with_ties_semantics_on_spark(spark):
     ).collect()
     # third row is a peer of the 2-group: both 2s included, the 3 is not
     assert sorted(r.v for r in rows) == [1, 1, 2, 2]
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_filter_over_window_lowered(mode):
+    out = rewrite(
+        "SELECT SUM(x) FILTER (WHERE x > 0) OVER (PARTITION BY k) AS s, "
+        "COUNT(*) FILTER (WHERE x < 0) OVER (PARTITION BY k) AS n FROM t",
+        mode=mode,
+    )
+    assert "SUM(CASE WHEN x > 0 THEN x END) OVER" in out
+    assert "COUNT(CASE WHEN x < 0 THEN 1 END) OVER" in out
+    assert "FILTER" not in out
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_filter_grouped_agg_untouched(mode):
+    src = "SELECT COUNT(*) FILTER (WHERE x > 2) AS g FROM t GROUP BY k"
+    assert rewrite(src, mode=mode) == src
+
+
+def test_filter_over_window_semantics_on_spark(spark):
+    from otterbrix_spark.dialect import rewrite as rw
+
+    rows = spark.sql(
+        rw(
+            "SELECT k, SUM(x) FILTER (WHERE x > 0) "
+            "OVER (PARTITION BY k) AS s "
+            "FROM VALUES (1, 10), (1, -5), (2, -7) t(k, x)"
+        )
+    ).collect()
+    got = {(r.k, r.s) for r in rows}
+    # k=2 has no positive x: SUM over the empty filtered set is NULL
+    assert got == {(1, 10), (2, None)}
