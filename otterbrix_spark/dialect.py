@@ -282,6 +282,118 @@ def _rewrite_fetch(body: str) -> str:
             body = body[:clause_start] + new + " " + body[m.end():]
 
 
+_ORDERED_AGG_RE = re.compile(r"\b(string_agg|array_agg)\s*\(", re.IGNORECASE)
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _rewrite_ordered_agg(body: str) -> str:
+    """Lower PG's inline ordered-aggregate syntax, which Spark's grammar
+    rejects outright:
+
+    - ``string_agg(x, sep ORDER BY keys)`` -> ``listagg(x, sep) WITHIN
+      GROUP (ORDER BY keys)`` (Spark 4 parses the standard form).
+    - ``array_agg(x ORDER BY x [DESC])`` -> ``sort_array(collect_list(x)
+      [, false])``; with DISTINCT, ``collect_set``.
+    - ``array_agg(v ORDER BY k1, ...)`` (keys != the expression) ->
+      struct-sort: ``transform(sort_array(collect_list(struct(k1 AS
+      __otx_k0, ..., v AS __otx_v))), s -> s.__otx_v)`` — mixed ASC/DESC
+      keys raise (struct sort is all-ascending or all-descending).
+    """
+    while True:
+        found = None
+        for m in _ORDERED_AGG_RE.finditer(body):
+            fn = m.group(1).lower()
+            depth, i = 1, m.end()
+            while i < len(body) and depth:
+                if body[i] == "(":
+                    depth += 1
+                elif body[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                break
+            inner = body[m.end():i - 1]
+            ob = None
+            d = 0
+            for t in re.finditer(r"[()]|\bORDER\b", inner, re.IGNORECASE):
+                tx = t.group(0)
+                if tx == "(":
+                    d += 1
+                elif tx == ")":
+                    d -= 1
+                elif d == 0:
+                    ob = t.start()
+                    break
+            if ob is None:
+                continue
+            pre = inner[:ob].strip()
+            km = re.match(
+                r"ORDER\s+BY\s+(.*)$", inner[ob:], re.IGNORECASE | re.S
+            )
+            found = (m.start(), i, fn, pre, km.group(1).strip())
+            break
+        if found is None:
+            return body
+        start, end, fn, pre, keys = found
+        if fn == "string_agg":
+            new = f"listagg({pre}) WITHIN GROUP (ORDER BY {keys})"
+        else:
+            keyparts = [
+                k.strip() for k in _split_top_level_commas(keys)
+            ]
+            desc_flags = [
+                bool(re.search(r"\bDESC\s*$", k, re.IGNORECASE))
+                for k in keyparts
+            ]
+            stripped = [
+                re.sub(r"\s+(ASC|DESC)\s*$", "", k, flags=re.IGNORECASE)
+                .strip()
+                for k in keyparts
+            ]
+            desc_arg = ", false" if desc_flags and all(desc_flags) else ""
+            if any(desc_flags) and not all(desc_flags):
+                raise ValueError(
+                    "array_agg ORDER BY with mixed ASC/DESC keys is not "
+                    "supported (struct sort is single-direction)"
+                )
+            dm = re.match(r"DISTINCT\s+(.*)$", pre, re.IGNORECASE | re.S)
+            if dm is not None:
+                expr = dm.group(1).strip()
+                if len(stripped) != 1 or stripped[0] != expr:
+                    raise ValueError(
+                        "array_agg(DISTINCT x ORDER BY y) requires the "
+                        "ORDER BY key to be the aggregated expression "
+                        "(as PG)"
+                    )
+                new = f"sort_array(collect_set({expr}){desc_arg})"
+            elif len(stripped) == 1 and stripped[0] == pre:
+                new = f"sort_array(collect_list({pre}){desc_arg})"
+            else:
+                fields = ", ".join(
+                    f"{k} AS __otx_k{n}" for n, k in enumerate(stripped)
+                )
+                new = (
+                    f"transform(sort_array(collect_list(struct({fields}, "
+                    f"{pre} AS __otx_v)){desc_arg}), s -> s.__otx_v)"
+                )
+        body = body[:start] + new + body[end:]
+
+
 _FILTER_OVER_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE)
 
 
@@ -606,6 +718,7 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
     body, lits = _protect_strings(sql)
     body = _rewrite_fetch(body)
     body = _rewrite_filter_over(body)
+    body = _rewrite_ordered_agg(body)
     body = _rewrite_qualify(body)
     body = _rewrite_similar_to(body, lits)
 

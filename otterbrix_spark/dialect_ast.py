@@ -45,6 +45,7 @@ from otterbrix_spark.dialect import (
     _restore_strings,
     _rewrite_fetch,
     _rewrite_filter_over,
+    _rewrite_ordered_agg,
     _rewrite_qualify,
     _rewrite_similar_to,
 )
@@ -489,6 +490,7 @@ def rewrite_ast(sql: str) -> str:
     # string-protected text, not on operators needing operand folding
     qbody = _rewrite_fetch(body)
     qbody = _rewrite_filter_over(qbody)
+    qbody = _rewrite_ordered_agg(qbody)
     qbody = _rewrite_qualify(qbody)
     qbody = _rewrite_similar_to(qbody, lits)
     if qbody is not body:

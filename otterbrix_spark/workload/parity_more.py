@@ -1152,3 +1152,49 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY o_orderkey % 50 "
         "FETCH FIRST 55 ROWS WITH TIES"
     )
+
+
+# --- q93: ordered aggregates (PG inline ORDER BY) ---------------------------
+# PG's `agg(x [, sep] ORDER BY keys)` syntax, which Spark's grammar
+# rejects at parse time. The dialect lowers (both modes,
+# dialect.py::_rewrite_ordered_agg): string_agg -> the SQL-standard
+# listagg ... WITHIN GROUP Spark 4 parses natively; array_agg ->
+# sort_array(collect_list/-set) when ordered by itself, and the
+# struct-sort transform for foreign sort keys. Arrays are serialized to
+# strings in BOTH engines so the certified artifact is the exact element
+# ORDER, not a container type's hash. DuckDB runs its native inline
+# ORDER BY forms.
+
+_Q93_ORACLE = """
+SELECT c_mktsegment,
+       string_agg(c_name, '|' ORDER BY c_name DESC) AS names_desc,
+       array_to_string(list(c_custkey ORDER BY c_acctbal, c_custkey), ',')
+         AS keys_by_bal,
+       array_to_string(list(DISTINCT c_nationkey ORDER BY c_nationkey), ',')
+         AS nations
+FROM customer WHERE c_custkey % 10 = 0
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query(
+    "q93_ordered_aggs", _Q93_ORACLE,
+    doc="PG inline ORDER BY in aggregates: string_agg -> listagg WITHIN "
+        "GROUP, array_agg -> sort_array / struct-sort transform, both "
+        "dialect modes; element order certified via string serialization",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(
+        "SELECT c_mktsegment, "
+        "  string_agg(c_name, '|' ORDER BY c_name DESC) AS names_desc, "
+        "  concat_ws(',', array_agg(c_custkey ORDER BY c_acctbal, "
+        "                           c_custkey)) AS keys_by_bal, "
+        "  concat_ws(',', array_agg(DISTINCT c_nationkey "
+        "                           ORDER BY c_nationkey)) AS nations "
+        "FROM customer WHERE c_custkey % 10 = 0 "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )

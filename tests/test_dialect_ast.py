@@ -455,3 +455,35 @@ def test_filter_over_window_semantics_on_spark(spark):
     got = {(r.k, r.s) for r in rows}
     # k=2 has no positive x: SUM over the empty filtered set is NULL
     assert got == {(1, 10), (2, None)}
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_ordered_agg_lowerings(mode):
+    out = rewrite(
+        "SELECT string_agg(v, ',' ORDER BY v) FROM t", mode=mode
+    )
+    assert "listagg" in out and "WITHIN GROUP (ORDER BY v)" in out
+    out = rewrite("SELECT array_agg(v ORDER BY v DESC) FROM t", mode=mode)
+    assert out == "SELECT sort_array(collect_list(v), false) FROM t"
+    out = rewrite(
+        "SELECT array_agg(name ORDER BY age, id) FROM t", mode=mode
+    )
+    assert "struct(age AS __otx_k0, id AS __otx_k1, name AS __otx_v)" in out
+    out = rewrite(
+        "SELECT array_agg(DISTINCT v ORDER BY v) FROM t", mode=mode
+    )
+    assert out == "SELECT sort_array(collect_set(v)) FROM t"
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_ordered_agg_mixed_direction_raises(mode):
+    with pytest.raises(ValueError, match="mixed ASC/DESC"):
+        rewrite(
+            "SELECT array_agg(v ORDER BY a ASC, b DESC) FROM t", mode=mode
+        )
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_plain_aggs_untouched(mode):
+    src = "SELECT string_agg(v, ','), array_agg(v) FROM t"
+    assert rewrite(src, mode=mode) == src
