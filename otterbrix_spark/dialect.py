@@ -394,6 +394,78 @@ def _rewrite_ordered_agg(body: str) -> str:
         body = body[:start] + new + body[end:]
 
 
+_INTERVAL_UNITS_US = {
+    "us": 1, "microsecond": 1,
+    "ms": 1000, "millisecond": 1000,
+    "s": 1_000_000, "sec": 1_000_000, "second": 1_000_000,
+    "min": 60_000_000, "minute": 60_000_000,
+    "h": 3_600_000_000, "hr": 3_600_000_000, "hour": 3_600_000_000,
+    "d": 86_400_000_000, "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def _interval_us(text: str) -> int:
+    """'15 minutes' / '1 hour 30 minutes' -> microseconds."""
+    total = 0
+    for num, unit in re.findall(r"(\d+)\s*([A-Za-z]+)", text):
+        u = unit.lower()
+        u = u[:-1] if u.endswith("s") and u[:-1] in _INTERVAL_UNITS_US else u
+        if u not in _INTERVAL_UNITS_US:
+            raise ValueError(f"unsupported interval unit {unit!r} in {text!r}")
+        total += int(num) * _INTERVAL_UNITS_US[u]
+    if total <= 0:
+        raise ValueError(f"empty or zero interval {text!r}")
+    return total
+
+
+_DATE_BIN_RE = re.compile(r"\bdate_bin\s*\(", re.IGNORECASE)
+
+
+def _rewrite_date_bin(body: str, lits: list[str]) -> str:
+    """Lower PG 14's ``date_bin(stride, source, origin)`` — arbitrary-width
+    time buckets on an arbitrary origin grid (TimescaleDB time_bucket;
+    the reference's temporal bucketing family) — to pure integer
+    microsecond arithmetic Spark codegens: ``origin + floor((src -
+    origin) / width) * width`` with the floor spelled ``pmod`` so
+    sources BEFORE the origin still bin onto the grid (integer DIV
+    truncates toward zero and would shift them one bin late)."""
+    while True:
+        m = _DATE_BIN_RE.search(body)
+        if m is None:
+            return body
+        depth, i = 1, m.end()
+        while i < len(body) and depth:
+            if body[i] == "(":
+                depth += 1
+            elif body[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_top_level_commas(body[m.end():i - 1])
+        if len(args) != 3:
+            raise ValueError(
+                "date_bin expects (stride, source, origin), got "
+                f"{len(args)} arguments"
+            )
+        stride, src, origin = (a.strip() for a in args)
+        sm = re.fullmatch(
+            r"(?:INTERVAL\s+)?\x00(\d+)\x00(?:\s*::\s*interval)?",
+            stride, re.IGNORECASE,
+        )
+        if sm is None:
+            raise ValueError(
+                "date_bin stride must be an interval literal"
+            )
+        width = _interval_us(_lit_text(lits[int(sm.group(1))]))
+        s = f"unix_micros(CAST({src} AS TIMESTAMP))"
+        o = f"unix_micros(CAST({origin} AS TIMESTAMP))"
+        new = (
+            f"timestamp_micros({o} + ({s} - {o}) "
+            f"- pmod({s} - {o}, {width}))"
+        )
+        body = body[:m.start()] + new + body[i:]
+
+
 _FILTER_OVER_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE)
 
 
@@ -719,6 +791,7 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
     body = _rewrite_fetch(body)
     body = _rewrite_filter_over(body)
     body = _rewrite_ordered_agg(body)
+    body = _rewrite_date_bin(body, lits)
     body = _rewrite_qualify(body)
     body = _rewrite_similar_to(body, lits)
 

@@ -43,6 +43,7 @@ from otterbrix_spark.dialect import (
     _lit_text,
     _protect_strings,
     _restore_strings,
+    _rewrite_date_bin,
     _rewrite_fetch,
     _rewrite_filter_over,
     _rewrite_ordered_agg,
@@ -491,6 +492,7 @@ def rewrite_ast(sql: str) -> str:
     qbody = _rewrite_fetch(body)
     qbody = _rewrite_filter_over(qbody)
     qbody = _rewrite_ordered_agg(qbody)
+    qbody = _rewrite_date_bin(qbody, lits)
     qbody = _rewrite_qualify(qbody)
     qbody = _rewrite_similar_to(qbody, lits)
     if qbody is not body:

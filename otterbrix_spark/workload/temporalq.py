@@ -2412,3 +2412,46 @@ def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       AS BIGINT) AS cum_hot "
         "FROM otx_events_w08 ORDER BY user_id, event_id"
     )
+
+
+# g09: date_bin — PG 14's arbitrary-width, arbitrary-ORIGIN time bucket
+# (TimescaleDB time_bucket; the scheduling primitive behind every
+# shifted-window rollup: billing periods starting mid-hour, trading
+# sessions anchored at 09:30, ...). Spark has no such function; the
+# dialect lowers it to pure integer microsecond arithmetic with a pmod
+# floor so pre-origin timestamps bin onto the same grid instead of
+# shifting one bin late (the truncate-vs-floor bug class). The oracle is
+# DuckDB's native time_bucket with the same odd origin — nothing about
+# the grid is hand-replicated in the oracle.
+
+_G09_ORACLE = """
+SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP),
+                   TIMESTAMP '2024-01-01 00:07:30') AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS qsum
+FROM events
+GROUP BY 1 ORDER BY bin
+"""
+
+
+@query(
+    "g09_date_bin", _G09_ORACLE,
+    doc="PG 14 date_bin via dialect lowering (pmod floor onto an odd "
+        "origin grid) vs DuckDB's native time_bucket — 15-minute bins "
+        "anchored at 00:07:30",
+)
+def g09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "otx_events_g09"
+    )
+    return eng.sql(
+        "SELECT date_bin('15 minutes', ts, "
+        "                TIMESTAMP '2024-01-01 00:07:30') AS bin, "
+        "       CAST(COUNT(*) AS BIGINT) AS n, "
+        "       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) "
+        "         AS qsum "
+        "FROM otx_events_g09 GROUP BY bin ORDER BY bin"
+    )

@@ -487,3 +487,39 @@ def test_ordered_agg_mixed_direction_raises(mode):
 def test_plain_aggs_untouched(mode):
     src = "SELECT string_agg(v, ','), array_agg(v) FROM t"
     assert rewrite(src, mode=mode) == src
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_date_bin_lowered(mode):
+    out = rewrite(
+        "SELECT date_bin('15 minutes', ts, TIMESTAMP '2024-01-01') FROM t",
+        mode=mode,
+    )
+    assert "pmod" in out and "900000000" in out and "date_bin" not in out
+    out = rewrite(
+        "SELECT date_bin(INTERVAL '1 hour 30 minutes', ts, o) FROM t",
+        mode=mode,
+    )
+    assert "5400000000" in out
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_date_bin_rejects_bad_stride(mode):
+    with pytest.raises(ValueError, match="interval"):
+        rewrite("SELECT date_bin(x, ts, o) FROM t", mode=mode)
+    with pytest.raises(ValueError, match="unit"):
+        rewrite("SELECT date_bin('3 fortnights', ts, o) FROM t", mode=mode)
+
+
+def test_date_bin_semantics_on_spark(spark):
+    from otterbrix_spark.dialect import rewrite as rw
+
+    rows = spark.sql(
+        rw(
+            "SELECT CAST(date_bin('15 minutes', "
+            "  TIMESTAMP '2023-12-31 23:50:00', "
+            "  TIMESTAMP '2024-01-01 00:07:30') AS STRING) AS b"
+        )
+    ).collect()
+    # source BEFORE the origin still floors onto the origin grid
+    assert rows[0].b == "2023-12-31 23:37:30"
