@@ -676,3 +676,190 @@ def y04(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM customer WHERE c_custkey % 4 = 2")
     eng.sql("ALTER TABLE y04_t RENAME COLUMN score TO score2")
     return eng.sql("SELECT k, phase, score2 FROM y04_t")
+
+
+# --- x07: SCD Type-2 dimension maintenance ----------------------------------
+# The warehouse pattern MERGE exists for (x03's row-level sibling):
+# attribute changes CLOSE the current version (valid_to = change time)
+# and open a new one, so facts join attributes as-of their own
+# timestamps. Two change batches are applied through
+# operators/scd.py::scd2_apply — per batch the only join is OPEN rows
+# vs the change set; closed history is append-only and never rescanned
+# (the property that keeps SCD2 viable on a billions-row dimension).
+# The oracle replays both batches in set algebra — three UNION branches
+# per batch (untouched / closed / opened) — so every versioning edge
+# (no-op change, double change, zero-width version) is value-certified.
+
+_X07_ORACLE = """
+WITH dim0 AS (
+  SELECT c_custkey AS k, c_mktsegment AS attr,
+         CAST(0 AS BIGINT) AS vf, CAST(NULL AS BIGINT) AS vt
+  FROM customer),
+ch1 AS (
+  SELECT o_custkey AS k, 'PRIORITY' AS attr,
+         MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS ts
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+d1 AS (
+  SELECT d.k, d.attr, d.vf,
+         CASE WHEN c.k IS NOT NULL AND c.attr <> d.attr
+              THEN c.ts END AS vt
+  FROM dim0 d LEFT JOIN ch1 c USING (k)
+  UNION ALL
+  SELECT c.k, c.attr, c.ts, NULL
+  FROM ch1 c JOIN dim0 d USING (k) WHERE c.attr <> d.attr),
+ch2 AS (
+  SELECT o_custkey AS k, 'LOWKEY' AS attr,
+         MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS ts
+  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1),
+open1 AS (SELECT * FROM d1 WHERE vt IS NULL),
+closed1 AS (SELECT * FROM d1 WHERE vt IS NOT NULL),
+d2 AS (
+  SELECT * FROM closed1
+  UNION ALL
+  SELECT o.k, o.attr, o.vf,
+         CASE WHEN c.k IS NOT NULL AND c.attr <> o.attr
+              THEN c.ts END
+  FROM open1 o LEFT JOIN ch2 c USING (k)
+  UNION ALL
+  SELECT c.k, c.attr, c.ts, NULL
+  FROM ch2 c JOIN open1 o USING (k) WHERE c.attr <> o.attr)
+SELECT k, attr,
+       CAST(vf AS BIGINT) AS valid_from,
+       CAST(vt AS BIGINT) AS valid_to
+FROM d2 ORDER BY k, valid_from, attr
+"""
+
+
+@query(
+    "x07_scd2_dimension", _X07_ORACLE,
+    doc="SCD Type-2: two change batches close/open dimension versions "
+        "via scd2_apply — open-rows-only join per batch, append-only "
+        "history; oracle replays the set algebra",
+)
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim0 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+
+    def batch(priority: str, attr: str, agg) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderpriority") == priority)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(
+                agg(
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                ).alias("change_ts")
+            )
+            .withColumn("attr", F.lit(attr))
+        )
+
+    d1 = scd2_apply(
+        dim0, batch("1-URGENT", "PRIORITY", F.min), "k", "attr"
+    )
+    d2 = scd2_apply(
+        d1, batch("5-LOW", "LOWKEY", F.max), "k", "attr"
+    )
+    return d2.select(
+        "k", "attr", "valid_from", "valid_to"
+    ).orderBy("k", "valid_from", "attr")
+
+
+# --- x08: point-in-time join against the SCD2 dimension ---------------------
+# The reason SCD2 exists: every fact row joins the dimension attribute
+# AS OF its own timestamp. Composition gate: the x07 machinery builds
+# the versioned dimension (one change batch — version intervals
+# [0, ts) / [ts, inf) per changed key, no ties), then the repo's as-of
+# join (operators/temporal.py:34 — union + ONE window sweep, never a
+# pairwise inequality join) attaches the in-effect version to every
+# order. The oracle joins on the interval predicate (vf <= ts < vt)
+# directly — the hash match proves the as-of sweep and the interval
+# semantics agree on every boundary (a change on an order's exact date
+# assigns the NEW version in both).
+
+_X08_ORACLE = """
+WITH dim0 AS (
+  SELECT c_custkey AS k, c_mktsegment AS attr,
+         CAST(0 AS BIGINT) AS vf, CAST(NULL AS BIGINT) AS vt
+  FROM customer),
+ch1 AS (
+  SELECT o_custkey AS k, 'PRIORITY' AS attr,
+         MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS ts
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+d1 AS (
+  SELECT d.k, d.attr, d.vf,
+         CASE WHEN c.k IS NOT NULL AND c.attr <> d.attr
+              THEN c.ts END AS vt
+  FROM dim0 d LEFT JOIN ch1 c USING (k)
+  UNION ALL
+  SELECT c.k, c.attr, c.ts, NULL
+  FROM ch1 c JOIN dim0 d USING (k) WHERE c.attr <> d.attr),
+f AS (
+  SELECT o_custkey AS k,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders)
+SELECT d.attr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(f.cents) AS BIGINT) AS cents,
+       CAST(COUNT(DISTINCT f.k) AS BIGINT) AS n_cust
+FROM f JOIN d1 d
+  ON f.k = d.k AND d.vf <= f.ts AND (d.vt IS NULL OR f.ts < d.vt)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "x08_scd2_asof_join", _X08_ORACLE,
+    doc="point-in-time fact join vs the SCD2 dimension: as-of window "
+        "sweep vs the oracle's interval predicate — boundary semantics "
+        "certified on exact-date changes",
+)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.scd import scd2_apply
+    from otterbrix_spark.operators.temporal import as_of_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim0 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    ch1 = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.min(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("change_ts")
+        )
+        .withColumn("attr", F.lit("PRIORITY"))
+    )
+    d1 = scd2_apply(dim0, ch1, "k", "attr")
+    versions = d1.select("k", "attr", "valid_from")
+    facts = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    joined = as_of_join(
+        facts, versions, key="k", left_ts="ts", right_ts="valid_from",
+        payload="attr",
+    )
+    return (
+        joined.groupBy(F.col("matched_payload").alias("attr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.countDistinct("k").alias("n_cust"),
+        )
+        .orderBy("attr")
+    )
