@@ -2455,3 +2455,94 @@ def g09(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         AS qsum "
         "FROM otx_events_g09 GROUP BY bin ORDER BY bin"
     )
+
+
+# sk08: HYPERLOGLOG, made EXACTLY deterministic — the production
+# distinct-count sketch (what a01's approx_count_distinct uses
+# internally, but that one is rows-only-checkable because Spark's
+# register layout is opaque). Here the sketch is built explicitly:
+# md5-derived 60-bit hash -> bucket = h % 256, rho = leading-zero rank
+# of a 32-bit window via the bin()-length identity (33 - length(bin(w)),
+# identical in Spark and DuckDB), registers = MAX(rho) per bucket — ONE
+# map-side-combinable groupBy over the raw (duplicated) stream, the
+# mergeability sk02 certifies for KMV. The harmonic mean is computed as
+# an EXACT INTEGER rational (numerator = sum of 2^(maxM - M_j), missing
+# buckets contribute 2^maxM) so the estimate is ONE pinned double
+# expression — no float accumulation order anywhere. Small-range linear
+# counting is deliberately omitted (ln() differs across libm
+# implementations); the gate certifies the raw-estimate path.
+
+_SK08_ORACLE = """
+WITH s AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+h AS (
+  SELECT ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv FROM s),
+b AS (
+  SELECT hv % 256 AS bucket,
+         (hv // 256) % 4294967296 AS w
+  FROM h),
+r AS (
+  SELECT bucket,
+         MAX(CASE WHEN w > 0 THEN 33 - length(bin(w)) ELSE 33 END) AS m
+  FROM b GROUP BY bucket),
+mx AS (SELECT MAX(m) AS maxm, COUNT(*) AS p FROM r),
+num AS (
+  SELECT (SELECT SUM(CAST(1 AS BIGINT) << (mx.maxm - r.m)) FROM r)
+         + (256 - mx.p) * (CAST(1 AS BIGINT) << mx.maxm) AS numerator,
+         mx.maxm, mx.p
+  FROM mx)
+SELECT (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+         AS true_n,
+       CAST(p AS BIGINT) AS n_buckets_hit,
+       CAST(maxm AS BIGINT) AS max_register,
+       CAST(numerator AS BIGINT) AS numerator,
+       ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+         * CAST(CAST(1 AS BIGINT) << maxm AS DOUBLE)
+         / CAST(numerator AS DOUBLE) AS hll_est
+FROM num
+"""
+
+
+@query(
+    "sk08_hll_registers", _SK08_ORACLE,
+    doc="deterministic HyperLogLog: md5 buckets, bin()-length rho, "
+        "max-register groupBy (map-side combinable), exact integer "
+        "rational harmonic mean, one pinned double division",
+)
+def sk08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select(
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long").alias("hv")
+    )
+    b = h.select(
+        F.pmod(F.col("hv"), F.lit(256)).alias("bucket"),
+        F.expr("pmod(hv DIV 256, 4294967296)").alias("w"),
+    )
+    r = b.groupBy("bucket").agg(
+        F.max(
+            F.when(F.col("w") > 0, 33 - F.length(F.bin(F.col("w"))))
+            .otherwise(33)
+        ).alias("m")
+    )
+    maxm, p = r.agg(F.max("m"), F.count(F.lit(1))).collect()[0]  # O(1)
+    numerator_row = r.agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxm} - m)"))
+            + F.lit((256 - p) * (1 << maxm)).cast("long")
+        ).alias("numerator")
+    ).collect()[0]
+    numerator = int(numerator_row.numerator)
+    true_n = orders.agg(F.countDistinct("o_custkey")).collect()[0][0]
+    est = (
+        ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+        * float(1 << maxm)
+        / float(numerator)
+    )
+    return spark.createDataFrame(
+        [(int(true_n), int(p), int(maxm), numerator, est)],
+        "true_n BIGINT, n_buckets_hit BIGINT, max_register BIGINT, "
+        "numerator BIGINT, hll_est DOUBLE",
+    )
