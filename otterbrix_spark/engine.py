@@ -56,6 +56,9 @@ class Engine:
         handled = self._prepared_statement(sql, params)
         if handled is not None:
             return handled
+        handled = self._explain_statement(sql, params)
+        if handled is not None:
+            return handled
         body = self.catalog.canonicalize(rewrite(sql))
         if params:
             if self.catalog.handles(body):
@@ -82,6 +85,36 @@ class Engine:
 
     def sql(self, sql: str, *params) -> DataFrame:
         return self.execute_sql(sql, *params).df
+
+    # -- EXPLAIN (PG's plan-inspection statement) ----------------------------
+    def _explain_statement(self, sql: str, params) -> "Cursor | None":
+        """Route ``EXPLAIN [ANALYZE] <query>``; None if not an EXPLAIN.
+
+        PG prints its planner tree; here the underlying query runs through
+        the normal dialect/catalog path and the CATALYST plan is returned,
+        one line per row in a single ``plan`` column — so a reference user's
+        EXPLAIN habit works and shows the engine they are actually on.
+        ``EXPLAIN ANALYZE`` uses Spark's "cost" mode (adds statistics);
+        plain EXPLAIN uses "formatted" (physical operators + details,
+        where PushedFilters/ReadSchema pruning is visible)."""
+        import re
+
+        m = re.match(
+            r"^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$", sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m is None:
+            return None
+        inner = self.execute_sql(m.group(2).strip(), *params)
+        jvm = self.spark.sparkContext._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "cost" if m.group(1) else "formatted"
+        )
+        text = inner.df._jdf.queryExecution().explainString(mode)
+        rows = [(line,) for line in text.splitlines() if line.strip()]
+        return Cursor(
+            self.spark.createDataFrame(rows, "plan STRING")
+        )
 
     # -- prepared statements (PG PREPARE / EXECUTE / DEALLOCATE) ------------
     def _prepared_statement(self, sql: str, params) -> "Cursor | None":

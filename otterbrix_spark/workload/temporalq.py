@@ -2546,3 +2546,83 @@ def sk08(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n BIGINT, n_buckets_hit BIGINT, max_register BIGINT, "
         "numerator BIGINT, hll_est DOUBLE",
     )
+
+
+# sk09: HLL MERGEABILITY — the distributed-aggregate property that makes
+# sk08's sketch a cluster citizen (same certification sk02 gives KMV):
+# registers built independently per shard (orders split by priority
+# band) and max-merged MUST equal the registers built over the whole
+# stream in one pass — bucket by bucket, not just in the estimate. The
+# gate emits the full 256-row register table from BOTH construction
+# paths and a per-bucket equality flag; the oracle replays both paths,
+# so a merge that silently lost a shard or double-counted one would
+# fail on the exact bucket it corrupted. (max is idempotent/commutative
+# — THE reason HLL shards: a retried partition cannot corrupt the
+# sketch.)
+
+_SK09_ORACLE = """
+WITH s AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS v,
+         o_orderpriority AS shard
+  FROM orders),
+h AS (
+  SELECT shard, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv FROM s),
+b AS (
+  SELECT shard, hv % 256 AS bucket, (hv // 256) % 4294967296 AS w
+  FROM h),
+shard_regs AS (
+  SELECT shard, bucket,
+         MAX(CASE WHEN w > 0 THEN 33 - length(bin(w)) ELSE 33 END) AS m
+  FROM b GROUP BY 1, 2),
+merged AS (
+  SELECT bucket, MAX(m) AS m_merged FROM shard_regs GROUP BY bucket),
+direct AS (
+  SELECT bucket,
+         MAX(CASE WHEN w > 0 THEN 33 - length(bin(w)) ELSE 33 END)
+           AS m_direct
+  FROM b GROUP BY bucket)
+SELECT d.bucket,
+       CAST(d.m_direct AS BIGINT) AS m_direct,
+       CAST(g.m_merged AS BIGINT) AS m_merged,
+       d.m_direct = g.m_merged AS buckets_agree
+FROM direct d JOIN merged g ON d.bucket = g.bucket
+ORDER BY d.bucket
+"""
+
+
+@query(
+    "sk09_hll_merge", _SK09_ORACLE,
+    doc="HLL mergeability: per-shard register tables max-merged equal "
+        "the single-pass registers bucket-by-bucket — the retry-safe "
+        "distributed-aggregate property",
+)
+def sk09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.col("o_orderpriority").alias("shard"),
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long").alias("hv"),
+    ).select(
+        "shard",
+        F.pmod(F.col("hv"), F.lit(256)).alias("bucket"),
+        F.expr("pmod(hv DIV 256, 4294967296)").alias("w"),
+    )
+    rho = F.max(
+        F.when(F.col("w") > 0, 33 - F.length(F.bin(F.col("w"))))
+        .otherwise(33)
+    )
+    shard_regs = b.groupBy("shard", "bucket").agg(rho.alias("m"))
+    merged = shard_regs.groupBy("bucket").agg(
+        F.max("m").cast("long").alias("m_merged")
+    )
+    direct = b.groupBy("bucket").agg(rho.cast("long").alias("m_direct"))
+    return (
+        direct.join(merged, "bucket")
+        .select(
+            "bucket", "m_direct", "m_merged",
+            (F.col("m_direct") == F.col("m_merged")).alias("buckets_agree"),
+        )
+        .orderBy("bucket")
+    )

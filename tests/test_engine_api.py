@@ -207,3 +207,33 @@ def test_prepared_statement_with_pg_dialect_body(engine):
         "PREPARE rx AS SELECT 'abc' ~ $1 AS m"
     )
     assert engine.execute_sql("EXECUTE rx('^a')").fetchall() == [(True,)]
+
+
+def test_explain_statement(spark, sf_dir):
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    rows = eng.sql(
+        "EXPLAIN SELECT o_orderpriority, COUNT(*) FROM orders "
+        "WHERE o_totalprice > 1000 GROUP BY o_orderpriority"
+    ).collect()
+    text = "\n".join(r.plan for r in rows)
+    assert "HashAggregate" in text
+    # the pushdown story is visible to an EXPLAIN user
+    assert "PushedFilters" in text
+    rows = eng.sql("EXPLAIN ANALYZE SELECT COUNT(*) FROM orders").collect()
+    assert any("Statistics" in r.plan for r in rows)
+
+
+def test_explain_runs_through_dialect(spark, sf_dir):
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    rows = eng.sql(
+        "EXPLAIN SELECT c_name FROM customer WHERE c_name ~ 'Customer#0+1' "
+        "ORDER BY c_name FETCH FIRST 5 ROWS ONLY"
+    ).collect()
+    text = "\n".join(r.plan for r in rows)
+    assert "RLIKE" in text or "rlike" in text.lower()
