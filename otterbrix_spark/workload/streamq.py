@@ -1356,3 +1356,140 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.filter(F.col("event_type") != "__sentinel__").orderBy(
         "hour_us", "event_type"
     )
+
+
+# --- s21: streaming SCD2 dimension maintenance --------------------------------
+# The CDC pattern a warehouse actually runs: a change feed streams in,
+# each micro-batch is reduced to at-most-one change per key (the LAST
+# purchase in the batch decides the user's value band) and applied to a
+# Type-2 dimension through operators/scd.py::scd2_apply — versions
+# close/open across MICRO-BATCH boundaries, so a correct result requires
+# the maintained dimension to carry across batches (>= 3 asserted).
+# Batch boundaries are the deterministic time slices of the landing dir,
+# which the oracle replays with window functions alone: per (user,
+# slice) last purchase -> candidates; transitions (band IS DISTINCT FROM
+# its LAG) -> applied versions; LEAD(vf) -> valid_to. No streaming state
+# leaks into the oracle — it is pure SQL over the same corpus.
+
+_S21_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS lo,
+         CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS hi
+  FROM events),
+p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN value >= 66.0 THEN 'H'
+              WHEN value >= 33.0 THEN 'M'
+              ELSE 'L' END AS band,
+         (CAST(FLOOR(epoch(ts)) AS BIGINT) - b.lo)
+           // ((b.hi - b.lo) // 4 + 1) AS slice
+  FROM events, bounds b WHERE event_type = 'purchase'),
+cand AS (
+  SELECT user_id, slice, band, us FROM p
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, slice
+                             ORDER BY us DESC, event_id DESC) = 1),
+applied AS (
+  SELECT user_id, band, us FROM cand
+  QUALIFY band IS DISTINCT FROM
+          LAG(band) OVER (PARTITION BY user_id ORDER BY slice)),
+vers AS (
+  SELECT user_id, band AS attr, us AS vf,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS vt
+  FROM applied),
+u AS (SELECT DISTINCT user_id FROM events),
+firstv AS (SELECT user_id, MIN(us) AS f FROM applied GROUP BY 1)
+SELECT user_id, attr,
+       CAST(vf AS BIGINT) AS valid_from,
+       CAST(vt AS BIGINT) AS valid_to
+FROM (
+  SELECT u.user_id, 'NONE' AS attr, CAST(0 AS BIGINT) AS vf, f.f AS vt
+  FROM u LEFT JOIN firstv f USING (user_id)
+  UNION ALL
+  SELECT user_id, attr, vf, vt FROM vers)
+ORDER BY user_id, valid_from, attr
+"""
+
+
+@query(
+    "s21_streaming_scd2",
+    _S21_ORACLE,
+    doc="streaming certification: CDC micro-batches maintain a Type-2 "
+        "dimension via scd2_apply across >= 3 batches; oracle replays "
+        "the slice algebra with pure window functions",
+)
+def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+
+    from otterbrix_spark.operators.scd import scd2_apply
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.workload import scratch_dir
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=4)
+    scratch = scratch_dir("s21_scd2_")
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = [
+        ev.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.lit("NONE").alias("attr"),
+            F.lit(0).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+        .localCheckpoint(eager=True)
+    ]
+    batches: list[int] = []
+
+    def sink(batch_df, batch_id):
+        purchases = batch_df.filter(F.col("event_type") == "purchase")
+        if purchases.isEmpty():
+            return
+        band = (
+            F.when(F.col("value") >= 66.0, "H")
+            .when(F.col("value") >= 33.0, "M")
+            .otherwise("L")
+        )
+        ch = (
+            purchases.select(
+                "user_id",
+                F.struct(
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                    F.col("event_id").alias("eid"),
+                    band.alias("band"),
+                ).alias("s"),
+            )
+            .groupBy("user_id")
+            .agg(F.max("s").alias("s"))
+            .select(
+                "user_id",
+                F.col("s.band").alias("attr"),
+                F.col("s.us").alias("change_ts"),
+            )
+        )
+        dim[0] = scd2_apply(
+            dim[0], ch, "user_id", "attr"
+        ).localCheckpoint(eager=True)
+        batches.append(batch_id)
+
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .start()
+    )
+    deadline = _time.time() + 180
+    while q.isActive and _time.time() < deadline:
+        _time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("s21 stream did not finish")
+    q.awaitTermination()
+    if len(batches) < 3:
+        raise AssertionError(
+            f"s21 streaming SCD2 ran only {len(batches)} change batches"
+        )
+    return dim[0].select(
+        "user_id", "attr", "valid_from", "valid_to"
+    ).orderBy("user_id", "valid_from", "attr")
