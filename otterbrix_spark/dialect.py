@@ -466,6 +466,68 @@ def _rewrite_date_bin(body: str, lits: list[str]) -> str:
         body = body[:m.start()] + new + body[i:]
 
 
+_GEN_SERIES_RE = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+# words that can follow a FROM-position table function and are NOT aliases
+_GS_NONALIAS = frozenset(
+    """WHERE GROUP ORDER LIMIT OFFSET HAVING QUALIFY UNION INTERSECT
+    EXCEPT ON JOIN CROSS INNER LEFT RIGHT FULL NATURAL USING AS FETCH
+    WINDOW""".split()
+)
+
+
+def _rewrite_generate_series(body: str) -> str:
+    """Lower PG's ``generate_series`` set-returning function:
+
+    - table position (``FROM generate_series(a, b [, step]) [AS] t(i)``,
+      including comma-FROM and JOIN operands) -> the derived table
+      ``(SELECT explode(sequence(a, b[, step])) AS i) t`` — valid
+      wherever a relation is;
+    - select-list position -> ``explode(sequence(...))`` (Spark allows
+      one generator per select, matching the common single-SRF use).
+
+    ``sequence`` is inclusive on both ends, exactly like
+    ``generate_series``. Alias defaults mirror PG: a bare call exposes a
+    column literally named ``generate_series``.
+    """
+    while True:
+        found = None
+        for m in _GEN_SERIES_RE.finditer(body):
+            depth, i = 1, m.end()
+            while i < len(body) and depth:
+                if body[i] == "(":
+                    depth += 1
+                elif body[i] == ")":
+                    depth -= 1
+                i += 1
+            args = body[m.end():i - 1].strip()
+            # position: last non-space char/token before the call
+            before = body[:m.start()].rstrip()
+            table_pos = before.endswith(",") or bool(
+                re.search(r"\b(FROM|JOIN)\s*$", before, re.IGNORECASE)
+            )
+            if not table_pos:
+                new = f"explode(sequence({args}))"
+                found = (m.start(), i, new)
+                break
+            am = re.match(
+                r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*"
+                r"(?:\(\s*([A-Za-z_]\w*)\s*\))?",
+                body[i:],
+            )
+            name, col, alias_end = "generate_series", "generate_series", 0
+            if am and am.group(1) and am.group(1).upper() not in _GS_NONALIAS:
+                name = am.group(1)
+                col = am.group(2) or "generate_series"
+                alias_end = am.end()
+            new = f"(SELECT explode(sequence({args})) AS {col}) {name}"
+            found = (m.start(), i + alias_end, new)
+            break
+        if found is None:
+            return body
+        start, end, new = found
+        body = body[:start] + new + body[end:]
+
+
 _FILTER_OVER_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE)
 
 
@@ -791,6 +853,7 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
     body = _rewrite_fetch(body)
     body = _rewrite_filter_over(body)
     body = _rewrite_ordered_agg(body)
+    body = _rewrite_generate_series(body)
     body = _rewrite_date_bin(body, lits)
     body = _rewrite_qualify(body)
     body = _rewrite_similar_to(body, lits)

@@ -46,6 +46,7 @@ from otterbrix_spark.dialect import (
     _rewrite_date_bin,
     _rewrite_fetch,
     _rewrite_filter_over,
+    _rewrite_generate_series,
     _rewrite_ordered_agg,
     _rewrite_qualify,
     _rewrite_similar_to,
@@ -492,6 +493,7 @@ def rewrite_ast(sql: str) -> str:
     qbody = _rewrite_fetch(body)
     qbody = _rewrite_filter_over(qbody)
     qbody = _rewrite_ordered_agg(qbody)
+    qbody = _rewrite_generate_series(qbody)
     qbody = _rewrite_date_bin(qbody, lits)
     qbody = _rewrite_qualify(qbody)
     qbody = _rewrite_similar_to(qbody, lits)

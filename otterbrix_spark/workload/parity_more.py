@@ -1198,3 +1198,45 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM customer WHERE c_custkey % 10 = 0 "
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"
     )
+
+
+# --- q94: generate_series set-returning function ----------------------------
+# The PG table function every spine/series query starts from; Spark has
+# sequence() + explode but no FROM-position function of that name. The
+# dialect lowers table-position calls (FROM / comma-FROM / JOIN) to a
+# derived table and select-list calls to a bare explode, both modes.
+# Shape below is the comma-FROM cross join against a fact table — each
+# order tested against every divisor — which also re-certifies the
+# comma-FROM -> join tree path (q35) through a rewritten relation.
+
+_Q94_ORACLE = """
+SELECT d.n,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders o, generate_series(2, 6) AS d(n)
+WHERE o.o_orderkey % d.n = 0
+GROUP BY d.n ORDER BY d.n
+"""
+
+
+@query(
+    "q94_generate_series", _Q94_ORACLE,
+    doc="generate_series lowered to explode(sequence(...)): FROM-position "
+        "derived table through the comma-join path, identical text on "
+        "DuckDB",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(
+        "SELECT d.n, "
+        "       CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) "
+        "            AS BIGINT) AS cents "
+        "FROM orders o, generate_series(2, 6) AS d(n) "
+        "WHERE o.o_orderkey % d.n = 0 "
+        "GROUP BY d.n ORDER BY d.n"
+    )

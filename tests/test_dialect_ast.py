@@ -523,3 +523,30 @@ def test_date_bin_semantics_on_spark(spark):
     ).collect()
     # source BEFORE the origin still floors onto the origin grid
     assert rows[0].b == "2023-12-31 23:37:30"
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_generate_series_table_position(mode):
+    out = rewrite("SELECT * FROM generate_series(1, 10) AS t(i)", mode=mode)
+    assert out == "SELECT * FROM (SELECT explode(sequence(1, 10)) AS i) t"
+    out = rewrite(
+        "SELECT d.n FROM orders o, generate_series(1, 3) AS d(n)", mode=mode
+    )
+    assert "(SELECT explode(sequence(1, 3)) AS n) d" in out
+    out = rewrite("SELECT * FROM generate_series(0, 9, 3) g", mode=mode)
+    assert "sequence(0, 9, 3)" in out and ") g" in out
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_generate_series_select_list(mode):
+    out = rewrite("SELECT generate_series(1, 3) AS i, x FROM t", mode=mode)
+    assert out == "SELECT explode(sequence(1, 3)) AS i, x FROM t"
+
+
+def test_generate_series_semantics_on_spark(spark):
+    from otterbrix_spark.dialect import rewrite as rw
+
+    rows = spark.sql(
+        rw("SELECT i FROM generate_series(2, 8, 3) AS t(i)")
+    ).collect()
+    assert sorted(r.i for r in rows) == [2, 5, 8]
