@@ -473,3 +473,124 @@ def decode_audio_assets(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, AUDIO_DECODED_SCHEMA
     )
+
+
+def encode_ppm_gradient(
+    w: int, h: int, r0: int, g0: int, b0: int
+) -> bytes:
+    """P6 encoder with SPATIAL structure: pixel (x, y) = (r0 + x, g0 + y,
+    b0). Callers keep r0 + w <= 256 and g0 + h <= 256 so channels never
+    wrap — which is what lets a cross-engine oracle predict any patch
+    statistic with closed-form arithmetic series instead of a codec."""
+    import numpy as np
+
+    xs = np.arange(w, dtype=np.uint8)
+    ys = np.arange(h, dtype=np.uint8)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = r0 + xs[None, :]
+    px[:, :, 1] = g0 + ys[:, None]
+    px[:, :, 2] = b0
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def documents_as_gradient_assets(docs: DataFrame) -> DataFrame:
+    """Documents -> gradient PPM assets (SQL-predictable spatial content):
+    w = 1 + (id*13) % 64, h = 1 + (id*7) % 64, r0 = id % 128,
+    g0 = (id*3) % 128, b0 = (id*7) % 256 — r0 + w <= 191, g0 + h <= 191,
+    so no channel wraps."""
+    import pandas as pd
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(doc_id: pd.Series) -> pd.Series:
+        def one(d):
+            if d is None:
+                return None
+            d = int(d)
+            return encode_ppm_gradient(
+                1 + (d * 13) % 64, 1 + (d * 7) % 64,
+                d % 128, (d * 3) % 128, (d * 7) % 256,
+            )
+
+        return doc_id.map(one)
+
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        encode(F.col("doc_id")).alias("payload"),
+    )
+
+
+def extract_patches(assets: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch grid over decoded images: each asset becomes its
+    ``ceil(w/p) x ceil(h/p)`` tiles with exact integer per-channel sums
+    (edge tiles clipped). Arrow-batched ``mapInPandas`` — payload bytes
+    never leave the executors; the shuffle carries only (asset, ti, tj,
+    counts) narrow rows, the patch-embedding input layout every
+    vision-model ingest produces at scale."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("ti", T.IntegerType()),
+            T.StructField("tj", T.IntegerType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: list[tuple] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, px = _decode_ppm_pixels(bytes(payload))
+                for ti in range((h + patch - 1) // patch):
+                    for tj in range((w + patch - 1) // patch):
+                        tile = px[
+                            ti * patch : (ti + 1) * patch,
+                            tj * patch : (tj + 1) * patch,
+                        ]
+                        sums = tile.sum(axis=(0, 1), dtype=np.int64)
+                        out.append(
+                            (
+                                int(aid), ti, tj,
+                                int(tile.shape[0] * tile.shape[1]),
+                                int(sums[0]), int(sums[1]), int(sums[2]),
+                            )
+                        )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in schema.fields]
+            )
+
+    return assets.mapInPandas(run, schema)
+
+
+def _decode_ppm_pixels(buf: bytes):
+    """P6 -> (w, h, ndarray[h, w, 3]) — the full-pixel sibling of
+    _decode_ppm's channel-sum fast path."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    px = np.frombuffer(buf, np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3)

@@ -4211,3 +4211,63 @@ def e17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# --- m07: ViT-style patch extraction ----------------------------------------
+# The patch-embedding input layout every vision-language ingest produces:
+# decode -> tile into p x p patches (edge tiles clipped) -> per-patch
+# channel statistics. Spark shape: Arrow-batched mapInPandas — payload
+# bytes never leave the executors, the shuffle carries only narrow
+# (asset, ti, tj, sums) rows. The corpus is gradient PPMs (pixel (x,y) =
+# (r0+x, g0+y, b0), no channel wrap), so the oracle predicts every patch
+# sum with closed-form arithmetic series — the hash certifies the real
+# decoder + tiler against pure SQL, no codec on the oracle side.
+
+_M07_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         1 + (doc_id * 13) % 64 AS w,
+         1 + (doc_id * 7) % 64 AS h,
+         doc_id % 128 AS r0,
+         (doc_id * 3) % 128 AS g0,
+         (doc_id * 7) % 256 AS b0
+  FROM documents),
+tx AS (
+  SELECT d.*, i.i AS ti FROM d, generate_series(0, 7) i(i)
+  WHERE i.i * 8 < h),
+txy AS (
+  SELECT tx.*, j.j AS tj FROM tx, generate_series(0, 7) j(j)
+  WHERE j.j * 8 < w),
+c AS (
+  SELECT doc_id, ti, tj,
+         LEAST(h, ti * 8 + 8) - ti * 8 AS ny,
+         LEAST(w, tj * 8 + 8) - tj * 8 AS nx,
+         r0, g0, b0
+  FROM txy)
+SELECT doc_id AS asset_id,
+       CAST(ti AS INTEGER) AS ti, CAST(tj AS INTEGER) AS tj,
+       CAST(ny * nx AS BIGINT) AS n_px,
+       CAST(ny * (r0 * nx + (nx * (2 * (tj * 8) + nx - 1)) // 2)
+            AS BIGINT) AS sum_r,
+       CAST(nx * (g0 * ny + (ny * (2 * (ti * 8) + ny - 1)) // 2)
+            AS BIGINT) AS sum_g,
+       CAST(ny * nx * b0 AS BIGINT) AS sum_b
+FROM c ORDER BY asset_id, ti, tj
+"""
+
+
+@query(
+    "m07_patch_extraction", _M07_ORACLE,
+    doc="ViT patch grid via Arrow mapInPandas over real PPM decode: "
+        "per-tile exact channel sums vs a closed-form arithmetic-series "
+        "oracle — payloads never leave executors",
+)
+def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.multimodal import (
+        documents_as_gradient_assets,
+        extract_patches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    patches = extract_patches(documents_as_gradient_assets(docs), patch=8)
+    return patches.orderBy("asset_id", "ti", "tj")
