@@ -5738,3 +5738,121 @@ def ds41(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --- l16: PageRank over the co-supplier graph (integer fixed-point) ---------
+# The canonical iterative graph-centrality algorithm (Brin/Page; LDBC
+# graphalytics PR), run for a FIXED 3 supersteps so the oracle can
+# unroll it. Scale shape: each superstep is ONE hash join
+# (scores ⋈ edges on the source key) + ONE groupBy(dst) sum — the
+# Pregel message-passing round expressed relationally; state per round
+# is one narrow (node, score) frame, and the edge frame is reused
+# across rounds (same partitioning, no recomputation of the graph).
+# Determinism: scores are integer ppm; the damping update is
+# s' = 150000 + (850 * sum(s_u DIV deg_u)) DIV 1000 — integer division
+# at the exact points the oracle truncates, so 3 rounds match
+# bit-for-bit. (Unnormalized formulation: per-node teleport mass of
+# 0.15e6 ppm rather than (1-d)/N — same fixpoint up to global scale,
+# and it keeps every literal in 64-bit range at any graph size.)
+# The co-supplier graph (l13's: >=2 shared orders) is undirected, so
+# every node has in-degree >= 1 and no dangling-mass term is needed.
+
+_L16_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+edges AS (
+  SELECT s1, s2 FROM pairs GROUP BY s1, s2
+  HAVING COUNT(DISTINCT l_orderkey) >= 2),
+und AS (
+  SELECT s1 AS a, s2 AS b FROM edges
+  UNION ALL SELECT s2, s1 FROM edges),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY a),
+it1 AS (
+  SELECT e.b AS node,
+         150000 + (850 * SUM(1000000 // d.deg)) // 1000 AS s
+  FROM und e JOIN deg d ON e.a = d.node GROUP BY e.b),
+it2 AS (
+  SELECT e.b AS node,
+         150000 + (850 * SUM(s1.s // d.deg)) // 1000 AS s
+  FROM und e JOIN deg d ON e.a = d.node JOIN it1 s1 ON s1.node = e.a
+  GROUP BY e.b),
+it3 AS (
+  SELECT e.b AS node,
+         150000 + (850 * SUM(s2.s // d.deg)) // 1000 AS s
+  FROM und e JOIN deg d ON e.a = d.node JOIN it2 s2 ON s2.node = e.a
+  GROUP BY e.b)
+SELECT i.node, d.deg AS degree, CAST(i.s AS BIGINT) AS pagerank_ppm
+FROM it3 i JOIN deg d ON d.node = i.node
+ORDER BY pagerank_ppm DESC, i.node LIMIT 25
+"""
+
+
+@query(
+    "l16_pagerank", _L16_ORACLE,
+    doc="PageRank, 3 fixed supersteps over the co-supplier graph: one "
+        "hash join + one groupBy per round (relational Pregel), integer "
+        "ppm damping so the unrolled oracle matches bit-for-bit",
+)
+def l16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("r_okey"), F.col("l_suppkey").alias("sb")
+    )
+    edges = (
+        li.join(
+            right,
+            (F.col("l_orderkey") == F.col("r_okey"))
+            & (F.col("l_suppkey") < F.col("sb")),
+        )
+        .select(
+            F.col("l_suppkey").alias("s1"),
+            F.col("sb").alias("s2"),
+            "l_orderkey",
+        )
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("s1", "s2")
+    )
+    und = edges.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b")
+    ).unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # edge frame with the source degree attached once, reused all rounds
+    ed = und.join(deg, "a").select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "deg"
+    )
+    scores = deg.select(
+        F.col("a").alias("node"), F.lit(1000000).cast("long").alias("s")
+    )
+    for _ in range(3):
+        contrib = (
+            ed.join(
+                scores.withColumnRenamed("node", "src_node"),
+                F.col("src") == F.col("src_node"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.expr("s DIV deg")).alias("m"))
+        )
+        scores = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit(150000) + F.expr("(850 * m) DIV 1000"))
+            .cast("long")
+            .alias("s"),
+        )
+    return (
+        scores.join(
+            deg.select(F.col("a").alias("node"), F.col("deg").alias("degree")),
+            "node",
+        )
+        .select("node", "degree", F.col("s").alias("pagerank_ppm"))
+        .orderBy(F.col("pagerank_ppm").desc(), "node")
+        .limit(25)
+    )

@@ -4271,3 +4271,188 @@ def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     patches = extract_patches(documents_as_gradient_assets(docs), patch=8)
     return patches.orderBy("asset_id", "ti", "tj")
+
+
+# --- t19: bigram language-model quality scoring -----------------------------
+# The CCNet/Gopher-style "LM likelihood" quality filter: train a bigram
+# model ON THE CORPUS ITSELF (one pass), then score every document by the
+# average conditional likelihood of its own bigrams — documents whose
+# word transitions are rare corpus-wide (boilerplate, gibberish, wrong
+# language) score low and are the filter's targets. Determinism: the
+# conditional probability is an integer ppm rational, p_ppm(w2|w1) =
+# (1e6 * c(w1 w2)) DIV c(w1 *), truncated at exactly the same points on
+# both engines — no ln(), no float accumulation (real CCNet uses KenLM
+# log-space; the ppm sum is order-free and certifiable). Scale shape:
+# tokenize once (explode), bigram via (doc, pos)+(doc, pos+1) self-join
+# keyed on position, counts are two groupBys, scoring is one hash join
+# of doc-bigrams against the (broadcastable-if-small) count table and a
+# final per-doc aggregate — no windows over the corpus, no UDFs.
+
+_T19_ORACLE = """
+WITH a AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS arr
+  FROM documents),
+tok AS (
+  SELECT doc_id, i.i AS pos, arr[i.i] AS w
+  FROM a, generate_series(1, 128) i(i)
+  WHERE i.i <= len(arr) AND arr[i.i] <> ''),
+bg AS (
+  SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
+  FROM tok t1 JOIN tok t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         (1000000 * c2.c2) // c1.c1 AS p_ppm
+  FROM bg b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+            JOIN c1 ON b.w1 = c1.w1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p_ppm) AS BIGINT) AS sum_p_ppm,
+       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS avg_p_ppm
+FROM scored GROUP BY doc_id
+ORDER BY avg_p_ppm ASC, doc_id LIMIT 20
+"""
+
+
+@query(
+    "t19_bigram_lm_score", _T19_ORACLE,
+    doc="bigram-LM quality filter trained on the corpus itself: integer "
+        "ppm conditional likelihoods, bottom-20 documents by average "
+        "transition probability (the CCNet perplexity-filter shape)",
+)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("pos0", "w"),
+        )
+        # oracle positions are 1-based array subscripts; posexplode is
+        # 0-based — only RELATIVE order matters for the pos+1 join, but
+        # the empty-token filter must match the oracle's arr[i] <> ''
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    bg = (
+        tok.alias("t1")
+        .join(
+            tok.alias("t2"),
+            (F.col("t1.doc_id") == F.col("t2.doc_id"))
+            & (F.col("t2.pos") == F.col("t1.pos") + 1),
+        )
+        .select(
+            F.col("t1.doc_id").alias("doc_id"),
+            F.col("t1.w").alias("w1"),
+            F.col("t2.w").alias("w2"),
+        )
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select("doc_id", F.expr("(1000000 * c2) DIV c1").alias("p_ppm"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_ppm").alias("sum_p_ppm"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "sum_p_ppm",
+            F.expr("sum_p_ppm DIV n_bigrams").alias("avg_p_ppm"),
+        )
+        .orderBy("avg_p_ppm", "doc_id")
+        .limit(20)
+    )
+
+
+# --- d21: DSIR-style importance weights (hashed-feature target/source) ------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# document by how target-like its hashed n-gram feature distribution is,
+# where the target is a slice of the corpus itself (here lang='en') and
+# the source is the full corpus. Features are md5-hashed unigram buckets
+# (1024 of them — O(1) model state at any corpus size, the trick that
+# makes DSIR tractable at 100 TB); the per-bucket importance ratio is an
+# integer ppm rational w_ppm(b) = (1e6 * tgt(b)) DIV src(b), and a
+# document's weight is the integer average of its tokens' bucket ratios.
+# Real DSIR works in log space with smoothing; the ppm-ratio sum is the
+# certifiable order-free formulation (same substitution t19 makes for
+# CCNet). Scale shape: the 1024-bucket model is built with two groupBys
+# and broadcast back into a single hash join — no per-document state.
+
+_D21_ORACLE = """
+WITH a AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(text), '[^a-z]+') AS arr
+  FROM documents),
+tok AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(arr[i.i]), 1, 15))::BIGINT % 1024 AS b
+  FROM a, generate_series(1, 128) i(i)
+  WHERE i.i <= len(arr) AND arr[i.i] <> ''),
+src AS (SELECT b, COUNT(*) AS src FROM tok GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS tgt FROM tok WHERE lang = 'en' GROUP BY b),
+w AS (
+  SELECT s.b, (1000000 * COALESCE(t.tgt, 0)) // s.src AS w_ppm
+  FROM src s LEFT JOIN tgt t ON s.b = t.b)
+SELECT k.doc_id, k.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.w_ppm) // COUNT(*) AS BIGINT) AS weight_ppm
+FROM tok k JOIN w ON k.b = w.b
+GROUP BY k.doc_id, k.lang
+ORDER BY weight_ppm DESC, k.doc_id LIMIT 20
+"""
+
+
+@query(
+    "d21_dsir_importance", _D21_ORACLE,
+    doc="DSIR importance weights: 1024 md5-hashed unigram buckets, "
+        "integer ppm target/source ratios (target = lang='en' slice), "
+        "top-20 most target-like documents — O(1) model state",
+)
+def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id", "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"),
+                F.lit(1024),
+            ).alias("b"),
+        )
+    )
+    src = tok.groupBy("b").agg(F.count(F.lit(1)).alias("src"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt"))
+    )
+    # the model is <= 1024 rows at ANY corpus size -> broadcast join
+    w = src.join(tgt, "b", "left").select(
+        "b",
+        F.expr("(1000000 * COALESCE(tgt, 0)) DIV src").alias("w_ppm"),
+    )
+    return (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_ppm").alias("sw"),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.expr("sw DIV n_tokens").alias("weight_ppm"),
+        )
+        .orderBy(F.col("weight_ppm").desc(), "doc_id")
+        .limit(20)
+    )

@@ -2626,3 +2626,111 @@ def sk09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# sk10: COUNT-MIN SKETCH — the mergeable heavy-hitter frequency
+# estimator that completes the sketch family (KMV sk01-03, histogram
+# sk06, Bloom sk07, HLL sk08/09): d=4 independent md5-derived hash rows
+# x w=64 counters, built with ONE map-side-combinable groupBy over the
+# raw stream (the sketch is 256 cells of O(1) state at ANY stream
+# size); point queries probe MIN over the item's d cells. The gate
+# scores the top-10 true-frequency keys against their CMS estimates and
+# asserts the one-sided guarantee (CMS never undercounts — collisions
+# only ADD) cell-exactly on both engines. Reference anchor: the
+# reference's sketch/statistics machinery lives in its physical plan
+# collectors; here the sketch IS a relational aggregate, so retries and
+# shard merges are safe by construction (counters are sums).
+
+_SK10_ORACLE = """
+WITH s AS (SELECT CAST(o_custkey AS VARCHAR) AS v, o_custkey FROM orders),
+rc AS (
+  SELECT o_custkey, r.r AS r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || v), 1, 15))
+           ::BIGINT % 64 AS c
+  FROM s, generate_series(0, 3) r(r)),
+cms AS (SELECT r, c, COUNT(*) AS counter FROM rc GROUP BY r, c),
+tc AS (SELECT o_custkey, COUNT(*) AS tc FROM s GROUP BY o_custkey),
+top AS (
+  SELECT o_custkey, tc FROM (
+    SELECT o_custkey, tc,
+           ROW_NUMBER() OVER (ORDER BY tc DESC, o_custkey) AS rn
+    FROM tc) WHERE rn <= 10),
+probe AS (
+  SELECT t.o_custkey, t.tc, r.r AS r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                             || CAST(t.o_custkey AS VARCHAR)), 1, 15))
+           ::BIGINT % 64 AS c
+  FROM top t, generate_series(0, 3) r(r))
+SELECT p.o_custkey,
+       CAST(p.tc AS BIGINT) AS true_cnt,
+       CAST(MIN(m.counter) AS BIGINT) AS cms_est,
+       MIN(m.counter) >= p.tc AS never_undercounts
+FROM probe p JOIN cms m ON p.r = m.r AND p.c = m.c
+GROUP BY p.o_custkey, p.tc
+ORDER BY true_cnt DESC, p.o_custkey
+"""
+
+
+def _sk10_cell(r, v):
+    """Row-r CMS column for value v — md5('r:v') folded to 60 bits, mod
+    the sketch width (64). Identical expression on both engines."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(r.cast("string"), F.lit(":"), v)), 1, 15
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(64),
+    )
+
+
+@query(
+    "sk10_count_min", _SK10_ORACLE,
+    doc="count-min sketch: 4x64 md5-hashed counter grid from one "
+        "map-side-combinable groupBy, top-10 heavy hitters probed via "
+        "min-of-cells with the never-undercount guarantee asserted",
+)
+def sk10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        "o_custkey", F.col("o_custkey").cast("string").alias("v")
+    )
+    rows = s.select(
+        "o_custkey", "v",
+        F.explode(F.expr("sequence(0, 3)")).alias("r"),
+    )
+    cms = (
+        rows.withColumn("c", _sk10_cell(F.col("r"), F.col("v")))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+    tc = s.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    from pyspark.sql import Window
+
+    top = (
+        tc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("true_cnt").desc(), "o_custkey")
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    probe = top.select(
+        "o_custkey", "true_cnt",
+        F.explode(F.expr("sequence(0, 3)")).alias("r"),
+    ).withColumn(
+        "c", _sk10_cell(F.col("r"), F.col("o_custkey").cast("string"))
+    )
+    # the sketch is 256 rows at ANY scale -> always broadcast
+    est = (
+        probe.join(F.broadcast(cms), ["r", "c"])
+        .groupBy("o_custkey", "true_cnt")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+    return est.select(
+        "o_custkey", "true_cnt", "cms_est",
+        (F.col("cms_est") >= F.col("true_cnt")).alias("never_undercounts"),
+    ).orderBy(F.col("true_cnt").desc(), "o_custkey")
