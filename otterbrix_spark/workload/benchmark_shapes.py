@@ -5856,3 +5856,139 @@ def l16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank_ppm").desc(), "node")
         .limit(25)
     )
+
+
+# --- ds42: TPC-DS Q36 shape — ROLLUP hierarchy with rank-within-parent ------
+# Template (`benchmark/tpcds/query36.tpl`): gross margin by
+# category/class ROLLUP, lochierarchy = sum of GROUPING() markers, and
+# RANK() partitioned by (lochierarchy, parent-key-when-detail) — the
+# "rank each child within its parent, at every level of the hierarchy"
+# report. Re-authored on TPC-H: nation/segment revenue rollup. The
+# GROUPING()-driven CASE partition key is the distinctive part: detail
+# rows rank against siblings under the same nation, level-1 rows rank
+# against other nations, all in ONE window pass over the rolled-up
+# frame (which is tiny after aggregation — the window never sees the
+# fact table). Rank input is exact integer cents.
+
+_DS42_ORACLE = """
+WITH j AS (
+  SELECT n.n_name, c.c_mktsegment,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey),
+g AS (
+  SELECT n_name, c_mktsegment,
+         CAST(SUM(cents) AS BIGINT) AS rev_cents,
+         GROUPING(n_name) + GROUPING(c_mktsegment) AS lochierarchy,
+         GROUPING(c_mktsegment) AS gseg
+  FROM j GROUP BY ROLLUP(n_name, c_mktsegment))
+SELECT n_name, c_mktsegment, rev_cents,
+       CAST(lochierarchy AS BIGINT) AS lochierarchy,
+       CAST(RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN gseg = 0 THEN n_name END
+         ORDER BY rev_cents DESC) AS BIGINT) AS rank_in_parent
+FROM g
+ORDER BY lochierarchy DESC, n_name NULLS FIRST,
+         c_mktsegment NULLS FIRST
+"""
+
+
+@query(
+    "ds42_rollup_rank_parent", _DS42_ORACLE,
+    doc="TPC-DS Q36 shape: nation/segment ROLLUP with GROUPING-marker "
+        "lochierarchy and RANK partitioned by (level, parent) — one "
+        "window over the already-aggregated frame",
+)
+def ds42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    j = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "n_name", "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = j.rollup("n_name", "c_mktsegment").agg(
+        F.sum("cents").alias("rev_cents"),
+        (F.grouping("n_name") + F.grouping("c_mktsegment")).alias(
+            "lochierarchy"
+        ),
+        F.grouping("c_mktsegment").alias("gseg"),
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("gseg") == 0, F.col("n_name")),
+    ).orderBy(F.col("rev_cents").desc())
+    return (
+        g.select(
+            "n_name", "c_mktsegment", "rev_cents",
+            F.col("lochierarchy").cast("long").alias("lochierarchy"),
+            F.rank().over(w).cast("long").alias("rank_in_parent"),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+        )
+    )
+
+
+# --- ds43: TPC-DS Q73 shape — order-size band, two-grain composition --------
+# Template (`benchmark/tpcds/query73.tpl`): count items per ticket,
+# HAVING the count in a band, then join the surviving tickets back to
+# customer and report per-customer band-order counts — the
+# "frequent-basket households" report. The two-grain discipline is the
+# point: the band predicate is evaluated at ORDER grain (one groupBy,
+# map-side combinable) BEFORE any customer data is touched, so the
+# customer join only sees the small surviving set — the same
+# filter-early ordering the q46 fix certified.
+
+_DS43_ORACLE = """
+WITH oc AS (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 5 AND 7),
+j AS (
+  SELECT o.o_custkey, oc.cnt
+  FROM orders o JOIN oc ON o.o_orderkey = oc.l_orderkey)
+SELECT c.c_custkey, c.c_name,
+       CAST(COUNT(*) AS BIGINT) AS n_band_orders,
+       CAST(SUM(j.cnt) AS BIGINT) AS n_band_items
+FROM j JOIN customer c ON c.c_custkey = j.o_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY n_band_orders DESC, c.c_custkey LIMIT 20
+"""
+
+
+@query(
+    "ds43_basket_band", _DS43_ORACLE,
+    doc="TPC-DS Q73 shape: per-order item-count band evaluated at order "
+        "grain first, surviving orders joined to customer — two-grain "
+        "frequent-basket report",
+)
+def ds43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    oc = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(5, 7))
+    )
+    j = orders.join(oc, orders.o_orderkey == oc.l_orderkey).select(
+        "o_custkey", "cnt"
+    )
+    return (
+        j.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_band_orders"),
+            F.sum("cnt").alias("n_band_items"),
+        )
+        .orderBy(F.col("n_band_orders").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -1240,3 +1240,52 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE o.o_orderkey % d.n = 0 "
         "GROUP BY d.n ORDER BY d.n"
     )
+
+
+# --- q95: UNPIVOT (wide -> long reshaping) ----------------------------------
+# The inverse of q50's PIVOT: melt a wide per-flag aggregate (three
+# metric columns) into tidy (key, metric, value) rows. Spark's native
+# DataFrame.unpivot is a zero-shuffle local expand (each input row
+# emits k rows in place — no exchange in the plan), which is exactly
+# how the engine should reshape at 100 TB; the oracle uses DuckDB's
+# SQL-standard UNPIVOT clause. Metric values are quantized BIGINTs so
+# the long-format value column has one exact type on both engines.
+
+_Q95_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_cents,
+         CAST(SUM(CAST(FLOOR(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS disc_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, metric, v
+FROM wide UNPIVOT (v FOR metric IN (qty_cents, disc_cents, n_items))
+ORDER BY l_returnflag, metric
+"""
+
+
+@query(
+    "q95_unpivot", _Q95_ORACLE,
+    doc="UNPIVOT: wide per-flag aggregate melted to (key, metric, value) "
+        "via Spark's native unpivot (local expand, no shuffle) vs "
+        "DuckDB's SQL-standard UNPIVOT clause",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("qty_cents"),
+        F.sum(F.floor(F.col("l_discount") * 100).cast("long"))
+        .cast("long")
+        .alias("disc_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["qty_cents", "disc_cents", "n_items"],
+        "metric",
+        "v",
+    ).orderBy("l_returnflag", "metric")

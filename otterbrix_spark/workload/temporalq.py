@@ -2734,3 +2734,95 @@ def sk10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "true_cnt", "cms_est",
         (F.col("cms_est") >= F.col("true_cnt")).alias("never_undercounts"),
     ).orderBy(F.col("true_cnt").desc(), "o_custkey")
+
+
+# g10: ROBUST ANOMALY DETECTION via median absolute deviation — the
+# outlier detector that (unlike the z-score anomaly s06 streams) does
+# not let the outliers inflate their own threshold: flag x when
+# |x - median| > 3 * MAD. Exactness trick: every quantile is taken over
+# EVEN integers (values doubled before the percentile), so the 0.5
+# interpolation midpoint (a+b)/2 is always an integer and the
+# double-typed percentile result casts back to BIGINT losslessly on
+# both engines; the flag comparison 4*dev > 3*mad4 is then pure integer
+# arithmetic (dev in 2x units, mad4 in 4x units — same scale factor on
+# both sides). Scale shape: two exact-percentile groupBys over the
+# per-type partition plus one broadcast join of the 5-row threshold
+# table back onto the stream — the same two-pass shape any robust
+# statistic needs; at 100 TB the exact median would swap for the
+# mergeable sk06 histogram sketch, which is why both exist.
+
+_G10_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS mic
+  FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT event_type,
+         CAST(quantile_cont(2 * mic, 0.5) AS BIGINT) AS med2
+  FROM v GROUP BY event_type),
+dev AS (
+  SELECT v.event_type, v.mic, ABS(2 * v.mic - m.med2) AS dev2
+  FROM v JOIN med m ON v.event_type = m.event_type),
+mad AS (
+  SELECT event_type,
+         CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(m2.med2) AS BIGINT) AS med2,
+       CAST(MIN(a.mad4) AS BIGINT) AS mad4,
+       CAST(SUM(CASE WHEN 4 * d.dev2 > 3 * a.mad4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(MAX(d.dev2) AS BIGINT) AS max_dev2
+FROM dev d
+JOIN mad a ON d.event_type = a.event_type
+JOIN med m2 ON d.event_type = m2.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@query(
+    "g10_mad_anomaly", _G10_ORACLE,
+    doc="median-absolute-deviation outlier detection per event type: "
+        "exact integer medians via the doubled-value interpolation "
+        "trick, 3-MAD flags compared in pure integer arithmetic",
+)
+def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("mic"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.percentile(F.col("mic") * 2, F.lit(0.5))
+        .cast("long")
+        .alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "mic",
+        F.abs(F.col("mic") * 2 - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("dev2") * 2, F.lit(0.5))
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med2").alias("med2"),
+            F.min("mad4").alias("mad4"),
+            F.sum(
+                F.when(
+                    F.col("dev2") * 4 > F.col("mad4") * 3, 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.max("dev2").alias("max_dev2"),
+        )
+        .orderBy("event_type")
+    )
