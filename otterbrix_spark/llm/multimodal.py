@@ -594,3 +594,85 @@ def _decode_ppm_pixels(buf: bytes):
         raise ValueError("16-bit PPM not supported")
     px = np.frombuffer(buf, np.uint8, count=w * h * 3, offset=pos)
     return w, h, px.reshape(h, w, 3)
+
+
+def _decode_wav_samples(payload: bytes):
+    """RIFF chunk walk -> (sample_rate, int64 ndarray of PCM16 samples) —
+    the raw-sample sibling of decode_wav's stats fast path."""
+    import struct
+
+    import numpy as np
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("fmt chunk shorter than PCM header")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only mono PCM16 supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return int(rate), np.frombuffer(data, dtype="<i2").astype("int64")
+
+
+def frame_audio(
+    assets: DataFrame, win: int = 64, hop: int = 32
+) -> DataFrame:
+    """STFT-style framing over decoded WAV assets: overlapping windows of
+    ``win`` samples every ``hop`` samples (full frames only — the layout
+    every spectrogram/ASR front-end produces before the FFT). Per frame:
+    signed sample sum and positive-sample count — exact integers a
+    cross-engine oracle can predict for synthetic waveforms. Arrow-batched
+    ``mapInPandas``; payload bytes never leave the executors, the shuffle
+    carries only narrow (asset, frame, stats) rows."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("sum_signed", T.LongType()),
+            T.StructField("n_pos", T.LongType()),
+        ]
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: list[tuple] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                _, x = _decode_wav_samples(bytes(payload))
+                n_frames = (len(x) - win) // hop + 1 if len(x) >= win else 0
+                for f in range(n_frames):
+                    fr = x[f * hop : f * hop + win]
+                    out.append(
+                        (
+                            int(aid), f,
+                            int(fr.sum()),
+                            int((fr > 0).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[c.name for c in schema.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema)

@@ -4456,3 +4456,58 @@ def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weight_ppm").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --- m08: audio framing (STFT front-end layout) -----------------------------
+# The window/hop framing every spectrogram/ASR ingest runs before the
+# FFT: overlapping 64-sample frames every 32 samples over REAL RIFF/WAV
+# PCM16 payloads (the m05 corpus: square waves with doc_id-derived
+# amplitude/half-period). Per-frame signed sum + positive-sample count
+# are exact integers the oracle reconstructs from the closed-form
+# waveform — certifying the chunk-walk decoder, the frame geometry
+# (full frames only, overlap included), and the Arrow batch seam with
+# zero codec on the oracle side. Frames are 1->N narrow rows (like
+# m07's patches); payloads never leave the executors.
+
+_M08_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         256 + (doc_id * 37) % 512 AS n,
+         1000 + (doc_id * 11) % 20000 AS amp,
+         8 + (doc_id * 5) % 24 AS hp
+  FROM documents),
+f AS (
+  SELECT p.*, fr.f AS frame_idx
+  FROM p, generate_series(0, 23) fr(f)
+  WHERE fr.f * 32 + 64 <= n),
+s AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN ((frame_idx * 32 + i.i) // hp) % 2 = 0
+              THEN amp ELSE -amp END AS v
+  FROM f, generate_series(0, 63) i(i))
+SELECT doc_id AS asset_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(SUM(v) AS BIGINT) AS sum_signed,
+       CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+FROM s GROUP BY doc_id, frame_idx
+ORDER BY asset_id, frame_idx
+"""
+
+
+@query(
+    "m08_audio_framing", _M08_ORACLE,
+    doc="STFT-style window/hop framing over real WAV payloads via Arrow "
+        "mapInPandas: per-frame signed sums vs a closed-form square-wave "
+        "oracle — decoder + frame geometry certified, no codec oracle-side",
+)
+def m08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.multimodal import (
+        documents_as_audio_assets,
+        frame_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_audio(
+        documents_as_audio_assets(docs), win=64, hop=32
+    )
+    return frames.orderBy("asset_id", "frame_idx")

@@ -1493,3 +1493,66 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim[0].select(
         "user_id", "attr", "valid_from", "valid_to"
     ).orderBy("user_id", "valid_from", "attr")
+
+
+# s22: STREAMING SKETCH MAINTENANCE — the sk10 count-min sketch kept
+# up-to-date by a Structured Streaming aggregation instead of a batch
+# pass. CMS counters are plain sums, so incremental micro-batch
+# maintenance must land on EXACTLY the batch sketch, cell by cell —
+# the streaming analogue of sk09's shard-merge property (there: spatial
+# partitioning; here: temporal). The graph is one streaming
+# groupBy(r, c) count in complete mode (256 cells of state at any
+# stream size — state is the SKETCH, which is the whole point of
+# sketching an unbounded stream); the oracle rebuilds the grid from
+# scratch over the same corpus. A production deployment reads the
+# 256-row memory sink after any micro-batch for a live heavy-hitter
+# estimate without ever rescanning the stream.
+
+_S22_ORACLE = """
+WITH s AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+rc AS (
+  SELECT r.r AS r,
+         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || v), 1, 15))
+           ::BIGINT % 64 AS c
+  FROM s, generate_series(0, 3) r(r))
+SELECT CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+       CAST(COUNT(*) AS BIGINT) AS counter
+FROM rc GROUP BY r, c
+ORDER BY r, c
+"""
+
+
+@query(
+    "s22_streaming_sketch", _S22_ORACLE,
+    doc="streaming count-min maintenance: the 4x64 counter grid kept by "
+        "a complete-mode streaming aggregation equals the batch sketch "
+        "cell-by-cell — temporal mergeability, 256 cells of state",
+)
+def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    cells = stream.select(
+        F.col("user_id").cast("string").alias("v"),
+        F.explode(F.expr("sequence(0, 3)")).alias("r"),
+    ).select(
+        F.col("r").cast("long").alias("r"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"), F.lit(":"), F.col("v")
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(64),
+        ).alias("c"),
+    )
+    sketch = cells.groupBy("r", "c").count()
+    name = f"s22_cms_{uuid.uuid4().hex[:8]}"
+    result = run_available_now(sketch, name, output_mode="complete")
+    return result.select(
+        "r", "c", F.col("count").alias("counter")
+    ).orderBy("r", "c")
