@@ -806,3 +806,46 @@ def test_e15_adc_ranking_is_broadcast_lut(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "e15_product_quantization")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sk10_count_min",
+        "l16_pagerank",
+        "t19_bigram_lm_score",
+        "d21_dsir_importance",
+        "g10_mad_anomaly",
+        "ds42_rollup_rank_parent",
+        "ds43_basket_band",
+        "q95_unpivot",
+    ],
+)
+def test_continuation3_shapes_no_nested_loop(spark, sf_dir, name):
+    """The t19 position join (doc_id, pos+1)=(doc_id, pos) and the l16
+    superstep joins must extract equi-keys — a nested-loop plan on any
+    of these is a scale bug."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sk10_probe_join_is_broadcast(spark, sf_dir):
+    """The 256-cell sketch must reach the probe join as a broadcast —
+    the sketch is O(1) at any stream size."""
+    plan = plan_of(spark, sf_dir, "sk10_count_min")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d21_model_join_is_broadcast(spark, sf_dir):
+    """The 1024-bucket DSIR model joins back to the token stream as a
+    broadcast — no shuffle of the corpus against the model."""
+    plan = plan_of(spark, sf_dir, "d21_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q95_unpivot_adds_no_exchange(spark, sf_dir):
+    """Unpivot is a local expand: the only exchanges in the plan are the
+    groupBy's (pre-aggregation), none introduced by the reshape."""
+    plan = plan_of(spark, sf_dir, "q95_unpivot")
+    assert "Expand" in plan or "Generate" in plan
