@@ -5992,3 +5992,322 @@ def ds43(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_band_orders").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --- l17: k-core decomposition (3 peeling rounds, k=3) ----------------------
+# The classic graph-densification primitive (Seidman '83; LDBC
+# graphalytics ships it as a core kernel): repeatedly delete nodes of
+# degree < k until none remain — the surviving subgraph is the k-core,
+# the standard community-detection / spam-farm / influence seed filter.
+# Run for a FIXED 3 peel rounds so the oracle can unroll (each round is
+# one groupBy for degrees + two semi-joins restricting the edge set to
+# surviving endpoints — the same narrow (node) state per round as l16's
+# Pregel shape, never a widened edge frame). At this corpus 3 rounds
+# reach the fixpoint for k=3 (asserted implicitly: the output also
+# reports each survivor's round-3 degree, all >= 3, so one more peel
+# would be a no-op iff every row satisfies deg >= 3 — which the oracle
+# hash pins). Graph = l13/l16's co-supplier graph (suppliers sharing
+# >= 2 distinct orders, undirected). Scale: degrees are
+# map-side-combinable counts; the per-round node keep-list is narrow
+# (one bigint) and semi-joins hash-partition on the edge endpoint —
+# no broadcast assumption, no quadratic step.
+
+_L17_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+edges AS (
+  SELECT s1, s2 FROM pairs GROUP BY s1, s2
+  HAVING COUNT(DISTINCT l_orderkey) >= 2),
+e0 AS (
+  SELECT s1 AS a, s2 AS b FROM edges
+  UNION ALL SELECT s2, s1 FROM edges),
+d0 AS (SELECT a AS node, COUNT(*) AS deg FROM e0 GROUP BY a),
+k1 AS (SELECT node FROM d0 WHERE deg >= 3),
+e1 AS (
+  SELECT e.a, e.b FROM e0 e
+  WHERE e.a IN (SELECT node FROM k1) AND e.b IN (SELECT node FROM k1)),
+d1 AS (SELECT a AS node, COUNT(*) AS deg FROM e1 GROUP BY a),
+k2 AS (SELECT node FROM d1 WHERE deg >= 3),
+e2 AS (
+  SELECT e.a, e.b FROM e1 e
+  WHERE e.a IN (SELECT node FROM k2) AND e.b IN (SELECT node FROM k2)),
+d2 AS (SELECT a AS node, COUNT(*) AS deg FROM e2 GROUP BY a),
+k3 AS (SELECT node FROM d2 WHERE deg >= 3),
+e3 AS (
+  SELECT e.a, e.b FROM e2 e
+  WHERE e.a IN (SELECT node FROM k3) AND e.b IN (SELECT node FROM k3)),
+d3 AS (SELECT a AS node, COUNT(*) AS deg FROM e3 GROUP BY a)
+SELECT node, CAST(deg AS BIGINT) AS core_degree
+FROM d3 WHERE deg >= 3
+ORDER BY core_degree DESC, node
+"""
+
+
+@query(
+    "l17_kcore", _L17_ORACLE,
+    doc="k-core decomposition: 3 unrolled peel rounds (k=3) over the "
+        "co-supplier graph — one degree groupBy + two endpoint "
+        "semi-joins per round, narrow node-list state, survivors "
+        "reported with their in-core degree",
+)
+def l17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("r_okey"), F.col("l_suppkey").alias("sb")
+    )
+    edges = (
+        li.join(
+            right,
+            (F.col("l_orderkey") == F.col("r_okey"))
+            & (F.col("l_suppkey") < F.col("sb")),
+        )
+        .select(
+            F.col("l_suppkey").alias("s1"),
+            F.col("sb").alias("s2"),
+            "l_orderkey",
+        )
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("s1", "s2")
+    )
+    und = edges.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b")
+    ).unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
+    for _ in range(3):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= 3).select(F.col("a").alias("node"))
+        und = (
+            und.join(keep, und.a == keep.node, "left_semi")
+            .join(
+                keep.withColumnRenamed("node", "node_b"),
+                und.b == F.col("node_b"),
+                "left_semi",
+            )
+        )
+    d3 = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    return (
+        d3.filter(F.col("core_degree") >= 3)
+        .select(F.col("a").alias("node"), "core_degree")
+        .orderBy(F.col("core_degree").desc(), "node")
+    )
+
+
+# --- b14: JOB chain with MIN aggregates at both ends ------------------------
+# JOB's signature answer shape (e.g. 33a/17a): MIN() over several string
+# columns from DIFFERENT tables of a join chain, with selective LIKE /
+# IN filters applied at BOTH ends and the middle — the optimizer test
+# is picking a join order that lets each filter cut the chain before
+# the next hop (Leis et al., "How Good Are Query Optimizers, Really?",
+# VLDB'15). Re-authored on TPC-H: part(p_name LIKE) ⋈ lineitem ⋈
+# orders(priority prefix) ⋈ customer ⋈ nation(IN). The two dimension
+# filters are pushed scans; nation is broadcast; the MINs are
+# map-side-combinable so the chain never materialises wide rows.
+
+_B14_ORACLE = """
+SELECT MIN(p.p_name) AS min_part,
+       MIN(c.c_name) AS min_customer,
+       MIN(CAST(o.o_orderdate AS VARCHAR)) AS min_orderdate,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE p.p_name LIKE '%green%'
+  AND (o.o_orderpriority LIKE '1%' OR o.o_orderpriority LIKE '2%')
+  AND n.n_name IN ('FRANCE', 'GERMANY', 'ROMANIA')
+"""
+
+
+@query(
+    "b14_job_chain_mins", _B14_ORACLE,
+    doc="JOB chain shape: MIN() over string columns from three different "
+        "tables of a 5-table chain, selective filters at both ends and "
+        "the middle — broadcast dims, map-side-combinable MINs",
+)
+def b14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%green%")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").like("1%")
+        | F.col("o_orderpriority").like("2%")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("FRANCE", "GERMANY", "ROMANIA")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("c_name").alias("min_customer"),
+            F.min(F.col("o_orderdate").cast("string")).alias("min_orderdate"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- ds44: TPC-DS Q21 shape — pivot-date split with ratio band --------------
+# Template (`benchmark/tpcds/query21.tpl`): per (warehouse, item), sum
+# inventory before vs after a pivot date and keep rows whose
+# after/before ratio lies in [2/3, 3/2] — the "did the stock level move
+# too much around the event?" audit. Re-authored on TPC-H lineitem:
+# per (supplier, part), quantity shipped in the 30 days before vs
+# after 1995-06-15. The band predicate is evaluated by integer
+# cross-multiplication (2*after <= 3*before AND 2*before <= 3*after) —
+# no float division anywhere — and it needs BOTH sums, so it sits
+# above the single conditional-aggregation groupBy (one fact scan, one
+# shuffle, the pushed date range cuts the scan first).
+
+_DS44_ORACLE = """
+SELECT l_suppkey, l_partkey,
+       CAST(SUM(CASE WHEN l_shipdate <  DATE '1995-06-15'
+                THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS qty_before,
+       CAST(SUM(CASE WHEN l_shipdate >= DATE '1995-06-15'
+                THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS qty_after
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-05-16' AND l_shipdate < DATE '1995-07-15'
+GROUP BY l_suppkey, l_partkey
+HAVING SUM(CASE WHEN l_shipdate < DATE '1995-06-15'
+            THEN CAST(l_quantity AS BIGINT) ELSE 0 END) > 0
+   AND SUM(CASE WHEN l_shipdate >= DATE '1995-06-15'
+            THEN CAST(l_quantity AS BIGINT) ELSE 0 END) > 0
+   AND 2 * SUM(CASE WHEN l_shipdate >= DATE '1995-06-15'
+               THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+       <= 3 * SUM(CASE WHEN l_shipdate < DATE '1995-06-15'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+   AND 2 * SUM(CASE WHEN l_shipdate < DATE '1995-06-15'
+               THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+       <= 3 * SUM(CASE WHEN l_shipdate >= DATE '1995-06-15'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+ORDER BY l_suppkey, l_partkey
+LIMIT 100
+"""
+
+
+@query(
+    "ds44_pivot_date_band", _DS44_ORACLE,
+    doc="TPC-DS Q21 shape: per-key sums before/after a pivot date from "
+        "ONE conditional-aggregation scan, [2/3, 3/2] ratio band via "
+        "integer cross-multiplication HAVING, pushed date range",
+)
+def ds44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-05-16"))
+        & (F.col("l_shipdate") < F.lit("1995-07-15"))
+    )
+    q = F.col("l_quantity").cast("long")
+    pivot = F.col("l_shipdate") < F.lit("1995-06-15")
+    g = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(pivot, q).otherwise(F.lit(0)))
+        .cast("long").alias("qty_before"),
+        F.sum(F.when(~pivot, q).otherwise(F.lit(0)))
+        .cast("long").alias("qty_after"),
+    )
+    return (
+        g.filter(
+            (F.col("qty_before") > 0)
+            & (F.col("qty_after") > 0)
+            & (2 * F.col("qty_after") <= 3 * F.col("qty_before"))
+            & (2 * F.col("qty_before") <= 3 * F.col("qty_after"))
+        )
+        .orderBy("l_suppkey", "l_partkey")
+        .limit(100)
+    )
+
+
+# --- ds45: TPC-DS Q49 shape — per-channel worst-ratio ranks -----------------
+# Template (`benchmark/tpcds/query49.tpl`): within each sales channel,
+# rank items by return ratio and keep the worst k. Re-authored on
+# TPC-H: channel = order priority class (the fact joins its order row
+# for the channel attribute, the Q49 "channel = which fact table"
+# analogue), item = part, return ratio = returned / shipped quantity
+# (l_returnflag='R') in integer ppm so the rank order is engine-exact.
+# One fact scan, one equi-join keyed on the fact's order key, ONE
+# grouped aggregate, then a partitioned window on the post-aggregate
+# (channel, part) grain — three ranked slices from one window pass,
+# never three scans.
+
+_DS45_ORACLE = """
+WITH g AS (
+  SELECT substr(o.o_orderpriority, 1, 1) AS channel, l.l_partkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_all,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                  THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS qty_ret
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority LIKE '1%' OR o.o_orderpriority LIKE '2%'
+     OR o.o_orderpriority LIKE '3%'
+  GROUP BY substr(o.o_orderpriority, 1, 1), l.l_partkey
+  HAVING SUM(CAST(l.l_quantity AS BIGINT)) >= 100),
+r AS (
+  SELECT channel, l_partkey, qty_all, qty_ret,
+         CAST((1000000 * qty_ret) // qty_all AS BIGINT) AS ret_ppm,
+         ROW_NUMBER() OVER (
+           PARTITION BY channel
+           ORDER BY (1000000 * qty_ret) // qty_all DESC, l_partkey) AS rnk
+  FROM g)
+SELECT channel, l_partkey, qty_all, qty_ret, ret_ppm,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10
+ORDER BY channel, rnk
+"""
+
+
+@query(
+    "ds45_channel_worst_ratio", _DS45_ORACLE,
+    doc="TPC-DS Q49 shape: per-channel worst return-ratio top-k from ONE "
+        "fact scan + ONE grouped aggregate + ONE partitioned window — "
+        "integer-ppm ratio so rank order is engine-exact",
+)
+def ds45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").like("1%")
+        | F.col("o_orderpriority").like("2%")
+        | F.col("o_orderpriority").like("3%")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).alias("channel"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(q).cast("long").alias("qty_all"),
+            F.sum(F.when(F.col("l_returnflag") == "R", q).otherwise(F.lit(0)))
+            .cast("long").alias("qty_ret"),
+        )
+        .filter(F.col("qty_all") >= 100)
+    )
+    r = g.select(
+        "channel", "l_partkey", "qty_all", "qty_ret",
+        F.expr("CAST((1000000 * qty_ret) DIV qty_all AS BIGINT)")
+        .alias("ret_ppm"),
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            Window.partitionBy("channel").orderBy(
+                F.col("ret_ppm").desc(), "l_partkey"
+            )
+        )
+        .cast("long"),
+    )
+    return r.filter(F.col("rnk") <= 10).orderBy("channel", "rnk")

@@ -4511,3 +4511,179 @@ def m08(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents_as_audio_assets(docs), win=64, hop=32
     )
     return frames.orderBy("asset_id", "frame_idx")
+
+
+# --- t20: BPE merge application (tokenizer encode, pure JVM strings) --------
+# The tokenization step every training-data pipeline runs last: apply a
+# byte-pair-encoding merge table to raw text and count the resulting
+# tokens (Sennrich et al. '16). The merge loop is expressed WITHOUT any
+# Python UDF: each symbol is '/'-prefixed ("there" -> "/t/h/e/r/e"), so
+# a merge (x, y) is the plain string replace '/x/y' -> '/xy' — the
+# prefix marker makes every match an exact symbol-pair match (symbols
+# never contain '/', so '/h/e' cannot match inside '/th/e') and
+# left-to-right replace-all IS the greedy disjoint-pair BPE pass. Eight
+# merges are applied in table order as a chain of replace() calls —
+# all whole-stage-codegen JVM string ops, embarrassingly parallel,
+# zero shuffle until the final ORDER BY; the merge chain ('t h' -> th,
+# 'th e' -> the) exercises merges that only fire on the OUTPUT of
+# earlier merges. Token count = '/' count; the encoded string itself is
+# emitted so the oracle hash pins the exact merge semantics, not just
+# the counts. Reference anchor: the reference's string-function family
+# (components/sql function registry); the merge table here is a fixed
+# fixture — a learned table is a broadcast map, same plan shape.
+
+_T20_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+_T20_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                1, 24) AS w
+  FROM documents),
+e AS (
+  SELECT doc_id, w, regexp_replace(w, '(.)', '/\\1', 'g') AS s0
+  FROM c WHERE length(w) > 0),
+m AS (
+  SELECT doc_id, length(w) AS nsym,
+         replace(replace(replace(replace(replace(replace(replace(replace(
+           s0, '/t/h', '/th'), '/th/e', '/the'), '/i/n', '/in'),
+           '/a/n', '/an'), '/an/d', '/and'), '/e/r', '/er'),
+           '/o/n', '/on'), '/r/e', '/re') AS enc
+  FROM e)
+SELECT doc_id,
+       CAST(nsym AS BIGINT) AS n_symbols_before,
+       CAST(length(enc) - length(replace(enc, '/', '')) AS BIGINT)
+         AS n_tokens,
+       CAST((10000 * (length(enc) - length(replace(enc, '/', ''))))
+            // nsym AS BIGINT) AS compression_bp,
+       enc AS encoded
+FROM m ORDER BY doc_id
+"""
+
+
+@query(
+    "t20_bpe_apply", _T20_ORACLE,
+    doc="BPE tokenizer encode as pure JVM string ops: '/'-prefixed "
+        "symbols make each merge a plain replace-all (no UDF, no "
+        "shuffle), 8-merge chain incl. merges that fire on earlier "
+        "merge output; encoded string + token counts hash-pinned",
+)
+def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        F.substring(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")
+            ),
+            1, 24,
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    enc = F.regexp_replace(F.col("w"), "(.)", "/$1")
+    for x, y in _T20_MERGES:
+        enc = F.call_function(
+            "replace", enc, F.lit(f"/{x}/{y}"), F.lit(f"/{x}{y}")
+        )
+    m = c.select(
+        "doc_id",
+        F.length("w").cast("long").alias("n_symbols_before"),
+        enc.alias("enc"),
+    )
+    n_tokens = (
+        F.length("enc")
+        - F.length(F.call_function("replace", F.col("enc"), F.lit("/")))
+    ).cast("long")
+    return m.select(
+        "doc_id",
+        "n_symbols_before",
+        n_tokens.alias("n_tokens"),
+        F.expr(
+            "CAST((10000 * (length(enc) - length(replace(enc, '/')))) "
+            "DIV n_symbols_before AS BIGINT)"
+        ).alias("compression_bp"),
+        F.col("enc").alias("encoded"),
+    ).orderBy("doc_id")
+
+
+# --- p10: epoch shard shuffle (deterministic training order) ----------------
+# The step between "corpus is clean" and "feed the trainer": fix a
+# global, seeded, reproducible training order and cut it into N
+# worker shards with EXACT balance (shard sizes differ by at most 1 —
+# round-robin over the seeded rank). md5(seed || doc_id) is the
+# permutation; rank round-robin (rn-1) % 16 is the shard assignment,
+# so every epoch/restart/worker re-derives the identical order with no
+# coordination state. The gate emits per-shard size, char mass, and the
+# first/last documents in shard order, plus a balance flag computed
+# over all shards — pinning both the permutation and the exactness of
+# the balance guarantee. Certification shape: a single global
+# ROW_NUMBER orders the corpus (fine at gate SF); the documented
+# production path replaces the global window with repartitionByRange
+# on the md5 key + per-partition offsets (the p04 two-level pattern) —
+# same assignment, no single-partition sort.
+
+_P10_ORACLE = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents),
+s AS (SELECT doc_id, n_chars, rn, (rn - 1) % 16 AS shard FROM r),
+a AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         MIN(rn) AS min_rn, MAX(rn) AS max_rn
+  FROM s GROUP BY shard)
+SELECT a.shard, a.n_docs, a.sum_chars,
+       f.doc_id AS first_doc, l.doc_id AS last_doc,
+       (MAX(a.n_docs) OVER () - MIN(a.n_docs) OVER ()) <= 1 AS balanced
+FROM a JOIN s f ON f.rn = a.min_rn JOIN s l ON l.rn = a.max_rn
+ORDER BY a.shard
+"""
+
+
+@query(
+    "p10_epoch_shard_shuffle", _P10_ORACLE,
+    doc="seeded epoch shuffle + round-robin shard cut: md5 permutation, "
+        "exact-balance 16-way shard assignment (sizes differ <= 1, "
+        "flag asserted), per-shard boundaries hash-pinned",
+)
+def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "doc_id", "n_chars",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("rn"),
+    )
+    s = r.withColumn("shard", F.pmod(F.col("rn") - 1, F.lit(16)))
+    a = s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("rn").alias("min_rn"),
+        F.max("rn").alias("max_rn"),
+    )
+    first = s.select(F.col("rn").alias("f_rn"), F.col("doc_id").alias("first_doc"))
+    last = s.select(F.col("rn").alias("l_rn"), F.col("doc_id").alias("last_doc"))
+    w_all = Window.partitionBy()
+    return (
+        a.join(first, a.min_rn == first.f_rn)
+        .join(last, a.max_rn == last.l_rn)
+        .select(
+            "shard", "n_docs", "sum_chars", "first_doc", "last_doc",
+            (
+                (F.max("n_docs").over(w_all) - F.min("n_docs").over(w_all))
+                <= 1
+            ).alias("balanced"),
+        )
+        .orderBy("shard")
+    )

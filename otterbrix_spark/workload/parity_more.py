@@ -1289,3 +1289,58 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "v",
     ).orderBy("l_returnflag", "metric")
+
+
+# --- q96: posexplode / UNNEST WITH ORDINALITY parity -------------------------
+# PG/SQL-standard UNNEST ... WITH ORDINALITY gives each array element
+# its 1-based position — the ordinal is load-bearing (token position,
+# ranked prefs) so the parity must pin the NUMBERING, not just the set
+# of elements. Spark's native form is posexplode (0-based, +1 here);
+# the oracle indexes the array with generate_series(1, len(a)) —
+# DuckDB's 1-based subscript — so both engines derive the ordinal
+# independently (scalar generate_series list + parallel unnest
+# positional zip). Ordinals are
+# certified by value: the gate emits (doc_id, ord, token, token_len)
+# per element over the first 6 whitespace tokens of a deterministic
+# doc slice. Lateral explode keeps this embarrassingly parallel — no
+# shuffle until the final ORDER BY.
+
+_Q96_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_slice(string_split_regex(trim(text), '\\s+'), 1, 6) AS a
+  FROM documents WHERE doc_id % 37 = 0),
+u AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(a))) AS ord,
+         unnest(a) AS token
+  FROM d)
+SELECT doc_id, CAST(ord AS BIGINT) AS ord, token,
+       CAST(length(token) AS BIGINT) AS token_len
+FROM u
+ORDER BY doc_id, ord
+"""
+
+
+@query(
+    "q96_posexplode_ordinality", _Q96_ORACLE,
+    doc="UNNEST WITH ORDINALITY parity: Spark posexplode (0-based, +1) "
+        "vs DuckDB 1-based array subscripts via generate_series — the "
+        "ordinal NUMBERING is hash-pinned per element, lateral explode "
+        "with no pre-ORDER shuffle",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 37 == 0
+    )
+    d = docs.select(
+        "doc_id",
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 6).alias("a"),
+    )
+    u = d.select("doc_id", F.posexplode("a").alias("pos", "token"))
+    return u.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("ord"),
+        "token",
+        F.length("token").cast("long").alias("token_len"),
+    ).orderBy("doc_id", "ord")

@@ -2826,3 +2826,112 @@ def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# sk11: AMS "tug-of-war" second-moment (F2) sketch — the last classic
+# mergeable sketch missing from the family (KMV sk01-04, CMS sk05/sk10,
+# histogram sk06, Bloom sk07, HLL sk08/09). F2 = sum over keys of
+# count^2 drives self-join size estimation (the optimizer statistic the
+# reference's planner keeps per column) and skew detection. Each of
+# d=8 estimators keeps ONE counter: the +/-1 md5-sign-weighted sum of
+# the stream; E[S_r^2] = F2 exactly (Alon-Matias-Szegedy '96). The
+# sketch state is 8 integers at ANY stream size, built by one
+# map-side-combinable groupBy, and merges across shards/retries by
+# addition (signs are value-deterministic). Estimate = median of the
+# squares, taken exactly as the g10 doubled-units trick (sum of the two
+# middle order statistics of 8 = median in 2x units, pure integer).
+# The gate emits each estimator's counter and square plus the exact F2,
+# so the driver hash pins the full register state, not just the
+# estimate. No one-sided guarantee exists for AMS (unlike CMS sk10),
+# so none is asserted; accuracy is the documented 1/sqrt(8) relative
+# error in expectation. Reference anchor: per-column statistics
+# collectors in the reference planner (components/statistics).
+
+_SK11_ORACLE = """
+WITH s AS (SELECT CAST(o_custkey AS VARCHAR) AS v, o_custkey FROM orders),
+signs AS (
+  SELECT r.r AS r,
+         CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || v),
+                    1, 15))::BIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS sg
+  FROM s, generate_series(0, 7) r(r)),
+est AS (SELECT r, CAST(SUM(sg) AS BIGINT) AS s_r FROM signs GROUP BY r),
+x AS (SELECT r, s_r, s_r * s_r AS x_r FROM est),
+tru AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS f2_true
+  FROM (SELECT COUNT(*) AS c FROM s GROUP BY o_custkey)),
+med AS (
+  SELECT CAST(SUM(x_r) AS BIGINT) AS med2_estimate
+  FROM (SELECT x_r, ROW_NUMBER() OVER (ORDER BY x_r, r) AS rn FROM x)
+  WHERE rn IN (4, 5))
+SELECT x.r, x.s_r, CAST(x.x_r AS BIGINT) AS x_r,
+       med.med2_estimate, tru.f2_true
+FROM x, med, tru
+ORDER BY x.r
+"""
+
+
+@query(
+    "sk11_ams_f2", _SK11_ORACLE,
+    doc="AMS tug-of-war F2 sketch: 8 md5-signed one-counter estimators "
+        "from one map-side-combinable groupBy (mergeable by addition), "
+        "exact-integer median-of-squares estimate in doubled units, "
+        "register state hash-pinned against the exact F2",
+)
+def sk11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        "o_custkey", F.col("o_custkey").cast("string").alias("v")
+    )
+    rows = s.select(
+        "v",
+        F.explode(F.expr("sequence(0, 7)")).alias("r"),
+    )
+    sg = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"), F.lit(":"), F.col("v")
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    est = (
+        rows.withColumn("sg", sg)
+        .groupBy("r")
+        .agg(F.sum("sg").cast("long").alias("s_r"))
+    )
+    x = est.select(
+        "r", "s_r", (F.col("s_r") * F.col("s_r")).alias("x_r")
+    )
+    tru = (
+        s.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_true"))
+    )
+    from pyspark.sql import Window
+
+    med = (
+        x.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("x_r"), F.col("r"))),
+        )
+        .filter(F.col("rn").isin(4, 5))
+        .agg(F.sum("x_r").cast("long").alias("med2_estimate"))
+    )
+    # med and tru are single-row frames -> broadcast cross joins
+    return (
+        x.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(tru))
+        .select("r", "s_r", "x_r", "med2_estimate", "f2_true")
+        .orderBy("r")
+    )
