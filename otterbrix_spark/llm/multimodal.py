@@ -676,3 +676,47 @@ def frame_audio(
             )
 
     return assets.select("asset_id", "payload").mapInPandas(run, schema)
+
+
+def augment_flip_crop(assets: DataFrame, crop: int = 16) -> DataFrame:
+    """Deterministic image augmentation — horizontal flip + center crop —
+    the two transforms every vision training loader applies (random
+    variants differ only in the offset/flag source; a seeded-hash column
+    drives them at scale with the identical plan). Arrow-batched
+    ``mapInPandas`` over REAL PPM decode: payloads never leave the
+    executors, the shuffle carries only narrow (asset, dims, channel
+    sums) rows. Crop is ``min(crop, w) x min(crop, h)`` centered with
+    floor offsets, so every output statistic is closed-form predictable
+    on a gradient corpus."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: list[tuple] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, px = _decode_ppm_pixels(bytes(payload))
+                px = px[:, ::-1, :]  # horizontal flip
+                cw, ch = min(crop, w), min(crop, h)
+                x0, y0 = (w - cw) // 2, (h - ch) // 2
+                tile = px[y0 : y0 + ch, x0 : x0 + cw]
+                sums = tile.sum(axis=(0, 1), dtype=np.int64)
+                out.append(
+                    (int(aid), cw, ch, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return assets.mapInPandas(run, schema)

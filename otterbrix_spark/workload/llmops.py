@@ -4687,3 +4687,60 @@ def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- m09: deterministic augmentation (flip + center crop) -------------------
+# The vision-loader transform pair (horizontal flip, center crop) run as
+# real pixel work: Arrow mapInPandas decodes each PPM, flips the pixel
+# array, crops min(16, dim) centered, and emits exact channel sums —
+# payloads never leave executors, narrow rows shuffle. The gradient
+# corpus (pixel (x,y) = (r0+x, g0+y, b0)) makes every post-flip,
+# post-crop statistic a closed-form arithmetic series: after hflip the
+# red value at output column x is r0 + (w-1-x), so the oracle certifies
+# the REAL decoder + flip + crop against pure SQL (the series sums are
+# sums of consecutive integers — // 2 is exact). Random-augmentation
+# variants differ only in sourcing offsets/flags from a seeded hash
+# column; plan shape identical.
+
+_M09_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         1 + (doc_id * 13) % 64 AS w,
+         1 + (doc_id * 7) % 64 AS h,
+         doc_id % 128 AS r0,
+         (doc_id * 3) % 128 AS g0,
+         (doc_id * 7) % 256 AS b0
+  FROM documents),
+c AS (
+  SELECT doc_id, w, h, r0, g0, b0,
+         LEAST(16, w) AS cw, LEAST(16, h) AS ch,
+         (w - LEAST(16, w)) // 2 AS x0,
+         (h - LEAST(16, h)) // 2 AS y0
+  FROM d)
+SELECT doc_id AS asset_id,
+       CAST(cw AS INTEGER) AS out_w,
+       CAST(ch AS INTEGER) AS out_h,
+       CAST(ch * (cw * (r0 + w - 1) - (cw * (2 * x0 + cw - 1)) // 2)
+            AS BIGINT) AS sum_r,
+       CAST(cw * (ch * g0 + (ch * (2 * y0 + ch - 1)) // 2)
+            AS BIGINT) AS sum_g,
+       CAST(cw * ch * b0 AS BIGINT) AS sum_b
+FROM c ORDER BY asset_id
+"""
+
+
+@query(
+    "m09_augment_flip_crop", _M09_ORACLE,
+    doc="image augmentation (hflip + center crop) via Arrow mapInPandas "
+        "over real PPM decode: exact post-transform channel sums vs a "
+        "closed-form arithmetic-series oracle",
+)
+def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.multimodal import (
+        augment_flip_crop,
+        documents_as_gradient_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = augment_flip_crop(documents_as_gradient_assets(docs), crop=16)
+    return aug.orderBy("asset_id")

@@ -1556,3 +1556,79 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         "r", "c", F.col("count").alias("counter")
     ).orderBy("r", "c")
+
+
+# --- s23: stream-stream FULL OUTER band join ---------------------------------
+# The last stream-stream join mode (s05 inner, s15 left outer): FULL
+# OUTER must hold state on BOTH sides and emit null-padded rows for
+# unmatched purchases AND unmatched clicks, each only once its side's
+# watermark closes the band. The landing dir is time-sorted slices +
+# two far-future sentinel files so availableNow advances both
+# watermarks past the corpus tail and flushes both outer buffers (the
+# second sentinel turns the crank on state the first one released).
+# Hash-matched against the batch FULL JOIN; the run is asserted
+# multi-batch. Keys are coalesced across sides (right-only rows carry a
+# NULL left key), which is also how the sentinel rows are filtered out.
+
+_S23_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM p FULL JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts
+ AND c.ts <= p.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query(
+    "s23_streaming_full_outer", _S23_ORACLE,
+    doc="streaming certification: stream-stream FULL OUTER band join — "
+        "state held and flushed on BOTH sides as watermarks close the "
+        "band; sentinel slices drain both outer buffers; hash-matched "
+        "against the batch FULL JOIN",
+)
+def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=3)
+    _append_sentinel_slices(spark, sf_dir, landing, ("purchase", "click"))
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+
+    def side(typ: str, idcol: str) -> DataFrame:
+        return stream.filter(F.col("event_type") == typ).select(
+            F.col("user_id"), F.col("event_id").alias(idcol), F.col("ts")
+        )
+
+    left = side("purchase", "purchase_id").withWatermark("ts", "2 hours")
+    right = (
+        side("click", "click_id")
+        .withColumnRenamed("ts", "r_ts")
+        .withColumnRenamed("user_id", "r_user")
+        .withWatermark("r_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = r_user AND r_ts >= ts "
+            "AND r_ts <= ts + INTERVAL 30 MINUTE"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce("user_id", "r_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+    )
+    name = f"s23_fouter_{uuid.uuid4().hex[:8]}"
+    result, n_batches, _stats = run_available_now_counted(
+        joined, name, timeout_s=180.0, output_mode="append"
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"s23 ran only {n_batches} input micro-batches"
+        )
+    return result.filter(F.col("user_id") >= 0)
