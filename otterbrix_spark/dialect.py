@@ -528,6 +528,159 @@ def _rewrite_generate_series(body: str) -> str:
         body = body[:start] + new + body[end:]
 
 
+def _scan_balanced(body: str, i: int) -> int:
+    """Given ``body[i] == '('``, return the index JUST PAST the matching
+    close paren (strings are already protected, so parens are real)."""
+    depth = 0
+    while i < len(body):
+        if body[i] == "(":
+            depth += 1
+        elif body[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return len(body)
+
+
+def _split_commas_top(text: str) -> list[str]:
+    """Split on top-level commas (paren-depth 0; strings protected)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return parts
+
+
+_EXTRACT_PG_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(EPOCH|ISODOW)\s+FROM\b", re.IGNORECASE
+)
+
+
+def _rewrite_extract_pg(body: str) -> str:
+    """Lower the PG EXTRACT fields Spark refuses outright:
+
+    - ``EPOCH`` — seconds since 1970 including the fractional part
+      (PG returns numeric): ``unix_micros(CAST(x AS TIMESTAMP)) /
+      1000000.0``. The µs count is < 2^53, so the double division is
+      exact at whole seconds and order-pinned elsewhere — an oracle
+      replaying the same two ops gets bit-identical values.
+    - ``ISODOW`` — ISO day of week, Monday=1..Sunday=7 (Spark's
+      ``dayofweek`` is Sunday=1): ``pmod(dayofweek(x) + 5, 7) + 1``.
+
+    Spark already accepts the other PG fields (DOW, DOY, WEEK, ...) with
+    matching semantics, so only these two are intercepted."""
+    while True:
+        m = _EXTRACT_PG_RE.search(body)
+        if m is None:
+            return body
+        open_i = body.index("(", m.start())
+        end = _scan_balanced(body, open_i)
+        inner = body[m.end():end - 1].strip()
+        field = m.group(1).upper()
+        if field == "EPOCH":
+            new = f"(unix_micros(CAST(({inner}) AS TIMESTAMP)) / 1000000.0)"
+        else:
+            new = f"(pmod(dayofweek(({inner})) + 5, 7) + 1)"
+        body = body[:m.start()] + new + body[end:]
+
+
+_OVERLAPS_RE = re.compile(r"\)\s*OVERLAPS\s*\(", re.IGNORECASE)
+
+
+def _rewrite_overlaps(body: str) -> str:
+    """Lower the SQL-standard ``(s1, e1) OVERLAPS (s2, e2)`` predicate
+    (PG grammar a_expr OVERLAPS rule; Spark has no such operator) to its
+    definition: each period is the half-open interval [least, greatest),
+    EXCEPT that a zero-length period is the single instant, which still
+    overlaps anything covering it — the full PG edge-case table:
+
+        CASE WHEN L1 = G1 AND L2 = G2 THEN L1 = L2
+             WHEN L1 = G1 THEN L1 >= L2 AND L1 < G2
+             WHEN L2 = G2 THEN L2 >= L1 AND L2 < G1
+             ELSE L1 < G2 AND L2 < G1 END
+
+    Only row-literal operands ``( a , b ) OVERLAPS ( c , d )`` are
+    rewritten (the only form PG's grammar accepts)."""
+    while True:
+        m = _OVERLAPS_RE.search(body)
+        if m is None:
+            return body
+        # walk LEFT from the ')' at m.start() to its matching open paren
+        depth, i = 0, m.start()
+        while i >= 0:
+            if body[i] == ")":
+                depth += 1
+            elif body[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        lhs_open = i
+        rhs_open = body.index("(", m.end() - 1)
+        rhs_end = _scan_balanced(body, rhs_open)
+        lhs_parts = _split_commas_top(body[lhs_open + 1:m.start()])
+        rhs_parts = _split_commas_top(body[rhs_open + 1:rhs_end - 1])
+        if lhs_open < 0 or len(lhs_parts) != 2 or len(rhs_parts) != 2:
+            raise ValueError(
+                "OVERLAPS expects (start, end) OVERLAPS (start, end)"
+            )
+        s1, e1 = (p.strip() for p in lhs_parts)
+        s2, e2 = (p.strip() for p in rhs_parts)
+        l1, g1 = f"least({s1}, {e1})", f"greatest({s1}, {e1})"
+        l2, g2 = f"least({s2}, {e2})", f"greatest({s2}, {e2})"
+        new = (
+            f"(CASE WHEN {l1} = {g1} AND {l2} = {g2} THEN {l1} = {l2} "
+            f"WHEN {l1} = {g1} THEN {l1} >= {l2} AND {l1} < {g2} "
+            f"WHEN {l2} = {g2} THEN {l2} >= {l1} AND {l2} < {g1} "
+            f"ELSE {l1} < {g2} AND {l2} < {g1} END)"
+        )
+        body = body[:lhs_open] + new + body[rhs_end:]
+
+
+_SELECT_INTO_HEAD_RE = re.compile(r"^\s*(WITH|SELECT)\b", re.IGNORECASE)
+_INTO_RE = re.compile(
+    r"\bINTO\s+(?:(?:TEMP|TEMPORARY|UNLOGGED)\s+)?(?:TABLE\s+)?([\w.]+)\s*",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_select_into(body: str) -> str:
+    """PG's ``SELECT ... INTO tbl FROM ...`` (grammar into_clause) is
+    CREATE TABLE AS with the target spliced mid-statement; lift it back
+    out so the catalog's CTAS path owns it. Only top-level (depth-0)
+    INTO inside a statement that STARTS with SELECT/WITH is touched —
+    INSERT INTO / MERGE INTO statements never match the head guard, and
+    PG itself rejects INTO in subqueries. TEMP/UNLOGGED degrade to a
+    plain managed table (session-scoped anyway here)."""
+    if not _SELECT_INTO_HEAD_RE.match(body):
+        return body
+    for m in _INTO_RE.finditer(body):
+        depth = body.count("(", 0, m.start()) - body.count(")", 0, m.start())
+        before = body[:m.start()].rstrip().upper()
+        # WITH-headed statements can still be INSERT INTO underneath
+        if depth == 0 and not before.endswith(("INSERT", "MERGE")):
+            tbl = m.group(1)
+            rest = body[:m.start()] + body[m.end():]
+            return f"CREATE TABLE {tbl} AS {rest.strip()}"
+    return body
+
+
+def _rewrite_order_using(body: str) -> str:
+    """PG's ``ORDER BY x USING <`` / ``USING >`` (operator-class sort;
+    grammar sortby rule) -> ASC / DESC. JOIN ... USING(...) never
+    matches — there USING is followed by a paren, not an operator."""
+    body = re.sub(r"\bUSING\s*<(?![<=>~])", "ASC", body, flags=re.IGNORECASE)
+    body = re.sub(r"\bUSING\s*>(?![<=>~])", "DESC", body, flags=re.IGNORECASE)
+    return body
+
+
 _FILTER_OVER_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE)
 
 
@@ -850,11 +1003,15 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
 
         return rewrite_ast(sql)
     body, lits = _protect_strings(sql)
+    body = _rewrite_select_into(body)
     body = _rewrite_fetch(body)
     body = _rewrite_filter_over(body)
     body = _rewrite_ordered_agg(body)
     body = _rewrite_generate_series(body)
     body = _rewrite_date_bin(body, lits)
+    body = _rewrite_extract_pg(body)
+    body = _rewrite_overlaps(body)
+    body = _rewrite_order_using(body)
     body = _rewrite_qualify(body)
     body = _rewrite_similar_to(body, lits)
 

@@ -44,11 +44,15 @@ from otterbrix_spark.dialect import (
     _protect_strings,
     _restore_strings,
     _rewrite_date_bin,
+    _rewrite_extract_pg,
     _rewrite_fetch,
     _rewrite_filter_over,
     _rewrite_generate_series,
+    _rewrite_order_using,
     _rewrite_ordered_agg,
+    _rewrite_overlaps,
     _rewrite_qualify,
+    _rewrite_select_into,
     _rewrite_similar_to,
 )
 
@@ -490,11 +494,15 @@ def rewrite_ast(sql: str) -> str:
     # QUALIFY (clause-level restructuring) and SIMILAR TO (pattern-literal
     # conversion) are shared with the regex mode — both operate on the
     # string-protected text, not on operators needing operand folding
-    qbody = _rewrite_fetch(body)
+    qbody = _rewrite_select_into(body)
+    qbody = _rewrite_fetch(qbody)
     qbody = _rewrite_filter_over(qbody)
     qbody = _rewrite_ordered_agg(qbody)
     qbody = _rewrite_generate_series(qbody)
     qbody = _rewrite_date_bin(qbody, lits)
+    qbody = _rewrite_extract_pg(qbody)
+    qbody = _rewrite_overlaps(qbody)
+    qbody = _rewrite_order_using(qbody)
     qbody = _rewrite_qualify(qbody)
     qbody = _rewrite_similar_to(qbody, lits)
     if qbody is not body:

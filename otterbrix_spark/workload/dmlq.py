@@ -863,3 +863,48 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attr")
     )
+
+
+# --- q99: SELECT INTO + ORDER BY ... USING -----------------------------------
+# Two PG grammar staples with no Spark equivalent, lowered by the
+# dialect in both modes: ``SELECT ... INTO tbl FROM ...`` (the CTAS
+# variant with the target spliced mid-statement — grammar into_clause;
+# lifted back out to CREATE TABLE AS so the catalog's managed-table
+# CTAS path owns it) and ``ORDER BY x USING <``/``USING >``
+# (operator-class sort -> ASC/DESC). The gate materialises a filtered
+# projection via SELECT INTO, then reads it back USING-ordered; the
+# oracle replays the plain relational equivalent directly against the
+# corpus — certifying that the managed table holds exactly the
+# selected rows.
+
+_Q99_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer WHERE c_acctbal > 9000
+ORDER BY bal_cents DESC, c_custkey
+LIMIT 50
+"""
+
+
+@query(
+    "q99_select_into_using", _Q99_ORACLE,
+    doc="PG SELECT INTO (-> catalog CTAS) + ORDER BY ... USING </> "
+        "(-> ASC/DESC), both dialect modes; managed table re-read and "
+        "hash-matched against the direct relational oracle",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS q99_top")
+    eng.sql(
+        "SELECT c_custkey, c_nationkey, "
+        "       CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents "
+        "INTO q99_top "
+        "FROM customer WHERE c_acctbal > 9000"
+    )
+    return eng.sql(
+        "SELECT c_custkey, c_nationkey, bal_cents FROM q99_top "
+        "ORDER BY bal_cents USING >, c_custkey USING < LIMIT 50"
+    )

@@ -1344,3 +1344,93 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.length("token").cast("long").alias("token_len"),
     ).orderBy("doc_id", "ord")
+
+
+# --- q97: EXTRACT(EPOCH) / EXTRACT(ISODOW) dialect lowering ------------------
+# Two PG EXTRACT fields Spark refuses outright ("Cannot extract `epoch`
+# ..."): EPOCH (seconds since 1970 incl. microsecond fraction — the
+# single most common PG time-to-number idiom) and ISODOW (Mon=1..Sun=7;
+# Spark's dayofweek is Sun=1). The dialect lowers both in both modes
+# (dialect.py::_rewrite_extract_pg): epoch = unix_micros / 1000000.0
+# (µs < 2^53, division order-pinned so the oracle replaying the same
+# two ops is bit-identical), isodow = pmod(dayofweek+5, 7)+1. The gate
+# groups the event stream by ISO weekday and sums floored epoch
+# seconds — both lowered fields load-bearing in one statement.
+
+_Q97_ORACLE = """
+SELECT CAST(extract(isodow FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+         AS isodow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0)
+                AS BIGINT)) AS BIGINT) AS epoch_sum
+FROM events GROUP BY 1 ORDER BY isodow
+"""
+
+
+@query(
+    "q97_extract_epoch_isodow", _Q97_ORACLE,
+    doc="PG EXTRACT(EPOCH)/EXTRACT(ISODOW) dialect lowering (both "
+        "modes): ISO-weekday histogram with floored epoch-second sums "
+        "vs DuckDB's native extract fields",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "otx_events_q97"
+    )
+    return eng.sql(
+        "SELECT CAST(EXTRACT(ISODOW FROM CAST(ts AS TIMESTAMP)) AS BIGINT) "
+        "         AS isodow, "
+        "       CAST(COUNT(*) AS BIGINT) AS n, "
+        "       CAST(SUM(CAST(FLOOR(EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP)))"
+        "                AS BIGINT)) AS BIGINT) AS epoch_sum "
+        "FROM otx_events_q97 GROUP BY 1 ORDER BY isodow"
+    )
+
+
+# --- q98: SQL-standard OVERLAPS predicate ------------------------------------
+# (s1, e1) OVERLAPS (s2, e2) — the PG/SQL-standard period-intersection
+# predicate Spark's parser rejects. The dialect expands it to the full
+# definitional CASE (half-open intervals, endpoint swap, zero-length
+# period = instant — PG's documented edge table) in both modes
+# (dialect.py::_rewrite_overlaps). The gate exercises the period form
+# in WHERE and the instant form in a conditional aggregate; the oracle
+# derives both predicates independently from the half-open definition,
+# so the hash certifies the semantics, not the rewrite's text.
+
+_Q98_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_period,
+       CAST(SUM(CASE WHEN o_orderdate >= DATE '1995-03-01'
+                      AND o_orderdate <  DATE '1995-04-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_instant
+FROM orders
+WHERE o_orderdate < DATE '1995-03-10'
+  AND DATE '1995-03-01' < o_orderdate + INTERVAL 20 DAY
+"""
+
+
+@query(
+    "q98_overlaps_predicate", _Q98_ORACLE,
+    doc="SQL-standard (s,e) OVERLAPS (s,e) lowered to the definitional "
+        "half-open CASE in both dialect modes — period form in WHERE, "
+        "instant form in a conditional aggregate, oracle derived "
+        "independently from the definition",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "otx_orders_q98"
+    )
+    return eng.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_period, "
+        "       CAST(SUM(CASE WHEN (o_orderdate, o_orderdate) OVERLAPS "
+        "                          (DATE '1995-03-01', DATE '1995-04-01') "
+        "                THEN 1 ELSE 0 END) AS BIGINT) AS n_instant "
+        "FROM otx_orders_q98 "
+        "WHERE (o_orderdate, o_orderdate + INTERVAL '20' DAY) OVERLAPS "
+        "      (DATE '1995-03-01', DATE '1995-03-10')"
+    )

@@ -550,3 +550,59 @@ def test_generate_series_semantics_on_spark(spark):
         rw("SELECT i FROM generate_series(2, 8, 3) AS t(i)")
     ).collect()
     assert sorted(r.i for r in rows) == [2, 5, 8]
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_extract_pg_lowered(mode):
+    out = rewrite("SELECT EXTRACT(EPOCH FROM ts) FROM t", mode=mode)
+    assert "unix_micros" in out and "1000000.0" in out
+    assert "EPOCH" not in out.upper()
+    out = rewrite("SELECT extract(isodow FROM d) FROM t", mode=mode)
+    assert "pmod(dayofweek((d)) + 5, 7) + 1" in out
+    # Spark-supported fields pass through untouched
+    src = "SELECT EXTRACT(DOW FROM ts), EXTRACT(YEAR FROM ts) FROM t"
+    assert rewrite(src, mode=mode) == src
+    # nested call operand
+    out = rewrite(
+        "SELECT EXTRACT(EPOCH FROM coalesce(a, b)) FROM t", mode=mode
+    )
+    assert "coalesce(a, b)" in out
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_overlaps_lowered(mode):
+    out = rewrite(
+        "SELECT 1 FROM t WHERE (a, b) OVERLAPS (c, d)", mode=mode
+    )
+    assert "OVERLAPS" not in out.upper()
+    assert "least(a, b)" in out and "greatest(c, d)" in out
+    assert out.count("CASE WHEN") == 1
+    # literal 'OVERLAPS' inside a string is untouched
+    src = "SELECT 'x OVERLAPS y' AS s FROM t"
+    assert rewrite(src, mode=mode) == src
+    with pytest.raises(ValueError, match="OVERLAPS"):
+        rewrite("SELECT 1 WHERE (a, b, c) OVERLAPS (d, e)", mode=mode)
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_select_into_lowered(mode):
+    out = rewrite(
+        "SELECT a, b INTO t2 FROM t WHERE a > 0", mode=mode
+    )
+    assert out == "CREATE TABLE t2 AS SELECT a, b FROM t WHERE a > 0"
+    out = rewrite("SELECT a INTO TEMP t3 FROM t", mode=mode)
+    assert out.startswith("CREATE TABLE t3 AS")
+    # INSERT INTO / MERGE INTO / subquery INTO-free forms untouched
+    src = "INSERT INTO t SELECT 1"
+    assert rewrite(src, mode=mode) == src
+    src = "SELECT a FROM t WHERE x IN (SELECT y FROM u)"
+    assert rewrite(src, mode=mode) == src
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_order_using_lowered(mode):
+    out = rewrite("SELECT a FROM t ORDER BY a USING >, b USING <", mode=mode)
+    assert out == "SELECT a FROM t ORDER BY a DESC, b ASC"
+    # JOIN ... USING(...) untouched
+    src = "SELECT * FROM a JOIN b USING (k)"
+    assert rewrite(src, mode=mode) == src
