@@ -6311,3 +6311,132 @@ def ds45(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return r.filter(F.col("rnk") <= 10).orderBy("channel", "rnk")
+
+
+# --- ds46: TPC-DS Q17 shape — coefficient-of-variation filter ---------------
+# Template (`benchmark/tpcds/query17.tpl`): per item, the mean and
+# standard deviation of quantity, keeping items whose coefficient of
+# variation (stdev/mean) exceeds a bound — the "erratic demand" report.
+# The float-free trick: with S = Σx, Q = Σx², sample variance
+# s² = (nQ - S²)/(n(n-1)) and CV > 1/2  ⇔  4n(nQ - S²) > (n-1)S² —
+# pure integer cross-multiplication (quantities ≤ 50, so nQ < 2^53 at
+# any realistic group size), evaluated as a HAVING over ONE map-side-
+# combinable (n, S, Q) moment aggregate per part. The same single-pass
+# moment shape a04 certifies for corr/stddev; here it gates rows.
+
+_DS46_ORACLE = """
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS q
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(*) >= 5
+   AND 4 * COUNT(*) * (COUNT(*) * SUM(CAST(l_quantity AS BIGINT)
+                                      * CAST(l_quantity AS BIGINT))
+                       - SUM(CAST(l_quantity AS BIGINT))
+                         * SUM(CAST(l_quantity AS BIGINT)))
+       > (COUNT(*) - 1) * SUM(CAST(l_quantity AS BIGINT))
+                        * SUM(CAST(l_quantity AS BIGINT))
+ORDER BY l_partkey
+LIMIT 100
+"""
+
+
+@query(
+    "ds46_cv_filter", _DS46_ORACLE,
+    doc="TPC-DS Q17 shape: coefficient-of-variation HAVING from ONE "
+        "(n, S, Q) moment aggregate — CV > 1/2 as the integer "
+        "cross-multiplication 4n(nQ - S^2) > (n-1)S^2, no floats",
+)
+def ds46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    g = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("long").alias("s"),
+        F.sum(x * x).cast("long").alias("q"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    return (
+        g.filter(
+            (n >= 5) & (4 * n * (n * q - s * s) > (n - 1) * s * s)
+        )
+        .select("l_partkey", n.cast("long").alias("n"), "s", "q")
+        .orderBy("l_partkey")
+        .limit(100)
+    )
+
+
+# --- c25: ClickBench URL path-hierarchy rollup -------------------------------
+# ClickBench's URL-hierarchy family (queries.sql Q22-Q27 operate on
+# URL/Referer structure): derive each hit's path depth and first path
+# segment, then report traffic by (segment, depth) with distinct-page
+# counts — the "site map by section" report. URLs are synthesised from
+# document columns exactly like c17's domain gate (same corpus contract)
+# with VARIABLE depth; depth = '/'-count via the length-difference
+# identity and segment via substring_index — byte-identical string
+# semantics on both engines, one scan, one groupBy.
+
+_C25_ORACLE = """
+WITH h AS (
+  SELECT '/' || lang || '/s' || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 3 > 0
+                 THEN '/p' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 3 = 2
+                 THEN '/v' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END
+           AS path
+  FROM documents),
+k AS (
+  SELECT path,
+         length(path) - length(replace(path, '/', '')) AS depth,
+         string_split(path, '/')[2] AS seg
+  FROM h)
+SELECT seg, CAST(depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(DISTINCT path) AS BIGINT) AS n_pages,
+       MIN(path) AS min_path
+FROM k GROUP BY seg, depth
+ORDER BY seg, depth
+"""
+
+
+@query(
+    "c25_url_path_hierarchy", _C25_ORACLE,
+    doc="ClickBench URL-hierarchy shape: path depth via '/'-count "
+        "length identity + first segment via substring_index, traffic "
+        "and distinct-page rollup by (segment, depth) — one scan, one "
+        "groupBy",
+)
+def c25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/"), F.col("lang"), F.lit("/s"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 > 0,
+            F.concat(F.lit("/p"), (F.col("doc_id") % 100).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(F.lit("/v"), (F.col("doc_id") % 10).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    k = docs.select(path.alias("path")).select(
+        "path",
+        (
+            F.length("path")
+            - F.length(F.call_function("replace", F.col("path"), F.lit("/")))
+        ).cast("long").alias("depth"),
+        F.split(F.col("path"), "/").getItem(1).alias("seg"),
+    )
+    return (
+        k.groupBy("seg", "depth")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.countDistinct("path").alias("n_pages"),
+            F.min("path").alias("min_path"),
+        )
+        .orderBy("seg", "depth")
+    )

@@ -2935,3 +2935,128 @@ def sk11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r", "s_r", "x_r", "med2_estimate", "f2_true")
         .orderBy("r")
     )
+
+
+# sk12: AMS join-size estimation — the reason AMS sketches exist in
+# query optimizers (Alon-Gibbons-Matias-Szegedy '99): for streams A and
+# B with per-key frequencies f_A, f_B, the SAME signed one-counter
+# estimators as sk11 satisfy E[S_A,r * S_B,r] = Σ_k f_A(k)·f_B(k) =
+# |A ⋈ B| — the equi-join cardinality, estimated from two 8-integer
+# register vectors without ever joining. This is the per-column
+# statistic a distributed planner ships between nodes to pick join
+# orders (the reference's planner statistics seam); both register
+# vectors here are one map-side-combinable groupBy over their stream,
+# mergeable by addition across shards/retries. A = all lineitems'
+# partkeys, B = returned ('R') lineitems' partkeys — overlapping keys
+# with different multiplicities; estimate = exact-integer median (g10
+# doubled-units trick) of the 8 estimator products (products can be
+# negative — the order statistics handle sign correctly), pinned
+# against the exact join size computed relationally.
+
+_SK12_ORACLE = """
+WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS v, l_partkey FROM lineitem),
+b AS (SELECT CAST(l_partkey AS VARCHAR) AS v, l_partkey FROM lineitem
+      WHERE l_returnflag = 'R'),
+sa AS (
+  SELECT r.r AS r,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR)
+                    || ':' || v), 1, 15))::BIGINT % 2 = 1
+              THEN 1 ELSE -1 END) AS BIGINT) AS sa_r
+  FROM a, generate_series(0, 7) r(r) GROUP BY r.r),
+sb AS (
+  SELECT r.r AS r,
+         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR)
+                    || ':' || v), 1, 15))::BIGINT % 2 = 1
+              THEN 1 ELSE -1 END) AS BIGINT) AS sb_r
+  FROM b, generate_series(0, 7) r(r) GROUP BY r.r),
+x AS (
+  SELECT sa.r, sa.sa_r, sb.sb_r, sa.sa_r * sb.sb_r AS prod_r
+  FROM sa JOIN sb ON sa.r = sb.r),
+tru AS (
+  SELECT CAST(SUM(ca * cb) AS BIGINT) AS true_join_size
+  FROM (SELECT l_partkey, COUNT(*) AS ca FROM a GROUP BY l_partkey) fa
+  JOIN (SELECT l_partkey, COUNT(*) AS cb FROM b GROUP BY l_partkey) fb
+    ON fa.l_partkey = fb.l_partkey),
+med AS (
+  SELECT CAST(SUM(prod_r) AS BIGINT) AS med2_estimate
+  FROM (SELECT prod_r, ROW_NUMBER() OVER (ORDER BY prod_r, r) AS rn FROM x)
+  WHERE rn IN (4, 5))
+SELECT x.r, x.sa_r, x.sb_r, CAST(x.prod_r AS BIGINT) AS prod_r,
+       med.med2_estimate, tru.true_join_size
+FROM x, med, tru
+ORDER BY x.r
+"""
+
+
+def _ams_registers(df, col: str, out: str):
+    """8-estimator AMS sign-sum register vector over ``df[col]`` — one
+    map-side-combinable groupBy; mergeable by addition (sk11's sign)."""
+    rows = df.select(
+        F.col(col).cast("string").alias("v"),
+        F.explode(F.expr("sequence(0, 7)")).alias("r"),
+    )
+    sg = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"), F.lit(":"), F.col("v")
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        rows.withColumn("sg", sg)
+        .groupBy("r")
+        .agg(F.sum("sg").cast("long").alias(out))
+    )
+
+
+@query(
+    "sk12_ams_join_size", _SK12_ORACLE,
+    doc="AMS join-cardinality estimation: |A JOIN B| from the dot "
+        "product of two 8-integer sign-sum register vectors (no join "
+        "executed) — exact-integer median of products vs the exact "
+        "relational join size",
+)
+def sk12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    sa = _ams_registers(a, "l_partkey", "sa_r")
+    sb = _ams_registers(b, "l_partkey", "sb_r")
+    x = sa.join(F.broadcast(sb), "r").select(
+        "r", "sa_r", "sb_r", (F.col("sa_r") * F.col("sb_r")).alias("prod_r")
+    )
+    fa = a.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ca"))
+    fb = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cb"))
+    tru = (
+        fa.join(fb, "l_partkey")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long")
+             .alias("true_join_size"))
+    )
+    from pyspark.sql import Window
+
+    med = (
+        x.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("prod_r"), F.col("r"))),
+        )
+        .filter(F.col("rn").isin(4, 5))
+        .agg(F.sum("prod_r").cast("long").alias("med2_estimate"))
+    )
+    return (
+        x.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(tru))
+        .select("r", "sa_r", "sb_r", "prod_r", "med2_estimate",
+                "true_join_size")
+        .orderBy("r")
+    )
