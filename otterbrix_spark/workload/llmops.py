@@ -4744,3 +4744,212 @@ def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     aug = augment_flip_crop(documents_as_gradient_assets(docs), crop=16)
     return aug.orderBy("asset_id")
+
+
+# --- e18: product quantization (PQ) ANN --------------------------------------
+# The memory-compression layer every 100 TB vector index ends with
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# PAMI'11; FAISS IVF-PQ): split each vector into B sub-blocks, train a
+# tiny codebook per block, store each vector as B small codes, and
+# answer queries with an Asymmetric Distance Computation (ADC) — the
+# query meets only the B x k codebook table, never the raw vectors.
+# Here: 16-dim prefix quantized to integers (floor(x*1000)), B=4 blocks
+# x 4 dims, k=4 centroids per block seeded from the 4 lowest vec_ids
+# and trained for ONE Lloyd iteration in pure integer arithmetic
+# (means via truncating integer division — Spark DIV and DuckDB //
+# agree on negatives), so the oracle replays training, assignment, and
+# ADC bit-for-bit. Scale shape: codebooks are B*k rows (broadcast
+# everywhere); the argmin is min(struct(dist, cid)) — map-side, never
+# a window over n*k wide rows (the d13/e07 lesson); storage per vector
+# drops 16 ints -> 4 codes (the 4x compression e06's int8 gate gives,
+# squared). The gate emits each vector's code word, its ADC estimate to
+# the query (lowest vec_id), and the exact distance — hash-pinning the
+# full trained index, not just the top-k set.
+
+_E18_ORACLE = """
+WITH e16 AS (
+  SELECT vec_id,
+         list_transform(embedding[1:16],
+                        x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+blocks AS (
+  SELECT vec_id, m.m AS m, q[4 * m.m + 1 : 4 * m.m + 4] AS vb
+  FROM e16, generate_series(0, 3) m(m)),
+seeds AS (
+  SELECT q, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM e16 ORDER BY vec_id LIMIT 4),
+sblocks AS (
+  SELECT cid, m.m AS m, q[4 * m.m + 1 : 4 * m.m + 4] AS sb
+  FROM seeds, generate_series(0, 3) m(m)),
+d0 AS (
+  SELECT b.vec_id, b.m, s.cid, b.vb,
+         (b.vb[1] - s.sb[1]) * (b.vb[1] - s.sb[1])
+       + (b.vb[2] - s.sb[2]) * (b.vb[2] - s.sb[2])
+       + (b.vb[3] - s.sb[3]) * (b.vb[3] - s.sb[3])
+       + (b.vb[4] - s.sb[4]) * (b.vb[4] - s.sb[4]) AS dist
+  FROM blocks b JOIN sblocks s ON b.m = s.m),
+a0 AS (
+  SELECT vec_id, m, cid, vb FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY dist, cid) AS rn FROM d0)
+  WHERE rn = 1),
+cu AS (
+  SELECT m, cid,
+         CAST(SUM(vb[1]) // COUNT(*) AS BIGINT) AS c1,
+         CAST(SUM(vb[2]) // COUNT(*) AS BIGINT) AS c2,
+         CAST(SUM(vb[3]) // COUNT(*) AS BIGINT) AS c3,
+         CAST(SUM(vb[4]) // COUNT(*) AS BIGINT) AS c4
+  FROM a0 GROUP BY m, cid),
+d1 AS (
+  SELECT b.vec_id, b.m, c.cid,
+         (b.vb[1] - c.c1) * (b.vb[1] - c.c1)
+       + (b.vb[2] - c.c2) * (b.vb[2] - c.c2)
+       + (b.vb[3] - c.c3) * (b.vb[3] - c.c3)
+       + (b.vb[4] - c.c4) * (b.vb[4] - c.c4) AS dist
+  FROM blocks b JOIN cu c ON b.m = c.m),
+a1 AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY dist, cid) AS rn FROM d1)
+  WHERE rn = 1),
+q0 AS (SELECT q FROM e16 ORDER BY vec_id LIMIT 1),
+q0b AS (
+  SELECT m.m AS m, q[4 * m.m + 1 : 4 * m.m + 4] AS qb
+  FROM q0, generate_series(0, 3) m(m)),
+qd AS (
+  SELECT c.m, c.cid,
+         (q.qb[1] - c.c1) * (q.qb[1] - c.c1)
+       + (q.qb[2] - c.c2) * (q.qb[2] - c.c2)
+       + (q.qb[3] - c.c3) * (q.qb[3] - c.c3)
+       + (q.qb[4] - c.c4) * (q.qb[4] - c.c4) AS qdist
+  FROM cu c JOIN q0b q ON q.m = c.m),
+adc AS (
+  SELECT a.vec_id,
+         CAST(SUM(qd.qdist) AS BIGINT) AS adc_dist,
+         string_agg(CAST(a.code AS VARCHAR), '-' ORDER BY a.m) AS codes
+  FROM a1 a JOIN qd ON qd.m = a.m AND qd.cid = a.code
+  GROUP BY a.vec_id),
+exu AS (
+  SELECT vec_id, unnest(q) AS x, unnest((SELECT q FROM q0)) AS y
+  FROM e16),
+ex AS (
+  SELECT vec_id, CAST(SUM((x - y) * (x - y)) AS BIGINT) AS exact_dist
+  FROM exu GROUP BY vec_id)
+SELECT a.vec_id, a.codes, a.adc_dist, e.exact_dist
+FROM adc a JOIN ex e USING (vec_id)
+ORDER BY a.adc_dist, a.vec_id
+LIMIT 15
+"""
+
+_E18_BDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "e18_product_quantization", _E18_ORACLE,
+    doc="PQ-ANN: 4x4-dim blocks, per-block integer-trained codebooks "
+        "(1 Lloyd iteration, truncating-div means), ADC query via the "
+        "broadcast B x k distance table — code words, ADC estimates and "
+        "exact distances all hash-pinned",
+)
+def e18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e16 = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(slice(embedding, 1, 16), "
+            "x -> CAST(FLOOR(x * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    blocks = e16.select(
+        "vec_id",
+        F.explode(F.expr("sequence(0, 3)")).alias("m"),
+        "q",
+    ).select(
+        "vec_id", "m",
+        F.expr("slice(q, 4 * m + 1, 4)").alias("vb"),
+    )
+    seeds = (
+        e16.orderBy("vec_id").limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            "q",
+        )
+    )
+    sblocks = seeds.select(
+        "cid",
+        F.explode(F.expr("sequence(0, 3)")).alias("m"),
+        "q",
+    ).select("cid", "m", F.expr("slice(q, 4 * m + 1, 4)").alias("sb"))
+    dist0 = F.expr(_E18_BDIST.format(a="vb", b="sb"))
+    a0 = (
+        blocks.join(F.broadcast(sblocks), "m")
+        .select("vec_id", "m", F.struct(dist0.alias("d"), "cid", "vb").alias("s"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "m", F.col("s.cid").alias("cid"),
+                F.col("s.vb").alias("vb"))
+    )
+    cu = (
+        a0.select("m", "cid", F.posexplode("vb").alias("pos", "x"))
+        .groupBy("m", "cid", "pos")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cval", F.expr("sx DIV cnt"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cb")
+        )
+    )
+    dist1 = F.expr(_E18_BDIST.format(a="vb", b="cb"))
+    a1 = (
+        blocks.join(F.broadcast(cu), "m")
+        .select("vec_id", "m", F.struct(dist1.alias("d"), "cid").alias("s"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "m", F.col("s.cid").alias("code"))
+    )
+    q0 = e16.orderBy("vec_id").limit(1).select(F.col("q").alias("q0"))
+    q0b = q0.select(
+        F.explode(F.expr("sequence(0, 3)")).alias("m"), "q0"
+    ).select("m", F.expr("slice(q0, 4 * m + 1, 4)").alias("qb"))
+    qd = cu.join(F.broadcast(q0b), "m").select(
+        "m", "cid",
+        F.expr(_E18_BDIST.format(a="qb", b="cb")).alias("qdist"),
+    )
+    adc = (
+        a1.join(
+            F.broadcast(qd),
+            (a1.m == qd.m) & (a1.code == qd.cid),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum("qdist").cast("long").alias("adc_dist"),
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(a1.m.alias("m"), "code"))
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+            ).alias("codes"),
+        )
+    )
+    ex = e16.crossJoin(F.broadcast(q0)).select(
+        "vec_id",
+        F.expr(_E18_BDIST.format(a="q", b="q0")).cast("long")
+        .alias("exact_dist"),
+    )
+    return (
+        adc.join(ex, "vec_id")
+        .select("vec_id", "codes", "adc_dist", "exact_dist")
+        .orderBy("adc_dist", "vec_id")
+        .limit(15)
+    )
