@@ -6081,6 +6081,11 @@ def l17(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(
         F.col("s1").alias("a"), F.col("s2").alias("b")
     ).unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
+    # each peel round references the surviving edge set TWICE (degrees,
+    # then the semi-join restriction), so without a materialisation the
+    # expensive edge build re-executes 2^rounds times through the nested
+    # branches; the checkpointed state is the narrow (a, b) pair list
+    und = und.localCheckpoint(eager=True)
     for _ in range(3):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= 3).select(F.col("a").alias("node"))
@@ -6091,7 +6096,7 @@ def l17(spark: SparkSession, sf_dir: str) -> DataFrame:
                 und.b == F.col("node_b"),
                 "left_semi",
             )
-        )
+        ).localCheckpoint(eager=True)
     d3 = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     return (
         d3.filter(F.col("core_degree") >= 3)
