@@ -1434,3 +1434,101 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE (o_orderdate, o_orderdate + INTERVAL '20' DAY) OVERLAPS "
         "      (DATE '1995-03-01', DATE '1995-03-10')"
     )
+
+
+# --- a06: boolean aggregates (PG bool_and / bool_or / every) -----------------
+# PG's boolean aggregate family — bool_and, bool_or, and the SQL-standard
+# spelling every() — over grouped predicates, plus the conditional
+# "count of groups where the flag holds" composition on top. Spark 3.0+
+# ships the same names natively; the gate pins NULL handling (predicate
+# rows with NULL acctbal are skipped by the aggregate, not treated as
+# false) by routing one aggregate over a NULLIF-ed predicate.
+
+_A06_ORACLE = """
+SELECT c_nationkey,
+       bool_and(c_acctbal > -999.0) AS all_above_floor,
+       bool_or(c_acctbal > 9900.0) AS any_near_cap,
+       bool_and(NULLIF(c_acctbal > 0.0, c_acctbal = 0.0)) AS all_pos_skipnull,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@query(
+    "a06_bool_aggs", _A06_ORACLE,
+    doc="PG boolean aggregates bool_and/bool_or (+ NULL-skipping "
+        "semantics via a NULLIF-ed predicate) — native on both engines, "
+        "one map-side-combinable groupBy",
+)
+def a06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.bool_and(bal > -999.0).alias("all_above_floor"),
+            F.bool_or(bal > 9900.0).alias("any_near_cap"),
+            F.bool_and(
+                F.nullif(bal > 0.0, bal == 0.0)
+            ).alias("all_pos_skipnull"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --- q100: null-safe equality — IS [NOT] DISTINCT FROM -----------------------
+# The SQL-standard null-safe comparison PG users lean on daily: a join
+# that MATCHES NULL keys to each other (IS NOT DISTINCT FROM; Spark's
+# <=> / eqNullSafe) and a filter where NULL differs from a value
+# (IS DISTINCT FROM). NULL keys are synthesised with NULLIF so the NULL
+# group is non-trivial on both engines. The join runs on PRE-AGGREGATED
+# per-key counts from two slices (each including its NULL group), so
+# the null-safe match contributes exactly one (NULL, NULL) row — the
+# semantics a plain equi-join silently drops.
+
+_Q100_ORACLE = """
+WITH a AS (
+  SELECT NULLIF(o_custkey % 50, 0) AS k, COUNT(*) AS na
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+b AS (
+  SELECT NULLIF(o_custkey % 50, 0) AS k, COUNT(*) AS nb
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT a.k, CAST(a.na AS BIGINT) AS na, CAST(b.nb AS BIGINT) AS nb,
+       CAST(a.na * b.nb AS BIGINT) AS pairs,
+       a.k IS DISTINCT FROM 7 AS not_seven
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY a.k NULLS FIRST
+"""
+
+
+@query(
+    "q100_null_safe_join", _Q100_ORACLE,
+    doc="IS [NOT] DISTINCT FROM: null-safe equi-join (<=>) over "
+        "pre-aggregated slices with a real NULL group matched to itself, "
+        "plus IS DISTINCT FROM as a projected predicate",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_custkey") % 50, F.lit(0))
+    a = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("na"))
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(k.alias("kb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(F.col("kb")))
+        .select(
+            "k", "na", "nb",
+            (F.col("na") * F.col("nb")).cast("long").alias("pairs"),
+            F.expr("k IS DISTINCT FROM 7").alias("not_seven"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )
