@@ -849,3 +849,66 @@ def test_q95_unpivot_adds_no_exchange(spark, sf_dir):
     groupBy's (pre-aggregation), none introduced by the reshape."""
     plan = plan_of(spark, sf_dir, "q95_unpivot")
     assert "Expand" in plan or "Generate" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sk11_ams_f2",
+        "sk12_ams_join_size",
+        "l17_kcore",
+        "t20_bpe_apply",
+        "p10_epoch_shard_shuffle",
+        "b14_job_chain_mins",
+        "ds44_pivot_date_band",
+        "ds45_channel_worst_ratio",
+        "ds46_cv_filter",
+        "c25_url_path_hierarchy",
+        "q96_posexplode_ordinality",
+        "e18_product_quantization",
+        "q100_null_safe_join",
+        "a06_bool_aggs",
+    ],
+)
+def test_continuation4_shapes_no_nested_loop(spark, sf_dir, name):
+    """Every continuation-4 batch gate must plan as hash/broadcast joins
+    (single-row cross joins excepted below) — a nested-loop on the data
+    path is a scale bug. The sketch gates' single-row estimate/truth
+    frames are explicitly broadcast, so even those stay off the
+    CartesianProduct path."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_e18_codebooks_are_broadcast(spark, sf_dir):
+    """PQ assignment and ADC meet the corpus ONLY through broadcast
+    codebook/distance tables (B*k = 16 rows) — the property that keeps
+    PQ viable when the corpus is 10^9 vectors. The only nested-loop in
+    the plan is the sanctioned single-row broadcast cross join that
+    attaches the query vector for the exact-distance column."""
+    plan = plan_of(spark, sf_dir, "e18_product_quantization")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # q0 / med-tru rows
+
+
+def test_b14_dims_broadcast(spark, sf_dir):
+    """Every join in the chain is a broadcast hash join (filtered dims
+    and pre-aggregated sides are all small); no sort-merge, no
+    nested-loop — the fact table streams through map-side."""
+    plan = plan_of(spark, sf_dir, "b14_job_chain_mins")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ds44_date_range_pushed(spark, sf_dir):
+    """The 60-day window reaches the parquet scan as PushedFilters."""
+    plan = plan_of(spark, sf_dir, "ds44_pivot_date_band")
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_t20_no_exchange_before_sort(spark, sf_dir):
+    """The BPE merge chain is pure codegen string work: the only
+    exchange in the plan is the final ORDER BY's range partitioning."""
+    plan = plan_of(spark, sf_dir, "t20_bpe_apply")
+    assert plan.count("Exchange") <= 2  # rangepartitioning (+AQE read)
