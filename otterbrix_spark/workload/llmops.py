@@ -4953,3 +4953,116 @@ def e18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(15)
     )
+
+
+# --- p11: end-to-end pipeline composition ------------------------------------
+# The four pipeline stages every training corpus passes through, COMPOSED
+# in one lazy plan (each stage exists as its own certified gate — quality
+# t08-family, exact dedup d01, split p01 — this gate certifies they
+# compose without materialisation barriers): (1) quality filter in pure
+# integer arithmetic (length band + alpha-ratio by cross-multiplication),
+# (2) exact dedup on the normalised content hash KEEPING THE BEST
+# representative (longest, then lowest doc_id — carried through one
+# min(struct) aggregate, never a window over wide rows), (3) seeded
+# md5 train/val split, (4) the per-(split, lang) corpus report with
+# removed-duplicate accounting. One scan, two narrow shuffles (dedup
+# groupBy, report groupBy) — the whole pipeline is a single Catalyst
+# plan, so pushdown and AQE see through all four stages.
+
+_P11_ORACLE = """
+WITH q AS (
+  SELECT doc_id, lang, n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         md5(lower(trim(text))) AS ck
+  FROM documents
+  WHERE n_chars BETWEEN 40 AND 5000),
+f AS (
+  SELECT * FROM q WHERE 2 * n_alpha >= n_chars),
+d AS (
+  SELECT ck, doc_id, lang, n_chars,
+         COUNT(*) OVER (PARTITION BY ck) - 1 AS n_dups,
+         ROW_NUMBER() OVER (
+           PARTITION BY ck ORDER BY n_chars DESC, doc_id) AS rn
+  FROM f),
+kept AS (
+  SELECT doc_id, lang, n_chars, n_dups,
+         CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                    1, 15))::BIGINT % 10 < 9
+              THEN 'train' ELSE 'val' END AS split
+  FROM d WHERE rn = 1)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_dups) AS BIGINT) AS dups_removed
+FROM kept GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@query(
+    "p11_pipeline_compose", _P11_ORACLE,
+    doc="pipeline composition cert: quality filter -> exact dedup "
+        "keeping the best representative (min(struct), no wide window) "
+        "-> seeded split -> corpus report, all in ONE Catalyst plan "
+        "(one scan, two narrow shuffles)",
+)
+def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").between(40, 5000)
+    )
+    q = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.length(
+            F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+        ).alias("n_alpha"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("ck"),
+    ).filter(2 * F.col("n_alpha") >= F.col("n_chars"))
+    # keep-best per content key: ONE aggregate over narrow rows — the
+    # struct min is lexicographic (longest first via negated length,
+    # then lowest doc_id), so lang/n_chars ride along uniquely
+    d = (
+        q.groupBy("ck")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_chars"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("lang").alias("lang"),
+                    F.col("n_chars").alias("n_chars"),
+                )
+            ).alias("best"),
+            (F.count(F.lit(1)) - 1).alias("n_dups"),
+        )
+        .select(
+            F.col("best.doc_id").alias("doc_id"),
+            F.col("best.lang").alias("lang"),
+            F.col("best.n_chars").alias("n_chars"),
+            "n_dups",
+        )
+    )
+    split = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(10),
+        )
+        < 9,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_dups").cast("long").alias("dups_removed"),
+        )
+        .orderBy("split", "lang")
+    )
