@@ -594,3 +594,82 @@ def j17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q101: PERMISSIVE JSONL ingest with corrupt-record accounting -----------
+# The ingest reality every document pipeline faces: a JSONL landing file
+# with some malformed lines. Spark's PERMISSIVE reader (the default the
+# reference's dynamic-schema ingest maps onto, sources/dynamic.py) must
+# load the good lines against an explicit schema and null-out — not
+# drop, not abort — the corrupt ones. The gate WRITES a real JSONL file
+# (valid lines via to_json; every doc_id % 13 == 0 line deliberately
+# truncated mid-object), reads it back PERMISSIVE, and reports per-lang
+# good counts/char sums plus a '__corrupt__' accounting row; corrupt
+# rows are detected by the populated corrupt-record column (partial-
+# results mode still fills prefix fields of a truncated line, so field
+# nulling is NOT a reliable signal; the raw line itself is). The frame
+# is cached first — Spark requires it when the corrupt column is
+# queried on a raw scan. The oracle never sees the file —
+# it derives the same report from the documents table and the same
+# doc_id % 13 rule, so the hash certifies the reader's behaviour.
+
+_Q101_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_good,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 13 <> 0
+GROUP BY lang
+UNION ALL
+SELECT '__corrupt__' AS lang, CAST(COUNT(*) AS BIGINT) AS n_good,
+       CAST(0 AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 13 = 0
+ORDER BY lang
+"""
+
+
+@query(
+    "q101_jsonl_corrupt_ingest", _Q101_ORACLE,
+    doc="PERMISSIVE JSONL ingest: real landing file with deliberately "
+        "truncated lines, schema-nulled corrupt rows counted (never "
+        "dropped, never aborting) — oracle derived from the source "
+        "table, certifying the reader end-to-end",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from otterbrix_spark.workload import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    valid = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    corrupt = F.concat(
+        F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'), F.col("lang"), F.lit('", "n_chars":'),
+    )
+    lines = docs.select(
+        F.when(F.col("doc_id") % 13 == 0, corrupt)
+        .otherwise(valid)
+        .alias("value")
+    )
+    landing = os.path.join(scratch_dir("q101_jsonl_"), "landing")
+    lines.write.mode("overwrite").text(landing)
+    back = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(landing)
+    ).localCheckpoint(eager=True)
+    good = (
+        back.filter(F.col("_corrupt").isNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_good"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    bad = back.filter(F.col("_corrupt").isNotNull()).agg(
+        F.lit("__corrupt__").alias("lang"),
+        F.count(F.lit(1)).cast("long").alias("n_good"),
+        F.lit(0).cast("long").alias("sum_chars"),
+    )
+    return good.unionByName(bad).orderBy("lang")
