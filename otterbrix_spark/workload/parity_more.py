@@ -732,6 +732,11 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate — the dialect layer must leave it byte-identical. The window
 # contribution is folded into integer-exact per-flag checksums so the
 # compare stays small while any frame/order divergence still breaks it.
+# The window ORDER must be a TOTAL order: (l_orderkey, l_linenumber)
+# has duplicate pairs from sf0.01 up, and row_number()/lag() over tied
+# peers are permutation-nondeterministic (the sf0.01 battery caught
+# exactly that); (l_linenumber, l_partkey, l_suppkey) is unique within
+# an order at every shipped SF.
 
 _Q88_SQL = """
 WITH w_rows AS (
@@ -741,7 +746,8 @@ WITH w_rows AS (
          row_number() OVER w AS rn,
          COALESCE(lag(l_partkey) OVER w, 0) AS prev_part
   FROM lineitem
-  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+  WINDOW w AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey)
 )
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
