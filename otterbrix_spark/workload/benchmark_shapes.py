@@ -6445,3 +6445,108 @@ def c25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "depth")
     )
+
+
+# --- ds47: TPC-DS Q31 shape — cross-channel quarter-over-quarter growth -----
+# Template (`benchmark/tpcds/query31.tpl`): per county, store-channel and
+# web-channel revenue for consecutive quarters; keep counties where the
+# web channel grew FASTER than the store channel — two channels x two
+# quarters, compared as growth RATIOS without division. Re-authored on
+# TPC-H: channel A = order revenue by customer nation, channel B =
+# lineitem revenue by supplier nation, quarters 1995Q1 vs 1995Q2; the
+# ratio comparison a2/a1 > b2/b1 is the integer cross-multiplication
+# a2*b1 > b2*a1 (all sides positive-guarded). Each channel is ONE
+# grouped aggregate over its own pushed date range; the 4-way compare
+# happens on the 25-row nation grain.
+
+_DS47_ORACLE = """
+WITH ca AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CASE WHEN o.o_orderdate < DATE '1995-04-01'
+                  THEN CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS a1,
+         CAST(SUM(CASE WHEN o.o_orderdate >= DATE '1995-04-01'
+                  THEN CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS a2
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1995-07-01'
+  GROUP BY n.n_name),
+cb AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CASE WHEN l.l_shipdate < DATE '1995-04-01'
+                  THEN CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN l.l_shipdate >= DATE '1995-04-01'
+                  THEN CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS b2
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE l.l_shipdate >= DATE '1995-01-01'
+    AND l.l_shipdate < DATE '1995-07-01'
+  GROUP BY n.n_name)
+SELECT ca.nation, ca.a1, ca.a2, cb.b1, cb.b2
+FROM ca JOIN cb ON ca.nation = cb.nation
+WHERE ca.a1 > 0 AND cb.b1 > 0 AND ca.a2 > 0 AND cb.b2 > 0
+  AND ca.a2 * cb.b1 > cb.b2 * ca.a1
+ORDER BY ca.nation
+"""
+
+
+@query(
+    "ds47_cross_channel_growth", _DS47_ORACLE,
+    doc="TPC-DS Q31 shape: two channels x two quarters, growth-ratio "
+        "comparison by integer cross-multiplication on the 25-row "
+        "nation grain — one pushed-range aggregate per channel",
+)
+def ds47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01"))
+    )
+    o_cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    l_cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    q2_o = F.col("o_orderdate") >= F.lit("1995-04-01")
+    q2_l = F.col("l_shipdate") >= F.lit("1995-04-01")
+    ca = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.when(~q2_o, o_cents).otherwise(F.lit(0)))
+            .cast("long").alias("a1"),
+            F.sum(F.when(q2_o, o_cents).otherwise(F.lit(0)))
+            .cast("long").alias("a2"),
+        )
+    )
+    cb = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_b"))
+        .agg(
+            F.sum(F.when(~q2_l, l_cents).otherwise(F.lit(0)))
+            .cast("long").alias("b1"),
+            F.sum(F.when(q2_l, l_cents).otherwise(F.lit(0)))
+            .cast("long").alias("b2"),
+        )
+    )
+    return (
+        ca.join(cb, ca.nation == cb.nation_b)
+        .filter(
+            (F.col("a1") > 0) & (F.col("b1") > 0)
+            & (F.col("a2") > 0) & (F.col("b2") > 0)
+            & (F.col("a2") * F.col("b1") > F.col("b2") * F.col("a1"))
+        )
+        .select("nation", "a1", "a2", "b1", "b2")
+        .orderBy("nation")
+    )
