@@ -6454,19 +6454,22 @@ def c25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quarters, compared as growth RATIOS without division. Re-authored on
 # TPC-H: channel A = order revenue by customer nation, channel B =
 # lineitem revenue by supplier nation, quarters 1995Q1 vs 1995Q2; the
-# ratio comparison a2/a1 > b2/b1 is the integer cross-multiplication
-# a2*b1 > b2*a1 (all sides positive-guarded). Each channel is ONE
-# grouped aggregate over its own pushed date range; the 4-way compare
-# happens on the 25-row nation grain.
+# ratio comparison a2/a1 > b2/b1 runs on per-mille growth integers
+# (1000*a2 DIV a1) — a naive cents cross-multiplication a2*b1 overflows
+# int64 from sf0.1 up (ANSI Spark throws, DuckDB silently widens to
+# HUGEINT: a cross-engine trap), while whole-dollar sums with a single
+# x1000 scale stay under 2^63 through sf1000. Truncating DIV is
+# engine-identical. Each channel is ONE grouped aggregate over its own
+# pushed date range; the compare happens on the 25-row nation grain.
 
 _DS47_ORACLE = """
 WITH ca AS (
   SELECT n.n_name AS nation,
          CAST(SUM(CASE WHEN o.o_orderdate < DATE '1995-04-01'
-                  THEN CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                  THEN CAST(FLOOR(o.o_totalprice) AS BIGINT)
                   ELSE 0 END) AS BIGINT) AS a1,
          CAST(SUM(CASE WHEN o.o_orderdate >= DATE '1995-04-01'
-                  THEN CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                  THEN CAST(FLOOR(o.o_totalprice) AS BIGINT)
                   ELSE 0 END) AS BIGINT) AS a2
   FROM orders o
   JOIN customer c ON c.c_custkey = o.o_custkey
@@ -6477,10 +6480,10 @@ WITH ca AS (
 cb AS (
   SELECT n.n_name AS nation,
          CAST(SUM(CASE WHEN l.l_shipdate < DATE '1995-04-01'
-                  THEN CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                  THEN CAST(FLOOR(l.l_extendedprice) AS BIGINT)
                   ELSE 0 END) AS BIGINT) AS b1,
          CAST(SUM(CASE WHEN l.l_shipdate >= DATE '1995-04-01'
-                  THEN CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                  THEN CAST(FLOOR(l.l_extendedprice) AS BIGINT)
                   ELSE 0 END) AS BIGINT) AS b2
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -6488,10 +6491,12 @@ cb AS (
   WHERE l.l_shipdate >= DATE '1995-01-01'
     AND l.l_shipdate < DATE '1995-07-01'
   GROUP BY n.n_name)
-SELECT ca.nation, ca.a1, ca.a2, cb.b1, cb.b2
+SELECT ca.nation, ca.a1, ca.a2, cb.b1, cb.b2,
+       CAST((1000 * ca.a2) // ca.a1 AS BIGINT) AS growth_a_pm,
+       CAST((1000 * cb.b2) // cb.b1 AS BIGINT) AS growth_b_pm
 FROM ca JOIN cb ON ca.nation = cb.nation
 WHERE ca.a1 > 0 AND cb.b1 > 0 AND ca.a2 > 0 AND cb.b2 > 0
-  AND ca.a2 * cb.b1 > cb.b2 * ca.a1
+  AND (1000 * ca.a2) // ca.a1 > (1000 * cb.b2) // cb.b1
 ORDER BY ca.nation
 """
 
@@ -6514,8 +6519,8 @@ def ds47(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-01-01"))
         & (F.col("l_shipdate") < F.lit("1995-07-01"))
     )
-    o_cents = F.floor(F.col("o_totalprice") * 100).cast("long")
-    l_cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    o_cents = F.floor(F.col("o_totalprice")).cast("long")
+    l_cents = F.floor(F.col("l_extendedprice")).cast("long")
     q2_o = F.col("o_orderdate") >= F.lit("1995-04-01")
     q2_l = F.col("l_shipdate") >= F.lit("1995-04-01")
     ca = (
@@ -6542,11 +6547,14 @@ def ds47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ca.join(cb, ca.nation == cb.nation_b)
+        .withColumn("growth_a_pm", F.expr("(1000 * a2) DIV a1"))
+        .withColumn("growth_b_pm", F.expr("(1000 * b2) DIV b1"))
         .filter(
             (F.col("a1") > 0) & (F.col("b1") > 0)
             & (F.col("a2") > 0) & (F.col("b2") > 0)
-            & (F.col("a2") * F.col("b1") > F.col("b2") * F.col("a1"))
+            & (F.col("growth_a_pm") > F.col("growth_b_pm"))
         )
-        .select("nation", "a1", "a2", "b1", "b2")
+        .select("nation", "a1", "a2", "b1", "b2",
+                "growth_a_pm", "growth_b_pm")
         .orderBy("nation")
     )
