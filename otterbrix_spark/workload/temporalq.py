@@ -3060,3 +3060,93 @@ def sk12(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "true_join_size")
         .orderBy("r")
     )
+
+
+# g11: seasonal-naive forecasting with error accounting — the baseline
+# every time-series pipeline scores against (the "repeat last season"
+# model; Hyndman & Athanasopoulos, Forecasting: Principles & Practice,
+# §5.2): train a per-(series, hour-of-day) level on weeks 1-2 of the
+# corpus, forecast weeks 3-4 with it, and report exact integer absolute
+# errors. Scale shape: ONE grouped aggregate over the train slice
+# builds the 24-cell-per-series model (broadcast back — the model is
+# O(series * 24) at ANY corpus size), one join + one aggregate scores
+# the test slice; both date-range filters push to the scan. Exactness:
+# values in micro-units, the model level is a truncating DIV mean, and
+# the error sum is pure integer — bit-identical on both engines.
+
+_G11_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         hour(CAST(ts AS TIMESTAMP)) AS hod,
+         CAST(ts AS TIMESTAMP) AS tss,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS mic
+  FROM events WHERE value IS NOT NULL),
+train AS (
+  SELECT event_type, hod,
+         CAST(SUM(mic) // COUNT(*) AS BIGINT) AS level_mic
+  FROM v WHERE tss < TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY event_type, hod),
+test AS (
+  SELECT event_type, hod, mic FROM v
+  WHERE tss >= TIMESTAMP '2024-01-15 00:00:00'),
+scored AS (
+  SELECT t.event_type, t.hod, tr.level_mic,
+         ABS(t.mic - tr.level_mic) AS abs_err
+  FROM test t JOIN train tr
+    ON tr.event_type = t.event_type AND tr.hod = t.hod)
+SELECT event_type, CAST(hod AS BIGINT) AS hod,
+       CAST(MIN(level_mic) AS BIGINT) AS level_mic,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err
+FROM scored GROUP BY event_type, hod
+ORDER BY event_type, hod
+"""
+
+
+@query(
+    "g11_seasonal_naive_forecast", _G11_ORACLE,
+    doc="seasonal-naive forecast + exact error accounting: 24-cell "
+        "hour-of-day level trained on the first half (truncating-DIV "
+        "mean), broadcast onto the second half, integer absolute errors "
+        "— the O(series x 24) model state of a real baseline forecaster",
+)
+def g11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = ev.select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hod"),
+        F.col("ts").cast("timestamp").alias("tss"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("mic"),
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    train = (
+        v.filter(F.col("tss") < cut)
+        .groupBy("event_type", "hod")
+        .agg(F.expr("CAST(SUM(mic) DIV COUNT(*) AS BIGINT)").alias("level_mic"))
+    )
+    test = v.filter(F.col("tss") >= cut).select(
+        F.col("event_type").alias("t_type"), F.col("hod").alias("t_hod"), "mic"
+    )
+    scored = test.join(
+        F.broadcast(train),
+        (F.col("event_type") == F.col("t_type"))
+        & (F.col("hod") == F.col("t_hod")),
+    ).select(
+        "event_type", "hod", "level_mic",
+        F.abs(F.col("mic") - F.col("level_mic")).alias("abs_err"),
+    )
+    return (
+        scored.groupBy("event_type", "hod")
+        .agg(
+            F.min("level_mic").alias("level_mic"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum("abs_err").cast("long").alias("sum_abs_err"),
+        )
+        .select(
+            "event_type", F.col("hod").cast("long").alias("hod"),
+            "level_mic", "n_test", "sum_abs_err",
+        )
+        .orderBy("event_type", "hod")
+    )
