@@ -1286,6 +1286,26 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
 
         return make
 
+    # PG LIKE-operator spellings (pg_dump output: ~~ = LIKE, !~~ = NOT
+    # LIKE, ~~* = ILIKE, !~~* = NOT ILIKE) — longest first so the plain
+    # regex operators below never half-match a double tilde
+    body = _apply_binop_scanned(
+        body, re.compile("!~~\\*\\s*(\x00\\d+\x00)"),
+        scanned_regex(lambda l, t: f"{l} NOT ILIKE {t}"), extend_casts=True,
+    )
+    body = _apply_binop_scanned(
+        body, re.compile("~~\\*\\s*(\x00\\d+\x00)"),
+        scanned_regex(lambda l, t: f"{l} ILIKE {t}"), extend_casts=True,
+    )
+    body = _apply_binop_scanned(
+        body, re.compile("!~~(?!\\*)\\s*(\x00\\d+\x00)"),
+        scanned_regex(lambda l, t: f"{l} NOT LIKE {t}"), extend_casts=True,
+    )
+    body = _apply_binop_scanned(
+        body, re.compile("(?<![!~])~~(?![~*])\\s*(\x00\\d+\x00)"),
+        scanned_regex(lambda l, t: f"{l} LIKE {t}"), extend_casts=True,
+    )
+
     body = _apply_binop_scanned(
         body, re.compile("!~\\*\\s*(\x00\\d+\x00)"),
         scanned_regex(lambda l, t: f"NOT ({l} RLIKE {ci_pattern(t)})"), extend_casts=True,

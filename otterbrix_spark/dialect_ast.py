@@ -69,6 +69,7 @@ _TOKEN_RE = re.compile(
       | \d+(?:\.\d+)?(?:[eE][+-]?\d+)?                   # number
       | [A-Za-z_][A-Za-z0-9_]*
         (?:\.[A-Za-z_][A-Za-z0-9_]*)*                    # (dotted) identifier
+      | !~~\*|~~\*|!~~|~~                               # PG LIKE-op spellings
       | ->>|\#>>|!~\*|::\?|->|\#>|\#-|::|!~|~\*|@>|<@|\?\||\?&
       | \|\||<=|>=|<>|!=
       | .                                                # any single char
@@ -219,6 +220,10 @@ def _parse_type_suffix(toks: list[_Tok], i: int, end: int):
 # ---------------------------------------------------------------------------
 
 _REGEX_OPS = {"~", "!~", "~*", "!~*"}
+# PG's operator spellings for LIKE (what pg_dump and psql \d emit):
+# ~~ = LIKE, !~~ = NOT LIKE, ~~* = ILIKE, !~~* = NOT ILIKE — Spark has
+# native LIKE/ILIKE, so these lower to keyword form.
+_LIKE_OPS = {"~~": "LIKE", "!~~": "NOT LIKE", "~~*": "ILIKE", "!~~*": "NOT ILIKE"}
 
 
 def _ci_literal(tok_text: str) -> str:
@@ -438,6 +443,14 @@ def _fold(
                 j = close + 1
                 continue
             break
+
+        # --- PG LIKE-operator spellings (~~ / !~~ / ~~* / !~~*) -------------
+        if op in _LIKE_OPS and nxt is not None and nxt.kind == STRING:
+            text = f"{text} {_LIKE_OPS[op]} {nxt.text}"
+            kind, head, is_type_head = _K_REWRITTEN, None, False
+            deletable = False
+            j += 2
+            continue
 
         # --- regex-match operators ----------------------------------------
         if op in _REGEX_OPS and nxt is not None and nxt.kind == STRING:

@@ -1538,3 +1538,51 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+# --- q102: PG LIKE-operator spellings ----------------------------------------
+# pg_dump, psql \d output, and PG logs spell LIKE as operators: ~~ /
+# !~~ / ~~* / !~~*. A reference user replaying dumped view definitions
+# hits them immediately; the dialect lowers all four to Spark's native
+# LIKE / NOT LIKE / ILIKE / NOT ILIKE in both modes (longest-first so
+# the single-tilde regex operators never half-match). The oracle is
+# written with the keyword forms — independent derivation of the same
+# predicate semantics, case-sensitivity pinned per operator.
+
+_Q102_ORACLE = """
+SELECT CAST(SUM(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_like,
+       CAST(SUM(CASE WHEN p_name NOT LIKE '%green%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_not_like,
+       CAST(SUM(CASE WHEN p_type ILIKE '%BRASS%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ilike,
+       CAST(SUM(CASE WHEN p_type NOT ILIKE '%BRASS%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_not_ilike
+FROM part
+"""
+
+
+@query(
+    "q102_like_op_spellings", _Q102_ORACLE,
+    doc="PG LIKE-operator spellings ~~ / !~~ / ~~* / !~~* (pg_dump "
+        "output) lowered to LIKE / NOT LIKE / ILIKE / NOT ILIKE in both "
+        "dialect modes; oracle written with the keyword forms",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "otx_part_q102"
+    )
+    return eng.sql(
+        "SELECT CAST(SUM(CASE WHEN p_name ~~ '%green%' THEN 1 ELSE 0 END) "
+        "         AS BIGINT) AS n_like, "
+        "       CAST(SUM(CASE WHEN p_name !~~ '%green%' THEN 1 ELSE 0 END) "
+        "         AS BIGINT) AS n_not_like, "
+        "       CAST(SUM(CASE WHEN p_type ~~* '%BRASS%' THEN 1 ELSE 0 END) "
+        "         AS BIGINT) AS n_ilike, "
+        "       CAST(SUM(CASE WHEN p_type !~~* '%BRASS%' THEN 1 ELSE 0 END) "
+        "         AS BIGINT) AS n_not_ilike "
+        "FROM otx_part_q102"
+    )

@@ -606,3 +606,23 @@ def test_order_using_lowered(mode):
     # JOIN ... USING(...) untouched
     src = "SELECT * FROM a JOIN b USING (k)"
     assert rewrite(src, mode=mode) == src
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_like_operator_spellings(mode):
+    out = rewrite(
+        "SELECT 1 FROM t WHERE a ~~ 'x%' AND b !~~ 'y%' "
+        "AND c ~~* 'Z%' AND d !~~* 'W%'",
+        mode=mode,
+    )
+    assert "a LIKE 'x%'" in out
+    assert "b NOT LIKE 'y%'" in out
+    assert "c ILIKE 'Z%'" in out
+    assert "d NOT ILIKE 'W%'" in out
+    assert "~~" not in out
+    # plain regex ops still work beside them
+    out = rewrite("SELECT a ~~ 'x%', b ~ 'p' FROM t", mode=mode)
+    assert "a LIKE 'x%'" in out and "b RLIKE 'p'" in out
+    # literal containing ~~ untouched
+    src = "SELECT '~~' AS s FROM t"
+    assert rewrite(src, mode=mode) == src
