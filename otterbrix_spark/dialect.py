@@ -672,6 +672,59 @@ def _rewrite_select_into(body: str) -> str:
     return body
 
 
+_BETWEEN_SYM_RE = re.compile(r"\bBETWEEN\s+SYMMETRIC\s+", re.IGNORECASE)
+_BSYM_BOUNDARY_RE = re.compile(
+    r"[(),;]|\b(AND|OR|ORDER|GROUP|HAVING|WINDOW|LIMIT|UNION|EXCEPT|"
+    r"INTERSECT|THEN|ELSE|END|AS|FROM|WHERE|JOIN|ON|QUALIFY)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_between_symmetric(body: str) -> str:
+    """PG's ``x BETWEEN SYMMETRIC a AND b`` (grammar a_expr BETWEEN
+    SYMMETRIC rule): the bounds are unordered — PG swaps them when
+    a > b. Spark has no SYMMETRIC; lower to
+    ``BETWEEN least(a, b) AND greatest(a, b)``. Operand a runs to the
+    first depth-0 AND; operand b to the next depth-0 boundary token
+    (AND/OR/clause keyword/paren/comma). NOT BETWEEN SYMMETRIC works
+    unchanged — the NOT stays outside the rewritten segment."""
+
+    def scan_operand(text: str, stop_and: bool) -> int:
+        depth = 0
+        for m in _BSYM_BOUNDARY_RE.finditer(text):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                if depth == 0:
+                    return m.start()
+                depth -= 1
+            elif depth == 0:
+                if not stop_and:
+                    return m.start()  # any depth-0 boundary ends operand b
+                if tok.upper() == "AND":
+                    return m.start()
+        return len(text)
+
+    while True:
+        m = _BETWEEN_SYM_RE.search(body)
+        if m is None:
+            return body
+        rest = body[m.end():]
+        a_end = scan_operand(rest, stop_and=True)
+        a = rest[:a_end].strip()
+        after_and = re.match(r"\s*AND\s*", rest[a_end:], re.IGNORECASE)
+        if not a or after_and is None:
+            raise ValueError("BETWEEN SYMMETRIC expects <a> AND <b>")
+        b_start = a_end + after_and.end()
+        b_end = b_start + scan_operand(rest[b_start:], stop_and=False)
+        b = rest[b_start:b_end].strip()
+        if not b:
+            raise ValueError("BETWEEN SYMMETRIC expects <a> AND <b>")
+        new = f"BETWEEN least({a}, {b}) AND greatest({a}, {b}) "
+        body = body[:m.start()] + new + body[m.end() + b_end:].lstrip()
+
+
 def _rewrite_order_using(body: str) -> str:
     """PG's ``ORDER BY x USING <`` / ``USING >`` (operator-class sort;
     grammar sortby rule) -> ASC / DESC. JOIN ... USING(...) never
@@ -1011,6 +1064,7 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
     body = _rewrite_date_bin(body, lits)
     body = _rewrite_extract_pg(body)
     body = _rewrite_overlaps(body)
+    body = _rewrite_between_symmetric(body)
     body = _rewrite_order_using(body)
     body = _rewrite_qualify(body)
     body = _rewrite_similar_to(body, lits)

@@ -50,6 +50,7 @@ from otterbrix_spark.dialect import (
     _rewrite_generate_series,
     _rewrite_order_using,
     _rewrite_ordered_agg,
+    _rewrite_between_symmetric,
     _rewrite_overlaps,
     _rewrite_qualify,
     _rewrite_select_into,
@@ -515,6 +516,7 @@ def rewrite_ast(sql: str) -> str:
     qbody = _rewrite_date_bin(qbody, lits)
     qbody = _rewrite_extract_pg(qbody)
     qbody = _rewrite_overlaps(qbody)
+    qbody = _rewrite_between_symmetric(qbody)
     qbody = _rewrite_order_using(qbody)
     qbody = _rewrite_qualify(qbody)
     qbody = _rewrite_similar_to(qbody, lits)

@@ -1586,3 +1586,45 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         AS BIGINT) AS n_not_ilike "
         "FROM otx_part_q102"
     )
+
+
+# --- q103: BETWEEN SYMMETRIC --------------------------------------------------
+# PG's unordered-bounds BETWEEN (grammar a_expr BETWEEN SYMMETRIC): the
+# engine swaps the bounds when given in descending order. Spark has no
+# SYMMETRIC; the dialect lowers to least/greatest bounds in both modes.
+# The gate deliberately passes the bounds REVERSED (high first) in both
+# a WHERE and a NOT-form conditional aggregate; the oracle uses plain
+# BETWEEN with correctly ordered bounds — independent derivation, so
+# the hash certifies the swap semantics.
+
+_Q103_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_in_band,
+       CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 1000.0 AND 100000.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_price_outside
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-20'
+"""
+
+
+@query(
+    "q103_between_symmetric", _Q103_ORACLE,
+    doc="BETWEEN SYMMETRIC with deliberately reversed bounds (WHERE + "
+        "NOT form) lowered to least/greatest in both dialect modes; "
+        "oracle uses plain ordered BETWEEN",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "otx_orders_q103"
+    )
+    return eng.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_in_band, "
+        "       CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN SYMMETRIC "
+        "                          100000.0 AND 1000.0 "
+        "                THEN 1 ELSE 0 END) AS BIGINT) AS n_price_outside "
+        "FROM otx_orders_q103 "
+        "WHERE o_orderdate BETWEEN SYMMETRIC DATE '1995-03-20' "
+        "                      AND DATE '1995-03-01'"
+    )

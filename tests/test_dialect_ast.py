@@ -626,3 +626,24 @@ def test_like_operator_spellings(mode):
     # literal containing ~~ untouched
     src = "SELECT '~~' AS s FROM t"
     assert rewrite(src, mode=mode) == src
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+def test_between_symmetric_lowered(mode):
+    out = rewrite(
+        "SELECT 1 FROM t WHERE x BETWEEN SYMMETRIC b AND a AND y > 2",
+        mode=mode,
+    )
+    assert "BETWEEN least(b, a) AND greatest(b, a)" in out
+    assert "SYMMETRIC" not in out
+    assert "y > 2" in out
+    # NOT form, call operands, parenthesized context
+    out = rewrite(
+        "SELECT CASE WHEN x NOT BETWEEN SYMMETRIC f(a, 1) AND g(b) "
+        "THEN 1 ELSE 0 END FROM t",
+        mode=mode,
+    )
+    assert "NOT BETWEEN least(f(a, 1), g(b)) AND greatest(f(a, 1), g(b))" in out
+    # plain BETWEEN untouched
+    src = "SELECT x BETWEEN 1 AND 2 FROM t"
+    assert rewrite(src, mode=mode) == src
