@@ -91,6 +91,17 @@ DIRECTED_CORPUS = [
     "SELECT coalesce(doc, other) @> '{\"k\": 2}' FROM t",
     "SELECT CASE WHEN a @> '{\"t\": \"x\"}' THEN 1 END FROM t",
     "SELECT doc::string @> '{\"k\": 5}' FROM t",
+    # continuation-4 lowerings: every new pass through both paths
+    "SELECT EXTRACT(EPOCH FROM ts), extract(isodow FROM d) FROM t",
+    "SELECT EXTRACT(EPOCH FROM coalesce(a, b)) FROM t",
+    "SELECT 1 FROM t WHERE (a, b) OVERLAPS (c, d)",
+    "SELECT 1 WHERE (f(x), y + 1) OVERLAPS (DATE '2020-01-01', d2)",
+    "SELECT a, b INTO t2 FROM t WHERE a > 0",
+    "SELECT a FROM t ORDER BY a USING >, b USING <",
+    "SELECT 1 FROM t WHERE x BETWEEN SYMMETRIC b AND a AND y > 2",
+    "SELECT 1 FROM t WHERE a ~~ 'x%' AND b !~~ 'y%' AND c ~~* 'Z%'",
+    "SELECT d !~~* 'W%' FROM t",
+    "SELECT '~~' AS s, 'BETWEEN SYMMETRIC' AS u, 'OVERLAPS' AS v FROM t",
 ]
 
 
