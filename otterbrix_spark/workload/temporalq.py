@@ -2833,11 +2833,15 @@ def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # histogram sk06, Bloom sk07, HLL sk08/09). F2 = sum over keys of
 # count^2 drives self-join size estimation (the optimizer statistic the
 # reference's planner keeps per column) and skew detection. Each of
-# d=8 estimators keeps ONE counter: the +/-1 md5-sign-weighted sum of
-# the stream; E[S_r^2] = F2 exactly (Alon-Matias-Szegedy '96). The
-# sketch state is 8 integers at ANY stream size, built by one
-# map-side-combinable groupBy, and merges across shards/retries by
-# addition (signs are value-deterministic). Estimate = median of the
+# d=8 estimators keeps ONE counter: the +/-1 sign-weighted sum of the
+# stream; E[S_r^2] = F2 exactly (Alon-Matias-Szegedy '96). Plan shape:
+# ONE md5 per input row supplies all 8 signs (estimator r = parity of
+# hex nibble r+1), and the 8 registers are built as 8 conditional sums
+# in ONE map-side-combinable aggregate — ZERO row expansion (the first
+# version exploded 8 rows per input; the 5x probe read 4.83 and this
+# rewrite removes that 8x constant). The single register row is
+# unpivoted via stack() locally. Registers merge across shards/retries
+# by addition (signs are value-deterministic). Estimate = median of the
 # squares, taken exactly as the g10 doubled-units trick (sum of the two
 # middle order statistics of 8 = median in 2x units, pure integer).
 # The gate emits each estimator's counter and square plus the exact F2,
@@ -2848,11 +2852,10 @@ def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collectors in the reference planner (components/statistics).
 
 _SK11_ORACLE = """
-WITH s AS (SELECT CAST(o_custkey AS VARCHAR) AS v, o_custkey FROM orders),
+WITH s AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS h, o_custkey FROM orders),
 signs AS (
   SELECT r.r AS r,
-         CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || v),
-                    1, 15))::BIGINT % 2 = 1
+         CASE WHEN ('0x' || substr(h, r.r + 1, 1))::BIGINT % 2 = 1
               THEN 1 ELSE -1 END AS sg
   FROM s, generate_series(0, 7) r(r)),
 est AS (SELECT r, CAST(SUM(sg) AS BIGINT) AS s_r FROM signs GROUP BY r),
@@ -2871,44 +2874,44 @@ ORDER BY x.r
 """
 
 
+def _nibble_sign(h, r: int):
+    """+1/-1 from the parity of hex nibble r+1 of the row's single md5 —
+    8 independent AMS signs from one hash evaluation."""
+    return F.when(
+        F.pmod(
+            F.conv(F.substring(h, r + 1, 1), 16, 10).cast("long"), F.lit(2)
+        )
+        == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+
+
 @query(
     "sk11_ams_f2", _SK11_ORACLE,
-    doc="AMS tug-of-war F2 sketch: 8 md5-signed one-counter estimators "
-        "from one map-side-combinable groupBy (mergeable by addition), "
+    doc="AMS tug-of-war F2 sketch: 8 nibble-signed one-counter estimators "
+        "from ONE no-explode map-side aggregate (mergeable by addition), "
         "exact-integer median-of-squares estimate in doubled units, "
         "register state hash-pinned against the exact F2",
 )
 def sk11(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     s = orders.select(
-        "o_custkey", F.col("o_custkey").cast("string").alias("v")
+        "o_custkey", F.md5(F.col("o_custkey").cast("string")).alias("h")
     )
-    rows = s.select(
-        "v",
-        F.explode(F.expr("sequence(0, 7)")).alias("r"),
+    # 8 registers as 8 conditional sums in ONE aggregate — no explode,
+    # no shuffle of expanded rows; the single wide row unpivots locally
+    reg = s.agg(
+        *[
+            F.sum(_nibble_sign(F.col("h"), r)).cast("long").alias(f"s{r}")
+            for r in range(8)
+        ]
     )
-    sg = F.when(
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("r").cast("string"), F.lit(":"), F.col("v")
-                        )
-                    ),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long"),
-            F.lit(2),
+    est = reg.select(
+        F.expr(
+            "stack(8, "
+            + ", ".join(f"{r}, s{r}" for r in range(8))
+            + ") AS (r, s_r)"
         )
-        == 1,
-        F.lit(1),
-    ).otherwise(F.lit(-1))
-    est = (
-        rows.withColumn("sg", sg)
-        .groupBy("r")
-        .agg(F.sum("sg").cast("long").alias("s_r"))
     )
     x = est.select(
         "r", "s_r", (F.col("s_r") * F.col("s_r")).alias("x_r")
@@ -2954,19 +2957,18 @@ def sk11(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the exact join size computed relationally.
 
 _SK12_ORACLE = """
-WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS v, l_partkey FROM lineitem),
-b AS (SELECT CAST(l_partkey AS VARCHAR) AS v, l_partkey FROM lineitem
+WITH a AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS h, l_partkey
+           FROM lineitem),
+b AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS h, l_partkey FROM lineitem
       WHERE l_returnflag = 'R'),
 sa AS (
   SELECT r.r AS r,
-         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR)
-                    || ':' || v), 1, 15))::BIGINT % 2 = 1
+         CAST(SUM(CASE WHEN ('0x' || substr(h, r.r + 1, 1))::BIGINT % 2 = 1
               THEN 1 ELSE -1 END) AS BIGINT) AS sa_r
   FROM a, generate_series(0, 7) r(r) GROUP BY r.r),
 sb AS (
   SELECT r.r AS r,
-         CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR)
-                    || ':' || v), 1, 15))::BIGINT % 2 = 1
+         CAST(SUM(CASE WHEN ('0x' || substr(h, r.r + 1, 1))::BIGINT % 2 = 1
               THEN 1 ELSE -1 END) AS BIGINT) AS sb_r
   FROM b, generate_series(0, 7) r(r) GROUP BY r.r),
 x AS (
@@ -2989,34 +2991,24 @@ ORDER BY x.r
 
 
 def _ams_registers(df, col: str, out: str):
-    """8-estimator AMS sign-sum register vector over ``df[col]`` — one
-    map-side-combinable groupBy; mergeable by addition (sk11's sign)."""
-    rows = df.select(
-        F.col(col).cast("string").alias("v"),
-        F.explode(F.expr("sequence(0, 7)")).alias("r"),
+    """8-estimator AMS sign-sum register vector over ``df[col]`` — ONE
+    md5 per row (sk11's nibble-parity signs), 8 conditional sums in ONE
+    no-explode map-side aggregate, unpivoted locally via stack();
+    mergeable by addition. Both streams MUST use the same sign family
+    for the join-size identity E[S_A * S_B] = |A JOIN B| to hold."""
+    h = F.md5(F.col(col).cast("string"))
+    reg = df.agg(
+        *[
+            F.sum(_nibble_sign(h, r)).cast("long").alias(f"s{r}")
+            for r in range(8)
+        ]
     )
-    sg = F.when(
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("r").cast("string"), F.lit(":"), F.col("v")
-                        )
-                    ),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long"),
-            F.lit(2),
+    return reg.select(
+        F.expr(
+            "stack(8, "
+            + ", ".join(f"{r}, s{r}" for r in range(8))
+            + f") AS (r, {out})"
         )
-        == 1,
-        F.lit(1),
-    ).otherwise(F.lit(-1))
-    return (
-        rows.withColumn("sg", sg)
-        .groupBy("r")
-        .agg(F.sum("sg").cast("long").alias(out))
     )
 
 
@@ -3024,7 +3016,8 @@ def _ams_registers(df, col: str, out: str):
     "sk12_ams_join_size", _SK12_ORACLE,
     doc="AMS join-cardinality estimation: |A JOIN B| from the dot "
         "product of two 8-integer sign-sum register vectors (no join "
-        "executed) — exact-integer median of products vs the exact "
+        "executed, no row expansion — one md5 + 8 conditional sums per "
+        "stream) — exact-integer median of products vs the exact "
         "relational join size",
 )
 def sk12(spark: SparkSession, sf_dir: str) -> DataFrame:
