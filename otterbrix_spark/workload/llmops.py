@@ -5066,3 +5066,338 @@ def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# --- e19: IVF-PQ — the production ANN architecture composed ------------------
+# FAISS's default billion-scale index (Jégou et al. PAMI'11; Johnson et
+# al., "Billion-scale similarity search with GPUs"): a coarse quantizer
+# routes each vector to a cell (the IVF e09/e10 certify), and the
+# vector's RESIDUAL against its cell centroid is product-quantized (the
+# PQ e18 certifies) — queries probe nprobe cells and rank candidates
+# with an asymmetric-distance table built from the query's own residual
+# per probed cell. This gate composes both certified pieces end-to-end
+# in exact integer arithmetic: coarse k=4 (1 Lloyd iteration,
+# truncating-div means), shared residual codebook B=4 blocks x k=4
+# (1 Lloyd iteration), nprobe=2, top-10 by ADC. Scale shape: centroids
+# and codebooks are tiny broadcast tables; every argmin is
+# min(struct(dist, id)) map-side; candidates outside the probed cells
+# are never scored (the IVF contract) — the gate emits each survivor's
+# cell, code word, ADC estimate and exact distance, so the driver hash
+# pins routing, encoding, and ranking together.
+
+_E19_ORACLE = """
+WITH e16 AS (
+  SELECT vec_id,
+         list_transform(embedding[1:16],
+                        x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+cs AS (
+  SELECT q AS cq, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ccid
+  FROM e16 ORDER BY vec_id LIMIT 4),
+d0 AS (
+  SELECT e.vec_id, s.ccid, e.q,
+         list_sum(list_transform(list_zip(e.q, s.cq),
+                                 s2 -> (s2[1] - s2[2]) * (s2[1] - s2[2])))
+           AS dist
+  FROM e16 e, cs s),
+a0 AS (
+  SELECT vec_id, ccid, q FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist, ccid) AS rn FROM d0)
+  WHERE rn = 1),
+cpos AS (
+  SELECT ccid, unnest(generate_series(1, 16)) AS pos, unnest(q) AS x
+  FROM a0),
+cc1 AS (
+  SELECT ccid, list(cval ORDER BY pos) AS cq
+  FROM (SELECT ccid, pos, CAST(SUM(x) // COUNT(*) AS BIGINT) AS cval
+        FROM cpos GROUP BY ccid, pos)
+  GROUP BY ccid),
+a1 AS (
+  SELECT vec_id, ccid, q,
+         list_transform(list_zip(q, cq), s2 -> s2[1] - s2[2]) AS rv
+  FROM (
+    SELECT e.vec_id, c.ccid, e.q, c.cq,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(list_zip(e.q, c.cq),
+                       s2 -> (s2[1] - s2[2]) * (s2[1] - s2[2]))), c.ccid)
+             AS rn
+    FROM e16 e, cc1 c)
+  WHERE rn = 1),
+rblocks AS (
+  SELECT vec_id, ccid, m.m AS m, rv[4 * m.m + 1 : 4 * m.m + 4] AS rb
+  FROM a1, generate_series(0, 3) m(m)),
+pseeds AS (
+  SELECT rv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pcid
+  FROM a1 ORDER BY vec_id LIMIT 4),
+psb AS (
+  SELECT pcid, m.m AS m, rv[4 * m.m + 1 : 4 * m.m + 4] AS sb
+  FROM pseeds, generate_series(0, 3) m(m)),
+pd0 AS (
+  SELECT b.vec_id, b.m, s.pcid, b.rb,
+         (b.rb[1] - s.sb[1]) * (b.rb[1] - s.sb[1])
+       + (b.rb[2] - s.sb[2]) * (b.rb[2] - s.sb[2])
+       + (b.rb[3] - s.sb[3]) * (b.rb[3] - s.sb[3])
+       + (b.rb[4] - s.sb[4]) * (b.rb[4] - s.sb[4]) AS dist
+  FROM rblocks b JOIN psb s ON b.m = s.m),
+pa0 AS (
+  SELECT vec_id, m, pcid, rb FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY dist, pcid) AS rn FROM pd0)
+  WHERE rn = 1),
+cb AS (
+  SELECT m, pcid,
+         CAST(SUM(rb[1]) // COUNT(*) AS BIGINT) AS c1,
+         CAST(SUM(rb[2]) // COUNT(*) AS BIGINT) AS c2,
+         CAST(SUM(rb[3]) // COUNT(*) AS BIGINT) AS c3,
+         CAST(SUM(rb[4]) // COUNT(*) AS BIGINT) AS c4
+  FROM pa0 GROUP BY m, pcid),
+pa1 AS (
+  SELECT vec_id, m, pcid AS code FROM (
+    SELECT b.vec_id, b.m, c.pcid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id, b.m
+             ORDER BY (b.rb[1] - c.c1) * (b.rb[1] - c.c1)
+                    + (b.rb[2] - c.c2) * (b.rb[2] - c.c2)
+                    + (b.rb[3] - c.c3) * (b.rb[3] - c.c3)
+                    + (b.rb[4] - c.c4) * (b.rb[4] - c.c4), c.pcid) AS rn
+    FROM rblocks b JOIN cb c ON b.m = c.m)
+  WHERE rn = 1),
+q0 AS (SELECT q FROM e16 ORDER BY vec_id LIMIT 1),
+probe AS (
+  SELECT ccid, cq FROM (
+    SELECT c.ccid, c.cq,
+           ROW_NUMBER() OVER (
+             ORDER BY list_sum(list_transform(
+               list_zip((SELECT q FROM q0), c.cq),
+               s2 -> (s2[1] - s2[2]) * (s2[1] - s2[2]))), c.ccid) AS rn
+    FROM cc1 c)
+  WHERE rn <= 2),
+qres AS (
+  SELECT p.ccid,
+         list_transform(list_zip((SELECT q FROM q0), p.cq),
+                        s2 -> s2[1] - s2[2]) AS qr
+  FROM probe p),
+qrb AS (
+  SELECT ccid, m.m AS m, qr[4 * m.m + 1 : 4 * m.m + 4] AS qb
+  FROM qres, generate_series(0, 3) m(m)),
+adct AS (
+  SELECT r.ccid, c.m, c.pcid,
+         (r.qb[1] - c.c1) * (r.qb[1] - c.c1)
+       + (r.qb[2] - c.c2) * (r.qb[2] - c.c2)
+       + (r.qb[3] - c.c3) * (r.qb[3] - c.c3)
+       + (r.qb[4] - c.c4) * (r.qb[4] - c.c4) AS qdist
+  FROM qrb r JOIN cb c ON c.m = r.m),
+cand AS (
+  SELECT a.vec_id, a.ccid FROM a1 a
+  WHERE a.ccid IN (SELECT ccid FROM probe)),
+adc AS (
+  SELECT cnd.vec_id, cnd.ccid,
+         CAST(SUM(t.qdist) AS BIGINT) AS adc_dist,
+         string_agg(CAST(p.code AS VARCHAR), '-' ORDER BY p.m) AS codes
+  FROM cand cnd
+  JOIN pa1 p ON p.vec_id = cnd.vec_id
+  JOIN adct t ON t.ccid = cnd.ccid AND t.m = p.m AND t.pcid = p.code
+  GROUP BY cnd.vec_id, cnd.ccid),
+exu AS (
+  SELECT vec_id, unnest(q) AS x, unnest((SELECT q FROM q0)) AS y
+  FROM e16),
+ex AS (
+  SELECT vec_id, CAST(SUM((x - y) * (x - y)) AS BIGINT) AS exact_dist
+  FROM exu GROUP BY vec_id)
+SELECT a.vec_id, CAST(a.ccid AS BIGINT) AS cell, a.codes,
+       a.adc_dist, e.exact_dist
+FROM adc a JOIN ex e USING (vec_id)
+ORDER BY a.adc_dist, a.vec_id
+LIMIT 10
+"""
+
+_E19_RESID = "zip_with({a}, {b}, (x, y) -> x - y)"
+
+
+@query(
+    "e19_ivf_pq", _E19_ORACLE,
+    doc="IVF-PQ composition: coarse quantizer routes vectors to cells, "
+        "residuals product-quantized with a shared codebook, nprobe=2 "
+        "query ranked by per-cell ADC tables — routing, encoding and "
+        "ranking hash-pinned together in exact integer arithmetic",
+)
+def e19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e16 = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(slice(embedding, 1, 16), "
+            "x -> CAST(FLOOR(x * 1000) AS BIGINT))"
+        ).alias("q"),
+    )
+    dist = lambda a, b: F.expr(_E18_BDIST.format(a=a, b=b))
+    cs = (
+        e16.orderBy("vec_id").limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("ccid"),
+            F.col("q").alias("cq"),
+        )
+    )
+    a0 = (
+        e16.crossJoin(F.broadcast(cs))
+        .select(
+            "vec_id", "q",
+            F.struct(dist("q", "cq").alias("d"), "ccid").alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("s"), F.first("q").alias("q"))
+        .select("vec_id", F.col("s.ccid").alias("ccid"), "q")
+    )
+    cc1 = (
+        a0.select("ccid", F.posexplode("q").alias("pos", "x"))
+        .groupBy("ccid", "pos")
+        .agg(F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("cval"))
+        .groupBy("ccid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cq")
+        )
+    )
+    a1 = (
+        e16.crossJoin(F.broadcast(cc1))
+        .select(
+            "vec_id", "q", "cq",
+            F.struct(dist("q", "cq").alias("d"), "ccid").alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min("s").alias("s"),
+            F.first("q").alias("q"),
+            F.min_by("cq", F.col("s")).alias("cq"),
+        )
+        .select(
+            "vec_id", F.col("s.ccid").alias("ccid"), "q",
+            F.expr(_E19_RESID.format(a="q", b="cq")).alias("rv"),
+        )
+    )
+    a1 = a1.localCheckpoint(eager=True)
+    rblocks = a1.select(
+        "vec_id", "ccid",
+        F.explode(F.expr("sequence(0, 3)")).alias("m"),
+        "rv",
+    ).select(
+        "vec_id", "ccid", "m", F.expr("slice(rv, 4 * m + 1, 4)").alias("rb")
+    )
+    pseeds = (
+        a1.orderBy("vec_id").limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("pcid"),
+            "rv",
+        )
+    )
+    psb = pseeds.select(
+        "pcid", F.explode(F.expr("sequence(0, 3)")).alias("m"), "rv"
+    ).select("pcid", "m", F.expr("slice(rv, 4 * m + 1, 4)").alias("sb"))
+    pa0 = (
+        rblocks.join(F.broadcast(psb), "m")
+        .select(
+            "vec_id", "m",
+            F.struct(dist("rb", "sb").alias("d"), "pcid", "rb").alias("s"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "m", F.col("s.pcid").alias("pcid"),
+                F.col("s.rb").alias("rb"))
+    )
+    cb = (
+        pa0.select("m", "pcid", F.posexplode("rb").alias("pos", "x"))
+        .groupBy("m", "pcid", "pos")
+        .agg(F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("cval"))
+        .groupBy("m", "pcid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cb")
+        )
+    )
+    pa1 = (
+        rblocks.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "m",
+            F.struct(dist("rb", "cb").alias("d"), "pcid").alias("s"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("s").alias("s"))
+        .select("vec_id", "m", F.col("s.pcid").alias("code"))
+    )
+    q0 = e16.orderBy("vec_id").limit(1).select(F.col("q").alias("q0"))
+    probe = (
+        cc1.crossJoin(F.broadcast(q0))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(dist("q0", "cq").asc(), F.col("ccid"))
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("ccid", "cq", "q0")
+    )
+    qrb = (
+        probe.select(
+            "ccid",
+            F.expr(_E19_RESID.format(a="q0", b="cq")).alias("qr"),
+        )
+        .select(
+            "ccid", F.explode(F.expr("sequence(0, 3)")).alias("m"), "qr"
+        )
+        .select(
+            F.col("ccid").alias("p_ccid"), "m",
+            F.expr("slice(qr, 4 * m + 1, 4)").alias("qb"),
+        )
+    )
+    adct = qrb.join(F.broadcast(cb), "m").select(
+        "p_ccid", "m", "pcid", dist("qb", "cb").alias("qdist")
+    )
+    cand = a1.join(
+        probe.select(F.col("ccid").alias("p2")),
+        a1.ccid == F.col("p2"),
+        "left_semi",
+    ).select("vec_id", "ccid")
+    adc = (
+        cand.join(pa1, "vec_id")
+        .join(
+            F.broadcast(adct),
+            (F.col("ccid") == F.col("p_ccid"))
+            & (pa1.m == adct.m)
+            & (pa1.code == adct.pcid),
+        )
+        .groupBy("vec_id", "ccid")
+        .agg(
+            F.sum("qdist").cast("long").alias("adc_dist"),
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(pa1.m.alias("m"), "code"))
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+            ).alias("codes"),
+        )
+    )
+    ex = e16.crossJoin(F.broadcast(q0)).select(
+        "vec_id",
+        F.expr(_E18_BDIST.format(a="q", b="q0")).cast("long")
+        .alias("exact_dist"),
+    )
+    return (
+        adc.join(ex, "vec_id")
+        .select(
+            "vec_id", F.col("ccid").cast("long").alias("cell"),
+            "codes", "adc_dist", "exact_dist",
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

@@ -912,3 +912,13 @@ def test_t20_no_exchange_before_sort(spark, sf_dir):
     exchange in the plan is the final ORDER BY's range partitioning."""
     plan = plan_of(spark, sf_dir, "t20_bpe_apply")
     assert plan.count("Exchange") <= 2  # rangepartitioning (+AQE read)
+
+
+def test_e19_ivf_pq_broadcast_only(spark, sf_dir):
+    """IVF-PQ: centroids, codebooks and ADC tables are all broadcast;
+    candidates outside probed cells are cut by a semi-join; the only
+    nested-loops are the sanctioned single-row broadcast cross joins
+    (query vector, coarse-probe attach)."""
+    plan = plan_of(spark, sf_dir, "e19_ivf_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
