@@ -213,6 +213,17 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(\s+RETURNING\s+\*)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# PG TRUNCATE (grammar TruncateStmt): multi-table, RESTART IDENTITY
+# resets sequences named by the tables' column DEFAULTs, RESTRICT
+# (default) refuses when an FK from a non-truncated table references a
+# truncated one (PG errors even with zero referencing rows), CASCADE
+# pulls FK dependents into the truncation set transitively.
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+(?:\s*,\s*[\w.]+)*)"
+    r"(?:\s+(RESTART|CONTINUE)\s+IDENTITY)?"
+    r"(?:\s+(CASCADE|RESTRICT))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 # PG 15 MERGE (reference upsert family, same statement surface as
 # postgresql MERGE INTO): target and source are table/view names, the
 # WHEN list is ordered and first-match-wins per candidate row.
@@ -401,6 +412,7 @@ class Catalog:
         self.sequences: dict[str, int] = {}
         self._seq_last: dict[str, int] = {}
         self._seq_step: dict[str, int] = {}
+        self._seq_start: dict[str, int] = {}  # for TRUNCATE RESTART IDENTITY
         # registered databases (reference CREATE DATABASE namespaces —
         # dispatcher scopes every collection as database.collection). Spark
         # temp views are single-part, so db.table canonicalizes to db__table
@@ -502,12 +514,15 @@ class Catalog:
         if cols:
             rows = rows.toDF(*cols)
             dfl = self.table_defaults.get(name, {})
+            n_cache: dict = {}
             rows = rows.select(
                 *[
                     F.col(f.name)
                     if f.name in cols
                     else (
-                        F.expr(dfl[f.name]) if f.name in dfl else F.lit(None)
+                        self._default_expr(dfl[f.name], rows, n_cache)
+                        if f.name in dfl
+                        else F.lit(None)
                     ).cast(f.dataType).alias(f.name)
                     for f in base.schema.fields
                 ]
@@ -930,6 +945,137 @@ class Catalog:
                     )
         return cascades
 
+    def _default_expr(
+        self, expr_text: str, rows, n_cache: dict
+    ) -> "F.Column":
+        """Column for a stored DEFAULT expression, evaluating sequence
+        functions at INSERT time — PG semantics: the DDL stores the
+        EXPRESSION and nextval advances once per inserted row (a frozen
+        DDL-time value would hand every future row the same id). For a
+        multi-row insert the values are assigned by row number and the
+        sequence advances by the row count (mirroring the per-row
+        INSERT ... SELECT nextval path); the row count is computed once
+        per statement and shared across default columns via ``n_cache``.
+        ``rows=None`` marks the single-row DEFAULT VALUES form."""
+        if not re.search(r"\b(nextval|currval)\s*\(", expr_text, re.IGNORECASE):
+            return F.expr(expr_text)
+
+        def sub(mm: re.Match) -> str:
+            fn = mm.group(1).lower()
+            name = mm.group(2).replace(".", "__")
+            if name not in self.sequences:
+                raise ValueError(f"unknown sequence: {name}")
+            if fn == "currval":
+                if name not in self._seq_last:
+                    raise ValueError(
+                        f'currval of sequence "{name}" is not yet defined'
+                    )
+                return str(self._seq_last[name])
+            start = self.sequences[name]
+            step = self._seq_step.get(name, 1)
+            if rows is None:
+                n = 1
+            else:
+                if "n" not in n_cache:
+                    n_cache["n"] = rows.count()
+                n = n_cache["n"]
+            self.sequences[name] = start + n * step
+            self._seq_last[name] = self.sequences[name] - step
+            if n <= 1:
+                return str(start)
+            return (
+                f"({start} + (ROW_NUMBER() OVER (ORDER BY "
+                f"monotonically_increasing_id()) - 1) * {step})"
+            )
+
+        return F.expr(
+            re.sub(
+                r"\b(nextval|currval)\s*\(\s*'([\w.]+)'\s*\)",
+                sub, expr_text, flags=re.IGNORECASE,
+            )
+        )
+
+    def _consume_seq_text(self, text: str) -> str:
+        """Substitute every nextval()/currval() occurrence in ``text``
+        with a concrete value, consuming one sequence value per nextval
+        occurrence (PG statement-level folding, parameter_node_t style)."""
+        if not re.search(r"\b(nextval|currval)\s*\(", text, re.IGNORECASE):
+            return text
+
+        def sub(mm: re.Match) -> str:
+            fn = mm.group(1).lower()
+            name = mm.group(2).replace(".", "__")
+            if name not in self.sequences:
+                raise ValueError(f"unknown sequence: {name}")
+            value = self.sequences[name]
+            if fn == "nextval":
+                self.sequences[name] = value + self._seq_step.get(name, 1)
+                self._seq_last[name] = value
+                return str(value)
+            if name not in self._seq_last:
+                raise ValueError(
+                    f'currval of sequence "{name}" is not yet defined'
+                )
+            return str(self._seq_last[name])
+
+        return re.sub(
+            r"\b(nextval|currval)\s*\(\s*'([\w.]+)'\s*\)",
+            sub, text, flags=re.IGNORECASE,
+        )
+
+    def _truncate(
+        self, names: list[str], restart: bool, cascade: bool
+    ) -> DataFrame:
+        """PG TRUNCATE: empty every listed table (schema, constraints and
+        defaults survive). FK semantics are PG's: a foreign key FROM a
+        table outside the truncation set is an error under the default
+        RESTRICT — even when the referencing table is empty — and CASCADE
+        pulls dependents in transitively. RESTART IDENTITY resets every
+        sequence consumed by the truncated tables' column DEFAULTs to its
+        START value (currval becomes undefined again, as in PG). Inside a
+        transaction the empty frames are staged like any other DML, so
+        ROLLBACK restores the rows."""
+        from otterbrix_spark.operators.dml import ConstraintViolation
+
+        doomed = list(dict.fromkeys(names))
+        i = 0
+        while i < len(doomed):
+            for child, c in self._fk_dependents(doomed[i]):
+                if child in doomed:
+                    continue
+                if not cascade:
+                    raise ConstraintViolation(
+                        f"cannot truncate {doomed[i]}: {c['name']} on "
+                        f"{child} references it (use TRUNCATE ... CASCADE)"
+                    )
+                doomed.append(child)
+            i += 1
+        n_rows = 0
+        for name in doomed:
+            table = self.tables[name]
+            if self._txn is not None:
+                base = self._txn.get(name, table.df())
+                empty = base.filter(F.lit(False))
+                self._txn[name] = empty
+                empty.createOrReplaceTempView(name)
+            else:
+                n_rows += table.delete(F.lit(True))
+                self._register(table)
+            if restart:
+                import re as _re
+
+                for expr in self.table_defaults.get(name, {}).values():
+                    for seq in _re.findall(
+                        r"nextval\s*\(\s*'(\w+)'\s*\)", expr, _re.IGNORECASE
+                    ):
+                        if seq in self.sequences:
+                            self.sequences[seq] = self._seq_start.get(seq, 1)
+                            self._seq_last.pop(seq, None)
+        return self.spark.range(1).select(
+            F.lit(n_rows).alias("truncated"),
+            F.lit(len(doomed)).alias("n_tables"),
+        )
+
     def _add_constraint(self, name: str, con: dict) -> None:
         """Register a constraint, validating existing rows first (PG
         validates on ADD CONSTRAINT; a violating table rejects the DDL)."""
@@ -1100,10 +1246,15 @@ class Catalog:
             table = self.tables[name]
             if dflt:
                 # PG: ADD COLUMN ... DEFAULT backfills EXISTING rows with
-                # the default and records it for future INSERTs
+                # the default and records it for future INSERTs; a
+                # sequence default backfills per-row values (PG rewrites
+                # the table the same way for volatile defaults)
                 dflt = dflt.strip()
                 table.add_column(
-                    col, dtype, default=F.expr(dflt).cast(dtype)
+                    col, dtype,
+                    default=self._default_expr(
+                        dflt, table.df(), {}
+                    ).cast(dtype),
                 )
                 self.table_defaults.setdefault(name, {})[col] = dflt
             else:
@@ -1247,13 +1398,21 @@ class Catalog:
             name, start = m.group(1), int(m.group(2) or 1)
             self.sequences.setdefault(name, start)
             self._seq_step[name] = int(m.group(3) or 1)
+            self._seq_start.setdefault(name, start)
             return self.spark.range(0).select(F.lit(name).alias("created"))
         m = re.match(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", sql, re.IGNORECASE)
         if m:
             self.sequences.pop(m.group(1), None)
             self._seq_last.pop(m.group(1), None)
             return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
-        if re.search(r"\b(nextval|currval)\s*\(", sql, re.IGNORECASE):
+        _stores_expr_ddl = re.match(
+            r"^\s*(?:CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*\(|ALTER\s+TABLE\b)",
+            sql, re.IGNORECASE,
+        )
+        if (
+            re.search(r"\b(nextval|currval)\s*\(", sql, re.IGNORECASE)
+            and not _stores_expr_ddl
+        ):
             # per-row nextval: INSERT ... SELECT nextval('s'), ... FROM src
             # assigns a DISTINCT value per source row (PG sequence
             # semantics), not one statement-level constant. Lowered to a
@@ -1460,8 +1619,20 @@ class Catalog:
                 self.table_constraints[name] = cons
             if defaults:
                 # validate now: a broken default should fail at CREATE time
+                # (sequence calls are peeked — substituted with the current
+                # value WITHOUT consuming; the stored text keeps nextval so
+                # INSERTs advance it per row, never a DDL-frozen constant)
                 for col, expr in defaults.items():
-                    self.spark.range(1).select(F.expr(expr).alias(col))
+                    peek = re.sub(
+                        r"\b(?:nextval|currval)\s*\(\s*'([\w.]+)'\s*\)",
+                        lambda mm: str(
+                            self.sequences.get(
+                                mm.group(1).replace(".", "__"), 0
+                            )
+                        ),
+                        expr, flags=re.IGNORECASE,
+                    )
+                    self.spark.range(1).select(F.expr(peek).alias(col))
                 self.table_defaults[name] = defaults
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
@@ -1520,6 +1691,12 @@ class Catalog:
                 )
                 for col, expr in set_texts.items()
             }
+            # sequence defaults: SET col = DEFAULT consumes ONE value for
+            # the statement (the per-row form is the INSERT paths' job)
+            set_texts = {
+                col: self._consume_seq_text(expr)
+                for col, expr in set_texts.items()
+            }
             sets = _resolve_set_targets(set_texts)
             if self._txn is not None:
                 base = self._txn.get(name, table.df())
@@ -1537,6 +1714,16 @@ class Catalog:
             if returning:
                 return result
             return self.spark.range(1).select(F.lit(result).alias("updated"))
+
+        m = _TRUNCATE.match(sql)
+        if m and all(
+            n.strip() in self.tables for n in m.group(1).split(",")
+        ):
+            return self._truncate(
+                [n.strip() for n in m.group(1).split(",")],
+                restart=(m.group(2) or "").upper() == "RESTART",
+                cascade=(m.group(3) or "").upper() == "CASCADE",
+            )
 
         m = _DELETE.match(sql)
         if m and m.group(1) in self.tables:
@@ -1606,7 +1793,7 @@ class Catalog:
                 rows = self.spark.range(1).select(
                     *[
                         (
-                            F.expr(dfl[f.name])
+                            self._default_expr(dfl[f.name], None, {})
                             if f.name in dfl
                             else F.lit(None)
                         ).cast(f.dataType).alias(f.name)
@@ -1630,12 +1817,13 @@ class Catalog:
                 # reorder to the table schema; omitted columns take their
                 # declared DEFAULT expression, else NULL (PG semantics)
                 dfl = self.table_defaults.get(name, {})
+                n_cache: dict = {}
                 rows = rows.select(
                     *[
                         F.col(f.name)
                         if f.name in cols
                         else (
-                            F.expr(dfl[f.name])
+                            self._default_expr(dfl[f.name], rows, n_cache)
                             if f.name in dfl
                             else F.lit(None)
                         ).cast(f.dataType).alias(f.name)
@@ -1682,7 +1870,7 @@ class Catalog:
             head.startswith(k)
             for k in (
                 "CREATE TABLE", "DROP TABLE", "INSERT", "UPDATE", "DELETE",
-                "MERGE",
+                "MERGE", "TRUNCATE",
                 "SET TIME", "BEGIN", "COMMIT", "ROLLBACK", "ABORT",
                 "CREATE INDEX", "CREATE UNIQUE INDEX", "DROP INDEX",
                 "VACUUM", "CHECKPOINT", "ALTER TABLE",
@@ -1724,7 +1912,11 @@ class Catalog:
                 for i, it in enumerate(items)
             ]
             out_rows.append("(" + ", ".join(folded) + ")")
-        return "VALUES " + ", ".join(out_rows)
+        # folded defaults may carry sequence calls; each occurrence (one
+        # per DEFAULT row slot) consumes its own value — per-row PG
+        # semantics fall out naturally, and the caller's spark.sql parse
+        # never sees an unresolvable nextval()
+        return self._consume_seq_text("VALUES " + ", ".join(out_rows))
 
     def _copy(self, m: re.Match) -> DataFrame:
         """Execute a matched COPY statement (see route() for semantics)."""

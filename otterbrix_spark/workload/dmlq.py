@@ -908,3 +908,78 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c_custkey, c_nationkey, bal_cents FROM q99_top "
         "ORDER BY bal_cents USING >, c_custkey USING < LIMIT 50"
     )
+
+
+# --- x09: TRUNCATE statement ---------------------------------------------------
+# PG TruncateStmt: empty tables keeping schema/constraints/defaults,
+# with the three semantics DELETE doesn't have — RESTRICT refuses when
+# an OUTSIDE table holds an FK to a truncated one (even with zero
+# referencing rows), CASCADE pulls dependents in transitively, and
+# RESTART IDENTITY rewinds the sequences feeding the table's column
+# DEFAULTs. The gate walks the full chain: FK-guarded truncate must
+# raise; CASCADE empties parent and child; a sequence-DEFAULT audit
+# table is truncated RESTART IDENTITY and must hand out its START value
+# again. Final state is corpus-derived where possible (parent refilled
+# from nation) so the oracle isn't a constant tuple.
+
+_X09_ORACLE = """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation WHERE n_regionkey = 1)
+         AS parent_rows,
+       CAST(0 AS BIGINT) AS child_rows,
+       CAST(100 AS BIGINT) AS audit_id,
+       CAST(1 AS BIGINT) AS audit_rows
+"""
+
+
+@query(
+    "x09_truncate", _X09_ORACLE,
+    doc="TRUNCATE: RESTRICT raises on an outside FK (even with zero "
+        "referencing rows), CASCADE empties dependents transitively, "
+        "RESTART IDENTITY rewinds DEFAULT-feeding sequences to START",
+)
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+    from otterbrix_spark.operators.dml import ConstraintViolation
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    for stmt in (
+        "DROP TABLE IF EXISTS x09_child",
+        "DROP TABLE IF EXISTS x09_parent",
+        "DROP TABLE IF EXISTS x09_audit",
+        "DROP SEQUENCE IF EXISTS x09_seq",
+        "CREATE SEQUENCE x09_seq START 100",
+        "CREATE TABLE x09_parent AS SELECT n_nationkey, n_name FROM nation",
+        "CREATE TABLE x09_child AS "
+        "  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 10 = 0",
+        "ALTER TABLE x09_child ADD CONSTRAINT x09_fk FOREIGN KEY "
+        "  (c_nationkey) REFERENCES x09_parent (n_nationkey)",
+    ):
+        eng.sql(stmt)
+    try:
+        eng.sql("TRUNCATE x09_parent")  # RESTRICT default: must refuse
+        raise AssertionError("x09: FK-guarded TRUNCATE did not raise")
+    except ConstraintViolation:
+        pass
+    eng.sql("TRUNCATE TABLE x09_parent CASCADE")
+    eng.sql(
+        "INSERT INTO x09_parent "
+        "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1"
+    )
+    eng.sql(
+        "CREATE TABLE x09_audit "
+        "(id bigint DEFAULT nextval('x09_seq'), v varchar(10))"
+    )
+    eng.sql("INSERT INTO x09_audit (v) VALUES ('a')")
+    eng.sql("INSERT INTO x09_audit (v) VALUES ('b')")
+    eng.sql("TRUNCATE x09_audit RESTART IDENTITY")
+    eng.sql("INSERT INTO x09_audit (v) VALUES ('c')")
+    return eng.sql(
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM x09_parent) "
+        "         AS parent_rows, "
+        "       (SELECT CAST(COUNT(*) AS BIGINT) FROM x09_child) "
+        "         AS child_rows, "
+        "       (SELECT CAST(MIN(id) AS BIGINT) FROM x09_audit) AS audit_id, "
+        "       (SELECT CAST(COUNT(*) AS BIGINT) FROM x09_audit) "
+        "         AS audit_rows"
+    )

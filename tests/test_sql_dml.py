@@ -916,3 +916,42 @@ def test_alter_add_column_without_default_nulls(engine):
     engine.execute_sql("INSERT INTO ac2 VALUES (1)")
     engine.execute_sql("ALTER TABLE ac2 ADD COLUMN w STRING")
     assert engine.execute_sql("SELECT * FROM ac2").fetchall() == [(1, None)]
+
+
+def test_truncate_basic_and_txn(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS tr_t")
+    eng.sql("CREATE TABLE tr_t (k bigint, v varchar(10))")
+    eng.sql("INSERT INTO tr_t VALUES (1, 'a'), (2, 'b')")
+    eng.sql("TRUNCATE tr_t")
+    assert eng.sql("SELECT COUNT(*) AS n FROM tr_t").collect()[0].n == 0
+    # schema and DML keep working after truncate
+    eng.sql("INSERT INTO tr_t VALUES (3, 'c')")
+    assert eng.sql("SELECT COUNT(*) AS n FROM tr_t").collect()[0].n == 1
+    # transactional truncate rolls back
+    eng.sql("BEGIN")
+    eng.sql("TRUNCATE tr_t")
+    assert eng.sql("SELECT COUNT(*) AS n FROM tr_t").collect()[0].n == 0
+    eng.sql("ROLLBACK")
+    assert eng.sql("SELECT COUNT(*) AS n FROM tr_t").collect()[0].n == 1
+
+
+def test_truncate_multi_table_and_identity(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS tr_a")
+    eng.sql("DROP TABLE IF EXISTS tr_b")
+    eng.sql("DROP SEQUENCE IF EXISTS tr_seq")
+    eng.sql("CREATE SEQUENCE tr_seq START 7")
+    eng.sql("CREATE TABLE tr_a (id bigint DEFAULT nextval('tr_seq'), x bigint)")
+    eng.sql("CREATE TABLE tr_b (y bigint)")
+    eng.sql("INSERT INTO tr_a (x) VALUES (1)")
+    eng.sql("INSERT INTO tr_a (x) VALUES (2)")
+    eng.sql("INSERT INTO tr_b VALUES (9)")
+    # without RESTART the sequence keeps counting
+    eng.sql("TRUNCATE tr_a, tr_b")
+    eng.sql("INSERT INTO tr_a (x) VALUES (3)")
+    assert eng.sql("SELECT MIN(id) AS i FROM tr_a").collect()[0].i == 9
+    eng.sql("TRUNCATE tr_a RESTART IDENTITY")
+    eng.sql("INSERT INTO tr_a (x) VALUES (4)")
+    assert eng.sql("SELECT MIN(id) AS i FROM tr_a").collect()[0].i == 7
+    assert eng.sql("SELECT COUNT(*) AS n FROM tr_b").collect()[0].n == 0
