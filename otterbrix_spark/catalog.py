@@ -1065,9 +1065,13 @@ class Catalog:
                 import re as _re
 
                 for expr in self.table_defaults.get(name, {}).values():
+                    # same name pattern + '.'->'__' canonicalization as
+                    # _default_expr, so schema-qualified nextval('db.seq')
+                    # defaults reset their sequence too
                     for seq in _re.findall(
-                        r"nextval\s*\(\s*'(\w+)'\s*\)", expr, _re.IGNORECASE
+                        r"nextval\s*\(\s*'([\w.]+)'\s*\)", expr, _re.IGNORECASE
                     ):
+                        seq = seq.replace(".", "__")
                         if seq in self.sequences:
                             self.sequences[seq] = self._seq_start.get(seq, 1)
                             self._seq_last.pop(seq, None)
@@ -1142,6 +1146,25 @@ class Catalog:
                 flags=re.IGNORECASE,
             )
         return _restore_strings(body, lits)
+
+    def explain_route(self, sql: str) -> DataFrame:
+        """Route a mutating statement for PLAIN ``EXPLAIN``: run it inside an
+        implicit transaction whose staged frames are discarded, so the plan
+        can be inspected without applying the write — PG executes DML only
+        under ``EXPLAIN ANALYZE``. Nested inside a user transaction, the
+        user's staged state is snapshotted and restored (their temp views
+        included), so the probe is invisible either way."""
+        snap = self._txn
+        self._txn = dict(snap) if snap is not None else {}
+        try:
+            return self.route(sql)
+        finally:
+            probed, self._txn = self._txn, snap
+            for name in probed or {}:
+                if snap is not None and name in snap:
+                    snap[name].createOrReplaceTempView(name)
+                elif name in self.tables:
+                    self._register(self.tables[name])
 
     def route(self, sql: str) -> DataFrame:
         head = sql.strip().rstrip(";").upper()

@@ -96,7 +96,15 @@ class Engine:
         EXPLAIN habit works and shows the engine they are actually on.
         ``EXPLAIN ANALYZE`` uses Spark's "cost" mode (adds statistics);
         plain EXPLAIN uses "formatted" (physical operators + details,
-        where PushedFilters/ReadSchema pruning is visible)."""
+        where PushedFilters/ReadSchema pruning is visible).
+
+        Execution semantics follow PG: only ``EXPLAIN ANALYZE`` actually
+        applies a DML statement. Plain ``EXPLAIN`` of catalog-routed
+        INSERT/UPDATE/DELETE/MERGE stages the write inside a discarded
+        implicit transaction (the table is untouched); plain EXPLAIN of a
+        routed CTAS / CREATE MATERIALIZED VIEW plans its source query
+        without creating the table; other routed utility statements
+        (TRUNCATE, ALTER, SET, ...) refuse, as PG's grammar does."""
         import re
 
         m = re.match(
@@ -105,7 +113,10 @@ class Engine:
         )
         if m is None:
             return None
-        inner = self.execute_sql(m.group(2).strip(), *params)
+        if m.group(1):
+            inner = self.execute_sql(m.group(2).strip(), *params)
+        else:
+            inner = self._explain_only(m.group(2).strip(), params)
         jvm = self.spark.sparkContext._jvm
         mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "cost" if m.group(1) else "formatted"
@@ -114,6 +125,42 @@ class Engine:
         rows = [(line,) for line in text.splitlines() if line.strip()]
         return Cursor(
             self.spark.createDataFrame(rows, "plan STRING")
+        )
+
+    def _explain_only(self, sql: str, params) -> Cursor:
+        """Plan a statement WITHOUT applying it (plain ``EXPLAIN``).
+
+        Catalog-routed DML goes through ``Catalog.explain_route`` (staged in
+        a discarded implicit transaction); CTAS-family statements plan their
+        source SELECT; every other catalog-routed statement is a utility
+        statement PG's EXPLAIN grammar refuses — raising here is strictly
+        better than the old behaviour, which eagerly EXECUTED it."""
+        import re
+
+        body = self.catalog.canonicalize(rewrite(sql))
+        if params:
+            body = re.sub(
+                r"\$(\d+)",
+                lambda mm: _sql_literal(params[int(mm.group(1)) - 1]),
+                body,
+            )
+        if not self.catalog.handles(body):
+            return Cursor(self.spark.sql(body))
+        head = body.lstrip().upper()
+        if head.startswith(("INSERT", "UPDATE", "DELETE", "MERGE")):
+            return Cursor(self.catalog.explain_route(body))
+        m = re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?"
+            r"(?:TABLE|VIEW)\s+[\w.]+\s+AS\s+(.+)$",
+            body,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._explain_only(m.group(1).strip(), ())
+        raise ValueError(
+            "EXPLAIN cannot plan a utility statement without executing it "
+            "(PG accepts only SELECT/VALUES/DML/CTAS under EXPLAIN); "
+            "use EXPLAIN ANALYZE to execute and profile it"
         )
 
     # -- prepared statements (PG PREPARE / EXECUTE / DEALLOCATE) ------------
@@ -182,6 +229,13 @@ class Engine:
                     return arg if simple.fullmatch(arg) else f"({arg})"
 
                 protected, lits = _protect_strings(body)
+                refs = [int(x) for x in re.findall(r"\$(\d+)", protected)]
+                if refs and max(refs) > len(args):
+                    # PG: "wrong number of parameters" — not an IndexError
+                    raise ValueError(
+                        f'wrong number of parameters for prepared statement '
+                        f'"{name}": expected {max(refs)}, got {len(args)}'
+                    )
                 protected = re.sub(r"\$(\d+)", bind, protected)
                 body = _restore_strings(protected, lits)
             return self.execute_sql(body, *params)

@@ -620,7 +620,7 @@ def ivf_persist_build(
     corpus: DataFrame,
     path: str,
     n_cells: int = 8,
-    train_iters: int = 0,
+    train_iters: int = 1,
     payload: DataFrame | None = None,
 ) -> None:
     """Assign each vector to its nearest centroid (exact integer distance,
@@ -629,14 +629,16 @@ def ivf_persist_build(
     side file holding the centroids — the query must never scan the whole
     index just to rediscover them.
 
-    ``train_iters > 0`` runs that many exact-integer Lloyd iterations
-    (:func:`kmeans_exact_train`) so the cells follow the ACTUAL key
-    distribution instead of the first ``n_cells`` vec_ids — untrained
-    seeds skew cell sizes (and therefore per-probe scan cost and recall)
-    on any clustered real-world distribution, the same reason the
-    reference builds its indexes from the stored key distribution
-    (`components/index/`, `services/index/btree_index_disk.cpp`).
-    ``train_iters=0`` keeps the legacy seed-only layout (e09's gate).
+    ``train_iters`` (default 1) runs that many exact-integer Lloyd
+    iterations (:func:`kmeans_exact_train`) so the cells follow the
+    ACTUAL key distribution — the production path since e10's
+    certification (measured at sf0.1: max/mean cell size 1.18 untrained
+    -> 1.06 trained), the same reason the reference builds its indexes
+    from the stored key distribution (`components/index/`,
+    `services/index/btree_index_disk.cpp`). ``train_iters=0`` is the
+    legacy first-``n_cells``-vec_ids seed layout, kept ONLY for gates
+    whose oracles replay that exact layout (e09/e12/e13 pin it
+    explicitly); new callers should not pass 0.
 
     ``payload`` (optional): extra filterable attributes keyed by vec_id
     (label, language, license, ...) stored IN the index rows — the
@@ -680,6 +682,32 @@ def _ivf_persist_write(assigned: DataFrame, path: str) -> None:
     )
 
 
+def _read_live_index(
+    spark, path: str, pre_filter: F.Column | str | None = None
+) -> DataFrame:
+    """Read the persisted IVF index with the delete contract applied:
+    ``pre_filter`` (if any) goes first so it reaches the parquet reader as
+    a pushed filter inside the probed cells, then the tombstone side file
+    (:func:`ivf_persist_delete`) is excluded with one broadcast anti-join.
+    EVERY query path over the persisted layout must read through this
+    helper — the index layout is shared, so a path that skips the
+    anti-join resurrects deleted vectors (the bug class this factoring
+    removes: ivf_quantized_query originally read the raw path)."""
+    import os
+
+    idx = spark.read.parquet(path)
+    if pre_filter is not None:
+        idx = idx.filter(pre_filter)
+    tomb = path + "_tombstones"
+    if os.path.isdir(tomb):
+        idx = idx.join(
+            F.broadcast(spark.read.parquet(tomb).select("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+    return idx
+
+
 def ivf_persist_query(
     spark,
     path: str,
@@ -699,25 +727,11 @@ def ivf_persist_query(
     the distance compute — it reaches the parquet reader as a pushed
     filter inside the probed cells, and the top-k ranks only qualifying
     vectors (pre-filtering, not the lossy post-filter)."""
-    import os
-
     qq = _kmeans_exact_quantize(queries)
     # centroids come from the build-time side file — scanning the index
     # for its seed ROWS would touch every cell directory on every query,
     # eroding exactly the pruning benefit the layout exists for
-    idx = spark.read.parquet(path)
-    if pre_filter is not None:
-        idx = idx.filter(pre_filter)
-    # tombstone side file (ivf_persist_delete): deleted ids are excluded
-    # from candidates with one broadcast anti-join — the index layout is
-    # never rewritten on delete, compaction happens at the next rebuild
-    tomb = path + "_tombstones"
-    if os.path.isdir(tomb):
-        idx = idx.join(
-            F.broadcast(spark.read.parquet(tomb).select("vec_id")),
-            "vec_id",
-            "left_anti",
-        )
+    idx = _read_live_index(spark, path, pre_filter)
     seeds = spark.read.parquet(path + "_seeds")
     d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
@@ -809,7 +823,7 @@ def ivf_quantized_query(
     cell directories. Deterministic end-to-end (integer dots, single
     divisions), so the whole composition is exactly oracle-replayable."""
     qq = _kmeans_exact_quantize(queries)
-    idx = spark.read.parquet(path)
+    idx = _read_live_index(spark, path)
     seeds = spark.read.parquet(path + "_seeds")
     d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")

@@ -2172,7 +2172,7 @@ def e09(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = similarity.prepare(emb)
     scratch = scratch_dir("e09_ivf_")
     path = os.path.join(scratch, "ivf_index")
-    similarity.ivf_persist_build(corpus, path, n_cells=8)
+    similarity.ivf_persist_build(corpus, path, n_cells=8, train_iters=0)
     queries = corpus.filter(F.col("vec_id") < 5)
     res = similarity.ivf_persist_query(spark, path, queries, k=5, nprobe=2)
     return res.withColumn("rank", F.col("rank").cast("int"))
@@ -2955,7 +2955,9 @@ def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
     scratch = scratch_dir("e12_ivf_")
     path = os.path.join(scratch, "ivf_index")
-    similarity.ivf_persist_build(corpus, path, n_cells=8, payload=labels)
+    similarity.ivf_persist_build(
+        corpus, path, n_cells=8, train_iters=0, payload=labels
+    )
     queries = corpus.filter(F.col("vec_id") < 5)
     res = similarity.ivf_persist_query(
         spark, path, queries, k=5, nprobe=2, pre_filter="label % 2 = 0"
@@ -3427,7 +3429,7 @@ def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = similarity.prepare(emb)
     scratch = scratch_dir("e13_ivf_")
     path = os.path.join(scratch, "ivf_index")
-    similarity.ivf_persist_build(corpus, path, n_cells=8)
+    similarity.ivf_persist_build(corpus, path, n_cells=8, train_iters=0)
     queries = corpus.filter(F.col("vec_id") < 5)
     res = similarity.ivf_quantized_query(
         spark, path, queries, k=5, nprobe=2, shortlist=12

@@ -144,3 +144,39 @@ def test_kmeans_assign_numpy_path_equals_expression_path(spark, sf_dir):
         .collect()
     }
     assert jvm == np_
+
+
+def test_quantized_query_respects_tombstones(spark, sf_dir, tmp_path):
+    """Every query path over ONE persisted index layout must apply the
+    tombstone anti-join (ADVICE r7: ivf_quantized_query read the raw
+    path, so deleted vectors could resurface through the quantized
+    stack)."""
+    import os
+
+    from otterbrix_spark.llm import similarity
+    from otterbrix_spark.sources.registry import load_table
+
+    corpus = similarity.prepare(load_table(spark, str(sf_dir), "embeddings"))
+    path = os.path.join(str(tmp_path), "ivf_idx")
+    similarity.ivf_persist_build(corpus, path, n_cells=8, train_iters=1)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    before = {
+        r["neighbor_id"]
+        for r in similarity.ivf_quantized_query(
+            spark, path, queries, k=5, nprobe=2
+        ).collect()
+    }
+    assert before, "quantized query returned nothing"
+    # delete every neighbor the quantized path just returned
+    similarity.ivf_persist_delete(
+        spark, path, corpus.filter(F.col("vec_id").isin([*before]))
+    )
+    after = {
+        r["neighbor_id"]
+        for r in similarity.ivf_quantized_query(
+            spark, path, queries, k=5, nprobe=2
+        ).collect()
+    }
+    assert not (after & before), (
+        "tombstoned vectors resurfaced through the quantized path"
+    )

@@ -955,3 +955,90 @@ def test_truncate_multi_table_and_identity(engine):
     eng.sql("INSERT INTO tr_a (x) VALUES (4)")
     assert eng.sql("SELECT MIN(id) AS i FROM tr_a").collect()[0].i == 7
     assert eng.sql("SELECT COUNT(*) AS n FROM tr_b").collect()[0].n == 0
+
+
+def test_explain_dml_does_not_mutate(engine):
+    """PG executes DML only under EXPLAIN ANALYZE; plain EXPLAIN plans the
+    write inside a discarded implicit transaction (ADVICE r7, medium)."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS ex_t")
+    eng.sql("CREATE TABLE ex_t (k bigint, v bigint)")
+    eng.sql("INSERT INTO ex_t VALUES (1, 10), (2, 20)")
+    rows = eng.sql("EXPLAIN UPDATE ex_t SET v = v + 1 WHERE k = 1").collect()
+    assert rows and all(len(r) == 1 for r in rows)  # plan text came back
+    assert sorted(
+        (r.k, r.v) for r in eng.sql("SELECT * FROM ex_t").collect()
+    ) == [(1, 10), (2, 20)]  # the write was NOT applied
+    rows = eng.sql("EXPLAIN DELETE FROM ex_t WHERE k = 2").collect()
+    assert rows
+    assert eng.sql("SELECT COUNT(*) AS n FROM ex_t").collect()[0].n == 2
+    rows = eng.sql("EXPLAIN INSERT INTO ex_t VALUES (3, 30)").collect()
+    assert rows
+    assert eng.sql("SELECT COUNT(*) AS n FROM ex_t").collect()[0].n == 2
+    # EXPLAIN ANALYZE executes, as PG does
+    eng.sql("EXPLAIN ANALYZE UPDATE ex_t SET v = v + 1 WHERE k = 1").collect()
+    assert eng.sql("SELECT v FROM ex_t WHERE k = 1").collect()[0].v == 11
+    # utility statements refuse under plain EXPLAIN (PG grammar)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="utility statement"):
+        eng.sql("EXPLAIN TRUNCATE ex_t")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ex_t").collect()[0].n == 2
+    # CTAS plans its source query without creating the table
+    rows = eng.sql(
+        "EXPLAIN CREATE TABLE ex_ctas AS SELECT k FROM ex_t"
+    ).collect()
+    assert rows
+    assert "ex_ctas" not in eng.catalog.tables
+
+
+def test_explain_dml_inside_user_txn(engine):
+    """Plain EXPLAIN inside BEGIN..COMMIT must not disturb the user's
+    staged state (snapshot/restore of the txn dict + temp views)."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS ex_u")
+    eng.sql("CREATE TABLE ex_u (k bigint)")
+    eng.sql("INSERT INTO ex_u VALUES (1)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO ex_u VALUES (2)")  # staged, read-your-writes
+    eng.sql("EXPLAIN UPDATE ex_u SET k = k * 10").collect()
+    # the staged state is intact (the probe's stage was discarded)
+    assert sorted(
+        r.k for r in eng.sql("SELECT * FROM ex_u").collect()
+    ) == [1, 2]
+    eng.sql("COMMIT")
+    assert sorted(
+        r.k for r in eng.sql("SELECT * FROM ex_u").collect()
+    ) == [1, 2]
+
+
+def test_execute_wrong_parameter_count(engine):
+    """EXECUTE referencing $k beyond the argument list raises PG's 'wrong
+    number of parameters', not a bare IndexError (ADVICE r7)."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.execute_sql("DEALLOCATE ALL")
+    eng.execute_sql("PREPARE exq AS SELECT $1 + $2 AS s")
+    with _pytest.raises(ValueError, match="wrong number of parameters"):
+        eng.execute_sql("EXECUTE exq(1)")
+    assert eng.sql("EXECUTE exq(1, 2)").collect()[0].s == 3
+
+
+def test_truncate_restart_schema_qualified_sequence(engine):
+    """RESTART IDENTITY resets sequences referenced with schema-qualified
+    names in DEFAULTs — nextval('db.seq') canonicalizes like
+    _default_expr does (ADVICE r7)."""
+    eng = engine
+    eng.sql("CREATE DATABASE IF NOT EXISTS trq")
+    eng.sql("DROP TABLE IF EXISTS trq.tt")
+    eng.sql("DROP SEQUENCE IF EXISTS trq.sq")
+    eng.sql("CREATE SEQUENCE trq.sq START 5")
+    eng.sql(
+        "CREATE TABLE trq.tt (id bigint DEFAULT nextval('trq.sq'), x bigint)"
+    )
+    eng.sql("INSERT INTO trq.tt (x) VALUES (1)")
+    eng.sql("INSERT INTO trq.tt (x) VALUES (2)")
+    eng.sql("TRUNCATE trq.tt RESTART IDENTITY")
+    eng.sql("INSERT INTO trq.tt (x) VALUES (3)")
+    assert eng.sql("SELECT MIN(id) AS i FROM trq.tt").collect()[0].i == 5
