@@ -32,16 +32,18 @@ def main() -> None:
     from otterbrix_spark.session import get_spark
     from otterbrix_spark.workload import load_all
 
-    # shuffle fan-out sized to the CORPUS, not the core count: at bench
-    # SFs (sf0.1 = ~17MB parquet) a cpus-wide fan-out pays 32 tasks of
-    # scheduling for kilobytes of data each — measured +1.5s over the
-    # whole headline set vs 8 partitions (round-7 A/B; the round-6 "no
-    # change" A/B only varied the count with AQE coalescing reads, which
-    # hides the shuffle-WRITE fan-out cost). The rule is the same one a
-    # cluster deployment uses: ~64MB target partitions with a floor for
-    # parallelism and a ceiling at the core count — at 100TB it yields
-    # the core-bound ceiling, at bench scale the floor. AQE stays ON
-    # (skew splitting / join re-planning are the scale story).
+    # shuffle fan-out sized to the CORPUS, not the core count: the same
+    # rule a cluster deployment uses — ~64MB target partitions with a
+    # floor for parallelism and a ceiling at the core count; at 100TB it
+    # yields the core-bound ceiling, at bench scale the floor. Kept for
+    # that sizing PRINCIPLE, not as a measured win: the round-8
+    # interleaved best-of-5 A/B (8 vs 32, loadavg 0.1-3) read medians
+    # 4.94s vs 4.94s — indistinguishable within +/-0.35s host variance
+    # (the round-7 "+1.5s saved" single A/B did not reproduce). The same
+    # session's interleaved r6-code-vs-r7-code A/B read 4.45-5.18s vs
+    # 4.32-5.15s, naming HOST-DAY variance (not any round-7 change) as
+    # the r6->r7 "inflation" culprit. AQE stays ON (skew splitting /
+    # join re-planning are the scale story).
     def _auto_shuffle() -> int:
         total = sum(
             f.stat().st_size

@@ -67,56 +67,51 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The correctness driver verifies the FIRST 50 registry entries per round.
-# Round-7 window: the q01 anchor; the 3 gates that landed after the
-# round-6 window froze and were never driver-sampled (d14, ds33, sk02 —
-# VERDICT r6 Next #1, completing 250/250 cumulative certification); the
-# 17 early-round-7 additions (e10 trained IVF, s10 restart-from-
-# checkpoint, y03 dynamic schema, ds34/ds35/ds36/c19/c20/l12/b13/b15
-# breadth shapes, t12 repetition filters, sk03 sketch intersection,
-# s11 native session windows, d15 incremental dedup index, e11
-# incremental IVF add, s12 sliding windows); the 26 late-round-7
-# additions (g03 LOCF, h03 hierarchical rollup, t13 BM25, d16 keep-best
-# rep, p08 quota mix, ds37 YoY compare, b16 JOB min-star, c21 regex
-# distinct, e12 filtered ANN, s13 stream-static join, d17 minhash
-# accuracy, a02 exact percentiles, q83 grouping sets, t14 novelty,
-# l13 clustering coefficient, s14 streaming upsert, x02 upsert, j15
-# jsonb containment, aj04 nearest as-of, ds38 full-outer channels, c22
-# share-of-group, m06 pair integrity, p09 curriculum, sk04 a-not-b,
-# w06 exclude-current-row, t15 vocab stats — first-time certification
-# outranks re-checks); then the LEAST-recently-verified regression
-# fills — the 3 remaining r02 gates. The r01 gates (d01-d02, j01-j11,
-# q03-q37) are the round-8 regression backlog; everything rotated out
-# keeps passing the identical local DuckDB battery
+# Round-8 window (VERDICT r7 Next #1 verbatim): the q01 anchor; the two
+# gates whose BUG FIXES the driver has never sampled (q88's window-tie
+# total-order fix, ds47's int64-overflow fix); the 27 continuation-4
+# first-timers (sk11/sk12 AMS, l17 k-core, t20 BPE encode, p10/p11,
+# b14, ds44-ds46, c25, q96-q103 dialect surface, a06, g11, m09, s23,
+# e18 PQ, e19 IVF-PQ, x09 TRUNCATE); the heaviest never-driver-seen
+# families (sk05-sk10 sketches, l14-l16 graph, e13-e17 index
+# lifecycle); s21 streaming SCD2 (upgraded this round with a
+# mid-CDC-stream restart, VERDICT #5) and x03 MERGE INTO (the biggest
+# never-verified statement); and this round's new benchmark-breadth
+# shapes (VERDICT #6 asks they land inside the window). The remaining
+# ~53 never-verified gates are the round-9 window plan — written out
+# explicitly in COVERAGE.md so the backlog provably drains. Everything
+# rotated out keeps passing the identical local DuckDB battery
 # (tests/test_workload_oracle.py) at three SFs every round.
 _FRONT_WINDOW = [
     "q01_pricing_summary",
-    # never driver-sampled (landed post-window in round 6)
-    "d14_containment_pairs", "ds33_am_pm_ratio", "sk02_kmv_merge",
-    # early round-7 additions
-    "e10_ivf_trained_index", "s10_streaming_restart", "y03_dynamic_schema",
-    "ds34_week_chain_triple_date", "ds35_cross_channel_intersect",
-    "c19_minute_phrase_topk", "l12_weighted_path", "t12_repetition_filters",
-    "sk03_kmv_intersection", "s11_session_window_native",
-    "d15_incremental_dedup_index", "e11_ivf_incremental_add",
-    "s12_sliding_window", "b13_job_triangle", "b15_ssb_flat_revenue",
-    "ds36_frequent_best_compose", "c20_row_fetch_topk",
-    # late round-7 additions (this window's first-timers)
-    "g03_gapfill_locf", "h03_hierarchical_rollup", "t13_bm25_topk",
-    "d16_cluster_best_rep", "p08_quota_mix", "ds37_yoy_growth_compare",
-    "b16_job_min_star", "c21_regex_multigroup_uniq", "e12_filtered_ann",
-    "s13_stream_static_enrich", "d17_minhash_estimate_accuracy",
-    "a02_exact_percentiles", "q83_grouping_sets_markers",
-    "t14_ngram_novelty", "l13_clustering_coefficient",
-    "s14_streaming_upsert", "x02_upsert_on_conflict",
-    "j15_jsonb_containment", "aj04_asof_nearest",
-    "ds38_channel_full_outer", "c22_share_of_group",
-    "m06_pair_integrity", "p09_curriculum_phases",
-    "sk04_kmv_a_not_b", "w06_exclude_current_row", "t15_vocab_stats",
-    # closing-session first-timers (replacing the r02 regression fills:
-    # with 70+ never-driver-verified gates in the registry, a window slot
-    # spent re-verifying an r01/r02 gate costs a first-time certification;
-    # the displaced regression re-checks move to the round-8 backlog)
-    "q87_qualify", "a04_stats_moments", "t17_idf_rarity",
+    # driver-unseen bug fixes (q88 window-tie order, ds47 overflow)
+    "q88_named_window", "ds47_cross_channel_growth",
+    # continuation-4 first-timers
+    "sk11_ams_f2", "sk12_ams_join_size", "l17_kcore", "t20_bpe_apply",
+    "p10_epoch_shard_shuffle", "p11_pipeline_compose",
+    "b14_job_chain_mins", "ds44_pivot_date_band",
+    "ds45_channel_worst_ratio", "ds46_cv_filter",
+    "c25_url_path_hierarchy", "q96_posexplode_ordinality",
+    "q97_extract_epoch_isodow", "q98_overlaps_predicate",
+    "q99_select_into_using", "q100_null_safe_join",
+    "q101_jsonl_corrupt_ingest", "q102_like_op_spellings",
+    "q103_between_symmetric", "a06_bool_aggs",
+    "g11_seasonal_naive_forecast", "m09_augment_flip_crop",
+    "s23_streaming_full_outer", "e18_product_quantization",
+    "e19_ivf_pq", "x09_truncate",
+    # heaviest never-driver-seen families
+    "sk05_count_min", "sk06_histogram_quantile", "sk07_bloom_filter_join",
+    "sk08_hll_registers", "sk09_hll_merge", "sk10_count_min",
+    "l14_pagerank_fixed_point", "l15_neighbor_jaccard", "l16_pagerank",
+    "e13_ivf_quantized_stack", "e14_ivf_delete",
+    "e15_product_quantization", "e16_ivf_compaction", "e17_gram_matrix",
+    # round-8 upgrades + biggest never-verified statement
+    "s21_streaming_scd2", "x03_merge_statement",
+    # round-8 new benchmark-breadth shapes (registered in
+    # benchmark_shapes.py this round; VERDICT #6)
+    "ds48_yoy_channel_growth", "ds49_inventory_cov_pair",
+    "ds50_week_ratio_matrix", "b17_deep_chain_mins",
+    "l18_multi_hop_interaction",
 ]
 
 

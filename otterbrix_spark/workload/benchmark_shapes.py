@@ -6558,3 +6558,463 @@ def ds47(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "growth_a_pm", "growth_b_pm")
         .orderBy("nation")
     )
+
+
+# --- ds48: TPC-DS Q4 shape — three-channel year-over-year growth ------------
+# Template (`benchmark/tpcds/query4.tpl`): customers whose CATALOG-channel
+# year-over-year growth exceeds BOTH their store and web growth — Q11's
+# (ds37) big brother: three channels, two simultaneous ratio comparisons.
+# Same exact-arithmetic discipline as ds37: each ratio comparison is an
+# integer cross-multiplication (cat2/cat1 > web2/web1 <=> cat2*web1 >
+# web2*cat1 over positive cents), the ordering key an integer ppm.
+# Bounds: yearly per-customer sums <= ~1e8 cents, pairwise products
+# <= ~1e16 << 2^63 (the ds47 overflow lesson, checked at sf0.1).
+# Distributed shape: ONE orderkey shuffle join + ONE custkey groupBy
+# producing all six conditional sums (the template's three CTE scans
+# fused into one pass), filter + top-100.
+
+_DS48_ORACLE = """
+WITH sales AS (
+  SELECT o_custkey AS cust, YEAR(o_orderdate) AS yr, l_partkey % 3 AS chan,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0)
+             AS BIGINT)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE YEAR(o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2, 3),
+p AS (
+  SELECT cust,
+    CAST(SUM(CASE WHEN yr=1995 AND chan=0 THEN rev ELSE 0 END) AS BIGINT) AS st1,
+    CAST(SUM(CASE WHEN yr=1996 AND chan=0 THEN rev ELSE 0 END) AS BIGINT) AS st2,
+    CAST(SUM(CASE WHEN yr=1995 AND chan=1 THEN rev ELSE 0 END) AS BIGINT) AS wb1,
+    CAST(SUM(CASE WHEN yr=1996 AND chan=1 THEN rev ELSE 0 END) AS BIGINT) AS wb2,
+    CAST(SUM(CASE WHEN yr=1995 AND chan=2 THEN rev ELSE 0 END) AS BIGINT) AS ct1,
+    CAST(SUM(CASE WHEN yr=1996 AND chan=2 THEN rev ELSE 0 END) AS BIGINT) AS ct2
+  FROM sales GROUP BY cust)
+SELECT cust, st1, st2, wb1, wb2, ct1, ct2,
+       CAST(ct2 * 1000000 // ct1 AS BIGINT) AS cat_growth_ppm
+FROM p
+WHERE st1 > 0 AND wb1 > 0 AND ct1 > 0
+  AND ct2 * wb1 > wb2 * ct1
+  AND ct2 * st1 > st2 * ct1
+ORDER BY cat_growth_ppm DESC, cust LIMIT 100
+"""
+
+
+@query(
+    "ds48_yoy_channel_growth", _DS48_ORACLE,
+    doc="TPC-DS Q4 shape: catalog-channel YoY growth must beat store AND "
+        "web growth — two integer cross-multiplied ratio comparisons "
+        "from one fused six-sum pass",
+)
+def ds48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        F.year("o_orderdate").alias("yr"),
+        (F.col("l_partkey") % 3).alias("chan"),
+        cents.alias("cents"),
+    )
+
+    def _band(yr: int, chan: int):
+        return F.sum(
+            F.when((F.col("yr") == yr) & (F.col("chan") == chan),
+                   F.col("cents")).otherwise(F.lit(0))
+        )
+
+    p = j.groupBy("cust").agg(
+        _band(1995, 0).alias("st1"), _band(1996, 0).alias("st2"),
+        _band(1995, 1).alias("wb1"), _band(1996, 1).alias("wb2"),
+        _band(1995, 2).alias("ct1"), _band(1996, 2).alias("ct2"),
+    )
+    return (
+        p.filter(
+            (F.col("st1") > 0) & (F.col("wb1") > 0) & (F.col("ct1") > 0)
+            & (F.col("ct2") * F.col("wb1") > F.col("wb2") * F.col("ct1"))
+            & (F.col("ct2") * F.col("st1") > F.col("st2") * F.col("ct1"))
+        )
+        .select(
+            "cust", "st1", "st2", "wb1", "wb2", "ct1", "ct2",
+            F.expr("ct2 * 1000000 DIV ct1").alias("cat_growth_ppm"),
+        )
+        .orderBy(F.col("cat_growth_ppm").desc(), "cust")
+        .limit(100)
+    )
+
+
+# --- ds49: TPC-DS Q39 shape — coefficient-of-variation month pair -----------
+# Template (`benchmark/tpcds/query39.tpl`): per (warehouse, item, month)
+# quantity mean/stdev, keep groups whose coefficient of variation exceeds
+# a threshold, then SELF-JOIN consecutive months so only suppliers
+# erratic in BOTH months survive. The cov test is float-free: with
+# integer moments n, S=sum(q), Q=sum(q^2), stdev_samp^2 = (nQ - S^2) /
+# (n (n-1)) and cov >= 11/20 <=> 400 n (nQ - S^2) >= 121 (n-1) S^2 —
+# every side integer-valued. Bounds: per (supplier, month) n <= ~1e3 at
+# sf0.1 and quantities <= 50, so 400*n*(nQ - S^2) <= ~4e13 << 2^63.
+# Distributed shape: ONE groupBy over the two filtered months, then an
+# equi self-join on suppkey (two slices of the same aggregate, the Q39
+# topology) — never a window.
+
+_DS49_ORACLE = """
+WITH m AS (
+  SELECT l_suppkey AS supp, MONTH(l_shipdate) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                  * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem
+  WHERE YEAR(l_shipdate) = 1995 AND MONTH(l_shipdate) IN (3, 4)
+  GROUP BY 1, 2),
+erratic AS (
+  SELECT * FROM m
+  WHERE n > 1 AND 400 * n * (n * q - s * s) >= 121 * (n - 1) * s * s)
+SELECT a.supp, a.n AS n1, a.s AS s1, a.q AS q1,
+       b.n AS n2, b.s AS s2, b.q AS q2
+FROM erratic a JOIN erratic b ON a.supp = b.supp
+WHERE a.mon = 3 AND b.mon = 4
+ORDER BY a.supp
+"""
+
+
+@query(
+    "ds49_inventory_cov_pair", _DS49_ORACLE,
+    doc="TPC-DS Q39 shape: integer-moment coefficient-of-variation filter "
+        "self-joined across consecutive months — erratic in BOTH or out",
+)
+def ds49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1995) & F.month("l_shipdate").isin(3, 4)
+    )
+    qi = F.floor(F.col("l_quantity")).cast("long")
+    m = (
+        li.select(
+            F.col("l_suppkey").alias("supp"),
+            F.month("l_shipdate").alias("mon"),
+            qi.alias("qi"),
+        )
+        .groupBy("supp", "mon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qi").alias("s"),
+            F.sum(F.col("qi") * F.col("qi")).alias("q"),
+        )
+    )
+    erratic = m.filter(
+        (F.col("n") > 1)
+        & (400 * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+           >= 121 * (F.col("n") - 1) * F.col("s") * F.col("s"))
+    )
+    a = erratic.filter(F.col("mon") == 3).select(
+        "supp", F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    b = erratic.filter(F.col("mon") == 4).select(
+        F.col("supp").alias("supp_b"), F.col("n").alias("n2"),
+        F.col("s").alias("s2"), F.col("q").alias("q2"),
+    )
+    return (
+        a.join(b, a.supp == b.supp_b)
+        .select("supp", "n1", "s1", "q1", "n2", "s2", "q2")
+        .orderBy("supp")
+    )
+
+
+# --- ds50: TPC-DS Q59 shape — week-over-week ratio matrix -------------------
+# Template (`benchmark/tpcds/query59.tpl`): per-store WEEKLY sales pivoted
+# into seven weekday columns, the SAME aggregate self-joined at a
+# 53-week offset, and each weekday column reported as a this-year /
+# last-year ratio. Re-authored on orders->customer->nation with the
+# nation as the store dimension. Calendar arithmetic is engine-proof
+# integer math on epoch days (no weekofyear/dayofweek dialect hazards):
+# Monday-aligned week index w = (d+3) DIV 7, ISO weekday = (d+3) % 7 + 1
+# (1970-01-01 was a Thursday). 1995's 52 full weeks are 1305..1356; the
+# +52 offset lands wholly inside 1996. Ratios are integer ppm via DIV
+# with a NULLIF zero-guard (the ds33 rule). Distributed shape: ONE scan
+# + ONE (nation, week) groupBy building all seven day-sums, then an
+# equi self-join of two slices at the offset — the Q59 topology.
+
+_DS50_ORACLE = """
+WITH base AS (
+  SELECT n_name,
+         CAST((date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 3) // 7
+              AS BIGINT) AS wk,
+         CAST((date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 3) % 7 + 1
+              AS BIGINT) AS dow,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey),
+wss AS (
+  SELECT n_name, wk,
+    CAST(SUM(CASE WHEN dow=1 THEN cents ELSE 0 END) AS BIGINT) AS mon,
+    CAST(SUM(CASE WHEN dow=2 THEN cents ELSE 0 END) AS BIGINT) AS tue,
+    CAST(SUM(CASE WHEN dow=3 THEN cents ELSE 0 END) AS BIGINT) AS wed,
+    CAST(SUM(CASE WHEN dow=4 THEN cents ELSE 0 END) AS BIGINT) AS thu,
+    CAST(SUM(CASE WHEN dow=5 THEN cents ELSE 0 END) AS BIGINT) AS fri,
+    CAST(SUM(CASE WHEN dow=6 THEN cents ELSE 0 END) AS BIGINT) AS sat,
+    CAST(SUM(CASE WHEN dow=7 THEN cents ELSE 0 END) AS BIGINT) AS sun
+  FROM base GROUP BY 1, 2)
+SELECT y1.n_name, y1.wk,
+  CAST(y2.mon * 1000000 // NULLIF(y1.mon, 0) AS BIGINT) AS mon_ppm,
+  CAST(y2.tue * 1000000 // NULLIF(y1.tue, 0) AS BIGINT) AS tue_ppm,
+  CAST(y2.wed * 1000000 // NULLIF(y1.wed, 0) AS BIGINT) AS wed_ppm,
+  CAST(y2.thu * 1000000 // NULLIF(y1.thu, 0) AS BIGINT) AS thu_ppm,
+  CAST(y2.fri * 1000000 // NULLIF(y1.fri, 0) AS BIGINT) AS fri_ppm,
+  CAST(y2.sat * 1000000 // NULLIF(y1.sat, 0) AS BIGINT) AS sat_ppm,
+  CAST(y2.sun * 1000000 // NULLIF(y1.sun, 0) AS BIGINT) AS sun_ppm
+FROM wss y1 JOIN wss y2 ON y1.n_name = y2.n_name AND y2.wk = y1.wk + 52
+WHERE y1.wk BETWEEN 1305 AND 1356
+ORDER BY y1.n_name, y1.wk
+"""
+
+
+@query(
+    "ds50_week_ratio_matrix", _DS50_ORACLE,
+    doc="TPC-DS Q59 shape: weekly seven-day sales matrix self-joined at a "
+        "52-week offset, per-weekday integer-ppm ratios (epoch-day week "
+        "arithmetic, engine-proof)",
+)
+def ds50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    d = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            ((d + 3) / 7).cast("long").alias("wk"),
+            ((d + 3) % 7 + 1).cast("long").alias("dow"),
+            F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        )
+    )
+
+    def _day(i: int):
+        return F.sum(
+            F.when(F.col("dow") == i, F.col("cents")).otherwise(F.lit(0))
+        ).cast("long")
+
+    days = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"]
+    wss = base.groupBy("n_name", "wk").agg(
+        *[_day(i + 1).alias(nm) for i, nm in enumerate(days)]
+    )
+    y1 = wss.filter(F.col("wk").between(1305, 1356))
+    y2 = wss.select(
+        F.col("n_name").alias("n2"), F.col("wk").alias("wk2"),
+        *[F.col(nm).alias(f"{nm}2") for nm in days],
+    )
+    return (
+        y1.join(
+            y2,
+            (y1.n_name == y2.n2) & (F.col("wk2") == F.col("wk") + 52),
+        )
+        .select(
+            "n_name", "wk",
+            *[
+                F.expr(f"{nm}2 * 1000000 DIV NULLIF({nm}, 0)")
+                .alias(f"{nm}_ppm")
+                for nm in days
+            ],
+        )
+        .orderBy("n_name", "wk")
+    )
+
+
+# --- b17: JOB shape — six-table chain with a snowflake dimension arm --------
+# The JOB corpus' deepest chains (e.g. 29a-c) run 6+ tables with the
+# selective filters spread along the chain AND down a snowflaked
+# dimension arm. Re-authored: part -> lineitem -> orders -> customer ->
+# nation -> region, with a disjunctive type filter at the part end, a
+# quantity band in the middle, and the region filter two dimension hops
+# away from the fact — the join-order stress is that the most selective
+# predicate (region) reaches the fact only THROUGH nation. MINs over
+# strings from three different tables (the JOB answer shape), all
+# map-side-combinable; every dimension broadcasts, so the chain's only
+# exchange is the single-row final merge.
+
+_B17_ORACLE = """
+SELECT MIN(p.p_name) AS min_part,
+       MIN(c.c_name) AS min_customer,
+       MIN(n.n_name) AS min_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE (p.p_type = 'PROMO' OR p.p_type = 'LARGE')
+  AND l.l_quantity >= 40
+  AND r.r_name = 'EUROPE'
+"""
+
+
+@query(
+    "b17_deep_chain_mins", _B17_ORACLE,
+    doc="JOB deep-chain shape: six tables, disjunctive filter at one end, "
+        "the most selective filter two snowflake hops from the fact — "
+        "MIN(string) answer columns, broadcast dims only",
+)
+def b17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") | (F.col("p_type") == "LARGE")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("c_name").alias("min_customer"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- l18: LDBC BI shape — 3-hop expansion profile per seed ------------------
+# LDBC BI's multi-hop class (BI-10/BI-19 family): from each seed person,
+# how many DISTINCT others are first reached at hop 1, 2, 3 — the
+# min-hop frontier profile. Level-synchronous relational BFS over the
+# l09 co-supplier graph: each level is one equi-join on vertex ids plus
+# anti-joins against the already-reached set (min-hop dedup), so
+# per-level state is (seed, node) pairs — never adjacency lists on the
+# driver, never a path explosion kept past its level. The undirected
+# edge set is built ONCE and localCheckpointed (it feeds four joins;
+# the l17 lesson — re-deriving it per level re-runs the pair join).
+
+_L18_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+edges AS (
+  SELECT s1, s2 FROM pairs GROUP BY s1, s2
+  HAVING COUNT(DISTINCT l_orderkey) >= 2),
+und AS (
+  SELECT s1 AS a, s2 AS b FROM edges
+  UNION ALL SELECT s2, s1 FROM edges),
+seeds AS (SELECT DISTINCT a AS src FROM und WHERE a % 25 = 0),
+h1 AS (
+  SELECT DISTINCT s.src, u.b AS n
+  FROM seeds s JOIN und u ON u.a = s.src
+  WHERE u.b <> s.src),
+h2 AS (
+  SELECT DISTINCT h.src, u.b AS n
+  FROM h1 h JOIN und u ON u.a = h.n
+  WHERE u.b <> h.src
+    AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.src = h.src AND x.n = u.b)),
+h3 AS (
+  SELECT DISTINCT h.src, u.b AS n
+  FROM h2 h JOIN und u ON u.a = h.n
+  WHERE u.b <> h.src
+    AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.src = h.src AND x.n = u.b)
+    AND NOT EXISTS (SELECT 1 FROM h2 x WHERE x.src = h.src AND x.n = u.b)),
+lv AS (
+  SELECT src, 1 AS hop FROM h1
+  UNION ALL SELECT src, 2 FROM h2
+  UNION ALL SELECT src, 3 FROM h3)
+SELECT src,
+  CAST(SUM(CASE WHEN hop=1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(SUM(CASE WHEN hop=2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+  CAST(SUM(CASE WHEN hop=3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+FROM lv GROUP BY src ORDER BY src
+"""
+
+
+@query(
+    "l18_multi_hop_interaction", _L18_ORACLE,
+    doc="LDBC BI multi-hop shape: per-seed min-hop frontier profile "
+        "(distinct nodes first reached at hops 1/2/3) — level-synchronous "
+        "joins + anti-join dedup, checkpointed edge set",
+)
+def l18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("r_okey"), F.col("l_suppkey").alias("sb")
+    )
+    pairs = li.join(
+        right,
+        (F.col("l_orderkey") == F.col("r_okey"))
+        & (F.col("l_suppkey") < F.col("sb")),
+    ).select(
+        F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2"), "l_orderkey"
+    )
+    edges = (
+        pairs.groupBy("s1", "s2")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("s1", "s2")
+    )
+    und = (
+        edges.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+        .unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        und.filter(F.col("a") % 25 == 0).select(F.col("a").alias("src"))
+        .distinct()
+    )
+
+    def _expand(frontier: DataFrame) -> DataFrame:
+        """(src, n) frontier -> next level's raw (src, n) candidates."""
+        return (
+            frontier.join(und, frontier["n"] == und["a"])
+            .select("src", F.col("b").alias("n"))
+            .filter(F.col("src") != F.col("n"))
+            .distinct()
+        )
+
+    def _minus(cand: DataFrame, *reached: DataFrame) -> DataFrame:
+        for r in reached:
+            cand = cand.join(
+                r.select(F.col("src").alias("rs"), F.col("n").alias("rn")),
+                (F.col("src") == F.col("rs")) & (F.col("n") == F.col("rn")),
+                "left_anti",
+            )
+        return cand
+
+    h1 = (
+        seeds.join(und, seeds["src"] == und["a"])
+        .select("src", F.col("b").alias("n"))
+        .filter(F.col("src") != F.col("n"))
+        .distinct()
+    )
+    h2 = _minus(_expand(h1), h1)
+    h3 = _minus(_expand(h2), h1, h2)
+    lv = (
+        h1.select("src", F.lit(1).alias("hop"))
+        .unionAll(h2.select("src", F.lit(2).alias("hop")))
+        .unionAll(h3.select("src", F.lit(3).alias("hop")))
+    )
+    return (
+        lv.groupBy("src")
+        .agg(
+            *[
+                F.sum(F.when(F.col("hop") == i, 1).otherwise(0))
+                .cast("long").alias(f"n{i}")
+                for i in (1, 2, 3)
+            ]
+        )
+        .orderBy("src")
+    )
