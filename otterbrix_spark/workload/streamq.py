@@ -1358,7 +1358,7 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- s21: streaming SCD2 dimension maintenance --------------------------------
+# --- s21: streaming SCD2 dimension maintenance UNDER RESTART ------------------
 # The CDC pattern a warehouse actually runs: a change feed streams in,
 # each micro-batch is reduced to at-most-one change per key (the LAST
 # purchase in the batch decides the user's value band) and applied to a
@@ -1370,6 +1370,20 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slice) last purchase -> candidates; transitions (band IS DISTINCT FROM
 # its LAG) -> applied versions; LEAD(vf) -> valid_to. No streaming state
 # leaks into the oracle — it is pure SQL over the same corpus.
+#
+# Round 8 (VERDICT r7 #5): the run is SPLIT by a forced restart that
+# exercises foreachBatch's at-least-once contract for real. Phase 1
+# lands half the slices and runs to completion; then the checkpoint's
+# LAST COMMIT MARKER is deleted — exactly the on-disk state an
+# ungraceful stop between sink work and commit leaves behind — so the
+# resumed run REPLAYS that batch id with the same data. The sink is
+# idempotent the way a production CDC apply is: the dimension lives in
+# per-batch parquet snapshots whose directory listing IS the applied-id
+# ledger, and a replayed batch id is skipped (never re-applied — a
+# double scd2_apply of the same change set would close/reopen spurious
+# versions). The gate asserts a replay actually happened, that it was
+# suppressed, and that the post-restart dimension still hash-matches
+# the pure-batch oracle.
 
 _S21_ORACLE = """
 WITH bounds AS (
@@ -1414,22 +1428,41 @@ ORDER BY user_id, valid_from, attr
     "s21_streaming_scd2",
     _S21_ORACLE,
     doc="streaming certification: CDC micro-batches maintain a Type-2 "
-        "dimension via scd2_apply across >= 3 batches; oracle replays "
-        "the slice algebra with pure window functions",
+        "dimension via scd2_apply across >= 3 batches AND across a forced "
+        "restart whose checkpoint replays a batch id — the idempotent "
+        "sink must not double-apply it; oracle replays the slice algebra "
+        "with pure window functions",
 )
 def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
     import os
+    import re as _re
+    import shutil
     import time as _time
 
     from otterbrix_spark.operators.scd import scd2_apply
     from otterbrix_spark.sources.registry import load_table
     from otterbrix_spark.workload import scratch_dir
 
-    landing = _sliced_events_dir(spark, sf_dir, n_files=4)
+    sliced = _sliced_events_dir(spark, sf_dir, n_files=4)
+    parts = sorted(
+        glob.glob(os.path.join(sliced, "events.parquet", "part-*.parquet"))
+    )
     scratch = scratch_dir("s21_scd2_")
+    landing = os.path.join(scratch, "events.parquet")
+    os.makedirs(landing)
+    ckpt = os.path.join(scratch, "ckpt")
+    dims_dir = os.path.join(scratch, "dim_state")
+    os.makedirs(dims_dir)
+    base = 1_700_000_000
+
+    def land(src_file: str, seq: int) -> None:
+        dst = os.path.join(landing, f"part-{seq:04d}.parquet")
+        shutil.copyfile(src_file, dst)
+        os.utime(dst, (base + seq * 60, base + seq * 60))
 
     ev = load_table(spark, sf_dir, "events")
-    dim = [
+    initial = (
         ev.select("user_id").distinct()
         .select(
             "user_id",
@@ -1437,11 +1470,34 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("valid_from"),
             F.lit(None).cast("long").alias("valid_to"),
         )
-        .localCheckpoint(eager=True)
-    ]
-    batches: list[int] = []
+    )
+    initial.write.mode("overwrite").parquet(os.path.join(dims_dir, "init"))
+
+    def _applied_ids() -> list[int]:
+        return sorted(
+            int(os.path.basename(p).split("-")[1])
+            for p in glob.glob(os.path.join(dims_dir, "batch-*"))
+        )
+
+    def _latest_dim():
+        ids = _applied_ids()
+        path = (
+            os.path.join(dims_dir, f"batch-{ids[-1]:04d}")
+            if ids
+            else os.path.join(dims_dir, "init")
+        )
+        return spark.read.parquet(path)
+
+    replayed: list[int] = []
+    applied_calls: list[int] = []
 
     def sink(batch_df, batch_id):
+        # IDEMPOTENT SINK (the foreachBatch at-least-once contract): the
+        # per-batch snapshot directory doubles as the applied-id ledger —
+        # a replayed batch id is detected and skipped, never re-applied
+        if batch_id in _applied_ids():
+            replayed.append(batch_id)
+            return
         purchases = batch_df.filter(F.col("event_type") == "purchase")
         if purchases.isEmpty():
             return
@@ -1467,30 +1523,84 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s.us").alias("change_ts"),
             )
         )
-        dim[0] = scd2_apply(
-            dim[0], ch, "user_id", "attr"
-        ).localCheckpoint(eager=True)
-        batches.append(batch_id)
-
-    stream = events_stream(spark, landing, max_files_per_trigger=1)
-    q = (
-        stream.writeStream.trigger(availableNow=True)
-        .foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .start()
-    )
-    deadline = _time.time() + 180
-    while q.isActive and _time.time() < deadline:
-        _time.sleep(0.2)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError("s21 stream did not finish")
-    q.awaitTermination()
-    if len(batches) < 3:
-        raise AssertionError(
-            f"s21 streaming SCD2 ran only {len(batches)} change batches"
+        new_dim = scd2_apply(_latest_dim(), ch, "user_id", "attr")
+        # snapshot write is the commit: state + ledger entry in one move
+        new_dim.write.mode("overwrite").parquet(
+            os.path.join(dims_dir, f"batch-{batch_id:04d}")
         )
-    return dim[0].select(
+        applied_calls.append(batch_id)
+
+    def run_pass(ckpt_dir: str) -> None:
+        stream = events_stream(spark, scratch, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        deadline = _time.time() + 180
+        while q.isActive and _time.time() < deadline:
+            _time.sleep(0.2)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("s21 stream did not finish")
+        q.awaitTermination()
+
+    # phase 1: half the CDC slices, run to completion
+    half = max(1, len(parts) // 2)
+    for i, f in enumerate(parts[:half]):
+        land(f, i)
+    run_pass(ckpt)
+    ids_after_1 = _applied_ids()
+
+    # forced restart: resume from a checkpoint whose LAST commit marker
+    # is missing — the exact on-disk state an ungraceful stop between
+    # the sink's work and the commit leaves — so the resume REPLAYS that
+    # batch id. The truncated checkpoint is a COPY at a fresh path
+    # (restore-from-backup restart): Spark 4 caches the commit log per
+    # checkpoint path in-process and flags an in-place deletion as
+    # concurrent modification.
+    ckpt2 = os.path.join(scratch, "ckpt_restored")
+    shutil.copytree(ckpt, ckpt2)
+    commits = [
+        p
+        for p in glob.glob(os.path.join(ckpt2, "commits", "*"))
+        if _re.fullmatch(r"\d+", os.path.basename(p))
+    ]
+    last = max(commits, key=lambda p: int(os.path.basename(p)))
+    os.remove(last)
+    # the Hadoop local FS keeps a .N.crc sibling; a leftover one blocks
+    # the re-commit's rename on resume
+    crc = os.path.join(
+        os.path.dirname(last), f".{os.path.basename(last)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # phase 2: the remaining slices land, resume from the restored ckpt
+    for j, f in enumerate(parts[half:]):
+        land(f, half + j)
+    run_pass(ckpt2)
+
+    if not replayed:
+        raise AssertionError(
+            "s21 restart: the resumed run never replayed the batch whose "
+            "commit marker was removed — the at-least-once path was not "
+            "exercised"
+        )
+    if len(set(applied_calls)) != len(applied_calls) or set(
+        replayed
+    ) & set(applied_calls[len(ids_after_1):]):
+        raise AssertionError(
+            "s21 restart: a replayed batch id was applied twice — the "
+            "idempotent-sink ledger failed"
+        )
+    if len(_applied_ids()) < 3:
+        raise AssertionError(
+            f"s21 streaming SCD2 applied only {len(_applied_ids())} "
+            "change batches"
+        )
+    return _latest_dim().select(
         "user_id", "attr", "valid_from", "valid_to"
     ).orderBy("user_id", "valid_from", "attr")
 

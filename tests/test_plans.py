@@ -922,3 +922,22 @@ def test_e19_ivf_pq_broadcast_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "e19_ivf_pq")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round8_breadth_shapes_plans(spark, sf_dir):
+    """Round-8 shapes: no nested-loop on any data path; b17's snowflake
+    dims all broadcast; ds48/ds50 aggregate once then join slices."""
+    for name in (
+        "ds48_yoy_channel_growth",
+        "ds49_inventory_cov_pair",
+        "ds50_week_ratio_matrix",
+        "b17_deep_chain_mins",
+        "l18_multi_hop_interaction",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # b17: every dimension hop is a broadcast — the fact table must be
+    # the only shuffle-feeding input (single-row final aggregate)
+    plan = plan_of(spark, sf_dir, "b17_deep_chain_mins")
+    assert "BroadcastHashJoin" in plan
