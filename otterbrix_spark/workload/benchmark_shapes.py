@@ -7018,3 +7018,255 @@ def l18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+# --- ds51: TPC-DS Q93 shape — returns-adjusted sales ------------------------
+# Template (`benchmark/tpcds/query93.tpl`): store sales LEFT JOINED to
+# store returns at the (ticket, item) LINE grain; the sold quantity is
+# reduced by the returned quantity when a return exists, then summed per
+# customer with a top-100. Re-authored: the returns side is the
+# l_returnflag='R' slice of lineitem at (l_orderkey, l_linenumber) grain
+# with half the quantity returned — the LEFT join + CASE adjustment +
+# customer rollup is the Q93 topology exactly. The line-grain join key
+# is composite and unique on the build side (one return row per line),
+# so the join never fans out.
+
+_DS51_ORACLE = """
+WITH ret AS (
+  SELECT l_orderkey AS r_okey, l_linenumber AS r_line,
+         CAST(FLOOR(l_quantity) AS BIGINT) // 2 AS ret_qty
+  FROM lineitem WHERE l_returnflag = 'R'),
+adj AS (
+  SELECT o_custkey AS cust,
+         CAST(FLOOR(l.l_quantity) AS BIGINT)
+           - COALESCE(r.ret_qty, 0) AS q_adj
+  FROM lineitem l
+  JOIN orders ON l.l_orderkey = o_orderkey
+  LEFT JOIN ret r
+    ON l.l_orderkey = r.r_okey AND l.l_linenumber = r.r_line)
+SELECT cust, CAST(SUM(q_adj) AS BIGINT) AS total_q
+FROM adj GROUP BY cust
+ORDER BY total_q DESC, cust LIMIT 100
+"""
+
+
+@query(
+    "ds51_returns_adjusted_sales", _DS51_ORACLE,
+    doc="TPC-DS Q93 shape: line-grain LEFT JOIN to the returns slice, "
+        "CASE-adjusted quantity, customer rollup top-100",
+)
+def ds51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    qi = F.floor(F.col("l_quantity")).cast("long")
+    ret = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_okey"),
+        F.col("l_linenumber").alias("r_line"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT) DIV 2").alias("ret_qty"),
+    )
+    adj = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            ret,
+            (li.l_orderkey == ret.r_okey)
+            & (li.l_linenumber == ret.r_line),
+            "left",
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (qi - F.coalesce(F.col("ret_qty"), F.lit(0))).alias("q_adj"),
+        )
+    )
+    return (
+        adj.groupBy("cust")
+        .agg(F.sum("q_adj").cast("long").alias("total_q"))
+        .orderBy(F.col("total_q").desc(), "cust")
+        .limit(100)
+    )
+
+
+# --- ds52: TPC-DS Q5 shape — channel UNION then rollup report ----------------
+# Template (`benchmark/tpcds/query5.tpl`): each channel is pre-aggregated
+# with its OWN column mapping (sales vs returns land in different source
+# columns per channel), the three are UNION ALLed into one (channel, key,
+# sales, returns) stream, and the report is a ROLLUP over it — the
+# union-then-rollup topology none of the other ds gates exercises. Three
+# channels come from l_partkey % 3; returns are the l_returnflag='R'
+# slice. One scan feeds all three channel legs (conditional aggregates
+# at the (chan, nation) grain stand in for the per-channel CTEs — same
+# stream, same grain), then ROLLUP(chan, nation) with GROUPING-null
+# markers folded to 'ALL'.
+
+_DS52_ORACLE = """
+WITH leg AS (
+  SELECT CAST(l_partkey % 3 AS BIGINT) AS chan, n_name,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+      AS sales,
+    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS returns
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT COALESCE(CAST(chan AS VARCHAR), 'ALL') AS channel,
+       COALESCE(CASE WHEN GROUPING(n_name) = 1 THEN NULL ELSE n_name END,
+                'ALL') AS nation,
+       CAST(SUM(sales) AS BIGINT) AS sales,
+       CAST(SUM(returns) AS BIGINT) AS returns,
+       CAST(SUM(sales) - SUM(returns) AS BIGINT) AS net
+FROM leg
+GROUP BY ROLLUP(chan, n_name)
+ORDER BY channel, nation
+"""
+
+
+@query(
+    "ds52_channel_rollup_report", _DS52_ORACLE,
+    doc="TPC-DS Q5 shape: per-channel pre-aggregates unioned into one "
+        "stream, ROLLUP report with grouped-null markers folded to ALL",
+)
+def ds52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100.0).cast("long")
+    leg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            (F.col("l_partkey") % 3).cast("long").alias("chan"),
+            "n_name",
+            cents.alias("cents"),
+            F.when(F.col("l_returnflag") == "R", cents)
+            .otherwise(F.lit(0)).alias("rcents"),
+        )
+        .groupBy("chan", "n_name")
+        .agg(
+            F.sum("cents").cast("long").alias("sales"),
+            F.sum("rcents").cast("long").alias("returns"),
+        )
+    )
+    return (
+        leg.rollup("chan", "n_name")
+        .agg(
+            F.sum("sales").cast("long").alias("sales"),
+            F.sum("returns").cast("long").alias("returns"),
+            (F.sum("sales") - F.sum("returns")).cast("long").alias("net"),
+        )
+        .select(
+            F.coalesce(F.col("chan").cast("string"), F.lit("ALL"))
+            .alias("channel"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "sales", "returns", "net",
+        )
+        .orderBy("channel", "nation")
+    )
+
+
+# --- ds53: TPC-DS Q1 shape — above-average returns per store -----------------
+# Template (`benchmark/tpcds/query1.tpl`): customers whose total returns
+# in a store exceed 1.2x the AVERAGE customer-total for that store — the
+# correlated-scalar-aggregate-per-group topology (the template's
+# correlated subquery over the ctr CTE). Store = the supplier's nation.
+# The average never materialises as a float: with per-store candidate
+# count n and grand sum s, total > 1.2 * (s / n) <=> 10 * total * n >
+# 12 * s — exact 64-bit integers (totals <= ~1e9 cents, n <= ~1e4 at
+# sf0.1). Distributed shape: one (cust, store) groupBy, one O(#stores)
+# aggregate broadcast back, never a per-row subquery.
+
+_DS53_ORACLE = """
+WITH ctr AS (
+  SELECT o_custkey AS cust, s_nationkey AS store,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS total
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2),
+stats AS (
+  SELECT store AS st, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(total) AS BIGINT) AS s
+  FROM ctr GROUP BY 1)
+SELECT c.cust, c.store, c.total
+FROM ctr c JOIN stats ON c.store = stats.st
+WHERE 10 * c.total * stats.n > 12 * stats.s
+ORDER BY c.store, c.total DESC, c.cust
+"""
+
+
+@query(
+    "ds53_above_avg_returns", _DS53_ORACLE,
+    doc="TPC-DS Q1 shape: correlated per-store average lowered to one "
+        "O(#stores) aggregate joined back, comparison by integer "
+        "cross-multiplication (10*total*n > 12*s)",
+)
+def ds53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cents = F.floor(F.col("l_extendedprice") * 100.0).cast("long")
+    ctr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("s_nationkey").alias("store"),
+            cents.alias("cents"),
+        )
+        .groupBy("cust", "store")
+        .agg(F.sum("cents").cast("long").alias("total"))
+    )
+    stats = ctr.groupBy(F.col("store").alias("st")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("total").cast("long").alias("s"),
+    )
+    return (
+        ctr.join(F.broadcast(stats), ctr.store == stats.st)
+        .filter(10 * F.col("total") * F.col("n") > 12 * F.col("s"))
+        .select("cust", "store", "total")
+        .orderBy("store", F.col("total").desc(), "cust")
+    )
+
+
+# --- c26: ClickBench shape — min-URL per phrase under a contains filter ------
+# ClickBench Q22 family: WHERE URL LIKE '%...%' AND SearchPhrase <> ''
+# GROUP BY SearchPhrase with MIN(URL) + COUNT(*) ORDER BY c DESC LIMIT 10
+# — the distinctive bit vs the other c-gates is a MIN over a LONG string
+# column computed under a non-sargable contains filter, with the top-k
+# on the count. props stands in for URL, event_type for the phrase.
+
+_C26_ORACLE = """
+SELECT event_type, MIN(props) AS min_props,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE props LIKE '%5%' AND event_type <> 'view'
+GROUP BY event_type
+ORDER BY n DESC, event_type
+LIMIT 10
+"""
+
+
+@query(
+    "c26_phrase_min_url", _C26_ORACLE,
+    doc="ClickBench Q22 shape: MIN(long string) + count per phrase under "
+        "a contains filter, top-10 by count",
+)
+def c26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").like("%5%") & (F.col("event_type") != "view"))
+        .groupBy("event_type")
+        .agg(
+            F.min("props").alias("min_props"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(10)
+    )

@@ -941,3 +941,19 @@ def test_round8_breadth_shapes_plans(spark, sf_dir):
     # the only shuffle-feeding input (single-row final aggregate)
     plan = plan_of(spark, sf_dir, "b17_deep_chain_mins")
     assert "BroadcastHashJoin" in plan
+
+
+def test_round8_second_batch_plans(spark, sf_dir):
+    """ds51-ds53 + c26: no nested loops; ds53's per-store stats joined
+    via broadcast (the correlated-subquery lowering must not shuffle the
+    candidate set twice)."""
+    for name in (
+        "ds51_returns_adjusted_sales",
+        "ds52_channel_rollup_report",
+        "ds53_above_avg_returns",
+        "c26_phrase_min_url",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "ds53_above_avg_returns")
