@@ -463,7 +463,12 @@ class Catalog:
         new_df.createOrReplaceTempView(name)
         if returning:
             return matched
-        return self.spark.range(1).select(F.lit(matched.count()).alias(verb))
+        # LAZY affected-count (matched is an immutable captured plan, so
+        # collecting later yields the same number): the status frame's own
+        # plan is then the real matched-rows aggregate — which is what a
+        # plain EXPLAIN of staged DML shows — and a plan-only probe
+        # (explain_route) triggers no jobs at statement time
+        return matched.agg(F.count(F.lit(1)).alias(verb))
 
     def _insert_on_conflict(
         self, name: str, body: str, key_csv: str, action: str, returning
@@ -1153,13 +1158,22 @@ class Catalog:
         can be inspected without applying the write — PG executes DML only
         under ``EXPLAIN ANALYZE``. Nested inside a user transaction, the
         user's staged state is snapshotted and restored (their temp views
-        included), so the probe is invisible either way."""
+        included), so the probe is invisible either way — INCLUDING
+        sequence state: an INSERT whose DEFAULT calls nextval() must not
+        consume values (or define currval) during a plan-only probe, as PG
+        never evaluates nextval under plain EXPLAIN."""
         snap = self._txn
+        seq_snap = (
+            dict(self.sequences), dict(self._seq_last),
+            dict(self._seq_step), dict(self._seq_start),
+        )
         self._txn = dict(snap) if snap is not None else {}
         try:
             return self.route(sql)
         finally:
             probed, self._txn = self._txn, snap
+            (self.sequences, self._seq_last,
+             self._seq_step, self._seq_start) = seq_snap
             for name in probed or {}:
                 if snap is not None and name in snap:
                     snap[name].createOrReplaceTempView(name)

@@ -116,7 +116,11 @@ class Engine:
         if m.group(1):
             inner = self.execute_sql(m.group(2).strip(), *params)
         else:
-            inner = self._explain_only(m.group(2).strip(), params)
+            inner, pre_rendered = self._explain_only(
+                m.group(2).strip(), params
+            )
+            if pre_rendered:
+                return inner  # already one plan line per row
         jvm = self.spark.sparkContext._jvm
         mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "cost" if m.group(1) else "formatted"
@@ -127,16 +131,36 @@ class Engine:
             self.spark.createDataFrame(rows, "plan STRING")
         )
 
-    def _explain_only(self, sql: str, params) -> Cursor:
+    def _explain_only(self, sql: str, params) -> "tuple[Cursor, bool]":
         """Plan a statement WITHOUT applying it (plain ``EXPLAIN``).
 
-        Catalog-routed DML goes through ``Catalog.explain_route`` (staged in
-        a discarded implicit transaction); CTAS-family statements plan their
-        source SELECT; every other catalog-routed statement is a utility
-        statement PG's EXPLAIN grammar refuses — raising here is strictly
-        better than the old behaviour, which eagerly EXECUTED it."""
+        Returns (cursor, pre_rendered): when ``pre_rendered`` the cursor
+        already holds one plan line per row (the native-EXPLAIN fallback
+        for DML on tables the Catalog does not manage — Spark runs DML
+        commands eagerly on ``spark.sql``, so the only plan-without-write
+        path there is Spark's own EXPLAIN statement).
+
+        Routing: ``EXECUTE name(args)`` binds the prepared text first
+        (PG's EXPLAIN EXECUTE); catalog-routed DML on managed tables goes
+        through ``Catalog.explain_route`` (staged in a discarded implicit
+        transaction, sequence state restored); a SELECT carrying
+        nextval()/currval() plans with a NON-CONSUMING peek substitution
+        (PG never evaluates nextval under plain EXPLAIN); CTAS-family
+        statements plan their source SELECT; every other catalog-routed
+        statement is a utility statement PG's EXPLAIN grammar refuses —
+        raising is strictly better than the old behaviour, which eagerly
+        EXECUTED it."""
         import re
 
+        mex = re.match(
+            r"^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*;?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if mex:
+            bound = self._bind_prepared(
+                mex.group(1).lower(), mex.group(2), params
+            )
+            return self._explain_only(bound, params)
         body = self.catalog.canonicalize(rewrite(sql))
         if params:
             body = re.sub(
@@ -145,10 +169,38 @@ class Engine:
                 body,
             )
         if not self.catalog.handles(body):
-            return Cursor(self.spark.sql(body))
+            return Cursor(self.spark.sql(body)), False
         head = body.lstrip().upper()
         if head.startswith(("INSERT", "UPDATE", "DELETE", "MERGE")):
-            return Cursor(self.catalog.explain_route(body))
+            target = re.match(
+                r"^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)"
+                r"\s+([\w.]+)",
+                body, re.IGNORECASE,
+            )
+            name = target.group(1) if target else ""
+            if name in self.catalog.tables or name in self.catalog.dynamic:
+                return Cursor(self.catalog.explain_route(body)), False
+            # not a managed table: route() would fall through to
+            # spark.sql, which EXECUTES DML commands eagerly — delegate
+            # to Spark's own EXPLAIN, the plan-only path for native tables
+            return (
+                Cursor(self.spark.sql("EXPLAIN FORMATTED " + body)),
+                True,
+            )
+        if head.startswith(("SELECT", "WITH", "VALUES", "(")):
+            # handles() fired on nextval()/currval() in a query position:
+            # peek the current values WITHOUT consuming (PG plans the call,
+            # it does not evaluate it under plain EXPLAIN)
+            peeked = re.sub(
+                r"\b(?:nextval|currval)\s*\(\s*'([\w.]+)'\s*\)",
+                lambda mm: str(
+                    self.catalog.sequences.get(
+                        mm.group(1).replace(".", "__"), 0
+                    )
+                ),
+                body, flags=re.IGNORECASE,
+            )
+            return Cursor(self.spark.sql(peeked)), False
         m = re.match(
             r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?"
             r"(?:TABLE|VIEW)\s+[\w.]+\s+AS\s+(.+)$",
@@ -198,46 +250,7 @@ class Engine:
             re.IGNORECASE | re.DOTALL,
         )
         if m:
-            name = m.group(1).lower()
-            if name not in self._prepared:
-                raise ValueError(f'prepared statement "{name}" does not exist')
-            body = self._prepared[name]
-            from otterbrix_spark.catalog import _split_top_level
-
-            args = [
-                a.strip()
-                for a in _split_top_level(m.group(2) or "")
-                if a.strip()
-            ]
-            if args:
-                from otterbrix_spark.dialect import (
-                    _protect_strings,
-                    _restore_strings,
-                )
-
-                # simple literals substitute bare so downstream dialect
-                # rules that pattern-match literal operands (e.g. `~ '<re>'`)
-                # still fire; anything else gets defensive parens
-                simple = re.compile(
-                    r"'(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
-                    r"|NULL|TRUE|FALSE",
-                    re.IGNORECASE,
-                )
-
-                def bind(mm: re.Match) -> str:
-                    arg = args[int(mm.group(1)) - 1]
-                    return arg if simple.fullmatch(arg) else f"({arg})"
-
-                protected, lits = _protect_strings(body)
-                refs = [int(x) for x in re.findall(r"\$(\d+)", protected)]
-                if refs and max(refs) > len(args):
-                    # PG: "wrong number of parameters" — not an IndexError
-                    raise ValueError(
-                        f'wrong number of parameters for prepared statement '
-                        f'"{name}": expected {max(refs)}, got {len(args)}'
-                    )
-                protected = re.sub(r"\$(\d+)", bind, protected)
-                body = _restore_strings(protected, lits)
+            body = self._bind_prepared(m.group(1).lower(), m.group(2), params)
             return self.execute_sql(body, *params)
         m = re.match(
             r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(ALL|[A-Za-z_]\w*)\s*;?\s*$",
@@ -252,6 +265,53 @@ class Engine:
                 raise ValueError(f'prepared statement "{name}" does not exist')
             return Cursor(self.spark.sql("SELECT 'ok' AS deallocated LIMIT 0"))
         return None
+
+    def _bind_prepared(self, name: str, argstr, params) -> str:
+        """Fold an EXECUTE call's literal arguments into the stored
+        prepared text's ``$n`` slots and return the bound statement.
+
+        Parameter-count discipline (PG's "wrong number of parameters"):
+        the max ``$n`` referenced must be covered by the call's argument
+        list — checked even for the ZERO-argument ``EXECUTE name`` form
+        (unless the engine-level ``*params`` will bind them downstream,
+        the supported pass-through combination)."""
+        import re
+
+        if name not in self._prepared:
+            raise ValueError(f'prepared statement "{name}" does not exist')
+        body = self._prepared[name]
+        from otterbrix_spark.catalog import _split_top_level
+        from otterbrix_spark.dialect import (
+            _protect_strings,
+            _restore_strings,
+        )
+
+        args = [
+            a.strip() for a in _split_top_level(argstr or "") if a.strip()
+        ]
+        protected, lits = _protect_strings(body)
+        refs = [int(x) for x in re.findall(r"\$(\d+)", protected)]
+        if refs and max(refs) > len(args) and (args or not params):
+            raise ValueError(
+                f'wrong number of parameters for prepared statement '
+                f'"{name}": expected {max(refs)}, got {len(args)}'
+            )
+        if not args:
+            return body
+        # simple literals substitute bare so downstream dialect rules
+        # that pattern-match literal operands (e.g. `~ '<re>'`) still
+        # fire; anything else gets defensive parens
+        simple = re.compile(
+            r"'(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+            r"|NULL|TRUE|FALSE",
+            re.IGNORECASE,
+        )
+
+        def bind(mm: re.Match) -> str:
+            arg = args[int(mm.group(1)) - 1]
+            return arg if simple.fullmatch(arg) else f"({arg})"
+
+        return _restore_strings(re.sub(r"\$(\d+)", bind, protected), lits)
 
     # -- entry point B bridge ----------------------------------------------
     def from_df(self, obj, name: str | None = None):

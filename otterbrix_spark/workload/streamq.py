@@ -1479,6 +1479,16 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in glob.glob(os.path.join(dims_dir, "batch-*"))
         )
 
+    def _seen_ids() -> set[int]:
+        # EVERY processed batch id, including purchase-free ones that
+        # write no dimension snapshot — replay detection must key on this
+        # set, or a replayed no-op batch would be re-"processed" silently
+        # and the replay assertion would misfire
+        return {
+            int(os.path.basename(p).split("-")[1])
+            for p in glob.glob(os.path.join(dims_dir, "seen-*"))
+        }
+
     def _latest_dim():
         ids = _applied_ids()
         path = (
@@ -1493,13 +1503,25 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(batch_df, batch_id):
         # IDEMPOTENT SINK (the foreachBatch at-least-once contract): the
-        # per-batch snapshot directory doubles as the applied-id ledger —
-        # a replayed batch id is detected and skipped, never re-applied
-        if batch_id in _applied_ids():
+        # seen-marker files are the processed-id ledger — a replayed
+        # batch id is detected and skipped, never re-applied (snapshots
+        # alone would miss replays of purchase-free batches)
+        if batch_id in _seen_ids():
             replayed.append(batch_id)
             return
+
+        def _mark_seen() -> None:
+            # written AFTER the apply: a crash between snapshot and marker
+            # replays the batch, whose snapshot overwrite is idempotent —
+            # marker-first would instead DROP the batch on replay
+            with open(
+                os.path.join(dims_dir, f"seen-{batch_id:04d}"), "w"
+            ) as fh:
+                fh.write("1")
+
         purchases = batch_df.filter(F.col("event_type") == "purchase")
         if purchases.isEmpty():
+            _mark_seen()
             return
         band = (
             F.when(F.col("value") >= 66.0, "H")
@@ -1524,10 +1546,11 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         new_dim = scd2_apply(_latest_dim(), ch, "user_id", "attr")
-        # snapshot write is the commit: state + ledger entry in one move
+        # snapshot write is the commit; the seen marker follows it
         new_dim.write.mode("overwrite").parquet(
             os.path.join(dims_dir, f"batch-{batch_id:04d}")
         )
+        _mark_seen()
         applied_calls.append(batch_id)
 
     def run_pass(ckpt_dir: str) -> None:

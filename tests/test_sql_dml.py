@@ -966,6 +966,9 @@ def test_explain_dml_does_not_mutate(engine):
     eng.sql("INSERT INTO ex_t VALUES (1, 10), (2, 20)")
     rows = eng.sql("EXPLAIN UPDATE ex_t SET v = v + 1 WHERE k = 1").collect()
     assert rows and all(len(r) == 1 for r in rows)  # plan text came back
+    # the plan must reflect the WRITE (a real scan/aggregate over the
+    # table), not a one-row literal status frame
+    assert any("ex_t" in r[0] or "Scan" in r[0] for r in rows)
     assert sorted(
         (r.k, r.v) for r in eng.sql("SELECT * FROM ex_t").collect()
     ) == [(1, 10), (2, 20)]  # the write was NOT applied
@@ -1042,3 +1045,73 @@ def test_truncate_restart_schema_qualified_sequence(engine):
     eng.sql("TRUNCATE trq.tt RESTART IDENTITY")
     eng.sql("INSERT INTO trq.tt (x) VALUES (3)")
     assert eng.sql("SELECT MIN(id) AS i FROM trq.tt").collect()[0].i == 5
+
+
+def test_explain_never_consumes_sequences(engine):
+    """Plain EXPLAIN must not evaluate nextval — neither in a SELECT nor
+    through an INSERT's DEFAULT (PG plans the call, it does not run it);
+    currval must stay undefined after the probe."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS ex_sq")
+    eng.sql("DROP SEQUENCE IF EXISTS ex_seq")
+    eng.sql("CREATE SEQUENCE ex_seq START 100")
+    # SELECT carrying nextval: plans (peek substitution), does not consume
+    rows = eng.sql("EXPLAIN SELECT nextval('ex_seq') AS v").collect()
+    assert rows
+    with _pytest.raises(ValueError, match="currval"):
+        eng.sql("SELECT currval('ex_seq')")
+    # INSERT whose DEFAULT calls nextval: staged probe restores seq state
+    eng.sql(
+        "CREATE TABLE ex_sq (id bigint DEFAULT nextval('ex_seq'), x bigint)"
+    )
+    eng.sql("EXPLAIN INSERT INTO ex_sq (x) VALUES (1)").collect()
+    eng.sql("INSERT INTO ex_sq (x) VALUES (1)")
+    assert eng.sql("SELECT MIN(id) AS i FROM ex_sq").collect()[0].i == 100
+
+
+def test_explain_execute_prepared(engine):
+    """EXPLAIN EXECUTE plans the bound prepared statement (PG's standard
+    way to inspect a prepared plan) without executing catalog DML."""
+    eng = engine
+    eng.execute_sql("DEALLOCATE ALL")
+    eng.execute_sql("PREPARE exp AS SELECT $1 + 1 AS v")
+    rows = eng.sql("EXPLAIN EXECUTE exp(41)").collect()
+    assert rows and any("42" in r[0] or "41" in r[0] for r in rows)
+    # prepared DML under plain EXPLAIN stays plan-only
+    eng.sql("DROP TABLE IF EXISTS ex_pe")
+    eng.sql("CREATE TABLE ex_pe (k bigint)")
+    eng.sql("INSERT INTO ex_pe VALUES (1)")
+    eng.execute_sql("PREPARE exp2 AS DELETE FROM ex_pe WHERE k = $1")
+    eng.sql("EXPLAIN EXECUTE exp2(1)").collect()
+    assert eng.sql("SELECT COUNT(*) AS n FROM ex_pe").collect()[0].n == 1
+
+
+def test_execute_zero_args_wrong_count(engine):
+    """EXECUTE name (no argument list) of a $n-referencing statement gets
+    PG's wrong-number error, not a Spark parse error on '$'."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.execute_sql("DEALLOCATE ALL")
+    eng.execute_sql("PREPARE exz AS SELECT $1 + $2 AS s")
+    with _pytest.raises(ValueError, match="wrong number of parameters"):
+        eng.execute_sql("EXECUTE exz")
+    # engine-level pass-through params remain the supported combination
+    assert eng.sql("EXECUTE exz", 1, 2).collect()[0].s == 3
+
+
+def test_explain_dml_on_unmanaged_spark_table(engine):
+    """Plain EXPLAIN of DML on a table the Catalog does NOT manage must
+    not execute the write either — it delegates to Spark's own EXPLAIN
+    (spark.sql runs DML commands eagerly, so routing would mutate)."""
+    spark = engine.spark
+    spark.sql("DROP TABLE IF EXISTS ex_native")
+    spark.sql("CREATE TABLE ex_native (x INT) USING parquet")
+    try:
+        rows = engine.sql("EXPLAIN INSERT INTO ex_native VALUES (1)").collect()
+        assert rows  # a plan came back...
+        assert spark.sql("SELECT COUNT(*) AS n FROM ex_native").collect()[0].n == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ex_native")
