@@ -184,7 +184,7 @@ _DROP_VIEW = re.compile(
     re.IGNORECASE,
 )
 _INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*?)(\s+RETURNING\s+\*)?\s*$",
+    r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*?)(?:\s+RETURNING\s+(.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # PG upsert (reference dialect family: INSERT ... ON CONFLICT <arbiter>
@@ -194,11 +194,11 @@ _INSERT = re.compile(
 _INSERT_CONFLICT = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*?)\s+ON\s+CONFLICT\s*"
     r"\(\s*([\w\s,]+?)\s*\)\s+DO\s+"
-    r"(NOTHING|UPDATE\s+SET\s+.*?)(\s+RETURNING\s+\*)?\s*$",
+    r"(NOTHING|UPDATE\s+SET\s+.*?)(?:\s+RETURNING\s+(.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?(\s+RETURNING\s+\*)?\s*$",
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+RETURNING\s+(.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # PG join-update: UPDATE t SET ... FROM src [AS alias] WHERE <join cond>.
@@ -206,11 +206,11 @@ _UPDATE = re.compile(
 _UPDATE_FROM = re.compile(
     r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+FROM\s+([\w.]+)"
     r"(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?"
-    r"\s+WHERE\s+(.*?)(\s+RETURNING\s+\*)?\s*$",
+    r"\s+WHERE\s+(.*?)(?:\s+RETURNING\s+(.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(\s+RETURNING\s+\*)?\s*$",
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(?:\s+RETURNING\s+(.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # PG TRUNCATE (grammar TruncateStmt): multi-table, RESTART IDENTITY
@@ -448,6 +448,38 @@ class Catalog:
         self.tables[table.name] = table
         table.df().createOrReplaceTempView(table.name)
 
+    @staticmethod
+    def _match_protected(rx: "re.Pattern", sql: str):
+        """Match a DML regex over STRING-PROTECTED text and return the
+        restored groups (or None). Keywords like RETURNING / WHERE / SET
+        inside a string literal must never act as clause boundaries —
+        matching on the protected form (literals replaced by opaque
+        tokens) makes that structural, and restoring each captured group
+        independently hands the handlers byte-identical clause text."""
+        from otterbrix_spark.dialect import _protect_strings, _restore_strings
+
+        body, lits = _protect_strings(sql)
+        m = rx.match(body)
+        if m is None:
+            return None
+        return tuple(
+            _restore_strings(g, lits) if isinstance(g, str) else g
+            for g in m.groups()
+        )
+
+    @staticmethod
+    def _apply_returning(df: DataFrame, returning) -> DataFrame:
+        """Project a RETURNING clause over the affected rows. PG accepts
+        any select list there (``RETURNING id, salary * 2 AS doubled``),
+        not just ``*`` — expressions resolve against the affected rows'
+        post-change values, which is what the matched frames hold."""
+        text = returning.strip() if isinstance(returning, str) else ""
+        if not text or text == "*":
+            return df
+        return df.selectExpr(
+            *[e.strip() for e in _split_top_level(text) if e.strip()]
+        )
+
     def _stage_txn(
         self,
         name: str,
@@ -462,7 +494,7 @@ class Catalog:
         self._txn[name] = new_df
         new_df.createOrReplaceTempView(name)
         if returning:
-            return matched
+            return self._apply_returning(matched, returning)
         # LAZY affected-count (matched is an immutable captured plan, so
         # collecting later yields the same number): the status frame's own
         # plan is then the real matched-rows aggregate — which is what a
@@ -617,7 +649,7 @@ class Catalog:
             result.count()
             table._swap_in(new_df)
             self._register(table)
-            return result
+            return self._apply_returning(result, returning)
         n = affected.count()
         table._swap_in(new_df)
         self._register(table)
@@ -681,7 +713,7 @@ class Catalog:
             result.count()
             table._swap_in(new_df)
             self._register(table)
-            return result
+            return self._apply_returning(result, returning)
         n = updated.count()
         table._swap_in(new_df)
         self._register(table)
@@ -1698,23 +1730,23 @@ class Catalog:
         if m and m.group(1) in self.tables:
             return self._merge_into(*m.groups())
 
-        m = _UPDATE_FROM.match(sql)
+        m = self._match_protected(_UPDATE_FROM, sql)
         if (
             m
-            and m.group(1) in self.tables
+            and m[0] in self.tables
             # guard against a plain UPDATE whose WHERE contains a
             # subquery (`... WHERE id IN (SELECT .. FROM u WHERE ..)`) —
             # there the regex's non-greedy SET slice swallows the outer
             # WHERE and splits inside the subquery, leaving unbalanced
             # parens / a stray WHERE in the captured set-clause
-            and m.group(2).count("(") == m.group(2).count(")")
-            and not re.search(r"\bWHERE\b", m.group(2), re.IGNORECASE)
+            and m[1].count("(") == m[1].count(")")
+            and not re.search(r"\bWHERE\b", m[1], re.IGNORECASE)
         ):
-            return self._update_from(*m.groups())
+            return self._update_from(*m)
 
-        m = _UPDATE.match(sql)
-        if m and m.group(1) in self.tables:
-            name, set_clause, where, returning = m.groups()
+        m = self._match_protected(_UPDATE, sql)
+        if m and m[0] in self.tables:
+            name, set_clause, where, returning = m
             table = self.tables[name]
             cond = F.expr(where) if where else F.lit(True)
             set_texts = _split_set_list(set_clause)
@@ -1749,7 +1781,7 @@ class Catalog:
             )
             self._register(table)
             if returning:
-                return result
+                return self._apply_returning(result, returning)
             return self.spark.range(1).select(F.lit(result).alias("updated"))
 
         m = _TRUNCATE.match(sql)
@@ -1762,9 +1794,9 @@ class Catalog:
                 cascade=(m.group(3) or "").upper() == "CASCADE",
             )
 
-        m = _DELETE.match(sql)
-        if m and m.group(1) in self.tables:
-            name, where, returning = m.groups()
+        m = self._match_protected(_DELETE, sql)
+        if m and m[0] in self.tables:
+            name, where, returning = m
             table = self.tables[name]
             cond = F.expr(where) if where else F.lit(True)
             if self._txn is not None:
@@ -1784,16 +1816,16 @@ class Catalog:
             result = table.delete(cond, returning=bool(returning))
             self._register(table)
             if returning:
-                return result
+                return self._apply_returning(result, returning)
             return self.spark.range(1).select(F.lit(result).alias("deleted"))
 
-        m = _INSERT_CONFLICT.match(sql)
-        if m and m.group(1) in self.tables:
-            return self._insert_on_conflict(*m.groups())
+        m = self._match_protected(_INSERT_CONFLICT, sql)
+        if m and m[0] in self.tables:
+            return self._insert_on_conflict(*m)
 
-        m = _INSERT.match(sql)
-        if m and m.group(1) in self.dynamic:
-            name, body, returning = m.groups()
+        m = self._match_protected(_INSERT, sql)
+        if m and m[0] in self.dynamic:
+            name, body, returning = m
             dyn = self.dynamic[name]
             body = body.strip()
             cols = None
@@ -1809,12 +1841,12 @@ class Catalog:
             dyn.insert(rows)  # schema-on-write: new columns extend the table
             dyn.df().createOrReplaceTempView(name)
             if returning:
-                return rows
+                return self._apply_returning(rows, returning)
             return self.spark.range(1).select(F.lit(rows.count()).alias("inserted"))
 
-        m = _INSERT.match(sql)
-        if m and m.group(1) in self.tables:
-            name, body, returning = m.groups()
+        m = self._match_protected(_INSERT, sql)
+        if m and m[0] in self.tables:
+            name, body, returning = m
             table = self.tables[name]
             body = body.strip()
             # optional explicit column list: INSERT INTO t (a, b) VALUES/SELECT
@@ -1888,7 +1920,7 @@ class Catalog:
             result = table.insert(rows, returning=bool(returning))
             self._register(table)
             if returning:
-                return result
+                return self._apply_returning(result, returning)
             return self.spark.range(1).select(F.lit(result).alias("inserted"))
 
         if _OWNED_DDL_FAMILIES.match(sql):

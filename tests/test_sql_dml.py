@@ -1115,3 +1115,69 @@ def test_explain_dml_on_unmanaged_spark_table(engine):
         assert spark.sql("SELECT COUNT(*) AS n FROM ex_native").collect()[0].n == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS ex_native")
+
+
+def test_returning_expression_lists(engine):
+    """PG RETURNING accepts a full select list, not just * — columns,
+    expressions, aliases — on INSERT, UPDATE, DELETE, upsert, and inside
+    transactions (post-change values)."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS rexp")
+    eng.sql("CREATE TABLE rexp (id bigint, salary bigint)")
+    rows = eng.execute_sql(
+        "INSERT INTO rexp VALUES (1, 100), (2, 200) RETURNING id, salary + 1 AS s1"
+    ).fetchall()
+    assert sorted(rows) == [(1, 101), (2, 201)]
+    rows = eng.execute_sql(
+        "UPDATE rexp SET salary = salary * 2 WHERE id = 2 "
+        "RETURNING id, salary AS doubled"
+    ).fetchall()
+    assert rows == [(2, 400)]
+    rows = eng.execute_sql(
+        "DELETE FROM rexp WHERE id = 1 RETURNING salary * 10 AS big"
+    ).fetchall()
+    assert rows == [(1000,)]
+    # txn-staged DML projects the same way
+    eng.sql("BEGIN")
+    rows = eng.execute_sql(
+        "UPDATE rexp SET salary = 7 RETURNING id + salary AS k"
+    ).fetchall()
+    assert rows == [(9,)]
+    eng.sql("ROLLBACK")
+    assert eng.sql("SELECT salary FROM rexp").collect()[0][0] == 400
+    # RETURNING * unchanged
+    rows = eng.execute_sql(
+        "UPDATE rexp SET salary = 1 RETURNING *"
+    ).fetchall()
+    assert rows == [(2, 1)]
+
+
+def test_returning_exprs_on_upsert(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS rup")
+    eng.sql("CREATE TABLE rup (k bigint PRIMARY KEY, v bigint)")
+    eng.sql("INSERT INTO rup VALUES (1, 10)")
+    rows = eng.execute_sql(
+        "INSERT INTO rup VALUES (1, 99), (2, 20) ON CONFLICT (k) "
+        "DO UPDATE SET v = EXCLUDED.v RETURNING k, v * 2 AS vv"
+    ).fetchall()
+    assert sorted(rows) == [(1, 198), (2, 40)]
+
+
+def test_dml_keywords_inside_literals_not_clause_boundaries(engine):
+    """RETURNING / WHERE inside a string literal must not split clauses —
+    the DML regexes match over string-protected text."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS lit_t")
+    eng.sql("CREATE TABLE lit_t (k bigint, v varchar(64))")
+    eng.sql("INSERT INTO lit_t VALUES (1, 'gift RETURNING x')")
+    rows = eng.sql("SELECT v FROM lit_t").collect()
+    assert rows[0][0] == "gift RETURNING x"
+    eng.sql("UPDATE lit_t SET v = 'no WHERE here' ")
+    assert eng.sql("SELECT v FROM lit_t").collect()[0][0] == "no WHERE here"
+    cur = engine.execute_sql(
+        "UPDATE lit_t SET v = 'also RETURNING *' RETURNING k, v"
+    )
+    assert cur.fetchall() == [(1, "also RETURNING *")]
+    eng.sql("DELETE FROM lit_t WHERE v = 'also RETURNING *'")
+    assert eng.sql("SELECT COUNT(*) AS n FROM lit_t").collect()[0].n == 0
