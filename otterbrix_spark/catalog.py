@@ -747,9 +747,19 @@ class Catalog:
         t_alias = t_alias or name
         src_alias = src_alias or src_name
         src = self.spark.table(src_name)
+        # split WHEN clauses over STRING-PROTECTED text (same discipline
+        # as _match_protected): a literal containing ' WHEN MATCHED ' or
+        # ' THEN ' must never terminate an action early
+        from otterbrix_spark.dialect import _protect_strings, _restore_strings
+
+        w_prot, w_lits = _protect_strings(when_text)
         clauses = [
-            (not bool(m.group(1)), m.group(2), m.group(3).strip())
-            for m in _MERGE_WHEN.finditer(when_text)
+            (
+                not bool(m.group(1)),
+                _restore_strings(m.group(2), w_lits) if m.group(2) else None,
+                _restore_strings(m.group(3), w_lits).strip(),
+            )
+            for m in _MERGE_WHEN.finditer(w_prot)
         ]  # (is_matched, and_cond_text | None, action_text)
         if not clauses:
             raise ValueError(f"MERGE INTO {name}: no WHEN clauses parsed")
@@ -1726,9 +1736,9 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
 
-        m = _MERGE.match(sql)
-        if m and m.group(1) in self.tables:
-            return self._merge_into(*m.groups())
+        m = self._match_protected(_MERGE, sql)
+        if m and m[0] in self.tables:
+            return self._merge_into(*m)
 
         m = self._match_protected(_UPDATE_FROM, sql)
         if (

@@ -191,14 +191,16 @@ class Engine:
             # handles() fired on nextval()/currval() in a query position:
             # peek the current values WITHOUT consuming (PG plans the call,
             # it does not evaluate it under plain EXPLAIN)
+            def _peek(mm: re.Match) -> str:
+                seq = mm.group(1).replace(".", "__")
+                if seq not in self.catalog.sequences:
+                    # PG errors at plan time for an unknown sequence too
+                    raise ValueError(f"unknown sequence: {seq}")
+                return str(self.catalog.sequences[seq])
+
             peeked = re.sub(
                 r"\b(?:nextval|currval)\s*\(\s*'([\w.]+)'\s*\)",
-                lambda mm: str(
-                    self.catalog.sequences.get(
-                        mm.group(1).replace(".", "__"), 0
-                    )
-                ),
-                body, flags=re.IGNORECASE,
+                _peek, body, flags=re.IGNORECASE,
             )
             return Cursor(self.spark.sql(peeked)), False
         m = re.match(

@@ -1181,3 +1181,23 @@ def test_dml_keywords_inside_literals_not_clause_boundaries(engine):
     assert cur.fetchall() == [(1, "also RETURNING *")]
     eng.sql("DELETE FROM lit_t WHERE v = 'also RETURNING *'")
     assert eng.sql("SELECT COUNT(*) AS n FROM lit_t").collect()[0].n == 0
+
+
+def test_merge_literal_when_then_not_clause_boundaries(engine):
+    """MERGE actions whose string literals contain ' WHEN MATCHED ' or
+    ' THEN ' must parse intact (clause split over protected text)."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS mg_t")
+    eng.sql("DROP TABLE IF EXISTS mg_s")
+    eng.sql("CREATE TABLE mg_t (k bigint, note varchar(64))")
+    eng.sql("CREATE TABLE mg_s (k bigint)")
+    eng.sql("INSERT INTO mg_t VALUES (1, 'old')")
+    eng.sql("INSERT INTO mg_s VALUES (1), (2)")
+    eng.sql(
+        "MERGE INTO mg_t USING mg_s ON mg_t.k = mg_s.k "
+        "WHEN MATCHED THEN UPDATE SET note = 'hit WHEN MATCHED THEN x' "
+        "WHEN NOT MATCHED THEN INSERT (k, note) "
+        "VALUES (mg_s.k, 'new THEN row')"
+    )
+    rows = dict(eng.sql("SELECT k, note FROM mg_t").collect())
+    assert rows == {1: "hit WHEN MATCHED THEN x", 2: "new THEN row"}
