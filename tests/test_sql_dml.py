@@ -1201,3 +1201,17 @@ def test_merge_literal_when_then_not_clause_boundaries(engine):
     )
     rows = dict(eng.sql("SELECT k, note FROM mg_t").collect())
     assert rows == {1: "hit WHEN MATCHED THEN x", 2: "new THEN row"}
+
+
+def test_explain_insert_dynamic_table_refuses(engine):
+    """Dynamic tables have no txn staging, so plain EXPLAIN of DML on
+    them must refuse — never silently apply the write."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS ex_dyn")
+    eng.sql("CREATE TABLE ex_dyn ()")  # schema-on-write dynamic table
+    eng.sql("INSERT INTO ex_dyn SELECT 1 AS a")
+    with _pytest.raises(ValueError, match="dynamic"):
+        eng.sql("EXPLAIN INSERT INTO ex_dyn SELECT 2 AS a")
+    assert eng.sql("SELECT COUNT(*) AS n FROM ex_dyn").collect()[0].n == 1
