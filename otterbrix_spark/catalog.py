@@ -887,17 +887,21 @@ class Catalog:
             new_df = new_df.unionByName(inserted)
             affected = affected.unionByName(inserted)
         self._validate_new_rows(name, affected, full=new_df)
-        n_del = (
-            fired.filter(F.col("__fire").isin(del_idx)).count()
-            if del_idx else 0
-        )
+        # affected + delete-fired rows as ONE lazy frame: the txn path's
+        # status count must not execute at statement time (same lazy
+        # discipline as _stage_txn — and it is what a plain EXPLAIN MERGE
+        # probe shows as the write's plan instead of a one-row literal)
+        touched = affected.select(F.lit(1).alias("__one"))
+        if del_idx:
+            touched = touched.unionAll(
+                fired.filter(F.col("__fire").isin(del_idx))
+                .select(F.lit(1).alias("__one"))
+            )
         if self._txn is not None:
             self._txn[name] = new_df
             new_df.createOrReplaceTempView(name)
-            return self.spark.range(1).select(
-                F.lit(affected.count() + n_del).alias("merged")
-            )
-        n = affected.count() + n_del
+            return touched.agg(F.count("__one").alias("merged"))
+        n = touched.count()
         table._swap_in(new_df)
         self._register(table)
         return self.spark.range(1).select(F.lit(n).alias("merged"))

@@ -1215,3 +1215,22 @@ def test_explain_insert_dynamic_table_refuses(engine):
     with _pytest.raises(ValueError, match="dynamic"):
         eng.sql("EXPLAIN INSERT INTO ex_dyn SELECT 2 AS a")
     assert eng.sql("SELECT COUNT(*) AS n FROM ex_dyn").collect()[0].n == 1
+
+
+def test_explain_merge_plan_only(engine):
+    """Plain EXPLAIN MERGE on a managed table stages lazily: no write,
+    and the plan shows the candidate aggregate, not a one-row literal."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS exm_t")
+    eng.sql("DROP TABLE IF EXISTS exm_s")
+    eng.sql("CREATE TABLE exm_t (k bigint, v bigint)")
+    eng.sql("CREATE TABLE exm_s (k bigint, v bigint)")
+    eng.sql("INSERT INTO exm_t VALUES (1, 10)")
+    eng.sql("INSERT INTO exm_s VALUES (1, 99), (2, 20)")
+    rows = eng.sql(
+        "EXPLAIN MERGE INTO exm_t USING exm_s ON exm_t.k = exm_s.k "
+        "WHEN MATCHED THEN UPDATE SET v = exm_s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (exm_s.k, exm_s.v)"
+    ).collect()
+    assert rows and any("exm" in r[0] or "Scan" in r[0] for r in rows)
+    assert dict(eng.sql("SELECT k, v FROM exm_t").collect()) == {1: 10}
