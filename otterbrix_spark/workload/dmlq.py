@@ -983,3 +983,64 @@ def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       (SELECT CAST(COUNT(*) AS BIGINT) FROM x09_audit) "
         "         AS audit_rows"
     )
+
+
+# --- x10: RETURNING expression lists -----------------------------------------
+# PG's RETURNING accepts a full select list (columns, expressions,
+# aliases) evaluated over the AFFECTED rows' post-change values — the
+# surface the round-8 router widening added beyond `RETURNING *`. The
+# gate drives one leg per DML form through the engine and returns the
+# UNION of the returned rows (tagged per leg); the oracle replays each
+# leg's returned set declaratively from the source table. Table: the
+# customer slice keyed by c_custkey, balance in exact cents.
+
+_X10_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal
+  FROM customer)
+SELECT 'ins' AS leg, k, bal + 7 AS v FROM base WHERE k % 5 = 4
+UNION ALL
+SELECT 'upd', k, bal * 2 FROM base WHERE k % 5 = 1
+UNION ALL
+SELECT 'del', k, bal // 2 FROM base WHERE k % 5 = 2
+ORDER BY leg, k
+"""
+
+
+@query(
+    "x10_returning_exprs", _X10_ORACLE,
+    doc="RETURNING expression lists on INSERT/UPDATE/DELETE: post-change "
+        "values, aliases and computed expressions (PG select-list "
+        "semantics, beyond RETURNING *)",
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x10_t")
+    eng.sql("CREATE TABLE x10_t (k BIGINT, bal BIGINT)")
+    eng.sql(
+        "INSERT INTO x10_t SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer "
+        "WHERE c_custkey % 5 IN (0, 1, 2, 3)"
+    )
+    ins = eng.sql(
+        "INSERT INTO x10_t SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer "
+        "WHERE c_custkey % 5 = 4 RETURNING k, bal + 7 AS v"
+    )
+    upd = eng.sql(
+        "UPDATE x10_t SET bal = bal * 2 WHERE k % 5 = 1 "
+        "RETURNING k, bal AS v"
+    )
+    dele = eng.sql(
+        "DELETE FROM x10_t WHERE k % 5 = 2 RETURNING k, bal DIV 2 AS v"
+    )
+    return (
+        ins.select(F.lit("ins").alias("leg"), "k", "v")
+        .unionByName(upd.select(F.lit("upd").alias("leg"), "k", "v"))
+        .unionByName(dele.select(F.lit("del").alias("leg"), "k", "v"))
+        .orderBy("leg", "k")
+    )

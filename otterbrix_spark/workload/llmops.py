@@ -10,7 +10,7 @@ single-op double, so results hash-match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from otterbrix_spark.llm import dedup, similarity, text as text_ops
 from otterbrix_spark.llm.multimodal import decode_assets, documents_as_assets
@@ -5402,4 +5402,128 @@ def e19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("adc_dist", "vec_id")
         .limit(10)
+    )
+
+
+# --- d22: exact-substring span removal (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL'22) -------------------------------
+# The pipeline step suffix-array dedup implements: any token K-gram that
+# occurs >= 2 times in the CORPUS marks its span for removal, overlapping /
+# adjacent hit spans merge into one region, and the report is per document
+# (regions, removed tokens, kept tokens). Distributed shape: positioned
+# K-gram hashes (one lateral explode), a corpus-wide gram groupBy (the
+# "suffix array" substitute — same collision set for fixed K), a semi-join
+# back, and the classic gaps-and-islands interval merge (running-max
+# window + island sum) per document — two shuffles total (gram groupBy,
+# doc_id window), no UDF, nothing driver-side. K=8 follows the spirit of
+# the paper's 50-token threshold scaled to this corpus' ~60-token docs.
+
+_D22_K = 8
+
+_D22_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, i,
+         md5(array_to_string(ws[i:i+{_D22_K - 1}], ' ')) AS hv
+  FROM w, UNNEST(range(1, len(ws) - {_D22_K - 2})) AS t(i)),
+dup AS (SELECT hv FROM g GROUP BY hv HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, i FROM g JOIN dup USING (hv)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN MAX(i + {_D22_K - 1}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL
+              OR i > MAX(i + {_D22_K - 1}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS brk
+  FROM hits),
+grp AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, island,
+         MIN(i) AS s, MAX(i + {_D22_K - 1}) AS e
+  FROM grp GROUP BY doc_id, island),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS removed_tokens
+  FROM spans GROUP BY doc_id)
+SELECT w.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.removed_tokens, 0) AS removed_tokens,
+       CAST(len(w.ws) AS BIGINT) - COALESCE(p.removed_tokens, 0)
+         AS kept_tokens
+FROM w LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "d22_substring_span_removal", _D22_ORACLE,
+    doc="Lee et al. exact-substring dedup: corpus-duplicated token "
+        "K-grams mark spans, overlapping spans merge (gaps-and-islands), "
+        "per-doc removed/kept report — two shuffles, no UDF",
+)
+def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _D22_K
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", r"\s+").alias("ws"))
+    g = w.select(
+        "doc_id",
+        F.expr(f"explode(sequence(1, size(ws) - {K - 1}))").alias("i"),
+        "ws",
+    ).select(
+        "doc_id", "i",
+        F.md5(F.array_join(F.expr(f"slice(ws, i, {K})"), " ")).alias("hv"),
+    )
+    dup = (
+        g.groupBy("hv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("hv")
+    )
+    hits = g.join(dup, "hv", "left_semi").select("doc_id", "i")
+    prev_end = F.max(F.col("i") + (K - 1)).over(
+        Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "brk",
+        F.when(
+            prev_end.isNull() | (F.col("i") > prev_end + 1), 1
+        ).otherwise(0),
+    )
+    grp = isl.withColumn(
+        "island",
+        F.sum("brk").over(
+            Window.partitionBy("doc_id").orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = grp.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), F.max(F.col("i") + (K - 1)).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long")
+        .alias("removed_tokens"),
+    )
+    return (
+        w.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_tokens", F.lit(0)).cast("long")
+            .alias("removed_tokens"),
+            (F.size("ws").cast("long")
+             - F.coalesce("removed_tokens", F.lit(0)).cast("long"))
+            .alias("kept_tokens"),
+        )
+        .orderBy("doc_id")
     )

@@ -3143,3 +3143,118 @@ def g11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+# --- sk13: mergeable sample-quantile sketch -----------------------------------
+# The quantile analogue of sk01/sk02: a deterministic md5-rank sample of
+# size K is a uniform corpus sample (the k-minimum-values idea applied to
+# row identity instead of distinctness), and it is MERGEABLE — the union
+# of per-shard K-smallest-hash samples re-cut to the global K smallest
+# equals the single-pass sample exactly, which is the property a
+# t-digest/KLL deployment actually relies on for distributed and
+# streaming maintenance. The gate certifies the merge equality
+# distributively (exceptAll both ways, no driver rows) and reports
+# order-statistic quantile estimates from the merged sample against the
+# EXACT corpus order statistics, every value an integer cent.
+# Scale shape: per-shard top-K is a bounded heap, the exact side is
+# TakeOrderedAndProject (certification-only — production reads the
+# sketch precisely to avoid it), no single-task corpus-sized window.
+
+_SK13_K = 64
+
+_SK13_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents,
+         ('0x' || SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM orders),
+samp AS (
+  SELECT cents FROM base
+  QUALIFY ROW_NUMBER() OVER (ORDER BY hv) <= {_SK13_K}),
+sr AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM samp),
+tr AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, k) AS rn FROM base),
+n AS (SELECT COUNT(*) AS n FROM base),
+q AS (SELECT 50 AS q_pct UNION ALL SELECT 90)
+SELECT q.q_pct,
+       (SELECT cents FROM sr
+        WHERE rn = CAST(CEIL(q.q_pct / 100.0 * {_SK13_K}) AS BIGINT))
+         AS est_cents,
+       (SELECT cents FROM tr
+        WHERE rn = (SELECT CAST(CEIL(q.q_pct / 100.0 * n) AS BIGINT) FROM n))
+         AS true_cents,
+       ABS((SELECT cents FROM sr
+            WHERE rn = CAST(CEIL(q.q_pct / 100.0 * {_SK13_K}) AS BIGINT))
+           - (SELECT cents FROM tr
+              WHERE rn = (SELECT CAST(CEIL(q.q_pct / 100.0 * n) AS BIGINT)
+                          FROM n)))
+         AS abs_err
+FROM q ORDER BY q_pct
+"""
+
+
+@query(
+    "sk13_sample_quantiles", _SK13_ORACLE,
+    doc="mergeable md5-rank sample quantile sketch: per-shard K-smallest "
+        "samples merged == single-pass sample (certified distributively), "
+        "order-statistic estimates vs exact corpus quantiles",
+)
+def sk13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    K = _SK13_K
+    orders = load_table(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        hv.alias("hv"),
+    )
+    direct = base.orderBy("hv").limit(K).select("hv", "cents")
+    # shard-and-merge path: bounded per-shard heaps, then re-cut to K
+    shard_w = Window.partitionBy(F.col("k") % 4).orderBy("hv")
+    merged = (
+        base.withColumn("rn", F.row_number().over(shard_w))
+        .filter(F.col("rn") <= K)
+        .orderBy("hv")
+        .limit(K)
+        .select("hv", "cents")
+    )
+    if merged.exceptAll(direct).count() or direct.exceptAll(merged).count():
+        raise AssertionError(
+            "sk13: merged per-shard samples differ from the single-pass "
+            "sample — the sketch is not mergeable"
+        )
+    sr = merged.select(
+        "cents", F.row_number().over(Window.orderBy("cents")).alias("rn")
+    )
+    n = base.count()  # O(1) driver scalar
+    out = []
+    for pct in (50, 90):
+        import math
+
+        est = sr.filter(
+            F.col("rn") == math.ceil(pct / 100.0 * K)
+        ).select(F.col("cents").alias("est_cents"))
+        m = math.ceil(pct / 100.0 * n)
+        true_row = (
+            base.orderBy("cents", "k").limit(m)
+            .agg(F.max(F.struct("cents", "k")).alias("s"))
+            .select(F.col("s.cents").alias("true_cents"))
+        )
+        out.append(
+            # 1-row x 1-row: broadcast keeps it the accepted
+            # BNLJ-over-broadcast scalar-combine shape, never a shuffle
+            est.crossJoin(F.broadcast(true_row)).select(
+                F.lit(pct).cast("int").alias("q_pct"),
+                "est_cents",
+                "true_cents",
+                F.abs(
+                    F.col("est_cents") - F.col("true_cents")
+                ).alias("abs_err"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("q_pct")

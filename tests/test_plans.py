@@ -957,3 +957,19 @@ def test_round8_second_batch_plans(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "ds53_above_avg_returns")
+
+
+def test_round8_third_batch_plans(spark, sf_dir):
+    """d22/sk13/x10: no nested loops; d22's gram dedup is a semi-join
+    (never an all-pairs comparison); sk13's exact side lowers to top-k
+    (TakeOrderedAndProject), not a global sort."""
+    d22 = plan_of(spark, sf_dir, "d22_substring_span_removal")
+    assert "CartesianProduct" not in d22
+    assert "BroadcastNestedLoopJoin" not in d22
+    assert "LeftSemi" in d22
+    # sk13's quantile legs combine 1-row frames via broadcast crossJoin —
+    # the accepted BNLJ-over-broadcast scalar shape; no CartesianProduct,
+    # and the exact side lowers to top-k, never a global sort
+    sk13 = plan_of(spark, sf_dir, "sk13_sample_quantiles")
+    assert "CartesianProduct" not in sk13
+    assert "TakeOrderedAndProject" in sk13
