@@ -5527,3 +5527,178 @@ def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- e20: IVF recall-vs-nprobe sweep ------------------------------------------
+# The tuning artifact an IVF deployment derives before fixing nprobe —
+# the d19 analogue (there: LSH bands vs exact Jaccard truth; here:
+# probed-cell count vs brute-force cosine truth). One trained index
+# (2 exact-integer Lloyd iterations, e10's layout), ONE probe pass kept
+# to the widest level (rn <= 4, rank retained), then each row fans out
+# to the nprobe levels it belongs to via a pure array expression
+# (explode(filter([1,2,4], np -> np >= prn))) — no per-level re-query,
+# no theta join — and recall@10 is counted against the exact top-10 per
+# level in integers. Scale: candidates are bounded by the widest level's
+# cell scan; the truth side broadcasts the 5 query vectors.
+
+_E20_ORACLE = (
+    """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n0 AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)) AS vq,
+         list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                        x -> x * 256) AS aq,
+         list_sum(list_transform(
+           list_transform(list_transform(v, x -> CAST(FLOOR(x * 256) AS BIGINT)),
+                          x -> x * 256),
+           x -> CAST(x AS DOUBLE) * x)) AS aa,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, aq AS cq,
+         list_sum(list_transform(aq, x -> CAST(x AS DOUBLE) * x)) AS cc
+  FROM n0 QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8),
+a1 AS ("""
+    + _D13_ASSIGN.format(c="c0")
+    + """),
+c1 AS ("""
+    + _D13_UPDATE.format(a="a1")
+    + """),
+a2 AS ("""
+    + _D13_ASSIGN.format(c="c1")
+    + """),
+c2 AS ("""
+    + _D13_UPDATE.format(a="a2")
+    + """),
+a3 AS ("""
+    + _D13_ASSIGN.format(c="c2")
+    + """),
+pr AS (
+  SELECT query_id, qv, qn, probe_cid, prn FROM (
+    SELECT n0.vec_id AS query_id, n0.v AS qv, n0.nrm AS qn,
+           c2.cid AS probe_cid,
+           ROW_NUMBER() OVER (PARTITION BY n0.vec_id
+             ORDER BY n0.aa - 2 * list_dot_product(
+                        list_transform(n0.aq, x -> CAST(x AS DOUBLE)),
+                        list_transform(c2.cq, x -> CAST(x AS DOUBLE)))
+                      + c2.cc, c2.cid) AS prn
+    FROM n0 CROSS JOIN c2 WHERE n0.vec_id < 5) WHERE prn <= 4),
+cand AS (
+  SELECT p.query_id, p.prn, a.vec_id AS neighbor_id,
+         list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS cos
+  FROM a3 a JOIN pr p ON a.cid = p.probe_cid
+  WHERE a.vec_id <> p.query_id),
+lvl0 AS (
+  SELECT query_id, neighbor_id, cos,
+         list_filter([1, 2, 4], x -> x >= prn) AS nps
+  FROM cand),
+lvl AS (
+  SELECT u.np, query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY u.np, query_id
+                            ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM lvl0, UNNEST(nps) AS u(np)),
+ivf10 AS (SELECT np, query_id, neighbor_id FROM lvl WHERE rnk <= 10),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(a.v, q.v) / (a.nrm * q.nrm) DESC,
+                      a.vec_id) AS rnk
+    FROM n0 q CROSS JOIN n0 a
+    WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id) WHERE rnk <= 10)
+SELECT i.np AS nprobe,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_returned
+FROM ivf10 i LEFT JOIN truth t
+  ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+GROUP BY i.np ORDER BY nprobe
+"""
+)
+
+
+@query(
+    "e20_ivf_nprobe_recall", _E20_ORACLE,
+    doc="IVF tuning artifact: recall@10 vs nprobe (1/2/4) from ONE widest "
+        "probe pass fanned out by a pure array expression, scored against "
+        "brute-force truth — the d19 analogue for the IVF index",
+)
+def e20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window
+
+    from otterbrix_spark.llm.similarity import (
+        DOT,
+        IDOT,
+        _kmeans_exact_quantize,
+        _read_live_index,
+        brute_force_topk,
+    )
+    from otterbrix_spark.workload import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.prepare(emb)
+    scratch = scratch_dir("e20_ivf_")
+    path = os.path.join(scratch, "ivf_index")
+    similarity.ivf_persist_build(corpus, path, n_cells=8, train_iters=2)
+    queries = corpus.filter(F.col("vec_id") < 5)
+
+    qq = _kmeans_exact_quantize(queries)
+    idx = _read_live_index(spark, path)
+    seeds = spark.read.parquet(path + "_seeds")
+    d2 = F.col("aa") - 2 * F.expr(IDOT.format(a="aq", b="cq")) + F.col("cc")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    pr = (
+        qq.crossJoin(F.broadcast(seeds))
+        .withColumn("d2", d2)
+        .withColumn("prn", F.row_number().over(w))
+        .filter(F.col("prn") <= 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cid").alias("probe_cid"),
+            "prn",
+        )
+    )
+    cos = F.expr(DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qn"))
+    cand = (
+        idx.join(pr, idx["cid"] == pr["probe_cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "prn", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos"))
+    )
+    lvl = cand.select(
+        F.expr("explode(filter(array(1, 2, 4), x -> x >= prn))").alias("np"),
+        "query_id", "neighbor_id", "cos",
+    )
+    rw = Window.partitionBy("np", "query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    ivf10 = (
+        lvl.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 10)
+        .select("np", "query_id", "neighbor_id")
+    )
+    truth = brute_force_topk(corpus, queries, k=10).select(
+        F.col("query_id").alias("t_q"), F.col("neighbor_id").alias("t_n"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        ivf10.join(
+            F.broadcast(truth),
+            (F.col("query_id") == F.col("t_q"))
+            & (F.col("neighbor_id") == F.col("t_n")),
+            "left",
+        )
+        .groupBy(F.col("np").cast("int").alias("nprobe"))
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+        )
+        .orderBy("nprobe")
+    )

@@ -973,3 +973,11 @@ def test_round8_third_batch_plans(spark, sf_dir):
     sk13 = plan_of(spark, sf_dir, "sk13_sample_quantiles")
     assert "CartesianProduct" not in sk13
     assert "TakeOrderedAndProject" in sk13
+
+
+def test_e20_sweep_plan(spark, sf_dir):
+    """e20: the nprobe fan-out is an expression explode, not a theta
+    join — no nested loop anywhere except the broadcast truth combine."""
+    plan = plan_of(spark, sf_dir, "e20_ivf_nprobe_recall")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
