@@ -1344,6 +1344,49 @@ class Catalog:
                 table.add_column(col, dtype)
             self._register(table)
             return self.spark.range(0).select(F.lit(col).alias("added"))
+        # ALTER TABLE t ALTER [COLUMN] c TYPE type [USING expr] — PG's
+        # column rewrite (parsenodes AT_AlterColumnType): the whole column
+        # converts, failing loudly when a value cannot (ManagedTable
+        # validates; Spark's silent cast-to-NULL never reaches the swap)
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+"
+            r"(?:SET\s+DATA\s+)?TYPE\s+([\w()\s,]+?)"
+            r"(?:\s+USING\s+(.+?))?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(1) in self.tables:
+            name, col, dtype, using = m.groups()
+            table = self.tables[name]
+            table.alter_column_type(
+                col, dtype.strip(),
+                using=F.expr(using) if using else None,
+            )
+            self._register(table)
+            return self.spark.range(0).select(F.lit(col).alias("altered"))
+        # ALTER TABLE t ALTER [COLUMN] c SET DEFAULT expr / DROP DEFAULT
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+"
+            r"(?:SET\s+DEFAULT\s+(.+?)|DROP\s+DEFAULT)\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(1) in self.tables:
+            name, col, dflt = m.groups()
+            if dflt is not None:
+                dflt = dflt.strip()
+                # validate now (CREATE-time discipline): sequence calls
+                # are peeked without consuming
+                peek = re.sub(
+                    r"\b(?:nextval|currval)\s*\(\s*'([\w.]+)'\s*\)",
+                    lambda mm: str(
+                        self.sequences.get(mm.group(1).replace(".", "__"), 0)
+                    ),
+                    dflt, flags=re.IGNORECASE,
+                )
+                self.spark.sql(f"SELECT {peek}").collect()
+                self.table_defaults.setdefault(name, {})[col] = dflt
+            else:
+                self.table_defaults.get(name, {}).pop(col, None)
+            return self.spark.range(0).select(F.lit(col).alias("altered"))
         m = re.match(
             r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
             sql, re.IGNORECASE,

@@ -181,6 +181,30 @@ class ManagedTable:
     def rename_column(self, old: str, new: str) -> None:
         self._swap_in(self.df().withColumnRenamed(old, new))
 
+    def alter_column_type(
+        self, col_name: str, dtype: str, using: "Column | None" = None
+    ) -> None:
+        """ALTER TABLE ALTER COLUMN c TYPE t [USING expr] — PG's column
+        rewrite: every row converts through ``using`` (default: a cast of
+        the old value) and the statement FAILS if any non-NULL value does
+        not convert (PG errors; Spark's non-ANSI cast would silently
+        null it, which is a data-loss hazard this guard exists to stop).
+        The rewrite is a projection + swap, same shape as add_column."""
+        old = F.col(col_name)
+        # try_cast, not cast: ANSI mode's cast THROWS mid-count with a raw
+        # NumberFormatException; try_cast lets the guard count the
+        # offenders and raise the PG-shaped error (and for rows that
+        # validated, try_cast == cast by construction)
+        new = (using if using is not None else old).try_cast(dtype)
+        df = self.df()
+        bad = df.filter(old.isNotNull() & new.isNull()).count()
+        if bad:
+            raise ValueError(
+                f"ALTER COLUMN {col_name} TYPE {dtype}: {bad} row(s) "
+                "cannot be converted (PG raises; add a USING expression)"
+            )
+        self._swap_in(df.withColumn(col_name, new))
+
     def drop_column(self, col_name: str) -> None:
         self._swap_in(self.df().drop(col_name))
 

@@ -1044,3 +1044,65 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dele.select(F.lit("del").alias("leg"), "k", "v"))
         .orderBy("leg", "k")
     )
+
+
+# --- x11: ALTER COLUMN TYPE / SET DEFAULT -------------------------------------
+# PG's AT_AlterColumnType + AT_ColumnDefault actions: the whole column
+# rewrites through an optional USING expression and the statement REFUSES
+# (table untouched) when any non-NULL value cannot convert — under
+# Spark 4's ANSI mode the guard counts offenders via try_cast instead of
+# letting a raw NumberFormatException escape mid-rewrite. The gate
+# builds a text-typed balance column from customer, converts it to
+# BIGINT cents via USING, re-types it to a string label, flips the
+# column DEFAULT between inserts, and returns the final state; the
+# oracle replays the conversions declaratively.
+
+_X11_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents
+  FROM customer WHERE c_custkey % 7 = 0)
+SELECT k, 'c' || CAST(cents AS VARCHAR) AS tag FROM base
+UNION ALL
+SELECT -1, 'c5' UNION ALL SELECT -2, 'c9'
+ORDER BY k, tag
+"""
+
+
+@query(
+    "x11_alter_column_type", _X11_ORACLE,
+    doc="ALTER COLUMN TYPE [USING] + SET/DROP DEFAULT: whole-column "
+        "rewrite with conversion validation (refuses, table untouched) "
+        "and default flips between inserts",
+)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x11_t")
+    eng.sql("CREATE TABLE x11_t (k BIGINT, bal VARCHAR(24) DEFAULT '5')")
+    eng.sql(
+        "INSERT INTO x11_t SELECT c_custkey, "
+        "CAST(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS STRING) "
+        "FROM customer WHERE c_custkey % 7 = 0"
+    )
+    eng.sql("INSERT INTO x11_t (k) VALUES (-1)")  # default '5'
+    eng.sql("ALTER TABLE x11_t ALTER COLUMN bal SET DEFAULT '9'")
+    eng.sql("INSERT INTO x11_t (k) VALUES (-2)")  # default '9'
+    # text -> bigint (every value is digits, so the validation passes)
+    eng.sql("ALTER TABLE x11_t ALTER COLUMN bal TYPE bigint")
+    # bigint -> labelled string via USING
+    eng.sql(
+        "ALTER TABLE x11_t ALTER COLUMN bal TYPE varchar(24) "
+        "USING concat('c', CAST(bal AS STRING))"
+    )
+    # a conversion that must refuse: labels are not numeric any more
+    try:
+        eng.sql("ALTER TABLE x11_t ALTER COLUMN bal TYPE bigint")
+        raise AssertionError("x11: non-convertible ALTER TYPE did not raise")
+    except ValueError:
+        pass
+    return eng.sql(
+        "SELECT k, bal AS tag FROM x11_t ORDER BY k, tag"
+    )

@@ -1234,3 +1234,44 @@ def test_explain_merge_plan_only(engine):
     ).collect()
     assert rows and any("exm" in r[0] or "Scan" in r[0] for r in rows)
     assert dict(eng.sql("SELECT k, v FROM exm_t").collect()) == {1: 10}
+
+
+def test_alter_column_type_with_using(engine):
+    """PG ALTER COLUMN TYPE: whole-column rewrite, USING expression,
+    loud failure (table untouched) when a value cannot convert."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS act")
+    eng.sql("CREATE TABLE act (k bigint, v varchar(10))")
+    eng.sql("INSERT INTO act VALUES (1, '10'), (2, '20')")
+    eng.sql("ALTER TABLE act ALTER COLUMN v TYPE bigint")
+    assert [tuple(r) for r in
+            eng.sql("SELECT k, v + 1 AS v1 FROM act ORDER BY k").collect()
+            ] == [(1, 11), (2, 21)]
+    # USING expression drives the conversion
+    eng.sql("ALTER TABLE act ALTER v TYPE varchar(20) USING concat('n', v)")
+    assert eng.sql("SELECT v FROM act WHERE k = 1").collect()[0][0] == "n10"
+    # non-convertible values refuse and leave the table untouched
+    with _pytest.raises(ValueError, match="cannot be converted"):
+        eng.sql("ALTER TABLE act ALTER COLUMN v TYPE bigint")
+    assert eng.sql("SELECT v FROM act WHERE k = 1").collect()[0][0] == "n10"
+    # ... and a USING that fixes them succeeds
+    eng.sql(
+        "ALTER TABLE act ALTER COLUMN v TYPE bigint "
+        "USING CAST(substring(v, 2) AS bigint)"
+    )
+    assert eng.sql("SELECT SUM(v) AS s FROM act").collect()[0].s == 30
+
+
+def test_alter_column_set_drop_default(engine):
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS acd")
+    eng.sql("CREATE TABLE acd (k bigint, v bigint DEFAULT 5)")
+    eng.sql("INSERT INTO acd (k) VALUES (1)")
+    eng.sql("ALTER TABLE acd ALTER COLUMN v SET DEFAULT 9")
+    eng.sql("INSERT INTO acd (k) VALUES (2)")
+    eng.sql("ALTER TABLE acd ALTER COLUMN v DROP DEFAULT")
+    eng.sql("INSERT INTO acd (k) VALUES (3)")
+    got = {r.k: r.v for r in eng.sql("SELECT k, v FROM acd").collect()}
+    assert got == {1: 5, 2: 9, 3: None}
