@@ -336,6 +336,29 @@ def _split_set_list(set_clause: str) -> dict[str, str]:
         parts.append(cur)
     out = {}
     for p in parts:
+        # PG row-form assignment: SET (a, b) = (e1, e2) — one paren-
+        # protected piece; expand pairwise (the subquery form
+        # `= (SELECT ...)` is refused loudly, not mis-parsed)
+        m_row = re.match(
+            r"^\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*=\s*\((.+)\)\s*$",
+            p, re.DOTALL,
+        )
+        if m_row:
+            cols = [c.strip() for c in m_row.group(1).split(",")]
+            body = m_row.group(2).strip()
+            if re.match(r"^SELECT\b", body, re.IGNORECASE):
+                raise ValueError(
+                    "UPDATE SET (cols) = (SELECT ...) is not supported; "
+                    "use UPDATE ... FROM or per-column expressions"
+                )
+            exprs = [e.strip() for e in _split_top_level(body)]
+            if len(cols) != len(exprs):
+                raise ValueError(
+                    f"SET ({m_row.group(1)}): column list and expression "
+                    "tuple arity differ"
+                )
+            out.update(zip(cols, exprs))
+            continue
         col, _, expr = p.partition("=")
         out[col.strip()] = expr.strip()
     return out

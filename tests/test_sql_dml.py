@@ -1275,3 +1275,23 @@ def test_alter_column_set_drop_default(engine):
     eng.sql("INSERT INTO acd (k) VALUES (3)")
     got = {r.k: r.v for r in eng.sql("SELECT k, v FROM acd").collect()}
     assert got == {1: 5, 2: 9, 3: None}
+
+
+def test_update_row_form_set(engine):
+    """PG row-form SET (a, b) = (e1, e2): pairwise expansion, pre-update
+    row semantics preserved (both expressions see OLD values)."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS rfs")
+    eng.sql("CREATE TABLE rfs (k bigint, a bigint, b bigint)")
+    eng.sql("INSERT INTO rfs VALUES (1, 10, 20)")
+    # swap via row form: both RHS evaluate against the pre-update row
+    eng.sql("UPDATE rfs SET (a, b) = (b, a) WHERE k = 1")
+    assert [tuple(r) for r in eng.sql("SELECT a, b FROM rfs").collect()] == [
+        (20, 10)
+    ]
+    with _pytest.raises(ValueError, match="arity"):
+        eng.sql("UPDATE rfs SET (a, b) = (1, 2, 3)")
+    with _pytest.raises(ValueError, match="not supported"):
+        eng.sql("UPDATE rfs SET (a, b) = (SELECT 1, 2)")
