@@ -466,6 +466,11 @@ class Catalog:
         # unchanged on-disk state, so ROLLBACK is free and COMMIT
         # materialises every staged table then swaps them in.
         self._txn: dict[str, DataFrame] | None = None
+        # dynamic (schema-on-write) tables stage PENDING BATCHES per txn:
+        # name -> list of pinned batch frames, appended to disk only at
+        # COMMIT (ADVICE r8: dyn.insert previously wrote through an open
+        # transaction, so ROLLBACK could not undo it)
+        self._txn_dyn: dict[str, list] | None = None
 
     def _register(self, table: ManagedTable) -> None:
         self.tables[table.name] = table
@@ -1232,15 +1237,22 @@ class Catalog:
         consume values (or define currval) during a plan-only probe, as PG
         never evaluates nextval under plain EXPLAIN."""
         snap = self._txn
+        snap_dyn = self._txn_dyn
         seq_snap = (
             dict(self.sequences), dict(self._seq_last),
             dict(self._seq_step), dict(self._seq_start),
         )
         self._txn = dict(snap) if snap is not None else {}
+        self._txn_dyn = (
+            {k: list(v) for k, v in snap_dyn.items()}
+            if snap_dyn is not None
+            else {}
+        )
         try:
             return self.route(sql)
         finally:
             probed, self._txn = self._txn, snap
+            probed_dyn, self._txn_dyn = self._txn_dyn, snap_dyn
             (self.sequences, self._seq_last,
              self._seq_step, self._seq_start) = seq_snap
             for name in probed or {}:
@@ -1248,6 +1260,13 @@ class Catalog:
                     snap[name].createOrReplaceTempView(name)
                 elif name in self.tables:
                     self._register(self.tables[name])
+            for name in probed_dyn or {}:
+                if name not in self.dynamic:
+                    continue
+                user_staged = (snap_dyn or {}).get(name)
+                self.dynamic[name].df(
+                    extra=user_staged or ()
+                ).createOrReplaceTempView(name)
 
     def route(self, sql: str) -> DataFrame:
         head = sql.strip().rstrip(";").upper()
@@ -1269,9 +1288,16 @@ class Catalog:
         if head in ("BEGIN", "BEGIN TRANSACTION"):
             if self._txn is None:
                 self._txn = {}
+                self._txn_dyn = {}
             return self.spark.range(0).select(F.lit("BEGIN").alias("txn"))
         if head == "COMMIT":
             staged, self._txn = self._txn, None
+            staged_dyn, self._txn_dyn = self._txn_dyn, None
+            for name in sorted(staged_dyn or {}):
+                dyn = self.dynamic[name]
+                for batch in staged_dyn[name]:
+                    dyn.insert(batch)  # parquet appends — additive commit
+                dyn.df().createOrReplaceTempView(name)
             if staged:
                 from contextlib import ExitStack
 
@@ -1297,8 +1323,11 @@ class Catalog:
             return self.spark.range(0).select(F.lit("COMMIT").alias("txn"))
         if head in ("ROLLBACK", "ABORT"):
             staged, self._txn = self._txn, None
+            staged_dyn, self._txn_dyn = self._txn_dyn, None
             for name in staged or {}:
                 self._register(self.tables[name])  # restore on-disk views
+            for name in staged_dyn or {}:
+                self.dynamic[name].df().createOrReplaceTempView(name)
             return self.spark.range(0).select(F.lit("ROLLBACK").alias("txn"))
 
         # COPY (PG CopyStmt, reference parsenodes.h PARENTSTMTTYPE_COPY):
@@ -1918,6 +1947,18 @@ class Catalog:
             )
             if cols:
                 rows = rows.toDF(*cols)
+            if self._txn is not None:
+                # stage the batch: pinned rows join the union-schema read
+                # (read-your-writes) but land on disk only at COMMIT, so
+                # ROLLBACK undoes dynamic-table DML like managed-table DML
+                rows = rows.localCheckpoint(eager=True)
+                self._txn_dyn.setdefault(name, []).append(rows)
+                dyn.df(extra=self._txn_dyn[name]).createOrReplaceTempView(
+                    name
+                )
+                if returning:
+                    return self._apply_returning(rows, returning)
+                return rows.agg(F.count(F.lit(1)).alias("inserted"))
             dyn.insert(rows)  # schema-on-write: new columns extend the table
             dyn.df().createOrReplaceTempView(name)
             if returning:

@@ -178,17 +178,9 @@ class Engine:
                 body, re.IGNORECASE,
             )
             name = target.group(1) if target else ""
-            if name in self.catalog.dynamic:
-                # dynamic (schema-on-write) tables have no transactional
-                # staging — explain_route's discarded-txn trick cannot
-                # protect them, so a plan-only probe must refuse rather
-                # than silently apply the write
-                raise ValueError(
-                    f"EXPLAIN: {name} is a dynamic (schema-on-write) "
-                    "table with no transactional staging; use EXPLAIN "
-                    "ANALYZE to execute and profile the write"
-                )
-            if name in self.catalog.tables:
+            if name in self.catalog.tables or name in self.catalog.dynamic:
+                # dynamic tables stage per-txn batches too (round 8), so
+                # the discarded-txn probe protects both kinds of table
                 return Cursor(self.catalog.explain_route(body)), False
             # not a managed table: route() would fall through to
             # spark.sql, which EXECUTES DML commands eagerly — delegate

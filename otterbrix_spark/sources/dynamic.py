@@ -62,23 +62,30 @@ class DynamicTable:
         n = len(self._batch_dirs())
         batch.write.parquet(os.path.join(self.path, f"batch-{n:06d}"))
 
-    def schema(self) -> T.StructType:
+    def _sources(self, extra: "tuple | list" = ()) -> list[DataFrame]:
+        """Written batch frames plus any STAGED (uncommitted) batches —
+        the transactional read-your-writes seam: a txn's pending inserts
+        participate in the union-schema read without touching disk."""
+        return [
+            self.spark.read.parquet(d) for d in self._batch_dirs()
+        ] + list(extra)
+
+    def schema(self, extra: "tuple | list" = ()) -> T.StructType:
         """Union schema in first-seen column order with widening."""
         fields: dict[str, T.DataType] = {}
-        for d in self._batch_dirs():
-            for f in self.spark.read.parquet(d).schema:
+        for b in self._sources(extra):
+            for f in b.schema:
                 if f.name in fields:
                     fields[f.name] = _merge_type(fields[f.name], f.dataType)
                 else:
                     fields[f.name] = f.dataType
         return T.StructType([T.StructField(n, t, True) for n, t in fields.items()])
 
-    def df(self) -> DataFrame:
+    def df(self, extra: "tuple | list" = ()) -> DataFrame:
         """Read the union of all batches under the merged schema."""
-        target = self.schema()
+        target = self.schema(extra)
         out: DataFrame | None = None
-        for d in self._batch_dirs():
-            b = self.spark.read.parquet(d)
+        for b in self._sources(extra):
             have = {f.name: f.dataType for f in b.schema}
             cols = []
             for f in target:

@@ -1203,18 +1203,38 @@ def test_merge_literal_when_then_not_clause_boundaries(engine):
     assert rows == {1: "hit WHEN MATCHED THEN x", 2: "new THEN row"}
 
 
-def test_explain_insert_dynamic_table_refuses(engine):
-    """Dynamic tables have no txn staging, so plain EXPLAIN of DML on
-    them must refuse — never silently apply the write."""
-    import pytest as _pytest
-
+def test_explain_insert_dynamic_table_plan_only(engine):
+    """Dynamic tables stage per-txn batches (round 8), so plain EXPLAIN
+    of DML on them plans without applying the write."""
     eng = engine
     eng.sql("DROP TABLE IF EXISTS ex_dyn")
     eng.sql("CREATE TABLE ex_dyn ()")  # schema-on-write dynamic table
     eng.sql("INSERT INTO ex_dyn SELECT 1 AS a")
-    with _pytest.raises(ValueError, match="dynamic"):
-        eng.sql("EXPLAIN INSERT INTO ex_dyn SELECT 2 AS a")
+    rows = eng.sql("EXPLAIN INSERT INTO ex_dyn SELECT 2 AS a").collect()
+    assert rows
     assert eng.sql("SELECT COUNT(*) AS n FROM ex_dyn").collect()[0].n == 1
+
+
+def test_dynamic_table_dml_in_transaction(engine):
+    """Dynamic-table INSERT inside BEGIN..ROLLBACK is undone; COMMIT
+    lands the staged batches; in-txn reads see the staged rows AND the
+    schema they extend (read-your-writes over the union-schema read)."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS dyn_tx")
+    eng.sql("CREATE TABLE dyn_tx ()")
+    eng.sql("INSERT INTO dyn_tx SELECT 1 AS a")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO dyn_tx SELECT 2 AS a, 'x' AS b")  # new column
+    assert eng.sql("SELECT COUNT(*) AS n FROM dyn_tx").collect()[0].n == 2
+    assert "b" in eng.sql("SELECT * FROM dyn_tx").columns
+    eng.sql("ROLLBACK")
+    assert eng.sql("SELECT COUNT(*) AS n FROM dyn_tx").collect()[0].n == 1
+    assert "b" not in eng.sql("SELECT * FROM dyn_tx").columns
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO dyn_tx SELECT 3 AS a, 'y' AS b")
+    eng.sql("COMMIT")
+    got = {(r.a, r.b) for r in eng.sql("SELECT a, b FROM dyn_tx").collect()}
+    assert got == {(1, None), (3, "y")}
 
 
 def test_explain_merge_plan_only(engine):
