@@ -113,8 +113,11 @@ def main() -> None:
     # shares slots). This is how a deployment actually serves a query
     # batch, and it amortises the ~0.25s/job fixed driver overhead that
     # dominates the sequential total at bench scale — measured ~3.5x
-    # faster than sequential on this host. Recorded as a SEPARATE metric
-    # so the sequential "value" stays comparable across rounds.
+    # faster than sequential on this host. Since round 9 (VERDICT r8 #2,
+    # ratified from ADVICE) this is the PRIMARY vs-oracle metric —
+    # emitted first as "value_concurrent" — because it is the
+    # deployment-shaped number; the sequential "value" is kept for
+    # cross-round comparability. Read BOTH against the recorded loadavg.
     from concurrent.futures import ThreadPoolExecutor
 
     names = sorted(headline)
@@ -134,10 +137,13 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
+                # PRIMARY metric (round-9 policy): the concurrent batch —
+                # deployment-shaped, amortises fixed per-job driver overhead
+                "value_concurrent": concurrent_best,
+                # sequential total, kept for cross-round comparability
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "value_concurrent": concurrent_best,
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
                 "sf": sf,

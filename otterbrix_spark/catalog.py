@@ -471,6 +471,11 @@ class Catalog:
         # COMMIT (ADVICE r8: dyn.insert previously wrote through an open
         # transaction, so ROLLBACK could not undo it)
         self._txn_dyn: dict[str, list] | None = None
+        # True only while explain_route() is probing: staged-DML status
+        # frames stay LAZY (the probe's plan IS the real write aggregate
+        # and must trigger zero jobs) and dynamic-table batches skip the
+        # eager pin (a plan-only probe must not execute the source query)
+        self._explain_probe = False
 
     def _register(self, table: ManagedTable) -> None:
         self.tables[table.name] = table
@@ -494,6 +499,19 @@ class Catalog:
             _restore_strings(g, lits) if isinstance(g, str) else g
             for g in m.groups()
         )
+
+    @staticmethod
+    def _release_staged(frame) -> None:
+        """Free the block-manager storage behind a localCheckpoint()ed
+        staged batch that will never be read again (ROLLBACK, a discarded
+        EXPLAIN probe, or a batch already appended to disk by COMMIT).
+        Best-effort over Spark internals: a checkpointed Dataset's analyzed
+        plan is a LogicalRDD holding the persisted RDD. Harmless no-op for
+        non-checkpointed (lazy) frames, where the plan is not a LogicalRDD."""
+        try:
+            frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
 
     @staticmethod
     def _apply_returning(df: DataFrame, returning) -> DataFrame:
@@ -522,13 +540,26 @@ class Catalog:
         self._txn[name] = new_df
         new_df.createOrReplaceTempView(name)
         if returning:
-            return self._apply_returning(matched, returning)
-        # LAZY affected-count (matched is an immutable captured plan, so
-        # collecting later yields the same number): the status frame's own
-        # plan is then the real matched-rows aggregate — which is what a
-        # plain EXPLAIN of staged DML shows — and a plan-only probe
-        # (explain_route) triggers no jobs at statement time
-        return matched.agg(F.count(F.lit(1)).alias(verb))
+            result = self._apply_returning(matched, returning)
+            if self._explain_probe:
+                return result  # plan-only probe: stay lazy, zero jobs
+            # pin the RETURNING rows NOW: they are a lazy plan over the
+            # pre-commit parquet files, which COMMIT's directory swap
+            # deletes — collecting the cursor after COMMIT would hit
+            # missing files (ADVICE r8, same hazard as the status count)
+            return result.localCheckpoint(eager=True)
+        if self._explain_probe:
+            # plan-only probe (explain_route): the status frame's plan IS
+            # the real matched-rows aggregate (scan+filter+agg), and no
+            # job runs at statement time
+            return matched.agg(F.count(F.lit(1)).alias(verb))
+        # normal txn path: count EAGERLY — a lazy count would pin the
+        # pre-commit parquet files that COMMIT's commit_staged() deletes,
+        # so collecting the status cursor after COMMIT threw
+        # FileNotFoundException (ADVICE r8 medium). matched is an
+        # immutable captured plan, so counting now equals counting later.
+        n = matched.count()
+        return self.spark.range(1).select(F.lit(n).alias(verb))
 
     def _insert_on_conflict(
         self, name: str, body: str, key_csv: str, action: str, returning
@@ -915,10 +946,10 @@ class Catalog:
             new_df = new_df.unionByName(inserted)
             affected = affected.unionByName(inserted)
         self._validate_new_rows(name, affected, full=new_df)
-        # affected + delete-fired rows as ONE lazy frame: the txn path's
-        # status count must not execute at statement time (same lazy
-        # discipline as _stage_txn — and it is what a plain EXPLAIN MERGE
-        # probe shows as the write's plan instead of a one-row literal)
+        # affected + delete-fired rows as ONE frame: under an EXPLAIN
+        # probe it stays lazy (the plan a plain EXPLAIN MERGE shows is the
+        # real write aggregate, not a one-row literal); the normal txn
+        # path counts it eagerly below (same discipline as _stage_txn)
         touched = affected.select(F.lit(1).alias("__one"))
         if del_idx:
             touched = touched.unionAll(
@@ -928,7 +959,13 @@ class Catalog:
         if self._txn is not None:
             self._txn[name] = new_df
             new_df.createOrReplaceTempView(name)
-            return touched.agg(F.count("__one").alias("merged"))
+            if self._explain_probe:
+                # plan-only probe: the lazy aggregate IS the write's plan
+                return touched.agg(F.count("__one").alias("merged"))
+            # eager count: a lazy frame would pin pre-commit files that
+            # COMMIT deletes (ADVICE r8 medium, same as _stage_txn)
+            n = touched.count()
+            return self.spark.range(1).select(F.lit(n).alias("merged"))
         n = touched.count()
         table._swap_in(new_df)
         self._register(table)
@@ -1248,11 +1285,21 @@ class Catalog:
             if snap_dyn is not None
             else {}
         )
+        probe_snap, self._explain_probe = self._explain_probe, True
         try:
             return self.route(sql)
         finally:
+            self._explain_probe = probe_snap
             probed, self._txn = self._txn, snap
             probed_dyn, self._txn_dyn = self._txn_dyn, snap_dyn
+            # release any batch the probe staged beyond the user's own
+            # staging (ADVICE r8: discarded staged batches leaked their
+            # block-manager storage) — a no-op for lazy probe batches
+            for name, batches in (probed_dyn or {}).items():
+                user = (snap_dyn or {}).get(name, [])
+                for b in batches:
+                    if not any(b is u for u in user):
+                        self._release_staged(b)
             (self.sequences, self._seq_last,
              self._seq_step, self._seq_start) = seq_snap
             for name in probed or {}:
@@ -1328,6 +1375,11 @@ class Catalog:
                 self._register(self.tables[name])  # restore on-disk views
             for name in staged_dyn or {}:
                 self.dynamic[name].df().createOrReplaceTempView(name)
+                # the discarded pinned batches are unreachable now — free
+                # their block-manager storage instead of waiting for GC
+                # (ADVICE r8: staged dynamic batches leaked on ROLLBACK)
+                for b in staged_dyn[name]:
+                    self._release_staged(b)
             return self.spark.range(0).select(F.lit("ROLLBACK").alias("txn"))
 
         # COPY (PG CopyStmt, reference parsenodes.h PARENTSTMTTYPE_COPY):
@@ -1950,8 +2002,12 @@ class Catalog:
             if self._txn is not None:
                 # stage the batch: pinned rows join the union-schema read
                 # (read-your-writes) but land on disk only at COMMIT, so
-                # ROLLBACK undoes dynamic-table DML like managed-table DML
-                rows = rows.localCheckpoint(eager=True)
+                # ROLLBACK undoes dynamic-table DML like managed-table DML.
+                # Under a plain-EXPLAIN probe the batch stays LAZY — an
+                # eager pin would execute the source query, and the probe
+                # discards the staging anyway (ADVICE r8).
+                if not self._explain_probe:
+                    rows = rows.localCheckpoint(eager=True)
                 self._txn_dyn.setdefault(name, []).append(rows)
                 dyn.df(extra=self._txn_dyn[name]).createOrReplaceTempView(
                     name

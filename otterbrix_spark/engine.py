@@ -169,7 +169,20 @@ class Engine:
                 body,
             )
         if not self.catalog.handles(body):
-            return Cursor(self.spark.sql(body)), False
+            if body.lstrip().upper().startswith(
+                ("SELECT", "WITH", "VALUES", "(", "TABLE ")
+            ):
+                return Cursor(self.spark.sql(body)), False
+            # anything else Spark would run EAGERLY on spark.sql (SET k=v,
+            # CACHE TABLE, ANALYZE TABLE, DROP NAMESPACE, ...) — commands,
+            # not queries. Refuse like the routed-utility branch below:
+            # plain EXPLAIN must never execute (ADVICE r8).
+            raise ValueError(
+                "EXPLAIN cannot plan a utility statement without "
+                "executing it (PG accepts only SELECT/VALUES/DML/CTAS "
+                "under EXPLAIN); use EXPLAIN ANALYZE to execute and "
+                "profile it"
+            )
         head = body.lstrip().upper()
         if head.startswith(("INSERT", "UPDATE", "DELETE", "MERGE")):
             target = re.match(

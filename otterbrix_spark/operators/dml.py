@@ -195,9 +195,13 @@ class ManagedTable:
         # NumberFormatException; try_cast lets the guard count the
         # offenders and raise the PG-shaped error (and for rows that
         # validated, try_cast == cast by construction)
-        new = (using if using is not None else old).try_cast(dtype)
+        src = using if using is not None else old
+        new = src.try_cast(dtype)
         df = self.df()
-        bad = df.filter(old.isNotNull() & new.isNull()).count()
+        # a USING expression may legitimately yield NULL (PG accepts
+        # e.g. USING nullif(v, 'n/a')) — only a non-NULL USING result
+        # whose cast comes back NULL is a conversion failure (ADVICE r8)
+        bad = df.filter(src.isNotNull() & new.isNull()).count()
         if bad:
             raise ValueError(
                 f"ALTER COLUMN {col_name} TYPE {dtype}: {bad} row(s) "

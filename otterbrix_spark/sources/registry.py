@@ -111,6 +111,14 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def drop_table_cache(spark: SparkSession) -> None:
+    """Forget the per-session analyzed relations for ``spark``. Used by
+    measurement harnesses (scaling probe) after ``clearCache()``: the
+    cached DataFrame HANDLES would otherwise silently re-cache persisted
+    relations on next use, re-polluting a deliberately cold run."""
+    _TABLE_CACHE.pop(spark, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; normalises the events timestamp column."""
     per_session = _TABLE_CACHE.setdefault(spark, {})

@@ -67,51 +67,51 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 
 
 # The correctness driver verifies the FIRST 50 registry entries per round.
-# Round-8 window (VERDICT r7 Next #1 verbatim): the q01 anchor; the two
-# gates whose BUG FIXES the driver has never sampled (q88's window-tie
-# total-order fix, ds47's int64-overflow fix); the 27 continuation-4
-# first-timers (sk11/sk12 AMS, l17 k-core, t20 BPE encode, p10/p11,
-# b14, ds44-ds46, c25, q96-q103 dialect surface, a06, g11, m09, s23,
-# e18 PQ, e19 IVF-PQ, x09 TRUNCATE); the heaviest never-driver-seen
-# families (sk05-sk10 sketches, l14-l16 graph, e13-e17 index
-# lifecycle); s21 streaming SCD2 (upgraded this round with a
-# mid-CDC-stream restart, VERDICT #5) and x03 MERGE INTO (the biggest
-# never-verified statement); and this round's new benchmark-breadth
-# shapes (VERDICT #6 asks they land inside the window). The remaining
-# ~53 never-verified gates are the round-9 window plan — written out
-# explicitly in COVERAGE.md so the backlog provably drains. Everything
-# rotated out keeps passing the identical local DuckDB battery
+# Round-9 window (VERDICT r8 Next #1: "execute the drain exactly as
+# written in COVERAGE.md"): the q01 anchor + the first 49 of the
+# never-driver-verified backlog in the priority order COVERAGE.md
+# wrote down last round — streaming certs first, then statement
+# surface, time series, dedup tuning, text, multimodal, and the
+# remaining parity/benchmark gates. The three that do not fit
+# (ds43, q85, q86) join the round-8 batch-3 additions (ds51-ds53,
+# c26, d22, sk13, x10, x11, e20) and the q89-q95 dialect
+# passthroughs as the round-10 closeout window — at that point every
+# gate in the registry will have a driver row. Everything rotated
+# out keeps passing the identical local DuckDB battery
 # (tests/test_workload_oracle.py) at three SFs every round.
 _FRONT_WINDOW = [
     "q01_pricing_summary",
-    # driver-unseen bug fixes (q88 window-tie order, ds47 overflow)
-    "q88_named_window", "ds47_cross_channel_growth",
-    # continuation-4 first-timers
-    "sk11_ams_f2", "sk12_ams_join_size", "l17_kcore", "t20_bpe_apply",
-    "p10_epoch_shard_shuffle", "p11_pipeline_compose",
-    "b14_job_chain_mins", "ds44_pivot_date_band",
-    "ds45_channel_worst_ratio", "ds46_cv_filter",
-    "c25_url_path_hierarchy", "q96_posexplode_ordinality",
-    "q97_extract_epoch_isodow", "q98_overlaps_predicate",
-    "q99_select_into_using", "q100_null_safe_join",
-    "q101_jsonl_corrupt_ingest", "q102_like_op_spellings",
-    "q103_between_symmetric", "a06_bool_aggs",
-    "g11_seasonal_naive_forecast", "m09_augment_flip_crop",
-    "s23_streaming_full_outer", "e18_product_quantization",
-    "e19_ivf_pq", "x09_truncate",
-    # heaviest never-driver-seen families
-    "sk05_count_min", "sk06_histogram_quantile", "sk07_bloom_filter_join",
-    "sk08_hll_registers", "sk09_hll_merge", "sk10_count_min",
-    "l14_pagerank_fixed_point", "l15_neighbor_jaccard", "l16_pagerank",
-    "e13_ivf_quantized_stack", "e14_ivf_delete",
-    "e15_product_quantization", "e16_ivf_compaction", "e17_gram_matrix",
-    # round-8 upgrades + biggest never-verified statement
-    "s21_streaming_scd2", "x03_merge_statement",
-    # round-8 new benchmark-breadth shapes (registered in
-    # benchmark_shapes.py this round; VERDICT #6)
-    "ds48_yoy_channel_growth", "ds49_inventory_cov_pair",
-    "ds50_week_ratio_matrix", "b17_deep_chain_mins",
-    "l18_multi_hop_interaction",
+    # streaming certs (heaviest never-driver-verified family)
+    "s15_streaming_left_outer", "s16_dedup_within_watermark",
+    "s17_streaming_full_outer", "s18_chained_stateful",
+    "s19_milestone_counter", "s20_late_drop", "s22_streaming_sketch",
+    # statement surface
+    "x04_column_defaults", "x05_prepared_statements",
+    "x06_copy_statement", "x07_scd2_dimension", "x08_scd2_asof_join",
+    "y04_schema_evolution", "q84_update_from",
+    # time series
+    "g04_time_weighted_avg", "g05_counter_rate", "g06_lttb_downsample",
+    "g07_ewma_truncated", "g08_ohlc_bars", "g09_date_bin",
+    "g10_mad_anomaly",
+    # dedup tuning
+    "d18_url_canonical_dedup", "d19_lsh_tuning_eval",
+    "d20_simhash_pairs", "d21_dsir_importance",
+    # text
+    "t16_bpe_pair_count", "t18_vocab_growth", "t19_bigram_lm_score",
+    # multimodal
+    "m07_patch_extraction", "m08_audio_framing",
+    # remaining parity / operator gates
+    "j16_jsonb_agg", "j17_variant_type",
+    "a03_ordered_set_aggs", "a05_arg_extremes",
+    "w07_interval_range_frame", "w08_filter_over_window",
+    "z01_zorder_pruning", "k02_skew_salted_join",
+    "h04_join_rollup", "h05_mvcc_time_travel",
+    "aj05_asof_strict", "f04_conversion_latency",
+    "r01_relation_chain",
+    "c23_conditional_src_dst", "c24_regex_replace_backref",
+    # benchmark breadth
+    "ds39_exists_or_exists", "ds40_monthly_outlier_neighbors",
+    "ds41_cte_reused_selfjoin", "ds42_rollup_rank_parent",
 ]
 
 

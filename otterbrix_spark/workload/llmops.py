@@ -5476,7 +5476,16 @@ def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select("doc_id", F.split("text", r"\s+").alias("ws"))
     g = w.select(
         "doc_id",
-        F.expr(f"explode(sequence(1, size(ws) - {K - 1}))").alias("i"),
+        # a doc with fewer than K tokens must yield NO grams — Spark's
+        # sequence(1, n) is DESCENDING for n < 1 ([1, 0, ...]) and
+        # slice(ws, 0, K) then errors at runtime, while DuckDB's
+        # range(1, n) is simply empty there (ADVICE r8); explode of the
+        # empty array drops the row, matching the oracle
+        F.expr(
+            f"explode(CASE WHEN size(ws) >= {K} "
+            f"THEN sequence(1, size(ws) - {K - 1}) "
+            f"ELSE array() END)"
+        ).alias("i"),
         "ws",
     ).select(
         "doc_id", "i",

@@ -111,6 +111,19 @@ def main() -> None:
             # readings are dominated by first-pass page cache, not plans
             times: dict[str, float] = {}
             for name in PROBE_QUERIES:
+                # co-run isolation (VERDICT r8 #3): sequential probes share
+                # one SparkSession, and cached relations / persisted gate
+                # state left by an earlier query inflated later readings
+                # under memory pressure (ds50 read 6.17 co-run vs 1.03
+                # solo in round 8). Start each query from a clean cache so
+                # published rows are right the first time. load_table's
+                # per-session relation cache is also dropped — clearCache
+                # unpersists the blocks but the cached DataFrame handles
+                # would silently re-cache on next use.
+                spark.catalog.clearCache()
+                from otterbrix_spark.sources.registry import drop_table_cache
+
+                drop_table_cache(spark)
                 registry[name].spark_fn(spark, sf_dir).collect()  # warm
                 samples = []
                 for _ in range(best_of):

@@ -1315,3 +1315,96 @@ def test_update_row_form_set(engine):
         eng.sql("UPDATE rfs SET (a, b) = (1, 2, 3)")
     with _pytest.raises(ValueError, match="not supported"):
         eng.sql("UPDATE rfs SET (a, b) = (SELECT 1, 2)")
+
+
+def test_txn_status_cursor_survives_commit(engine):
+    """ADVICE r8 (medium): the staged-DML status frame was a LAZY count
+    pinning pre-commit parquet files, which COMMIT's directory swap
+    deletes — collecting the cursor after COMMIT threw
+    FileNotFoundException. The txn path now counts eagerly."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS txc")
+    eng.sql("CREATE TABLE txc (k bigint, v bigint)")
+    eng.sql("INSERT INTO txc VALUES (1, 10), (2, 20), (3, 30)")
+    eng.sql("BEGIN")
+    upd = eng.sql("UPDATE txc SET v = v + 1 WHERE k <= 2")
+    dele = eng.sql("DELETE FROM txc WHERE k = 3")
+    ins = eng.sql("INSERT INTO txc VALUES (4, 40)")
+    eng.sql("COMMIT")
+    # collect AFTER commit — the old files are gone by now
+    assert upd.collect()[0].updated == 2
+    assert dele.collect()[0].deleted == 1
+    assert ins.collect()[0].inserted == 1
+
+
+def test_txn_returning_cursor_survives_commit(engine):
+    """Same hazard for RETURNING: the projected rows are pinned at
+    statement time (localCheckpoint) so the cursor outlives COMMIT."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS txr")
+    eng.sql("CREATE TABLE txr (k bigint, v bigint)")
+    eng.sql("INSERT INTO txr VALUES (1, 10), (2, 20)")
+    eng.sql("BEGIN")
+    ret = eng.sql("UPDATE txr SET v = v * 2 WHERE k = 1 RETURNING k, v")
+    eng.sql("COMMIT")
+    assert [tuple(r) for r in ret.collect()] == [(1, 20)]
+
+
+def test_txn_merge_status_cursor_survives_commit(engine):
+    """MERGE inside a txn had the same lazy-count hazard (catalog.py
+    MERGE branch) — eager now."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS txm_t")
+    eng.sql("DROP TABLE IF EXISTS txm_s")
+    eng.sql("CREATE TABLE txm_t (k bigint, v bigint)")
+    eng.sql("CREATE TABLE txm_s (k bigint, v bigint)")
+    eng.sql("INSERT INTO txm_t VALUES (1, 10)")
+    eng.sql("INSERT INTO txm_s VALUES (1, 99), (2, 20)")
+    eng.sql("BEGIN")
+    cur = eng.sql(
+        "MERGE INTO txm_t USING txm_s ON txm_t.k = txm_s.k "
+        "WHEN MATCHED THEN UPDATE SET v = txm_s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (txm_s.k, txm_s.v)"
+    )
+    eng.sql("COMMIT")
+    assert cur.collect()[0].merged == 2
+    assert dict(eng.sql("SELECT k, v FROM txm_t").collect()) == {1: 99, 2: 20}
+
+
+def test_explain_refuses_spark_utility_fallthrough(engine):
+    """ADVICE r8: plain EXPLAIN of a statement the catalog does NOT
+    handle used to fall through to spark.sql, which EXECUTES utility
+    commands eagerly (CACHE TABLE, SET k=v, ...). Now refused."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS exut")
+    eng.sql("CREATE TABLE exut (k bigint)")
+    with _pytest.raises(ValueError, match="utility statement"):
+        eng.sql("EXPLAIN CACHE TABLE exut")
+    assert not eng.spark.catalog.isCached("exut")
+    with _pytest.raises(ValueError, match="utility statement"):
+        eng.sql("EXPLAIN SET spark.sql.ansi.enabled=false")
+    # queries still plan fine through the same branch
+    assert eng.sql("EXPLAIN SELECT 1 AS one").collect()
+
+
+def test_alter_column_type_using_may_yield_null(engine):
+    """ADVICE r8: a USING expression that legitimately yields NULL
+    (PG: USING nullif(v, 'n/a')) must not be counted as a conversion
+    failure — only a non-NULL USING result whose cast is NULL refuses."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS acu")
+    eng.sql("CREATE TABLE acu (k bigint, v varchar(10))")
+    eng.sql("INSERT INTO acu VALUES (1, '10'), (2, 'n/a'), (3, '30')")
+    eng.sql("ALTER TABLE acu ALTER COLUMN v TYPE bigint "
+            "USING nullif(v, 'n/a')")
+    got = {r.k: r.v for r in eng.sql("SELECT k, v FROM acu").collect()}
+    assert got == {1: 10, 2: None, 3: 30}
+    # but a USING result that truly cannot cast still refuses
+    eng.sql("ALTER TABLE acu ALTER COLUMN v TYPE varchar(10) "
+            "USING concat('x', v)")
+    with _pytest.raises(ValueError, match="cannot be converted"):
+        eng.sql("ALTER TABLE acu ALTER COLUMN v TYPE bigint")

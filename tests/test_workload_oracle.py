@@ -20,3 +20,35 @@ def test_query_matches_oracle(spark, sf_dir, name):
         assert df.count() >= 0
         return
     compare(df, spec.oracle, sf_dir, name)
+
+
+def test_d22_short_docs_yield_no_grams(spark, sf_dir, tmp_path):
+    """ADVICE r8: a document with fewer than K=8 tokens must produce NO
+    grams (Spark's sequence(1, n) is descending for n < 1 and the slice
+    then crashed); the DuckDB oracle's range() is simply empty there.
+    End-to-end: a corpus containing 1/7/8-token docs still hash-matches."""
+    import os
+
+    d = tmp_path / "sf_short"
+    d.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, "one", "en", "web", 3),
+        (2, "seven tokens only here for this doc", "en", "web", 36),
+        (3, base, "en", "web", len(base)),  # exactly K tokens
+        (4, base + " extra " + base, "en", "web", 1),  # dup 8-grams
+        (5, base + " extra " + base, "en", "web", 1),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    pq.write_table(
+        pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)}),
+        str(d / "documents.parquet"),
+    )
+    spec = REGISTRY["d22_substring_span_removal"]
+    compare(spec.spark_fn(spark, str(d)), spec.oracle, str(d), "d22-short")
