@@ -476,6 +476,15 @@ class Catalog:
         # and must trigger zero jobs) and dynamic-table batches skip the
         # eager pin (a plan-only probe must not execute the source query)
         self._explain_probe = False
+        # non-materialized views (CREATE [OR REPLACE] VIEW): name -> body,
+        # tracked so pg_class can list relkind='v' rows (the Spark temp
+        # view itself is the executable object; this is catalog metadata)
+        self.views: dict[str, str] = {}
+        # session-scoped oids for pg_catalog introspection: PG hands out
+        # oids at object creation; here first-reference order from the
+        # user-object floor (16384), stable for the session
+        self._oids: dict[tuple[str, str], int] = {}
+        self._oid_next = 16384
 
     def _register(self, table: ManagedTable) -> None:
         self.tables[table.name] = table
@@ -1537,6 +1546,7 @@ class Catalog:
             materialized, name = m.group(1), m.group(2)
             if materialized and name in self.matviews:
                 ManagedTable(self.spark, self.matviews.pop(name).path).drop()
+            self.views.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
 
@@ -1544,6 +1554,7 @@ class Catalog:
         if m:
             name, body = m.group(1), m.group(2)
             self.spark.sql(body).createOrReplaceTempView(name)
+            self.views[name] = body
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         # CREATE FUNCTION (reference transform_macro.cpp: SQL-body macros,
@@ -2108,7 +2119,139 @@ class Catalog:
             )
         return self.spark.sql(sql)
 
+    # -- pg_catalog introspection (reference
+    # -- components/catalog/system_table_schemas.cpp:260-272 materializes
+    # -- pg_database / pg_namespace / pg_class / pg_proc rows and resolves
+    # -- catalog probes through real operators) ------------------------------
+
+    _PG_CATALOG_RE = re.compile(
+        r"\b(?:pg_database|pg_namespace|pg_class|pg_attribute|pg_type"
+        r"|pg_proc|pg_tables|pg_sequences)\b",
+        re.IGNORECASE,
+    )
+
+    # PG's well-known type oids for the types the engine maps; anything
+    # else (arrays, structs, user types) gets a session-scoped oid
+    _PG_TYPE_OIDS = {
+        "boolean": ("bool", 16), "binary": ("bytea", 17),
+        "bigint": ("int8", 20), "smallint": ("int2", 21),
+        "tinyint": ("int2", 21), "int": ("int4", 23),
+        "string": ("text", 25), "double": ("float8", 701),
+        "float": ("float4", 700), "date": ("date", 1082),
+        "timestamp": ("timestamptz", 1184),
+        "timestamp_ntz": ("timestamp", 1114),
+    }
+
+    def _oid(self, kind: str, name: str) -> int:
+        key = (kind, name)
+        if key not in self._oids:
+            self._oids[key] = self._oid_next
+            self._oid_next += 1
+        return self._oids[key]
+
+    def _pg_split(self, name: str) -> tuple[str, str]:
+        """Canonical ``db__object`` -> (namespace, relname); bare names
+        live in ``public`` (the canonicalize() inverse for display)."""
+        if "__" in name:
+            db, rest = name.split("__", 1)
+            if db in self.databases:
+                return db, rest
+        return "public", name
+
+    def _pg_typrow(self, spark_type: str) -> tuple[str, int]:
+        if spark_type.startswith("decimal"):
+            return "numeric", 1700
+        if spark_type in self._PG_TYPE_OIDS:
+            return self._PG_TYPE_OIDS[spark_type]
+        return spark_type, self._oid("type", spark_type)
+
+    def register_pg_catalog(self) -> None:
+        """(Re)materialize the pg_catalog system views over the engine's
+        live catalog state, as tiny driver-side temp views — rebuilt on
+        demand whenever a statement references one of them, so tooling
+        queries (``SELECT relname FROM pg_class``, attribute walks joined
+        through pg_type, pg_proc listings) always see current state.
+        relkind codes follow PG plus the reference's ``g`` for dynamic
+        schema-on-write ("computing") tables."""
+        nsp = {"pg_catalog": 11, "public": 2200}
+        for db in sorted(self.databases):
+            nsp[db] = self._oid("nsp", db)
+        classes: list[tuple] = []
+        attrs: list[tuple] = []
+        typrows: dict[str, int] = {}
+
+        def add_class(name: str, kind: str, schema=None) -> None:
+            ns, rel = self._pg_split(name)
+            oid = self._oid("rel", name)
+            classes.append((oid, rel, nsp.get(ns, 2200), kind))
+            for i, f in enumerate(schema or (), start=1):
+                tname, toid = self._pg_typrow(f.dataType.simpleString())
+                typrows[tname] = toid
+                attrs.append((oid, f.name, toid, i, not f.nullable))
+
+        for name, t in sorted(self.tables.items()):
+            add_class(name, "r", t.df().schema.fields)
+        for name, d in sorted(self.dynamic.items()):
+            add_class(name, "g", d.df().schema.fields)
+        for name, mv in sorted(self.matviews.items()):
+            add_class(name, "m", mv.df().schema.fields)
+        for name in sorted(self.views):
+            add_class(name, "v")  # body re-resolves; no stored tuple desc
+        for name in sorted(self.sequences):
+            add_class(name, "S")
+        for tname, toid in self._PG_TYPE_OIDS.values():
+            typrows.setdefault(tname, toid)
+        typrows.setdefault("numeric", 1700)
+        procs = [
+            (self._oid("proc", n), n, 2200, d["expr"])
+            for n, d in sorted(self.functions.items())
+        ]
+        seqs = [
+            (self._pg_split(n)[0], self._pg_split(n)[1],
+             self._seq_start.get(n, 1), self._seq_step.get(n, 1),
+             self._seq_last.get(n))
+            for n in sorted(self.sequences)
+        ]
+        dbs = [(1, "otterbrix")] + [
+            (nsp[db], db) for db in sorted(self.databases)
+        ]
+        sp = self.spark
+        mk = sp.createDataFrame
+        mk(dbs, "oid BIGINT, datname STRING").createOrReplaceTempView(
+            "pg_database")
+        mk([(o, n) for n, o in sorted(nsp.items())],
+           "oid BIGINT, nspname STRING").createOrReplaceTempView(
+            "pg_namespace")
+        mk(classes,
+           "oid BIGINT, relname STRING, relnamespace BIGINT, relkind STRING"
+           ).createOrReplaceTempView("pg_class")
+        mk(attrs,
+           "attrelid BIGINT, attname STRING, atttypid BIGINT, "
+           "attnum INT, attnotnull BOOLEAN"
+           ).createOrReplaceTempView("pg_attribute")
+        mk([(o, n) for n, o in sorted(typrows.items())],
+           "oid BIGINT, typname STRING").createOrReplaceTempView("pg_type")
+        mk(procs,
+           "oid BIGINT, proname STRING, pronamespace BIGINT, prosrc STRING"
+           ).createOrReplaceTempView("pg_proc")
+        mk([(self._pg_split(n)[0], self._pg_split(n)[1])
+            for n in sorted(list(self.tables) + list(self.dynamic))],
+           "schemaname STRING, tablename STRING"
+           ).createOrReplaceTempView("pg_tables")
+        mk(seqs,
+           "schemaname STRING, sequencename STRING, start_value BIGINT, "
+           "increment_by BIGINT, last_value BIGINT"
+           ).createOrReplaceTempView("pg_sequences")
+
     def handles(self, sql: str) -> bool:
+        if self._PG_CATALOG_RE.search(sql):
+            # refresh-then-route: the system views must reflect catalog
+            # state AS OF this statement (PG reads live catalog tables);
+            # rebuilding here keeps plain spark.sql paths (EXPLAIN's
+            # SELECT branch) current too. Driver-side frames over dict
+            # state — a few ms, only on statements that name them.
+            self.register_pg_catalog()
+            return True
         if re.search(r"\b(nextval|currval)\s*\(", sql, re.IGNORECASE):
             return True
         head = sql.lstrip()[:26].upper()

@@ -1106,3 +1106,74 @@ def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(
         "SELECT k, bal AS tag FROM x11_t ORDER BY k, tag"
     )
+
+
+# --- x12: pg_catalog introspection --------------------------------------------
+# The reference materializes pg_database / pg_namespace / pg_class /
+# pg_proc rows and resolves tooling queries through real catalog-probe
+# operators (components/catalog/system_table_schemas.cpp:260-272,
+# services/collection/executor.cpp:540-600). The engine mirrors that
+# surface: system views rebuilt on demand over live catalog state, so a
+# reference user's `SELECT relname FROM pg_class` habit works. The gate
+# creates one object of every kind (managed table, dynamic table, view,
+# materialized view, sequence, SQL function, second namespace), then runs
+# the canonical tooling dump — pg_class joined through pg_namespace with
+# the pg_attribute/pg_type column walk, plus the pg_proc listing — and
+# the oracle is the DECLARATIVE expected catalog (a VALUES constant):
+# any drift in oids wiring, relkind codes, type mapping or namespace
+# resolution breaks the hash.
+
+_X12_ORACLE = """
+SELECT * FROM (VALUES
+  ('public', 'x12_dyn', 'g', 'a',    'int8',   1),
+  ('public', 'x12_dyn', 'g', 's',    'text',   2),
+  ('public', 'x12_mv',  'm', 'one',  'int8',   1),
+  ('public', 'x12_seq', 'S', NULL,   NULL,     NULL),
+  ('public', 'x12_t',   'r', 'k',    'int8',   1),
+  ('public', 'x12_t',   'r', 'name', 'text',   2),
+  ('public', 'x12_t',   'r', 'bal',  'float8', 3),
+  ('public', 'x12_t',   'r', 'flag', 'bool',   4),
+  ('public', 'x12_t',   'r', 'd',    'date',   5),
+  ('public', 'x12_v',   'v', NULL,   NULL,     NULL),
+  ('public', 'x12f',    'f', NULL,   NULL,     NULL),
+  ('x12db',  't2',      'r', 'a',    'int8',   1)
+) AS t(nspname, relname, relkind, attname, typname, attnum)
+ORDER BY nspname, relname, attnum
+"""
+
+
+@query(
+    "x12_pg_catalog", _X12_ORACLE,
+    doc="pg_catalog introspection views over live engine state: pg_class/"
+        "pg_namespace/pg_attribute/pg_type/pg_proc rebuilt on demand "
+        "(reference system_table_schemas.cpp pg_* row materialization)",
+)
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("CREATE TABLE x12_t (k bigint, name varchar(12), "
+            "bal double precision, flag boolean, d date)")
+    eng.sql("CREATE TABLE x12_dyn ()")  # schema-on-write: relkind 'g'
+    eng.sql("INSERT INTO x12_dyn SELECT CAST(1 AS BIGINT) AS a, 'x' AS s")
+    eng.sql("CREATE VIEW x12_v AS SELECT 1 AS one")
+    eng.sql("CREATE MATERIALIZED VIEW x12_mv AS "
+            "SELECT CAST(1 AS BIGINT) AS one")
+    eng.sql("CREATE SEQUENCE x12_seq START 5")
+    eng.sql("CREATE FUNCTION x12f(x bigint) RETURNS bigint RETURN x * 2")
+    eng.sql("CREATE DATABASE x12db")
+    eng.sql("CREATE TABLE x12db.t2 (a bigint)")
+    return eng.sql(
+        "SELECT n.nspname, c.relname, c.relkind, "
+        "       a.attname, t.typname, a.attnum "
+        "FROM pg_class c "
+        "JOIN pg_namespace n ON n.oid = c.relnamespace "
+        "LEFT JOIN pg_attribute a ON a.attrelid = c.oid "
+        "LEFT JOIN pg_type t ON t.oid = a.atttypid "
+        "UNION ALL "
+        "SELECT 'public', proname, 'f', CAST(NULL AS STRING), "
+        "       CAST(NULL AS STRING), CAST(NULL AS INT) "
+        "FROM pg_proc "
+        "ORDER BY nspname, relname, attnum"
+    )

@@ -1408,3 +1408,34 @@ def test_alter_column_type_using_may_yield_null(engine):
             "USING concat('x', v)")
     with _pytest.raises(ValueError, match="cannot be converted"):
         eng.sql("ALTER TABLE acu ALTER COLUMN v TYPE bigint")
+
+
+def test_pg_catalog_views_track_live_state(engine):
+    """pg_catalog views rebuild on demand: DDL between two introspection
+    queries is visible, DROP removes the row, and pg_sequences exposes
+    start/increment/last_value (VERDICT r8 #4)."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS pgl_t")
+    eng.sql("DROP SEQUENCE IF EXISTS pgl_seq")
+    eng.sql("CREATE TABLE pgl_t (k bigint)")
+    n = eng.sql(
+        "SELECT COUNT(*) AS n FROM pg_class WHERE relname = 'pgl_t'"
+    ).collect()[0].n
+    assert n == 1
+    eng.sql("DROP TABLE pgl_t")
+    n = eng.sql(
+        "SELECT COUNT(*) AS n FROM pg_class WHERE relname = 'pgl_t'"
+    ).collect()[0].n
+    assert n == 0
+    eng.sql("CREATE SEQUENCE pgl_seq START 7 INCREMENT BY 3")
+    row = eng.sql(
+        "SELECT start_value, increment_by, last_value FROM pg_sequences "
+        "WHERE sequencename = 'pgl_seq'"
+    ).collect()[0]
+    assert (row.start_value, row.increment_by, row.last_value) == (7, 3, None)
+    assert eng.sql("SELECT nextval('pgl_seq') AS v").collect()[0].v == 7
+    row = eng.sql(
+        "SELECT last_value FROM pg_sequences "
+        "WHERE sequencename = 'pgl_seq'"
+    ).collect()[0]
+    assert row.last_value == 7
