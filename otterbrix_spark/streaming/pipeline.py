@@ -235,9 +235,12 @@ def run_available_now_to_files(
     out_dir: str,
     checkpoint_dir: str,
     timeout_s: float = 120.0,
-) -> tuple[int, int]:
+) -> tuple[int, int, list[int]]:
     """One availableNow pass into a parquet FILE sink with a durable
-    checkpoint; returns ``(batches_with_input, input_rows)``.
+    checkpoint; returns ``(batches_with_input, input_rows, batch_ids)``
+    — ``batch_ids`` is every batch id the pass executed, so restart
+    certifications can assert that a resume REPLAYED the batch whose
+    commit marker was removed (s21/s23 pattern).
 
     Unlike the memory-sink harness this SURVIVES restart: re-invoking
     with the same checkpoint resumes from the recorded source offsets
@@ -261,7 +264,8 @@ def run_available_now_to_files(
     progress = query.recentProgress
     n_batches = sum(1 for p in progress if _progress_rows(p) > 0)
     input_rows = sum(_progress_rows(p) for p in progress)
-    return n_batches, input_rows
+    batch_ids = [p["batchId"] for p in progress if "batchId" in p]
+    return n_batches, input_rows, batch_ids
 
 
 def _detach_sink(spark: SparkSession, name: str) -> DataFrame:

@@ -7270,3 +7270,320 @@ def c26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "event_type")
         .limit(10)
     )
+
+
+# --- b18: JOB shape — eight-table-instance chain, disjunctive filter soup ----
+# JOB's widest chains (e.g. 28/29/33) run 8+ table instances with the
+# same dimension joined in TWO ROLES and disjunctive filters scattered
+# along the chain (benchmark/job/*.sql in the reference corpus).
+# Re-authored: lineitem at the center, part + supplier + orders +
+# customer around it, nation joined twice (customer nation and supplier
+# nation — distinct roles, like JOB's repeated name/title joins), region
+# off the customer arm, plus a CROSS-ROLE predicate (the supplier must
+# sit in a DIFFERENT region than the customer) that only resolves after
+# both role joins. Disjunctions on part (type OR size) and orders
+# (priority OR priority) defeat single-column pruning, the JOB stress.
+# All dims broadcast; the only shuffles are the two fact-side hash
+# joins, and the answer is the JOB MIN(string) shape.
+
+_B18_ORACLE = """
+SELECT MIN(p.p_name) AS min_part,
+       MIN(s.s_name) AS min_supp,
+       MIN(c.c_name) AS min_cust,
+       MIN(n2.n_name) AS min_supp_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n1.n_regionkey
+WHERE (p.p_type = 'PROMO' OR p.p_size >= 40)
+  AND (o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH')
+  AND r.r_name IN ('ASIA', 'AFRICA')
+  AND n2.n_regionkey <> n1.n_regionkey
+"""
+
+
+@query(
+    "b18_wide_chain_disjunctive", _B18_ORACLE,
+    doc="JOB widest-chain shape: 8 table instances, nation in two roles, "
+        "disjunctive filters on part and orders, cross-role region "
+        "inequality resolvable only after both role joins — MIN(string) "
+        "answers, broadcast dims only",
+)
+def b18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") | (F.col("p_size") >= 40)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        | (F.col("o_orderpriority") == "2-HIGH")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("n2_name"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "AFRICA")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .filter(F.col("n2_region") != F.col("n1_region"))
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.min("c_name").alias("min_cust"),
+            F.min("n2_name").alias("min_supp_nation"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- c27: ClickBench shape — mutually-exclusive conditions ladder ------------
+# ClickBench's segment-profile queries classify every hit into exactly
+# ONE bucket via a first-match-wins condition cascade, then profile the
+# buckets in a single scan. The CASE ladder IS the operator: the
+# conditions overlap (every big purchase is also a purchase), so a
+# naive per-condition COUNT(*) stack would double-count — first-match
+# semantics make the buckets a partition of the corpus. One scan, one
+# groupBy on the derived 5-value key; sums quantized to integer cents
+# before aggregation.
+
+_C27_ORACLE = """
+SELECT CASE
+         WHEN event_type = 'purchase' AND value >= 66.0 THEN 'big_purchase'
+         WHEN event_type = 'purchase' THEN 'purchase'
+         WHEN event_type = 'click' AND props IS NOT NULL THEN 'rich_click'
+         WHEN event_type = 'click' THEN 'click'
+         ELSE 'other'
+       END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@query(
+    "c27_exclusive_ladder", _C27_ORACLE,
+    doc="ClickBench mutually-exclusive-conditions ladder: first-match-"
+        "wins CASE cascade partitions the corpus into 5 buckets, "
+        "profiled in one scan + one groupBy",
+)
+def c27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 66.0),
+            "big_purchase",
+        )
+        .when(F.col("event_type") == "purchase", "purchase")
+        .when(
+            (F.col("event_type") == "click") & F.col("props").isNotNull(),
+            "rich_click",
+        )
+        .when(F.col("event_type") == "click", "click")
+        .otherwise("other")
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100.0).cast("long"))
+            .cast("long").alias("cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- c28: ClickBench shape — URL query-parameter extraction ------------------
+# ClickBench's URL-parameter queries (EXTRACT_URL_PARAMETER family)
+# pull named parameters out of the query string and aggregate on them.
+# URLs synthesized deterministically from documents (the c25 recipe,
+# with a query string): 'id' is always present, 'ref' always present,
+# 'utm' only on every 4th page — the extraction must return '' for a
+# missing parameter (both engines' regexp_extract contract), and the
+# empty group is a first-class output row. One scan; the regex never
+# leaves codegen.
+
+_C28_ORACLE = """
+WITH u AS (
+  SELECT '/p' || CAST(doc_id % 7 AS VARCHAR)
+         || '?id=' || CAST(doc_id % 50 AS VARCHAR)
+         || '&ref=' || source
+         || CASE WHEN doc_id % 4 = 0 THEN '&utm=' || lang ELSE '' END
+           AS url
+  FROM documents),
+x AS (
+  SELECT url,
+         regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref,
+         regexp_extract(url, '[?&]utm=([^&]*)', 1) AS utm,
+         regexp_extract(url, '[?&]id=([^&]*)', 1) AS id
+  FROM u)
+SELECT ref, utm,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids,
+       MIN(url) AS min_url
+FROM x GROUP BY ref, utm
+ORDER BY ref, utm
+"""
+
+
+@query(
+    "c28_url_param_extract", _C28_ORACLE,
+    doc="ClickBench URL-parameter extraction: named query-string params "
+        "via regexp_extract (missing param -> ''), grouped profile over "
+        "(ref, utm) — one scan, one groupBy, regex in codegen",
+)
+def c28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("/p"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("?id="), (F.col("doc_id") % 50).cast("string"),
+        F.lit("&ref="), F.col("source"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("&utm="), F.col("lang")),
+        ).otherwise(F.lit("")),
+    )
+    x = docs.select(url.alias("url")).select(
+        "url",
+        F.regexp_extract("url", r"[?&]ref=([^&]*)", 1).alias("ref"),
+        F.regexp_extract("url", r"[?&]utm=([^&]*)", 1).alias("utm"),
+        F.regexp_extract("url", r"[?&]id=([^&]*)", 1).alias("id"),
+    )
+    return (
+        x.groupBy("ref", "utm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hits"),
+            F.countDistinct("id").cast("long").alias("n_ids"),
+            F.min("url").alias("min_url"),
+        )
+        .orderBy("ref", "utm")
+    )
+
+
+# --- l19: LDBC BI shape — open-wedge ANTI-join (edges with no closure) -------
+# LDBC BI's negative-pattern class ("persons with NO interaction", the
+# anti-join the verdict asked for): which co-supplier edges are OPEN —
+# no third supplier adjacent to both endpoints — vs closed into a
+# triangle. The closure set is computed as one candidate expansion
+# (edge x neighbors-of-s1) semi-joined against the adjacency on the
+# (s2, candidate) pair; open edges are then ONE anti-join of the edge
+# set against the closure set — never a per-edge NOT EXISTS probe. Both
+# flags fan out to the two endpoints for a per-supplier open/closed
+# profile. Candidate volume is sum(deg(s1)) over edges — bounded by the
+# >= 2-shared-orders edge threshold that keeps the graph sparse (the
+# l13/l15 discipline); at 100 TB the expansion would anchor at the
+# lower-degree endpoint to halve the worst case.
+
+_L19_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+edges AS (
+  SELECT s1, s2 FROM pairs GROUP BY s1, s2
+  HAVING COUNT(DISTINCT l_orderkey) >= 2),
+und AS (
+  SELECT s1 AS a, s2 AS b FROM edges
+  UNION ALL SELECT s2, s1 FROM edges),
+flagged AS (
+  SELECT e.s1, e.s2,
+         EXISTS (SELECT 1 FROM und u1 JOIN und u2 ON u1.b = u2.b
+                 WHERE u1.a = e.s1 AND u2.a = e.s2) AS closed
+  FROM edges e),
+inc AS (
+  SELECT s1 AS suppkey, closed FROM flagged
+  UNION ALL SELECT s2, closed FROM flagged)
+SELECT suppkey,
+       CAST(SUM(CASE WHEN closed THEN 0 ELSE 1 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN closed THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+FROM inc GROUP BY suppkey ORDER BY suppkey
+"""
+
+
+@query(
+    "l19_open_wedge_anti", _L19_ORACLE,
+    doc="LDBC BI negative-pattern shape: open vs closed co-supplier "
+        "edges — triangle closure via candidate expansion + semi-join, "
+        "open edges via ONE anti-join (never per-edge NOT EXISTS), "
+        "per-supplier incidence profile",
+)
+def l19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("ok").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("s1", "s2")
+    )
+    und = edges.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b")
+    ).unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
+    # candidate third vertices: neighbors of s1; closure confirmed by a
+    # semi-join probe of (s2, candidate) against the adjacency
+    u1 = und.select(F.col("a").alias("c_s1"), F.col("b").alias("cand"))
+    cand = edges.join(u1, edges.s1 == F.col("c_s1")).select(
+        "s1", "s2", "cand"
+    )
+    u2 = und.select(F.col("a").alias("p_s2"), F.col("b").alias("p_cand"))
+    closed = (
+        cand.join(
+            u2,
+            (cand.s2 == F.col("p_s2")) & (cand.cand == F.col("p_cand")),
+            "left_semi",
+        )
+        .select("s1", "s2")
+        .distinct()
+    )
+    open_e = edges.join(closed, ["s1", "s2"], "left_anti").withColumn(
+        "closed", F.lit(0).cast("long")
+    )
+    closed_e = closed.withColumn("closed", F.lit(1).cast("long"))
+    flagged = open_e.unionByName(closed_e)
+    inc = flagged.select(
+        F.col("s1").alias("suppkey"), "closed"
+    ).unionAll(flagged.select(F.col("s2").alias("suppkey"), "closed"))
+    return (
+        inc.groupBy("suppkey")
+        .agg(
+            F.sum(1 - F.col("closed")).cast("long").alias("n_open"),
+            F.sum("closed").cast("long").alias("n_closed"),
+        )
+        .orderBy("suppkey")
+    )

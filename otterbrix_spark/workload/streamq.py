@@ -595,7 +595,7 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "user_id")
         )
 
-    n1, in1 = run_available_now_to_files(graph(), out, ckpt)
+    n1, in1, _ids1 = run_available_now_to_files(graph(), out, ckpt)
     rows_after_run1 = spark.read.parquet(out).count()
     # phase 2: the remaining slices, then a RE-DELIVERY of every phase-1
     # file (later mtimes, so the new slices advance the watermark first)
@@ -603,7 +603,7 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
         land(f, f"part-{half + j:04d}.parquet", half + j)
     for j, f in enumerate(parts[:half]):
         land(f, f"redeliver-{j:04d}.parquet", len(parts) + j)
-    n2, in2 = run_available_now_to_files(graph(), out, ckpt)
+    n2, in2, _ids2 = run_available_now_to_files(graph(), out, ckpt)
     result = spark.read.parquet(out)
     n_total = result.count()
     emitted2 = n_total - rows_after_run1
@@ -1691,17 +1691,25 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("r", "c")
 
 
-# --- s23: stream-stream FULL OUTER band join ---------------------------------
+# --- s23: stream-stream FULL OUTER band join UNDER FORCED RESTART -------------
 # The last stream-stream join mode (s05 inner, s15 left outer): FULL
 # OUTER must hold state on BOTH sides and emit null-padded rows for
 # unmatched purchases AND unmatched clicks, each only once its side's
-# watermark closes the band. The landing dir is time-sorted slices +
-# two far-future sentinel files so availableNow advances both
-# watermarks past the corpus tail and flushes both outer buffers (the
-# second sentinel turns the crank on state the first one released).
-# Hash-matched against the batch FULL JOIN; the run is asserted
-# multi-batch. Keys are coalesced across sides (right-only rows carry a
-# NULL left key), which is also how the sentinel rows are filtered out.
+# watermark closes the band. Round 9 (VERDICT r8 #6) adds the restart
+# certification every other join mode family already carries: phase 1
+# runs only the EARLY slices into a checkpointed parquet file sink and
+# stops while both outer buffers still hold unmatched state (no
+# sentinel has advanced the watermarks); the resume starts from a
+# checkpoint COPY whose last commit marker was removed (the on-disk
+# state of an ungraceful stop — the s21 pattern), REPLAYS that batch id
+# (asserted; the file sink's _spark_metadata keeps its output
+# exactly-once), recovers both sides' join state from the state store,
+# and only then sees the remaining slices + two far-future sentinel
+# files that flush both outer buffers — so the null pads emitted after
+# the restart come from state built BEFORE it. Hash-matched against the
+# batch FULL JOIN; both null-pad sides asserted non-empty. Keys are
+# coalesced across sides (right-only rows carry a NULL left key), which
+# is also how the sentinel rows are filtered out.
 
 _S23_ORACLE = """
 WITH p AS (
@@ -1720,48 +1728,126 @@ FROM p FULL JOIN c
 
 @query(
     "s23_streaming_full_outer", _S23_ORACLE,
-    doc="streaming certification: stream-stream FULL OUTER band join — "
-        "state held and flushed on BOTH sides as watermarks close the "
-        "band; sentinel slices drain both outer buffers; hash-matched "
-        "against the batch FULL JOIN",
+    doc="streaming certification: stream-stream FULL OUTER band join "
+        "under a FORCED RESTART — both sides' buffered state recovered "
+        "from a checkpoint missing its last commit marker, the batch "
+        "replayed exactly-once into the file sink, null pads from "
+        "pre-restart state flushed post-restart; hash-matched against "
+        "the batch FULL JOIN",
 )
 def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+    import glob
+    import os
+    import re as _re
+    import shutil
 
-    landing = _sliced_events_dir(spark, sf_dir, n_files=3)
-    _append_sentinel_slices(spark, sf_dir, landing, ("purchase", "click"))
-    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    from otterbrix_spark.streaming.pipeline import (
+        run_available_now_to_files,
+    )
+    from otterbrix_spark.workload import scratch_dir
 
-    def side(typ: str, idcol: str) -> DataFrame:
-        return stream.filter(F.col("event_type") == typ).select(
-            F.col("user_id"), F.col("event_id").alias(idcol), F.col("ts")
+    # full corpus sliced + sentinels prepared in a SOURCE dir; the run's
+    # own landing dir receives them in two phases around the restart
+    sliced = _sliced_events_dir(spark, sf_dir, n_files=4)
+    _append_sentinel_slices(spark, sf_dir, sliced, ("purchase", "click"))
+    parts = sorted(
+        glob.glob(os.path.join(sliced, "events.parquet", "part-*.parquet"))
+    )
+    scratch = scratch_dir("s23_fouter_")
+    landing = os.path.join(scratch, "events.parquet")
+    os.makedirs(landing)
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    base = 1_700_000_000
+
+    def land(src_file: str, seq: int) -> None:
+        dst = os.path.join(landing, f"part-{seq:04d}.parquet")
+        shutil.copyfile(src_file, dst)
+        os.utime(dst, (base + seq * 60, base + seq * 60))
+
+    def graph() -> DataFrame:
+        stream = events_stream(spark, scratch, max_files_per_trigger=1)
+
+        def side(typ: str, idcol: str) -> DataFrame:
+            return stream.filter(F.col("event_type") == typ).select(
+                F.col("user_id"), F.col("event_id").alias(idcol), F.col("ts")
+            )
+
+        left = side("purchase", "purchase_id").withWatermark("ts", "2 hours")
+        right = (
+            side("click", "click_id")
+            .withColumnRenamed("ts", "r_ts")
+            .withColumnRenamed("user_id", "r_user")
+            .withWatermark("r_ts", "2 hours")
+        )
+        return left.join(
+            right,
+            F.expr(
+                "user_id = r_user AND r_ts >= ts "
+                "AND r_ts <= ts + INTERVAL 30 MINUTE"
+            ),
+            "full_outer",
+        ).select(
+            F.coalesce("user_id", "r_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
         )
 
-    left = side("purchase", "purchase_id").withWatermark("ts", "2 hours")
-    right = (
-        side("click", "click_id")
-        .withColumnRenamed("ts", "r_ts")
-        .withColumnRenamed("user_id", "r_user")
-        .withWatermark("r_ts", "2 hours")
+    # phase 1: the early real slices only — no sentinel has advanced the
+    # watermarks, so BOTH outer buffers still hold their unmatched rows
+    # when the run stops
+    half = max(1, (len(parts) - 2) // 2)
+    for i, f in enumerate(parts[:half]):
+        land(f, i)
+    n1, _in1, _ids1 = run_available_now_to_files(
+        graph(), out, ckpt, timeout_s=180.0
     )
-    joined = left.join(
-        right,
-        F.expr(
-            "user_id = r_user AND r_ts >= ts "
-            "AND r_ts <= ts + INTERVAL 30 MINUTE"
-        ),
-        "full_outer",
-    ).select(
-        F.coalesce("user_id", "r_user").alias("user_id"),
-        "purchase_id",
-        "click_id",
+
+    # forced restart: resume from a checkpoint COPY whose LAST commit
+    # marker is missing — an ungraceful stop between the sink's write
+    # and the commit (s21 pattern; the copy is needed because Spark 4
+    # caches the commit log per checkpoint path in-process)
+    ckpt2 = os.path.join(scratch, "ckpt_restored")
+    shutil.copytree(ckpt, ckpt2)
+    commits = [
+        p
+        for p in glob.glob(os.path.join(ckpt2, "commits", "*"))
+        if _re.fullmatch(r"\d+", os.path.basename(p))
+    ]
+    last = max(commits, key=lambda p: int(os.path.basename(p)))
+    removed_id = int(os.path.basename(last))
+    os.remove(last)
+    crc = os.path.join(
+        os.path.dirname(last), f".{os.path.basename(last)}.crc"
     )
-    name = f"s23_fouter_{uuid.uuid4().hex[:8]}"
-    result, n_batches, _stats = run_available_now_counted(
-        joined, name, timeout_s=180.0, output_mode="append"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # phase 2: remaining real slices + the sentinels that flush both
+    # outer buffers — the state they flush predates the restart
+    for j, f in enumerate(parts[half:]):
+        land(f, half + j)
+    n2, _in2, ids2 = run_available_now_to_files(
+        graph(), out, ckpt2, timeout_s=180.0
     )
-    if n_batches < 3:
+
+    if removed_id not in ids2:
         raise AssertionError(
-            f"s23 ran only {n_batches} input micro-batches"
+            "s23 restart: the resumed run never replayed the batch whose "
+            "commit marker was removed"
         )
-    return result.filter(F.col("user_id") >= 0)
+    if n1 < 1 or n2 < 2:
+        raise AssertionError(
+            f"s23 restart needs input batches on both sides of the "
+            f"restart (run1={n1}, run2={n2})"
+        )
+    result = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+    pads_l = result.filter(F.col("click_id").isNull()).count()
+    pads_r = result.filter(F.col("purchase_id").isNull()).count()
+    if pads_l == 0 or pads_r == 0:
+        raise AssertionError(
+            f"s23: a null-pad side is empty after restart "
+            f"(purchase-only={pads_l}, click-only={pads_r}) — an outer "
+            "buffer was lost across the resume"
+        )
+    return result

@@ -981,3 +981,30 @@ def test_e20_sweep_plan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "e20_ivf_nprobe_recall")
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_round9_breadth_shapes_plans(spark, sf_dir):
+    """Round-9 shapes: no nested loop / cartesian on any data path; b18's
+    eight-instance chain broadcasts every dimension (incl. both nation
+    roles); c27/c28 are single-scan single-shuffle profiles; l19's
+    closure is hash semi/anti joins, never a per-edge probe."""
+    for name in (
+        "b18_wide_chain_disjunctive",
+        "c27_exclusive_ladder",
+        "c28_url_param_extract",
+        "l19_open_wedge_anti",
+        "x12_pg_catalog",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = plan_of(spark, sf_dir, "b18_wide_chain_disjunctive")
+    assert "BroadcastHashJoin" in plan
+    # c27/c28: exactly one aggregate-feeding Exchange pair (partial +
+    # final hash aggregate over one scan) — no join Exchange at all
+    for name in ("c27_exclusive_ladder", "c28_url_param_extract"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Join" not in plan, name
+    # l19: the anti-join and semi-join are both hash joins
+    plan = plan_of(spark, sf_dir, "l19_open_wedge_anti")
+    assert "LeftAnti" in plan and "LeftSemi" in plan
