@@ -7488,33 +7488,51 @@ def c28(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LDBC BI's negative-pattern class ("persons with NO interaction", the
 # anti-join the verdict asked for): which co-supplier edges are OPEN —
 # no third supplier adjacent to both endpoints — vs closed into a
-# triangle. The closure set is computed as one candidate expansion
-# (edge x neighbors-of-s1) semi-joined against the adjacency on the
-# (s2, candidate) pair; open edges are then ONE anti-join of the edge
-# set against the closure set — never a per-edge NOT EXISTS probe. Both
-# flags fan out to the two endpoints for a per-supplier open/closed
-# profile. Candidate volume is sum(deg(s1)) over edges — bounded by the
-# >= 2-shared-orders edge threshold that keeps the graph sparse (the
-# l13/l15 discipline); at 100 TB the expansion would anchor at the
-# lower-degree endpoint to halve the worst case.
+# triangle. The analysis graph is DEGREE-CAPPED first (the l11/l13
+# discipline): each supplier keeps its top-M=8 strongest neighbors by
+# (shared orders DESC, id), and an edge survives only if each endpoint
+# is in the other's top-M — the raw >= 2-shared-orders co-supplier
+# graph is 69% DENSE at sf0.1 (343k edges over 1000 suppliers, max
+# degree 764), so an uncapped closure expansion is quadratic in degree
+# and the production form caps exactly like this. On the capped graph
+# the closure set is one candidate expansion (edge x <= M neighbors of
+# s1) semi-joined against the adjacency on the (s2, candidate) pair;
+# open edges are then ONE anti-join of the capped edge set against the
+# closure set — never a per-edge NOT EXISTS probe. Both flags fan out
+# to the two endpoints for a per-supplier open/closed profile. The
+# oracle replays the cap bit-for-bit (row_number over a total order).
 
-_L19_ORACLE = """
+_L19_M = 8
+
+_L19_ORACLE = f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
 pairs AS (
   SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
 edges AS (
-  SELECT s1, s2 FROM pairs GROUP BY s1, s2
+  SELECT s1, s2, COUNT(DISTINCT l_orderkey) AS n
+  FROM pairs GROUP BY s1, s2
   HAVING COUNT(DISTINCT l_orderkey) >= 2),
 und AS (
-  SELECT s1 AS a, s2 AS b FROM edges
-  UNION ALL SELECT s2, s1 FROM edges),
+  SELECT s1 AS a, s2 AS b, n FROM edges
+  UNION ALL SELECT s2, s1, n FROM edges),
+topm AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY n DESC, b) AS rk
+    FROM und) WHERE rk <= {_L19_M}),
+ec AS (
+  SELECT e.s1, e.s2 FROM edges e
+  WHERE EXISTS (SELECT 1 FROM topm t WHERE t.a = e.s1 AND t.b = e.s2)
+    AND EXISTS (SELECT 1 FROM topm t WHERE t.a = e.s2 AND t.b = e.s1)),
+undc AS (
+  SELECT s1 AS a, s2 AS b FROM ec UNION ALL SELECT s2, s1 FROM ec),
 flagged AS (
   SELECT e.s1, e.s2,
-         EXISTS (SELECT 1 FROM und u1 JOIN und u2 ON u1.b = u2.b
+         EXISTS (SELECT 1 FROM undc u1 JOIN undc u2 ON u1.b = u2.b
                  WHERE u1.a = e.s1 AND u2.a = e.s2) AS closed
-  FROM edges e),
+  FROM ec e),
 inc AS (
   SELECT s1 AS suppkey, closed FROM flagged
   UNION ALL SELECT s2, closed FROM flagged)
@@ -7528,11 +7546,13 @@ FROM inc GROUP BY suppkey ORDER BY suppkey
 @query(
     "l19_open_wedge_anti", _L19_ORACLE,
     doc="LDBC BI negative-pattern shape: open vs closed co-supplier "
-        "edges — triangle closure via candidate expansion + semi-join, "
-        "open edges via ONE anti-join (never per-edge NOT EXISTS), "
-        "per-supplier incidence profile",
+        "edges on the mutual top-M capped graph — triangle closure via "
+        "bounded candidate expansion + semi-join, open edges via ONE "
+        "anti-join (never per-edge NOT EXISTS), per-supplier profile",
 )
 def l19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -7544,24 +7564,58 @@ def l19(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2")
     )
+    # weighted edge set, built ONCE (feeds the cap rank and two
+    # semi-joins — the l17 lesson)
     edges = (
         a.join(b, "ok")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
-        .agg(F.countDistinct("ok").alias("n_ord"))
-        .filter(F.col("n_ord") >= 2)
-        .select("s1", "s2")
-    )
+        .agg(F.countDistinct("ok").alias("n"))
+        .filter(F.col("n") >= 2)
+    ).localCheckpoint(eager=True)
     und = edges.select(
-        F.col("s1").alias("a"), F.col("s2").alias("b")
-    ).unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
-    # candidate third vertices: neighbors of s1; closure confirmed by a
-    # semi-join probe of (s2, candidate) against the adjacency
-    u1 = und.select(F.col("a").alias("c_s1"), F.col("b").alias("cand"))
-    cand = edges.join(u1, edges.s1 == F.col("c_s1")).select(
-        "s1", "s2", "cand"
+        F.col("s1").alias("a"), F.col("s2").alias("b"), "n"
+    ).unionAll(
+        edges.select(
+            F.col("s2").alias("a"), F.col("s1").alias("b"), "n"
+        )
     )
-    u2 = und.select(F.col("a").alias("p_s2"), F.col("b").alias("p_cand"))
+    # degree cap: top-M strongest neighbors per vertex, total order
+    # (n DESC, b) — b is unique within a partition, so the rank is
+    # deterministic and the oracle replays it bit-for-bit
+    topm = (
+        und.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("a").orderBy(F.desc("n"), F.asc("b"))
+            ),
+        )
+        .filter(F.col("rk") <= _L19_M)
+        .select("a", "b")
+    )
+    t1 = topm.select(F.col("a").alias("m1a"), F.col("b").alias("m1b"))
+    t2 = topm.select(F.col("a").alias("m2a"), F.col("b").alias("m2b"))
+    ec = (
+        edges.join(
+            t1,
+            (edges.s1 == F.col("m1a")) & (edges.s2 == F.col("m1b")),
+            "left_semi",
+        )
+        .join(
+            t2,
+            (F.col("s2") == F.col("m2a")) & (F.col("s1") == F.col("m2b")),
+            "left_semi",
+        )
+        .select("s1", "s2")
+    ).localCheckpoint(eager=True)
+    undc = ec.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b")
+    ).unionAll(ec.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
+    # candidate third vertices: <= M neighbors of s1 per edge; closure
+    # confirmed by a semi-join probe of (s2, candidate) vs the adjacency
+    u1 = undc.select(F.col("a").alias("c_s1"), F.col("b").alias("cand"))
+    cand = ec.join(u1, ec.s1 == F.col("c_s1")).select("s1", "s2", "cand")
+    u2 = undc.select(F.col("a").alias("p_s2"), F.col("b").alias("p_cand"))
     closed = (
         cand.join(
             u2,
@@ -7571,7 +7625,7 @@ def l19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s1", "s2")
         .distinct()
     )
-    open_e = edges.join(closed, ["s1", "s2"], "left_anti").withColumn(
+    open_e = ec.join(closed, ["s1", "s2"], "left_anti").withColumn(
         "closed", F.lit(0).cast("long")
     )
     closed_e = closed.withColumn("closed", F.lit(1).cast("long"))
