@@ -1259,12 +1259,20 @@ class Catalog:
         (reference tests address all collections as database.collection,
         e.g. `t.acc`, `AggDb.child`; Spark temp views are single-part).
         String literals are protected; a bare ``alias.column`` reference is
-        untouched unless the alias shadows a registered database name."""
-        if not self.databases:
+        untouched unless the alias shadows a registered database name.
+        ``information_schema.X`` always canonicalizes (it is an implicit
+        namespace, as in PG — no CREATE DATABASE needed)."""
+        has_info = re.search(r"\binformation_schema\.", sql, re.IGNORECASE)
+        if not self.databases and not has_info:
             return sql
         from otterbrix_spark.dialect import _protect_strings, _restore_strings
 
         body, lits = _protect_strings(sql)
+        if has_info:
+            body = re.sub(
+                r"\b(information_schema)\.(\w+)", r"\1__\2", body,
+                flags=re.IGNORECASE,
+            )
         for db in sorted(self.databases, key=len, reverse=True):
             body = re.sub(
                 rf"\b({re.escape(db)})\.(\w+)", r"\1__\2", body,
@@ -2125,10 +2133,23 @@ class Catalog:
     # -- catalog probes through real operators) ------------------------------
 
     _PG_CATALOG_RE = re.compile(
+        # NOTE: information_schema carries no trailing \b — after
+        # canonicalize it reads information_schema__tables, and '_' is a
+        # word character, so \b would never match there
         r"\b(?:pg_database|pg_namespace|pg_class|pg_attribute|pg_type"
-        r"|pg_proc|pg_tables|pg_sequences)\b",
+        r"|pg_proc|pg_tables|pg_sequences)\b|\binformation_schema",
         re.IGNORECASE,
     )
+
+    # pg typname -> information_schema.columns.data_type spelling
+    _PG_DATA_TYPES = {
+        "int8": "bigint", "int4": "integer", "int2": "smallint",
+        "float8": "double precision", "float4": "real", "text": "text",
+        "bool": "boolean", "date": "date",
+        "timestamptz": "timestamp with time zone",
+        "timestamp": "timestamp without time zone",
+        "numeric": "numeric", "bytea": "bytea",
+    }
 
     # PG's well-known type oids for the types the engine maps; anything
     # else (arrays, structs, user types) gets a session-scoped oid
@@ -2242,6 +2263,35 @@ class Catalog:
            "schemaname STRING, sequencename STRING, start_value BIGINT, "
            "increment_by BIGINT, last_value BIGINT"
            ).createOrReplaceTempView("pg_sequences")
+        # information_schema (the SQL-standard half of the same surface;
+        # canonicalize() maps information_schema.X -> information_schema__X
+        # the way db.table maps, since Spark temp views are single-part)
+        by_oid = {o: (ns, rel, kind) for o, rel, ns, kind in classes}
+        ns_name = {o: n for n, o in nsp.items()}
+        table_type = {
+            "r": "BASE TABLE", "g": "BASE TABLE", "m": "MATERIALIZED VIEW",
+            "v": "VIEW", "S": "SEQUENCE",
+        }
+        info_tables = [
+            ("otterbrix", ns_name[ns], rel, table_type[kind])
+            for ns, rel, kind in by_oid.values()
+            if kind != "S"
+        ]
+        typ_name = {o: n for n, o in typrows.items()}
+        info_cols = [
+            (ns_name[by_oid[rel_oid][0]], by_oid[rel_oid][1], att, pos,
+             self._PG_DATA_TYPES.get(typ_name[toid], typ_name[toid]),
+             "NO" if notnull else "YES")
+            for rel_oid, att, toid, pos, notnull in attrs
+        ]
+        mk(info_tables,
+           "table_catalog STRING, table_schema STRING, table_name STRING, "
+           "table_type STRING"
+           ).createOrReplaceTempView("information_schema__tables")
+        mk(info_cols,
+           "table_schema STRING, table_name STRING, column_name STRING, "
+           "ordinal_position INT, data_type STRING, is_nullable STRING"
+           ).createOrReplaceTempView("information_schema__columns")
 
     def handles(self, sql: str) -> bool:
         if self._PG_CATALOG_RE.search(sql):

@@ -1177,3 +1177,54 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM pg_proc "
         "ORDER BY nspname, relname, attnum"
     )
+
+
+# --- x13: information_schema introspection ------------------------------------
+# The SQL-standard half of the x12 surface: information_schema.tables /
+# .columns as implicit-namespace views over the same live catalog state
+# (PG exposes both; JDBC metadata and ORMs read this one). data_type
+# uses PG's standard spellings (bigint, double precision, timestamp
+# with time zone, ...); table_type distinguishes BASE TABLE / VIEW /
+# MATERIALIZED VIEW. The oracle is the declarative expected catalog.
+
+_X13_ORACLE = """
+SELECT * FROM (VALUES
+  ('public', 'x13_t', 'BASE TABLE', 'k',    1, 'bigint',           'YES'),
+  ('public', 'x13_t', 'BASE TABLE', 'v',    2, 'text',             'YES'),
+  ('public', 'x13_t', 'BASE TABLE', 'bal',  3, 'double precision', 'YES'),
+  ('public', 'x13_t', 'BASE TABLE', 'ts',   4, 'timestamp with time zone',
+   'YES'),
+  ('public', 'x13_v', 'VIEW',        NULL, NULL, NULL, NULL),
+  ('x13db',  't2',    'BASE TABLE', 'a',    1, 'bigint',           'YES')
+) AS t(table_schema, table_name, table_type, column_name,
+       ordinal_position, data_type, is_nullable)
+ORDER BY table_schema, table_name, ordinal_position
+"""
+
+
+@query(
+    "x13_information_schema", _X13_ORACLE,
+    doc="information_schema.tables/.columns over live engine state: "
+        "implicit namespace, PG-standard data_type spellings, "
+        "BASE TABLE vs VIEW table_type (the JDBC-metadata surface)",
+)
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("CREATE TABLE x13_t (k bigint, v varchar(16), "
+            "bal double precision, ts timestamptz)")
+    eng.sql("CREATE VIEW x13_v AS SELECT 1 AS one")
+    eng.sql("CREATE DATABASE x13db")
+    eng.sql("CREATE TABLE x13db.t2 (a bigint)")
+    return eng.sql(
+        "SELECT t.table_schema, t.table_name, t.table_type, "
+        "       c.column_name, c.ordinal_position, c.data_type, "
+        "       c.is_nullable "
+        "FROM information_schema.tables t "
+        "LEFT JOIN information_schema.columns c "
+        "  ON c.table_schema = t.table_schema "
+        " AND c.table_name = t.table_name "
+        "ORDER BY t.table_schema, t.table_name, c.ordinal_position"
+    )
