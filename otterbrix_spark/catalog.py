@@ -398,12 +398,25 @@ def _macro_expr(body_literal: str | None, return_expr: str | None,
 
 
 def _parse_constraint_body(cname: str, body: str) -> dict:
-    """CHECK (...) / FOREIGN KEY (c) REFERENCES p (k) [ON DELETE ...] ->
-    constraint record (reference transformer constraint nodes)."""
+    """CHECK (...) / FOREIGN KEY (c) REFERENCES p (k) [ON DELETE ...] /
+    UNIQUE (cols) / PRIMARY KEY (cols) -> constraint record (reference
+    transformer constraint nodes). A named PRIMARY KEY carries
+    ``pk: True`` so callers add the per-column NOT NULL checks, same as
+    the anonymous table-level form."""
     body = body.strip().rstrip(";").strip()
     mb = _CHECK_BODY.match(body)
     if mb:
         return {"kind": "check", "name": cname, "expr": mb.group(1)}
+    mpk = re.match(
+        r"^(PRIMARY\s+KEY|UNIQUE)\s*\(\s*([\w\s,]+?)\s*\)$",
+        body, re.IGNORECASE,
+    )
+    if mpk:
+        return {
+            "kind": "unique", "name": cname,
+            "cols": [k.strip() for k in mpk.group(2).split(",")],
+            "pk": mpk.group(1).upper().startswith("P"),
+        }
     mb = _FK_BODY.match(body)
     if mb:
         action = re.sub(r"\s+", " ", (mb.group(4) or "")).strip().lower()
@@ -1429,7 +1442,17 @@ class Catalog:
         m = _ADD_CONSTRAINT.match(sql)
         if m:
             name, cname, body = m.groups()
-            self._add_constraint(name, _parse_constraint_body(cname, body))
+            con = _parse_constraint_body(cname, body)
+            is_pk = con.pop("pk", False)
+            self._add_constraint(name, con)
+            if is_pk:
+                # PG: ADD PRIMARY KEY also imposes NOT NULL per column —
+                # validated against existing rows like any ADD CONSTRAINT
+                for k in con["cols"]:
+                    self._add_constraint(name, {
+                        "kind": "check", "name": f"{k}_not_null",
+                        "expr": f"{k} IS NOT NULL",
+                    })
             return self.spark.range(0).select(F.lit(cname).alias("constraint"))
         m = _DROP_CONSTRAINT.match(sql)
         if m:
@@ -1773,7 +1796,14 @@ class Catalog:
                     r"^CONSTRAINT\s+(\w+)\s+(.*)$", p, re.IGNORECASE | re.DOTALL
                 )
                 if mcn:
-                    cons.append(_parse_constraint_body(mcn.group(1), mcn.group(2)))
+                    con = _parse_constraint_body(mcn.group(1), mcn.group(2))
+                    cons.append(con)
+                    if con.pop("pk", False):
+                        for k in con["cols"]:
+                            cons.append({
+                                "kind": "check", "name": f"{k}_not_null",
+                                "expr": f"{k} IS NOT NULL",
+                            })
                     continue
                 if re.match(r"^(CHECK|FOREIGN\s+KEY)\b", p, re.IGNORECASE):
                     n_anon += 1
@@ -2137,7 +2167,8 @@ class Catalog:
         # canonicalize it reads information_schema__tables, and '_' is a
         # word character, so \b would never match there
         r"\b(?:pg_database|pg_namespace|pg_class|pg_attribute|pg_type"
-        r"|pg_proc|pg_tables|pg_sequences)\b|\binformation_schema",
+        r"|pg_proc|pg_tables|pg_sequences|pg_constraint)\b"
+        r"|\binformation_schema",
         re.IGNORECASE,
     )
 
@@ -2263,6 +2294,21 @@ class Catalog:
            "schemaname STRING, sequencename STRING, start_value BIGINT, "
            "increment_by BIGINT, last_value BIGINT"
            ).createOrReplaceTempView("pg_sequences")
+        cons = [
+            (
+                self._oid("con", f"{t}.{c.get('name') or i}"),
+                c.get("name") or f"{t}_{c['kind']}_{i}",
+                {"check": "c", "fk": "f", "unique": "u"}.get(
+                    c["kind"], c["kind"][:1]
+                ),
+                self._oid("rel", t),
+            )
+            for t, lst in sorted(self.table_constraints.items())
+            for i, c in enumerate(lst)
+        ]
+        mk(cons,
+           "oid BIGINT, conname STRING, contype STRING, conrelid BIGINT"
+           ).createOrReplaceTempView("pg_constraint")
         # information_schema (the SQL-standard half of the same surface;
         # canonicalize() maps information_schema.X -> information_schema__X
         # the way db.table maps, since Spark temp views are single-part)

@@ -7641,3 +7641,169 @@ def l19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# --- ds54: TPC-DS Q87 — EXCEPT-chain cohort count ----------------------------
+# Q87 counts the (customer, date) combinations present in the store
+# channel but in NEITHER catalog nor web — a two-step EXCEPT chain
+# reduced to one scalar. Re-authored on events: (user, epoch-day) pairs
+# that purchased but never clicked and never viewed. EXCEPT DISTINCT
+# is a hash anti-join per step in Spark; both steps share the one
+# events scan (the three channel sets are conditional projections of
+# the same pass, not three scans). Epoch-day integer arithmetic keeps
+# the day grain engine-proof (the ds50 discipline).
+
+_DS54_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+  FROM events),
+p AS (SELECT DISTINCT user_id, d FROM e WHERE event_type = 'purchase'),
+c AS (SELECT DISTINCT user_id, d FROM e WHERE event_type = 'click'),
+v AS (SELECT DISTINCT user_id, d FROM e WHERE event_type = 'view')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pure
+FROM ((SELECT * FROM p EXCEPT SELECT * FROM c)
+      EXCEPT SELECT * FROM v) t
+"""
+
+
+@query(
+    "ds54_except_chain_count", _DS54_ORACLE,
+    doc="TPC-DS Q87 shape: two-step EXCEPT chain ((purchase-days EXCEPT "
+        "click-days) EXCEPT view-days) reduced to one count — hash "
+        "anti-joins over conditional projections of ONE scan",
+)
+def ds54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+        ).alias("d"),
+    )
+
+    def chan(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select("user_id", "d").distinct()
+        )
+
+    pure = (
+        chan("purchase").subtract(chan("click")).subtract(chan("view"))
+    )
+    return pure.agg(F.count(F.lit(1)).cast("long").alias("n_pure"))
+
+
+# --- ds55: TPC-DS Q62 — shipping-delay band matrix ---------------------------
+# Q62 profiles fulfilment latency: days between order and ship bucketed
+# into five bands, summed per (group, month) in ONE conditional-agg
+# pass over the order-line join. Delay computed in epoch-day integers
+# (never engine datediff variants); month key from the same integer
+# algebra. One fact-fact hash join + one groupBy.
+
+_DS55_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST((epoch_us(o.o_orderdate) // 86400000000) // 30 AS BIGINT)
+           AS mon,
+         CAST(epoch_us(l.l_shipdate) // 86400000000
+              - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS delay
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT pri, mon,
+  CAST(SUM(CASE WHEN delay <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+  CAST(SUM(CASE WHEN delay > 30 AND delay <= 60 THEN 1 ELSE 0 END)
+       AS BIGINT) AS d60,
+  CAST(SUM(CASE WHEN delay > 60 AND delay <= 90 THEN 1 ELSE 0 END)
+       AS BIGINT) AS d90,
+  CAST(SUM(CASE WHEN delay > 90 AND delay <= 120 THEN 1 ELSE 0 END)
+       AS BIGINT) AS d120,
+  CAST(SUM(CASE WHEN delay > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dmax
+FROM j GROUP BY pri, mon ORDER BY pri, mon
+"""
+
+
+@query(
+    "ds55_ship_delay_bands", _DS55_ORACLE,
+    doc="TPC-DS Q62 shape: five shipping-delay bands as ONE "
+        "conditional-agg pass over the order-line join; epoch-day "
+        "integer delay arithmetic (no engine datediff variants)",
+)
+def ds55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("ship_d"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("pri"),
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("ord_d"),
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "pri",
+        F.expr("ord_d DIV 30").cast("long").alias("mon"),
+        (F.col("ship_d") - F.col("ord_d")).cast("long").alias("delay"),
+    )
+
+    def band(cond) -> "F.Column":
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    d = F.col("delay")
+    return (
+        j.groupBy("pri", "mon")
+        .agg(
+            band(d <= 30).alias("d30"),
+            band((d > 30) & (d <= 60)).alias("d60"),
+            band((d > 60) & (d <= 90)).alias("d90"),
+            band((d > 90) & (d <= 120)).alias("d120"),
+            band(d > 120).alias("dmax"),
+        )
+        .orderBy("pri", "mon")
+    )
+
+
+# --- ds56: TPC-DS Q41 — NOT EXISTS with disjunctive attribute soup -----------
+# Q41 returns distinct part names whose manufacturer produces NO part
+# matching a disjunctive attribute soup — a NOT EXISTS whose inner
+# predicate is a three-way OR over other rows of the SAME dimension.
+# Lowered as one anti-join of the brands-with-offenders set against the
+# candidate parts (never a per-row probe); the offender set is one
+# filtered projection of the same part scan.
+
+_DS56_ORACLE = """
+WITH offenders AS (
+  SELECT DISTINCT p_brand FROM part
+  WHERE (p_type = 'PROMO' AND p_size < 15)
+     OR (p_type = 'LARGE' AND p_size > 40)
+     OR (p_type = 'ECONOMY' AND p_retailprice > 1800.0))
+SELECT p.p_name AS p_name
+FROM part p
+WHERE p.p_size BETWEEN 10 AND 30
+  AND NOT EXISTS (SELECT 1 FROM offenders o WHERE o.p_brand = p.p_brand)
+GROUP BY p.p_name
+ORDER BY p_name
+"""
+
+
+@query(
+    "ds56_not_exists_disjunctive", _DS56_ORACLE,
+    doc="TPC-DS Q41 shape: NOT EXISTS over a disjunctive attribute soup "
+        "within the same dimension — brands-with-offenders anti-joined "
+        "against candidates, one scan each side",
+)
+def ds56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    offenders = part.filter(
+        ((F.col("p_type") == "PROMO") & (F.col("p_size") < 15))
+        | ((F.col("p_type") == "LARGE") & (F.col("p_size") > 40))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("p_retailprice") > 1800.0))
+    ).select("p_brand").distinct()
+    return (
+        part.filter(F.col("p_size").between(10, 30))
+        .join(offenders, "p_brand", "left_anti")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+        .orderBy("p_name")
+    )

@@ -235,3 +235,32 @@ def test_dotted_names_join_and_sequence(engine):
     engine.sql("DROP TABLE ddb.a")
     engine.sql("DROP TABLE ddb.b")
     engine.sql("DROP SEQUENCE ddb.ids")
+
+
+def test_named_unique_and_pk_constraints(engine):
+    """CONSTRAINT name UNIQUE (cols) / PRIMARY KEY (cols) — the NAMED
+    table-level forms (previously only the anonymous forms parsed);
+    a named PK also imposes per-column NOT NULL, inline and via
+    ALTER TABLE ADD CONSTRAINT."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS nuq")
+    eng.sql("CREATE TABLE nuq (k bigint, v bigint, "
+            "CONSTRAINT nuq_k_key UNIQUE (k))")
+    eng.sql("INSERT INTO nuq VALUES (1, 10)")
+    with _pytest.raises(Exception):
+        eng.sql("INSERT INTO nuq VALUES (1, 11)")  # duplicate arbiter key
+    # the named arbiter supports ON CONFLICT (PG requires a real index)
+    eng.sql("INSERT INTO nuq VALUES (1, 12) ON CONFLICT (k) DO NOTHING")
+    assert eng.sql("SELECT v FROM nuq WHERE k = 1").collect()[0].v == 10
+    eng.sql("DROP TABLE IF EXISTS npk")
+    eng.sql("CREATE TABLE npk (k bigint, "
+            "CONSTRAINT npk_pkey PRIMARY KEY (k))")
+    with _pytest.raises(Exception):
+        eng.sql("INSERT INTO npk VALUES (NULL)")  # PK implies NOT NULL
+    eng.sql("DROP TABLE IF EXISTS apk")
+    eng.sql("CREATE TABLE apk (k bigint)")
+    eng.sql("ALTER TABLE apk ADD CONSTRAINT apk_pkey PRIMARY KEY (k)")
+    with _pytest.raises(Exception):
+        eng.sql("INSERT INTO apk VALUES (NULL)")

@@ -1008,3 +1008,20 @@ def test_round9_breadth_shapes_plans(spark, sf_dir):
     # l19: the anti-join and semi-join are both hash joins
     plan = plan_of(spark, sf_dir, "l19_open_wedge_anti")
     assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_round9_second_batch_plans(spark, sf_dir):
+    """ds54-ds56: EXCEPT chain and NOT EXISTS lower to hash anti-joins
+    (no nested loop); ds55 is one fact-fact join + one groupBy."""
+    for name in (
+        "ds54_except_chain_count",
+        "ds55_ship_delay_bands",
+        "ds56_not_exists_disjunctive",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "LeftAnti" in plan_of(spark, sf_dir, "ds54_except_chain_count")
+    assert "LeftAnti" in plan_of(
+        spark, sf_dir, "ds56_not_exists_disjunctive"
+    )

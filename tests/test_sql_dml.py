@@ -1439,3 +1439,28 @@ def test_pg_catalog_views_track_live_state(engine):
         "WHERE sequencename = 'pgl_seq'"
     ).collect()[0]
     assert row.last_value == 7
+
+
+def test_pg_constraint_view(engine):
+    """pg_constraint lists the engine's live constraints with PG contype
+    codes ('c' check, 'f' fk, 'u' unique), joinable to pg_class."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS pgc_child")
+    eng.sql("DROP TABLE IF EXISTS pgc_t")
+    eng.sql("CREATE TABLE pgc_t (k bigint, v bigint, "
+            "CONSTRAINT pgc_pk UNIQUE (k), "
+            "CONSTRAINT pgc_pos CHECK (v > 0))")
+    eng.sql("CREATE TABLE pgc_child (k bigint, "
+            "CONSTRAINT pgc_fk FOREIGN KEY (k) REFERENCES pgc_t (k))")
+    rows = {
+        (r.conname, r.contype, r.relname)
+        for r in eng.sql(
+            "SELECT con.conname, con.contype, c.relname "
+            "FROM pg_constraint con "
+            "JOIN pg_class c ON c.oid = con.conrelid "
+            "WHERE c.relname LIKE 'pgc_%'"
+        ).collect()
+    }
+    assert ("pgc_pk", "u", "pgc_t") in rows
+    assert ("pgc_pos", "c", "pgc_t") in rows
+    assert ("pgc_fk", "f", "pgc_child") in rows
