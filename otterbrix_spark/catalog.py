@@ -484,6 +484,9 @@ class Catalog:
         # COMMIT (ADVICE r8: dyn.insert previously wrote through an open
         # transaction, so ROLLBACK could not undo it)
         self._txn_dyn: dict[str, list] | None = None
+        # savepoint stack for the active txn: (name, staged-tables
+        # snapshot, staged-dynamic-batches snapshot) in creation order
+        self._txn_save: list[tuple] = []
         # True only while explain_route() is probing: staged-DML status
         # frames stay LAZY (the probe's plan IS the real write aggregate
         # and must trigger zero jobs) and dynamic-table batches skip the
@@ -1366,10 +1369,94 @@ class Catalog:
             if self._txn is None:
                 self._txn = {}
                 self._txn_dyn = {}
+                self._txn_save = []
             return self.spark.range(0).select(F.lit("BEGIN").alias("txn"))
+
+        # SAVEPOINT / ROLLBACK TO / RELEASE (PG TransactionStmt savepoint
+        # forms): a savepoint snapshots the staged state (frames are
+        # immutable lazy plans, so a shallow copy IS the snapshot);
+        # ROLLBACK TO restores it and discards later savepoints (the
+        # savepoint itself stays valid, as in PG); RELEASE drops the
+        # savepoint keeping the changes. Names may repeat — the newest
+        # shadows (PG semantics).
+        m = re.match(
+            r"^\s*SAVEPOINT\s+(\w+)\s*;?\s*$", sql, re.IGNORECASE
+        )
+        if m:
+            if self._txn is None:
+                raise ValueError(
+                    "SAVEPOINT can only be used in transaction blocks"
+                )
+            self._txn_save.append((
+                m.group(1).lower(),
+                dict(self._txn),
+                {k: list(v) for k, v in self._txn_dyn.items()},
+            ))
+            return self.spark.range(0).select(
+                F.lit(m.group(1)).alias("savepoint")
+            )
+        m = re.match(
+            r"^\s*ROLLBACK\s+TO\s+(?:SAVEPOINT\s+)?(\w+)\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            sp = m.group(1).lower()
+            if self._txn is None:
+                raise ValueError(
+                    "ROLLBACK TO can only be used in transaction blocks"
+                )
+            idx = max(
+                (i for i, (n, _, _) in enumerate(self._txn_save) if n == sp),
+                default=None,
+            )
+            if idx is None:
+                raise ValueError(f"savepoint \"{sp}\" does not exist")
+            _, snap, snap_dyn = self._txn_save[idx]
+            # the savepoint itself survives a rollback to it (PG)
+            del self._txn_save[idx + 1:]
+            undone, self._txn = self._txn, dict(snap)
+            undone_dyn, self._txn_dyn = (
+                self._txn_dyn, {k: list(v) for k, v in snap_dyn.items()},
+            )
+            for name in undone:
+                if name in snap:
+                    snap[name].createOrReplaceTempView(name)
+                elif name in self.tables:
+                    self._register(self.tables[name])
+            for name in undone_dyn:
+                if name not in self.dynamic:
+                    continue
+                kept = snap_dyn.get(name, [])
+                self.dynamic[name].df(
+                    extra=kept or ()
+                ).createOrReplaceTempView(name)
+                # free pinned batches staged after the savepoint
+                for b in undone_dyn[name]:
+                    if not any(b is k for k in kept):
+                        self._release_staged(b)
+            return self.spark.range(0).select(F.lit(sp).alias("rollback_to"))
+        m = re.match(
+            r"^\s*RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            sp = m.group(1).lower()
+            if self._txn is None:
+                raise ValueError(
+                    "RELEASE can only be used in transaction blocks"
+                )
+            idx = max(
+                (i for i, (n, _, _) in enumerate(self._txn_save) if n == sp),
+                default=None,
+            )
+            if idx is None:
+                raise ValueError(f"savepoint \"{sp}\" does not exist")
+            del self._txn_save[idx:]
+            return self.spark.range(0).select(F.lit(sp).alias("released"))
         if head == "COMMIT":
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
+            self._txn_save = []
             for name in sorted(staged_dyn or {}):
                 dyn = self.dynamic[name]
                 for batch in staged_dyn[name]:
@@ -1401,6 +1488,7 @@ class Catalog:
         if head in ("ROLLBACK", "ABORT"):
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
+            self._txn_save = []
             for name in staged or {}:
                 self._register(self.tables[name])  # restore on-disk views
             for name in staged_dyn or {}:
@@ -1767,6 +1855,54 @@ class Catalog:
             path = os.path.join(self.base_dir, name.replace(".", "__"))
             table = ManagedTable.create(self.spark, path, source, name)
             self._register(table)
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+
+        # CREATE TABLE new (LIKE src [INCLUDING DEFAULTS|CONSTRAINTS|ALL]...)
+        # (PG TableLikeClause): copy the source's column definitions into a
+        # new EMPTY managed table; INCLUDING DEFAULTS / CONSTRAINTS copy
+        # the pg_attrdef / pg_constraint records too (PG copies neither by
+        # default). Sources are managed tables (PG also accepts views —
+        # out of scope, raises).
+        m = _CREATE_TABLE_TYPED.match(sql)
+        if m:
+            mlike = re.match(
+                r"^\s*LIKE\s+([\w.]+)\s*((?:INCLUDING\s+\w+\s*)*)\s*$",
+                m.group(2).strip(), re.IGNORECASE,
+            )
+        if m and mlike:
+            name, src = m.group(1), mlike.group(1)
+            including = {
+                w.strip().lower()
+                for w in re.findall(
+                    r"INCLUDING\s+(\w+)", mlike.group(2) or "",
+                    re.IGNORECASE,
+                )
+            }
+            unknown = including - {"all", "defaults", "constraints"}
+            if unknown:
+                raise ValueError(
+                    f"LIKE INCLUDING {sorted(unknown)[0].upper()}: only "
+                    "DEFAULTS, CONSTRAINTS and ALL are supported"
+                )
+            if src not in self.tables:
+                raise ValueError(
+                    f"CREATE TABLE (LIKE {src}): source must be a managed "
+                    "table"
+                )
+            empty = self.spark.createDataFrame(
+                [], self.tables[src].df().schema
+            ).repartition(1)
+            path = os.path.join(self.base_dir, name.replace(".", "__"))
+            table = ManagedTable.create(self.spark, path, empty, name)
+            self._register(table)
+            if including & {"all", "defaults"}:
+                dfl = self.table_defaults.get(src)
+                if dfl:
+                    self.table_defaults[name] = dict(dfl)
+            if including & {"all", "constraints"}:
+                cons = self.table_constraints.get(src)
+                if cons:
+                    self.table_constraints[name] = [dict(c) for c in cons]
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         m = _CREATE_TABLE_TYPED.match(sql)
@@ -2357,6 +2493,7 @@ class Catalog:
                 "CREATE TABLE", "DROP TABLE", "INSERT", "UPDATE", "DELETE",
                 "MERGE", "TRUNCATE",
                 "SET TIME", "BEGIN", "COMMIT", "ROLLBACK", "ABORT",
+                "SAVEPOINT", "RELEASE",
                 "CREATE INDEX", "CREATE UNIQUE INDEX", "DROP INDEX",
                 "VACUUM", "CHECKPOINT", "ALTER TABLE",
                 "CREATE VIEW", "CREATE OR REPLACE VIEW",

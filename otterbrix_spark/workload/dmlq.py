@@ -1228,3 +1228,106 @@ def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AND c.table_name = t.table_name "
         "ORDER BY t.table_schema, t.table_name, c.ordinal_position"
     )
+
+
+# --- x14: savepoints ----------------------------------------------------------
+# PG TransactionStmt savepoint forms: SAVEPOINT snapshots the staged
+# frames (immutable lazy plans — a shallow copy IS the snapshot),
+# ROLLBACK TO restores them and discards later savepoints while the
+# target survives, RELEASE drops the savepoint keeping the changes.
+# The gate replays a seeded txn: load, savepoint, destructive UPDATE +
+# DELETE, rollback to the savepoint, a second (kept) change, RELEASE,
+# COMMIT — the final table must show ONLY the kept change.
+
+_X14_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents
+  FROM customer WHERE c_custkey % 3 = 0)
+SELECT k, CASE WHEN k % 5 = 0 THEN cents + 11 ELSE cents END AS cents
+FROM base ORDER BY k
+"""
+
+
+@query(
+    "x14_savepoints", _X14_ORACLE,
+    doc="SAVEPOINT / ROLLBACK TO / RELEASE: partial rollback inside a "
+        "txn — destructive changes after the savepoint undone, the kept "
+        "change committed (PG TransactionStmt savepoint forms)",
+)
+def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x14_t")
+    eng.sql("CREATE TABLE x14_t (k BIGINT, cents BIGINT)")
+    eng.sql("BEGIN")
+    eng.sql(
+        "INSERT INTO x14_t SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer "
+        "WHERE c_custkey % 3 = 0"
+    )
+    eng.sql("SAVEPOINT loaded")
+    eng.sql("UPDATE x14_t SET cents = 0")          # destructive...
+    eng.sql("DELETE FROM x14_t WHERE k % 2 = 0")   # ...and worse
+    eng.sql("ROLLBACK TO SAVEPOINT loaded")        # both undone
+    eng.sql("UPDATE x14_t SET cents = cents + 11 WHERE k % 5 = 0")
+    eng.sql("RELEASE SAVEPOINT loaded")            # kept
+    eng.sql("COMMIT")
+    return eng.sql("SELECT k, cents FROM x14_t ORDER BY k")
+
+
+# --- x15: CREATE TABLE (LIKE ...) ----------------------------------------------
+# PG TableLikeClause: the new table copies the source's columns; the
+# INCLUDING DEFAULTS / CONSTRAINTS / ALL options copy the pg_attrdef /
+# pg_constraint records (PG copies neither by default). The gate builds
+# a source with a DEFAULT, clones it INCLUDING ALL, loads it through
+# short INSERTs (the default fills), and proves the plain clone copied
+# neither default nor constraint.
+
+_X15_ORACLE = """
+WITH src AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey % 4 = 1)
+SELECT 'all' AS leg, k, 77 AS v FROM src
+UNION ALL
+SELECT 'plain', k, NULL FROM src
+ORDER BY leg, k
+"""
+
+
+@query(
+    "x15_create_table_like", _X15_ORACLE,
+    doc="CREATE TABLE (LIKE src [INCLUDING DEFAULTS|CONSTRAINTS|ALL]): "
+        "column copy into an empty table; defaults/constraints copied "
+        "only when asked (PG TableLikeClause)",
+)
+def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    for t in ("x15_src", "x15_all", "x15_plain"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+    eng.sql("CREATE TABLE x15_src (k BIGINT, v BIGINT DEFAULT 77, "
+            "CONSTRAINT x15_pos CHECK (v IS NULL OR v > 0))")
+    eng.sql("CREATE TABLE x15_all (LIKE x15_src INCLUDING ALL)")
+    eng.sql("CREATE TABLE x15_plain (LIKE x15_src)")
+    eng.sql("INSERT INTO x15_all (k) SELECT c_custkey FROM customer "
+            "WHERE c_custkey % 4 = 1")  # default 77 fills v
+    eng.sql("INSERT INTO x15_plain (k) SELECT c_custkey FROM customer "
+            "WHERE c_custkey % 4 = 1")  # no default: v stays NULL
+    try:
+        eng.sql("INSERT INTO x15_all VALUES (-1, -9)")
+        raise AssertionError("x15: copied CHECK did not enforce")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # constraint refused, as copied
+    eng.sql("INSERT INTO x15_plain VALUES (-1, -9)")  # no constraint copied
+    eng.sql("DELETE FROM x15_plain WHERE k = -1")     # restore parity
+    return eng.sql(
+        "SELECT 'all' AS leg, k, v FROM x15_all "
+        "UNION ALL SELECT 'plain', k, v FROM x15_plain "
+        "ORDER BY leg, k"
+    )

@@ -1464,3 +1464,82 @@ def test_pg_constraint_view(engine):
     assert ("pgc_pk", "u", "pgc_t") in rows
     assert ("pgc_pos", "c", "pgc_t") in rows
     assert ("pgc_fk", "f", "pgc_child") in rows
+
+
+def test_savepoints(engine):
+    """PG SAVEPOINT / ROLLBACK TO / RELEASE: partial rollback inside a
+    transaction; the savepoint survives a rollback to it; RELEASE keeps
+    the changes; later savepoints are discarded by ROLLBACK TO."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS svp")
+    eng.sql("CREATE TABLE svp (k bigint)")
+    eng.sql("INSERT INTO svp VALUES (1)")
+    with _pytest.raises(ValueError, match="transaction blocks"):
+        eng.sql("SAVEPOINT nope")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO svp VALUES (2)")
+    eng.sql("SAVEPOINT a")
+    eng.sql("INSERT INTO svp VALUES (3)")
+    eng.sql("SAVEPOINT b")
+    eng.sql("INSERT INTO svp VALUES (4)")
+    assert {r.k for r in eng.sql("SELECT k FROM svp").collect()} == {1, 2, 3, 4}
+    eng.sql("ROLLBACK TO SAVEPOINT a")  # undoes 3 and 4, discards b
+    assert {r.k for r in eng.sql("SELECT k FROM svp").collect()} == {1, 2}
+    with _pytest.raises(ValueError, match="does not exist"):
+        eng.sql("ROLLBACK TO b")
+    eng.sql("INSERT INTO svp VALUES (5)")
+    eng.sql("ROLLBACK TO a")  # savepoint a itself survived
+    assert {r.k for r in eng.sql("SELECT k FROM svp").collect()} == {1, 2}
+    eng.sql("INSERT INTO svp VALUES (6)")
+    eng.sql("RELEASE SAVEPOINT a")  # keeps 6, drops the savepoint
+    with _pytest.raises(ValueError, match="does not exist"):
+        eng.sql("ROLLBACK TO a")
+    eng.sql("COMMIT")
+    assert {r.k for r in eng.sql("SELECT k FROM svp").collect()} == {1, 2, 6}
+
+
+def test_savepoint_dynamic_table(engine):
+    """ROLLBACK TO undoes dynamic-table staged batches (and their schema
+    extensions) back to the savepoint, keeping earlier staged batches."""
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS svd")
+    eng.sql("CREATE TABLE svd ()")
+    eng.sql("INSERT INTO svd SELECT 1 AS a")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO svd SELECT 2 AS a")
+    eng.sql("SAVEPOINT s1")
+    eng.sql("INSERT INTO svd SELECT 3 AS a, 'x' AS b")  # new column
+    assert "b" in eng.sql("SELECT * FROM svd").columns
+    eng.sql("ROLLBACK TO s1")
+    assert "b" not in eng.sql("SELECT * FROM svd").columns
+    assert {r.a for r in eng.sql("SELECT a FROM svd").collect()} == {1, 2}
+    eng.sql("COMMIT")
+    assert {r.a for r in eng.sql("SELECT a FROM svd").collect()} == {1, 2}
+
+
+def test_create_table_like(engine):
+    """PG CREATE TABLE (LIKE src): copies columns into an empty table;
+    INCLUDING DEFAULTS / CONSTRAINTS / ALL copy those records too
+    (neither is copied by default, as in PG)."""
+    import pytest as _pytest
+
+    eng = engine
+    for t in ("lk_plain", "lk_all", "lk_src"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+    eng.sql("CREATE TABLE lk_src (k bigint, v bigint DEFAULT 7, "
+            "CONSTRAINT lk_pos CHECK (v > 0))")
+    eng.sql("CREATE TABLE lk_plain (LIKE lk_src)")
+    assert eng.sql("SELECT * FROM lk_plain").columns == ["k", "v"]
+    # no defaults copied: short INSERT leaves v NULL; no constraint either
+    eng.sql("INSERT INTO lk_plain (k) VALUES (1)")
+    assert eng.sql("SELECT v FROM lk_plain").collect()[0].v is None
+    eng.sql("INSERT INTO lk_plain VALUES (2, -5)")  # no CHECK copied
+    eng.sql("CREATE TABLE lk_all (LIKE lk_src INCLUDING ALL)")
+    eng.sql("INSERT INTO lk_all (k) VALUES (1)")
+    assert eng.sql("SELECT v FROM lk_all").collect()[0].v == 7
+    with _pytest.raises(Exception):
+        eng.sql("INSERT INTO lk_all VALUES (2, -5)")  # CHECK copied
+    with _pytest.raises(ValueError, match="managed table"):
+        eng.sql("CREATE TABLE lk_bad (LIKE no_such_table)")
