@@ -1277,8 +1277,13 @@ class Catalog:
         String literals are protected; a bare ``alias.column`` reference is
         untouched unless the alias shadows a registered database name.
         ``information_schema.X`` always canonicalizes (it is an implicit
-        namespace, as in PG — no CREATE DATABASE needed)."""
-        has_info = re.search(r"\binformation_schema\.", sql, re.IGNORECASE)
+        namespace, as in PG — no CREATE DATABASE needed), and the
+        ``pg_catalog.`` qualifier is STRIPPED: psql / JDBC / ORMs spell
+        system tables as pg_catalog.pg_class, and the system views are
+        registered unqualified."""
+        has_info = re.search(
+            r"\b(?:information_schema|pg_catalog)\.", sql, re.IGNORECASE
+        )
         if not self.databases and not has_info:
             return sql
         from otterbrix_spark.dialect import _protect_strings, _restore_strings
@@ -1288,6 +1293,9 @@ class Catalog:
             body = re.sub(
                 r"\b(information_schema)\.(\w+)", r"\1__\2", body,
                 flags=re.IGNORECASE,
+            )
+            body = re.sub(
+                r"\bpg_catalog\.(\w+)", r"\1", body, flags=re.IGNORECASE
             )
         for db in sorted(self.databases, key=len, reverse=True):
             body = re.sub(
@@ -1461,6 +1469,10 @@ class Catalog:
                 dyn = self.dynamic[name]
                 for batch in staged_dyn[name]:
                     dyn.insert(batch)  # parquet appends — additive commit
+                    # on disk now; no cursor references the pinned batch
+                    # (status/RETURNING cursors are eager/self-pinned), so
+                    # free its checkpoint blocks instead of waiting for GC
+                    self._release_staged(batch)
                 dyn.df().createOrReplaceTempView(name)
             if staged:
                 from contextlib import ExitStack
@@ -1531,16 +1543,28 @@ class Catalog:
         if m:
             name, cname, body = m.groups()
             con = _parse_constraint_body(cname, body)
-            is_pk = con.pop("pk", False)
-            self._add_constraint(name, con)
-            if is_pk:
+            batch = [con]
+            if con.get("pk"):
                 # PG: ADD PRIMARY KEY also imposes NOT NULL per column —
                 # validated against existing rows like any ADD CONSTRAINT
-                for k in con["cols"]:
-                    self._add_constraint(name, {
-                        "kind": "check", "name": f"{k}_not_null",
-                        "expr": f"{k} IS NOT NULL",
-                    })
+                batch += [
+                    {"kind": "check", "name": f"{k}_not_null",
+                     "expr": f"{k} IS NOT NULL", "synthetic": True}
+                    for k in con["cols"]
+                ]
+            # ATOMIC: if any part fails validation, none stays registered
+            # (PG rolls the whole ALTER back; self-review r9)
+            added = []
+            try:
+                for c in batch:
+                    self._add_constraint(name, c)
+                    added.append(c)
+            except Exception:
+                self.table_constraints[name] = [
+                    x for x in self.table_constraints.get(name, [])
+                    if not any(x is c for c in added)
+                ]
+                raise
             return self.spark.range(0).select(F.lit(cname).alias("constraint"))
         m = _DROP_CONSTRAINT.match(sql)
         if m:
@@ -1934,11 +1958,14 @@ class Catalog:
                 if mcn:
                     con = _parse_constraint_body(mcn.group(1), mcn.group(2))
                     cons.append(con)
-                    if con.pop("pk", False):
+                    if con.get("pk"):
+                        # synthetic: PG models PK null-rejection as
+                        # attnotnull, not a pg_constraint row
                         for k in con["cols"]:
                             cons.append({
                                 "kind": "check", "name": f"{k}_not_null",
                                 "expr": f"{k} IS NOT NULL",
+                                "synthetic": True,
                             })
                     continue
                 if re.match(r"^(CHECK|FOREIGN\s+KEY)\b", p, re.IGNORECASE):
@@ -1951,13 +1978,18 @@ class Catalog:
                 )
                 if mpk:
                     keys = [k.strip() for k in mpk.group(2).split(",")]
-                    cname = f"{name}_" + ("pkey" if "P" in mpk.group(1).upper() else "key")
-                    cons.append({"kind": "unique", "name": cname, "cols": keys})
-                    if mpk.group(1).upper().startswith("P"):
+                    is_pk = mpk.group(1).upper().startswith("P")
+                    cname = f"{name}_" + ("pkey" if is_pk else "key")
+                    cons.append({
+                        "kind": "unique", "name": cname, "cols": keys,
+                        "pk": is_pk,
+                    })
+                    if is_pk:
                         for k in keys:
                             cons.append({
                                 "kind": "check", "name": f"{k}_not_null",
                                 "expr": f"{k} IS NOT NULL",
+                                "synthetic": True,
                             })
                     continue
                 words = p.split(None, 1)
@@ -1972,6 +2004,7 @@ class Catalog:
                         cons.append({
                             "kind": "check", "name": f"{colname}_not_null",
                             "expr": f"{colname} IS NOT NULL",
+                            "synthetic": True,
                         })
                         continue
                     mck = re.search(
@@ -1990,11 +2023,13 @@ class Catalog:
                         cons.append({
                             "kind": "unique", "name": f"{colname}_key",
                             "cols": [colname],
+                            "pk": mpk.group(1).upper().startswith("P"),
                         })
                         if mpk.group(1).upper().startswith("P"):
                             cons.append({
                                 "kind": "check", "name": f"{colname}_not_null",
                                 "expr": f"{colname} IS NOT NULL",
+                                "synthetic": True,
                             })
                         continue
                     # DEFAULT <expr> (PG pg_attrdef): stripped AFTER the
@@ -2197,9 +2232,22 @@ class Catalog:
                 dyn.df(extra=self._txn_dyn[name]).createOrReplaceTempView(
                     name
                 )
+                if self._explain_probe:
+                    # plan-only probe: stay lazy, the probe discards it
+                    if returning:
+                        return self._apply_returning(rows, returning)
+                    return rows.agg(F.count(F.lit(1)).alias("inserted"))
+                # cursors must NOT reference the staged batch: ROLLBACK /
+                # ROLLBACK TO / COMMIT release its checkpoint blocks, and
+                # a lazy cursor over them would throw on a later collect
+                # (self-review r9 — the managed-table eager-count rule
+                # applies here too). RETURNING pins its own copy.
                 if returning:
-                    return self._apply_returning(rows, returning)
-                return rows.agg(F.count(F.lit(1)).alias("inserted"))
+                    return self._apply_returning(
+                        rows, returning
+                    ).localCheckpoint(eager=True)
+                n = rows.count()  # cheap: counts the pinned checkpoint
+                return self.spark.range(1).select(F.lit(n).alias("inserted"))
             dyn.insert(rows)  # schema-on-write: new columns extend the table
             dyn.df().createOrReplaceTempView(name)
             if returning:
@@ -2367,15 +2415,33 @@ class Catalog:
         classes: list[tuple] = []
         attrs: list[tuple] = []
         typrows: dict[str, int] = {}
+        # attnotnull: PG models NOT NULL (incl. the PK-derived kind) as a
+        # column attribute — recover it from the engine's check records
+        notnull = {
+            (t, mm.group(1))
+            for t, lst in self.table_constraints.items()
+            for c in lst
+            if c["kind"] == "check"
+            for mm in [re.fullmatch(
+                r"\s*(\w+)\s+IS\s+NOT\s+NULL\s*", c["expr"], re.IGNORECASE
+            )]
+            if mm
+        }
 
         def add_class(name: str, kind: str, schema=None) -> None:
             ns, rel = self._pg_split(name)
-            oid = self._oid("rel", name)
+            # oid namespace includes the relkind: a table and a sequence
+            # may share a name (separate dicts), and a shared oid would
+            # cross-wire the pg_attribute walk (self-review r9)
+            oid = self._oid(f"rel:{kind}", name)
             classes.append((oid, rel, nsp.get(ns, 2200), kind))
             for i, f in enumerate(schema or (), start=1):
                 tname, toid = self._pg_typrow(f.dataType.simpleString())
                 typrows[tname] = toid
-                attrs.append((oid, f.name, toid, i, not f.nullable))
+                attrs.append((
+                    oid, f.name, toid, i,
+                    (not f.nullable) or (name, f.name) in notnull,
+                ))
 
         for name, t in sorted(self.tables.items()):
             add_class(name, "r", t.df().schema.fields)
@@ -2434,13 +2500,16 @@ class Catalog:
             (
                 self._oid("con", f"{t}.{c.get('name') or i}"),
                 c.get("name") or f"{t}_{c['kind']}_{i}",
-                {"check": "c", "fk": "f", "unique": "u"}.get(
-                    c["kind"], c["kind"][:1]
-                ),
-                self._oid("rel", t),
+                "p" if c.get("pk") else {
+                    "check": "c", "fk": "f", "unique": "u"
+                }.get(c["kind"], c["kind"][:1]),
+                self._oid("rel:r", t),
             )
             for t, lst in sorted(self.table_constraints.items())
             for i, c in enumerate(lst)
+            # synthetic NOT NULL checks are PG's attnotnull, not
+            # pg_constraint rows (they surface in pg_attribute below)
+            if not c.get("synthetic")
         ]
         mk(cons,
            "oid BIGINT, conname STRING, contype STRING, conrelid BIGINT"

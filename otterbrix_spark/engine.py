@@ -169,7 +169,18 @@ class Engine:
                 body,
             )
         if not self.catalog.handles(body):
-            if body.lstrip().upper().startswith(
+            # classify by the first CODE token: a leading comment must not
+            # make a SELECT look like a utility statement (self-review r9)
+            probe = body
+            while True:
+                probe = probe.lstrip()
+                if probe.startswith("--"):
+                    probe = probe.split("\n", 1)[1] if "\n" in probe else ""
+                elif probe.startswith("/*") and "*/" in probe:
+                    probe = probe.split("*/", 1)[1]
+                else:
+                    break
+            if probe.lstrip().upper().startswith(
                 ("SELECT", "WITH", "VALUES", "(", "TABLE ")
             ):
                 return Cursor(self.spark.sql(body)), False

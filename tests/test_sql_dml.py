@@ -1543,3 +1543,67 @@ def test_create_table_like(engine):
         eng.sql("INSERT INTO lk_all VALUES (2, -5)")  # CHECK copied
     with _pytest.raises(ValueError, match="managed table"):
         eng.sql("CREATE TABLE lk_bad (LIKE no_such_table)")
+
+
+def test_review_r9_fixes(engine):
+    """Round-9 self-review regressions: (a) dynamic-table txn cursors
+    survive ROLLBACK/COMMIT (eager status, self-pinned RETURNING);
+    (b) EXPLAIN plans comment-prefixed queries; (c) pg_catalog.X
+    qualified spelling works; (d) ALTER ADD PRIMARY KEY is atomic;
+    (e) contype 'p' + attnotnull for primary keys, synthetic NOT NULL
+    checks absent from pg_constraint."""
+    import pytest as _pytest
+
+    eng = engine
+    # (a) dynamic-table cursor lifetime
+    eng.sql("DROP TABLE IF EXISTS rvd")
+    eng.sql("CREATE TABLE rvd ()")
+    eng.sql("BEGIN")
+    cur = eng.sql("INSERT INTO rvd SELECT 1 AS a")
+    ret = eng.sql("INSERT INTO rvd SELECT 2 AS a RETURNING a")
+    eng.sql("ROLLBACK")
+    assert cur.collect()[0].inserted == 1  # post-rollback collect works
+    assert ret.collect()[0].a == 2
+    eng.sql("BEGIN")
+    cur2 = eng.sql("INSERT INTO rvd SELECT 3 AS a")
+    eng.sql("COMMIT")
+    assert cur2.collect()[0].inserted == 1  # post-commit collect works
+    # (b) comment-prefixed EXPLAIN
+    assert eng.sql("EXPLAIN /* hint */ SELECT 1 AS one").collect()
+    assert eng.sql("EXPLAIN -- note\nSELECT 1 AS one").collect()
+    # (c) schema-qualified system tables
+    eng.sql("DROP TABLE IF EXISTS rvq")
+    eng.sql("CREATE TABLE rvq (k bigint)")
+    n = eng.sql(
+        "SELECT COUNT(*) AS n FROM pg_catalog.pg_class "
+        "WHERE relname = 'rvq'"
+    ).collect()[0].n
+    assert n == 1
+    # (d) atomic ALTER ADD PRIMARY KEY
+    eng.sql("DROP TABLE IF EXISTS rva")
+    eng.sql("CREATE TABLE rva (a bigint, b bigint)")
+    eng.sql("INSERT INTO rva VALUES (1, NULL)")
+    with _pytest.raises(Exception):
+        eng.sql("ALTER TABLE rva ADD CONSTRAINT rva_pk PRIMARY KEY (a, b)")
+    assert not eng.catalog.table_constraints.get("rva")  # no residue
+    eng.sql("INSERT INTO rva VALUES (1, NULL)")  # no phantom constraints
+    # (e) contype 'p' + attnotnull, synthetic checks hidden
+    eng.sql("DROP TABLE IF EXISTS rvp")
+    eng.sql("CREATE TABLE rvp (k bigint, CONSTRAINT rvp_pkey PRIMARY KEY (k))")
+    rows = [tuple(r) for r in eng.sql(
+        "SELECT conname, contype FROM pg_constraint con "
+        "JOIN pg_class c ON c.oid = con.conrelid "
+        "WHERE c.relname = 'rvp'"
+    ).collect()]
+    assert rows == [("rvp_pkey", "p")]
+    att = eng.sql(
+        "SELECT a.attnotnull FROM pg_attribute a "
+        "JOIN pg_class c ON c.oid = a.attrelid "
+        "WHERE c.relname = 'rvp' AND a.attname = 'k'"
+    ).collect()[0].attnotnull
+    assert att is True
+    nn = eng.sql(
+        "SELECT is_nullable FROM information_schema.columns "
+        "WHERE table_name = 'rvp' AND column_name = 'k'"
+    ).collect()[0].is_nullable
+    assert nn == "NO"
