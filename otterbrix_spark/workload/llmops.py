@@ -5711,3 +5711,68 @@ def e20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --- p12: concat-and-chunk packing efficiency ---------------------------------
+# The GPT-style pack (concatenate all documents per stream, cut every L
+# tokens) wastes only the final partial chunk per stream — but a
+# training pipeline still needs the ACCOUNTING before choosing L: total
+# tokens, chunk counts, boundary waste, and how many documents exceed L
+# outright (candidates for truncation rules) per (source, L). One
+# token-count scan; the three context lengths fan out as an array
+# expression, never three scans. All integers, exactly replayable.
+
+_P12_ORACLE = """
+WITH t AS (
+  SELECT source,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS toks
+  FROM documents),
+l AS (SELECT UNNEST([512, 1024, 2048]) AS ctx),
+g AS (
+  SELECT source, ctx,
+         CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN toks > ctx THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over
+  FROM t CROSS JOIN l
+  GROUP BY source, ctx)
+SELECT source, CAST(ctx AS BIGINT) AS ctx, total_tokens, n_docs, n_over,
+       CAST((total_tokens + ctx - 1) // ctx AS BIGINT) AS n_chunks,
+       CAST(((total_tokens + ctx - 1) // ctx) * ctx - total_tokens
+            AS BIGINT) AS waste_tokens
+FROM g ORDER BY source, ctx
+"""
+
+
+@query(
+    "p12_pack_efficiency", _P12_ORACLE,
+    doc="concat-and-chunk packing accounting per (source, context "
+        "length): total tokens, chunk count, boundary waste, docs over "
+        "L — one token-count scan, lengths fanned by array explode",
+)
+def p12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        (
+            F.length("text")
+            - F.length(F.call_function("replace", F.col("text"), F.lit(" ")))
+            + 1
+        ).cast("long").alias("toks"),
+    ).withColumn("ctx", F.explode(F.expr("array(512, 1024, 2048)")))
+    g = t.groupBy("source", "ctx").agg(
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("toks") > F.col("ctx"), 1).otherwise(0)
+        ).cast("long").alias("n_over"),
+    )
+    chunks = F.expr("(total_tokens + ctx - 1) DIV ctx")
+    return g.select(
+        "source", F.col("ctx").cast("long").alias("ctx"),
+        "total_tokens", "n_docs", "n_over",
+        chunks.cast("long").alias("n_chunks"),
+        (chunks * F.col("ctx") - F.col("total_tokens"))
+        .cast("long").alias("waste_tokens"),
+    ).orderBy("source", "ctx")

@@ -3258,3 +3258,91 @@ def sk13(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1]).orderBy("q_pct")
+
+
+# --- g12: cross-correlation lag profile ---------------------------------------
+# The series-alignment operator every TS pipeline needs once it has two
+# signals: at which day offset does click activity line up best with
+# purchase activity, per user cohort? Exact-integer cross-correlation:
+# both signals reduce to (cohort, epoch-day, count) grains in ONE scan,
+# then a 7-lag explode joins click days to purchase days at day+lag —
+# missing days contribute zero by absence, so no dense spine is needed.
+# The argmax is a max(struct) over (score DESC, lag ASC) — never a
+# window over the whole series. Oracle replays the same integer dot
+# products declaratively.
+
+_G12_ORACLE = """
+WITH e AS (
+  SELECT user_id % 8 AS cohort, event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+  FROM events),
+c AS (SELECT cohort, d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e WHERE event_type = 'click' GROUP BY cohort, d),
+p AS (SELECT cohort, d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e WHERE event_type = 'purchase' GROUP BY cohort, d),
+lag_scores AS (
+  SELECT c.cohort, l.lag, CAST(SUM(c.n * p.n) AS BIGINT) AS score
+  FROM c
+  CROSS JOIN (SELECT UNNEST(range(0, 7)) AS lag) l
+  JOIN p ON p.cohort = c.cohort AND p.d = c.d + l.lag
+  GROUP BY c.cohort, l.lag)
+SELECT cohort,
+       CAST(-((MAX({'score': score, 'neglag': -lag})).neglag)
+            AS BIGINT) AS best_lag,
+       (MAX({'score': score, 'neglag': -lag})).score AS best_score
+FROM lag_scores GROUP BY cohort ORDER BY cohort
+"""
+
+
+@query(
+    "g12_cross_correlation_lags", _G12_ORACLE,
+    doc="cross-correlation lag profile: integer dot products of two "
+        "per-cohort daily signals at lags 0-6 (explode + equi-join on "
+        "day+lag; absent days are zero by absence), argmax per cohort "
+        "via max(struct)",
+)
+def g12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).alias("cohort"),
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+        ).alias("d"),
+    )
+
+    def daily(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("cohort", "d")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    clicks = daily("click").withColumn(
+        "lag", F.explode(F.expr("sequence(0, 6)"))
+    )
+    buys = daily("purchase").select(
+        F.col("cohort").alias("p_cohort"),
+        F.col("d").alias("p_d"),
+        F.col("n").alias("p_n"),
+    )
+    scores = (
+        clicks.join(
+            buys,
+            (clicks.cohort == buys.p_cohort)
+            & (buys.p_d == clicks.d + clicks.lag),
+        )
+        .groupBy("cohort", "lag")
+        .agg(F.sum(F.col("n") * F.col("p_n")).cast("long").alias("score"))
+    )
+    # argmax with (score DESC, lag ASC) tie-break: max over
+    # (score, -lag) structs — one map-side-combinable aggregate
+    return (
+        scores.groupBy("cohort")
+        .agg(F.max(F.struct("score", (-F.col("lag")).alias("neg"))).alias("s"))
+        .select(
+            "cohort",
+            (-F.col("s.neg")).cast("long").alias("best_lag"),
+            F.col("s.score").alias("best_score"),
+        )
+        .orderBy("cohort")
+    )
