@@ -7807,3 +7807,51 @@ def ds56(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_n")
         .orderBy("p_name")
     )
+
+
+# --- b19: JOB shape — disjunction SPANNING two tables -------------------------
+# JOB's hardest predicates OR conditions from DIFFERENT relations
+# (e.g. `t.production_year > X OR mc.note IS NULL`): neither side can
+# push below its scan, so the filter evaluates only after the join and
+# the planner must carry full cardinalities through it. Re-authored:
+# order lines kept when the PART is promo-typed OR the SUPPLIER is
+# high-balance — the OR spans the two dimension arms, plus a normal
+# pushable date bound to keep one selective scan. The answer is the
+# JOB MIN/COUNT shape; dims broadcast, the OR is one post-join filter.
+
+_B19_ORACLE = """
+SELECT MIN(p.p_name) AS min_part,
+       MIN(s.s_name) AS min_supp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE (p.p_type = 'PROMO' OR s.s_acctbal > 9000.0)
+  AND l.l_quantity >= 45
+"""
+
+
+@query(
+    "b19_cross_table_or", _B19_ORACLE,
+    doc="JOB cross-table disjunction: the OR spans the part and "
+        "supplier arms so it can only evaluate post-join; the quantity "
+        "bound stays pushable — broadcast dims, one post-join filter",
+)
+def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    )
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(
+            (F.col("p_type") == "PROMO") | (F.col("s_acctbal") > 9000.0)
+        )
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

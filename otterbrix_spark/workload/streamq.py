@@ -1851,3 +1851,113 @@ def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
             "buffer was lost across the resume"
         )
     return result
+
+
+# --- s24: streaming point-in-time SCD2 enrichment -----------------------------
+# Completes the SCD family (x07 batch build, x08 batch as-of read, s21
+# streaming build): the streaming READ side — every purchase event is
+# enriched with the dimension attribute that was valid AT ITS EVENT
+# TIME, not the current one. The SCD2 dimension is static per batch
+# (the slowly-changing side), so the join broadcasts it with an equi
+# key + validity-interval residual — a stateless stream-static join
+# (no watermark, no state store), which is exactly how a deployment
+# does point-in-time feature lookup on a stream. Multi-batch asserted;
+# the oracle replays the dimension algebra + interval join in SQL.
+
+_S24_ORACLE = """
+WITH dim0 AS (
+  SELECT c_custkey AS k, c_mktsegment AS attr,
+         CAST(0 AS BIGINT) AS vf, CAST(NULL AS BIGINT) AS vt
+  FROM customer),
+ch1 AS (
+  SELECT o_custkey AS k, 'PRIORITY' AS attr,
+         MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS ts
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+d1 AS (
+  SELECT d.k, d.attr, d.vf,
+         CASE WHEN c.k IS NOT NULL AND c.attr <> d.attr
+              THEN c.ts END AS vt
+  FROM dim0 d LEFT JOIN ch1 c USING (k)
+  UNION ALL
+  SELECT c.k, c.attr, c.ts, NULL
+  FROM ch1 c JOIN dim0 d USING (k) WHERE c.attr <> d.attr),
+f AS (
+  SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS ts,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase')
+SELECT d.attr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(f.cents) AS BIGINT) AS cents,
+       CAST(COUNT(DISTINCT f.k) AS BIGINT) AS n_users
+FROM f JOIN d1 d
+  ON f.k = d.k AND d.vf <= f.ts AND (d.vt IS NULL OR f.ts < d.vt)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "s24_streaming_scd2_lookup", _S24_ORACLE,
+    doc="streaming point-in-time SCD2 enrichment: purchases joined to "
+        "the attribute valid AT EVENT TIME via a broadcast stream-static "
+        "join (equi key + validity-interval residual, stateless); "
+        "multi-batch; oracle replays the dimension algebra + interval "
+        "join",
+)
+def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.operators.scd import scd2_apply
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.streaming.pipeline import run_available_now_counted
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim0 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("attr"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    ch1 = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.min(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("change_ts")
+        )
+        .withColumn("attr", F.lit("PRIORITY"))
+    )
+    d1 = scd2_apply(dim0, ch1, "k", "attr").select(
+        "k", "attr", "valid_from", "valid_to"
+    )
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=3)
+    stream = events_stream(spark, landing, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    enriched = stream.join(
+        F.broadcast(d1),
+        (stream.user_id == d1.k)
+        & (d1.valid_from <= us)
+        & (d1.valid_to.isNull() | (us < d1.valid_to)),
+    ).select(
+        "attr", "user_id",
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    name = f"s24_lookup_{uuid.uuid4().hex[:8]}"
+    result, n_batches, _stats = run_available_now_counted(
+        enriched, name, timeout_s=180.0, output_mode="append"
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"s24 ran only {n_batches} input micro-batches"
+        )
+    return (
+        result.groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("attr")
+    )
