@@ -1025,3 +1025,22 @@ def test_round9_second_batch_plans(spark, sf_dir):
     assert "LeftAnti" in plan_of(
         spark, sf_dir, "ds56_not_exists_disjunctive"
     )
+
+
+def test_round9_third_batch_plans(spark, sf_dir):
+    """g12/p12/b19: no nested loop; b19's cross-table OR is a post-join
+    Filter above two broadcast hash joins; p12 is scan + explode +
+    one aggregate exchange (no join)."""
+    for name in (
+        "g12_cross_correlation_lags",
+        "p12_pack_efficiency",
+        "b19_cross_table_or",
+        "x14_savepoints",
+        "x15_create_table_like",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = plan_of(spark, sf_dir, "b19_cross_table_or")
+    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan_of(spark, sf_dir, "p12_pack_efficiency")
