@@ -7855,3 +7855,50 @@ def b19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+# --- ds57: TPC-DS Q8 — large literal IN-list membership ----------------------
+# Q8 restricts on a ~400-element literal zip-prefix IN list — the shape
+# that exercises the planner's IN -> hash-set conversion (Catalyst
+# InSet above 10 elements) instead of an OR chain. Re-authored: a
+# 24-element name-suffix list over customers joined into order revenue
+# by market segment. The list membership must evaluate as a single
+# set probe inside the scan's filter, not 24 comparisons.
+
+_DS57_ORACLE = """
+SELECT c.c_mktsegment AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE (c.c_custkey % 100) IN (1, 4, 7, 9, 12, 15, 18, 22, 25, 28, 31,
+                              35, 38, 41, 44, 48, 51, 55, 58, 62, 66,
+                              71, 77, 83)
+GROUP BY 1 ORDER BY seg
+"""
+
+
+@query(
+    "ds57_large_in_list", _DS57_ORACLE,
+    doc="TPC-DS Q8 shape: large literal IN-list membership (Catalyst "
+        "InSet hash probe, not an OR chain) pushed into the customer "
+        "scan, joined into order revenue by segment",
+)
+def ds57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = [1, 4, 7, 9, 12, 15, 18, 22, 25, 28, 31, 35, 38, 41, 44,
+            48, 51, 55, 58, 62, 66, 71, 77, 83]
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") % 100).isin(keys)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0).cast("long")
+            ).cast("long").alias("cents"),
+        )
+        .orderBy("seg")
+    )
