@@ -1628,3 +1628,58 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE o_orderdate BETWEEN SYMMETRIC DATE '1995-03-20' "
         "                      AND DATE '1995-03-01'"
     )
+
+
+# --- w09: centered ROWS frame (x PRECEDING AND y FOLLOWING) -------------------
+# The remaining physical-frame shape: a CENTERED moving window (3
+# preceding .. 3 following) — unlike the running/unbounded frames
+# (w01-w08), both edges move, so the engine must keep a sliding buffer
+# rather than an accumulator. Exact integer cents over a TOTAL order
+# ((user_id) partition, (ts_us, event_id) order — event_id unique), so
+# both engines' buffers align row-for-row at every SF; the smoothed
+# value and the frame's actual row count (shrinks at partition edges)
+# are both pinned.
+
+_W09_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase')
+SELECT user_id, event_id,
+       CAST(SUM(cents) OVER w AS BIGINT) AS centered_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+ORDER BY user_id, us, event_id
+"""
+
+
+@query(
+    "w09_centered_rows_frame", _W09_ORACLE,
+    doc="centered ROWS frame (3 PRECEDING .. 3 FOLLOWING): sliding "
+        "buffer, not an accumulator — smoothed sum and edge-shrunk "
+        "frame count pinned over a total per-partition order",
+)
+def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return e.select(
+        "user_id", "event_id",
+        F.sum("cents").over(w).cast("long").alias("centered_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("frame_n"),
+        "us",
+    ).orderBy("user_id", "us", "event_id").drop("us")
