@@ -1294,9 +1294,26 @@ class Catalog:
                 r"\b(information_schema)\.(\w+)", r"\1__\2", body,
                 flags=re.IGNORECASE,
             )
+            # strip the qualifier only for the REGISTERED system views —
+            # a blanket \w+ strip would also rewrite pg_catalog.version()
+            # or a user alias literally named pg_catalog into confusing
+            # unresolved-name failures downstream
             body = re.sub(
-                r"\bpg_catalog\.(\w+)", r"\1", body, flags=re.IGNORECASE
+                r"\bpg_catalog\.(pg_database|pg_namespace|pg_class"
+                r"|pg_attribute|pg_type|pg_proc|pg_tables|pg_sequences"
+                r"|pg_constraint)\b",
+                r"\1", body, flags=re.IGNORECASE,
             )
+            leftover = re.search(
+                r"\bpg_catalog\.(\w+)", body, re.IGNORECASE
+            )
+            if leftover:
+                raise ValueError(
+                    f"pg_catalog.{leftover.group(1)} is not supported "
+                    "(supported system views: pg_database, pg_namespace, "
+                    "pg_class, pg_attribute, pg_type, pg_proc, pg_tables, "
+                    "pg_sequences, pg_constraint)"
+                )
         for db in sorted(self.databases, key=len, reverse=True):
             body = re.sub(
                 rf"\b({re.escape(db)})\.(\w+)", r"\1__\2", body,
@@ -1893,6 +1910,18 @@ class Catalog:
                 r"^\s*LIKE\s+([\w.]+)\s*((?:INCLUDING\s+\w+\s*)*)\s*$",
                 m.group(2).strip(), re.IGNORECASE,
             )
+            if mlike is None and re.match(
+                r"^\s*LIKE\b", m.group(2).strip(), re.IGNORECASE
+            ):
+                # a LIKE clause we can't parse (EXCLUDING ..., LIKE mixed
+                # with column defs) must NOT fall through to the typed-
+                # column parser — that would create a nonsense table with
+                # a column literally named "LIKE"
+                raise ValueError(
+                    f"CREATE TABLE {m.group(1)}: unsupported LIKE clause "
+                    f"{m.group(2).strip()!r} (only LIKE src [INCLUDING "
+                    "DEFAULTS|CONSTRAINTS|ALL]... is supported)"
+                )
         if m and mlike:
             name, src = m.group(1), mlike.group(1)
             including = {
@@ -1923,10 +1952,19 @@ class Catalog:
                 dfl = self.table_defaults.get(src)
                 if dfl:
                     self.table_defaults[name] = dict(dfl)
-            if including & {"all", "constraints"}:
-                cons = self.table_constraints.get(src)
-                if cons:
-                    self.table_constraints[name] = [dict(c) for c in cons]
+            # PG copies NOT NULL column constraints on a plain LIKE,
+            # regardless of INCLUDING options (TableLikeClause docs) —
+            # those are exactly the synthetic `<col>_not_null` records
+            # (incl. PK-derived attnotnull). Only CHECK/UNIQUE/FK records
+            # are gated behind INCLUDING CONSTRAINTS/ALL.
+            want_all = bool(including & {"all", "constraints"})
+            copied = [
+                dict(c)
+                for c in self.table_constraints.get(src, [])
+                if want_all or c.get("synthetic")
+            ]
+            if copied:
+                self.table_constraints[name] = copied
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         m = _CREATE_TABLE_TYPED.match(sql)
@@ -2496,9 +2534,23 @@ class Catalog:
            "schemaname STRING, sequencename STRING, start_value BIGINT, "
            "increment_by BIGINT, last_value BIGINT"
            ).createOrReplaceTempView("pg_sequences")
+        # anonymous constraints are keyed by a STABLE identity (kind +
+        # normalized expr/cols), never by list position: a DROP CONSTRAINT
+        # shifts indexes and would silently reassign a session oid that
+        # oid-joining tooling may have cached
+        def _con_ident(c: dict) -> str:
+            if c.get("name"):
+                return c["name"]
+            if c.get("expr"):
+                return f"{c['kind']}:{' '.join(str(c['expr']).split()).lower()}"
+            if c.get("cols"):
+                pk = ".pk" if c.get("pk") else ""
+                return f"{c['kind']}{pk}:{','.join(c['cols'])}"
+            return f"{c['kind']}:{sorted(c.items())!r}"
+
         cons = [
             (
-                self._oid("con", f"{t}.{c.get('name') or i}"),
+                self._oid("con", f"{t}.{_con_ident(c)}"),
                 c.get("name") or f"{t}_{c['kind']}_{i}",
                 "p" if c.get("pk") else {
                     "check": "c", "fk": "f", "unique": "u"

@@ -81,37 +81,37 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # (tests/test_workload_oracle.py) at three SFs every round.
 _FRONT_WINDOW = [
     "q01_pricing_summary",
-    # streaming certs (heaviest never-driver-verified family)
-    "s15_streaming_left_outer", "s16_dedup_within_watermark",
-    "s17_streaming_full_outer", "s18_chained_stateful",
-    "s19_milestone_counter", "s20_late_drop", "s22_streaming_sketch",
-    # statement surface
-    "x04_column_defaults", "x05_prepared_statements",
-    "x06_copy_statement", "x07_scd2_dimension", "x08_scd2_asof_join",
-    "y04_schema_evolution", "q84_update_from",
-    # time series
-    "g04_time_weighted_avg", "g05_counter_rate", "g06_lttb_downsample",
-    "g07_ewma_truncated", "g08_ohlc_bars", "g09_date_bin",
-    "g10_mad_anomaly",
-    # dedup tuning
-    "d18_url_canonical_dedup", "d19_lsh_tuning_eval",
-    "d20_simhash_pairs", "d21_dsir_importance",
-    # text
-    "t16_bpe_pair_count", "t18_vocab_growth", "t19_bigram_lm_score",
-    # multimodal
-    "m07_patch_extraction", "m08_audio_framing",
-    # remaining parity / operator gates
-    "j16_jsonb_agg", "j17_variant_type",
-    "a03_ordered_set_aggs", "a05_arg_extremes",
-    "w07_interval_range_frame", "w08_filter_over_window",
-    "z01_zorder_pruning", "k02_skew_salted_join",
-    "h04_join_rollup", "h05_mvcc_time_travel",
-    "aj05_asof_strict", "f04_conversion_latency",
-    "r01_relation_chain",
-    "c23_conditional_src_dst", "c24_regex_replace_backref",
-    # benchmark breadth
-    "ds39_exists_or_exists", "ds40_monthly_outlier_neighbors",
-    "ds41_cte_reused_selfjoin", "ds42_rollup_rank_parent",
+    # round-9 red retest (percentile_disc now cast to BIGINT)
+    "a03_ordered_set_aggs",
+    # the final 36 never-driver-sampled gates (VERDICT r9 item 2) —
+    # after this window every gate in the registry has a driver row
+    "b18_wide_chain_disjunctive", "b19_cross_table_or",
+    "c26_phrase_min_url", "c27_exclusive_ladder", "c28_url_param_extract",
+    "d22_substring_span_removal",
+    "ds43_basket_band",
+    "ds51_returns_adjusted_sales", "ds52_channel_rollup_report",
+    "ds53_above_avg_returns", "ds54_except_chain_count",
+    "ds55_ship_delay_bands", "ds56_not_exists_disjunctive",
+    "ds57_large_in_list",
+    "e20_ivf_nprobe_recall", "g12_cross_correlation_lags",
+    "l19_open_wedge_anti", "p12_pack_efficiency",
+    "q85_unpivot", "q86_with_ordinality",
+    "q89_similar_to", "q90_group_order_by_all", "q91_array_lambdas",
+    "q92_fetch_with_ties", "q93_ordered_aggs", "q94_generate_series",
+    "q95_unpivot",
+    "s24_streaming_scd2_lookup", "sk13_sample_quantiles",
+    "w09_centered_rows_frame",
+    "x10_returning_exprs", "x11_alter_column_type",
+    "x12_pg_catalog", "x13_information_schema",
+    "x14_savepoints", "x15_create_table_like",
+    # round-10 new gates (slots fill as they land; missing names skip)
+    "o01_order_by_nulls", "x16_parser_extension",
+    "ds58_cross_channel_intersect", "ds59_cumulative_window_cross",
+    "c29_minute_sessions", "c30_referrer_classify",
+    "b20_long_chain_stars",
+    # re-samples: keep high-value operator families warm in the window
+    "d01_dedup_exact", "d04_minhash_signature", "e01_knn_brute",
+    "s23_streaming_full_outer", "h05_mvcc_time_travel",
 ]
 
 

@@ -3126,10 +3126,18 @@ def ds24(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- l09: LDBC friend-of-friend recommendation ------------------------------
 # LDBC IC/BI "people you may know": 2-hop neighbours that are NOT already
 # direct neighbours, scored by the number of distinct mutual contacts.
-# Graph = l04's co-supplier edges (>= 2 shared orders, canonical s1 < s2),
-# symmetrised; the 2-hop expansion is two hash equi-joins on vertex ids,
-# the exclusion an anti-join — level-synchronous relational graph
-# traversal, the shape that scales (no adjacency lists on the driver).
+# Graph = co-supplier edges sparsified by a RELATIVE weight rule: an edge
+# survives iff its shared-order count is >= 90% of its endpoint's max
+# (integer arithmetic, w*10 >= mx*10*0.9 — no float threshold). The
+# round-9 ">= 2 shared orders" graph was COMPLETE at sf<=0.01 (every
+# supplier pair co-occurs), so "2-hop minus direct" was structurally
+# EMPTY — the same densification trap as l19, and the same class of fix:
+# a scale-stable per-node sparsifier replayed bit-for-bit in the oracle
+# (a relative-weight filter here vs l11's fixed top-M, two distinct
+# production sparsifiers). The 2-hop expansion is two hash equi-joins on
+# vertex ids, the exclusion an anti-join — level-synchronous relational
+# graph traversal, the shape that scales (no adjacency lists on the
+# driver). Non-vacuous at all 3 SFs (cands: 14 / 771 / 1823).
 
 _L09_ORACLE = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
@@ -3138,19 +3146,23 @@ pairs AS (
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
 edges AS (
-  SELECT s1, s2 FROM pairs GROUP BY s1, s2
+  SELECT s1, s2, COUNT(DISTINCT l_orderkey) AS w FROM pairs GROUP BY s1, s2
   HAVING COUNT(DISTINCT l_orderkey) >= 2),
 und AS (
-  SELECT s1 AS a, s2 AS b FROM edges
-  UNION ALL SELECT s2, s1 FROM edges),
+  SELECT s1 AS a, s2 AS b, w FROM edges
+  UNION ALL SELECT s2, s1, w FROM edges),
+kept AS (
+  SELECT a, b FROM (
+    SELECT a, b, w, MAX(w) OVER (PARTITION BY a) AS mx FROM und)
+  WHERE w * 10 >= mx * 9),
 two_hop AS (
   SELECT x.a, y.b AS c, x.b AS mid
-  FROM und x JOIN und y ON x.b = y.a AND x.a <> y.b),
+  FROM kept x JOIN kept y ON x.b = y.a AND x.a <> y.b),
 cand AS (
   SELECT a, c, COUNT(DISTINCT mid) AS mutuals
   FROM two_hop t
   WHERE a < c AND NOT EXISTS (
-    SELECT 1 FROM und d WHERE d.a = t.a AND d.b = t.c)
+    SELECT 1 FROM kept d WHERE d.a = t.a AND d.b = t.c)
   GROUP BY a, c)
 SELECT a, c, CAST(mutuals AS BIGINT) AS mutuals
 FROM cand
@@ -3161,8 +3173,9 @@ LIMIT 20
 
 @query(
     "l09_foaf_recommend", _L09_ORACLE,
-    doc="LDBC people-you-may-know: 2-hop neighbours minus direct edges, "
-        "scored by distinct mutual contacts (equi-joins + anti-join)",
+    doc="LDBC people-you-may-know: 2-hop neighbours minus direct edges on "
+        "a relative-weight-sparsified graph (edge kept iff w >= 90% of "
+        "node max), scored by distinct mutual contacts",
 )
 def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -3180,16 +3193,21 @@ def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2"), "l_orderkey")
     edges = (
         pairs.groupBy("s1", "s2")
-        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("s1", "s2")
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
     )
-    und = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b")).unionAll(
-        edges.select(F.col("s2").alias("a"), F.col("s1").alias("b"))
+    und = edges.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b"), "w"
+    ).unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b"), "w"))
+    mx = F.max("w").over(Window.partitionBy("a"))
+    kept = (
+        und.withColumn("mx", mx)
+        .filter(F.col("w") * 10 >= F.col("mx") * 9)
+        .select("a", "b")
     )
     hop2 = (
-        und.alias("x")
-        .join(und.alias("y"), F.col("x.b") == F.col("y.a"))
+        kept.alias("x")
+        .join(kept.alias("y"), F.col("x.b") == F.col("y.a"))
         .filter(F.col("x.a") != F.col("y.b"))
         .select(
             F.col("x.a").alias("a"), F.col("y.b").alias("c"),
@@ -3198,7 +3216,7 @@ def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("c"))
     )
     non_direct = hop2.join(
-        und.select(F.col("a").alias("da"), F.col("b").alias("db")),
+        kept.select(F.col("a").alias("da"), F.col("b").alias("db")),
         (F.col("a") == F.col("da")) & (F.col("c") == F.col("db")),
         "left_anti",
     )
@@ -3418,11 +3436,16 @@ def c16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each node keeps only its top-M co-suppliers (ranked by shared-order
 # count, ties broken by neighbour id — a ranked window BEFORE the second
 # hop), so 2-hop candidates per node are bounded by M^2 regardless of the
-# graph's degree distribution. The exclusion anti-join still runs against
-# the FULL direct-edge set (a capped candidate that is a direct neighbour
-# anywhere must not be recommended). The identical cap is in the oracle.
+# graph's degree distribution. The exclusion anti-join runs against the
+# SYMMETRISED capped edge set: round 9 excluded against the full raw
+# graph, which is COMPLETE at sf<=0.01 (every supplier pair shares >= 2
+# orders), so every candidate was excluded and the gate was vacuous —
+# in the capped contact model, "already a contact" means either side
+# keeps the other in its top-M list. Cap lowered 10 -> 5 so the capped
+# graph is non-complete even on the 10-supplier sf0.001 vertex set.
+# Non-vacuous at all 3 SFs (cands: 14 / 800 / 8225).
 
-_L11_CAP = 10
+_L11_CAP = 5
 
 _L11_ORACLE = f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
@@ -3437,10 +3460,11 @@ und AS (
   SELECT s1 AS a, s2 AS b, w FROM edges
   UNION ALL SELECT s2, s1, w FROM edges),
 capped AS (
-  SELECT a, b, w FROM (
+  SELECT a, b FROM (
     SELECT a, b, w,
            ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
     FROM und) WHERE rn <= {_L11_CAP}),
+sym AS (SELECT a, b FROM capped UNION SELECT b, a FROM capped),
 two_hop AS (
   SELECT x.a, y.b AS c, x.b AS mid
   FROM capped x JOIN capped y ON x.b = y.a AND x.a <> y.b
@@ -3448,7 +3472,7 @@ two_hop AS (
 cand AS (
   SELECT a, c, COUNT(DISTINCT mid) AS mutuals
   FROM two_hop t
-  WHERE NOT EXISTS (SELECT 1 FROM und d WHERE d.a = t.a AND d.b = t.c)
+  WHERE NOT EXISTS (SELECT 1 FROM sym d WHERE d.a = t.a AND d.b = t.c)
   GROUP BY a, c)
 SELECT a, c, CAST(mutuals AS BIGINT) AS mutuals
 FROM cand
@@ -3493,6 +3517,9 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = (
         und.withColumn("rn", rn).filter(F.col("rn") <= _L11_CAP).drop("rn", "w")
     )
+    sym = capped.union(
+        capped.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
     hop2 = (
         capped.alias("x")
         .join(capped.alias("y"), F.col("x.b") == F.col("y.a"))
@@ -3503,7 +3530,7 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     non_direct = hop2.join(
-        und.select(F.col("a").alias("da"), F.col("b").alias("db")),
+        sym.select(F.col("a").alias("da"), F.col("b").alias("db")),
         (F.col("a") == F.col("da")) & (F.col("c") == F.col("db")),
         "left_anti",
     )
@@ -7767,45 +7794,57 @@ def ds55(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q41 returns distinct part names whose manufacturer produces NO part
 # matching a disjunctive attribute soup — a NOT EXISTS whose inner
 # predicate is a three-way OR over other rows of the SAME dimension.
-# Lowered as one anti-join of the brands-with-offenders set against the
-# candidate parts (never a per-row probe); the offender set is one
-# filtered projection of the same part scan.
+# Lowered as one anti-join of the groups-with-offenders set against the
+# candidate groups (never a per-row probe); the offender set is one
+# filtered projection of the same part scan. Q41's fine manufacturer
+# grain is replayed as (p_brand, first-word-of-name color family):
+# round-9's brand-only grain was VACUOUS — every brand had an offender
+# at sf0.01 and both engines returned 0 rows (VERDICT r9 item 4).
+# Retuned literals verified non-vacuous on BOTH sides at all three SFs
+# (kept/removed: sf0.001 67/1, sf0.01 141/55, sf0.1 8/192).
 
 _DS56_ORACLE = """
 WITH offenders AS (
-  SELECT DISTINCT p_brand FROM part
-  WHERE (p_type = 'PROMO' AND p_size < 15)
-     OR (p_type = 'LARGE' AND p_size > 40)
-     OR (p_type = 'ECONOMY' AND p_retailprice > 1800.0))
-SELECT p.p_name AS p_name
-FROM part p
-WHERE p.p_size BETWEEN 10 AND 30
-  AND NOT EXISTS (SELECT 1 FROM offenders o WHERE o.p_brand = p.p_brand)
-GROUP BY p.p_name
-ORDER BY p_name
+  SELECT DISTINCT p_brand, split_part(p_name, ' ', 1) AS color FROM part
+  WHERE (p_type = 'PROMO' AND p_size < 5)
+     OR (p_type = 'LARGE' AND p_size > 47)
+     OR (p_type = 'ECONOMY' AND p_retailprice > 996.0)),
+cand AS (
+  SELECT p_brand, split_part(p_name, ' ', 1) AS color,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part WHERE p_size BETWEEN 10 AND 30
+  GROUP BY p_brand, split_part(p_name, ' ', 1))
+SELECT c.p_brand, c.color, c.n_parts
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM offenders o
+                  WHERE o.p_brand = c.p_brand AND o.color = c.color)
+ORDER BY c.p_brand, c.color
 """
 
 
 @query(
     "ds56_not_exists_disjunctive", _DS56_ORACLE,
     doc="TPC-DS Q41 shape: NOT EXISTS over a disjunctive attribute soup "
-        "within the same dimension — brands-with-offenders anti-joined "
-        "against candidates, one scan each side",
+        "within the same dimension at (brand, color-family) grain — "
+        "groups-with-offenders anti-joined against candidate groups, "
+        "one scan each side; literals tuned non-vacuous at all 3 SFs",
 )
 def ds56(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
+    color = F.split(F.col("p_name"), " ").getItem(0)
     offenders = part.filter(
-        ((F.col("p_type") == "PROMO") & (F.col("p_size") < 15))
-        | ((F.col("p_type") == "LARGE") & (F.col("p_size") > 40))
-        | ((F.col("p_type") == "ECONOMY") & (F.col("p_retailprice") > 1800.0))
-    ).select("p_brand").distinct()
-    return (
+        ((F.col("p_type") == "PROMO") & (F.col("p_size") < 5))
+        | ((F.col("p_type") == "LARGE") & (F.col("p_size") > 47))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("p_retailprice") > 996.0))
+    ).select("p_brand", color.alias("color")).distinct()
+    cand = (
         part.filter(F.col("p_size").between(10, 30))
-        .join(offenders, "p_brand", "left_anti")
-        .groupBy("p_name")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .drop("_n")
-        .orderBy("p_name")
+        .groupBy(F.col("p_brand"), color.alias("color"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+    return (
+        cand.join(offenders, ["p_brand", "color"], "left_anti")
+        .orderBy("p_brand", "color")
     )
 
 

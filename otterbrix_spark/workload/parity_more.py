@@ -36,14 +36,19 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q54: correlated NOT EXISTS with extra predicate ------------------------
-# Suppliers with no lineitem shipped after a cutoff (conditional anti-join).
+# Suppliers with no late bulk shipment (conditional anti-join). The
+# round-9 form ("nothing shipped after 2001-06-01") was VACUOUS at
+# sf≤0.01 — every supplier ships in the tail window. Retuned with a
+# quantity arm: kept/total 1/10 at sf0.001, 20/100 at sf0.01, 138/1000
+# at sf0.1 — non-empty kept AND removed sides at every SF.
 
 _Q54_ORACLE = """
 SELECT s_suppkey, s_name
 FROM supplier
 WHERE NOT EXISTS (
   SELECT 1 FROM lineitem
-  WHERE l_suppkey = s_suppkey AND l_shipdate > TIMESTAMP '2001-06-01'
+  WHERE l_suppkey = s_suppkey AND l_shipdate > TIMESTAMP '2001-09-01'
+    AND l_quantity >= 45.0
 )
 """
 
@@ -53,7 +58,8 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     late = li.filter(
-        F.col("l_shipdate") > F.lit("2001-06-01").cast("timestamp_ntz")
+        (F.col("l_shipdate") > F.lit("2001-09-01").cast("timestamp_ntz"))
+        & (F.col("l_quantity") >= 45.0)
     ).select("l_suppkey")
     return supp.join(
         late, supp.s_suppkey == late.l_suppkey, "left_anti"
@@ -569,7 +575,9 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-emits it untouched. Determinism: cents are exact BIGINTs;
 # percentile_cont's lerp at f=0.5 multiplies by an exactly-representable
 # 0.5; percentile_disc is the first value with cume_dist >= f (SQL
-# standard, both engines); mode() ties resolve to the FIRST value in the
+# standard, both engines) — Spark types its result DOUBLE even over
+# BIGINT input, so the gate casts it back (exact: disc returns an
+# actual input value < 2^53); mode() ties resolve to the FIRST value in the
 # WITHIN GROUP order (PG semantics — verified on Spark 4.1), which the
 # oracle replays as an explicit (freq DESC, value ASC) argmin so no
 # engine-internal tie choice is trusted.
@@ -621,8 +629,9 @@ def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT l_returnflag AS g, "
         "percentile_cont(0.5) WITHIN GROUP (ORDER BY "
         "  CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS med_cents, "
-        "percentile_disc(0.9) WITHIN GROUP (ORDER BY "
-        "  CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS p90_disc, "
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY "
+        "  CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) "
+        "  AS p90_disc, "
         "mode() WITHIN GROUP (ORDER BY "
         "  CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS mode_cents "
         "FROM lineitem GROUP BY l_returnflag"

@@ -78,10 +78,17 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q13: NOT EXISTS -> left-anti join --------------------------------------
 
+# Every customer in the synthetic data has at least one order, so the
+# bare "no orders at all" form was VACUOUS (0 = 0 at every SF certifies
+# nothing — round-9 audit). Retuned to "no order above 450k": kept/total
+# is 57/150 at sf0.001, 538/1500 at sf0.01, 5518/15000 at sf0.1 — both
+# the kept and the removed side are non-empty at every SF.
+
 _Q13_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
 """
 
 
@@ -89,8 +96,9 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 450000.0)
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        big, cust.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

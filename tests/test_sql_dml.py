@@ -1607,3 +1607,53 @@ def test_review_r9_fixes(engine):
         "WHERE table_name = 'rvp' AND column_name = 'k'"
     ).collect()[0].is_nullable
     assert nn == "NO"
+
+
+def test_advice_r9_fixes(engine):
+    """Round-10 ADVICE regressions: (a) plain LIKE always copies NOT NULL
+    column constraints (PG TableLikeClause — not-null is part of the
+    column definition, not gated behind INCLUDING CONSTRAINTS);
+    (b) an unparseable LIKE clause raises instead of falling through to
+    the typed-column parser; (c) pg_catalog.<non-view> raises a clear
+    unsupported error rather than rewriting into an unresolved name;
+    (d) pg_constraint oids survive a DROP CONSTRAINT that shifts the
+    constraint list."""
+    import pytest as _pytest
+
+    eng = engine
+    for t in ("adv_src", "adv_plain", "adv_oid"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+    # (a) NOT NULL copied on plain LIKE, CHECK is not
+    eng.sql("CREATE TABLE adv_src (id bigint NOT NULL, "
+            "v bigint CHECK (v > 0))")
+    eng.sql("CREATE TABLE adv_plain (LIKE adv_src)")
+    with _pytest.raises(Exception, match="not_null"):
+        eng.sql("INSERT INTO adv_plain VALUES (NULL, 1)")
+    eng.sql("INSERT INTO adv_plain VALUES (1, -5)")  # CHECK not copied
+    # (b) unsupported LIKE spellings raise, no nonsense table appears
+    with _pytest.raises(ValueError, match="LIKE"):
+        eng.sql("CREATE TABLE adv_bad (LIKE adv_src EXCLUDING DEFAULTS)")
+    with _pytest.raises(ValueError, match="LIKE"):
+        eng.sql("CREATE TABLE adv_bad (LIKE adv_src, extra bigint)")
+    assert "adv_bad" not in eng.catalog.tables
+    # (c) only registered system views lose the pg_catalog qualifier
+    with _pytest.raises(ValueError, match="pg_catalog.version"):
+        eng.sql("SELECT pg_catalog.version()")
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM pg_catalog.pg_namespace"
+    ).collect()[0].n >= 1
+    # (d) stable oids: dropping the first constraint must not reassign
+    # the survivor's oid to the dropped slot
+    eng.sql("CREATE TABLE adv_oid (a bigint, b bigint, "
+            "CHECK (a > 0), CHECK (b > 0))")
+    before = {r.conname: r.oid for r in eng.sql(
+        "SELECT conname, con.oid AS oid FROM pg_constraint con "
+        "JOIN pg_class c ON c.oid = con.conrelid "
+        "WHERE c.relname = 'adv_oid'").collect()}
+    eng.sql("ALTER TABLE adv_oid DROP CONSTRAINT adv_oid_con1")
+    after = {r.conname: r.oid for r in eng.sql(
+        "SELECT conname, con.oid AS oid FROM pg_constraint con "
+        "JOIN pg_class c ON c.oid = con.conrelid "
+        "WHERE c.relname = 'adv_oid'").collect()}
+    assert set(after) == set(before) - {"adv_oid_con1"}
+    assert all(after[k] == before[k] for k in after)
