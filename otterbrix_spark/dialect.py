@@ -1036,6 +1036,87 @@ def _guard_residual_subscripts(body: str) -> None:
         )
 
 
+# --- PG null-ordering defaults ----------------------------------------------
+# PG sorts NULLS LAST for ASC and NULLS FIRST for DESC (gram.y sortby:
+# SortByDir defaults, "nulls sort as if larger than any non-null");
+# Spark's defaults are the OPPOSITE (NULLS FIRST for ASC, NULLS LAST for
+# DESC). Invisible to order-insensitive consumers, wrong for
+# `ORDER BY nullable_key LIMIT n` and for window frames over nullable
+# keys. Every sort item without an explicit NULLS FIRST/LAST therefore
+# gets PG's default appended. Applied ONCE, to the final Spark SQL text
+# after either dialect mode has run (the fallback policy: clause-level
+# semantics land in a shared pass, never per-mode), covering clause-level
+# ORDER BY and window-spec ORDER BY alike; WITHIN GROUP (ORDER BY ...)
+# is skipped — Spark's ordered-set aggregates reject NULLS specs there,
+# and the aggregates ignore NULL inputs anyway.
+
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+# keywords that terminate a sort-item list (clause level: LIMIT/OFFSET/
+# FETCH/set-ops/...; window spec: frame keywords ROWS/RANGE/GROUPS)
+_SORT_STOP = {
+    "LIMIT", "OFFSET", "FETCH", "WINDOW", "UNION", "INTERSECT", "EXCEPT",
+    "MINUS", "ROWS", "RANGE", "GROUPS", "QUALIFY", "HAVING",
+    "DISTRIBUTE", "SORT", "CLUSTER",
+}
+_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _null_default_item(item: str) -> str:
+    """Append PG's default NULLS placement to one sort item (no-op when
+    an explicit NULLS FIRST/LAST is already present)."""
+    core = item.rstrip()
+    if not core:
+        return item
+    tail = item[len(core):]
+    if re.search(r"\bNULLS\s+(?:FIRST|LAST)$", core, re.IGNORECASE):
+        return item
+    if re.search(r"\bDESC$", core, re.IGNORECASE):
+        return core + " NULLS FIRST" + tail
+    return core + " NULLS LAST" + tail
+
+
+def apply_pg_null_ordering(sql: str) -> str:
+    """Make every ORDER BY follow PG's null-placement defaults. Operates
+    on finished Spark SQL; idempotent (explicit specs are preserved)."""
+    body, lits = _protect_strings(sql)
+    # rightmost-first: edits never move the start of a match to their
+    # left, and nested clauses (subquery in a sort key) are finished —
+    # inside parens, depth > 0 — before their enclosing clause is scanned
+    matches = list(_ORDER_BY_RE.finditer(body))
+    for m in reversed(matches):
+        prefix = body[: m.start()].rstrip()
+        if re.search(r"\bGROUP\s*\($", prefix, re.IGNORECASE):
+            continue  # WITHIN GROUP (ORDER BY ...)
+        i, n, depth = m.end(), len(body), 0
+        item_start = i
+        pieces: list[tuple[int, int]] = []
+        while i < n:
+            ch = body[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                if ch == ",":
+                    pieces.append((item_start, i))
+                    item_start = i + 1
+                elif ch == ";":
+                    break
+                elif ch.isalpha() or ch == "_":
+                    w = _WORD_RE.match(body, i)
+                    if w.group(0).upper() in _SORT_STOP:
+                        break
+                    i = w.end()
+                    continue
+            i += 1
+        pieces.append((item_start, i))
+        new_items = [_null_default_item(body[a:b]) for a, b in pieces]
+        body = body[: m.end()] + ",".join(new_items) + body[i:]
+    return _restore_strings(body, lits)
+
+
 def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str:
     """Rewrite PG-isms into Spark SQL. Idempotent on plain Spark SQL.
 
@@ -1054,7 +1135,7 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
     if mode == "ast":
         from otterbrix_spark.dialect_ast import rewrite_ast
 
-        return rewrite_ast(sql)
+        return apply_pg_null_ordering(rewrite_ast(sql))
     body, lits = _protect_strings(sql)
     body = _rewrite_select_into(body)
     body = _rewrite_fetch(body)
@@ -1377,4 +1458,4 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
         scanned_regex(lambda l, t: f"{l} RLIKE {t}"), extend_casts=True,
     )
 
-    return _restore_strings(body, lits)
+    return apply_pg_null_ordering(_restore_strings(body, lits))

@@ -28,6 +28,33 @@ class Engine:
         # ExecuteStmt / DeallocateStmt): name -> raw statement text with
         # $n placeholders, bound at EXECUTE time
         self._prepared: dict[str, str] = {}
+        # parser extensions (reference parser_extension_t,
+        # components/sql/parser/extension.hpp:24-43): name -> claim fn,
+        # tried in registration order BEFORE built-in routing. Per-engine
+        # registration, like the reference's per-dispatcher
+        # add_parser_extension (test_parser_extension.cpp
+        # "parser_extension_is_per_instance").
+        self._extensions: dict = {}
+
+    # -- parser extensions ----------------------------------------------------
+    def register_extension(self, name: str, claim) -> None:
+        """Register a claim-or-pass parser extension.
+
+        ``claim(sql) -> DataFrame | None``: return a DataFrame to CLAIM
+        the statement (the reference's successful parse), or None to pass
+        it to the next extension / the built-in parser. An exception from
+        a claim fn surfaces — that is the reference's transform-phase
+        error, raised only after the extension recognized the statement.
+        Extensions run in registration order; re-registering a name
+        replaces its claim fn in place."""
+        if not callable(claim):
+            raise TypeError("claim must be callable(sql) -> DataFrame|None")
+        self._extensions[name] = claim
+
+    def unregister_extension(self, name: str) -> None:
+        if name not in self._extensions:
+            raise KeyError(f"no parser extension named {name!r}")
+        del self._extensions[name]
 
     # -- catalog ------------------------------------------------------------
     def register_corpus(self, sf_dir: str) -> None:
@@ -53,6 +80,14 @@ class Engine:
             for stmt in statements:
                 cur = self.execute_sql(stmt, *params)
             return cur
+        # parser extensions get the RAW statement first (the reference
+        # tries registered extensions before its built-in PG parser); the
+        # first claim wins, a pass falls through, and a parse failure
+        # surfaces only if nobody — extension or built-in — claims
+        for claim in self._extensions.values():
+            claimed = claim(sql)
+            if claimed is not None:
+                return Cursor(claimed)
         handled = self._prepared_statement(sql, params)
         if handled is not None:
             return handled

@@ -7941,3 +7941,473 @@ def ds57(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# --- ds58: TPC-DS Q14 — cross-channel INTERSECT feeding a fact aggregate -----
+# Q14 (`benchmark/tpcds/query14.tpl`): cross_items = the item keys sold
+# in ALL channels (store INTERSECT catalog INTERSECT web), then sales
+# restricted to those items and compared against a corpus-wide average
+# threshold. The two topology pieces no earlier ds-gate has together: a
+# multi-way INTERSECT chain feeding a semi-join into the fact scan, and
+# a scalar aggregate threshold in HAVING. Channels mapped to order-
+# priority classes; the average threshold is replayed as an INTEGER
+# cross-multiplication (SUM(cents) * n_brands > total_cents) so no
+# float division enters the compare. Spark lowering: three DISTINCT
+# partkey sets via .intersect() (Catalyst plans a shuffle-dedup
+# left-semi cascade), one broadcast semi-join into lineitem, and the
+# two scalar thresholds broadcast as 1-row cross joins.
+
+_DS58_ORACLE = """
+WITH lo AS (
+  SELECT l.l_partkey, o.o_orderpriority,
+         CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+ch1 AS (SELECT DISTINCT l_partkey FROM lo
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+ch2 AS (SELECT DISTINCT l_partkey FROM lo
+        WHERE o_orderpriority = '3-MEDIUM'),
+ch3 AS (SELECT DISTINCT l_partkey FROM lo
+        WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')),
+cross_items AS (
+  SELECT l_partkey FROM ch1
+  INTERSECT SELECT l_partkey FROM ch2
+  INTERSECT SELECT l_partkey FROM ch3),
+brand_sales AS (
+  SELECT p.p_brand, CAST(SUM(lo.cents) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lo
+  JOIN cross_items ci ON ci.l_partkey = lo.l_partkey
+  JOIN part p ON p.p_partkey = lo.l_partkey
+  GROUP BY p.p_brand),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS nb FROM brand_sales)
+SELECT b.p_brand, b.cents, b.n_lines
+FROM brand_sales b, tot
+WHERE b.cents * tot.nb > tot.t
+ORDER BY b.p_brand
+"""
+
+
+@query(
+    "ds58_cross_channel_intersect", _DS58_ORACLE,
+    doc="TPC-DS Q14 shape: 3-way channel INTERSECT of item keys feeding "
+        "a semi-join into the fact aggregate, above-average brands kept "
+        "via an integer cross-multiplied scalar threshold",
+)
+def ds58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lo = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_partkey", "o_orderpriority",
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    )
+
+    def chan(pred):
+        return lo.filter(pred).select("l_partkey").distinct()
+
+    cross_items = (
+        chan(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .intersect(chan(F.col("o_orderpriority") == "3-MEDIUM"))
+        .intersect(
+            chan(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"))
+        )
+    )
+    brand_sales = (
+        lo.join(F.broadcast(cross_items), "l_partkey", "left_semi")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lo["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    tot = brand_sales.agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    return (
+        brand_sales.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") * F.col("nb") > F.col("t"))
+        .select("p_brand", "cents", "n_lines")
+        .orderBy("p_brand")
+    )
+
+
+# --- ds59: TPC-DS Q51 — cumulative windows crossed over a FULL OUTER join ----
+# Q51 (`benchmark/tpcds/query51.tpl`): web and store per-item-per-day
+# cumulative sales (a window over a grouped aggregate — sum(sum())
+# OVER), FULL OUTER joined on (item, day), then a running MAX over each
+# channel's cumulative on the coalesced timeline, keeping rows where the
+# web cumulative overtakes the store cumulative. The distinctive
+# topology: two grouped aggregates each feeding a cumulative window,
+# a full-outer align, and a SECOND window pass over the join result.
+# Channels mapped to urgent vs standard order priorities at (supplier,
+# month) grain; all sums are exact cents so the crossover compare is
+# integer-exact. Spark lowering: two shuffles (one per channel agg),
+# the windows reuse the (suppkey) partitioning, full outer on the
+# composite key, second window pass — no UDFs, all codegen.
+
+_DS59_ORACLE = """
+WITH lo AS (
+  SELECT l.l_suppkey, date_trunc('month', o.o_orderdate) AS mth,
+         o.o_orderpriority,
+         CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+urgent AS (
+  SELECT l_suppkey, mth,
+         CAST(SUM(SUM(cents)) OVER (PARTITION BY l_suppkey ORDER BY mth
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM lo WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY l_suppkey, mth),
+standard AS (
+  SELECT l_suppkey, mth,
+         CAST(SUM(SUM(cents)) OVER (PARTITION BY l_suppkey ORDER BY mth
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM lo WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+  GROUP BY l_suppkey, mth),
+aligned AS (
+  SELECT COALESCE(u.l_suppkey, s.l_suppkey) AS suppkey,
+         COALESCE(u.mth, s.mth) AS mth,
+         u.cum AS urgent_cum, s.cum AS standard_cum
+  FROM urgent u FULL OUTER JOIN standard s
+    ON u.l_suppkey = s.l_suppkey AND u.mth = s.mth),
+runs AS (
+  SELECT suppkey, mth,
+         MAX(urgent_cum) OVER (PARTITION BY suppkey ORDER BY mth
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u_run,
+         MAX(standard_cum) OVER (PARTITION BY suppkey ORDER BY mth
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_run
+  FROM aligned)
+SELECT suppkey, CAST(mth AS DATE) AS mth,
+       CAST(u_run AS BIGINT) AS u_run, CAST(s_run AS BIGINT) AS s_run
+FROM runs
+WHERE u_run > s_run
+ORDER BY suppkey, mth
+"""
+
+
+@query(
+    "ds59_cumulative_window_cross", _DS59_ORACLE,
+    doc="TPC-DS Q51 shape: per-channel cumulative windows over grouped "
+        "aggregates, FULL OUTER aligned on (supplier, month), running "
+        "MAX crossover filter in a second window pass",
+)
+def ds59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lo = li.join(
+        F.broadcast(
+            orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+        ),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
+        "o_orderpriority",
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+    )
+    cum_w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("mth")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def channel(pred):
+        return (
+            lo.filter(pred)
+            .groupBy("l_suppkey", "mth")
+            .agg(F.sum("cents").alias("m_cents"))
+            .select(
+                "l_suppkey", "mth",
+                F.sum("m_cents").over(cum_w).cast("long").alias("cum"),
+            )
+        )
+
+    is_urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    u = channel(is_urgent).withColumnsRenamed(
+        {"l_suppkey": "u_supp", "mth": "u_mth", "cum": "urgent_cum"}
+    )
+    s = channel(~is_urgent).withColumnsRenamed(
+        {"l_suppkey": "s_supp", "mth": "s_mth", "cum": "standard_cum"}
+    )
+    aligned = u.join(
+        s,
+        (F.col("u_supp") == F.col("s_supp"))
+        & (F.col("u_mth") == F.col("s_mth")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("u_supp"), F.col("s_supp")).alias("suppkey"),
+        F.coalesce(F.col("u_mth"), F.col("s_mth")).alias("mth"),
+        "urgent_cum", "standard_cum",
+    )
+    run_w = (
+        Window.partitionBy("suppkey")
+        .orderBy("mth")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        aligned.select(
+            "suppkey", "mth",
+            F.max("urgent_cum").over(run_w).alias("u_run"),
+            F.max("standard_cum").over(run_w).alias("s_run"),
+        )
+        .filter(F.col("u_run") > F.col("s_run"))
+        .select(
+            "suppkey", F.col("mth").cast("date").alias("mth"),
+            F.col("u_run").cast("long").alias("u_run"),
+            F.col("s_run").cast("long").alias("s_run"),
+        )
+        .orderBy("suppkey", "mth")
+    )
+
+
+# --- c29: ClickBench minute-grain traffic ------------------------------------
+# ClickBench's time-bucketed traffic shapes (Q36-ish: "hits per minute,
+# busiest first"): truncate the event stream to minute grain, count hits
+# and distinct users per minute, return the top-20 busiest minutes. The
+# plan to demand: ONE shuffle on the minute bucket (count + distinct in
+# the same grouped aggregate via partial aggregation), then a top-k sort
+# — never a global sort of all minutes before the LIMIT (Spark plans
+# TakeOrderedAndProject). Tiebreak (n DESC, minute ASC) is a total
+# order, so the LIMIT boundary is deterministic at every SF.
+
+_C29_ORACLE = """
+SELECT date_trunc('minute', ts) AS minute,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+FROM events
+GROUP BY date_trunc('minute', ts)
+ORDER BY n DESC, minute
+LIMIT 20
+"""
+
+
+@query(
+    "c29_minute_sessions", _C29_ORACLE,
+    doc="ClickBench minute-grain traffic: one shuffle on the minute "
+        "bucket (count + distinct users), top-20 busiest via "
+        "TakeOrderedAndProject with a total-order tiebreak",
+)
+def c29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("u"),
+        )
+        .orderBy(F.col("n").desc(), "minute")
+        .limit(20)
+    )
+
+
+# --- c30: ClickBench referrer classification ---------------------------------
+# ClickBench's referrer/URL-family shapes (Q28/Q38 class: extract the
+# domain from a referrer URL, bucket it into search/social/direct, and
+# profile traffic per bucket). The corpus has no URL column, so the
+# referrer is SYNTHESIZED deterministically from event fields (the d18
+# pattern) and then classified back the hard way — domain via
+# regexp_extract, class via a CASE over domain patterns — keeping the
+# whole extract+classify chain inside whole-stage codegen. Value cents
+# are exact BIGINTs.
+
+_C30_ORACLE = """
+WITH ref AS (
+  SELECT user_id, value,
+         CASE CAST(user_id % 7 AS INTEGER)
+           WHEN 0 THEN 'https://www.google.com/search?q=' || event_type
+           WHEN 1 THEN 'https://yandex.ru/search/?text=' || event_type
+           WHEN 2 THEN 'https://go.mail.ru/search?q=' || event_type
+           WHEN 3 THEN 'https://www.facebook.com/p/' ||
+                       CAST(user_id AS VARCHAR)
+           WHEN 4 THEN 'https://t.co/' || CAST(user_id AS VARCHAR)
+           WHEN 5 THEN ''
+           ELSE 'https://' || event_type || '.example.com/internal'
+         END AS referrer
+  FROM events),
+cls AS (
+  SELECT user_id, value,
+         CASE
+           WHEN referrer = '' THEN 'direct'
+           WHEN regexp_extract(referrer, '^https?://([^/]+)', 1)
+                IN ('www.google.com', 'yandex.ru', 'go.mail.ru')
+             THEN 'search'
+           WHEN regexp_extract(referrer, '^https?://([^/]+)', 1)
+                IN ('www.facebook.com', 't.co')
+             THEN 'social'
+           ELSE 'other'
+         END AS klass
+  FROM ref)
+SELECT klass,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM cls
+GROUP BY klass
+ORDER BY klass
+"""
+
+
+@query(
+    "c30_referrer_classify", _C30_ORACLE,
+    doc="ClickBench referrer classification: domain regexp_extract + "
+        "CASE bucketing (search/social/direct) over a deterministically "
+        "synthesized referrer column, profiled per bucket in codegen",
+)
+def c30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    referrer = (
+        F.when(F.col("user_id") % 7 == 0,
+               F.concat(F.lit("https://www.google.com/search?q="),
+                        F.col("event_type")))
+        .when(F.col("user_id") % 7 == 1,
+              F.concat(F.lit("https://yandex.ru/search/?text="),
+                       F.col("event_type")))
+        .when(F.col("user_id") % 7 == 2,
+              F.concat(F.lit("https://go.mail.ru/search?q="),
+                       F.col("event_type")))
+        .when(F.col("user_id") % 7 == 3,
+              F.concat(F.lit("https://www.facebook.com/p/"), uid))
+        .when(F.col("user_id") % 7 == 4, F.concat(F.lit("https://t.co/"), uid))
+        .when(F.col("user_id") % 7 == 5, F.lit(""))
+        .otherwise(F.concat(F.lit("https://"), F.col("event_type"),
+                            F.lit(".example.com/internal")))
+    )
+    domain = F.regexp_extract(referrer, r"^https?://([^/]+)", 1)
+    klass = (
+        F.when(referrer == "", "direct")
+        .when(domain.isin("www.google.com", "yandex.ru", "go.mail.ru"),
+              "search")
+        .when(domain.isin("www.facebook.com", "t.co"), "social")
+        .otherwise("other")
+    )
+    return (
+        ev.select(klass.alias("klass"), "user_id", "value")
+        .groupBy("klass")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("u"),
+            F.sum(
+                F.floor(F.col("value") * 100.0).cast("long")
+            ).cast("long").alias("value_cents"),
+        )
+        .orderBy("klass")
+    )
+
+
+# --- b20: JOB shape — ten-table-instance chain with a fact self-join ---------
+# JOB's longest chains join the FACT side in two roles too (cast_info /
+# movie_info appearing twice), not just dimensions: the second fact
+# instance multiplies cardinality before any dimension prunes it, which
+# is exactly what makes those queries planner stress tests. Re-authored
+# beyond b18 (8 instances, dimension-only roles): TEN instances —
+# lineitem twice (two different lines of the SAME order, inequality on
+# the line number), part twice (one role per fact instance, different
+# filters), supplier / orders / customer, nation twice, region on the
+# supplier arm, plus the cross-role nation inequality. All dims
+# broadcast; the fact self-join is the one equi-shuffle on l_orderkey,
+# and the answer is the JOB MIN(string) shape.
+
+_B20_ORACLE = """
+SELECT MIN(p1.p_name) AS min_part1,
+       MIN(p2.p_name) AS min_part2,
+       MIN(s.s_name)  AS min_supp,
+       MIN(c.c_name)  AS min_cust,
+       MIN(r2.r_name) AS min_supp_region,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l1
+JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+                AND l2.l_linenumber <> l1.l_linenumber
+JOIN part p1     ON p1.p_partkey = l1.l_partkey
+JOIN part p2     ON p2.p_partkey = l2.l_partkey
+JOIN supplier s  ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN nation n1   ON n1.n_nationkey = c.c_nationkey
+JOIN nation n2   ON n2.n_nationkey = s.s_nationkey
+JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+WHERE p1.p_type = 'PROMO'
+  AND (p2.p_type = 'ECONOMY' OR p2.p_size <= 5)
+  AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND n1.n_regionkey <> n2.n_regionkey
+  AND r2.r_name IN ('EUROPE', 'AMERICA')
+"""
+
+
+@query(
+    "b20_long_chain_stars", _B20_ORACLE,
+    doc="JOB 10-instance chain with a fact self-join: two lineitem roles "
+        "(same order, different lines), two part roles, two nation roles "
+        "+ cross-role inequality — dims broadcast, one fact-fact "
+        "equi-shuffle, JOB MIN(string) answer shape",
+)
+def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    l1 = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line1"),
+        F.col("l_partkey").alias("pk1"),
+        F.col("l_suppkey").alias("sk1"),
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("okey2"),
+        F.col("l_linenumber").alias("line2"),
+        F.col("l_partkey").alias("pk2"),
+    )
+    p1 = part.filter(F.col("p_type") == "PROMO").select(
+        F.col("p_partkey").alias("p1_key"), F.col("p_name").alias("p1_name")
+    )
+    p2 = part.filter(
+        (F.col("p_type") == "ECONOMY") | (F.col("p_size") <= 5)
+    ).select(F.col("p_partkey").alias("p2_key"),
+             F.col("p_name").alias("p2_name"))
+    o = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_custkey")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_regionkey").alias("n1_region"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_regionkey").alias("n2_region"))
+    r2 = region.filter(F.col("r_name").isin("EUROPE", "AMERICA")).select(
+        F.col("r_regionkey").alias("r2_key"), F.col("r_name").alias("r2_name")
+    )
+    joined = (
+        l1.join(l2, (F.col("okey") == F.col("okey2"))
+                & (F.col("line1") != F.col("line2")))
+        .join(F.broadcast(p1), F.col("pk1") == F.col("p1_key"))
+        .join(F.broadcast(p2), F.col("pk2") == F.col("p2_key"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")),
+              F.col("sk1") == F.col("s_suppkey"))
+        .join(F.broadcast(o), F.col("okey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r2), F.col("n2_region") == F.col("r2_key"))
+        .filter(F.col("n1_region") != F.col("n2_region"))
+    )
+    return joined.agg(
+        F.min("p1_name").alias("min_part1"),
+        F.min("p2_name").alias("min_part2"),
+        F.min("s_name").alias("min_supp"),
+        F.min("c_name").alias("min_cust"),
+        F.min("r2_name").alias("min_supp_region"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

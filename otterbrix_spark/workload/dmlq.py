@@ -1331,3 +1331,55 @@ def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UNION ALL SELECT 'plain', k, v FROM x15_plain "
         "ORDER BY leg, k"
     )
+
+
+# --- x16: parser extension (claim-or-pass) ------------------------------------
+# Reference parser_extension_t (components/sql/parser/extension.hpp:24-43,
+# test integration/cpp/test/test_parser_extension.cpp): a registered
+# extension gets the raw statement BEFORE the built-in parser; a
+# successful parse claims it, otherwise it passes through, and per-engine
+# registration means other engine instances never see it. The gate
+# registers a custom `COUNT_BY <table> <column>` statement, proves the
+# built-in path still serves plain SQL on the same engine, and returns
+# the extension-produced grouped count over real data.
+
+_X16_ORACLE = """
+SELECT o_orderpriority AS key, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY key
+"""
+
+
+@query(
+    "x16_parser_extension", _X16_ORACLE,
+    doc="claim-or-pass parser extension: custom COUNT_BY statement "
+        "claimed before built-in routing (reference "
+        "components/sql/parser/extension.hpp contract), plain SQL "
+        "falls through untouched on the same engine",
+)
+def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql import functions as _F
+
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+
+    def count_by(sql: str):
+        m = re.match(r"^\s*COUNT_BY\s+(\w+)\s+(\w+)\s*;?\s*$", sql,
+                     re.IGNORECASE)
+        if m is None:
+            return None  # pass: not ours
+        tbl, col = m.group(1), m.group(2)
+        return (
+            spark.table(tbl)
+            .groupBy(_F.col(col).alias("key"))
+            .agg(_F.count(_F.lit(1)).alias("n"))
+            .orderBy("key")
+        )
+
+    eng.register_extension("count_by", count_by)
+    # plain SQL still routes through the built-in parser on this engine
+    assert eng.sql("SELECT 1 AS one").collect()[0].one == 1
+    return eng.sql("COUNT_BY orders o_orderpriority")

@@ -638,6 +638,66 @@ def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- o01: PG null-ordering defaults under ORDER BY ... LIMIT -----------------
+# PG sorts NULLS LAST for ASC / NULLS FIRST for DESC (gram.y sortby
+# defaults); Spark's defaults are the opposite. The gap is invisible to
+# the order-insensitive oracle compare EXCEPT under LIMIT, where the
+# null placement decides WHICH rows survive — so this gate materializes
+# a top-k in both directions over a nullable key and set-compares. The
+# ASC arm must return the 8 smallest non-null balances (nulls sort
+# last); the DESC arm must return 8 NULL-balance rows (nulls sort
+# first, custkey tiebreak). Under Spark's defaults both arms return
+# entirely different row sets, so the gate pins the dialect's
+# apply_pg_null_ordering pass (dialect.py), which appends PG's default
+# to every sort item lacking an explicit NULLS spec.
+
+# The engine side uses IMPLICIT defaults (that is what the gate pins);
+# the oracle spells the PG placement EXPLICITLY because DuckDB's own
+# default is NULLS LAST for BOTH directions (default_null_order) — not
+# PG's direction-dependent rule.
+
+_O01_SQL = """
+WITH nb AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0.0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer)
+SELECT 'asc' AS dir, c_custkey, bal FROM (
+  SELECT c_custkey, bal FROM nb ORDER BY bal, c_custkey LIMIT 8)
+UNION ALL
+SELECT 'desc' AS dir, c_custkey, bal FROM (
+  SELECT c_custkey, bal FROM nb ORDER BY bal DESC, c_custkey LIMIT 8)
+"""
+
+_O01_ORACLE = """
+WITH nb AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0.0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer)
+SELECT 'asc' AS dir, c_custkey, bal FROM (
+  SELECT c_custkey, bal FROM nb
+  ORDER BY bal NULLS LAST, c_custkey NULLS LAST LIMIT 8)
+UNION ALL
+SELECT 'desc' AS dir, c_custkey, bal FROM (
+  SELECT c_custkey, bal FROM nb
+  ORDER BY bal DESC NULLS FIRST, c_custkey NULLS LAST LIMIT 8)
+"""
+
+
+@query(
+    "o01_order_by_nulls", _O01_ORACLE,
+    doc="PG ORDER BY null-placement defaults (ASC->NULLS LAST, "
+        "DESC->NULLS FIRST) pinned under LIMIT, where null placement "
+        "decides which rows survive — both directions materialized and "
+        "set-compared",
+)
+def o01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(_O01_SQL)
+
+
 # --- q86: UNNEST WITH ORDINALITY ---------------------------------------------
 # PG's ordinality-preserving unnest: a deterministic per-order array
 # (line part keys in l_linenumber order) is exploded WITH its 1-based

@@ -107,9 +107,11 @@ DIRECTED_CORPUS = [
 
 @pytest.mark.parametrize("sql", DIRECTED_CORPUS)
 def test_paths_agree_on_directed_corpus(sql):
-    # mode="regex" explicitly: under OTTERBRIX_DIALECT_MODE=ast a bare
-    # rewrite() would dispatch to rewrite_ast and compare it to itself
-    assert rewrite(sql, mode="regex") == rewrite_ast(sql)
+    # explicit modes both ways: under OTTERBRIX_DIALECT_MODE=ast a bare
+    # rewrite() would dispatch to the ast path and compare it to itself.
+    # rewrite() (not bare rewrite_ast) so BOTH sides include the shared
+    # PG null-ordering post-pass.
+    assert rewrite(sql, mode="regex") == rewrite(sql, mode="ast")
 
 
 _atoms = st.sampled_from(
@@ -146,7 +148,7 @@ def test_paths_agree_on_random_concatenation(atoms):
     except ValueError:
         expected = None  # regex path raised its residual-subscript guard
     try:
-        got = rewrite_ast(sql)
+        got = rewrite(sql, mode="ast")
     except ValueError:
         got = None
     if expected is None:
@@ -303,16 +305,16 @@ QUALIFY_CASES = [
     (
         "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t "
         "QUALIFY rn <= 3 ORDER BY a LIMIT 5",
-        "SELECT * FROM (SELECT a, row_number() OVER (ORDER BY b) AS rn "
-        "FROM t) WHERE rn <= 3 ORDER BY a LIMIT 5",
+        "SELECT * FROM (SELECT a, row_number() OVER (ORDER BY b NULLS "
+        "LAST) AS rn FROM t) WHERE rn <= 3 ORDER BY a NULLS LAST LIMIT 5",
     ),
     # direct window call -> hidden column + * EXCEPT
     (
         "SELECT a, b FROM t QUALIFY row_number() "
         "OVER (PARTITION BY a ORDER BY b) = 1",
         "SELECT * EXCEPT(__otx_qualify) FROM (SELECT a, b, (row_number() "
-        "OVER (PARTITION BY a ORDER BY b) = 1) AS __otx_qualify FROM t) "
-        "WHERE __otx_qualify",
+        "OVER (PARTITION BY a ORDER BY b NULLS LAST) = 1) AS __otx_qualify "
+        "FROM t) WHERE __otx_qualify",
     ),
 ]
 
@@ -332,7 +334,7 @@ def test_qualify_inside_cte_scopes_to_its_select(mode):
     )
     norm = " ".join(out.split())
     assert norm.startswith("WITH x AS (SELECT * FROM (SELECT a,")
-    assert norm.endswith("WHERE r < 10 ) SELECT * FROM x ORDER BY a")
+    assert norm.endswith("WHERE r < 10 ) SELECT * FROM x ORDER BY a NULLS LAST")
 
 
 @pytest.mark.parametrize("mode", ["regex", "ast"])
@@ -411,8 +413,9 @@ def test_fetch_with_ties_lowers_through_qualify(mode):
         "SELECT a, b FROM t ORDER BY b DESC, a FETCH FIRST 10 ROWS WITH TIES",
         mode=mode,
     )
-    assert "RANK() OVER (ORDER BY b DESC, a) <= 10" in out
-    assert out.rstrip().endswith("ORDER BY b DESC, a")
+    assert ("RANK() OVER (ORDER BY b DESC NULLS FIRST, a NULLS LAST) "
+            "<= 10") in out
+    assert out.rstrip().endswith("ORDER BY b DESC NULLS FIRST, a NULLS LAST")
     assert "FETCH" not in out and "QUALIFY" not in out
 
 
@@ -613,7 +616,8 @@ def test_select_into_lowered(mode):
 @pytest.mark.parametrize("mode", ["regex", "ast"])
 def test_order_using_lowered(mode):
     out = rewrite("SELECT a FROM t ORDER BY a USING >, b USING <", mode=mode)
-    assert out == "SELECT a FROM t ORDER BY a DESC, b ASC"
+    assert out == ("SELECT a FROM t ORDER BY a DESC NULLS FIRST, "
+                   "b ASC NULLS LAST")
     # JOIN ... USING(...) untouched
     src = "SELECT * FROM a JOIN b USING (k)"
     assert rewrite(src, mode=mode) == src
@@ -658,3 +662,62 @@ def test_between_symmetric_lowered(mode):
     # plain BETWEEN untouched
     src = "SELECT x BETWEEN 1 AND 2 FROM t"
     assert rewrite(src, mode=mode) == src
+
+
+# --- PG null-ordering defaults (shared post-pass, both modes) ----------------
+
+
+NULL_ORDER_CASES = [
+    # clause-level: implicit ASC and explicit DESC get PG's defaults
+    ("SELECT * FROM t ORDER BY a LIMIT 3",
+     "SELECT * FROM t ORDER BY a NULLS LAST LIMIT 3"),
+    ("SELECT * FROM t ORDER BY a DESC, b ASC, c",
+     "SELECT * FROM t ORDER BY a DESC NULLS FIRST, b ASC NULLS LAST, "
+     "c NULLS LAST"),
+    # explicit NULLS specs are preserved verbatim
+    ("SELECT * FROM t ORDER BY a NULLS FIRST, b DESC NULLS LAST",
+     "SELECT * FROM t ORDER BY a NULLS FIRST, b DESC NULLS LAST"),
+    # window-spec ORDER BY, frame keyword terminates the item list
+    ("SELECT row_number() OVER (PARTITION BY p ORDER BY k DESC "
+     "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rn FROM t",
+     "SELECT row_number() OVER (PARTITION BY p ORDER BY k DESC NULLS FIRST "
+     "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rn FROM t"),
+    # WITHIN GROUP is exempt (Spark rejects NULLS specs there)
+    ("SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) FROM t",
+     "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) FROM t"),
+    # nested subquery clause and outer clause both rewritten
+    ("SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 5) ORDER BY a DESC",
+     "SELECT * FROM (SELECT a FROM t ORDER BY a NULLS LAST LIMIT 5) "
+     "ORDER BY a DESC NULLS FIRST"),
+    # parenthesized / computed sort keys; set-op keyword terminates
+    ("SELECT * FROM t ORDER BY (a + b) DESC, coalesce(c, d)",
+     "SELECT * FROM t ORDER BY (a + b) DESC NULLS FIRST, "
+     "coalesce(c, d) NULLS LAST"),
+    ("SELECT a FROM t ORDER BY a UNION ALL SELECT b FROM u",
+     "SELECT a FROM t ORDER BY a NULLS LAST UNION ALL SELECT b FROM u"),
+    # ORDER BY inside a string literal untouched
+    ("SELECT 'ORDER BY x' AS s FROM t ORDER BY a",
+     "SELECT 'ORDER BY x' AS s FROM t ORDER BY a NULLS LAST"),
+]
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+@pytest.mark.parametrize("src,expected", NULL_ORDER_CASES)
+def test_pg_null_ordering_defaults(mode, src, expected):
+    out = rewrite(src, mode=mode)
+    assert out == expected, out
+    # idempotent: a second pass changes nothing
+    assert rewrite(out, mode=mode) == out
+
+
+def test_pg_null_ordering_on_spark(spark):
+    """End-to-end: nullable sort key under LIMIT returns PG's row set in
+    both directions (ASC drops nulls to the tail, DESC leads with them)."""
+    asc = spark.sql(rewrite(
+        "SELECT k FROM VALUES (1), (NULL), (2), (NULL) t(k) "
+        "ORDER BY k LIMIT 2"))
+    assert [r.k for r in asc.collect()] == [1, 2]
+    desc = spark.sql(rewrite(
+        "SELECT k FROM VALUES (1), (NULL), (2), (NULL) t(k) "
+        "ORDER BY k DESC LIMIT 2"))
+    assert [r.k for r in desc.collect()] == [None, None]

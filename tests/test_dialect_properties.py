@@ -8,7 +8,7 @@ import re
 
 from hypothesis import assume, given, settings, strategies as st
 
-from otterbrix_spark.dialect import rewrite
+from otterbrix_spark.dialect import apply_pg_null_ordering, rewrite
 from otterbrix_spark.functions.strings import like_to_regex
 
 # identifier-ish / SQL-ish fragments that contain none of the PG operators
@@ -30,7 +30,10 @@ def test_plain_sql_passes_through(atoms):
     # `<operand> - '<literal>'` is no longer plain SQL: the dialect defines
     # it as jsonb delete (PG's jsonb - text), covered by its own tests
     assume(not re.search(r"[\w)]\s*-\s*'", sql))
-    assert rewrite(sql) == sql
+    # the ONLY sanctioned transformation of plain Spark SQL is the PG
+    # null-ordering default pass (ORDER BY items gain an explicit NULLS
+    # spec); everything else must pass through byte-identical
+    assert rewrite(sql) == apply_pg_null_ordering(sql)
 
 
 @given(st.text(alphabet=st.characters(blacklist_characters="'\x00"), max_size=40))

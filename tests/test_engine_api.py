@@ -237,3 +237,85 @@ def test_explain_runs_through_dialect(spark, sf_dir):
     ).collect()
     text = "\n".join(r.plan for r in rows)
     assert "RLIKE" in text or "rlike" in text.lower()
+
+
+# --- parser extensions (reference components/sql/parser/extension.hpp) -------
+
+
+def _demo_claim(spark):
+    """The reference's demo extension: `DEMO <arith>` evaluates the
+    expression (test_parser_extension.cpp checks 1+20=21 and that
+    2+3*4=14 keeps real precedence)."""
+    import re
+
+    def claim(sql):
+        m = re.match(r"^\s*DEMO\s+(.+?)\s*;?\s*$", sql, re.DOTALL)
+        if m is None:
+            return None
+        return spark.sql(f"SELECT ({m.group(1)}) AS result")
+
+    return claim
+
+
+def test_parser_extension_claim_and_pass(spark, sf_dir):
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    # without the extension, DEMO is rejected (nobody claims)
+    with pytest.raises(Exception):
+        eng.sql("DEMO 1 + 20").collect()
+    eng.register_extension("demo", _demo_claim(spark))
+    assert eng.sql("DEMO 1 + 20").collect()[0].result == 21
+    # precedence is the claimer's own (here: real SQL precedence)
+    assert eng.sql("DEMO 2 + 3 * 4").collect()[0].result == 14
+    # non-matching statements PASS through to the built-in parser
+    assert eng.sql("SELECT 40 + 2 AS v").collect()[0].v == 42
+    # unregister restores the original rejection
+    eng.unregister_extension("demo")
+    with pytest.raises(Exception):
+        eng.sql("DEMO 1 + 20").collect()
+    with pytest.raises(KeyError):
+        eng.unregister_extension("demo")
+
+
+def test_parser_extension_is_per_instance(spark):
+    from otterbrix_spark.engine import Engine
+
+    eng_a, eng_b = Engine(spark), Engine(spark)
+    eng_a.register_extension("demo", _demo_claim(spark))
+    assert eng_a.sql("DEMO 1 + 20").collect()[0].result == 21
+    with pytest.raises(Exception):
+        eng_b.sql("DEMO 1 + 20").collect()
+
+
+def test_parser_extension_ordering_first_claim_wins(spark):
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_extension(
+        "first", lambda s: spark.sql("SELECT 'first' AS who")
+        if s.startswith("WHO") else None)
+    eng.register_extension(
+        "second", lambda s: spark.sql("SELECT 'second' AS who")
+        if s.startswith("WHO") else None)
+    assert eng.sql("WHO AM I").collect()[0].who == "first"
+    eng.unregister_extension("first")
+    assert eng.sql("WHO AM I").collect()[0].who == "second"
+
+
+def test_parser_extension_claim_error_surfaces(spark):
+    """A claim that RECOGNIZES the statement but fails mid-transform
+    surfaces its error (the reference's transform-phase failure) — it
+    must not be silently passed to the built-in parser."""
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+
+    def bad_claim(sql):
+        if sql.startswith("BOOM"):
+            raise ValueError("extension transform failed")
+        return None
+
+    eng.register_extension("boom", bad_claim)
+    with pytest.raises(ValueError, match="transform failed"):
+        eng.sql("BOOM now")
