@@ -122,29 +122,29 @@ def main() -> None:
 
     names = sorted(headline)
 
-    # prepared plans (round-10, per VERDICT r9 #5): the batch reuses ONE
-    # analyzed DataFrame per query — the deployment shape for a repeated
-    # batch (a server caches the resolved/adaptive plan exactly like a
-    # prepared statement; re-execution reruns the JOBS, not the
-    # analyzer). Profiling showed fresh-construction collects pay
-    # 0.2-0.7s/query in Catalyst analysis + AQE re-planning vs
-    # 0.03-0.18s re-executing the finalized plan — pure fixed driver
-    # overhead at bench scale, amortized to zero on a cluster. The
-    # sequential metric above intentionally KEEPS per-rep construction
-    # (end-to-end latency incl. planning, cross-round comparable); the
-    # materializing collect below finalizes each adaptive plan once.
-    prepared = {n: headline[n].spark_fn(spark, sf_dir) for n in names}
-    for df in prepared.values():
-        df.collect()
-
-    def _run_one(name: str) -> None:
-        prepared[name].collect()
-
+    # prepared plans (round-10, per VERDICT r9 #5): each rep builds
+    # FRESH DataFrames and forces Catalyst analysis + physical planning
+    # OUTSIDE the timer — the prepared-statement deployment shape (plan
+    # once, then execute) — while the timed collect runs the COMPLETE
+    # job: fresh RDD instances per rep, so no stage is skipped and every
+    # scan/shuffle re-executes. The obvious-looking alternative
+    # (re-collect ONE DataFrame object across reps) was measured and
+    # REJECTED: Spark registers the first execution's shuffle outputs
+    # and skips those stages on re-submission of the same plan instance,
+    # so that pass times a partial re-execution (0.50s vs 1.19s for the
+    # full-execution form on the same quiet host) — a benchmark artifact,
+    # not deployment behaviour. The sequential metric above keeps
+    # per-rep construction inside the timer (end-to-end latency incl.
+    # planning, cross-round comparable).
     concurrent_best = float("inf")
     for _ in range(3):
+        fresh = {n: headline[n].spark_fn(spark, sf_dir) for n in names}
+        for df in fresh.values():
+            df._jdf.queryExecution().executedPlan()
+
         start = time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(names)) as ex:
-            list(ex.map(_run_one, names))
+            list(ex.map(lambda n: fresh[n].collect(), names))
         concurrent_best = min(concurrent_best, time.perf_counter() - start)
     concurrent_best = round(concurrent_best, 4)
 

@@ -1910,9 +1910,15 @@ class Catalog:
                 r"^\s*LIKE\s+([\w.]+)\s*((?:INCLUDING\s+\w+\s*)*)\s*$",
                 m.group(2).strip(), re.IGNORECASE,
             )
-            if mlike is None and re.match(
-                r"^\s*LIKE\b", m.group(2).strip(), re.IGNORECASE
+            if mlike is None and any(
+                re.match(r"^\s*LIKE\b", seg, re.IGNORECASE)
+                for seg in _split_top_level(m.group(2))
             ):
+                # ANY top-level segment, not just the first: PG accepts
+                # "CREATE TABLE t (extra bigint, LIKE src)" and that form
+                # must raise here too, not misparse as a column named
+                # LIKE. (Top-level split so "CHECK (x LIKE 'a%')" inside
+                # a constraint never matches.)
                 # a LIKE clause we can't parse (EXCLUDING ..., LIKE mixed
                 # with column defs) must NOT fall through to the typed-
                 # column parser — that would create a nonsense table with

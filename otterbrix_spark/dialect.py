@@ -1075,10 +1075,30 @@ def _null_default_item(item: str) -> str:
     return core + " NULLS LAST" + tail
 
 
+# quoted tokens the shared single-quote protector does not cover: a
+# backtick identifier or a double-quoted token may contain a stop word
+# ("ORDER BY `rows`") and must be opaque to the item scanner
+_QUOTED_TOK = re.compile(r'`[^`]*`|"(?:[^"]|"")*"')
+
+
 def apply_pg_null_ordering(sql: str) -> str:
     """Make every ORDER BY follow PG's null-placement defaults. Operates
     on finished Spark SQL; idempotent (explicit specs are preserved)."""
     body, lits = _protect_strings(sql)
+    return _restore_strings(_null_ordering_protected(body), lits)
+
+
+def _null_ordering_protected(body: str) -> str:
+    """The null-ordering scan over text whose single-quoted literals are
+    already stashed (the form both rewrite() paths hold internally —
+    exposing it saves a redundant restore/re-protect round trip)."""
+    quoted: list[str] = []
+
+    def _stash(m: re.Match) -> str:
+        quoted.append(m.group(0))
+        return f"\x01{len(quoted) - 1}\x01"
+
+    body = _QUOTED_TOK.sub(_stash, body)
     # rightmost-first: edits never move the start of a match to their
     # left, and nested clauses (subquery in a sort key) are finished —
     # inside parens, depth > 0 — before their enclosing clause is scanned
@@ -1106,7 +1126,14 @@ def apply_pg_null_ordering(sql: str) -> str:
                     break
                 elif ch.isalpha() or ch == "_":
                     w = _WORD_RE.match(body, i)
-                    if w.group(0).upper() in _SORT_STOP:
+                    # a stop word terminates the clause only AFTER at
+                    # least one sort item: as the first token of an item
+                    # it can only be a column literally named rows/limit/
+                    # sort/..., so it is consumed as the sort key
+                    if (
+                        w.group(0).upper() in _SORT_STOP
+                        and body[item_start:i].strip()
+                    ):
                         break
                     i = w.end()
                     continue
@@ -1114,7 +1141,7 @@ def apply_pg_null_ordering(sql: str) -> str:
         pieces.append((item_start, i))
         new_items = [_null_default_item(body[a:b]) for a, b in pieces]
         body = body[: m.end()] + ",".join(new_items) + body[i:]
-    return _restore_strings(body, lits)
+    return re.sub("\x01(\\d+)\x01", lambda m: quoted[int(m.group(1))], body)
 
 
 def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str:
@@ -1458,4 +1485,4 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
         scanned_regex(lambda l, t: f"{l} RLIKE {t}"), extend_casts=True,
     )
 
-    return apply_pg_null_ordering(_restore_strings(body, lits))
+    return _restore_strings(_null_ordering_protected(body), lits)

@@ -74,20 +74,23 @@ class Engine:
         sequentially (reference operator_sequence/operator_batch); the last
         statement's cursor is returned.
         """
+        # parser extensions get the RAW statement first — BEFORE the
+        # semicolon splitter, so a custom grammar containing ';' sees the
+        # full text (the reference tries registered extensions before its
+        # built-in PG parser, extension.hpp). First claim wins, a pass
+        # falls through, and a parse failure surfaces only if nobody —
+        # extension or built-in — claims. Snapshot the claim list: a
+        # claim fn may (un)register extensions mid-claim.
+        for claim in list(self._extensions.values()):
+            claimed = claim(sql)
+            if claimed is not None:
+                return Cursor(claimed)
         statements = _split_statements(sql)
         if len(statements) > 1:
             cur = None
             for stmt in statements:
                 cur = self.execute_sql(stmt, *params)
             return cur
-        # parser extensions get the RAW statement first (the reference
-        # tries registered extensions before its built-in PG parser); the
-        # first claim wins, a pass falls through, and a parse failure
-        # surfaces only if nobody — extension or built-in — claims
-        for claim in self._extensions.values():
-            claimed = claim(sql)
-            if claimed is not None:
-                return Cursor(claimed)
         handled = self._prepared_statement(sql, params)
         if handled is not None:
             return handled

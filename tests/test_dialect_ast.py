@@ -721,3 +721,35 @@ def test_pg_null_ordering_on_spark(spark):
         "SELECT k FROM VALUES (1), (NULL), (2), (NULL) t(k) "
         "ORDER BY k DESC LIMIT 2"))
     assert [r.k for r in desc.collect()] == [None, None]
+
+
+NULL_ORDER_EDGE_CASES = [
+    # quoted identifiers containing stop words are opaque tokens
+    ("SELECT * FROM t ORDER BY `rows`",
+     "SELECT * FROM t ORDER BY `rows` NULLS LAST"),
+    ('SELECT * FROM t ORDER BY "limit" DESC',
+     'SELECT * FROM t ORDER BY "limit" DESC NULLS FIRST'),
+    # a double-quoted literal in the select list must survive verbatim
+    ('SELECT a || "limit one" AS s FROM t ORDER BY a',
+     'SELECT a || "limit one" AS s FROM t ORDER BY a NULLS LAST'),
+    # a bare column NAMED like a stop word: first token of an item is
+    # always the sort key, the stop word only terminates a later item
+    ("SELECT * FROM t ORDER BY sort",
+     "SELECT * FROM t ORDER BY sort NULLS LAST"),
+    ("SELECT * FROM t ORDER BY sort LIMIT 5",
+     "SELECT * FROM t ORDER BY sort NULLS LAST LIMIT 5"),
+    ("SELECT * FROM t ORDER BY a, limit DESC",
+     "SELECT * FROM t ORDER BY a NULLS LAST, limit DESC NULLS FIRST"),
+    ("SELECT row_number() OVER (ORDER BY rows ROWS BETWEEN UNBOUNDED "
+     "PRECEDING AND CURRENT ROW) AS rn FROM t",
+     "SELECT row_number() OVER (ORDER BY rows NULLS LAST ROWS BETWEEN "
+     "UNBOUNDED PRECEDING AND CURRENT ROW) AS rn FROM t"),
+]
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+@pytest.mark.parametrize("src,expected", NULL_ORDER_EDGE_CASES)
+def test_pg_null_ordering_edge_cases(mode, src, expected):
+    out = rewrite(src, mode=mode)
+    assert out == expected, out
+    assert rewrite(out, mode=mode) == out

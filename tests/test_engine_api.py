@@ -319,3 +319,42 @@ def test_parser_extension_claim_error_surfaces(spark):
     eng.register_extension("boom", bad_claim)
     with pytest.raises(ValueError, match="transform failed"):
         eng.sql("BOOM now")
+
+
+def test_parser_extension_sees_raw_semicolon_statement(spark):
+    """Extensions receive the statement BEFORE the semicolon splitter —
+    a custom grammar containing ';' sees the full text (reference:
+    extensions run before the built-in parser on the raw query)."""
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    seen = []
+
+    def claim(sql):
+        seen.append(sql)
+        if sql.startswith("DEFINE"):
+            return spark.sql("SELECT 'claimed' AS v")
+        return None
+
+    eng.register_extension("multi", claim)
+    assert eng.sql("DEFINE a; b END").collect()[0].v == "claimed"
+    assert seen[0] == "DEFINE a; b END"
+
+
+def test_parser_extension_may_unregister_itself(spark):
+    """A claim fn that mutates the extension registry mid-claim must not
+    crash the dispatch loop (snapshot iteration)."""
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+
+    def one_shot(sql):
+        if sql.startswith("ONCE"):
+            eng.unregister_extension("one_shot")
+            return spark.sql("SELECT 1 AS fired")
+        return None
+
+    eng.register_extension("one_shot", one_shot)
+    assert eng.sql("ONCE").collect()[0].fired == 1
+    with pytest.raises(Exception):
+        eng.sql("ONCE").collect()  # gone now

@@ -1657,3 +1657,24 @@ def test_advice_r9_fixes(engine):
         "WHERE c.relname = 'adv_oid'").collect()}
     assert set(after) == set(before) - {"adv_oid_con1"}
     assert all(after[k] == before[k] for k in after)
+
+
+def test_create_table_like_mixed_with_columns_raises(engine):
+    """PG accepts LIKE alongside column definitions; this engine does
+    not — but it must RAISE the clear unsupported error wherever the
+    LIKE sits in the column list, never misparse a column named LIKE.
+    A CHECK body containing the word LIKE must NOT trip the guard."""
+    import pytest as _pytest
+
+    eng = engine
+    eng.sql("DROP TABLE IF EXISTS lkm_src")
+    eng.sql("CREATE TABLE lkm_src (k bigint)")
+    with _pytest.raises(ValueError, match="LIKE"):
+        eng.sql("CREATE TABLE lkm_bad (extra bigint, LIKE lkm_src)")
+    assert "lkm_bad" not in eng.catalog.tables
+    # LIKE inside a constraint body is fine
+    eng.sql("DROP TABLE IF EXISTS lkm_ok")
+    eng.sql("CREATE TABLE lkm_ok (s string, CHECK (s LIKE 'a%'))")
+    eng.sql("INSERT INTO lkm_ok VALUES ('abc')")
+    with _pytest.raises(Exception):
+        eng.sql("INSERT INTO lkm_ok VALUES ('zzz')")
