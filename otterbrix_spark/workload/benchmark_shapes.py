@@ -7998,8 +7998,13 @@ def ds58(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
+    # no broadcast hints on orders/part/cross_items: all three scale
+    # with the corpus (the 25x probe on b20 showed a forced fact-sized
+    # broadcast is a scale-killer); AQE broadcasts them at bench scale
+    # on its own and shuffles at cluster scale. Only the 1-row threshold
+    # below keeps an explicit hint.
     lo = li.join(
-        F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+        orders.select("o_orderkey", "o_orderpriority"),
         li["l_orderkey"] == F.col("o_orderkey"),
     ).select(
         "l_partkey", "o_orderpriority",
@@ -8017,9 +8022,9 @@ def ds58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     brand_sales = (
-        lo.join(F.broadcast(cross_items), "l_partkey", "left_semi")
+        lo.join(cross_items, "l_partkey", "left_semi")
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             lo["l_partkey"] == F.col("p_partkey"),
         )
         .groupBy("p_brand")
@@ -8104,10 +8109,9 @@ ORDER BY suppkey, mth
 def ds59(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # orders scales with the fact — no broadcast hint, AQE decides
     lo = li.join(
-        F.broadcast(
-            orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
-        ),
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
         li["l_orderkey"] == F.col("o_orderkey"),
     ).select(
         "l_suppkey",
@@ -8388,15 +8392,21 @@ def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = region.filter(F.col("r_name").isin("EUROPE", "AMERICA")).select(
         F.col("r_regionkey").alias("r2_key"), F.col("r_name").alias("r2_name")
     )
+    # broadcast hints ONLY on the bounded dims (nation 25 rows, region
+    # 5): part/supplier/orders/customer all scale with the corpus, and
+    # hard-broadcasting them is exactly the 100 TB scale-killer the 25x
+    # probe caught in this gate's first version (29.6x wall ratio from a
+    # forced fact-sized broadcast of orders+customer; AQE picks BHJ for
+    # them at bench scale on its own and SMJ at cluster scale)
     joined = (
         l1.join(l2, (F.col("okey") == F.col("okey2"))
                 & (F.col("line1") != F.col("line2")))
-        .join(F.broadcast(p1), F.col("pk1") == F.col("p1_key"))
-        .join(F.broadcast(p2), F.col("pk2") == F.col("p2_key"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")),
+        .join(p1, F.col("pk1") == F.col("p1_key"))
+        .join(p2, F.col("pk2") == F.col("p2_key"))
+        .join(supp.select("s_suppkey", "s_name", "s_nationkey"),
               F.col("sk1") == F.col("s_suppkey"))
-        .join(F.broadcast(o), F.col("okey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+        .join(o, F.col("okey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_name", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -8410,4 +8420,128 @@ def b20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_name").alias("min_cust"),
         F.min("r2_name").alias("min_supp_region"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+# --- ds60: TPC-DS Q88 — time-slot census (8 scalar counts, one row) ----------
+# Q88 (`benchmark/tpcds/query88.tpl`) cross-joins EIGHT independent
+# scalar-count subqueries — one per half-hour slot, all sharing the same
+# demographic disjunction — into a single wide row. Executed literally
+# that is 8 full fact scans; the Spark-first lowering collapses them
+# into ONE scan with 8 conditional aggregates (count of CASE WHEN slot),
+# which is the plan a 100 TB deployment needs (the slot predicate is a
+# projection of the same row, so the census is map-side-combinable in a
+# single pass). The oracle replays the identical conditional-agg form.
+
+_DS60_ORACLE = """
+SELECT
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) IN (6, 7)   THEN 1 ELSE 0 END)
+       AS BIGINT) AS h06_08,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) IN (8, 9)   THEN 1 ELSE 0 END)
+       AS BIGINT) AS h08_10,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) IN (10, 11) THEN 1 ELSE 0 END)
+       AS BIGINT) AS h10_12,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) IN (12, 13) THEN 1 ELSE 0 END)
+       AS BIGINT) AS h12_14,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) IN (14, 15) THEN 1 ELSE 0 END)
+       AS BIGINT) AS h14_16,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) IN (16, 17) THEN 1 ELSE 0 END)
+       AS BIGINT) AS h16_18,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) IN (18, 19) THEN 1 ELSE 0 END)
+       AS BIGINT) AS h18_20,
+  CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) IN (20, 21) THEN 1 ELSE 0 END)
+       AS BIGINT) AS h20_22
+FROM events
+WHERE event_type = 'purchase'
+  AND (user_id % 5 = 0 OR user_id % 7 = 0)
+"""
+
+
+@query(
+    "ds60_time_slot_census", _DS60_ORACLE,
+    doc="TPC-DS Q88 shape: eight time-slot scalar counts sharing one "
+        "disjunctive filter, collapsed from 8 cross-joined subqueries "
+        "into ONE conditional-aggregate scan (the 100 TB plan)",
+)
+def ds60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour(F.col("ts"))
+
+    def slot(h0: int, name: str):
+        return F.sum(
+            F.when(hour.isin(h0, h0 + 1), 1).otherwise(0)
+        ).cast("long").alias(name)
+
+    return (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & ((F.col("user_id") % 5 == 0) | (F.col("user_id") % 7 == 0))
+        )
+        .agg(
+            slot(6, "h06_08"), slot(8, "h08_10"), slot(10, "h10_12"),
+            slot(12, "h12_14"), slot(14, "h14_16"), slot(16, "h16_18"),
+            slot(18, "h18_20"), slot(20, "h20_22"),
+        )
+    )
+
+
+# --- ds61: TPC-DS Q34/Q73 — band HAVING then rejoin the dimension -------------
+# Q34/Q73 (`benchmark/tpcds/query34.tpl`): group the fact to per-ticket
+# counts, keep only groups whose count falls in a BAND (HAVING BETWEEN),
+# then join the survivors BACK to the customer dimension for the detail
+# row. The topology piece: a grouped HAVING-band feeding a join whose
+# left side is the aggregate output (small after the band filter), so
+# the rejoin broadcasts the SURVIVORS, not the dimension. Mapped: orders
+# whose count of bulk lines (quantity >= 10) lands in [5, 7], under a
+# priority disjunction, rejoined to customer.
+
+_DS61_ORACLE = """
+WITH banded AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem WHERE l_quantity >= 10
+  GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 5 AND 7)
+SELECT c.c_name, c.c_mktsegment, b.l_orderkey AS orderkey, b.cnt
+FROM banded b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '5-LOW'
+ORDER BY orderkey
+"""
+
+
+@query(
+    "ds61_band_having_rejoin", _DS61_ORACLE,
+    doc="TPC-DS Q34/Q73 shape: per-group count banded in HAVING "
+        "(BETWEEN), survivors rejoined to orders + customer for the "
+        "detail rows — AQE broadcasts the post-band survivors when small",
+)
+def ds61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    banded = (
+        li.filter(F.col("l_quantity") >= 10)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt").between(5, 7))
+    )
+    o = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        | (F.col("o_orderpriority") == "5-LOW")
+    ).select("o_orderkey", "o_custkey")
+    # the post-band survivor set is small at any one band but still
+    # scales with order cardinality — no hard hint, AQE broadcasts it
+    # when it measures small (which it does at every bench SF)
+    return (
+        banded
+        .join(o, banded["l_orderkey"] == o["o_orderkey"])
+        .join(
+            cust.select("c_custkey", "c_name", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name", "c_mktsegment",
+            F.col("l_orderkey").alias("orderkey"), "cnt",
+        )
+        .orderBy("orderkey")
     )
