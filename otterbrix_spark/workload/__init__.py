@@ -109,9 +109,9 @@ _FRONT_WINDOW = [
     "ds58_cross_channel_intersect", "ds59_cumulative_window_cross",
     "c29_minute_sessions", "c30_referrer_classify",
     "b20_long_chain_stars",
-    # re-samples: keep high-value operator families warm in the window
+    "ds60_time_slot_census", "ds61_band_having_rejoin",
+    # re-samples: keep the bench headliners warm in the window
     "d01_dedup_exact", "d04_minhash_signature", "e01_knn_brute",
-    "s23_streaming_full_outer", "h05_mvcc_time_travel",
 ]
 
 
