@@ -2601,6 +2601,49 @@ class Catalog:
            "table_schema STRING, table_name STRING, column_name STRING, "
            "ordinal_position INT, data_type STRING, is_nullable STRING"
            ).createOrReplaceTempView("information_schema__columns")
+        # key_column_usage + referential_constraints: the SQL-standard FK
+        # discovery surface ORMs/migration tools read (PG information_schema
+        # ch. 37) — key columns of every PK/UNIQUE/FK constraint, and the
+        # FK -> referenced-unique-constraint mapping with its action rules
+        kcu = []
+        refcons = []
+        for t, lst in sorted(self.table_constraints.items()):
+            uniq_by_cols: dict[tuple, str] = {}
+            for c in lst:
+                if c["kind"] == "unique":
+                    uniq_by_cols[tuple(c["cols"])] = c["name"]
+                    for pos, col in enumerate(c["cols"], 1):
+                        kcu.append(("otterbrix", "public", c["name"],
+                                    t, col, pos))
+            for c in lst:
+                if c["kind"] != "fk":
+                    continue
+                kcu.append(("otterbrix", "public", c["name"],
+                            t, c["child_key"], 1))
+                parent_cons = self.table_constraints.get(c["parent"], [])
+                uniq_name = next(
+                    (pc["name"] for pc in parent_cons
+                     if pc["kind"] == "unique"
+                     and pc["cols"] == [c["parent_key"]]),
+                    None,
+                )
+                refcons.append((
+                    "otterbrix", "public", c["name"], uniq_name,
+                    "NO ACTION",
+                    "CASCADE" if c.get("on_delete") == "cascade"
+                    else "RESTRICT",
+                ))
+        mk(kcu,
+           "constraint_catalog STRING, constraint_schema STRING, "
+           "constraint_name STRING, table_name STRING, column_name STRING, "
+           "ordinal_position INT"
+           ).createOrReplaceTempView("information_schema__key_column_usage")
+        mk(refcons,
+           "constraint_catalog STRING, constraint_schema STRING, "
+           "constraint_name STRING, unique_constraint_name STRING, "
+           "update_rule STRING, delete_rule STRING"
+           ).createOrReplaceTempView(
+               "information_schema__referential_constraints")
 
     def handles(self, sql: str) -> bool:
         if self._PG_CATALOG_RE.search(sql):

@@ -110,8 +110,9 @@ _FRONT_WINDOW = [
     "c29_minute_sessions", "c30_referrer_classify",
     "b20_long_chain_stars",
     "ds60_time_slot_census", "ds61_band_having_rejoin",
+    "x17_fk_discovery",
     # re-samples: keep the bench headliners warm in the window
-    "d01_dedup_exact", "d04_minhash_signature", "e01_knn_brute",
+    "d01_dedup_exact", "d04_minhash_signature",
 ]
 
 

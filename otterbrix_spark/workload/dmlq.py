@@ -1383,3 +1383,64 @@ def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain SQL still routes through the built-in parser on this engine
     assert eng.sql("SELECT 1 AS one").collect()[0].one == 1
     return eng.sql("COUNT_BY orders o_orderpriority")
+
+
+# --- x17: information_schema FK discovery (key_column_usage + ---------------
+# referential_constraints). The SQL-standard surface ORMs and migration
+# tools use to discover key structure (PG information_schema ch. 37):
+# key columns of every PK/UNIQUE/FK constraint with ordinal positions,
+# and the FK -> referenced-unique-constraint mapping with action rules.
+# The gate builds a two-table keyed schema (composite PK, UNIQUE, FK
+# with ON DELETE CASCADE) and reads the joined discovery surface; the
+# oracle replays the expected literal rows.
+
+_X17_ORACLE = """
+SELECT * FROM (VALUES
+  ('x17_child_fk',  'x17_child',   'parent_k', 1, 'k_key',
+   'CASCADE'),
+  ('x17_child_u',   'x17_child',   'tag',      1, NULL, NULL),
+  ('x17_parent_pk', 'x17_parent',  'k1',       1, NULL, NULL),
+  ('x17_parent_pk', 'x17_parent',  'k2',       2, NULL, NULL),
+  ('k_key',          'x17_uparent', 'k',      1, NULL, NULL)
+) AS t(constraint_name, table_name, column_name, ordinal_position,
+       unique_constraint_name, delete_rule)
+ORDER BY constraint_name, ordinal_position
+"""
+
+
+@query(
+    "x17_fk_discovery", _X17_ORACLE,
+    doc="information_schema.key_column_usage + referential_constraints "
+        "over live engine state: composite-PK ordinals, UNIQUE keys, FK "
+        "-> referenced-constraint mapping with delete_rule (the ORM/"
+        "migration-tool discovery surface)",
+)
+def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    for t in ("x17_child", "x17_parent"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+    eng.sql("DROP TABLE IF EXISTS x17_uparent")
+    eng.sql("CREATE TABLE x17_parent (k1 BIGINT, k2 BIGINT, "
+            "CONSTRAINT x17_parent_pk PRIMARY KEY (k1, k2))")
+    # the FK references a SINGLE-column unique parent key (the engine's
+    # FK form), whose column-level auto-derived constraint name is k_key
+    eng.sql("CREATE TABLE x17_uparent (k BIGINT UNIQUE)")
+    eng.sql("CREATE TABLE x17_child (id BIGINT, parent_k BIGINT, "
+            "tag BIGINT, "
+            "CONSTRAINT x17_child_u UNIQUE (tag), "
+            "CONSTRAINT x17_child_fk FOREIGN KEY (parent_k) "
+            "REFERENCES x17_uparent (k) ON DELETE CASCADE)")
+    return eng.sql(
+        "SELECT k.constraint_name, k.table_name, k.column_name, "
+        "       k.ordinal_position, r.unique_constraint_name, "
+        "       r.delete_rule "
+        "FROM information_schema.key_column_usage k "
+        "LEFT JOIN information_schema.referential_constraints r "
+        "  ON r.constraint_name = k.constraint_name "
+        "WHERE k.table_name IN "
+        "  ('x17_parent', 'x17_child', 'x17_uparent') "
+        "ORDER BY k.constraint_name, k.ordinal_position"
+    )

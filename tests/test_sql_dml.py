@@ -1678,3 +1678,39 @@ def test_create_table_like_mixed_with_columns_raises(engine):
     eng.sql("INSERT INTO lkm_ok VALUES ('abc')")
     with _pytest.raises(Exception):
         eng.sql("INSERT INTO lkm_ok VALUES ('zzz')")
+
+
+def test_information_schema_fk_discovery(engine):
+    """key_column_usage + referential_constraints reflect live
+    constraint state: composite-PK ordinals, FK -> referenced unique
+    constraint with delete_rule, and rows disappear with their table."""
+    eng = engine
+    for t in ("fkd_child", "fkd_parent"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+    eng.sql("CREATE TABLE fkd_parent (a bigint, b bigint, "
+            "CONSTRAINT fkd_pk PRIMARY KEY (a, b))")
+    eng.sql("CREATE TABLE fkd_child (x bigint UNIQUE, pa bigint, "
+            "CONSTRAINT fkd_fk FOREIGN KEY (pa) REFERENCES fkd_parent (a))")
+    kcu = [tuple(r) for r in eng.sql(
+        "SELECT constraint_name, table_name, column_name, ordinal_position "
+        "FROM information_schema.key_column_usage "
+        "WHERE table_name LIKE 'fkd%' "
+        "ORDER BY constraint_name, ordinal_position").collect()]
+    assert kcu == [
+        ("fkd_fk", "fkd_child", "pa", 1),
+        ("fkd_pk", "fkd_parent", "a", 1),
+        ("fkd_pk", "fkd_parent", "b", 2),
+        ("x_key", "fkd_child", "x", 1),
+    ]
+    rc = [tuple(r) for r in eng.sql(
+        "SELECT constraint_name, unique_constraint_name, delete_rule "
+        "FROM information_schema.referential_constraints "
+        "WHERE constraint_name = 'fkd_fk'").collect()]
+    # fkd_fk references parent column a, whose unique constraint is the
+    # COMPOSITE pk — no single-column unique matches, so the mapping is
+    # NULL (PG would also have no single-column unique_constraint here)
+    assert rc == [("fkd_fk", None, "RESTRICT")]
+    eng.sql("DROP TABLE fkd_child")
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM information_schema.key_column_usage "
+        "WHERE table_name = 'fkd_child'").collect()[0].n == 0
