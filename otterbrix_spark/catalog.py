@@ -431,6 +431,102 @@ def _parse_constraint_body(cname: str, body: str) -> dict:
     raise ValueError(f"unsupported constraint body: {body!r}")
 
 
+# -- data-modifying CTEs (PG WITH ... AS (INSERT/UPDATE/DELETE ...)) ----------
+
+_WITH_HEAD = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
+_WITH_RECURSIVE = re.compile(r"^\s*WITH\s+RECURSIVE\b", re.IGNORECASE)
+_CTE_HEAD = re.compile(
+    r"\s*([A-Za-z_]\w*)\s*(\([\w\s,]*\))?\s*AS\s*"
+    r"(?:(?:NOT\s+)?MATERIALIZED\s*)?\(",
+    re.IGNORECASE,
+)
+_DML_HEAD = re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", re.IGNORECASE)
+_DML_TARGET = re.compile(
+    r"^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)\s+([\w.]+)",
+    re.IGNORECASE,
+)
+
+
+def _scan_balanced(text: str, i: int) -> int:
+    """``text[i]`` is '('; return the index just past its matching ')',
+    skipping single-quoted strings (with '' escapes) and double-quoted
+    identifiers."""
+    depth, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == '"':
+            i += 1
+            while i < n and text[i] != '"':
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in WITH clause")
+
+
+def _parse_with_clauses(sql: str):
+    """Parse ``WITH name [(cols)] AS ( body ) [, ...] tail`` into
+    ``([(name, collist, body), ...], tail)`` — or None if the text is not
+    a simple WITH statement this parser understands (WITH RECURSIVE is
+    the recursive-CTE operator's job, `operators/recursive.py`)."""
+    m = _WITH_HEAD.match(sql)
+    if not m or _WITH_RECURSIVE.match(sql):
+        return None
+    i, ctes = m.end(), []
+    while True:
+        mm = _CTE_HEAD.match(sql, i)
+        if not mm:
+            return None
+        open_i = mm.end() - 1
+        try:
+            close = _scan_balanced(sql, open_i)
+        except ValueError:
+            return None
+        ctes.append(
+            (mm.group(1), mm.group(2), sql[open_i + 1:close - 1].strip())
+        )
+        mc = re.compile(r"\s*,").match(sql, close)
+        if mc:
+            i = mc.end()
+            continue
+        return ctes, sql[close:].strip().rstrip(";").strip()
+
+
+def _parse_with_dml(sql: str):
+    """Return parsed (ctes, tail) iff ``sql`` is a WITH statement with at
+    least one data-modifying sub-statement (the PG wCTE form,
+    reference txn surface `components/table/transaction.hpp`); else None.
+    Plain all-SELECT WITHs stay on the spark.sql fast path."""
+    if not _WITH_HEAD.match(sql or ""):
+        return None
+    # cheap pre-check before the full scan
+    if not re.search(
+        r"AS\s*(?:(?:NOT\s+)?MATERIALIZED\s*)?\(\s*(?:INSERT|UPDATE|DELETE|MERGE)\b",
+        sql, re.IGNORECASE,
+    ):
+        return None
+    parsed = _parse_with_clauses(sql)
+    if not parsed:
+        return None
+    ctes, tail = parsed
+    if any(_DML_HEAD.match(body) for _, _, body in ctes):
+        return ctes, tail
+    return None
+
+
 class Catalog:
     """Managed-table catalog for the statement router."""
 
@@ -1373,8 +1469,135 @@ class Catalog:
                     extra=user_staged or ()
                 ).createOrReplaceTempView(name)
 
+    def _with_dml(self, ctes, tail: str) -> DataFrame:
+        """PG data-modifying CTEs: ``WITH m AS (DELETE ... RETURNING ...)
+        INSERT INTO archive SELECT * FROM m`` (PG docs 7.8.2; the
+        reference's statement surface is transactional per statement,
+        `components/table/transaction.hpp`). Semantics implemented:
+
+        - every sub-statement sees the SAME statement-start snapshot —
+          the main query reads the PRE-modification state of any table a
+          CTE writes (pinned via localCheckpoint on plain parquet; on a
+          Delta/Iceberg backing this would be a free version read — the
+          documented table-format seam);
+        - each DML CTE executes exactly once, even if unreferenced;
+          its RETURNING rows are the CTE's output;
+        - refused loudly (documented restrictions): two sub-statements
+          writing the same table (PG makes row-level double-update an
+          error; table-level is unspecified — we refuse the whole class),
+          a main DML on a CTE-written table, and a CTE name that shadows
+          a registered table.
+        """
+        written: list[str] = []
+        for _, _, body in ctes:
+            if _DML_HEAD.match(body):
+                mt = _DML_TARGET.match(body)
+                if not mt:
+                    raise ValueError(
+                        f"cannot find the target table of WITH sub-statement: {body[:60]!r}"
+                    )
+                written.append(mt.group(1))
+        if len(set(written)) != len(written):
+            raise ValueError(
+                "WITH: the same table may be modified by at most one "
+                "sub-statement per statement"
+            )
+        main_dml = _DML_HEAD.match(tail)
+        if main_dml:
+            mt = _DML_TARGET.match(tail)
+            if mt and mt.group(1) in written:
+                raise ValueError(
+                    f"WITH: table {mt.group(1)} is modified by both a "
+                    "sub-statement and the main statement"
+                )
+        for name, _, _ in ctes:
+            if name in self.tables or name in self.dynamic:
+                raise ValueError(
+                    f"WITH query name {name!r} shadows a table — rename the CTE"
+                )
+        # pin the statement-start snapshot of every written table; under a
+        # plain-EXPLAIN probe stay lazy (zero jobs — the probe never swaps)
+        pinned: dict[str, DataFrame] = {}
+        for t in written:
+            if t in self.dynamic:
+                raise ValueError(
+                    "modifying CTEs over dynamic (schemaless) tables are "
+                    "not supported"
+                )
+            if t not in self.tables:
+                raise ValueError(f"unknown table in WITH sub-statement: {t}")
+            base = (
+                self._txn[t]
+                if (self._txn is not None and t in self._txn)
+                else self.tables[t].df()
+            )
+            pinned[t] = (
+                base if self._explain_probe
+                else base.localCheckpoint(eager=True)
+            )
+        cte_views: list[str] = []
+        try:
+            for t, df in pinned.items():
+                df.createOrReplaceTempView(t)
+            plain_parts: list[str] = []
+            for name, cols, body in ctes:
+                if _DML_HEAD.match(body):
+                    has_ret = re.search(r"\bRETURNING\b", body, re.IGNORECASE)
+                    out = self.route(body)
+                    # DML staging re-registers its target's view to the
+                    # post-state — re-pin the snapshot for later readers
+                    for t, df in pinned.items():
+                        df.createOrReplaceTempView(t)
+                    if not has_ret:
+                        # PG: referencing a RETURNING-less wCTE is an
+                        # error; executing it for effect alone is legal
+                        continue
+                    if cols:
+                        out = out.toDF(
+                            *[c.strip() for c in cols.strip("()").split(",")]
+                        )
+                    if not self._explain_probe:
+                        # pin the RETURNING rows: re-analysing the name as
+                        # a temp view does not reliably reuse the DML
+                        # path's cache, and the lineage reads parquet
+                        # files the swap just deleted
+                        out = out.localCheckpoint(eager=True)
+                    out.createOrReplaceTempView(name)
+                    cte_views.append(name)
+                else:
+                    # plain CTE alongside a DML main: resolve it now as a
+                    # temp view (it must see the pinned snapshot, and the
+                    # DML regex paths do not parse WITH prefixes)
+                    if main_dml:
+                        self.spark.sql(body).createOrReplaceTempView(name)
+                        cte_views.append(name)
+                    else:
+                        part = f"{name}{cols or ''} AS ({body})"
+                        plain_parts.append(part)
+            new_sql = (
+                ("WITH " + ", ".join(plain_parts) + " ") if plain_parts else ""
+            ) + tail
+            if self.handles(new_sql) or main_dml:
+                return self.route(new_sql)
+            # Spark analyzes eagerly at DataFrame creation, so the plan
+            # binds to the pinned snapshot views; restoring the post-state
+            # views in `finally` cannot rebind it
+            return self.spark.sql(new_sql)
+        finally:
+            for name in cte_views:
+                self.spark.catalog.dropTempView(name)
+            for t in pinned:
+                if self._txn is not None and t in self._txn:
+                    self._txn[t].createOrReplaceTempView(t)
+                elif t in self.tables:
+                    self._register(self.tables[t])
+
     def route(self, sql: str) -> DataFrame:
         head = sql.strip().rstrip(";").upper()
+
+        parsed = _parse_with_dml(sql)
+        if parsed:
+            return self._with_dml(*parsed)
 
         # SET TIMEZONE (reference operator_set_timezone.cpp) -> session conf
         m = re.match(r"^\s*SET\s+TIME\s*ZONE\s+'([^']+)'\s*;?\s*$", sql, re.IGNORECASE)
@@ -2655,6 +2878,8 @@ class Catalog:
             self.register_pg_catalog()
             return True
         if re.search(r"\b(nextval|currval)\s*\(", sql, re.IGNORECASE):
+            return True
+        if _parse_with_dml(sql):
             return True
         head = sql.lstrip()[:26].upper()
         return any(

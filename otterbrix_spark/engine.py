@@ -233,6 +233,13 @@ class Engine:
                 "profile it"
             )
         head = body.lstrip().upper()
+        from otterbrix_spark.catalog import _parse_with_dml
+
+        if head.startswith("WITH") and _parse_with_dml(body):
+            # data-modifying CTEs: the discarded-txn probe stages every
+            # sub-statement lazily (zero jobs) and plans the main query
+            # over the staged snapshot
+            return Cursor(self.catalog.explain_route(body)), False
         if head.startswith(("INSERT", "UPDATE", "DELETE", "MERGE")):
             target = re.match(
                 r"^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)"

@@ -1444,3 +1444,87 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  ('x17_parent', 'x17_child', 'x17_uparent') "
         "ORDER BY k.constraint_name, k.ordinal_position"
     )
+
+
+# --- x18: data-modifying CTEs (PG wCTE) ---------------------------------------
+# PG's WITH ... AS (INSERT/UPDATE/DELETE ... RETURNING ...): every
+# sub-statement sees the statement-start snapshot, each executes exactly
+# once, and the RETURNING rows are the CTE's output (reference statement
+# surface: components/table/transaction.hpp — per-statement atomicity).
+# The gate runs the canonical "move rows" form (DELETE feeding an INSERT)
+# and the snapshot-isolation form (a main SELECT joining the UPDATE's
+# RETURNING rows against the PRE-update table state), then returns all
+# three legs; the oracle replays the algebra declaratively.
+
+_X18_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal
+  FROM customer),
+moved AS (SELECT k, bal FROM base WHERE bal < 0),
+kept AS (SELECT k, bal FROM base WHERE NOT (bal < 0)),
+upd AS (SELECT k, bal + 1000 AS new_bal, bal AS old_bal
+        FROM kept WHERE k % 10 = 3)
+SELECT 'arch' AS leg, k, bal AS v1, CAST(NULL AS BIGINT) AS v2 FROM moved
+UNION ALL
+SELECT 'upd' AS leg, k, new_bal AS v1, old_bal AS v2 FROM upd
+UNION ALL
+SELECT 'live' AS leg, k,
+       CASE WHEN k % 10 = 3 THEN bal + 1000 ELSE bal END AS v1,
+       CAST(NULL AS BIGINT) AS v2
+FROM kept WHERE k % 25 = 0
+ORDER BY leg, k
+"""
+
+
+@query(
+    "x18_modifying_ctes", _X18_ORACLE,
+    doc="data-modifying CTEs: DELETE..RETURNING feeding INSERT (move "
+        "rows), UPDATE..RETURNING joined against the statement-start "
+        "snapshot (wCTE isolation), final table state",
+)
+def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    for t in ("x18_acct", "x18_arch"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+    eng.sql("CREATE TABLE x18_acct (k BIGINT, bal BIGINT)")
+    eng.sql(
+        "INSERT INTO x18_acct SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer"
+    )
+    eng.sql("CREATE TABLE x18_arch (k BIGINT, bal BIGINT)")
+    # move rows: DELETE ... RETURNING feeds the INSERT in one statement
+    eng.sql(
+        "WITH moved AS (DELETE FROM x18_acct WHERE bal < 0 "
+        "RETURNING k, bal) "
+        "INSERT INTO x18_arch SELECT k, bal FROM moved"
+    )
+    # snapshot isolation: the main SELECT joins the UPDATE's RETURNING
+    # rows against the PRE-update state of the same table
+    upd = eng.sql(
+        "WITH upd AS (UPDATE x18_acct SET bal = bal + 1000 "
+        "WHERE k % 10 = 3 RETURNING k, bal) "
+        "SELECT u.k, u.bal AS new_bal, a.bal AS old_bal "
+        "FROM upd u JOIN x18_acct a ON a.k = u.k"
+    )
+    arch = eng.sql("SELECT k, bal FROM x18_arch")
+    live = eng.sql("SELECT k, bal FROM x18_acct WHERE k % 25 = 0")
+    null_v2 = F.lit(None).cast("long")
+    return (
+        arch.select(
+            F.lit("arch").alias("leg"), "k",
+            F.col("bal").alias("v1"), null_v2.alias("v2"),
+        )
+        .unionByName(upd.select(
+            F.lit("upd").alias("leg"), "k",
+            F.col("new_bal").alias("v1"), F.col("old_bal").alias("v2"),
+        ))
+        .unionByName(live.select(
+            F.lit("live").alias("leg"), "k",
+            F.col("bal").alias("v1"), null_v2.alias("v2"),
+        ))
+        .orderBy("leg", "k")
+    )

@@ -1714,3 +1714,99 @@ def test_information_schema_fk_discovery(engine):
     assert eng.sql(
         "SELECT COUNT(*) AS n FROM information_schema.key_column_usage "
         "WHERE table_name = 'fkd_child'").collect()[0].n == 0
+
+
+# -- data-modifying CTEs (PG wCTE; reference txn statement surface) ----------
+
+
+def test_wcte_move_rows(engine):
+    """The canonical PG pattern: DELETE ... RETURNING feeding an INSERT."""
+    engine.execute_sql("CREATE TABLE src AS SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')) AS t(id, v)")
+    engine.execute_sql("CREATE TABLE arch AS SELECT CAST(0 AS INT) AS id, 'x' AS v WHERE 1=0")
+    engine.execute_sql(
+        "WITH moved AS (DELETE FROM src WHERE id > 2 RETURNING id, v) "
+        "INSERT INTO arch SELECT id, v FROM moved"
+    )
+    assert sorted(engine.execute_sql("SELECT id FROM src").fetchall()) == [(1,), (2,)]
+    assert sorted(engine.execute_sql("SELECT id, v FROM arch").fetchall()) == [(3, "c"), (4, "d")]
+
+
+def test_wcte_snapshot_isolation(engine):
+    """The main SELECT sees the PRE-modification state of the written table."""
+    engine.execute_sql("CREATE TABLE w AS SELECT * FROM (VALUES (1, 10), (2, 20)) AS t(k, amt)")
+    rows = sorted(engine.execute_sql(
+        "WITH upd AS (UPDATE w SET amt = amt + 100 WHERE k = 1 RETURNING k, amt) "
+        "SELECT u.k, u.amt AS new_amt, w.amt AS old_amt FROM upd u JOIN w ON w.k = u.k"
+    ).fetchall())
+    assert rows == [(1, 110, 10)]
+    # post-statement the table shows the committed update
+    assert sorted(engine.execute_sql("SELECT amt FROM w ORDER BY k").fetchall()) == [(20,), (110,)]
+
+
+def test_wcte_unreferenced_still_executes(engine):
+    engine.execute_sql("CREATE TABLE w2 AS SELECT * FROM (VALUES (1), (2)) AS t(k)")
+    rows = engine.execute_sql(
+        "WITH gone AS (DELETE FROM w2 WHERE k = 2) SELECT 42 AS answer"
+    ).fetchall()
+    assert rows == [(42,)]
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM w2").value("n", 0) == 1
+
+
+def test_wcte_multiple_dml_plus_plain(engine):
+    engine.execute_sql("CREATE TABLE a1 AS SELECT * FROM (VALUES (1, 5), (2, 6)) AS t(k, v)")
+    engine.execute_sql("CREATE TABLE b1 AS SELECT * FROM (VALUES (7), (8)) AS t(v)")
+    rows = sorted(engine.execute_sql(
+        "WITH ins AS (INSERT INTO b1 VALUES (9) RETURNING v), "
+        "     upd AS (UPDATE a1 SET v = v * 10 WHERE k = 1 RETURNING v), "
+        "     plain AS (SELECT 100 AS v) "
+        "SELECT v FROM ins UNION ALL SELECT v FROM upd UNION ALL SELECT v FROM plain"
+    ).fetchall())
+    assert rows == [(9,), (50,), (100,)]
+
+
+def test_wcte_refusals(engine):
+    engine.execute_sql("CREATE TABLE r1 AS SELECT 1 AS k")
+    engine.execute_sql("CREATE TABLE r2 AS SELECT 1 AS k")
+    with pytest.raises(ValueError, match="at most one"):
+        engine.execute_sql(
+            "WITH a AS (DELETE FROM r1 WHERE k=1 RETURNING k), "
+            "b AS (UPDATE r1 SET k=2 RETURNING k) SELECT 1"
+        )
+    with pytest.raises(ValueError, match="modified by both"):
+        engine.execute_sql(
+            "WITH a AS (DELETE FROM r1 WHERE k=9 RETURNING k) "
+            "UPDATE r1 SET k = 3"
+        )
+    with pytest.raises(ValueError, match="shadows"):
+        engine.execute_sql(
+            "WITH r2 AS (DELETE FROM r1 WHERE k=9 RETURNING k) SELECT * FROM r2"
+        )
+
+
+def test_wcte_explain_does_not_mutate(engine):
+    engine.execute_sql("CREATE TABLE e1 AS SELECT * FROM (VALUES (1), (2)) AS t(k)")
+    engine.execute_sql(
+        "EXPLAIN WITH gone AS (DELETE FROM e1 WHERE k = 1 RETURNING k) "
+        "SELECT COUNT(*) AS n FROM gone"
+    ).fetchall()
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM e1").value("n", 0) == 2
+
+
+def test_wcte_in_transaction_rollback(engine):
+    engine.execute_sql("CREATE TABLE tx1 AS SELECT * FROM (VALUES (1, 'a'), (2, 'b')) AS t(k, v)")
+    engine.execute_sql("BEGIN")
+    rows = engine.execute_sql(
+        "WITH d AS (DELETE FROM tx1 WHERE k = 2 RETURNING k, v) SELECT k FROM d"
+    ).fetchall()
+    assert rows == [(2,)]
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM tx1").value("n", 0) == 1
+    engine.execute_sql("ROLLBACK")
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM tx1").value("n", 0) == 2
+
+
+def test_wcte_plain_select_with_untouched(engine):
+    """An all-SELECT WITH must stay on the spark.sql fast path."""
+    rows = engine.execute_sql(
+        "WITH x AS (SELECT 1 AS a), y AS (SELECT a + 1 AS b FROM x) SELECT b FROM y"
+    ).fetchall()
+    assert rows == [(2,)]
