@@ -545,6 +545,12 @@ class Catalog:
         self._seq_last: dict[str, int] = {}
         self._seq_step: dict[str, int] = {}
         self._seq_start: dict[str, int] = {}  # for TRUNCATE RESTART IDENTITY
+        # PG server-side cursors (DECLARE/FETCH/MOVE/CLOSE — the statement
+        # face of the reference's chunked cursor contract,
+        # components/cursor/cursor.hpp): name -> {"it", "schema",
+        # "holdable"}. Rows stream through toLocalIterator — the cursor
+        # never collects the whole result on the driver.
+        self._pg_cursors: dict[str, dict] = {}
         # registered databases (reference CREATE DATABASE namespaces —
         # dispatcher scopes every collection as database.collection). Spark
         # temp views are single-part, so db.table canonicalizes to db__table
@@ -1605,6 +1611,90 @@ class Catalog:
             self.spark.conf.set("spark.sql.session.timeZone", m.group(1))
             return self.spark.range(0).select(F.lit(m.group(1)).alias("timezone"))
 
+        # PG server-side cursors: DECLARE ... CURSOR FOR / FETCH / MOVE /
+        # CLOSE. The result streams through toLocalIterator (the
+        # reference's ≤1024-row chunked cursor, cursor.hpp:20-60) — FETCH n
+        # pulls exactly n rows to the driver, never the whole set. NO
+        # SCROLL only (PG's default); the snapshot the cursor reads is the
+        # plan's lazy view of the tables at DECLARE time — concurrent DML
+        # on plain parquet during an open cursor is the documented
+        # Delta/Iceberg versioned-read seam.
+        m = re.match(
+            r"^\s*DECLARE\s+(\w+)\s+"
+            r"((?:BINARY\s+|INSENSITIVE\s+|NO\s+SCROLL\s+|SCROLL\s+)*)"
+            r"CURSOR\s*(WITH\s+HOLD|WITHOUT\s+HOLD)?\s*FOR\s+(.+)$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, opts, hold, query = (
+                m.group(1).lower(), (m.group(2) or "").upper(),
+                (m.group(3) or "").upper(), m.group(4).strip().rstrip(";"),
+            )
+            if re.search(r"(?<!NO\s)\bSCROLL\b", opts):
+                raise ValueError(
+                    "SCROLL cursors (backward fetch) are not supported; "
+                    "declare NO SCROLL"
+                )
+            holdable = hold == "WITH HOLD"
+            if self._txn is None and not holdable:
+                raise ValueError(
+                    "DECLARE CURSOR can only be used in transaction blocks"
+                )
+            if name in self._pg_cursors:
+                raise ValueError(f'cursor "{name}" already exists')
+            df = self.spark.sql(query)
+            self._pg_cursors[name] = {
+                "it": iter(df.toLocalIterator()),
+                "schema": df.schema,
+                "holdable": holdable,
+            }
+            return self.spark.range(0).select(F.lit(name).alias("declared"))
+        m = re.match(
+            r"^\s*(FETCH|MOVE)\s+"
+            r"(?:(NEXT|PRIOR|LAST|ALL|BACKWARD(?:\s+(?:\d+|ALL))?"
+            r"|FORWARD(?:\s+(?:\d+|ALL))?|\d+)\s+)?"
+            r"(?:(?:FROM|IN)\s+)?(\w+)\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            verb = m.group(1).upper()
+            direction = (m.group(2) or "NEXT").upper().split()
+            name = m.group(3).lower()
+            if name not in self._pg_cursors:
+                raise ValueError(f'cursor "{name}" does not exist')
+            if direction[0] in ("PRIOR", "LAST", "BACKWARD"):
+                raise ValueError(
+                    "cursor can only scan forward (declared NO SCROLL)"
+                )
+            if direction[-1] == "ALL":
+                count = None
+            elif direction[-1].isdigit():
+                count = int(direction[-1])
+            else:  # NEXT / bare FORWARD
+                count = 1
+            import itertools
+
+            cur = self._pg_cursors[name]
+            rows = list(
+                itertools.islice(cur["it"], count)
+                if count is not None else cur["it"]
+            )
+            if verb == "MOVE":
+                return self.spark.range(1).select(
+                    F.lit(len(rows)).alias("move")
+                )
+            return self.spark.createDataFrame(rows, cur["schema"])
+        m = re.match(r"^\s*CLOSE\s+(\w+|ALL)\s*;?\s*$", sql, re.IGNORECASE)
+        if m:
+            name = m.group(1).lower()
+            if name == "all":
+                self._pg_cursors.clear()
+            elif name in self._pg_cursors:
+                del self._pg_cursors[name]
+            else:
+                raise ValueError(f'cursor "{name}" does not exist')
+            return self.spark.range(0).select(F.lit(name).alias("closed"))
+
         # transactions (reference components/table/transaction.hpp): DML on
         # managed tables inside BEGIN..COMMIT stages lazy frames per table;
         # reads-in-txn see the staged state via re-registered temp views
@@ -1705,6 +1795,10 @@ class Catalog:
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
             self._txn_save = []
+            # PG closes non-holdable cursors at transaction end
+            self._pg_cursors = {
+                n: c for n, c in self._pg_cursors.items() if c["holdable"]
+            }
             for name in sorted(staged_dyn or {}):
                 dyn = self.dynamic[name]
                 for batch in staged_dyn[name]:
@@ -1741,6 +1835,10 @@ class Catalog:
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
             self._txn_save = []
+            # PG closes non-holdable cursors at transaction end
+            self._pg_cursors = {
+                n: c for n, c in self._pg_cursors.items() if c["holdable"]
+            }
             for name in staged or {}:
                 self._register(self.tables[name])  # restore on-disk views
             for name in staged_dyn or {}:
@@ -2889,6 +2987,7 @@ class Catalog:
                 "MERGE", "TRUNCATE",
                 "SET TIME", "BEGIN", "COMMIT", "ROLLBACK", "ABORT",
                 "SAVEPOINT", "RELEASE",
+                "DECLARE", "FETCH", "MOVE", "CLOSE",
                 "CREATE INDEX", "CREATE UNIQUE INDEX", "DROP INDEX",
                 "VACUUM", "CHECKPOINT", "ALTER TABLE",
                 "CREATE VIEW", "CREATE OR REPLACE VIEW",

@@ -1528,3 +1528,57 @@ def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .orderBy("leg", "k")
     )
+
+
+# --- x19: server-side cursors (DECLARE / FETCH / MOVE / CLOSE) ----------------
+# The statement face of the reference's chunked cursor contract
+# (components/cursor/cursor.hpp:20-60: a cursor is a sequence of <=1024-row
+# chunks fetched incrementally). DECLARE plans the query; FETCH n streams
+# exactly n rows to the driver via toLocalIterator (never the whole
+# result); MOVE advances without returning rows; non-holdable cursors die
+# with the transaction. The oracle replays the pagination with
+# LIMIT/OFFSET arithmetic over the same total order.
+
+_X19_ORACLE = """
+WITH q AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn
+  FROM customer)
+SELECT 'f1' AS leg, k, seg FROM q WHERE rn <= 40
+UNION ALL
+SELECT 'f2' AS leg, k, seg FROM q WHERE rn > 60 AND rn <= 100
+UNION ALL
+SELECT 'f3' AS leg, k, seg FROM q WHERE rn > 100 AND rn <= 200
+ORDER BY leg, k
+"""
+
+
+@query(
+    "x19_cursor_pagination", _X19_ORACLE,
+    doc="server-side cursors: DECLARE NO SCROLL CURSOR FOR, FETCH n / "
+        "MOVE n / FETCH FORWARD streaming pagination via "
+        "toLocalIterator, CLOSE; oracle replays with row-number windows",
+)
+def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("BEGIN")
+    eng.sql(
+        "DECLARE x19c NO SCROLL CURSOR FOR "
+        "SELECT c_custkey AS k, c_mktsegment AS seg FROM customer "
+        "ORDER BY c_custkey"
+    )
+    f1 = eng.sql("FETCH 40 FROM x19c")
+    eng.sql("MOVE FORWARD 20 x19c")
+    f2 = eng.sql("FETCH FORWARD 40 FROM x19c")
+    f3 = eng.sql("FETCH 100 FROM x19c")
+    eng.sql("CLOSE x19c")
+    eng.sql("COMMIT")
+    return (
+        f1.select(F.lit("f1").alias("leg"), "k", "seg")
+        .unionByName(f2.select(F.lit("f2").alias("leg"), "k", "seg"))
+        .unionByName(f3.select(F.lit("f3").alias("leg"), "k", "seg"))
+        .orderBy("leg", "k")
+    )

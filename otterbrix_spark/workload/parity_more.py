@@ -1752,3 +1752,78 @@ def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("frame_n"),
         "us",
     ).orderBy("user_id", "us", "event_id").drop("us")
+
+
+# --- w10: GROUPS frame mode + frame EXCLUDE (PG features Spark lacks) ---------
+# PG window framing has three modes; Spark implements ROWS and RANGE but
+# not GROUPS (frame measured in peer groups of the ORDER BY key), nor the
+# frame EXCLUDE clause. Both lower exactly:
+#   GROUPS BETWEEN a PRECEDING AND b FOLLOWING
+#     == dense_rank() over the same order, then RANGE BETWEEN a..b over
+#        that integer rank (peer groups are rank ties by construction);
+#   ... EXCLUDE GROUP == the GROUPS aggregate minus the current peer
+#        group's aggregate (a plain partition-keyed aggregate).
+# DuckDB does not implement GROUPS mode either, so the oracle replays the
+# SEMANTICS through a structurally different plan: aggregate each peer
+# group first, ROWS-frame over the distinct groups (one row per group, so
+# rows == groups by construction), then join back to the detail rows —
+# an independent formulation, not an echo of the engine's lowering.
+
+_W10_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+d AS (
+  SELECT user_id, day, SUM(cents) AS day_sum, COUNT(*) AS day_n
+  FROM e GROUP BY user_id, day),
+f AS (
+  SELECT user_id, day, day_sum,
+         SUM(day_sum) OVER w AS grp_sum,
+         SUM(day_n) OVER w AS grp_n
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+SELECT e.user_id, e.event_id, e.day,
+       CAST(f.grp_sum AS BIGINT) AS grp_sum,
+       CAST(f.grp_n AS BIGINT) AS grp_n,
+       CAST(f.grp_sum - f.day_sum AS BIGINT) AS excl_sum
+FROM e JOIN f ON f.user_id = e.user_id AND f.day = e.day
+ORDER BY e.user_id, e.day, e.event_id
+"""
+
+
+@query(
+    "w10_groups_frame_exclude", _W10_ORACLE,
+    doc="GROUPS frame mode + EXCLUDE GROUP lowered to dense_rank + "
+        "integer RANGE frame (peer groups = rank ties) and a "
+        "partition-keyed subtraction; oracle replays via "
+        "aggregate-groups-then-ROWS-frame-then-rejoin",
+)
+def w10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("long").alias("day"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    order = Window.partitionBy("user_id").orderBy("day")
+    ranked = e.withColumn("grp", F.dense_rank().over(order))
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("grp")
+        .rangeBetween(-1, 1)
+    )
+    peer = Window.partitionBy("user_id", "day")
+    return ranked.select(
+        "user_id", "event_id", "day",
+        F.sum("cents").over(frame).cast("long").alias("grp_sum"),
+        F.count(F.lit(1)).over(frame).cast("long").alias("grp_n"),
+        (F.sum("cents").over(frame) - F.sum("cents").over(peer))
+        .cast("long").alias("excl_sum"),
+    ).orderBy("user_id", "day", "event_id")

@@ -1810,3 +1810,61 @@ def test_wcte_plain_select_with_untouched(engine):
         "WITH x AS (SELECT 1 AS a), y AS (SELECT a + 1 AS b FROM x) SELECT b FROM y"
     ).fetchall()
     assert rows == [(2,)]
+
+
+# -- PG server-side cursors (DECLARE / FETCH / MOVE / CLOSE) ------------------
+
+
+def test_cursor_fetch_sequence(engine):
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "DECLARE cur NO SCROLL CURSOR FOR "
+        "SELECT n_nationkey AS k FROM nation ORDER BY n_nationkey"
+    )
+    assert engine.execute_sql("FETCH 3 FROM cur").fetchall() == [(0,), (1,), (2,)]
+    assert engine.execute_sql("FETCH NEXT FROM cur").fetchall() == [(3,)]
+    # MOVE advances without returning rows
+    assert engine.execute_sql("MOVE FORWARD 2 cur").fetchall() == [(2,)]
+    assert engine.execute_sql("FETCH FORWARD 2 FROM cur").fetchall() == [(6,), (7,)]
+    rest = engine.execute_sql("FETCH ALL FROM cur").fetchall()
+    assert rest[0] == (8,) and rest[-1] == (24,)
+    # exhausted: further fetches return nothing
+    assert engine.execute_sql("FETCH 5 FROM cur").fetchall() == []
+    engine.execute_sql("CLOSE cur")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute_sql("FETCH 1 FROM cur")
+    engine.execute_sql("COMMIT")
+
+
+def test_cursor_requires_txn_unless_hold(engine):
+    with pytest.raises(ValueError, match="transaction blocks"):
+        engine.execute_sql("DECLARE c1 CURSOR FOR SELECT 1 AS x")
+    engine.execute_sql(
+        "DECLARE c1 CURSOR WITH HOLD FOR SELECT 1 AS x"
+    )
+    assert engine.execute_sql("FETCH ALL FROM c1").fetchall() == [(1,)]
+    engine.execute_sql("CLOSE c1")
+
+
+def test_cursor_closed_at_txn_end(engine):
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("DECLARE c2 CURSOR FOR SELECT 1 AS x")
+    engine.execute_sql(
+        "DECLARE c3 CURSOR WITH HOLD FOR SELECT 2 AS x"
+    )
+    engine.execute_sql("COMMIT")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute_sql("FETCH 1 FROM c2")
+    # WITH HOLD survives the transaction
+    assert engine.execute_sql("FETCH ALL FROM c3").fetchall() == [(2,)]
+    engine.execute_sql("CLOSE ALL")
+
+
+def test_cursor_scroll_refused(engine):
+    engine.execute_sql("BEGIN")
+    with pytest.raises(ValueError, match="SCROLL"):
+        engine.execute_sql("DECLARE sc SCROLL CURSOR FOR SELECT 1 AS x")
+    engine.execute_sql("DECLARE ns CURSOR FOR SELECT 1 AS x")
+    with pytest.raises(ValueError, match="forward"):
+        engine.execute_sql("FETCH PRIOR FROM ns")
+    engine.execute_sql("ROLLBACK")
