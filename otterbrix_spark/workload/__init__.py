@@ -111,8 +111,10 @@ _FRONT_WINDOW = [
     "b20_long_chain_stars",
     "ds60_time_slot_census", "ds61_band_having_rejoin",
     "x17_fk_discovery",
-    # re-samples: keep the bench headliners warm in the window
-    "d01_dedup_exact", "d04_minhash_signature",
+    # round-10 third batch: the two new ENGINE surfaces take the last
+    # two slots (wCTE + cursors); w10/ds62/ds63/t21/e21 are 3-SF green
+    # locally and roll to the round-11 window
+    "x18_modifying_ctes", "x19_cursor_pagination",
 ]
 
 

@@ -8545,3 +8545,176 @@ def ds61(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+
+# --- ds62: TPC-DS Q97 — full-outer channel overlap census ---------------------
+# Q97 (`benchmark/tpcds/query97.tpl`): distinct (customer, item) pairs per
+# sales channel, FULL OUTER joined on the composite key, reduced to one
+# row of both/left-only/right-only counts. The topology piece Spark must
+# get right at 100 TB: two pre-join DISTINCT aggregates (the composite
+# grain collapses the fact before the join, shrinking the shuffle to
+# distinct-pair cardinality), a key-partitioned sort-merge FULL OUTER
+# (neither side is broadcastable by definition — both are fact-derived),
+# and a single-row conditional reduce. Mapped: (custkey, suppkey) pairs
+# transacted under URGENT vs LOW order priority.
+
+_DS62_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'),
+b AS (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderpriority = '5-LOW')
+SELECT
+  CAST(SUM(CASE WHEN a.ck IS NOT NULL AND b.ck IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS both_ch,
+  CAST(SUM(CASE WHEN b.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+  CAST(SUM(CASE WHEN a.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS low_only
+FROM a FULL OUTER JOIN b ON a.ck = b.ck AND a.sk = b.sk
+"""
+
+
+@query(
+    "ds62_channel_overlap_full_outer", _DS62_ORACLE,
+    doc="TPC-DS Q97 shape: per-channel DISTINCT composite pairs, "
+        "fact-vs-fact FULL OUTER on (custkey, suppkey), one-row "
+        "both/only/only census — distinct-first shrinks the join input",
+)
+def ds62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+
+    def channel(priority: str) -> DataFrame:
+        return (
+            li.join(
+                orders.filter(F.col("o_orderpriority") == priority),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select(
+                F.col("o_custkey").alias("ck"),
+                F.col("l_suppkey").alias("sk"),
+            )
+            .distinct()
+        )
+
+    a = channel("1-URGENT")
+    b = channel("5-LOW").withColumnsRenamed({"ck": "bck", "sk": "bsk"})
+    return (
+        a.join(
+            b,
+            (F.col("ck") == F.col("bck")) & (F.col("sk") == F.col("bsk")),
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ck").isNotNull() & F.col("bck").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("both_ch"),
+            F.sum(
+                F.when(F.col("bck").isNull(), 1).otherwise(0)
+            ).cast("long").alias("urgent_only"),
+            F.sum(
+                F.when(F.col("ck").isNull(), 1).otherwise(0)
+            ).cast("long").alias("low_only"),
+        )
+    )
+
+
+# --- ds63: TPC-DS Q78 — returns-excluded cross-channel ratio ------------------
+# Q78 (`benchmark/tpcds/query78.tpl`): sales LEFT JOINed to returns with
+# the IS NULL survivor filter (the outer-join spelling of anti-join that
+# the template uses), then per-(customer, year) channel sums and a
+# cross-channel ratio ordering with a guard on the denominator. Mapped:
+# orders carrying any returned line (l_returnflag = 'R') are the
+# "returns" side; clean orders aggregate open-vs-finished line quantities
+# per (custkey, year); the ratio is an exact integer basis-point value
+# (cross-multiplication, no float ordering hazard).
+
+_DS63_ORACLE = """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+clean AS (
+  SELECT o.o_custkey, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+         l.l_linestatus, CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  LEFT JOIN returned r ON r.l_orderkey = l.l_orderkey
+  WHERE r.l_orderkey IS NULL),
+agg AS (
+  SELECT o_custkey AS custkey, yr,
+         SUM(CASE WHEN l_linestatus = 'O' THEN qty ELSE 0 END) AS open_qty,
+         SUM(CASE WHEN l_linestatus = 'F' THEN qty ELSE 0 END) AS fin_qty
+  FROM clean GROUP BY o_custkey, yr)
+SELECT custkey, yr,
+       CAST(open_qty AS BIGINT) AS open_qty,
+       CAST(fin_qty AS BIGINT) AS fin_qty,
+       CAST((open_qty * 10000) // fin_qty AS BIGINT) AS ratio_bp
+FROM agg WHERE fin_qty > 0
+ORDER BY ratio_bp DESC, custkey, yr LIMIT 100
+"""
+
+
+@query(
+    "ds63_returns_excluded_ratio", _DS63_ORACLE,
+    doc="TPC-DS Q78 shape: LEFT JOIN + IS NULL survivor filter against "
+        "the returned-order set, per-(customer, year) channel sums, "
+        "integer basis-point ratio ordering with denominator guard",
+)
+def ds63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_orderkey"))
+        .distinct()
+    )
+    clean = (
+        li.select(
+            "l_orderkey", "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .join(
+            orders.select(
+                "o_orderkey", "o_custkey",
+                F.year("o_orderdate").cast("long").alias("yr"),
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        # the template's outer-join spelling of anti-join: LEFT JOIN the
+        # returned-order set and keep the null-padded survivors
+        .join(
+            returned,
+            F.col("r_orderkey") == F.col("l_orderkey"),
+            "left",
+        )
+        .filter(F.col("r_orderkey").isNull())
+    )
+    agg = clean.groupBy(
+        F.col("o_custkey").alias("custkey"), "yr"
+    ).agg(
+        F.sum(
+            F.when(F.col("l_linestatus") == "O", F.col("qty")).otherwise(0)
+        ).alias("open_qty"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "F", F.col("qty")).otherwise(0)
+        ).alias("fin_qty"),
+    )
+    return (
+        agg.filter(F.col("fin_qty") > 0)
+        .select(
+            "custkey", "yr",
+            F.col("open_qty").cast("long").alias("open_qty"),
+            F.col("fin_qty").cast("long").alias("fin_qty"),
+            F.expr("(open_qty * 10000L) DIV fin_qty")
+            .cast("long").alias("ratio_bp"),
+        )
+        .orderBy(F.desc("ratio_bp"), "custkey", "yr")
+        .limit(100)
+    )

@@ -5776,3 +5776,140 @@ def p12(spark: SparkSession, sf_dir: str) -> DataFrame:
         (chunks * F.col("ctx") - F.col("total_tokens"))
         .cast("long").alias("waste_tokens"),
     ).orderBy("source", "ctx")
+
+
+# --- t21: RAG chunking (overlapping token-window splitter) --------------------
+# The retrieval-pipeline preprocessing step: each document splits into
+# overlapping chunks of W=32 whitespace tokens with stride S=24 (8-token
+# overlap), the unit a RAG index embeds and retrieves. Pure codegen —
+# split/filter/sequence/slice/md5 array expressions, no UDF; chunk
+# identity is (doc_id, start DIV stride), so the oracle replays the
+# exact rule. At 100 TB this is a single narrow scan: tokens never
+# leave the executor, and output cardinality is sum(n_toks)/S.
+
+_T21_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 5 = 0),
+s AS (
+  SELECT doc_id, toks, UNNEST(range(0, len(toks), 24)) AS start
+  FROM d WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, start,
+         list_slice(toks, start + 1, start + 32) AS chunk
+  FROM s)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_toks,
+       md5(array_to_string(chunk, ' ')) AS fp
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query(
+    "t21_rag_chunking", _T21_ORACLE,
+    doc="RAG chunking: overlapping 32-token windows at stride 24 via "
+        "split/sequence/slice array codegen (no UDF); md5 fingerprint "
+        "per chunk pins exact boundaries",
+)
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(text, '\\s+'), x -> x != '')").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr("sequence(0, size(toks) - 1, 24)")
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        "start",
+        F.expr("slice(toks, start + 1, 32)").alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.expr("start DIV 24").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size("chunk").cast("long").alias("n_toks"),
+        F.md5(F.array_join("chunk", " ").cast("binary")).alias("fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# --- e21: int8 scalar quantization of embeddings ------------------------------
+# The embedding-compression step every large vector store runs before
+# indexing: per-vector symmetric int8 quantization (scale = 127 /
+# max|v_i|, q_i = floor(v_i * scale + 0.5)). Certified in EXACT integer
+# space — L1 norm, squared L2 norm and an md5 fingerprint of the int8
+# codes — so cross-engine float summation order cannot blur the gate.
+# All arithmetic is IEEE-double element-wise (deterministic on both
+# engines); no UDF, one narrow scan of the embeddings table.
+
+_E21_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+m AS (
+  SELECT vec_id, label, e,
+         list_max(list_transform(e, x -> abs(x))) AS maxabs
+  FROM v),
+q AS (
+  SELECT vec_id, label,
+         list_transform(
+           e, x -> CAST(FLOOR(x * (CASE WHEN maxabs = 0 THEN 1.0
+                                        ELSE 127.0 / maxabs END)
+                         + 0.5) AS BIGINT)) AS qv
+  FROM m)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum')
+            AS BIGINT) AS qnorm1,
+       CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum')
+            AS BIGINT) AS qnorm2sq,
+       md5(array_to_string(qv, ',')) AS fp
+FROM q
+ORDER BY vec_id
+"""
+
+
+@query(
+    "e21_int8_quantization", _E21_ORACLE,
+    doc="per-vector symmetric int8 quantization (scale = 127/max|v|, "
+        "half-up rounding) certified in exact integer space: L1, "
+        "squared-L2 and md5 of the code vector",
+)
+def e21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).withColumn(
+        "maxabs",
+        F.expr("aggregate(e, 0D, (a, x) -> greatest(a, abs(x)))"),
+    ).withColumn(
+        "scale",
+        F.expr("CASE WHEN maxabs = 0D THEN 1D ELSE 127D / maxabs END"),
+    ).withColumn(
+        "qv",
+        F.expr("transform(e, x -> CAST(FLOOR(x * scale + 0.5D) AS BIGINT))"),
+    )
+    return v.select(
+        "vec_id", "label",
+        F.expr("aggregate(qv, 0L, (a, x) -> a + abs(x))")
+        .cast("long").alias("qnorm1"),
+        F.expr("aggregate(qv, 0L, (a, x) -> a + x * x)")
+        .cast("long").alias("qnorm2sq"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(qv, x -> CAST(x AS STRING))"), ","
+            ).cast("binary")
+        ).alias("fp"),
+    ).orderBy("vec_id")
