@@ -8718,3 +8718,127 @@ def ds63(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ratio_bp"), "custkey", "yr")
         .limit(100)
     )
+
+
+# --- ds64: TPC-DS Q23 — frequent items x best customers cross-filter ----------
+# Q23 (`benchmark/tpcds/query23.tpl`), the classic two-CTE cross-filter:
+# CTE1 = items frequently sold (HAVING over a distinct-count), CTE2 =
+# customers whose total spend clears a GLOBAL scalar threshold (a scalar
+# subquery over an aggregate-of-aggregates), final = fact rows
+# semi-joined to BOTH sets, reduced per month. The 100 TB plan: both
+# CTEs collapse to key sets before any wide join, the global threshold
+# is a one-row broadcast, and the final pass is two semi-joins on the
+# already-grouped fact. Exact integer cents throughout.
+
+_DS64_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+freq_parts AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 4),
+best_cust AS (
+  SELECT o_custkey FROM spend
+  WHERE cents * 2 > (SELECT MAX(cents) FROM spend))
+SELECT CAST(EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS mon,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+            AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_partkey IN (SELECT l_partkey FROM freq_parts)
+  AND o.o_custkey IN (SELECT o_custkey FROM best_cust)
+GROUP BY mon ORDER BY mon
+"""
+
+
+@query(
+    "ds64_frequent_best_cross", _DS64_ORACLE,
+    doc="TPC-DS Q23 shape: frequent-item set (distinct-count HAVING) x "
+        "best-customer set (global scalar threshold) cross-filtering "
+        "the fact via two semi-joins, monthly rollup",
+)
+def ds64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0).cast("long")
+        ).alias("cents")
+    )
+    freq_parts = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("nord"))
+        .filter(F.col("nord") >= 4)
+        .select("l_partkey")
+    )
+    # the global threshold: a one-row aggregate, cross-joined (broadcast
+    # of a single row — the scalar-subquery plan at any scale)
+    max_cents = spend.agg(F.max("cents").alias("max_cents"))
+    best_cust = (
+        spend.crossJoin(F.broadcast(max_cents))
+        .filter(F.col("cents") * 2 > F.col("max_cents"))
+        .select("o_custkey")
+    )
+    fact = li.select(
+        "l_orderkey", "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("lc"),
+    ).join(
+        orders.select(
+            "o_orderkey", "o_custkey",
+            F.month("o_orderdate").cast("long").alias("mon"),
+        ),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        fact
+        .join(freq_parts, "l_partkey", "left_semi")
+        .join(best_cust, "o_custkey", "left_semi")
+        .groupBy("mon")
+        .agg(
+            F.sum("lc").cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("mon")
+    )
+
+
+# --- c31: ClickBench histogram — computed-bucket GROUP BY ---------------------
+# The ClickBench histogram class (Q30/Q31 family): GROUP BY a computed
+# bucket of a continuous measure over a filtered scan, full bucket list
+# out. Bucketing stays in codegen (floor-divide), the aggregate carries
+# an exact integer sum and a distinct count per bucket.
+
+_C31_ORACLE = """
+SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM events WHERE event_type = 'click'
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query(
+    "c31_value_histogram", _C31_ORACLE,
+    doc="ClickBench histogram shape: computed floor-divide bucket key, "
+        "count + distinct users + exact cents per bucket",
+)
+def c31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 5.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+            F.sum(
+                F.floor(F.col("value") * 100.0).cast("long")
+            ).cast("long").alias("cents"),
+        )
+        .orderBy("bucket")
+    )
