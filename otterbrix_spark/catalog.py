@@ -165,7 +165,8 @@ _DROP_CONSTRAINT = re.compile(
 _CHECK_BODY = re.compile(r"^CHECK\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
 _FK_BODY = re.compile(
     r"^FOREIGN\s+KEY\s*\(\s*(\w+)\s*\)\s+REFERENCES\s+([\w.]+)\s*"
-    r"\(\s*(\w+)\s*\)(?:\s+ON\s+DELETE\s+(CASCADE|RESTRICT|NO\s+ACTION))?$",
+    r"\(\s*(\w+)\s*\)"
+    r"(?:\s+ON\s+DELETE\s+(CASCADE|RESTRICT|NO\s+ACTION|SET\s+NULL))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_VIEW = re.compile(
@@ -426,7 +427,11 @@ def _parse_constraint_body(cname: str, body: str) -> dict:
             "child_key": mb.group(1),
             "parent": mb.group(2),
             "parent_key": mb.group(3),
-            "on_delete": "cascade" if action == "cascade" else "restrict",
+            "on_delete": (
+                "cascade" if action == "cascade"
+                else "set_null" if action == "set null"
+                else "restrict"
+            ),
         }
     raise ValueError(f"unsupported constraint body: {body!r}")
 
@@ -545,6 +550,12 @@ class Catalog:
         self._seq_last: dict[str, int] = {}
         self._seq_step: dict[str, int] = {}
         self._seq_start: dict[str, int] = {}  # for TRUNCATE RESTART IDENTITY
+        # tables created inside the open explicit transaction (reference
+        # ddl_inside_explicit_txn_transactional: CREATE TABLE in a txn
+        # succeeds, is visible to the txn's own statements, publishes at
+        # COMMIT and is DISCARDED on ROLLBACK). The physical directory is
+        # created eagerly (self-writes just work); rollback drops it.
+        self._txn_created: list[str] = []
         # PG server-side cursors (DECLARE/FETCH/MOVE/CLOSE — the statement
         # face of the reference's chunked cursor contract,
         # components/cursor/cursor.hpp): name -> {"it", "schema",
@@ -607,6 +618,35 @@ class Catalog:
     def _register(self, table: ManagedTable) -> None:
         self.tables[table.name] = table
         table.df().createOrReplaceTempView(table.name)
+
+    def _note_created(self, name: str) -> None:
+        """Record a table created inside the open explicit transaction so
+        ROLLBACK can discard it (transactional DDL, reference
+        ddl_inside_explicit_txn_transactional)."""
+        if self._txn is not None:
+            self._txn_created.append(name)
+
+    def _drop_created(self, names: list[str]) -> None:
+        """Discard tables created after a ROLLBACK boundary (reverse
+        creation order, tolerating tables already dropped in-txn)."""
+        for name in reversed(names):
+            if name in self.tables:
+                self.tables.pop(name).drop()
+                self.spark.catalog.dropTempView(name)
+                self.table_constraints.pop(name, None)
+                self.table_defaults.pop(name, None)
+                for child, cons in self.table_constraints.items():
+                    self.table_constraints[child] = [
+                        c for c in cons
+                        if not (c["kind"] == "fk" and c["parent"] == name)
+                    ]
+            elif name in self.dynamic:
+                import shutil
+
+                shutil.rmtree(
+                    self.dynamic.pop(name).path, ignore_errors=True
+                )
+                self.spark.catalog.dropTempView(name)
 
     @staticmethod
     def _match_protected(rx: "re.Pattern", sql: str):
@@ -1179,6 +1219,22 @@ class Catalog:
             on = child[c["child_key"]] == doomed["__doomed_key"]
             if c.get("on_delete") == "cascade":
                 cascades.append((child_name, child.join(doomed, on, "left_anti")))
+            elif c.get("on_delete") == "set_null":
+                # ON DELETE SET NULL (reference fk_set_null): child rows
+                # survive, the FK column nulls where it referenced a
+                # doomed key — one distributed left join + projection
+                null_fk = F.lit(None).cast(
+                    child.schema[c["child_key"]].dataType
+                )
+                new_child = child.join(doomed, on, "left").select(
+                    *[
+                        F.when(F.col("__doomed_key").isNotNull(), null_fk)
+                        .otherwise(child[f]).alias(f)
+                        if f == c["child_key"] else child[f]
+                        for f in child.columns
+                    ]
+                )
+                cascades.append((child_name, new_child))
             else:
                 n = child.join(doomed, on, "left_semi").count()
                 if n:
@@ -1445,11 +1501,13 @@ class Catalog:
             if snap_dyn is not None
             else {}
         )
+        created_snap = list(self._txn_created)
         probe_snap, self._explain_probe = self._explain_probe, True
         try:
             return self.route(sql)
         finally:
             self._explain_probe = probe_snap
+            self._txn_created = created_snap
             probed, self._txn = self._txn, snap
             probed_dyn, self._txn_dyn = self._txn_dyn, snap_dyn
             # release any batch the probe staged beyond the user's own
@@ -1708,6 +1766,7 @@ class Catalog:
                 self._txn = {}
                 self._txn_dyn = {}
                 self._txn_save = []
+                self._txn_created = []
             return self.spark.range(0).select(F.lit("BEGIN").alias("txn"))
 
         # SAVEPOINT / ROLLBACK TO / RELEASE (PG TransactionStmt savepoint
@@ -1729,6 +1788,7 @@ class Catalog:
                 m.group(1).lower(),
                 dict(self._txn),
                 {k: list(v) for k, v in self._txn_dyn.items()},
+                len(self._txn_created),
             ))
             return self.spark.range(0).select(
                 F.lit(m.group(1)).alias("savepoint")
@@ -1744,12 +1804,16 @@ class Catalog:
                     "ROLLBACK TO can only be used in transaction blocks"
                 )
             idx = max(
-                (i for i, (n, _, _) in enumerate(self._txn_save) if n == sp),
+                (i for i, e in enumerate(self._txn_save) if e[0] == sp),
                 default=None,
             )
             if idx is None:
                 raise ValueError(f"savepoint \"{sp}\" does not exist")
-            _, snap, snap_dyn = self._txn_save[idx]
+            _, snap, snap_dyn, n_created = self._txn_save[idx]
+            # transactional DDL: discard tables created after the savepoint
+            undone_created = self._txn_created[n_created:]
+            del self._txn_created[n_created:]
+            self._drop_created(undone_created)
             # the savepoint itself survives a rollback to it (PG)
             del self._txn_save[idx + 1:]
             undone, self._txn = self._txn, dict(snap)
@@ -1784,7 +1848,7 @@ class Catalog:
                     "RELEASE can only be used in transaction blocks"
                 )
             idx = max(
-                (i for i, (n, _, _) in enumerate(self._txn_save) if n == sp),
+                (i for i, e in enumerate(self._txn_save) if e[0] == sp),
                 default=None,
             )
             if idx is None:
@@ -1795,6 +1859,7 @@ class Catalog:
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
             self._txn_save = []
+            self._txn_created = []  # created tables publish at COMMIT
             # PG closes non-holdable cursors at transaction end
             self._pg_cursors = {
                 n: c for n, c in self._pg_cursors.items() if c["holdable"]
@@ -1840,14 +1905,19 @@ class Catalog:
                 n: c for n, c in self._pg_cursors.items() if c["holdable"]
             }
             for name in staged or {}:
-                self._register(self.tables[name])  # restore on-disk views
+                if name in self.tables:
+                    self._register(self.tables[name])  # restore on-disk views
             for name in staged_dyn or {}:
-                self.dynamic[name].df().createOrReplaceTempView(name)
+                if name in self.dynamic:
+                    self.dynamic[name].df().createOrReplaceTempView(name)
                 # the discarded pinned batches are unreachable now — free
                 # their block-manager storage instead of waiting for GC
                 # (ADVICE r8: staged dynamic batches leaked on ROLLBACK)
                 for b in staged_dyn[name]:
                     self._release_staged(b)
+            # transactional DDL: tables created inside the txn are discarded
+            created, self._txn_created = self._txn_created, []
+            self._drop_created(created)
             return self.spark.range(0).select(F.lit("ROLLBACK").alias("txn"))
 
         # COPY (PG CopyStmt, reference parsenodes.h PARENTSTMTTYPE_COPY):
@@ -2217,6 +2287,7 @@ class Catalog:
             path = os.path.join(self.base_dir, name.replace(".", "__"))
             table = ManagedTable.create(self.spark, path, source, name)
             self._register(table)
+            self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         # CREATE TABLE new (LIKE src [INCLUDING DEFAULTS|CONSTRAINTS|ALL]...)
@@ -2292,6 +2363,7 @@ class Catalog:
             ]
             if copied:
                 self.table_constraints[name] = copied
+            self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         m = _CREATE_TABLE_TYPED.match(sql)
@@ -2305,6 +2377,7 @@ class Catalog:
             dyn = DynamicTable(self.spark, path)
             self.dynamic[name] = dyn
             dyn.df().createOrReplaceTempView(name)
+            self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         m = _CREATE_TABLE_TYPED.match(sql)
@@ -2449,6 +2522,7 @@ class Catalog:
                     )
                     self.spark.range(1).select(F.expr(peek).alias(col))
                 self.table_defaults[name] = defaults
+            self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
         m = _DROP_TABLE.match(sql)
@@ -2951,8 +3025,9 @@ class Catalog:
                 refcons.append((
                     "otterbrix", "public", c["name"], uniq_name,
                     "NO ACTION",
-                    "CASCADE" if c.get("on_delete") == "cascade"
-                    else "RESTRICT",
+                    {"cascade": "CASCADE", "set_null": "SET NULL"}.get(
+                        c.get("on_delete"), "RESTRICT"
+                    ),
                 ))
         mk(kcu,
            "constraint_catalog STRING, constraint_schema STRING, "

@@ -1582,3 +1582,72 @@ def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(f3.select(F.lit("f3").alias("leg"), "k", "seg"))
         .orderBy("leg", "k")
     )
+
+
+# --- x20: FK ON DELETE SET NULL + transactional DDL ---------------------------
+# Reference test_sql_features::fk_set_null (+ the rollback variant) and
+# ddl_inside_explicit_txn_transactional: deleting a referenced parent
+# NULLs the FK column in surviving child rows (one distributed left join
+# + projection, no per-row work), and a table created inside a rolled-
+# back transaction leaves no trace. The oracle replays the set-null
+# algebra declaratively; the rolled-back DDL is asserted by the engine
+# result being unaffected.
+
+_X20_ORACLE = """
+WITH child AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_custkey % 3 = 0 THEN o_custkey ELSE NULL END
+           AS parent_id
+  FROM orders),
+after AS (
+  SELECT id,
+         CASE WHEN parent_id IS NOT NULL AND parent_id % 2 = 0
+              THEN NULL ELSE parent_id END AS parent_id
+  FROM child)
+SELECT COALESCE(CAST(parent_id % 10 AS BIGINT), -1) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(id) AS BIGINT) AS id_sum
+FROM after GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query(
+    "x20_fk_set_null", _X20_ORACLE,
+    doc="FK ON DELETE SET NULL (surviving children, nulled FK) + "
+        "transactional CREATE TABLE discarded by ROLLBACK",
+)
+def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    for t in ("x20_child", "x20_parent", "x20_ghost"):
+        eng.sql(f"DROP TABLE IF EXISTS {t}")
+    eng.sql("CREATE TABLE x20_parent (k BIGINT)")
+    eng.sql(
+        "INSERT INTO x20_parent SELECT c_custkey FROM customer "
+        "WHERE c_custkey % 3 = 0"
+    )
+    eng.sql(
+        "CREATE TABLE x20_child (id BIGINT, parent_id BIGINT, "
+        "CONSTRAINT x20_fk FOREIGN KEY (parent_id) "
+        "REFERENCES x20_parent (k) ON DELETE SET NULL)"
+    )
+    eng.sql(
+        "INSERT INTO x20_child SELECT o_orderkey, "
+        "CASE WHEN o_custkey % 3 = 0 THEN o_custkey ELSE NULL END "
+        "FROM orders"
+    )
+    # transactional DDL: the rolled-back CREATE leaves no trace
+    eng.sql("BEGIN")
+    eng.sql("CREATE TABLE x20_ghost (id BIGINT)")
+    eng.sql("INSERT INTO x20_ghost VALUES (1)")
+    eng.sql("ROLLBACK")
+    # the SET NULL delete: even parents disappear, children survive nulled
+    eng.sql("DELETE FROM x20_parent WHERE k % 2 = 0")
+    return eng.sql(
+        "SELECT COALESCE(CAST(parent_id % 10 AS BIGINT), -1) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(id) AS BIGINT) AS id_sum "
+        "FROM x20_child GROUP BY bucket ORDER BY bucket"
+    )

@@ -1868,3 +1868,98 @@ def test_cursor_scroll_refused(engine):
     with pytest.raises(ValueError, match="forward"):
         engine.execute_sql("FETCH PRIOR FROM ns")
     engine.execute_sql("ROLLBACK")
+
+
+# -- FK ON DELETE SET NULL (reference test_sql_features::fk_set_null) ---------
+
+
+def test_fk_set_null(engine):
+    engine.execute_sql("CREATE TABLE snp (id BIGINT, val STRING)")
+    engine.execute_sql(
+        "CREATE TABLE snc (id BIGINT, parent_id BIGINT, "
+        "CONSTRAINT fk_setnull FOREIGN KEY (parent_id) "
+        "REFERENCES snp (id) ON DELETE SET NULL)"
+    )
+    engine.execute_sql("INSERT INTO snp VALUES (1, 'p1'), (2, 'p2')")
+    engine.execute_sql(
+        "INSERT INTO snc VALUES (10, 1), (11, 1), (12, 2)"
+    )
+    engine.execute_sql("DELETE FROM snp WHERE id = 1")
+    rows = sorted(engine.execute_sql("SELECT id, parent_id FROM snc").fetchall())
+    assert rows == [(10, None), (11, None), (12, 2)]
+    # the rule is visible in information_schema
+    dr = engine.execute_sql(
+        "SELECT delete_rule FROM information_schema.referential_constraints "
+        "WHERE constraint_name = 'fk_setnull'"
+    ).fetchall()
+    assert dr == [("SET NULL",)]
+
+
+def test_fk_set_null_rollback_restores_fk(engine):
+    """Reference fk_set_null_rollback_restores_fk: the SET NULL child
+    mutation participates in the parent's transaction."""
+    engine.execute_sql("CREATE TABLE snp2 (id BIGINT)")
+    engine.execute_sql(
+        "CREATE TABLE snc2 (id BIGINT, parent_id BIGINT, "
+        "CONSTRAINT fk_sn2 FOREIGN KEY (parent_id) "
+        "REFERENCES snp2 (id) ON DELETE SET NULL)"
+    )
+    engine.execute_sql("INSERT INTO snp2 VALUES (1)")
+    engine.execute_sql("INSERT INTO snc2 VALUES (10, 1)")
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("DELETE FROM snp2 WHERE id = 1")
+    assert engine.execute_sql(
+        "SELECT parent_id FROM snc2"
+    ).fetchall() == [(None,)]
+    engine.execute_sql("ROLLBACK")
+    assert engine.execute_sql(
+        "SELECT parent_id FROM snc2"
+    ).fetchall() == [(1,)]
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM snp2").value("n", 0) == 1
+
+
+# -- transactional DDL (reference ddl_inside_explicit_txn_transactional) ------
+
+
+def test_create_table_in_txn_commit(engine):
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("CREATE TABLE txt2 (id BIGINT)")
+    engine.execute_sql("INSERT INTO txt2 VALUES (1), (2), (3)")
+    # self-write: the txn sees its own table and rows before COMMIT
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM txt2").value("n", 0) == 3
+    engine.execute_sql("COMMIT")
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM txt2").value("n", 0) == 3
+
+
+def test_create_table_in_txn_rollback_discards(engine):
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("CREATE TABLE txt3 (id BIGINT)")
+    engine.execute_sql("INSERT INTO txt3 VALUES (1)")
+    engine.execute_sql("ROLLBACK")
+    with pytest.raises(Exception):
+        engine.execute_sql("SELECT * FROM txt3").fetchall()
+
+
+def test_create_table_after_savepoint_rollback_to(engine):
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("CREATE TABLE sp_a (id BIGINT)")
+    engine.execute_sql("SAVEPOINT s1")
+    engine.execute_sql("CREATE TABLE sp_b (id BIGINT)")
+    engine.execute_sql("ROLLBACK TO s1")
+    # sp_b (created after the savepoint) is gone; sp_a survives the txn
+    with pytest.raises(Exception):
+        engine.execute_sql("SELECT * FROM sp_b").fetchall()
+    engine.execute_sql("INSERT INTO sp_a VALUES (7)")
+    engine.execute_sql("COMMIT")
+    assert engine.execute_sql("SELECT id FROM sp_a").fetchall() == [(7,)]
+
+
+def test_ctas_in_txn_rollback(engine):
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "CREATE TABLE txt4 AS SELECT n_nationkey FROM nation WHERE n_nationkey < 3"
+    )
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM txt4").value("n", 0) == 3
+    engine.execute_sql("ROLLBACK")
+    with pytest.raises(Exception):
+        engine.execute_sql("SELECT * FROM txt4").fetchall()
