@@ -1961,3 +1961,139 @@ def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attr")
     )
+
+
+# --- s25: incremental transitive-closure maintenance over a stream -----------
+# The reference executes WITH RECURSIVE through its streaming pipeline
+# executor (test_streaming_recursive_cte.cpp: anchor + every fixpoint
+# pass streams); on Spark the analogue surface is MAINTAINING a
+# recursive result as edges arrive — foreachBatch + delta expansion.
+# Algorithm per micro-batch of new edges N over closure C:
+#   T = C ∪ N; frontier P = N;
+#   repeat: P' = (T ∘ P ∪ P ∘ T) \ T;  T ∪= P';  P = P'  until empty —
+# every iteration grows only through paths touching NEW pairs, so the
+# loop is bounded by the new-path diameter, not the graph diameter (the
+# production property that makes closure maintenance feasible under
+# streaming ingest; recomputing from scratch per batch is the naive
+# O(full-graph) alternative). Edges arrive in arbitrary order (sliced by
+# key residue, not topologically) — the final closure must equal the
+# batch closure of the union, which the recursive oracle pins. State
+# frames are localCheckpointed per batch (bounded lineage); a production
+# deployment would keep C in a Delta table — the documented seam.
+
+_S25_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey // 3 AS anc
+  FROM customer WHERE c_custkey >= 1
+  UNION ALL
+  SELECT a.node, a.anc // 3 FROM anc a WHERE a.anc >= 1
+)
+SELECT CAST(n_anc AS BIGINT) AS n_anc,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS node_sum
+FROM (SELECT node, COUNT(DISTINCT anc) AS n_anc FROM anc GROUP BY node)
+GROUP BY n_anc ORDER BY n_anc
+"""
+
+
+@query(
+    "s25_streaming_closure", _S25_ORACLE,
+    doc="incremental transitive-closure maintenance: foreachBatch delta "
+        "expansion bounded by new-path diameter (not graph diameter), "
+        "edges streamed in non-topological order; equals the batch "
+        "closure of the union per the recursive oracle",
+)
+def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.workload import scratch_dir
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.expr("c_custkey DIV 3").alias("anc"),
+    ).filter(F.col("node") >= 1)
+
+    # land 3 slices by key residue — deliberately NOT topological order
+    scratch = scratch_dir("s25_landing_")
+    out = os.path.join(scratch, "edges.parquet")
+    os.makedirs(out)
+    for i in range(3):
+        part = edges.filter(F.col("node") % 3 == i)
+        tmp_i = os.path.join(scratch, f"slice_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp_i)
+        files = glob.glob(os.path.join(tmp_i, "part-*.parquet"))
+        dst = os.path.join(out, f"part-{i:04d}.parquet")
+        shutil.move(files[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    state: dict = {"closure": None, "batches": 0}
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        n = batch_df.select("node", "anc").distinct().localCheckpoint(
+            eager=True
+        )
+        c = state["closure"]
+        t = n if c is None else c.unionByName(n).distinct()
+        p = n
+        while True:
+            left = t.alias("t").join(
+                p.alias("p"), F.col("t.anc") == F.col("p.node")
+            ).select(
+                F.col("t.node").alias("node"), F.col("p.anc").alias("anc")
+            )
+            right = p.alias("p").join(
+                t.alias("t"), F.col("p.anc") == F.col("t.node")
+            ).select(
+                F.col("p.node").alias("node"), F.col("t.anc").alias("anc")
+            )
+            p2 = (
+                left.unionByName(right).distinct()
+                .join(t, ["node", "anc"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if p2.isEmpty():
+                break
+            t = t.unionByName(p2).distinct().localCheckpoint(eager=True)
+            p = p2
+        state["closure"] = t.localCheckpoint(eager=True)
+        state["batches"] += 1
+
+    stream = (
+        spark.readStream.schema("node BIGINT, anc BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .start()
+    )
+    deadline = _time.time() + 300
+    while q.isActive and _time.time() < deadline:
+        _time.sleep(0.2)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("s25 stream did not finish")
+    if state["batches"] < 3:
+        raise AssertionError(
+            f"s25 ran only {state['batches']} input micro-batches"
+        )
+    closure = state["closure"]
+    return (
+        closure.groupBy("node")
+        .agg(F.countDistinct("anc").cast("long").alias("n_anc"))
+        .groupBy("n_anc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_sum"),
+        )
+        .orderBy("n_anc")
+    )
