@@ -8842,3 +8842,148 @@ def c31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- l20: LDBC BI weighted shortest path (bounded Bellman-Ford) ---------------
+# The LDBC BI weighted-path class (BI-19/BI-20: cheapest interaction
+# path): multi-source min-cost over the mutual top-M capped co-supplier
+# graph (l19's replayable sparsifier), weight = 1000 DIV shared_orders
+# (stronger tie = cheaper hop), K = 3 relaxation rounds — the bounded
+# Bellman-Ford that answers "cheapest path within K hops" exactly. The
+# 100 TB plan: each round is ONE key-partitioned join frontier-to-
+# adjacency + a min-merge groupBy (never per-path enumeration); rounds
+# are a fixed K, so the whole query is 3 joins + 3 aggregates over a
+# degree-bounded edge list. Oracle replays cap, weights and the <=3-hop
+# walk minimum recursively.
+
+_L20_K = 3
+
+_L20_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_orderkey
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+edges AS (
+  SELECT s1, s2, COUNT(DISTINCT l_orderkey) AS n
+  FROM pairs GROUP BY s1, s2
+  HAVING COUNT(DISTINCT l_orderkey) >= 2),
+und AS (
+  SELECT s1 AS a, s2 AS b, n FROM edges
+  UNION ALL SELECT s2, s1, n FROM edges),
+topm AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+           ROW_NUMBER() OVER (PARTITION BY a ORDER BY n DESC, b) AS rk
+    FROM und) WHERE rk <= {_L19_M}),
+ec AS (
+  SELECT e.s1, e.s2, e.n FROM edges e
+  WHERE EXISTS (SELECT 1 FROM topm t WHERE t.a = e.s1 AND t.b = e.s2)
+    AND EXISTS (SELECT 1 FROM topm t WHERE t.a = e.s2 AND t.b = e.s1)),
+undw AS (
+  SELECT s1 AS a, s2 AS b, 1000 // n AS w FROM ec
+  UNION ALL SELECT s2, s1, 1000 // n FROM ec),
+seeds AS (
+  SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 100 = 1),
+walk AS (
+  WITH RECURSIVE r AS (
+    SELECT node, CAST(0 AS BIGINT) AS cost, 0 AS hops FROM seeds
+    UNION ALL
+    SELECT u.b, r.cost + u.w, r.hops + 1
+    FROM r JOIN undw u ON u.a = r.node WHERE r.hops < {_L20_K})
+  SELECT node, cost FROM r)
+SELECT node AS suppkey, CAST(MIN(cost) AS BIGINT) AS min_cost
+FROM walk GROUP BY node ORDER BY suppkey
+"""
+
+
+@query(
+    "l20_weighted_bounded_path", _L20_ORACLE,
+    doc="LDBC BI weighted-path shape: multi-source bounded Bellman-Ford "
+        "(K=3 relaxation rounds, each ONE frontier-adjacency join + "
+        "min-merge) on the mutual top-M capped weighted graph",
+)
+def l20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("ok").alias("n"))
+        .filter(F.col("n") >= 2)
+    ).localCheckpoint(eager=True)
+    und = edges.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b"), "n"
+    ).unionAll(
+        edges.select(F.col("s2").alias("a"), F.col("s1").alias("b"), "n")
+    )
+    topm = (
+        und.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("a").orderBy(F.desc("n"), F.asc("b"))
+            ),
+        )
+        .filter(F.col("rk") <= _L19_M)
+        .select("a", "b")
+    )
+    t1 = topm.select(F.col("a").alias("m1a"), F.col("b").alias("m1b"))
+    t2 = topm.select(F.col("a").alias("m2a"), F.col("b").alias("m2b"))
+    ec = (
+        edges.join(
+            t1,
+            (edges.s1 == F.col("m1a")) & (edges.s2 == F.col("m1b")),
+            "left_semi",
+        )
+        .join(
+            t2,
+            (F.col("s2") == F.col("m2a")) & (F.col("s1") == F.col("m2b")),
+            "left_semi",
+        )
+        .select("s1", "s2", "n")
+    )
+    undw = (
+        ec.select(
+            F.col("s1").alias("a"), F.col("s2").alias("b"),
+            F.expr("1000L DIV n").alias("w"),
+        )
+        .unionAll(ec.select(
+            F.col("s2").alias("a"), F.col("s1").alias("b"),
+            F.expr("1000L DIV n").alias("w"),
+        ))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 100 == 1)
+        .select(
+            F.col("s_suppkey").alias("node"),
+            F.lit(0).cast("long").alias("cost"),
+        )
+    )
+    dist = seeds
+    for _ in range(_L20_K):
+        ext = dist.join(undw, dist.node == undw.a).select(
+            F.col("b").alias("node"),
+            (F.col("cost") + F.col("w")).alias("cost"),
+        )
+        dist = (
+            dist.unionByName(ext)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return dist.select(
+        F.col("node").alias("suppkey"),
+        F.col("cost").cast("long").alias("min_cost"),
+    ).orderBy("suppkey")
