@@ -8987,3 +8987,100 @@ def l20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("suppkey"),
         F.col("cost").cast("long").alias("min_cost"),
     ).orderBy("suppkey")
+
+
+# --- ds65: TPC-DS Q49 — worst-return ratios dual-ranked per channel ----------
+# Q49 (`benchmark/tpcds/query49.tpl`): per channel, items ranked by TWO
+# ratios at once (quantity return rate and currency return rate), kept
+# when EITHER rank clears the threshold, channels unioned. The topology
+# piece: two window ranks over the same per-channel aggregate (one
+# shuffle, two orderings) and an OR filter across the ranks. Ratios are
+# exact integer basis points; rank ties are value-identical across
+# engines by construction.
+
+_DS65_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+              WHEN o_orderpriority = '2-HIGH' THEN 'high'
+              ELSE 'rest' END AS channel,
+         l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_ret
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+agg AS (
+  SELECT channel, l_partkey, SUM(qty) AS qty, SUM(cents) AS cents,
+         SUM(CASE WHEN is_ret = 1 THEN qty ELSE 0 END) AS rqty,
+         SUM(CASE WHEN is_ret = 1 THEN cents ELSE 0 END) AS rcents
+  FROM base GROUP BY channel, l_partkey
+  HAVING SUM(qty) >= 50 AND SUM(cents) > 0),
+rat AS (
+  SELECT channel, l_partkey, (rqty * 10000) // qty AS ret_bp,
+         (rcents * 10000) // cents AS amt_bp
+  FROM agg),
+rk AS (
+  SELECT channel, l_partkey, ret_bp, amt_bp,
+         RANK() OVER (PARTITION BY channel ORDER BY ret_bp DESC) AS r1,
+         RANK() OVER (PARTITION BY channel ORDER BY amt_bp DESC) AS r2
+  FROM rat)
+SELECT channel, l_partkey AS partkey, ret_bp, amt_bp,
+       CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2
+FROM rk WHERE r1 <= 10 OR r2 <= 10
+ORDER BY channel, r1, r2, partkey
+"""
+
+
+@query(
+    "ds65_dual_rank_return_ratio", _DS65_ORACLE,
+    doc="TPC-DS Q49 shape: two window ranks over one per-channel "
+        "aggregate (single shuffle, two orderings), OR-filtered, "
+        "integer basis-point ratios",
+)
+def ds65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "high")
+        .otherwise("rest").alias("channel"),
+    )
+    base = li.select(
+        "l_orderkey", "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_ret"),
+    ).join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    agg = (
+        base.groupBy("channel", "l_partkey")
+        .agg(
+            F.sum("qty").alias("qty"),
+            F.sum("cents").alias("cents"),
+            F.sum(F.expr("CASE WHEN is_ret = 1 THEN qty ELSE 0 END"))
+            .alias("rqty"),
+            F.sum(F.expr("CASE WHEN is_ret = 1 THEN cents ELSE 0 END"))
+            .alias("rcents"),
+        )
+        .filter((F.col("qty") >= 50) & (F.col("cents") > 0))
+    )
+    rat = agg.select(
+        "channel", "l_partkey",
+        F.expr("(rqty * 10000) DIV qty").alias("ret_bp"),
+        F.expr("(rcents * 10000) DIV cents").alias("amt_bp"),
+    )
+    by_ch = Window.partitionBy("channel")
+    rk = rat.select(
+        "channel", "l_partkey", "ret_bp", "amt_bp",
+        F.rank().over(by_ch.orderBy(F.desc("ret_bp"))).alias("r1"),
+        F.rank().over(by_ch.orderBy(F.desc("amt_bp"))).alias("r2"),
+    )
+    return (
+        rk.filter((F.col("r1") <= 10) | (F.col("r2") <= 10))
+        .select(
+            "channel", F.col("l_partkey").alias("partkey"),
+            "ret_bp", "amt_bp",
+            F.col("r1").cast("long").alias("r1"),
+            F.col("r2").cast("long").alias("r2"),
+        )
+        .orderBy("channel", "r1", "r2", "partkey")
+    )
