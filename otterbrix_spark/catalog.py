@@ -450,6 +450,7 @@ _DML_TARGET = re.compile(
     r"^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO)\s+([\w.]+)",
     re.IGNORECASE,
 )
+_CTE_SEP = re.compile(r"\s*,")
 
 
 def _scan_balanced(text: str, i: int) -> int:
@@ -495,6 +496,7 @@ def _parse_with_clauses(sql: str):
         mm = _CTE_HEAD.match(sql, i)
         if not mm:
             return None
+
         open_i = mm.end() - 1
         try:
             close = _scan_balanced(sql, open_i)
@@ -503,18 +505,25 @@ def _parse_with_clauses(sql: str):
         ctes.append(
             (mm.group(1), mm.group(2), sql[open_i + 1:close - 1].strip())
         )
-        mc = re.compile(r"\s*,").match(sql, close)
+        mc = _CTE_SEP.match(sql, close)
         if mc:
             i = mc.end()
             continue
         return ctes, sql[close:].strip().rstrip(";").strip()
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=128)
 def _parse_with_dml(sql: str):
     """Return parsed (ctes, tail) iff ``sql`` is a WITH statement with at
     least one data-modifying sub-statement (the PG wCTE form,
-    reference txn surface `components/table/transaction.hpp`); else None.
-    Plain all-SELECT WITHs stay on the spark.sql fast path."""
+    reference txn surface `components/sql/parser`); else None.
+    Plain all-SELECT WITHs stay on the spark.sql fast path. Cached —
+    handles(), route() and the EXPLAIN path all probe the same text
+    (self-review r10), so the balanced-paren scan runs once; the result
+    is an immutable tuple."""
     if not _WITH_HEAD.match(sql or ""):
         return None
     # cheap pre-check before the full scan
@@ -528,7 +537,7 @@ def _parse_with_dml(sql: str):
         return None
     ctes, tail = parsed
     if any(_DML_HEAD.match(body) for _, _, body in ctes):
-        return ctes, tail
+        return tuple(ctes), tail
     return None
 
 
@@ -1603,7 +1612,6 @@ class Catalog:
         try:
             for t, df in pinned.items():
                 df.createOrReplaceTempView(t)
-            plain_parts: list[str] = []
             for name, cols, body in ctes:
                 if _DML_HEAD.match(body):
                     has_ret = re.search(r"\bRETURNING\b", body, re.IGNORECASE)
@@ -1626,27 +1634,25 @@ class Catalog:
                         # path's cache, and the lineage reads parquet
                         # files the swap just deleted
                         out = out.localCheckpoint(eager=True)
-                    out.createOrReplaceTempView(name)
-                    cte_views.append(name)
                 else:
-                    # plain CTE alongside a DML main: resolve it now as a
-                    # temp view (it must see the pinned snapshot, and the
-                    # DML regex paths do not parse WITH prefixes)
-                    if main_dml:
-                        self.spark.sql(body).createOrReplaceTempView(name)
-                        cte_views.append(name)
-                    else:
-                        part = f"{name}{cols or ''} AS ({body})"
-                        plain_parts.append(part)
-            new_sql = (
-                ("WITH " + ", ".join(plain_parts) + " ") if plain_parts else ""
-            ) + tail
-            if self.handles(new_sql) or main_dml:
-                return self.route(new_sql)
+                    # plain CTE: resolve NOW as a temp view, in
+                    # declaration order — a later DML sub-statement may
+                    # reference it (self-review r10), it must see the
+                    # pinned snapshot, and Spark's eager analysis makes
+                    # the laziness safe across the view restore
+                    out = self.spark.sql(body)
+                    if cols:
+                        out = out.toDF(
+                            *[c.strip() for c in cols.strip("()").split(",")]
+                        )
+                out.createOrReplaceTempView(name)
+                cte_views.append(name)
+            if self.handles(tail) or main_dml:
+                return self.route(tail)
             # Spark analyzes eagerly at DataFrame creation, so the plan
             # binds to the pinned snapshot views; restoring the post-state
             # views in `finally` cannot rebind it
-            return self.spark.sql(new_sql)
+            return self.spark.sql(tail)
         finally:
             for name in cte_views:
                 self.spark.catalog.dropTempView(name)
@@ -1685,10 +1691,12 @@ class Catalog:
         )
         if m:
             name, opts, hold, query = (
-                m.group(1).lower(), (m.group(2) or "").upper(),
-                (m.group(3) or "").upper(), m.group(4).strip().rstrip(";"),
+                m.group(1).lower(),
+                re.sub(r"\s+", " ", (m.group(2) or "").upper()),
+                re.sub(r"\s+", " ", (m.group(3) or "").upper()),
+                m.group(4).strip().rstrip(";"),
             )
-            if re.search(r"(?<!NO\s)\bSCROLL\b", opts):
+            if re.search(r"(?<!NO )\bSCROLL\b", opts):
                 raise ValueError(
                     "SCROLL cursors (backward fetch) are not supported; "
                     "declare NO SCROLL"
@@ -1705,12 +1713,17 @@ class Catalog:
                 "it": iter(df.toLocalIterator()),
                 "schema": df.schema,
                 "holdable": holdable,
+                # PG removes even WITH HOLD cursors when the transaction
+                # that CREATED them aborts (holdability only survives a
+                # successful COMMIT)
+                "in_txn": self._txn is not None,
             }
             return self.spark.range(0).select(F.lit(name).alias("declared"))
         m = re.match(
             r"^\s*(FETCH|MOVE)\s+"
-            r"(?:(NEXT|PRIOR|LAST|ALL|BACKWARD(?:\s+(?:\d+|ALL))?"
-            r"|FORWARD(?:\s+(?:\d+|ALL))?|\d+)\s+)?"
+            r"(?:(NEXT|PRIOR|FIRST|LAST|ALL|ABSOLUTE\s+-?\d+"
+            r"|RELATIVE\s+-?\d+|BACKWARD(?:\s+(?:\d+|ALL))?"
+            r"|FORWARD(?:\s+(?:\d+|ALL))?|-?\d+)\s+)?"
             r"(?:(?:FROM|IN)\s+)?(\w+)\s*;?\s*$",
             sql, re.IGNORECASE,
         )
@@ -1720,19 +1733,32 @@ class Catalog:
             name = m.group(3).lower()
             if name not in self._pg_cursors:
                 raise ValueError(f'cursor "{name}" does not exist')
-            if direction[0] in ("PRIOR", "LAST", "BACKWARD"):
+            if (
+                direction[0] in ("PRIOR", "FIRST", "LAST", "BACKWARD",
+                                 "ABSOLUTE")
+                or direction[-1].startswith("-")
+                or (direction[0] == "RELATIVE" and direction[1] == "0")
+            ):
                 raise ValueError(
-                    "cursor can only scan forward (declared NO SCROLL)"
+                    "cursor can only scan forward (declared NO SCROLL); "
+                    f"{' '.join(direction)} requires SCROLL"
                 )
-            if direction[-1] == "ALL":
+            import itertools
+
+            cur = self._pg_cursors[name]
+            skip = 0
+            if direction[0] == "RELATIVE":
+                # PG: positive RELATIVE n on NO SCROLL moves n-1 forward
+                # and returns the n-th succeeding row
+                skip, count = int(direction[1]) - 1, 1
+            elif direction[-1] == "ALL":
                 count = None
             elif direction[-1].isdigit():
                 count = int(direction[-1])
             else:  # NEXT / bare FORWARD
                 count = 1
-            import itertools
-
-            cur = self._pg_cursors[name]
+            if skip:
+                next(itertools.islice(cur["it"], skip - 1, skip), None)
             rows = list(
                 itertools.islice(cur["it"], count)
                 if count is not None else cur["it"]
@@ -1789,6 +1815,7 @@ class Catalog:
                 dict(self._txn),
                 {k: list(v) for k, v in self._txn_dyn.items()},
                 len(self._txn_created),
+                set(self._pg_cursors),
             ))
             return self.spark.range(0).select(
                 F.lit(m.group(1)).alias("savepoint")
@@ -1809,11 +1836,16 @@ class Catalog:
             )
             if idx is None:
                 raise ValueError(f"savepoint \"{sp}\" does not exist")
-            _, snap, snap_dyn, n_created = self._txn_save[idx]
+            _, snap, snap_dyn, n_created, cur_snap = self._txn_save[idx]
             # transactional DDL: discard tables created after the savepoint
             undone_created = self._txn_created[n_created:]
             del self._txn_created[n_created:]
             self._drop_created(undone_created)
+            # PG closes cursors created inside the rolled-back
+            # subtransaction (they may be bound to undone staged state)
+            self._pg_cursors = {
+                n: c for n, c in self._pg_cursors.items() if n in cur_snap
+            }
             # the savepoint itself survives a rollback to it (PG)
             del self._txn_save[idx + 1:]
             undone, self._txn = self._txn, dict(snap)
@@ -1860,12 +1892,21 @@ class Catalog:
             staged_dyn, self._txn_dyn = self._txn_dyn, None
             self._txn_save = []
             self._txn_created = []  # created tables publish at COMMIT
-            # PG closes non-holdable cursors at transaction end
+            # PG closes non-holdable cursors at COMMIT; surviving holdable
+            # cursors are no longer tied to a creating transaction
             self._pg_cursors = {
                 n: c for n, c in self._pg_cursors.items() if c["holdable"]
             }
+            for c in self._pg_cursors.values():
+                c["in_txn"] = False
             for name in sorted(staged_dyn or {}):
-                dyn = self.dynamic[name]
+                dyn = self.dynamic.get(name)
+                if dyn is None:
+                    # table dropped in-txn (DROP stays autocommit): the
+                    # staged batches have nowhere to land — release them
+                    for batch in staged_dyn[name]:
+                        self._release_staged(batch)
+                    continue
                 for batch in staged_dyn[name]:
                     dyn.insert(batch)  # parquet appends — additive commit
                     # on disk now; no cursor references the pinned batch
@@ -1881,8 +1922,11 @@ class Catalog:
                 # writer mutex on every touched table, acquired in sorted
                 # name order (deadlock-free against a concurrent engine
                 # committing an overlapping set), held across both phases
+                # a staged table dropped in-txn (DROP stays autocommit)
+                # has nothing to publish — skip it instead of KeyError
                 pending = [
-                    (self.tables[name], staged[name]) for name in sorted(staged)
+                    (self.tables[name], staged[name])
+                    for name in sorted(staged) if name in self.tables
                 ]
                 with ExitStack() as locks:
                     for table, _ in pending:
@@ -1894,15 +1938,19 @@ class Catalog:
                     for table, _ in pending:
                         table.commit_staged()
                 for name in staged:
-                    self._register(self.tables[name])
+                    if name in self.tables:
+                        self._register(self.tables[name])
             return self.spark.range(0).select(F.lit("COMMIT").alias("txn"))
         if head in ("ROLLBACK", "ABORT"):
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
             self._txn_save = []
-            # PG closes non-holdable cursors at transaction end
+            # PG removes every cursor the ABORTED transaction created —
+            # WITH HOLD included (holdability only survives COMMIT; a
+            # holdable cursor must not serve rolled-back staged data)
             self._pg_cursors = {
-                n: c for n, c in self._pg_cursors.items() if c["holdable"]
+                n: c for n, c in self._pg_cursors.items()
+                if c["holdable"] and not c["in_txn"]
             }
             for name in staged or {}:
                 if name in self.tables:
@@ -3003,10 +3051,8 @@ class Catalog:
         kcu = []
         refcons = []
         for t, lst in sorted(self.table_constraints.items()):
-            uniq_by_cols: dict[tuple, str] = {}
             for c in lst:
                 if c["kind"] == "unique":
-                    uniq_by_cols[tuple(c["cols"])] = c["name"]
                     for pos, col in enumerate(c["cols"], 1):
                         kcu.append(("otterbrix", "public", c["name"],
                                     t, col, pos))

@@ -1061,10 +1061,16 @@ _SORT_STOP = {
 _WORD_RE = re.compile(r"[A-Za-z_]\w*")
 
 
+_TRAILING_NOISE = re.compile(r"(?:\s+|\x02\d+\x02)+$")
+
+
 def _null_default_item(item: str) -> str:
     """Append PG's default NULLS placement to one sort item (no-op when
-    an explicit NULLS FIRST/LAST is already present)."""
-    core = item.rstrip()
+    an explicit NULLS FIRST/LAST is already present). Trailing stashed
+    comments (\\x02 tokens) move into the tail so the spec lands BEFORE
+    them — appending after a line comment would swallow it."""
+    m = _TRAILING_NOISE.search(item)
+    core = item[: m.start()] if m else item
     if not core:
         return item
     tail = item[len(core):]
@@ -1079,6 +1085,11 @@ def _null_default_item(item: str) -> str:
 # backtick identifier or a double-quoted token may contain a stop word
 # ("ORDER BY `rows`") and must be opaque to the item scanner
 _QUOTED_TOK = re.compile(r'`[^`]*`|"(?:[^"]|"")*"')
+# comments must be opaque to the item scanner too: a stop word inside a
+# comment must not truncate the clause, and the NULLS spec must never be
+# appended INSIDE a trailing comment (self-review r10). Line comments
+# exclude their newline so the terminator stays a real separator.
+_COMMENT_TOK = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
 
 
 def apply_pg_null_ordering(sql: str) -> str:
@@ -1098,7 +1109,14 @@ def _null_ordering_protected(body: str) -> str:
         quoted.append(m.group(0))
         return f"\x01{len(quoted) - 1}\x01"
 
+    comments: list[str] = []
+
+    def _stash_comment(m: re.Match) -> str:
+        comments.append(m.group(0))
+        return f"\x02{len(comments) - 1}\x02"
+
     body = _QUOTED_TOK.sub(_stash, body)
+    body = _COMMENT_TOK.sub(_stash_comment, body)
     # rightmost-first: edits never move the start of a match to their
     # left, and nested clauses (subquery in a sort key) are finished —
     # inside parens, depth > 0 — before their enclosing clause is scanned
@@ -1141,6 +1159,9 @@ def _null_ordering_protected(body: str) -> str:
         pieces.append((item_start, i))
         new_items = [_null_default_item(body[a:b]) for a, b in pieces]
         body = body[: m.end()] + ",".join(new_items) + body[i:]
+    body = re.sub(
+        "\x02(\\d+)\x02", lambda m: comments[int(m.group(1))], body
+    )
     return re.sub("\x01(\\d+)\x01", lambda m: quoted[int(m.group(1))], body)
 
 

@@ -1963,3 +1963,81 @@ def test_ctas_in_txn_rollback(engine):
     engine.execute_sql("ROLLBACK")
     with pytest.raises(Exception):
         engine.execute_sql("SELECT * FROM txt4").fetchall()
+
+
+# -- self-review r10 fixes ----------------------------------------------------
+
+
+def test_wcte_plain_cte_feeds_dml(engine):
+    """A DML sub-statement may reference a PRECEDING plain CTE even when
+    the main statement is a SELECT (review r10 #1)."""
+    engine.execute_sql("CREATE TABLE pr1 AS SELECT * FROM (VALUES (1), (2), (3)) AS t(id)")
+    rows = engine.execute_sql(
+        "WITH keys AS (SELECT 1 AS k), "
+        "moved AS (DELETE FROM pr1 WHERE id IN (SELECT k FROM keys) "
+        "RETURNING id) "
+        "SELECT id FROM moved"
+    ).fetchall()
+    assert rows == [(1,)]
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM pr1").value("n", 0) == 2
+
+
+def test_commit_after_drop_of_staged_table(engine):
+    """COMMIT must not KeyError when a staged table was dropped in-txn
+    (review r10 #2)."""
+    engine.execute_sql("CREATE TABLE cd1 (id BIGINT)")
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("INSERT INTO cd1 VALUES (1)")
+    engine.execute_sql("DROP TABLE cd1")
+    engine.execute_sql("COMMIT")  # must not raise
+    with pytest.raises(Exception):
+        engine.execute_sql("SELECT * FROM cd1").fetchall()
+
+
+def test_holdable_cursor_dies_with_aborted_txn(engine):
+    """PG removes WITH HOLD cursors when their creating txn aborts
+    (review r10 #3)."""
+    engine.execute_sql("CREATE TABLE hc1 AS SELECT 1 AS id")
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("INSERT INTO hc1 VALUES (99)")
+    engine.execute_sql(
+        "DECLARE hc CURSOR WITH HOLD FOR SELECT id FROM hc1"
+    )
+    engine.execute_sql("ROLLBACK")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute_sql("FETCH ALL FROM hc")
+    # a holdable cursor created BEFORE the txn survives its rollback
+    engine.execute_sql("DECLARE hc2 CURSOR WITH HOLD FOR SELECT id FROM hc1")
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("ROLLBACK")
+    assert engine.execute_sql("FETCH ALL FROM hc2").fetchall() == [(1,)]
+    engine.execute_sql("CLOSE hc2")
+
+
+def test_cursor_closed_by_rollback_to_savepoint(engine):
+    """Cursors declared after a savepoint close on ROLLBACK TO it
+    (review r10 #6)."""
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("DECLARE c_pre CURSOR FOR SELECT 1 AS x")
+    engine.execute_sql("SAVEPOINT s1")
+    engine.execute_sql("DECLARE c_post CURSOR FOR SELECT 2 AS x")
+    engine.execute_sql("ROLLBACK TO s1")
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute_sql("FETCH ALL FROM c_post")
+    assert engine.execute_sql("FETCH ALL FROM c_pre").fetchall() == [(1,)]
+    engine.execute_sql("COMMIT")
+
+
+def test_cursor_direction_edge_cases(engine):
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "DECLARE dc NO  SCROLL CURSOR FOR "
+        "SELECT n_nationkey AS k FROM nation ORDER BY n_nationkey"
+    )
+    # positive RELATIVE n is forward-legal on NO SCROLL (PG)
+    assert engine.execute_sql("FETCH RELATIVE 3 FROM dc").fetchall() == [(2,)]
+    with pytest.raises(ValueError, match="SCROLL"):
+        engine.execute_sql("FETCH FIRST FROM dc")
+    with pytest.raises(ValueError, match="SCROLL"):
+        engine.execute_sql("FETCH ABSOLUTE 5 FROM dc")
+    engine.execute_sql("ROLLBACK")
