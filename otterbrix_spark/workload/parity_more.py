@@ -1827,3 +1827,56 @@ def w10(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents").over(frame) - F.sum("cents").over(peer))
         .cast("long").alias("excl_sum"),
     ).orderBy("user_id", "day", "event_id")
+
+
+# --- o02: null-ordering defaults with comments inside ORDER BY ----------------
+# The self-review-r10 regression class: a trailing comment after a sort
+# item must neither swallow the appended NULLS spec nor truncate the
+# clause scan (a LIMIT stop word inside the comment). Same top-k
+# materialization contract as o01, with line and block comments placed
+# exactly where the round's bug bit.
+
+_O02_SQL = """
+WITH nb AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0.0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer)
+SELECT 'asc' AS dir, c_custkey, bal FROM (
+  SELECT c_custkey, bal FROM nb
+  ORDER BY bal, -- limit rows by balance
+           c_custkey /* tiebreak */ LIMIT 8)
+UNION ALL
+SELECT 'desc' AS dir, c_custkey, bal FROM (
+  SELECT c_custkey, bal FROM nb
+  ORDER BY bal DESC -- nulls lead here
+         , c_custkey
+  LIMIT 8)
+"""
+
+_O02_ORACLE = """
+WITH nb AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0.0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer)
+SELECT 'asc' AS dir, c_custkey, bal FROM (
+  SELECT c_custkey, bal FROM nb
+  ORDER BY bal NULLS LAST, c_custkey NULLS LAST LIMIT 8)
+UNION ALL
+SELECT 'desc' AS dir, c_custkey, bal FROM (
+  SELECT c_custkey, bal FROM nb
+  ORDER BY bal DESC NULLS FIRST, c_custkey NULLS LAST LIMIT 8)
+"""
+
+
+@query(
+    "o02_order_by_nulls_comments", _O02_ORACLE,
+    doc="PG null-ordering defaults applied correctly when sort items "
+        "carry trailing line/block comments (the spec lands before the "
+        "comment; stop words inside comments do not truncate the scan)",
+)
+def o02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    return eng.sql(_O02_SQL)
