@@ -618,15 +618,121 @@ class Catalog:
         # tracked so pg_class can list relkind='v' rows (the Spark temp
         # view itself is the executable object; this is catalog metadata)
         self.views: dict[str, str] = {}
+        # materialized-view defining SQL (persisted so a reopened engine
+        # can rebuild the refresh closure; the lambda is not serializable)
+        self.matview_sql: dict[str, str] = {}
         # session-scoped oids for pg_catalog introspection: PG hands out
         # oids at object creation; here first-reference order from the
         # user-object floor (16384), stable for the session
         self._oids: dict[tuple[str, str], int] = {}
         self._oid_next = 16384
+        # reopen discovery LAST: every dict it fills must already exist
+        self._restore_catalog()
 
     def _register(self, table: ManagedTable) -> None:
         self.tables[table.name] = table
         table.df().createOrReplaceTempView(table.name)
+
+    # -- catalog persistence (reference test_persistence.cpp: a reopened
+    # -- engine over the same directory sees tables, constraints,
+    # -- sequences, types and views; data persistence is the parquet
+    # -- dirs themselves) -----------------------------------------------
+    def _catalog_path(self) -> str:
+        return os.path.join(self.base_dir, "_catalog.json")
+
+    def persist_catalog_state(self) -> None:
+        """Write the driver-side catalog dicts beside the tables
+        (atomic replace). Called at the engine statement boundary after
+        every routed statement — the dicts are tiny, the write is ~ms,
+        and every DDL/sequence mutation is covered without per-site
+        bookkeeping. Plain-EXPLAIN probes never persist."""
+        if self._explain_probe:
+            return
+        import json
+
+        state = {
+            "constraints": self.table_constraints,
+            "defaults": self.table_defaults,
+            "sequences": self.sequences,
+            "seq_last": self._seq_last,
+            "seq_step": self._seq_step,
+            "seq_start": self._seq_start,
+            "types": self.types,
+            "databases": sorted(self.databases),
+            "views": list(self.views.items()),
+            "matviews": self.matview_sql,
+        }
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh, indent=1)
+        os.replace(tmp, self._catalog_path())
+
+    def refresh_views(self) -> None:
+        """Re-register every plain (non-materialized) view from its
+        stored SQL — PG views are LATE-binding (each reference sees the
+        tables' current state), while a Spark temp view freezes the file
+        listing at analysis time. Called at the statement boundary after
+        every routed statement, in creation order (a view may reference
+        earlier views); inside a transaction this also gives
+        read-your-writes THROUGH views. A view whose dependency vanished
+        keeps its last good binding (PG would have refused the DROP)."""
+        for name, body in self.views.items():
+            try:
+                self.spark.sql(body).createOrReplaceTempView(name)
+            except Exception:
+                pass
+
+    def _restore_catalog(self) -> None:
+        """Rediscover persisted state on engine start: managed tables
+        (plain parquet dirs), dynamic tables (dyn__*), materialized
+        views (mv__* + stored SQL), and the metadata dicts from
+        _catalog.json. Registration order: tables first, then plain
+        views in creation order (a view may reference tables or earlier
+        views)."""
+        import json
+
+        if not os.path.isdir(self.base_dir):
+            return
+        for entry in sorted(os.listdir(self.base_dir)):
+            p = os.path.join(self.base_dir, entry)
+            if not os.path.isdir(p) or entry.startswith((".", "mv__")):
+                continue
+            if entry.startswith("dyn__"):
+                from otterbrix_spark.sources.dynamic import DynamicTable
+
+                name = entry[len("dyn__"):]
+                dyn = DynamicTable(self.spark, p)
+                self.dynamic[name] = dyn
+                dyn.df().createOrReplaceTempView(name)
+                continue
+            t = ManagedTable(self.spark, p, entry)
+            if t.exists():
+                self._register(t)
+        if not os.path.exists(self._catalog_path()):
+            return
+        with open(self._catalog_path()) as fh:
+            meta = json.load(fh)
+        self.table_constraints = meta.get("constraints", {})
+        self.table_defaults = meta.get("defaults", {})
+        self.sequences = meta.get("sequences", {})
+        self._seq_last = meta.get("seq_last", {})
+        self._seq_step = meta.get("seq_step", {})
+        self._seq_start = meta.get("seq_start", {})
+        self.types = meta.get("types", {})
+        self.databases = set(meta.get("databases", []))
+        for name, body in meta.get("views", []):
+            self.spark.sql(body).createOrReplaceTempView(name)
+            self.views[name] = body
+        for name, body in meta.get("matviews", {}).items():
+            path = os.path.join(
+                self.base_dir, "mv__" + name.replace(".", "__")
+            )
+            mv = MaterializedView(
+                self.spark, path, lambda b=body: self.spark.sql(b)
+            )
+            self.matviews[name] = mv
+            self.matview_sql[name] = body
+            mv.df().createOrReplaceTempView(name)
 
     def _note_created(self, name: str) -> None:
         """Record a table created inside the open explicit transaction so
@@ -2128,6 +2234,7 @@ class Catalog:
             path = os.path.join(self.base_dir, "mv__" + name.replace(".", "__"))
             mv = MaterializedView(self.spark, path, lambda b=body: self.spark.sql(b))
             self.matviews[name] = mv
+            self.matview_sql[name] = body
             mv.df().createOrReplaceTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
@@ -2145,6 +2252,7 @@ class Catalog:
             materialized, name = m.group(1), m.group(2)
             if materialized and name in self.matviews:
                 ManagedTable(self.spark, self.matviews.pop(name).path).drop()
+                self.matview_sql.pop(name, None)
             self.views.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))

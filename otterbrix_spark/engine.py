@@ -111,15 +111,26 @@ class Engine:
                     lambda m: _sql_literal(params[int(m.group(1)) - 1]),
                     body,
                 )
-                return Cursor(self.catalog.route(body))
+                return self._route(body)
             import re
 
             body = re.sub(r"\$(\d+)", lambda m: f":p{m.group(1)}", body)
             args = {f"p{i + 1}": v for i, v in enumerate(params)}
             return Cursor(self.spark.sql(body, args=args))
         if self.catalog.handles(body):
-            return Cursor(self.catalog.route(body))
+            return self._route(body)
         return Cursor(self.spark.sql(body))
+
+    def _route(self, body: str) -> Cursor:
+        """Route through the catalog, then persist the catalog dicts —
+        the statement boundary where every DDL/sequence mutation is
+        already applied (reference persistence: a reopened engine over
+        the same table_dir sees tables, constraints, sequences, types
+        and views; `test_persistence.cpp`)."""
+        cur = Cursor(self.catalog.route(body))
+        self.catalog.persist_catalog_state()
+        self.catalog.refresh_views()
+        return cur
 
     def sql(self, sql: str, *params) -> DataFrame:
         return self.execute_sql(sql, *params).df

@@ -1651,3 +1651,77 @@ def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(id) AS BIGINT) AS id_sum "
         "FROM x20_child GROUP BY bucket ORDER BY bucket"
     )
+
+
+# --- x21: engine-restart persistence ------------------------------------------
+# Reference test_persistence.cpp / reopen_resolves_columns_after_checkpoint:
+# a SECOND engine instance over the same table directory must see the
+# tables (parquet dirs rediscovered), the catalog metadata
+# (constraints / sequences / views from _catalog.json), and continue
+# sequences without id reuse. The gate builds state with engine 1,
+# reopens as engine 2 (temp views dropped first — a fresh session),
+# keeps writing, and returns the merged state; the oracle replays the
+# row algebra declaratively.
+
+_X21_ORACLE = """
+WITH pre AS (
+  SELECT c_custkey AS v,
+         1000 + ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS id
+  FROM customer WHERE c_custkey % 4 = 0),
+post AS (
+  SELECT c_custkey AS v,
+         (SELECT COUNT(*) FROM pre) + 1000
+           + ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS id
+  FROM customer WHERE c_custkey % 4 = 1)
+SELECT 'pre' AS leg, id, v FROM pre
+UNION ALL
+SELECT 'post' AS leg, id, v FROM post
+UNION ALL
+SELECT 'view' AS leg, CAST(NULL AS BIGINT) AS id,
+       (SELECT SUM(v) FROM (SELECT v FROM pre UNION ALL SELECT v FROM post))
+ORDER BY leg, id
+"""
+
+
+@query(
+    "x21_restart_persistence", _X21_ORACLE,
+    doc="engine reopen over the same table_dir: tables rediscovered, "
+        "constraints/sequences/views restored from _catalog.json, "
+        "sequences continue without id reuse, views stay late-binding",
+)
+def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from otterbrix_spark.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="x21_persist_")
+    e1 = Engine(spark, table_dir=d)
+    e1.register_corpus(sf_dir)
+    e1.sql("CREATE SEQUENCE x21_seq START 1000")
+    e1.sql(
+        "CREATE TABLE x21_t (id BIGINT DEFAULT nextval('x21_seq'), "
+        "v BIGINT, CONSTRAINT x21_pos CHECK (v >= 0))"
+    )
+    e1.sql(
+        "INSERT INTO x21_t (v) SELECT c_custkey FROM customer "
+        "WHERE c_custkey % 4 = 0 ORDER BY c_custkey"
+    )
+    e1.sql("CREATE VIEW x21_v AS SELECT SUM(v) AS sv FROM x21_t")
+    # a fresh session: the first engine's temp views are gone
+    for v in ("x21_t", "x21_v"):
+        spark.catalog.dropTempView(v)
+    e2 = Engine(spark, table_dir=d)
+    e2.register_corpus(sf_dir)
+    e2.sql(
+        "INSERT INTO x21_t (v) SELECT c_custkey FROM customer "
+        "WHERE c_custkey % 4 = 1 ORDER BY c_custkey"
+    )
+    rows = e2.sql(
+        "SELECT CASE WHEN v % 4 = 0 THEN 'pre' ELSE 'post' END AS leg, "
+        "id, v FROM x21_t"
+    )
+    view = e2.sql(
+        "SELECT 'view' AS leg, CAST(NULL AS BIGINT) AS id, sv AS v "
+        "FROM x21_v"
+    )
+    return rows.unionByName(view).orderBy("leg", "id")

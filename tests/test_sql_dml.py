@@ -2041,3 +2041,73 @@ def test_cursor_direction_edge_cases(engine):
     with pytest.raises(ValueError, match="SCROLL"):
         engine.execute_sql("FETCH ABSOLUTE 5 FROM dc")
     engine.execute_sql("ROLLBACK")
+
+
+# -- engine reopen persistence (reference test_persistence.cpp) ----------------
+
+
+def test_reopen_rediscovers_catalog(spark, tmp_path, sf_dir):
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.register_corpus(sf_dir)
+    e1.execute_sql("CREATE SEQUENCE rs START 100")
+    e1.execute_sql(
+        "CREATE TABLE rp (id BIGINT DEFAULT nextval('rs'), v BIGINT, "
+        "CONSTRAINT rp_pos CHECK (v > 0))"
+    )
+    e1.execute_sql("INSERT INTO rp (v) VALUES (1), (2)")
+    e1.execute_sql("CREATE VIEW rv AS SELECT v * 10 AS v10 FROM rp")
+    e1.execute_sql(
+        "CREATE MATERIALIZED VIEW rmv AS SELECT COUNT(*) AS n FROM rp"
+    )
+    e1.execute_sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    # simulate a fresh session's view state
+    for v in ("rp", "rv", "rmv"):
+        spark.catalog.dropTempView(v)
+
+    e2 = Engine(spark, table_dir=str(tmp_path))
+    # table + rows
+    assert sorted(e2.execute_sql("SELECT v FROM rp").fetchall()) == [(1,), (2,)]
+    # constraint survives
+    import pytest as _pt
+    with _pt.raises(Exception, match="rp_pos"):
+        e2.execute_sql("INSERT INTO rp (v) VALUES (-1)")
+    # sequence continues after reopen with NO id reuse; the failed
+    # INSERT above burned one value (PG sequences are non-transactional
+    # — a rolled-back insert leaves a gap)
+    e2.execute_sql("INSERT INTO rp (v) VALUES (3)")
+    ids = sorted(r[0] for r in e2.execute_sql("SELECT id FROM rp").fetchall())
+    assert ids == [100, 101, 103]
+    # plain view + matview回 visible
+    assert sorted(e2.execute_sql("SELECT v10 FROM rv").fetchall()) == [
+        (10,), (20,), (30,)]
+    assert e2.execute_sql("SELECT n FROM rmv").fetchall() == [(2,)]
+    e2.execute_sql("REFRESH MATERIALIZED VIEW rmv")
+    assert e2.execute_sql("SELECT n FROM rmv").fetchall() == [(3,)]
+    # enum type usable in new DDL
+    e2.execute_sql("CREATE TABLE rm (m mood)")
+    e2.execute_sql("INSERT INTO rm VALUES ('ok')")
+    with _pt.raises(Exception):
+        e2.execute_sql("INSERT INTO rm VALUES ('angry')")
+
+
+def test_reopen_dynamic_table(spark, tmp_path):
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.execute_sql("CREATE TABLE dt ()")
+    e1.execute_sql("INSERT INTO dt SELECT 1 AS a, 'x' AS b")
+    spark.catalog.dropTempView("dt")
+    e2 = Engine(spark, table_dir=str(tmp_path))
+    assert e2.execute_sql("SELECT a, b FROM dt").fetchall() == [(1, "x")]
+
+
+def test_views_are_late_binding(engine):
+    """PG views see the tables' CURRENT state (review r10 follow-up:
+    Spark temp views freeze the file listing at analysis; the engine
+    re-registers stored view SQL at each statement boundary)."""
+    engine.execute_sql("CREATE TABLE lb (v BIGINT)")
+    engine.execute_sql("INSERT INTO lb VALUES (1)")
+    engine.execute_sql("CREATE VIEW lbv AS SELECT SUM(v) AS s FROM lb")
+    assert engine.execute_sql("SELECT s FROM lbv").fetchall() == [(1,)]
+    engine.execute_sql("INSERT INTO lb VALUES (10)")
+    assert engine.execute_sql("SELECT s FROM lbv").fetchall() == [(11,)]
+    engine.execute_sql("UPDATE lb SET v = v * 2 WHERE v = 10")
+    assert engine.execute_sql("SELECT s FROM lbv").fetchall() == [(21,)]
