@@ -250,7 +250,13 @@ def _fold(
     # arithmetic tails are not. Mirrors the regex path's pass ordering
     # (delete runs after the jsonb/variant rules, before subscripts and
     # regex operators, with a cast-type guard).
-    deletable = kind in (_K_IDENT, _K_CALL, _K_GROUP)
+    # an ARRAY[..] / ROW(..) constructor can never be jsonb text, so a
+    # following `- 'lit'` is arithmetic/error, not a key delete (the regex
+    # path leaves it verbatim too — hypothesis r10 divergence)
+    deletable = (
+        kind in (_K_IDENT, _K_CALL, _K_GROUP)
+        and head not in ("array", "struct")
+    )
     while j < end:
         t = toks[j]
         op = t.text

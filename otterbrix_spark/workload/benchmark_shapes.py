@@ -9014,8 +9014,9 @@ agg AS (
   FROM base GROUP BY channel, l_partkey
   HAVING SUM(qty) >= 50 AND SUM(cents) > 0),
 rat AS (
-  SELECT channel, l_partkey, (rqty * 10000) // qty AS ret_bp,
-         (rcents * 10000) // cents AS amt_bp
+  SELECT channel, l_partkey,
+         CAST((rqty * 10000) // qty AS BIGINT) AS ret_bp,
+         CAST((rcents * 10000) // cents AS BIGINT) AS amt_bp
   FROM agg),
 rk AS (
   SELECT channel, l_partkey, ret_bp, amt_bp,

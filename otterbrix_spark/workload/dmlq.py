@@ -1678,7 +1678,8 @@ UNION ALL
 SELECT 'post' AS leg, id, v FROM post
 UNION ALL
 SELECT 'view' AS leg, CAST(NULL AS BIGINT) AS id,
-       (SELECT SUM(v) FROM (SELECT v FROM pre UNION ALL SELECT v FROM post))
+       (SELECT CAST(SUM(v) AS BIGINT)
+        FROM (SELECT v FROM pre UNION ALL SELECT v FROM post)) AS v
 ORDER BY leg, id
 """
 
