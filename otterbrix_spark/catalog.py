@@ -1648,6 +1648,93 @@ class Catalog:
                     extra=user_staged or ()
                 ).createOrReplaceTempView(name)
 
+    def _positioned_dml(
+        self, upd_table, set_clause, del_table, cur_name, returning
+    ) -> DataFrame:
+        """UPDATE/DELETE ... WHERE CURRENT OF <cursor> — PG's positioned
+        DML. PG targets the physical tuple via ctid; on Spark the row is
+        matched BY VALUE and exactly ONE instance mutates (row_number
+        within the identical-tuple group — among exact duplicates an
+        arbitrary one is chosen, which is PG's observable behaviour up to
+        physical identity). The cursor must be a simply-updatable scan of
+        the target table and be positioned on a row."""
+        name = upd_table or del_table
+        cur = self._pg_cursors.get(cur_name.lower())
+        if cur is None:
+            raise ValueError(f'cursor "{cur_name}" does not exist')
+        if cur.get("updatable") != name:
+            raise ValueError(
+                f'cursor "{cur_name}" is not a simply updatable scan of '
+                f"table {name}"
+            )
+        row = cur.get("current")
+        if row is None:
+            raise ValueError(
+                f'cursor "{cur_name}" is not positioned on a row'
+            )
+        from functools import reduce as _reduce
+        from operator import and_ as _and
+
+        from pyspark.sql import Window
+
+        table = self.tables[name]
+        base = (
+            self._txn.get(name, table.df())
+            if self._txn is not None else table.df()
+        )
+        cols = [f.name for f in base.schema.fields]
+        match = _reduce(_and, [
+            F.col(c).isNull() if row[c] is None
+            else F.col(c).eqNullSafe(F.lit(row[c]))
+            for c in cols
+        ])
+        marked = base.withColumn(
+            "__otx_rn",
+            F.row_number().over(
+                Window.partitionBy(*cols).orderBy(F.lit(1))
+            ),
+        )
+        target = match & (F.col("__otx_rn") == 1)
+        if del_table:
+            new_df = marked.filter(~target).select(*cols)
+            matched = marked.filter(target).select(*cols)
+            verb = "deleted"
+            cur["current"] = None  # the row under the cursor is gone
+        else:
+            set_texts = {
+                col: self._consume_seq_text(expr)
+                for col, expr in _split_set_list(set_clause).items()
+            }
+            sets = _resolve_set_targets(set_texts)
+            new_df, matched = apply_update(marked, target, sets)
+            new_df = new_df.select(*cols)
+            # pin the post-update row NOW: the swap below deletes the
+            # files its lazy plan reads, and the cursor repositions on it
+            matched = matched.select(*cols).localCheckpoint(eager=True)
+            verb = "updated"
+        self._validate_new_rows(name, matched, full=new_df)
+        if self._txn is not None:
+            out = self._stage_txn(name, new_df, matched, verb, returning)
+        else:
+            if returning:
+                if del_table:
+                    matched = matched.localCheckpoint(eager=True)
+                table._swap_in(new_df)
+                self._register(table)
+                out = self._apply_returning(matched, returning)
+            else:
+                n = matched.count()
+                table._swap_in(new_df)
+                self._register(table)
+                out = self.spark.range(1).select(F.lit(n).alias(verb))
+        if not del_table:
+            # PG follows the update chain: the cursor now sees the row's
+            # post-update values (a second positioned UPDATE re-updates)
+            new_row = matched.limit(1).collect()
+            if new_row:
+                cur["current"] = new_row[0]
+        return out
+
     def _with_dml(self, ctes, tail: str) -> DataFrame:
         """PG data-modifying CTEs: ``WITH m AS (DELETE ... RETURNING ...)
         INSERT INTO archive SELECT * FROM m`` (PG docs 7.8.2; the
@@ -1814,7 +1901,35 @@ class Catalog:
                 )
             if name in self._pg_cursors:
                 raise ValueError(f'cursor "{name}" already exists')
+            # simply-updatable scan (PG's test for WHERE CURRENT OF):
+            # SELECT * | plain columns FROM one managed table, optional
+            # WHERE/ORDER BY. Such cursors plan the FULL row (FETCH
+            # projects the requested columns driver-side) and pin the
+            # snapshot, so positioned DML swaps cannot break iteration.
+            updatable, out_cols = None, None
+            mu = re.match(
+                r"^\s*SELECT\s+(\*|[\w\s,]+?)\s+FROM\s+([\w.]+)\s*"
+                r"(WHERE\s+.+?)?\s*(ORDER\s+BY\s+[\w\s,.]+?)?\s*$",
+                query, re.IGNORECASE | re.DOTALL,
+            )
+            if mu and mu.group(2) in self.tables:
+                tname = mu.group(2)
+                tcols = [
+                    f.name for f in self.tables[tname].df().schema.fields
+                ]
+                sel = mu.group(1).strip()
+                want = (
+                    tcols if sel == "*"
+                    else [c.strip() for c in sel.split(",")]
+                )
+                if all(c in tcols for c in want):
+                    updatable, out_cols = tname, want
+                    query = "SELECT * FROM {} {} {}".format(
+                        tname, mu.group(3) or "", mu.group(4) or ""
+                    )
             df = self.spark.sql(query)
+            if updatable:
+                df = df.localCheckpoint(eager=True)
             self._pg_cursors[name] = {
                 "it": iter(df.toLocalIterator()),
                 "schema": df.schema,
@@ -1823,6 +1938,9 @@ class Catalog:
                 # that CREATED them aborts (holdability only survives a
                 # successful COMMIT)
                 "in_txn": self._txn is not None,
+                "updatable": updatable,
+                "out_cols": out_cols,
+                "current": None,
             }
             return self.spark.range(0).select(F.lit(name).alias("declared"))
         m = re.match(
@@ -1869,11 +1987,16 @@ class Catalog:
                 itertools.islice(cur["it"], count)
                 if count is not None else cur["it"]
             )
+            # track the position for WHERE CURRENT OF (None past the end)
+            cur["current"] = rows[-1] if rows else None
             if verb == "MOVE":
                 return self.spark.range(1).select(
                     F.lit(len(rows)).alias("move")
                 )
-            return self.spark.createDataFrame(rows, cur["schema"])
+            out = self.spark.createDataFrame(rows, cur["schema"])
+            if cur.get("out_cols"):
+                out = out.select(*cur["out_cols"])
+            return out
         m = re.match(r"^\s*CLOSE\s+(\w+|ALL)\s*;?\s*$", sql, re.IGNORECASE)
         if m:
             name = m.group(1).lower()
@@ -2701,6 +2824,18 @@ class Catalog:
                 shutil.rmtree(self.dynamic.pop(name).path, ignore_errors=True)
                 self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
+
+        # positioned DML: UPDATE/DELETE ... WHERE CURRENT OF <cursor>
+        # (PG cursor surface; must intercept before the plain UPDATE/
+        # DELETE regexes, whose WHERE capture would swallow CURRENT OF)
+        m = re.match(
+            r"^\s*(?:UPDATE\s+([\w.]+)\s+SET\s+(.*?)|DELETE\s+FROM\s+"
+            r"([\w.]+))\s+WHERE\s+CURRENT\s+OF\s+(\w+)"
+            r"(?:\s+RETURNING\s+(.+?))?\s*;?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return self._positioned_dml(*m.groups())
 
         m = self._match_protected(_MERGE, sql)
         if m and m[0] in self.tables:

@@ -1726,3 +1726,63 @@ def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM x21_v"
     )
     return rows.unionByName(view).orderBy("leg", "id")
+
+
+# --- x22: positioned DML (WHERE CURRENT OF) -----------------------------------
+# PG's cursor-positioned UPDATE/DELETE — the row-at-a-time batch-job
+# pattern (scan a cursor, mutate the row under it). Runs inside ONE
+# transaction so every positioned mutation STAGES lazily and COMMIT
+# materializes the table once (the honest cluster shape: per-row swaps
+# would be O(rows x table)); among exact duplicates exactly one
+# instance mutates. The oracle replays the per-row rule declaratively.
+
+_X22_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal
+  FROM customer),
+first12 AS (SELECT k, bal FROM base ORDER BY k LIMIT 12),
+rest AS (
+  SELECT k, bal FROM base WHERE k NOT IN (SELECT k FROM first12)),
+proc AS (
+  SELECT k, bal * 2 AS bal FROM first12 WHERE bal >= 0 AND bal < 500000
+  UNION ALL
+  SELECT k, bal FROM first12 WHERE bal >= 500000)
+SELECT k, bal FROM proc
+UNION ALL
+SELECT k, bal FROM rest
+ORDER BY k
+"""
+
+
+@query(
+    "x22_positioned_dml", _X22_ORACLE,
+    doc="WHERE CURRENT OF: cursor-driven per-row UPDATE (double small "
+        "balances) / DELETE (negative balances) staged in one txn, "
+        "COMMIT materializes once",
+)
+def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x22_t")
+    eng.sql("CREATE TABLE x22_t (k BIGINT, bal BIGINT)")
+    eng.sql(
+        "INSERT INTO x22_t SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer"
+    )
+    eng.sql("BEGIN")
+    eng.sql("DECLARE x22c CURSOR FOR SELECT k, bal FROM x22_t ORDER BY k")
+    for _ in range(12):
+        row = eng.execute_sql("FETCH 1 FROM x22c").fetchall()
+        if not row:
+            break
+        _, bal = row[0]
+        if bal < 0:
+            eng.sql("DELETE FROM x22_t WHERE CURRENT OF x22c")
+        elif bal < 500000:
+            eng.sql("UPDATE x22_t SET bal = bal * 2 WHERE CURRENT OF x22c")
+    eng.sql("CLOSE x22c")
+    eng.sql("COMMIT")
+    return eng.sql("SELECT k, bal FROM x22_t ORDER BY k")

@@ -2111,3 +2111,75 @@ def test_views_are_late_binding(engine):
     assert engine.execute_sql("SELECT s FROM lbv").fetchall() == [(11,)]
     engine.execute_sql("UPDATE lb SET v = v * 2 WHERE v = 10")
     assert engine.execute_sql("SELECT s FROM lbv").fetchall() == [(21,)]
+
+
+# -- positioned DML: WHERE CURRENT OF ------------------------------------------
+
+
+def test_where_current_of_update_delete(engine):
+    engine.execute_sql(
+        "CREATE TABLE pc AS SELECT * FROM "
+        "(VALUES (1, 10), (2, 20), (3, 30), (4, 40)) AS t(k, v)"
+    )
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "DECLARE pcur CURSOR FOR SELECT k, v FROM pc ORDER BY k"
+    )
+    engine.execute_sql("FETCH 2 FROM pcur")  # positioned on k=2
+    engine.execute_sql("UPDATE pc SET v = v + 100 WHERE CURRENT OF pcur")
+    # PG follows the update chain: a second positioned UPDATE re-updates
+    engine.execute_sql("UPDATE pc SET v = v + 1000 WHERE CURRENT OF pcur")
+    engine.execute_sql("FETCH NEXT FROM pcur")  # k=3
+    ret = engine.execute_sql(
+        "DELETE FROM pc WHERE CURRENT OF pcur RETURNING k, v"
+    ).fetchall()
+    assert ret == [(3, 30)]
+    # deleted under the cursor: further positioned DML errors
+    with pytest.raises(ValueError, match="not positioned"):
+        engine.execute_sql("DELETE FROM pc WHERE CURRENT OF pcur")
+    engine.execute_sql("COMMIT")
+    rows = sorted(engine.execute_sql("SELECT k, v FROM pc").fetchall())
+    assert rows == [(1, 10), (2, 1120), (4, 40)]
+
+
+def test_where_current_of_duplicates_one_instance(engine):
+    """Among exact duplicate rows, positioned DELETE removes exactly ONE
+    instance (PG deletes one physical tuple)."""
+    engine.execute_sql(
+        "CREATE TABLE pdup AS SELECT * FROM "
+        "(VALUES (1, 'x'), (1, 'x'), (1, 'x')) AS t(k, v)"
+    )
+    engine.execute_sql(
+        "DECLARE dcur CURSOR WITH HOLD FOR SELECT k, v FROM pdup"
+    )
+    engine.execute_sql("FETCH 1 FROM dcur")
+    engine.execute_sql("DELETE FROM pdup WHERE CURRENT OF dcur")
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM pdup").value("n", 0) == 2
+    engine.execute_sql("CLOSE dcur")
+
+
+def test_where_current_of_refusals(engine):
+    engine.execute_sql("CREATE TABLE pr2 AS SELECT 1 AS k")
+    engine.execute_sql("BEGIN")
+    # not a simply-updatable scan (expression select list)
+    engine.execute_sql(
+        "DECLARE ncur CURSOR FOR SELECT k + 1 AS k2 FROM pr2"
+    )
+    with pytest.raises(ValueError, match="simply updatable"):
+        engine.execute_sql("DELETE FROM pr2 WHERE CURRENT OF ncur")
+    # updatable cursor but not yet positioned
+    engine.execute_sql("DECLARE ucur CURSOR FOR SELECT k FROM pr2")
+    with pytest.raises(ValueError, match="not positioned"):
+        engine.execute_sql("DELETE FROM pr2 WHERE CURRENT OF ucur")
+    engine.execute_sql("ROLLBACK")
+
+
+def test_where_current_of_txn_rollback(engine):
+    engine.execute_sql("CREATE TABLE ptx AS SELECT * FROM (VALUES (1), (2)) AS t(k)")
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("DECLARE tcur CURSOR FOR SELECT k FROM ptx ORDER BY k")
+    engine.execute_sql("FETCH 1 FROM tcur")
+    engine.execute_sql("DELETE FROM ptx WHERE CURRENT OF tcur")
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM ptx").value("n", 0) == 1
+    engine.execute_sql("ROLLBACK")
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM ptx").value("n", 0) == 2
