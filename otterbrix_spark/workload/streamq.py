@@ -1963,6 +1963,40 @@ def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_closure(prev, batch_df):
+    """One incremental closure step: extend ``prev`` (a (node, anc) pair
+    frame or None) with a micro-batch of new edges. Frontier = the new
+    pairs; each iteration grows only through paths touching them, so the
+    loop is bounded by the NEW-path diameter, not the graph diameter.
+    Returns the new closure, localCheckpointed (bounded lineage)."""
+    n = batch_df.select("node", "anc").distinct().localCheckpoint(
+        eager=True
+    )
+    t = n if prev is None else prev.unionByName(n).distinct()
+    p = n
+    while True:
+        left = t.alias("t").join(
+            p.alias("p"), F.col("t.anc") == F.col("p.node")
+        ).select(
+            F.col("t.node").alias("node"), F.col("p.anc").alias("anc")
+        )
+        right = p.alias("p").join(
+            t.alias("t"), F.col("p.anc") == F.col("t.node")
+        ).select(
+            F.col("p.node").alias("node"), F.col("t.anc").alias("anc")
+        )
+        p2 = (
+            left.unionByName(right).distinct()
+            .join(t, ["node", "anc"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if p2.isEmpty():
+            break
+        t = t.unionByName(p2).distinct().localCheckpoint(eager=True)
+        p = p2
+    return t.localCheckpoint(eager=True)
+
+
 # --- s25: incremental transitive-closure maintenance over a stream -----------
 # The reference executes WITH RECURSIVE through its streaming pipeline
 # executor (test_streaming_recursive_cte.cpp: anchor + every fixpoint
@@ -2036,33 +2070,7 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        n = batch_df.select("node", "anc").distinct().localCheckpoint(
-            eager=True
-        )
-        c = state["closure"]
-        t = n if c is None else c.unionByName(n).distinct()
-        p = n
-        while True:
-            left = t.alias("t").join(
-                p.alias("p"), F.col("t.anc") == F.col("p.node")
-            ).select(
-                F.col("t.node").alias("node"), F.col("p.anc").alias("anc")
-            )
-            right = p.alias("p").join(
-                t.alias("t"), F.col("p.anc") == F.col("t.node")
-            ).select(
-                F.col("p.node").alias("node"), F.col("t.anc").alias("anc")
-            )
-            p2 = (
-                left.unionByName(right).distinct()
-                .join(t, ["node", "anc"], "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if p2.isEmpty():
-                break
-            t = t.unionByName(p2).distinct().localCheckpoint(eager=True)
-            p = p2
-        state["closure"] = t.localCheckpoint(eager=True)
+        state["closure"] = _delta_closure(state["closure"], batch_df)
         state["batches"] += 1
 
     stream = (
@@ -2087,6 +2095,165 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"s25 ran only {state['batches']} input micro-batches"
         )
     closure = state["closure"]
+    return (
+        closure.groupBy("node")
+        .agg(F.countDistinct("anc").cast("long").alias("n_anc"))
+        .groupBy("n_anc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_sum"),
+        )
+        .orderBy("n_anc")
+    )
+
+
+# --- s26: closure maintenance under forced restart -----------------------------
+# Completes the restart matrix (s10 dedup, s21 SCD2, s23 join-state,
+# s26 iterative/recursive state): the s25 incremental closure now
+# persists its state as per-batch parquet snapshots behind an
+# idempotent seen-ledger sink, the stream is killed by restoring a
+# checkpoint COPY missing its LAST commit marker (the on-disk state an
+# ungraceful stop leaves), and the resume REPLAYS that batch id — the
+# ledger skips the re-apply (snapshot overwrite would also be
+# idempotent: closure extension with already-seen edges is a no-op).
+# Final histogram must equal the recursive batch oracle of the union.
+
+_S26_ORACLE = _S25_ORACLE
+
+
+@query(
+    "s26_closure_restart", _S26_ORACLE,
+    doc="incremental-closure restart certification: per-batch persisted "
+        "snapshots + idempotent seen-ledger, forced resume from a "
+        "checkpoint missing its last commit marker replays the batch "
+        "exactly once; equals the batch closure of the union",
+)
+def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import re as _re
+    import shutil
+    import time as _time
+
+    from otterbrix_spark.sources.registry import load_table
+    from otterbrix_spark.workload import scratch_dir
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.expr("c_custkey DIV 3").alias("anc"),
+    ).filter(F.col("node") >= 1)
+
+    scratch = scratch_dir("s26_landing_")
+    slices = []
+    for i in range(4):
+        part = edges.filter(F.col("node") % 4 == i)
+        tmp_i = os.path.join(scratch, f"slice_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp_i)
+        slices.append(
+            glob.glob(os.path.join(tmp_i, "part-*.parquet"))[0]
+        )
+    landing = os.path.join(scratch, "edges.parquet")
+    os.makedirs(landing)
+    state_dir = os.path.join(scratch, "closure_state")
+    os.makedirs(state_dir)
+    ckpt = os.path.join(scratch, "ckpt")
+    base = 1_700_000_000
+
+    def land(src_file: str, seq: int) -> None:
+        dst = os.path.join(landing, f"part-{seq:04d}.parquet")
+        shutil.copyfile(src_file, dst)
+        os.utime(dst, (base + seq * 60, base + seq * 60))
+
+    def _seen_ids() -> set:
+        return {
+            int(os.path.basename(p).split("-")[1])
+            for p in glob.glob(os.path.join(state_dir, "seen-*"))
+        }
+
+    def _applied_ids() -> list:
+        return sorted(
+            int(os.path.basename(p).split("-")[1])
+            for p in glob.glob(os.path.join(state_dir, "batch-*"))
+        )
+
+    def _latest_closure():
+        ids = _applied_ids()
+        if not ids:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, f"batch-{ids[-1]:04d}")
+        )
+
+    replayed: list = []
+
+    def sink(batch_df, batch_id):
+        if batch_id in _seen_ids():
+            replayed.append(batch_id)
+            return
+        if not batch_df.isEmpty():
+            t = _delta_closure(_latest_closure(), batch_df)
+            t.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"batch-{batch_id:04d}")
+            )
+        # marker AFTER the apply: a crash between them replays the
+        # batch, whose snapshot overwrite is idempotent
+        open(os.path.join(state_dir, f"seen-{batch_id:04d}"), "w").close()
+
+    def run_pass(ck: str) -> None:
+        stream = (
+            spark.readStream.schema("node BIGINT, anc BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        deadline = _time.time() + 300
+        while q.isActive and _time.time() < deadline:
+            _time.sleep(0.2)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError("s26 stream did not finish")
+        q.awaitTermination()
+
+    # phase 1: half the slices
+    for i, f in enumerate(slices[:2]):
+        land(f, i)
+    run_pass(ckpt)
+
+    # forced restart from a checkpoint copy missing its last commit
+    ckpt2 = os.path.join(scratch, "ckpt_restored")
+    shutil.copytree(ckpt, ckpt2)
+    commits = [
+        p for p in glob.glob(os.path.join(ckpt2, "commits", "*"))
+        if _re.fullmatch(r"\d+", os.path.basename(p))
+    ]
+    last = max(commits, key=lambda p: int(os.path.basename(p)))
+    os.remove(last)
+    crc = os.path.join(
+        os.path.dirname(last), f".{os.path.basename(last)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    for j, f in enumerate(slices[2:]):
+        land(f, 2 + j)
+    run_pass(ckpt2)
+
+    if not replayed:
+        raise AssertionError(
+            "s26 restart: the resumed run never replayed the batch whose "
+            "commit marker was removed"
+        )
+    if len(_applied_ids()) < 3:
+        raise AssertionError(
+            f"s26 applied only {len(_applied_ids())} closure batches"
+        )
+    closure = _latest_closure()
     return (
         closure.groupBy("node")
         .agg(F.countDistinct("anc").cast("long").alias("n_anc"))
