@@ -5913,3 +5913,121 @@ def e21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("fp"),
     ).orderBy("vec_id")
+
+
+# --- e22: Matryoshka dimension-truncation recall -------------------------------
+# The MRL deployment question (Kusupati et al. '22): how much recall@10
+# survives truncating embeddings to their first d dimensions? One widest
+# pass computes the pair dot/norm arrays; the d in {8,16,32} variants
+# fan out by an array expression (the e20 pattern — no per-d re-query),
+# rank ties break on neighbor_id, and recall is counted against the
+# full-width top-10 truth in exact integers. Queries scale with the
+# corpus (vec_id % 97 = 0); the oracle replays dot products in the same
+# element order (the e01-certified cross-engine pairing).
+
+_E22_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+dd AS (SELECT UNNEST([8, 16, 32, 64]) AS d),
+scored AS (
+  SELECT dd.d, q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v[1:dd.d], q.qv[1:dd.d]) /
+           (sqrt(list_sum(list_transform(e.v[1:dd.d], x -> x * x))) *
+            sqrt(list_sum(list_transform(q.qv[1:dd.d], x -> x * x)))) AS cos
+  FROM e CROSS JOIN q CROSS JOIN dd WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT d, query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY d, query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+  FROM scored),
+top AS (SELECT d, query_id, neighbor_id FROM ranked WHERE rk <= 10),
+full10 AS (SELECT query_id, neighbor_id FROM top WHERE d = 64),
+rec AS (
+  SELECT t.d, t.query_id, CAST(COUNT(*) AS BIGINT) AS recall
+  FROM top t JOIN full10 f
+    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+  WHERE t.d <> 64 GROUP BY t.d, t.query_id)
+SELECT CAST(g.d AS BIGINT) AS d, g.query_id AS query_id,
+       CAST(COALESCE(r.recall, 0) AS BIGINT) AS recall
+FROM (SELECT dx.d, q.query_id
+      FROM (SELECT UNNEST([8, 16, 32]) AS d) dx CROSS JOIN q) g
+LEFT JOIN rec r ON r.d = g.d AND r.query_id = g.query_id
+ORDER BY d, g.query_id
+"""
+
+
+@query(
+    "e22_matryoshka_recall", _E22_ORACLE,
+    doc="Matryoshka truncation recall@10: first-d-dims cosine top-10 "
+        "(d in 8/16/32, fanned by one array expression) counted against "
+        "the full-width truth in exact integers",
+)
+def e22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    ).filter(F.col("query_id") % 97 == 0)
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("zp", F.expr("zip_with(v, qv, (x, y) -> x * y)"))
+        .withColumn("sv", F.expr("transform(v, x -> x * x)"))
+        .withColumn("sq", F.expr("transform(qv, x -> x * x)"))
+    )
+    # the e20 pattern: ONE pass, the d-variants fanned by an array expr
+    fanned = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.expr(
+            "transform(array(8, 16, 32, 64), d -> struct(d AS d, "
+            "aggregate(slice(zp, 1, d), 0D, (a, x) -> a + x) / "
+            "(sqrt(aggregate(slice(sv, 1, d), 0D, (a, x) -> a + x)) * "
+            " sqrt(aggregate(slice(sq, 1, d), 0D, (a, x) -> a + x))) "
+            "AS cos))"
+        )).alias("s"),
+    ).select("query_id", "neighbor_id", "s.d", "s.cos")
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    top = (
+        fanned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("d", "query_id", "neighbor_id")
+    )
+    full10 = top.filter(F.col("d") == 64).select(
+        F.col("query_id").alias("fq"), F.col("neighbor_id").alias("fn")
+    )
+    rec = (
+        top.filter(F.col("d") != 64)
+        .join(
+            full10,
+            (F.col("query_id") == F.col("fq"))
+            & (F.col("neighbor_id") == F.col("fn")),
+        )
+        .groupBy("d", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall"))
+    )
+    grid = q.select("query_id").crossJoin(
+        F.broadcast(
+            emb.sparkSession.range(0).sql_ctx.sparkSession.createDataFrame(
+                [(8,), (16,), (32,)], "d INT"
+            )
+        )
+    )
+    return (
+        grid.join(rec, ["d", "query_id"], "left")
+        .select(
+            F.col("d").cast("long").alias("d"),
+            "query_id",
+            F.coalesce(F.col("recall"), F.lit(0)).cast("long")
+            .alias("recall"),
+        )
+        .orderBy("d", "query_id")
+    )
