@@ -6015,11 +6015,7 @@ def e22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("recall"))
     )
     grid = q.select("query_id").crossJoin(
-        F.broadcast(
-            emb.sparkSession.range(0).sql_ctx.sparkSession.createDataFrame(
-                [(8,), (16,), (32,)], "d INT"
-            )
-        )
+        F.broadcast(spark.createDataFrame([(8,), (16,), (32,)], "d INT"))
     )
     return (
         grid.join(rec, ["d", "query_id"], "left")
