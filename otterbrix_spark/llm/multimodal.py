@@ -720,3 +720,91 @@ def augment_flip_crop(assets: DataFrame, crop: int = 16) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return assets.mapInPandas(run, schema)
+
+
+def encode_wav_gated(
+    n_samples: int, amp: int, half_period: int, seg: int,
+    quiet_div: int = 50, rate: int = 8000,
+) -> bytes:
+    """A square wave whose AMPLITUDE gates on/off in blocks of ``seg``
+    samples (loud block, quiet block, loud block, ...) — the synthetic
+    speech/silence alternation the VAD segmentation gate (m10) detects.
+    Sample i: sign from ((i // half_period) % 2), magnitude ``amp`` in
+    even blocks and ``amp // quiet_div`` in odd blocks."""
+    import struct
+
+    frames = bytearray()
+    for i in range(n_samples):
+        mag = amp if (i // seg) % 2 == 0 else amp // quiet_div
+        v = mag if (i // half_period) % 2 == 0 else -mag
+        frames += struct.pack("<h", v)
+    data = bytes(frames)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def documents_as_gated_audio(docs: DataFrame) -> DataFrame:
+    """REAL WAV assets with an SQL-predictable gated envelope:
+
+      n_samples = 512 + (doc_id * 29) % 512
+      amplitude = 2000 + (doc_id * 7) % 10000
+      seg       = 96 + (doc_id * 13) % 96      (half_period fixed at 8)
+    """
+    @F.pandas_udf(T.BinaryType())
+    def encode(doc_id: pd.Series) -> pd.Series:
+        def one(d):
+            if d is None:
+                return None
+            d = int(d)
+            return encode_wav_gated(
+                512 + (d * 29) % 512,
+                2000 + (d * 7) % 10000,
+                8,
+                96 + (d * 13) % 96,
+            )
+
+        return doc_id.map(one)
+
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio/wav").alias("media_type"),
+        encode(F.col("doc_id")).alias("payload"),
+    )
+
+
+def frame_energy(assets: DataFrame, win: int = 64) -> DataFrame:
+    """Non-overlapping energy frames over decoded WAV assets: per frame
+    of ``win`` samples, the exact integer sum of |sample| — the VAD
+    front-end statistic. Arrow-batched mapInPandas; payloads never leave
+    the executors."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("sum_abs", T.LongType()),
+        ]
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: list[tuple] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                _, x = _decode_wav_samples(bytes(payload))
+                n_frames = len(x) // win
+                for f in range(n_frames):
+                    fr = x[f * win : (f + 1) * win]
+                    out.append(
+                        (int(aid), f, int(np.abs(fr.astype("int64")).sum()))
+                    )
+            yield pd.DataFrame(
+                out, columns=[c.name for c in schema.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema)

@@ -6027,3 +6027,96 @@ def e22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d", "query_id")
     )
+
+
+# --- m10: VAD-style audio energy segmentation ---------------------------------
+# The speech-data curation step: frame energies over real WAV payloads
+# (Arrow mapInPandas, payloads stay on executors), a per-asset voiced
+# threshold in exact integers (4 * sum|v| > win * amp — no floats), and
+# gaps-and-islands merging of consecutive voiced frames into segments.
+# The waveform's amplitude gates on/off in SQL-predictable blocks
+# (encode_wav_gated), so the oracle replays the envelope closed-form —
+# decoder + framing + threshold + segmentation all certified without a
+# codec on the oracle side.
+
+_M10_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         512 + (doc_id * 29) % 512 AS n,
+         2000 + (doc_id * 7) % 10000 AS amp,
+         96 + (doc_id * 13) % 96 AS seg
+  FROM documents WHERE doc_id % 3 = 0),
+f AS (
+  SELECT p.*, fr.f AS frame_idx
+  FROM p, generate_series(0, 15) fr(f)
+  WHERE (fr.f + 1) * 64 <= n),
+s AS (
+  SELECT doc_id, amp, frame_idx,
+         CASE WHEN ((frame_idx * 64 + i.i) // seg) % 2 = 0
+              THEN amp ELSE amp // 50 END AS absv
+  FROM f, generate_series(0, 63) i(i)),
+e AS (
+  SELECT doc_id, amp, frame_idx, SUM(absv) AS sum_abs
+  FROM s GROUP BY doc_id, amp, frame_idx),
+v AS (
+  SELECT doc_id, frame_idx,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS rn
+  FROM e WHERE 4 * sum_abs > 64 * amp),
+g AS (
+  SELECT doc_id, frame_idx - rn AS grp,
+         COUNT(*) AS seg_len
+  FROM v GROUP BY doc_id, frame_idx - rn)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(seg_len) AS BIGINT) AS voiced_frames,
+       CAST(MAX(seg_len) AS BIGINT) AS max_run
+FROM g GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query(
+    "m10_audio_vad_segments", _M10_ORACLE,
+    doc="VAD-style segmentation: real-WAV frame energies (mapInPandas), "
+        "integer voiced threshold, gaps-and-islands merge into segments "
+        "— closed-form gated-envelope oracle",
+)
+def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from otterbrix_spark.llm.multimodal import (
+        documents_as_gated_audio,
+        frame_energy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    frames = frame_energy(documents_as_gated_audio(docs), win=64)
+    params = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (2000 + (F.col("doc_id") * 7) % 10000).alias("amp"),
+    )
+    voiced = (
+        frames.join(params, "asset_id")
+        .filter(4 * F.col("sum_abs") > 64 * F.col("amp"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("asset_id").orderBy("frame_idx")
+            ),
+        )
+        .withColumn("grp", F.col("frame_idx") - F.col("rn"))
+    )
+    segs = voiced.groupBy("asset_id", "grp").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    return (
+        segs.groupBy(F.col("asset_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum("seg_len").cast("long").alias("voiced_frames"),
+            F.max("seg_len").cast("long").alias("max_run"),
+        )
+        .orderBy("doc_id")
+    )
