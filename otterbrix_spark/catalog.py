@@ -720,9 +720,12 @@ class Catalog:
         self._seq_start = meta.get("seq_start", {})
         self.types = meta.get("types", {})
         self.databases = set(meta.get("databases", []))
-        for name, body in meta.get("views", []):
-            self.spark.sql(body).createOrReplaceTempView(name)
-            self.views[name] = body
+        # matviews BEFORE plain views (a view may read a matview), and
+        # every registration is fault-tolerant: a view whose dependency
+        # is unresolvable right now (corpus tables not yet registered,
+        # dependency dropped) must not make the engine unconstructible —
+        # the body stays in the dict, so refresh_views() heals it at the
+        # first statement boundary after the dependency appears
         for name, body in meta.get("matviews", {}).items():
             path = os.path.join(
                 self.base_dir, "mv__" + name.replace(".", "__")
@@ -732,7 +735,16 @@ class Catalog:
             )
             self.matviews[name] = mv
             self.matview_sql[name] = body
-            mv.df().createOrReplaceTempView(name)
+            try:
+                mv.df().createOrReplaceTempView(name)
+            except Exception:
+                pass
+        for name, body in meta.get("views", []):
+            self.views[name] = body
+            try:
+                self.spark.sql(body).createOrReplaceTempView(name)
+            except Exception:
+                pass
 
     def _note_created(self, name: str) -> None:
         """Record a table created inside the open explicit transaction so
@@ -1695,22 +1707,43 @@ class Catalog:
             ),
         )
         target = match & (F.col("__otx_rn") == 1)
+        probe = self._explain_probe
         if del_table:
+            # parent-side FK semantics, exactly like the plain DELETE
+            # path: RESTRICT raises before any mutation; CASCADE /
+            # SET NULL child frames stage or swap alongside
+            for child_name, new_child in self._fk_on_delete(
+                name, marked, target
+            ):
+                if self._txn is not None:
+                    self._txn[child_name] = new_child
+                    new_child.createOrReplaceTempView(child_name)
+                else:
+                    self.tables[child_name]._swap_in(new_child)
+                    self._register(self.tables[child_name])
             new_df = marked.filter(~target).select(*cols)
             matched = marked.filter(target).select(*cols)
             verb = "deleted"
-            cur["current"] = None  # the row under the cursor is gone
         else:
+            # SET col = DEFAULT assigns the declared default (plain-
+            # UPDATE parity); sequence calls consume ONE statement value
+            dfl = self.table_defaults.get(name, {})
             set_texts = {
-                col: self._consume_seq_text(expr)
+                col: self._consume_seq_text(
+                    dfl.get(col, "NULL")
+                    if expr.strip().upper() == "DEFAULT" else expr
+                )
                 for col, expr in _split_set_list(set_clause).items()
             }
             sets = _resolve_set_targets(set_texts)
             new_df, matched = apply_update(marked, target, sets)
             new_df = new_df.select(*cols)
-            # pin the post-update row NOW: the swap below deletes the
-            # files its lazy plan reads, and the cursor repositions on it
-            matched = matched.select(*cols).localCheckpoint(eager=True)
+            matched = matched.select(*cols)
+            if not probe:
+                # pin the post-update row NOW: the swap below deletes
+                # the files its lazy plan reads, and the cursor
+                # repositions on it
+                matched = matched.localCheckpoint(eager=True)
             verb = "updated"
         self._validate_new_rows(name, matched, full=new_df)
         if self._txn is not None:
@@ -1727,12 +1760,19 @@ class Catalog:
                 table._swap_in(new_df)
                 self._register(table)
                 out = self.spark.range(1).select(F.lit(n).alias(verb))
-        if not del_table:
-            # PG follows the update chain: the cursor now sees the row's
-            # post-update values (a second positioned UPDATE re-updates)
-            new_row = matched.limit(1).collect()
-            if new_row:
-                cur["current"] = new_row[0]
+        # cursor position updates happen only AFTER the statement
+        # succeeded, and never under a plain-EXPLAIN probe (the probe
+        # must not mutate cursor state or run eager jobs)
+        if not probe:
+            if del_table:
+                cur["current"] = None  # the row under the cursor is gone
+            else:
+                # PG follows the update chain: the cursor now sees the
+                # post-update values (a second positioned UPDATE
+                # re-updates)
+                new_row = matched.limit(1).collect()
+                if new_row:
+                    cur["current"] = new_row[0]
         return out
 
     def _with_dml(self, ctes, tail: str) -> DataFrame:
@@ -1983,12 +2023,21 @@ class Catalog:
                 count = 1
             if skip:
                 next(itertools.islice(cur["it"], skip - 1, skip), None)
-            rows = list(
-                itertools.islice(cur["it"], count)
-                if count is not None else cur["it"]
-            )
-            # track the position for WHERE CURRENT OF (None past the end)
-            cur["current"] = rows[-1] if rows else None
+            if count == 0:
+                # PG: FETCH 0 re-fetches the current row without moving;
+                # MOVE 0 does not move — position is untouched either way
+                rows = (
+                    [cur["current"]]
+                    if verb == "FETCH" and cur["current"] is not None
+                    else []
+                )
+            else:
+                rows = list(
+                    itertools.islice(cur["it"], count)
+                    if count is not None else cur["it"]
+                )
+                # track the position for WHERE CURRENT OF (None past end)
+                cur["current"] = rows[-1] if rows else None
             if verb == "MOVE":
                 return self.spark.range(1).select(
                     F.lit(len(rows)).alias("move")

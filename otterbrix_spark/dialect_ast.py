@@ -169,7 +169,11 @@ def _parse_operand(toks: list[_Tok], i: int, end: int):
             if close < 0:
                 return None
             inner = _transform(toks, i + 2, close)
-            return f"array({inner})", close + 1, _K_CALL, "array"
+            # head "array[" (not a possible identifier) marks the BRACKET
+            # constructor: the one operand form the regex path leaves
+            # verbatim before `- 'lit'` (its scanner cannot cross ']'),
+            # while array()/struct()/ROW() calls fold as deletes there
+            return f"array({inner})", close + 1, _K_CALL, "array["
         if nxt is not None and nxt.text == "(":
             close = _match_close(toks, i + 1, "(", ")", end)
             if close < 0:
@@ -250,12 +254,12 @@ def _fold(
     # arithmetic tails are not. Mirrors the regex path's pass ordering
     # (delete runs after the jsonb/variant rules, before subscripts and
     # regex operators, with a cast-type guard).
-    # an ARRAY[..] / ROW(..) constructor can never be jsonb text, so a
-    # following `- 'lit'` is arithmetic/error, not a key delete (the regex
-    # path leaves it verbatim too — hypothesis r10 divergence)
+    # the bracket ARRAY[..] constructor escapes the `- 'lit'` delete fold
+    # — matching the regex path, whose operand scanner cannot cross ']'
+    # (hypothesis r10 divergence; array()/struct()/ROW() CALLS fold on
+    # both paths)
     deletable = (
-        kind in (_K_IDENT, _K_CALL, _K_GROUP)
-        and head not in ("array", "struct")
+        kind in (_K_IDENT, _K_CALL, _K_GROUP) and head != "array["
     )
     while j < end:
         t = toks[j]

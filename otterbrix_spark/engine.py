@@ -121,15 +121,27 @@ class Engine:
             return self._route(body)
         return Cursor(self.spark.sql(body))
 
+    # statement heads that can never mutate catalog metadata or table
+    # state: cursor traffic and txn bookkeeping. Row-at-a-time cursor
+    # loops (FETCH + positioned DML per row) must not pay a JSON write +
+    # per-view re-analysis per FETCH (self-review r10).
+    _NON_MUTATING_HEADS = (
+        "FETCH", "MOVE", "CLOSE", "DECLARE", "BEGIN", "SAVEPOINT",
+        "RELEASE", "SELECT", "EXPLAIN", "SET TIME", "SHOW",
+    )
+
     def _route(self, body: str) -> Cursor:
-        """Route through the catalog, then persist the catalog dicts —
-        the statement boundary where every DDL/sequence mutation is
-        already applied (reference persistence: a reopened engine over
-        the same table_dir sees tables, constraints, sequences, types
-        and views; `test_persistence.cpp`)."""
+        """Route through the catalog, then persist the catalog dicts and
+        re-register late-binding views — the statement boundary where
+        every DDL/sequence mutation is already applied (reference
+        persistence: a reopened engine over the same table_dir sees
+        tables, constraints, sequences, types and views;
+        `test_persistence.cpp`). Non-mutating statements skip both."""
         cur = Cursor(self.catalog.route(body))
-        self.catalog.persist_catalog_state()
-        self.catalog.refresh_views()
+        head = body.lstrip()[:9].upper()
+        if not head.startswith(self._NON_MUTATING_HEADS):
+            self.catalog.persist_catalog_state()
+            self.catalog.refresh_views()
         return cur
 
     def sql(self, sql: str, *params) -> DataFrame:

@@ -2077,7 +2077,7 @@ def test_reopen_rediscovers_catalog(spark, tmp_path, sf_dir):
     e2.execute_sql("INSERT INTO rp (v) VALUES (3)")
     ids = sorted(r[0] for r in e2.execute_sql("SELECT id FROM rp").fetchall())
     assert ids == [100, 101, 103]
-    # plain view + matview回 visible
+    # plain view + matview visible
     assert sorted(e2.execute_sql("SELECT v10 FROM rv").fetchall()) == [
         (10,), (20,), (30,)]
     assert e2.execute_sql("SELECT n FROM rmv").fetchall() == [(2,)]
@@ -2183,3 +2183,82 @@ def test_where_current_of_txn_rollback(engine):
     assert engine.execute_sql("SELECT COUNT(*) AS n FROM ptx").value("n", 0) == 1
     engine.execute_sql("ROLLBACK")
     assert engine.execute_sql("SELECT COUNT(*) AS n FROM ptx").value("n", 0) == 2
+
+
+# -- self-review r10 batch-2 fixes ---------------------------------------------
+
+
+def test_positioned_delete_respects_fk(engine):
+    engine.execute_sql("CREATE TABLE fkp (k BIGINT)")
+    engine.execute_sql(
+        "CREATE TABLE fkc (id BIGINT, pk BIGINT, CONSTRAINT fkc_fk "
+        "FOREIGN KEY (pk) REFERENCES fkp (k))"
+    )
+    engine.execute_sql("INSERT INTO fkp VALUES (1), (2)")
+    engine.execute_sql("INSERT INTO fkc VALUES (10, 1)")
+    engine.execute_sql(
+        "DECLARE fcur CURSOR WITH HOLD FOR SELECT k FROM fkp ORDER BY k"
+    )
+    engine.execute_sql("FETCH 1 FROM fcur")  # positioned on k=1 (referenced)
+    from otterbrix_spark.operators.dml import ConstraintViolation
+    with pytest.raises(ConstraintViolation):
+        engine.execute_sql("DELETE FROM fkp WHERE CURRENT OF fcur")
+    # the failed delete keeps the position (review fix: no premature clear)
+    engine.execute_sql("FETCH 1 FROM fcur")  # k=2, unreferenced
+    engine.execute_sql("DELETE FROM fkp WHERE CURRENT OF fcur")
+    assert sorted(engine.execute_sql("SELECT k FROM fkp").fetchall()) == [(1,)]
+    engine.execute_sql("CLOSE fcur")
+
+
+def test_positioned_update_set_default(engine):
+    engine.execute_sql("CREATE TABLE pdflt (k BIGINT, v BIGINT DEFAULT 77)")
+    engine.execute_sql("INSERT INTO pdflt VALUES (1, 5)")
+    engine.execute_sql(
+        "DECLARE dcur2 CURSOR WITH HOLD FOR SELECT k, v FROM pdflt"
+    )
+    engine.execute_sql("FETCH 1 FROM dcur2")
+    engine.execute_sql("UPDATE pdflt SET v = DEFAULT WHERE CURRENT OF dcur2")
+    assert engine.execute_sql("SELECT v FROM pdflt").fetchall() == [(77,)]
+    engine.execute_sql("CLOSE dcur2")
+
+
+def test_fetch_zero_keeps_position(engine):
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "DECLARE zc CURSOR FOR SELECT n_nationkey AS k FROM nation "
+        "ORDER BY n_nationkey"
+    )
+    engine.execute_sql("FETCH 2 FROM zc")  # positioned on k=1
+    # PG: FETCH 0 re-fetches the current row without moving
+    assert engine.execute_sql("FETCH 0 FROM zc").fetchall() == [(1,)]
+    assert engine.execute_sql("FETCH 1 FROM zc").fetchall() == [(2,)]
+    engine.execute_sql("ROLLBACK")
+
+
+def test_explain_positioned_dml_no_mutation(engine):
+    engine.execute_sql("CREATE TABLE epd AS SELECT * FROM (VALUES (1), (2)) AS t(k)")
+    engine.execute_sql(
+        "DECLARE ecur CURSOR WITH HOLD FOR SELECT k FROM epd ORDER BY k"
+    )
+    engine.execute_sql("FETCH 1 FROM ecur")
+    engine.execute_sql("EXPLAIN DELETE FROM epd WHERE CURRENT OF ecur").fetchall()
+    # neither the table nor the cursor position changed
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM epd").value("n", 0) == 2
+    engine.execute_sql("DELETE FROM epd WHERE CURRENT OF ecur")
+    assert sorted(engine.execute_sql("SELECT k FROM epd").fetchall()) == [(2,)]
+    engine.execute_sql("CLOSE ecur")
+
+
+def test_reopen_with_view_over_dropped_table(spark, tmp_path):
+    """A persisted view whose dependency vanished must not make the
+    engine unconstructible (review r10 batch 2 #1)."""
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.execute_sql("CREATE TABLE vt (v BIGINT)")
+    e1.execute_sql("CREATE VIEW vv AS SELECT v FROM vt")
+    e1.execute_sql("DROP TABLE vt")
+    spark.catalog.dropTempView("vv")
+    e2 = Engine(spark, table_dir=str(tmp_path))  # must not raise
+    # recreating the dependency heals the view at the next boundary
+    e2.execute_sql("CREATE TABLE vt (v BIGINT)")
+    e2.execute_sql("INSERT INTO vt VALUES (9)")
+    assert e2.execute_sql("SELECT v FROM vv").fetchall() == [(9,)]
