@@ -3346,3 +3346,95 @@ def g12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# --- g13: CUSUM changepoint detection -----------------------------------------
+# The classic control-chart changepoint rule: positive CUSUM
+# s_i = max(0, s_{i-1} + (x_i - target)) with alarm-and-reset when s
+# exceeds h — inherently sequential, which on Spark means: reduce to day
+# grain FIRST (the g12 lesson — the fold runs over the bounded day
+# series, never raw events), then run the recurrence as ONE array fold
+# in codegen (named_struct accumulator, exact integers). target = mean
+# daily cents, h = 30% of it; the oracle replays the identical
+# recurrence as a bounded recursive CTE.
+
+_G13_ORACLE = """
+WITH d AS (
+  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+           AS day,
+         CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY day),
+stats AS (
+  SELECT CAST(SUM(c) // COUNT(*) AS BIGINT) AS t,
+         CAST((SUM(c) // COUNT(*)) * 3 // 10 AS BIGINT) AS h
+  FROM d),
+ord AS (SELECT day, c, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+w AS (
+  WITH RECURSIVE r(i, s, alarm, day) AS (
+    SELECT o.i,
+           CASE WHEN GREATEST(0, o.c - s.t) > s.h THEN 0
+                ELSE GREATEST(0, o.c - s.t) END,
+           CASE WHEN GREATEST(0, o.c - s.t) > s.h THEN 1 ELSE 0 END,
+           o.day
+    FROM ord o, stats s WHERE o.i = 1
+    UNION ALL
+    SELECT o.i,
+           CASE WHEN GREATEST(0, r.s + o.c - s.t) > s.h THEN 0
+                ELSE GREATEST(0, r.s + o.c - s.t) END,
+           CASE WHEN GREATEST(0, r.s + o.c - s.t) > s.h THEN 1 ELSE 0 END,
+           o.day
+    FROM r JOIN ord o ON o.i = r.i + 1, stats s)
+  SELECT * FROM r)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS alarm_no,
+       day AS alarm_day
+FROM w WHERE alarm = 1
+ORDER BY alarm_no
+"""
+
+
+@query(
+    "g13_cusum_changepoints", _G13_ORACLE,
+    doc="CUSUM changepoint detection: day-grain reduction first, then "
+        "the alarm-and-reset recurrence as ONE exact-integer array fold "
+        "in codegen; oracle replays it as a bounded recursive CTE",
+)
+def g13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    d = ev.groupBy(
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("long").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100.0).cast("long")
+        ).cast("long").alias("c")
+    )
+    stats = d.agg(
+        F.expr("CAST(SUM(c) DIV COUNT(*) AS BIGINT)").alias("t"),
+        F.expr("CAST((SUM(c) DIV COUNT(*)) * 3 DIV 10 AS BIGINT)")
+        .alias("h"),
+    )
+    series = d.agg(
+        F.expr("sort_array(collect_list(struct(day, c)))").alias("arr")
+    ).crossJoin(F.broadcast(stats))
+    alarms = series.select(
+        F.expr(
+            "aggregate(arr, "
+            "named_struct('s', 0L, 'alarms', "
+            "  CAST(array() AS ARRAY<BIGINT>)), "
+            "(acc, x) -> CASE "
+            "  WHEN greatest(0L, acc.s + x.c - t) > h THEN "
+            "    named_struct('s', 0L, "
+            "      'alarms', array_append(acc.alarms, x.day)) "
+            "  ELSE named_struct('s', greatest(0L, acc.s + x.c - t), "
+            "      'alarms', acc.alarms) END, "
+            "acc -> acc.alarms)"
+        ).alias("alarms")
+    )
+    return alarms.select(
+        F.posexplode("alarms").alias("pos", "alarm_day")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("alarm_no"),
+        F.col("alarm_day").cast("long").alias("alarm_day"),
+    ).orderBy("alarm_no")
