@@ -753,3 +753,33 @@ def test_pg_null_ordering_edge_cases(mode, src, expected):
     out = rewrite(src, mode=mode)
     assert out == expected, out
     assert rewrite(out, mode=mode) == out
+
+
+NULL_ORDER_COMMENT_CASES = [
+    # the spec must land BEFORE a trailing line comment, never inside it
+    ("SELECT * FROM t ORDER BY a -- top picks\nLIMIT 3",
+     "SELECT * FROM t ORDER BY a NULLS LAST -- top picks\nLIMIT 3"),
+    ("SELECT * FROM t ORDER BY a /* rows */ LIMIT 3",
+     "SELECT * FROM t ORDER BY a NULLS LAST /* rows */ LIMIT 3"),
+    ("SELECT * FROM t ORDER BY a DESC -- note\nLIMIT 3",
+     "SELECT * FROM t ORDER BY a DESC NULLS FIRST -- note\nLIMIT 3"),
+    # stop words INSIDE comments must not truncate the clause scan
+    ("SELECT * FROM t ORDER BY a /* limit rows */, b DESC",
+     "SELECT * FROM t ORDER BY a NULLS LAST /* limit rows */, "
+     "b DESC NULLS FIRST"),
+    # explicit spec after a comment is detected, no double-append
+    ("SELECT * FROM t ORDER BY a /* x */ NULLS FIRST LIMIT 3",
+     "SELECT * FROM t ORDER BY a /* x */ NULLS FIRST LIMIT 3"),
+    # comment text that looks like the operator must stay opaque
+    ("SELECT * FROM t ORDER BY concat(a, '--x'), b",
+     "SELECT * FROM t ORDER BY concat(a, '--x') NULLS LAST, "
+     "b NULLS LAST"),
+]
+
+
+@pytest.mark.parametrize("mode", ["regex", "ast"])
+@pytest.mark.parametrize("src,expected", NULL_ORDER_COMMENT_CASES)
+def test_pg_null_ordering_comment_safety(mode, src, expected):
+    out = rewrite(src, mode=mode)
+    assert out == expected, out
+    assert rewrite(out, mode=mode) == out
