@@ -1044,3 +1044,41 @@ def test_round9_third_batch_plans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "b19_cross_table_or")
     assert "BroadcastHashJoin" in plan
     assert "Join" not in plan_of(spark, sf_dir, "p12_pack_efficiency")
+
+
+def test_round10_breadth_shapes_plans(spark, sf_dir):
+    """Round-10 batch: ds62's fact-vs-fact census keeps its FULL OUTER
+    as a key-partitioned join (never a nested loop), ds63/ds64/ds65 are
+    hash-join plans, t21/e21/c31/g13 are pure single-scan codegen (no
+    join, no Python UDF)."""
+    for name in (
+        "ds62_channel_overlap_full_outer",
+        "ds63_returns_excluded_ratio",
+        "ds65_dual_rank_return_ratio",
+        "l20_weighted_bounded_path",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    plan = plan_of(spark, sf_dir, "ds62_channel_overlap_full_outer")
+    assert "FullOuter" in plan
+    for name in (
+        "t21_rag_chunking",
+        "e21_int8_quantization",
+        "c31_value_histogram",
+        "g13_cusum_changepoints",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name  # pure codegen
+        assert "Join" not in plan or name == "g13_cusum_changepoints", name
+    # ds64's global threshold is a ONE-ROW broadcast cross join (the
+    # scalar-subquery plan — the only acceptable nested-loop: its build
+    # side is a single aggregate row), and the fact passes through two
+    # LeftSemi joins
+    plan = plan_of(spark, sf_dir, "ds64_frequent_best_cross")
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastExchange" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
