@@ -195,7 +195,8 @@ _INSERT = re.compile(
 _INSERT_CONFLICT = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*?)\s+ON\s+CONFLICT\s*"
     r"\(\s*([\w\s,]+?)\s*\)\s+DO\s+"
-    r"(NOTHING|UPDATE\s+SET\s+.*?)(?:\s+RETURNING\s+(.+?))?\s*$",
+    r"(NOTHING|UPDATE\s+SET\s+.*?)(?:\s+WHERE\s+(.+?))?"
+    r"(?:\s+RETURNING\s+(.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE = re.compile(
@@ -856,17 +857,27 @@ class Catalog:
         return self.spark.range(1).select(F.lit(n).alias(verb))
 
     def _insert_on_conflict(
-        self, name: str, body: str, key_csv: str, action: str, returning
+        self, name: str, body: str, key_csv: str, action: str,
+        upd_where, returning,
     ) -> DataFrame:
         """PG upsert: INSERT ... ON CONFLICT (keys) DO NOTHING | DO UPDATE
-        SET col = expr[, ...]. ``EXCLUDED.col`` in SET expressions refers to
-        the proposed incoming row, as in PG. Distributed shape: the merge is
+        SET col = expr[, ...] [WHERE cond]. ``EXCLUDED.col`` in SET and
+        WHERE expressions refers to the proposed incoming row, as in PG;
+        a conflicting row failing the WHERE is neither updated nor
+        inserted (the old row stays). Distributed shape: the merge is
         two hash joins on the arbiter key (anti for survivors, inner for
         matches) plus a union — never a per-row loop; at scale this is the
         standard shuffle-merge an upsert-capable lakehouse write performs.
         RETURNING * yields the affected rows (inserted + updated, never the
-        DO NOTHING skips), matching PG."""
+        DO NOTHING skips or WHERE-failed conflicts), matching PG."""
         from otterbrix_spark.operators.dml import ConstraintViolation
+
+        # a non-greedy SET slice may have split inside a subquery's WHERE
+        # (same hazard as _UPDATE_FROM): unbalanced parens mean the
+        # captured WHERE belongs to the SET expression — fold it back
+        if upd_where is not None and action.count("(") != action.count(")"):
+            action = f"{action} WHERE {upd_where}"
+            upd_where = None
 
         table = self.tables[name]
         keys = [k.strip() for k in key_csv.split(",")]
@@ -925,6 +936,10 @@ class Catalog:
         )
         non_keys = [c for c in base.columns if c not in keys]
         if action.upper() == "NOTHING":
+            if upd_where is not None:
+                raise ValueError(
+                    "ON CONFLICT DO NOTHING takes no WHERE clause"
+                )
             # within-batch duplicates: first proposed row wins (PG inserts
             # it, later duplicates conflict against it and are skipped).
             # monotonically_increasing_id over the incoming frame preserves
@@ -972,8 +987,21 @@ class Catalog:
             excl = rows.select(
                 *keys, *[F.col(c).alias(f"__excl_{c}") for c in non_keys]
             )
+            joined = base.join(excl, keys)
+            if upd_where is not None:
+                # DO UPDATE ... WHERE: only conflicting rows satisfying
+                # the condition update; the rest keep their OLD values
+                # (three-valued: a NULL condition keeps the row, as in
+                # every PG row filter)
+                cond = F.expr(_rewrite(upd_where))
+                kept = joined.filter(
+                    ~F.coalesce(cond, F.lit(False))
+                ).select(*base.columns)
+                joined = joined.filter(F.coalesce(cond, F.lit(False)))
+            else:
+                kept = None
             updated = (
-                base.join(excl, keys)
+                joined
                 .select(
                     *[
                         sets.get(c, F.col(c)).alias(c)
@@ -990,6 +1018,8 @@ class Catalog:
             unchanged = base.join(rows.select(*keys), keys, "left_anti")
             fresh = rows.join(base.select(*keys), keys, "left_anti")
             new_df = unchanged.unionByName(updated).unionByName(fresh)
+            if kept is not None:
+                new_df = new_df.unionByName(kept)
             affected = updated.unionByName(fresh)
         self._validate_new_rows(name, affected, full=new_df)
         if self._txn is not None:

@@ -1786,3 +1786,60 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql("CLOSE x22c")
     eng.sql("COMMIT")
     return eng.sql("SELECT k, bal FROM x22_t ORDER BY k")
+
+
+# --- x23: conditional upsert (ON CONFLICT DO UPDATE ... WHERE) ----------------
+# PG's conditional upsert clause: a conflicting row updates ONLY when
+# the WHERE (which may reference both the existing row and EXCLUDED)
+# holds — otherwise the old row stays and the incoming row is dropped.
+# Same distributed shape as the plain upsert (two arbiter-key hash
+# joins + union, now with a condition split), replayed declaratively.
+
+_X23_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS v
+  FROM customer WHERE c_custkey % 2 = 0),
+incoming AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM orders GROUP BY o_custkey),
+merged AS (
+  SELECT b.k,
+         CASE WHEN i.k IS NOT NULL AND b.v < 100000 THEN i.v ELSE b.v END
+           AS v
+  FROM base b LEFT JOIN incoming i ON i.k = b.k
+  UNION ALL
+  SELECT i.k, i.v FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = i.k))
+SELECT k, v FROM merged ORDER BY k
+"""
+
+
+@query(
+    "x23_conditional_upsert", _X23_ORACLE,
+    doc="ON CONFLICT (k) DO UPDATE SET ... WHERE cond: conflicting rows "
+        "update only when the condition holds (old row kept otherwise), "
+        "fresh rows insert — the PG conditional-upsert clause",
+)
+def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x23_t")
+    eng.sql("CREATE TABLE x23_t (k BIGINT UNIQUE, v BIGINT)")
+    eng.sql(
+        "INSERT INTO x23_t SELECT c_custkey, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer "
+        "WHERE c_custkey % 2 = 0"
+    )
+    eng.sql(
+        "INSERT INTO x23_t "
+        "SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) "
+        "AS BIGINT)) AS BIGINT) FROM orders GROUP BY o_custkey "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v "
+        "WHERE x23_t.v < 100000"
+    )
+    return eng.sql("SELECT k, v FROM x23_t ORDER BY k")

@@ -2262,3 +2262,37 @@ def test_reopen_with_view_over_dropped_table(spark, tmp_path):
     e2.execute_sql("CREATE TABLE vt (v BIGINT)")
     e2.execute_sql("INSERT INTO vt VALUES (9)")
     assert e2.execute_sql("SELECT v FROM vv").fetchall() == [(9,)]
+
+
+def test_upsert_do_update_where(engine):
+    """PG conditional upsert: conflicting rows failing the DO UPDATE
+    WHERE are neither updated nor inserted (old row stays)."""
+    engine.execute_sql("CREATE TABLE cu (k BIGINT UNIQUE, v BIGINT)")
+    engine.execute_sql("INSERT INTO cu VALUES (1, 10), (2, 20)")
+    ret = engine.execute_sql(
+        "INSERT INTO cu VALUES (1, 99), (2, 5), (3, 30) "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v "
+        "WHERE cu.v < 15 RETURNING k, v"
+    ).fetchall()
+    # k=1 (v=10 < 15): updated to 99; k=2 (v=20): kept; k=3: inserted
+    assert sorted(ret) == [(1, 99), (3, 30)]
+    assert sorted(engine.execute_sql("SELECT k, v FROM cu").fetchall()) == [
+        (1, 99), (2, 20), (3, 30)]
+    # EXCLUDED references in the WHERE work too
+    engine.execute_sql(
+        "INSERT INTO cu VALUES (2, 999) ON CONFLICT (k) "
+        "DO UPDATE SET v = EXCLUDED.v WHERE EXCLUDED.v > cu.v"
+    )
+    assert sorted(engine.execute_sql("SELECT k, v FROM cu").fetchall()) == [
+        (1, 99), (2, 999), (3, 30)]
+    # a subquery WHERE inside a SET expression must not be split
+    engine.execute_sql(
+        "INSERT INTO cu VALUES (3, 1) ON CONFLICT (k) DO UPDATE SET "
+        "v = (SELECT MAX(v) FROM (VALUES (7), (8)) AS t(v) WHERE v > 0)"
+    )
+    assert (3, 8) in engine.execute_sql("SELECT k, v FROM cu").fetchall()
+    with pytest.raises(ValueError, match="no WHERE"):
+        engine.execute_sql(
+            "INSERT INTO cu VALUES (9, 9) ON CONFLICT (k) "
+            "DO NOTHING WHERE cu.v > 0"
+        )
