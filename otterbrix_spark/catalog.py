@@ -194,7 +194,7 @@ _INSERT = re.compile(
 # arbiter index
 _INSERT_CONFLICT = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*?)\s+ON\s+CONFLICT\s*"
-    r"\(\s*([\w\s,]+?)\s*\)\s+DO\s+"
+    r"(?:\(\s*([\w\s,]+?)\s*\)|ON\s+CONSTRAINT\s+(\w+))?\s*DO\s+"
     r"(NOTHING|UPDATE\s+SET\s+.*?)(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+RETURNING\s+(.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -857,7 +857,7 @@ class Catalog:
         return self.spark.range(1).select(F.lit(n).alias(verb))
 
     def _insert_on_conflict(
-        self, name: str, body: str, key_csv: str, action: str,
+        self, name: str, body: str, key_csv: str, con_name, action: str,
         upd_where, returning,
     ) -> DataFrame:
         """PG upsert: INSERT ... ON CONFLICT (keys) DO NOTHING | DO UPDATE
@@ -880,18 +880,44 @@ class Catalog:
             upd_where = None
 
         table = self.tables[name]
-        keys = [k.strip() for k in key_csv.split(",")]
-        arbiters = [
-            set(c["cols"])
-            for c in self.table_constraints.get(name, ())
+        uniques = [
+            c for c in self.table_constraints.get(name, ())
             if c["kind"] == "unique"
         ]
-        if set(keys) not in arbiters:
-            raise ValueError(
-                f"ON CONFLICT ({key_csv}): no PRIMARY KEY or UNIQUE "
-                f"constraint on {name} matches the arbiter columns "
-                "(PG requires an arbiter index)"
+        if con_name is not None:
+            # ON CONFLICT ON CONSTRAINT name — the named-arbiter form
+            match_c = next(
+                (c for c in uniques if c.get("name") == con_name), None
             )
+            if match_c is None:
+                raise ValueError(
+                    f'constraint "{con_name}" for table {name} does not '
+                    "exist (ON CONFLICT ON CONSTRAINT needs a UNIQUE/PK "
+                    "constraint)"
+                )
+            keys = list(match_c["cols"])
+        elif key_csv is None:
+            # bare ON CONFLICT — legal for DO NOTHING only (PG: skips
+            # rows conflicting with ANY unique constraint)
+            if action.upper() != "NOTHING":
+                raise ValueError(
+                    "ON CONFLICT DO UPDATE requires inference "
+                    "specification or constraint name"
+                )
+            if not uniques:
+                raise ValueError(
+                    f"{name} has no unique constraints for ON CONFLICT"
+                )
+            keys = list(uniques[0]["cols"])  # primary path below; the
+            # remaining constraints anti-join in the NOTHING branch
+        else:
+            keys = [k.strip() for k in key_csv.split(",")]
+            if set(keys) not in [set(c["cols"]) for c in uniques]:
+                raise ValueError(
+                    f"ON CONFLICT ({key_csv}): no PRIMARY KEY or UNIQUE "
+                    f"constraint on {name} matches the arbiter columns "
+                    "(PG requires an arbiter index)"
+                )
         base = (
             self._txn.get(name, table.df())
             if self._txn is not None
@@ -940,20 +966,33 @@ class Catalog:
                 raise ValueError(
                     "ON CONFLICT DO NOTHING takes no WHERE clause"
                 )
-            # within-batch duplicates: first proposed row wins (PG inserts
-            # it, later duplicates conflict against it and are skipped).
-            # monotonically_increasing_id over the incoming frame preserves
-            # VALUES order (single input partition for literal VALUES).
-            tagged = rows.withColumn("__mid", F.monotonically_increasing_id())
-            rows = (
-                tagged.groupBy(*keys)
-                .agg(
-                    F.min(F.struct("__mid", *non_keys)).alias("__s")
-                )
-                .select(*keys, *[F.col(f"__s.{c}").alias(c) for c in non_keys])
-                .select(*base.columns)
+            # bare ON CONFLICT DO NOTHING skips rows conflicting with ANY
+            # unique constraint; targeted forms use the single arbiter
+            key_sets = (
+                [list(c["cols"]) for c in uniques]
+                if key_csv is None and con_name is None
+                else [keys]
             )
-            fresh = rows.join(base.select(*keys), keys, "left_anti")
+            fresh = rows
+            for ks in key_sets:
+                nk = [c for c in base.columns if c not in ks]
+                # within-batch duplicates: first proposed row wins (PG
+                # inserts it, later duplicates conflict against it and
+                # are skipped). monotonically_increasing_id over the
+                # incoming frame preserves VALUES order (single input
+                # partition for literal VALUES).
+                tagged = fresh.withColumn(
+                    "__mid", F.monotonically_increasing_id()
+                )
+                fresh = (
+                    tagged.groupBy(*ks)
+                    .agg(F.min(F.struct("__mid", *nk)).alias("__s"))
+                    .select(
+                        *ks, *[F.col(f"__s.{c}").alias(c) for c in nk]
+                    )
+                    .select(*base.columns)
+                    .join(base.select(*ks), ks, "left_anti")
+                )
             new_df = base.unionByName(fresh)
             affected = fresh
         else:

@@ -2296,3 +2296,35 @@ def test_upsert_do_update_where(engine):
             "INSERT INTO cu VALUES (9, 9) ON CONFLICT (k) "
             "DO NOTHING WHERE cu.v > 0"
         )
+
+
+def test_upsert_on_constraint_and_bare(engine):
+    engine.execute_sql(
+        "CREATE TABLE oc (a BIGINT, b BIGINT, v BIGINT, "
+        "CONSTRAINT oc_a UNIQUE (a), CONSTRAINT oc_b UNIQUE (b))"
+    )
+    engine.execute_sql("INSERT INTO oc VALUES (1, 10, 100), (2, 20, 200)")
+    # named-arbiter form
+    engine.execute_sql(
+        "INSERT INTO oc VALUES (1, 99, 111) ON CONFLICT ON CONSTRAINT "
+        "oc_a DO UPDATE SET v = EXCLUDED.v"
+    )
+    assert (1, 10, 111) in engine.execute_sql("SELECT * FROM oc").fetchall()
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.execute_sql(
+            "INSERT INTO oc VALUES (5, 5, 5) ON CONFLICT ON CONSTRAINT "
+            "nope DO NOTHING"
+        )
+    # bare form: a row conflicting on ANY unique constraint is skipped
+    engine.execute_sql(
+        "INSERT INTO oc VALUES (3, 10, 300), (4, 40, 400) "
+        "ON CONFLICT DO NOTHING"
+    )  # (3, 10, ...) conflicts on b=10 -> skipped; (4, 40) inserts
+    rows = sorted(engine.execute_sql("SELECT a, b FROM oc").fetchall())
+    assert rows == [(1, 10), (2, 20), (4, 40)]
+    # bare ON CONFLICT with DO UPDATE is an error (PG requires a target)
+    with pytest.raises(ValueError, match="inference"):
+        engine.execute_sql(
+            "INSERT INTO oc VALUES (9, 9, 9) ON CONFLICT "
+            "DO UPDATE SET v = 1"
+        )
