@@ -215,6 +215,12 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*?))?(?:\s+RETURNING\s+(.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DELETE_USING = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+    r"\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(?!WHERE\b)(\w+))?"
+    r"\s+WHERE\s+(.*?)(?:\s+RETURNING\s+(.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # PG TRUNCATE (grammar TruncateStmt): multi-table, RESTART IDENTITY
 # resets sequences named by the tables' column DEFAULTs, RESTRICT
 # (default) refuses when an FK from a non-truncated table references a
@@ -1140,6 +1146,60 @@ class Catalog:
         table._swap_in(new_df)
         self._register(table)
         return self.spark.range(1).select(F.lit(n).alias("updated"))
+
+    def _delete_using(
+        self, name, tgt_alias, src_name, src_alias, where, returning
+    ) -> DataFrame:
+        """PG join-delete: DELETE FROM t [AS x] USING src [AS y] WHERE
+        <join cond> — target rows with AT LEAST one matching source row
+        are deleted (multiple matches are fine: deletion has no
+        arbitrary-pick hazard, unlike UPDATE..FROM). Distributed shape:
+        one semi-join on the predicate, one anti-join for survivors —
+        the delete-matched half of a lakehouse MERGE."""
+        table = self.tables[name]
+        base = (
+            self._txn.get(name, table.df())
+            if self._txn is not None
+            else table.df()
+        )
+        talias = tgt_alias or name
+        salias = src_alias or src_name
+        src = self.spark.table(src_name)
+        # localCheckpoint PINS the row ids across the semi/anti pair
+        tagged = base.withColumn(
+            "__rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        doomed = tagged.alias(talias).join(
+            src.alias(salias), F.expr(where), "left_semi"
+        )
+        new_df = tagged.join(
+            doomed.select("__rid"), "__rid", "left_anti"
+        ).drop("__rid")
+        matched = doomed.drop("__rid")
+        # parent-side FK semantics, same as the plain DELETE path
+        for child_name, new_child in self._fk_on_delete(
+            name, matched, F.lit(True)
+        ):
+            if self._txn is not None:
+                self._txn[child_name] = new_child
+                new_child.createOrReplaceTempView(child_name)
+            else:
+                self.tables[child_name]._swap_in(new_child)
+                self._register(self.tables[child_name])
+        if self._txn is not None:
+            return self._stage_txn(
+                name, new_df, matched, "deleted", returning
+            )
+        if returning:
+            result = matched.cache()
+            result.count()
+            table._swap_in(new_df)
+            self._register(table)
+            return self._apply_returning(result, returning)
+        n = matched.count()
+        table._swap_in(new_df)
+        self._register(table)
+        return self.spark.range(1).select(F.lit(n).alias("deleted"))
 
     def _merge_into(
         self, name, t_alias, src_name, src_alias, on_text, when_text
@@ -3022,6 +3082,10 @@ class Catalog:
                 restart=(m.group(2) or "").upper() == "RESTART",
                 cascade=(m.group(3) or "").upper() == "CASCADE",
             )
+
+        m = self._match_protected(_DELETE_USING, sql)
+        if m and m[0] in self.tables:
+            return self._delete_using(*m)
 
         m = self._match_protected(_DELETE, sql)
         if m and m[0] in self.tables:

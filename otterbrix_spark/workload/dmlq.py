@@ -1843,3 +1843,56 @@ def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE x23_t.v < 100000"
     )
     return eng.sql("SELECT k, v FROM x23_t ORDER BY k")
+
+
+# --- x24: join-delete (DELETE FROM ... USING ...) -----------------------------
+# PG's DELETE USING — target rows with at least one matching source row
+# die (one semi-join + one anti-join, the delete-matched half of a
+# lakehouse MERGE; multiple matches delete the row once). The gate
+# deletes customers holding any URGENT order and returns the RETURNING
+# leg + the surviving state; the oracle replays with EXISTS algebra.
+
+_X24_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+urgent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'),
+gone AS (
+  SELECT k, seg FROM base WHERE k IN (SELECT o_custkey FROM urgent)),
+kept AS (
+  SELECT k, seg FROM base WHERE k NOT IN (SELECT o_custkey FROM urgent))
+SELECT 'gone' AS leg, k, seg FROM gone
+UNION ALL
+SELECT 'kept' AS leg, k, seg FROM kept WHERE k % 10 = 0
+ORDER BY leg, k
+"""
+
+
+@query(
+    "x24_delete_using", _X24_ORACLE,
+    doc="DELETE FROM t USING src WHERE join-cond: semi-join doom set + "
+        "anti-join survivors, RETURNING the deleted rows; multi-match "
+        "deletes once",
+)
+def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x24_t")
+    eng.sql("CREATE TABLE x24_t (k BIGINT, seg STRING)")
+    eng.sql(
+        "INSERT INTO x24_t SELECT c_custkey, c_mktsegment FROM customer"
+    )
+    gone = eng.sql(
+        "DELETE FROM x24_t USING orders "
+        "WHERE x24_t.k = orders.o_custkey "
+        "AND orders.o_orderpriority = '1-URGENT' RETURNING k, seg"
+    )
+    kept = eng.sql("SELECT k, seg FROM x24_t WHERE k % 10 = 0")
+    return (
+        gone.select(F.lit("gone").alias("leg"), "k", "seg")
+        .unionByName(kept.select(F.lit("kept").alias("leg"), "k", "seg"))
+        .orderBy("leg", "k")
+    )

@@ -2328,3 +2328,27 @@ def test_upsert_on_constraint_and_bare(engine):
             "INSERT INTO oc VALUES (9, 9, 9) ON CONFLICT "
             "DO UPDATE SET v = 1"
         )
+
+
+def test_delete_using(engine):
+    """PG join-delete: DELETE FROM t USING src WHERE <join cond>."""
+    engine.execute_sql("CREATE TABLE du_t AS SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(k, v)")
+    engine.execute_sql("CREATE TABLE du_s AS SELECT * FROM (VALUES (2), (3), (3)) AS t(k)")
+    ret = engine.execute_sql(
+        "DELETE FROM du_t USING du_s WHERE du_t.k = du_s.k RETURNING k, v"
+    ).fetchall()
+    # multiple source matches (k=3 twice) delete the row ONCE
+    assert sorted(ret) == [(2, "b"), (3, "c")]
+    assert engine.execute_sql("SELECT k FROM du_t").fetchall() == [(1,)]
+
+
+def test_delete_using_aliases_and_txn(engine):
+    engine.execute_sql("CREATE TABLE du2 AS SELECT * FROM (VALUES (1), (2)) AS t(k)")
+    engine.execute_sql("CREATE TABLE du2s AS SELECT * FROM (VALUES (2)) AS t(m)")
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "DELETE FROM du2 AS a USING du2s AS b WHERE a.k = b.m"
+    )
+    assert engine.execute_sql("SELECT k FROM du2").fetchall() == [(1,)]
+    engine.execute_sql("ROLLBACK")
+    assert sorted(engine.execute_sql("SELECT k FROM du2").fetchall()) == [(1,), (2,)]
