@@ -523,6 +523,46 @@ import functools
 
 
 @functools.lru_cache(maxsize=128)
+def _find_depth0_source(sql: str, kw: str):
+    """Find ``<kw> (`` at paren depth 0 outside string literals — the
+    join-source clause of UPDATE..FROM / DELETE..USING with a subquery
+    source (any other FROM/USING in the statement sits inside parens).
+    Returns (kw_start, open_paren_idx) or None."""
+    low = sql.lower()
+    depth, i, n = 0, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith(kw, i)
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and not (
+                i + len(kw) < n
+                and (sql[i + len(kw)].isalnum() or sql[i + len(kw)] == "_")
+            )
+        ):
+            j = i + len(kw)
+            while j < n and sql[j].isspace():
+                j += 1
+            if j < n and sql[j] == "(":
+                return i, j
+        i += 1
+    return None
+
+
 def _parse_with_dml(sql: str):
     """Return parsed (ctes, tail) iff ``sql`` is a WITH statement with at
     least one data-modifying sub-statement (the PG wCTE form,
@@ -3002,6 +3042,37 @@ class Catalog:
                 shutil.rmtree(self.dynamic.pop(name).path, ignore_errors=True)
                 self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
+
+        # subquery join-source: UPDATE t SET ... FROM (SELECT ...) AS s /
+        # DELETE FROM t USING (SELECT ...) AS s — PG allows any derived
+        # table there. The subquery resolves NOW as a temp view (eager
+        # analysis = statement-start snapshot) and the rewritten text
+        # re-routes through the named-source handlers.
+        mh = re.match(
+            r"^\s*(UPDATE|DELETE)\s+(?:FROM\s+)?([\w.]+)", sql,
+            re.IGNORECASE,
+        )
+        if mh and mh.group(2) in self.tables:
+            kw = "from" if mh.group(1).upper() == "UPDATE" else "using"
+            hit = _find_depth0_source(sql, kw)
+            if hit:
+                i, j = hit
+                close = _scan_balanced(sql, j)
+                sub_body = sql[j + 1:close - 1].strip()
+                if re.match(r"^(SELECT|VALUES|WITH)\b", sub_body,
+                            re.IGNORECASE):
+                    import uuid as _uuid
+
+                    view = f"__otx_src_{_uuid.uuid4().hex[:8]}"
+                    self.spark.sql(sub_body).createOrReplaceTempView(view)
+                    new_sql = (
+                        sql[:i] + kw.upper() + " " + view + sql[close:]
+                    )
+                    try:
+                        return self.route(new_sql)
+                    finally:
+                        self.spark.catalog.dropTempView(view)
+
 
         # positioned DML: UPDATE/DELETE ... WHERE CURRENT OF <cursor>
         # (PG cursor surface; must intercept before the plain UPDATE/

@@ -2352,3 +2352,23 @@ def test_delete_using_aliases_and_txn(engine):
     assert engine.execute_sql("SELECT k FROM du2").fetchall() == [(1,)]
     engine.execute_sql("ROLLBACK")
     assert sorted(engine.execute_sql("SELECT k FROM du2").fetchall()) == [(1,), (2,)]
+
+
+def test_update_from_subquery_source(engine):
+    engine.execute_sql("CREATE TABLE sq_t AS SELECT * FROM (VALUES (1, 0), (2, 0), (3, 0)) AS t(k, v)")
+    engine.execute_sql(
+        "UPDATE sq_t SET v = s.nv FROM (SELECT 1 AS sk, 10 AS nv "
+        "UNION ALL SELECT 3, 30) AS s WHERE sq_t.k = s.sk"
+    )
+    assert sorted(engine.execute_sql("SELECT k, v FROM sq_t").fetchall()) == [
+        (1, 10), (2, 0), (3, 30)]
+
+
+def test_delete_using_subquery_source(engine):
+    engine.execute_sql("CREATE TABLE sq_d AS SELECT * FROM (VALUES (1), (2), (3), (4)) AS t(k)")
+    ret = engine.execute_sql(
+        "DELETE FROM sq_d USING (SELECT k AS dk FROM sq_d WHERE k > 2) "
+        "AS s WHERE sq_d.k = s.dk RETURNING k"
+    ).fetchall()
+    assert sorted(ret) == [(3,), (4,)]
+    assert sorted(engine.execute_sql("SELECT k FROM sq_d").fetchall()) == [(1,), (2,)]
