@@ -44,6 +44,14 @@ _CREATE_TABLE_TYPED = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# trailing declarative-partitioning clause (PG PARTITION BY LIST/RANGE/
+# HASH) — stripped before the typed-column parse, lowered to hive-style
+# directory partitioning
+_PARTITION_BY_TAIL = re.compile(
+    r"\s*PARTITION\s+BY\s+(?:LIST\s*|RANGE\s*|HASH\s*)?"
+    r"\(\s*([\w\s,]+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_DATABASE = re.compile(
     r"^\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([\w.]+)\s*$",
     re.IGNORECASE,
@@ -637,6 +645,9 @@ class Catalog:
         # {table: {column: expr_text}} — applied when an INSERT omits the
         # column (explicit column list, or a short VALUES row list)
         self.table_defaults: dict[str, dict[str, str]] = {}
+        # declarative partitioning: name -> {"cols": [...], "schema": ddl}
+        # (kept for introspection; persistence derives from live tables)
+        self.table_partitioning: dict[str, dict] = {}
         # persisted SQL functions (reference pg_proc rows,
         # operator_register_udf.cpp): name -> definition, stored beside the
         # tables in _functions.json and replayed on engine start so a second
@@ -700,6 +711,10 @@ class Catalog:
         state = {
             "constraints": self.table_constraints,
             "defaults": self.table_defaults,
+            "partitioning": {
+                n: {"cols": t.partition_cols, "schema": t.schema_ddl}
+                for n, t in self.tables.items() if t.partition_cols
+            },
             "sequences": self.sequences,
             "seq_last": self._seq_last,
             "seq_step": self._seq_step,
@@ -740,6 +755,11 @@ class Catalog:
 
         if not os.path.isdir(self.base_dir):
             return
+        meta: dict = {}
+        if os.path.exists(self._catalog_path()):
+            with open(self._catalog_path()) as fh:
+                meta = json.load(fh)
+        partmeta = meta.get("partitioning", {})
         for entry in sorted(os.listdir(self.base_dir)):
             p = os.path.join(self.base_dir, entry)
             if not os.path.isdir(p) or entry.startswith((".", "mv__")):
@@ -752,15 +772,26 @@ class Catalog:
                 self.dynamic[name] = dyn
                 dyn.df().createOrReplaceTempView(name)
                 continue
+            pm = partmeta.get(entry)
+            if pm:
+                # a partitioned table keeps its data under col=value/
+                # subdirs (no top-level parquet files — possibly NONE
+                # when empty), so the persisted metadata is the source
+                # of truth for both layout and schema
+                self._register(ManagedTable(
+                    self.spark, p, entry,
+                    partition_cols=pm.get("cols"),
+                    schema_ddl=pm.get("schema"),
+                ))
+                continue
             t = ManagedTable(self.spark, p, entry)
             if t.exists():
                 self._register(t)
-        if not os.path.exists(self._catalog_path()):
+        if not meta:
             return
-        with open(self._catalog_path()) as fh:
-            meta = json.load(fh)
         self.table_constraints = meta.get("constraints", {})
         self.table_defaults = meta.get("defaults", {})
+        self.table_partitioning = meta.get("partitioning", {})
         self.sequences = meta.get("sequences", {})
         self._seq_last = meta.get("seq_last", {})
         self._seq_step = meta.get("seq_step", {})
@@ -809,6 +840,7 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
                 self.table_defaults.pop(name, None)
+                self.table_partitioning.pop(name, None)
                 for child, cons in self.table_constraints.items():
                     self.table_constraints[child] = [
                         c for c in cons
@@ -2777,12 +2809,28 @@ class Catalog:
                 self.databases.discard(name.lower())
             return self.spark.range(0).select(F.lit(name).alias(verb))
 
-        m = _CREATE_TABLE.match(sql)
+        # declarative partitioning (PG PARTITION BY LIST/RANGE/HASH
+        # lowered to hive-style directory partitioning): strip the tail
+        # clause before the CREATE parsers and thread the columns through
+        create_sql, part_cols = sql, None
+        if re.match(r"^\s*CREATE\s+TABLE\b", sql, re.IGNORECASE):
+            mp = _PARTITION_BY_TAIL.search(sql)
+            if mp:
+                create_sql = sql[: mp.start()]
+                part_cols = [c.strip() for c in mp.group(1).split(",")]
+
+        m = _CREATE_TABLE.match(create_sql)
         if m:
             name, body = m.group(1), m.group(2)
             source = self.spark.sql(body)
             path = os.path.join(self.base_dir, name.replace(".", "__"))
-            table = ManagedTable.create(self.spark, path, source, name)
+            table = ManagedTable.create(
+                self.spark, path, source, name, partition_cols=part_cols
+            )
+            if part_cols:
+                self.table_partitioning[name] = {
+                    "cols": part_cols, "schema": table.schema_ddl,
+                }
             self._register(table)
             self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
@@ -2877,7 +2925,7 @@ class Catalog:
             self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
-        m = _CREATE_TABLE_TYPED.match(sql)
+        m = _CREATE_TABLE_TYPED.match(create_sql)
         if m and not m.group(2).strip().upper().startswith("SELECT"):
             name, coldefs = m.group(1), m.group(2)
             fields: list[str] = []
@@ -2998,7 +3046,32 @@ class Catalog:
                     raise ValueError(f"unknown parent table: {c['parent']}")
             empty = self.spark.createDataFrame([], schema).repartition(1)
             path = os.path.join(self.base_dir, name.replace(".", "__"))
-            table = ManagedTable.create(self.spark, path, empty, name)
+            if part_cols:
+                missing = [
+                    c for c in part_cols if c not in empty.columns
+                ]
+                if missing:
+                    raise ValueError(
+                        f"PARTITION BY column(s) {missing} not in the "
+                        "table's column list"
+                    )
+                if len(part_cols) >= len(empty.columns):
+                    raise ValueError(
+                        "PARTITION BY cannot use all of the table's "
+                        "columns (no data columns would remain)"
+                    )
+                table = ManagedTable.create(
+                    self.spark, path, empty, name,
+                    partition_cols=part_cols,
+                )
+                # the empty partitioned write lays down no files, so the
+                # declared schema is the only source of truth for reads
+                table.schema_ddl = empty.schema.toDDL()
+                self.table_partitioning[name] = {
+                    "cols": part_cols, "schema": table.schema_ddl,
+                }
+            else:
+                table = ManagedTable.create(self.spark, path, empty, name)
             self._register(table)
             if cons:
                 self.table_constraints[name] = cons
@@ -3030,6 +3103,7 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
                 self.table_defaults.pop(name, None)
+                self.table_partitioning.pop(name, None)
                 # drop FK constraints in other tables that referenced this one
                 for child, cons in self.table_constraints.items():
                     self.table_constraints[child] = [

@@ -59,16 +59,42 @@ def table_write_lock(path: str):
 
 
 class ManagedTable:
-    """A parquet-directory-backed table with DML + RETURNING semantics."""
+    """A parquet-directory-backed table with DML + RETURNING semantics.
 
-    def __init__(self, spark: SparkSession, path: str, name: str | None = None):
+    With ``partition_cols`` set (PG PARTITION BY, lowered to hive-style
+    directory partitioning) every write lays data out under
+    ``col=value/`` directories and scans prune on partition predicates —
+    the declarative half of the 100 TB layout story (bucketBy and
+    Z-order live in sources/layout.py). ``schema_ddl`` pins the declared
+    schema and column order: partitioned reads otherwise move partition
+    columns to the end and cannot infer types from an empty table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        name: str | None = None,
+        partition_cols: "list[str] | None" = None,
+        schema_ddl: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.name = name or os.path.basename(path.rstrip("/"))
         self._staged: str | None = None
+        self.partition_cols = list(partition_cols or [])
+        self.schema_ddl = schema_ddl
 
     # -- scan ---------------------------------------------------------------
     def df(self) -> DataFrame:
+        if self.partition_cols and self.schema_ddl:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromDDL(self.schema_ddl)
+            return (
+                self.spark.read.schema(schema)
+                .parquet(self.path)
+                .select(*[f.name for f in schema.fields])
+            )
         return self.spark.read.parquet(self.path)
 
     def exists(self) -> bool:
@@ -79,11 +105,23 @@ class ManagedTable:
     # -- DDL ----------------------------------------------------------------
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, source: DataFrame, name: str | None = None
+        cls,
+        spark: SparkSession,
+        path: str,
+        source: DataFrame,
+        name: str | None = None,
+        partition_cols: "list[str] | None" = None,
     ) -> "ManagedTable":
         """CREATE TABLE AS SELECT (also the matview create path)."""
-        source.write.mode("errorifexists").parquet(path)
-        return cls(spark, path, name)
+        writer = source.write.mode("errorifexists")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        return cls(
+            spark, path, name,
+            partition_cols=partition_cols,
+            schema_ddl=source.schema.toDDL() if partition_cols else None,
+        )
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
@@ -103,7 +141,10 @@ class ManagedTable:
             )
         count = rows.count()
         with table_write_lock(self.path):
-            rows.write.mode("append").parquet(self.path)
+            writer = rows.write.mode("append")
+            if self.partition_cols:
+                writer = writer.partitionBy(*self.partition_cols)
+            writer.parquet(self.path)
         return self.df_of(rows) if returning else count
 
     @staticmethod
@@ -122,7 +163,11 @@ class ManagedTable:
         """
         parent = os.path.dirname(self.path.rstrip("/"))
         tmp = os.path.join(parent, f".{os.path.basename(self.path)}-{uuid.uuid4().hex}")
-        new_df.write.mode("errorifexists").parquet(tmp)
+        writer = new_df.write.mode("errorifexists")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+            self.schema_ddl = new_df.schema.toDDL()
+        writer.parquet(tmp)
         self._staged = tmp
 
     def commit_staged(self) -> None:

@@ -1896,3 +1896,56 @@ def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(kept.select(F.lit("kept").alias("leg"), "k", "seg"))
         .orderBy("leg", "k")
     )
+
+
+# --- x25: declarative partitioning (PARTITION BY -> hive layout) --------------
+# PG's PARTITION BY LIST/RANGE/HASH lowered to hive-style directory
+# partitioning: INSERT lays data under col=value/ dirs, scans with a
+# partition predicate PRUNE (PartitionFilters in the plan — asserted by
+# tests/test_sql_dml.py), UPDATE/DELETE swaps rewrite with the same
+# layout, and the declared column order + schema survive empty tables
+# and engine reopen via the persisted metadata. The gate mutates two
+# partitions and returns the per-partition rollup; the oracle replays
+# the algebra.
+
+_X25_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS v
+  FROM customer),
+after AS (
+  SELECT k, seg,
+         CASE WHEN seg = 'BUILDING' THEN v * 2 ELSE v END AS v
+  FROM base WHERE NOT (seg = 'MACHINERY' AND v < 0))
+SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS cents
+FROM after GROUP BY seg ORDER BY seg
+"""
+
+
+@query(
+    "x25_partitioned_table", _X25_ORACLE,
+    doc="PARTITION BY (seg) managed table: hive-layout writes, pruned "
+        "partition scans, partition-targeted UPDATE/DELETE via the same "
+        "layout-preserving swap",
+)
+def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x25_t")
+    eng.sql(
+        "CREATE TABLE x25_t (k BIGINT, seg STRING, v BIGINT) "
+        "PARTITION BY LIST (seg)"
+    )
+    eng.sql(
+        "INSERT INTO x25_t SELECT c_custkey, c_mktsegment, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer"
+    )
+    eng.sql("UPDATE x25_t SET v = v * 2 WHERE seg = 'BUILDING'")
+    eng.sql("DELETE FROM x25_t WHERE seg = 'MACHINERY' AND v < 0")
+    return eng.sql(
+        "SELECT seg, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(v) AS BIGINT) AS cents "
+        "FROM x25_t GROUP BY seg ORDER BY seg"
+    )

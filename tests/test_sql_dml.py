@@ -514,9 +514,12 @@ def test_unrecognised_owned_ddl_raises_not_fallthrough(engine):
             engine.execute_sql(bad)
         assert "unrecognised DDL" in str(exc.value), bad
     # a statement a rule DOES claim but cannot parse raises its own
-    # explicit error — also never a silent fall-through
-    with pytest.raises(Exception, match="unsupported column type"):
+    # explicit error — also never a silent fall-through (PARTITION BY is
+    # supported since round 10; all-columns partitioning is the refusal)
+    with pytest.raises(Exception, match="all of the table's columns"):
         engine.execute_sql("CREATE TABLE weird (a int) PARTITION BY RANGE (a)")
+    with pytest.raises(Exception, match="unsupported column type"):
+        engine.execute_sql("CREATE TABLE weird2 (a notatype)")
 
 
 # --- INSERT ... ON CONFLICT (PG upsert) -------------------------------------
@@ -2372,3 +2375,58 @@ def test_delete_using_subquery_source(engine):
     ).fetchall()
     assert sorted(ret) == [(3,), (4,)]
     assert sorted(engine.execute_sql("SELECT k FROM sq_d").fetchall()) == [(1,), (2,)]
+
+
+# -- declarative partitioning (PARTITION BY -> hive directory layout) ---------
+
+
+def test_partitioned_table_roundtrip(spark, tmp_path, sf_dir):
+    import glob
+    e = Engine(spark, table_dir=str(tmp_path))
+    e.register_corpus(sf_dir)
+    e.execute_sql(
+        "CREATE TABLE pt_part (k BIGINT, seg STRING, v BIGINT) "
+        "PARTITION BY LIST (seg)"
+    )
+    e.execute_sql(
+        "INSERT INTO pt_part SELECT c_custkey, c_mktsegment, "
+        "CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) FROM customer"
+    )
+    # hive layout on disk
+    dirs = glob.glob(str(tmp_path / "pt_part" / "seg=*"))
+    assert len(dirs) >= 3, dirs
+    # declared column ORDER survives the partitioned read
+    assert [f[0] for f in e.sql("SELECT * FROM pt_part LIMIT 1").dtypes] == [
+        "k", "seg", "v"]
+    n = e.execute_sql("SELECT COUNT(*) AS n FROM pt_part").value("n", 0)
+    assert n > 0
+    # partition pruning: the filter appears as a PartitionFilter
+    plan = e.sql(
+        "SELECT COUNT(*) AS n FROM pt_part WHERE seg = 'BUILDING'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "seg" in plan.split(
+        "PartitionFilters:")[1].split("]")[0]
+    # UPDATE keeps the layout (swap rewrites with partitionBy)
+    e.execute_sql("UPDATE pt_part SET v = v + 1 WHERE seg = 'BUILDING'")
+    assert glob.glob(str(tmp_path / "pt_part" / "seg=*"))
+    assert e.execute_sql("SELECT COUNT(*) AS n FROM pt_part").value("n", 0) == n
+
+
+def test_partitioned_table_reopen_and_empty(spark, tmp_path):
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.execute_sql(
+        "CREATE TABLE pe (a BIGINT, b STRING) PARTITION BY (b)"
+    )
+    # empty partitioned table still reads with the full declared schema
+    assert e1.execute_sql("SELECT a, b FROM pe").fetchall() == []
+    e1.execute_sql("INSERT INTO pe VALUES (1, 'x'), (2, 'y')")
+    spark.catalog.dropTempView("pe")
+    e2 = Engine(spark, table_dir=str(tmp_path))
+    assert sorted(e2.execute_sql("SELECT a, b FROM pe").fetchall()) == [
+        (1, "x"), (2, "y")]
+    # partitioning metadata survived the reopen
+    assert e2.catalog.tables["pe"].partition_cols == ["b"]
+    with pytest.raises(ValueError, match="not in the"):
+        e2.execute_sql(
+            "CREATE TABLE bad (a BIGINT) PARTITION BY (zz)"
+        )
