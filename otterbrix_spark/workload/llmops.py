@@ -6120,3 +6120,69 @@ def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- t22: quality-filter funnel with per-rule attrition -----------------------
+# The curation report every corpus pipeline produces: ordered quality
+# rules (Gopher-style: length, lexical diversity, stopword floor,
+# word-length ceiling), each document attributed to the FIRST rule that
+# drops it, per-rule attrition counts plus the kept set's checksum. All
+# rules are exact integer comparisons over with_quality()'s count
+# features — no float thresholds to blur the cross-engine compare.
+
+_T22_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id, len(w) AS n_words,
+         len(list_distinct(w)) AS n_unique,
+         len(list_filter(w, x -> x IN ('the','a','of','and','to')))
+           AS n_stop,
+         COALESCE(list_sum(list_transform(w, x -> strlen(x))), 0)
+           AS sum_len
+  FROM f),
+c AS (
+  SELECT doc_id,
+         CASE WHEN n_words < 20 THEN 'r1_short'
+              WHEN 2 * n_unique < n_words THEN 'r2_diversity'
+              WHEN n_stop < 2 THEN 'r3_few_stop'
+              WHEN sum_len > 12 * n_words THEN 'r4_long_words'
+              ELSE 'kept' END AS rule
+  FROM g)
+SELECT rule, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rule = 'kept' THEN doc_id ELSE 0 END)
+            AS BIGINT) AS id_sum
+FROM c GROUP BY rule ORDER BY rule
+"""
+
+
+@query(
+    "t22_quality_funnel", _T22_ORACLE,
+    doc="quality-filter funnel: ordered integer rules (length, lexical "
+        "diversity, stopword floor, word-length ceiling), per-rule "
+        "attrition + kept-set checksum — one scan, first-match "
+        "attribution in a CASE ladder",
+)
+def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = text_ops.with_quality(docs)
+    rule = (
+        F.when(F.col("n_words") < 20, "r1_short")
+        .when(2 * F.col("n_unique") < F.col("n_words"), "r2_diversity")
+        .when(F.col("n_stop") < 2, "r3_few_stop")
+        .when(F.col("sum_word_len") > 12 * F.col("n_words"),
+              "r4_long_words")
+        .otherwise("kept")
+    )
+    return (
+        g.select("doc_id", rule.alias("rule"))
+        .groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("rule") == "kept", F.col("doc_id"))
+                .otherwise(0)
+            ).cast("long").alias("id_sum"),
+        )
+        .orderBy("rule")
+    )
