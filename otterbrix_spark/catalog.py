@@ -2103,11 +2103,27 @@ class Catalog:
         if parsed:
             return self._with_dml(*parsed)
 
-        # SET TIMEZONE (reference operator_set_timezone.cpp) -> session conf
-        m = re.match(r"^\s*SET\s+TIME\s*ZONE\s+'([^']+)'\s*;?\s*$", sql, re.IGNORECASE)
+        # SET TIMEZONE (reference operator_set_timezone.cpp) -> session
+        # conf; both PG spellings (SET TIME ZONE 'x' / SET timezone = 'x')
+        m = re.match(
+            r"^\s*SET\s+(?:TIME\s*ZONE\s+|timezone\s*(?:=|TO)\s*)"
+            r"'([^']+)'\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
         if m:
             self.spark.conf.set("spark.sql.session.timeZone", m.group(1))
             return self.spark.range(0).select(F.lit(m.group(1)).alias("timezone"))
+        # any other SET <var>: the reference transformer REFUSES
+        # (transformer.cpp:148 — only timezone is supported); falling
+        # through to spark.sql would silently mutate Spark session conf
+        m = re.match(
+            r"^\s*SET\s+(\w+)\s*(?:=|TO)\s*.+$", sql, re.IGNORECASE,
+        )
+        if m and m.group(1).upper() not in ("TIME",):
+            raise ValueError(
+                f"SET {m.group(1)} is not supported (only SET TIME ZONE; "
+                "reference transformer.cpp VariableSetStmt)"
+            )
 
         # PG server-side cursors: DECLARE ... CURSOR FOR / FETCH / MOVE /
         # CLOSE. The result streams through toLocalIterator (the
@@ -2508,6 +2524,53 @@ class Catalog:
                 c for c in self.table_constraints.get(name, []) if c["name"] != cname
             ]
             return self.spark.range(0).select(F.lit(cname).alias("dropped"))
+
+        # ALTER TABLE t RENAME TO t2 (reference transform_rename.cpp):
+        # physical directory move + catalog metadata relocation, FK
+        # parents in other tables re-pointed
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)"
+            r"\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            old, new = m.group(1), m.group(2)
+            if new in self.tables or new in self.dynamic:
+                raise ValueError(f'relation "{new}" already exists')
+            if old in self.tables:
+                table = self.tables.pop(old)
+                new_path = os.path.join(
+                    self.base_dir, new.replace(".", "__")
+                )
+                os.rename(table.path, new_path)
+                table.path, table.name = new_path, new
+                self.spark.catalog.dropTempView(old)
+                self._register(table)
+            elif old in self.dynamic:
+                import shutil as _sh  # noqa: F401 (os.rename suffices)
+
+                dyn = self.dynamic.pop(old)
+                new_path = os.path.join(
+                    self.base_dir, "dyn__" + new.replace(".", "__")
+                )
+                os.rename(dyn.path, new_path)
+                dyn.path = new_path
+                self.dynamic[new] = dyn
+                self.spark.catalog.dropTempView(old)
+                dyn.df().createOrReplaceTempView(new)
+            else:
+                raise ValueError(f"unknown table: {old}")
+            for d in (
+                self.table_constraints, self.table_defaults,
+                self.table_partitioning,
+            ):
+                if old in d:
+                    d[new] = d.pop(old)
+            for cons in self.table_constraints.values():
+                for c in cons:
+                    if c.get("kind") == "fk" and c.get("parent") == old:
+                        c["parent"] = new
+            return self.spark.range(0).select(F.lit(new).alias("renamed"))
 
         # ALTER TABLE t ADD COLUMN c type / RENAME COLUMN a TO b / DROP COLUMN c
         m = re.match(
@@ -3676,7 +3739,7 @@ class Catalog:
             for k in (
                 "CREATE TABLE", "DROP TABLE", "INSERT", "UPDATE", "DELETE",
                 "MERGE", "TRUNCATE",
-                "SET TIME", "BEGIN", "COMMIT", "ROLLBACK", "ABORT",
+                "SET ", "BEGIN", "COMMIT", "ROLLBACK", "ABORT",
                 "SAVEPOINT", "RELEASE",
                 "DECLARE", "FETCH", "MOVE", "CLOSE",
                 "CREATE INDEX", "CREATE UNIQUE INDEX", "DROP INDEX",

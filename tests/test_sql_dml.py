@@ -2430,3 +2430,37 @@ def test_partitioned_table_reopen_and_empty(spark, tmp_path):
         e2.execute_sql(
             "CREATE TABLE bad (a BIGINT) PARTITION BY (zz)"
         )
+
+
+def test_set_variable_refused(engine):
+    """Reference transformer refuses SET <var> for anything but
+    timezone — falling through would mutate Spark session conf."""
+    with pytest.raises(ValueError, match="not supported"):
+        engine.execute_sql("SET foo = 'bar'")
+    # both PG timezone spellings work
+    engine.execute_sql("SET TIME ZONE 'UTC'")
+    engine.execute_sql("SET timezone = 'UTC'")
+
+
+def test_alter_table_rename_to(engine):
+    engine.execute_sql(
+        "CREATE TABLE rn_a (k BIGINT, CONSTRAINT rn_pos CHECK (k > 0))"
+    )
+    engine.execute_sql(
+        "CREATE TABLE rn_child (id BIGINT, pk BIGINT, CONSTRAINT rn_fk "
+        "FOREIGN KEY (pk) REFERENCES rn_a (k))"
+    )
+    engine.execute_sql("INSERT INTO rn_a VALUES (1), (2)")
+    engine.execute_sql("ALTER TABLE rn_a RENAME TO rn_b")
+    assert sorted(engine.execute_sql("SELECT k FROM rn_b").fetchall()) == [(1,), (2,)]
+    with pytest.raises(Exception):
+        engine.execute_sql("SELECT * FROM rn_a").fetchall()
+    # constraints moved with the table
+    with pytest.raises(Exception, match="rn_pos"):
+        engine.execute_sql("INSERT INTO rn_b VALUES (-1)")
+    # the FK in the child now points at the new name
+    engine.execute_sql("INSERT INTO rn_child VALUES (10, 1)")
+    with pytest.raises(Exception):
+        engine.execute_sql("INSERT INTO rn_child VALUES (11, 99)")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute_sql("ALTER TABLE rn_child RENAME TO rn_b")
