@@ -530,7 +530,6 @@ def _parse_with_clauses(sql: str):
 import functools
 
 
-@functools.lru_cache(maxsize=128)
 def _find_depth0_source(sql: str, kw: str):
     """Find ``<kw> (`` at paren depth 0 outside string literals — the
     join-source clause of UPDATE..FROM / DELETE..USING with a subquery
@@ -571,6 +570,7 @@ def _find_depth0_source(sql: str, kw: str):
     return None
 
 
+@functools.lru_cache(maxsize=128)
 def _parse_with_dml(sql: str):
     """Return parsed (ctes, tail) iff ``sql`` is a WITH statement with at
     least one data-modifying sub-statement (the PG wCTE form,
@@ -645,9 +645,6 @@ class Catalog:
         # {table: {column: expr_text}} — applied when an INSERT omits the
         # column (explicit column list, or a short VALUES row list)
         self.table_defaults: dict[str, dict[str, str]] = {}
-        # declarative partitioning: name -> {"cols": [...], "schema": ddl}
-        # (kept for introspection; persistence derives from live tables)
-        self.table_partitioning: dict[str, dict] = {}
         # persisted SQL functions (reference pg_proc rows,
         # operator_register_udf.cpp): name -> definition, stored beside the
         # tables in _functions.json and replayed on engine start so a second
@@ -791,7 +788,7 @@ class Catalog:
             return
         self.table_constraints = meta.get("constraints", {})
         self.table_defaults = meta.get("defaults", {})
-        self.table_partitioning = meta.get("partitioning", {})
+
         self.sequences = meta.get("sequences", {})
         self._seq_last = meta.get("seq_last", {})
         self._seq_step = meta.get("seq_step", {})
@@ -840,7 +837,6 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
                 self.table_defaults.pop(name, None)
-                self.table_partitioning.pop(name, None)
                 for child, cons in self.table_constraints.items():
                     self.table_constraints[child] = [
                         c for c in cons
@@ -952,10 +948,14 @@ class Catalog:
 
         # a non-greedy SET slice may have split inside a subquery's WHERE
         # (same hazard as _UPDATE_FROM): unbalanced parens mean the
-        # captured WHERE belongs to the SET expression — fold it back
-        if upd_where is not None and action.count("(") != action.count(")"):
-            action = f"{action} WHERE {upd_where}"
-            upd_where = None
+        # captured WHERE belongs to the SET expression — fold it back.
+        # Count parens on literal-stripped text: a paren INSIDE a string
+        # ('a(b') must not trigger the fold (self-review r10 batch 3)
+        if upd_where is not None:
+            bare = re.sub(r"'(?:[^']|'')*'", "''", action)
+            if bare.count("(") != bare.count(")"):
+                action = f"{action} WHERE {upd_where}"
+                upd_where = None
 
         table = self.tables[name]
         uniques = [
@@ -1045,32 +1045,38 @@ class Catalog:
                     "ON CONFLICT DO NOTHING takes no WHERE clause"
                 )
             # bare ON CONFLICT DO NOTHING skips rows conflicting with ANY
-            # unique constraint; targeted forms use the single arbiter
+            # unique constraint; targeted forms use the single arbiter.
+            # Order of operations matters (self-review r10 batch 3): rows
+            # conflicting with BASE are removed FIRST on every key set —
+            # a base-skipped row never blocks a later batch row (PG: a
+            # skipped row is not inserted, so it cannot cause conflicts).
+            # Then within-batch first-wins dedup runs per key set over
+            # ONE stable tag (assigned before any shuffle, preserving
+            # VALUES order). Residual documented deviation: a row blocked
+            # only by an earlier row that was ITSELF batch-blocked is
+            # dropped here where PG's strictly sequential scan accepts it.
             key_sets = (
                 [list(c["cols"]) for c in uniques]
                 if key_csv is None and con_name is None
                 else [keys]
             )
-            fresh = rows
+            fresh = rows.withColumn(
+                "__mid", F.monotonically_increasing_id()
+            )
+            for ks in key_sets:
+                fresh = fresh.join(base.select(*ks), ks, "left_anti")
             for ks in key_sets:
                 nk = [c for c in base.columns if c not in ks]
-                # within-batch duplicates: first proposed row wins (PG
-                # inserts it, later duplicates conflict against it and
-                # are skipped). monotonically_increasing_id over the
-                # incoming frame preserves VALUES order (single input
-                # partition for literal VALUES).
-                tagged = fresh.withColumn(
-                    "__mid", F.monotonically_increasing_id()
-                )
                 fresh = (
-                    tagged.groupBy(*ks)
+                    fresh.groupBy(*ks)
                     .agg(F.min(F.struct("__mid", *nk)).alias("__s"))
                     .select(
-                        *ks, *[F.col(f"__s.{c}").alias(c) for c in nk]
+                        *ks,
+                        *[F.col(f"__s.{c}").alias(c) for c in nk],
+                        F.col("__s.__mid").alias("__mid"),
                     )
-                    .select(*base.columns)
-                    .join(base.select(*ks), ks, "left_anti")
                 )
+            fresh = fresh.select(*base.columns)
             new_df = base.unionByName(fresh)
             affected = fresh
         else:
@@ -2117,7 +2123,8 @@ class Catalog:
         # (transformer.cpp:148 — only timezone is supported); falling
         # through to spark.sql would silently mutate Spark session conf
         m = re.match(
-            r"^\s*SET\s+(\w+)\s*(?:=|TO)\s*.+$", sql, re.IGNORECASE,
+            r"^\s*SET\s+(?:LOCAL\s+|SESSION\s+)?([\w.]+)\s*(?:=|TO)\s*.+$",
+            sql, re.IGNORECASE,
         )
         if m and m.group(1).upper() not in ("TIME",):
             raise ValueError(
@@ -2535,8 +2542,34 @@ class Catalog:
         )
         if m:
             old, new = m.group(1), m.group(2)
-            if new in self.tables or new in self.dynamic:
+            if self._txn is not None:
+                # a physical-directory rename cannot participate in the
+                # staged-frame transaction model (COMMIT would drop the
+                # staged DML keyed by the old name; ROLLBACK could not
+                # undo the move) — refuse instead of losing data. PG's
+                # transactional rename is the table-format (Delta) seam.
+                raise ValueError(
+                    "ALTER TABLE RENAME inside a transaction is not "
+                    "supported (plain-parquet directory rename is not "
+                    "transactional)"
+                )
+            if (
+                new in self.tables or new in self.dynamic
+                or new in self.views or new in self.matviews
+            ):
                 raise ValueError(f'relation "{new}" already exists')
+            dep = [
+                v for v, body in self.views.items()
+                if re.search(rf"\b{re.escape(old)}\b", body)
+            ]
+            if dep:
+                # a view's stored SQL binds by NAME; after the rename it
+                # would either fail or read a stale frozen listing —
+                # RESTRICT like PG does for DROP with dependents
+                raise ValueError(
+                    f"cannot rename {old}: view(s) {dep} depend on it "
+                    "(drop or recreate them first)"
+                )
             if old in self.tables:
                 table = self.tables.pop(old)
                 new_path = os.path.join(
@@ -2547,8 +2580,6 @@ class Catalog:
                 self.spark.catalog.dropTempView(old)
                 self._register(table)
             elif old in self.dynamic:
-                import shutil as _sh  # noqa: F401 (os.rename suffices)
-
                 dyn = self.dynamic.pop(old)
                 new_path = os.path.join(
                     self.base_dir, "dyn__" + new.replace(".", "__")
@@ -2560,10 +2591,7 @@ class Catalog:
                 dyn.df().createOrReplaceTempView(new)
             else:
                 raise ValueError(f"unknown table: {old}")
-            for d in (
-                self.table_constraints, self.table_defaults,
-                self.table_partitioning,
-            ):
+            for d in (self.table_constraints, self.table_defaults):
                 if old in d:
                     d[new] = d.pop(old)
             for cons in self.table_constraints.values():
@@ -2890,10 +2918,6 @@ class Catalog:
             table = ManagedTable.create(
                 self.spark, path, source, name, partition_cols=part_cols
             )
-            if part_cols:
-                self.table_partitioning[name] = {
-                    "cols": part_cols, "schema": table.schema_ddl,
-                }
             self._register(table)
             self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
@@ -3123,16 +3147,13 @@ class Catalog:
                         "PARTITION BY cannot use all of the table's "
                         "columns (no data columns would remain)"
                     )
+                # ManagedTable.create pins schema_ddl from the empty
+                # frame — the only source of truth for reads, since the
+                # empty partitioned write lays down no files
                 table = ManagedTable.create(
                     self.spark, path, empty, name,
                     partition_cols=part_cols,
                 )
-                # the empty partitioned write lays down no files, so the
-                # declared schema is the only source of truth for reads
-                table.schema_ddl = empty.schema.toDDL()
-                self.table_partitioning[name] = {
-                    "cols": part_cols, "schema": table.schema_ddl,
-                }
             else:
                 table = ManagedTable.create(self.spark, path, empty, name)
             self._register(table)
@@ -3166,7 +3187,6 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
                 self.table_defaults.pop(name, None)
-                self.table_partitioning.pop(name, None)
                 # drop FK constraints in other tables that referenced this one
                 for child, cons in self.table_constraints.items():
                     self.table_constraints[child] = [

@@ -2464,3 +2464,53 @@ def test_alter_table_rename_to(engine):
         engine.execute_sql("INSERT INTO rn_child VALUES (11, 99)")
     with pytest.raises(ValueError, match="already exists"):
         engine.execute_sql("ALTER TABLE rn_child RENAME TO rn_b")
+
+
+# -- self-review r10 batch-3 fixes ---------------------------------------------
+
+
+def test_bare_conflict_base_filter_first(engine):
+    """A row skipped on a BASE conflict must not block a later batch row
+    (review r10 batch 3): base holds (5, 2); (1, 2) dies on b-conflict,
+    so (1, 9) must insert."""
+    engine.execute_sql(
+        "CREATE TABLE bcf (a BIGINT, b BIGINT, "
+        "CONSTRAINT bcf_a UNIQUE (a), CONSTRAINT bcf_b UNIQUE (b))"
+    )
+    engine.execute_sql("INSERT INTO bcf VALUES (5, 2)")
+    engine.execute_sql(
+        "INSERT INTO bcf VALUES (1, 2), (1, 9) ON CONFLICT DO NOTHING"
+    )
+    assert sorted(engine.execute_sql("SELECT a, b FROM bcf").fetchall()) == [
+        (1, 9), (5, 2)]
+
+
+def test_rename_refusals(engine):
+    engine.execute_sql("CREATE TABLE rr (k BIGINT)")
+    engine.execute_sql("BEGIN")
+    with pytest.raises(ValueError, match="not.*transactional|not\\s+supported"):
+        engine.execute_sql("ALTER TABLE rr RENAME TO rr2")
+    engine.execute_sql("ROLLBACK")
+    engine.execute_sql("CREATE VIEW rrv AS SELECT k FROM rr")
+    with pytest.raises(ValueError, match="depend"):
+        engine.execute_sql("ALTER TABLE rr RENAME TO rr2")
+    engine.execute_sql("DROP VIEW rrv")
+    engine.execute_sql("ALTER TABLE rr RENAME TO rr2")
+    assert engine.execute_sql("SELECT COUNT(*) AS n FROM rr2").value("n", 0) == 0
+
+
+def test_set_refusal_covers_all_forms(engine):
+    for bad in ("SET my.var = '1'", "SET LOCAL statement_timeout = '5s'",
+                "SET SESSION work_mem TO '64MB'"):
+        with pytest.raises(ValueError, match="not supported"):
+            engine.execute_sql(bad)
+
+
+def test_upsert_where_with_paren_in_string(engine):
+    engine.execute_sql("CREATE TABLE pws (k BIGINT UNIQUE, v STRING)")
+    engine.execute_sql("INSERT INTO pws VALUES (1, 'old')")
+    engine.execute_sql(
+        "INSERT INTO pws VALUES (1, 'new') ON CONFLICT (k) "
+        "DO UPDATE SET v = 'a(b' WHERE pws.k > 0"
+    )
+    assert engine.execute_sql("SELECT v FROM pws").fetchall() == [("a(b",)]
