@@ -673,6 +673,14 @@ class Catalog:
         # tracked so pg_class can list relkind='v' rows (the Spark temp
         # view itself is the executable object; this is catalog metadata)
         self.views: dict[str, str] = {}
+        # views whose last refresh_views() re-bind failed: name -> error
+        # text (the view keeps serving its last good binding; a later
+        # successful refresh clears the entry)
+        self.stale_views: dict[str, str] = {}
+        # every relation name ever live this session — the match set for
+        # scoped view refresh (a DROP's target is already gone from the
+        # live dicts when the statement boundary runs)
+        self._ever_rels: set[str] = set()
         # materialized-view defining SQL (persisted so a reopened engine
         # can rebuild the refresh closure; the lambda is not serializable)
         self.matview_sql: dict[str, str] = {}
@@ -726,20 +734,54 @@ class Catalog:
             json.dump(state, fh, indent=1)
         os.replace(tmp, self._catalog_path())
 
-    def refresh_views(self) -> None:
-        """Re-register every plain (non-materialized) view from its
-        stored SQL — PG views are LATE-binding (each reference sees the
-        tables' current state), while a Spark temp view freezes the file
-        listing at analysis time. Called at the statement boundary after
-        every routed statement, in creation order (a view may reference
-        earlier views); inside a transaction this also gives
-        read-your-writes THROUGH views. A view whose dependency vanished
-        keeps its last good binding (PG would have refused the DROP)."""
-        for name, body in self.views.items():
+    def refresh_views(self, statement: str | None = None) -> None:
+        """Re-register plain (non-materialized) views from their stored
+        SQL — PG views are LATE-binding (each reference sees the tables'
+        current state), while a Spark temp view freezes the file listing
+        at analysis time. Called at the statement boundary after every
+        routed statement, in creation order (a view may reference earlier
+        views); inside a transaction this also gives read-your-writes
+        THROUGH views.
+
+        ``statement`` scopes the refresh (ADVICE r10: re-analysing every
+        view per DML is O(#views) driver work): only views whose
+        dependency closure intersects the relations named in the
+        statement re-bind; refreshed views propagate (a later view over a
+        refreshed view re-binds too). ``None`` refreshes everything
+        (engine start, COMMIT/ROLLBACK where staged bindings die).
+
+        A view whose dependency vanished keeps its last good binding (PG
+        would have refused the DROP); the failure is recorded in
+        ``self.stale_views`` instead of vanishing silently, and a
+        successful later refresh clears the entry."""
+        items = self.views.items()
+        if statement is not None:
+            # include names that WERE relations earlier in the session: a
+            # DROP already removed its target from the live dicts by the
+            # time this boundary runs, yet views over it must re-bind
+            # (fail -> tracked) — matching on live names alone would miss
+            self._ever_rels |= (
+                set(self.tables) | set(self.dynamic)
+                | set(self.matviews) | set(self.views)
+            )
+            words = set(re.findall(r"[A-Za-z_][\w.]*", statement.lower()))
+            touched = {r for r in self._ever_rels if r.lower() in words}
+            if not touched:
+                return
+            affected = []
+            for name, body in self.views.items():
+                deps = set(re.findall(r"[A-Za-z_][\w.]*", body.lower()))
+                if any(r.lower() in deps for r in touched):
+                    affected.append((name, body))
+                    touched.add(name)  # closure: views over this view
+            items = affected
+        for name, body in items:
             try:
                 self.spark.sql(body).createOrReplaceTempView(name)
-            except Exception:
-                pass
+            except Exception as exc:  # noqa: BLE001 — tracked, not silent
+                self.stale_views[name] = str(exc)
+            else:
+                self.stale_views.pop(name, None)
 
     def _restore_catalog(self) -> None:
         """Rediscover persisted state on engine start: managed tables
@@ -2205,6 +2247,9 @@ class Catalog:
                 "updatable": updatable,
                 "out_cols": out_cols,
                 "current": None,
+                # rows consumed so far (1-based row number of "current"),
+                # the anchor for forward ABSOLUTE n on NO SCROLL
+                "pos": 0,
             }
             return self.spark.range(0).select(F.lit(name).alias("declared"))
         m = re.match(
@@ -2222,8 +2267,7 @@ class Catalog:
             if name not in self._pg_cursors:
                 raise ValueError(f'cursor "{name}" does not exist')
             if (
-                direction[0] in ("PRIOR", "FIRST", "LAST", "BACKWARD",
-                                 "ABSOLUTE")
+                direction[0] in ("PRIOR", "FIRST", "LAST", "BACKWARD")
                 or direction[-1].startswith("-")
                 or (direction[0] == "RELATIVE" and direction[1] == "0")
             ):
@@ -2239,6 +2283,19 @@ class Catalog:
                 # PG: positive RELATIVE n on NO SCROLL moves n-1 forward
                 # and returns the n-th succeeding row
                 skip, count = int(direction[1]) - 1, 1
+            elif direction[0] == "ABSOLUTE":
+                # PG permits forward ABSOLUTE n on NO SCROLL (row n
+                # counted from the start, PAST the current position) —
+                # lowered to a relative skip from the tracked position
+                # (ADVICE r10); at-or-before-current needs SCROLL
+                target = int(direction[1])
+                if target <= cur["pos"]:
+                    raise ValueError(
+                        "cursor can only scan forward (declared NO "
+                        f"SCROLL); ABSOLUTE {target} is at or before "
+                        f"the current position ({cur['pos']})"
+                    )
+                skip, count = target - cur["pos"] - 1, 1
             elif direction[-1] == "ALL":
                 count = None
             elif direction[-1].isdigit():
@@ -2246,7 +2303,8 @@ class Catalog:
             else:  # NEXT / bare FORWARD
                 count = 1
             if skip:
-                next(itertools.islice(cur["it"], skip - 1, skip), None)
+                for _ in itertools.islice(cur["it"], skip):
+                    cur["pos"] += 1
             if count == 0:
                 # PG: FETCH 0 re-fetches the current row without moving;
                 # MOVE 0 does not move — position is untouched either way
@@ -2255,16 +2313,34 @@ class Catalog:
                     if verb == "FETCH" and cur["current"] is not None
                     else []
                 )
+            elif verb == "MOVE":
+                # drain with a counting loop — MOVE ALL on a large cursor
+                # must stay streaming, never a driver-side list
+                # (ADVICE r10); only the LAST row is retained (position
+                # tracking for WHERE CURRENT OF)
+                moved, last = 0, None
+                src = (
+                    itertools.islice(cur["it"], count)
+                    if count is not None else cur["it"]
+                )
+                for row in src:
+                    moved, last = moved + 1, row
+                cur["pos"] += moved
+                cur["current"] = last if moved else None
+                return self.spark.range(1).select(
+                    F.lit(moved).alias("move")
+                )
             else:
                 rows = list(
                     itertools.islice(cur["it"], count)
                     if count is not None else cur["it"]
                 )
+                cur["pos"] += len(rows)
                 # track the position for WHERE CURRENT OF (None past end)
                 cur["current"] = rows[-1] if rows else None
-            if verb == "MOVE":
+            if verb == "MOVE":  # MOVE 0 only (non-zero returned above)
                 return self.spark.range(1).select(
-                    F.lit(len(rows)).alias("move")
+                    F.lit(0).alias("move")
                 )
             out = self.spark.createDataFrame(rows, cur["schema"])
             if cur.get("out_cols"):
@@ -2559,13 +2635,17 @@ class Catalog:
             ):
                 raise ValueError(f'relation "{new}" already exists')
             dep = [
-                v for v, body in self.views.items()
+                v for v, body in list(self.views.items())
+                + list(self.matview_sql.items())
                 if re.search(rf"\b{re.escape(old)}\b", body)
             ]
             if dep:
                 # a view's stored SQL binds by NAME; after the rename it
                 # would either fail or read a stale frozen listing —
-                # RESTRICT like PG does for DROP with dependents
+                # RESTRICT like PG does for DROP with dependents.
+                # Materialized views included (ADVICE r10): their stored
+                # SQL drives REFRESH, which would break or read a
+                # different table if the old name were reused.
                 raise ValueError(
                     f"cannot rename {old}: view(s) {dep} depend on it "
                     "(drop or recreate them first)"

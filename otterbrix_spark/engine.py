@@ -136,12 +136,35 @@ class Engine:
         every DDL/sequence mutation is already applied (reference
         persistence: a reopened engine over the same table_dir sees
         tables, constraints, sequences, types and views;
-        `test_persistence.cpp`). Non-mutating statements skip both."""
+        `test_persistence.cpp`). Non-mutating statements skip both.
+
+        Two boundary subtleties (ADVICE r10): a routed ``SELECT
+        nextval('s')`` mutates sequence state despite its SELECT head, so
+        sequence-consuming statements always persist; and while an
+        explicit transaction is open, persistence is DEFERRED to the
+        COMMIT/ROLLBACK boundary — an eager per-statement write would
+        leave in-txn DDL visible to a reopened engine after a pre-COMMIT
+        crash, contradicting transactional-DDL rollback. View refresh
+        still runs per in-txn statement (read-your-writes through views
+        reads the staged temp views)."""
+        import re
+
         cur = Cursor(self.catalog.route(body))
         head = body.lstrip()[:9].upper()
-        if not head.startswith(self._NON_MUTATING_HEADS):
-            self.catalog.persist_catalog_state()
-            self.catalog.refresh_views()
+        mutating = not head.startswith(self._NON_MUTATING_HEADS)
+        if not mutating and re.search(
+            r"\bnextval\s*\(", body, re.IGNORECASE
+        ):
+            mutating = True
+        if mutating:
+            if self.catalog._txn is None:
+                self.catalog.persist_catalog_state()
+            if head.startswith(("COMMIT", "ROLLBACK", "ABORT")):
+                # staged frames were swapped out / discarded — every view
+                # bound to them during the txn must re-bind to disk state
+                self.catalog.refresh_views()
+            else:
+                self.catalog.refresh_views(statement=body)
         return cur
 
     def sql(self, sql: str, *params) -> DataFrame:

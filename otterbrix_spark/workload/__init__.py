@@ -81,40 +81,38 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # (tests/test_workload_oracle.py) at three SFs every round.
 _FRONT_WINDOW = [
     "q01_pricing_summary",
-    # round-9 red retest (percentile_disc now cast to BIGINT)
-    "a03_ordered_set_aggs",
-    # the final 36 never-driver-sampled gates (VERDICT r9 item 2) —
-    # after this window every gate in the registry has a driver row
-    "b18_wide_chain_disjunctive", "b19_cross_table_or",
-    "c26_phrase_min_url", "c27_exclusive_ladder", "c28_url_param_extract",
-    "d22_substring_span_removal",
-    "ds43_basket_band",
-    "ds51_returns_adjusted_sales", "ds52_channel_rollup_report",
-    "ds53_above_avg_returns", "ds54_except_chain_count",
-    "ds55_ship_delay_bands", "ds56_not_exists_disjunctive",
-    "ds57_large_in_list",
-    "e20_ivf_nprobe_recall", "g12_cross_correlation_lags",
-    "l19_open_wedge_anti", "p12_pack_efficiency",
-    "q85_unpivot", "q86_with_ordinality",
-    "q89_similar_to", "q90_group_order_by_all", "q91_array_lambdas",
-    "q92_fetch_with_ties", "q93_ordered_aggs", "q94_generate_series",
-    "q95_unpivot",
-    "s24_streaming_scd2_lookup", "sk13_sample_quantiles",
-    "w09_centered_rows_frame",
-    "x10_returning_exprs", "x11_alter_column_type",
-    "x12_pg_catalog", "x13_information_schema",
-    "x14_savepoints", "x15_create_table_like",
-    # round-10 new gates (slots fill as they land; missing names skip)
-    "o01_order_by_nulls", "x16_parser_extension",
-    "ds58_cross_channel_intersect", "ds59_cumulative_window_cross",
-    "c29_minute_sessions", "c30_referrer_classify",
-    "b20_long_chain_stars",
-    "ds60_time_slot_census", "ds61_band_having_rejoin",
-    "x17_fk_discovery",
-    # round-10 third batch: the two new ENGINE surfaces take the last
-    # two slots (wCTE + cursors); w10/ds62/ds63/t21/e21 are 3-SF green
-    # locally and roll to the round-11 window
-    "x18_modifying_ctes", "x19_cursor_pagination",
+    # round-11 window (VERDICT r10 Next #1): drain ALL 22 remaining
+    # never-driver-sampled round-10 gates — after this window every
+    # gate in the registry has a driver row at least once
+    "c31_value_histogram",
+    "ds62_channel_overlap_full_outer", "ds63_returns_excluded_ratio",
+    "ds64_frequent_best_cross", "ds65_dual_rank_return_ratio",
+    "e21_int8_quantization", "e22_matryoshka_recall",
+    "g13_cusum_changepoints", "l20_weighted_bounded_path",
+    "m10_audio_vad_segments", "o02_order_by_nulls_comments",
+    "s25_streaming_closure", "s26_closure_restart",
+    "t21_rag_chunking", "t22_quality_funnel",
+    "w10_groups_frame_exclude",
+    "x20_fk_set_null", "x21_restart_persistence", "x22_positioned_dml",
+    "x23_conditional_upsert", "x24_delete_using", "x25_partitioned_table",
+    # round-11 new gates (slots fill as they land; missing names skip):
+    # JOB join-topology depth (VERDICT #2), TPC-DS tail (#4),
+    # ClickBench string/URL tail (#5)
+    "b21_chain8_correlated", "b22_fanout_star_lowsel",
+    "b23_dual_hub_bridge", "b24_cycle_closure", "b25_snowflake_deep",
+    "b26_chain_antifilter", "b27_star_union_dims", "b28_self_role_chain",
+    "b29_diamond_paths", "b30_bushy_two_stars",
+    "ds66_iceberg_cte_cross_channel", "ds67_multi_year_megajoin",
+    "ds68_promo_nonpromo_ratio", "ds69_state_sequence_flips",
+    "ds70_web_sales_gap", "ds71_catalog_channel_affinity",
+    "c32_url_regex_classify", "c33_phrase_rank_multiterm",
+    "c34_adblock_ratio_bands", "c35_interval_minute_histogram",
+    # heavy-family re-samples (previously driver-green; keep hot
+    # families under continuous driver observation)
+    "d04_minhash_signature", "e10_ivf_trained_index",
+    "s10_streaming_restart", "ds17_frequent_crossshop",
+    "l14_pagerank_fixed_point", "h04_join_rollup",
+    "x03_merge_statement",
 ]
 
 

@@ -2041,8 +2041,36 @@ def test_cursor_direction_edge_cases(engine):
     assert engine.execute_sql("FETCH RELATIVE 3 FROM dc").fetchall() == [(2,)]
     with pytest.raises(ValueError, match="SCROLL"):
         engine.execute_sql("FETCH FIRST FROM dc")
+    # forward ABSOLUTE n (past the current position) is PG-legal on NO
+    # SCROLL (ADVICE r10): position is 3, so ABSOLUTE 5 yields row 5
+    assert engine.execute_sql("FETCH ABSOLUTE 5 FROM dc").fetchall() == [(4,)]
+    # at-or-before the current position requires SCROLL
     with pytest.raises(ValueError, match="SCROLL"):
         engine.execute_sql("FETCH ABSOLUTE 5 FROM dc")
+    with pytest.raises(ValueError, match="SCROLL"):
+        engine.execute_sql("FETCH ABSOLUTE 2 FROM dc")
+    with pytest.raises(ValueError, match="SCROLL"):
+        engine.execute_sql("FETCH ABSOLUTE -1 FROM dc")
+    # the refused ABSOLUTE did not move the cursor
+    assert engine.execute_sql("FETCH NEXT FROM dc").fetchall() == [(5,)]
+    engine.execute_sql("ROLLBACK")
+
+
+def test_move_all_streams_and_counts(engine):
+    """MOVE ALL drains with a counting loop (never a driver-side list,
+    ADVICE r10) and reports the rows passed over; MOVE n then FETCH
+    continues from the right position."""
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "DECLARE mc CURSOR FOR "
+        "SELECT n_nationkey AS k FROM nation ORDER BY n_nationkey"
+    )
+    assert engine.execute_sql("MOVE 3 FROM mc").fetchall() == [(3,)]
+    assert engine.execute_sql("FETCH NEXT FROM mc").fetchall() == [(3,)]
+    moved = engine.execute_sql("MOVE ALL FROM mc").fetchall()
+    assert moved == [(21,)]  # 25 nations - 4 consumed
+    assert engine.execute_sql("FETCH NEXT FROM mc").fetchall() == []
+    assert engine.execute_sql("MOVE ALL FROM mc").fetchall() == [(0,)]
     engine.execute_sql("ROLLBACK")
 
 
@@ -2497,6 +2525,107 @@ def test_rename_refusals(engine):
     engine.execute_sql("DROP VIEW rrv")
     engine.execute_sql("ALTER TABLE rr RENAME TO rr2")
     assert engine.execute_sql("SELECT COUNT(*) AS n FROM rr2").value("n", 0) == 0
+
+
+def test_rename_refused_with_matview_dependency(engine):
+    """A matview's stored SQL drives REFRESH — rename of its base table
+    is RESTRICTed like the plain-view case (ADVICE r10)."""
+    engine.execute_sql("CREATE TABLE rmv_t AS SELECT 1 AS k")
+    engine.execute_sql(
+        "CREATE MATERIALIZED VIEW rmv_m AS SELECT COUNT(*) AS n FROM rmv_t"
+    )
+    with pytest.raises(ValueError, match="depend"):
+        engine.execute_sql("ALTER TABLE rmv_t RENAME TO rmv_t2")
+    engine.execute_sql("DROP MATERIALIZED VIEW rmv_m")
+    engine.execute_sql("ALTER TABLE rmv_t RENAME TO rmv_t2")
+    assert engine.execute_sql("SELECT k FROM rmv_t2").fetchall() == [(1,)]
+
+
+def test_select_nextval_persists_across_reopen(spark, tmp_path):
+    """A routed SELECT nextval('s') mutates sequence state despite its
+    SELECT head — the engine must persist it, or a reopened engine
+    replays stale state and hands out duplicates (ADVICE r10 medium)."""
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.execute_sql("CREATE SEQUENCE snp START 10")
+    assert e1.execute_sql("SELECT nextval('snp') AS v").fetchall() == [(10,)]
+    assert e1.execute_sql("SELECT nextval('snp') AS v").fetchall() == [(11,)]
+    e2 = Engine(spark, table_dir=str(tmp_path))
+    assert e2.execute_sql("SELECT nextval('snp') AS v").fetchall() == [(12,)]
+
+
+def test_in_txn_ddl_not_persisted_before_commit(spark, tmp_path):
+    """Catalog persistence is deferred while a transaction is open
+    (ADVICE r10): a crash before COMMIT must not leave in-txn DDL
+    metadata visible to a reopened engine."""
+    import json
+    import os
+
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.execute_sql("CREATE TABLE pre_txn (k BIGINT)")  # persists now
+    e1.execute_sql("BEGIN")
+    e1.execute_sql(
+        "CREATE TABLE in_txn (v BIGINT, CONSTRAINT itx CHECK (v > 0))"
+    )
+    cat = os.path.join(str(tmp_path), "_catalog.json")
+    with open(cat) as fh:
+        mid = json.load(fh)
+    assert "in_txn" not in mid.get("constraints", {})
+    e1.execute_sql("COMMIT")
+    with open(cat) as fh:
+        post = json.load(fh)
+    assert "in_txn" in post.get("constraints", {})
+
+
+def test_stale_view_refresh_tracked(engine):
+    """A view whose re-bind fails keeps its last good binding and is
+    recorded in catalog.stale_views instead of failing silently; a later
+    successful refresh clears the entry (ADVICE r10)."""
+    engine.execute_sql("CREATE TABLE svt (k BIGINT)")
+    engine.execute_sql("INSERT INTO svt VALUES (1)")
+    engine.execute_sql("CREATE VIEW svv AS SELECT k * 2 AS k2 FROM svt")
+    assert engine.execute_sql("SELECT k2 FROM svv").fetchall() == [(2,)]
+    assert "svv" not in engine.catalog.stale_views
+    engine.execute_sql("DROP TABLE svt")
+    # the DROP touched svt -> svv re-bind attempted and failed: tracked
+    assert "svv" in engine.catalog.stale_views
+    engine.execute_sql("CREATE TABLE svt (k BIGINT)")
+    engine.execute_sql("INSERT INTO svt VALUES (5)")
+    assert engine.execute_sql("SELECT k2 FROM svv").fetchall() == [(10,)]
+    assert "svv" not in engine.catalog.stale_views
+
+
+def test_refresh_views_scoped_to_touched_relations(engine):
+    """Only views whose dependency closure intersects the statement's
+    relations re-bind (ADVICE r10) — and a view OVER a refreshed view
+    propagates through the closure."""
+    engine.execute_sql("CREATE TABLE rva (k BIGINT)")
+    engine.execute_sql("CREATE TABLE rvb (k BIGINT)")
+    engine.execute_sql("CREATE VIEW rv_a AS SELECT SUM(k) AS s FROM rva")
+    engine.execute_sql(
+        "CREATE VIEW rv_a2 AS SELECT s * 10 AS s10 FROM rv_a"
+    )
+    calls: list[str] = []
+    orig = engine.catalog.spark.sql
+
+    def spy(q, *a, **kw):
+        calls.append(q)
+        return orig(q, *a, **kw)
+
+    engine.catalog.spark = type(
+        "S", (), {"__getattr__": lambda _s, n: getattr(engine.spark, n),
+                  "sql": staticmethod(spy)},
+    )()
+    try:
+        engine.execute_sql("INSERT INTO rvb VALUES (1)")
+        rebound_b = [q for q in calls if "FROM rva" in q or "FROM rv_a" in q]
+        assert rebound_b == []  # rva-family views untouched by rvb DML
+        calls.clear()
+        engine.execute_sql("INSERT INTO rva VALUES (2)")
+        assert any("FROM rva" in q for q in calls)  # rv_a re-bound
+        assert any("FROM rv_a" in q for q in calls)  # closure: rv_a2 too
+    finally:
+        engine.catalog.spark = engine.spark
+    assert engine.execute_sql("SELECT s10 FROM rv_a2").fetchall() == [(20,)]
 
 
 def test_set_refusal_covers_all_forms(engine):
