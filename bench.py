@@ -17,9 +17,48 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 
+def _cpu_times() -> tuple[int, int, int]:
+    """(steal, iowait, total) jiffies from /proc/stat's aggregate cpu
+    line. Co-tenant CPU steal inflated two whole round-10 bench passes
+    2-3x while loadavg looked innocent at start (VERDICT r10) — the
+    steal SHARE over a pass is the signal that separates a stolen sample
+    from a regression."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    # user nice system idle iowait irq softirq steal ...
+    iowait = vals[4] if len(vals) > 4 else 0
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, iowait, sum(vals)
+
+
+def _pass_shares(before, after) -> dict:
+    """steal/iowait share of a pass, as fractions of total jiffies."""
+    dt = max(1, after[2] - before[2])
+    return {
+        "steal_share": round((after[0] - before[0]) / dt, 4),
+        "iowait_share": round((after[1] - before[1]) / dt, 4),
+    }
+
+
+# a pass whose steal share exceeds this is marked stolen (and the
+# sequential/concurrent passes auto-rerun once): ~5% steal was the
+# boundary between the quiet 1.0-1.1s and the inflated 2-3s round-10
+# samples
+_STEAL_FLAG = 0.05
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sustained_secs = 0.0
+    if "--sustained" in sys.argv:
+        i = sys.argv.index("--sustained")
+        sustained_secs = (
+            float(sys.argv[i + 1])
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else 30.0
+        )
     # machine-load context: absolute wall times on this host vary several-x
     # with co-tenant load (observed across rounds), so record loadavg at
     # start and end — cross-round deltas are only interpretable alongside it
@@ -73,11 +112,13 @@ def main() -> None:
     # cold pass FIRST: uncached parquet scans, cold JIT — what a fresh
     # cluster sees on its first query batch. Recorded separately so
     # round-over-round deltas can isolate plan work from cache warming.
+    cpu_before = _cpu_times()
     cold: dict[str, float] = {}
     for name in sorted(headline):
         start = time.perf_counter()
         headline[name].spark_fn(spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - start, 4)
+    cold_shares = _pass_shares(cpu_before, _cpu_times())
 
     # cache the corpus in executor memory: a long-running deployment serves
     # hot tables from the cluster cache (or OS page cache), not cold parquet;
@@ -95,16 +136,30 @@ def main() -> None:
         spec.spark_fn(spark, sf_dir).collect()
 
     # best-of-3 guards against transient CPU-steal windows (co-tenant
-    # background jobs were observed inflating single measurements 10-20x)
-    timings: dict[str, float] = {}
-    for name in sorted(headline):
-        best = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            rows = headline[name].spark_fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - start)
-            del rows
-        timings[name] = round(best, 4)
+    # background jobs were observed inflating single measurements 10-20x);
+    # a WHOLE stolen pass slips through best-of-3, so the pass-level steal
+    # share is measured and the pass auto-reruns ONCE when it exceeds the
+    # flag threshold (VERDICT r10 #3)
+    def _sequential_pass() -> tuple[dict[str, float], dict]:
+        before = _cpu_times()
+        out: dict[str, float] = {}
+        for name in sorted(headline):
+            best = float("inf")
+            for _ in range(3):
+                start = time.perf_counter()
+                rows = headline[name].spark_fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - start)
+                del rows
+            out[name] = round(best, 4)
+        return out, _pass_shares(before, _cpu_times())
+
+    timings, seq_shares = _sequential_pass()
+    seq_stolen = seq_shares["steal_share"] > _STEAL_FLAG
+    if seq_stolen:
+        retry, retry_shares = _sequential_pass()
+        if retry_shares["steal_share"] <= seq_shares["steal_share"]:
+            timings, seq_shares = retry, retry_shares
+            seq_stolen = retry_shares["steal_share"] > _STEAL_FLAG
 
     total = round(sum(timings.values()), 4)
 
@@ -136,17 +191,77 @@ def main() -> None:
     # not deployment behaviour. The sequential metric above keeps
     # per-rep construction inside the timer (end-to-end latency incl.
     # planning, cross-round comparable).
-    concurrent_best = float("inf")
-    for _ in range(3):
-        fresh = {n: headline[n].spark_fn(spark, sf_dir) for n in names}
-        for df in fresh.values():
-            df._jdf.queryExecution().executedPlan()
+    def _concurrent_pass() -> tuple[float, dict]:
+        before = _cpu_times()
+        best = float("inf")
+        for _ in range(3):
+            fresh = {n: headline[n].spark_fn(spark, sf_dir) for n in names}
+            for df in fresh.values():
+                df._jdf.queryExecution().executedPlan()
 
-        start = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=len(names)) as ex:
-            list(ex.map(lambda n: fresh[n].collect(), names))
-        concurrent_best = min(concurrent_best, time.perf_counter() - start)
-    concurrent_best = round(concurrent_best, 4)
+            start = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=len(names)) as ex:
+                list(ex.map(lambda n: fresh[n].collect(), names))
+            best = min(best, time.perf_counter() - start)
+        return round(best, 4), _pass_shares(before, _cpu_times())
+
+    concurrent_best, conc_shares = _concurrent_pass()
+    conc_stolen = conc_shares["steal_share"] > _STEAL_FLAG
+    if conc_stolen:
+        retry_best, retry_shares = _concurrent_pass()
+        if retry_shares["steal_share"] <= conc_shares["steal_share"]:
+            concurrent_best, conc_shares = retry_best, retry_shares
+            conc_stolen = retry_shares["steal_share"] > _STEAL_FLAG
+
+    # optional sustained-throughput pass (bench.py --sustained [secs]):
+    # closed-loop concurrent submission of the headline shapes
+    # round-robin for N seconds — QPS and latency percentiles are the
+    # deployment-shaped numbers a concurrent burst cannot show, and a
+    # per-query session-state leak surfaces here as latency drift
+    sustained = None
+    if sustained_secs > 0:
+        import itertools
+        import threading
+
+        counter = itertools.count()
+        lock = threading.Lock()
+        latencies: list[tuple[str, float]] = []
+        deadline = time.perf_counter() + sustained_secs
+        workers = min(len(names), int(cpus))
+
+        def loop() -> None:
+            while True:
+                with lock:
+                    name = names[next(counter) % len(names)]
+                if time.perf_counter() >= deadline:
+                    return
+                df = headline[name].spark_fn(spark, sf_dir)
+                df._jdf.queryExecution().executedPlan()
+                start = time.perf_counter()
+                df.collect()
+                took = time.perf_counter() - start
+                with lock:
+                    latencies.append((name, took))
+
+        before = _cpu_times()
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(lambda _: loop(), range(workers)))
+        elapsed = time.perf_counter() - t0
+        lats = sorted(t for _, t in latencies)
+
+        def pct(p: float) -> float:
+            return round(lats[min(len(lats) - 1, int(p * len(lats)))], 4)
+
+        sustained = {
+            "seconds": round(elapsed, 2),
+            "completed": len(lats),
+            "qps": round(len(lats) / elapsed, 2),
+            "p50_sec": pct(0.50),
+            "p95_sec": pct(0.95),
+            "workers": workers,
+            **_pass_shares(before, _cpu_times()),
+        }
 
     print(
         json.dumps(
@@ -165,6 +280,20 @@ def main() -> None:
                 "n_queries": len(timings),
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                # /proc/stat steal+iowait share per pass (VERDICT r10 #3):
+                # a sample with steal_share above the flag threshold is a
+                # co-tenant-stolen window, not an engine regression — the
+                # flagged passes already auto-reran once
+                "cpu_shares": {
+                    "cold": cold_shares,
+                    "sequential": seq_shares,
+                    "concurrent": conc_shares,
+                },
+                "stolen": {
+                    "sequential": seq_stolen,
+                    "concurrent": conc_stolen,
+                },
+                **({"sustained": sustained} if sustained else {}),
             }
         )
     )
