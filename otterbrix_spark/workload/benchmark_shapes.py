@@ -9085,3 +9085,685 @@ def ds65(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel", "r1", "r2", "partkey")
     )
+
+
+# =============================================================================
+# Round-11 JOB depth (VERDICT r10 #2): the join-ORDER stress classes the
+# reference's join-order-benchmark corpus exercises (benchmark/job/*.sql,
+# 113 queries; SOURCES.md:12-13) — ≥8-instance chains with correlated
+# low-selectivity filters, multi-fan stars, hub bridges, predicate
+# cliques with redundant equalities, deep snowflakes, anti-join arms,
+# union-derived dims, triple-role dims, self-join diamonds and bushy
+# two-star plans. Re-authored on the synthetic TPC-H-ish corpus with the
+# JOB answer shape (MIN(string) + counts) so the result is deterministic
+# and hash-stable. At 100x scale the join ORDER of these classes is the
+# difference between hours and minutes — each gate carries a plan audit
+# (tests/test_plans.py) pinning the strategy (broadcast dims, hash
+# fact joins, anti/semi placement).
+# =============================================================================
+
+
+# --- b21: nine-instance pure CHAIN, most-selective filter at the far end ----
+# JOB chain queries (8a/17a/…) run one long join path where the tiny
+# filter sits several hops from the answer tables; starting anywhere
+# but the selective end explodes the intermediates. Chain here:
+# region(EUROPE) -> nation -> supplier -> lineitem -> orders(F) ->
+# customer(BUILDING) -> nation2 -> region2(ASIA), plus part(PROMO) off
+# the fact — 9 instances, filters correlated through the chain.
+
+_B21_ORACLE = """
+SELECT MIN(s.s_name) AS min_supp,
+       MIN(c.c_name) AS min_cust,
+       MIN(p.p_name) AS min_part,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM region r1
+JOIN nation n1   ON n1.n_regionkey = r1.r_regionkey
+JOIN supplier s  ON s.s_nationkey = n1.n_nationkey
+JOIN lineitem l  ON l.l_suppkey = s.s_suppkey
+JOIN part p      ON p.p_partkey = l.l_partkey
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN nation n2   ON n2.n_nationkey = c.c_nationkey
+JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+WHERE r1.r_name = 'EUROPE'
+  AND p.p_type = 'PROMO'
+  AND o.o_orderstatus = 'F'
+  AND c.c_mktsegment = 'BUILDING'
+  AND r2.r_name = 'ASIA'
+"""
+
+
+@query(
+    "b21_chain8_correlated", _B21_ORACLE,
+    doc="JOB chain class: 9 table instances in one join path, the most "
+        "selective filters (region literals) at BOTH far ends, "
+        "low-selectivity filters correlated through the middle — "
+        "broadcast dims, fact-side hash joins only",
+)
+def b21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_reg")
+    )
+    r1 = region.filter(F.col("r_name") == "EUROPE").select(
+        F.col("r_regionkey").alias("r1_key")
+    )
+    r2 = region.filter(F.col("r_name") == "ASIA").select(
+        F.col("r_regionkey").alias("r2_key")
+    )
+    # the supplier arm collapses to a broadcastable key set BEFORE the
+    # fact join: region -> nation -> supplier is dim-sized at any SF
+    supp_eu = (
+        supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r1), F.col("n1_reg") == F.col("r1_key"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.join(F.broadcast(supp_eu), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r2), F.col("n2_reg") == F.col("r2_key"))
+        .agg(
+            F.min("s_name").alias("min_supp"),
+            F.min("c_name").alias("min_cust"),
+            F.min("p_name").alias("min_part"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- b22: multi-fan star where only ONE fan is selective --------------------
+# JOB star queries (e.g. 3a/19a) hang 4+ dims off one fact with filters
+# whose SELECTIVITY varies 100x — the planner must order the fans by
+# selectivity, not by declaration order. Three low-selectivity fans
+# (part size band ~60%, supplier balance ~50%, orders status ~67%) and
+# one needle (supplier's region via nation = 'MIDDLE EAST' AND
+# s_acctbal < 0 — the correlated pair that makes the fan tiny).
+
+_B22_ORACLE = """
+SELECT MIN(p.p_name) AS min_part,
+       MIN(s.s_name) AS min_supp,
+       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size BETWEEN 10 AND 40
+  AND s.s_acctbal < 0
+  AND o.o_orderstatus IN ('O', 'F')
+  AND r.r_name = 'MIDDLE EAST'
+"""
+
+
+@query(
+    "b22_fanout_star_lowsel", _B22_ORACLE,
+    doc="JOB star class: four fans off one fact, three low-selectivity "
+        "(size band / status / balance) and one needle (negative-balance "
+        "Middle-East suppliers) — the selective fan must drive the plan",
+)
+def b22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 40)
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "MIDDLE EAST"
+    )
+    # collapse the needle fan first: suppliers in the region with
+    # negative balance — dim-sized, broadcast into the fact
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- b23: dual-hub bridge with a cross-hub dimension equality ---------------
+# JOB's bridge queries tie two hubs (title and name) through a linking
+# fact and add a predicate BETWEEN dimensions of different hubs
+# (company country = person country class). Hub 1: orders + customer;
+# hub 2: lineitem + part + supplier; bridge: orderkey; cross-hub:
+# customer and supplier share the SAME nation.
+
+_B23_ORACLE = """
+SELECT MIN(c.c_name) AS min_cust,
+       MIN(s.s_name) AS min_supp,
+       MIN(p.p_name) AS min_part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE c.c_acctbal > 5000
+  AND p.p_brand IN ('Brand#3', 'Brand#14')
+  AND c.c_nationkey = s.s_nationkey
+"""
+
+
+@query(
+    "b23_dual_hub_bridge", _B23_ORACLE,
+    doc="JOB bridge class: two hubs (orders+customer / lineitem+part+"
+        "supplier) tied by the fact key, plus a cross-hub dimension "
+        "equality (customer nation = supplier nation) resolvable only "
+        "after both hubs join",
+)
+def b23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 5000
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#3", "Brand#14")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .agg(
+            F.min("c_name").alias("min_cust"),
+            F.min("s_name").alias("min_supp"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- b24: predicate clique with redundant equalities -------------------------
+# Every JOB query closes its join graph into a CLIQUE of redundant key
+# equalities (t.id = mi.movie_id AND mi.movie_id = mc.movie_id AND
+# mc.movie_id = t.id …) — the optimizer must recognise the transitive
+# closure instead of treating each equality as a new join. Here: two
+# lineitem instances of the same order + the order itself, all three
+# pairwise equated on orderkey; arms to part (instance 1) and supplier
+# (instance 2).
+
+_B24_ORACLE = """
+SELECT MIN(p.p_name) AS min_part,
+       MIN(s.s_name) AS min_supp,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l1, lineitem l2, orders o, part p, supplier s
+WHERE l1.l_orderkey = l2.l_orderkey
+  AND l2.l_orderkey = o.o_orderkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND p.p_partkey = l1.l_partkey
+  AND s.s_suppkey = l2.l_suppkey
+  AND l1.l_returnflag = 'R'
+  AND l2.l_linestatus = 'O'
+  AND l1.l_linenumber <> l2.l_linenumber
+  AND p.p_type = 'SMALL'
+  AND o.o_orderpriority = '1-URGENT'
+"""
+
+
+@query(
+    "b24_cycle_closure", _B24_ORACLE,
+    doc="JOB predicate-clique class: three relations pairwise equated on "
+        "the same key (redundant transitive equalities, comma-FROM) — "
+        "the plan must collapse the clique to two hash joins on "
+        "orderkey, never a nested loop",
+)
+def b24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_partkey").alias("pk1"),
+        F.col("l_linenumber").alias("ln1"),
+    )
+    l2 = li.filter(F.col("l_linestatus") == "O").select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("l_linenumber").alias("ln2"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        l1.join(l2, (F.col("k1") == F.col("k2")) & (F.col("ln1") != F.col("ln2")))
+        .join(orders, F.col("k2") == orders.o_orderkey)
+        .join(F.broadcast(part), F.col("pk1") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("sk2") == supp.s_suppkey)
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- b25: deep snowflake — the only selective filter three hops up ----------
+# JOB's snowflake arms put the needle on a SECOND-level dimension
+# (kind_type behind title, country behind company). Here the fact's
+# order arm climbs orders -> customer -> nation -> region and ONLY the
+# region literal filters; the plan must push that one-row dim down the
+# whole arm (broadcast chain), never scan-join the unfiltered middles.
+
+_B25_ORACLE = """
+SELECT MIN(c.c_name) AS min_cust,
+       MIN(p.p_name) AS min_part,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_custs,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'AFRICA'
+"""
+
+
+@query(
+    "b25_snowflake_deep", _B25_ORACLE,
+    doc="JOB deep-snowflake class: the only filter is a region literal "
+        "three dimension hops from the fact — the customer arm collapses "
+        "to a broadcast key set before touching lineitem",
+)
+def b25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AFRICA"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "c_name")
+    )
+    # join ORDER is the gate's point: the selective arm (region-filtered
+    # customers) reduces orders FIRST — the unfiltered lineitem x orders
+    # bridge would be the largest possible intermediate (measured 24x at
+    # the 5x probe before this reorder; 1.2x after)
+    orders_af = orders.join(cust, orders.o_custkey == F.col("c_custkey"))
+    return (
+        li.join(orders_af, li.l_orderkey == orders_af.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.min("c_name").alias("min_cust"),
+            F.min("p_name").alias("min_part"),
+            F.countDistinct("c_custkey").cast("long").alias("n_custs"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- b26: chain with an ANTI-JOIN arm ----------------------------------------
+# JOB's NOT-IN / absent-attribute variants hang a negated existence arm
+# off the chain; placing the anti-join too early loses rows, too late
+# wastes work. European BUILDING customers' F-orders that contain NO
+# returned line — per-priority census.
+
+_B26_ORACLE = """
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND c.c_mktsegment = 'BUILDING'
+  AND o.o_orderstatus = 'F'
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY priority
+"""
+
+
+@query(
+    "b26_chain_antifilter", _B26_ORACLE,
+    doc="JOB negated-existence class: a four-hop dimension chain plus a "
+        "NOT EXISTS arm against the fact — hash anti-join placed after "
+        "the selective chain collapse, never a per-order probe",
+)
+def b26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == F.col("c_custkey"))
+        .join(returned, orders.o_orderkey == F.col("l_orderkey"), "left_anti")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+# --- b27: union-derived broadcast dimension ----------------------------------
+# JOB's disjunctive dimension filters (company_type = A OR B with
+# different attached predicates) are a UNION of two incompatible
+# filtered dim scans — the derived dim must STAY broadcastable.
+
+_B27_ORACLE = """
+WITH pdim AS (
+  SELECT p_partkey, p_type FROM part WHERE p_type = 'PROMO' AND p_size <= 15
+  UNION ALL
+  SELECT p_partkey, p_type FROM part WHERE p_type = 'ECONOMY' AND p_size >= 35
+)
+SELECT pd.p_type AS ptype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM lineitem l
+JOIN pdim pd ON pd.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY pd.p_type
+ORDER BY ptype
+"""
+
+
+@query(
+    "b27_star_union_dims", _B27_ORACLE,
+    doc="JOB disjunctive-dimension class: the dim side is a UNION ALL of "
+        "two differently-filtered scans of the same table — the derived "
+        "dim stays a single broadcast build side",
+)
+def b27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pdim = (
+        part.filter((F.col("p_type") == "PROMO") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_type")
+        .unionAll(
+            part.filter(
+                (F.col("p_type") == "ECONOMY") & (F.col("p_size") >= 35)
+            ).select("p_partkey", "p_type")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return (
+        li.join(F.broadcast(pdim), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("p_type").alias("ptype"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long").alias("cents"),
+        )
+        .orderBy("ptype")
+    )
+
+
+# --- b28: one dimension in three roles, cross-role predicates ----------------
+# JOB joins info_type/comp_cast_type two and three times under different
+# roles with predicates BETWEEN the roles. nation appears twice
+# (customer / supplier roles) and region twice, with the cross-role
+# pair: SAME region, DIFFERENT nation — only resolvable after all four
+# role joins.
+
+_B28_ORACLE = """
+SELECT MIN(n1.n_name) AS min_cust_nation,
+       MIN(n2.n_name) AS min_supp_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+JOIN region r1  ON r1.r_regionkey = n1.n_regionkey
+JOIN region r2  ON r2.r_regionkey = n2.n_regionkey
+WHERE r1.r_name = r2.r_name
+  AND n1.n_nationkey <> n2.n_nationkey
+  AND o.o_orderpriority = '2-HIGH'
+  AND l.l_returnflag = 'A'
+"""
+
+
+@query(
+    "b28_self_role_chain", _B28_ORACLE,
+    doc="JOB repeated-role class: nation and region each joined TWICE "
+        "under customer/supplier roles with cross-role predicates (same "
+        "region name, different nation) — all four role joins broadcast",
+)
+def b28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "A"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "2-HIGH"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("n1_name"),
+        F.col("n_regionkey").alias("n1_reg"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("n2_name"),
+        F.col("n_regionkey").alias("n2_reg"),
+    )
+    r1 = region.select(
+        F.col("r_regionkey").alias("r1_key"), F.col("r_name").alias("r1_name")
+    )
+    r2 = region.select(
+        F.col("r_regionkey").alias("r2_key"), F.col("r_name").alias("r2_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r1), F.col("n1_reg") == F.col("r1_key"))
+        .join(F.broadcast(r2), F.col("n2_reg") == F.col("r2_key"))
+        .filter(
+            (F.col("r1_name") == F.col("r2_name"))
+            & (F.col("n1_key") != F.col("n2_key"))
+        )
+        .agg(
+            F.min("n1_name").alias("min_cust_nation"),
+            F.min("n2_name").alias("min_supp_nation"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- b29: self-join diamond re-converging on a shared dim attribute ---------
+# JOB 33's aka-title diamond: two instances of the fact meet at the top
+# through a SHARED dimension attribute (two different parts of the SAME
+# brand inside one urgent order). Anti-symmetric key order dedupes the
+# pair; top-10 brands by pair count.
+
+_B29_ORACLE = """
+SELECT p1.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lineitem l1
+JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+JOIN part p1 ON p1.p_partkey = l1.l_partkey
+JOIN part p2 ON p2.p_partkey = l2.l_partkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE p1.p_brand = p2.p_brand
+  AND p1.p_partkey < p2.p_partkey
+  AND o.o_orderpriority = '1-URGENT'
+GROUP BY p1.p_brand
+ORDER BY n_pairs DESC, brand
+LIMIT 10
+"""
+
+
+@query(
+    "b29_diamond_paths", _B29_ORACLE,
+    doc="JOB self-join diamond: two fact instances of one order meeting "
+        "through a shared dimension attribute (same brand, different "
+        "part, anti-symmetric dedup) — order-key hash join + broadcast "
+        "part on both arms, top-10 brands",
+)
+def b29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    p1 = part.select(
+        F.col("p_partkey").alias("pk1"), F.col("p_brand").alias("brand1")
+    )
+    p2 = part.select(
+        F.col("p_partkey").alias("pk2"), F.col("p_brand").alias("brand2")
+    )
+    l1 = li.select(
+        F.col("l_orderkey").alias("k1"), F.col("l_partkey").alias("lp1")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("lp2")
+    )
+    a1 = l1.join(F.broadcast(p1), F.col("lp1") == F.col("pk1"))
+    a2 = l2.join(F.broadcast(p2), F.col("lp2") == F.col("pk2"))
+    return (
+        a1.join(a2, F.col("k1") == F.col("k2"))
+        .filter(
+            (F.col("brand1") == F.col("brand2"))
+            & (F.col("pk1") < F.col("pk2"))
+        )
+        .join(orders, F.col("k1") == orders.o_orderkey)
+        .groupBy(F.col("brand1").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "brand")
+        .limit(10)
+    )
+
+
+# --- b30: bushy two-star plan — pre-aggregate both stars, then bridge -------
+# The class where LEFT-DEEP enumeration loses: two independent stars
+# each REDUCE before meeting. Star A: urgent orders of high-balance
+# customers (per-order row). Star B: per-order PROMO line aggregate.
+# Joining raw and aggregating later multiplies the fact; the gated plan
+# aggregates star B first (bushy), bridging two already-small sides.
+
+_B30_ORACLE = """
+WITH star_a AS (
+  SELECT o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS order_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_orderpriority = '1-URGENT' AND c.c_acctbal > 7000
+),
+star_b AS (
+  SELECT l.l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS line_cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+  GROUP BY l.l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(a.order_cents) AS BIGINT) AS sum_order_cents,
+       CAST(SUM(b.n_lines) AS BIGINT) AS sum_lines,
+       CAST(SUM(b.line_cents) AS BIGINT) AS sum_line_cents
+FROM star_a a
+JOIN star_b b ON b.l_orderkey = a.o_orderkey
+"""
+
+
+@query(
+    "b30_bushy_two_stars", _B30_ORACLE,
+    doc="JOB bushy-plan class: two independent stars each pre-aggregated "
+        "to order grain BEFORE the bridge join — the bushy shape joins "
+        "two reduced sides instead of multiplying the raw fact",
+)
+def b30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 7000
+    )
+    star_a = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0).cast("long")
+        .alias("order_cents"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    star_b = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long").alias("line_cents"),
+        )
+    )
+    return (
+        star_a.join(star_b, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("order_cents").cast("long").alias("sum_order_cents"),
+            F.sum("n_lines").cast("long").alias("sum_lines"),
+            F.sum("line_cents").cast("long").alias("sum_line_cents"),
+        )
+    )

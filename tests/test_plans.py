@@ -1084,3 +1084,44 @@ def test_round10_breadth_shapes_plans(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round11_job_topology_plans(spark, sf_dir):
+    """Round-11 JOB depth (b21-b30): every topology class keeps its
+    dims on broadcast build sides and its fact joins hash-based — no
+    cartesian product, no nested loop, no Python in any of them; the
+    anti-join arm (b26) and the bushy bridge (b30) land where declared."""
+    for name in (
+        "b21_chain8_correlated", "b22_fanout_star_lowsel",
+        "b23_dual_hub_bridge", "b24_cycle_closure", "b25_snowflake_deep",
+        "b26_chain_antifilter", "b27_star_union_dims",
+        "b28_self_role_chain", "b29_diamond_paths", "b30_bushy_two_stars",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    # b21: the nine-instance chain broadcasts every dimension arm — the
+    # only shuffle joins are the fact-side orders/customer hops
+    plan = plan_of(spark, sf_dir, "b21_chain8_correlated")
+    assert plan.count("BroadcastExchange") >= 3
+    # b24: the redundant-equality clique collapses to hash joins on the
+    # shared orderkey (the self-join pair is an equi-join, not a loop)
+    plan = plan_of(spark, sf_dir, "b24_cycle_closure")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    # b26: the NOT EXISTS arm is a hash LeftAnti
+    assert "LeftAnti" in plan_of(spark, sf_dir, "b26_chain_antifilter")
+    # b27: the UNION-derived dim is still a single broadcast build side
+    plan = plan_of(spark, sf_dir, "b27_star_union_dims")
+    assert "Union" in plan and "BroadcastExchange" in plan
+    # b29: the diamond dedup is an equi-join on orderkey with the
+    # brand/key predicates as join-level filters, never a loop
+    plan = plan_of(spark, sf_dir, "b29_diamond_paths")
+    assert "TakeOrderedAndProject" in plan  # top-10 lowered, no global sort
+    # b30: BOTH stars reduce before the bridge — the final join's inputs
+    # are aggregates (HashAggregate appears below the last join)
+    plan = plan_of(spark, sf_dir, "b30_bushy_two_stars")
+    assert "HashAggregate" in plan
