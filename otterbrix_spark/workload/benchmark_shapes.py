@@ -9767,3 +9767,613 @@ def b30(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("line_cents").cast("long").alias("sum_line_cents"),
         )
     )
+
+
+# =============================================================================
+# Round-11 TPC-DS tail (VERDICT r10 #4) — the remaining distinctive
+# template classes from the reference corpus (benchmark/tpcds/*.tpl):
+# the Q14 iceberg-CTE cross-channel variant, the Q64 multi-year
+# mega-join chain, the Q7/Q26 demographic-split averages, the
+# LAG-sequence flip census, the Q16 ship-gap class and the Q35/Q10
+# multi-channel membership census. Re-authored on the synthetic corpus
+# (channel := order priority band), exact integer arithmetic throughout.
+# =============================================================================
+
+
+# --- ds66: TPC-DS Q14 iceberg CTE --------------------------------------------
+# Q14's second half: an average-sales threshold computed ONCE over the
+# UNION of all channels (the iceberg CTE), then each (channel, brand)
+# cell kept only when it exceeds that global average. The threshold is
+# a one-row broadcast; the union never materialises twice.
+
+_DS66_ORACLE = """
+WITH sales AS (
+  SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 'store'
+              WHEN o.o_orderpriority = '2-HIGH' THEN 'web'
+              ELSE 'catalog' END AS channel,
+         p.p_brand AS brand,
+         CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p   ON p.p_partkey = l.l_partkey
+),
+cell AS (
+  SELECT channel, brand,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM sales GROUP BY channel, brand
+),
+threshold AS (
+  SELECT CAST(AVG(sum_cents) AS BIGINT) AS avg_cents FROM cell
+)
+SELECT c.channel, c.brand, c.sum_cents, c.n_rows
+FROM cell c, threshold t
+WHERE c.sum_cents > t.avg_cents
+ORDER BY c.channel, c.brand
+"""
+
+
+@query(
+    "ds66_iceberg_cte_cross_channel", _DS66_ORACLE,
+    doc="TPC-DS Q14 iceberg-CTE class: global average threshold computed "
+        "once over the cross-channel union, cells kept only above it — "
+        "the threshold is a one-row broadcast over the reused cell "
+        "aggregate, never a recompute",
+)
+def ds66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", "store")
+        .when(F.col("o_orderpriority") == "2-HIGH", "web")
+        .otherwise("catalog").alias("channel"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    cell = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("channel", "brand")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long").alias("sum_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    # iceberg threshold: ONE aggregate row broadcast-crossed into the
+    # (reused) cell frame — the scalar-subquery plan at any scale
+    threshold = cell.agg(
+        F.avg("sum_cents").cast("long").alias("avg_cents")
+    )
+    return (
+        cell.join(F.broadcast(threshold))
+        .filter(F.col("sum_cents") > F.col("avg_cents"))
+        .select("channel", "brand", "sum_cents", "n_rows")
+        .orderBy("channel", "brand")
+    )
+
+
+# --- ds67: TPC-DS Q64 multi-year mega-join ------------------------------------
+# Q64 builds a per-(item, year) snapshot through a mega-join of fact +
+# many dims, then self-joins CONSECUTIVE years requiring growth. Here
+# the snapshot grain is (brand, year) over lineitem x orders x customer
+# x nation x part; the year+1 self-join keeps brands whose sales grew.
+
+_DS67_ORACLE = """
+WITH snap AS (
+  SELECT p.p_brand AS brand,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_custs
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  WHERE n.n_regionkey <= 2
+  GROUP BY p.p_brand, EXTRACT(YEAR FROM o.o_orderdate)
+)
+SELECT s1.brand AS brand, s1.yr AS y1, s1.cents AS cents1,
+       s2.cents AS cents2, s1.n_custs AS custs1, s2.n_custs AS custs2
+FROM snap s1
+JOIN snap s2 ON s2.brand = s1.brand AND s2.yr = s1.yr + 1
+WHERE s2.cents > s1.cents
+ORDER BY brand, y1
+"""
+
+
+@query(
+    "ds67_multi_year_megajoin", _DS67_ORACLE,
+    doc="TPC-DS Q64 class: (brand, year) snapshot from a 5-relation "
+        "mega-join, self-joined on consecutive years with a growth "
+        "predicate — the snapshot computes ONCE and co-partitions on "
+        "brand for the year+1 join",
+)
+def ds67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") <= 2
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    snap = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("brand", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long").alias("cents"),
+            F.countDistinct("c_custkey").cast("long").alias("n_custs"),
+        )
+    )
+    s1 = snap.select(
+        "brand", F.col("yr").alias("y1"),
+        F.col("cents").alias("cents1"), F.col("n_custs").alias("custs1"),
+    )
+    s2 = snap.select(
+        F.col("brand").alias("brand2"), F.col("yr").alias("y2"),
+        F.col("cents").alias("cents2"), F.col("n_custs").alias("custs2"),
+    )
+    return (
+        s1.join(
+            s2,
+            (F.col("brand2") == F.col("brand"))
+            & (F.col("y2") == F.col("y1") + 1),
+        )
+        .filter(F.col("cents2") > F.col("cents1"))
+        .select("brand", "y1", "cents1", "cents2", "custs1", "custs2")
+        .orderBy("brand", "y1")
+    )
+
+
+# --- ds68: TPC-DS Q7/Q26 demographic-split averages ---------------------------
+# Q7/Q26 report per-item average metrics under a demographic filter.
+# Split := urgent vs non-urgent channel; per brand both splits'
+# average quantity (exact integer DIV), kept where both sides have
+# data, ratio in basis points, top-20 by ratio.
+
+_DS68_ORACLE = """
+WITH g AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p   ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+)
+SELECT u.brand AS brand,
+       CAST(u.qty * 100 // u.n AS BIGINT) AS avg_qty_urgent_c,
+       CAST(r.qty * 100 // r.n AS BIGINT) AS avg_qty_rest_c,
+       CAST((u.qty * r.n * 10000) // (r.qty * u.n) AS BIGINT) AS ratio_bp
+FROM g u JOIN g r ON r.brand = u.brand
+WHERE u.urgent = 1 AND r.urgent = 0 AND r.qty > 0
+ORDER BY ratio_bp DESC, brand
+LIMIT 20
+"""
+
+
+@query(
+    "ds68_promo_nonpromo_ratio", _DS68_ORACLE,
+    doc="TPC-DS Q7/Q26 class: per-brand average metrics under a "
+        "demographic split (urgent vs rest), exact integer centi-"
+        "averages and a cross-multiplied basis-point ratio — one "
+        "aggregate shuffle, split self-join on the reduced grain",
+)
+def ds68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0).alias("urgent"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    g = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("brand", "urgent")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    u = g.filter(F.col("urgent") == 1).select(
+        "brand", F.col("qty").alias("uq"), F.col("n").alias("un")
+    )
+    r = g.filter((F.col("urgent") == 0) & (F.col("qty") > 0)).select(
+        F.col("brand").alias("brand_r"),
+        F.col("qty").alias("rq"), F.col("n").alias("rn"),
+    )
+    return (
+        u.join(r, F.col("brand_r") == F.col("brand"))
+        .select(
+            "brand",
+            F.expr("uq * 100 DIV un").alias("avg_qty_urgent_c"),
+            F.expr("rq * 100 DIV rn").alias("avg_qty_rest_c"),
+            F.expr("(uq * rn * 10000) DIV (rq * un)").alias("ratio_bp"),
+        )
+        .orderBy(F.desc("ratio_bp"), "brand")
+        .limit(20)
+    )
+
+
+# --- ds69: order-status sequence flips (LAG class) ----------------------------
+# The TPC-DS sequential-behaviour class (Q47's neighbour comparison
+# applied to state transitions): per customer, orders in date order,
+# LAG the status, census of transition types. The window partitions by
+# customer — one shuffle, deterministic (date, orderkey) order.
+
+_DS69_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey,
+         o_orderstatus AS cur,
+         LAG(o_orderstatus) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+)
+SELECT prev || '>' || cur AS transition,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq
+WHERE prev IS NOT NULL AND prev <> cur
+GROUP BY 1
+ORDER BY transition
+"""
+
+
+@query(
+    "ds69_state_sequence_flips", _DS69_ORACLE,
+    doc="TPC-DS sequential-behaviour class: per-customer order-status "
+        "LAG over a deterministic (date, key) order, transition census "
+        "— one customer-partitioned window shuffle, no self-join",
+)
+def ds69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_orderstatus").alias("cur"),
+        F.lag("o_orderstatus").over(w).alias("prev"),
+    )
+    return (
+        seq.filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("cur")))
+        .groupBy(
+            F.concat(F.col("prev"), F.lit(">"), F.col("cur"))
+            .alias("transition")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("transition")
+    )
+
+
+# --- ds70: TPC-DS Q16 ship-gap census ------------------------------------------
+# Q16's late-shipment class: lines shipped more than 60 days after the
+# order date; per priority, distinct late orders + late lines + cents.
+
+_DS70_ORACLE = """
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_late_lines,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+GROUP BY o.o_orderpriority
+ORDER BY priority
+"""
+
+
+@query(
+    "ds70_web_sales_gap", _DS70_ORACLE,
+    doc="TPC-DS Q16 ship-gap class: order-to-ship latency filter "
+        "(datediff > 60) evaluated on the joined pair, per-priority "
+        "census — one fact-fact hash join, one aggregate",
+)
+def ds70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_late_lines"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- ds71: TPC-DS Q35/Q10 multi-channel membership census ---------------------
+# The demographics census with per-channel EXISTS flags: customers
+# classified by which priority channels they bought in (urgent / low /
+# both), counted per market segment. Membership flags computed in ONE
+# orders aggregate (conditional MAX), never stacked semi-joins.
+
+_DS71_ORACLE = """
+WITH member AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS u,
+         MAX(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS lo
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment AS segment,
+       CASE WHEN m.u = 1 AND m.lo = 1 THEN 'both'
+            WHEN m.u = 1 THEN 'urgent_only'
+            WHEN m.lo = 1 THEN 'low_only'
+            ELSE 'neither' END AS affinity,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN member m ON m.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY segment, affinity
+"""
+
+
+@query(
+    "ds71_catalog_channel_affinity", _DS71_ORACLE,
+    doc="TPC-DS Q35/Q10 class: multi-channel membership census — the "
+        "per-channel EXISTS flags collapse to ONE conditional-MAX "
+        "aggregate over orders (never stacked semi-joins), then one "
+        "dimension join and a two-key census",
+)
+def ds71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    member = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("u"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)
+        ).alias("lo"),
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    affinity = (
+        F.when((F.col("u") == 1) & (F.col("lo") == 1), "both")
+        .when(F.col("u") == 1, "urgent_only")
+        .when(F.col("lo") == 1, "low_only")
+        .otherwise("neither")
+    )
+    return (
+        cust.join(member, cust.c_custkey == member.o_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            affinity.alias("affinity"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("segment", "affinity")
+    )
+
+
+# =============================================================================
+# Round-11 ClickBench string/URL tail (VERDICT r10 #5) — regex-heavy URL
+# classification, multi-term phrase ranking, per-user ratio bands and
+# the minute histogram (benchmark/clickbench/queries.sql). Regex and
+# string arithmetic stay in whole-stage codegen — no UDF anywhere.
+# =============================================================================
+
+
+# --- c32: regex-heavy URL classification --------------------------------------
+# ClickBench's URL-classify queries chain several regexes over the hit
+# URL. URLs synthesized deterministically from events (the c28 recipe);
+# a first-match RLIKE ladder classifies, then count + distinct users.
+
+_C32_ORACLE = """
+WITH u AS (
+  SELECT '/p' || CAST(user_id % 20 AS VARCHAR)
+         || '/item' || CAST(event_id % 100 AS VARCHAR)
+         || '?ref=' || event_type AS url,
+         user_id
+  FROM events
+)
+SELECT CASE
+         WHEN regexp_matches(url, '^/p1[0-9]/') THEN 'teen_section'
+         WHEN regexp_matches(url, 'item[0-9]*[02468]\\?') THEN 'even_item'
+         WHEN regexp_matches(url, 'ref=purchase$') THEN 'purchase_ref'
+         ELSE 'other'
+       END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM u
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@query(
+    "c32_url_regex_classify", _C32_ORACLE,
+    doc="ClickBench URL-classify class: first-match ladder of THREE "
+        "regexes over a synthesized URL — all RLIKE in codegen, one "
+        "scan, one aggregate shuffle",
+)
+def c32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("/p"), (F.col("user_id") % 20).cast("string"),
+        F.lit("/item"), (F.col("event_id") % 100).cast("string"),
+        F.lit("?ref="), F.col("event_type"),
+    )
+    bucket = (
+        F.when(url.rlike("^/p1[0-9]/"), "teen_section")
+        .when(url.rlike("item[0-9]*[02468]\\?"), "even_item")
+        .when(url.rlike("ref=purchase$"), "purchase_ref")
+        .otherwise("other")
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- c33: multi-term phrase ranking --------------------------------------------
+# ClickBench's search-phrase queries rank pages containing ALL query
+# terms by combined frequency. Occurrence counts via the replace-length
+# trick (pure string codegen, identical on both engines); documents
+# must contain every term; top-15 by (score DESC, doc_id).
+
+_C33_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         (LENGTH(text) - LENGTH(REPLACE(text, 'spark', ''))) / 5 AS t1,
+         (LENGTH(text) - LENGTH(REPLACE(text, 'window', ''))) / 6 AS t2,
+         (LENGTH(text) - LENGTH(REPLACE(text, 'merge', ''))) / 5 AS t3
+  FROM documents
+)
+SELECT doc_id,
+       CAST(t1 AS BIGINT) AS n_spark,
+       CAST(t2 AS BIGINT) AS n_window,
+       CAST(t3 AS BIGINT) AS n_merge,
+       CAST(t1 + t2 + t3 AS BIGINT) AS score
+FROM scored
+WHERE t1 > 0 AND t2 > 0 AND t3 > 0
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""
+
+
+@query(
+    "c33_phrase_rank_multiterm", _C33_ORACLE,
+    doc="ClickBench multi-term search class: AND-of-terms filter + "
+        "combined-frequency ranking via the replace-length occurrence "
+        "count — pure string codegen, top-15 lowers to "
+        "TakeOrderedAndProject",
+)
+def c33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def occurrences(term: str) -> F.Column:
+        return (
+            (F.length("text") - F.length(F.regexp_replace(
+                F.col("text"), term, "")))
+            / F.lit(len(term))
+        ).cast("long")
+
+    # regexp_replace with a literal word == REPLACE (terms contain no
+    # regex metacharacters); stays in codegen on both engines
+    scored = docs.select(
+        "doc_id",
+        occurrences("spark").alias("n_spark"),
+        occurrences("window").alias("n_window"),
+        occurrences("merge").alias("n_merge"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_spark") > 0) & (F.col("n_window") > 0)
+            & (F.col("n_merge") > 0)
+        )
+        .select(
+            "doc_id", "n_spark", "n_window", "n_merge",
+            (F.col("n_spark") + F.col("n_window") + F.col("n_merge"))
+            .cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(15)
+    )
+
+
+# --- c34: per-user ratio bands --------------------------------------------------
+# ClickBench's bounce-rate/ratio-band class at user grain: per user the
+# purchase share of their events in basis points, banded by thousands;
+# users per band + total events per band. Two aggregates, both on the
+# SAME user key — one shuffle then a tiny band groupBy.
+
+_C34_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purch
+  FROM events GROUP BY user_id
+)
+SELECT CAST((n_purch * 10000 // n_events) // 1000 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM per_user
+GROUP BY 1
+ORDER BY band
+"""
+
+
+@query(
+    "c34_adblock_ratio_bands", _C34_ORACLE,
+    doc="ClickBench ratio-band class: per-user purchase share in basis "
+        "points banded by thousands — user-keyed aggregate then a "
+        "bounded band census, exact integer arithmetic",
+)
+def c34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("n_purch"),
+    )
+    return (
+        per_user.groupBy(
+            F.expr("(n_purch * 10000 DIV n_events) DIV 1000").alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("band")
+    )
+
+
+# --- c35: minute histogram over a fixed window ---------------------------------
+# ClickBench's per-minute traffic histogram (Q36 family): minute
+# truncation inside a bounded time window, top-20 minutes by hits.
+
+_C35_ORACLE = """
+SELECT date_trunc('minute', ts) AS minute,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-10 06:00:00'
+GROUP BY 1
+ORDER BY hits DESC, minute
+LIMIT 20
+"""
+
+
+@query(
+    "c35_interval_minute_histogram", _C35_ORACLE,
+    doc="ClickBench minute-histogram class: pushed time-range filter + "
+        "minute truncation + top-20 by hits — the range predicate "
+        "reaches the parquet scan, top-k lowers to "
+        "TakeOrderedAndProject",
+)
+def c35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-10 06:00:00").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hits"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("hits"), "minute")
+        .limit(20)
+    )

@@ -1125,3 +1125,42 @@ def test_round11_job_topology_plans(spark, sf_dir):
     # are aggregates (HashAggregate appears below the last join)
     plan = plan_of(spark, sf_dir, "b30_bushy_two_stars")
     assert "HashAggregate" in plan
+
+
+def test_round11_dstail_clickbench_plans(spark, sf_dir):
+    """Round-11 TPC-DS tail + ClickBench tail: ds66's iceberg threshold
+    is the one-row broadcast scalar shape; ds67 computes its snapshot
+    once and self-joins on the reduced grain; ds71's membership flags
+    are ONE conditional aggregate (no stacked semi-joins); the c-gates
+    stay single-scan codegen with top-k lowered, and c35's time range
+    is pushed to the scan."""
+    for name in (
+        "ds66_iceberg_cte_cross_channel", "ds67_multi_year_megajoin",
+        "ds68_promo_nonpromo_ratio", "ds69_state_sequence_flips",
+        "ds70_web_sales_gap", "ds71_catalog_channel_affinity",
+        "c32_url_regex_classify", "c33_phrase_rank_multiterm",
+        "c34_adblock_ratio_bands", "c35_interval_minute_histogram",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # ds66: the only nested loop is the 1-row threshold broadcast
+    plan = plan_of(spark, sf_dir, "ds66_iceberg_cte_cross_channel")
+    assert "BroadcastExchange" in plan
+    # ds71: membership is an aggregate then ONE join — no semi-join stack
+    plan = plan_of(spark, sf_dir, "ds71_catalog_channel_affinity")
+    assert "LeftSemi" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # c32/c33/c34: single-scan, no join at all
+    for name in ("c32_url_regex_classify", "c33_phrase_rank_multiterm",
+                 "c34_adblock_ratio_bands"):
+        assert "Join" not in plan_of(spark, sf_dir, name), name
+    # c33/c35: top-k lowers to TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan_of(
+        spark, sf_dir, "c33_phrase_rank_multiterm"
+    )
+    plan = plan_of(spark, sf_dir, "c35_interval_minute_histogram")
+    assert "TakeOrderedAndProject" in plan
+    # the ts range predicate reaches the parquet scan
+    assert "PushedFilters:" in plan and "ts" in plan.split(
+        "PushedFilters:")[1].split("\n")[0]
