@@ -2144,6 +2144,76 @@ class Catalog:
                 elif t in self.tables:
                     self._register(self.tables[t])
 
+    def _fetch_scroll(self, cur: dict, verb: str, direction: list) -> DataFrame:
+        """FETCH/MOVE on a SCROLL cursor: every PG direction over the
+        pinned, densely-numbered result (reference cursor.hpp full
+        direction set; PG tuplestore semantics). The cursor position
+        lives in [0, n+1] (0 = before first, n+1 = after last); each
+        FETCH is a __otx_pos range filter over the checkpointed frame —
+        a small executor job per call, never a driver-side spool.
+        BACKWARD fetches return their rows in reverse position order, as
+        PG does."""
+        n, pos = cur["n"], cur["pos"]
+        d0 = direction[0]
+        lo = hi = None
+        reverse = False
+        if d0 == "RELATIVE" and int(direction[1]) == 0:
+            # PG: RELATIVE 0 / FETCH 0 re-fetches the current row
+            new = pos
+            if 1 <= pos <= n:
+                lo = hi = pos
+        elif d0 in ("NEXT", "PRIOR", "FIRST", "LAST", "ABSOLUTE", "RELATIVE"):
+            if d0 == "NEXT":
+                target = pos + 1
+            elif d0 == "PRIOR":
+                target = pos - 1
+                reverse = True
+            elif d0 == "FIRST":
+                target = 1
+            elif d0 == "LAST":
+                target = n
+            elif d0 == "ABSOLUTE":
+                k = int(direction[1])
+                target = n + k + 1 if k < 0 else k
+            else:  # RELATIVE k
+                target = pos + int(direction[1])
+            new = max(0, min(n + 1, target))
+            if 1 <= target <= n:
+                lo = hi = target
+        else:
+            # count forms: [FORWARD|BACKWARD] [k|ALL], bare k, bare ALL
+            if d0 in ("FORWARD", "BACKWARD"):
+                cnt = direction[1] if len(direction) > 1 else "1"
+            else:
+                cnt = d0
+            back = d0 == "BACKWARD"
+            k = None if cnt == "ALL" else int(cnt)
+            if k is not None and k < 0:
+                back, k = not back, -k  # PG: FORWARD -n == BACKWARD n
+            if k == 0:
+                new = pos
+                if verb == "FETCH" and 1 <= pos <= n:
+                    lo = hi = pos
+            elif not back:
+                span = (n - pos) if k is None else k
+                lo, hi = pos + 1, min(pos + span, n)
+                new = min(pos + span, n + 1)
+            else:
+                span = pos if k is None else k
+                lo, hi = max(pos - span, 1), pos - 1
+                new = max(pos - span, 0)
+                reverse = True
+        cur["pos"] = new
+        empty = lo is None or hi < lo
+        if verb == "MOVE":
+            moved = 0 if empty else hi - lo + 1
+            return self.spark.range(1).select(F.lit(moved).alias("move"))
+        if empty:
+            return self.spark.createDataFrame([], cur["schema"])
+        out = cur["df"].filter(F.col("__otx_pos").between(lo, hi))
+        order = F.col("__otx_pos").desc() if reverse else F.col("__otx_pos")
+        return out.orderBy(order).drop("__otx_pos")
+
     def route(self, sql: str) -> DataFrame:
         head = sql.strip().rstrip(";").upper()
 
@@ -2195,11 +2265,7 @@ class Catalog:
                 re.sub(r"\s+", " ", (m.group(3) or "").upper()),
                 m.group(4).strip().rstrip(";"),
             )
-            if re.search(r"(?<!NO )\bSCROLL\b", opts):
-                raise ValueError(
-                    "SCROLL cursors (backward fetch) are not supported; "
-                    "declare NO SCROLL"
-                )
+            scroll = bool(re.search(r"(?<!NO )\bSCROLL\b", opts))
             holdable = hold == "WITH HOLD"
             if self._txn is None and not holdable:
                 raise ValueError(
@@ -2218,7 +2284,7 @@ class Catalog:
                 r"(WHERE\s+.+?)?\s*(ORDER\s+BY\s+[\w\s,.]+?)?\s*$",
                 query, re.IGNORECASE | re.DOTALL,
             )
-            if mu and mu.group(2) in self.tables:
+            if mu and not scroll and mu.group(2) in self.tables:
                 tname = mu.group(2)
                 tcols = [
                     f.name for f in self.tables[tname].df().schema.fields
@@ -2236,8 +2302,7 @@ class Catalog:
             df = self.spark.sql(query)
             if updatable:
                 df = df.localCheckpoint(eager=True)
-            self._pg_cursors[name] = {
-                "it": iter(df.toLocalIterator()),
+            entry = {
                 "schema": df.schema,
                 "holdable": holdable,
                 # PG removes even WITH HOLD cursors when the transaction
@@ -2247,10 +2312,34 @@ class Catalog:
                 "updatable": updatable,
                 "out_cols": out_cols,
                 "current": None,
-                # rows consumed so far (1-based row number of "current"),
-                # the anchor for forward ABSOLUTE n on NO SCROLL
+                # rows consumed so far (1-based row number of "current");
+                # the anchor for forward ABSOLUTE n on NO SCROLL and the
+                # full cursor position ([0, n+1]) on SCROLL
                 "pos": 0,
             }
+            if scroll:
+                # SCROLL cursor (PG's tuplestore): pin the result ONCE
+                # (localCheckpoint — stable partition layout), number it
+                # densely with the partition-offset renumbering (no
+                # global single-task window), pin the numbering, and
+                # serve every FETCH direction as a position-range filter
+                # job over the pinned frame. Rows never mass on the
+                # driver; each FETCH transfers exactly the rows asked
+                # for. Scroll cursors are read-only here (WHERE CURRENT
+                # OF needs the streaming NO SCROLL path) — documented.
+                from otterbrix_spark.operators.dml import with_sequence
+
+                pinned = with_sequence(
+                    df.localCheckpoint(eager=True), "__otx_pos"
+                ).localCheckpoint(eager=True)
+                entry.update({
+                    "scroll": True,
+                    "df": pinned,
+                    "n": pinned.count(),
+                })
+            else:
+                entry["it"] = iter(df.toLocalIterator())
+            self._pg_cursors[name] = entry
             return self.spark.range(0).select(F.lit(name).alias("declared"))
         m = re.match(
             r"^\s*(FETCH|MOVE)\s+"
@@ -2266,6 +2355,10 @@ class Catalog:
             name = m.group(3).lower()
             if name not in self._pg_cursors:
                 raise ValueError(f'cursor "{name}" does not exist')
+            if self._pg_cursors[name].get("scroll"):
+                return self._fetch_scroll(
+                    self._pg_cursors[name], verb, direction
+                )
             if (
                 direction[0] in ("PRIOR", "FIRST", "LAST", "BACKWARD")
                 or direction[-1].startswith("-")

@@ -1949,3 +1949,68 @@ def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(v) AS BIGINT) AS cents "
         "FROM x25_t GROUP BY seg ORDER BY seg"
     )
+
+
+# --- x26: SCROLL cursor — the full PG direction set ---------------------------
+# Reference cursor surface (cursor.hpp) + PG DECLARE SCROLL: the pinned,
+# densely-numbered result serves FIRST/LAST/PRIOR/ABSOLUTE(+/-)/
+# RELATIVE(+/-)/BACKWARD n/BACKWARD ALL — each FETCH a position-range
+# filter job over the checkpointed frame (PG's tuplestore, distributed).
+# The oracle replays every leg closed-form via ROW_NUMBER ranges.
+
+_X26_ORACLE = """
+WITH numbered AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn,
+         c_custkey AS k, c_mktsegment AS seg
+  FROM customer
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+SELECT 'f1' AS leg, k, seg FROM numbered WHERE rn BETWEEN 1 AND 30
+UNION ALL
+SELECT 'f2', k, seg FROM numbered, tot WHERE rn BETWEEN n - 20 AND n - 1
+UNION ALL
+SELECT 'f3', k, seg FROM numbered, tot WHERE rn = n - 49
+UNION ALL
+SELECT 'f4', k, seg FROM numbered, tot WHERE rn = n - 74
+UNION ALL
+SELECT 'f5', k, seg FROM numbered WHERE rn BETWEEN 101 AND 140
+UNION ALL
+SELECT 'f6', k, seg FROM numbered WHERE rn BETWEEN 1 AND 139
+ORDER BY leg, k
+"""
+
+
+@query(
+    "x26_scroll_cursor", _X26_ORACLE,
+    doc="SCROLL cursor walk: FETCH 30 / MOVE LAST / BACKWARD 20 / "
+        "ABSOLUTE -50 / RELATIVE -25 / MOVE ABSOLUTE 100 / FORWARD 40 / "
+        "BACKWARD ALL over an ordered customer scan — every leg "
+        "hash-matched against the closed-form ROW_NUMBER oracle",
+)
+def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("BEGIN")
+    eng.sql(
+        "DECLARE x26c SCROLL CURSOR FOR "
+        "SELECT c_custkey AS k, c_mktsegment AS seg FROM customer "
+        "ORDER BY c_custkey"
+    )
+    f1 = eng.sql("FETCH 30 FROM x26c")
+    eng.sql("MOVE LAST FROM x26c")
+    f2 = eng.sql("FETCH BACKWARD 20 FROM x26c")
+    f3 = eng.sql("FETCH ABSOLUTE -50 FROM x26c")
+    f4 = eng.sql("FETCH RELATIVE -25 FROM x26c")
+    eng.sql("MOVE ABSOLUTE 100 FROM x26c")
+    f5 = eng.sql("FETCH FORWARD 40 FROM x26c")
+    f6 = eng.sql("FETCH BACKWARD ALL FROM x26c")
+    eng.sql("CLOSE x26c")
+    eng.sql("COMMIT")
+    legs = [("f1", f1), ("f2", f2), ("f3", f3),
+            ("f4", f4), ("f5", f5), ("f6", f6)]
+    out = None
+    for tag, df in legs:
+        piece = df.select(F.lit(tag).alias("leg"), "k", "seg")
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("leg", "k")

@@ -1863,10 +1863,13 @@ def test_cursor_closed_at_txn_end(engine):
     engine.execute_sql("CLOSE ALL")
 
 
-def test_cursor_scroll_refused(engine):
+def test_cursor_scroll_vs_noscroll(engine):
+    """SCROLL is now supported (round 11) — a scroll cursor serves
+    PRIOR while the NO SCROLL default still refuses backward fetch."""
     engine.execute_sql("BEGIN")
-    with pytest.raises(ValueError, match="SCROLL"):
-        engine.execute_sql("DECLARE sc SCROLL CURSOR FOR SELECT 1 AS x")
+    engine.execute_sql("DECLARE sc SCROLL CURSOR FOR SELECT 1 AS x")
+    assert engine.execute_sql("FETCH NEXT FROM sc").fetchall() == [(1,)]
+    assert engine.execute_sql("FETCH PRIOR FROM sc").fetchall() == []
     engine.execute_sql("DECLARE ns CURSOR FOR SELECT 1 AS x")
     with pytest.raises(ValueError, match="forward"):
         engine.execute_sql("FETCH PRIOR FROM ns")
@@ -2643,3 +2646,52 @@ def test_upsert_where_with_paren_in_string(engine):
         "DO UPDATE SET v = 'a(b' WHERE pws.k > 0"
     )
     assert engine.execute_sql("SELECT v FROM pws").fetchall() == [("a(b",)]
+
+
+def test_scroll_cursor_full_direction_set(engine):
+    """SCROLL cursors (round 11): the pinned, densely-numbered result
+    serves every PG direction — FIRST/LAST/PRIOR/ABSOLUTE(+/-)/
+    RELATIVE(+/-/0)/BACKWARD n/ALL — with PG's position semantics and
+    reverse-order BACKWARD output."""
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "DECLARE sc SCROLL CURSOR FOR "
+        "SELECT n_nationkey AS k FROM nation ORDER BY n_nationkey"
+    )
+    fetch = lambda d: [r[0] for r in  # noqa: E731
+                       engine.execute_sql(f"FETCH {d} FROM sc").fetchall()]
+    assert fetch("NEXT") == [0]
+    assert fetch("FORWARD 3") == [1, 2, 3]
+    assert fetch("PRIOR") == [2]
+    assert fetch("FIRST") == [0]
+    assert fetch("LAST") == [24]
+    assert fetch("ABSOLUTE 5") == [4]
+    assert fetch("ABSOLUTE -2") == [23]      # n + k + 1 = 24th row
+    assert fetch("RELATIVE -3") == [20]
+    assert fetch("RELATIVE 0") == [20]       # re-fetch current
+    assert fetch("BACKWARD 3") == [19, 18, 17]  # reverse order (PG)
+    assert fetch("-2") == [16, 15]           # bare negative = BACKWARD 2
+    assert fetch("ABSOLUTE 0") == []         # before first row
+    assert fetch("PRIOR") == []              # still before first
+    assert fetch("NEXT") == [0]
+    # MOVE with scroll directions; MOVE ALL positions after last
+    assert engine.execute_sql("MOVE LAST FROM sc").fetchall() == [(1,)]
+    assert engine.execute_sql("MOVE ALL FROM sc").fetchall() == [(0,)]
+    assert fetch("NEXT") == []
+    assert fetch("BACKWARD ALL") == list(range(24, -1, -1))
+    assert fetch("PRIOR") == []
+    engine.execute_sql("CLOSE sc")
+    engine.execute_sql("ROLLBACK")
+
+
+def test_scroll_cursor_not_updatable(engine):
+    """Scroll cursors are read-only (documented): WHERE CURRENT OF
+    refuses — positioned DML needs the streaming NO SCROLL path."""
+    engine.execute_sql("CREATE TABLE scu (k BIGINT)")
+    engine.execute_sql("INSERT INTO scu VALUES (1), (2)")
+    engine.execute_sql("BEGIN")
+    engine.execute_sql("DECLARE su SCROLL CURSOR FOR SELECT k FROM scu")
+    engine.execute_sql("FETCH NEXT FROM su")
+    with pytest.raises(Exception, match="not.*updatable|updatable|simply"):
+        engine.execute_sql("UPDATE scu SET k = 9 WHERE CURRENT OF su")
+    engine.execute_sql("ROLLBACK")
