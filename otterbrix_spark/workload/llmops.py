@@ -6186,3 +6186,277 @@ def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# --- t23: bigram-LM fluency filter (CCNet/KenLM step, integer-exact) ---------
+# The perplexity-style quality filter of every web-curation pipeline
+# (CCNet trains a KenLM and drops high-perplexity docs). Re-expressed
+# integer-exact so the DuckDB oracle replays the model bit-for-bit: the
+# corpus ITSELF is the LM (bigram counts / left-context counts), each
+# bigram scores 10000*C(w1 w2) DIV C(w1) basis points of conditional
+# probability, a document's fluency is the integer mean over its
+# bigrams, and the report is the fluency-band histogram. The model is
+# vocabulary-sized (tiny) and broadcast; docs never pair with docs.
+
+_T23_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM (SELECT doc_id, ws, UNNEST(range(1, len(ws))) AS i
+        FROM t WHERE len(ws) >= 2)),
+model AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_bg FROM b GROUP BY bg),
+leftc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_w1 FROM b GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(SUM(10000 * m.n_bg // l.n_w1) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM b JOIN model m USING (bg) JOIN leftc l USING (w1)
+  GROUP BY b.doc_id)
+SELECT CAST((s // nb) // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM scored GROUP BY band ORDER BY band
+"""
+
+
+@query(
+    "t23_bigram_lm_fluency", _T23_ORACLE,
+    doc="bigram-LM fluency filter (the CCNet perplexity step, integer-"
+        "exact): corpus-trained conditional-probability model in basis "
+        "points, per-doc integer mean fluency, band histogram — model "
+        "broadcast, one positioned-bigram explode, no doc-doc pairing",
+)
+def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)  # sequence(0, -1) guard (short docs)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> struct(ws[i] AS w1, "
+                "concat(ws[i], ' ', ws[i + 1]) AS bg))"
+            )).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.bg")
+    )
+    model = b.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
+    leftc = b.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_w1"))
+    scored = (
+        b.join(F.broadcast(model), "bg")
+        .join(F.broadcast(leftc), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("10000 * n_bg DIV n_w1")).cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("nb"),
+        )
+    )
+    return (
+        scored.groupBy(F.expr("(s DIV nb) DIV 100").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("band")
+    )
+
+
+# --- g14: day-of-week seasonal decomposition ----------------------------------
+# The classical seasonal split (STL's seasonal component at weekly
+# period, integer-exact): daily purchase cents -> day-of-week seasonal
+# means -> max absolute residual per weekday, every comparison
+# cross-multiplied so no engine ever divides. Day-of-week computed from
+# epoch days ((d + 4) % 7, 1970-01-01 = Thursday) — identical arithmetic
+# on both engines, no locale-dependent dayofweek().
+
+_G14_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+tagged AS (
+  SELECT d, cents,
+         CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS BIGINT)
+           AS dow
+  FROM daily),
+season AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(cents) AS BIGINT) AS dow_cents
+  FROM tagged GROUP BY dow)
+SELECT s.dow, s.n_days, s.dow_cents,
+       CAST(s.dow_cents // s.n_days AS BIGINT) AS dow_mean_cents,
+       CAST(MAX(ABS(t.cents * s.n_days - s.dow_cents)) // s.n_days
+            AS BIGINT) AS max_abs_resid_cents
+FROM tagged t JOIN season s USING (dow)
+GROUP BY s.dow, s.n_days, s.dow_cents ORDER BY s.dow
+"""
+
+
+@query(
+    "g14_seasonal_dow_decomposition", _G14_ORACLE,
+    doc="weekly seasonal decomposition (integer-exact): daily purchase "
+        "cents -> day-of-week seasonal means -> max |residual| per "
+        "weekday, residuals cross-multiplied before the division — one "
+        "day-grain reduction then a 7-row census",
+)
+def g14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0).cast("long"))
+            .cast("long").alias("cents")
+        )
+    )
+    tagged = daily.select(
+        "cents",
+        ((F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) + 4) % 7)
+        .cast("long").alias("dow"),
+    )
+    # two-phase residual: seasonal means first (7-row frame, broadcast),
+    # then the residual max over the day grain — the cross-multiplied
+    # form |cents*n - sum| keeps every intermediate an exact integer
+    season = tagged.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("dow_cents"),
+    )
+    return (
+        tagged.join(F.broadcast(season), "dow")
+        .groupBy("dow", "n_days", "dow_cents")
+        .agg(
+            F.max(F.abs(F.col("cents") * F.col("n_days")
+                        - F.col("dow_cents"))).alias("mx")
+        )
+        .select(
+            "dow", "n_days", "dow_cents",
+            F.expr("dow_cents DIV n_days").cast("long")
+            .alias("dow_mean_cents"),
+            F.expr("mx DIV n_days").cast("long")
+            .alias("max_abs_resid_cents"),
+        )
+        .orderBy("dow")
+    )
+
+
+# --- p13: temperature-scaled mixture sampling (mT5/XLM-R recipe) --------------
+# Multilingual/domain mixing samples sources proportionally to
+# count^alpha (alpha = 0.5 here) so small sources are UP-weighted
+# relative to their share. Integer-exact largest-remainder allocation:
+# weights w = FLOOR(SQRT(cnt)) (IEEE sqrt is correctly rounded — the
+# floor is deterministic), base quota = budget*w // W, and the leftover
+# (budget - sum(base)) goes +1 to the sources with the largest
+# remainders (budget*w % W, ties by source). Selection inside a source
+# is the p08 md5-rank. Reports quota vs selected vs chars per source.
+
+_P13_BUDGET_PCT = 30
+
+_P13_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY source),
+wts AS (
+  SELECT source, cnt, CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE))) AS BIGINT) AS w
+  FROM per_src),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS big_w FROM wts),
+base AS (
+  SELECT s.source, s.cnt, s.w,
+         (t.n_docs * {_P13_BUDGET_PCT} // 100) AS budget,
+         (t.n_docs * {_P13_BUDGET_PCT} // 100) * s.w // t.big_w AS bq,
+         (t.n_docs * {_P13_BUDGET_PCT} // 100) * s.w % t.big_w AS rem
+  FROM wts s CROSS JOIN tot t),
+quota AS (
+  SELECT source, cnt,
+         bq + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                        <= budget - SUM(bq) OVER ()
+                   THEN 1 ELSE 0 END AS q
+  FROM base),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5('p13:' || CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS rk
+  FROM documents d)
+SELECT q.source,
+       CAST(LEAST(q.q, q.cnt) AS BIGINT) AS quota,
+       CAST(COUNT(r.doc_id) AS BIGINT) AS selected,
+       CAST(COALESCE(SUM(r.n_chars), 0) AS BIGINT) AS selected_chars
+FROM quota q
+LEFT JOIN ranked r ON r.source = q.source AND r.rk <= q.q
+GROUP BY q.source, q.q, q.cnt
+ORDER BY q.source
+"""
+
+
+@query(
+    "p13_temperature_mix", _P13_ORACLE,
+    doc="temperature-scaled mixture sampling (count^0.5 weights, the "
+        "mT5/XLM-R recipe): integer largest-remainder allocation of a "
+        "30% budget across sources, md5-rank selection — exact "
+        "reproducible quotas, one doc scan + vocabulary-sized metadata",
+)
+def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wts = per_src.select(
+        "source", "cnt",
+        F.floor(F.sqrt(F.col("cnt").cast("double"))).cast("long").alias("w"),
+    )
+    tot = wts.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("big_w"),
+    )
+    base = wts.crossJoin(F.broadcast(tot)).select(
+        "source", "cnt", "w",
+        F.expr(f"n_docs * {_P13_BUDGET_PCT} DIV 100").alias("budget"),
+        F.expr(f"(n_docs * {_P13_BUDGET_PCT} DIV 100) * w DIV big_w")
+        .alias("bq"),
+        F.expr(f"(n_docs * {_P13_BUDGET_PCT} DIV 100) * w % big_w")
+        .alias("rem"),
+    )
+    wrem = Window.orderBy(F.desc("rem"), "source")
+    wall = Window.partitionBy()
+    quota = base.select(
+        "source", "cnt",
+        (
+            F.col("bq")
+            + F.when(
+                F.row_number().over(wrem)
+                <= F.col("budget") - F.sum("bq").over(wall),
+                1,
+            ).otherwise(0)
+        ).alias("q"),
+    )
+    wrank = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("p13:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = docs.select(
+        "doc_id", "source", "n_chars", F.row_number().over(wrank).alias("rk")
+    )
+    sel = ranked.join(F.broadcast(quota), "source").filter(
+        F.col("rk") <= F.col("q")
+    )
+    agg = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("selected"),
+        F.sum("n_chars").alias("selected_chars"),
+    )
+    return (
+        quota.join(agg, "source", "left")
+        .select(
+            "source",
+            F.least(F.col("q"), F.col("cnt")).cast("long").alias("quota"),
+            F.coalesce(F.col("selected"), F.lit(0)).cast("long")
+            .alias("selected"),
+            F.coalesce(F.col("selected_chars"), F.lit(0)).cast("long")
+            .alias("selected_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1164,3 +1164,18 @@ def test_round11_dstail_clickbench_plans(spark, sf_dir):
     # the ts range predicate reaches the parquet scan
     assert "PushedFilters:" in plan and "ts" in plan.split(
         "PushedFilters:")[1].split("\n")[0]
+
+
+def test_round11_llmops_plans(spark, sf_dir):
+    """t23/g14/p13: zero Python UDFs; t23's LM model joins are
+    broadcast (vocabulary-sized build sides); g14's residual join
+    broadcasts the 7-row seasonal frame."""
+    for name in ("t23_bigram_lm_fluency", "g14_seasonal_dow_decomposition",
+                 "p13_temperature_mix"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    assert plan_of(spark, sf_dir, "t23_bigram_lm_fluency").count(
+        "BroadcastHashJoin") >= 1
+    assert "BroadcastHashJoin" in plan_of(
+        spark, sf_dir, "g14_seasonal_dow_decomposition")
