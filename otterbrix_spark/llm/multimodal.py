@@ -808,3 +808,58 @@ def frame_energy(assets: DataFrame, win: int = 64) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(run, schema)
+
+
+def ahash_bands(assets: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over decoded PPM assets, split
+    into four 16-bit bands for pigeonhole near-dup joins.
+
+    The classical recipe, integer-exact: nearest-neighbour sample an
+    8x8 grid (sample (i, j) = pixel at row i*h//8, col j*w//8), value =
+    r + g + b, bit(i, j) = 1 iff 64*value > sum-of-64-values (the mean
+    comparison, cross-multiplied — no division anywhere). Band k packs
+    rows 2k..2k+1 (16 bits, bit index (i-2k)*8 + j), so hamming <= 3
+    pairs ALWAYS share at least one equal band (pigeonhole, the d20
+    SimHash discipline). Assets narrower/shorter than 8px are skipped
+    (no grid). Arrow-batched mapInPandas; payloads never leave the
+    executors — the shuffle carries (asset_id, b0..b3) only."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("b0", T.LongType()),
+            T.StructField("b1", T.LongType()),
+            T.StructField("b2", T.LongType()),
+            T.StructField("b3", T.LongType()),
+        ]
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: list[tuple] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, px = _decode_ppm_pixels(bytes(payload))
+                if w < 8 or h < 8:
+                    continue
+                arr = px.astype(np.int64)
+                ys = [(i * h) // 8 for i in range(8)]
+                xs = [(j * w) // 8 for j in range(8)]
+                vals = arr[np.ix_(ys, xs)].sum(axis=2)  # 8x8 gray sums
+                total = int(vals.sum())
+                bits = (64 * vals > total).astype(np.int64)
+                bands = []
+                for k in range(4):
+                    word = 0
+                    for i in range(2):
+                        for j in range(8):
+                            word |= int(bits[2 * k + i, j]) << (i * 8 + j)
+                    bands.append(word)
+                out.append((int(aid), *bands))
+            yield pd.DataFrame(
+                out, columns=[c.name for c in schema.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema)

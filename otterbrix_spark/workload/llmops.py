@@ -6460,3 +6460,90 @@ def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- m11: perceptual-hash (aHash) image dedup ---------------------------------
+# The image near-dup pipeline's first stage: decode -> 8x8 nearest-
+# neighbour sample -> average-hash -> group identical hashes into
+# duplicate buckets (pHash-style dedup at exact-hash grain; the
+# hamming-banded SECOND stage is the d20 pigeonhole discipline, and on
+# gradient assets the mean comparison cancels the per-image offsets so
+# hash equality classes follow (w, h) — pairwise output would be the
+# documented quadratic, so the gate reports the linear bucket census).
+# The Spark side runs the REAL decoder in Arrow mapInPandas; the oracle
+# replays the sample grid + mean-threshold bits + band packing in
+# closed form from the gradient formula — the hash certifies the
+# decode + hash pipeline bit-for-bit.
+
+_M11_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         1 + (doc_id * 13) % 64 AS w,
+         1 + (doc_id * 7) % 64 AS h,
+         doc_id % 128 AS r0,
+         (doc_id * 3) % 128 AS g0,
+         (doc_id * 7) % 256 AS b0
+  FROM documents
+  WHERE 1 + (doc_id * 13) % 64 >= 8 AND 1 + (doc_id * 7) % 64 >= 8),
+grid AS (
+  SELECT d.doc_id, i.i AS gi, j.j AS gj,
+         (d.r0 + (j.j * d.w) // 8) + (d.g0 + (i.i * d.h) // 8) + d.b0 AS v
+  FROM d, generate_series(0, 7) i(i), generate_series(0, 7) j(j)),
+tot AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM grid GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id, g.gi, g.gj,
+         CASE WHEN 64 * g.v > t.total THEN 1 ELSE 0 END AS bit
+  FROM grid g JOIN tot t USING (doc_id)),
+hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN gi < 2 THEN bit * POWER(2, (gi % 2) * 8 + gj)
+                       ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN gi >= 2 AND gi < 4
+                       THEN bit * POWER(2, (gi % 2) * 8 + gj)
+                       ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN gi >= 4 AND gi < 6
+                       THEN bit * POWER(2, (gi % 2) * 8 + gj)
+                       ELSE 0 END) AS BIGINT) AS b2,
+         CAST(SUM(CASE WHEN gi >= 6 THEN bit * POWER(2, (gi % 2) * 8 + gj)
+                       ELSE 0 END) AS BIGINT) AS b3
+  FROM bits GROUP BY doc_id),
+clusters AS (
+  SELECT b0, b1, b2, b3,
+         CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(MIN(doc_id) AS BIGINT) AS rep
+  FROM hashes GROUP BY b0, b1, b2, b3)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(rep) AS BIGINT) AS rep_checksum
+FROM clusters GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+@query(
+    "m11_perceptual_hash_dedup", _M11_ORACLE,
+    doc="perceptual-hash image dedup: REAL PPM decode + 8x8 nearest-"
+        "neighbour aHash in Arrow mapInPandas (payloads never leave "
+        "executors), identical-hash bucket census vs the closed-form "
+        "gradient oracle — bit-for-bit hash certification",
+)
+def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.llm.multimodal import (
+        ahash_bands,
+        documents_as_gradient_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = ahash_bands(documents_as_gradient_assets(docs))
+    clusters = hashes.groupBy("b0", "b1", "b2", "b3").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.min("asset_id").cast("long").alias("rep"),
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("rep").cast("long").alias("rep_checksum"),
+        )
+        .orderBy("cluster_size")
+    )
