@@ -6547,3 +6547,160 @@ def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --- e23: MMR diversity re-rank (maximal marginal relevance) ------------------
+# The retrieval-side diversity step every RAG stack runs after ANN:
+# greedily pick K results maximizing lambda*sim(q, d) minus
+# (1-lambda)*max-similarity to the already-picked set. Integer-exact:
+# scale-256 quantized vectors, raw integer dot products (inner-product
+# search), lambda = 0.7 as the 7/3 integer split — so the oracle unrolls
+# the K = 3 greedy rounds as chained CTEs (the l14/d13 fixed-iteration
+# discipline) and hash-matches bit-for-bit. The candidate pool is the
+# top-8 per query (broadcast query side); each round joins the
+# (<= K-row) selected set back — O(pool) work per round, never
+# pool x pool.
+
+_E23_ORACLE = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 256) AS BIGINT))
+           AS vq
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, vq AS qv FROM n WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, n.vec_id, n.vq,
+         CAST(list_dot_product(n.vq, q.qv) AS BIGINT) AS simq
+  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+cand AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY simq DESC, vec_id) AS rk
+    FROM scored) WHERE rk <= 8),
+s1 AS (SELECT query_id, vec_id, vq, simq FROM cand WHERE rk = 1),
+r2 AS (
+  SELECT c.query_id, c.vec_id, c.vq, c.simq,
+         7 * c.simq
+         - 3 * CAST(list_dot_product(c.vq, s.vq) AS BIGINT) AS mmr
+  FROM cand c JOIN s1 s USING (query_id) WHERE c.vec_id <> s.vec_id),
+s2 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, vec_id) AS pk
+    FROM r2) WHERE pk = 1),
+r3 AS (
+  SELECT c.query_id, c.vec_id, c.simq,
+         7 * c.simq - 3 * GREATEST(
+           CAST(list_dot_product(c.vq, a.vq) AS BIGINT),
+           CAST(list_dot_product(c.vq, b.vq) AS BIGINT)) AS mmr
+  FROM cand c
+  JOIN s1 a USING (query_id) JOIN s2 b USING (query_id)
+  WHERE c.vec_id <> a.vec_id AND c.vec_id <> b.vec_id),
+s3 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, vec_id) AS pk
+    FROM r3) WHERE pk = 1)
+SELECT query_id, 1 AS pick, vec_id, CAST(7 * simq AS BIGINT) AS mmr_score
+FROM s1
+UNION ALL SELECT query_id, 2, vec_id, CAST(mmr AS BIGINT) FROM s2
+UNION ALL SELECT query_id, 3, vec_id, CAST(mmr AS BIGINT) FROM s3
+ORDER BY query_id, pick
+"""
+
+
+@query(
+    "e23_mmr_diversity_rerank", _E23_ORACLE,
+    doc="MMR diversity re-rank (lambda = 0.7 as the 7/3 integer split): "
+        "top-8 candidate pool per query, K = 3 greedy rounds unrolled — "
+        "integer dot products, selected set joined back per round "
+        "(O(pool), never pool x pool), oracle replays the greedy "
+        "recursion as chained CTEs",
+)
+def e23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 256)"
+            " AS BIGINT))"
+        ).alias("vq"),
+    )
+    q = n.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("vq").alias("qv")
+    )
+
+    def dot(a: str, b: str) -> F.Column:
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "vq", dot("vq", "qv").alias("simq"))
+    )
+    wq = Window.partitionBy("query_id")
+    cand = scored.withColumn(
+        "rk", F.row_number().over(wq.orderBy(F.desc("simq"), "vec_id"))
+    ).filter(F.col("rk") <= 8).localCheckpoint(eager=True)
+    s1 = cand.filter(F.col("rk") == 1).select(
+        "query_id", F.col("vec_id").alias("id1"), F.col("vq").alias("vq1"),
+        F.col("simq").alias("simq1"),
+    )
+    r2 = (
+        cand.join(F.broadcast(s1), "query_id")
+        .filter(F.col("vec_id") != F.col("id1"))
+        .select(
+            "query_id", "vec_id", "vq", "simq",
+            (7 * F.col("simq") - 3 * dot("vq", "vq1")).alias("mmr"),
+        )
+    )
+    s2 = r2.withColumn(
+        "pk", F.row_number().over(wq.orderBy(F.desc("mmr"), "vec_id"))
+    ).filter(F.col("pk") == 1).select(
+        "query_id", F.col("vec_id").alias("id2"), F.col("vq").alias("vq2"),
+        F.col("mmr").alias("mmr2"),
+    )
+    r3 = (
+        cand.join(F.broadcast(s1), "query_id")
+        .join(F.broadcast(s2), "query_id")
+        .filter(
+            (F.col("vec_id") != F.col("id1"))
+            & (F.col("vec_id") != F.col("id2"))
+        )
+        .select(
+            "query_id", "vec_id", "simq",
+            (
+                7 * F.col("simq")
+                - 3 * F.greatest(dot("vq", "vq1"), dot("vq", "vq2"))
+            ).alias("mmr"),
+        )
+    )
+    s3 = r3.withColumn(
+        "pk", F.row_number().over(wq.orderBy(F.desc("mmr"), "vec_id"))
+    ).filter(F.col("pk") == 1)
+    out = (
+        s1.select(
+            "query_id", F.lit(1).alias("pick"),
+            F.col("id1").alias("vec_id"),
+            (7 * F.col("simq1")).cast("long").alias("mmr_score"),
+        )
+        .unionByName(s2.select(
+            "query_id", F.lit(2).alias("pick"),
+            F.col("id2").alias("vec_id"),
+            F.col("mmr2").cast("long").alias("mmr_score"),
+        ))
+        .unionByName(s3.select(
+            "query_id", F.lit(3).alias("pick"), "vec_id",
+            F.col("mmr").cast("long").alias("mmr_score"),
+        ))
+    )
+    return out.select(
+        "query_id", F.col("pick").cast("int").alias("pick"),
+        "vec_id", "mmr_score",
+    ).orderBy("query_id", "pick")
