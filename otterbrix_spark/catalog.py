@@ -691,6 +691,14 @@ class Catalog:
         self._oid_next = 16384
         # reopen discovery LAST: every dict it fills must already exist
         self._restore_catalog()
+        # seed the scoped-refresh match set from the restored catalog: a
+        # DROP issued as the FIRST statement of a reopened engine must
+        # still trigger dependent-view re-binds (self-review r11 — the
+        # target is gone from the live dicts by boundary time)
+        self._ever_rels |= (
+            set(self.tables) | set(self.dynamic)
+            | set(self.matviews) | set(self.views)
+        )
 
     def _register(self, table: ManagedTable) -> None:
         self.tables[table.name] = table
@@ -733,6 +741,10 @@ class Catalog:
         with open(tmp, "w") as fh:
             json.dump(state, fh, indent=1)
         os.replace(tmp, self._catalog_path())
+        # the txn that created pending DDL has ended (persistence is
+        # deferred while one is open) — the recovery marker is obsolete
+        if self._txn is None and os.path.exists(self._txn_pending_path()):
+            os.remove(self._txn_pending_path())
 
     def refresh_views(self, statement: str | None = None) -> None:
         """Re-register plain (non-materialized) views from their stored
@@ -768,14 +780,45 @@ class Catalog:
             touched = {r for r in self._ever_rels if r.lower() in words}
             if not touched:
                 return
-            affected = []
-            for name, body in self.views.items():
-                deps = set(re.findall(r"[A-Za-z_][\w.]*", body.lower()))
-                if any(r.lower() in deps for r in touched):
-                    affected.append((name, body))
-                    touched.add(name)  # closure: views over this view
-            items = affected
-        for name, body in items:
+            # closure to FIXPOINT: CREATE OR REPLACE keeps a view's dict
+            # position, so a single ordered pass can miss a view whose
+            # dependency sits LATER in the dict (self-review r11)
+            affected: dict[str, str] = {}
+            grew = True
+            while grew:
+                grew = False
+                for name, body in self.views.items():
+                    if name in affected:
+                        continue
+                    deps = set(
+                        re.findall(r"[A-Za-z_][\w.]*", body.lower())
+                    )
+                    if any(r.lower() in deps for r in touched):
+                        affected[name] = body
+                        touched.add(name)
+                        grew = True
+            items = affected.items()
+        # refresh dependencies FIRST: a view re-bound before the view it
+        # reads would capture the stale plan (same CREATE OR REPLACE
+        # ordering hazard). Views cannot truly cycle in PG; if the
+        # postpone loop stalls (pathological mutual reference), fall
+        # back to dict order for the remainder.
+        pending = dict(items)
+        ordered: list[tuple[str, str]] = []
+        while pending:
+            progressed = False
+            for name in [n for n in self.views if n in pending]:
+                deps = set(
+                    re.findall(r"[A-Za-z_][\w.]*", pending[name].lower())
+                )
+                if any(o != name and o.lower() in deps for o in pending):
+                    continue
+                ordered.append((name, pending.pop(name)))
+                progressed = True
+            if not progressed:
+                ordered.extend(pending.items())
+                pending = {}
+        for name, body in ordered:
             try:
                 self.spark.sql(body).createOrReplaceTempView(name)
             except Exception as exc:  # noqa: BLE001 — tracked, not silent
@@ -794,6 +837,24 @@ class Catalog:
 
         if not os.path.isdir(self.base_dir):
             return
+        if os.path.exists(self._txn_pending_path()):
+            # a previous engine crashed with an open transaction that had
+            # created tables (their parquet dirs were written eagerly but
+            # the deferred _catalog.json never recorded their metadata):
+            # roll the unfinished DDL back instead of rediscovering
+            # unconstrained tables (self-review r11)
+            import json as _json
+            import shutil
+
+            with open(self._txn_pending_path()) as fh:
+                pending = _json.load(fh)
+            for pname in pending:
+                base = pname.replace(".", "__")
+                for d in (base, "dyn__" + base):
+                    p = os.path.join(self.base_dir, d)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+            os.remove(self._txn_pending_path())
         meta: dict = {}
         if os.path.exists(self._catalog_path()):
             with open(self._catalog_path()) as fh:
@@ -866,9 +927,28 @@ class Catalog:
     def _note_created(self, name: str) -> None:
         """Record a table created inside the open explicit transaction so
         ROLLBACK can discard it (transactional DDL, reference
-        ddl_inside_explicit_txn_transactional)."""
+        ddl_inside_explicit_txn_transactional). The names also persist to
+        a pending-DDL marker: the parquet directory is written eagerly,
+        so a crash before COMMIT would otherwise leave the table
+        REDISCOVERABLE but with its constraints/defaults missing from the
+        (txn-deferred) _catalog.json — present-but-unconstrained is worse
+        than leaked-but-consistent. A reopened engine reads the marker
+        and rolls the unfinished DDL back (self-review r11; single-engine
+        crash recovery, the reference's WAL-replay analogue)."""
         if self._txn is not None:
             self._txn_created.append(name)
+            self._persist_txn_pending()
+
+    def _txn_pending_path(self) -> str:
+        return os.path.join(self.base_dir, "_txn_pending.json")
+
+    def _persist_txn_pending(self) -> None:
+        import json
+
+        tmp = self._txn_pending_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._txn_created, fh)
+        os.replace(tmp, self._txn_pending_path())
 
     def _drop_created(self, names: list[str]) -> None:
         """Discard tables created after a ROLLBACK boundary (reverse
@@ -2195,13 +2275,17 @@ class Catalog:
                 if verb == "FETCH" and 1 <= pos <= n:
                     lo = hi = pos
             elif not back:
-                span = (n - pos) if k is None else k
-                lo, hi = pos + 1, min(pos + span, n)
-                new = min(pos + span, n + 1)
+                # FORWARD ALL always ends AFTER the last row (PG: pos =
+                # n+1, even when already past it) — deriving the span
+                # from pos would move the cursor BACKWARD from n+1
+                lo = pos + 1
+                hi = n if k is None else min(pos + k, n)
+                new = n + 1 if k is None else min(pos + k, n + 1)
             else:
-                span = pos if k is None else k
-                lo, hi = max(pos - span, 1), pos - 1
-                new = max(pos - span, 0)
+                # BACKWARD ALL ends before the first row (pos = 0)
+                lo = 1 if k is None else max(pos - k, 1)
+                hi = pos - 1
+                new = 0 if k is None else max(pos - k, 0)
                 reverse = True
         cur["pos"] = new
         empty = lo is None or hi < lo
@@ -2891,6 +2975,9 @@ class Catalog:
                 ManagedTable(self.spark, self.matviews.pop(name).path).drop()
                 self.matview_sql.pop(name, None)
             self.views.pop(name, None)
+            # a dropped view can never be refreshed again — clear its
+            # stale-tracking entry too (self-review r11)
+            self.stale_views.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
 

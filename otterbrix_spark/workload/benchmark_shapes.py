@@ -9804,7 +9804,10 @@ cell AS (
   FROM sales GROUP BY channel, brand
 ),
 threshold AS (
-  SELECT CAST(AVG(sum_cents) AS BIGINT) AS avg_cents FROM cell
+  -- integer division, NOT CAST(AVG(..)): DuckDB's double->BIGINT cast
+  -- ROUNDS while Spark's TRUNCATES — the exact-integer mean avoids the
+  -- divergence class entirely (self-review r11)
+  SELECT CAST(SUM(sum_cents) // COUNT(*) AS BIGINT) AS avg_cents FROM cell
 )
 SELECT c.channel, c.brand, c.sum_cents, c.n_rows
 FROM cell c, threshold t
@@ -9844,7 +9847,7 @@ def ds66(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iceberg threshold: ONE aggregate row broadcast-crossed into the
     # (reused) cell frame — the scalar-subquery plan at any scale
     threshold = cell.agg(
-        F.avg("sum_cents").cast("long").alias("avg_cents")
+        F.expr("SUM(sum_cents) DIV COUNT(*)").cast("long").alias("avg_cents")
     )
     return (
         cell.join(F.broadcast(threshold))

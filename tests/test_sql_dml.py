@@ -2695,3 +2695,100 @@ def test_scroll_cursor_not_updatable(engine):
     with pytest.raises(Exception, match="not.*updatable|updatable|simply"):
         engine.execute_sql("UPDATE scu SET k = 9 WHERE CURRENT OF su")
     engine.execute_sql("ROLLBACK")
+
+
+# -- self-review r11 fixes ------------------------------------------------------
+
+
+def test_scroll_fetch_all_positions_after_last(engine):
+    """FETCH/MOVE FORWARD ALL must end AFTER the last row (pos = n+1),
+    so a following PRIOR returns row n and BACKWARD ALL returns ALL
+    rows (self-review r11: the span-from-pos form lost the last row and
+    could move the cursor backward from n+1)."""
+    engine.execute_sql("BEGIN")
+    engine.execute_sql(
+        "DECLARE sfa SCROLL CURSOR FOR "
+        "SELECT n_nationkey AS k FROM nation ORDER BY n_nationkey"
+    )
+    fetch = lambda d: [r[0] for r in  # noqa: E731
+                       engine.execute_sql(f"FETCH {d} FROM sfa").fetchall()]
+    assert fetch("ABSOLUTE 3") == [2]
+    assert fetch("ALL") == list(range(3, 25))
+    assert fetch("PRIOR") == [24]          # pos was n+1, PRIOR = row n
+    assert fetch("ALL") == []              # empty tail; parks at n+1 again
+    assert fetch("PRIOR") == [24]          # (PG: ALL always ends after last)
+    # MOVE ALL from the last row passes over nothing but still parks
+    # after the last row — the following PRIOR proves pos = n+1
+    assert engine.execute_sql("MOVE ALL FROM sfa").fetchall() == [(0,)]
+    assert fetch("PRIOR") == [24]
+    engine.execute_sql("ROLLBACK")
+
+
+def test_reopen_drop_first_statement_tracks_stale_view(spark, tmp_path):
+    """A DROP issued as the FIRST statement of a reopened engine must
+    still re-bind/track dependent views (self-review r11: _ever_rels
+    now seeds from the restored catalog)."""
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.execute_sql("CREATE TABLE sdt (k BIGINT)")
+    e1.execute_sql("CREATE VIEW sdv AS SELECT k * 2 AS k2 FROM sdt")
+    e2 = Engine(spark, table_dir=str(tmp_path))
+    e2.execute_sql("DROP TABLE sdt")
+    assert "sdv" in e2.catalog.stale_views
+
+
+def test_replaced_view_closure_and_order(engine):
+    """CREATE OR REPLACE keeps dict position: a view replaced to depend
+    on a LATER view must still re-bind (fixpoint closure) and must
+    refresh AFTER its dependency (self-review r11)."""
+    engine.execute_sql("CREATE TABLE cvt1 (k BIGINT)")
+    engine.execute_sql("CREATE TABLE cvt2 (k BIGINT)")
+    engine.execute_sql("INSERT INTO cvt2 VALUES (1)")
+    engine.execute_sql("CREATE VIEW cv1 AS SELECT k FROM cvt1")
+    engine.execute_sql(
+        "CREATE VIEW cv2 AS SELECT SUM(k) AS s FROM cvt2"
+    )
+    engine.execute_sql(
+        "CREATE OR REPLACE VIEW cv1 AS SELECT s * 10 AS s10 FROM cv2"
+    )
+    engine.execute_sql("INSERT INTO cvt2 VALUES (4)")  # touches cvt2 only
+    assert engine.execute_sql("SELECT s10 FROM cv1").fetchall() == [(50,)]
+
+
+def test_drop_view_clears_stale_entry(engine):
+    engine.execute_sql("CREATE TABLE dvt (k BIGINT)")
+    engine.execute_sql("CREATE VIEW dvv AS SELECT k FROM dvt")
+    engine.execute_sql("DROP TABLE dvt")
+    assert "dvv" in engine.catalog.stale_views
+    engine.execute_sql("DROP VIEW dvv")
+    assert "dvv" not in engine.catalog.stale_views
+
+
+def test_crashed_txn_ddl_rolled_back_on_reopen(spark, tmp_path):
+    """A crash with an open txn that CREATEd a table must not leave the
+    table rediscoverable WITHOUT its constraints (self-review r11): the
+    pending-DDL marker makes the reopened engine roll the DDL back."""
+    import os
+
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.execute_sql("CREATE TABLE keepme (k BIGINT)")
+    e1.execute_sql("BEGIN")
+    e1.execute_sql(
+        "CREATE TABLE crashed (v BIGINT, CONSTRAINT cpos CHECK (v > 0))"
+    )
+    # simulate a crash: no COMMIT/ROLLBACK, just reopen over the dir
+    e2 = Engine(spark, table_dir=str(tmp_path))
+    assert "crashed" not in e2.catalog.tables
+    assert "keepme" in e2.catalog.tables
+    assert not os.path.isdir(os.path.join(str(tmp_path), "crashed"))
+    # the marker was consumed; a THIRD engine sees the same clean state
+    assert not os.path.exists(
+        os.path.join(str(tmp_path), "_txn_pending.json")
+    )
+    # and the normal commit path clears the marker too
+    e2.execute_sql("BEGIN")
+    e2.execute_sql("CREATE TABLE fine (v BIGINT)")
+    e2.execute_sql("COMMIT")
+    assert not os.path.exists(
+        os.path.join(str(tmp_path), "_txn_pending.json")
+    )
+    assert "fine" in e2.catalog.tables
