@@ -10380,3 +10380,117 @@ def c35(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hits"), "minute")
         .limit(20)
     )
+
+
+# --- ds72: TPC-DS Q39 volatility band (integer-exact variance) ----------------
+# Q39's inventory-volatility class: per (brand, month) quantity totals,
+# then flag brands whose ACROSS-MONTH coefficient of variation exceeds
+# 1. Entirely integer: CoV > 1 <=> n*(n*Sum(q^2) - Sum(q)^2) >
+# (n-1)*Sum(q)^2 (cross-multiplied sample variance vs squared mean), so
+# the flag is exact on both engines — no sqrt, no float variance.
+
+_DS72_ORACLE = """
+WITH monthly AS (
+  SELECT p.p_brand AS brand,
+         date_trunc('month', l.l_shipdate) AS mon,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+stats AS (
+  SELECT brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2
+  FROM monthly GROUP BY brand)
+SELECT brand, n, s1, s2,
+       CASE WHEN n > 1 AND n * (n * s2 - s1 * s1) > (n - 1) * s1 * s1
+            THEN 1 ELSE 0 END AS volatile
+FROM stats ORDER BY brand
+"""
+
+
+@query(
+    "ds72_volatility_band", _DS72_ORACLE,
+    doc="TPC-DS Q39 volatility class: across-month coefficient-of-"
+        "variation flag via cross-multiplied integer variance "
+        "(n*(n*S2 - S1^2) > (n-1)*S1^2) — no sqrt, no float, exact on "
+        "both engines; one (brand, month) reduction then a brand census",
+)
+def ds72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    monthly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("brand", F.date_trunc("month", F.col("l_shipdate")).alias("mon"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    stats = monthly.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.expr("q * q")).cast("long").alias("s2"),
+    )
+    return (
+        stats.select(
+            "brand", "n", "s1", "s2",
+            F.when(
+                (F.col("n") > 1)
+                & (F.col("n") * (F.col("n") * F.col("s2")
+                                 - F.col("s1") * F.col("s1"))
+                   > (F.col("n") - 1) * F.col("s1") * F.col("s1")),
+                1,
+            ).otherwise(0).alias("volatile"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- w11: time-RANGE trailing window (7-day rolling sum) ----------------------
+# The time-decayed rolling metric every monitoring/feature pipeline
+# computes: per user, the trailing-7-day purchase cents at every event.
+# Lowered to a RANGE frame over epoch MICROSECONDS (both engines order
+# and bound on the same integer axis — interval frames vs epoch integers
+# round differently at sub-second precision, so the micros axis IS the
+# parity contract). One user-partitioned window shuffle.
+
+_W11_ORACLE = """
+SELECT user_id,
+       epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS trailing_cents
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, ts_us
+"""
+
+
+@query(
+    "w11_time_range_trailing", _W11_ORACLE,
+    doc="trailing-7-day rolling sum per user via a RANGE frame on epoch "
+        "micros (the exact-integer time axis both engines bound "
+        "identically) — one partition-keyed window shuffle",
+)
+def w11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-604800000000, 0)
+    )
+    return (
+        base.select(
+            "user_id", "ts_us",
+            F.sum("cents").over(w).cast("long").alias("trailing_cents"),
+        )
+        .orderBy("user_id", "ts_us")
+    )

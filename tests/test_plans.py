@@ -1179,3 +1179,15 @@ def test_round11_llmops_plans(spark, sf_dir):
         "BroadcastHashJoin") >= 1
     assert "BroadcastHashJoin" in plan_of(
         spark, sf_dir, "g14_seasonal_dow_decomposition")
+
+
+def test_round11_ds72_w11_plans(spark, sf_dir):
+    """ds72 is join + two aggregates (broadcast dim); w11 is ONE
+    user-partitioned window shuffle, no join, no UDF."""
+    plan = plan_of(spark, sf_dir, "ds72_volatility_band")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan = plan_of(spark, sf_dir, "w11_time_range_trailing")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
