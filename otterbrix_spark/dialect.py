@@ -858,6 +858,11 @@ def _delete_expr(col: str, keys: list[str], depth: int = 0) -> str:
 
 _GROUP_HEAD = re.compile(rf"(?:\b({_IDENT})\s*)?\(")
 _SUBSCRIPT_AFTER = re.compile(r"\s*\[\s*(\d+)\s*\]")
+# PG array slice `[a:b]` (1-based, inclusive both ends) — lowered to
+# Spark's slice(arr, a, b-a+1). Only literal positive bounds; PG's
+# open-ended forms ([:b], [a:]) are not lowered and fail loudly in
+# Spark's parser rather than silently shifting.
+_SLICE_AFTER = re.compile(r"\s*\[\s*([1-9]\d*)\s*:\s*([1-9]\d*)\s*\]")
 # residual 1-based subscript attached to a paren group or bracket that the
 # rewrite rules did not consume — reaching spark.sql would silently apply
 # Spark's 0-based [] semantics (the off-by-one class this layer exists to
@@ -907,10 +912,18 @@ def _rewrite_group_subscripts(body: str) -> str:
             # paren group alone is the subscripted operand
             ident, wrap_start = None, open_at
         sub = _SUBSCRIPT_AFTER.match(body, end)
+        sl = _SLICE_AFTER.match(body, end)
         if sub and not (ident and ident.lower() in _TYPE_KEYWORDS):
             out.append(body[i:wrap_start])
             out.append(f"element_at({body[wrap_start:end]}, {sub.group(1)})")
             i = sub.end()
+        elif sl and not (ident and ident.lower() in _TYPE_KEYWORDS):
+            a, b = int(sl.group(1)), int(sl.group(2))
+            out.append(body[i:wrap_start])
+            out.append(
+                f"slice({body[wrap_start:end]}, {a}, {max(b - a + 1, 0)})"
+            )
+            i = sl.end()
         else:
             # descend INTO the group so nested subscripts are still seen
             out.append(body[i : open_at + 1])
@@ -1444,11 +1457,22 @@ def rewrite(sql: str, literals_resolver=None, *, mode: str | None = None) -> str
     # converge because each rewrite consumes one digit-subscript and emits
     # none. Parameterized array TYPES (numeric(10,2)[3]) are skipped here
     # and vetted by _guard_residual_subscripts below.
+    def fix_slice(m: re.Match) -> str:
+        # PG slice ident[a:b] -> slice(ident, a, b-a+1); 1-based inclusive
+        if m.group(1).lower() in _TYPE_KEYWORDS:
+            return m.group(0)
+        a, b = int(m.group(2)), int(m.group(3))
+        return f"slice({m.group(1)}, {a}, {max(b - a + 1, 0)})"
+
     prev = None
     while prev != body:
         prev = body
         body = _rewrite_group_subscripts(body)
         body = re.sub(rf"\b({_IDENT})\s*\[\s*(\d+)\s*\]", fix_subscript, body)
+        body = re.sub(
+            rf"\b({_IDENT})\s*\[\s*([1-9]\d*)\s*:\s*([1-9]\d*)\s*\]",
+            fix_slice, body,
+        )
     _guard_residual_subscripts(body)
 
     # --- regex operators: `~` / `!~` / `~*` / `!~*` -------------------------

@@ -286,6 +286,23 @@ def _fold(
                 deletable = False
                 j = close + 1
                 continue
+            if (
+                close == j + 4
+                and toks[j + 1].kind == NUMBER
+                and "." not in toks[j + 1].text
+                and toks[j + 2].text == ":"
+                and toks[j + 3].kind == NUMBER
+                and "." not in toks[j + 3].text
+                and int(toks[j + 1].text) >= 1
+                and int(toks[j + 3].text) >= 1
+            ):
+                # PG array slice [a:b] (1-based inclusive) -> slice()
+                a, b = int(toks[j + 1].text), int(toks[j + 3].text)
+                text = f"slice({text}, {a}, {max(b - a + 1, 0)})"
+                kind, head, is_type_head = _K_REWRITTEN, None, False
+                deletable = False
+                j = close + 1
+                continue
             # non-integer subscript: Spark-native semantics, emit verbatim
             # (interior still gets PG rewrites) and stop folding — a digit
             # subscript chained after it is caught by the residual guard,

@@ -1880,3 +1880,47 @@ def o02(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark)
     eng.register_corpus(sf_dir)
     return eng.sql(_O02_SQL)
+
+
+# --- q104: PG array slice syntax arr[a:b] -------------------------------------
+# PG's 1-based inclusive array slicing (parsenodes A_Indices with
+# lidx/uidx) lowered on BOTH dialect paths to Spark's slice(arr, a,
+# b-a+1); the oracle runs the SAME PG slice syntax natively on DuckDB
+# (also 1-based inclusive), so the hash certifies the bound arithmetic,
+# not just the parse. Mixed with a plain subscript and a slice over a
+# call result (the balanced-paren group form).
+
+_Q104_SQL = """
+SELECT doc_id,
+       array_to_string((string_to_array(text, ' '))[2:5], ' ') AS mid,
+       (string_to_array(text, ' '))[1] AS first_word,
+       CAST(len((string_to_array(text, ' '))[3:100]) AS BIGINT) AS tail_n
+FROM documents
+WHERE n_chars > 50
+ORDER BY doc_id
+LIMIT 200
+"""
+
+
+@query(
+    "q104_array_slice", _Q104_SQL,
+    doc="PG array slice [a:b] (1-based inclusive) lowered to "
+        "slice(arr, a, b-a+1) on both dialect paths; subscript + "
+        "call-group slice + out-of-range clamp, oracle runs the native "
+        "PG syntax on DuckDB",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    # split() is Spark's spelling of PG string_to_array, and size() its
+    # list-length — the SLICE lowering is what this gate certifies; the
+    # oracle keeps the native PG slice syntax end-to-end
+    return eng.sql(
+        "SELECT doc_id, "
+        "array_join((split(text, ' '))[2:5], ' ') AS mid, "
+        "(split(text, ' '))[1] AS first_word, "
+        "CAST(size((split(text, ' '))[3:100]) AS BIGINT) AS tail_n "
+        "FROM documents WHERE n_chars > 50 ORDER BY doc_id LIMIT 200"
+    )

@@ -38,6 +38,12 @@ DIRECTED_CORPUS = [
     "SELECT ARRAY[1, 2, 3] AS a, v[2] AS second FROM t",
     "CREATE TABLE t (id bigint, v int[3], w double[])",
     "SELECT string_to_array(lower(x), ',')[2] FROM t",
+    # PG array slices [a:b] (1-based inclusive -> slice(arr, a, b-a+1))
+    "SELECT arr[2:4] FROM t",
+    "SELECT split(text, ' ')[2:5] FROM documents",
+    "SELECT (a || b)[1:2], arr[3:3] FROM t",
+    "SELECT ARRAY[1,2,3,4][2:3] AS s",
+    "SELECT arr[1:1] || arr[3:4] FROM t",
     "CREATE TABLE t (a numeric(10,2)[3], b varchar(20)[2])",
     "SELECT (a || b)[1] FROM t",
     "SELECT col[1][2] FROM t",
