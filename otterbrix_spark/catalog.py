@@ -645,6 +645,12 @@ class Catalog:
         # {table: {column: expr_text}} — applied when an INSERT omits the
         # column (explicit column list, or a short VALUES row list)
         self.table_defaults: dict[str, dict[str, str]] = {}
+        # PG identity columns (ColumnDef identity): every identity column
+        # maps to its backing implicit sequence; ALWAYS columns
+        # additionally refuse explicit INSERT values without OVERRIDING
+        # SYSTEM VALUE
+        self.identity_cols: dict[str, dict[str, str]] = {}
+        self.identity_always: dict[str, set[str]] = {}
         # persisted SQL functions (reference pg_proc rows,
         # operator_register_udf.cpp): name -> definition, stored beside the
         # tables in _functions.json and replayed on engine start so a second
@@ -727,6 +733,12 @@ class Catalog:
             "partitioning": {
                 n: {"cols": t.partition_cols, "schema": t.schema_ddl}
                 for n, t in self.tables.items() if t.partition_cols
+            },
+            "identity": {
+                "cols": self.identity_cols,
+                "always": {
+                    t: sorted(s) for t, s in self.identity_always.items()
+                },
             },
             "sequences": self.sequences,
             "seq_last": self._seq_last,
@@ -892,6 +904,11 @@ class Catalog:
         self.table_constraints = meta.get("constraints", {})
         self.table_defaults = meta.get("defaults", {})
 
+        ident = meta.get("identity", {})
+        self.identity_cols = ident.get("cols", {})
+        self.identity_always = {
+            t: set(v) for t, v in ident.get("always", {}).items()
+        }
         self.sequences = meta.get("sequences", {})
         self._seq_last = meta.get("seq_last", {})
         self._seq_step = meta.get("seq_step", {})
@@ -2848,7 +2865,8 @@ class Catalog:
                 dyn.df().createOrReplaceTempView(new)
             else:
                 raise ValueError(f"unknown table: {old}")
-            for d in (self.table_constraints, self.table_defaults):
+            for d in (self.table_constraints, self.table_defaults,
+                      self.identity_cols, self.identity_always):
                 if old in d:
                     d[new] = d.pop(old)
             for cons in self.table_constraints.values():
@@ -3328,6 +3346,33 @@ class Catalog:
                 colname, rest = words
                 # trailing column constraints: NOT NULL / CHECK / UNIQUE / PK
                 while True:
+                    mid = re.search(
+                        r"\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+"
+                        r"IDENTITY(?:\s*\(\s*START\s+(?:WITH\s+)?(\d+)"
+                        r"\s*\))?$",
+                        rest, re.IGNORECASE,
+                    )
+                    if mid:
+                        # PG identity columns (parsenodes ColumnDef
+                        # identity): an implicit sequence backs the
+                        # column default; ALWAYS additionally refuses
+                        # explicit non-DEFAULT values on INSERT unless
+                        # OVERRIDING SYSTEM VALUE is given
+                        rest = rest[: mid.start()]
+                        seq = f"{name.replace('.', '__')}_{colname}_seq"
+                        start = int(mid.group(2) or 1)
+                        self.sequences[seq] = start
+                        self._seq_step[seq] = 1
+                        self._seq_start[seq] = start
+                        defaults[colname] = f"nextval('{seq}')"
+                        self.identity_cols.setdefault(name, {})[
+                            colname
+                        ] = seq
+                        if mid.group(1).upper() == "ALWAYS":
+                            self.identity_always.setdefault(
+                                name, set()
+                            ).add(colname)
+                        continue
                     mnn = re.search(r"\s+NOT\s+NULL$", rest, re.IGNORECASE)
                     if mnn:
                         rest = rest[: mnn.start()]
@@ -3665,6 +3710,53 @@ class Catalog:
             if mcols:
                 cols = [c.strip() for c in mcols.group(1).split(",")]
                 body = mcols.group(2).strip()
+            # PG OVERRIDING clause (between the column list and the
+            # source): SYSTEM VALUE lets explicit values reach GENERATED
+            # ALWAYS identity columns; USER VALUE discards supplied
+            # values for identity columns in favour of their sequence
+            overriding = None
+            mov = re.match(
+                r"^OVERRIDING\s+(SYSTEM|USER)\s+VALUE\s+(.+)$",
+                body, re.IGNORECASE | re.DOTALL,
+            )
+            if mov:
+                overriding = mov.group(1).upper()
+                body = mov.group(2).strip()
+            ids = self.identity_always.get(name, set())
+            if ids and overriding != "SYSTEM" and not re.fullmatch(
+                r"DEFAULT\s+VALUES", body, re.IGNORECASE
+            ):
+                covered = (
+                    set(cols) if cols is not None
+                    else set(table.df().columns)
+                )
+                bad = sorted(ids & covered)
+                # the DEFAULT keyword in a VALUES tuple is PG-legal for
+                # ALWAYS identities — the folding path substitutes the
+                # sequence; only refuse bodies with no DEFAULT at all
+                # (documented stricter corner: a mixed tuple supplying
+                # BOTH an explicit value and DEFAULT slips through to
+                # the sequence-default fold)
+                if bad and not re.search(
+                    r"\bDEFAULT\b", body, re.IGNORECASE
+                ):
+                    if cols is None and body.upper().startswith("VALUES"):
+                        # short VALUES may not reach the identity column
+                        tcols = table.df().columns
+                        first = _split_top_level(
+                            re.sub(
+                                r"^VALUES\s*\(", "",
+                                body.split(")")[0], flags=re.IGNORECASE,
+                            )
+                        )
+                        covered = set(tcols[: len(first)])
+                        bad = sorted(ids & covered)
+                    if bad:
+                        raise ValueError(
+                            f'cannot insert a non-DEFAULT value into '
+                            f'column "{bad[0]}" (GENERATED ALWAYS AS '
+                            f"IDENTITY); use OVERRIDING SYSTEM VALUE"
+                        )
             if re.fullmatch(r"DEFAULT\s+VALUES", body, re.IGNORECASE):
                 # PG: INSERT INTO t DEFAULT VALUES — one row, every column
                 # from its declared DEFAULT (or NULL)
@@ -3692,6 +3784,19 @@ class Catalog:
                 rows = self.spark.sql(body)
                 if cols:
                     rows = rows.toDF(*cols)
+            if overriding == "USER" and name in self.identity_cols:
+                # PG: OVERRIDING USER VALUE discards supplied identity
+                # values — the columns fall back to their sequence default
+                idc = set(self.identity_cols[name])
+                if cols is None:
+                    rows = rows.toDF(
+                        *table.df().columns[: len(rows.columns)]
+                    )
+                    cols = list(rows.columns)
+                keep = [c for c in cols if c not in idc]
+                if keep != cols:
+                    rows = rows.select(*keep)
+                    cols = keep
             if cols:
                 # reorder to the table schema; omitted columns take their
                 # declared DEFAULT expression, else NULL (PG semantics)

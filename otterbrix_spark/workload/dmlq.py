@@ -2014,3 +2014,52 @@ def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
         piece = df.select(F.lit(tag).alias("leg"), "k", "seg")
         out = piece if out is None else out.unionByName(piece)
     return out.orderBy("leg", "k")
+
+
+# --- x27: GENERATED AS IDENTITY columns ----------------------------------------
+# PG identity columns (ColumnDef identity; the modern replacement for
+# serial): an implicit sequence backs the column, GENERATED ALWAYS
+# refuses explicit values without OVERRIDING SYSTEM VALUE, and the
+# per-row assignment is the engine's partition-offset renumbering (no
+# global window). The oracle reconstructs every id closed-form from the
+# INSERT order.
+
+_X27_ORACLE = """
+WITH src AS (
+  SELECT c_custkey AS v,
+         ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn
+  FROM customer WHERE c_custkey % 7 = 0)
+SELECT CAST(99 + rn AS BIGINT) AS id, CAST(v AS BIGINT) AS v FROM src
+UNION ALL SELECT 50, -1
+UNION ALL
+SELECT CAST(99 + (SELECT COUNT(*) FROM src) + 1 AS BIGINT), -2
+ORDER BY id
+"""
+
+
+@query(
+    "x27_identity_columns", _X27_ORACLE,
+    doc="GENERATED ALWAYS AS IDENTITY: implicit sequence (START 100), "
+        "bulk INSERT..SELECT id assignment in deterministic order, "
+        "OVERRIDING SYSTEM VALUE for one explicit row, sequence "
+        "unaffected by the override — ids reconstructed closed-form",
+)
+def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x27_t")
+    eng.sql(
+        "CREATE TABLE x27_t (id BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START 100), v BIGINT)"
+    )
+    eng.sql(
+        "INSERT INTO x27_t (v) SELECT c_custkey FROM customer "
+        "WHERE c_custkey % 7 = 0 ORDER BY c_custkey"
+    )
+    eng.sql(
+        "INSERT INTO x27_t (id, v) OVERRIDING SYSTEM VALUE VALUES (50, -1)"
+    )
+    eng.sql("INSERT INTO x27_t (v) VALUES (-2)")
+    return eng.sql("SELECT id, v FROM x27_t ORDER BY id")

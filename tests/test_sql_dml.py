@@ -2792,3 +2792,59 @@ def test_crashed_txn_ddl_rolled_back_on_reopen(spark, tmp_path):
         os.path.join(str(tmp_path), "_txn_pending.json")
     )
     assert "fine" in e2.catalog.tables
+
+
+def test_identity_columns(engine):
+    """GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY (round 11): implicit
+    backing sequence, ALWAYS refuses explicit values without OVERRIDING
+    SYSTEM VALUE, OVERRIDING USER VALUE discards supplied values, and
+    the DEFAULT keyword stays PG-legal."""
+    engine.execute_sql(
+        "CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "v STRING)"
+    )
+    engine.execute_sql("INSERT INTO idt (v) VALUES ('a'), ('b')")
+    assert sorted(engine.execute_sql("SELECT id, v FROM idt").fetchall()) == [
+        (1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="OVERRIDING SYSTEM VALUE"):
+        engine.execute_sql("INSERT INTO idt (id, v) VALUES (99, 'c')")
+    with pytest.raises(ValueError, match="OVERRIDING SYSTEM VALUE"):
+        engine.execute_sql("INSERT INTO idt VALUES (99, 'c')")
+    # DEFAULT keyword is legal for an ALWAYS identity
+    engine.execute_sql("INSERT INTO idt (id, v) VALUES (DEFAULT, 'c')")
+    # OVERRIDING SYSTEM VALUE admits the explicit value
+    engine.execute_sql(
+        "INSERT INTO idt (id, v) OVERRIDING SYSTEM VALUE VALUES (99, 'd')"
+    )
+    rows = dict(engine.execute_sql("SELECT v, id FROM idt").fetchall())
+    assert rows["c"] == 3 and rows["d"] == 99
+    # BY DEFAULT identity accepts explicit values without OVERRIDING
+    engine.execute_sql(
+        "CREATE TABLE idt2 (id BIGINT GENERATED BY DEFAULT AS IDENTITY "
+        "(START 10), v STRING)"
+    )
+    engine.execute_sql("INSERT INTO idt2 (v) VALUES ('x')")
+    engine.execute_sql("INSERT INTO idt2 (id, v) VALUES (77, 'y')")
+    # OVERRIDING USER VALUE discards the supplied id, uses the sequence
+    engine.execute_sql(
+        "INSERT INTO idt2 (id, v) OVERRIDING USER VALUE VALUES (500, 'z')"
+    )
+    rows = dict(engine.execute_sql("SELECT v, id FROM idt2").fetchall())
+    assert rows == {"x": 10, "y": 77, "z": 11}
+
+
+def test_identity_survives_reopen(spark, tmp_path):
+    """Identity metadata (implicit sequence + ALWAYS refusal) persists
+    across engine reopen."""
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.execute_sql(
+        "CREATE TABLE rid (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "v BIGINT)"
+    )
+    e1.execute_sql("INSERT INTO rid (v) VALUES (1)")
+    e2 = Engine(spark, table_dir=str(tmp_path))
+    e2.execute_sql("INSERT INTO rid (v) VALUES (2)")
+    assert sorted(e2.execute_sql("SELECT id, v FROM rid").fetchall()) == [
+        (1, 1), (2, 2)]
+    with pytest.raises(ValueError, match="OVERRIDING"):
+        e2.execute_sql("INSERT INTO rid (id, v) VALUES (9, 9)")
