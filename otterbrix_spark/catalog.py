@@ -651,6 +651,10 @@ class Catalog:
         # SYSTEM VALUE
         self.identity_cols: dict[str, dict[str, str]] = {}
         self.identity_always: dict[str, set[str]] = {}
+        # COMMENT ON storage (PG pg_description): (relkind, object name,
+        # objsubid) -> text; objsubid 0 = the object itself, else the
+        # column ordinal (attnum)
+        self.comments: dict[tuple[str, str, int], str] = {}
         # persisted SQL functions (reference pg_proc rows,
         # operator_register_udf.cpp): name -> definition, stored beside the
         # tables in _functions.json and replayed on engine start so a second
@@ -740,6 +744,9 @@ class Catalog:
                     t: sorted(s) for t, s in self.identity_always.items()
                 },
             },
+            "comments": [
+                [k, n, s, t] for (k, n, s), t in sorted(self.comments.items())
+            ],
             "sequences": self.sequences,
             "seq_last": self._seq_last,
             "seq_step": self._seq_step,
@@ -909,6 +916,9 @@ class Catalog:
         self.identity_always = {
             t: set(v) for t, v in ident.get("always", {}).items()
         }
+        self.comments = {
+            (k, n, s): t for k, n, s, t in meta.get("comments", [])
+        }
         self.sequences = meta.get("sequences", {})
         self._seq_last = meta.get("seq_last", {})
         self._seq_step = meta.get("seq_step", {})
@@ -976,6 +986,14 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
                 self.table_defaults.pop(name, None)
+                self.identity_cols.pop(name, None)
+                self.identity_always.pop(name, None)
+                # comments die with the object (PG) — a re-created table
+                # of the same name must not resurrect them via the
+                # session oid
+                self.comments = {
+                    k: t for k, t in self.comments.items() if k[1] != name
+                }
                 for child, cons in self.table_constraints.items():
                     self.table_constraints[child] = [
                         c for c in cons
@@ -1932,7 +1950,7 @@ class Catalog:
             body = re.sub(
                 r"\bpg_catalog\.(pg_database|pg_namespace|pg_class"
                 r"|pg_attribute|pg_type|pg_proc|pg_tables|pg_sequences"
-                r"|pg_constraint)\b",
+                r"|pg_constraint|pg_description)\b",
                 r"\1", body, flags=re.IGNORECASE,
             )
             leftover = re.search(
@@ -2752,6 +2770,61 @@ class Catalog:
         if m:
             return self._copy(m)
 
+        # COMMENT ON <obj> <name> IS 'text' | NULL (PG CommentStmt ->
+        # pg_description rows; IS NULL removes). COLUMN comments resolve
+        # the attnum against the live schema so the pg_description join
+        # through pg_attribute works.
+        m = re.match(
+            r"^\s*COMMENT\s+ON\s+"
+            r"(TABLE|VIEW|MATERIALIZED\s+VIEW|COLUMN|SEQUENCE)\s+"
+            r"([\w.]+)\s+IS\s+(?:'((?:[^']|'')*)'|(NULL))\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            objkind = re.sub(r"\s+", " ", m.group(1).upper())
+            target, text = m.group(2), m.group(3)
+            if text is not None:
+                text = text.replace("''", "'")
+            if objkind == "COLUMN":
+                tname, _, col = target.rpartition(".")
+                tname = tname.replace(".", "__")
+                if tname in self.tables:
+                    kind, cols = "r", self.tables[tname].df().columns
+                elif tname in self.dynamic:
+                    kind, cols = "g", self.dynamic[tname].df().columns
+                else:
+                    raise ValueError(f"unknown table: {tname}")
+                if col not in cols:
+                    raise ValueError(
+                        f'column "{col}" of relation "{tname}" does '
+                        "not exist"
+                    )
+                key = (kind, tname, cols.index(col) + 1)
+            else:
+                kind_map = {
+                    "TABLE": ("r", self.tables),
+                    "VIEW": ("v", self.views),
+                    "MATERIALIZED VIEW": ("m", self.matviews),
+                    "SEQUENCE": ("S", self.sequences),
+                }
+                kind, pool = kind_map[objkind]
+                if target not in pool and (
+                    objkind != "TABLE" or target not in self.dynamic
+                ):
+                    raise ValueError(
+                        f"unknown {objkind.lower()}: {target}"
+                    )
+                if objkind == "TABLE" and target in self.dynamic:
+                    kind = "g"
+                key = (kind, target, 0)
+            if text is None:
+                self.comments.pop(key, None)
+            else:
+                self.comments[key] = text
+            return self.spark.range(0).select(
+                F.lit(target).alias("commented")
+            )
+
         # CREATE INDEX: no-op accept — Spark has no user indexes; parquet
         # min/max + bucketing play the role (SURVEY.md §2.1)
         if re.match(r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\b", sql, re.IGNORECASE):
@@ -2869,6 +2942,10 @@ class Catalog:
                       self.identity_cols, self.identity_always):
                 if old in d:
                     d[new] = d.pop(old)
+            self.comments = {
+                (k, new if n == old else n, s): t
+                for (k, n, s), t in self.comments.items()
+            }
             for cons in self.table_constraints.values():
                 for c in cons:
                     if c.get("kind") == "fk" and c.get("parent") == old:
@@ -2996,6 +3073,9 @@ class Catalog:
             # a dropped view can never be refreshed again — clear its
             # stale-tracking entry too (self-review r11)
             self.stale_views.pop(name, None)
+            self.comments = {
+                k: t for k, t in self.comments.items() if k[1] != name
+            }
             self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
 
@@ -3492,6 +3572,14 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
                 self.table_defaults.pop(name, None)
+                self.identity_cols.pop(name, None)
+                self.identity_always.pop(name, None)
+                # comments die with the object (PG) — a re-created table
+                # of the same name must not resurrect them via the
+                # session oid
+                self.comments = {
+                    k: t for k, t in self.comments.items() if k[1] != name
+                }
                 # drop FK constraints in other tables that referenced this one
                 for child, cons in self.table_constraints.items():
                     self.table_constraints[child] = [
@@ -3856,7 +3944,7 @@ class Catalog:
         # canonicalize it reads information_schema__tables, and '_' is a
         # word character, so \b would never match there
         r"\b(?:pg_database|pg_namespace|pg_class|pg_attribute|pg_type"
-        r"|pg_proc|pg_tables|pg_sequences|pg_constraint)\b"
+        r"|pg_proc|pg_tables|pg_sequences|pg_constraint|pg_description)\b"
         r"|\binformation_schema",
         re.IGNORECASE,
     )
@@ -4001,6 +4089,19 @@ class Catalog:
            "schemaname STRING, sequencename STRING, start_value BIGINT, "
            "increment_by BIGINT, last_value BIGINT"
            ).createOrReplaceTempView("pg_sequences")
+        # pg_description: COMMENT ON storage joined by oid (objsubid 0 =
+        # the object, else the column attnum — PG's layout)
+        desc = [
+            (self._oid(f"rel:{k}", n), s, t)
+            for (k, n, s), t in sorted(self.comments.items())
+        ]
+        mk(desc or [(0, 0, "")],
+           "objoid BIGINT, objsubid INT, description STRING"
+           ).createOrReplaceTempView("pg_description")
+        if not desc:
+            sp.sql(
+                "SELECT * FROM pg_description WHERE objoid <> 0"
+            ).createOrReplaceTempView("pg_description")
         # anonymous constraints are keyed by a STABLE identity (kind +
         # normalized expr/cols), never by list position: a DROP CONSTRAINT
         # shifts indexes and would silently reassign a session oid that
@@ -4136,7 +4237,7 @@ class Catalog:
                 "CREATE SEQUENCE", "DROP SEQUENCE",
                 "CREATE TYPE", "DROP TYPE",
                 "CREATE FUNCTION", "CREATE OR REPLACE FUNCTION",
-                "DROP FUNCTION", "COPY",
+                "DROP FUNCTION", "COPY", "COMMENT ON",
             )
         )
 

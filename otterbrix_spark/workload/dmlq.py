@@ -2063,3 +2063,47 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.sql("INSERT INTO x27_t (v) VALUES (-2)")
     return eng.sql("SELECT id, v FROM x27_t ORDER BY id")
+
+
+# --- x28: COMMENT ON + pg_description -------------------------------------------
+# PG CommentStmt: COMMENT ON TABLE/COLUMN/VIEW/SEQUENCE ... IS
+# 'text' | NULL, surfaced through pg_description joined by oid/attnum —
+# the way psql \d+ and every schema-doc tool reads comments. The oracle
+# replays the expected catalog rows closed-form (the x12/x13 system-view
+# discipline).
+
+_X28_ORACLE = """
+SELECT * FROM (VALUES
+  ('x28_t', CAST(0 AS INT), 'fact table'),
+  ('x28_t', 2, 'value in cents'),
+  ('x28_v', 0, 'reporting view')
+) AS t(relname, objsubid, description)
+ORDER BY relname, objsubid
+"""
+
+
+@query(
+    "x28_comment_on", _X28_ORACLE,
+    doc="COMMENT ON TABLE/COLUMN/VIEW + pg_description(objoid, objsubid,"
+        " description) joined through pg_class/pg_attribute; IS NULL "
+        "removes; oracle replays the expected rows closed-form",
+)
+def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+    eng.sql("DROP TABLE IF EXISTS x28_t")
+    eng.sql("CREATE TABLE x28_t (k BIGINT, cents BIGINT)")
+    eng.sql("CREATE OR REPLACE VIEW x28_v AS SELECT k FROM x28_t")
+    eng.sql("COMMENT ON TABLE x28_t IS 'fact table'")
+    eng.sql("COMMENT ON COLUMN x28_t.cents IS 'value in cents'")
+    eng.sql("COMMENT ON COLUMN x28_t.k IS 'doomed'")
+    eng.sql("COMMENT ON COLUMN x28_t.k IS NULL")  # removal
+    eng.sql("COMMENT ON VIEW x28_v IS 'reporting view'")
+    return eng.sql(
+        "SELECT c.relname, d.objsubid, d.description "
+        "FROM pg_description d JOIN pg_class c ON c.oid = d.objoid "
+        "WHERE c.relname IN ('x28_t', 'x28_v') "
+        "ORDER BY c.relname, d.objsubid"
+    )

@@ -2848,3 +2848,25 @@ def test_identity_survives_reopen(spark, tmp_path):
         (1, 1), (2, 2)]
     with pytest.raises(ValueError, match="OVERRIDING"):
         e2.execute_sql("INSERT INTO rid (id, v) VALUES (9, 9)")
+
+
+def test_comment_on_lifecycle(spark, tmp_path):
+    """COMMENT ON persists across reopen, relocates on RENAME, and dies
+    with its object on DROP (no oid-resurrection for a re-created
+    same-name table)."""
+    e1 = Engine(spark, table_dir=str(tmp_path))
+    e1.execute_sql("CREATE TABLE ct (k BIGINT)")
+    e1.execute_sql("COMMENT ON TABLE ct IS 'original'")
+    with pytest.raises(ValueError, match="does not exist"):
+        e1.execute_sql("COMMENT ON COLUMN ct.nope IS 'x'")
+    e2 = Engine(spark, table_dir=str(tmp_path))
+    rows = e2.execute_sql(
+        "SELECT description FROM pg_description d "
+        "JOIN pg_class c ON c.oid = d.objoid WHERE c.relname = 'ct'"
+    ).fetchall()
+    assert rows == [("original",)]
+    e2.execute_sql("ALTER TABLE ct RENAME TO ct2")
+    assert ("r", "ct2", 0) in e2.catalog.comments
+    e2.execute_sql("DROP TABLE ct2")
+    e2.execute_sql("CREATE TABLE ct2 (k BIGINT)")
+    assert ("r", "ct2", 0) not in e2.catalog.comments
