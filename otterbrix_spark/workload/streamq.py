@@ -2264,3 +2264,90 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_anc")
     )
+
+
+# --- s27: streaming windowed quantiles from mergeable bucket counts -----------
+# Order statistics over a stream: exact quantiles are not a streaming
+# aggregate, but an integer-bucketed HISTOGRAM is (counts merge across
+# micro-batches by addition — the sk01/sk13 mergeability discipline
+# applied to streaming state). The graph streams >= 3 real micro-batches
+# of per-(day, floor(value)) purchase counts; the batch post-pass reads
+# each day's p50/p90 off the cumulative histogram with integer
+# cross-multiplied rank thresholds (cum*2 >= total / cum*10 >= 9*total).
+# The oracle replays histogram + quantile selection exactly.
+
+_S27_ORACLE = """
+WITH b AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+c AS (
+  SELECT day, bucket, n,
+         SUM(n) OVER (PARTITION BY day ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY day) AS total
+  FROM b)
+SELECT day, CAST(total AS BIGINT) AS total,
+       CAST(MIN(CASE WHEN cum * 2 >= total THEN bucket END) AS BIGINT)
+         AS p50_bucket,
+       CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN bucket END) AS BIGINT)
+         AS p90_bucket
+FROM c GROUP BY day, total ORDER BY day
+"""
+
+
+@query(
+    "s27_streaming_quantile_histogram", _S27_ORACLE,
+    doc="streaming exact quantiles via mergeable integer histogram: "
+        ">= 3 real micro-batches of per-(day, bucket) counts (complete "
+        "mode), p50/p90 read off the cumulative histogram with integer "
+        "rank thresholds — hash-matched against the batch replay",
+)
+def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from otterbrix_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now_counted,
+    )
+
+    landing = _sliced_events_dir(spark, sf_dir, n_files=4)
+    stream = events_stream(spark, landing, max_files_per_trigger=1)
+    buckets = (
+        stream.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.floor("value").cast("long").alias("bucket"),
+        )
+        .count()
+    )
+    name = f"s27_qh_{uuid.uuid4().hex[:8]}"
+    result, n_batches, _state = run_available_now_counted(
+        buckets, name, output_mode="complete"
+    )
+    if n_batches < 3:
+        raise AssertionError(
+            f"multi-batch certification ran only {n_batches} input batches"
+        )
+    hist = result.select(
+        F.col("w.start").cast("date").alias("day"),
+        "bucket",
+        F.col("count").alias("n"),
+    )
+    cum = hist.select(
+        "day", "bucket", "n",
+        F.sum("n").over(
+            Window.partitionBy("day").orderBy("bucket")
+        ).alias("cum"),
+        F.sum("n").over(Window.partitionBy("day")).alias("total"),
+    )
+    return (
+        cum.groupBy("day", F.col("total").cast("long").alias("total"))
+        .agg(
+            F.min(F.when(F.expr("cum * 2 >= total"), F.col("bucket")))
+            .cast("long").alias("p50_bucket"),
+            F.min(F.when(F.expr("cum * 10 >= total * 9"), F.col("bucket")))
+            .cast("long").alias("p90_bucket"),
+        )
+        .orderBy("day")
+    )
