@@ -290,6 +290,65 @@ def _resolve_set_targets(sets: dict[str, str]) -> dict[str, "F.Column"]:
     return out
 
 
+def _values_tuples(body: str) -> "tuple[str, list[str]] | None":
+    """Split a ``VALUES (...), (...)`` body into (prefix, tuple texts) —
+    string-aware via _split_top_level; None when the body is not a
+    VALUES list."""
+    m = re.match(r"^(VALUES\s*)(.+)$", body, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    return m.group(1), _split_top_level(m.group(2))
+
+
+def _values_set_default(body: str, target_cols: list, idc: set) -> str:
+    """Rewrite every identity-column position of every VALUES tuple to
+    the DEFAULT keyword (PG OVERRIDING USER VALUE: supplied values are
+    discarded in favour of the sequence — and folding the keyword keeps
+    the sequence consumption at exactly one value per row)."""
+    parsed = _values_tuples(body)
+    if parsed is None:
+        return body
+    prefix, tups = parsed
+    out = []
+    for tup in tups:
+        t = tup.strip()
+        if not (t.startswith("(") and t.endswith(")")):
+            out.append(tup)
+            continue
+        items = _split_top_level(t[1:-1])
+        for i in range(len(items)):
+            if i < len(target_cols) and target_cols[i] in idc:
+                items[i] = " DEFAULT"
+        out.append("(" + ",".join(items) + ")")
+    return prefix + ", ".join(s.strip() for s in out)
+
+
+def _values_explicit_identity(
+    body: str, target_cols: list, ids: set
+) -> list:
+    """Identity columns that receive an explicit (non-DEFAULT) value in
+    any VALUES tuple — the GENERATED ALWAYS refusal set. Item-exact:
+    only the bare DEFAULT keyword passes, so string literals containing
+    the word or parens inside expressions cannot confuse the check."""
+    parsed = _values_tuples(body)
+    if parsed is None:
+        return sorted(ids & set(target_cols))
+    bad: set = set()
+    for tup in parsed[1]:
+        t = tup.strip()
+        if not (t.startswith("(") and t.endswith(")")):
+            continue
+        items = _split_top_level(t[1:-1])
+        for i, item in enumerate(items):
+            if (
+                i < len(target_cols)
+                and target_cols[i] in ids
+                and item.strip().upper() != "DEFAULT"
+            ):
+                bad.add(target_cols[i])
+    return sorted(bad)
+
+
 def _split_top_level(text: str) -> list[str]:
     """Split on commas not nested in (), [], <> or quotes (column-def
     lists). Angle brackets only count OUTSIDE parens: a generic type
@@ -986,13 +1045,21 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
                 self.table_defaults.pop(name, None)
-                self.identity_cols.pop(name, None)
+                # identity backing sequences die with the table (PG's
+                # owned-by dependency; self-review r11 loop 2)
+                for seq in self.identity_cols.pop(name, {}).values():
+                    self.sequences.pop(seq, None)
+                    self._seq_step.pop(seq, None)
+                    self._seq_start.pop(seq, None)
+                    self._seq_last.pop(seq, None)
                 self.identity_always.pop(name, None)
                 # comments die with the object (PG) — a re-created table
                 # of the same name must not resurrect them via the
-                # session oid
+                # session oid. Kind-matched: a same-named sequence or
+                # view keeps its comment (self-review r11 loop 2)
                 self.comments = {
-                    k: t for k, t in self.comments.items() if k[1] != name
+                    k: t for k, t in self.comments.items()
+                    if not (k[1] == name and k[0] in ("r", "g"))
                 }
                 for child, cons in self.table_constraints.items():
                     self.table_constraints[child] = [
@@ -1961,6 +2028,7 @@ class Catalog:
                     f"pg_catalog.{leftover.group(1)} is not supported "
                     "(supported system views: pg_database, pg_namespace, "
                     "pg_class, pg_attribute, pg_type, pg_proc, pg_tables, "
+                    "pg_description, "
                     "pg_sequences, pg_constraint)"
                 )
         for db in sorted(self.databases, key=len, reverse=True):
@@ -2943,7 +3011,7 @@ class Catalog:
                 if old in d:
                     d[new] = d.pop(old)
             self.comments = {
-                (k, new if n == old else n, s): t
+                (k, new if (n == old and k in ("r", "g")) else n, s): t
                 for (k, n, s), t in self.comments.items()
             }
             for cons in self.table_constraints.values():
@@ -3073,8 +3141,10 @@ class Catalog:
             # a dropped view can never be refreshed again — clear its
             # stale-tracking entry too (self-review r11)
             self.stale_views.pop(name, None)
+            dropped_kinds = ("v", "m") if materialized else ("v",)
             self.comments = {
-                k: t for k, t in self.comments.items() if k[1] != name
+                k: t for k, t in self.comments.items()
+                if not (k[1] == name and k[0] in dropped_kinds)
             }
             self.spark.catalog.dropTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
@@ -3174,6 +3244,9 @@ class Catalog:
         if m:
             self.sequences.pop(m.group(1), None)
             self._seq_last.pop(m.group(1), None)
+            # its comment dies with it — a re-created same-name sequence
+            # must not resurrect it via the session oid (r11 loop 2)
+            self.comments.pop(("S", m.group(1), 0), None)
             return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
         _stores_expr_ddl = re.match(
             r"^\s*(?:CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*\(|ALTER\s+TABLE\b)",
@@ -3376,6 +3449,11 @@ class Catalog:
             fields: list[str] = []
             cons: list[dict] = []
             defaults: dict[str, str] = {}
+            # identity-column side-effects, committed only after the
+            # CREATE validates (self-review r11 loop 2)
+            identity_seqs: dict[str, int] = {}
+            identity_new: dict[str, str] = {}
+            identity_new_always: set[str] = set()
             n_anon = 0
             for part in _split_top_level(coldefs):
                 p = part.strip()
@@ -3437,21 +3515,19 @@ class Catalog:
                         # identity): an implicit sequence backs the
                         # column default; ALWAYS additionally refuses
                         # explicit non-DEFAULT values on INSERT unless
-                        # OVERRIDING SYSTEM VALUE is given
+                        # an OVERRIDING clause is given. Side-effects
+                        # are BUFFERED like defaults and committed only
+                        # after the CREATE validates — a failed CREATE
+                        # must not leak sequences or reset a live one
+                        # (self-review r11 loop 2)
                         rest = rest[: mid.start()]
                         seq = f"{name.replace('.', '__')}_{colname}_seq"
                         start = int(mid.group(2) or 1)
-                        self.sequences[seq] = start
-                        self._seq_step[seq] = 1
-                        self._seq_start[seq] = start
+                        identity_seqs[seq] = start
                         defaults[colname] = f"nextval('{seq}')"
-                        self.identity_cols.setdefault(name, {})[
-                            colname
-                        ] = seq
+                        identity_new[colname] = seq
                         if mid.group(1).upper() == "ALWAYS":
-                            self.identity_always.setdefault(
-                                name, set()
-                            ).add(colname)
+                            identity_new_always.add(colname)
                         continue
                     mnn = re.search(r"\s+NOT\s+NULL$", rest, re.IGNORECASE)
                     if mnn:
@@ -3544,6 +3620,17 @@ class Catalog:
             self._register(table)
             if cons:
                 self.table_constraints[name] = cons
+            # identity commit point: the table exists, constraints are in
+            # — register the implicit sequences BEFORE defaults validation
+            # (the nextval peek below resolves them)
+            for seq, start in identity_seqs.items():
+                self.sequences[seq] = start
+                self._seq_step[seq] = 1
+                self._seq_start[seq] = start
+            if identity_new:
+                self.identity_cols[name] = dict(identity_new)
+            if identity_new_always:
+                self.identity_always[name] = set(identity_new_always)
             if defaults:
                 # validate now: a broken default should fail at CREATE time
                 # (sequence calls are peeked — substituted with the current
@@ -3572,13 +3659,21 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
                 self.table_defaults.pop(name, None)
-                self.identity_cols.pop(name, None)
+                # identity backing sequences die with the table (PG's
+                # owned-by dependency; self-review r11 loop 2)
+                for seq in self.identity_cols.pop(name, {}).values():
+                    self.sequences.pop(seq, None)
+                    self._seq_step.pop(seq, None)
+                    self._seq_start.pop(seq, None)
+                    self._seq_last.pop(seq, None)
                 self.identity_always.pop(name, None)
                 # comments die with the object (PG) — a re-created table
                 # of the same name must not resurrect them via the
-                # session oid
+                # session oid. Kind-matched: a same-named sequence or
+                # view keeps its comment (self-review r11 loop 2)
                 self.comments = {
-                    k: t for k, t in self.comments.items() if k[1] != name
+                    k: t for k, t in self.comments.items()
+                    if not (k[1] == name and k[0] in ("r", "g"))
                 }
                 # drop FK constraints in other tables that referenced this one
                 for child, cons in self.table_constraints.items():
@@ -3810,41 +3905,43 @@ class Catalog:
             if mov:
                 overriding = mov.group(1).upper()
                 body = mov.group(2).strip()
+            idc_all = set(self.identity_cols.get(name, {}))
+            user_handled = False
+            if (
+                overriding == "USER" and idc_all
+                and body.upper().startswith("VALUES")
+            ):
+                # PG OVERRIDING USER VALUE on a VALUES source: rewrite
+                # the identity positions to the DEFAULT keyword BEFORE
+                # folding, so the sequence is consumed exactly ONCE per
+                # row (the drop-then-refill form double-consumed when a
+                # tuple already said DEFAULT — self-review r11 loop 2)
+                body = _values_set_default(
+                    body, cols or list(table.df().columns), idc_all
+                )
+                user_handled = True
             ids = self.identity_always.get(name, set())
-            if ids and overriding != "SYSTEM" and not re.fullmatch(
+            if ids and overriding is None and not re.fullmatch(
                 r"DEFAULT\s+VALUES", body, re.IGNORECASE
             ):
-                covered = (
-                    set(cols) if cols is not None
-                    else set(table.df().columns)
+                # refuse explicit non-DEFAULT values into ALWAYS identity
+                # columns (PG); checked per VALUES tuple item, so string
+                # literals containing 'DEFAULT' or parens in expressions
+                # cannot confuse the guard, and the DEFAULT keyword stays
+                # legal in any tuple position
+                target_cols = (
+                    cols if cols is not None else list(table.df().columns)
                 )
-                bad = sorted(ids & covered)
-                # the DEFAULT keyword in a VALUES tuple is PG-legal for
-                # ALWAYS identities — the folding path substitutes the
-                # sequence; only refuse bodies with no DEFAULT at all
-                # (documented stricter corner: a mixed tuple supplying
-                # BOTH an explicit value and DEFAULT slips through to
-                # the sequence-default fold)
-                if bad and not re.search(
-                    r"\bDEFAULT\b", body, re.IGNORECASE
-                ):
-                    if cols is None and body.upper().startswith("VALUES"):
-                        # short VALUES may not reach the identity column
-                        tcols = table.df().columns
-                        first = _split_top_level(
-                            re.sub(
-                                r"^VALUES\s*\(", "",
-                                body.split(")")[0], flags=re.IGNORECASE,
-                            )
-                        )
-                        covered = set(tcols[: len(first)])
-                        bad = sorted(ids & covered)
-                    if bad:
-                        raise ValueError(
-                            f'cannot insert a non-DEFAULT value into '
-                            f'column "{bad[0]}" (GENERATED ALWAYS AS '
-                            f"IDENTITY); use OVERRIDING SYSTEM VALUE"
-                        )
+                if body.upper().startswith("VALUES"):
+                    bad = _values_explicit_identity(body, target_cols, ids)
+                else:  # SELECT source: every covered column is explicit
+                    bad = sorted(ids & set(target_cols))
+                if bad:
+                    raise ValueError(
+                        f'cannot insert a non-DEFAULT value into '
+                        f'column "{bad[0]}" (GENERATED ALWAYS AS '
+                        f"IDENTITY); use OVERRIDING SYSTEM VALUE"
+                    )
             if re.fullmatch(r"DEFAULT\s+VALUES", body, re.IGNORECASE):
                 # PG: INSERT INTO t DEFAULT VALUES — one row, every column
                 # from its declared DEFAULT (or NULL)
@@ -3872,20 +3969,20 @@ class Catalog:
                 rows = self.spark.sql(body)
                 if cols:
                     rows = rows.toDF(*cols)
-            if overriding == "USER" and name in self.identity_cols:
+            if overriding == "USER" and idc_all and not user_handled:
                 # PG: OVERRIDING USER VALUE discards supplied identity
-                # values — the columns fall back to their sequence default
-                idc = set(self.identity_cols[name])
+                # values — SELECT sources drop the columns here so the
+                # reorder below refills them from the sequence default
                 if cols is None:
                     rows = rows.toDF(
                         *table.df().columns[: len(rows.columns)]
                     )
                     cols = list(rows.columns)
-                keep = [c for c in cols if c not in idc]
+                keep = [c for c in cols if c not in idc_all]
                 if keep != cols:
                     rows = rows.select(*keep)
                     cols = keep
-            if cols:
+            if cols is not None:
                 # reorder to the table schema; omitted columns take their
                 # declared DEFAULT expression, else NULL (PG semantics)
                 dfl = self.table_defaults.get(name, {})
@@ -4095,13 +4192,9 @@ class Catalog:
             (self._oid(f"rel:{k}", n), s, t)
             for (k, n, s), t in sorted(self.comments.items())
         ]
-        mk(desc or [(0, 0, "")],
+        mk(desc,
            "objoid BIGINT, objsubid INT, description STRING"
            ).createOrReplaceTempView("pg_description")
-        if not desc:
-            sp.sql(
-                "SELECT * FROM pg_description WHERE objoid <> 0"
-            ).createOrReplaceTempView("pg_description")
         # anonymous constraints are keyed by a STABLE identity (kind +
         # normalized expr/cols), never by list position: a DROP CONSTRAINT
         # shifts indexes and would silently reassign a session oid that

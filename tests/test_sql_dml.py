@@ -2870,3 +2870,102 @@ def test_comment_on_lifecycle(spark, tmp_path):
     e2.execute_sql("DROP TABLE ct2")
     e2.execute_sql("CREATE TABLE ct2 (k BIGINT)")
     assert ("r", "ct2", 0) not in e2.catalog.comments
+
+
+# -- self-review r11 loop 2 fixes ------------------------------------------------
+
+
+def test_failed_create_does_not_leak_identity(engine):
+    """A CREATE that fails validation after parsing an identity column
+    must not leak its sequence or the ALWAYS refusal onto a later
+    same-name table."""
+    with pytest.raises(ValueError, match="unknown parent"):
+        engine.execute_sql(
+            "CREATE TABLE leakt (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+            "v BIGINT, FOREIGN KEY (v) REFERENCES missing_tbl (k))"
+        )
+    assert "leakt_id_seq" not in engine.catalog.sequences
+    engine.execute_sql("CREATE TABLE leakt (id BIGINT, v BIGINT)")
+    engine.execute_sql("INSERT INTO leakt (id, v) VALUES (1, 2)")  # no refusal
+    assert engine.execute_sql("SELECT id, v FROM leakt").fetchall() == [(1, 2)]
+
+
+def test_identity_guard_string_and_paren_safe(engine):
+    """The ALWAYS refusal is item-exact: a string literal containing
+    'DEFAULT' does not disable it, a ')' inside an expression does not
+    truncate the arity scan, and per-tuple DEFAULT stays legal."""
+    engine.execute_sql(
+        "CREATE TABLE gsp (a BIGINT, id BIGINT GENERATED ALWAYS AS "
+        "IDENTITY, v STRING)"
+    )
+    with pytest.raises(ValueError, match="OVERRIDING"):
+        engine.execute_sql(
+            "INSERT INTO gsp (a, id, v) VALUES (1, 99, 'the DEFAULT mode')"
+        )
+    with pytest.raises(ValueError, match="OVERRIDING"):
+        engine.execute_sql("INSERT INTO gsp VALUES (abs(1), 7, 'x')")
+    # a mixed batch where every identity position is DEFAULT is legal
+    engine.execute_sql(
+        "INSERT INTO gsp (a, id, v) VALUES (abs(1), DEFAULT, 'x'), "
+        "(2, DEFAULT, 'y')"
+    )
+    assert sorted(engine.execute_sql("SELECT a, id FROM gsp").fetchall()) == [
+        (1, 1), (2, 2)]
+    # ... but one explicit value among DEFAULTs is still refused
+    with pytest.raises(ValueError, match="OVERRIDING"):
+        engine.execute_sql(
+            "INSERT INTO gsp (a, id, v) VALUES (3, DEFAULT, 'z'), "
+            "(4, 99, 'w')"
+        )
+
+
+def test_overriding_user_value_on_always(engine):
+    """PG accepts OVERRIDING USER VALUE on GENERATED ALWAYS — the
+    supplied value is replaced by the sequence (the copy-rows idiom);
+    and USER + DEFAULT consumes the sequence exactly once per row."""
+    engine.execute_sql(
+        "CREATE TABLE ouv (id BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START 10), v STRING)"
+    )
+    engine.execute_sql(
+        "INSERT INTO ouv (id, v) OVERRIDING USER VALUE VALUES (500, 'a')"
+    )
+    engine.execute_sql(
+        "INSERT INTO ouv (id, v) OVERRIDING USER VALUE VALUES "
+        "(DEFAULT, 'b')"
+    )
+    engine.execute_sql("INSERT INTO ouv (v) VALUES ('c')")
+    assert sorted(engine.execute_sql("SELECT v, id FROM ouv").fetchall()) == [
+        ("a", 10), ("b", 11), ("c", 12)]  # no gaps: one value per row
+    # all-identity column list under USER works (sequence fills)
+    engine.execute_sql(
+        "INSERT INTO ouv (id) OVERRIDING USER VALUE VALUES (999)"
+    )
+    assert (13,) in engine.execute_sql(
+        "SELECT id FROM ouv WHERE v IS NULL").fetchall()
+
+
+def test_comment_kind_isolation(engine):
+    """A table and a sequence sharing a name keep separate comments
+    through DROP and RENAME (kind-matched cleanup)."""
+    engine.execute_sql("CREATE TABLE shn (k BIGINT)")
+    engine.execute_sql("CREATE SEQUENCE shn")
+    engine.execute_sql("COMMENT ON TABLE shn IS 'the table'")
+    engine.execute_sql("COMMENT ON SEQUENCE shn IS 'the counter'")
+    engine.execute_sql("ALTER TABLE shn RENAME TO shn2")
+    assert engine.catalog.comments[("S", "shn", 0)] == "the counter"
+    assert engine.catalog.comments[("r", "shn2", 0)] == "the table"
+    engine.execute_sql("DROP TABLE shn2")
+    assert ("S", "shn", 0) in engine.catalog.comments
+    assert ("r", "shn2", 0) not in engine.catalog.comments
+    engine.execute_sql("DROP SEQUENCE shn")
+    assert ("S", "shn", 0) not in engine.catalog.comments
+
+
+def test_drop_table_drops_identity_sequence(engine):
+    engine.execute_sql(
+        "CREATE TABLE dts (id BIGINT GENERATED ALWAYS AS IDENTITY)"
+    )
+    assert "dts_id_seq" in engine.catalog.sequences
+    engine.execute_sql("DROP TABLE dts")
+    assert "dts_id_seq" not in engine.catalog.sequences
