@@ -1039,40 +1039,64 @@ class Catalog:
     def _drop_created(self, names: list[str]) -> None:
         """Discard tables created after a ROLLBACK boundary (reverse
         creation order, tolerating tables already dropped in-txn)."""
+        import shutil
+
         for name in reversed(names):
             if name in self.tables:
                 self.tables.pop(name).drop()
                 self.spark.catalog.dropTempView(name)
-                self.table_constraints.pop(name, None)
-                self.table_defaults.pop(name, None)
-                # identity backing sequences die with the table (PG's
-                # owned-by dependency; self-review r11 loop 2)
-                for seq in self.identity_cols.pop(name, {}).values():
-                    self.sequences.pop(seq, None)
-                    self._seq_step.pop(seq, None)
-                    self._seq_start.pop(seq, None)
-                    self._seq_last.pop(seq, None)
-                self.identity_always.pop(name, None)
-                # comments die with the object (PG) — a re-created table
-                # of the same name must not resurrect them via the
-                # session oid. Kind-matched: a same-named sequence or
-                # view keeps its comment (self-review r11 loop 2)
-                self.comments = {
-                    k: t for k, t in self.comments.items()
-                    if not (k[1] == name and k[0] in ("r", "g"))
-                }
-                for child, cons in self.table_constraints.items():
-                    self.table_constraints[child] = [
-                        c for c in cons
-                        if not (c["kind"] == "fk" and c["parent"] == name)
-                    ]
+                self._drop_table_metadata(name)
             elif name in self.dynamic:
-                import shutil
-
                 shutil.rmtree(
                     self.dynamic.pop(name).path, ignore_errors=True
                 )
                 self.spark.catalog.dropTempView(name)
+                self._drop_table_metadata(name, kinds=("g",))
+
+    def _drop_table_metadata(
+        self, name: str, kinds: tuple = ("r", "g")
+    ) -> None:
+        """Metadata teardown shared by DROP TABLE and transactional-DDL
+        rollback: constraints, defaults, FK re-pointing, identity
+        ownership and kind-matched comments. Identity backing sequences
+        die with the table (PG's owned-by dependency) — UNLESS another
+        live table still references the sequence name (a rename or an
+        explicit DEFAULT nextval elsewhere can share it; self-review r11
+        loop 3), and their own comments die with them."""
+        self.table_constraints.pop(name, None)
+        self.table_defaults.pop(name, None)
+        owned = self.identity_cols.pop(name, {})
+        self.identity_always.pop(name, None)
+        still_used = {
+            s for m in self.identity_cols.values() for s in m.values()
+        }
+        for d in self.table_defaults.values():
+            for expr in d.values():
+                for mm in re.finditer(
+                    r"\bnextval\s*\(\s*'([\w.]+)'\s*\)", expr, re.IGNORECASE
+                ):
+                    still_used.add(mm.group(1).replace(".", "__"))
+        for seq in owned.values():
+            if seq in still_used:
+                continue
+            self.sequences.pop(seq, None)
+            self._seq_step.pop(seq, None)
+            self._seq_start.pop(seq, None)
+            self._seq_last.pop(seq, None)
+            self.comments.pop(("S", seq, 0), None)
+        # comments die with the object (PG) — a re-created table of the
+        # same name must not resurrect them via the session oid.
+        # Kind-matched: a same-named sequence or view keeps its comment
+        self.comments = {
+            k: t for k, t in self.comments.items()
+            if not (k[1] == name and k[0] in kinds)
+        }
+        # drop FK constraints in other tables that referenced this one
+        for child, cons in self.table_constraints.items():
+            self.table_constraints[child] = [
+                c for c in cons
+                if not (c["kind"] == "fk" and c["parent"] == name)
+            ]
 
     @staticmethod
     def _match_protected(rx: "re.Pattern", sql: str):
@@ -3242,12 +3266,25 @@ class Catalog:
             return self.spark.range(0).select(F.lit(name).alias("created"))
         m = re.match(r"^\s*DROP\s+SEQUENCE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", sql, re.IGNORECASE)
         if m:
-            self.sequences.pop(m.group(1), None)
-            self._seq_last.pop(m.group(1), None)
-            # its comment dies with it — a re-created same-name sequence
-            # must not resurrect it via the session oid (r11 loop 2)
-            self.comments.pop(("S", m.group(1), 0), None)
-            return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
+            sname = m.group(1)
+            # PG refuses to drop a sequence an identity column owns
+            # ("cannot drop ... because ... column requires it")
+            for t, idmap in self.identity_cols.items():
+                for c, s in idmap.items():
+                    if s == sname:
+                        raise ValueError(
+                            f"cannot drop sequence {sname}: table "
+                            f'"{t}" column "{c}" requires it (identity)'
+                        )
+            self.sequences.pop(sname, None)
+            self._seq_last.pop(sname, None)
+            # a re-created same-name sequence must not inherit the old
+            # start/step (setdefault in CREATE) nor its comment (session
+            # oid resurrection) — r11 loops 2+3
+            self._seq_start.pop(sname, None)
+            self._seq_step.pop(sname, None)
+            self.comments.pop(("S", sname, 0), None)
+            return self.spark.range(0).select(F.lit(sname).alias("dropped"))
         _stores_expr_ddl = re.match(
             r"^\s*(?:CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*\(|ALTER\s+TABLE\b)",
             sql, re.IGNORECASE,
@@ -3617,20 +3654,17 @@ class Catalog:
                 )
             else:
                 table = ManagedTable.create(self.spark, path, empty, name)
+            for seq in identity_seqs:
+                if seq in self.sequences:
+                    # the implicit name collides with a live sequence —
+                    # committing would silently reset it (r11 loop 3)
+                    raise ValueError(
+                        f'sequence "{seq}" already exists (implicit '
+                        "identity sequence name collision)"
+                    )
             self._register(table)
             if cons:
                 self.table_constraints[name] = cons
-            # identity commit point: the table exists, constraints are in
-            # — register the implicit sequences BEFORE defaults validation
-            # (the nextval peek below resolves them)
-            for seq, start in identity_seqs.items():
-                self.sequences[seq] = start
-                self._seq_step[seq] = 1
-                self._seq_start[seq] = start
-            if identity_new:
-                self.identity_cols[name] = dict(identity_new)
-            if identity_new_always:
-                self.identity_always[name] = set(identity_new_always)
             if defaults:
                 # validate now: a broken default should fail at CREATE time
                 # (sequence calls are peeked — substituted with the current
@@ -3648,6 +3682,18 @@ class Catalog:
                     )
                     self.spark.range(1).select(F.expr(peek).alias(col))
                 self.table_defaults[name] = defaults
+            # identity commit point: AFTER defaults validation (the peek
+            # above resolves unknown sequences to 0, so validation never
+            # needs them live) — a failed CREATE leaks nothing (r11
+            # loops 2+3)
+            for seq, start in identity_seqs.items():
+                self.sequences[seq] = start
+                self._seq_step[seq] = 1
+                self._seq_start[seq] = start
+            if identity_new:
+                self.identity_cols[name] = dict(identity_new)
+            if identity_new_always:
+                self.identity_always[name] = set(identity_new_always)
             self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
@@ -3657,35 +3703,15 @@ class Catalog:
             if name in self.tables:
                 self.tables.pop(name).drop()
                 self.spark.catalog.dropTempView(name)
-                self.table_constraints.pop(name, None)
-                self.table_defaults.pop(name, None)
-                # identity backing sequences die with the table (PG's
-                # owned-by dependency; self-review r11 loop 2)
-                for seq in self.identity_cols.pop(name, {}).values():
-                    self.sequences.pop(seq, None)
-                    self._seq_step.pop(seq, None)
-                    self._seq_start.pop(seq, None)
-                    self._seq_last.pop(seq, None)
-                self.identity_always.pop(name, None)
-                # comments die with the object (PG) — a re-created table
-                # of the same name must not resurrect them via the
-                # session oid. Kind-matched: a same-named sequence or
-                # view keeps its comment (self-review r11 loop 2)
-                self.comments = {
-                    k: t for k, t in self.comments.items()
-                    if not (k[1] == name and k[0] in ("r", "g"))
-                }
-                # drop FK constraints in other tables that referenced this one
-                for child, cons in self.table_constraints.items():
-                    self.table_constraints[child] = [
-                        c for c in cons
-                        if not (c["kind"] == "fk" and c["parent"] == name)
-                    ]
+                self._drop_table_metadata(name)
             elif name in self.dynamic:
                 import shutil
 
                 shutil.rmtree(self.dynamic.pop(name).path, ignore_errors=True)
                 self.spark.catalog.dropTempView(name)
+                # dynamic tables carry kind-'g' comments — same
+                # no-resurrection rule (self-review r11 loop 3)
+                self._drop_table_metadata(name, kinds=("g",))
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
 
         # subquery join-source: UPDATE t SET ... FROM (SELECT ...) AS s /

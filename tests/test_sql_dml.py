@@ -2969,3 +2969,72 @@ def test_drop_table_drops_identity_sequence(engine):
     assert "dts_id_seq" in engine.catalog.sequences
     engine.execute_sql("DROP TABLE dts")
     assert "dts_id_seq" not in engine.catalog.sequences
+
+
+# -- self-review r11 loop 3 fixes ------------------------------------------------
+
+
+def test_identity_sequence_ownership(engine):
+    """Loop-3 ownership model: DROP SEQUENCE refuses an identity-owned
+    sequence; DROP TABLE keeps a backing sequence another table still
+    references; identity name collision with a live sequence refuses
+    the CREATE instead of resetting it."""
+    engine.execute_sql(
+        "CREATE TABLE own1 (id BIGINT GENERATED ALWAYS AS IDENTITY)"
+    )
+    with pytest.raises(ValueError, match="requires it"):
+        engine.execute_sql("DROP SEQUENCE own1_id_seq")
+    # a rename keeps identity pointing at the ORIGINAL sequence name;
+    # a new same-name table must not steal/reset it
+    engine.execute_sql("ALTER TABLE own1 RENAME TO own2")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute_sql(
+            "CREATE TABLE own1 (id BIGINT GENERATED ALWAYS AS IDENTITY)"
+        )
+    # failed create left nothing behind; own2 keeps inserting fine
+    engine.execute_sql("INSERT INTO own2 (id) VALUES (DEFAULT)")
+    assert engine.execute_sql(
+        "SELECT COUNT(*) AS n FROM own2").value("n", 0) == 1
+    engine.execute_sql("DROP TABLE own2")
+    assert "own1_id_seq" not in engine.catalog.sequences
+
+
+def test_failed_defaults_validation_leaks_nothing(engine):
+    """A CREATE whose (non-identity) DEFAULT fails validation must not
+    leave the identity sequence or ALWAYS refusal behind."""
+    with pytest.raises(Exception):
+        engine.execute_sql(
+            "CREATE TABLE dfl (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+            "v BIGINT DEFAULT no_such_fn())"
+        )
+    assert "dfl_id_seq" not in engine.catalog.sequences
+    assert "dfl" not in engine.catalog.identity_always
+
+
+def test_recreated_sequence_fresh_start(engine):
+    """DROP SEQUENCE clears _seq_start/_seq_step so a re-created
+    sequence reports its OWN start (pg_sequences + RESTART IDENTITY)."""
+    engine.execute_sql("CREATE SEQUENCE rs2 START 5")
+    engine.execute_sql("DROP SEQUENCE rs2")
+    engine.execute_sql("CREATE SEQUENCE rs2 START 100")
+    rows = engine.execute_sql(
+        "SELECT start_value FROM pg_sequences WHERE sequencename = 'rs2'"
+    ).fetchall()
+    assert rows == [(100,)]
+
+
+def test_dynamic_table_comment_dies_with_drop(engine):
+    engine.execute_sql("CREATE TABLE dynm ()")
+    engine.execute_sql("COMMENT ON TABLE dynm IS 'dyn comment'")
+    assert ("g", "dynm", 0) in engine.catalog.comments
+    engine.execute_sql("DROP TABLE dynm")
+    assert ("g", "dynm", 0) not in engine.catalog.comments
+
+
+def test_identity_seq_comment_dies_with_table(engine):
+    engine.execute_sql(
+        "CREATE TABLE sqc (id BIGINT GENERATED ALWAYS AS IDENTITY)"
+    )
+    engine.execute_sql("COMMENT ON SEQUENCE sqc_id_seq IS 'owned'")
+    engine.execute_sql("DROP TABLE sqc")
+    assert ("S", "sqc_id_seq", 0) not in engine.catalog.comments
