@@ -250,13 +250,17 @@ def main() -> None:
         elapsed = time.perf_counter() - t0
         lats = sorted(t for _, t in latencies)
 
-        def pct(p: float) -> float:
+        def pct(p: float) -> "float | None":
+            # None when zero queries completed inside the window (ADVICE
+            # r12: indexing empty lats crashed the whole run at the end)
+            if not lats:
+                return None
             return round(lats[min(len(lats) - 1, int(p * len(lats)))], 4)
 
         sustained = {
             "seconds": round(elapsed, 2),
             "completed": len(lats),
-            "qps": round(len(lats) / elapsed, 2),
+            "qps": round(len(lats) / elapsed, 2) if elapsed > 0 else 0.0,
             "p50_sec": pct(0.50),
             "p95_sec": pct(0.95),
             "workers": workers,

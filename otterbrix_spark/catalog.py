@@ -1259,11 +1259,58 @@ class Catalog:
         if mcols:
             cols = [c.strip() for c in mcols.group(1).split(",")]
             body = mcols.group(2).strip()
-        rows = self.spark.sql(
-            f"SELECT * FROM ({body}) "
-            if body.upper().startswith("VALUES")
-            else body
+        # PG OVERRIDING clause + GENERATED ALWAYS identity guard — same
+        # semantics as the plain-INSERT path (ADVICE r12: the upsert path
+        # previously accepted explicit values into ALWAYS identity columns
+        # and let OVERRIDING fall through to a raw Spark parse error)
+        overriding = None
+        mov = re.match(
+            r"^OVERRIDING\s+(SYSTEM|USER)\s+VALUE\s+(.+)$",
+            body, re.IGNORECASE | re.DOTALL,
         )
+        if mov:
+            overriding = mov.group(1).upper()
+            body = mov.group(2).strip()
+        idc_all = set(self.identity_cols.get(name, {}))
+        target_cols = cols if cols is not None else list(base.columns)
+        user_handled = False
+        if (
+            overriding == "USER" and idc_all
+            and body.upper().startswith("VALUES")
+        ):
+            # rewrite identity positions to DEFAULT before folding, so the
+            # sequence is consumed exactly once per row
+            body = _values_set_default(body, target_cols, idc_all)
+            user_handled = True
+        ids = self.identity_always.get(name, set())
+        if ids and overriding is None:
+            if body.upper().startswith("VALUES"):
+                bad = _values_explicit_identity(body, target_cols, ids)
+            else:  # SELECT source: every covered column is explicit
+                bad = sorted(ids & set(target_cols))
+            if bad:
+                raise ValueError(
+                    f'cannot insert a non-DEFAULT value into '
+                    f'column "{bad[0]}" (GENERATED ALWAYS AS '
+                    f"IDENTITY); use OVERRIDING SYSTEM VALUE"
+                )
+        if body.upper().startswith("VALUES"):
+            # fold DEFAULT keywords (incl. those written by the USER
+            # rewrite above) into declared defaults, consuming sequences
+            body = self._fold_values_defaults(name, body, cols)
+            rows = self.spark.sql(f"SELECT * FROM ({body}) ")
+        else:
+            rows = self.spark.sql(body)
+        if overriding == "USER" and idc_all and not user_handled:
+            # SELECT source: discard supplied identity values (PG) — the
+            # defaults refill below regenerates them from the sequence
+            if cols is None:
+                cols = list(base.columns[: len(rows.columns)])
+            rows = rows.toDF(*cols)
+            keep = [c for c in cols if c not in idc_all]
+            if keep != cols:
+                rows = rows.select(*keep)
+                cols = keep
         if cols:
             rows = rows.toDF(*cols)
             dfl = self.table_defaults.get(name, {})
@@ -3629,6 +3676,18 @@ class Catalog:
             for c in cons:
                 if c["kind"] == "fk" and c["parent"] not in self.tables:
                     raise ValueError(f"unknown parent table: {c['parent']}")
+            for seq in identity_seqs:
+                if seq in self.sequences:
+                    # the implicit name collides with a live sequence —
+                    # committing would silently reset it. Checked BEFORE
+                    # ManagedTable.create writes the table directory: a
+                    # refused CREATE must not leave an orphan parquet dir
+                    # that _restore_catalog rediscovers as a live,
+                    # unconstrained ghost table (r11 loop 3 + ADVICE r12)
+                    raise ValueError(
+                        f'sequence "{seq}" already exists (implicit '
+                        "identity sequence name collision)"
+                    )
             empty = self.spark.createDataFrame([], schema).repartition(1)
             path = os.path.join(self.base_dir, name.replace(".", "__"))
             if part_cols:
@@ -3654,34 +3713,38 @@ class Catalog:
                 )
             else:
                 table = ManagedTable.create(self.spark, path, empty, name)
-            for seq in identity_seqs:
-                if seq in self.sequences:
-                    # the implicit name collides with a live sequence —
-                    # committing would silently reset it (r11 loop 3)
-                    raise ValueError(
-                        f'sequence "{seq}" already exists (implicit '
-                        "identity sequence name collision)"
-                    )
             self._register(table)
             if cons:
                 self.table_constraints[name] = cons
-            if defaults:
-                # validate now: a broken default should fail at CREATE time
-                # (sequence calls are peeked — substituted with the current
-                # value WITHOUT consuming; the stored text keeps nextval so
-                # INSERTs advance it per row, never a DDL-frozen constant)
-                for col, expr in defaults.items():
-                    peek = re.sub(
-                        r"\b(?:nextval|currval)\s*\(\s*'([\w.]+)'\s*\)",
-                        lambda mm: str(
-                            self.sequences.get(
-                                mm.group(1).replace(".", "__"), 0
-                            )
-                        ),
-                        expr, flags=re.IGNORECASE,
-                    )
-                    self.spark.range(1).select(F.expr(peek).alias(col))
-                self.table_defaults[name] = defaults
+            try:
+                if defaults:
+                    # validate now: a broken default should fail at CREATE
+                    # time (sequence calls are peeked — substituted with the
+                    # current value WITHOUT consuming; the stored text keeps
+                    # nextval so INSERTs advance it per row, never a
+                    # DDL-frozen constant)
+                    for col, expr in defaults.items():
+                        peek = re.sub(
+                            r"\b(?:nextval|currval)\s*\(\s*'([\w.]+)'\s*\)",
+                            lambda mm: str(
+                                self.sequences.get(
+                                    mm.group(1).replace(".", "__"), 0
+                                )
+                            ),
+                            expr, flags=re.IGNORECASE,
+                        )
+                        self.spark.range(1).select(F.expr(peek).alias(col))
+                    self.table_defaults[name] = defaults
+            except Exception:
+                # CREATE is atomic: a failed defaults validation must not
+                # leave a registered half-table or a rediscoverable parquet
+                # dir behind (ADVICE r12 — the old commit-point only rolled
+                # back identity metadata)
+                self.tables.pop(name, None)
+                self.spark.catalog.dropTempView(name)
+                self.table_constraints.pop(name, None)
+                table.drop()
+                raise
             # identity commit point: AFTER defaults validation (the peek
             # above resolves unknown sequences to 0, so validation never
             # needs them live) — a failed CREATE leaks nothing (r11

@@ -3038,3 +3038,88 @@ def test_identity_seq_comment_dies_with_table(engine):
     engine.execute_sql("COMMENT ON SEQUENCE sqc_id_seq IS 'owned'")
     engine.execute_sql("DROP TABLE sqc")
     assert ("S", "sqc_id_seq", 0) not in engine.catalog.comments
+
+
+# -- ADVICE r12 fixes -------------------------------------------------------
+
+
+def test_identity_collision_leaves_no_orphan_dir(engine):
+    """The implicit-sequence collision check runs BEFORE the table
+    directory is written: a refused CREATE must not leave an orphan
+    parquet dir that a reopened catalog rediscovers as a ghost table."""
+    import os
+
+    engine.execute_sql(
+        "CREATE TABLE ghost1 (id BIGINT GENERATED ALWAYS AS IDENTITY)"
+    )
+    engine.execute_sql("ALTER TABLE ghost1 RENAME TO ghost2")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute_sql(
+            "CREATE TABLE ghost1 (id BIGINT GENERATED ALWAYS AS IDENTITY)"
+        )
+    assert "ghost1" not in engine.catalog.tables
+    assert not os.path.isdir(
+        os.path.join(engine.catalog.base_dir, "ghost1")
+    )
+    # a reopened engine over the same directory sees only ghost2
+    reopened = Engine(engine.spark, table_dir=engine.catalog.base_dir)
+    assert "ghost1" not in reopened.catalog.tables
+    assert "ghost2" in reopened.catalog.tables
+
+
+def test_failed_defaults_create_is_atomic(engine):
+    """A CREATE whose DEFAULT expression fails validation unregisters
+    the half-created table AND removes its directory — nothing visible
+    in-session, nothing rediscoverable on reopen."""
+    import os
+
+    with pytest.raises(Exception):
+        engine.execute_sql(
+            "CREATE TABLE halfmade (a BIGINT, v BIGINT DEFAULT no_such_fn())"
+        )
+    assert "halfmade" not in engine.catalog.tables
+    assert "halfmade" not in engine.catalog.table_constraints
+    assert not os.path.isdir(
+        os.path.join(engine.catalog.base_dir, "halfmade")
+    )
+    reopened = Engine(engine.spark, table_dir=engine.catalog.base_dir)
+    assert "halfmade" not in reopened.catalog.tables
+
+
+def test_on_conflict_identity_always_guard(engine):
+    """The GENERATED ALWAYS refusal + OVERRIDING clause apply on the
+    INSERT ... ON CONFLICT path exactly as on plain INSERT (PG raises
+    the same error for upserts)."""
+    engine.execute_sql(
+        "CREATE TABLE ocid (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "k BIGINT UNIQUE, v VARCHAR)"
+    )
+    engine.execute_sql("INSERT INTO ocid (k, v) VALUES (1, 'a')")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        engine.execute_sql(
+            "INSERT INTO ocid (id, k, v) VALUES (99, 2, 'b') "
+            "ON CONFLICT (k) DO NOTHING"
+        )
+    # OVERRIDING SYSTEM VALUE lets the explicit id through
+    engine.execute_sql(
+        "INSERT INTO ocid (id, k, v) OVERRIDING SYSTEM VALUE "
+        "VALUES (99, 2, 'b') ON CONFLICT (k) DO NOTHING"
+    )
+    assert engine.execute_sql(
+        "SELECT id FROM ocid WHERE k = 2"
+    ).fetchall() == [(99,)]
+    # OVERRIDING USER VALUE discards the supplied id for the sequence
+    engine.execute_sql(
+        "INSERT INTO ocid (id, k, v) OVERRIDING USER VALUE "
+        "VALUES (1234, 3, 'c') ON CONFLICT (k) DO NOTHING"
+    )
+    got = engine.execute_sql("SELECT id FROM ocid WHERE k = 3").fetchall()
+    assert got and got[0][0] != 1234
+    # the conflict arm still updates (guard must not break normal upserts)
+    engine.execute_sql(
+        "INSERT INTO ocid (k, v) VALUES (1, 'z') "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v"
+    )
+    assert engine.execute_sql(
+        "SELECT v FROM ocid WHERE k = 1"
+    ).fetchall() == [("z",)]
