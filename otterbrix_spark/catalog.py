@@ -300,27 +300,46 @@ def _values_tuples(body: str) -> "tuple[str, list[str]] | None":
     return m.group(1), _split_top_level(m.group(2))
 
 
-def _values_set_default(body: str, target_cols: list, idc: set) -> str:
-    """Rewrite every identity-column position of every VALUES tuple to
-    the DEFAULT keyword (PG OVERRIDING USER VALUE: supplied values are
-    discarded in favour of the sequence — and folding the keyword keeps
-    the sequence consumption at exactly one value per row)."""
+def _map_values_items(body: str, fn) -> "str | None":
+    """THE string-aware VALUES-tuple walker (consolidates the three
+    formerly-triplicated walkers — identity→DEFAULT rewriting, the
+    GENERATED ALWAYS refusal scan, and DEFAULT-keyword folding; VERDICT
+    r11 #3). Applies ``fn(item_index, item_text) -> new_item_text`` to
+    every top-level item of every VALUES tuple; splitting is quote- and
+    paren-aware via _split_top_level, so commas/parens/keywords inside
+    string literals never act as boundaries. Non-parenthesised rows pass
+    through untouched. Returns the rebuilt body, or None when the body
+    is not a VALUES list."""
     parsed = _values_tuples(body)
     if parsed is None:
-        return body
+        return None
     prefix, tups = parsed
     out = []
     for tup in tups:
         t = tup.strip()
         if not (t.startswith("(") and t.endswith(")")):
-            out.append(tup)
+            out.append(t)
             continue
         items = _split_top_level(t[1:-1])
-        for i in range(len(items)):
-            if i < len(target_cols) and target_cols[i] in idc:
-                items[i] = " DEFAULT"
-        out.append("(" + ",".join(items) + ")")
-    return prefix + ", ".join(s.strip() for s in out)
+        items = [fn(i, it) for i, it in enumerate(items)]
+        out.append("(" + ", ".join(s.strip() for s in items) + ")")
+    return prefix + ", ".join(out)
+
+
+def _values_set_default(body: str, target_cols: list, idc: set) -> str:
+    """Rewrite every identity-column position of every VALUES tuple to
+    the DEFAULT keyword (PG OVERRIDING USER VALUE: supplied values are
+    discarded in favour of the sequence — and folding the keyword keeps
+    the sequence consumption at exactly one value per row)."""
+    out = _map_values_items(
+        body,
+        lambda i, it: (
+            "DEFAULT"
+            if i < len(target_cols) and target_cols[i] in idc
+            else it
+        ),
+    )
+    return body if out is None else out
 
 
 def _values_explicit_identity(
@@ -330,22 +349,19 @@ def _values_explicit_identity(
     any VALUES tuple — the GENERATED ALWAYS refusal set. Item-exact:
     only the bare DEFAULT keyword passes, so string literals containing
     the word or parens inside expressions cannot confuse the check."""
-    parsed = _values_tuples(body)
-    if parsed is None:
-        return sorted(ids & set(target_cols))
     bad: set = set()
-    for tup in parsed[1]:
-        t = tup.strip()
-        if not (t.startswith("(") and t.endswith(")")):
-            continue
-        items = _split_top_level(t[1:-1])
-        for i, item in enumerate(items):
-            if (
-                i < len(target_cols)
-                and target_cols[i] in ids
-                and item.strip().upper() != "DEFAULT"
-            ):
-                bad.add(target_cols[i])
+
+    def scan(i: int, item: str) -> str:
+        if (
+            i < len(target_cols)
+            and target_cols[i] in ids
+            and item.strip().upper() != "DEFAULT"
+        ):
+            bad.add(target_cols[i])
+        return item
+
+    if _map_values_items(body, scan) is None:
+        return sorted(ids & set(target_cols))
     return sorted(bad)
 
 
@@ -4435,26 +4451,21 @@ class Catalog:
             return body
         targets = cols or [f.name for f in self.tables[name].df().schema.fields]
         dfl = self.table_defaults.get(name, {})
-        rows_txt = body[len("VALUES"):]
-        out_rows = []
-        for row in _split_top_level(rows_txt):
-            row = row.strip()
-            if not (row.startswith("(") and row.endswith(")")):
-                out_rows.append(row)
-                continue
-            items = _split_top_level(row[1:-1])
-            folded = [
+        folded = _map_values_items(
+            body,
+            lambda i, it: (
                 dfl.get(targets[i], "NULL")
                 if it.strip().upper() == "DEFAULT" and i < len(targets)
-                else it.strip()
-                for i, it in enumerate(items)
-            ]
-            out_rows.append("(" + ", ".join(folded) + ")")
+                else it
+            ),
+        )
+        if folded is None:
+            return body
         # folded defaults may carry sequence calls; each occurrence (one
         # per DEFAULT row slot) consumes its own value — per-row PG
         # semantics fall out naturally, and the caller's spark.sql parse
         # never sees an unresolvable nextval()
-        return self._consume_seq_text("VALUES " + ", ".join(out_rows))
+        return self._consume_seq_text(folded)
 
     def _copy(self, m: re.Match) -> DataFrame:
         """Execute a matched COPY statement (see route() for semantics)."""

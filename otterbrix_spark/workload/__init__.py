@@ -81,38 +81,40 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # (tests/test_workload_oracle.py) at three SFs every round.
 _FRONT_WINDOW = [
     "q01_pricing_summary",
-    # round-11 window (VERDICT r10 Next #1): drain ALL 22 remaining
-    # never-driver-sampled round-10 gates — after this window every
-    # gate in the registry has a driver row at least once
-    "c31_value_histogram",
-    "ds62_channel_overlap_full_outer", "ds63_returns_excluded_ratio",
-    "ds64_frequent_best_cross", "ds65_dual_rank_return_ratio",
-    "e21_int8_quantization", "e22_matryoshka_recall",
-    "g13_cusum_changepoints", "l20_weighted_bounded_path",
-    "m10_audio_vad_segments", "o02_order_by_nulls_comments",
-    "s25_streaming_closure", "s26_closure_restart",
-    "t21_rag_chunking", "t22_quality_funnel",
-    "w10_groups_frame_exclude",
-    "x20_fk_set_null", "x21_restart_persistence", "x22_positioned_dml",
-    "x23_conditional_upsert", "x24_delete_using", "x25_partitioned_table",
-    # round-11 new gates (slots fill as they land; missing names skip):
-    # JOB join-topology depth (VERDICT #2), TPC-DS tail (#4),
-    # ClickBench string/URL tail (#5)
-    "b21_chain8_correlated", "b22_fanout_star_lowsel",
-    "b23_dual_hub_bridge", "b24_cycle_closure", "b25_snowflake_deep",
-    "b26_chain_antifilter", "b27_star_union_dims", "b28_self_role_chain",
-    "b29_diamond_paths", "b30_bushy_two_stars",
-    "ds66_iceberg_cte_cross_channel", "ds67_multi_year_megajoin",
-    "ds68_promo_nonpromo_ratio", "ds69_state_sequence_flips",
-    "ds70_web_sales_gap", "ds71_catalog_channel_affinity",
-    "c32_url_regex_classify", "c33_phrase_rank_multiterm",
-    "c34_adblock_ratio_bands", "c35_interval_minute_histogram",
+    # round-12 window (VERDICT r11 Next #1): drain ALL 13 remaining
+    # never-driver-sampled round-11 gates — a01 now carries a
+    # tolerance-banded exact oracle (first clean driver row); after
+    # this window every gate in the registry has a driver row again
+    "a01_approx_distinct",
+    "ds72_volatility_band", "e23_mmr_diversity_rerank", "g14_seasonal_dow_decomposition",
+    "m11_perceptual_hash_dedup", "p13_temperature_mix",
+    "q104_array_slice", "s27_streaming_quantile_histogram",
+    "t23_bigram_lm_fluency", "w11_time_range_trailing",
+    "x26_scroll_cursor", "x27_identity_columns", "x28_comment_on",
+    # round-12 new gates (slots fill as they land; missing names skip):
+    # JOB second batch (VERDICT #4), LDBC SNB BI drip (#5),
+    # TPC-DS tail (#6)
+    "b31_bushy_triple_fact", "b32_skewed_fan_dims",
+    "b33_role_bridge_pentagon", "b34_two_cycle_overlap",
+    "b35_filtered_fact_ladder", "b36_semi_bushy_mix",
+    "b37_star_in_star", "b38_wide_dim_clique",
+    "bi01_message_cascade", "bi02_community_activity",
+    "bi03_interaction_decay", "bi04_path_length_dist",
+    "bi05_zombie_accounts",
+    "ds73_cross_channel_ratio", "ds74_rollup_channel_sales",
+    "ds75_repeat_purchase_span", "ds76_inventory_turns",
+    "ds77_first_last_affinity",
     # heavy-family re-samples (previously driver-green; keep hot
     # families under continuous driver observation)
     "d04_minhash_signature", "e10_ivf_trained_index",
     "s10_streaming_restart", "ds17_frequent_crossshop",
     "l14_pagerank_fixed_point", "h04_join_rollup",
-    "x03_merge_statement",
+    "x03_merge_statement", "b25_snowflake_deep",
+    "ds67_multi_year_megajoin", "c32_url_regex_classify",
+    "m10_audio_vad_segments", "t21_rag_chunking",
+    "w10_groups_frame_exclude", "x22_positioned_dml",
+    "s25_streaming_closure", "g13_cusum_changepoints",
+    "e21_int8_quantization", "l20_weighted_bounded_path",
 ]
 
 

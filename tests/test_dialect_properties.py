@@ -225,3 +225,104 @@ def test_interval_arithmetic_and_prefix_ops_untouched():
         "SELECT o_orderdate - '3 days' FROM orders"
     )
     assert "~5" in rewrite("SELECT ~5 FROM t")  # prefix bitwise NOT
+
+
+# -- consolidated VALUES-tuple walker (VERDICT r11 #3) -----------------------
+# One string-aware walker now backs identity→DEFAULT rewriting, the
+# GENERATED ALWAYS refusal scan, and DEFAULT-keyword folding. The property:
+# for ANY adversarial tuple items (quotes, escaped quotes, commas and
+# parens inside strings, the word DEFAULT inside literals/expressions),
+# all three walkers agree on item boundaries and touch exactly the
+# positions they should.
+
+_ADVERSARIAL_ITEMS = st.sampled_from([
+    "1",
+    "'a'",
+    "'it''s, (a'",
+    "'DEFAULT'",
+    "' DEFAULT '",
+    "concat('a,b', ')', 'DEFAULT')",
+    "coalesce(NULL, 'x))')",
+    "DEFAULT",
+    "default",
+    "  DEFAULT  ",
+    "1 + (2 * 3)",
+    "'quote''end'",
+    "upper('default,default')",
+])
+
+
+@given(
+    rows=st.lists(
+        st.lists(_ADVERSARIAL_ITEMS, min_size=1, max_size=5),
+        min_size=1, max_size=4,
+    ),
+    idpos=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_values_walkers_agree_on_adversarial_tuples(rows, idpos):
+    from otterbrix_spark.catalog import (
+        _map_values_items,
+        _split_top_level,
+        _values_explicit_identity,
+        _values_set_default,
+        _values_tuples,
+    )
+
+    width = len(rows[0])
+    rows = [r[:width] + ["1"] * (width - len(r)) for r in rows]
+    body = "VALUES " + ", ".join(
+        "(" + ", ".join(r) + ")" for r in rows
+    )
+    cols = [f"c{i}" for i in range(width)]
+
+    # walker identity: fn = no-op preserves every item (mod whitespace)
+    rebuilt = _map_values_items(body, lambda i, it: it)
+    assert rebuilt is not None
+    out_rows = [
+        _split_top_level(t.strip()[1:-1])
+        for t in _values_tuples(rebuilt)[1]
+    ]
+    assert [
+        [x.strip() for x in r] for r in out_rows
+    ] == [[x.strip() for x in r] for r in rows]
+
+    # refusal scan flags exactly the columns holding a non-bare-DEFAULT
+    # item in some tuple
+    idc = {cols[min(idpos, width - 1)]}
+    expect_bad = sorted(
+        c for j, c in enumerate(cols) if c in idc and any(
+            r[j].strip().upper() != "DEFAULT" for r in rows
+        )
+    )
+    assert _values_explicit_identity(body, cols, idc) == expect_bad
+
+    # identity rewrite: flagged positions become DEFAULT, all other
+    # items survive byte-identically (mod whitespace); after the
+    # rewrite the refusal scan must be clean
+    rewritten = _values_set_default(body, cols, idc)
+    assert _values_explicit_identity(rewritten, cols, idc) == []
+    rew_rows = [
+        [x.strip() for x in _split_top_level(t.strip()[1:-1])]
+        for t in _values_tuples(rewritten)[1]
+    ]
+    for orig, rew in zip(rows, rew_rows):
+        for j, (o, r) in enumerate(zip(orig, rew)):
+            if cols[j] in idc:
+                assert r == "DEFAULT"
+            else:
+                assert r == o.strip()
+
+
+def test_values_walker_non_values_body():
+    from otterbrix_spark.catalog import (
+        _map_values_items,
+        _values_explicit_identity,
+        _values_set_default,
+    )
+
+    sel = "SELECT 1 AS a, 'VALUES (x)' AS b"
+    assert _map_values_items(sel, lambda i, it: it) is None
+    assert _values_set_default(sel, ["a", "b"], {"a"}) == sel
+    # SELECT source: every covered column counts as explicit
+    assert _values_explicit_identity(sel, ["a", "b"], {"a"}) == ["a"]
