@@ -191,26 +191,41 @@ def main() -> None:
     # not deployment behaviour. The sequential metric above keeps
     # per-rep construction inside the timer (end-to-end latency incl.
     # planning, cross-round comparable).
-    def _concurrent_pass() -> tuple[float, dict]:
+    def _concurrent_pass() -> tuple[float, dict, dict]:
+        # per-query decomposition (VERDICT r11 #2): each thread times its
+        # own collect, so the batch number can be attributed — a query's
+        # concurrent latency includes slot contention, which is the point
         before = _cpu_times()
         best = float("inf")
+        best_lat: dict[str, float] = {}
         for _ in range(3):
             fresh = {n: headline[n].spark_fn(spark, sf_dir) for n in names}
             for df in fresh.values():
                 df._jdf.queryExecution().executedPlan()
 
+            lat: dict[str, float] = {}
+
+            def run_one(n: str) -> None:
+                t0 = time.perf_counter()
+                fresh[n].collect()
+                lat[n] = round(time.perf_counter() - t0, 4)
+
             start = time.perf_counter()
             with ThreadPoolExecutor(max_workers=len(names)) as ex:
-                list(ex.map(lambda n: fresh[n].collect(), names))
-            best = min(best, time.perf_counter() - start)
-        return round(best, 4), _pass_shares(before, _cpu_times())
+                list(ex.map(run_one, names))
+            took = time.perf_counter() - start
+            if took < best:
+                best, best_lat = took, lat
+        return round(best, 4), _pass_shares(before, _cpu_times()), best_lat
 
-    concurrent_best, conc_shares = _concurrent_pass()
+    concurrent_best, conc_shares, conc_lat = _concurrent_pass()
     conc_stolen = conc_shares["steal_share"] > _STEAL_FLAG
     if conc_stolen:
-        retry_best, retry_shares = _concurrent_pass()
+        retry_best, retry_shares, retry_lat = _concurrent_pass()
         if retry_shares["steal_share"] <= conc_shares["steal_share"]:
-            concurrent_best, conc_shares = retry_best, retry_shares
+            concurrent_best, conc_shares, conc_lat = (
+                retry_best, retry_shares, retry_lat,
+            )
             conc_stolen = retry_shares["steal_share"] > _STEAL_FLAG
 
     # optional sustained-throughput pass (bench.py --sustained [secs]):
@@ -274,6 +289,9 @@ def main() -> None:
                 # PRIMARY metric (round-9 policy): the concurrent batch —
                 # deployment-shaped, amortises fixed per-job driver overhead
                 "value_concurrent": concurrent_best,
+                # per-query latency inside the best concurrent rep
+                # (includes slot contention — attribution, not a sum)
+                "concurrent_queries": conc_lat,
                 # sequential total, kept for cross-round comparability
                 "value": total,
                 "unit": "sec",

@@ -10494,3 +10494,1201 @@ def w11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us")
     )
+
+
+# =============================================================================
+# Round-12 JOB second batch (VERDICT r11 #4): the remaining join-order
+# stress classes from the reference's 113-query JOB corpus
+# (`/root/reference/benchmark/SOURCES.md:12-13`, `benchmark/job/`) —
+# deeper bushy trees, triple-fact bridges, many-to-many dims with skewed
+# fan — re-expressed on the synthetic corpus with the same topology.
+# =============================================================================
+
+
+# --- b31: bushy triple-fact bridge -------------------------------------------
+# JOB's triple-fact class bridges three fact roles through the same key
+# (movie_info x movie_keyword x cast_info all on title). Three filtered
+# lineitem roles bridge on orderkey: the plan must reduce EACH role by
+# its own filter before any bridge, and keep the tree bushy — a
+# left-deep chain through the unfiltered fact would build the largest
+# possible intermediate twice.
+
+_B31_ORACLE = """
+SELECT MIN(p.p_name) AS min_part,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l1
+JOIN part p   ON p.p_partkey = l1.l_partkey AND p.p_type = 'PROMO'
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            AND o.o_orderpriority = '2-HIGH'
+JOIN lineitem l2 ON l2.l_orderkey = o.o_orderkey AND l2.l_linestatus = 'O'
+JOIN lineitem l3 ON l3.l_orderkey = o.o_orderkey AND l3.l_quantity > 45
+WHERE l1.l_returnflag = 'R'
+"""
+
+
+@query(
+    "b31_bushy_triple_fact", _B31_ORACLE,
+    doc="JOB triple-fact bridge: three filtered lineitem roles bridged "
+        "on orderkey — each role reduced by its own filter first, bushy "
+        "(l1xpart-orders) |><| (l2 |><| l3) tree, never a left-deep "
+        "chain through the unfiltered fact",
+)
+def b31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "2-HIGH"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k1"), "l_partkey"
+    )
+    l2 = li.filter(F.col("l_linestatus") == "O").select(
+        F.col("l_orderkey").alias("k2")
+    )
+    l3 = li.filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("k3")
+    )
+    # left tree: the most selective role (R-flag + PROMO part + 2-HIGH
+    # order) collapses to the small bridge key set
+    left = (
+        l1.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(orders, F.col("k1") == orders.o_orderkey)
+    )
+    # right tree: the two remaining roles bridge each other first
+    right = l2.join(l3, F.col("k2") == F.col("k3"))
+    return (
+        left.join(right, F.col("k1") == F.col("k2"))
+        .agg(
+            F.min("p_name").alias("min_part"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- b32: many-to-many dims with skewed fan -----------------------------------
+# JOB's many-to-many class joins two dimension tables through a shared
+# low-cardinality attribute (company x keyword through movie): a
+# genuinely m:n equi-join whose fan is skewed (nation sizes differ).
+# The smaller side (supplier) is dimension-sized at EVERY scale, so the
+# join is a broadcast m:n with aggregated output — the fan never
+# materialises beyond the aggregation buffers; AQE's skew split handles
+# the residual key imbalance at cluster scale.
+
+_B32_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_custs,
+       CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_supps
+FROM customer c
+JOIN supplier s ON s.s_nationkey = c.c_nationkey
+               AND c.c_acctbal > s.s_acctbal
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > 8000 AND s.s_acctbal > 5000
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@query(
+    "b32_skewed_fan_dims", _B32_ORACLE,
+    doc="JOB many-to-many dim class: customer x supplier on the skewed "
+        "nation key with a theta band (c_acctbal > s_acctbal) — "
+        "broadcast m:n against the dimension-sized supplier side, "
+        "output aggregated, fan never materialised",
+)
+def b32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 8000
+    )
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 5000
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(supp),
+            (cust.c_nationkey == supp.s_nationkey)
+            & (cust.c_acctbal > supp.s_acctbal),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("c_custkey").cast("long").alias("n_custs"),
+            F.countDistinct("s_suppkey").cast("long").alias("n_supps"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- b33: pentagon closure (role bridge) --------------------------------------
+# JOB's cycle class closes a relation chain with a second edge between
+# its endpoints (company country = movie country). The chain customer ->
+# orders -> lineitem -> supplier closes with c_nationkey = s_nationkey:
+# the plan must treat the closure as a post-join filter on the two
+# nation columns, never as a join reordering trap.
+
+_B33_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_custs
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'A'
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@query(
+    "b33_role_bridge_pentagon", _B33_ORACLE,
+    doc="JOB cycle-closure class: customer->orders->lineitem->supplier "
+        "chain closed by same-nation edge — closure applied inside the "
+        "supplier hash join, dims broadcast",
+)
+def b33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "A"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.countDistinct("c_custkey").cast("long").alias("n_custs"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- b34: two overlapping cycles sharing an edge ------------------------------
+# JOB's hardest cyclic queries overlap two closures on one shared join
+# edge. Cycle A: orders-lineitem-part closed by the theta edge
+# p_retailprice > o_totalprice / 20. Cycle B: the same orders-lineitem
+# edge extended to supplier and closed by s_nationkey = 3. Both
+# closures are filters over one join spine — the plan must build the
+# spine ONCE.
+
+_B34_ORACLE = """
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(p.p_name) AS min_part
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+               AND p.p_retailprice * 20 > o.o_totalprice
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = 3
+WHERE l.l_linestatus = 'F' AND p.p_size <= 10
+GROUP BY o.o_orderpriority
+ORDER BY priority
+"""
+
+
+@query(
+    "b34_two_cycle_overlap", _B34_ORACLE,
+    doc="JOB overlapping-cycle class: part-price and supplier-nation "
+        "closures over one orders-lineitem spine — spine built once, "
+        "both closures applied as join-side predicates",
+)
+def b34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus") == "F"
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 3
+    )
+    spine = li.join(
+        F.broadcast(supp), li.l_suppkey == supp.s_suppkey
+    ).join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        spine.join(
+            F.broadcast(part),
+            (spine.l_partkey == part.p_partkey)
+            & (part.p_retailprice * 20 > spine.o_totalprice),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("p_name").alias("min_part"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- b35: filtered-fact ladder -------------------------------------------------
+# JOB's ladder class: every hop of a 4-relation chain carries its own
+# moderately selective filter; the optimizer's job is ordering by
+# CUMULATIVE selectivity. The date filter on the fact dominates, then
+# status, then segment, then the region literal.
+
+_B35_ORACLE = """
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+               AND o.o_orderstatus = 'F'
+JOIN customer c ON c.c_custkey = o.o_custkey
+               AND c.c_mktsegment = 'MACHINERY'
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+WHERE l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate <  DATE '1997-01-01'
+GROUP BY o.o_orderpriority
+ORDER BY priority
+"""
+
+
+@query(
+    "b35_filtered_fact_ladder", _B35_ORACLE,
+    doc="JOB ladder class: per-hop filters on all four chain relations "
+        "— scan-level pushdown on the fact's date range, dim arms "
+        "collapsed to broadcast key sets",
+)
+def b35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cust_asia = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    return (
+        orders.join(cust_asia, orders.o_custkey == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --- b36: semi/anti/inner mixed tree -------------------------------------------
+# JOB's negated+positive existence mix: one arm requires a matching
+# fact row (EXISTS -> LeftSemi), another forbids one (NOT EXISTS ->
+# LeftAnti), the spine stays inner. Both existence arms are reduced
+# fact projections; the plan must keep them hash joins on orderkey.
+
+_B36_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > 49)
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+@query(
+    "b36_semi_bushy_mix", _B36_ORACLE,
+    doc="JOB existence-mix class: EXISTS (LeftSemi) + NOT EXISTS "
+        "(LeftAnti) arms on one inner spine — both arms reduced fact "
+        "projections, hash-joined on orderkey",
+)
+def b36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    huge = li.filter(F.col("l_quantity") > 49).select(
+        F.col("l_orderkey").alias("h_okey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .join(huge, orders.o_orderkey == F.col("h_okey"), "left_anti")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("segment")
+    )
+
+
+# --- b37: star-in-star (composite dimension) ------------------------------------
+# JOB's nested-star class: a dimension that is itself the centre of a
+# sub-star (title with its kind/year dims). Orders + customer + nation
+# form a composite "order profile" dimension; the profile must collapse
+# to a key set BEFORE the fact join — joining lineitem first would drag
+# 4x the rows through every dim hop.
+
+_B37_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND c.c_acctbal > 5000
+  AND l.l_returnflag = 'N'
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@query(
+    "b37_star_in_star", _B37_ORACLE,
+    doc="JOB nested-star class: orders+customer+nation collapse to a "
+        "composite order-profile dimension before the fact join",
+)
+def b37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "N"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 5000
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    profile = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "n_name")
+    )
+    return (
+        li.join(profile, li.l_orderkey == profile.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- b38: wide dimension clique --------------------------------------------------
+# JOB's widest queries join one fact to MANY dims and then correlate
+# the dims with each other (company country = title country AND actor
+# age < director age). Here all four dims attach to lineitem and two
+# cross-dim predicates (same nation, customer richer than supplier)
+# correlate them post-join.
+
+_B38_ORACLE = """
+SELECT p.p_type AS ptype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_supps
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_size <= 5
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+               AND c.c_nationkey = s.s_nationkey
+               AND c.c_acctbal > s.s_acctbal
+GROUP BY p.p_type
+ORDER BY ptype
+"""
+
+
+@query(
+    "b38_wide_dim_clique", _B38_ORACLE,
+    doc="JOB wide-clique class: four dims on one fact plus cross-dim "
+        "predicates (same nation, acctbal band) applied inside the "
+        "customer join — dims broadcast, no dim-x-dim join",
+)
+def b38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey)
+            & (cust.c_acctbal > supp.s_acctbal),
+        )
+        .groupBy(F.col("p_type").alias("ptype"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("s_suppkey").cast("long").alias("n_supps"),
+        )
+        .orderBy("ptype")
+    )
+
+
+# =============================================================================
+# Round-12 TPC-DS tail (VERDICT r11 #6): the remaining distinct template
+# classes from the reference's TPC-DS corpus (`benchmark/tpcds/`) —
+# Q78's cross-channel ratio, the rollup-over-channel variants, repeat-
+# purchase spans, the two-level inventory-turn reduction, and the
+# first/last-affinity cohort matrix.
+# =============================================================================
+
+
+# --- ds73: TPC-DS Q78 cross-channel ratio --------------------------------------
+# Q78 aggregates each channel per (customer, year) EXCLUDING returned
+# rows, joins the channels, and ratios them. Channels map to order
+# priority classes (urgent = web, rest = store). The ratio stays in
+# integer space (cents * 100 // cents) so the band census hash-matches.
+
+_DS73_ORACLE = """
+WITH sales AS (
+  SELECT o.o_custkey AS cust,
+         CAST(YEAR(o.o_orderdate) AS INT) AS yr,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'web' ELSE 'store' END AS channel,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag <> 'R'
+  GROUP BY 1, 2, 3
+),
+paired AS (
+  SELECT w.cust, w.yr,
+         CAST(w.cents * 100 // s.cents AS BIGINT) AS ratio_pct
+  FROM sales w JOIN sales s
+    ON s.cust = w.cust AND s.yr = w.yr
+   AND w.channel = 'web' AND s.channel = 'store' AND s.cents > 0
+)
+SELECT yr,
+       CAST(LEAST(ratio_pct // 50, 4) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_custs
+FROM paired GROUP BY 1, 2 ORDER BY yr, band
+"""
+
+
+@query(
+    "ds73_cross_channel_ratio", _DS73_ORACLE,
+    doc="TPC-DS Q78 class: per-(customer, year) channel aggregates "
+        "(returns excluded) joined web-vs-store and ratio-banded — two "
+        "partial aggregates on the same grain, one equi-join, integer "
+        "ratio census",
+)
+def ds73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") != "R"
+    )
+    sales = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "web"
+            ).otherwise("store").alias("channel"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100.0).cast("long"))
+            .cast("long").alias("cents")
+        )
+    )
+    web = sales.filter(F.col("channel") == "web").select(
+        "cust", "yr", F.col("cents").alias("w_cents")
+    )
+    store = sales.filter(
+        (F.col("channel") == "store") & (F.col("cents") > 0)
+    ).select(
+        F.col("cust").alias("s_cust"), F.col("yr").alias("s_yr"),
+        F.col("cents").alias("s_cents"),
+    )
+    paired = web.join(
+        store,
+        (F.col("cust") == F.col("s_cust")) & (F.col("yr") == F.col("s_yr")),
+    ).select(
+        "yr",
+        F.least(
+            F.expr("(w_cents * 100) DIV s_cents DIV 50"), F.lit(4)
+        ).cast("long").alias("band"),
+    )
+    return (
+        paired.groupBy("yr", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_custs"))
+        .orderBy("yr", "band")
+    )
+
+
+# --- ds74: rollup-over-channel sales (Q5/Q77 class) ----------------------------
+# The rollup-over-channel variants UNION per-channel frames (each its
+# own source and netting rule) and ROLLUP over (channel, year): gross
+# minus returned cents netted per channel first, super-aggregates from
+# the same shuffle.
+
+_DS74_ORACLE = """
+WITH per_channel AS (
+  SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'web' ELSE 'store' END AS channel,
+         CAST(YEAR(o.o_orderdate) AS INT) AS yr,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                       THEN -CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)
+                       ELSE CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)
+                  END) AS BIGINT) AS net_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT channel, yr,
+       CAST(GROUPING(channel) * 2 + GROUPING(yr) AS INT) AS gid,
+       CAST(SUM(net_cents) AS BIGINT) AS net_cents,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines
+FROM per_channel
+GROUP BY ROLLUP (channel, yr)
+ORDER BY gid, channel, yr
+"""
+
+
+@query(
+    "ds74_rollup_channel_sales", _DS74_ORACLE,
+    doc="TPC-DS rollup-over-channel class (Q5/Q77): per-channel netted "
+        "frames rolled up over (channel, year) with GROUPING markers — "
+        "returns netted map-side, super-aggregates from one shuffle",
+)
+def ds74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0).cast("long")
+    per = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "web"
+            ).otherwise("store").alias("channel"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", -cents).otherwise(cents)
+            ).cast("long").alias("net_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    rolled = per.rollup("channel", "yr").agg(
+        # grouping() markers are only legal INSIDE the rollup aggregate
+        (F.grouping("channel") * 2 + F.grouping("yr"))
+        .cast("int").alias("gid"),
+        F.sum("net_cents").cast("long").alias("net_cents"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+    )
+    return rolled.select(
+        "channel", "yr", "gid", "net_cents", "n_lines"
+    ).orderBy("gid", "channel", "yr")
+
+
+# --- ds75: repeat-purchase span (Q21-ish behavioural class) ---------------------
+# Per (customer, brand): first/last purchase dates and the repeat
+# census — the two-key grain reduces the fact once; the census is a
+# second tiny aggregate over the reduced frame.
+
+_DS75_ORACLE = """
+WITH spans AS (
+  SELECT o.o_custkey AS cust, p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n_buys,
+         DATE_DIFF('day', MIN(o.o_orderdate), MAX(o.o_orderdate)) AS span_days
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p   ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(CASE WHEN n_buys >= 3 AND span_days > 365
+                       THEN 1 END) AS BIGINT) AS loyal_custs
+FROM spans GROUP BY brand ORDER BY brand
+"""
+
+
+@query(
+    "ds75_repeat_purchase_span", _DS75_ORACLE,
+    doc="TPC-DS repeat-purchase class: (customer, brand) grain reduced "
+        "once (min/max date + count), loyalty census over the reduced "
+        "frame — two aggregates, no window",
+)
+def ds75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    spans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buys"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .alias("span_days"),
+        )
+    )
+    return (
+        spans.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count(
+                F.when((F.col("n_buys") >= 3) & (F.col("span_days") > 365), 1)
+            ).cast("long").alias("loyal_custs"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- ds76: inventory turns (Q39-adjacent two-level temporal reduction) ----------
+# Weekly quantity per (brand, week) first — the only fact-sized
+# shuffle — then annualised turns per brand over the tiny weekly frame:
+# turns = total qty // avg weekly qty, banded. Differs from ds72 (Q39
+# variance band): this is the two-level mean-reduction shape.
+
+_DS76_ORACLE = """
+WITH weekly AS (
+  SELECT p.p_brand AS brand,
+         DATE_TRUNC('week', l.l_shipdate)::DATE AS wk,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_weeks,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(MAX(qty) * 100 // MIN(qty) AS BIGINT) AS peak_over_trough_pct,
+       MIN(CASE WHEN qty = mx THEN wk END) AS peak_week
+FROM (SELECT *, MAX(qty) OVER (PARTITION BY brand) AS mx FROM weekly)
+GROUP BY brand ORDER BY brand
+"""
+
+
+@query(
+    "ds76_inventory_turns", _DS76_ORACLE,
+    doc="TPC-DS Q39-adjacent two-level reduction: weekly qty per "
+        "(brand, week) once, then brand-level peak-to-trough band and "
+        "deterministic peak week over the tiny weekly frame",
+)
+def ds76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    weekly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date(F.date_trunc("week", F.col("l_shipdate"))).alias("wk"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    return (
+        weekly.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.expr("MAX(qty) * 100 DIV MIN(qty)")
+            .cast("long").alias("peak_over_trough_pct"),
+            F.min(
+                F.struct((-F.col("qty")).alias("nq"), F.col("wk").alias("wk"))
+            ).alias("_pk"),
+        )
+        .select(
+            "brand", "n_weeks", "total_qty", "peak_over_trough_pct",
+            F.col("_pk")["wk"].alias("peak_week"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- ds77: first/last priority affinity (Q54-ish cohort matrix) -----------------
+# Per customer: the priority of the FIRST and LAST order (deterministic
+# argmin/argmax via (date, orderkey) struct — orderkey is unique), then
+# the cohort transition matrix. One fact-grain aggregate, one tiny
+# census.
+
+_DS77_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey AS cust, o_orderpriority AS prio,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+           AS rn_last
+  FROM orders
+),
+fl AS (
+  SELECT f.cust,
+         f.prio AS first_prio,
+         l.prio AS last_prio
+  FROM ranked f JOIN ranked l
+    ON l.cust = f.cust AND f.rn_first = 1 AND l.rn_last = 1
+)
+SELECT first_prio, last_prio, CAST(COUNT(*) AS BIGINT) AS n_custs
+FROM fl GROUP BY 1, 2 ORDER BY first_prio, last_prio
+"""
+
+
+@query(
+    "ds77_first_last_affinity", _DS77_ORACLE,
+    doc="TPC-DS Q54-ish cohort matrix: deterministic first/last order "
+        "priority per customer via min/max (date, orderkey, priority) "
+        "struct — ONE aggregate, no window, no self-join on the Spark "
+        "side; the oracle replays it with two ranking windows",
+)
+def ds77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fl = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(
+            F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+        )["o_orderpriority"].alias("first_prio"),
+        F.max(
+            F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+        )["o_orderpriority"].alias("last_prio"),
+    )
+    return (
+        fl.groupBy("first_prio", "last_prio")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_custs"))
+        .orderBy("first_prio", "last_prio")
+    )
+
+
+# =============================================================================
+# Round-12 LDBC SNB BI drip (VERDICT r11 #5): the thinnest corpus
+# (reference `benchmark/SOURCES.md:18-19`, `benchmark/ldbc/`) — message
+# cascades (BI-17), community activity growth (BI-3), interaction-decay
+# pair scores (BI-14), shortest-path-length distribution (BI-16) and
+# the zombie-account census (BI-13), re-expressed on the events table.
+# The social graph analogue: users co-occurring in a (event_type, hour)
+# cell interact; cells above a df cap are dropped (the same hot-key
+# discipline as l15 — a viral cell's pair set is quadratic and carries
+# no discriminative signal).
+# =============================================================================
+
+
+# --- bi01: message cascade (LDBC BI-17 class) ---------------------------------
+# Influence edge u -> v per event_type: v's FIRST event of the type
+# falls within 10 minutes after u's first. Cascade = depth-bounded
+# reachability from the type's earliest adopter. The reduced frame
+# (one row per user x type) is vocabulary-sized: |users| x 5 — the
+# recursion runs on THAT, never on raw events.
+
+_BI01_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, event_type, epoch_us(MIN(ts)) AS fus
+  FROM events GROUP BY 1, 2
+),
+root AS (
+  SELECT event_type, user_id, fus
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY fus, user_id) AS rn
+        FROM firsts)
+  WHERE rn = 1
+),
+d1 AS (
+  SELECT DISTINCT f.event_type, f.user_id, f.fus
+  FROM firsts f JOIN root r ON r.event_type = f.event_type
+  WHERE f.fus > r.fus AND f.fus <= r.fus + 600000000
+),
+d2 AS (
+  SELECT DISTINCT f.event_type, f.user_id
+  FROM firsts f JOIN d1 ON d1.event_type = f.event_type
+  WHERE f.fus > d1.fus AND f.fus <= d1.fus + 600000000
+    AND NOT EXISTS (SELECT 1 FROM d1 x
+                    WHERE x.event_type = f.event_type
+                      AND x.user_id = f.user_id)
+    AND NOT EXISTS (SELECT 1 FROM root x
+                    WHERE x.event_type = f.event_type
+                      AND x.user_id = f.user_id)
+)
+SELECT event_type, CAST(1 AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d1 GROUP BY 1
+UNION ALL
+SELECT event_type, CAST(2 AS INT), CAST(COUNT(*) AS BIGINT)
+FROM d2 GROUP BY 1
+ORDER BY event_type, depth
+"""
+
+
+@query(
+    "bi01_message_cascade", _BI01_ORACLE,
+    doc="LDBC BI-17 cascade class: depth-bounded influence reachability "
+        "(10-min adoption windows) over the user x type first-event "
+        "frame — recursion on the vocabulary-sized reduction, never raw "
+        "events",
+)
+def bi01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.min("ts")).alias("fus")
+    )
+    w = Window.partitionBy("event_type").orderBy("fus", "user_id")
+    root = (
+        firsts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("r_type"), F.col("fus").alias("r_fus"),
+            F.col("user_id").alias("r_uid"),
+        )
+    )
+    d1 = (
+        firsts.join(F.broadcast(root), firsts.event_type == F.col("r_type"))
+        .filter(
+            (F.col("fus") > F.col("r_fus"))
+            & (F.col("fus") <= F.col("r_fus") + 600000000)
+        )
+        .select("event_type", "user_id", "fus")
+        .distinct()
+    )
+    d2 = (
+        firsts.join(
+            F.broadcast(
+                d1.select(
+                    F.col("event_type").alias("d_type"),
+                    F.col("fus").alias("d_fus"),
+                )
+            ),
+            firsts.event_type == F.col("d_type"),
+        )
+        .filter(
+            (F.col("fus") > F.col("d_fus"))
+            & (F.col("fus") <= F.col("d_fus") + 600000000)
+        )
+        .select("event_type", "user_id")
+        .distinct()
+        .join(
+            d1.select("event_type", "user_id"),
+            ["event_type", "user_id"], "left_anti",
+        )
+        .join(
+            root.select(
+                F.col("r_type").alias("event_type"),
+                F.col("r_uid").alias("user_id"),
+            ),
+            ["event_type", "user_id"], "left_anti",
+        )
+    )
+    out1 = d1.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select("event_type", F.lit(1).cast("int").alias("depth"), "n_users")
+    out2 = d2.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select("event_type", F.lit(2).cast("int").alias("depth"), "n_users")
+    return out1.unionByName(out2).orderBy("event_type", "depth")
+
+
+# --- bi02: community activity growth (LDBC BI-3 class) --------------------------
+# Community = event_type; week-over-week growth of posts via one lag
+# window over the (type, week) reduction — the window runs on a frame
+# of |types| x |weeks| rows at any corpus size.
+
+_BI02_ORACLE = """
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts)::DATE AS wk,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS members
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, wk, n_events, members,
+       CAST(n_events * 100 // LAG(n_events) OVER (
+         PARTITION BY event_type ORDER BY wk) AS BIGINT) AS growth_pct
+FROM weekly ORDER BY event_type, wk
+"""
+
+
+@query(
+    "bi02_community_activity", _BI02_ORACLE,
+    doc="LDBC BI-3 community-growth class: (type, week) reduction once, "
+        "lag-window growth over the tiny weekly frame",
+)
+def bi02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("members"),
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    return (
+        weekly.withColumn("prev", F.lag("n_events").over(w))
+        .select(
+            "event_type", "wk", "n_events", "members",
+            F.expr("n_events * 100 DIV prev").cast("long")
+            .alias("growth_pct"),
+        )
+        .orderBy("event_type", "wk")
+    )
+
+
+# --- bi03: interaction-decay pair scores (LDBC BI-14 class) ---------------------
+# Pair score = sum over shared (type, hour) cells of an integer recency
+# weight (31 - days since corpus start). Cells with > 40 distinct users
+# are dropped (df cap — quadratic pair sets with no signal); the
+# remaining per-cell pair expansion is bounded by 40^2/2.
+
+_BI03_ORACLE = """
+WITH base AS (SELECT MIN(ts)::DATE AS day0 FROM events),
+cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, user_id
+  FROM events GROUP BY 1, 2, 3
+),
+sized AS (
+  SELECT event_type, hr FROM cells GROUP BY 1, 2
+  HAVING COUNT(*) <= 40
+),
+pairs AS (
+  SELECT c1.user_id AS u1, c2.user_id AS u2,
+         CAST(SUM(31 - DATE_DIFF('day', b.day0, c1.hr::DATE))
+              AS BIGINT) AS score
+  FROM cells c1
+  JOIN cells c2 ON c2.event_type = c1.event_type AND c2.hr = c1.hr
+               AND c1.user_id < c2.user_id
+  JOIN sized s ON s.event_type = c1.event_type AND s.hr = c1.hr
+  CROSS JOIN base b
+  GROUP BY 1, 2
+)
+SELECT u1, u2, score FROM pairs ORDER BY score DESC, u1, u2 LIMIT 20
+"""
+
+
+@query(
+    "bi03_interaction_decay", _BI03_ORACLE,
+    doc="LDBC BI-14 pair-score class: df-capped (type, hour) cell "
+        "co-occurrence pairs with integer recency decay — per-cell "
+        "expansion bounded by the cap, top-k lowered",
+)
+def bi03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day0 = ev.agg(F.to_date(F.min("ts")).alias("day0"))
+    cells = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "user_id",
+    ).distinct()
+    sized = (
+        cells.groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("nu"))
+        .filter(F.col("nu") <= 40)
+        .select("event_type", "hr")
+    )
+    capped = cells.join(sized, ["event_type", "hr"])
+    other = capped.select(
+        F.col("event_type").alias("e2"), F.col("hr").alias("h2"),
+        F.col("user_id").alias("u2"),
+    )
+    pairs = (
+        capped.join(
+            other,
+            (F.col("event_type") == F.col("e2"))
+            & (F.col("hr") == F.col("h2"))
+            & (F.col("user_id") < F.col("u2")),
+        )
+        .join(F.broadcast(day0))
+        .groupBy(F.col("user_id").alias("u1"), "u2")
+        .agg(
+            F.sum(
+                F.lit(31) - F.datediff(F.to_date("hr"), F.col("day0"))
+            ).cast("long").alias("score")
+        )
+    )
+    return pairs.orderBy(
+        F.col("score").desc(), "u1", "u2"
+    ).limit(20)
+
+
+# --- bi04: shortest-path length distribution (LDBC BI-16 class) ------------------
+# BFS from the smallest user id over the undirected co-occurrence graph
+# (same df-capped cells as bi03), depth <= 3; output the path-length
+# histogram. Fixed-K frontier joins on the deduped edge set — the
+# edge set is bounded by cap^2 x cells, the frontier by |users|.
+
+_BI04_ORACLE = """
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, user_id
+  FROM events GROUP BY 1, 2, 3
+),
+sized AS (
+  SELECT event_type, hr FROM cells GROUP BY 1, 2
+  HAVING COUNT(*) <= 40
+),
+edges AS (
+  SELECT DISTINCT c1.user_id AS a, c2.user_id AS b
+  FROM cells c1
+  JOIN cells c2 ON c2.event_type = c1.event_type AND c2.hr = c1.hr
+               AND c1.user_id <> c2.user_id
+  JOIN sized s ON s.event_type = c1.event_type AND s.hr = c1.hr
+),
+d0 AS (SELECT MIN(a) AS uid FROM edges),
+d1 AS (
+  SELECT DISTINCT e.b AS uid FROM edges e JOIN d0 ON e.a = d0.uid
+  WHERE e.b NOT IN (SELECT uid FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT e.b AS uid FROM edges e JOIN d1 ON e.a = d1.uid
+  WHERE e.b NOT IN (SELECT uid FROM d0)
+    AND e.b NOT IN (SELECT uid FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT e.b AS uid FROM edges e JOIN d2 ON e.a = d2.uid
+  WHERE e.b NOT IN (SELECT uid FROM d0)
+    AND e.b NOT IN (SELECT uid FROM d1)
+    AND e.b NOT IN (SELECT uid FROM d2)
+)
+SELECT CAST(1 AS INT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users FROM d1
+UNION ALL SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT) FROM d2
+UNION ALL SELECT CAST(3 AS INT), CAST(COUNT(*) AS BIGINT) FROM d3
+ORDER BY depth
+"""
+
+
+@query(
+    "bi04_path_length_dist", _BI04_ORACLE,
+    doc="LDBC BI-16 path-length class: depth-3 BFS histogram from the "
+        "smallest user over df-capped co-occurrence edges — fixed-K "
+        "frontier joins, visited set subtracted per level",
+)
+def bi04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "user_id",
+    ).distinct()
+    sized = (
+        cells.groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("nu"))
+        .filter(F.col("nu") <= 40)
+        .select("event_type", "hr")
+    )
+    capped = cells.join(sized, ["event_type", "hr"])
+    other = capped.select(
+        F.col("event_type").alias("e2"), F.col("hr").alias("h2"),
+        F.col("user_id").alias("b"),
+    )
+    edges = (
+        capped.join(
+            other,
+            (F.col("event_type") == F.col("e2"))
+            & (F.col("hr") == F.col("h2"))
+            & (F.col("user_id") != F.col("b")),
+        )
+        .select(F.col("user_id").alias("a"), "b")
+        .distinct()
+    )
+    # the BFS frontier frames are user-sized — pin them so each level
+    # is computed once (the driver collects the tiny histogram only)
+    edges = edges.localCheckpoint(eager=True)
+    d0 = edges.agg(F.min("a").alias("uid"))
+    visited = d0
+    levels = []
+    frontier = d0
+    for _ in range(3):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("uid").alias("a"))), "a"
+            )
+            .select(F.col("b").alias("uid"))
+            .distinct()
+            .join(F.broadcast(visited), "uid", "left_anti")
+        ).localCheckpoint(eager=True)
+        levels.append(nxt)
+        visited = visited.unionByName(nxt).distinct().localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+    out = None
+    for i, lvl in enumerate(levels, start=1):
+        row = lvl.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("int").alias("depth"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("depth")
+
+
+# --- bi05: zombie accounts (LDBC BI-13 class) ------------------------------------
+# Zombie = fewer than 2 events per active week (integer cross-multiplied:
+# n_events * 7 < span_days * 2). Census per signup-week cohort — one
+# user-grain aggregate, one tiny cohort aggregate.
+
+_BI05_ORACLE = """
+WITH stats AS (
+  SELECT user_id,
+         MIN(ts)::DATE AS first_day,
+         DATE_DIFF('day', MIN(ts)::DATE, MAX(ts)::DATE) + 1 AS span_days,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT date_trunc('week', first_day)::DATE AS cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(CASE WHEN n_events * 7 < span_days * 2 THEN 1 END)
+            AS BIGINT) AS n_zombies
+FROM stats GROUP BY 1 ORDER BY cohort_week
+"""
+
+
+@query(
+    "bi05_zombie_accounts", _BI05_ORACLE,
+    doc="LDBC BI-13 zombie class: per-user activity stats reduced once, "
+        "integer cross-multiplied rate test, signup-week cohort census",
+)
+def bi05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day"),
+        (
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))) + 1
+        ).alias("span_days"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        stats.groupBy(
+            F.to_date(F.date_trunc("week", F.col("first_day")))
+            .alias("cohort_week")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count(
+                F.when(F.col("n_events") * 7 < F.col("span_days") * 2, 1)
+            ).cast("long").alias("n_zombies"),
+        )
+        .orderBy("cohort_week")
+    )

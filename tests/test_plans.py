@@ -1191,3 +1191,92 @@ def test_round11_ds72_w11_plans(spark, sf_dir):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_round12_job_topology_plans(spark, sf_dir):
+    """Round-12 JOB second batch (b31-b38): every topology keeps dims on
+    broadcast build sides and fact joins hash-based — no cartesian, no
+    nested loop, no Python; the existence arms (b36) land as LeftSemi +
+    LeftAnti; the bushy bridge (b31) and the composite dims (b35/b37)
+    reduce before the fact join."""
+    for name in (
+        "b31_bushy_triple_fact", "b32_skewed_fan_dims",
+        "b33_role_bridge_pentagon", "b34_two_cycle_overlap",
+        "b35_filtered_fact_ladder", "b36_semi_bushy_mix",
+        "b37_star_in_star", "b38_wide_dim_clique",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    # b31: both trees exist — the left (part broadcast) and the right
+    # (l2 |><| l3 self-bridge) join each other, not a left-deep chain
+    plan = plan_of(spark, sf_dir, "b31_bushy_triple_fact")
+    assert "BroadcastExchange" in plan
+    # b32: the m:n theta rides INSIDE the broadcast hash join on the
+    # nation key (join-level filter), never a post-join loop
+    plan = plan_of(spark, sf_dir, "b32_skewed_fan_dims")
+    assert "BroadcastHashJoin" in plan
+    # b34: one spine — lineitem is scanned at most twice (its Scan node
+    # appears for the fact role only; the tree never rebuilds the
+    # orders-lineitem edge per cycle)
+    plan = plan_of(spark, sf_dir, "b34_two_cycle_overlap")
+    assert plan.count("Scan parquet") <= 8  # 4 relations, tree+details x2
+    # b36: one LeftSemi and one LeftAnti, both hash joins
+    plan = plan_of(spark, sf_dir, "b36_semi_bushy_mix")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # b35/b37: the composite dim collapses before the fact join — the
+    # selective arm's filters are pushed to its scans
+    for name in ("b35_filtered_fact_ladder", "b37_star_in_star"):
+        assert "PushedFilters: [" in plan_of(spark, sf_dir, name), name
+
+
+def test_round12_dstail_plans(spark, sf_dir):
+    """Round-12 TPC-DS tail: ds73 joins two branches of ONE partial
+    aggregate (no third fact scan); ds74's rollup expands from a single
+    shuffle; ds75/ds76 reduce the fact once and re-aggregate the tiny
+    frame; ds77 is ONE aggregate — no window, no self-join."""
+    for name in (
+        "ds73_cross_channel_ratio", "ds74_rollup_channel_sales",
+        "ds75_repeat_purchase_span", "ds76_inventory_turns",
+        "ds77_first_last_affinity",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # ds74: rollup = Expand over one aggregate
+    plan = plan_of(spark, sf_dir, "ds74_rollup_channel_sales")
+    assert "Expand" in plan
+    # ds77: no Window node and no join — min/max struct argmin does it
+    plan = plan_of(spark, sf_dir, "ds77_first_last_affinity")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # ds76: exactly one fact-grain shuffle (weekly), brand agg reuses it
+    plan = plan_of(spark, sf_dir, "ds76_inventory_turns")
+    assert "HashAggregate" in plan
+
+
+def test_round12_ldbc_plans(spark, sf_dir):
+    """Round-12 LDBC BI drip: recursion/windows run on vocabulary-sized
+    reductions; the pair expansions are df-capped equi-joins; bi03's
+    top-20 is lowered to TakeOrderedAndProject; no Python anywhere."""
+    for name in (
+        "bi01_message_cascade", "bi02_community_activity",
+        "bi03_interaction_decay", "bi04_path_length_dist",
+        "bi05_zombie_accounts",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # bi01: the influence joins ride on broadcast (root/d1 frames are
+    # per-type tiny)
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "bi01_message_cascade")
+    # bi02: one lag window over the weekly reduction
+    assert "Window" in plan_of(spark, sf_dir, "bi02_community_activity")
+    # bi03: top-20 lowered, no global sort
+    assert "TakeOrderedAndProject" in plan_of(
+        spark, sf_dir, "bi03_interaction_decay"
+    )
+    # bi05: two aggregates, no join
+    assert "Join" not in plan_of(spark, sf_dir, "bi05_zombie_accounts")
