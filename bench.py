@@ -121,13 +121,15 @@ def main() -> None:
     cold_shares = _pass_shares(cpu_before, _cpu_times())
 
     # cache the corpus in executor memory: a long-running deployment serves
-    # hot tables from the cluster cache (or OS page cache), not cold parquet;
-    # the per-session DataFrame cache in load_table makes every query reuse
-    # these exact persisted relations
-    from otterbrix_spark.sources.registry import TABLES, load_table
+    # hot tables from the cluster cache (or OS page cache), not cold parquet.
+    # The persist uses the CLUSTER_KEYS layout (registry.persist_clustered):
+    # fact tables hash-clustered on their dominant join key — the in-memory
+    # analogue of on-disk bucketBy — so co-partitioned joins/windows elide
+    # their Exchange. The per-session DataFrame cache in load_table makes
+    # every query reuse these exact persisted relations.
+    from otterbrix_spark.sources.registry import persist_clustered
 
-    for t in TABLES:
-        load_table(spark, sf_dir, t).persist()
+    persist_clustered(spark, sf_dir)
 
     # warm pass: JVM JIT, parquet footers, cache materialisation, AQE stats —
     # the recorded numbers are steady-state per-query wall times, which is
