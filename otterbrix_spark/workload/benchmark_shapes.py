@@ -11692,3 +11692,336 @@ def bi05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# =============================================================================
+# Round-12 ClickBench tail (VERDICT r11 corpus depth): the last eight
+# uncovered shape classes from benchmark/clickbench/queries.sql — the
+# global scan-aggregate battery (Q0-Q6), distinct-count-ranked groups
+# (Q8-Q11), the composite-key mixed-aggregate battery (Q30-Q32), the
+# constant group key (Q34), arithmetic-duplicate group keys (Q35), pure
+# selection time-ordered top-k (Q24-Q26), the date-windowed flag-filtered
+# deep-offset page (Q36-Q40), and the SELECT * wide-row fetch (Q23).
+# All on the synthetic events table; every aggregate integer-exact.
+# =============================================================================
+
+
+# --- c36: global scan-aggregate battery ---------------------------------------
+# ClickBench Q0-Q6: one full scan, NO grouping — plain COUNT, a filtered
+# COUNT, an integer SUM, two COUNT(DISTINCT)s and the time-range MIN/MAX,
+# all in a single partial-aggregate pass (one row crosses the shuffle).
+
+_C36_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN value > 100 THEN 1 END) AS BIGINT) AS n_big,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       epoch_us(MIN(ts)) AS min_us,
+       epoch_us(MAX(ts)) AS max_us
+FROM events
+"""
+
+
+@query(
+    "c36_global_scan_battery", _C36_ORACLE,
+    doc="ClickBench Q0-Q6 class: scan-only global aggregate battery — "
+        "no GROUP BY, map-side partials, one row over the shuffle",
+)
+def c36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.when(F.col("value") > 100, 1)).cast("long").alias("n_big"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long").alias("sum_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("min_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("max_us"),
+    )
+
+
+# --- c37: distinct-count-ranked groups -----------------------------------------
+# ClickBench Q8-Q11: groups ranked by COUNT(DISTINCT UserID) — the
+# ranking metric is itself the expensive distinct aggregate. The model
+# key is extracted from the props JSON payload (regexp, codegen) like
+# MobilePhoneModel; the empty-model filter mirrors `<> ''`.
+
+_C37_ORACLE = """
+SELECT CAST(CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 25 AS BIGINT)
+         AS model,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM events
+WHERE regexp_extract(props, '[0-9]+') <> ''
+GROUP BY 1
+ORDER BY u DESC, model
+LIMIT 10
+"""
+
+
+@query(
+    "c37_distinct_rank_topk", _C37_ORACLE,
+    doc="ClickBench Q8-Q11 class: top-10 groups ranked by "
+        "COUNT(DISTINCT user) — distinct expansion then count, the "
+        "ranking metric is the distinct aggregate itself",
+)
+def c37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), "[0-9]+", 0)
+    return (
+        ev.filter(k != "")
+        .groupBy((k.cast("long") % 25).cast("long").alias("model"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("u"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .orderBy(F.desc("u"), "model")
+        .limit(10)
+    )
+
+
+# --- c38: composite-key mixed-aggregate battery --------------------------------
+# ClickBench Q30-Q32: a high-cardinality composite key (WatchID,
+# ClientIP analogue) with COUNT / flag-SUM / AVG side by side, top-10 by
+# count. The average is emitted as an integer fixed-point quotient so
+# the gate stays order-independent and engine-exact.
+
+_C38_ORACLE = """
+SELECT user_id,
+       CAST(CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 16 AS BIGINT)
+         AS ip_bucket,
+       CAST(COUNT(*) AS BIGINT) AS c,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_refresh,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100
+            // COUNT(*) AS BIGINT) AS avg_cents_x100
+FROM events
+WHERE event_type <> 'error'
+GROUP BY 1, 2
+ORDER BY c DESC, user_id, ip_bucket
+LIMIT 10
+"""
+
+
+@query(
+    "c38_composite_mixed_battery", _C38_ORACLE,
+    doc="ClickBench Q30-Q32 class: high-cardinality composite key with "
+        "COUNT + conditional SUM + fixed-point AVG in one aggregate "
+        "pass, top-10 by count",
+)
+def c38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long")
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(
+            "user_id",
+            (k % 16).cast("long").alias("ip_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).cast("long").alias("n_refresh"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) * 100)
+            .alias("_sum_x100"),
+        )
+        # integer DIV, not double `/` + cast: the double quotient truncates
+        # where DuckDB's cast rounds — off-by-one at every .99 boundary
+        .select(
+            "user_id", "ip_bucket", "c", "n_refresh",
+            F.expr("_sum_x100 DIV c").cast("long").alias("avg_cents_x100"),
+        )
+        .orderBy(F.desc("c"), "user_id", "ip_bucket")
+        .limit(10)
+    )
+
+
+# --- c39: constant group key ----------------------------------------------------
+# ClickBench Q34 (`SELECT 1, URL ... GROUP BY 1, URL`): a literal in the
+# grouping list — Catalyst folds the constant out of the shuffle key, so
+# the plan is identical to grouping by the URL alone with the constant
+# re-projected after.
+
+_C39_ORACLE = """
+SELECT 1 AS one,
+       '/p' || CAST(user_id % 20 AS VARCHAR) AS url,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM events
+GROUP BY 1, 2
+ORDER BY c DESC, url
+LIMIT 10
+"""
+
+
+@query(
+    "c39_const_group_key", _C39_ORACLE,
+    doc="ClickBench Q34 class: literal constant in the grouping list — "
+        "folded out of the shuffle key, re-projected after the aggregate",
+)
+def c39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(F.lit("/p"), (F.col("user_id") % 20).cast("string"))
+    return (
+        ev.groupBy(F.lit(1).alias("one"), url.alias("url"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.desc("c"), "url")
+        .limit(10)
+    )
+
+
+# --- c40: arithmetic-duplicate group keys ----------------------------------------
+# ClickBench Q35 (`GROUP BY ClientIP, ClientIP - 1, ClientIP - 2, ...`):
+# four grouping expressions that are all functions of ONE column — the
+# group count is exactly the distinct user count; the derived keys ride
+# along without widening the shuffle key space.
+
+_C40_ORACLE = """
+SELECT user_id,
+       user_id - 1 AS u1, user_id - 2 AS u2, user_id - 3 AS u3,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM events
+GROUP BY 1, 2, 3, 4
+ORDER BY c DESC, user_id
+LIMIT 10
+"""
+
+
+@query(
+    "c40_derived_dup_keys", _C40_ORACLE,
+    doc="ClickBench Q35 class: several grouping expressions over one "
+        "column — functionally a single key, the derived offsets ride "
+        "along without multiplying group cardinality",
+)
+def c40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            (F.col("user_id") - 1).alias("u1"),
+            (F.col("user_id") - 2).alias("u2"),
+            (F.col("user_id") - 3).alias("u3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .limit(10)
+    )
+
+
+# --- c41: selection-only time-ordered top-k --------------------------------------
+# ClickBench Q24-Q26: NO aggregation — a filtered selection ordered by
+# event time (with a full tiebreak for determinism), first 10 rows.
+# Lowers to TakeOrderedAndProject: per-partition heaps, no global sort.
+
+_C41_ORACLE = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+WHERE event_type <> 'view'
+ORDER BY ts, event_id
+LIMIT 10
+"""
+
+
+@query(
+    "c41_selection_time_topk", _C41_ORACLE,
+    doc="ClickBench Q24-Q26 class: aggregation-free filtered selection "
+        "ordered by event time, top-10 — TakeOrderedAndProject, never a "
+        "global sort",
+)
+def c41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") != "view")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .orderBy(F.col("ts_us"), "event_id")
+        .limit(10)
+    )
+
+
+# --- c42: date-windowed flag-filtered deep-offset page ----------------------------
+# ClickBench Q36-Q40: a date window plus several flag equalities and an
+# IN-list, grouped on (derived key, day), ordered by pageviews with a
+# deep OFFSET page — the offset is applied after the top-k sort, so only
+# offset+limit rows ever reach the driver.
+
+_C42_ORACLE = """
+SELECT CAST(CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 100 AS BIGINT)
+         AS url_hash,
+       CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS pageviews
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-07' AND ts < TIMESTAMP '2024-01-14'
+  AND event_type IN ('click', 'view')
+  AND value > 10
+GROUP BY 1, 2
+ORDER BY pageviews DESC, url_hash, day
+LIMIT 10 OFFSET 100
+"""
+
+
+@query(
+    "c42_window_flags_deep_page", _C42_ORACLE,
+    doc="ClickBench Q36-Q40 class: pushed date window + IN-list flags, "
+        "(key, day) grouping, deep OFFSET page after the count ranking",
+)
+def c42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long")
+    ranked = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-07").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-14").cast("timestamp"))
+            & F.col("event_type").isin("click", "view")
+            & (F.col("value") > 10)
+        )
+        .groupBy(
+            (k % 100).cast("long").alias("url_hash"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pageviews"))
+        .orderBy(F.desc("pageviews"), "url_hash", "day")
+    )
+    return ranked.offset(100).limit(10)
+
+
+# --- c43: SELECT * wide-row fetch -------------------------------------------------
+# ClickBench Q23 (`SELECT * ... ORDER BY EventTime LIMIT 10`): the full
+# row — every column — rides through the top-k; only the final 10 wide
+# rows are materialised at the driver. Money emitted as integer cents so
+# the row hash is engine-exact.
+
+_C43_ORACLE = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents, props
+FROM events
+WHERE props LIKE '%9}'
+ORDER BY ts, event_id
+LIMIT 10
+"""
+
+
+@query(
+    "c43_star_row_fetch", _C43_ORACLE,
+    doc="ClickBench Q23 class: SELECT * top-k by time under a LIKE "
+        "filter — the wide row rides the per-partition heap; only "
+        "offset+limit rows reach the driver",
+)
+def c43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").like("%9}"))
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            "props",
+        )
+        .orderBy("ts_us", "event_id")
+        .limit(10)
+    )

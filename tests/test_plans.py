@@ -1280,3 +1280,33 @@ def test_round12_ldbc_plans(spark, sf_dir):
     )
     # bi05: two aggregates, no join
     assert "Join" not in plan_of(spark, sf_dir, "bi05_zombie_accounts")
+
+
+def test_round12_clickbench_tail_plans(spark, sf_dir):
+    """Round-12 ClickBench tail (c36-c43): every gate is a single scan
+    of events — no join anywhere, no Python; the selection/top-k gates
+    lower to TakeOrderedAndProject (per-partition heaps, never a global
+    sort); c36's battery is one aggregate pass; c42's timestamp window
+    reaches the scan as a pushed filter."""
+    singles = (
+        "c36_global_scan_battery", "c37_distinct_rank_topk",
+        "c38_composite_mixed_battery", "c39_const_group_key",
+        "c40_derived_dup_keys", "c41_selection_time_topk",
+        "c42_window_flags_deep_page", "c43_star_row_fetch",
+    )
+    for name in singles:
+        plan = plan_of(spark, sf_dir, name)
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # top-k selections lower to TakeOrderedAndProject
+    for name in ("c41_selection_time_topk", "c43_star_row_fetch",
+                 "c39_const_group_key", "c40_derived_dup_keys"):
+        assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, name), name
+    # c36: global aggregate — partial + final, one row over the wire
+    plan = plan_of(spark, sf_dir, "c36_global_scan_battery")
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+    # c42: the ts range predicate is pushed to the parquet scan
+    plan = plan_of(spark, sf_dir, "c42_window_flags_deep_page")
+    assert "PushedFilters:" in plan and "ts" in plan.split(
+        "PushedFilters:")[1].split("\n")[0]
