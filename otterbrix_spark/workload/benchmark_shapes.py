@@ -12025,3 +12025,358 @@ def c43(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us", "event_id")
         .limit(10)
     )
+
+
+# =============================================================================
+# Round-12 LDBC SNB BI drip, second batch (bi06-bi10) — the share-of-total
+# posting summary (BI-1), friend triangles (BI-11), the hop-band EXCEPT
+# neighborhood (BI-10), mutual-friend recommendation (BI-18) and tag
+# evolution (BI-2) from benchmark/ldbc/. The graph gates run on a
+# MINUTE-grain co-occurrence edge set with a tight per-cell cap (2..8
+# users): unlike bi03/bi04's hour-grain cap-40 recipe this keeps the
+# graph sparse enough (23k edges / 1.5k nodes at sf0.1) that triangle
+# and two-path expansions stay equi-join-bounded at any SF — the df-cap
+# IS the scale control, exactly like d20's pigeonhole bands.
+# =============================================================================
+
+_MINUTE_EDGES_CTE = """
+cells AS (
+  SELECT event_type, date_trunc('minute', ts) AS mn, user_id
+  FROM events GROUP BY 1, 2, 3
+),
+sized AS (
+  SELECT event_type, mn FROM cells GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 8
+),
+edges AS (
+  SELECT DISTINCT c1.user_id AS a, c2.user_id AS b
+  FROM cells c1
+  JOIN cells c2 ON c2.event_type = c1.event_type AND c2.mn = c1.mn
+               AND c1.user_id < c2.user_id
+  JOIN sized s ON s.event_type = c1.event_type AND s.mn = c1.mn
+)"""
+
+
+def _minute_edges(ev: DataFrame) -> DataFrame:
+    """Canonical (a < b) minute-grain co-occurrence edges, per-cell df-cap
+    2..8 distinct users — the sparse social graph for bi07-bi09."""
+    cells = ev.select(
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("mn"),
+        "user_id",
+    ).distinct()
+    sized = (
+        cells.groupBy("event_type", "mn")
+        .agg(F.count(F.lit(1)).alias("nu"))
+        .filter((F.col("nu") >= 2) & (F.col("nu") <= 8))
+        .select("event_type", "mn")
+    )
+    capped = cells.join(sized, ["event_type", "mn"])
+    other = capped.select(
+        F.col("event_type").alias("e2"), F.col("mn").alias("m2"),
+        F.col("user_id").alias("b"),
+    )
+    return (
+        capped.join(
+            other,
+            (F.col("event_type") == F.col("e2"))
+            & (F.col("mn") == F.col("m2"))
+            & (F.col("user_id") < F.col("b")),
+        )
+        .select(F.col("user_id").alias("a"), "b")
+        .distinct()
+    )
+
+
+# --- bi06: posting summary with share-of-total (LDBC BI-1 class) ------------------
+# BI-1 groups messages by (year, isComment, lengthCategory) and emits the
+# count, sum, average AND each group's percentage of ALL messages — the
+# global total rides as a one-row broadcast scalar; the average and the
+# share are integer fixed-point (DIV) so the gate is engine-exact.
+
+_BI06_ORACLE = """
+WITH total AS (SELECT CAST(COUNT(*) AS BIGINT) AS mc FROM events)
+SELECT date_trunc('week', ts)::DATE AS week,
+       event_type = 'purchase' AS is_purchase,
+       CASE WHEN value < 40 THEN 0 WHEN value < 80 THEN 1
+            WHEN value < 160 THEN 2 ELSE 3 END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) // COUNT(*) AS BIGINT)
+         AS avg_cents,
+       CAST(COUNT(*) * 10000 // t.mc AS BIGINT) AS share_bp
+FROM events, total t
+GROUP BY 1, 2, 3, t.mc
+ORDER BY week DESC, is_purchase, band
+"""
+
+
+@query(
+    "bi06_posting_summary_share", _BI06_ORACLE,
+    doc="LDBC BI-1 class: (week, kind, size-band) summary with each "
+        "group's share of the global total — the total is a one-row "
+        "broadcast scalar; average and share are integer DIV fixed-point",
+)
+def bi06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).cast("long").alias("mc"))
+    band = (
+        F.when(F.col("value") < 40, 0)
+        .when(F.col("value") < 80, 1)
+        .when(F.col("value") < 160, 2)
+        .otherwise(3)
+    )
+    grouped = (
+        ev.groupBy(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+            band.alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long").alias("sum_cents"),
+        )
+        .join(F.broadcast(total))
+    )
+    return (
+        grouped.select(
+            "week", "is_purchase", "band", "n", "sum_cents",
+            F.expr("sum_cents DIV n").cast("long").alias("avg_cents"),
+            F.expr("n * 10000 DIV mc").cast("long").alias("share_bp"),
+        )
+        .orderBy(F.desc("week"), "is_purchase", "band")
+    )
+
+
+# --- bi07: friend triangles (LDBC BI-11 class) -------------------------------------
+# Triangle census over the canonical (a < b) edge set: (a,b),(b,c),(a,c)
+# counts each triangle exactly once. Two equi-joins over the df-capped
+# edges — the two-path expansion is bounded by the per-cell cap, never
+# |V|^2; the closing join is a hash probe on (a, c).
+
+_BI07_ORACLE = f"""
+WITH {_MINUTE_EDGES_CTE}
+SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM
+             (SELECT a FROM edges UNION SELECT b FROM edges)) AS BIGINT)
+         AS n_nodes,
+       CAST((SELECT COUNT(*)
+             FROM edges e1
+             JOIN edges e2 ON e2.a = e1.b
+             JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+         AS n_triangles
+"""
+
+
+@query(
+    "bi07_friend_triangles", _BI07_ORACLE,
+    doc="LDBC BI-11 triangle class: canonical-edge triangle census — "
+        "two hash equi-joins close each (a<b<c) exactly once; the "
+        "two-path expansion is bounded by the df-cap",
+)
+def bi07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # one materialisation feeds all three census arms and the self-joins
+    edges = _minute_edges(ev).localCheckpoint(eager=True)
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_nodes = (
+        edges.select(F.col("a").alias("uid"))
+        .unionByName(edges.select(F.col("b").alias("uid")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        edges.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        n_edges.join(F.broadcast(n_nodes)).join(F.broadcast(tri))
+    )
+
+
+# --- bi08: hop-band neighborhood census (LDBC BI-10 class) --------------------------
+# BI-10 wants people BETWEEN 3 and 4 hops out (reachable-in-k EXCEPT
+# reachable-in-(k-1)); here the exactly-2-hops band from the smallest
+# user, then a census of that band's activity by event type — the
+# hop-band set difference is the distinctive operator.
+
+_BI08_ORACLE = f"""
+WITH {_MINUTE_EDGES_CTE},
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+root AS (SELECT MIN(a) AS uid FROM edges),
+h1 AS (
+  SELECT DISTINCT und.b AS uid FROM und JOIN root ON und.a = root.uid
+),
+h2 AS (
+  SELECT DISTINCT und.b AS uid FROM und JOIN h1 ON und.a = h1.uid
+  WHERE und.b NOT IN (SELECT uid FROM h1)
+    AND und.b NOT IN (SELECT uid FROM root)
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN h2 ON e.user_id = h2.uid
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "bi08_hop_band_census", _BI08_ORACLE,
+    doc="LDBC BI-10 class: exactly-2-hops band (reachable-in-2 EXCEPT "
+        "reachable-in-1) from a fixed root, then an activity census of "
+        "the band — frontier joins + anti-joins, band is user-bounded",
+)
+def bi08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = _minute_edges(ev).localCheckpoint(eager=True)
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    root = edges.agg(F.min("a").alias("uid"))
+    h1 = (
+        und.join(F.broadcast(root.select(F.col("uid").alias("a"))), "a")
+        .select(F.col("b").alias("uid"))
+        .distinct()
+    )
+    h2 = (
+        und.join(F.broadcast(h1.select(F.col("uid").alias("a"))), "a")
+        .select(F.col("b").alias("uid"))
+        .distinct()
+        .join(F.broadcast(h1), "uid", "left_anti")
+        .join(F.broadcast(root), "uid", "left_anti")
+    )
+    return (
+        ev.join(F.broadcast(h2), ev.user_id == h2.uid)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- bi09: mutual-friend recommendation (LDBC BI-18 class) ---------------------------
+# For non-adjacent pairs sharing at least one neighbor: score = number of
+# mutual friends; top-20. Two-path expansion over the undirected edges
+# (bounded by the df-cap), then an anti-join against the direct edges —
+# never a pairwise users x users product.
+
+_BI09_ORACLE = f"""
+WITH {_MINUTE_EDGES_CTE},
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+cand AS (
+  SELECT p1.b AS u, p2.b AS v, p1.a AS w
+  FROM und p1 JOIN und p2 ON p2.a = p1.a AND p1.b < p2.b
+),
+scored AS (
+  SELECT u, v, CAST(COUNT(DISTINCT w) AS BIGINT) AS mutuals
+  FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = cand.u AND e.b = cand.v)
+  GROUP BY 1, 2
+)
+SELECT u, v, mutuals FROM scored
+ORDER BY mutuals DESC, u, v
+LIMIT 20
+"""
+
+
+@query(
+    "bi09_mutual_friend_rec", _BI09_ORACLE,
+    doc="LDBC BI-18 recommendation class: mutual-neighbor counts for "
+        "non-adjacent pairs — two-path equi-join bounded by the df-cap, "
+        "LeftAnti against direct edges, top-20 lowered",
+)
+def bi09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = _minute_edges(ev).localCheckpoint(eager=True)
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    p2 = und.select(F.col("a").alias("w2"), F.col("b").alias("v"))
+    cand = (
+        und.select(F.col("a").alias("w"), F.col("b").alias("u"))
+        .join(p2, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v")))
+        .select("u", "v", "w")
+    )
+    non_adjacent = cand.join(
+        edges,
+        (cand.u == edges.a) & (cand.v == edges.b),
+        "left_anti",
+    )
+    return (
+        non_adjacent.groupBy("u", "v")
+        .agg(F.countDistinct("w").cast("long").alias("mutuals"))
+        .orderBy(F.desc("mutuals"), "u", "v")
+        .limit(20)
+    )
+
+
+# --- bi10: tag evolution (LDBC BI-2 class) -------------------------------------------
+# BI-2 compares each tag's activity across two consecutive windows and
+# ranks by the absolute delta. Tags synthesized from (event_type, props
+# key decade); both window counts are conditional aggregates over ONE
+# scan — no self-join of the two periods.
+
+_BI10_ORACLE = """
+SELECT event_type,
+       CAST(CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS BIGINT)
+         AS tag,
+       CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+                        AND ts < TIMESTAMP '2024-01-08' THEN 1 END)
+            AS BIGINT) AS n_window_a,
+       CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                        AND ts < TIMESTAMP '2024-01-15' THEN 1 END)
+            AS BIGINT) AS n_window_b,
+       CAST(ABS(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+                            AND ts < TIMESTAMP '2024-01-08' THEN 1 END)
+              - COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                            AND ts < TIMESTAMP '2024-01-15' THEN 1 END))
+            AS BIGINT) AS delta
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY 1, 2
+ORDER BY delta DESC, event_type, tag
+LIMIT 20
+"""
+
+
+@query(
+    "bi10_tag_evolution", _BI10_ORACLE,
+    doc="LDBC BI-2 class: two consecutive windows compared per tag via "
+        "conditional counts over ONE scan (no period self-join), ranked "
+        "by absolute delta, top-20 lowered",
+)
+def bi10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_a = (F.col("ts") >= F.lit("2024-01-01").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    in_b = (F.col("ts") >= F.lit("2024-01-08").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    )
+    tag = (
+        F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long") % 10
+    ).cast("long")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .groupBy("event_type", tag.alias("tag"))
+        .agg(
+            F.count(F.when(in_a, 1)).cast("long").alias("n_window_a"),
+            F.count(F.when(in_b, 1)).cast("long").alias("n_window_b"),
+        )
+        .select(
+            "event_type", "tag", "n_window_a", "n_window_b",
+            F.abs(F.col("n_window_a") - F.col("n_window_b"))
+            .cast("long").alias("delta"),
+        )
+        .orderBy(F.desc("delta"), "event_type", "tag")
+        .limit(20)
+    )

@@ -1310,3 +1310,32 @@ def test_round12_clickbench_tail_plans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "c42_window_flags_deep_page")
     assert "PushedFilters:" in plan and "ts" in plan.split(
         "PushedFilters:")[1].split("\n")[0]
+
+
+def test_round12_ldbc_second_batch_plans(spark, sf_dir):
+    """Round-12 LDBC drip second batch (bi06-bi10): the share-of-total
+    scalar rides a one-row broadcast (the only nested loop); triangle
+    and two-path expansions are hash equi-joins over the df-capped edge
+    set; the recommendation's non-adjacency is a LeftAnti; tag evolution
+    is ONE scan with conditional window counts (no join); no Python
+    anywhere."""
+    for name in (
+        "bi06_posting_summary_share", "bi07_friend_triangles",
+        "bi08_hop_band_census", "bi09_mutual_friend_rec",
+        "bi10_tag_evolution",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # bi06: the global total is a broadcast one-row scalar
+    assert "BroadcastNestedLoopJoin" in plan_of(
+        spark, sf_dir, "bi06_posting_summary_share"
+    )
+    # bi09: non-adjacency lands as LeftAnti, top-20 lowered
+    plan = plan_of(spark, sf_dir, "bi09_mutual_friend_rec")
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    # bi10: single scan, no join at all, top-20 lowered
+    plan = plan_of(spark, sf_dir, "bi10_tag_evolution")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
