@@ -12712,3 +12712,204 @@ def ds82(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# =============================================================================
+# Round-12 SSB completion (b39-b41) — the remaining flight-variant
+# classes from benchmark/ssb/: the flight-1 band-NARROWING scan
+# (q1-2/q1-3: the same flat fact filter with progressively tighter
+# bands — selectivity-driven, no dim at all), the flight-3 point-pair
+# at month grain (q3-4: both geo dims pinned to points, time pinned to
+# one month), and the flight-4 drill-down profit (q4-2/q4-3: the Q4.1
+# profit rollup with narrowed dims and a WIDER group key). With these,
+# every SSB flight variant has a class-equivalent gate (13/13).
+# =============================================================================
+
+
+# --- b39: SSB flight-1 narrowing variant (q1-2/q1-3) ------------------------------
+# Q1.2/Q1.3 tighten Q1.1's year to one month and the discount/quantity
+# bands to width 2-3: the revenue delta is fully scan-side — no join,
+# band predicates pushed, one global sum.
+
+_B39_ORACLE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity BETWEEN 26 AND 35
+"""
+
+
+@query(
+    "b39_ssb_narrow_band", _B39_ORACLE,
+    doc="SSB Q1.2/Q1.3 class: the flight-1 flat scan with the month "
+        "pinned and discount/quantity bands narrowed — pure pushed-"
+        "predicate selectivity, no join, one global sum",
+)
+def b39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & F.col("l_quantity").between(26, 35)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+                .cast("long")
+            ).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- b40: SSB flight-3 point-pair (q3-4) -----------------------------
+# Q3.4 pins BOTH geo dims to point cities and the date to one window —
+# the star collapses to two 1-nation broadcast probes over a
+# month-pruned fact slice; output is the (cust-nation, supp-nation)
+# pair volume.
+
+_B40_ORACLE = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_name = 'NATION_11' AND sn.n_name = 'NATION_20'
+  AND o.o_orderdate >= TIMESTAMP '1997-04-01'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "b40_ssb_point_pair", _B40_ORACLE,
+    doc="SSB Q3.4 class: both geo dims pinned to points, time pinned "
+        "to one half-year — the most selective flight-3 variant (the "
+        "literal one-month window is empty below sf0.01 on this "
+        "corpus); point dims broadcast, fact slice range-pruned",
+)
+def b40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.filter(F.col("n_name") == "NATION_11").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.filter(F.col("n_name") == "NATION_20").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    month = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-04-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    return (
+        li.join(month, li.l_orderkey == month.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- b41: SSB flight-4 drill-down profit (q4-2/q4-3) --------------------------------
+# Q4.2/Q4.3 take the Q4.1 profit rollup and DRILL DOWN: dims narrow
+# (one supplier region, one part type family, two years) while the
+# group key WIDENS to (year, nation, brand) — more groups from less
+# data, the opposite selectivity direction from flight 1.
+
+_B41_ORACLE = """
+SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+       sn.n_name AS supp_nation, p.p_brand AS brand,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT))
+            - SUM(CAST(ROUND(p.p_retailprice * l.l_quantity * 100)
+                       AS BIGINT) // 2) AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN region r ON sn.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND p.p_type LIKE 'PROM%'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@query(
+    "b41_ssb_drilldown_profit", _B41_ORACLE,
+    doc="SSB Q4.2/Q4.3 class: the flight-4 profit rollup drilled down — "
+        "narrower dims (one region, one type family, two years) but a "
+        "WIDER (year, nation, brand) group key; derived profit measure "
+        "in integer cents",
+)
+def b41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("snk"),
+                F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cost = F.expr(
+        "CAST(ROUND(p_retailprice * l_quantity * 100) AS BIGINT) DIV 2"
+    )
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_type").like("PROM%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("snk"))
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            "supp_nation",
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            (F.sum(rev) - F.sum(cost)).cast("long").alias("profit_cents")
+        )
+        .orderBy("yr", "supp_nation", "brand")
+    )

@@ -1375,3 +1375,22 @@ def test_round12_dstail_second_batch_plans(spark, sf_dir):
     # ds81: the nation-average threshold joins back as broadcast
     plan = plan_of(spark, sf_dir, "ds81_agg_of_agg_threshold")
     assert "BroadcastHashJoin" in plan
+
+
+def test_round12_ssb_completion_plans(spark, sf_dir):
+    """Round-12 SSB completion (b39-b41): b39 is a pure pushed-predicate
+    scan (no join, bands reach the parquet scan); b40's point dims ride
+    broadcast builds; b41's drill-down keeps every dim broadcast with
+    the fact reduced by the pushed date range; no Python, no cartesian."""
+    for name in ("b39_ssb_narrow_band", "b40_ssb_point_pair",
+                 "b41_ssb_drilldown_profit"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    plan = plan_of(spark, sf_dir, "b39_ssb_narrow_band")
+    assert "Join" not in plan
+    assert "PushedFilters:" in plan and "l_discount" in plan.split(
+        "PushedFilters:")[1].split("\n")[0]
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "b40_ssb_point_pair")
+    assert "BroadcastHashJoin" in plan_of(
+        spark, sf_dir, "b41_ssb_drilldown_profit")
