@@ -12032,59 +12032,85 @@ def c43(spark: SparkSession, sf_dir: str) -> DataFrame:
 # posting summary (BI-1), friend triangles (BI-11), the hop-band EXCEPT
 # neighborhood (BI-10), mutual-friend recommendation (BI-18) and tag
 # evolution (BI-2) from benchmark/ldbc/. The graph gates run on a
-# MINUTE-grain co-occurrence edge set with a tight per-cell cap (2..8
-# users): unlike bi03/bi04's hour-grain cap-40 recipe this keeps the
-# graph sparse enough (23k edges / 1.5k nodes at sf0.1) that triangle
-# and two-path expansions stay equi-join-bounded at any SF — the df-cap
-# IS the scale control, exactly like d20's pigeonhole bands.
+# two-grain (minute UNION hour) co-occurrence edge set with a tight
+# per-cell cap (2..8 users): unlike bi03/bi04's hour-grain cap-40
+# recipe this keeps the graph sparse (23k edges / 1.5k nodes at sf0.1,
+# where every hour cell is over-cap and only the minute arm survives)
+# yet non-empty at tiny SF (where only hour cells reach two users), so
+# triangle and two-path expansions stay equi-join-bounded at any SF —
+# the df-cap IS the scale control, exactly like d20's pigeonhole bands.
 # =============================================================================
 
 _MINUTE_EDGES_CTE = """
-cells AS (
+mcells AS (
   SELECT event_type, date_trunc('minute', ts) AS mn, user_id
   FROM events GROUP BY 1, 2, 3
 ),
-sized AS (
-  SELECT event_type, mn FROM cells GROUP BY 1, 2
+msized AS (
+  SELECT event_type, mn FROM mcells GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND 8
+),
+hcells AS (
+  SELECT event_type, date_trunc('hour', ts) AS mn, user_id
+  FROM events GROUP BY 1, 2, 3
+),
+hsized AS (
+  SELECT event_type, mn FROM hcells GROUP BY 1, 2
   HAVING COUNT(*) BETWEEN 2 AND 8
 ),
 edges AS (
   SELECT DISTINCT c1.user_id AS a, c2.user_id AS b
-  FROM cells c1
-  JOIN cells c2 ON c2.event_type = c1.event_type AND c2.mn = c1.mn
+  FROM mcells c1
+  JOIN mcells c2 ON c2.event_type = c1.event_type AND c2.mn = c1.mn
                AND c1.user_id < c2.user_id
-  JOIN sized s ON s.event_type = c1.event_type AND s.mn = c1.mn
+  JOIN msized s ON s.event_type = c1.event_type AND s.mn = c1.mn
+  UNION
+  SELECT DISTINCT c1.user_id AS a, c2.user_id AS b
+  FROM hcells c1
+  JOIN hcells c2 ON c2.event_type = c1.event_type AND c2.mn = c1.mn
+               AND c1.user_id < c2.user_id
+  JOIN hsized s ON s.event_type = c1.event_type AND s.mn = c1.mn
 )"""
 
 
 def _minute_edges(ev: DataFrame) -> DataFrame:
-    """Canonical (a < b) minute-grain co-occurrence edges, per-cell df-cap
-    2..8 distinct users — the sparse social graph for bi07-bi09."""
-    cells = ev.select(
-        "event_type",
-        F.date_trunc("minute", F.col("ts")).alias("mn"),
-        "user_id",
-    ).distinct()
-    sized = (
-        cells.groupBy("event_type", "mn")
-        .agg(F.count(F.lit(1)).alias("nu"))
-        .filter((F.col("nu") >= 2) & (F.col("nu") <= 8))
-        .select("event_type", "mn")
-    )
-    capped = cells.join(sized, ["event_type", "mn"])
-    other = capped.select(
-        F.col("event_type").alias("e2"), F.col("mn").alias("m2"),
-        F.col("user_id").alias("b"),
-    )
-    return (
-        capped.join(
-            other,
-            (F.col("event_type") == F.col("e2"))
-            & (F.col("mn") == F.col("m2"))
-            & (F.col("user_id") < F.col("b")),
+    """Canonical (a < b) co-occurrence edges at TWO grains (minute UNION
+    hour), per-cell df-cap 2..8 distinct users — the sparse social graph
+    for bi07-bi09/bi12. Two grains make the recipe scale-adaptive: at
+    tiny SF only hour cells reach two users (minute arm empty); at large
+    SF hour cells exceed the cap and get dropped, leaving the minute arm
+    (still capped). Either way the edge set stays sparse and non-empty,
+    and the cap bounds every downstream pair expansion."""
+
+    def grain_edges(grain: str) -> DataFrame:
+        cells = ev.select(
+            "event_type",
+            F.date_trunc(grain, F.col("ts")).alias("mn"),
+            "user_id",
+        ).distinct()
+        sized = (
+            cells.groupBy("event_type", "mn")
+            .agg(F.count(F.lit(1)).alias("nu"))
+            .filter((F.col("nu") >= 2) & (F.col("nu") <= 8))
+            .select("event_type", "mn")
         )
-        .select(F.col("user_id").alias("a"), "b")
-        .distinct()
+        capped = cells.join(sized, ["event_type", "mn"])
+        other = capped.select(
+            F.col("event_type").alias("e2"), F.col("mn").alias("m2"),
+            F.col("user_id").alias("b"),
+        )
+        return (
+            capped.join(
+                other,
+                (F.col("event_type") == F.col("e2"))
+                & (F.col("mn") == F.col("m2"))
+                & (F.col("user_id") < F.col("b")),
+            )
+            .select(F.col("user_id").alias("a"), "b")
+        )
+
+    return (
+        grain_edges("minute").unionByName(grain_edges("hour")).distinct()
     )
 
 
@@ -12912,4 +12938,209 @@ def b41(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev) - F.sum(cost)).cast("long").alias("profit_cents")
         )
         .orderBy("yr", "supp_nation", "brand")
+    )
+
+
+# =============================================================================
+# Round-12 LDBC SNB BI drip, third batch (bi11-bi14) — top-k-container
+# detail (BI-4), authority scores (BI-6), the message-count distribution
+# (BI-12), and recency-weighted tag co-occurrence recommendation (BI-8)
+# from benchmark/ldbc/. bi12/bi14 reuse the minute-grain df-capped edge
+# set (_minute_edges) so their pair expansions stay join-bounded.
+# =============================================================================
+
+
+# --- bi11: top-k containers then detail (LDBC BI-4 class) --------------------------
+# BI-4 ranks the top-100 forums by membership, then reports message
+# stats WITHIN those forums only — a top-k key set driving a semi-join
+# into the detail. Here: the 5 busiest days drive the per-type census.
+
+_BI11_ORACLE = """
+WITH top_days AS (
+  SELECT CAST(ts AS DATE) AS day
+  FROM events GROUP BY 1
+  ORDER BY COUNT(*) DESC, day LIMIT 5
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT CAST(e.ts AS DATE)) AS BIGINT) AS n_days
+FROM events e JOIN top_days d ON CAST(e.ts AS DATE) = d.day
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "bi11_top_container_detail", _BI11_ORACLE,
+    doc="LDBC BI-4 class: top-k containers (busiest days) selected "
+        "first, then a detail census ONLY within them — the top-k key "
+        "set broadcasts into a semi-join on the fact",
+)
+def bi11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    top_days = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "day")
+        .limit(5)
+        .select("day")
+    )
+    return (
+        ev.join(
+            F.broadcast(top_days), F.to_date(ev.ts) == F.col("day"), "left_semi"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- bi12: authority scores (LDBC BI-6 class) ---------------------------------------
+# BI-6 scores each person by the POPULARITY OF THE PEOPLE WHO LIKE
+# them (sum over likers of the liker's own message count) — a
+# two-level score: per-user popularity reduces the fact once, then one
+# join over the edge set adds up each user's neighbors' popularity.
+
+_BI12_ORACLE = f"""
+WITH {_MINUTE_EDGES_CTE},
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+pop AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS popularity
+  FROM events GROUP BY 1
+)
+SELECT und.a AS user_id,
+       CAST(SUM(p.popularity) AS BIGINT) AS authority,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors
+FROM und JOIN pop p ON und.b = p.user_id
+GROUP BY 1
+ORDER BY authority DESC, user_id
+LIMIT 20
+"""
+
+
+@query(
+    "bi12_authority_scores", _BI12_ORACLE,
+    doc="LDBC BI-6 class: authority = sum of one's neighbors' own "
+        "popularity — the fact reduces once to per-user counts, then "
+        "ONE equi-join over the df-capped edges; top-20 lowered",
+)
+def bi12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = _minute_edges(ev).localCheckpoint(eager=True)
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    pop = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("popularity")
+    )
+    return (
+        und.join(pop, und.b == pop.user_id)
+        .groupBy(F.col("a").alias("user_id"))
+        .agg(
+            F.sum("popularity").cast("long").alias("authority"),
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        )
+        .orderBy(F.desc("authority"), "user_id")
+        .limit(20)
+    )
+
+
+# --- bi13: message-count distribution (LDBC BI-12 class) -----------------------------
+# BI-12 asks how many persons posted more than N messages for a ladder
+# of thresholds — the count-of-counts distribution: the fact reduces to
+# per-user counts, then a SECOND aggregate histograms the counts into
+# power-of-two buckets.
+
+_BI13_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(FLOOR(LOG2(n)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(n) AS BIGINT) AS min_msgs,
+       CAST(MAX(n) AS BIGINT) AS max_msgs
+FROM per_user
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "bi13_count_distribution", _BI13_ORACLE,
+    doc="LDBC BI-12 class: count-of-counts — per-user message counts "
+        "histogrammed into power-of-two buckets by a second aggregate; "
+        "output bounded by log2(max count)",
+)
+def bi13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_user.groupBy(
+            F.floor(F.log2("n")).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("n").cast("long").alias("min_msgs"),
+            F.max("n").cast("long").alias("max_msgs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- bi14: recency-weighted tag co-occurrence (LDBC BI-8 class) ----------------------
+# BI-8 recommends tags related to a seed tag, scored by co-occurrence
+# with a recency boost. Here: event types co-occurring with 'purchase'
+# in the same (user, day), score = plain count + double-weighted
+# last-week count — conditional integer weights, one pair join on the
+# (user, day) grain.
+
+_BI14_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events
+),
+seed AS (
+  SELECT user_id, day FROM ud WHERE event_type = 'purchase'
+)
+SELECT o.event_type AS related_tag,
+       CAST(COUNT(*) AS BIGINT) AS n_cooccur,
+       CAST(SUM(CASE WHEN o.day >= DATE '2024-01-24' THEN 2 ELSE 1 END)
+            AS BIGINT) AS score
+FROM ud o JOIN seed s ON o.user_id = s.user_id AND o.day = s.day
+WHERE o.event_type <> 'purchase'
+GROUP BY 1
+ORDER BY score DESC, related_tag
+"""
+
+
+@query(
+    "bi14_tag_cooccurrence", _BI14_ORACLE,
+    doc="LDBC BI-8 class: tags co-occurring with a seed tag on the "
+        "(user, day) grain, recency-boosted with integer weights — the "
+        "grain deduplicates BEFORE the pair join, so the expansion is "
+        "bounded by days x types per user",
+)
+def bi14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    seed = ud.filter(F.col("event_type") == "purchase").select(
+        "user_id", "day"
+    )
+    return (
+        ud.filter(F.col("event_type") != "purchase")
+        .join(seed, ["user_id", "day"])
+        .groupBy(F.col("event_type").alias("related_tag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cooccur"),
+            F.sum(
+                F.when(F.col("day") >= F.lit("2024-01-24").cast("date"), 2)
+                .otherwise(1)
+            ).cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), "related_tag")
     )

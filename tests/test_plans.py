@@ -1394,3 +1394,26 @@ def test_round12_ssb_completion_plans(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "b40_ssb_point_pair")
     assert "BroadcastHashJoin" in plan_of(
         spark, sf_dir, "b41_ssb_drilldown_profit")
+
+
+def test_round12_ldbc_third_batch_plans(spark, sf_dir):
+    """Round-12 LDBC drip third batch (bi11-bi14): the top-k container
+    key set drives a broadcast LeftSemi (bi11); authority is ONE
+    equi-join over the capped edges after a per-user reduction (bi12);
+    the count-of-counts is two stacked aggregates with no join (bi13);
+    the co-occurrence pair join runs on the deduplicated (user, day)
+    grain (bi14); no Python, no cartesian."""
+    for name in (
+        "bi11_top_container_detail", "bi12_authority_scores",
+        "bi13_count_distribution", "bi14_tag_cooccurrence",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    plan = plan_of(spark, sf_dir, "bi11_top_container_detail")
+    assert "LeftSemi" in plan
+    plan = plan_of(spark, sf_dir, "bi13_count_distribution")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan_of(
+        spark, sf_dir, "bi12_authority_scores")
