@@ -13144,3 +13144,295 @@ def bi14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), "related_tag")
     )
+
+
+# =============================================================================
+# Round-12 TPC-DS tail, third batch (ds83-ds86) — the Q25/Q29
+# sale-return-repurchase three-fact chain, the Q46/Q68 dim-attribute
+# mismatch census, the Q53/Q63 deviation-from-partition-mean filter,
+# and the Q56/Q60 union-of-channels report over one shared item set.
+# =============================================================================
+
+
+# --- ds83: sale -> return -> repurchase chain (TPC-DS Q25/Q29 class) ----------------
+# Q25/Q29 chain three fact events per customer: a sale, its return, and
+# a later repurchase. Returned lines reduce to each customer's FIRST
+# return date (one aggregate, never a fact x fact fan-out); later
+# orders join against that reduced frame.
+
+_DS83_ORACLE = """
+WITH first_return AS (
+  SELECT o.o_custkey AS custkey, MIN(o.o_orderdate) AS first_ret
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1
+),
+reorders AS (
+  SELECT fr.custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_reorders,
+         CAST(SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS reorder_cents
+  FROM first_return fr
+  JOIN orders o2 ON o2.o_custkey = fr.custkey
+                AND o2.o_orderdate > fr.first_ret
+  GROUP BY 1
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(r.n_reorders) AS BIGINT) AS n_reorders,
+       CAST(SUM(r.reorder_cents) AS BIGINT) AS reorder_cents
+FROM reorders r JOIN customer c ON r.custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "ds83_return_repurchase_chain", _DS83_ORACLE,
+    doc="TPC-DS Q25/Q29 class: sale -> return -> repurchase chained "
+        "per customer — returns reduce to a first-return date BEFORE "
+        "the reorder join (never fact x fact), census per segment",
+)
+def ds83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    first_return = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.min("o_orderdate").alias("first_ret"))
+    )
+    reorders = (
+        first_return.join(
+            orders,
+            (F.col("o_custkey") == F.col("custkey"))
+            & (F.col("o_orderdate") > F.col("first_ret")),
+        )
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reorders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("reorder_cents"),
+        )
+    )
+    return (
+        reorders.join(F.broadcast(cust), reorders.custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("n_reorders").cast("long").alias("n_reorders"),
+            F.sum("reorder_cents").cast("long").alias("reorder_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --- ds84: dim-attribute mismatch census (TPC-DS Q46/Q68 class) ---------------------
+# Q46/Q68 flag trips where the delivery city differs from the home
+# city — an INEQUALITY between two dimension attributes of the joined
+# row. Supplier nation vs customer nation across the order; census per
+# customer nation of cross-nation volume.
+
+_DS84_ORACLE = """
+SELECT c.c_nationkey AS cust_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_cross_lines,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cross_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey <> c.c_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "ds84_attribute_mismatch", _DS84_ORACLE,
+    doc="TPC-DS Q46/Q68 class: inequality between two DIM attributes of "
+        "the joined row (supplier nation <> customer nation) — the "
+        "mismatch is a residual filter after broadcast dim joins, never "
+        "a join condition explosion",
+)
+def ds84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("cust_nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cross_lines"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long").alias("cross_cents"),
+        )
+        .orderBy("cust_nation")
+    )
+
+
+# --- ds85: deviation-from-partition-mean filter (TPC-DS Q53/Q63 class) ---------------
+# Q53/Q63 keep the (manager, month) rows whose sales deviate from the
+# manager's average month — a filter ON a window aggregate. The
+# deviation test is integer cross-multiplied (|rev*n - total| * 10 >
+# total * n / ... rearranged) so the gate is engine-exact.
+
+_DS85_ORACLE = """
+WITH brand_month AS (
+  SELECT p.p_brand AS brand,
+         date_trunc('month', o.o_orderdate)::DATE AS month,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+with_tot AS (
+  SELECT brand, month, rev_cents,
+         SUM(rev_cents) OVER (PARTITION BY brand) AS tot,
+         COUNT(*) OVER (PARTITION BY brand) AS n
+  FROM brand_month
+)
+SELECT brand, month, rev_cents,
+       CAST(tot // n AS BIGINT) AS brand_avg_cents
+FROM with_tot
+WHERE ABS(rev_cents * n - tot) * 10 > tot * 3
+ORDER BY brand, month
+"""
+
+
+@query(
+    "ds85_deviation_filter", _DS85_ORACLE,
+    doc="TPC-DS Q53/Q63 class: keep (brand, month) rows deviating >30% "
+        "from the brand's average month — a filter ON a window "
+        "aggregate over the reduced grain; integer cross-multiplied",
+)
+def ds85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    brand_month = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+            .alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long").alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("brand")
+    with_tot = brand_month.select(
+        "brand", "month", "rev_cents",
+        F.sum("rev_cents").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        with_tot.filter(
+            F.abs(F.col("rev_cents") * F.col("n") - F.col("tot")) * 10
+            > F.col("tot") * 3
+        )
+        .select(
+            "brand", "month", "rev_cents",
+            F.expr("tot DIV n").cast("long").alias("brand_avg_cents"),
+        )
+        .orderBy("brand", "month")
+    )
+
+
+# --- ds86: union-of-channels over one item set (TPC-DS Q56/Q60 class) ----------------
+# Q56/Q60 measure the SAME item set across three channels via UNION ALL
+# and total per item. Channels = order-priority classes; the shared
+# item set (small parts) is one broadcast filter applied to every arm;
+# totals stack via a union then ONE aggregate.
+
+_DS86_ORACLE = """
+WITH item_set AS (
+  SELECT p_partkey, p_brand FROM part WHERE p_size <= 5
+),
+arms AS (
+  SELECT i.p_brand AS brand, 'urgent' AS channel,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN item_set i ON l.l_partkey = i.p_partkey
+  WHERE o.o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT i.p_brand, 'high',
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN item_set i ON l.l_partkey = i.p_partkey
+  WHERE o.o_orderpriority = '2-HIGH'
+  UNION ALL
+  SELECT i.p_brand, 'low',
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN item_set i ON l.l_partkey = i.p_partkey
+  WHERE o.o_orderpriority = '5-LOW'
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(COUNT(DISTINCT channel) AS BIGINT) AS n_channels
+FROM arms
+GROUP BY 1
+ORDER BY total_cents DESC, brand
+LIMIT 15
+"""
+
+
+@query(
+    "ds86_union_channels_itemset", _DS86_ORACLE,
+    doc="TPC-DS Q56/Q60 class: one shared (broadcast) item set measured "
+        "across three channel arms via UNION ALL, totalled per item in "
+        "ONE aggregate after the union; top-15 lowered",
+)
+def ds86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    item_set = part.filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def arm(priority: str, label: str) -> DataFrame:
+        return (
+            li.join(
+                orders.filter(F.col("o_orderpriority") == priority),
+                li.l_orderkey == orders.o_orderkey,
+            )
+            .join(F.broadcast(item_set), li.l_partkey == F.col("p_partkey"))
+            .select(
+                F.col("p_brand").alias("brand"),
+                F.lit(label).alias("channel"),
+                cents.alias("cents"),
+            )
+        )
+
+    arms = (
+        arm("1-URGENT", "urgent")
+        .unionByName(arm("2-HIGH", "high"))
+        .unionByName(arm("5-LOW", "low"))
+    )
+    return (
+        arms.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.countDistinct("channel").cast("long").alias("n_channels"),
+        )
+        .orderBy(F.desc("total_cents"), "brand")
+        .limit(15)
+    )

@@ -1417,3 +1417,26 @@ def test_round12_ldbc_third_batch_plans(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan_of(
         spark, sf_dir, "bi12_authority_scores")
+
+
+def test_round12_dstail_third_batch_plans(spark, sf_dir):
+    """Round-12 TPC-DS tail third batch (ds83-ds86): ds83's returns
+    reduce to a first-return date BEFORE the reorder join (aggregate
+    below the join); ds84's dim mismatch is a residual after broadcast
+    dim joins; ds85 filters ON a window over the reduced grain; ds86's
+    three channel arms stack via Union into ONE aggregate; no Python,
+    no cartesian anywhere."""
+    for name in (
+        "ds83_return_repurchase_chain", "ds84_attribute_mismatch",
+        "ds85_deviation_filter", "ds86_union_channels_itemset",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    plan = plan_of(spark, sf_dir, "ds85_deviation_filter")
+    assert "Window" in plan
+    plan = plan_of(spark, sf_dir, "ds86_union_channels_itemset")
+    assert "Union" in plan
+    assert "TakeOrderedAndProject" in plan
+    plan = plan_of(spark, sf_dir, "ds84_attribute_mismatch")
+    assert "BroadcastHashJoin" in plan
