@@ -104,17 +104,25 @@ _FRONT_WINDOW = [
     "ds73_cross_channel_ratio", "ds74_rollup_channel_sales",
     "ds75_repeat_purchase_span", "ds76_inventory_turns",
     "ds77_first_last_affinity",
-    # heavy-family re-samples (previously driver-green; keep hot
-    # families under continuous driver observation)
-    "d04_minhash_signature", "e10_ivf_trained_index",
-    "s10_streaming_restart", "ds17_frequent_crossshop",
-    "l14_pagerank_fixed_point", "h04_join_rollup",
-    "x03_merge_statement", "b25_snowflake_deep",
-    "ds67_multi_year_megajoin", "c32_url_regex_classify",
-    "m10_audio_vad_segments", "t21_rag_chunking",
-    "w10_groups_frame_exclude", "x22_positioned_dml",
-    "s25_streaming_closure", "g13_cusum_changepoints",
-    "e21_int8_quantization", "l20_weighted_bounded_path",
+    # round-12 batch-2/3 gates (this session): the ClickBench tail,
+    # LDBC second+third drips, TPC-DS second+third tails, and the SSB
+    # completion. 29 landed; the 18 structurally richest take the
+    # remaining slots — the 11 deferred to the round-13 window are the
+    # simplest single-scan/selection/broadcast-star classes, each
+    # already 3-SF verified locally (c39/c40/c41/c43, bi10/bi13,
+    # b39/b40/b41, ds82/ds84). The usual heavy-family re-samples stand
+    # down for one round to make room; they return in round 13
+    # alongside the deferred eleven.
+    "c36_global_scan_battery", "c37_distinct_rank_topk",
+    "c38_composite_mixed_battery", "c42_window_flags_deep_page",
+    "bi06_posting_summary_share", "bi07_friend_triangles",
+    "bi08_hop_band_census", "bi09_mutual_friend_rec",
+    "bi11_top_container_detail", "bi12_authority_scores",
+    "bi14_tag_cooccurrence",
+    "ds78_bucket_case_ladder", "ds79_disjunctive_selectivity",
+    "ds80_rank_join_best_worst", "ds81_agg_of_agg_threshold",
+    "ds83_return_repurchase_chain", "ds85_deviation_filter",
+    "ds86_union_channels_itemset",
 ]
 
 
