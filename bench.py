@@ -123,10 +123,13 @@ def main() -> None:
     # cache the corpus in executor memory: a long-running deployment serves
     # hot tables from the cluster cache (or OS page cache), not cold parquet.
     # The persist uses the CLUSTER_KEYS layout (registry.persist_clustered):
-    # fact tables hash-clustered on their dominant join key — the in-memory
-    # analogue of on-disk bucketBy — so co-partitioned joins/windows elide
-    # their Exchange. The per-session DataFrame cache in load_table makes
-    # every query reuse these exact persisted relations.
+    # fact tables repartitioned to the shuffle width before caching — a
+    # sub-128MB parquet file otherwise caches as ONE partition and every
+    # stage reading it runs single-threaded (the measured 2-3x win); the
+    # hash keys mirror the on-disk bucketBy layout a cluster deployment
+    # writes (see the registry comment for what the cache seam does NOT
+    # buy). The per-session DataFrame cache in load_table makes every
+    # query reuse these exact persisted relations.
     from otterbrix_spark.sources.registry import persist_clustered
 
     persist_clustered(spark, sf_dir)

@@ -147,17 +147,24 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
 
 # Physical layout policy for the warm/cached corpus: each fact table is
-# hash-clustered on its dominant join key before persisting — the in-memory
-# analogue of on-disk `bucketBy` (sources/layout.py). A cached relation
-# whose child was `repartition(n, key)` exposes HashPartitioning(key, n),
-# so every downstream join/window/aggregate clustered on that key elides
-# its Exchange entirely (orders⋈lineitem on orderkey becomes a
-# co-partitioned zero-shuffle join; the sessionize window reads events
-# already clustered by user_id). At 100 TB this is exactly the bucketed /
-# pre-partitioned table layout a deployment writes once and amortises
-# across every query; at bench scale it is the same decision expressed on
-# the executor cache. Measured at sf0.1 (warm best-of-3): q05 1.12→0.35s,
-# q04 0.48→0.21s, q46 0.34→0.14s, s01 0.67→0.44s.
+# hash-clustered on its dominant join key at the session's shuffle width
+# before persisting. What this buys, measured honestly:
+#
+# 1. CACHE PARALLELISM (the measured win): a single parquet file under
+#    the 128MB split size caches as ONE partition — every stage reading
+#    that cache then runs single-threaded. The repartition widens the
+#    cached relation to the shuffle width; at sf0.1 warm best-of-3 this
+#    is q05 1.12→0.35s, q04 0.48→0.21s, q46 0.34→0.14s, s01 0.67→0.44s.
+# 2. The KEY choice mirrors the on-disk `bucketBy` layout a 100 TB
+#    deployment writes once (sources/layout.py) and costs nothing here.
+#    NOTE (verified, Spark 4.1): an AQE-compiled cached plan does NOT
+#    propagate its HashPartitioning to consumers — a forced
+#    SortMergeJoin over two co-clustered cached tables still inserts
+#    ENSURE_REQUIREMENTS exchanges on both sides, and the sessionize
+#    window still re-shuffles events by user_id. The exchange-elision
+#    benefit of bucketing is real only for on-disk bucketed tables
+#    (`spark.table` over bucketBy output), not for this cache seam — do
+#    not claim it for the in-memory layout.
 CLUSTER_KEYS = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
@@ -180,11 +187,19 @@ def persist_clustered(spark: SparkSession, sf_dir: str) -> None:
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
     per_session = _TABLE_CACHE.setdefault(spark, {})
     for name in TABLES:
+        cache_key = (os.path.abspath(sf_dir), name)
+        # idempotent: a second call must NOT build fresh DataFrame
+        # instances (each would persist its own copy in the executor
+        # cache alongside the first)
+        existing = per_session.get(cache_key)
+        if existing is not None and getattr(existing, "_otx_clustered", False):
+            continue
         df = _load_table_uncached(spark, sf_dir, name)
         key = CLUSTER_KEYS.get(name)
         if key is not None:
             df = df.repartition(width, key)
-        per_session[(os.path.abspath(sf_dir), name)] = df
+        df._otx_clustered = True
+        per_session[cache_key] = df
         df.persist()
 
 
