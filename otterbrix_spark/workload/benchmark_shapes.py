@@ -13436,3 +13436,105 @@ def ds86(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_cents"), "brand")
         .limit(15)
     )
+
+
+# --- bi15: related topics (LDBC BI-7 class) ------------------------------------------
+# BI-7 finds tags that co-appear with a seed tag's audience but EXCLUDES
+# the seed itself: users who used the seed tag drive a semi-join into
+# the detail, the seed rows are removed, and the remaining tags rank by
+# distinct audience. The exclude-the-seed step is the distinctive op.
+
+_BI15_ORACLE = """
+WITH seed_users AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+)
+SELECT e.event_type AS related_topic,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS audience,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN seed_users s ON e.user_id = s.user_id
+WHERE e.event_type <> 'signup'
+GROUP BY 1
+ORDER BY audience DESC, related_topic
+"""
+
+
+@query(
+    "bi15_related_topics", _BI15_ORACLE,
+    doc="LDBC BI-7 class: the seed tag's audience drives a semi-join "
+        "into the detail, seed rows are excluded, remaining topics rank "
+        "by distinct audience — the exclude-the-seed co-occurrence op",
+)
+def bi15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seed_users = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        ev.filter(F.col("event_type") != "signup")
+        .join(seed_users, "user_id", "left_semi")
+        .groupBy(F.col("event_type").alias("related_topic"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("audience"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("audience"), "related_topic")
+    )
+
+
+# --- ds87: revenue share within category (TPC-DS Q12/Q20/Q98 class) ------------------
+# Q12/Q20/Q98 emit each item's share of its CLASS total revenue — a
+# ratio against a window aggregate over the reduced grain. Share in
+# basis points by integer DIV so the gate is engine-exact.
+
+_DS87_ORACLE = """
+WITH brand_rev AS (
+  SELECT p.p_type AS category, p.p_brand AS brand,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT category, brand, rev_cents,
+       CAST(rev_cents * 10000 //
+            SUM(rev_cents) OVER (PARTITION BY category) AS BIGINT)
+         AS share_bp
+FROM brand_rev
+ORDER BY category, share_bp DESC, brand
+"""
+
+
+@query(
+    "ds87_category_revenue_share", _DS87_ORACLE,
+    doc="TPC-DS Q12/Q20/Q98 class: each item's share of its class total "
+        "as a ratio against a window SUM over the reduced (category, "
+        "brand) grain — share in integer basis points",
+)
+def ds87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("category"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long").alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("category")
+    return (
+        brand_rev.select(
+            "category", "brand", "rev_cents",
+            F.sum("rev_cents").over(w).alias("_cat_tot"),
+        )
+        .select(
+            "category", "brand", "rev_cents",
+            F.expr("rev_cents * 10000 DIV _cat_tot").cast("long")
+            .alias("share_bp"),
+        )
+        .orderBy("category", F.desc("share_bp"), "brand")
+    )

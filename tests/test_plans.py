@@ -1440,3 +1440,17 @@ def test_round12_dstail_third_batch_plans(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     plan = plan_of(spark, sf_dir, "ds84_attribute_mismatch")
     assert "BroadcastHashJoin" in plan
+
+
+def test_round12_bi15_ds87_plans(spark, sf_dir):
+    """bi15: seed audience drives a LeftSemi, seed rows excluded before
+    the census; ds87: the share ratio is a window over the reduced
+    (category, brand) grain — one fact join, never a self-join of the
+    grain against its total."""
+    plan = plan_of(spark, sf_dir, "bi15_related_topics")
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
+    plan = plan_of(spark, sf_dir, "ds87_category_revenue_share")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
