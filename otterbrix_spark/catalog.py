@@ -774,6 +774,16 @@ class Catalog:
         # user-object floor (16384), stable for the session
         self._oids: dict[tuple[str, str], int] = {}
         self._oid_next = 16384
+        # PG temporary tables: name -> ON COMMIT mode ('preserve' |
+        # 'delete'). Temp tables live as ordinary managed tables for the
+        # session but are session-scoped: a reopened engine REMOVES their
+        # directories instead of rediscovering them (PG cleans orphaned
+        # temp tables left by a crashed backend), and ON COMMIT DELETE
+        # ROWS truncates at every COMMIT for the table's lifetime.
+        # ON COMMIT DROP never enters this dict across a commit: the
+        # table dies with its creating transaction (_txn_temp_drop).
+        self.temp_tables: dict[str, str] = {}
+        self._txn_temp_drop: list[str] = []
         # reopen discovery LAST: every dict it fills must already exist
         self._restore_catalog()
         # seed the scoped-refresh match set from the restored catalog: a
@@ -830,6 +840,9 @@ class Catalog:
             "databases": sorted(self.databases),
             "views": list(self.views.items()),
             "matviews": self.matview_sql,
+            # recorded so a REOPENED engine knows which directories are
+            # session-scoped leftovers to remove, never to rediscover
+            "temp_tables": self.temp_tables,
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -954,6 +967,20 @@ class Catalog:
             with open(self._catalog_path()) as fh:
                 meta = json.load(fh)
         partmeta = meta.get("partitioning", {})
+        # temp tables are session-scoped: a reopened engine REMOVES the
+        # previous session's leftover directories instead of
+        # rediscovering them (PG cleans orphaned temp tables left by a
+        # crashed backend), and purges their catalog metadata
+        stale_temp = set(meta.get("temp_tables", {}))
+        if stale_temp:
+            import shutil
+
+            for tname in stale_temp:
+                base = tname.replace(".", "__")
+                for d in (base, "dyn__" + base):
+                    p = os.path.join(self.base_dir, d)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
         for entry in sorted(os.listdir(self.base_dir)):
             p = os.path.join(self.base_dir, entry)
             if not os.path.isdir(p) or entry.startswith((".", "mv__")):
@@ -985,14 +1012,21 @@ class Catalog:
             return
         self.table_constraints = meta.get("constraints", {})
         self.table_defaults = meta.get("defaults", {})
+        for tname in stale_temp:
+            self.table_constraints.pop(tname, None)
+            self.table_defaults.pop(tname, None)
 
         ident = meta.get("identity", {})
         self.identity_cols = ident.get("cols", {})
         self.identity_always = {
             t: set(v) for t, v in ident.get("always", {}).items()
         }
+        for tname in stale_temp:
+            self.identity_cols.pop(tname, None)
+            self.identity_always.pop(tname, None)
         self.comments = {
             (k, n, s): t for k, n, s, t in meta.get("comments", [])
+            if n not in stale_temp
         }
         self.sequences = meta.get("sequences", {})
         self._seq_last = meta.get("seq_last", {})
@@ -1081,6 +1115,7 @@ class Catalog:
         loop 3), and their own comments die with them."""
         self.table_constraints.pop(name, None)
         self.table_defaults.pop(name, None)
+        self.temp_tables.pop(name, None)
         owned = self.identity_cols.pop(name, {})
         self.identity_always.pop(name, None)
         still_used = {
@@ -2885,11 +2920,24 @@ class Catalog:
                 for name in staged:
                     if name in self.tables:
                         self._register(self.tables[name])
+            # temp-table ON COMMIT actions fire AFTER staged writes
+            # publish (PG: the truncate/drop happens at commit, so a
+            # transaction's own inserts land first and then vanish)
+            dropped_now, self._txn_temp_drop = self._txn_temp_drop, []
+            for name in dropped_now:
+                if name in self.tables or name in self.dynamic:
+                    self.route(f"DROP TABLE {name}")
+            for name, mode in list(self.temp_tables.items()):
+                if mode == "delete" and name in self.tables:
+                    self.route(f"TRUNCATE {name}")
             return self.spark.range(0).select(F.lit("COMMIT").alias("txn"))
         if head in ("ROLLBACK", "ABORT"):
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
             self._txn_save = []
+            # ON COMMIT DROP tables die with the rolled-back creating
+            # txn via _drop_created; nothing left to fire at any commit
+            self._txn_temp_drop = []
             # PG removes every cursor the ABORTED transaction created —
             # WITH HOLD included (holdability only survives COMMIT; a
             # holdable cursor must not serve rolled-back staged data)
@@ -3418,6 +3466,56 @@ class Catalog:
                 flags=re.IGNORECASE,
             )
             return self.route(sql)
+
+        # PG temporary tables: CREATE [GLOBAL|LOCAL] TEMP[ORARY] TABLE ...
+        # [ON COMMIT {PRESERVE ROWS | DELETE ROWS | DROP}]. The table is
+        # created through the ordinary CREATE TABLE paths (typed / CTAS /
+        # LIKE / dynamic all work), then marked session-scoped: excluded
+        # from reopen discovery (the reopened engine REMOVES the leftover
+        # directory, PG's orphaned-temp cleanup), truncated at every
+        # COMMIT under DELETE ROWS, dropped at the creating transaction's
+        # COMMIT under DROP (immediately when created outside a
+        # transaction block — PG's implicit single-statement commit).
+        # GLOBAL/LOCAL are noise words in PG; accepted and ignored here
+        # the same way.
+        m = re.match(
+            r"^\s*CREATE\s+(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+TABLE\s+"
+            r"(.*)$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            rest = m.group(1).rstrip().rstrip(";")
+            on_commit = "preserve"
+            mc = re.search(
+                r"\s+ON\s+COMMIT\s+(PRESERVE\s+ROWS|DELETE\s+ROWS|DROP)\s*$",
+                rest, re.IGNORECASE,
+            )
+            if mc:
+                on_commit = {
+                    "PRESERVE ROWS": "preserve",
+                    "DELETE ROWS": "delete",
+                    "DROP": "drop",
+                }[re.sub(r"\s+", " ", mc.group(1).upper())]
+                rest = rest[: mc.start()]
+            mn = re.match(r"^(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)", rest)
+            if not mn:
+                raise ValueError(f"bad CREATE TEMP TABLE statement: {sql!r}")
+            # db.table already canonicalized to db__table upstream (the
+            # same convention every CREATE path in this method relies on)
+            name = mn.group(1)
+            result = self.route("CREATE TABLE " + rest)
+            if on_commit == "drop":
+                if self._txn is not None:
+                    self._txn_temp_drop.append(name)
+                    self.temp_tables[name] = "preserve"
+                else:
+                    # PG outside a txn block: the implicit commit fires
+                    # immediately, so the table is created and dropped in
+                    # one statement — deliberate parity, not a bug
+                    self.route(f"DROP TABLE {name}")
+                return result
+            self.temp_tables[name] = on_commit
+            return result
 
         m = _CREATE_DATABASE.match(sql)
         if m:
@@ -4417,7 +4515,12 @@ class Catalog:
             return True
         if _parse_with_dml(sql):
             return True
-        head = sql.lstrip()[:26].upper()
+        head = sql.lstrip()[:40].upper()
+        if re.match(
+            r"^CREATE\s+(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+TABLE\b",
+            head,
+        ):
+            return True
         return any(
             head.startswith(k)
             for k in (

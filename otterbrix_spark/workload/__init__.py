@@ -110,9 +110,10 @@ _FRONT_WINDOW = [
     # remaining slots — the 11 deferred to the round-13 window are the
     # simplest single-scan/selection/broadcast-star classes, each
     # already 3-SF verified locally (c39/c40/c41/c43, bi10/bi13,
-    # b39/b40/b41, ds82/ds84). The usual heavy-family re-samples stand
-    # down for one round to make room; they return in round 13
-    # alongside the deferred eleven.
+    # b39/b40/b41, ds82/ds84; later batches added bi15/ds87/x29 to the
+    # same deferred set). The usual heavy-family re-samples stand down
+    # for one round to make room; they return in round 13 alongside the
+    # deferred names.
     "c36_global_scan_battery", "c37_distinct_rank_topk",
     "c38_composite_mixed_battery", "c42_window_flags_deep_page",
     "bi06_posting_summary_share", "bi07_friend_triangles",

@@ -2107,3 +2107,77 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE c.relname IN ('x28_t', 'x28_v') "
         "ORDER BY c.relname, d.objsubid"
     )
+
+
+# --- x29: temporary tables -------------------------------------------------------
+# PG CREATE [GLOBAL|LOCAL] TEMP[ORARY] TABLE with the full ON COMMIT
+# set (PRESERVE ROWS default / DELETE ROWS / DROP). Session-scoped:
+# a reopened engine over the same directory REMOVES the leftover temp
+# directories (PG's orphaned-temp cleanup after a crashed backend)
+# instead of rediscovering them. The oracle replays every leg
+# closed-form from the corpus (the x26/x27 engine-gate discipline).
+
+_X29_ORACLE = """
+SELECT * FROM (VALUES
+  ('t1_visible',
+   (SELECT COUNT(*) FROM customer WHERE c_custkey % 11 = 0)),
+  ('t2_after_delete_rows', CAST(0 AS BIGINT)),
+  ('t3_ephemeral_in_txn', CAST(3 AS BIGINT)),
+  ('t4_ephemeral_after_commit', CAST(0 AS BIGINT)),
+  ('t5_reopen_scratch_gone', CAST(0 AS BIGINT)),
+  ('t6_reopen_perm_alive', CAST(1 AS BIGINT))
+) AS t(leg, n)
+ORDER BY leg
+"""
+
+
+@query(
+    "x29_temp_tables", _X29_ORACLE,
+    doc="PG temporary tables: session visibility, ON COMMIT DELETE ROWS "
+        "truncating at every COMMIT, ON COMMIT DROP dying with its "
+        "creating transaction, and reopen cleanup (a new engine over "
+        "the same directory removes leftover temp dirs, keeps permanent "
+        "tables) — every leg replayed closed-form by the oracle",
+)
+def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.catalog import Catalog
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_corpus(sf_dir)
+
+    eng.sql("CREATE TEMP TABLE x29_scratch (k BIGINT)")
+    eng.sql(
+        "INSERT INTO x29_scratch SELECT c_custkey FROM customer "
+        "WHERE c_custkey % 11 = 0"
+    )
+    n1 = eng.sql("SELECT COUNT(*) AS n FROM x29_scratch").collect()[0][0]
+
+    eng.sql("CREATE TEMP TABLE x29_stage (v INT) ON COMMIT DELETE ROWS")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO x29_stage VALUES (1), (2)")
+    eng.sql("COMMIT")
+    n2 = eng.sql("SELECT COUNT(*) AS n FROM x29_stage").collect()[0][0]
+
+    eng.sql("BEGIN")
+    eng.sql("CREATE TEMP TABLE x29_eph (q INT) ON COMMIT DROP")
+    eng.sql("INSERT INTO x29_eph VALUES (1), (2), (3)")
+    n3 = eng.sql("SELECT COUNT(*) AS n FROM x29_eph").collect()[0][0]
+    eng.sql("COMMIT")
+    n4 = 1 if "x29_eph" in eng.catalog.tables else 0
+
+    eng.sql("CREATE TABLE x29_perm AS SELECT 42 AS v")
+    # reopen over the same directory: temp dirs removed, permanent kept
+    reopened = Catalog(spark, eng.catalog.base_dir)
+    n5 = 1 if "x29_scratch" in reopened.tables else 0
+    n6 = 1 if "x29_perm" in reopened.tables else 0
+
+    rows = [
+        ("t1_visible", int(n1)),
+        ("t2_after_delete_rows", int(n2)),
+        ("t3_ephemeral_in_txn", int(n3)),
+        ("t4_ephemeral_after_commit", int(n4)),
+        ("t5_reopen_scratch_gone", int(n5)),
+        ("t6_reopen_perm_alive", int(n6)),
+    ]
+    return spark.createDataFrame(rows, "leg string, n long").orderBy("leg")
