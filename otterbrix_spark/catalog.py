@@ -125,6 +125,10 @@ def _pg_type_to_ddl(t: str, custom: dict[str, dict] | None = None) -> str:
         ct = custom[base]
         if ct["kind"] == "enum":
             return "string"
+        if ct["kind"] == "domain":
+            # a domain column stores as its base type; the domain's
+            # constraints are instantiated at CREATE TABLE time
+            return _pg_type_to_ddl(ct["base"], custom)
         inner = ",".join(
             f"{fn}:{_pg_type_to_ddl(ft, custom)}" for fn, ft in ct["fields"]
         )
@@ -153,7 +157,8 @@ _DROP_TABLE = re.compile(
 _OWNED_DDL_FAMILIES = re.compile(
     r"^\s*(?:(?:CREATE|DROP|ALTER)\s+(?:OR\s+REPLACE\s+)?(?:UNIQUE\s+)?"
     r"(?:TEMP(?:ORARY)?\s+)?(?:UNLOGGED\s+)?"
-    r"(?:TABLE|TYPE|SEQUENCE|FUNCTION|INDEX|DATABASE|MATERIALIZED\s+VIEW)\b"
+    r"(?:TABLE|TYPE|DOMAIN|SEQUENCE|FUNCTION|INDEX|DATABASE"
+    r"|MATERIALIZED\s+VIEW)\b"
     r"|(?:VACUUM|CHECKPOINT)\b"
     r"|SET\s+TIME\s*ZONE\b"
     r"|(?:BEGIN|COMMIT|ROLLBACK|ABORT)\b)",
@@ -784,6 +789,10 @@ class Catalog:
         # table dies with its creating transaction (_txn_temp_drop).
         self.temp_tables: dict[str, str] = {}
         self._txn_temp_drop: list[str] = []
+        # PG domains: which tables have columns declared with which
+        # domain (table -> {domain names}) — the dependency DROP DOMAIN
+        # checks (PG pg_depend for CoerceToDomain columns)
+        self.domain_uses: dict[str, set] = {}
         # reopen discovery LAST: every dict it fills must already exist
         self._restore_catalog()
         # seed the scoped-refresh match set from the restored catalog: a
@@ -843,6 +852,9 @@ class Catalog:
             # recorded so a REOPENED engine knows which directories are
             # session-scoped leftovers to remove, never to rediscover
             "temp_tables": self.temp_tables,
+            "domain_uses": {
+                t: sorted(s) for t, s in self.domain_uses.items()
+            },
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -1033,6 +1045,10 @@ class Catalog:
         self._seq_step = meta.get("seq_step", {})
         self._seq_start = meta.get("seq_start", {})
         self.types = meta.get("types", {})
+        self.domain_uses = {
+            t: set(v) for t, v in meta.get("domain_uses", {}).items()
+            if t not in stale_temp
+        }
         self.databases = set(meta.get("databases", []))
         # matviews BEFORE plain views (a view may read a matview), and
         # every registration is fault-tolerant: a view whose dependency
@@ -1116,6 +1132,7 @@ class Catalog:
         self.table_constraints.pop(name, None)
         self.table_defaults.pop(name, None)
         self.temp_tables.pop(name, None)
+        self.domain_uses.pop(name, None)
         owned = self.identity_cols.pop(name, {})
         self.identity_always.pop(name, None)
         still_used = {
@@ -3359,6 +3376,93 @@ class Catalog:
             self.types.pop(m.group(1).lower(), None)
             return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
 
+        # CREATE DOMAIN (PG CreateDomainStmt; the parser family the
+        # reference embeds — primnodes.h CoerceToDomain): a named scalar
+        # type = base type + optional DEFAULT / NOT NULL / CHECK(VALUE
+        # ...) constraints. Columns declared with the domain store as the
+        # BASE type; the domain's constraints are instantiated per column
+        # at CREATE TABLE (VALUE -> column name), enforced by the same
+        # CHECK machinery as every table constraint. Scope: domains as
+        # column types; ::domain casts in expressions are out of scope
+        # (Spark has no runtime coercion hook), documented divergence.
+        m = re.match(
+            r"^\s*CREATE\s+DOMAIN\s+([\w.]+)\s+(?:AS\s+)?(.+?)\s*;?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, tail = m.group(1).lower(), m.group(2).strip()
+            if name in self.types:
+                raise ValueError(f'type "{name}" already exists')
+            # base type = leading tokens up to the first constraint
+            # keyword at top level
+            mb = re.match(
+                r"^(.*?)(?=\s+(?:DEFAULT|CHECK|NOT\s+NULL|NULL)\b|\s*$)",
+                tail, re.IGNORECASE | re.DOTALL,
+            )
+            base = mb.group(1).strip()
+            if not base:
+                raise ValueError(f"bad CREATE DOMAIN statement: {sql!r}")
+            _pg_type_to_ddl(base, self.types)  # unknown base fails NOW
+            rest = tail[mb.end():].strip()
+            default, not_null, checks = None, False, []
+            while rest:
+                mc = re.match(r"^NOT\s+NULL\b", rest, re.IGNORECASE)
+                if mc:
+                    not_null, rest = True, rest[mc.end():].lstrip()
+                    continue
+                mc = re.match(r"^NULL\b", rest, re.IGNORECASE)
+                if mc:
+                    not_null, rest = False, rest[mc.end():].lstrip()
+                    continue
+                mc = re.match(r"^CHECK\s*\(", rest, re.IGNORECASE)
+                if mc:
+                    depth, i = 1, mc.end()
+                    while i < len(rest) and depth:
+                        depth += {"(": 1, ")": -1}.get(rest[i], 0)
+                        i += 1
+                    if depth:
+                        raise ValueError(f"unbalanced CHECK in {sql!r}")
+                    checks.append(rest[mc.end():i - 1].strip())
+                    rest = rest[i:].lstrip()
+                    continue
+                mc = re.match(
+                    r"^DEFAULT\s+(.+?)(?=\s+(?:CHECK|NOT\s+NULL|NULL)\b|\s*$)",
+                    rest, re.IGNORECASE | re.DOTALL,
+                )
+                if mc:
+                    default = mc.group(1).strip()
+                    rest = rest[mc.end():].lstrip()
+                    continue
+                raise ValueError(
+                    f"bad CREATE DOMAIN constraint clause: {rest!r}"
+                )
+            self.types[name] = {
+                "kind": "domain", "base": base, "default": default,
+                "not_null": not_null, "checks": checks,
+            }
+            return self.spark.range(0).select(F.lit(name).alias("created"))
+
+        m = re.match(
+            r"^\s*DROP\s+DOMAIN\s+(?:IF\s+EXISTS\s+)?([\w.]+)"
+            r"\s*(CASCADE|RESTRICT)?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            name = m.group(1).lower()
+            # PG refuses to drop a domain a live table column depends on
+            # (CASCADE would drop the COLUMN — out of scope, refused too:
+            # the dependent columns are physical base-type columns here)
+            used_by = sorted(
+                t for t, cols in self.domain_uses.items() if name in cols
+            )
+            if used_by:
+                raise ValueError(
+                    f'cannot drop domain {name}: table "{used_by[0]}" '
+                    "column(s) depend on it"
+                )
+            self.types.pop(name, None)
+            return self.spark.range(0).select(F.lit(name).alias("dropped"))
+
         # sequences: CREATE/DROP SEQUENCE, and statement-level nextval /
         # currval substitution (each nextval() occurrence consumes one
         # value — covers INSERT VALUES and SELECT nextval; per-row
@@ -3773,6 +3877,30 @@ class Catalog:
                         continue
                     break
                 base_t = rest.strip().lower()
+                if base_t in self.types and self.types[base_t]["kind"] == "domain":
+                    # domain column: instantiate the domain's constraints
+                    # on THIS column (VALUE -> column name, PG
+                    # CoerceToDomain at write time); a column-level
+                    # DEFAULT (parsed above) wins over the domain's
+                    dom = self.types[base_t]
+                    for i, chk in enumerate(dom["checks"], start=1):
+                        expr = re.sub(
+                            r"\bVALUE\b", colname, chk, flags=re.IGNORECASE
+                        )
+                        cons.append({
+                            "kind": "check",
+                            "name": f"{colname}_domain{i}",
+                            "expr": f"{colname} IS NULL OR ({expr})",
+                        })
+                    if dom["not_null"]:
+                        cons.append({
+                            "kind": "check",
+                            "name": f"{colname}_domain_not_null",
+                            "expr": f"{colname} IS NOT NULL",
+                        })
+                    if dom["default"] is not None:
+                        defaults.setdefault(colname, dom["default"])
+                    self.domain_uses.setdefault(name, set()).add(base_t)
                 if base_t in self.types and self.types[base_t]["kind"] == "enum":
                     # enum column: stored as string, labels enforced by a
                     # generated CHECK (SURVEY §1.2 enum mapping; reference
@@ -4537,6 +4665,7 @@ class Catalog:
                 "CREATE DATABASE", "DROP DATABASE",
                 "CREATE SEQUENCE", "DROP SEQUENCE",
                 "CREATE TYPE", "DROP TYPE",
+                "CREATE DOMAIN", "DROP DOMAIN",
                 "CREATE FUNCTION", "CREATE OR REPLACE FUNCTION",
                 "DROP FUNCTION", "COPY", "COMMENT ON",
             )

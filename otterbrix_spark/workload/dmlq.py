@@ -2181,3 +2181,61 @@ def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("t6_reopen_perm_alive", int(n6)),
     ]
     return spark.createDataFrame(rows, "leg string, n long").orderBy("leg")
+
+
+# --- x30: CREATE DOMAIN ------------------------------------------------------------
+# PG CreateDomainStmt (the parser family the reference embeds —
+# primnodes.h CoerceToDomain): a named scalar type carrying DEFAULT /
+# NOT NULL / CHECK(VALUE ...) constraints, instantiated per column at
+# CREATE TABLE and enforced by the same machinery as table CHECKs.
+# DROP DOMAIN refuses while a live table column depends on it. The
+# oracle replays the accepted rows and flags closed-form.
+
+_X30_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(5 AS INT), 'anon', 'accepted'),
+  (9, 'bob', 'accepted')
+) AS t(id, who, leg)
+UNION ALL
+SELECT CAST(-1 AS INT), r, 'refused'
+FROM (VALUES ('neg_check'), ('null_check'), ('len_check'),
+             ('drop_in_use_refused')) AS r(r)
+ORDER BY id, who
+"""
+
+
+@query(
+    "x30_create_domain", _X30_ORACLE,
+    doc="CREATE DOMAIN: base type + DEFAULT/NOT NULL/CHECK(VALUE) "
+        "instantiated per column at CREATE TABLE; violating inserts "
+        "refused; DROP DOMAIN refused while a column depends on it — "
+        "legs replayed closed-form",
+)
+def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.sql("CREATE DOMAIN x30_posint AS INT CHECK (VALUE > 0) NOT NULL")
+    eng.sql(
+        "CREATE DOMAIN x30_name AS TEXT DEFAULT 'anon' "
+        "CHECK (length(VALUE) <= 8)"
+    )
+    eng.sql("CREATE TABLE x30_t (id x30_posint, who x30_name)")
+    eng.sql("INSERT INTO x30_t (id) VALUES (5)")
+    eng.sql("INSERT INTO x30_t (id, who) VALUES (9, 'bob')")
+    flags = []
+    for leg, stmt in (
+        ("neg_check", "INSERT INTO x30_t (id, who) VALUES (-1, 'x')"),
+        ("null_check", "INSERT INTO x30_t (id, who) VALUES (NULL, 'x')"),
+        ("len_check", "INSERT INTO x30_t (id, who) VALUES (7, 'waytoolongname')"),
+        ("drop_in_use_refused", "DROP DOMAIN x30_posint"),
+    ):
+        try:
+            eng.sql(stmt)
+        except Exception:
+            flags.append((-1, leg, "refused"))
+    accepted = eng.sql(
+        "SELECT id, who, 'accepted' AS leg FROM x30_t"
+    )
+    refused = spark.createDataFrame(flags, "id int, who string, leg string")
+    return accepted.unionByName(refused).orderBy("id", "who")

@@ -1,0 +1,69 @@
+"""PG CREATE DOMAIN (x30): named scalar types with DEFAULT / NOT NULL /
+CHECK(VALUE) constraints, per-column instantiation, dependency-checked
+DROP, reopen persistence."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from otterbrix_spark.catalog import Catalog
+from otterbrix_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark):
+    return Engine(spark, table_dir=tempfile.mkdtemp(prefix="otx-dom-"))
+
+
+def test_domain_checks_default_notnull(eng):
+    eng.sql("CREATE DOMAIN posint AS INT CHECK (VALUE > 0) NOT NULL")
+    eng.sql("CREATE DOMAIN nm AS TEXT DEFAULT 'anon' CHECK (length(VALUE) <= 8)")
+    eng.sql("CREATE TABLE t (id posint, who nm)")
+    eng.sql("INSERT INTO t (id) VALUES (5)")
+    assert eng.sql("SELECT * FROM t").collect()[0][1] == "anon"
+    for bad in (
+        "INSERT INTO t (id, who) VALUES (-1, 'x')",
+        "INSERT INTO t (id, who) VALUES (NULL, 'x')",
+        "INSERT INTO t (id, who) VALUES (7, 'waytoolongname')",
+    ):
+        with pytest.raises(Exception):
+            eng.sql(bad)
+    # column-level DEFAULT wins over the domain's
+    eng.sql("CREATE TABLE t2 (who nm DEFAULT 'other')")
+    eng.sql("INSERT INTO t2 VALUES (DEFAULT)")
+    assert eng.sql("SELECT who FROM t2").collect()[0][0] == "other"
+
+
+def test_domain_null_allowed_without_notnull(eng):
+    eng.sql("CREATE DOMAIN score AS INT CHECK (VALUE BETWEEN 0 AND 100)")
+    eng.sql("CREATE TABLE s (v score)")
+    eng.sql("INSERT INTO s VALUES (NULL)")  # PG: NULL passes bare CHECK
+    assert eng.sql("SELECT COUNT(*) FROM s").collect()[0][0] == 1
+
+
+def test_drop_domain_dependency(eng):
+    eng.sql("CREATE DOMAIN d1 AS INT CHECK (VALUE <> 0)")
+    eng.sql("CREATE TABLE u (v d1)")
+    with pytest.raises(ValueError, match="depend"):
+        eng.sql("DROP DOMAIN d1")
+    eng.sql("DROP TABLE u")
+    eng.sql("DROP DOMAIN d1")
+    assert "d1" not in eng.catalog.types
+
+
+def test_duplicate_domain_refused(eng):
+    eng.sql("CREATE DOMAIN dd AS INT")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE DOMAIN dd AS TEXT")
+
+
+def test_domain_persists_across_reopen(eng):
+    eng.sql("CREATE DOMAIN nm AS TEXT CHECK (length(VALUE) <= 4)")
+    eng.sql("CREATE TABLE p (who nm)")
+    reopened = Catalog(eng.spark, eng.catalog.base_dir)
+    assert reopened.types["nm"]["kind"] == "domain"
+    assert reopened.domain_uses == {"p": {"nm"}}
+    with pytest.raises(ValueError, match="depend"):
+        reopened.route("DROP DOMAIN nm")
