@@ -4477,6 +4477,15 @@ class Catalog:
         for tname, toid in self._PG_TYPE_OIDS.values():
             typrows.setdefault(tname, toid)
         typrows.setdefault("numeric", 1700)
+        # user-defined types ride with their PG typtype letter ('e' enum,
+        # 'c' composite, 'd' domain — what \dT and schema tools filter
+        # on); everything else is a base type ('b')
+        typkind = {
+            n: {"enum": "e", "composite": "c", "domain": "d"}[d["kind"]]
+            for n, d in self.types.items()
+        }
+        for n in typkind:
+            typrows.setdefault(n, self._oid("type", n))
         procs = [
             (self._oid("proc", n), n, 2200, d["expr"])
             for n, d in sorted(self.functions.items())
@@ -4504,8 +4513,9 @@ class Catalog:
            "attrelid BIGINT, attname STRING, atttypid BIGINT, "
            "attnum INT, attnotnull BOOLEAN"
            ).createOrReplaceTempView("pg_attribute")
-        mk([(o, n) for n, o in sorted(typrows.items())],
-           "oid BIGINT, typname STRING").createOrReplaceTempView("pg_type")
+        mk([(o, n, typkind.get(n, "b")) for n, o in sorted(typrows.items())],
+           "oid BIGINT, typname STRING, typtype STRING"
+           ).createOrReplaceTempView("pg_type")
         mk(procs,
            "oid BIGINT, proname STRING, pronamespace BIGINT, prosrc STRING"
            ).createOrReplaceTempView("pg_proc")

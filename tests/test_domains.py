@@ -67,3 +67,18 @@ def test_domain_persists_across_reopen(eng):
     assert reopened.domain_uses == {"p": {"nm"}}
     with pytest.raises(ValueError, match="depend"):
         reopened.route("DROP DOMAIN nm")
+
+
+def test_pg_type_lists_domains_with_typtype(eng):
+    eng.sql("CREATE DOMAIN dscore AS INT CHECK (VALUE >= 0)")
+    eng.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    rows = {
+        r[0]: r[1]
+        for r in eng.sql(
+            "SELECT typname, typtype FROM pg_type "
+            "WHERE typname IN ('dscore', 'mood', 'numeric')"
+        ).collect()
+    }
+    assert rows["dscore"] == "d"
+    assert rows["mood"] == "e"
+    assert rows["numeric"] == "b"
