@@ -6704,3 +6704,112 @@ def e23(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("pick").cast("int").alias("pick"),
         "vec_id", "mmr_score",
     ).orderBy("query_id", "pick")
+
+
+# --- t24: repetition-based quality rules (Gopher/MassiveText class) -----------------
+# The Gopher quality pipeline drops documents dominated by repetition:
+# duplicate-token fraction and the share of the single most frequent
+# n-gram (the "top 2-gram fraction > 0.20 -> drop" rule family). Both
+# statistics reduce per document from ONE positioned-token explode (the
+# bigram is the token joined with its successor by position); shares
+# are integer basis points; the gate emits the (dup-band, bigram-band)
+# census plus the keep/drop split at the Gopher-style thresholds.
+
+_T24_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+toks AS (
+  -- RAW positions on both engines: an empty token (double space) breaks
+  -- the bigram chain identically instead of bridging after a renumber
+  SELECT doc_id, w, pos FROM raw WHERE w <> ''
+),
+wordstats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
+  FROM toks GROUP BY 1
+),
+bigrams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bgtop AS (
+  SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2)
+  GROUP BY 1
+),
+per_doc AS (
+  SELECT w.doc_id,
+         (w.n_words - w.n_distinct) * 10000 // w.n_words AS dup_bp,
+         b.top_bg * 10000 // b.n_bg AS topbg_bp
+  FROM wordstats w JOIN bgtop b ON b.doc_id = w.doc_id
+)
+SELECT CAST(dup_bp // 1000 AS BIGINT) AS dup_band,
+       CAST(topbg_bp // 100 AS BIGINT) AS topbg_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN topbg_bp <= 2000 AND dup_bp <= 9000 THEN 1 END)
+            AS BIGINT) AS n_keep
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query(
+    "t24_repetition_quality", _T24_ORACLE,
+    doc="Gopher/MassiveText repetition rules: duplicate-token fraction "
+        "and top-bigram share per document from ONE positioned-token "
+        "explode, integer basis points, censused by band with the "
+        "keep/drop split at the top-2gram<=20% rule",
+)
+def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    wordstats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.countDistinct("w").cast("long").alias("n_distinct"),
+    )
+    nxt = toks.select(
+        F.col("doc_id").alias("d2"),
+        (F.col("pos") - 1).alias("p2"),
+        F.col("w").alias("w2"),
+    )
+    bigrams = toks.join(
+        nxt, (F.col("doc_id") == F.col("d2")) & (F.col("pos") == F.col("p2"))
+    ).select("doc_id", F.concat_ws(" ", "w", "w2").alias("bg"))
+    bgtop = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    per_doc = wordstats.join(bgtop, "doc_id").select(
+        "doc_id",
+        F.expr("(n_words - n_distinct) * 10000 DIV n_words").alias("dup_bp"),
+        F.expr("top_bg * 10000 DIV n_bg").alias("topbg_bp"),
+    )
+    return (
+        per_doc.groupBy(
+            F.expr("dup_bp DIV 1000").cast("long").alias("dup_band"),
+            F.expr("topbg_bp DIV 100").cast("long").alias("topbg_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(
+                F.when(
+                    (F.col("topbg_bp") <= 2000) & (F.col("dup_bp") <= 9000), 1
+                )
+            ).cast("long").alias("n_keep"),
+        )
+        .orderBy("dup_band", "topbg_band")
+    )

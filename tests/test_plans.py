@@ -1454,3 +1454,13 @@ def test_round12_bi15_ds87_plans(spark, sf_dir):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round12_t24_plan(spark, sf_dir):
+    """t24: one positioned-token explode feeds both statistics; the
+    bigram is a positional self-equi-join per document (hash, never
+    cartesian); no Python anywhere."""
+    plan = plan_of(spark, sf_dir, "t24_repetition_quality")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the explode
