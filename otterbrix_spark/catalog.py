@@ -3756,6 +3756,7 @@ class Catalog:
             identity_seqs: dict[str, int] = {}
             identity_new: dict[str, str] = {}
             identity_new_always: set[str] = set()
+            domains_used: set[str] = set()
             n_anon = 0
             for part in _split_top_level(coldefs):
                 p = part.strip()
@@ -3900,7 +3901,10 @@ class Catalog:
                         })
                     if dom["default"] is not None:
                         defaults.setdefault(colname, dom["default"])
-                    self.domain_uses.setdefault(name, set()).add(base_t)
+                    # buffered like identity_seqs: committed only after
+                    # the CREATE validates — a refused CREATE must not
+                    # leave a phantom dependency blocking DROP DOMAIN
+                    domains_used.add(base_t)
                 if base_t in self.types and self.types[base_t]["kind"] == "enum":
                     # enum column: stored as string, labels enforced by a
                     # generated CHECK (SURVEY §1.2 enum mapping; reference
@@ -3999,6 +4003,8 @@ class Catalog:
                 self.identity_cols[name] = dict(identity_new)
             if identity_new_always:
                 self.identity_always[name] = set(identity_new_always)
+            if domains_used:
+                self.domain_uses[name] = set(domains_used)
             self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 

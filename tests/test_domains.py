@@ -82,3 +82,14 @@ def test_pg_type_lists_domains_with_typtype(eng):
     assert rows["dscore"] == "d"
     assert rows["mood"] == "e"
     assert rows["numeric"] == "b"
+
+
+def test_failed_create_leaves_no_phantom_domain_dependency(eng):
+    eng.sql("CREATE DOMAIN dph AS INT CHECK (VALUE > 0)")
+    with pytest.raises(Exception):
+        # the unknown type refuses the CREATE only AFTER the domain
+        # column has already been parsed
+        eng.sql("CREATE TABLE bad (v dph, w no_such_type)")
+    # the refused CREATE must not leave a dependency blocking the drop
+    eng.sql("DROP DOMAIN dph")
+    assert "dph" not in eng.catalog.types
