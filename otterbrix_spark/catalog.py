@@ -3501,7 +3501,9 @@ class Catalog:
             self.comments.pop(("S", sname, 0), None)
             return self.spark.range(0).select(F.lit(sname).alias("dropped"))
         _stores_expr_ddl = re.match(
-            r"^\s*(?:CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*\(|ALTER\s+TABLE\b)",
+            r"^\s*(?:CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+)?"
+            r"TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*\(|ALTER\s+TABLE\b"
+            r"|CREATE\s+DOMAIN\b)",
             sql, re.IGNORECASE,
         )
         if (

@@ -100,3 +100,15 @@ def test_temp_metadata_purged_on_reopen(eng):
     assert "tmeta" not in reopened.tables
     assert "tmeta" not in reopened.table_constraints
     assert "tmeta" not in reopened.identity_cols
+
+
+def test_temp_table_nextval_default_stays_per_row(eng):
+    """A nextval DEFAULT inside CREATE TEMP TABLE must stay a stored
+    expression (per-row at INSERT), not be eagerly folded to one
+    statement-level constant by the nextval substitution pass."""
+    eng.sql("CREATE SEQUENCE tseq START 10")
+    eng.sql("CREATE TEMP TABLE tn (id INT DEFAULT nextval('tseq'), v INT)")
+    eng.sql("INSERT INTO tn (v) VALUES (1)")
+    eng.sql("INSERT INTO tn (v) VALUES (2)")
+    ids = sorted(r[0] for r in eng.sql("SELECT id FROM tn").collect())
+    assert ids == [10, 11], ids
