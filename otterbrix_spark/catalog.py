@@ -136,6 +136,25 @@ def _pg_type_to_ddl(t: str, custom: dict[str, dict] | None = None) -> str:
     if base not in _PG_SCALAR_TYPES:
         raise ValueError(f"unsupported column type: {t!r}")
     return _PG_SCALAR_TYPES[base]
+def _domain_check_con(col: str, domain: str, chk: dict) -> dict:
+    """Instantiate one domain CHECK on a column: VALUE -> the column
+    name, NULL passing (PG domain CHECKs accept NULL unless NOT NULL is
+    separate). The instantiated name carries the domain constraint name
+    so ALTER DOMAIN DROP CONSTRAINT can find it on every dependent."""
+    expr = re.sub(r"\bVALUE\b", col, chk["expr"], flags=re.IGNORECASE)
+    return {
+        "kind": "check", "name": f"{col}_{chk['name']}",
+        "expr": f"{col} IS NULL OR ({expr})",
+    }
+
+
+def _domain_notnull_con(col: str, domain: str) -> dict:
+    return {
+        "kind": "check", "name": f"{col}_{domain}_not_null",
+        "expr": f"{col} IS NOT NULL",
+    }
+
+
 _COPY_STMT = re.compile(
     r"^\s*COPY\s+(?:\((?P<q>.+)\)|(?P<tbl>[A-Za-z_]\w*)\s*"
     r"(?:\((?P<cols>[^)]*)\))?)\s+(?P<dir>FROM|TO)\s+'(?P<path>[^']+)'"
@@ -790,9 +809,10 @@ class Catalog:
         self.temp_tables: dict[str, str] = {}
         self._txn_temp_drop: list[str] = []
         # PG domains: which tables have columns declared with which
-        # domain (table -> {domain names}) — the dependency DROP DOMAIN
-        # checks (PG pg_depend for CoerceToDomain columns)
-        self.domain_uses: dict[str, set] = {}
+        # domain (table -> {domain: [columns]}) — the dependency DROP
+        # DOMAIN checks (PG pg_depend for CoerceToDomain columns) and
+        # the instantiation map ALTER DOMAIN propagates through
+        self.domain_uses: dict[str, dict] = {}
         # reopen discovery LAST: every dict it fills must already exist
         self._restore_catalog()
         # seed the scoped-refresh match set from the restored catalog: a
@@ -852,9 +872,7 @@ class Catalog:
             # recorded so a REOPENED engine knows which directories are
             # session-scoped leftovers to remove, never to rediscover
             "temp_tables": self.temp_tables,
-            "domain_uses": {
-                t: sorted(s) for t, s in self.domain_uses.items()
-            },
+            "domain_uses": self.domain_uses,
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -1046,7 +1064,7 @@ class Catalog:
         self._seq_start = meta.get("seq_start", {})
         self.types = meta.get("types", {})
         self.domain_uses = {
-            t: set(v) for t, v in meta.get("domain_uses", {}).items()
+            t: v for t, v in meta.get("domain_uses", {}).items()
             if t not in stale_temp
         }
         self.databases = set(meta.get("databases", []))
@@ -3396,7 +3414,8 @@ class Catalog:
             # base type = leading tokens up to the first constraint
             # keyword at top level
             mb = re.match(
-                r"^(.*?)(?=\s+(?:DEFAULT|CHECK|NOT\s+NULL|NULL)\b|\s*$)",
+                r"^(.*?)(?=\s+(?:DEFAULT|CONSTRAINT|CHECK|NOT\s+NULL"
+                r"|NULL)\b|\s*$)",
                 tail, re.IGNORECASE | re.DOTALL,
             )
             base = mb.group(1).strip()
@@ -3404,7 +3423,8 @@ class Catalog:
                 raise ValueError(f"bad CREATE DOMAIN statement: {sql!r}")
             _pg_type_to_ddl(base, self.types)  # unknown base fails NOW
             rest = tail[mb.end():].strip()
-            default, not_null, checks = None, False, []
+            default, not_null = None, False
+            checks: list[dict] = []
             while rest:
                 mc = re.match(r"^NOT\s+NULL\b", rest, re.IGNORECASE)
                 if mc:
@@ -3414,7 +3434,10 @@ class Catalog:
                 if mc:
                     not_null, rest = False, rest[mc.end():].lstrip()
                     continue
-                mc = re.match(r"^CHECK\s*\(", rest, re.IGNORECASE)
+                mc = re.match(
+                    r"^(?:CONSTRAINT\s+(\w+)\s+)?CHECK\s*\(",
+                    rest, re.IGNORECASE,
+                )
                 if mc:
                     depth, i = 1, mc.end()
                     while i < len(rest) and depth:
@@ -3422,11 +3445,18 @@ class Catalog:
                         i += 1
                     if depth:
                         raise ValueError(f"unbalanced CHECK in {sql!r}")
-                    checks.append(rest[mc.end():i - 1].strip())
+                    checks.append({
+                        "name": (
+                            mc.group(1).lower() if mc.group(1)
+                            else f"{name}_check{len(checks) + 1}"
+                        ),
+                        "expr": rest[mc.end():i - 1].strip(),
+                    })
                     rest = rest[i:].lstrip()
                     continue
                 mc = re.match(
-                    r"^DEFAULT\s+(.+?)(?=\s+(?:CHECK|NOT\s+NULL|NULL)\b|\s*$)",
+                    r"^DEFAULT\s+(.+?)"
+                    r"(?=\s+(?:CONSTRAINT|CHECK|NOT\s+NULL|NULL)\b|\s*$)",
                     rest, re.IGNORECASE | re.DOTALL,
                 )
                 if mc:
@@ -3462,6 +3492,109 @@ class Catalog:
                 )
             self.types.pop(name, None)
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
+
+        # ALTER DOMAIN (PG AlterDomainStmt): constraint/default changes
+        # PROPAGATE to every existing dependent column — ADD CONSTRAINT
+        # and SET NOT NULL validate the dependents' existing rows first
+        # (PG scans every column using the domain and refuses on a
+        # violator), atomically across all dependents.
+        m = re.match(
+            r"^\s*ALTER\s+DOMAIN\s+([\w.]+)\s+(.+?)\s*;?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, action = m.group(1).lower(), m.group(2).strip()
+            dom = self.types.get(name)
+            if dom is None or dom.get("kind") != "domain":
+                raise ValueError(f'domain "{name}" does not exist')
+
+            def dependents():
+                for t, per in self.domain_uses.items():
+                    for col in per.get(name, []):
+                        yield t, col
+
+            def add_everywhere(make_con) -> None:
+                # atomic across dependents: one violating table rolls
+                # back every instantiation added by this statement
+                added: list[tuple[str, dict]] = []
+                try:
+                    for t, col in dependents():
+                        con = make_con(col)
+                        self._add_constraint(t, con)
+                        added.append((t, con))
+                except Exception:
+                    for t, con in added:
+                        self.table_constraints[t] = [
+                            c for c in self.table_constraints.get(t, [])
+                            if c is not con
+                        ]
+                    raise
+
+            ma = re.match(
+                r"^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*$",
+                action, re.IGNORECASE | re.DOTALL,
+            )
+            if ma:
+                cname = ma.group(1).lower()
+                if any(c["name"] == cname for c in dom["checks"]):
+                    raise ValueError(
+                        f'constraint "{cname}" for domain "{name}" '
+                        "already exists"
+                    )
+                chk = {"name": cname, "expr": ma.group(2).strip()}
+                add_everywhere(lambda col: _domain_check_con(col, name, chk))
+                dom["checks"].append(chk)
+                return self.spark.range(0).select(
+                    F.lit(cname).alias("constraint"))
+            ma = re.match(
+                r"^DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+                action, re.IGNORECASE,
+            )
+            if ma:
+                cname = ma.group(1).lower()
+                dom["checks"] = [
+                    c for c in dom["checks"] if c["name"] != cname
+                ]
+                for t, col in dependents():
+                    self.table_constraints[t] = [
+                        c for c in self.table_constraints.get(t, [])
+                        if c["name"] != f"{col}_{cname}"
+                    ]
+                return self.spark.range(0).select(
+                    F.lit(cname).alias("dropped"))
+            if re.match(r"^SET\s+NOT\s+NULL\s*$", action, re.IGNORECASE):
+                add_everywhere(lambda col: _domain_notnull_con(col, name))
+                dom["not_null"] = True
+                return self.spark.range(0).select(F.lit(name).alias("altered"))
+            if re.match(r"^DROP\s+NOT\s+NULL\s*$", action, re.IGNORECASE):
+                dom["not_null"] = False
+                for t, col in dependents():
+                    self.table_constraints[t] = [
+                        c for c in self.table_constraints.get(t, [])
+                        if c["name"] != f"{col}_{name}_not_null"
+                    ]
+                return self.spark.range(0).select(F.lit(name).alias("altered"))
+            ma = re.match(
+                r"^SET\s+DEFAULT\s+(.+)$", action, re.IGNORECASE | re.DOTALL
+            )
+            if ma or re.match(r"^DROP\s+DEFAULT\s*$", action, re.IGNORECASE):
+                new_default = ma.group(1).strip() if ma else None
+                old_default = dom.get("default")
+                # PG resolves the domain default at INSERT time; here it
+                # was materialised per column at CREATE TABLE, so the
+                # alter re-points every dependent column whose default
+                # still IS the domain's (a column-level override wins
+                # and is left alone)
+                for t, col in dependents():
+                    d = self.table_defaults.setdefault(t, {})
+                    if d.get(col) == old_default:
+                        if new_default is None:
+                            d.pop(col, None)
+                        else:
+                            d[col] = new_default
+                dom["default"] = new_default
+                return self.spark.range(0).select(F.lit(name).alias("altered"))
+            raise ValueError(f"unsupported ALTER DOMAIN action: {action!r}")
 
         # sequences: CREATE/DROP SEQUENCE, and statement-level nextval /
         # currval substitution (each nextval() occurrence consumes one
@@ -3758,7 +3891,7 @@ class Catalog:
             identity_seqs: dict[str, int] = {}
             identity_new: dict[str, str] = {}
             identity_new_always: set[str] = set()
-            domains_used: set[str] = set()
+            domains_used: dict[str, list] = {}
             n_anon = 0
             for part in _split_top_level(coldefs):
                 p = part.strip()
@@ -3886,27 +4019,18 @@ class Catalog:
                     # CoerceToDomain at write time); a column-level
                     # DEFAULT (parsed above) wins over the domain's
                     dom = self.types[base_t]
-                    for i, chk in enumerate(dom["checks"], start=1):
-                        expr = re.sub(
-                            r"\bVALUE\b", colname, chk, flags=re.IGNORECASE
+                    for chk in dom["checks"]:
+                        cons.append(
+                            _domain_check_con(colname, base_t, chk)
                         )
-                        cons.append({
-                            "kind": "check",
-                            "name": f"{colname}_domain{i}",
-                            "expr": f"{colname} IS NULL OR ({expr})",
-                        })
                     if dom["not_null"]:
-                        cons.append({
-                            "kind": "check",
-                            "name": f"{colname}_domain_not_null",
-                            "expr": f"{colname} IS NOT NULL",
-                        })
+                        cons.append(_domain_notnull_con(colname, base_t))
                     if dom["default"] is not None:
                         defaults.setdefault(colname, dom["default"])
                     # buffered like identity_seqs: committed only after
                     # the CREATE validates — a refused CREATE must not
                     # leave a phantom dependency blocking DROP DOMAIN
-                    domains_used.add(base_t)
+                    domains_used.setdefault(base_t, []).append(colname)
                 if base_t in self.types and self.types[base_t]["kind"] == "enum":
                     # enum column: stored as string, labels enforced by a
                     # generated CHECK (SURVEY §1.2 enum mapping; reference
@@ -4006,7 +4130,9 @@ class Catalog:
             if identity_new_always:
                 self.identity_always[name] = set(identity_new_always)
             if domains_used:
-                self.domain_uses[name] = set(domains_used)
+                self.domain_uses[name] = {
+                    d: list(cols) for d, cols in domains_used.items()
+                }
             self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
 
@@ -4683,7 +4809,7 @@ class Catalog:
                 "CREATE DATABASE", "DROP DATABASE",
                 "CREATE SEQUENCE", "DROP SEQUENCE",
                 "CREATE TYPE", "DROP TYPE",
-                "CREATE DOMAIN", "DROP DOMAIN",
+                "CREATE DOMAIN", "DROP DOMAIN", "ALTER DOMAIN",
                 "CREATE FUNCTION", "CREATE OR REPLACE FUNCTION",
                 "DROP FUNCTION", "COPY", "COMMENT ON",
             )

@@ -64,7 +64,7 @@ def test_domain_persists_across_reopen(eng):
     eng.sql("CREATE TABLE p (who nm)")
     reopened = Catalog(eng.spark, eng.catalog.base_dir)
     assert reopened.types["nm"]["kind"] == "domain"
-    assert reopened.domain_uses == {"p": {"nm"}}
+    assert reopened.domain_uses == {"p": {"nm": ["who"]}}
     with pytest.raises(ValueError, match="depend"):
         reopened.route("DROP DOMAIN nm")
 
@@ -93,3 +93,68 @@ def test_failed_create_leaves_no_phantom_domain_dependency(eng):
     # the refused CREATE must not leave a dependency blocking the drop
     eng.sql("DROP DOMAIN dph")
     assert "dph" not in eng.catalog.types
+
+
+def test_alter_domain_add_constraint_validates_existing(eng):
+    eng.sql("CREATE DOMAIN vscore AS INT")
+    eng.sql("CREATE TABLE a1 (v vscore)")
+    eng.sql("CREATE TABLE a2 (v vscore)")
+    eng.sql("INSERT INTO a1 VALUES (5), (50)")
+    eng.sql("INSERT INTO a2 VALUES (7)")
+    # 50 violates: the ALTER must refuse and leave NO instantiation on
+    # ANY dependent (atomic across tables)
+    with pytest.raises(Exception):
+        eng.sql("ALTER DOMAIN vscore ADD CONSTRAINT small CHECK (VALUE < 10)")
+    eng.sql("INSERT INTO a2 VALUES (90)")  # still accepted — no constraint
+    eng.sql("DELETE FROM a1 WHERE v = 50")
+    eng.sql("DELETE FROM a2 WHERE v = 90")
+    eng.sql("ALTER DOMAIN vscore ADD CONSTRAINT small CHECK (VALUE < 10)")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO a1 VALUES (99)")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO a2 VALUES (99)")
+    # new tables instantiate the altered definition too
+    eng.sql("CREATE TABLE a3 (v vscore)")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO a3 VALUES (99)")
+
+
+def test_alter_domain_drop_constraint(eng):
+    eng.sql("CREATE DOMAIN dd2 AS INT CONSTRAINT pos CHECK (VALUE > 0)")
+    eng.sql("CREATE TABLE b1 (v dd2)")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO b1 VALUES (-5)")
+    eng.sql("ALTER DOMAIN dd2 DROP CONSTRAINT pos")
+    eng.sql("INSERT INTO b1 VALUES (-5)")  # accepted now
+    assert eng.sql("SELECT v FROM b1").collect()[0][0] == -5
+
+
+def test_alter_domain_not_null_lifecycle(eng):
+    eng.sql("CREATE DOMAIN dn AS INT")
+    eng.sql("CREATE TABLE c1 (v dn)")
+    eng.sql("INSERT INTO c1 VALUES (NULL)")
+    # existing NULL blocks SET NOT NULL (PG validates dependents)
+    with pytest.raises(Exception):
+        eng.sql("ALTER DOMAIN dn SET NOT NULL")
+    eng.sql("DELETE FROM c1 WHERE v IS NULL")
+    eng.sql("ALTER DOMAIN dn SET NOT NULL")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO c1 VALUES (NULL)")
+    eng.sql("ALTER DOMAIN dn DROP NOT NULL")
+    eng.sql("INSERT INTO c1 VALUES (NULL)")
+    assert eng.sql("SELECT COUNT(*) FROM c1").collect()[0][0] == 1
+
+
+def test_alter_domain_set_drop_default(eng):
+    eng.sql("CREATE DOMAIN wd AS TEXT DEFAULT 'a'")
+    eng.sql("CREATE TABLE d1 (v wd)")
+    eng.sql("CREATE TABLE d2 (v wd DEFAULT 'mine')")  # column override
+    eng.sql("ALTER DOMAIN wd SET DEFAULT 'b'")
+    eng.sql("INSERT INTO d1 VALUES (DEFAULT)")
+    eng.sql("INSERT INTO d2 VALUES (DEFAULT)")
+    assert eng.sql("SELECT v FROM d1").collect()[0][0] == "b"
+    assert eng.sql("SELECT v FROM d2").collect()[0][0] == "mine"
+    eng.sql("ALTER DOMAIN wd DROP DEFAULT")
+    eng.sql("INSERT INTO d1 VALUES (DEFAULT)")
+    vals = sorted((r[0] is None, r[0]) for r in eng.sql("SELECT v FROM d1").collect())
+    assert vals[-1][0] is True  # the second insert landed NULL
