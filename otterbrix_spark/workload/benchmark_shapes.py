@@ -13538,3 +13538,56 @@ def ds87(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category", F.desc("share_bp"), "brand")
     )
+
+
+# --- ds88: disjunctive existence (TPC-DS Q15/Q45 class) -----------------------------
+# Q45 keeps a row when a LOCAL predicate holds OR the key appears in a
+# subquery — an existence test under a disjunction, which CANNOT lower
+# to a plain semi-join (the OR would drop the local arm). The subquery
+# side reduces to distinct keys and joins LEFT with a match flag; the
+# filter is (local OR flag) — one join, no union-of-arms double scan.
+
+_DS88_ORACLE = """
+WITH big_buyers AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(CASE WHEN c.c_nationkey IN (2, 5, 11) THEN 1 END)
+            AS BIGINT) AS n_local_arm,
+       CAST(COUNT(CASE WHEN b.o_custkey IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_subquery_arm
+FROM customer c LEFT JOIN big_buyers b ON c.c_custkey = b.o_custkey
+WHERE c.c_nationkey IN (2, 5, 11) OR b.o_custkey IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "ds88_disjunctive_existence", _DS88_ORACLE,
+    doc="TPC-DS Q15/Q45 class: local predicate OR subquery membership — "
+        "existence under a disjunction, lowered to ONE left join with a "
+        "match flag (a plain semi-join would drop the local arm; a "
+        "union of arms would scan twice)",
+)
+def ds88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+        .distinct()
+    )
+    local_arm = F.col("c_nationkey").isin(2, 5, 11)
+    flagged = cust.join(big, cust.c_custkey == big.o_custkey, "left")
+    return (
+        flagged.filter(local_arm | F.col("o_custkey").isNotNull())
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.count(F.when(local_arm, 1)).cast("long").alias("n_local_arm"),
+            F.count(F.when(F.col("o_custkey").isNotNull(), 1))
+            .cast("long").alias("n_subquery_arm"),
+        )
+        .orderBy("segment")
+    )

@@ -1464,3 +1464,14 @@ def test_round12_t24_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_round12_ds88_plan(spark, sf_dir):
+    """ds88: existence under a disjunction is ONE left join with a
+    match flag — never a LeftSemi (which would drop the local arm) and
+    never a union of per-arm scans."""
+    plan = plan_of(spark, sf_dir, "ds88_disjunctive_existence")
+    assert "LeftSemi" not in plan
+    assert "Union" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
