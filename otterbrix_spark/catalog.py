@@ -3547,11 +3547,19 @@ class Catalog:
                 return self.spark.range(0).select(
                     F.lit(cname).alias("constraint"))
             ma = re.match(
-                r"^DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+                r"^DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*$",
                 action, re.IGNORECASE,
             )
             if ma:
-                cname = ma.group(1).lower()
+                cname = ma.group(2).lower()
+                if not any(c["name"] == cname for c in dom["checks"]):
+                    if not ma.group(1):
+                        raise ValueError(
+                            f'constraint "{cname}" of domain "{name}" '
+                            "does not exist"
+                        )
+                    return self.spark.range(0).select(
+                        F.lit(cname).alias("dropped"))
                 dom["checks"] = [
                     c for c in dom["checks"] if c["name"] != cname
                 ]
@@ -3563,8 +3571,11 @@ class Catalog:
                 return self.spark.range(0).select(
                     F.lit(cname).alias("dropped"))
             if re.match(r"^SET\s+NOT\s+NULL\s*$", action, re.IGNORECASE):
-                add_everywhere(lambda col: _domain_notnull_con(col, name))
-                dom["not_null"] = True
+                if not dom["not_null"]:  # PG: already-set is a no-op —
+                    # re-instantiating would duplicate the checks
+                    add_everywhere(
+                        lambda col: _domain_notnull_con(col, name))
+                    dom["not_null"] = True
                 return self.spark.range(0).select(F.lit(name).alias("altered"))
             if re.match(r"^DROP\s+NOT\s+NULL\s*$", action, re.IGNORECASE):
                 dom["not_null"] = False

@@ -158,3 +158,15 @@ def test_alter_domain_set_drop_default(eng):
     eng.sql("INSERT INTO d1 VALUES (DEFAULT)")
     vals = sorted((r[0] is None, r[0]) for r in eng.sql("SELECT v FROM d1").collect())
     assert vals[-1][0] is True  # the second insert landed NULL
+
+
+def test_alter_domain_idempotent_and_missing_constraint(eng):
+    eng.sql("CREATE DOMAIN dq AS INT")
+    eng.sql("CREATE TABLE q1 (v dq)")
+    eng.sql("ALTER DOMAIN dq SET NOT NULL")
+    eng.sql("ALTER DOMAIN dq SET NOT NULL")  # no-op, no duplicate checks
+    names = [c["name"] for c in eng.catalog.table_constraints["q1"]]
+    assert names.count("v_dq_not_null") == 1
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("ALTER DOMAIN dq DROP CONSTRAINT nope")
+    eng.sql("ALTER DOMAIN dq DROP CONSTRAINT IF EXISTS nope")  # silent
