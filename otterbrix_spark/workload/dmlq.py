@@ -2239,3 +2239,93 @@ def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     refused = spark.createDataFrame(flags, "id int, who string, leg string")
     return accepted.unionByName(refused).orderBy("id", "who")
+
+
+# --- x31: ALTER DOMAIN lifecycle ----------------------------------------------------
+# PG AlterDomainStmt: ADD CONSTRAINT / SET NOT NULL validate every
+# existing dependent column's rows FIRST (atomically across dependent
+# tables), DROP CONSTRAINT / DROP NOT NULL remove the instantiated
+# checks everywhere, SET DEFAULT re-points dependent columns that
+# still carry the domain default. Legs replayed closed-form.
+
+_X31_ORACLE = """
+SELECT * FROM (VALUES
+  ('t1_add_validates_existing_refused', CAST(1 AS BIGINT)),
+  ('t2_add_after_cleanup_enforced', 1),
+  ('t3_drop_constraint_reopens', 1),
+  ('t4_set_default_repoints', 1),
+  ('t5_new_table_gets_altered_def', 1)
+) AS t(leg, ok)
+ORDER BY leg
+"""
+
+
+@query(
+    "x31_alter_domain", _X31_ORACLE,
+    doc="ALTER DOMAIN lifecycle: ADD CONSTRAINT validates existing "
+        "dependents atomically, DROP CONSTRAINT reopens them, SET "
+        "DEFAULT re-points non-overridden dependent defaults, new "
+        "tables instantiate the altered definition",
+)
+def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.sql("CREATE DOMAIN x31_d AS INT")
+    eng.sql("CREATE TABLE x31_a (v x31_d)")
+    eng.sql("INSERT INTO x31_a VALUES (5), (50)")
+
+    legs: list[tuple[str, int]] = []
+
+    def leg(name: str, fn) -> None:
+        try:
+            legs.append((name, 1 if fn() else 0))
+        except Exception:
+            legs.append((name, 0))
+
+    def t1():
+        try:
+            eng.sql("ALTER DOMAIN x31_d ADD CONSTRAINT small "
+                    "CHECK (VALUE < 10)")
+            return False  # must refuse: 50 violates
+        except Exception:
+            # and must leave NO instantiation behind
+            eng.sql("INSERT INTO x31_a VALUES (60)")
+            return True
+    leg("t1_add_validates_existing_refused", t1)
+
+    def t2():
+        eng.sql("DELETE FROM x31_a WHERE v >= 10")
+        eng.sql("ALTER DOMAIN x31_d ADD CONSTRAINT small CHECK (VALUE < 10)")
+        try:
+            eng.sql("INSERT INTO x31_a VALUES (99)")
+            return False
+        except Exception:
+            return True
+    leg("t2_add_after_cleanup_enforced", t2)
+
+    def t3():
+        eng.sql("ALTER DOMAIN x31_d DROP CONSTRAINT small")
+        eng.sql("INSERT INTO x31_a VALUES (99)")
+        return True
+    leg("t3_drop_constraint_reopens", t3)
+
+    def t4():
+        eng.sql("CREATE DOMAIN x31_w AS TEXT DEFAULT 'a'")
+        eng.sql("CREATE TABLE x31_b (w x31_w)")
+        eng.sql("ALTER DOMAIN x31_w SET DEFAULT 'b'")
+        eng.sql("INSERT INTO x31_b VALUES (DEFAULT)")
+        return eng.sql("SELECT w FROM x31_b").collect()[0][0] == "b"
+    leg("t4_set_default_repoints", t4)
+
+    def t5():
+        eng.sql("ALTER DOMAIN x31_d ADD CONSTRAINT tiny CHECK (VALUE < 200)")
+        eng.sql("CREATE TABLE x31_c (v x31_d)")
+        try:
+            eng.sql("INSERT INTO x31_c VALUES (500)")
+            return False
+        except Exception:
+            return True
+    leg("t5_new_table_gets_altered_def", t5)
+
+    return spark.createDataFrame(legs, "leg string, ok long").orderBy("leg")
