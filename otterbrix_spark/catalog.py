@@ -3199,6 +3199,33 @@ class Catalog:
         if m and m.group(1) in self.tables:
             name, col, dtype, dflt = m.groups()
             table = self.tables[name]
+            # user-defined types resolve exactly as in typed CREATE:
+            # enum -> string (+ label CHECK), composite -> struct,
+            # domain -> base type (+ instantiated domain constraints,
+            # default and dependency record)
+            base_t = dtype.strip().lower()
+            ct = self.types.get(re.sub(r"\(.*\)$", "", base_t).strip())
+            ddl = _pg_type_to_ddl(dtype, self.types)
+            new_cons: list[dict] = []
+            if ct and ct["kind"] == "domain":
+                for chk in ct["checks"]:
+                    new_cons.append(_domain_check_con(col, base_t, chk))
+                if ct["not_null"]:
+                    # PG refuses ADD COLUMN NOT NULL without a default on
+                    # a non-empty table — the validation below raises on
+                    # the NULL backfill the same way
+                    new_cons.append(_domain_notnull_con(col, base_t))
+                if dflt is None and ct["default"] is not None:
+                    dflt = ct["default"]
+            elif ct and ct["kind"] == "enum":
+                labels = ", ".join(
+                    "'" + lbl.replace("'", "''") + "'"
+                    for lbl in ct["labels"]
+                )
+                new_cons.append({
+                    "kind": "check", "name": f"{col}_enum",
+                    "expr": f"{col} IS NULL OR {col} IN ({labels})",
+                })
             if dflt:
                 # PG: ADD COLUMN ... DEFAULT backfills EXISTING rows with
                 # the default and records it for future INSERTs; a
@@ -3206,15 +3233,36 @@ class Catalog:
                 # the table the same way for volatile defaults)
                 dflt = dflt.strip()
                 table.add_column(
-                    col, dtype,
+                    col, ddl,
                     default=self._default_expr(
                         dflt, table.df(), {}
-                    ).cast(dtype),
+                    ).cast(ddl),
                 )
                 self.table_defaults.setdefault(name, {})[col] = dflt
             else:
-                table.add_column(col, dtype)
+                table.add_column(col, ddl)
             self._register(table)
+            # instantiate AFTER the column lands so _add_constraint
+            # validates the backfilled rows; a violation (e.g. domain
+            # NOT NULL over a NULL backfill) rolls the column back out
+            if new_cons:
+                added: list[dict] = []
+                try:
+                    for con in new_cons:
+                        self._add_constraint(name, con)
+                        added.append(con)
+                except Exception:
+                    self.table_constraints[name] = [
+                        c for c in self.table_constraints.get(name, [])
+                        if not any(c is a for a in added)
+                    ]
+                    table.drop_column(col)
+                    self.table_defaults.get(name, {}).pop(col, None)
+                    self._register(table)
+                    raise
+            if ct and ct["kind"] == "domain":
+                self.domain_uses.setdefault(name, {}).setdefault(
+                    base_t, []).append(col)
             return self.spark.range(0).select(F.lit(col).alias("added"))
         # ALTER TABLE t ALTER [COLUMN] c TYPE type [USING expr] — PG's
         # column rewrite (parsenodes AT_AlterColumnType): the whole column

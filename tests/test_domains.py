@@ -170,3 +170,41 @@ def test_alter_domain_idempotent_and_missing_constraint(eng):
     with pytest.raises(ValueError, match="does not exist"):
         eng.sql("ALTER DOMAIN dq DROP CONSTRAINT nope")
     eng.sql("ALTER DOMAIN dq DROP CONSTRAINT IF EXISTS nope")  # silent
+
+
+def test_add_column_with_domain_type(eng):
+    eng.sql("CREATE DOMAIN ps AS INT CHECK (VALUE > 0)")
+    eng.sql("CREATE TABLE t9 (a INT)")
+    eng.sql("INSERT INTO t9 VALUES (1)")
+    eng.sql("ALTER TABLE t9 ADD COLUMN v ps")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO t9 VALUES (2, -5)")
+    eng.sql("INSERT INTO t9 VALUES (2, 7)")
+    assert eng.catalog.domain_uses["t9"] == {"ps": ["v"]}
+    with pytest.raises(ValueError, match="depend"):
+        eng.sql("DROP DOMAIN ps")
+
+
+def test_add_column_domain_not_null_refused_on_null_backfill(eng):
+    eng.sql("CREATE DOMAIN req AS INT NOT NULL")
+    eng.sql("CREATE TABLE t10 (a INT)")
+    eng.sql("INSERT INTO t10 VALUES (1)")
+    # PG: adding a NOT NULL column without default to a non-empty table
+    # fails; the refused ADD must roll the column back out entirely
+    with pytest.raises(Exception):
+        eng.sql("ALTER TABLE t10 ADD COLUMN v req")
+    assert eng.sql("SELECT * FROM t10").columns == ["a"]
+    assert "t10" not in eng.catalog.domain_uses
+    # with a default the backfill satisfies NOT NULL
+    eng.sql("ALTER TABLE t10 ADD COLUMN w req DEFAULT 5")
+    assert eng.sql("SELECT w FROM t10").collect()[0][0] == 5
+
+
+def test_add_column_with_enum_type(eng):
+    eng.sql("CREATE TYPE clr AS ENUM ('red', 'blue')")
+    eng.sql("CREATE TABLE t11 (a INT)")
+    eng.sql("ALTER TABLE t11 ADD COLUMN c clr")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO t11 VALUES (1, 'green')")
+    eng.sql("INSERT INTO t11 VALUES (1, 'red')")
+    assert eng.sql("SELECT c FROM t11").collect()[0][0] == "red"
