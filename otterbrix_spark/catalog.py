@@ -155,6 +155,16 @@ def _domain_notnull_con(col: str, domain: str) -> dict:
     }
 
 
+def _enum_check_con(col: str, labels: list) -> dict:
+    """The generated label CHECK for an enum column — ONE construction
+    shared by typed CREATE, ADD COLUMN, and ALTER TYPE's rewrites."""
+    quoted = ", ".join("'" + lbl.replace("'", "''") + "'" for lbl in labels)
+    return {
+        "kind": "check", "name": f"{col}_enum",
+        "expr": f"{col} IS NULL OR {col} IN ({quoted})",
+    }
+
+
 _COPY_STMT = re.compile(
     r"^\s*COPY\s+(?:\((?P<q>.+)\)|(?P<tbl>[A-Za-z_]\w*)\s*"
     r"(?:\((?P<cols>[^)]*)\))?)\s+(?P<dir>FROM|TO)\s+'(?P<path>[^']+)'"
@@ -813,6 +823,11 @@ class Catalog:
         # DOMAIN checks (PG pg_depend for CoerceToDomain columns) and
         # the instantiation map ALTER DOMAIN propagates through
         self.domain_uses: dict[str, dict] = {}
+        # same dependency map for top-level enum columns — what DROP
+        # TYPE refuses over and ALTER TYPE ADD/RENAME VALUE propagates
+        # through (composite/nested uses are not tracked; their DROP
+        # keeps the historical leave-columns-as-structs behavior)
+        self.enum_uses: dict[str, dict] = {}
         # reopen discovery LAST: every dict it fills must already exist
         self._restore_catalog()
         # seed the scoped-refresh match set from the restored catalog: a
@@ -873,6 +888,7 @@ class Catalog:
             # session-scoped leftovers to remove, never to rediscover
             "temp_tables": self.temp_tables,
             "domain_uses": self.domain_uses,
+            "enum_uses": self.enum_uses,
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -1067,6 +1083,10 @@ class Catalog:
             t: v for t, v in meta.get("domain_uses", {}).items()
             if t not in stale_temp
         }
+        self.enum_uses = {
+            t: v for t, v in meta.get("enum_uses", {}).items()
+            if t not in stale_temp
+        }
         self.databases = set(meta.get("databases", []))
         # matviews BEFORE plain views (a view may read a matview), and
         # every registration is fault-tolerant: a view whose dependency
@@ -1137,6 +1157,19 @@ class Catalog:
                 self.spark.catalog.dropTempView(name)
                 self._drop_table_metadata(name, kinds=("g",))
 
+    def _rewrite_enum_checks(self, tname: str) -> None:
+        """Regenerate every dependent column's `{col}_enum` label CHECK
+        from the enum's CURRENT labels — the propagation step ALTER TYPE
+        ADD/RENAME VALUE shares."""
+        labels = self.types[tname]["labels"]
+        for t, per in self.enum_uses.items():
+            for col in per.get(tname, []):
+                fresh = _enum_check_con(col, labels)
+                self.table_constraints[t] = [
+                    fresh if c["name"] == fresh["name"] else c
+                    for c in self.table_constraints.get(t, [])
+                ]
+
     def _drop_table_metadata(
         self, name: str, kinds: tuple = ("r", "g")
     ) -> None:
@@ -1151,6 +1184,7 @@ class Catalog:
         self.table_defaults.pop(name, None)
         self.temp_tables.pop(name, None)
         self.domain_uses.pop(name, None)
+        self.enum_uses.pop(name, None)
         owned = self.identity_cols.pop(name, {})
         self.identity_always.pop(name, None)
         still_used = {
@@ -3218,14 +3252,7 @@ class Catalog:
                 if dflt is None and ct["default"] is not None:
                     dflt = ct["default"]
             elif ct and ct["kind"] == "enum":
-                labels = ", ".join(
-                    "'" + lbl.replace("'", "''") + "'"
-                    for lbl in ct["labels"]
-                )
-                new_cons.append({
-                    "kind": "check", "name": f"{col}_enum",
-                    "expr": f"{col} IS NULL OR {col} IN ({labels})",
-                })
+                new_cons.append(_enum_check_con(col, ct["labels"]))
             if dflt:
                 # PG: ADD COLUMN ... DEFAULT backfills EXISTING rows with
                 # the default and records it for future INSERTs; a
@@ -3262,6 +3289,9 @@ class Catalog:
                     raise
             if ct and ct["kind"] == "domain":
                 self.domain_uses.setdefault(name, {}).setdefault(
+                    base_t, []).append(col)
+            elif ct and ct["kind"] == "enum":
+                self.enum_uses.setdefault(name, {}).setdefault(
                     base_t, []).append(col)
             return self.spark.range(0).select(F.lit(col).alias("added"))
         # ALTER TABLE t ALTER [COLUMN] c TYPE type [USING expr] — PG's
@@ -3439,8 +3469,89 @@ class Catalog:
             r"^\s*DROP\s+TYPE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$", sql, re.IGNORECASE
         )
         if m:
-            self.types.pop(m.group(1).lower(), None)
+            tname = m.group(1).lower()
+            # PG refuses to drop a type a live table column depends on
+            used_by = sorted(
+                t for t, per in self.enum_uses.items() if tname in per
+            )
+            if used_by:
+                raise ValueError(
+                    f'cannot drop type {tname}: table "{used_by[0]}" '
+                    "column(s) depend on it"
+                )
+            self.types.pop(tname, None)
             return self.spark.range(0).select(F.lit(m.group(1)).alias("dropped"))
+
+        # ALTER TYPE (PG AlterEnumStmt): ADD VALUE extends the label set
+        # (BEFORE/AFTER positions honoured) and REWRITES every dependent
+        # column's generated label CHECK; RENAME VALUE additionally
+        # rewrites the STORED rows (PG enum cells are oids, so a rename
+        # changes what every existing row reads back as — here the
+        # materialised strings update to match).
+        m = re.match(
+            r"^\s*ALTER\s+TYPE\s+([\w.]+)\s+ADD\s+VALUE\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?'([^']+)'"
+            r"(?:\s+(BEFORE|AFTER)\s+'([^']+)')?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            tname = m.group(1).lower()
+            et = self.types.get(tname)
+            if et is None or et.get("kind") != "enum":
+                raise ValueError(f'type "{tname}" is not an enum')
+            new_lbl = m.group(3)
+            if new_lbl in et["labels"]:
+                if m.group(2):
+                    return self.spark.range(0).select(
+                        F.lit(new_lbl).alias("added"))
+                raise ValueError(
+                    f'enum label "{new_lbl}" already exists in {tname}'
+                )
+            if m.group(4):
+                anchor = m.group(5)
+                if anchor not in et["labels"]:
+                    raise ValueError(
+                        f'enum label "{anchor}" does not exist in {tname}'
+                    )
+                at = et["labels"].index(anchor)
+                at = at if m.group(4).upper() == "BEFORE" else at + 1
+                et["labels"].insert(at, new_lbl)
+            else:
+                et["labels"].append(new_lbl)
+            self._rewrite_enum_checks(tname)
+            return self.spark.range(0).select(F.lit(new_lbl).alias("added"))
+        m = re.match(
+            r"^\s*ALTER\s+TYPE\s+([\w.]+)\s+RENAME\s+VALUE\s+"
+            r"'([^']+)'\s+TO\s+'([^']+)'\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            tname = m.group(1).lower()
+            et = self.types.get(tname)
+            if et is None or et.get("kind") != "enum":
+                raise ValueError(f'type "{tname}" is not an enum')
+            old_lbl, new_lbl = m.group(2), m.group(3)
+            if old_lbl not in et["labels"]:
+                raise ValueError(
+                    f'enum label "{old_lbl}" does not exist in {tname}'
+                )
+            if new_lbl in et["labels"]:
+                raise ValueError(
+                    f'enum label "{new_lbl}" already exists in {tname}'
+                )
+            et["labels"] = [
+                new_lbl if lbl == old_lbl else lbl for lbl in et["labels"]
+            ]
+            self._rewrite_enum_checks(tname)
+            oq = old_lbl.replace("'", "''")
+            nq = new_lbl.replace("'", "''")
+            for t, per in self.enum_uses.items():
+                for col in per.get(tname, []):
+                    self.route(
+                        f"UPDATE {t} SET {col} = '{nq}' "
+                        f"WHERE {col} = '{oq}'"
+                    )
+            return self.spark.range(0).select(F.lit(new_lbl).alias("renamed"))
 
         # CREATE DOMAIN (PG CreateDomainStmt; the parser family the
         # reference embeds — primnodes.h CoerceToDomain): a named scalar
@@ -3951,6 +4062,7 @@ class Catalog:
             identity_new: dict[str, str] = {}
             identity_new_always: set[str] = set()
             domains_used: dict[str, list] = {}
+            enums_used: dict[str, list] = {}
             n_anon = 0
             for part in _split_top_level(coldefs):
                 p = part.strip()
@@ -4094,14 +4206,10 @@ class Catalog:
                     # enum column: stored as string, labels enforced by a
                     # generated CHECK (SURVEY §1.2 enum mapping; reference
                     # rejects non-label values, test_correctness_bugs.cpp:392)
-                    labels = ", ".join(
-                        "'" + lbl.replace("'", "''") + "'"
-                        for lbl in self.types[base_t]["labels"]
+                    cons.append(
+                        _enum_check_con(colname, self.types[base_t]["labels"])
                     )
-                    cons.append({
-                        "kind": "check", "name": f"{colname}_enum",
-                        "expr": f"{colname} IS NULL OR {colname} IN ({labels})",
-                    })
+                    enums_used.setdefault(base_t, []).append(colname)
                 fields.append(f"{colname} {_pg_type_to_ddl(rest, self.types)}")
             schema = ", ".join(fields)
             for c in cons:
@@ -4191,6 +4299,10 @@ class Catalog:
             if domains_used:
                 self.domain_uses[name] = {
                     d: list(cols) for d, cols in domains_used.items()
+                }
+            if enums_used:
+                self.enum_uses[name] = {
+                    e: list(cols) for e, cols in enums_used.items()
                 }
             self._note_created(name)
             return self.spark.range(0).select(F.lit(name).alias("created"))
@@ -4867,7 +4979,7 @@ class Catalog:
                 "DROP VIEW", "DROP MATERIALIZED VIEW",
                 "CREATE DATABASE", "DROP DATABASE",
                 "CREATE SEQUENCE", "DROP SEQUENCE",
-                "CREATE TYPE", "DROP TYPE",
+                "CREATE TYPE", "DROP TYPE", "ALTER TYPE",
                 "CREATE DOMAIN", "DROP DOMAIN", "ALTER DOMAIN",
                 "CREATE FUNCTION", "CREATE OR REPLACE FUNCTION",
                 "DROP FUNCTION", "COPY", "COMMENT ON",

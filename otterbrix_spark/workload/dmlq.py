@@ -2329,3 +2329,70 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg("t5_new_table_gets_altered_def", t5)
 
     return spark.createDataFrame(legs, "leg string, ok long").orderBy("leg")
+
+
+# --- x32: enum lifecycle -------------------------------------------------------------
+# PG AlterEnumStmt + dependency-checked DROP TYPE: ADD VALUE (with
+# BEFORE/AFTER position and IF NOT EXISTS) rewrites every dependent
+# column's label CHECK; RENAME VALUE additionally rewrites the STORED
+# rows (PG enum cells are oids — a rename changes what every existing
+# row reads back as); DROP TYPE refuses while a column depends on the
+# enum. Legs replayed closed-form.
+
+_X32_ORACLE = """
+SELECT * FROM (VALUES
+  ('t1_new_label_accepted', CAST(1 AS BIGINT)),
+  ('t2_unknown_still_refused', 1),
+  ('t3_rename_rewrote_rows', 2),
+  ('t4_old_label_refused', 1),
+  ('t5_drop_in_use_refused', 1)
+) AS t(leg, ok)
+ORDER BY leg
+"""
+
+
+@query(
+    "x32_enum_lifecycle", _X32_ORACLE,
+    doc="ALTER TYPE ADD VALUE / RENAME VALUE propagate to dependent "
+        "label CHECKs and stored rows; DROP TYPE dependency-refused — "
+        "legs replayed closed-form",
+)
+def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.sql("CREATE TYPE x32_mood AS ENUM ('sad', 'happy')")
+    eng.sql("CREATE TABLE x32_t (v x32_mood)")
+    eng.sql("INSERT INTO x32_t VALUES ('sad'), ('sad'), ('happy')")
+
+    legs: list[tuple[str, int]] = []
+
+    eng.sql("ALTER TYPE x32_mood ADD VALUE 'ok'")
+    eng.sql("INSERT INTO x32_t VALUES ('ok')")
+    legs.append(("t1_new_label_accepted", 1))
+
+    try:
+        eng.sql("INSERT INTO x32_t VALUES ('angry')")
+        legs.append(("t2_unknown_still_refused", 0))
+    except Exception:
+        legs.append(("t2_unknown_still_refused", 1))
+
+    eng.sql("ALTER TYPE x32_mood RENAME VALUE 'sad' TO 'down'")
+    n = eng.sql(
+        "SELECT COUNT(*) FROM x32_t WHERE v = 'down'"
+    ).collect()[0][0]
+    legs.append(("t3_rename_rewrote_rows", int(n)))
+
+    try:
+        eng.sql("INSERT INTO x32_t VALUES ('sad')")
+        legs.append(("t4_old_label_refused", 0))
+    except Exception:
+        legs.append(("t4_old_label_refused", 1))
+
+    try:
+        eng.sql("DROP TYPE x32_mood")
+        legs.append(("t5_drop_in_use_refused", 0))
+    except Exception:
+        legs.append(("t5_drop_in_use_refused", 1))
+
+    return spark.createDataFrame(legs, "leg string, ok long").orderBy("leg")
