@@ -136,12 +136,41 @@ def _pg_type_to_ddl(t: str, custom: dict[str, dict] | None = None) -> str:
     if base not in _PG_SCALAR_TYPES:
         raise ValueError(f"unsupported column type: {t!r}")
     return _PG_SCALAR_TYPES[base]
+def _subst_ident(expr: str, old: str, new: str) -> str:
+    """Replace word-bounded ``old`` with ``new`` OUTSIDE single-quoted
+    string literals ('' escape respected). A plain \\b regex rewrites
+    occurrences inside literals too (ADVICE r12: CREATE DOMAIN d AS TEXT
+    CHECK (VALUE <> 'value') must not instantiate as col <> 'col')."""
+    pat = re.compile(rf"\b{re.escape(old)}\b", re.IGNORECASE)
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        if expr[i] == "'":
+            j = i + 1
+            while j < n:
+                if expr[j] == "'" and j + 1 < n and expr[j + 1] == "'":
+                    j += 2
+                elif expr[j] == "'":
+                    j += 1
+                    break
+                else:
+                    j += 1
+            out.append(expr[i:j])
+            i = j
+        else:
+            j = expr.find("'", i)
+            if j == -1:
+                j = n
+            out.append(pat.sub(new, expr[i:j]))
+            i = j
+    return "".join(out)
+
+
 def _domain_check_con(col: str, domain: str, chk: dict) -> dict:
     """Instantiate one domain CHECK on a column: VALUE -> the column
     name, NULL passing (PG domain CHECKs accept NULL unless NOT NULL is
     separate). The instantiated name carries the domain constraint name
     so ALTER DOMAIN DROP CONSTRAINT can find it on every dependent."""
-    expr = re.sub(r"\bVALUE\b", col, chk["expr"], flags=re.IGNORECASE)
+    expr = _subst_ident(chk["expr"], "VALUE", col)
     return {
         "kind": "check", "name": f"{col}_{chk['name']}",
         "expr": f"{col} IS NULL OR ({expr})",
@@ -358,6 +387,24 @@ def _map_values_items(body: str, fn) -> "str | None":
         items = [fn(i, it) for i, it in enumerate(items)]
         out.append("(" + ", ".join(s.strip() for s in items) + ")")
     return prefix + ", ".join(out)
+
+
+def _values_frame(spark, body: str):
+    """Evaluate a VALUES body to a DataFrame. Spark inline tables only
+    accept FOLDABLE expressions — a lowered ``::domain`` cast (CASE ...
+    raise_error, x33) must run through SELECT row unions instead. Only
+    that rare path pays the rewrite; plain VALUES keeps the single
+    inline-table coercion fast path."""
+    if re.search(r"\braise_error\s*\(", body, re.IGNORECASE):
+        parsed = _values_tuples(body)
+        if parsed is not None:
+            sel = " UNION ALL ".join(
+                f"SELECT {t.strip()[1:-1]}" for t in parsed[1]
+                if t.strip().startswith("(")
+            )
+            if sel:
+                return spark.sql(sel)
+    return spark.sql(f"SELECT * FROM ({body}) ")
 
 
 def _values_set_default(body: str, target_cols: list, idc: set) -> str:
@@ -1170,6 +1217,139 @@ class Catalog:
                     for c in self.table_constraints.get(t, [])
                 ]
 
+    def rewrite_domain_casts(self, body: str) -> str:
+        """PG ``CoerceToDomain`` for expression casts (x33): ``expr::dom``
+        lowers to the base-type CAST guarded by the domain's CHECK /
+        NOT NULL constraints — a violating value raises through Spark's
+        ``raise_error`` exactly where PG raises "value for domain ...
+        violates check constraint". Domains used as column types already
+        instantiate their constraints at CREATE TABLE; this closes the
+        expression-position divergence documented at the CREATE DOMAIN
+        comment (reference parity: PG primnodes CoerceToDomain)."""
+        doms = {
+            n: t for n, t in self.types.items() if t.get("kind") == "domain"
+        }
+        if not doms or "::" not in body:
+            return body
+        names = "|".join(
+            re.escape(n) for n in sorted(doms, key=len, reverse=True)
+        )
+        op_re = re.compile(rf"::\s*({names})\b", re.IGNORECASE)
+        if not op_re.search(body):
+            return body
+        from otterbrix_spark.dialect import (
+            _apply_binop_scanned, _protect_strings, _restore_strings,
+        )
+
+        prot, lits = _protect_strings(body)
+
+        def lower_cast(lhs: str, d: str) -> str | None:
+            if not lhs:
+                return None
+            t = doms[d]
+            base = _pg_type_to_ddl(t["base"], self.types)
+            cast = f"CAST({lhs} AS {base})"
+            conds = [
+                f"({cast} IS NULL OR ({_subst_ident(chk['expr'], 'VALUE', cast)}))"
+                for chk in t["checks"]
+            ]
+            if t["not_null"]:
+                conds.append(f"({cast} IS NOT NULL)")
+            if not conds:
+                return cast
+            msg = f"value for domain {d} violates a domain constraint"
+            return (
+                f"(CASE WHEN {' AND '.join(conds)} THEN {cast} "
+                f"ELSE CAST(raise_error('{msg}') AS {base}) END)"
+            )
+
+        prot = _apply_binop_scanned(
+            prot, op_re, lambda lhs, m: lower_cast(lhs, m.group(1).lower())
+        )
+        # the shared operand scanner recognizes identifiers / calls /
+        # paren groups / stashed literals — a bare NUMERIC literal LHS
+        # (5::posint) needs its own backward match
+        num_re = re.compile(
+            rf"(?<![\w.\x00])(\d+(?:\.\d+)?)\s*::\s*({names})\b",
+            re.IGNORECASE,
+        )
+        while True:
+            mm = num_re.search(prot)
+            if mm is None:
+                break
+            repl = lower_cast(mm.group(1), mm.group(2).lower())
+            prot = prot[: mm.start()] + (repl or mm.group(1)) + prot[mm.end():]
+        return _restore_strings(prot, lits)
+
+    def implicit_commit_temp_sweep(self, statement: str) -> None:
+        """PG autocommit parity for ON COMMIT DELETE ROWS (ADVICE r12):
+        outside a transaction block every statement is its own
+        transaction, so rows written to a delete-rows temp table vanish
+        at the statement's implicit commit. The engine fires this at the
+        statement boundary when no explicit transaction is open; only
+        DML statements that name a delete-mode temp table pay the
+        truncate."""
+        if self._txn is not None:
+            return
+        if not re.match(
+            r"^\s*(INSERT|UPDATE|DELETE|MERGE|COPY)\b", statement,
+            re.IGNORECASE,
+        ):
+            return
+        for name, mode in list(self.temp_tables.items()):
+            if mode != "delete" or not re.search(
+                rf"\b{re.escape(name)}\b", statement, re.IGNORECASE
+            ):
+                continue
+            if name in self.tables:
+                self.route(f"TRUNCATE {name}")
+            elif name in self.dynamic:
+                self.route(f"DELETE FROM {name}")
+
+    def _column_gone(self, tname: str, col: str, new: str | None) -> None:
+        """Per-column metadata upkeep for ALTER TABLE DROP/RENAME COLUMN
+        (ADVICE r12): remove (or rename) the column in every
+        enum_uses/domain_uses entry — a stale entry wrongly blocks DROP
+        TYPE/DOMAIN and makes ALTER DOMAIN ADD CONSTRAINT instantiate on
+        a missing column, which aborts the statement for ALL dependents.
+        Instantiated `{col}_*` checks drop with the column (PG drops
+        column-dependent constraints); on rename they re-anchor to the
+        new name, expr rewritten literal-safely."""
+        for uses in (self.enum_uses, self.domain_uses):
+            per = uses.get(tname)
+            if not per:
+                continue
+            for typ in list(per):
+                cols = per[typ]
+                if col in cols:
+                    per[typ] = [
+                        (new if c == col else c) for c in cols
+                        if new is not None or c != col
+                    ]
+                    if not per[typ]:
+                        del per[typ]
+            if not per:
+                del uses[tname]
+        cons = self.table_constraints.get(tname)
+        if cons:
+            kept = []
+            for c in cons:
+                if not c.get("name", "").startswith(f"{col}_"):
+                    kept.append(c)
+                elif new is not None:
+                    c = dict(c)
+                    c["name"] = new + c["name"][len(col):]
+                    if c.get("expr"):
+                        c["expr"] = _subst_ident(c["expr"], col, new)
+                    kept.append(c)
+            self.table_constraints[tname] = kept
+        dflts = self.table_defaults.get(tname)
+        if dflts and col in dflts:
+            if new is not None:
+                dflts[new] = dflts.pop(col)
+            else:
+                del dflts[col]
+
     def _drop_table_metadata(
         self, name: str, kinds: tuple = ("r", "g")
     ) -> None:
@@ -1418,7 +1598,7 @@ class Catalog:
             # fold DEFAULT keywords (incl. those written by the USER
             # rewrite above) into declared defaults, consuming sequences
             body = self._fold_values_defaults(name, body, cols)
-            rows = self.spark.sql(f"SELECT * FROM ({body}) ")
+            rows = _values_frame(self.spark, body)
         else:
             rows = self.spark.sql(body)
         if overriding == "USER" and idc_all and not user_handled:
@@ -2999,6 +3179,10 @@ class Catalog:
             for name, mode in list(self.temp_tables.items()):
                 if mode == "delete" and name in self.tables:
                     self.route(f"TRUNCATE {name}")
+                elif mode == "delete" and name in self.dynamic:
+                    # dynamic temp tables truncate at commit too (ADVICE
+                    # r12: the sweep previously covered self.tables only)
+                    self.route(f"DELETE FROM {name}")
             return self.spark.range(0).select(F.lit("COMMIT").alias("txn"))
         if head in ("ROLLBACK", "ABORT"):
             staged, self._txn = self._txn, None
@@ -3211,7 +3395,12 @@ class Catalog:
             else:
                 raise ValueError(f"unknown table: {old}")
             for d in (self.table_constraints, self.table_defaults,
-                      self.identity_cols, self.identity_always):
+                      self.identity_cols, self.identity_always,
+                      self.enum_uses, self.domain_uses, self.temp_tables):
+                # enum_uses/domain_uses/temp_tables relocate with the
+                # table too (ADVICE r12): otherwise ALTER TYPE/DOMAIN
+                # propagates under the stale old name and a renamed TEMP
+                # table loses temp status on reopen
                 if old in d:
                     d[new] = d.pop(old)
             self.comments = {
@@ -3344,6 +3533,7 @@ class Catalog:
         if m and m.group(1) in self.tables:
             table = self.tables[m.group(1)]
             table.rename_column(m.group(2), m.group(3))
+            self._column_gone(m.group(1), m.group(2), m.group(3))
             self._register(table)
             return self.spark.range(0).select(F.lit(m.group(3)).alias("renamed"))
         m = re.match(
@@ -3353,6 +3543,7 @@ class Catalog:
         if m and m.group(1) in self.tables:
             table = self.tables[m.group(1)]
             table.drop_column(m.group(2))
+            self._column_gone(m.group(1), m.group(2), None)
             self._register(table)
             return self.spark.range(0).select(F.lit(m.group(2)).alias("dropped"))
 
@@ -3470,10 +3661,14 @@ class Catalog:
         )
         if m:
             tname = m.group(1).lower()
-            # PG refuses to drop a type a live table column depends on
-            used_by = sorted(
-                t for t, per in self.enum_uses.items() if tname in per
-            )
+            # PG refuses to drop a type a live table column depends on.
+            # DROP TYPE is PG's generic spelling — it drops domains too,
+            # so dispatch the dependency check on the type's ACTUAL kind
+            # (ADVICE r12: consulting only enum_uses let `DROP TYPE
+            # somedomain` remove an in-use domain)
+            kind = (self.types.get(tname) or {}).get("kind")
+            dep_map = self.domain_uses if kind == "domain" else self.enum_uses
+            used_by = sorted(t for t, per in dep_map.items() if tname in per)
             if used_by:
                 raise ValueError(
                     f'cannot drop type {tname}: table "{used_by[0]}" '
@@ -3638,6 +3833,12 @@ class Catalog:
         )
         if m:
             name = m.group(1).lower()
+            # PG errors when DROP DOMAIN targets a non-domain type
+            # (ADVICE r12: otherwise DROP DOMAIN someenum would drop an
+            # in-use enum past the enum dependency check)
+            t = self.types.get(name)
+            if t is not None and t.get("kind") != "domain":
+                raise ValueError(f'"{name}" is not a domain')
             # PG refuses to drop a domain a live table column depends on
             # (CASCADE would drop the COLUMN — out of scope, refused too:
             # the dependent columns are physical base-type columns here)
@@ -4595,7 +4796,7 @@ class Catalog:
                 cols = None
             elif body.upper().startswith("VALUES"):
                 body = self._fold_values_defaults(name, body, cols)
-                rows = self.spark.sql(f"SELECT * FROM ({body}) ")
+                rows = _values_frame(self.spark, body)
                 if not cols and len(rows.columns) < len(table.df().columns):
                     # PG: a short VALUES row list targets the leading
                     # columns; the rest take their DEFAULT (or NULL)

@@ -97,7 +97,9 @@ class Engine:
         handled = self._explain_statement(sql, params)
         if handled is not None:
             return handled
-        body = self.catalog.canonicalize(rewrite(sql))
+        body = self.catalog.rewrite_domain_casts(
+            self.catalog.canonicalize(rewrite(sql))
+        )
         if params:
             if self.catalog.handles(body):
                 # routed statements (DML/DDL on managed tables, SET ...) go
@@ -158,6 +160,15 @@ class Engine:
             mutating = True
         if mutating:
             if self.catalog._txn is None:
+                # ON COMMIT DELETE ROWS under autocommit: the statement's
+                # implicit commit empties any delete-mode temp table the
+                # DML touched, before the boundary persists (PG parity —
+                # ADVICE r12)
+                if any(
+                    m == "delete"
+                    for m in self.catalog.temp_tables.values()
+                ):
+                    self.catalog.implicit_commit_temp_sweep(body)
                 self.catalog.persist_catalog_state()
             if head.startswith(("COMMIT", "ROLLBACK", "ABORT")):
                 # staged frames were swapped out / discarded — every view
@@ -245,7 +256,9 @@ class Engine:
                 mex.group(1).lower(), mex.group(2), params
             )
             return self._explain_only(bound, params)
-        body = self.catalog.canonicalize(rewrite(sql))
+        body = self.catalog.rewrite_domain_casts(
+            self.catalog.canonicalize(rewrite(sql))
+        )
         if params:
             body = re.sub(
                 r"\$(\d+)",

@@ -2396,3 +2396,75 @@ def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
         legs.append(("t5_drop_in_use_refused", 1))
 
     return spark.createDataFrame(legs, "leg string, ok long").orderBy("leg")
+
+
+# --- x33: ::domain expression casts --------------------------------------------------
+# PG CoerceToDomain in EXPRESSION position (primnodes.h CoerceToDomain;
+# the reference embeds PG's cast grammar): ``expr::dom`` coerces to the
+# domain's base type and enforces its CHECK / NOT NULL constraints at
+# evaluation time, raising on a violating value. Closes the divergence
+# documented at CREATE DOMAIN in rounds 11-12 (domains previously worked
+# only as column types). Legs replayed closed-form.
+
+_X33_ORACLE = """
+SELECT * FROM (VALUES
+  ('t1_literal_cast', CAST(5 AS BIGINT)),
+  ('t2_expr_cast', 7),
+  ('t3_violation_raises', 1),
+  ('t4_null_passes_bare_check', 1),
+  ('t5_notnull_refuses_null', 1),
+  ('t6_insert_position', 9),
+  ('t7_where_position', 1)
+) AS t(leg, v)
+ORDER BY leg
+"""
+
+
+@query(
+    "x33_domain_expr_cast", _X33_ORACLE,
+    doc="expr::domain in expression position: base-type coercion + "
+        "CHECK/NOT NULL enforcement with raise-on-violation (PG "
+        "CoerceToDomain); works in SELECT, INSERT and WHERE positions — "
+        "legs replayed closed-form",
+)
+def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.sql("CREATE DOMAIN x33_posint AS INT CHECK (VALUE > 0)")
+    eng.sql("CREATE DOMAIN x33_req AS TEXT NOT NULL")
+
+    legs: list[tuple[str, int]] = []
+
+    v = eng.sql("SELECT 5::x33_posint AS a").collect()[0][0]
+    legs.append(("t1_literal_cast", int(v)))
+
+    v = eng.sql("SELECT (3 + 4)::x33_posint AS a").collect()[0][0]
+    legs.append(("t2_expr_cast", int(v)))
+
+    try:
+        eng.sql("SELECT (-3)::x33_posint AS a").collect()
+        legs.append(("t3_violation_raises", 0))
+    except Exception:
+        legs.append(("t3_violation_raises", 1))
+
+    v = eng.sql("SELECT NULL::x33_posint AS a").collect()[0][0]
+    legs.append(("t4_null_passes_bare_check", 1 if v is None else 0))
+
+    try:
+        eng.sql("SELECT NULL::x33_req AS a").collect()
+        legs.append(("t5_notnull_refuses_null", 0))
+    except Exception:
+        legs.append(("t5_notnull_refuses_null", 1))
+
+    eng.sql("CREATE TABLE x33_t (v INT)")
+    eng.sql("INSERT INTO x33_t VALUES (9::x33_posint)")
+    v = eng.sql("SELECT v FROM x33_t").collect()[0][0]
+    legs.append(("t6_insert_position", int(v)))
+
+    n = eng.sql(
+        "SELECT COUNT(*) FROM x33_t WHERE v > 2::x33_posint"
+    ).collect()[0][0]
+    legs.append(("t7_where_position", int(n)))
+
+    return spark.createDataFrame(legs, "leg string, v long").orderBy("leg")

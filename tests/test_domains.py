@@ -208,3 +208,51 @@ def test_add_column_with_enum_type(eng):
         eng.sql("INSERT INTO t11 VALUES (1, 'green')")
     eng.sql("INSERT INTO t11 VALUES (1, 'red')")
     assert eng.sql("SELECT c FROM t11").collect()[0][0] == "red"
+
+
+# -- ::domain expression casts (x33) ---------------------------------------
+
+def test_domain_expr_cast_accepts_and_coerces(eng):
+    eng.sql("CREATE DOMAIN posint AS INT CHECK (VALUE > 0)")
+    assert eng.sql("SELECT 5::posint AS a").collect()[0][0] == 5
+    assert eng.sql("SELECT ('4')::posint AS a").collect()[0][0] == 4
+    assert eng.sql("SELECT (2 + 3)::posint AS a").collect()[0][0] == 5
+    # NULL passes a bare CHECK (PG domain semantics)
+    assert eng.sql("SELECT NULL::posint AS a").collect()[0][0] is None
+
+
+def test_domain_expr_cast_raises_on_violation(eng):
+    eng.sql("CREATE DOMAIN posint AS INT CHECK (VALUE > 0)")
+    eng.sql("CREATE DOMAIN req AS TEXT NOT NULL")
+    with pytest.raises(Exception, match="violates"):
+        eng.sql("SELECT (-3)::posint AS a").collect()
+    with pytest.raises(Exception, match="violates"):
+        eng.sql("SELECT NULL::req AS a").collect()
+
+
+def test_domain_expr_cast_in_insert_and_where(eng):
+    eng.sql("CREATE DOMAIN posint AS INT CHECK (VALUE > 0)")
+    eng.sql("CREATE TABLE t (v INT)")
+    eng.sql("INSERT INTO t VALUES (9::posint), (3::posint)")
+    assert sorted(
+        r[0] for r in eng.sql("SELECT v FROM t").collect()
+    ) == [3, 9]
+    with pytest.raises(Exception, match="violates"):
+        eng.sql("INSERT INTO t VALUES ((-1)::posint)")
+    n = eng.sql("SELECT COUNT(*) FROM t WHERE v > 2::posint").collect()[0][0]
+    assert n == 2
+
+
+def test_domain_expr_cast_column_source(eng):
+    eng.sql("CREATE DOMAIN posint AS INT CHECK (VALUE > 0)")
+    eng.sql("CREATE TABLE src AS SELECT 4 AS k UNION ALL SELECT 8 AS k")
+    assert sorted(
+        r[0] for r in eng.sql("SELECT k::posint AS kk FROM src").collect()
+    ) == [4, 8]
+
+
+def test_nondomain_cast_untouched(eng):
+    # ordinary ::type casts keep Spark's native path
+    eng.sql("CREATE DOMAIN posint AS INT CHECK (VALUE > 0)")
+    assert eng.sql("SELECT '7'::int AS a").collect()[0][0] == 7
+    assert eng.sql("SELECT 1::bigint AS a").collect()[0][0] == 1
