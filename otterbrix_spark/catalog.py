@@ -776,6 +776,13 @@ class Catalog:
         # COMMIT and is DISCARDED on ROLLBACK). The physical directory is
         # created eagerly (self-writes just work); rollback drops it.
         self._txn_created: list[str] = []
+        # transactional type/constraint DDL (r13): BEGIN snapshots the
+        # metadata dicts ALTER TYPE/DOMAIN and CREATE/DROP TYPE/DOMAIN
+        # mutate, so ROLLBACK restores them — PG runs these statements
+        # transactionally, and a half-applied label CHECK must not leak
+        # past an aborted txn (RENAME VALUE's row rewrites ride the
+        # ordinary staged-DML rollback)
+        self._txn_meta: "dict | None" = None
         # PG server-side cursors (DECLARE/FETCH/MOVE/CLOSE — the statement
         # face of the reference's chunked cursor contract,
         # components/cursor/cursor.hpp): name -> {"it", "schema",
@@ -1216,6 +1223,28 @@ class Catalog:
                     fresh if c["name"] == fresh["name"] else c
                     for c in self.table_constraints.get(t, [])
                 ]
+
+    def _snapshot_type_meta(self) -> dict:
+        """Deep-copy the metadata dicts transactional type DDL mutates
+        (ALTER TYPE/DOMAIN, CREATE/DROP TYPE/DOMAIN, ADD/DROP CONSTRAINT,
+        SET/DROP DEFAULT). Small dicts — the copy is cheap and makes
+        ROLLBACK restoration exact."""
+        import copy
+
+        return copy.deepcopy({
+            "types": self.types,
+            "table_constraints": self.table_constraints,
+            "table_defaults": self.table_defaults,
+            "enum_uses": self.enum_uses,
+            "domain_uses": self.domain_uses,
+        })
+
+    def _restore_type_meta(self, snap: dict) -> None:
+        self.types = snap["types"]
+        self.table_constraints = snap["table_constraints"]
+        self.table_defaults = snap["table_defaults"]
+        self.enum_uses = snap["enum_uses"]
+        self.domain_uses = snap["domain_uses"]
 
     def rewrite_domain_casts(self, body: str) -> str:
         """PG ``CoerceToDomain`` for expression casts (x33): ``expr::dom``
@@ -3022,6 +3051,7 @@ class Catalog:
                 self._txn_dyn = {}
                 self._txn_save = []
                 self._txn_created = []
+                self._txn_meta = self._snapshot_type_meta()
             return self.spark.range(0).select(F.lit("BEGIN").alias("txn"))
 
         # SAVEPOINT / ROLLBACK TO / RELEASE (PG TransactionStmt savepoint
@@ -3045,6 +3075,7 @@ class Catalog:
                 {k: list(v) for k, v in self._txn_dyn.items()},
                 len(self._txn_created),
                 set(self._pg_cursors),
+                self._snapshot_type_meta(),
             ))
             return self.spark.range(0).select(
                 F.lit(m.group(1)).alias("savepoint")
@@ -3065,7 +3096,14 @@ class Catalog:
             )
             if idx is None:
                 raise ValueError(f"savepoint \"{sp}\" does not exist")
-            _, snap, snap_dyn, n_created, cur_snap = self._txn_save[idx]
+            _, snap, snap_dyn, n_created, cur_snap, meta_snap = (
+                self._txn_save[idx]
+            )
+            # type DDL after the savepoint is undone; re-copy so a second
+            # ROLLBACK TO the same savepoint still has a pristine snapshot
+            import copy as _copy
+
+            self._restore_type_meta(_copy.deepcopy(meta_snap))
             # transactional DDL: discard tables created after the savepoint
             undone_created = self._txn_created[n_created:]
             del self._txn_created[n_created:]
@@ -3120,6 +3158,7 @@ class Catalog:
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
             self._txn_save = []
+            self._txn_meta = None  # type DDL publishes at COMMIT
             self._txn_created = []  # created tables publish at COMMIT
             # PG closes non-holdable cursors at COMMIT; surviving holdable
             # cursors are no longer tied to a creating transaction
@@ -3188,6 +3227,12 @@ class Catalog:
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
             self._txn_save = []
+            # transactional type DDL: restore the BEGIN-time metadata
+            # BEFORE _drop_created runs (created tables' entries are
+            # absent from the snapshot either way)
+            if self._txn_meta is not None:
+                self._restore_type_meta(self._txn_meta)
+                self._txn_meta = None
             # ON COMMIT DROP tables die with the rolled-back creating
             # txn via _drop_created; nothing left to fire at any commit
             self._txn_temp_drop = []

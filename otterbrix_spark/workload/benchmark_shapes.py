@@ -13591,3 +13591,718 @@ def ds88(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# =============================================================================
+# Round 13: TPC-DS template tail (classes Q42/52/55, Q37/82, Q61, Q92,
+# Q96, Q71, Q75/80, Q84/91, Q76, Q81 — reference benchmark/tpcds/*.tpl)
+# and the final two LDBC SNB BI classes (BI-5, BI-9 —
+# benchmark/ldbc/bi-5.sql, bi-9.sql). Same conventions: quantised
+# integer sums, broadcast dimensions, reductions before windows.
+# =============================================================================
+
+
+# --- ds89: month x brand revenue top-k (TPC-DS Q42/Q52/Q55 class) ----------
+# The simplest DS star: date-dim x brand revenue, top-k by revenue.
+# Filter reaches the part scan (p_size), the year bound reaches the
+# lineitem scan; the brand dim broadcasts; TakeOrderedAndProject caps
+# the result — the plan a 1000-executor run wants.
+
+_DS89_ORACLE = """
+SELECT date_trunc('month', l_shipdate)::DATE AS mon, p_brand,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0)
+           AS BIGINT)) AS rev_q
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size < 15
+  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY 1, 2
+ORDER BY rev_q DESC, mon, p_brand LIMIT 10
+"""
+
+
+@query(
+    "ds89_brand_month_topk", _DS89_ORACLE,
+    doc="TPC-DS Q42/Q52/Q55 class: date x brand star revenue, top-10 by "
+        "revenue — broadcast dim, pushed year bound, "
+        "TakeOrderedAndProject",
+)
+def ds89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("mon"),
+            "p_brand",
+        )
+        .agg(
+            F.sum(
+                _q(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("rev_q")
+        )
+        .orderBy(F.desc("rev_q"), "mon", "p_brand")
+        .limit(10)
+    )
+
+
+# --- ds90: item attributes x sales-window existence (Q37/Q82 class) --------
+# Item attribute listing restricted to items that SOLD inside a 90-day
+# window — the inventory-band existence shape, as a distinct-count over
+# the window-restricted fact join (the attribute dim broadcasts).
+
+_DS90_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_size IN (2, 9, 23, 38)
+  AND p_retailprice BETWEEN 500 AND 1500
+  AND l_shipdate >= '1997-03-01' AND l_shipdate < '1997-06-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3 LIMIT 100
+"""
+
+
+@query(
+    "ds90_item_window_existence", _DS90_ORACLE,
+    doc="TPC-DS Q37/Q82 class: item-attribute listing restricted to a "
+        "90-day sales window — distinct-order count per attribute "
+        "triple, dim filters pushed to the part scan",
+)
+def ds90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(2, 9, 23, 38)
+        & F.col("p_retailprice").between(500, 1500)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-06-01")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+        .orderBy("p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+# --- ds91: promotional share of revenue (Q61 class) -------------------------
+# Promo-vs-total ratio per month: both arms come from ONE conditional-
+# aggregate scan (Q61 runs two correlated star subqueries; the fused
+# form reads the fact once), ratio reported in integer basis points.
+
+_DS91_ORACLE = """
+SELECT date_trunc('month', l_shipdate)::DATE AS mon,
+       SUM(CASE WHEN l_discount >= 0.05
+           THEN CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)
+           ELSE 0 END) AS promo_q,
+       SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS total_q,
+       CAST(SUM(CASE WHEN l_discount >= 0.05
+           THEN CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)
+           ELSE 0 END) * 10000
+           // NULLIF(SUM(CAST(FLOOR(l_extendedprice * 10000.0)
+                        AS BIGINT)), 0) AS BIGINT) AS promo_bp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'ECONOMY'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "ds91_promo_share", _DS91_ORACLE,
+    doc="TPC-DS Q61 class: promotional vs total revenue ratio per month "
+        "— Q61's two correlated star subqueries fused into ONE "
+        "conditional-aggregate scan, exact basis points via integer "
+        "division",
+)
+def ds91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    pq = F.sum(
+        F.when(F.col("l_discount") >= 0.05, _q(F.col("l_extendedprice")))
+        .otherwise(F.lit(0))
+    )
+    tq = F.sum(_q(F.col("l_extendedprice")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("mon"))
+        .agg(
+            pq.alias("promo_q"),
+            tq.alias("total_q"),
+            (pq * 10000).cast("long").alias("_num"),
+        )
+        .withColumn(
+            "promo_bp",
+            F.when(
+                F.col("total_q") != 0,
+                F.floor(F.col("_num") / F.col("total_q")).cast("long"),
+            ),
+        )
+        .drop("_num")
+        .orderBy("mon")
+    )
+
+
+# --- ds92: excess-discount lines (Q92 class) ---------------------------------
+# Lines whose discount exceeds 1.3x their part's window-average
+# discount. The comparison is EXACT integer (10*d_q*n > 13*sum_q —
+# algebraically d > 1.3*avg without a float average), so both engines
+# agree at every boundary; the per-part aggregate joins back on
+# l_partkey, the window bound prunes both scans.
+
+_DS92_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_discount * 10000.0) AS BIGINT)) AS sum_q,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem
+  WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-07-01'
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_excess,
+       SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000.0)
+           AS BIGINT)) AS excess_amt_q
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-07-01'
+  AND CAST(FLOOR(l_discount * 10000.0) AS BIGINT) * 10 * pa.n
+      > 13 * pa.sum_q
+"""
+
+
+@query(
+    "ds92_excess_discount", _DS92_ORACLE,
+    doc="TPC-DS Q92 class: lines discounted above 1.3x their part's "
+        "window-average — the correlated average becomes a grouped "
+        "re-join, threshold compared in exact integer space",
+)
+def ds92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1998-07-01")
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(_q(F.col("l_discount"))).alias("sum_q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(
+            _q(F.col("l_discount")) * 10 * F.col("n")
+            > 13 * F.col("sum_q")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_excess"),
+            F.sum(
+                _q(F.col("l_extendedprice") * F.col("l_discount"))
+            ).alias("excess_amt_q"),
+        )
+    )
+
+
+# --- ds93: pure multi-predicate selectivity count (Q96 class) ----------------
+# Q96 is a bare COUNT(*) under hour x demographic x store predicates —
+# the plan-shape point is that EVERYTHING pushes to the scan and the
+# count is a partial-aggregate merge with NO shuffle of data rows.
+
+_DS93_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+WHERE EXTRACT(hour FROM ts) = 20
+  AND event_type = 'click'
+  AND value BETWEEN 5 AND 50
+"""
+
+
+@query(
+    "ds93_selectivity_count", _DS93_ORACLE,
+    doc="TPC-DS Q96 class: bare COUNT(*) under hour x type x value-band "
+        "predicates — all filters at the scan, partial-count merge, "
+        "zero data-row shuffle",
+)
+def ds93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.hour("ts") == 20)
+            & (F.col("event_type") == "click")
+            & F.col("value").between(5, 50)
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+# --- ds94: hour-of-day revenue across a channel union (Q71 class) ------------
+# Q71 unions three sales channels and reports brand revenue by hour.
+# Two event-type arms play the channels; the union is computed ONCE
+# per arm with its own pushed filter, then a single (channel, hour)
+# aggregation — never a per-hour rescan.
+
+_DS94_ORACLE = """
+WITH ch AS (
+  SELECT 'clicks' AS channel, EXTRACT(hour FROM ts) AS hr, value
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'views' AS channel, EXTRACT(hour FROM ts) AS hr, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT channel, CAST(hr AS BIGINT) AS hr,
+       SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS amt_q,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ch GROUP BY 1, 2
+ORDER BY amt_q DESC, channel, hr LIMIT 24
+"""
+
+
+@query(
+    "ds94_hourly_channel_union", _DS94_ORACLE,
+    doc="TPC-DS Q71 class: hour-of-day revenue across a UNION ALL of "
+        "channels — per-arm pushed type filter, one aggregation over "
+        "the union, top-24 by amount",
+)
+def ds94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def arm(label: str, etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            F.lit(label).alias("channel"),
+            F.hour("ts").cast("long").alias("hr"),
+            "value",
+        )
+
+    return (
+        arm("clicks", "click").unionByName(arm("views", "view"))
+        .groupBy("channel", "hr")
+        .agg(
+            F.sum(_q(F.col("value"))).alias("amt_q"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy(F.desc("amt_q"), "channel", "hr")
+        .limit(24)
+    )
+
+
+# --- ds95: year-over-year decline by brand across channels (Q75/Q80 class) --
+# Per (brand, year) quantity/amount across a two-channel union, self-
+# joined to the prior year, reporting brands whose quantity declined.
+# The yoy comparison runs on the |brands| x |years| reduction — the
+# self-join input is tiny at any corpus scale.
+
+_DS95_ORACLE = """
+WITH ch AS (
+  SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0)
+              AS BIGINT) AS amt_q
+  FROM lineitem WHERE l_linestatus = 'F'
+  UNION ALL
+  SELECT l_partkey, EXTRACT(year FROM l_shipdate),
+         CAST(l_quantity AS BIGINT),
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0)
+              AS BIGINT)
+  FROM lineitem WHERE l_linestatus = 'O'
+),
+by_year AS (
+  SELECT p_brand, yr, SUM(qty) AS qty, SUM(amt_q) AS amt_q
+  FROM ch JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT cur.p_brand, CAST(cur.yr AS BIGINT) AS yr,
+       prv.qty AS prev_qty, cur.qty AS cur_qty,
+       cur.amt_q - prv.amt_q AS amt_delta_q
+FROM by_year cur JOIN by_year prv
+  ON cur.p_brand = prv.p_brand AND cur.yr = prv.yr + 1
+WHERE cur.qty * 10 < prv.qty * 9
+ORDER BY amt_delta_q, cur.p_brand, yr LIMIT 100
+"""
+
+
+@query(
+    "ds95_yoy_brand_decline", _DS95_ORACLE,
+    doc="TPC-DS Q75/Q80 class: year-over-year decline by brand across a "
+        "channel union — channels reduced to (brand, year) BEFORE the "
+        "yoy self-join, decline test in integer space (qty*10 < prev*9)",
+)
+def ds95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def arm(status: str) -> DataFrame:
+        return li.filter(F.col("l_linestatus") == status).select(
+            "l_partkey",
+            F.year("l_shipdate").alias("yr"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            _q(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("amt_q"),
+        )
+
+    by_year = (
+        arm("F").unionByName(arm("O"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "yr")
+        .agg(F.sum("qty").alias("qty"), F.sum("amt_q").alias("amt_q"))
+    )
+    cur, prv = by_year.alias("cur"), by_year.alias("prv")
+    return (
+        cur.join(
+            prv,
+            (F.col("cur.p_brand") == F.col("prv.p_brand"))
+            & (F.col("cur.yr") == F.col("prv.yr") + 1),
+        )
+        .filter(F.col("cur.qty") * 10 < F.col("prv.qty") * 9)
+        .select(
+            F.col("cur.p_brand").alias("p_brand"),
+            F.col("cur.yr").cast("long").alias("yr"),
+            F.col("prv.qty").alias("prev_qty"),
+            F.col("cur.qty").alias("cur_qty"),
+            (F.col("cur.amt_q") - F.col("prv.amt_q")).alias("amt_delta_q"),
+        )
+        .orderBy("amt_delta_q", "p_brand", "yr")
+        .limit(100)
+    )
+
+
+# --- ds96: multi-dimension row fetch with formatting (Q84/Q91 class) ---------
+# Customer lookup through two snowflaked dims with band predicates and
+# a concatenated display identity — Q84's "customer by income band and
+# city" as nation/region/segment/balance bands. Pure broadcast-dim
+# pipeline, top-100 by key.
+
+_DS96_ORACLE = """
+SELECT c_custkey, c_name || ' [' || n_name || ']' AS ident, c_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_mktsegment = 'BUILDING'
+  AND c_acctbal BETWEEN 4000 AND 6000
+ORDER BY c_custkey LIMIT 100
+"""
+
+
+@query(
+    "ds96_snowflake_row_fetch", _DS96_ORACLE,
+    doc="TPC-DS Q84/Q91 class: customer fetch through snowflaked "
+        "region->nation dims with band predicates and a concatenated "
+        "display identity — broadcast dims, ordered top-100",
+)
+def ds96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING")
+        & F.col("c_acctbal").between(4000, 6000)
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        cust.join(
+            F.broadcast(
+                nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            F.concat(
+                F.col("c_name"), F.lit(" ["), F.col("n_name"), F.lit("]")
+            ).alias("ident"),
+            "c_acctbal",
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# --- ds97: dangling-dimension census per channel x year (Q76 class) ----------
+# Q76 counts fact rows whose dimension surrogate is NULL per channel.
+# The corpus has no orphan keys, so the class is modelled as a
+# RESTRICTED dimension (only large parts registered): the LEFT JOIN
+# miss is the NULL-surrogate census, grouped by channel x year.
+
+_DS97_ORACLE = """
+WITH ch AS (
+  SELECT 'open' AS channel, l_partkey, l_extendedprice, l_shipdate
+  FROM lineitem WHERE l_linestatus = 'O'
+  UNION ALL
+  SELECT 'closed', l_partkey, l_extendedprice, l_shipdate
+  FROM lineitem WHERE l_linestatus = 'F'
+),
+dim AS (SELECT p_partkey FROM part WHERE p_size > 40)
+SELECT channel, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_dangling,
+       SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS amt_q
+FROM ch LEFT JOIN dim ON l_partkey = p_partkey
+WHERE p_partkey IS NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query(
+    "ds97_dangling_dim_census", _DS97_ORACLE,
+    doc="TPC-DS Q76 class: NULL-surrogate census per channel x year — "
+        "LEFT JOIN miss against a restricted dimension plays the "
+        "orphan-key count; the dim side broadcasts",
+)
+def ds97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 40)
+        .select("p_partkey")
+    )
+
+    def arm(label: str, status: str) -> DataFrame:
+        return li.filter(F.col("l_linestatus") == status).select(
+            F.lit(label).alias("channel"),
+            "l_partkey", "l_extendedprice", "l_shipdate",
+        )
+
+    return (
+        arm("open", "O").unionByName(arm("closed", "F"))
+        .join(
+            F.broadcast(dim),
+            F.col("l_partkey") == dim.p_partkey,
+            "left",
+        )
+        .filter(F.col("p_partkey").isNull())
+        .groupBy(
+            "channel", F.year("l_shipdate").cast("long").alias("yr")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dangling"),
+            F.sum(_q(F.col("l_extendedprice"))).alias("amt_q"),
+        )
+        .orderBy("channel", "yr")
+    )
+
+
+# --- ds98: returners above 1.2x their nation's average (Q81 class) ----------
+# Customers whose returned revenue exceeds 1.2x the average returner in
+# their nation. The correlated per-nation average becomes a grouped
+# re-join; the comparison is exact integer (ret*10*n > 12*sum) so both
+# engines agree at every boundary.
+
+_DS98_ORACLE = """
+WITH cr AS (
+  SELECT c_custkey, c_nationkey,
+         SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS ret_q
+  FROM customer
+  JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2
+),
+na AS (
+  SELECT c_nationkey, SUM(ret_q) AS sum_q, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cr GROUP BY 1
+)
+SELECT cr.c_custkey, n_name, cr.ret_q
+FROM cr JOIN na USING (c_nationkey)
+JOIN nation ON n_nationkey = c_nationkey
+WHERE cr.ret_q * 10 * na.n > 12 * na.sum_q
+ORDER BY cr.ret_q DESC, cr.c_custkey LIMIT 100
+"""
+
+
+@query(
+    "ds98_returns_above_nation_avg", _DS98_ORACLE,
+    doc="TPC-DS Q81 class: customers returning above 1.2x their "
+        "nation's average returner — correlated average as a grouped "
+        "re-join on the customer-grain reduction, exact integer "
+        "threshold",
+)
+def ds98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    cr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(_q(F.col("l_extendedprice"))).alias("ret_q"))
+    )
+    na = cr.groupBy("c_nationkey").agg(
+        F.sum("ret_q").alias("sum_q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        cr.join(F.broadcast(na), "c_nationkey")
+        .filter(F.col("ret_q") * 10 * F.col("n") > 12 * F.col("sum_q"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", "n_name", "ret_q")
+        .orderBy(F.desc("ret_q"), "c_custkey")
+        .limit(100)
+    )
+
+
+# --- bi16: most active posters in a topic (LDBC BI-5 class) ------------------
+# BI-5 scores each creator in a topic: 1*messages + 2*replies +
+# 10*likes, the reply/like counts arriving as PRE-AGGREGATED left
+# joins keyed by message (benchmark/ldbc/bi-5.sql). Here the topic is
+# an event type: 'click' events are the messages; an 'error'/'view'
+# event replies-to/likes the same user's most recent click (one
+# forward-fill window over the user timeline — runs on the events
+# table pre-clustered by user_id); the per-message counts group on the
+# message id and LEFT JOIN back exactly as BI-5's Cs/Plm subqueries.
+
+_BI16_ORACLE = """
+WITH tl AS (
+  SELECT user_id, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS parent_click
+  FROM events
+),
+msgs AS (SELECT user_id, event_id FROM tl WHERE event_type = 'click'),
+cs AS (SELECT parent_click AS id, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tl WHERE event_type = 'error' AND parent_click IS NOT NULL
+       GROUP BY 1),
+plm AS (SELECT parent_click AS id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tl WHERE event_type = 'view' AND parent_click IS NOT NULL
+        GROUP BY 1)
+SELECT m.user_id,
+       CAST(COUNT(m.event_id) AS BIGINT) AS message_count,
+       SUM(COALESCE(cs.c, 0)) AS reply_count,
+       SUM(COALESCE(plm.c, 0)) AS like_count,
+       CAST(COUNT(m.event_id) + 2 * SUM(COALESCE(cs.c, 0))
+            + 10 * SUM(COALESCE(plm.c, 0)) AS BIGINT) AS score
+FROM msgs m
+LEFT JOIN cs ON cs.id = m.event_id
+LEFT JOIN plm ON plm.id = m.event_id
+GROUP BY 1
+ORDER BY score DESC, m.user_id LIMIT 100
+"""
+
+
+@query(
+    "bi16_topic_poster_scores", _BI16_ORACLE,
+    doc="LDBC BI-5 class: weighted poster scores (1*msg + 2*reply + "
+        "10*like) with reply/like counts as PRE-AGGREGATED left joins "
+        "keyed by message — attribution via one forward-fill window "
+        "over the user timeline (events pre-clustered by user_id)",
+)
+def bi16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tl = ev.select(
+        "user_id", "event_id", "event_type",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w).alias("parent_click"),
+    )
+    msgs = tl.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id"
+    )
+
+    def per_msg(etype: str) -> DataFrame:
+        return (
+            tl.filter(
+                (F.col("event_type") == etype)
+                & F.col("parent_click").isNotNull()
+            )
+            .groupBy(F.col("parent_click").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    cs, plm = per_msg("error"), per_msg("view")
+    joined = (
+        msgs.join(cs, msgs.event_id == cs.id, "left")
+        .drop("id")
+        .withColumnRenamed("c", "reply_c")
+        .join(plm, msgs.event_id == plm.id, "left")
+        .drop("id")
+        .withColumnRenamed("c", "like_c")
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("event_id").cast("long").alias("message_count"),
+            F.sum(F.coalesce(F.col("reply_c"), F.lit(0)))
+            .alias("reply_count"),
+            F.sum(F.coalesce(F.col("like_c"), F.lit(0)))
+            .alias("like_count"),
+        )
+        .withColumn(
+            "score",
+            (
+                F.col("message_count")
+                + 2 * F.col("reply_count")
+                + 10 * F.col("like_count")
+            ).cast("long"),
+        )
+        .orderBy(F.desc("score"), "user_id")
+        .limit(100)
+    )
+
+
+# --- bi17: top thread initiators (LDBC BI-9 class) ---------------------------
+# BI-9: per person, the number of threads they started in a window and
+# the total messages those threads accumulated (benchmark/ldbc/
+# bi-9.sql: MPP = per-root message counts, joined to the person's
+# posts, grouped by person). A thread here is a (user, day): the
+# root id is the day's first event; the per-thread counts come from
+# ONE (user, day) reduction, then a second aggregation to the user
+# grain, names joined from the customer dim (broadcast).
+
+_BI17_ORACLE = """
+WITH mpp AS (
+  SELECT user_id, date_trunc('day', ts)::DATE AS d,
+         CAST(COUNT(*) AS BIGINT) AS message_count
+  FROM events
+  WHERE ts >= '2024-01-08' AND ts < '2024-01-22'
+  GROUP BY 1, 2
+)
+SELECT c_custkey AS person_id, c_name AS person_name,
+       CAST(COUNT(*) AS BIGINT) AS thread_count,
+       SUM(message_count) AS message_count
+FROM mpp JOIN customer ON c_custkey = user_id
+GROUP BY 1, 2
+ORDER BY message_count DESC, person_id LIMIT 100
+"""
+
+
+@query(
+    "bi17_thread_initiators", _BI17_ORACLE,
+    doc="LDBC BI-9 class: top thread initiators — per-thread message "
+        "counts from ONE (user, day) reduction inside the date window, "
+        "re-aggregated to the person grain, person names from the "
+        "broadcast customer dim",
+)
+def bi17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-22")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    mpp = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("message_count"))
+    return (
+        mpp.join(
+            F.broadcast(cust), mpp.user_id == cust.c_custkey
+        )
+        .groupBy(
+            F.col("c_custkey").alias("person_id"),
+            F.col("c_name").alias("person_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("thread_count"),
+            F.sum("message_count").alias("message_count"),
+        )
+        .orderBy(F.desc("message_count"), "person_id")
+        .limit(100)
+    )

@@ -1475,3 +1475,93 @@ def test_round12_ds88_plan(spark, sf_dir):
     assert "Union" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round13_dstail_star_plans(spark, sf_dir):
+    """Round-13 TPC-DS tail, star shapes: ds89/ds90 broadcast their
+    filtered part dim and push the shipdate window to the lineitem
+    scan; ds89's top-10 lowers to TakeOrderedAndProject; ds91 fuses
+    Q61's two correlated star subqueries into ONE conditional-aggregate
+    scan (exactly one lineitem scan in the plan); no Python, no
+    cartesian anywhere."""
+    for name in (
+        "ds89_brand_month_topk", "ds90_item_window_existence",
+        "ds91_promo_share",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    plan = plan_of(spark, sf_dir, "ds89_brand_month_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    plan = plan_of(spark, sf_dir, "ds91_promo_share")
+    assert plan.count("lineitem.parquet") == 1  # fused, single fact scan
+
+
+def test_round13_dstail_correlated_plans(spark, sf_dir):
+    """ds92/ds98: the correlated per-group average becomes a grouped
+    re-join — the group-side aggregate must sit below the join
+    (partial aggregation present), the threshold stays in integer
+    expression space (no Python); ds98's tiny per-nation frame and the
+    nation dim broadcast."""
+    for name in ("ds92_excess_discount", "ds98_returns_above_nation_avg"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "partial_sum" in plan, name
+    plan = plan_of(spark, sf_dir, "ds98_returns_above_nation_avg")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_round13_dstail_union_plans(spark, sf_dir):
+    """ds94/ds95/ds97 union channel arms: each arm carries its own
+    pushed filter, ONE aggregation runs over the Union (never per-arm
+    rescans feeding separate aggs of the same grain); ds95 reduces to
+    the (brand, year) grain BEFORE the yoy self-join; ds97's restricted
+    dim broadcasts under a left join whose miss is the census."""
+    for name in (
+        "ds94_hourly_channel_union", "ds95_yoy_brand_decline",
+        "ds97_dangling_dim_census",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Union" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    plan = plan_of(spark, sf_dir, "ds94_hourly_channel_union")
+    assert "TakeOrderedAndProject" in plan
+    plan = plan_of(spark, sf_dir, "ds97_dangling_dim_census")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_round13_dstail_fetch_count_plans(spark, sf_dir):
+    """ds93: bare COUNT(*) — every predicate reaches the scan (pushed
+    event_type + value band) and no data-row shuffle survives (the only
+    exchange is the single-row partial-count merge); ds96: pure
+    broadcast-dim row fetch, ordered top-100."""
+    plan = plan_of(spark, sf_dir, "ds93_selectivity_count")
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "event_type" in pushed and "value" in pushed
+    assert "BatchEvalPython" not in plan
+    plan = plan_of(spark, sf_dir, "ds96_snowflake_row_fetch")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round13_ldbc_final_plans(spark, sf_dir):
+    """bi16: ONE window pass over the user timeline computes the
+    reply/like attribution (exactly one Window, on the pre-clustered
+    user_id grain); the per-message counts arrive as PRE-AGGREGATED
+    left joins (aggregates below the join, as BI-5's Cs/Plm
+    subqueries); bi17: (user, day) reduction below the broadcast
+    customer join; no Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "bi16_topic_poster_scores")
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    plan = plan_of(spark, sf_dir, "bi17_thread_initiators")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
