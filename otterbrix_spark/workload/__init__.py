@@ -80,50 +80,49 @@ def query(name: str, oracle: str | None, doc: str = "", bench: bool = False):
 # out keeps passing the identical local DuckDB battery
 # (tests/test_workload_oracle.py) at three SFs every round.
 _FRONT_WINDOW = [
+    # round-13 window (COVERAGE.md plan, VERDICT r12 Next #1): the q01
+    # anchor, then the 19 round-12 gates that never got a driver row
+    # (all 19 judge-verified green at sf0.01 last round) — after this
+    # window every gate through round 12 has a driver row at least
+    # once (first round at 100% driver coverage).
     "q01_pricing_summary",
-    # round-12 window (VERDICT r11 Next #1): drain ALL 13 remaining
-    # never-driver-sampled round-11 gates — a01 now carries a
-    # tolerance-banded exact oracle (first clean driver row); after
-    # this window every gate in the registry has a driver row again
-    "a01_approx_distinct",
-    "ds72_volatility_band", "e23_mmr_diversity_rerank", "g14_seasonal_dow_decomposition",
-    "m11_perceptual_hash_dedup", "p13_temperature_mix",
-    "q104_array_slice", "s27_streaming_quantile_histogram",
-    "t23_bigram_lm_fluency", "w11_time_range_trailing",
-    "x26_scroll_cursor", "x27_identity_columns", "x28_comment_on",
-    # round-12 new gates (slots fill as they land; missing names skip):
-    # JOB second batch (VERDICT #4), LDBC SNB BI drip (#5),
-    # TPC-DS tail (#6)
-    "b31_bushy_triple_fact", "b32_skewed_fan_dims",
-    "b33_role_bridge_pentagon", "b34_two_cycle_overlap",
-    "b35_filtered_fact_ladder", "b36_semi_bushy_mix",
-    "b37_star_in_star", "b38_wide_dim_clique",
-    "bi01_message_cascade", "bi02_community_activity",
-    "bi03_interaction_decay", "bi04_path_length_dist",
-    "bi05_zombie_accounts",
-    "ds73_cross_channel_ratio", "ds74_rollup_channel_sales",
-    "ds75_repeat_purchase_span", "ds76_inventory_turns",
-    "ds77_first_last_affinity",
-    # round-12 batch-2/3 gates (this session): the ClickBench tail,
-    # LDBC second+third drips, TPC-DS second+third tails, and the SSB
-    # completion. 29 landed; the 18 structurally richest take the
-    # remaining slots — the 11 deferred to the round-13 window are the
-    # simplest single-scan/selection/broadcast-star classes, each
-    # already 3-SF verified locally (c39/c40/c41/c43, bi10/bi13,
-    # b39/b40/b41, ds82/ds84; later batches added bi15/ds87/x29 to the
-    # same deferred set). The usual heavy-family re-samples stand down
-    # for one round to make room; they return in round 13 alongside the
-    # deferred names.
-    "c36_global_scan_battery", "c37_distinct_rank_topk",
-    "c38_composite_mixed_battery", "c42_window_flags_deep_page",
-    "bi06_posting_summary_share", "bi07_friend_triangles",
-    "bi08_hop_band_census", "bi09_mutual_friend_rec",
-    "bi11_top_container_detail", "bi12_authority_scores",
-    "bi14_tag_cooccurrence",
-    "ds78_bucket_case_ladder", "ds79_disjunctive_selectivity",
-    "ds80_rank_join_best_worst", "ds81_agg_of_agg_threshold",
-    "ds83_return_repurchase_chain", "ds85_deviation_filter",
-    "ds86_union_channels_itemset",
+    "c39_const_group_key", "c40_derived_dup_keys",
+    "c41_selection_time_topk", "c43_star_row_fetch",
+    "bi10_tag_evolution", "bi13_count_distribution",
+    "bi15_related_topics",
+    "b39_ssb_narrow_band", "b40_ssb_point_pair",
+    "b41_ssb_drilldown_profit",
+    "ds82_latency_band_matrix", "ds84_attribute_mismatch",
+    "ds87_category_revenue_share", "ds88_disjunctive_existence",
+    "t24_repetition_quality",
+    "x29_temp_tables", "x30_create_domain", "x31_alter_domain",
+    "x32_enum_lifecycle",
+    # round-13 additions: ::domain expression casts (VERDICT #4), the
+    # TPC-DS template-tail sweep to ~95/99 (#5), LDBC BI completion
+    # (#6) — all 3-SF oracle-verified locally before entering the
+    # window
+    "x33_domain_expr_cast",
+    "ds89_brand_month_topk", "ds90_item_window_existence",
+    "ds91_promo_share", "ds92_excess_discount",
+    "ds93_selectivity_count", "ds94_hourly_channel_union",
+    "ds95_yoy_brand_decline", "ds96_snowflake_row_fetch",
+    "ds97_dangling_dim_census", "ds98_returns_above_nation_avg",
+    "bi16_topic_poster_scores", "bi17_thread_initiators",
+    # heavy-family re-samples that stood down for round 12 (COVERAGE
+    # plan item 3): one representative per heavy family — dedup, ANN,
+    # streaming restart/closure, graph, MVCC, DML, window frames,
+    # multimodal, time series. Names past slot 50 simply rotate to the
+    # next round; drop re-samples before first-samples if round-13
+    # adds more gates.
+    "d04_minhash_signature", "e10_ivf_trained_index",
+    "s10_streaming_restart", "ds17_frequent_crossshop",
+    "l14_pagerank_fixed_point", "h04_join_rollup",
+    "x03_merge_statement", "b25_snowflake_deep",
+    "ds67_multi_year_megajoin", "c32_url_regex_classify",
+    "m10_audio_vad_segments", "t21_rag_chunking",
+    "w10_groups_frame_exclude", "x22_positioned_dml",
+    "s25_streaming_closure", "g13_cusum_changepoints",
+    "e21_int8_quantization", "l20_weighted_bounded_path",
 ]
 
 
