@@ -30,14 +30,34 @@ from pyspark.sql import Column, functions as F
 SCALE = 10000.0  # 4 decimal digits
 
 
-def dsum(col: Column, alias: str) -> Column:
-    """Order-insensitive, engine-portable SUM of a double expression."""
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-insensitive, engine-portable SUM of a double expression.
+
+    Accepts either a Column or a SQL expression string. The string form
+    builds the whole aggregate in ONE ``F.expr`` py4j round-trip instead
+    of ~8 Column-op calls — driver-side plan construction is ~25% of the
+    sequential headline wall at bench scale (SCALE.md round-13
+    decomposition), and the py4j socket hop is its entire cost. Both
+    forms parse to the identical Catalyst tree (``D`` suffix keeps the
+    scale literal a DOUBLE, matching ``F.lit(SCALE)``)."""
+    if isinstance(col, str):
+        return F.expr(
+            f"CAST(SUM(CAST(FLOOR(({col}) * {SCALE}D) AS BIGINT)) AS DOUBLE)"
+            f" / {SCALE}D AS {alias}"
+        )
     q = F.floor(col * F.lit(SCALE)).cast("long")
     return (F.sum(q).cast("double") / F.lit(SCALE)).alias(alias)
 
 
-def davg(col: Column, alias: str) -> Column:
-    """Order-insensitive AVG: quantised exact sum / non-null count."""
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-insensitive AVG: quantised exact sum / non-null count.
+
+    String form: one ``F.expr`` round-trip (see :func:`dsum`)."""
+    if isinstance(col, str):
+        return F.expr(
+            f"CAST(SUM(CAST(FLOOR(({col}) * {SCALE}D) AS BIGINT)) AS DOUBLE)"
+            f" / COUNT({col}) / {SCALE}D AS {alias}"
+        )
     q = F.floor(col * F.lit(SCALE)).cast("long")
     return ((F.sum(q).cast("double") / F.count(col)) / F.lit(SCALE)).alias(alias)
 

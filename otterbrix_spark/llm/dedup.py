@@ -106,10 +106,17 @@ def minhash_signatures(
     h_i(doc) = MIN over shingles of (base XOR XOR_CONSTANTS[i]) — one md5 per
     shingle, one groupBy, map-side-combinable integer MINs.
     """
-    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
-    hashed = sh.withColumn("_h", base)
+    # single-F.expr forms of the base hash and each MIN aggregate: the
+    # Catalyst trees are identical to the Column-op spelling, but each
+    # expression costs ONE py4j round-trip instead of ~5 (driver-side
+    # construction is a visible slice of per-query latency; SCALE.md
+    # round-13 decomposition)
+    hashed = sh.withColumn(
+        "_h",
+        F.expr("CAST(CONV(SUBSTRING(MD5(shingle), 1, 15), 16, 10) AS BIGINT)"),
+    )
     aggs = [
-        F.min(F.col("_h").bitwiseXOR(F.lit(XOR_CONSTANTS[i]))).alias(f"h{i}")
+        F.expr(f"MIN(_h ^ {XOR_CONSTANTS[i]}L) AS h{i}")
         for i in range(num_hashes)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -121,11 +128,9 @@ def minhash_signature_str(
     """(id, signature) where signature concatenates all minima — identical
     signatures are near-duplicate candidates at band-size = num_hashes."""
     sigs = minhash_signatures(sh, id_col, num_hashes)
+    cols = ", ".join(f"CAST(h{i} AS STRING)" for i in range(num_hashes))
     return sigs.select(
-        id_col,
-        F.concat_ws(
-            ":", *[F.col(f"h{i}").cast("string") for i in range(num_hashes)]
-        ).alias("signature"),
+        id_col, F.expr(f"CONCAT_WS(':', {cols}) AS signature")
     )
 
 

@@ -81,25 +81,27 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
+    # join conditions and the date band as single F.expr calls — same
+    # Catalyst trees, a fraction of the py4j round-trips (q05 was the
+    # chattiest headline construction; SCALE.md round-13 decomposition)
     return (
-        F.broadcast(region.filter(F.col("r_name") == "ASIA"))
-        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        F.broadcast(region.filter(F.expr("r_name = 'ASIA'")))
+        .join(F.broadcast(nation), F.expr("n_regionkey = r_regionkey"))
+        .join(cust, F.expr("c_nationkey = n_nationkey"))
         .join(
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
-            ),
-            F.col("o_custkey") == F.col("c_custkey"),
+            orders.filter(F.expr(
+                "o_orderdate >= TIMESTAMP_NTZ'1996-01-01'"
+                " AND o_orderdate < TIMESTAMP_NTZ'1998-01-01'"
+            )),
+            F.expr("o_custkey = c_custkey"),
         )
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(li, F.expr("l_orderkey = o_orderkey"))
         .join(
             F.broadcast(supp),
-            (F.col("s_suppkey") == F.col("l_suppkey"))
-            & (F.col("s_nationkey") == F.col("c_nationkey")),
+            F.expr("s_suppkey = l_suppkey AND s_nationkey = c_nationkey"),
         )
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
         .orderBy(F.col("revenue").desc())
     )
 

@@ -43,20 +43,22 @@ ORDER BY l_returnflag, l_linestatus
 @query("q01_pricing_summary", _Q01_ORACLE, doc="TPC-H Q1: scan+filter+agg+sort", bench=True)
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # SQL-string aggregates: identical Catalyst trees to the Column form,
+    # built in one py4j round-trip each (headline construction cost)
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc_price} * (1 + l_tax)"
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        li.filter(F.expr("l_shipdate <= TIMESTAMP_NTZ'1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
             dsum(disc_price, "sum_disc_price"),
             dsum(charge, "sum_charge"),
-            davg(F.col("l_quantity"), "avg_qty"),
-            davg(F.col("l_extendedprice"), "avg_price"),
-            davg(F.col("l_discount"), "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.expr("COUNT(1) AS count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
