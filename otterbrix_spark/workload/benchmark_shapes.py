@@ -14306,3 +14306,66 @@ def bi17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("message_count"), "person_id")
         .limit(100)
     )
+
+
+# --- ds99: multi-band independent aggregate battery (TPC-DS Q28 class) -------
+# Q28 computes (avg price, count, count distinct) for SIX independent
+# quantity/price bands of the same fact table — the template spells it
+# as six self-joined scalar subqueries, i.e. six table scans. The
+# Spark-first form is ONE conditional-aggregation pass: each band's
+# aggregates take a CASE-guarded input; the distinct counts become
+# count(DISTINCT CASE ...) sharing the single scan through Catalyst's
+# Expand (the cluster plan: one read of the fact, never six). Averages
+# use the quantised-sum convention so both engines agree bit-for-bit.
+
+_DS99_BANDS = [
+    ("lo", "l_quantity <= 5"),
+    ("mid", "l_quantity > 5 AND l_quantity <= 20"),
+    ("hi", "l_quantity > 20 AND l_quantity <= 35"),
+]
+
+_DS99_ORACLE = f"""
+SELECT
+  {", ".join(
+    f'''CAST(SUM(CASE WHEN {cond}
+            THEN CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT) END)
+          AS DOUBLE)
+        / COUNT(CASE WHEN {cond} THEN l_extendedprice END)
+        / 10000.0 AS avg_price_{b},
+      CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_{b},
+      CAST(COUNT(DISTINCT CASE WHEN {cond} THEN l_partkey END)
+          AS BIGINT) AS n_parts_{b}'''
+    for b, cond in _DS99_BANDS
+  )}
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+"""
+
+
+@query(
+    "ds99_band_aggregate_battery", _DS99_ORACLE,
+    doc="TPC-DS Q28 class: (avg, count, count-distinct) over three "
+        "independent quantity bands — the template's six scalar-subquery "
+        "scans fused into ONE conditional-aggregation pass (distinct "
+        "counts share the scan via Expand)",
+)
+def ds99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'")
+    )
+    aggs = []
+    for b, cond in _DS99_BANDS:
+        aggs.append(F.expr(
+            f"CAST(SUM(CASE WHEN {cond} THEN CAST(FLOOR(l_extendedprice"
+            f" * 10000.0D) AS BIGINT) END) AS DOUBLE)"
+            f" / COUNT(CASE WHEN {cond} THEN l_extendedprice END)"
+            f" / 10000.0D AS avg_price_{b}"
+        ))
+        aggs.append(F.expr(
+            f"CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_{b}"
+        ))
+        aggs.append(F.expr(
+            f"CAST(COUNT(DISTINCT CASE WHEN {cond} THEN l_partkey END)"
+            f" AS BIGINT) AS n_parts_{b}"
+        ))
+    return li.agg(*aggs)

@@ -1565,3 +1565,15 @@ def test_round13_ldbc_final_plans(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round13_ds99_plan(spark, sf_dir):
+    """ds99: Q28's six scalar-subquery scans fuse into ONE pass — exactly
+    one lineitem scan; the multi-distinct battery goes through Expand;
+    the shipdate window reaches the scan; no Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "ds99_band_aggregate_battery")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
