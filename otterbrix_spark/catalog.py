@@ -814,6 +814,13 @@ class Catalog:
         # SYSTEM VALUE
         self.identity_cols: dict[str, dict[str, str]] = {}
         self.identity_always: dict[str, set[str]] = {}
+        # PG stored generated columns (ColumnDef generated, PG12
+        # tablecmds.c "GENERATED ALWAYS AS ... STORED"): table ->
+        # {column: generation expression SQL}. The value is computed
+        # from the OTHER columns of the same row at every INSERT/UPDATE
+        # (recompute hook on each write path); explicit writes are
+        # refused like ALWAYS identity
+        self.generated_cols: dict[str, dict[str, str]] = {}
         # COMMENT ON storage (PG pg_description): (relkind, object name,
         # objsubid) -> text; objsubid 0 = the object itself, else the
         # column ordinal (attnum)
@@ -943,6 +950,7 @@ class Catalog:
             "temp_tables": self.temp_tables,
             "domain_uses": self.domain_uses,
             "enum_uses": self.enum_uses,
+            "generated": self.generated_cols,
         }
         tmp = self._catalog_path() + ".tmp"
         with open(tmp, "w") as fh:
@@ -1141,6 +1149,10 @@ class Catalog:
             t: v for t, v in meta.get("enum_uses", {}).items()
             if t not in stale_temp
         }
+        self.generated_cols = {
+            t: v for t, v in meta.get("generated", {}).items()
+            if t not in stale_temp
+        }
         self.databases = set(meta.get("databases", []))
         # matviews BEFORE plain views (a view may read a matview), and
         # every registration is fault-tolerant: a view whose dependency
@@ -1237,6 +1249,7 @@ class Catalog:
             "table_defaults": self.table_defaults,
             "enum_uses": self.enum_uses,
             "domain_uses": self.domain_uses,
+            "generated_cols": self.generated_cols,
         })
 
     def _restore_type_meta(self, snap: dict) -> None:
@@ -1245,6 +1258,30 @@ class Catalog:
         self.table_defaults = snap["table_defaults"]
         self.enum_uses = snap["enum_uses"]
         self.domain_uses = snap["domain_uses"]
+        self.generated_cols = snap["generated_cols"]
+
+    def _recompute_generated(self, name: str, rows: "DataFrame") -> "DataFrame":
+        """Recompute every stored generated column of ``name`` from the
+        row's other columns (PG ExecComputeStoredGenerated). Applied to
+        the final frame on each write path; the projection is idempotent
+        for rows whose inputs did not change, so a whole-frame recompute
+        after UPDATE is exact — and it is ONE narrow select, no shuffle,
+        at any scale."""
+        gen = self.generated_cols.get(name, {})
+        if not gen or not set(gen) & set(rows.columns):
+            return rows
+        # cast to the TABLE's declared type, not the incoming frame's —
+        # a folded DEFAULT keyword arrives as a VOID-typed NULL column
+        tbl = self.tables.get(name)
+        declared = {
+            f.name: f.dataType
+            for f in (tbl.df() if tbl is not None else rows).schema.fields
+        }
+        return rows.select(*[
+            F.expr(gen[f.name]).cast(declared[f.name]).alias(f.name)
+            if f.name in gen else F.col(f.name)
+            for f in rows.schema.fields
+        ])
 
     def rewrite_domain_casts(self, body: str) -> str:
         """PG ``CoerceToDomain`` for expression casts (x33): ``expr::dom``
@@ -1378,6 +1415,21 @@ class Catalog:
                 dflts[new] = dflts.pop(col)
             else:
                 del dflts[col]
+        gen = self.generated_cols.get(tname)
+        if gen:
+            if col in gen:
+                if new is not None:
+                    gen[new] = gen.pop(col)
+                else:
+                    del gen[col]
+            if new is not None:
+                # a renamed column referenced by a generation expression
+                # re-anchors in the stored text (PG rewrites the parsed
+                # tree; _subst_ident is literal-safe)
+                for gcol, gexpr in list(gen.items()):
+                    gen[gcol] = _subst_ident(gexpr, col, new)
+            if not gen:
+                del self.generated_cols[tname]
 
     def _drop_table_metadata(
         self, name: str, kinds: tuple = ("r", "g")
@@ -1394,6 +1446,7 @@ class Catalog:
         self.temp_tables.pop(name, None)
         self.domain_uses.pop(name, None)
         self.enum_uses.pop(name, None)
+        self.generated_cols.pop(name, None)
         owned = self.identity_cols.pop(name, {})
         self.identity_always.pop(name, None)
         still_used = {
@@ -1601,7 +1654,22 @@ class Catalog:
             overriding = mov.group(1).upper()
             body = mov.group(2).strip()
         idc_all = set(self.identity_cols.get(name, {}))
+        gen_all = set(self.generated_cols.get(name, {}))
         target_cols = cols if cols is not None else list(base.columns)
+        if gen_all and cols is not None and gen_all & set(cols):
+            # same refusal as plain INSERT: generated columns have no
+            # INSERT slot (DEFAULT keyword only)
+            if body.upper().startswith("VALUES"):
+                badg = _values_explicit_identity(
+                    body, cols, gen_all & set(cols)
+                )
+            else:
+                badg = sorted(gen_all & set(cols))
+            if badg:
+                raise ValueError(
+                    f'cannot insert a non-DEFAULT value into column '
+                    f'"{badg[0]}" ("{badg[0]}" is a generated column)'
+                )
         user_handled = False
         if (
             overriding == "USER" and idc_all
@@ -1623,6 +1691,11 @@ class Catalog:
                     f'column "{bad[0]}" (GENERATED ALWAYS AS '
                     f"IDENTITY); use OVERRIDING SYSTEM VALUE"
                 )
+        auto_skip_gen = gen_all and cols is None
+        if auto_skip_gen:
+            # positional sources target the non-generated columns only
+            # (PG; arity-trimmed after the frame is built below)
+            cols = [c for c in base.columns if c not in gen_all]
         if body.upper().startswith("VALUES"):
             # fold DEFAULT keywords (incl. those written by the USER
             # rewrite above) into declared defaults, consuming sequences
@@ -1630,6 +1703,8 @@ class Catalog:
             rows = _values_frame(self.spark, body)
         else:
             rows = self.spark.sql(body)
+        if auto_skip_gen and len(rows.columns) < len(cols):
+            cols = cols[: len(rows.columns)]
         if overriding == "USER" and idc_all and not user_handled:
             # SELECT source: discard supplied identity values (PG) — the
             # defaults refill below regenerates them from the sequence
@@ -1662,6 +1737,7 @@ class Catalog:
                 for f in base.schema.fields
             ]
         )
+        rows = self._recompute_generated(name, rows)
         non_keys = [c for c in base.columns if c not in keys]
         if action.upper() == "NOTHING":
             if upd_where is not None:
@@ -1730,6 +1806,12 @@ class Catalog:
                 col: _rewrite(expr)
                 for col, expr in _split_set_list(set_clause).items()
             }
+            badg = sorted(gen_all & set(set_texts))
+            if badg:
+                raise ValueError(
+                    f'column "{badg[0]}" can only be updated to DEFAULT '
+                    f'("{badg[0]}" is a generated column)'
+                )
             sets = _resolve_set_targets(set_texts)
             excl = rows.select(
                 *keys, *[F.col(c).alias(f"__excl_{c}") for c in non_keys]
@@ -1762,6 +1844,9 @@ class Catalog:
                     ]
                 )
             )
+            # generated columns recompute from the post-SET row (the
+            # unchanged/kept arms already carry correct stored values)
+            updated = self._recompute_generated(name, updated)
             unchanged = base.join(rows.select(*keys), keys, "left_anti")
             fresh = rows.join(base.select(*keys), keys, "left_anti")
             new_df = unchanged.unionByName(updated).unionByName(fresh)
@@ -3441,7 +3526,8 @@ class Catalog:
                 raise ValueError(f"unknown table: {old}")
             for d in (self.table_constraints, self.table_defaults,
                       self.identity_cols, self.identity_always,
-                      self.enum_uses, self.domain_uses, self.temp_tables):
+                      self.enum_uses, self.domain_uses, self.temp_tables,
+                      self.generated_cols):
                 # enum_uses/domain_uses/temp_tables relocate with the
                 # table too (ADVICE r12): otherwise ALTER TYPE/DOMAIN
                 # propagates under the stale old name and a renamed TEMP
@@ -3457,6 +3543,52 @@ class Catalog:
                     if c.get("kind") == "fk" and c.get("parent") == old:
                         c["parent"] = new
             return self.spark.range(0).select(F.lit(new).alias("renamed"))
+
+        # ALTER TABLE t ADD COLUMN c type GENERATED ALWAYS AS (expr) STORED:
+        # existing rows backfill from the expression (PG rewrites the
+        # table); future writes recompute via the write-path hook
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+"
+            r"([\w()]+)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*STORED\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m and m.group(1) in self.tables:
+            name, col, dtype, gexpr = m.groups()
+            if m.group(4).count("(") != m.group(4).count(")"):
+                raise ValueError(f"unbalanced generation expression: {gexpr!r}")
+            table = self.tables[name]
+            gexpr = gexpr.strip()
+            for o in self.generated_cols.get(name, {}):
+                if re.search(rf"\b{re.escape(o)}\b", gexpr):
+                    raise ValueError(
+                        f'cannot use generated column "{o}" in '
+                        f'generation expression of "{col}"'
+                    )
+            ddl = _pg_type_to_ddl(dtype, self.types)
+            table.add_column(col, ddl, F.expr(gexpr).cast(ddl))
+            self.generated_cols.setdefault(name, {})[col] = gexpr
+            self._register(table)
+            return self.spark.range(0).select(F.lit(col).alias("added"))
+
+        # ALTER TABLE t ALTER COLUMN c DROP EXPRESSION: the column keeps
+        # its current stored values and becomes an ordinary column (PG)
+        m = re.match(
+            r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+"
+            r"DROP\s+EXPRESSION\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m and m.group(1) in self.tables:
+            name, col = m.group(1), m.group(2)
+            gen = self.generated_cols.get(name, {})
+            if col not in gen:
+                raise ValueError(
+                    f'column "{col}" of relation "{name}" is not a '
+                    "stored generated column"
+                )
+            del gen[col]
+            if not gen:
+                del self.generated_cols[name]
+            return self.spark.range(0).select(F.lit(col).alias("altered"))
 
         # ALTER TABLE t ADD COLUMN c type / RENAME COLUMN a TO b / DROP COLUMN c
         m = re.match(
@@ -3587,6 +3719,20 @@ class Catalog:
         )
         if m and m.group(1) in self.tables:
             table = self.tables[m.group(1)]
+            dep = [
+                g for g, e in self.generated_cols.get(m.group(1), {}).items()
+                if g != m.group(2)
+                and re.search(rf"\b{re.escape(m.group(2))}\b", e)
+            ]
+            if dep:
+                # PG dependency refusal: the generation expression would
+                # dangle (DROP ... CASCADE would drop the generated
+                # column too; plain DROP refuses)
+                raise ValueError(
+                    f'cannot drop column {m.group(2)} of table '
+                    f'{m.group(1)}: generated column "{dep[0]}" '
+                    "depends on it"
+                )
             table.drop_column(m.group(2))
             self._column_gone(m.group(1), m.group(2), None)
             self._register(table)
@@ -4307,6 +4453,7 @@ class Catalog:
             identity_seqs: dict[str, int] = {}
             identity_new: dict[str, str] = {}
             identity_new_always: set[str] = set()
+            generated_new: dict[str, str] = {}
             domains_used: dict[str, list] = {}
             enums_used: dict[str, list] = {}
             n_anon = 0
@@ -4359,6 +4506,19 @@ class Catalog:
                 colname, rest = words
                 # trailing column constraints: NOT NULL / CHECK / UNIQUE / PK
                 while True:
+                    mgen = re.search(
+                        r"\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*STORED$",
+                        rest, re.IGNORECASE | re.DOTALL,
+                    )
+                    if mgen and mgen.group(1).count("(") == mgen.group(1).count(")"):
+                        # PG stored generated column (ColumnDef generated
+                        # 's'): the expression recomputes from the row's
+                        # other columns on every write; buffered like
+                        # identity and committed only after the CREATE
+                        # validates
+                        rest = rest[: mgen.start()]
+                        generated_new[colname] = mgen.group(1).strip()
+                        continue
                     mid = re.search(
                         r"\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+"
                         r"IDENTITY(?:\s*\(\s*START\s+(?:WITH\s+)?(\d+)"
@@ -4461,6 +4621,31 @@ class Catalog:
             for c in cons:
                 if c["kind"] == "fk" and c["parent"] not in self.tables:
                     raise ValueError(f"unknown parent table: {c['parent']}")
+            for gcol, gexpr in generated_new.items():
+                # PG tablecmds.c refusals, checked before any physical
+                # write: a generated column cannot also carry a DEFAULT
+                # or identity, and its expression cannot reference
+                # another generated column
+                if gcol in defaults:
+                    raise ValueError(
+                        f'both default and generation expression '
+                        f'specified for column "{gcol}"'
+                    )
+                if gcol in identity_new:
+                    raise ValueError(
+                        f'both identity and generation expression '
+                        f'specified for column "{gcol}"'
+                    )
+                ref = [
+                    o for o in generated_new
+                    if o != gcol
+                    and re.search(rf"\b{re.escape(o)}\b", gexpr)
+                ]
+                if ref:
+                    raise ValueError(
+                        f'cannot use generated column "{ref[0]}" in '
+                        f'generation expression of "{gcol}"'
+                    )
             for seq in identity_seqs:
                 if seq in self.sequences:
                     # the implicit name collides with a live sequence —
@@ -4520,6 +4705,12 @@ class Catalog:
                         )
                         self.spark.range(1).select(F.expr(peek).alias(col))
                     self.table_defaults[name] = defaults
+                for gcol, gexpr in generated_new.items():
+                    # validate the generation expression resolves against
+                    # the table's columns (analysis is eager — unknown
+                    # columns / bad syntax raise here, inside the atomic
+                    # CREATE)
+                    empty.select(F.expr(gexpr).alias(gcol))
             except Exception:
                 # CREATE is atomic: a failed defaults validation must not
                 # leave a registered half-table or a rediscoverable parquet
@@ -4528,6 +4719,7 @@ class Catalog:
                 self.tables.pop(name, None)
                 self.spark.catalog.dropTempView(name)
                 self.table_constraints.pop(name, None)
+                self.table_defaults.pop(name, None)
                 table.drop()
                 raise
             # identity commit point: AFTER defaults validation (the peek
@@ -4542,6 +4734,8 @@ class Catalog:
                 self.identity_cols[name] = dict(identity_new)
             if identity_new_always:
                 self.identity_always[name] = set(identity_new_always)
+            if generated_new:
+                self.generated_cols[name] = dict(generated_new)
             if domains_used:
                 self.domain_uses[name] = {
                     d: list(cols) for d, cols in domains_used.items()
@@ -4653,12 +4847,59 @@ class Catalog:
                 col: self._consume_seq_text(expr)
                 for col, expr in set_texts.items()
             }
+            gen = self.generated_cols.get(name, {})
+            badg = sorted(set(gen) & set(set_texts))
+            if badg:
+                # PG: SET on a generated column is refused (only the
+                # DEFAULT keyword is legal — which the DEFAULT fold above
+                # turned into "NULL"; drop it and let the recompute below
+                # restore the generated value)
+                explicit = [
+                    c for c in badg
+                    if not (
+                        _split_set_list(set_clause)[c].strip().upper()
+                        == "DEFAULT"
+                    )
+                ]
+                if explicit:
+                    raise ValueError(
+                        f'column "{explicit[0]}" can only be updated to '
+                        f'DEFAULT ("{explicit[0]}" is a generated column)'
+                    )
+                set_texts = {
+                    c: e for c, e in set_texts.items() if c not in gen
+                }
             sets = _resolve_set_targets(set_texts)
             if self._txn is not None:
                 base = self._txn.get(name, table.df())
                 new_df, matched = apply_update(base, cond, sets)
+                if gen:
+                    # recompute from the NEW row values (SET exprs above
+                    # evaluate against the OLD row, generated columns
+                    # against the updated one — PG ordering)
+                    new_df = self._recompute_generated(name, new_df)
+                    matched = self._recompute_generated(name, matched)
                 self._validate_new_rows(name, matched, full=new_df)
                 return self._stage_txn(name, new_df, matched, "updated", returning)
+            if gen:
+                # non-txn UPDATE on a generated-column table runs the
+                # same pure transformation, with the recompute spliced
+                # between the SET projection and validation/swap
+                base = table.df()
+                new_df, matched = apply_update(base, cond, sets)
+                new_df = self._recompute_generated(name, new_df)
+                matched = self._recompute_generated(name, matched)
+                self._validate_new_rows(name, matched, full=new_df)
+                if returning:
+                    result = matched.cache()
+                    result.count()
+                    table._swap_in(new_df)
+                    self._register(table)
+                    return self._apply_returning(result, returning)
+                n = matched.count()
+                table._swap_in(new_df)
+                self._register(table)
+                return self.spark.range(1).select(F.lit(n).alias("updated"))
             result = table.update(
                 cond, sets, returning=bool(returning),
                 validator=(
@@ -4788,6 +5029,22 @@ class Catalog:
                 overriding = mov.group(1).upper()
                 body = mov.group(2).strip()
             idc_all = set(self.identity_cols.get(name, {}))
+            gen_all = set(self.generated_cols.get(name, {}))
+            if gen_all and cols is not None and gen_all & set(cols):
+                # PG: a generated column can only receive the DEFAULT
+                # keyword — explicit values are refused regardless of
+                # OVERRIDING (tablecmds "cannot insert into column")
+                if body.upper().startswith("VALUES"):
+                    badg = _values_explicit_identity(
+                        body, cols, gen_all & set(cols)
+                    )
+                else:
+                    badg = sorted(gen_all & set(cols))
+                if badg:
+                    raise ValueError(
+                        f'cannot insert a non-DEFAULT value into column '
+                        f'"{badg[0]}" ("{badg[0]}" is a generated column)'
+                    )
             user_handled = False
             if (
                 overriding == "USER" and idc_all
@@ -4840,16 +5097,32 @@ class Catalog:
                 )
                 cols = None
             elif body.upper().startswith("VALUES"):
+                auto_skip = cols is None and bool(gen_all)
+                if auto_skip:
+                    # PG: positional VALUES target the non-generated
+                    # columns only (generated columns have no INSERT slot)
+                    cols = [
+                        c for c in table.df().columns if c not in gen_all
+                    ]
                 body = self._fold_values_defaults(name, body, cols)
                 rows = _values_frame(self.spark, body)
                 if not cols and len(rows.columns) < len(table.df().columns):
                     # PG: a short VALUES row list targets the leading
                     # columns; the rest take their DEFAULT (or NULL)
                     cols = table.df().columns[: len(rows.columns)]
+                if auto_skip and len(rows.columns) < len(cols):
+                    cols = cols[: len(rows.columns)]
                 rows = rows.toDF(*(cols or table.df().columns))
             else:
                 rows = self.spark.sql(body)
                 if cols:
+                    rows = rows.toDF(*cols)
+                elif gen_all:
+                    # SELECT source, no column list: positions map to the
+                    # non-generated columns (PG)
+                    cols = [
+                        c for c in table.df().columns if c not in gen_all
+                    ][: len(rows.columns)]
                     rows = rows.toDF(*cols)
             if overriding == "USER" and idc_all and not user_handled:
                 # PG: OVERRIDING USER VALUE discards supplied identity
@@ -4885,6 +5158,9 @@ class Catalog:
             # ... SELECT matches by position, not by source column name) —
             # also what makes constraint exprs resolve against table names
             rows = rows.toDF(*table.df().columns)
+            # stored generated columns compute LAST, from the fully
+            # defaulted row (PG ExecComputeStoredGenerated)
+            rows = self._recompute_generated(name, rows)
             if self._txn is not None:
                 base = self._txn.get(name, table.df())
                 # coerce to the declared schema (mirrors ManagedTable.insert)

@@ -2468,3 +2468,93 @@ def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs.append(("t7_where_position", int(n)))
 
     return spark.createDataFrame(legs, "leg string, v long").orderBy("leg")
+
+
+# --- x34: stored generated columns -----------------------------------------
+# PG GENERATED ALWAYS AS (expr) STORED (tablecmds.c ColumnDef generated
+# 's'; values recomputed by ExecComputeStoredGenerated on every INSERT/
+# UPDATE). Engine side: the generation expression is table metadata and
+# a write-path recompute hook — one narrow projection over the written
+# rows, no shuffle at any scale. Legs replayed closed-form.
+
+_X34_ORACLE = """
+SELECT * FROM (VALUES
+  ('t1_insert_computes', 3),
+  ('t2_update_recomputes', 101),
+  ('t3_explicit_refused', 1),
+  ('t4_default_kw_ok', 10),
+  ('t5_set_generated_refused', 1),
+  ('t6_add_column_backfill', 25),
+  ('t7_txn_rollback_clean', 1),
+  ('t8_rename_reanchors', 30)
+) AS t(leg, v)
+ORDER BY leg
+"""
+
+
+@query(
+    "x34_generated_columns", _X34_ORACLE,
+    doc="stored generated columns: GENERATED ALWAYS AS (expr) STORED "
+        "with write-path recompute (INSERT/UPDATE/ON CONFLICT), "
+        "explicit-write refusal, ALTER ADD backfill, txn rollback, "
+        "rename re-anchoring — legs replayed closed-form",
+)
+def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.sql(
+        "CREATE TABLE x34_t (a INT, b INT, "
+        "total INT GENERATED ALWAYS AS (a + b) STORED)"
+    )
+    legs: list[tuple[str, int]] = []
+
+    eng.sql("INSERT INTO x34_t VALUES (1, 2)")
+    v = eng.sql("SELECT total FROM x34_t").collect()[0][0]
+    legs.append(("t1_insert_computes", int(v)))
+
+    eng.sql("UPDATE x34_t SET b = 100 WHERE a = 1")
+    v = eng.sql("SELECT total FROM x34_t").collect()[0][0]
+    legs.append(("t2_update_recomputes", int(v)))
+
+    try:
+        eng.sql("INSERT INTO x34_t (a, b, total) VALUES (1, 1, 99)")
+        legs.append(("t3_explicit_refused", 0))
+    except Exception:
+        legs.append(("t3_explicit_refused", 1))
+
+    eng.sql("INSERT INTO x34_t (a, b, total) VALUES (5, 5, DEFAULT)")
+    v = eng.sql(
+        "SELECT total FROM x34_t WHERE a = 5"
+    ).collect()[0][0]
+    legs.append(("t4_default_kw_ok", int(v)))
+
+    try:
+        eng.sql("UPDATE x34_t SET total = 7")
+        legs.append(("t5_set_generated_refused", 0))
+    except Exception:
+        legs.append(("t5_set_generated_refused", 1))
+
+    eng.sql(
+        "ALTER TABLE x34_t ADD COLUMN asq INT "
+        "GENERATED ALWAYS AS (a * a) STORED"
+    )
+    v = eng.sql("SELECT asq FROM x34_t WHERE a = 5").collect()[0][0]
+    legs.append(("t6_add_column_backfill", int(v)))
+
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO x34_t VALUES (7, 8)")
+    eng.sql("ROLLBACK")
+    n = eng.sql(
+        "SELECT COUNT(*) FROM x34_t WHERE a = 7"
+    ).collect()[0][0]
+    legs.append(("t7_txn_rollback_clean", 1 if n == 0 else 0))
+
+    eng.sql("ALTER TABLE x34_t RENAME COLUMN a TO alpha")
+    eng.sql("INSERT INTO x34_t VALUES (10, 20)")
+    v = eng.sql(
+        "SELECT total FROM x34_t WHERE alpha = 10"
+    ).collect()[0][0]
+    legs.append(("t8_rename_reanchors", int(v)))
+
+    return spark.createDataFrame(legs, "leg string, v long").orderBy("leg")

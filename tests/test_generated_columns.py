@@ -1,0 +1,191 @@
+"""PG stored generated columns (x34): GENERATED ALWAYS AS (expr) STORED
+— recompute on every write path (INSERT positional/col-list/SELECT/
+DEFAULT VALUES/ON CONFLICT, UPDATE incl. txn), explicit-write refusal,
+CREATE-time refusals, ALTER ADD/DROP EXPRESSION, column/table rename
+re-anchoring, reopen persistence. PG reference: tablecmds.c /
+ExecComputeStoredGenerated. Both dialect modes."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from otterbrix_spark.engine import Engine
+
+
+@pytest.fixture(params=["ast", "regex"])
+def eng(spark, request, monkeypatch):
+    monkeypatch.setenv("OTTERBRIX_DIALECT_MODE", request.param)
+    return Engine(spark, table_dir=tempfile.mkdtemp(prefix="otx-gencol-"))
+
+
+def _mk(eng):
+    eng.sql(
+        "CREATE TABLE items (a INT, b INT, "
+        "total INT GENERATED ALWAYS AS (a + b) STORED)"
+    )
+
+
+def test_insert_positional_skips_generated(eng):
+    _mk(eng)
+    eng.sql("INSERT INTO items VALUES (1, 2), (3, 4)")
+    rows = sorted(tuple(r) for r in eng.sql("SELECT * FROM items").collect())
+    assert rows == [(1, 2, 3), (3, 4, 7)]
+
+
+def test_insert_column_list_and_select_source(eng):
+    _mk(eng)
+    eng.sql("INSERT INTO items (a, b) VALUES (10, 20)")
+    eng.sql("INSERT INTO items SELECT 7, 8")
+    rows = sorted(tuple(r) for r in eng.sql("SELECT * FROM items").collect())
+    assert rows == [(7, 8, 15), (10, 20, 30)]
+
+
+def test_insert_explicit_value_refused_default_kw_ok(eng):
+    _mk(eng)
+    with pytest.raises(Exception, match="generated column"):
+        eng.sql("INSERT INTO items (a, b, total) VALUES (1, 1, 99)")
+    eng.sql("INSERT INTO items (a, b, total) VALUES (5, 5, DEFAULT)")
+    assert eng.sql("SELECT total FROM items").collect()[0][0] == 10
+
+
+def test_update_recomputes_from_new_values(eng):
+    _mk(eng)
+    eng.sql("INSERT INTO items VALUES (1, 2)")
+    eng.sql("UPDATE items SET b = 100 WHERE a = 1")
+    assert eng.sql("SELECT total FROM items").collect()[0][0] == 101
+    with pytest.raises(Exception, match="generated column"):
+        eng.sql("UPDATE items SET total = 5")
+    # SET gen = DEFAULT is legal and a no-op after recompute (PG)
+    eng.sql("UPDATE items SET total = DEFAULT WHERE a = 1")
+    assert eng.sql("SELECT total FROM items").collect()[0][0] == 101
+
+
+def test_txn_insert_update_rollback(eng):
+    _mk(eng)
+    eng.sql("INSERT INTO items VALUES (1, 2)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO items VALUES (7, 8)")
+    eng.sql("UPDATE items SET b = 9 WHERE a = 1")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM items").collect())
+    assert got == [(1, 9, 10), (7, 8, 15)]
+    eng.sql("ROLLBACK")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM items").collect())
+    assert got == [(1, 2, 3)]
+
+
+def test_on_conflict_insert_and_update_recompute(eng):
+    eng.sql(
+        "CREATE TABLE kv (k INT PRIMARY KEY, v INT, "
+        "dbl INT GENERATED ALWAYS AS (v * 2) STORED)"
+    )
+    eng.sql("INSERT INTO kv VALUES (1, 10)")
+    eng.sql(
+        "INSERT INTO kv (k, v) VALUES (1, 30), (2, 5) "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v"
+    )
+    rows = sorted(tuple(r) for r in eng.sql("SELECT * FROM kv").collect())
+    assert rows == [(1, 30, 60), (2, 5, 10)]
+    with pytest.raises(Exception, match="generated column"):
+        eng.sql(
+            "INSERT INTO kv (k, v) VALUES (1, 1) "
+            "ON CONFLICT (k) DO UPDATE SET dbl = 7"
+        )
+
+
+def test_default_values_row_computes(eng):
+    eng.sql(
+        "CREATE TABLE d (a INT DEFAULT 4, "
+        "twice INT GENERATED ALWAYS AS (a * 2) STORED)"
+    )
+    eng.sql("INSERT INTO d DEFAULT VALUES")
+    assert [tuple(r) for r in eng.sql("SELECT * FROM d").collect()] == [(4, 8)]
+
+
+def test_create_refusals(eng):
+    with pytest.raises(Exception, match="default and generation"):
+        eng.sql(
+            "CREATE TABLE bad (a INT, "
+            "g INT GENERATED ALWAYS AS (a) STORED DEFAULT 5)"
+        )
+    with pytest.raises(Exception, match="generated column"):
+        eng.sql(
+            "CREATE TABLE bad2 (a INT, "
+            "g1 INT GENERATED ALWAYS AS (a + 1) STORED, "
+            "g2 INT GENERATED ALWAYS AS (g1 + 1) STORED)"
+        )
+    # unknown column in the expression: CREATE is atomic, nothing leaks
+    with pytest.raises(Exception):
+        eng.sql(
+            "CREATE TABLE bad3 (a INT, "
+            "g INT GENERATED ALWAYS AS (nope + 1) STORED)"
+        )
+    eng.sql("CREATE TABLE bad3 (x INT)")  # name reusable -> no leak
+
+
+def test_alter_add_generated_backfills(eng):
+    _mk(eng)
+    eng.sql("INSERT INTO items VALUES (1, 2), (3, 4)")
+    eng.sql(
+        "ALTER TABLE items ADD COLUMN asq INT "
+        "GENERATED ALWAYS AS (a * a) STORED"
+    )
+    rows = sorted(
+        tuple(r) for r in eng.sql("SELECT a, asq FROM items").collect()
+    )
+    assert rows == [(1, 1), (3, 9)]
+    eng.sql("INSERT INTO items VALUES (5, 6)")
+    assert eng.sql(
+        "SELECT asq FROM items WHERE a = 5"
+    ).collect()[0][0] == 25
+
+
+def test_drop_expression_makes_plain_column(eng):
+    _mk(eng)
+    eng.sql("INSERT INTO items VALUES (1, 2)")
+    eng.sql("ALTER TABLE items ALTER COLUMN total DROP EXPRESSION")
+    eng.sql("UPDATE items SET total = 99 WHERE a = 1")
+    assert eng.sql("SELECT total FROM items").collect()[0][0] == 99
+    with pytest.raises(Exception, match="not a stored generated"):
+        eng.sql("ALTER TABLE items ALTER COLUMN total DROP EXPRESSION")
+
+
+def test_drop_referenced_column_refused(eng):
+    _mk(eng)
+    with pytest.raises(Exception, match="depends on it"):
+        eng.sql("ALTER TABLE items DROP COLUMN a")
+    # dropping the generated column itself is fine
+    eng.sql("ALTER TABLE items DROP COLUMN total")
+    eng.sql("INSERT INTO items VALUES (1, 2)")
+    assert [tuple(r) for r in eng.sql("SELECT * FROM items").collect()] == [(1, 2)]
+
+
+def test_rename_column_reanchors_expression(eng):
+    _mk(eng)
+    eng.sql("ALTER TABLE items RENAME COLUMN a TO alpha")
+    eng.sql("INSERT INTO items VALUES (1, 2)")
+    assert eng.sql("SELECT total FROM items").collect()[0][0] == 3
+    eng.sql("ALTER TABLE items RENAME COLUMN total TO t2")
+    eng.sql("INSERT INTO items VALUES (10, 20)")
+    assert eng.sql(
+        "SELECT t2 FROM items WHERE alpha = 10"
+    ).collect()[0][0] == 30
+
+
+def test_rename_table_moves_generated(eng):
+    _mk(eng)
+    eng.sql("ALTER TABLE items RENAME TO stuff")
+    eng.sql("INSERT INTO stuff VALUES (2, 3)")
+    assert eng.sql("SELECT total FROM stuff").collect()[0][0] == 5
+
+
+def test_reopen_persists_generated(eng, spark):
+    _mk(eng)
+    eng.sql("INSERT INTO items VALUES (1, 2)")
+    eng2 = Engine(spark, table_dir=eng.catalog.base_dir)
+    eng2.sql("INSERT INTO items VALUES (10, 20)")
+    rows = sorted(tuple(r) for r in eng2.sql("SELECT * FROM items").collect())
+    assert rows == [(1, 2, 3), (10, 20, 30)]
+    with pytest.raises(Exception, match="generated column"):
+        eng2.sql("INSERT INTO items (a, b, total) VALUES (1, 1, 9)")
