@@ -13610,8 +13610,8 @@ def ds88(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DS89_ORACLE = """
 SELECT date_trunc('month', l_shipdate)::DATE AS mon, p_brand,
-       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0)
-           AS BIGINT)) AS rev_q
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0)
+           AS BIGINT)) AS BIGINT) AS rev_q
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size < 15
   AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
@@ -13696,10 +13696,11 @@ def ds90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DS91_ORACLE = """
 SELECT date_trunc('month', l_shipdate)::DATE AS mon,
-       SUM(CASE WHEN l_discount >= 0.05
+       CAST(SUM(CASE WHEN l_discount >= 0.05
            THEN CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)
-           ELSE 0 END) AS promo_q,
-       SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS total_q,
+           ELSE 0 END) AS BIGINT) AS promo_q,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT))
+           AS BIGINT) AS total_q,
        CAST(SUM(CASE WHEN l_discount >= 0.05
            THEN CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)
            ELSE 0 END) * 10000
@@ -13765,8 +13766,8 @@ WITH pa AS (
   GROUP BY 1
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_excess,
-       SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000.0)
-           AS BIGINT)) AS excess_amt_q
+       CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000.0)
+           AS BIGINT)) AS BIGINT) AS excess_amt_q
 FROM lineitem JOIN pa USING (l_partkey)
 WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-07-01'
   AND CAST(FLOOR(l_discount * 10000.0) AS BIGINT) * 10 * pa.n
@@ -13851,7 +13852,7 @@ WITH ch AS (
   FROM events WHERE event_type = 'view'
 )
 SELECT channel, CAST(hr AS BIGINT) AS hr,
-       SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS amt_q,
+       CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS amt_q,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM ch GROUP BY 1, 2
 ORDER BY amt_q DESC, channel, hr LIMIT 24
@@ -13912,8 +13913,8 @@ by_year AS (
   GROUP BY 1, 2
 )
 SELECT cur.p_brand, CAST(cur.yr AS BIGINT) AS yr,
-       prv.qty AS prev_qty, cur.qty AS cur_qty,
-       cur.amt_q - prv.amt_q AS amt_delta_q
+       CAST(prv.qty AS BIGINT) AS prev_qty, CAST(cur.qty AS BIGINT) AS cur_qty,
+       CAST(cur.amt_q - prv.amt_q AS BIGINT) AS amt_delta_q
 FROM by_year cur JOIN by_year prv
   ON cur.p_brand = prv.p_brand AND cur.yr = prv.yr + 1
 WHERE cur.qty * 10 < prv.qty * 9
@@ -14035,7 +14036,8 @@ WITH ch AS (
 dim AS (SELECT p_partkey FROM part WHERE p_size > 40)
 SELECT channel, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
        CAST(COUNT(*) AS BIGINT) AS n_dangling,
-       SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT)) AS amt_q
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0) AS BIGINT))
+           AS BIGINT) AS amt_q
 FROM ch LEFT JOIN dim ON l_partkey = p_partkey
 WHERE p_partkey IS NULL
 GROUP BY 1, 2 ORDER BY 1, 2
@@ -14101,7 +14103,7 @@ na AS (
   SELECT c_nationkey, SUM(ret_q) AS sum_q, CAST(COUNT(*) AS BIGINT) AS n
   FROM cr GROUP BY 1
 )
-SELECT cr.c_custkey, n_name, cr.ret_q
+SELECT cr.c_custkey, n_name, CAST(cr.ret_q AS BIGINT) AS ret_q
 FROM cr JOIN na USING (c_nationkey)
 JOIN nation ON n_nationkey = c_nationkey
 WHERE cr.ret_q * 10 * na.n > 12 * na.sum_q
@@ -14172,8 +14174,8 @@ plm AS (SELECT parent_click AS id, CAST(COUNT(*) AS BIGINT) AS c
         GROUP BY 1)
 SELECT m.user_id,
        CAST(COUNT(m.event_id) AS BIGINT) AS message_count,
-       SUM(COALESCE(cs.c, 0)) AS reply_count,
-       SUM(COALESCE(plm.c, 0)) AS like_count,
+       CAST(SUM(COALESCE(cs.c, 0)) AS BIGINT) AS reply_count,
+       CAST(SUM(COALESCE(plm.c, 0)) AS BIGINT) AS like_count,
        CAST(COUNT(m.event_id) + 2 * SUM(COALESCE(cs.c, 0))
             + 10 * SUM(COALESCE(plm.c, 0)) AS BIGINT) AS score
 FROM msgs m
@@ -14269,7 +14271,7 @@ WITH mpp AS (
 )
 SELECT c_custkey AS person_id, c_name AS person_name,
        CAST(COUNT(*) AS BIGINT) AS thread_count,
-       SUM(message_count) AS message_count
+       CAST(SUM(message_count) AS BIGINT) AS message_count
 FROM mpp JOIN customer ON c_custkey = user_id
 GROUP BY 1, 2
 ORDER BY message_count DESC, person_id LIMIT 100
