@@ -1052,7 +1052,7 @@ def p04(spark: SparkSession, sf_dir: str, shard_rows: int = 64) -> DataFrame:
 # keys) needs transcendental floats whose last-ulp behaviour differs
 # across engines; band-stratification is the hash-verifiable form and
 # what production corpus pipelines actually ship.
-_P05_SALTED = "md5('p05:' || CAST(doc_id AS VARCHAR))"
+_P05_SALTED = "md5('p05:' || CAST(doc_id AS STRING))"
 _P05_BUCKET = f"(('0x' || SUBSTR({_P05_SALTED}, 1, 15))::BIGINT % 100)"
 
 _P05_ORACLE = f"""
@@ -1278,7 +1278,7 @@ _T10_ORACLE = r"""
 WITH w AS (
   SELECT doc_id, source,
          regexp_extract_all(text, '[^ ]+') AS ws,
-         ('0x' || substr(md5('t10:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         ('0x' || substr(md5('t10:' || CAST(doc_id AS STRING)), 1, 15))::BIGINT
            % 100 < 10 AS is_eval
   FROM documents),
 g AS (
@@ -3454,9 +3454,9 @@ WITH u AS (
          || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
          || source || '.Example.COM/p/' || CAST(doc_id % 40 AS VARCHAR)
          || CASE WHEN doc_id % 5 = 0
-                 THEN '/?utm=' || CAST(doc_id AS VARCHAR) ELSE '' END
+                 THEN '/?utm=' || CAST(doc_id AS STRING) ELSE '' END
          || CASE WHEN doc_id % 7 = 0
-                 THEN '#frag' || CAST(doc_id AS VARCHAR) ELSE '' END
+                 THEN '#frag' || CAST(doc_id AS STRING) ELSE '' END
            AS url
   FROM documents),
 canon AS (
@@ -4630,7 +4630,7 @@ _P10_ORACLE = """
 WITH r AS (
   SELECT doc_id, n_chars,
          ROW_NUMBER() OVER (
-           ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           ORDER BY md5('ep1:' || CAST(doc_id AS STRING)), doc_id) AS rn
   FROM documents),
 s AS (SELECT doc_id, n_chars, rn, (rn - 1) % 16 AS shard FROM r),
 a AS (
@@ -4988,7 +4988,7 @@ d AS (
   FROM f),
 kept AS (
   SELECT doc_id, lang, n_chars, n_dups,
-         CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+         CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS STRING)),
                     1, 15))::BIGINT % 10 < 9
               THEN 'train' ELSE 'val' END AS split
   FROM d WHERE rn = 1)
@@ -6812,4 +6812,101 @@ def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_keep"),
         )
         .orderBy("dup_band", "topbg_band")
+    )
+
+
+# --- t25: PII detection + redaction ------------------------------------------
+# The scrubbing pass every public-web training corpus runs before
+# anything else (emails / IPv4 / phone spans -> typed placeholder
+# tokens). The synthetic corpus carries no PII, so each document is
+# AUGMENTED with deterministic doc_id-derived spans first (same
+# closed-form text on both engines) — the gate exercises the real
+# detection/redaction machinery: per-pattern span counts via
+# regexp_count and redaction via chained regexp_replace, both pure JVM
+# codegen (no UDF), reduced to the source grain. Patterns are written
+# in the Java-regex/RE2 common subset so Spark and DuckDB agree span
+# for span. 100 TB posture: one narrow projection per document + one
+# combinable groupBy — no shuffle carries document text.
+
+_T25_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_T25_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_T25_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+_T25_AUG = (
+    "text || ' contact user' || CAST(doc_id AS STRING)"
+    " || '@mail.example.com'"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' host 10.0.'"
+    "   || CAST(doc_id % 256 AS STRING) || '.'"
+    "   || CAST(doc_id % 100 AS STRING) ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' tel 555-010-'"
+    "   || CASE WHEN doc_id % 9000 < 1000"
+    "        THEN substr(CAST(doc_id % 9000 + 11000 AS STRING), 2, 4)"
+    "        ELSE CAST(doc_id % 9000 + 1000 AS STRING) END"
+    " ELSE '' END"
+)
+
+_T25_ORACLE = f"""
+WITH aug AS (
+  SELECT source, {_T25_AUG} AS t FROM documents
+),
+per AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{_T25_EMAIL}')) AS n_email,
+         len(regexp_extract_all(t, '{_T25_IP}')) AS n_ip,
+         len(regexp_extract_all(t, '{_T25_PHONE}')) AS n_phone,
+         length(t) AS raw_len,
+         length(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_T25_EMAIL}', '<EMAIL>', 'g'),
+             '{_T25_IP}', '<IP>', 'g'),
+             '{_T25_PHONE}', '<PHONE>', 'g')) AS red_len
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_ip) AS BIGINT) AS ips,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(raw_len - red_len) AS BIGINT) AS chars_removed
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "t25_pii_redaction", _T25_ORACLE,
+    doc="PII scrub pass: email/IPv4/phone span detection (regexp_count) "
+        "+ typed-placeholder redaction (chained regexp_replace) over "
+        "deterministically augmented documents, reduced to the source "
+        "grain — pure JVM regex codegen, no UDF, no text in the shuffle",
+)
+def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("source", F.expr(_T25_AUG).alias("t"))
+    # patterns as Python-level literals (F.lit / direct str args), NOT
+    # inside F.expr SQL strings — Spark's SQL string literals process
+    # backslash escapes ('\b' becomes a backspace character), silently
+    # destroying the regex; DuckDB's standard strings do not
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _T25_EMAIL, "<EMAIL>"),
+            _T25_IP, "<IP>",
+        ),
+        _T25_PHONE, "<PHONE>",
+    )
+    per = aug.select(
+        "source",
+        F.regexp_count(F.col("t"), F.lit(_T25_EMAIL)).alias("n_email"),
+        F.regexp_count(F.col("t"), F.lit(_T25_IP)).alias("n_ip"),
+        F.regexp_count(F.col("t"), F.lit(_T25_PHONE)).alias("n_phone"),
+        (F.length("t") - F.length(red)).alias("delta"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_email").cast("long").alias("emails"),
+            F.sum("n_ip").cast("long").alias("ips"),
+            F.sum("n_phone").cast("long").alias("phones"),
+            F.sum("delta").cast("long").alias("chars_removed"),
+        )
+        .orderBy("source")
     )

@@ -1577,3 +1577,15 @@ def test_round13_ds99_plan(spark, sf_dir):
     assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round13_t25_plan(spark, sf_dir):
+    """t25: detection + redaction are pure JVM regex codegen over ONE
+    documents scan — no Python, no explode (counts via regexp_count,
+    not extract-then-size), and the only shuffle carries the 6-counter
+    source-grain rows, never document text."""
+    plan = plan_of(spark, sf_dir, "t25_pii_redaction")
+    assert "BatchEvalPython" not in plan
+    assert "Generate" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert "partial_sum" in plan  # map-side combine before the exchange
