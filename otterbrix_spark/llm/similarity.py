@@ -43,19 +43,30 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> Data
     ``corpus``/``queries`` are `prepare`d frames. The query side is broadcast
     (queries << corpus); ranking is a per-query window over the scored pairs.
     """
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    # consolidated F.expr spellings (same Catalyst trees, one py4j
+    # round-trip per expression instead of ~5 — SCALE.md r13
+    # decomposition); the window rides inside the select expr
+    q = queries.selectExpr(
+        "vec_id AS query_id", "v AS qv", "nrm AS qn"
     )
     scored = (
         corpus.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", F.expr(DOT.format(a="v", b="qv")) / (F.col("nrm") * F.col("qn")))
+        .filter(F.expr("vec_id != query_id"))
+        .withColumn(
+            "cos",
+            F.expr(f"({DOT.format(a='v', b='qv')}) / (nrm * qn)"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "ROW_NUMBER() OVER (PARTITION BY query_id"
+                " ORDER BY cos DESC, vec_id) AS rank"
+            ),
+        )
+        .filter(F.expr(f"rank <= {int(k)}"))
     )
 
 

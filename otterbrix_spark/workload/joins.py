@@ -42,14 +42,26 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    # single-F.expr filters/conditions/aggregates: identical Catalyst
+    # trees, ~5x fewer py4j round-trips (SCALE.md r13 decomposition)
     return (
-        cust.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
-        .join(li.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        cust.filter(F.expr("c_mktsegment = 'BUILDING'"))
+        .join(
+            orders.filter(
+                F.expr("o_orderdate < TIMESTAMP_NTZ'1998-03-15'")
+            ),
+            F.expr("c_custkey = o_custkey"),
+        )
+        .join(
+            li.filter(F.expr("l_shipdate > TIMESTAMP_NTZ'1998-03-15'")),
+            F.expr("l_orderkey = o_orderkey"),
+        )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("odate"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.expr("CAST(o_orderdate AS DATE) AS odate"),
+        )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )

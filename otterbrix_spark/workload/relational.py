@@ -110,14 +110,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 @query("q06_forecast_revenue", _Q06_ORACLE, doc="TPC-H Q6: filter + global agg", bench=True)
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
-        & F.col("l_discount").between(0.02, 0.06)
-        & (F.col("l_quantity") < 24)
-    ).agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
-        F.count(F.lit(1)).alias("n"),
+    return li.filter(F.expr(
+        "l_shipdate >= TIMESTAMP_NTZ'1996-01-01'"
+        " AND l_shipdate < TIMESTAMP_NTZ'1997-01-01'"
+        " AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"
+    )).agg(
+        dsum("l_extendedprice * l_discount", "revenue"),
+        F.expr("COUNT(1) AS n"),
     )
 
 

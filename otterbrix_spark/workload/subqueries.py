@@ -37,21 +37,20 @@ ORDER BY o_orderpriority
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    filtered = orders.filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
-    )
+    filtered = orders.filter(F.expr(
+        "o_orderdate >= TIMESTAMP_NTZ'1997-01-01'"
+        " AND o_orderdate < TIMESTAMP_NTZ'1997-07-01'"
+    ))
     # Transitively-implied build-side pruning Catalyst does not infer:
     # l_shipdate > o_orderdate with o_orderdate >= 1997-01-01 implies
     # l_shipdate > 1997-01-01, so the semi-join's lineitem side drops every
     # earlier shipment before the shuffle/broadcast build — the same rows
     # are pruned at any scale, and the result is identical (rows failing
     # the derived bound can never satisfy the join condition).
-    li = li.filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz"))
+    li = li.filter(F.expr("l_shipdate > TIMESTAMP_NTZ'1997-01-01'"))
     semi = filtered.join(
         li,
-        (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        F.expr("l_orderkey = o_orderkey AND l_shipdate > o_orderdate"),
         "left_semi",
     )
     return (

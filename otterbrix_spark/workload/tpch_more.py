@@ -46,18 +46,23 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation")
+    # single-F.expr conditions/aggregate: identical Catalyst trees,
+    # ~5x fewer py4j round-trips (SCALE.md r13 decomposition)
     return (
         cust.join(
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
-                & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
-            ),
-            F.col("c_custkey") == F.col("o_custkey"),
+            orders.filter(F.expr(
+                "o_orderdate >= TIMESTAMP_NTZ'1997-01-01'"
+                " AND o_orderdate < TIMESTAMP_NTZ'1997-04-01'"
+            )),
+            F.expr("c_custkey = o_custkey"),
         )
-        .join(li.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            li.filter(F.expr("l_returnflag = 'R'")),
+            F.expr("l_orderkey = o_orderkey"),
+        )
+        .join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -115,7 +120,7 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum(F.col("l_quantity"), "q"))
+        .agg(dsum("l_quantity", "q"))
         .filter(F.col("q") > 150)
         .select("l_orderkey")
     )
@@ -125,12 +130,12 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through a left_semi on its own; the naive customer-first order
     # shuffles the full customer x orders join and throws most of it away.
     return (
-        orders.join(big, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        orders.join(big, F.expr("l_orderkey = o_orderkey"), "left_semi")
+        .join(cust, F.expr("c_custkey = o_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("odate"),
+            F.expr("CAST(o_orderdate AS DATE) AS odate"),
             "o_totalprice",
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
