@@ -5413,7 +5413,14 @@ class Catalog:
         info_cols = [
             (ns_name[by_oid[rel_oid][0]], by_oid[rel_oid][1], att, pos,
              self._PG_DATA_TYPES.get(typ_name[toid], typ_name[toid]),
-             "NO" if notnull else "YES")
+             "NO" if notnull else "YES",
+             # SQL-standard generated-column surface (PG
+             # information_schema.columns.is_generated /
+             # generation_expression)
+             "ALWAYS" if att in self.generated_cols.get(
+                 by_oid[rel_oid][1], {}
+             ) else "NEVER",
+             self.generated_cols.get(by_oid[rel_oid][1], {}).get(att))
             for rel_oid, att, toid, pos, notnull in attrs
         ]
         mk(info_tables,
@@ -5422,7 +5429,8 @@ class Catalog:
            ).createOrReplaceTempView("information_schema__tables")
         mk(info_cols,
            "table_schema STRING, table_name STRING, column_name STRING, "
-           "ordinal_position INT, data_type STRING, is_nullable STRING"
+           "ordinal_position INT, data_type STRING, is_nullable STRING, "
+           "is_generated STRING, generation_expression STRING"
            ).createOrReplaceTempView("information_schema__columns")
         # key_column_usage + referential_constraints: the SQL-standard FK
         # discovery surface ORMs/migration tools read (PG information_schema

@@ -189,3 +189,15 @@ def test_reopen_persists_generated(eng, spark):
     assert rows == [(1, 2, 3), (10, 20, 30)]
     with pytest.raises(Exception, match="generated column"):
         eng2.sql("INSERT INTO items (a, b, total) VALUES (1, 1, 9)")
+
+
+def test_information_schema_exposes_generated(eng):
+    _mk(eng)
+    rows = eng.sql(
+        "SELECT column_name, is_generated, generation_expression "
+        "FROM information_schema.columns WHERE table_name = 'items' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    got = [(r[0], r[1]) for r in rows]
+    assert got == [("a", "NEVER"), ("b", "NEVER"), ("total", "ALWAYS")]
+    assert rows[2][2] == "a + b"
