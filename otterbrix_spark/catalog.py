@@ -1907,7 +1907,16 @@ class Catalog:
                 "multiple source rows (PG applies an arbitrary one; this "
                 "engine refuses non-deterministic updates)"
             )
-        sets = _resolve_set_targets(_split_set_list(set_clause))
+        set_txt = _split_set_list(set_clause)
+        badg = sorted(
+            set(self.generated_cols.get(name, {})) & set(set_txt)
+        )
+        if badg:
+            raise ValueError(
+                f'column "{badg[0]}" can only be updated to DEFAULT '
+                f'("{badg[0]}" is a generated column)'
+            )
+        sets = _resolve_set_targets(set_txt)
         updated = joined.select(
             *[
                 sets.get(f.name, F.col(f"{name}.{f.name}"))
@@ -1916,6 +1925,7 @@ class Catalog:
                 for f in base.schema.fields
             ]
         )
+        updated = self._recompute_generated(name, updated)
         unchanged = tagged.join(
             joined.select("__rid"), "__rid", "left_anti"
         ).drop("__rid")
@@ -2155,6 +2165,10 @@ class Catalog:
         if inserted is not None:
             new_df = new_df.unionByName(inserted)
             affected = affected.unionByName(inserted)
+        # stored generated columns recompute over the whole post-merge
+        # frame — idempotent for untouched rows, so this is exact
+        new_df = self._recompute_generated(name, new_df)
+        affected = self._recompute_generated(name, affected)
         self._validate_new_rows(name, affected, full=new_df)
         # affected + delete-fired rows as ONE frame: under an EXPLAIN
         # probe it stays lazy (the plan a plain EXPLAIN MERGE shows is the
@@ -5592,9 +5606,12 @@ class Catalog:
             # the file carries no types: parse with the DECLARED column
             # types (PG reads COPY text through each column's input
             # function for the same reason)
+            genc = set(self.generated_cols.get(tname, {}))
+            # PG: COPY without a column list expects the file WITHOUT
+            # generated columns (they cannot be copied to)
             fields = [
                 f for f in table.df().schema.fields
-                if not cols or f.name in cols
+                if (f.name in cols if cols else f.name not in genc)
             ]
             from pyspark.sql.types import StructType
 

@@ -201,3 +201,46 @@ def test_information_schema_exposes_generated(eng):
     got = [(r[0], r[1]) for r in rows]
     assert got == [("a", "NEVER"), ("b", "NEVER"), ("total", "ALWAYS")]
     assert rows[2][2] == "a + b"
+
+
+def test_update_from_recomputes_and_refuses(eng, spark):
+    _mk(eng)
+    eng.sql("INSERT INTO items VALUES (1, 2), (3, 4)")
+    spark.createDataFrame([(1, 50)], "k int, nb int").createOrReplaceTempView(
+        "src_gen"
+    )
+    eng.sql("UPDATE items SET b = src_gen.nb FROM src_gen WHERE a = src_gen.k")
+    rows = sorted(tuple(r) for r in eng.sql("SELECT * FROM items").collect())
+    assert rows == [(1, 50, 51), (3, 4, 7)]
+    with pytest.raises(Exception, match="generated column"):
+        eng.sql(
+            "UPDATE items SET total = src_gen.nb FROM src_gen "
+            "WHERE a = src_gen.k"
+        )
+
+
+def test_merge_recomputes(eng, spark):
+    eng.sql(
+        "CREATE TABLE tgt (k INT, v INT, "
+        "dbl INT GENERATED ALWAYS AS (v * 2) STORED)"
+    )
+    eng.sql("INSERT INTO tgt VALUES (1, 10)")
+    spark.createDataFrame(
+        [(1, 99), (2, 5)], "k int, v int"
+    ).createOrReplaceTempView("msrc_gen")
+    eng.sql(
+        "MERGE INTO tgt USING msrc_gen AS s ON tgt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    rows = sorted(tuple(r) for r in eng.sql("SELECT * FROM tgt").collect())
+    assert rows == [(1, 99, 198), (2, 5, 10)]
+
+
+def test_copy_from_csv_skips_generated(eng, tmp_path):
+    _mk(eng)
+    f = tmp_path / "items.csv"
+    f.write_text("a,b\n1,2\n3,4\n")
+    eng.sql(f"COPY items FROM '{f}' (FORMAT csv, HEADER true)")
+    rows = sorted(tuple(r) for r in eng.sql("SELECT * FROM items").collect())
+    assert rows == [(1, 2, 3), (3, 4, 7)]
