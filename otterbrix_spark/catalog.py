@@ -1260,6 +1260,20 @@ class Catalog:
         self.domain_uses = snap["domain_uses"]
         self.generated_cols = snap["generated_cols"]
 
+    def _refuse_txn_column_ddl(self, what: str) -> None:
+        """Physical column DDL (ADD/DROP/RENAME COLUMN, ALTER TYPE)
+        swaps parquet files immediately — it cannot participate in the
+        staged-frame transaction model, and the BEGIN-time metadata
+        snapshot would resurrect metadata for a physically-applied
+        change on ROLLBACK (self-review r13). Same refusal stance as
+        ALTER TABLE RENAME TO; the transactional path is the
+        table-format (Delta) seam."""
+        if self._txn is not None:
+            raise ValueError(
+                f"{what} inside a transaction is not supported "
+                "(plain-parquet column rewrite is not transactional)"
+            )
+
     def _recompute_generated(self, name: str, rows: "DataFrame") -> "DataFrame":
         """Recompute every stored generated column of ``name`` from the
         row's other columns (PG ExecComputeStoredGenerated). Applied to
@@ -1398,9 +1412,24 @@ class Catalog:
                 del uses[tname]
         cons = self.table_constraints.get(tname)
         if cons:
+            # ownership by LONGEST column-name prefix: dropping column
+            # "a" must not clobber column "a_b"'s instantiated
+            # "a_b_*" checks (self-review r13)
+            try:
+                current = list(self.tables[tname].df().columns)
+            except Exception:
+                current = []
+            others = [c2 for c2 in current if c2 not in (col, new)]
+
+            def _owned(cname: str) -> bool:
+                return cname.startswith(f"{col}_") and not any(
+                    cname.startswith(f"{o}_") and len(o) > len(col)
+                    for o in others
+                )
+
             kept = []
             for c in cons:
-                if not c.get("name", "").startswith(f"{col}_"):
+                if not _owned(c.get("name", "")):
                     kept.append(c)
                 elif new is not None:
                     c = dict(c)
@@ -1806,12 +1835,20 @@ class Catalog:
                 col: _rewrite(expr)
                 for col, expr in _split_set_list(set_clause).items()
             }
-            badg = sorted(gen_all & set(set_texts))
+            # PG permits SET gencol = DEFAULT (a no-op after the
+            # recompute below); any other expression is refused
+            badg = sorted(
+                c for c in gen_all & set(set_texts)
+                if set_texts[c].strip().upper() != "DEFAULT"
+            )
             if badg:
                 raise ValueError(
                     f'column "{badg[0]}" can only be updated to DEFAULT '
                     f'("{badg[0]}" is a generated column)'
                 )
+            set_texts = {
+                c: e for c, e in set_texts.items() if c not in gen_all
+            }
             sets = _resolve_set_targets(set_texts)
             excl = rows.select(
                 *keys, *[F.col(c).alias(f"__excl_{c}") for c in non_keys]
@@ -1908,14 +1945,17 @@ class Catalog:
                 "engine refuses non-deterministic updates)"
             )
         set_txt = _split_set_list(set_clause)
+        genu = set(self.generated_cols.get(name, {}))
         badg = sorted(
-            set(self.generated_cols.get(name, {})) & set(set_txt)
+            c for c in genu & set(set_txt)
+            if set_txt[c].strip().upper() != "DEFAULT"
         )
         if badg:
             raise ValueError(
                 f'column "{badg[0]}" can only be updated to DEFAULT '
                 f'("{badg[0]}" is a generated column)'
             )
+        set_txt = {c: e for c, e in set_txt.items() if c not in genu}
         sets = _resolve_set_targets(set_txt)
         updated = joined.select(
             *[
@@ -3567,6 +3607,7 @@ class Catalog:
             sql, re.IGNORECASE | re.DOTALL,
         )
         if m and m.group(1) in self.tables:
+            self._refuse_txn_column_ddl("ALTER TABLE ADD COLUMN")
             name, col, dtype, gexpr = m.groups()
             if m.group(4).count("(") != m.group(4).count(")"):
                 raise ValueError(f"unbalanced generation expression: {gexpr!r}")
@@ -3611,6 +3652,7 @@ class Catalog:
             sql, re.IGNORECASE | re.DOTALL,
         )
         if m and m.group(1) in self.tables:
+            self._refuse_txn_column_ddl("ALTER TABLE ADD COLUMN")
             name, col, dtype, dflt = m.groups()
             table = self.tables[name]
             # user-defined types resolve exactly as in typed CREATE:
@@ -3685,6 +3727,7 @@ class Catalog:
             sql, re.IGNORECASE | re.DOTALL,
         )
         if m and m.group(1) in self.tables:
+            self._refuse_txn_column_ddl("ALTER TABLE ALTER COLUMN TYPE")
             name, col, dtype, using = m.groups()
             table = self.tables[name]
             table.alter_column_type(
@@ -3722,6 +3765,7 @@ class Catalog:
             sql, re.IGNORECASE,
         )
         if m and m.group(1) in self.tables:
+            self._refuse_txn_column_ddl("ALTER TABLE RENAME COLUMN")
             table = self.tables[m.group(1)]
             table.rename_column(m.group(2), m.group(3))
             self._column_gone(m.group(1), m.group(2), m.group(3))
@@ -3732,6 +3776,7 @@ class Catalog:
             sql, re.IGNORECASE,
         )
         if m and m.group(1) in self.tables:
+            self._refuse_txn_column_ddl("ALTER TABLE DROP COLUMN")
             table = self.tables[m.group(1)]
             dep = [
                 g for g, e in self.generated_cols.get(m.group(1), {}).items()
@@ -4652,8 +4697,7 @@ class Catalog:
                     )
                 ref = [
                     o for o in generated_new
-                    if o != gcol
-                    and re.search(rf"\b{re.escape(o)}\b", gexpr)
+                    if re.search(rf"\b{re.escape(o)}\b", gexpr)
                 ]
                 if ref:
                     raise ValueError(
@@ -4895,30 +4939,19 @@ class Catalog:
                     matched = self._recompute_generated(name, matched)
                 self._validate_new_rows(name, matched, full=new_df)
                 return self._stage_txn(name, new_df, matched, "updated", returning)
-            if gen:
-                # non-txn UPDATE on a generated-column table runs the
-                # same pure transformation, with the recompute spliced
-                # between the SET projection and validation/swap
-                base = table.df()
-                new_df, matched = apply_update(base, cond, sets)
-                new_df = self._recompute_generated(name, new_df)
-                matched = self._recompute_generated(name, matched)
-                self._validate_new_rows(name, matched, full=new_df)
-                if returning:
-                    result = matched.cache()
-                    result.count()
-                    table._swap_in(new_df)
-                    self._register(table)
-                    return self._apply_returning(result, returning)
-                n = matched.count()
-                table._swap_in(new_df)
-                self._register(table)
-                return self.spark.range(1).select(F.lit(n).alias("updated"))
             result = table.update(
                 cond, sets, returning=bool(returning),
                 validator=(
                     (lambda m2, f2: self._validate_new_rows(name, m2, full=f2))
                     if self.table_constraints.get(name) else None
+                ),
+                # generated columns recompute between the SET projection
+                # and validation/swap — one hook, no duplicated protocol
+                transform=(
+                    (lambda nd, mt: (
+                        self._recompute_generated(name, nd),
+                        self._recompute_generated(name, mt),
+                    )) if gen else None
                 ),
             )
             self._register(table)
@@ -5589,6 +5622,15 @@ class Catalog:
                     out = out.select(
                         *[c.strip() for c in cols_txt.split(",") if c.strip()]
                     )
+                else:
+                    # PG: COPY TO without a column list excludes stored
+                    # generated columns — the mirror of the FROM branch,
+                    # so a TO/FROM round-trip stays positionally aligned
+                    genc = set(self.generated_cols.get(tname, {}))
+                    if genc:
+                        out = out.select(
+                            *[c for c in out.columns if c not in genc]
+                        )
             writer = out.write.mode("overwrite").format(fmt)
             if fmt == "csv":
                 writer = writer.option("header", header).option("sep", delim)

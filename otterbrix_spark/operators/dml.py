@@ -189,6 +189,7 @@ class ManagedTable:
         set_exprs: dict[str, Column],
         returning: bool = False,
         validator=None,
+        transform=None,
     ) -> DataFrame | int:
         """UPDATE ... SET ... WHERE cond [RETURNING *].
 
@@ -202,6 +203,10 @@ class ManagedTable:
         shuffle.
         """
         new_df, matched = apply_update(self.df(), cond, set_exprs)
+        if transform is not None:
+            # post-SET projection hook (stored generated columns): runs
+            # before validation so constraints see the final row values
+            new_df, matched = transform(new_df, matched)
         if validator is not None:
             # constraint hook: raises before any state is swapped in, so a
             # violating UPDATE leaves the table untouched (reference

@@ -13732,19 +13732,18 @@ def ds91(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("mon"))
-        .agg(
-            pq.alias("promo_q"),
-            tq.alias("total_q"),
-            (pq * 10000).cast("long").alias("_num"),
-        )
+        .agg(pq.alias("promo_q"), tq.alias("total_q"))
         .withColumn(
             "promo_bp",
-            F.when(
-                F.col("total_q") != 0,
-                F.floor(F.col("_num") / F.col("total_q")).cast("long"),
+            # exact integer basis points at ANY scale: DECIMAL(38,0)
+            # widening + integral DIV mirrors DuckDB's HUGEINT `//`
+            # bit-for-bit (a double-precision floor diverges once the
+            # numerator exceeds 2^53 — self-review r13)
+            F.expr(
+                "CAST(CAST(promo_q AS DECIMAL(38,0)) * 10000"
+                " DIV NULLIF(total_q, 0) AS BIGINT)"
             ),
         )
-        .drop("_num")
         .orderBy("mon")
     )
 

@@ -244,3 +244,86 @@ def test_copy_from_csv_skips_generated(eng, tmp_path):
     eng.sql(f"COPY items FROM '{f}' (FORMAT csv, HEADER true)")
     rows = sorted(tuple(r) for r in eng.sql("SELECT * FROM items").collect())
     assert rows == [(1, 2, 3), (3, 4, 7)]
+
+
+# --- self-review r13 regressions ---------------------------------------------
+
+
+def test_self_referential_expression_refused(eng):
+    with pytest.raises(Exception, match="generated column"):
+        eng.sql(
+            "CREATE TABLE selfref (a INT, "
+            "b INT GENERATED ALWAYS AS (b + 1) STORED)"
+        )
+
+
+def test_on_conflict_set_default_on_generated_ok(eng):
+    eng.sql(
+        "CREATE TABLE kvd (k INT PRIMARY KEY, v INT, "
+        "dbl INT GENERATED ALWAYS AS (v * 2) STORED)"
+    )
+    eng.sql("INSERT INTO kvd VALUES (1, 10)")
+    eng.sql(
+        "INSERT INTO kvd (k, v) VALUES (1, 30) "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v, dbl = DEFAULT"
+    )
+    assert [tuple(r) for r in eng.sql("SELECT * FROM kvd").collect()] == [
+        (1, 30, 60)
+    ]
+
+
+def test_update_from_set_default_on_generated_ok(eng, spark):
+    _mk(eng)
+    eng.sql("INSERT INTO items VALUES (1, 2)")
+    spark.createDataFrame([(1, 9)], "k int, nb int").createOrReplaceTempView(
+        "src_gen_dflt"
+    )
+    eng.sql(
+        "UPDATE items SET b = src_gen_dflt.nb, total = DEFAULT "
+        "FROM src_gen_dflt WHERE a = src_gen_dflt.k"
+    )
+    assert [tuple(r) for r in eng.sql("SELECT * FROM items").collect()] == [
+        (1, 9, 10)
+    ]
+
+
+def test_copy_roundtrip_generated_not_last(eng, tmp_path):
+    # generated column in the MIDDLE: TO must exclude it so FROM's
+    # positional parse stays aligned
+    eng.sql(
+        "CREATE TABLE mid (a INT, "
+        "tot INT GENERATED ALWAYS AS (a + b) STORED, b INT)"
+    )
+    eng.sql("INSERT INTO mid (a, b) VALUES (1, 2), (3, 4)")
+    out = tmp_path / "mid_out"
+    eng.sql(f"COPY mid TO '{out}' (FORMAT csv, HEADER true)")
+    eng.sql("DELETE FROM mid")
+    eng.sql(f"COPY mid FROM '{out}' (FORMAT csv, HEADER true)")
+    rows = sorted(tuple(r) for r in eng.sql("SELECT * FROM mid").collect())
+    assert rows == [(1, 3, 2), (3, 7, 4)]
+
+
+def test_drop_column_preserves_longer_prefix_sibling(eng):
+    # dropping column "a" must not clobber column "a_b"'s constraints
+    eng.sql("CREATE DOMAIN posd AS INT CHECK (VALUE > 0)")
+    eng.sql("CREATE TABLE pfx (a INT, a_b posd)")
+    eng.sql("ALTER TABLE pfx DROP COLUMN a")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO pfx VALUES (-5)")
+    eng.sql("INSERT INTO pfx VALUES (5)")
+
+
+def test_column_ddl_refused_inside_txn(eng):
+    _mk(eng)
+    eng.sql("BEGIN")
+    for stmt in (
+        "ALTER TABLE items ADD COLUMN z INT",
+        "ALTER TABLE items DROP COLUMN b",
+        "ALTER TABLE items RENAME COLUMN b TO bb",
+        "ALTER TABLE items ALTER COLUMN b TYPE BIGINT",
+    ):
+        with pytest.raises(Exception, match="transaction"):
+            eng.sql(stmt)
+    eng.sql("ROLLBACK")
+    # outside the txn the same statement works
+    eng.sql("ALTER TABLE items ADD COLUMN z INT")
