@@ -3988,6 +3988,12 @@ class Catalog:
                 new_lbl if lbl == old_lbl else lbl for lbl in et["labels"]
             ]
             self._rewrite_enum_checks(tname)
+            # Rows store the LABEL (strings over parquet), so a rename is
+            # O(#dependent tables) full rewrites via per-table UPDATEs —
+            # correct and label-regex-bounded, but where PG (oid cells)
+            # and a Delta/Iceberg backing would make this a pure metadata
+            # operation. Acceptable at this engine's scale posture; the
+            # table-format seam is where a 100 TB deployment fixes it.
             oq = old_lbl.replace("'", "''")
             nq = new_lbl.replace("'", "''")
             for t, per in self.enum_uses.items():
