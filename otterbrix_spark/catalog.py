@@ -4456,11 +4456,14 @@ class Catalog:
                     re.IGNORECASE,
                 )
             }
-            unknown = including - {"all", "defaults", "constraints"}
+            unknown = including - {
+                "all", "defaults", "constraints", "generated",
+            }
             if unknown:
                 raise ValueError(
                     f"LIKE INCLUDING {sorted(unknown)[0].upper()}: only "
-                    "DEFAULTS, CONSTRAINTS and ALL are supported"
+                    "DEFAULTS, CONSTRAINTS, GENERATED and ALL are "
+                    "supported"
                 )
             if src not in self.tables:
                 raise ValueError(
@@ -4477,6 +4480,13 @@ class Catalog:
                 dfl = self.table_defaults.get(src)
                 if dfl:
                     self.table_defaults[name] = dict(dfl)
+            # PG TableLikeClause: generation expressions copy only under
+            # INCLUDING GENERATED/ALL; otherwise the column arrives as an
+            # ordinary base column of the same type (PG default)
+            if including & {"all", "generated"}:
+                gsrc = self.generated_cols.get(src)
+                if gsrc:
+                    self.generated_cols[name] = dict(gsrc)
             # PG copies NOT NULL column constraints on a plain LIKE,
             # regardless of INCLUDING options (TableLikeClause docs) —
             # those are exactly the synthetic `<col>_not_null` records

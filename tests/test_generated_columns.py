@@ -327,3 +327,61 @@ def test_column_ddl_refused_inside_txn(eng):
     eng.sql("ROLLBACK")
     # outside the txn the same statement works
     eng.sql("ALTER TABLE items ADD COLUMN z INT")
+
+
+def test_like_including_generated(eng):
+    _mk(eng)
+    eng.sql("CREATE TABLE plain (LIKE items)")
+    # PG default: the column copies as an ordinary base column
+    eng.sql("INSERT INTO plain VALUES (1, 2, 99)")
+    assert eng.sql("SELECT total FROM plain").collect()[0][0] == 99
+    eng.sql("CREATE TABLE gen2 (LIKE items INCLUDING GENERATED)")
+    eng.sql("INSERT INTO gen2 VALUES (1, 2)")
+    assert eng.sql("SELECT total FROM gen2").collect()[0][0] == 3
+    eng.sql("CREATE TABLE gen3 (LIKE items INCLUDING ALL)")
+    eng.sql("INSERT INTO gen3 VALUES (4, 5)")
+    assert eng.sql("SELECT total FROM gen3").collect()[0][0] == 9
+
+
+def test_temp_table_with_generated(eng, spark):
+    eng.sql(
+        "CREATE TEMP TABLE tg (a INT, "
+        "d INT GENERATED ALWAYS AS (a * 3) STORED)"
+    )
+    eng.sql("INSERT INTO tg VALUES (2)")
+    assert eng.sql("SELECT d FROM tg").collect()[0][0] == 6
+    # a REOPENED engine must not rediscover the temp table or its
+    # generated metadata
+    eng2 = Engine(spark, table_dir=eng.catalog.base_dir)
+    assert "tg" not in eng2.catalog.generated_cols
+
+
+def test_generated_invariant_random_dml(eng):
+    """Property-style invariant: after ANY sequence of INSERT/UPDATE/
+    upsert, every stored generated value equals its expression over the
+    row — checked by recomputing in SQL (deterministic seed keeps the
+    run reproducible and bounded)."""
+    import random
+
+    rng = random.Random(1913)
+    eng.sql(
+        "CREATE TABLE inv (k INT PRIMARY KEY, x INT, y INT, "
+        "s INT GENERATED ALWAYS AS (x + 2 * y) STORED)"
+    )
+    for step in range(25):
+        op = rng.randrange(3)
+        k, x, y = rng.randrange(8), rng.randrange(100), rng.randrange(100)
+        if op == 0:
+            eng.sql(
+                f"INSERT INTO inv (k, x, y) VALUES ({k}, {x}, {y}) "
+                f"ON CONFLICT (k) DO UPDATE SET x = EXCLUDED.x, "
+                f"y = EXCLUDED.y"
+            )
+        elif op == 1:
+            eng.sql(f"UPDATE inv SET x = {x} WHERE k = {k}")
+        else:
+            eng.sql(f"UPDATE inv SET y = {y} WHERE k % 2 = {k % 2}")
+        bad = eng.sql(
+            "SELECT COUNT(*) FROM inv WHERE s IS DISTINCT FROM x + 2 * y"
+        ).collect()[0][0]
+        assert bad == 0, f"invariant broken at step {step}"
