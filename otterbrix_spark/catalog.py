@@ -783,6 +783,13 @@ class Catalog:
         # past an aborted txn (RENAME VALUE's row rewrites ride the
         # ordinary staged-DML rollback)
         self._txn_meta: "dict | None" = None
+        # TRUNCATE ... RESTART IDENTITY inside a txn: the reseed is
+        # STAGED (applied at COMMIT, discarded on ROLLBACK) — PG rolls
+        # the reseed back with the truncate
+        self._txn_reseed: list[str] = []
+        # set while the TEMP-TABLE wrapper routes its inner CREATE, so
+        # the typed-create FK check can allow temp->temp references
+        self._creating_temp: "str | None" = None
         # PG server-side cursors (DECLARE/FETCH/MOVE/CLOSE — the statement
         # face of the reference's chunked cursor contract,
         # components/cursor/cursor.hpp): name -> {"it", "schema",
@@ -2468,7 +2475,18 @@ class Catalog:
                         r"nextval\s*\(\s*'([\w.]+)'\s*\)", expr, _re.IGNORECASE
                     ):
                         seq = seq.replace(".", "__")
-                        if seq in self.sequences:
+                        if seq not in self.sequences:
+                            continue
+                        if self._txn is not None:
+                            # PG rolls the RESTART IDENTITY reseed back
+                            # with the truncate — stage it for COMMIT
+                            # (divergence: in-txn nextval after the
+                            # truncate draws pre-reseed values; PG
+                            # restarts immediately. Documented — the
+                            # staged-frame model has no per-statement
+                            # sequence snapshot; self-review r13 pass 2)
+                            self._txn_reseed.append(seq)
+                        else:
                             self.sequences[seq] = self._seq_start.get(seq, 1)
                             self._seq_last.pop(seq, None)
         return self.spark.range(1).select(
@@ -2483,6 +2501,19 @@ class Catalog:
             raise ValueError(f"unknown table: {name}")
         if con["kind"] == "fk" and con["parent"] not in self.tables:
             raise ValueError(f"unknown parent table: {con['parent']}")
+        if (
+            con["kind"] == "fk"
+            and con["parent"] in self.temp_tables
+            and name not in self.temp_tables
+        ):
+            # PG: constraints on permanent tables may reference only
+            # permanent tables — also keeps the COMMIT-time ON COMMIT
+            # DELETE ROWS sweep from tripping over a permanent child
+            # AFTER the txn's writes already published (r13 pass 2)
+            raise ValueError(
+                "constraints on permanent tables may only reference "
+                "permanent tables"
+            )
         self.table_constraints.setdefault(name, [])
         self.table_constraints[name].append(con)
         try:
@@ -3064,7 +3095,15 @@ class Catalog:
                     "n": pinned.count(),
                 })
             else:
-                entry["it"] = iter(df.toLocalIterator())
+                # pin the result BEFORE streaming it: a lazy iterator
+                # reads the table's current parquet files, which the next
+                # UPDATE/COMMIT swap deletes mid-FETCH (PG cursors hold a
+                # snapshot; WITH HOLD materializes at COMMIT — the
+                # checkpoint is the Spark spelling of that tuplestore,
+                # executor-resident and spillable; self-review r13 pass 2)
+                entry["it"] = iter(
+                    df.localCheckpoint(eager=True).toLocalIterator()
+                )
             self._pg_cursors[name] = entry
             return self.spark.range(0).select(F.lit(name).alias("declared"))
         m = re.match(
@@ -3190,6 +3229,7 @@ class Catalog:
                 self._txn_dyn = {}
                 self._txn_save = []
                 self._txn_created = []
+                self._txn_reseed = []
                 self._txn_meta = self._snapshot_type_meta()
             return self.spark.range(0).select(F.lit("BEGIN").alias("txn"))
 
@@ -3213,8 +3253,14 @@ class Catalog:
                 dict(self._txn),
                 {k: list(v) for k, v in self._txn_dyn.items()},
                 len(self._txn_created),
-                set(self._pg_cursors),
+                # cursor IDENTITY, not just the name: a cursor closed and
+                # re-DECLAREd under the same name inside the
+                # subtransaction must still die on ROLLBACK TO
+                # (self-review r13 pass 2)
+                {n: id(c) for n, c in self._pg_cursors.items()},
                 self._snapshot_type_meta(),
+                len(self._txn_temp_drop),
+                len(self._txn_reseed),
             ))
             return self.spark.range(0).select(
                 F.lit(m.group(1)).alias("savepoint")
@@ -3235,9 +3281,13 @@ class Catalog:
             )
             if idx is None:
                 raise ValueError(f"savepoint \"{sp}\" does not exist")
-            _, snap, snap_dyn, n_created, cur_snap, meta_snap = (
-                self._txn_save[idx]
-            )
+            (_, snap, snap_dyn, n_created, cur_snap, meta_snap,
+             n_tdrop, n_reseed) = self._txn_save[idx]
+            # ON COMMIT DROP registrations made after the savepoint are
+            # undone with their tables — a stale entry would DROP a
+            # later permanent namesake at COMMIT (self-review r13 pass 2)
+            del self._txn_temp_drop[n_tdrop:]
+            del self._txn_reseed[n_reseed:]
             # type DDL after the savepoint is undone; re-copy so a second
             # ROLLBACK TO the same savepoint still has a pristine snapshot
             import copy as _copy
@@ -3250,7 +3300,8 @@ class Catalog:
             # PG closes cursors created inside the rolled-back
             # subtransaction (they may be bound to undone staged state)
             self._pg_cursors = {
-                n: c for n, c in self._pg_cursors.items() if n in cur_snap
+                n: c for n, c in self._pg_cursors.items()
+                if cur_snap.get(n) == id(c)
             }
             # the savepoint itself survives a rollback to it (PG)
             del self._txn_save[idx + 1:]
@@ -3265,6 +3316,13 @@ class Catalog:
                     self._register(self.tables[name])
             for name in undone_dyn:
                 if name not in self.dynamic:
+                    # table dropped in-txn: its pinned batches can never
+                    # be read again — free them (the full-ROLLBACK path
+                    # releases unconditionally; self-review r13 pass 2)
+                    kept = snap_dyn.get(name, [])
+                    for b in undone_dyn[name]:
+                        if not any(b is k for k in kept):
+                            self._release_staged(b)
                     continue
                 kept = snap_dyn.get(name, [])
                 self.dynamic[name].df(
@@ -3347,6 +3405,19 @@ class Catalog:
                 for name in staged:
                     if name in self.tables:
                         self._register(self.tables[name])
+            # staged TRUNCATE ... RESTART IDENTITY reseeds publish with
+            # the truncate they belong to
+            reseed, self._txn_reseed = self._txn_reseed, []
+            for seq in reseed:
+                if seq in self.sequences:
+                    self.sequences[seq] = self._seq_start.get(seq, 1)
+                    self._seq_last.pop(seq, None)
+            # the txn's writes are durably published — the crash-recovery
+            # marker must go NOW, not at the next statement boundary: a
+            # crash in between would make recovery delete committed
+            # tables (self-review r13 pass 2)
+            if os.path.exists(self._txn_pending_path()):
+                os.remove(self._txn_pending_path())
             # temp-table ON COMMIT actions fire AFTER staged writes
             # publish (PG: the truncate/drop happens at commit, so a
             # transaction's own inserts land first and then vanish)
@@ -3366,6 +3437,7 @@ class Catalog:
             staged, self._txn = self._txn, None
             staged_dyn, self._txn_dyn = self._txn_dyn, None
             self._txn_save = []
+            self._txn_reseed = []  # staged reseeds die with the txn
             # transactional type DDL: restore the BEGIN-time metadata
             # BEFORE _drop_created runs (created tables' entries are
             # absent from the snapshot either way)
@@ -3816,6 +3888,18 @@ class Catalog:
             name = m.group(1)
             if name not in self.matviews:
                 raise ValueError(f"unknown materialized view: {name}")
+            if self._txn is not None:
+                # the refresh would physically materialise STAGED
+                # (uncommitted) rows into the matview's parquet dir, and
+                # ROLLBACK could not take them back out — refuse, like
+                # the other physically-immediate DDL (PG's REFRESH is
+                # transactional; the table-format seam is where that
+                # lands here; self-review r13 pass 2)
+                raise ValueError(
+                    "REFRESH MATERIALIZED VIEW inside a transaction is "
+                    "not supported (the matview write is not "
+                    "transactional and would capture uncommitted rows)"
+                )
             self.matviews[name].refresh()
             self.matviews[name].df().createOrReplaceTempView(name)
             return self.spark.range(0).select(F.lit(name).alias("refreshed"))
@@ -4369,7 +4453,13 @@ class Catalog:
             # db.table already canonicalized to db__table upstream (the
             # same convention every CREATE path in this method relies on)
             name = mn.group(1)
-            result = self.route("CREATE TABLE " + rest)
+            # let the typed-create FK check know the new table WILL be
+            # temp (the mark lands only after the inner route returns)
+            self._creating_temp = name
+            try:
+                result = self.route("CREATE TABLE " + rest)
+            finally:
+                self._creating_temp = None
             if on_commit == "drop":
                 if self._txn is not None:
                     self._txn_temp_drop.append(name)
@@ -4696,6 +4786,18 @@ class Catalog:
             for c in cons:
                 if c["kind"] == "fk" and c["parent"] not in self.tables:
                     raise ValueError(f"unknown parent table: {c['parent']}")
+                if (
+                    c["kind"] == "fk"
+                    and c["parent"] in self.temp_tables
+                    and name != self._creating_temp
+                ):
+                    # PG: a permanent table cannot reference a temp table
+                    # (also protects the COMMIT-time delete-rows sweep;
+                    # self-review r13 pass 2)
+                    raise ValueError(
+                        "constraints on permanent tables may only "
+                        "reference permanent tables"
+                    )
             for gcol, gexpr in generated_new.items():
                 # PG tablecmds.c refusals, checked before any physical
                 # write: a generated column cannot also carry a DEFAULT
@@ -4836,6 +4938,22 @@ class Catalog:
                 # dynamic tables carry kind-'g' comments — same
                 # no-resurrection rule (self-review r11 loop 3)
                 self._drop_table_metadata(name, kinds=("g",))
+            # DROP stays autocommit (physical rmtree) — so every trace of
+            # the table must leave the OPEN txn too, or a later COMMIT
+            # publishes a stale staged frame into a re-created namesake
+            # and ROLLBACK TO a pre-drop savepoint resurrects a temp view
+            # over deleted files (self-review r13 pass 2)
+            if self._txn is not None:
+                self._txn.pop(name, None)
+                for b in self._txn_dyn.pop(name, []):
+                    self._release_staged(b)
+                for e in self._txn_save:
+                    e[1].pop(name, None)
+                    for b in e[2].pop(name, []):
+                        self._release_staged(b)
+                self._txn_temp_drop = [
+                    t for t in self._txn_temp_drop if t != name
+                ]
             return self.spark.range(0).select(F.lit(name).alias("dropped"))
 
         # subquery join-source: UPDATE t SET ... FROM (SELECT ...) AS s /
