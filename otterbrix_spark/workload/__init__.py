@@ -109,7 +109,7 @@ _FRONT_WINDOW = [
     "ds97_dangling_dim_census", "ds98_returns_above_nation_avg",
     "bi16_topic_poster_scores", "bi17_thread_initiators",
     "ds99_band_aggregate_battery", "x34_generated_columns",
-    "t25_pii_redaction",
+    "t25_pii_redaction", "x35_txn_state_integrity",
     # heavy-family re-samples that stood down for round 12 (COVERAGE
     # plan item 3): one representative per heavy family — dedup, ANN,
     # streaming restart/closure, graph, MVCC, DML, window frames,

@@ -2558,3 +2558,98 @@ def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs.append(("t8_rename_reanchors", int(v)))
 
     return spark.createDataFrame(legs, "leg string, v long").orderBy("leg")
+
+
+# --- x35: transaction state integrity --------------------------------------
+# The r13 pass-2 review class: statement sequences where autocommit
+# physical DDL meets the staged-txn model. Each leg replays a scenario
+# that previously diverged (stale staged frames after in-txn DROP,
+# savepoint-scoped ON COMMIT DROP, staged RESTART IDENTITY reseeds,
+# cursor identity across ROLLBACK TO, holdable-cursor snapshot across a
+# table swap) — closed-form, corpus-independent.
+
+_X35_ORACLE = """
+SELECT * FROM (VALUES
+  ('t1_drop_recreate_commit', 9),
+  ('t2_savepoint_scoped_temp_drop', 7),
+  ('t3_reseed_rolls_back', 4),
+  ('t4_redeclared_cursor_dies', 1),
+  ('t5_holdable_snapshot', 6)
+) AS t(leg, v)
+ORDER BY leg
+"""
+
+
+@query(
+    "x35_txn_state_integrity", _X35_ORACLE,
+    doc="transaction state integrity: in-txn DROP purges staged frames; "
+        "ON COMMIT DROP and RESTART IDENTITY are savepoint-scoped and "
+        "staged; cursors die by identity on ROLLBACK TO; WITH HOLD "
+        "cursors read a pinned snapshot across the table swap — legs "
+        "replayed closed-form",
+)
+def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from otterbrix_spark.engine import Engine
+
+    eng = Engine(spark)
+    legs: list[tuple[str, int]] = []
+
+    eng.sql("CREATE TABLE x35_t (a INT)")
+    eng.sql("BEGIN")
+    eng.sql("INSERT INTO x35_t VALUES (2)")
+    eng.sql("DROP TABLE x35_t")
+    eng.sql("CREATE TABLE x35_t (a INT)")
+    eng.sql("INSERT INTO x35_t VALUES (9)")
+    eng.sql("COMMIT")
+    rows = [r[0] for r in eng.sql("SELECT a FROM x35_t").collect()]
+    legs.append(("t1_drop_recreate_commit", rows[0] if len(rows) == 1 else -1))
+
+    eng.sql("BEGIN")
+    eng.sql("SAVEPOINT s")
+    eng.sql("CREATE TEMP TABLE x35_tmp (a INT) ON COMMIT DROP")
+    eng.sql("ROLLBACK TO s")
+    eng.sql("CREATE TABLE x35_tmp (a INT)")
+    eng.sql("INSERT INTO x35_tmp VALUES (7)")
+    eng.sql("COMMIT")
+    rows = [r[0] for r in eng.sql("SELECT a FROM x35_tmp").collect()]
+    legs.append(("t2_savepoint_scoped_temp_drop",
+                 rows[0] if len(rows) == 1 else -1))
+
+    eng.sql(
+        "CREATE TABLE x35_i (id INT GENERATED BY DEFAULT AS IDENTITY, "
+        "v INT)"
+    )
+    eng.sql("INSERT INTO x35_i (v) VALUES (1), (2), (3)")
+    eng.sql("BEGIN")
+    eng.sql("TRUNCATE x35_i RESTART IDENTITY")
+    eng.sql("ROLLBACK")
+    eng.sql("INSERT INTO x35_i (v) VALUES (4)")
+    mx = eng.sql("SELECT MAX(id) FROM x35_i").collect()[0][0]
+    legs.append(("t3_reseed_rolls_back", int(mx)))
+
+    eng.sql("BEGIN")
+    eng.sql("DECLARE x35c CURSOR FOR SELECT a FROM x35_t")
+    eng.sql("SAVEPOINT s2")
+    eng.sql("CLOSE x35c")
+    eng.sql("DECLARE x35c CURSOR FOR SELECT a FROM x35_t")
+    eng.sql("ROLLBACK TO s2")
+    try:
+        eng.sql("FETCH NEXT FROM x35c")
+        legs.append(("t4_redeclared_cursor_dies", 0))
+    except Exception:
+        legs.append(("t4_redeclared_cursor_dies", 1))
+    eng.sql("ROLLBACK")
+
+    eng.sql("CREATE TABLE x35_h (a INT)")
+    eng.sql("INSERT INTO x35_h VALUES (1), (2), (3)")
+    eng.sql("BEGIN")
+    eng.sql(
+        "DECLARE x35h CURSOR WITH HOLD FOR "
+        "SELECT a FROM x35_h ORDER BY a"
+    )
+    eng.sql("UPDATE x35_h SET a = a * 100")
+    eng.sql("COMMIT")
+    got = sum(r[0] for r in eng.sql("FETCH ALL FROM x35h").collect())
+    legs.append(("t5_holdable_snapshot", int(got)))
+
+    return spark.createDataFrame(legs, "leg string, v long").orderBy("leg")
