@@ -146,6 +146,16 @@ def lsh_bands(
     the PERSISTED state of an incremental dedup index (d15): stored
     bucketed on the band value, a delta batch's bands join it with no
     shuffle on the index side."""
+    if num_hashes % band_size != 0:
+        # a remainder would silently DROP hashes (paid for in the
+        # signature, never banded), lowering recall below what the
+        # (num_hashes, band_size) parameters imply; band_size >
+        # num_hashes would yield ZERO bands and an empty candidate set
+        # with no error (self-review r13 pass 3)
+        raise ValueError(
+            f"band_size {band_size} must evenly divide "
+            f"num_hashes {num_hashes}"
+        )
     sigs = minhash_signatures(sh, id_col, num_hashes)
     n_bands = num_hashes // band_size
     return sigs.select(
@@ -418,10 +428,19 @@ def winnow_fingerprints(
     )
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
     seq = Window.partitionBy(id_col).orderBy("pos")
+    cnt = Window.partitionBy(id_col)
     return (
         grams.withColumn("fp", F.min("hv").over(win))
         .withColumn("rn", F.row_number().over(seq))
-        .filter(F.col("rn") >= window)
+        .withColumn("n", F.count(F.lit(1)).over(cnt))
+        # robust-winnowing short-doc rule: a document with fewer than
+        # `window` k-grams still emits ONE fingerprint (the global min)
+        # — otherwise exact duplicates of short documents can never
+        # match (self-review r13 pass 3)
+        .filter(
+            (F.col("rn") >= window)
+            | ((F.col("n") < window) & (F.col("rn") == F.col("n")))
+        )
         .select(F.col(id_col), F.col("fp").alias("fingerprint"))
         .distinct()
     )

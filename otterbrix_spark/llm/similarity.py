@@ -794,12 +794,29 @@ def ivf_persist_add(
         assigned = assigned.join(payload, "vec_id")
     if assigned.isEmpty():
         return
-    (
-        assigned.repartition("cid")
-        .write.mode("append")
-        .partitionBy("cid")
-        .parquet(path)
-    )
+    from otterbrix_spark.operators.dml import table_write_lock
+
+    with table_write_lock(path):
+        (
+            assigned.repartition("cid")
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(path)
+        )
+        # a re-added vec_id must become visible again: clear any
+        # matching tombstone, or the anti-join in _read_live_index
+        # hides the new row forever (self-review r13 pass 3)
+        import os as _os
+
+        tomb = path + "_tombstones"
+        if _os.path.exists(tomb):
+            tombs = spark.read.parquet(tomb)
+            kept = tombs.join(
+                assigned.select("vec_id").distinct(), "vec_id", "left_anti"
+            )
+            if kept.count() < tombs.count():
+                pinned = kept.localCheckpoint(eager=True)
+                pinned.write.mode("overwrite").parquet(tomb)
 
 
 def ivf_persist_delete(spark, path: str, ids: DataFrame) -> None:
@@ -813,7 +830,12 @@ def ivf_persist_delete(spark, path: str, ids: DataFrame) -> None:
     makes (reference: index drop/modify in `services/index/`,
     `components/index/` — the disk layouts there also defer physical
     reclamation)."""
-    ids.select("vec_id").write.mode("append").parquet(path + "_tombstones")
+    from otterbrix_spark.operators.dml import table_write_lock
+
+    with table_write_lock(path):
+        ids.select("vec_id").write.mode("append").parquet(
+            path + "_tombstones"
+        )
 
 
 def ivf_quantized_query(
@@ -1073,9 +1095,19 @@ def ivf_persist_compact(spark, path: str) -> dict:
     import os
     import shutil
 
+    from otterbrix_spark.operators.dml import table_write_lock
+
     tomb = path + "_tombstones"
     if not os.path.exists(tomb):
         return {"cells_rewritten": 0, "ids_removed": 0}
+    # serialize against concurrent add/delete: a delete landing between
+    # the tombstone read and the truncate below would be LOST, silently
+    # resurrecting its vector (self-review r13 pass 3)
+    with table_write_lock(path):
+        return _ivf_compact_locked(spark, path, tomb, os, shutil)
+
+
+def _ivf_compact_locked(spark, path: str, tomb: str, os, shutil) -> dict:
     tombs = spark.read.parquet(tomb).select("vec_id").distinct()
     n_removed = tombs.count()
     if n_removed == 0:

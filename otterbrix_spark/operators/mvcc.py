@@ -62,6 +62,15 @@ class VersionedTable:
     def create(cls, spark: SparkSession, root: str, source: DataFrame) -> "VersionedTable":
         t = cls(spark, root)
         os.makedirs(t._versions_dir, exist_ok=True)
+        if not t.exists() and os.path.exists(t._version_path(1)):
+            # crashed create: v1 was written but the pointer never
+            # landed, so exists() is False and a retrying caller would
+            # hit errorifexists forever — clear the orphan and redo
+            # (the commit path's orphan cleanup does not cover create;
+            # self-review r13 pass 3)
+            import shutil
+
+            shutil.rmtree(t._version_path(1), ignore_errors=True)
         source.write.mode("errorifexists").parquet(t._version_path(1))
         t._set_pointer(1)
         return t

@@ -119,10 +119,22 @@ def drop_table_cache(spark: SparkSession) -> None:
     _TABLE_CACHE.pop(spark, None)
 
 
+def _cache_key(sf_dir: str, name: str) -> tuple:
+    """Cache key incl. the source's mtime: a corpus regenerated into the
+    same directory mid-session must MISS (the old analyzed relation's
+    file index points at replaced part-files — self-review r13 pass 3)."""
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    try:
+        stamp = os.stat(path).st_mtime_ns
+    except OSError:
+        stamp = 0
+    return (path, stamp)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; normalises the events timestamp column."""
     per_session = _TABLE_CACHE.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    key = _cache_key(sf_dir, name)
     if key in per_session:
         return per_session[key]
     df = _load_table_uncached(spark, sf_dir, name)
@@ -184,15 +196,22 @@ def persist_clustered(spark: SparkSession, sf_dir: str) -> None:
     unclustered. Results are layout-independent; only Exchange placement
     changes.
     """
+    from pyspark import StorageLevel
+
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
     per_session = _TABLE_CACHE.setdefault(spark, {})
     for name in TABLES:
-        cache_key = (os.path.abspath(sf_dir), name)
+        cache_key = _cache_key(sf_dir, name)
         # idempotent: a second call must NOT build fresh DataFrame
         # instances (each would persist its own copy in the executor
         # cache alongside the first)
         existing = per_session.get(cache_key)
         if existing is not None and getattr(existing, "_otx_clustered", False):
+            if existing.storageLevel == StorageLevel.NONE:
+                # clearCache() unpersisted the relation behind the
+                # flag — re-persist the SAME instance (no duplicate
+                # executor copy; self-review r13 pass 3)
+                existing.persist()
             continue
         df = _load_table_uncached(spark, sf_dir, name)
         key = CLUSTER_KEYS.get(name)

@@ -734,10 +734,11 @@ h AS (SELECT doc_id, i, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM g)
 mn AS (SELECT doc_id,
               MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
-              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+              COUNT(*) OVER (PARTITION BY doc_id) AS n
        FROM h)
 SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fingerprint
-FROM mn WHERE rn >= 4
+FROM mn WHERE rn >= 4 OR (n < 4 AND rn = n)
 """
 
 

@@ -63,3 +63,27 @@ def test_numeric_widening(spark, tmp_path):
     df = t.df()
     assert dict(df.dtypes)["v"] == "double"
     assert {r["id"]: r["v"] for r in df.collect()} == {1: 5.0, 2: 2.5}
+
+
+def test_variant_select_excludes_nonintegral_doubles(spark, tmp_path):
+    # self-review r13 pass 3: the widened-column try_cast TRUNCATED
+    # 2.5 -> 2; branch selection must exclude it
+    t = _dt(spark, tmp_path)
+    t.insert(spark.createDataFrame([(1, 42)], "id: bigint, v: bigint"))
+    t.insert(spark.createDataFrame([(2, 2.5)], "id: bigint, v: double"))
+    t.insert(spark.createDataFrame([(3, 7.0)], "id: bigint, v: double"))
+    sel = {r["id"]: r["v"] for r in t.variant_select("v", "bigint").collect()}
+    # 42 is a bigint; 7.0 is exactly representable; 2.5 is NOT
+    assert sel == {1: 42, 3: 7}
+
+
+def test_long_float_widen_to_double(spark, tmp_path):
+    t = _dt(spark, tmp_path)
+    big = 9007199254740993  # not representable in float OR double exactly±
+    t.insert(spark.createDataFrame([(1, big)], "id: bigint, v: bigint"))
+    t.insert(
+        spark.createDataFrame(
+            [(2, 1.5)], "id: bigint, v: float"
+        )
+    )
+    assert dict(t.df().dtypes)["v"] == "double"
