@@ -83,15 +83,24 @@ def main() -> None:
     # 4.32-5.15s, naming HOST-DAY variance (not any round-7 change) as
     # the r6->r7 "inflation" culprit. AQE stays ON (skew splitting /
     # join re-planning are the scale story).
+    corpus_bytes = sum(
+        f.stat().st_size for f in Path(sf_dir).rglob("*.parquet") if f.is_file()
+    )
+
     def _auto_shuffle() -> int:
-        total = sum(
-            f.stat().st_size
-            for f in Path(sf_dir).rglob("*.parquet")
-            if f.is_file()
-        )
-        return max(8, min(int(cpus), total // (64 << 20)))
+        return max(8, min(int(cpus), corpus_bytes // (64 << 20)))
 
     shuffle = int(os.environ.get("OTX_BENCH_SHUFFLE", 0)) or _auto_shuffle()
+    # Input-split sizing for the COLD pass (round-13 optimization, guide
+    # §6/§2.2): a table under the default 128MB maxPartitionBytes scans as
+    # ONE task, so every cold query ran its scan+filter+hash pipeline
+    # single-threaded on a 32-core machine. Derive the split size from the
+    # corpus and core count (~2 scan tasks per core across the corpus)
+    # exactly like the shuffle rule above: at bench scale it lands on the
+    # 1MB floor (lineitem 10.8MB -> ~11 splits), at >=8GB/core the rule
+    # clamps back to the 128MB default — a cluster-scale deployment sees
+    # stock behaviour (larger splits are better there, guide §6).
+    split_bytes = max(1 << 20, min(128 << 20, corpus_bytes // (2 * int(cpus))))
     # FAIR scheduling so the concurrent batch pass below shares executor
     # slots evenly; with one job at a time (the sequential passes) FAIR
     # degenerates to FIFO, so the per-query numbers are unaffected
@@ -102,6 +111,7 @@ def main() -> None:
         extra_conf={
             "spark.driver.memory": "24g",
             "spark.scheduler.mode": "FAIR",
+            "spark.sql.files.maxPartitionBytes": str(split_bytes),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -29,6 +29,29 @@ DEFAULT_BAND_SIZE = 2
 HASH_PREFIX_LEN = 8  # first 8 hex chars of md5 are plenty for minima
 
 
+def _fan_out(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) fanned out across the cluster for the CPU-heavy explode
+    passes below: a corpus that fits in one 128MB scan split would
+    otherwise run the entire shingle+hash pipeline in a single task
+    (measured 40x slowdown). At real scale the input arrives in many
+    splits and the guard repartition is a no-op shuffle of small rows.
+
+    When the input is already hash-clustered on ``id_col`` at or above
+    the target width — the ``persist_clustered`` warm-cache layout stamps
+    ``_otx_clustered_key`` — the guard shuffle is skipped outright: the
+    clustered cache already satisfies the distribution, and because its
+    plan is compiled AQE-off the downstream per-id groupBy elides its
+    exchange too (round-13 optimization pass; the signature path then
+    runs shuffle-free end to end)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    clustered = getattr(df, "_otx_clustered_key", None)
+    sel = df.select(id_col, text_col)
+    if clustered is not None and clustered[0] == id_col and clustered[1] >= target:
+        return sel
+    return sel.repartition(target, F.col(id_col))
+
+
 def shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -54,15 +77,10 @@ def shingles(
         f"i -> CASE WHEN i <= size(_w) - {k} THEN concat_ws(' ', {terms}) END), "
         f"x -> x IS NOT NULL)"
     )
-    # Fan the documents out across the cluster BEFORE the explode: a corpus
-    # that fits in one 128MB scan split would otherwise run the entire
-    # shingle+hash pipeline in a single task (measured 40x slowdown). The
-    # doc-count heuristic keeps the extra shuffle away from tiny test inputs;
-    # at real scale the input arrives in many splits and this is a no-op
-    # repartition of small row payloads either way.
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    docs = df.select(id_col, text_col).repartition(target, F.col(id_col))
+    # Fan the documents out across the cluster BEFORE the explode (or reuse
+    # the clustered-cache layout when it already provides the distribution
+    # — see _fan_out).
+    docs = _fan_out(df, id_col, text_col)
     out = (
         docs.withColumn("_w", F.split(F.col(text_col), WORD_SPLIT))
         .select(F.col(id_col), F.explode(F.expr(shingle_array)).alias("shingle"))
@@ -275,12 +293,9 @@ def simhash(
     """
     if bits > 60:
         raise ValueError("simhash: bits > 60 overflows a signed int64")
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
     hex_chars = (bits + 3) // 4
     wrds = (
-        df.select(id_col, text_col)
-        .repartition(target, F.col(id_col))  # same single-split guard as shingles()
+        _fan_out(df, id_col, text_col)  # same single-split guard as shingles()
         .withColumn("_w", F.split(F.col(text_col), WORD_SPLIT))
         .select(F.col(id_col), F.explode("_w").alias("word"))
         .distinct()
@@ -416,9 +431,7 @@ def winnow_fingerprints(
         f"i -> CASE WHEN i <= size(_w) - {k} THEN concat_ws(' ', {terms}) END), "
         f"x -> x IS NOT NULL)"
     )
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    docs = df.select(id_col, text_col).repartition(target, F.col(id_col))
+    docs = _fan_out(df, id_col, text_col)
     grams = (
         docs.withColumn("_w", F.split(F.col(text_col), WORD_SPLIT))
         .select(F.col(id_col), F.posexplode(F.expr(gram_array)).alias("pos", "gram"))

@@ -159,29 +159,57 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
 
 # Physical layout policy for the warm/cached corpus: each fact table is
-# hash-clustered on its dominant join key at the session's shuffle width
-# before persisting. What this buys, measured honestly:
+# hash-clustered on its dominant join/grouping key before persisting.
+# What this buys, measured honestly:
 #
-# 1. CACHE PARALLELISM (the measured win): a single parquet file under
-#    the 128MB split size caches as ONE partition — every stage reading
-#    that cache then runs single-threaded. The repartition widens the
-#    cached relation to the shuffle width; at sf0.1 warm best-of-3 this
-#    is q05 1.12→0.35s, q04 0.48→0.21s, q46 0.34→0.14s, s01 0.67→0.44s.
-# 2. The KEY choice mirrors the on-disk `bucketBy` layout a 100 TB
-#    deployment writes once (sources/layout.py) and costs nothing here.
-#    NOTE (verified, Spark 4.1): an AQE-compiled cached plan does NOT
-#    propagate its HashPartitioning to consumers — a forced
-#    SortMergeJoin over two co-clustered cached tables still inserts
-#    ENSURE_REQUIREMENTS exchanges on both sides, and the sessionize
-#    window still re-shuffles events by user_id. The exchange-elision
-#    benefit of bucketing is real only for on-disk bucketed tables
-#    (`spark.table` over bucketBy output), not for this cache seam — do
-#    not claim it for the in-memory layout.
+# 1. CACHE PARALLELISM: a single parquet file under the 128MB split size
+#    caches as ONE partition — every stage reading that cache then runs
+#    single-threaded. The repartition widens the cached relation; at
+#    sf0.1 warm best-of-3 (round 12) this was q05 1.12→0.35s,
+#    q04 0.48→0.21s, q46 0.34→0.14s, s01 0.67→0.44s.
+# 2. EXCHANGE ELISION (round-13 optimization pass): the KEY choice
+#    mirrors the on-disk `bucketBy` layout a 100 TB deployment writes
+#    once (sources/layout.py) — and, since the cached plans are now
+#    compiled with AQE OFF (see persist_clustered), consumers actually
+#    SEE the HashPartitioning and elide their ENSURE_REQUIREMENTS
+#    exchanges. Verified on Spark 4.1: an AQE-compiled cached plan
+#    reports UnknownPartitioning (AdaptiveSparkPlan isFinalPlan=false
+#    cannot promise a partitioning before execution), so the sessionize
+#    window re-shuffled events by user_id and co-clustered joins
+#    re-shuffled both sides; the same plans compiled with AQE disabled
+#    report hashpartitioning(key, width) and the downstream Exchange
+#    nodes disappear (plans/r13/*_after.txt). AQE stays ON for every
+#    consumer query — only the cached subtree (scan + one pinned
+#    REPARTITION_BY_NUM, where AQE had nothing to adapt) is compiled
+#    without it.
 CLUSTER_KEYS = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
     "events": "user_id",
+    # documents: the dedup/text family fans documents out by doc_id
+    # before CPU-heavy shingle/token explodes (llm/dedup.py) and
+    # aggregates the exploded rows back by doc_id — clustering the
+    # cache on doc_id lets both the fan-out repartition and the
+    # signature groupBy exchange elide (d04 becomes shuffle-free).
+    "documents": "doc_id",
+    # embeddings: sub-split-size parquet caches as ONE partition, so the
+    # ANN family's dot-product scoring (e01 brute force: corpus ×
+    # broadcast queries × 128-dim folds) ran single-threaded off the
+    # warm cache; clustering by vec_id is purely for scan parallelism.
+    "embeddings": "vec_id",
 }
+
+
+def _cluster_width(spark: SparkSession) -> int:
+    """Partition count for the clustered cache: at least the session's
+    shuffle width (so co-partitioned joins can elide exchanges under the
+    same width) and at least the core count (so cache scans use the whole
+    machine — the shuffle width is corpus-sized and can sit below the
+    core count at small scale; a cluster deployment's bucket count obeys
+    the same two floors). Scale-adaptive: no constant, both inputs come
+    from the session."""
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    return max(shuffle, spark.sparkContext.defaultParallelism)
 
 
 def persist_clustered(spark: SparkSession, sf_dir: str) -> None:
@@ -189,37 +217,49 @@ def persist_clustered(spark: SparkSession, sf_dir: str) -> None:
 
     Replaces the per-session analyzed-relation cache entries so every
     subsequent ``load_table`` (and therefore every registry gate) reuses
-    the clustered persisted relations. The clustering width is the
-    session's shuffle-partition setting: co-partitioned joins require both
-    sides to agree on width, and any gate running under a different
-    setting simply re-shuffles its OTHER side — never incorrect, only
-    unclustered. Results are layout-independent; only Exchange placement
-    changes.
+    the clustered persisted relations. Clustered frames carry
+    ``_otx_clustered_key = (key, width)`` so downstream operators that
+    would otherwise fan out by the same key (llm/dedup.py) can skip
+    their guard repartition. Results are layout-independent; only
+    Exchange placement changes.
+
+    The cached plans are compiled with AQE disabled (conf toggled around
+    the DataFrame construction + persist) so InMemoryTableScan reports
+    hashpartitioning(key, width) instead of UnknownPartitioning and
+    consumers elide their exchanges — see the CLUSTER_KEYS comment. The
+    toggle is restored in a finally block; consumer queries keep full
+    AQE.
     """
     from pyspark import StorageLevel
 
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    width = _cluster_width(spark)
     per_session = _TABLE_CACHE.setdefault(spark, {})
-    for name in TABLES:
-        cache_key = _cache_key(sf_dir, name)
-        # idempotent: a second call must NOT build fresh DataFrame
-        # instances (each would persist its own copy in the executor
-        # cache alongside the first)
-        existing = per_session.get(cache_key)
-        if existing is not None and getattr(existing, "_otx_clustered", False):
-            if existing.storageLevel == StorageLevel.NONE:
-                # clearCache() unpersisted the relation behind the
-                # flag — re-persist the SAME instance (no duplicate
-                # executor copy; self-review r13 pass 3)
-                existing.persist()
-            continue
-        df = _load_table_uncached(spark, sf_dir, name)
-        key = CLUSTER_KEYS.get(name)
-        if key is not None:
-            df = df.repartition(width, key)
-        df._otx_clustered = True
-        per_session[cache_key] = df
-        df.persist()
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for name in TABLES:
+            cache_key = _cache_key(sf_dir, name)
+            # idempotent: a second call must NOT build fresh DataFrame
+            # instances (each would persist its own copy in the executor
+            # cache alongside the first)
+            existing = per_session.get(cache_key)
+            if existing is not None and getattr(existing, "_otx_clustered", False):
+                if existing.storageLevel == StorageLevel.NONE:
+                    # clearCache() unpersisted the relation behind the
+                    # flag — re-persist the SAME instance (no duplicate
+                    # executor copy; self-review r13 pass 3)
+                    existing.persist()
+                continue
+            df = _load_table_uncached(spark, sf_dir, name)
+            key = CLUSTER_KEYS.get(name)
+            if key is not None:
+                df = df.repartition(width, key)
+                df._otx_clustered_key = (key, width)
+            df._otx_clustered = True
+            per_session[cache_key] = df
+            df.persist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

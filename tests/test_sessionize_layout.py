@@ -173,18 +173,21 @@ def test_zordered_write_prunes_files(spark, sf_dir, tmp_path):
 def test_persist_clustered_layout(spark, sf_dir):
     """The CLUSTER_KEYS cache layout: (1) idempotent — a second call
     reuses the same DataFrame instances instead of persisting duplicate
-    copies; (2) the cached fact relations are widened to the session's
-    shuffle width — a sub-128MB parquet file otherwise caches as ONE
-    partition and every consumer stage runs single-threaded (the
-    measured win; exchange elision is NOT a property of this seam, see
-    the registry comment); (3) results are layout-independent."""
+    copies; (2) the cached fact relations are widened to the cluster
+    width (max of shuffle width and core count) — a sub-128MB parquet
+    file otherwise caches as ONE partition and every consumer stage runs
+    single-threaded (the measured win); since the round-13 optimization
+    pass the cached plans are compiled AQE-off so consumers also SEE the
+    HashPartitioning and elide their exchanges (asserted in
+    test_cache_partitioning_elides_exchange below); (3) results are
+    layout-independent."""
     from otterbrix_spark.sources import registry
     from otterbrix_spark.sources.registry import (
         drop_table_cache, load_table, persist_clustered,
     )
 
     try:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        width = registry._cluster_width(spark)
         baseline = {
             t: load_table(spark, sf_dir, t).rdd.getNumPartitions()
             for t in registry.CLUSTER_KEYS
@@ -213,6 +216,64 @@ def test_persist_clustered_layout(spark, sf_dir):
         plain = load_table(spark, sf_dir, "events")
         plain_rows = sorted(
             tuple(r) for r in session_stats(plain, gap_minutes=30).collect()
+        )
+        assert clustered_rows == plain_rows
+    finally:
+        spark.catalog.clearCache()
+        registry.drop_table_cache(spark)
+
+
+def test_cache_partitioning_elides_exchange(spark, sf_dir):
+    """Round-13 optimization: cached plans are compiled AQE-off so
+    InMemoryTableScan reports hashpartitioning(key, width) and consumers
+    elide their ENSURE_REQUIREMENTS exchanges.
+
+    Three properties: (1) a window/groupBy keyed on the cluster key adds
+    NO exchange above the cached scan; (2) llm.dedup._fan_out skips its
+    guard repartition for a clustered documents cache (the minhash
+    signature path is then shuffle-free); (3) consumer queries still run
+    under AQE (the toggle is restored)."""
+    from otterbrix_spark.llm import dedup
+    from otterbrix_spark.sources import registry
+    from otterbrix_spark.sources.registry import drop_table_cache, load_table, persist_clustered
+
+    try:
+        drop_table_cache(spark)
+        spark.catalog.clearCache()
+        persist_clustered(spark, sf_dir)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"  # (3)
+
+        def physical(df):
+            return df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "simple"
+            )
+
+        # (1) groupBy on the cluster key: the only exchange in the plan is
+        # the pinned REPARTITION_BY_NUM inside the cached relation
+        ev = load_table(spark, sf_dir, "events")
+        plan = physical(ev.groupBy("user_id").count())
+        assert "ENSURE_REQUIREMENTS" not in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+
+        # (2) the signature path is shuffle-free off the clustered cache
+        docs = load_table(spark, sf_dir, "documents")
+        sh = dedup.shingles(docs, distinct=False)
+        sig = dedup.minhash_signature_str(sh)
+        plan = physical(sig)
+        assert "ENSURE_REQUIREMENTS" not in plan, plan
+        assert plan.count("REPARTITION_BY_NUM") == 1, plan  # only inside the cache
+
+        # and the layout does not change results: signatures match the
+        # un-cached path
+        clustered_rows = sorted(tuple(r) for r in sig.collect())
+        spark.catalog.clearCache()
+        drop_table_cache(spark)
+        plain_docs = load_table(spark, sf_dir, "documents")
+        plain_rows = sorted(
+            tuple(r)
+            for r in dedup.minhash_signature_str(
+                dedup.shingles(plain_docs, distinct=False)
+            ).collect()
         )
         assert clustered_rows == plain_rows
     finally:
