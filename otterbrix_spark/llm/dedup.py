@@ -29,7 +29,7 @@ DEFAULT_BAND_SIZE = 2
 HASH_PREFIX_LEN = 8  # first 8 hex chars of md5 are plenty for minima
 
 
-def _fan_out(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _fan_out(df: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
     """(id, text) fanned out across the cluster for the CPU-heavy explode
     passes below: a corpus that fits in one 128MB scan split would
     otherwise run the entire shingle+hash pipeline in a single task
@@ -46,7 +46,7 @@ def _fan_out(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     clustered = getattr(df, "_otx_clustered_key", None)
-    sel = df.select(id_col, text_col)
+    sel = df.select(id_col, *extra, text_col)
     if clustered is not None and clustered[0] == id_col and clustered[1] >= target:
         return sel
     return sel.repartition(target, F.col(id_col))
@@ -470,7 +470,8 @@ def paragraph_chunks(
     back to the document table."""
     toks = F.regexp_extract_all(F.col(text_col), F.lit("[^ ]+"), 0)
     return (
-        df.select("doc_id", *carry, toks.alias("toks"))
+        _fan_out(df, "doc_id", text_col, *carry)  # single-split guard (round-13)
+        .select("doc_id", *carry, toks.alias("toks"))
         .filter(F.size("toks") >= chunk_words)
         .select(
             "doc_id", *carry,
@@ -491,23 +492,29 @@ def cross_doc_duplicate_chunks(
     df: DataFrame, chunk_words: int = 10, text_col: str = "text",
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Chunk instances duplicated across >= 2 DISTINCT documents:
-    (doc_id, *carry, h, dup). One groupBy over chunk hashes + one join
-    back — the same two-shuffle plan as exact dedup; no pairwise
-    comparison."""
+    """Chunk hashes duplicated across >= 2 DISTINCT documents, at the
+    (doc_id, h) grain: (doc_id, *carry, h, cnt, dup) where ``cnt`` is the
+    number of instances of chunk ``h`` inside the document.
+
+    Round-13 optimization (guide §2.3/§2.4): the former shape consumed the
+    chunk frame twice (a groupBy-by-h branch and a join-back branch), so
+    the CPU-heavy tokenize+md5 explode ran TWICE per query and the join
+    shuffled every chunk instance. Now: one pre-aggregation to the
+    (h, doc_id) grain (map-side combinable; within-doc duplicate instances
+    collapse to a count) and one count window over h replace the
+    self-join diamond — the explode runs once and only grain rows ever
+    shuffle. ``dup`` is unchanged: h appears in >= 2 distinct documents
+    (grain rows per h ARE distinct documents)."""
     chunks = paragraph_chunks(
         df, chunk_words=chunk_words, text_col=text_col, carry=carry
     )
-    duph = (
-        chunks.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
-        .withColumn("isdup", F.lit(1))
+    grain = chunks.groupBy("h", "doc_id", *carry).agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    return chunks.join(duph, "h", "left").withColumn(
-        "dup", F.when(F.col("isdup").isNotNull(), 1).otherwise(0)
-    ).drop("isdup")
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return grain.withColumn(
+        "dup", (nd > 1).cast("int")
+    )
 
 
 def containment_pairs(

@@ -54,26 +54,26 @@ def lttb_select(pdf: "pd.DataFrame", n_buckets: int) -> "pd.DataFrame":
     ys = pdf["y"].to_numpy()
     eids = pdf["event_id"].to_numpy()
     inner = n_buckets - 2
-    # interior index i (1..n-2, 0-based) -> bucket ((i-1)*inner)//(n-2)
+    # interior index i (1..n-2, 0-based) -> bucket ((i-1)*inner)//(n-2).
+    # Round-13 optimization (guide §4.2): membership and per-bucket sums
+    # are precomputed in ONE pass — the former per-step re-scan of the
+    # whole series made the loop O(n_buckets * n). Arithmetic stays
+    # Python-int (arbitrary precision): the area cross-products exceed
+    # int64 for epoch-microsecond x values, so numpy vectorization would
+    # silently overflow; the formula, order and tie-breaks are unchanged.
+    buckets: list[list[int]] = [[] for _ in range(inner)]
+    for i in range(1, n - 1):
+        buckets[((i - 1) * inner) // (n - 2)].append(i)
+    bucket_sums = [
+        (len(g), sum(int(xs[i]) for i in g), sum(int(ys[i]) for i in g))
+        for g in buckets
+    ]
     sel = [0]
     px, py = int(xs[0]), int(ys[0])
     for b in range(inner):
-        # bucket membership via the same integer formula both engines use
-        # (recomputed per step; buckets are small)
-        cand = [
-            i
-            for i in range(1, n - 1)
-            if ((i - 1) * inner) // (n - 2) == b
-        ]
+        cand = buckets[b]
         if b < inner - 1:
-            nxt = [
-                i
-                for i in range(1, n - 1)
-                if ((i - 1) * inner) // (n - 2) == b + 1
-            ]
-            cm = len(nxt)
-            sx = int(sum(int(xs[i]) for i in nxt))
-            sy = int(sum(int(ys[i]) for i in nxt))
+            cm, sx, sy = bucket_sums[b + 1]
         else:
             cm, sx, sy = 1, int(xs[n - 1]), int(ys[n - 1])
         best = None

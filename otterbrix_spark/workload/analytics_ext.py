@@ -95,20 +95,27 @@ FROM lineitem GROUP BY l_returnflag
        doc="approx_count_distinct sketch vs exact, 5%-band certified")
 def a01(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.approx_count_distinct("l_orderkey", 0.01).alias("_approx"),
-        )
-        .select(
-            "l_returnflag",
-            "exact_orders",
-            (
-                F.abs(F.col("_approx") - F.col("exact_orders"))
-                <= F.col("exact_orders") * F.lit(0.05)
-            ).alias("approx_within_band"),
-        )
+    # Round-13 optimization (guide §5): mixing a DISTINCT aggregate with
+    # the HLL sketch in ONE agg plans an Expand whose partial aggregate is
+    # keyed by (l_returnflag, l_orderkey) — every distinct order key then
+    # carries its own rsd=0.01 HLL++ buffer (~16KB of registers), ~2.4GB
+    # of sketch buffers at sf0.1 (measured: 5.99s for the combined agg vs
+    # 0.96s + 0.81s for the two aggregates run separately). Two passes
+    # over the (cached) scan + a 3-row join is strictly cheaper at every
+    # scale; the values are bit-identical (same aggregates, same data).
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx")
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders"))
+            <= F.col("exact_orders") * F.lit(0.05)
+        ).alias("approx_within_band"),
     )
 
 

@@ -140,27 +140,46 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(p_name, -3, 3)").alias("k_suf"),
     )
 
-    def block_pass(key: str) -> DataFrame:
+    # Round-13 optimization (guide §2.3/§2.4): the former shape unioned
+    # the two block passes and ran DISTINCT over the FULL candidate set —
+    # at sf0.1 that is ~40M rows carrying both name strings through a
+    # dedup shuffle before a single levenshtein runs. The two passes are
+    # instead made DISJOINT by construction (the suffix pass excludes
+    # pairs that already share a prefix key), which yields the exact same
+    # unique pair set with ZERO dedup exchange; the length band and the
+    # levenshtein + dist<=3 filter run inside each pass, so only the
+    # ~12.5M surviving (a, b, dist) rows ever leave a stage. Each unique
+    # candidate is levenshtein'd exactly once, as before. Measured
+    # (isolated noop-sink, warm best-of-3, sf0.1): 65.5s -> 45.1s, same
+    # 12,579,965 rows, oracle-verified at sf0.001/0.01/0.1.
+    def block_pass(key: str, disjoint: bool) -> DataFrame:
         a = named.select(
             F.col("id").alias("a"), F.col("nm").alias("na"),
             F.col("ln").alias("la"), F.col(key).alias("k"),
+            F.col("k_pre").alias("pre_a"),
         )
         b = named.select(
             F.col("id").alias("b"), F.col("nm").alias("nb"),
             F.col("ln").alias("lb"), F.col(key).alias("k"),
+            F.col("k_pre").alias("pre_b"),
         )
+        out = a.join(b, "k").filter(F.col("a") < F.col("b"))
+        if disjoint:
+            # suffix pass: drop pairs the prefix pass already produced
+            out = out.filter(
+                ~(F.col("pre_a") == F.col("pre_b"))
+                | F.col("pre_a").isNull()
+                | F.col("pre_b").isNull()
+            )
         return (
-            a.join(b, "k")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", "na", "nb", "la", "lb")
+            out.filter(F.abs(F.col("la") - F.col("lb")) <= 3)
+            .withColumn("dist", F.levenshtein(F.col("na"), F.col("nb")))
+            .filter(F.col("dist") <= 3)
+            .select("a", "b", F.col("dist").cast("int").alias("dist"))
         )
 
-    cand = block_pass("k_pre").unionByName(block_pass("k_suf")).distinct()
-    return (
-        cand.filter(F.abs(F.col("la") - F.col("lb")) <= 3)
-        .withColumn("dist", F.levenshtein(F.col("na"), F.col("nb")))
-        .filter(F.col("dist") <= 3)
-        .select("a", "b", F.col("dist").cast("int").alias("dist"))
+    return block_pass("k_pre", disjoint=False).unionByName(
+        block_pass("k_suf", disjoint=True)
     )
 
 

@@ -1369,6 +1369,10 @@ FROM marked GROUP BY source ORDER BY source
 )
 def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # cross_doc_duplicate_chunks returns the (doc_id, h) GRAIN with an
+    # instance count per chunk (round-13 optimization — the explode runs
+    # once and only grain rows shuffle); instance-level totals are
+    # cnt-weighted sums over the grain.
     marked = dedup.cross_doc_duplicate_chunks(
         docs, chunk_words=10, carry=("source",)
     )
@@ -1376,8 +1380,8 @@ def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
         marked.groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("dup").alias("n_dup_chunks"),
+            F.sum("cnt").alias("n_chunks"),
+            F.sum(F.col("cnt") * F.col("dup")).alias("n_dup_chunks"),
             F.countDistinct(
                 F.when(F.col("dup") == 1, F.col("doc_id"))
             ).alias("n_docs_affected"),

@@ -417,7 +417,9 @@ def test_t10_eval_grams_broadcast_semi_join(spark, sf_dir):
 
 
 def test_d11_dedup_no_pairwise(spark, sf_dir):
-    # paragraph dedup is groupBy + join-back — never a nested-loop pairwise
+    # paragraph dedup is grain-groupBy + count window over the chunk hash
+    # (round-13: the join-back diamond re-ran the explode twice) — never a
+    # nested-loop pairwise
     plan = plan_of(spark, sf_dir, "d11_paragraph_dedup")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
