@@ -20,6 +20,7 @@ window aggregation is the same partial+final hash agg as the batch plan.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from dataclasses import dataclass
@@ -27,6 +28,43 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from otterbrix_spark.sources.registry import normalize_event_ts
+
+
+@contextlib.contextmanager
+def bounded_state_width(spark: SparkSession):
+    """Pin the stateful-operator partition count for a streaming query
+    started inside the block (round-13 optimization, guide §2.2/§5).
+
+    Stateful operators read ``spark.sql.shuffle.partitions`` ONCE at query
+    start and bake it into the checkpoint; every micro-batch then runs one
+    task AND one state-store instance per partition, each with per-batch
+    version/commit maintenance. Inheriting the ambient width is wrong in
+    both directions: a 32-wide session spends ~12x longer per micro-batch
+    on store maintenance than the data needs (measured on the s15
+    stream-stream outer join at sf0.01: addBatch 43.3s -> 1.6s, stream
+    wall 98s -> 8.5s at width 8), and a 200-wide driver session is worse.
+    A production deployment sizes state partitions to STATE VOLUME when
+    it creates the checkpoint — this helper does the same for the bounded
+    certification corpora: at least 8, at most a quarter of the cores,
+    never raising an already-smaller session setting, overridable via
+    ``OTX_STREAM_STATE_PARTITIONS``. Resuming an existing checkpoint is
+    unaffected (Spark reads the recorded partition count from the
+    checkpoint, not the session).
+
+    Restored in ``finally``; batch queries planned outside the block are
+    untouched. The streaming gates run sequentially (driver correctness,
+    tests), so the brief session-conf toggle has no concurrent reader.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, "8")
+    env = os.environ.get("OTX_STREAM_STATE_PARTITIONS")
+    cores = spark.sparkContext.defaultParallelism
+    width = int(env) if env else min(int(prev), max(8, cores // 4))
+    try:
+        spark.conf.set(key, str(width))
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 @dataclass(frozen=True)
@@ -125,13 +163,14 @@ def run_until_count(
     the input is exhausted — which is what lets ProcessingTimeTimeout state
     timeouts fire and flush idle sessions."""
     spark = df.sparkSession
-    query = (
-        df.writeStream.trigger(processingTime=f"{trigger_ms} milliseconds")
-        .format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
+    with bounded_state_width(spark):
+        query = (
+            df.writeStream.trigger(processingTime=f"{trigger_ms} milliseconds")
+            .format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
     deadline = time.time() + timeout_s
     try:
         while time.time() < deadline:
@@ -167,13 +206,14 @@ def run_available_now_counted(
     prove watermark eviction actually happened; availableNow's final
     micro-batch is often empty and reports zero state rows, so reading
     only the last report would pass that check vacuously."""
-    query = (
-        df.writeStream.trigger(availableNow=True)
-        .format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    with bounded_state_width(df.sparkSession):
+        query = (
+            df.writeStream.trigger(availableNow=True)
+            .format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
     _await_bounded(query, name, timeout_s)
     n_batches = sum(
         1 for p in query.recentProgress if _progress_rows(p) > 0
@@ -252,14 +292,15 @@ def run_available_now_to_files(
     a plain ``spark.read.parquet(out_dir)``: the batch reader honours
     the commit log, so orphan files from an uncommitted batch are
     invisible."""
-    query = (
-        df.writeStream.trigger(availableNow=True)
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .start()
-    )
+    with bounded_state_width(df.sparkSession):
+        query = (
+            df.writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start()
+        )
     _await_bounded(query, out_dir, timeout_s)
     progress = query.recentProgress
     n_batches = sum(1 for p in progress if _progress_rows(p) > 0)
