@@ -1407,6 +1407,10 @@ def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
         .select("s1", "s2")
+        # the edge set feeds all three triangle-join arms; without the
+        # checkpoint the per-order pair join + distinct-count runs three
+        # times (round-13 sweep: zero ReusedExchange in the plan)
+        .localCheckpoint(eager=False)
     )
     e2 = edges.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
     e3 = edges.select(F.col("s1").alias("a3"), F.col("s2").alias("c3"))
@@ -3195,6 +3199,10 @@ def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("s1", "s2")
         .agg(F.countDistinct("l_orderkey").alias("w"))
         .filter(F.col("w") >= 2)
+        # the edge set feeds multiple downstream joins; the round-13 sweep
+        # read zero ReusedExchange in these plans, so each consumer re-ran
+        # the per-order pair join + distinct count without the checkpoint
+        .localCheckpoint(eager=False)
     )
     und = edges.select(
         F.col("s1").alias("a"), F.col("s2").alias("b"), "w"
@@ -3204,6 +3212,7 @@ def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.withColumn("mx", mx)
         .filter(F.col("w") * 10 >= F.col("mx") * 9)
         .select("a", "b")
+        .localCheckpoint(eager=False)  # both arms of the 2-hop self-join
     )
     hop2 = (
         kept.alias("x")
@@ -3345,10 +3354,14 @@ def l10(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey")
         .distinct()
+        # feeds both channels, each of which self-joins its projection —
+        # four executions of the distinct without the checkpoint
+        # (round-13 sweep: zero ReusedExchange in the plan)
+        .localCheckpoint(eager=False)
     )
 
     def channel(key: str, out: str) -> DataFrame:
-        side = li.select(key, "l_suppkey").distinct()
+        side = li.select(key, "l_suppkey").distinct().localCheckpoint(eager=False)
         right = side.select(
             F.col(key).alias("rk"), F.col("l_suppkey").alias("sb")
         )
@@ -3507,6 +3520,10 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("s1", "s2")
         .agg(F.countDistinct("l_orderkey").alias("w"))
         .filter(F.col("w") >= 2)
+        # the edge set feeds multiple downstream joins; the round-13 sweep
+        # read zero ReusedExchange in these plans, so each consumer re-ran
+        # the per-order pair join + distinct count without the checkpoint
+        .localCheckpoint(eager=False)
     )
     und = edges.select(
         F.col("s1").alias("a"), F.col("s2").alias("b"), "w"
@@ -3516,6 +3533,7 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = (
         und.withColumn("rn", rn).filter(F.col("rn") <= _L11_CAP).drop("rn", "w")
+        .localCheckpoint(eager=False)  # feeds sym (2x) + the 2-hop self-join (2x)
     )
     sym = capped.union(
         capped.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -4937,6 +4955,10 @@ def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("s1", "s2")
         .agg(F.countDistinct("l_orderkey").alias("w"))
         .filter(F.col("w") >= 2)
+        # the edge set feeds multiple downstream joins; the round-13 sweep
+        # read zero ReusedExchange in these plans, so each consumer re-ran
+        # the per-order pair join + distinct count without the checkpoint
+        .localCheckpoint(eager=False)
     )
     und = edges.select(
         F.col("s1").alias("a"), F.col("s2").alias("b"), "w"
@@ -4948,6 +4970,7 @@ def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = (
         und.withColumn("rn", rn).filter(F.col("rn") <= _L13_CAP).drop("rn", "w")
+        .localCheckpoint(eager=False)  # both arms of the wedge self-join
     )
     wedges = (
         capped.alias("x")
@@ -4958,6 +4981,7 @@ def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.b").alias("u"),
             F.col("y.b").alias("v"),
         )
+        .localCheckpoint(eager=False)  # feeds closure join + wedge totals
     )
     closed = (
         wedges.join(
