@@ -5875,11 +5875,15 @@ def l16(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(
         F.col("s1").alias("a"), F.col("s2").alias("b")
     ).unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    deg = und.groupBy("a").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)  # feeds ed, the score init and the final join
     # edge frame with the source degree attached once, reused all rounds
+    # (round-13: actually materialized once now — the unrolled 3-round plan
+    # re-ran the edge build per round, zero ReusedExchange)
     ed = und.join(deg, "a").select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "deg"
-    )
+    ).localCheckpoint(eager=False)
     scores = deg.select(
         F.col("a").alias("node"), F.lit(1000000).cast("long").alias("s")
     )
