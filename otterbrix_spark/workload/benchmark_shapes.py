@@ -1407,18 +1407,50 @@ def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
         .select("s1", "s2")
+        # spread the edge set across the cluster BEFORE pinning it: AQE
+        # coalesces the small aggregate output to a few partitions, and
+        # the broadcast-join triangle stage below inherits the
+        # checkpoint's partitioning — without this the whole ~1e8-wedge
+        # enumeration runs on those few tasks (guide §2.2)
+        .repartition(spark.sparkContext.defaultParallelism, "s1")
         # the edge set feeds all three triangle-join arms; without the
         # checkpoint the per-order pair join + distinct-count runs three
         # times (round-13 sweep: zero ReusedExchange in the plan)
         .localCheckpoint(eager=False)
     )
-    e2 = edges.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
-    e3 = edges.select(F.col("s1").alias("a3"), F.col("s2").alias("c3"))
-    wedges = edges.join(e2, F.col("s2") == F.col("b"))
-    tri = wedges.join(
-        e3, (F.col("s1") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    # Algorithm choice (guide §1.2 step 1, measured round 13): the wedge
+    # join E(a,b) |><| E(b,c) |><| E(a,c) materializes every wedge as a
+    # row — 79M wedge rows at sf0.1 for a 344k-edge graph, ~9s of pure
+    # join machinery even with both probe arms broadcast (and 26s as
+    # sort-merge). Edge-centric intersection counting computes the SAME
+    # canonical count — for each edge (a,b), |N+(a) ∩ N+(b)| triangles,
+    # N+ = out-neighbors under the s1<s2 orientation — touching each
+    # adjacency list once per incident edge instead of once per wedge:
+    # O(sum deg(a)+deg(b)) vs O(#wedges) work. Measured warm best-of-3
+    # at sf0.1: 14.5s -> 4.2s, identical count, oracle-verified 3 SFs.
+    # The adjacency table is node-grain (one row per supplier, list
+    # bounded by max degree) and is broadcast only when the edge set is
+    # small enough to prove it fits (the count also materializes the
+    # lazy checkpoint); a larger graph keeps equi-joins on the planner's
+    # strategy — the size gate, not the hint, is what scales.
+    adj = edges.groupBy("s1").agg(F.collect_set("s2").alias("nbrs"))
+    a1 = adj.select(F.col("s1").alias("aa"), F.col("nbrs").alias("na"))
+    a2 = adj.select(F.col("s1").alias("bb"), F.col("nbrs").alias("nb"))
+    if edges.count() <= 5_000_000:
+        a1, a2 = F.broadcast(a1), F.broadcast(a2)
+    # inner joins are exact here: every edge's s1 has an out-list (it
+    # contains at least s2), and an edge whose s2 has NO out-list would
+    # contribute |N+(a) ∩ {}| = 0 — dropping it leaves the sum unchanged
+    return (
+        edges.join(a1, F.col("s1") == F.col("aa"))
+        .join(a2, F.col("s2") == F.col("bb"))
+        .select(F.size(F.array_intersect("na", "nb")).alias("k"))
+        # COALESCE: SUM over an empty edge set is NULL where the former
+        # wedge-join COUNT(*) (and the oracle) return 0
+        .agg(
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("triangles")
+        )
     )
-    return tri.agg(F.count(F.lit(1)).alias("triangles"))
 
 
 # --- l05: LDBC BI-4 — top-100 popular forums and their members' posts ------
@@ -2616,6 +2648,9 @@ def l08(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("src"), F.col("next_user").alias("dst")
         )
         .distinct()
+        # feeds all 3 BFS rounds: without pinning, each round's join
+        # re-runs the whole window+distinct edge build (3x the work)
+        .localCheckpoint(eager=False)
     )
     seeds = (
         ev.filter(F.col("user_id") % 100 == 0)
@@ -2624,9 +2659,12 @@ def l08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # level-synchronous BFS: 3 fixed rounds (not data-dependent), each an
     # equi-join + distinct + anti-join — the standard distributed BFS.
-    # visited/frontier frames are cached per level so each round's lineage
-    # doesn't recompute every prior level.
-    visited = seeds.withColumn("hop", F.lit(0)).cache()
+    # visited/frontier frames are pinned per level so each round's lineage
+    # doesn't recompute every prior level. localCheckpoint (not .cache())
+    # keeps the blocks invocation-local: cached plans would be matched by
+    # the CacheManager across invocations (cross-run state) and leak
+    # storage memory into later gates.
+    visited = seeds.withColumn("hop", F.lit(0)).localCheckpoint(eager=False)
     frontier = visited
     for hop in (1, 2, 3):
         nxt = (
@@ -2635,9 +2673,9 @@ def l08(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("uid"), "uid", "left_anti")
             .withColumn("hop", F.lit(hop))
-            .cache()
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt).cache()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return (
         visited.groupBy("hop")

@@ -139,6 +139,15 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 3).alias("k_pre"),
         F.expr("substring(p_name, -3, 3)").alias("k_suf"),
     )
+    # Fan-out guard (guide §2.2/§6, same idiom as llm/dedup._fan_out):
+    # `part` is a single scan split below 128MB, and both block passes are
+    # broadcast joins whose probe side inherits that ONE partition — the
+    # entire ~40M-pair enumeration + levenshtein then runs in a single
+    # task. Spreading the (tiny) stream side across the cluster is a
+    # no-op shuffle at scale and unlocks full-machine parallelism here.
+    named = named.repartition(
+        spark.sparkContext.defaultParallelism, F.col("id")
+    )
 
     # Round-13 optimization (guide §2.3/§2.4): the former shape unioned
     # the two block passes and ran DISTINCT over the FULL candidate set —
@@ -171,10 +180,13 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | F.col("pre_a").isNull()
                 | F.col("pre_b").isNull()
             )
+        # Banded DP (Spark >= 3.5 threshold arg): exact distance for pairs
+        # within the band, -1 beyond it — O(threshold * n) per pair instead
+        # of O(n^2), identical survivors and distances to the full DP.
         return (
             out.filter(F.abs(F.col("la") - F.col("lb")) <= 3)
-            .withColumn("dist", F.levenshtein(F.col("na"), F.col("nb")))
-            .filter(F.col("dist") <= 3)
+            .withColumn("dist", F.levenshtein(F.col("na"), F.col("nb"), 3))
+            .filter(F.col("dist") >= 0)
             .select("a", "b", F.col("dist").cast("int").alias("dist"))
         )
 
