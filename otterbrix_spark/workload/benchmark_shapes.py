@@ -1391,8 +1391,17 @@ JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
     doc="LDBC BI-11 shape: distributed triangle count over canonical edges",
 )
 def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
+    # distinct BEFORE the pair self-join (round-13 batch B, guide §2.3):
+    # deduping (l_orderkey, l_suppkey) on the base projection makes every
+    # (okey, s1, s2) pair row unique, so the edge weight is a plain
+    # map-side-combinable COUNT instead of COUNT(DISTINCT) — the distinct
+    # aggregate re-shuffled the whole multi-million-row pair set on
+    # (s1, s2, okey) before counting; the base distinct shuffles only the
+    # 2-column lineitem projection. Same weights by construction.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
     )
     right = li.select(
         F.col("l_orderkey").alias("r_okey"), F.col("l_suppkey").alias("s2")
@@ -1404,7 +1413,7 @@ def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("l_suppkey").alias("s1"), "s2", "l_orderkey")
     edges = (
         pairs.groupBy("s1", "s2")
-        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
         .select("s1", "s2")
         # spread the edge set across the cluster BEFORE pinning it: AQE
@@ -3235,7 +3244,11 @@ def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2"), "l_orderkey")
     edges = (
         pairs.groupBy("s1", "s2")
-        .agg(F.countDistinct("l_orderkey").alias("w"))
+        # pair rows are unique per (s1, s2, okey) — li is distinct on
+        # (l_orderkey, l_suppkey) — so COUNT == COUNT(DISTINCT okey) and
+        # the distinct aggregate's extra pair-grain shuffle is dropped
+        # (round-13 batch B, guide §2.3)
+        .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         # the edge set feeds multiple downstream joins; the round-13 sweep
         # read zero ReusedExchange in these plans, so each consumer re-ran
@@ -3269,7 +3282,10 @@ def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         non_direct.groupBy("a", "c")
-        .agg(F.countDistinct("mid").alias("mutuals"))
+        # hop2 rows are unique per (a, c, mid): both join arms are sets
+        # of unique (src, dst) edges, so each mid links (a, c) at most
+        # once -> COUNT == COUNT(DISTINCT mid) (round-13 batch B)
+        .agg(F.count(F.lit(1)).alias("mutuals"))
         .orderBy(F.col("mutuals").desc(), "a", "c")
         .limit(20)
     )
@@ -3412,7 +3428,10 @@ def l10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(
                 F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2")
             )
-            .agg(F.countDistinct(key).alias(out))
+            # side is distinct on (key, l_suppkey), so each (s1, s2, key)
+            # pair row is unique -> COUNT == COUNT(DISTINCT key), minus
+            # one pair-grain shuffle (round-13 batch B, guide §2.3)
+            .agg(F.count(F.lit(1)).alias(out))
         )
 
     co_order = channel("l_orderkey", "n_orders")
@@ -3556,7 +3575,11 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         pairs.groupBy("s1", "s2")
-        .agg(F.countDistinct("l_orderkey").alias("w"))
+        # pair rows are unique per (s1, s2, okey) — li is distinct on
+        # (l_orderkey, l_suppkey) — so COUNT == COUNT(DISTINCT okey) and
+        # the distinct aggregate's extra pair-grain shuffle is dropped
+        # (round-13 batch B, guide §2.3)
+        .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         # the edge set feeds multiple downstream joins; the round-13 sweep
         # read zero ReusedExchange in these plans, so each consumer re-ran
@@ -3592,7 +3615,10 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         non_direct.groupBy("a", "c")
-        .agg(F.countDistinct("mid").alias("mutuals"))
+        # hop2 rows are unique per (a, c, mid): both join arms are sets
+        # of unique (src, dst) edges, so each mid links (a, c) at most
+        # once -> COUNT == COUNT(DISTINCT mid) (round-13 batch B)
+        .agg(F.count(F.lit(1)).alias("mutuals"))
         .orderBy(F.col("mutuals").desc(), "a", "c")
         .limit(20)
     )
@@ -4991,7 +5017,11 @@ def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         pairs.groupBy("s1", "s2")
-        .agg(F.countDistinct("l_orderkey").alias("w"))
+        # pair rows are unique per (s1, s2, okey) — li is distinct on
+        # (l_orderkey, l_suppkey) — so COUNT == COUNT(DISTINCT okey) and
+        # the distinct aggregate's extra pair-grain shuffle is dropped
+        # (round-13 batch B, guide §2.3)
+        .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         # the edge set feeds multiple downstream joins; the round-13 sweep
         # read zero ReusedExchange in these plans, so each consumer re-ran
@@ -5261,7 +5291,11 @@ def l14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         pairs.groupBy("s1", "s2")
-        .agg(F.countDistinct("l_orderkey").alias("w"))
+        # pair rows are unique per (s1, s2, okey) — li is distinct on
+        # (l_orderkey, l_suppkey) — so COUNT == COUNT(DISTINCT okey) and
+        # the distinct aggregate's extra pair-grain shuffle is dropped
+        # (round-13 batch B, guide §2.3)
+        .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s1", "s2")
     )
@@ -5906,7 +5940,10 @@ def l16(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         )
         .groupBy("s1", "s2")
-        .agg(F.countDistinct("l_orderkey").alias("w"))
+        # pair rows unique per (s1, s2, okey) after the base distinct ->
+        # COUNT == COUNT(DISTINCT okey), minus one pair-grain shuffle
+        # (round-13 batch B, guide §2.3)
+        .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s1", "s2")
     )
@@ -6167,7 +6204,10 @@ def l17(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         )
         .groupBy("s1", "s2")
-        .agg(F.countDistinct("l_orderkey").alias("w"))
+        # pair rows unique per (s1, s2, okey) after the base distinct ->
+        # COUNT == COUNT(DISTINCT okey), minus one pair-grain shuffle
+        # (round-13 batch B, guide §2.3)
+        .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s1", "s2")
     )
@@ -7055,7 +7095,10 @@ def l18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = (
         pairs.groupBy("s1", "s2")
-        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        # pair rows unique per (s1, s2, okey) after the base distinct ->
+        # COUNT == COUNT(DISTINCT okey), minus one pair-grain shuffle
+        # (round-13 batch B, guide §2.3)
+        .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
         .select("s1", "s2")
     )
