@@ -1595,3 +1595,16 @@ def test_round13_t25_plan(spark, sf_dir):
     assert "Generate" not in plan
     assert plan.count("documents.parquet") == 1
     assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["l04_triangle_count", "l10_interaction_strength", "l16_pagerank"],
+)
+def test_round13_edge_weights_are_plain_counts(spark, sf_dir, name):
+    """Round-13 batch B: the co-supply edge builds dedupe the 2-column
+    base projection BEFORE the pair self-join, so edge weights are plain
+    map-side-combinable counts — a distinct aggregate reappearing here
+    would mean the pair-grain re-shuffle came back."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "count(distinct" not in plan.lower(), name
