@@ -119,15 +119,42 @@ def main() -> None:
     registry = load_all()
     headline = {name: spec for name, spec in registry.items() if spec.bench}
 
+    # Per-query task counts (round-14, VERDICT r13 #8): at sf0.1 every warm
+    # headline query is fixed-overhead-dominated, so the driver's 8-vs-32
+    # core wall-clock ratio carries no parallelism signal. The number of
+    # TASKS a query launches is the signal that survives that regime: a
+    # query pinned to one task per stage cannot scale, whatever its wall
+    # time reads. Collected from the status tracker per job group —
+    # additions-only (new JSON keys), the timed methodology is untouched.
+    def _group_task_counts(group: str) -> int | None:
+        try:
+            tracker = spark.sparkContext.statusTracker()
+            total = 0
+            for jid in tracker.getJobIdsForGroup(group):
+                info = tracker.getJobInfo(jid)
+                if info is None:
+                    return None  # evicted from the status store: no claim
+                for sid in info.stageIds:
+                    sinfo = tracker.getStageInfo(sid)
+                    if sinfo is not None:
+                        total += sinfo.numTasks
+            return total
+        except Exception:
+            return None
+
     # cold pass FIRST: uncached parquet scans, cold JIT — what a fresh
     # cluster sees on its first query batch. Recorded separately so
     # round-over-round deltas can isolate plan work from cache warming.
     cpu_before = _cpu_times()
     cold: dict[str, float] = {}
+    cold_tasks: dict[str, int | None] = {}
     for name in sorted(headline):
+        spark.sparkContext.setJobGroup(f"cold:{name}", f"cold:{name}")
         start = time.perf_counter()
         headline[name].spark_fn(spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - start, 4)
+        cold_tasks[name] = _group_task_counts(f"cold:{name}")
+    spark.sparkContext.setJobGroup("bench", "bench")
     cold_shares = _pass_shares(cpu_before, _cpu_times())
 
     # cache the corpus in executor memory: a long-running deployment serves
@@ -146,9 +173,17 @@ def main() -> None:
 
     # warm pass: JVM JIT, parquet footers, cache materialisation, AQE stats —
     # the recorded numbers are steady-state per-query wall times, which is
-    # what a long-running cluster deployment sees
+    # what a long-running cluster deployment sees. The SECOND execution per
+    # query below is the steady-state plan (first run materialises the
+    # cache), so warm task counts are collected here on a dedicated rep.
     for spec in headline.values():
         spec.spark_fn(spark, sf_dir).collect()
+    warm_tasks: dict[str, int | None] = {}
+    for name in sorted(headline):
+        spark.sparkContext.setJobGroup(f"warm:{name}", f"warm:{name}")
+        headline[name].spark_fn(spark, sf_dir).collect()
+        warm_tasks[name] = _group_task_counts(f"warm:{name}")
+    spark.sparkContext.setJobGroup("bench", "bench")
 
     # best-of-3 guards against transient CPU-steal windows (co-tenant
     # background jobs were observed inflating single measurements 10-20x);
@@ -313,6 +348,11 @@ def main() -> None:
                 "queries": timings,
                 "cold_value": round(sum(cold.values()), 4),
                 "cold_queries": cold,
+                # tasks launched per query (cold scan plan / warm cached
+                # plan) — the parallelism signal the wall-clock scaling
+                # block cannot carry at overhead-bound SFs (VERDICT r13 #8)
+                "cold_tasks": cold_tasks,
+                "warm_tasks": warm_tasks,
                 "sf": sf,
                 "n_queries": len(timings),
                 "loadavg_before": [round(x, 2) for x in load_before],
