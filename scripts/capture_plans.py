@@ -1,8 +1,9 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for headline queries into plans/r13/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/
+(round from OTX_PLAN_ROUND, default r14).
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
-  suffix: e.g. "before" / "after" -> plans/r13/<name>_<suffix>.txt
+  suffix: e.g. "before" / "after" -> plans/<round>/<name>_<suffix>.txt
   query:  optional subset of registry names (default: the bench headline set).
 
 Replicates bench.py's session shape (shuffle width, clustered cache) so the
@@ -52,7 +53,7 @@ def main() -> None:
 
     persist_clustered(spark, sf_dir)
 
-    out_dir = REPO / "plans" / "r13"
+    out_dir = REPO / "plans" / os.environ.get("OTX_PLAN_ROUND", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = registry[name].spark_fn(spark, sf_dir)

@@ -187,7 +187,6 @@ def test_persist_clustered_layout(spark, sf_dir):
     )
 
     try:
-        width = registry._cluster_width(spark)
         baseline = {
             t: load_table(spark, sf_dir, t).rdd.getNumPartitions()
             for t in registry.CLUSTER_KEYS
@@ -199,10 +198,26 @@ def test_persist_clustered_layout(spark, sf_dir):
         persist_clustered(spark, sf_dir)  # idempotent: same instances back
         for t, df in first.items():
             assert load_table(spark, sf_dir, t) is df, t
-            assert df.rdd.getNumPartitions() == width, t
+            # round-14: widths are PER TABLE — compute-dense tables keep
+            # the base width, relational tables are bounded by row count,
+            # joined pairs (lineitem/orders) share one width
+            assert df.rdd.getNumPartitions() == registry._cluster_width(
+                spark, sf_dir, t
+            ), t
+        # compute-dense tables keep the full base width however small
+        base = registry._cluster_width(spark)
+        for t in registry._COMPUTE_DENSE:
+            assert registry._cluster_width(spark, sf_dir, t) == base, t
+        # joined pairs share a width (co-partitioned join elision)
+        assert registry._cluster_width(
+            spark, sf_dir, "lineitem"
+        ) == registry._cluster_width(spark, sf_dir, "orders")
         # the widening is real: the raw scans were narrower than the
-        # shuffle width (that is the single-threaded-cache hazard)
-        assert any(n < width for n in baseline.values()), baseline
+        # clustered width (that is the single-threaded-cache hazard)
+        assert any(
+            baseline[t] < registry._cluster_width(spark, sf_dir, t)
+            for t in registry.CLUSTER_KEYS
+        ), baseline
 
         # layout-independence: same sessionize result either way
         from otterbrix_spark.operators.sessionize import session_stats

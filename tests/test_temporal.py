@@ -410,6 +410,90 @@ def test_lttb_small_series_passthrough():
     assert out["sel_seq"].tolist() == [0, 1, 2]
 
 
+def test_lttb_numpy_path_matches_reference_loop():
+    # round-14 internals change: lttb_select moved from pandas sort_values
+    # + iloc to np.lexsort + array slicing. The selection chain (Python-int
+    # areas, (-area, event_id) tie-break) must be bit-identical to the
+    # reference spelling — checked on tie-heavy and int64-overflowing data.
+    import random
+
+    import pandas as pd
+
+    from otterbrix_spark.operators.downsample import lttb_select
+
+    def reference(pdf, n_buckets):
+        pdf = pdf.sort_values(["x", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        if n <= n_buckets:
+            out = pdf.copy()
+            out["sel_seq"] = range(n)
+            return out
+        xs, ys, eids = (pdf[c].to_numpy() for c in ("x", "y", "event_id"))
+        inner = n_buckets - 2
+        buckets = [[] for _ in range(inner)]
+        for i in range(1, n - 1):
+            buckets[((i - 1) * inner) // (n - 2)].append(i)
+        sums = [
+            (len(g), sum(int(xs[i]) for i in g), sum(int(ys[i]) for i in g))
+            for g in buckets
+        ]
+        sel, px, py = [0], int(xs[0]), int(ys[0])
+        for b in range(inner):
+            cm, sx, sy = (
+                sums[b + 1] if b < inner - 1 else (1, int(xs[n - 1]), int(ys[n - 1]))
+            )
+            best = None
+            for i in buckets[b]:
+                area = abs(
+                    (px * cm - sx) * (int(ys[i]) - py)
+                    - (px - int(xs[i])) * (sy - py * cm)
+                )
+                key = (-area, int(eids[i]))
+                if best is None or key < best[0]:
+                    best = (key, i)
+            sel.append(best[1])
+            px, py = int(xs[best[1]]), int(ys[best[1]])
+        sel.append(n - 1)
+        out = pdf.iloc[sel].copy()
+        out["sel_seq"] = range(len(sel))
+        return out
+
+    rng = random.Random(42)
+    for n in (1, 3, 17, 66):
+        # tie-heavy: few distinct x and y values force area + x ties
+        pdf = pd.DataFrame(
+            {
+                "event_id": rng.sample(range(10 * n), n),
+                "x": [rng.randrange(0, max(2, n // 4)) * 10 for _ in range(n)],
+                "y": [rng.choice([0, 0, 5, -5, 100]) for _ in range(n)],
+            }
+        )
+        a = reference(pdf[["event_id", "x", "y"]].copy(), 16)
+        b = lttb_select(pdf, 16)
+        cols = ["event_id", "x", "y", "sel_seq"]
+        assert (
+            a[cols]
+            .reset_index(drop=True)
+            .equals(b[cols].reset_index(drop=True).astype(a[cols].dtypes.to_dict()))
+        ), n
+    # epoch-microsecond magnitudes whose cross products exceed int64: the
+    # Python-int chain must stay exact (numpy vectorization would overflow)
+    base = 1_700_000_000_000_000
+    pdf = pd.DataFrame(
+        {
+            "event_id": list(range(66)),
+            "x": sorted(base + rng.randrange(0, 3 * 10**13) for _ in range(66)),
+            "y": [rng.randrange(-(10**8), 10**8) for _ in range(66)],
+        }
+    )
+    a = reference(pdf[["event_id", "x", "y"]].copy(), 16)
+    b = lttb_select(pdf, 16)
+    cols = ["event_id", "x", "y", "sel_seq"]
+    assert a[cols].reset_index(drop=True).equals(b[cols].reset_index(drop=True))
+
+
 def test_lttb_selects_extremes_and_endpoints():
     import pandas as pd
 

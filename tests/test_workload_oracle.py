@@ -22,6 +22,22 @@ def test_query_matches_oracle(spark, sf_dir, name):
     compare(df, spec.oracle, sf_dir, name)
 
 
+def test_l04_non_broadcast_branch_matches_oracle(spark, sf_dir, monkeypatch):
+    """ADVICE r13: the >threshold edge path (planner-chosen joins + chunked
+    adjacency) was never exercised by tests or captured plans. Force it by
+    zeroing the broadcast gate and shrinking the skew chunk so the slice
+    explode produces multi-row adjacencies, then oracle-compare — both plan
+    branches must produce the identical triangle count."""
+    from otterbrix_spark.workload import benchmark_shapes as bs
+
+    spec = REGISTRY["l04_triangle_count"]
+    # default branch first (bitmap/broadcast at small SFs)
+    compare(spec.spark_fn(spark, sf_dir), spec.oracle, sf_dir, "l04-default")
+    monkeypatch.setattr(bs, "L04_BROADCAST_EDGES", 0)
+    monkeypatch.setattr(bs, "L04_CHUNK", 2)
+    compare(spec.spark_fn(spark, sf_dir), spec.oracle, sf_dir, "l04-equijoin")
+
+
 def test_d22_short_docs_yield_no_grams(spark, sf_dir, tmp_path):
     """ADVICE r8: a document with fewer than K=8 tokens must produce NO
     grams (Spark's sequence(1, n) is descending for n < 1 and the slice
