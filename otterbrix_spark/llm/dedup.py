@@ -230,7 +230,12 @@ def lsh_candidate_pairs(
     The pair space is generated by a self-equi-join on (band_index,
     band_value) — a hash-partitioned shuffle join, never a cross join.
     """
-    bands = lsh_bands(sh, id_col, num_hashes, band_size)
+    # pin the band frame: both self-join sides consume it, and without the
+    # checkpoint the signature aggregation + band explode run twice
+    # (round-14; same unreplicated-blocks caveat as the shingles pin)
+    bands = lsh_bands(sh, id_col, num_hashes, band_size).localCheckpoint(
+        eager=False
+    )
     left = bands.select(
         F.col(id_col).alias("a"), F.col("band_idx"), F.col("band_val")
     )

@@ -101,16 +101,22 @@ def hyperplane_bucket(
 ) -> F.Column:
     """LSH bucket code from seeded random-hyperplane sign projections —
     the production replacement for axis-aligned `signbit_bucket` (which
-    only looks at the first n_bits components)."""
-    code = None
+    only looks at the first n_bits components).
+
+    Round-14 (guide §1 driver-cost class, SCALE.md r13 decomposition):
+    built as ONE F.expr string instead of ~n_bits*dim nested Column
+    operations — the old spelling cost ~1100 py4j round-trips of pure
+    driver time PER CALL (e02 measured 63s at sf0.001, almost all plan
+    construction). The parsed tree is the same left-associated
+    double-precision sum, so bucket codes are bit-identical."""
+    bits = []
     for k, w in enumerate(random_hyperplanes(n_bits, dim, seed)):
-        proj = None
-        for i, wi in enumerate(w):
-            term = F.element_at(F.col(vec_col), i + 1) * F.lit(float(wi))
-            proj = term if proj is None else proj + term
-        bit = F.when(proj >= 0, F.lit(1 << k)).otherwise(F.lit(0))
-        code = bit if code is None else code + bit
-    return code.cast("int")
+        terms = " + ".join(
+            f"(element_at({vec_col}, {i + 1}) * {float(wi)}D)"
+            for i, wi in enumerate(w)
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0D THEN {1 << k} ELSE 0 END)")
+    return F.expr("CAST(" + " + ".join(bits) + " AS INT)")
 
 
 def hyperplane_bucket_sql(
@@ -136,24 +142,23 @@ def band_codes(corpus: DataFrame, n_bits: int = 4, dim: int = 64) -> DataFrame:
     candidate count stays near-linear instead of quadratic.
     """
     n_bands = dim // n_bits
-    bands = []
-    for j in range(n_bands):
-        val = None
-        for i in range(n_bits):
-            bit = (
-                F.when(
-                    F.element_at(F.col("v"), j * n_bits + i + 1) >= 0,
-                    F.lit(1 << i),
-                ).otherwise(F.lit(0))
-            )
-            val = bit if val is None else val + bit
-        bands.append(
-            F.struct(
-                F.lit(j).alias("band_idx"), val.cast("int").alias("band_val")
-            )
+    # ONE F.expr string for the whole banded-code array (round-14): the
+    # nested-Column spelling cost ~n_bands*n_bits py4j round-trips of
+    # driver-side plan construction per call; the parsed tree (same
+    # left-associated bit sum, same comparisons) is identical.
+    structs = ", ".join(
+        "named_struct('band_idx', {j}, 'band_val', CAST({bits} AS INT))".format(
+            j=j,
+            bits=" + ".join(
+                f"(CASE WHEN element_at(v, {j * n_bits + i + 1}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+                for i in range(n_bits)
+            ),
         )
+        for j in range(n_bands)
+    )
     return corpus.select(
-        "vec_id", F.explode(F.array(*bands)).alias("bd")
+        "vec_id", F.expr(f"explode(array({structs}))").alias("bd")
     ).select("vec_id", "bd.band_idx", "bd.band_val")
 
 

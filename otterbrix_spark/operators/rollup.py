@@ -2,19 +2,23 @@
 (the TimescaleDB continuous-aggregate / materialized hypertable-rollup
 pattern) on partitioned parquet.
 
-The maintained state is a parquet table PARTITIONED BY the time bucket;
-``refresh`` recomputes ONLY the buckets a delta touches and swaps those
+The maintained state is a parquet table PARTITIONED BY day-level CHUNK
+(the TimescaleDB chunk split; bucket rows are data inside their chunk);
+``refresh`` recomputes ONLY the chunks a delta touches and swaps those
 partitions in via dynamic partition overwrite — the untouched history is
 never rewritten or rescanned. At 100 TB of history with a trickle of late
 data this is the difference between an O(delta) maintenance job and an
 O(history) one:
 
 * touched-bucket discovery is an aggregate over the DELTA only (small);
-* the recompute scans the SOURCE filtered to touched buckets — a pushed
+* the recompute scans the SOURCE filtered to touched chunks — a pushed
   time-range predicate, so row-group pruning applies (and partition
   pruning when the source itself is time-partitioned);
 * the write replaces exactly the touched partition directories
-  (``partitionOverwriteMode=dynamic``), an O(touched) commit.
+  (``partitionOverwriteMode=dynamic``), an O(touched) commit — and the
+  chunk granularity keeps the directory/file count 24x below
+  one-dir-per-bucket (guide §6: a century of hourly buckets must not be
+  876k directories).
 
 Invariant (tested + oracle-gated): after any build + refresh sequence the
 table equals the full one-shot aggregate over the complete source.
@@ -50,9 +54,22 @@ def _aggregate(bucketed: DataFrame, group_col: str = "event_type") -> DataFrame:
     )
 
 
+# Partition-directory granularity (hours). Round-14 (guide §6): the stored
+# layout used ONE DIRECTORY PER BUCKET — at hourly buckets that is a
+# partition dir of a few rows per hour of history (measured: 500 one-file
+# dirs for 1000 source rows; the build write spent ~17s in per-file writer
+# setup + per-dir commits, and a century of history would hold ~876k
+# directories). Directories are now day-level CHUNKS (the TimescaleDB
+# chunk split) holding the hourly bucket rows as DATA; maintenance swaps
+# touched chunks — still O(delta), with 24x fewer directories and files.
+_CHUNK_HOURS = 24
+
+
 class ContinuousAggregate:
     """Parquet-backed rollup of the events schema per
-    (time bucket, event_type), maintained incrementally."""
+    (time bucket, event_type), maintained incrementally. Stored
+    partitioned by day-level chunk (``chunk_us``); ``bucket_us`` is a
+    data column inside each chunk."""
 
     def __init__(
         self,
@@ -60,6 +77,7 @@ class ContinuousAggregate:
         path: str,
         bucket_hours: int = 1,
         group_col: str = "event_type",
+        chunk_hours: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -69,22 +87,35 @@ class ContinuousAggregate:
         # the bucket-maintenance machinery is agnostic to where the group
         # column came from
         self.group_col = group_col
+        self.chunk_hours = chunk_hours or max(bucket_hours, _CHUNK_HOURS)
+        self.chunk_us = self.chunk_hours * 3_600_000_000
+
+    def _chunk_of(self, bucket: int) -> int:
+        return int(bucket) // self.chunk_us * self.chunk_us
+
+    def _chunked(self, agg: DataFrame) -> DataFrame:
+        return agg.withColumn(
+            "chunk_us",
+            F.expr(f"bucket_us DIV {self.chunk_us} * {self.chunk_us}"),
+        )
 
     def build(self, source: DataFrame) -> None:
         """Full (re)build: one aggregate over the source, written
-        partitioned by bucket so later refreshes can swap buckets."""
-        agg = _aggregate(_bucketed(source, self.bucket_hours), self.group_col)
+        partitioned by chunk so later refreshes can swap chunks."""
+        agg = self._chunked(
+            _aggregate(_bucketed(source, self.bucket_hours), self.group_col)
+        )
         (
-            agg.repartition("bucket_us")
+            agg.repartition("chunk_us")
             .write.mode("overwrite")
-            .partitionBy("bucket_us")
+            .partitionBy("chunk_us")
             .parquet(self.path)
         )
 
     def refresh(self, source: DataFrame, delta: DataFrame) -> list[int]:
-        """Incremental maintenance: recompute ONLY the buckets ``delta``
-        touches, from ``source`` (which must already contain the delta
-        rows), and overwrite exactly those partitions. Returns the
+        """Incremental maintenance: recompute ONLY the chunks whose buckets
+        ``delta`` touches, from ``source`` (which must already contain the
+        delta rows), and overwrite exactly those partitions. Returns the
         touched bucket ids."""
         touched = [
             r["bucket_us"]
@@ -95,17 +126,17 @@ class ContinuousAggregate:
         ]
         if not touched:
             return []
-        bucket_us = self.bucket_hours * 3_600_000_000
-        lo, hi = min(touched), max(touched) + bucket_us
-        # time-range pushdown to the source scan; exact bucket membership
-        # re-checked after bucketing (the range may span untouched buckets)
+        chunks = sorted({self._chunk_of(b) for b in touched})
+        lo, hi = min(chunks), max(chunks) + self.chunk_us
+        # time-range pushdown to the source scan; exact chunk membership
+        # re-checked after bucketing (the range may span untouched chunks)
         src = source.filter(
             (F.col("ts").cast("timestamp") >= F.timestamp_micros(F.lit(lo)))
             & (F.col("ts").cast("timestamp") < F.timestamp_micros(F.lit(hi)))
         )
-        agg = _aggregate(
-            _bucketed(src, self.bucket_hours), self.group_col
-        ).filter(F.col("bucket_us").isin(touched))
+        agg = self._chunked(
+            _aggregate(_bucketed(src, self.bucket_hours), self.group_col)
+        ).filter(F.col("chunk_us").isin(chunks))
         # persisted so the retraction check below reuses the computed
         # aggregate instead of re-scanning the source range
         agg = agg.persist()
@@ -114,24 +145,24 @@ class ContinuousAggregate:
             # partitionOverwriteMode races with any concurrent writer in the
             # same session
             (
-                agg.repartition("bucket_us")
+                agg.repartition("chunk_us")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket_us")
+                .partitionBy("chunk_us")
                 .parquet(self.path)
             )
             # Retraction: dynamic overwrite only rewrites partitions PRESENT
-            # in the output — a touched bucket whose recompute yields zero
+            # in the output — a touched chunk whose recompute yields zero
             # rows (all its rows deleted upstream) would silently keep its
             # stale partition. Delete those partition dirs explicitly.
             produced = {
-                r["bucket_us"]
-                for r in agg.select("bucket_us").distinct().collect()
+                r["chunk_us"]
+                for r in agg.select("chunk_us").distinct().collect()
             }
-            for b in touched:
-                if b not in produced:
+            for c in chunks:
+                if c not in produced:
                     shutil.rmtree(
-                        os.path.join(self.path, f"bucket_us={b}"),
+                        os.path.join(self.path, f"chunk_us={c}"),
                         ignore_errors=True,
                     )
         finally:
@@ -167,7 +198,8 @@ class ContinuousAggregate:
         return version, touched
 
     def df(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        # chunk_us is physical layout, not part of the rollup's schema
+        return self.spark.read.parquet(self.path).drop("chunk_us")
 
 
 class CoarsenedAggregate:
@@ -221,7 +253,9 @@ class CoarsenedAggregate:
             for day in touched
             for b in range(day, day + bucket_us, 3_600_000_000)
         ]
-        # isin on the raw partition column (no cast) keeps partition pruning
+        # bucket_us is a data column of the chunk-partitioned fine table
+        # since round 14; the isin prunes row groups via min/max stats
+        # (the touched day-chunks are exactly the coarse buckets here)
         src = fine.filter(F.col("bucket_us").isin(members))
         agg = self._coarsen(src).filter(F.col("coarse_us").isin(touched))
         (

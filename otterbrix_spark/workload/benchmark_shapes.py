@@ -1485,10 +1485,22 @@ def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"0L, (acc, x) -> acc | shiftleft(1L, CAST(x % 64 AS INT))))"
                 ).alias("nbrs"),
             )
-            k = F.expr(
-                "aggregate(zip_with(na, nb, (x, y) -> bit_count(x & y)), "
-                "0L, (acc, c) -> acc + CAST(c AS BIGINT))"
-            ).alias("k")
+            # UNROLLED popcount sum: higher-order lambdas (zip_with/
+            # aggregate) are interpreted per element, which would eat the
+            # bitmap win on the per-edge hot path; words is known at plan
+            # time, so the fixed-width AND+bit_count chain compiles into
+            # whole-stage codegen
+            k = (
+                F.expr(
+                    " + ".join(
+                        f"bit_count(element_at(na, {w + 1}) "
+                        f"& element_at(nb, {w + 1}))"
+                        for w in range(words)
+                    )
+                )
+                .cast("long")
+                .alias("k")
+            )
         else:
             k = F.size(F.array_intersect("na", "nb")).cast("long").alias("k")
         adj = adj.localCheckpoint(eager=False)
@@ -3623,13 +3635,10 @@ LIMIT 20
 """
 
 
-@query(
-    "l11_foaf_capped", _L11_ORACLE,
-    doc="degree-capped people-you-may-know: top-M co-suppliers per node "
-        "(ranked window) before the 2-hop expansion — candidates bounded "
-        "by M^2 per node at any degree distribution",
-)
-def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _l11_capped_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranked-window degree cap BEFORE its checkpoint — factored out so
+    tests can assert the cap-before-join plan shape on the subtree itself
+    (ADVICE r13: the checkpointed gate plan only shows ExistingRDD)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
@@ -3664,10 +3673,19 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("a").orderBy(F.col("w").desc(), "b")
     )
-    capped = (
-        und.withColumn("rn", rn).filter(F.col("rn") <= _L11_CAP).drop("rn", "w")
-        .localCheckpoint(eager=False)  # feeds sym (2x) + the 2-hop self-join (2x)
-    )
+    return und.withColumn("rn", rn).filter(F.col("rn") <= _L11_CAP).drop("rn", "w")
+
+
+@query(
+    "l11_foaf_capped", _L11_ORACLE,
+    doc="degree-capped people-you-may-know: top-M co-suppliers per node "
+        "(ranked window) before the 2-hop expansion — candidates bounded "
+        "by M^2 per node at any degree distribution",
+)
+def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = _l11_capped_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # feeds sym (2x) + the 2-hop self-join (2x)
     sym = capped.union(
         capped.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()

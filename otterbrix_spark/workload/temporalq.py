@@ -1846,6 +1846,19 @@ def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # Fan-out guard (round-14, guide §2.2): the per-series pandas compute
+    # below is CPU-heavy but tiny in bytes, so off an uncached single-split
+    # scan AQE coalesces the groupBy shuffle to ONE partition (measured:
+    # 3 tasks total, every series selected in one task). A pinned
+    # repartition on the series key feeds both the rebasing window and the
+    # applyInPandas without further exchanges; skipped when the warm cache
+    # is already clustered on user_id (the exchange would undo its
+    # elision).
+    clustered = getattr(ev, "_otx_clustered_key", None)
+    if not (clustered is not None and clustered[0] == "user_id"):
+        ev = ev.repartition(
+            spark.sparkContext.defaultParallelism, F.col("user_id")
+        )
     # integer DIV, never float /: a float quotient one ulp under an exact
     # integer truncates off-by-one (TESTDATA nanos pitfall class)
     pts = ev.select(

@@ -13,6 +13,33 @@ if str(REPO) not in sys.path:
 SF_DIR = os.environ.get("OTX_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_MID = os.environ.get("OTX_TEST_SF_DIR_MID", "/root/testdata/sf0.01")
 
+# Long-running batteries (VERDICT r13 #1: streaming, MVCC, random-DML
+# fuzz, txn/DDL state machines) — marked slow HERE so no test file needs
+# editing, and deselected by default via pytest.ini. The oracle battery
+# (test_workload_oracle) still exercises every streaming/MVCC/txn GATE on
+# each default run; these modules add the deep per-feature batteries.
+_SLOW_MODULES = {
+    "test_sql_dml",
+    "test_generated_columns",
+    "test_streaming",
+    "test_rollup",
+    "test_constraints_sql",
+    "test_txn_state_r13",
+    "test_txn_type_ddl",
+    "test_domains",
+    "test_dml",
+    "test_mvcc",
+    "test_temp_tables",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item, "module", None)
+        name = getattr(mod, "__name__", "").rsplit(".", 1)[-1]
+        if name in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

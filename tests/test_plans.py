@@ -502,6 +502,17 @@ def test_l11_capped_foaf_all_equi_joins(spark, sf_dir):
     # that shape here; the cap-before-join SEMANTICS are pinned by the
     # gate's DuckDB oracle (ROW_NUMBER cap in the `capped` CTE).
     assert "ExistingRDD" in plan
+    # ...and the cap subtree ITSELF (pre-checkpoint, ADVICE r13) must be
+    # the ranked-window shape: a row_number window over the weighted edge
+    # union, filtered by the cap — not a join or a global sort.
+    from otterbrix_spark.workload.benchmark_shapes import _l11_capped_edges
+
+    sub = _l11_capped_edges(spark, sf_dir)
+    sub_plan = sub._sc._jvm.PythonSQLUtils.explainString(
+        sub._jdf.queryExecution(), "formatted"
+    )
+    assert "row_number" in sub_plan and "Window" in sub_plan
+    assert "CartesianProduct" not in sub_plan
 
 
 def test_ds26_union_feeds_single_window_shuffle(spark, sf_dir):

@@ -48,10 +48,13 @@ def test_refresh_touches_only_delta_partitions(spark, sf_dir, tmp_path):
     before = {
         d: os.path.getmtime(os.path.join(path, d))
         for d in os.listdir(path)
-        if d.startswith("bucket_us=")
+        if d.startswith("chunk_us=")
     }
+    assert len(before) > 1  # multi-chunk table, so "only touched" is real
     # a delta confined to the single latest bucket
-    last_bucket = max(int(d.split("=")[1]) for d in before)
+    last_bucket = (
+        _bucketed(ev, 1).agg(F.max("bucket_us")).collect()[0][0]
+    )
     delta = _bucketed(ev, 1).filter(F.col("bucket_us") == last_bucket).drop(
         "bucket_us"
     )
@@ -60,10 +63,12 @@ def test_refresh_touches_only_delta_partitions(spark, sf_dir, tmp_path):
     after = {
         d: os.path.getmtime(os.path.join(path, d))
         for d in os.listdir(path)
-        if d.startswith("bucket_us=")
+        if d.startswith("chunk_us=")
     }
+    # round-14: the stored layout is day-level chunks (guide §6); only the
+    # chunk CONTAINING the touched bucket may be rewritten
     rewritten = {d for d in before if after[d] != before[d]}
-    assert rewritten == {f"bucket_us={last_bucket}"}
+    assert rewritten == {f"chunk_us={ca._chunk_of(last_bucket)}"}
     # still equal to the full aggregate
     assert _as_dict(ca.df()) == _as_dict(_full(ev))
 
