@@ -49,8 +49,19 @@ def spark():
     # battery is pointed at sf0.1 (OTX_TEST_SF_DIR) — and one OOM poisons
     # the shared JVM for every later test. 8g covers the full battery at
     # sf0.1; override with OTX_TEST_DRIVER_MEM.
+    #
+    # The TEST session runs 12 cores, not machine width: at sf0.001 every
+    # task is tiny and the suite is scheduler-bound, so full width is pure
+    # launch overhead — measured on a fixed 56-gate oracle subset:
+    # local[32] 106s vs local[12] 85s vs local[8] 89s. Test-harness only
+    # (bench.py and the driver read SPARK_GRAFT_CPUS themselves); override
+    # with OTX_TEST_CPUS.
+    cores = int(os.environ.get("OTX_TEST_CPUS", 0)) or min(
+        12, os.cpu_count() or 12
+    )
     spark = get_spark(
         app_name="otterbrix-tests",
+        master=f"local[{cores}]",
         shuffle_partitions=8,
         extra_conf={
             "spark.driver.memory": os.environ.get("OTX_TEST_DRIVER_MEM", "8g")
