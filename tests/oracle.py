@@ -47,12 +47,26 @@ def _canon(rows, columns):
     return sorted(out, key=repr)
 
 
+def _duck_result(sf_dir: str, oracle_sql: str):
+    rel = duck_con(sf_dir).sql(oracle_sql)
+    return rel.columns, rel.fetchall()
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "?") -> None:
     sp_cols = spark_df.columns
-    sp_rows = [tuple(r) for r in spark_df.collect()]
-    rel = duck_con(sf_dir).sql(oracle_sql)
-    du_cols = rel.columns
-    du_rows = rel.fetchall()
+    # Run the DuckDB oracle CONCURRENTLY with the Spark collect: DuckDB
+    # releases the GIL and the collect blocks on the py4j socket, so the
+    # two engines' work overlaps instead of adding up — the oracle
+    # battery is ~570 such pairs per suite run. Harness-only: identical
+    # SQL, identical comparison. The cached connection is touched by one
+    # thread at a time (tests are serial; the worker owns it until
+    # .result()).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(_duck_result, sf_dir, oracle_sql)
+        sp_rows = [tuple(r) for r in spark_df.collect()]
+        du_cols, du_rows = fut.result()
 
     assert sorted(sp_cols) == sorted(du_cols), (
         f"{name}: column mismatch spark={sp_cols} duck={du_cols}"
