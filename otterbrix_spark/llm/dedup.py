@@ -107,7 +107,11 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     twice and joined on fp, and at corpus scale the group table has ~one
     row per document (content hashes are near-unique), so the join-back
     could never broadcast and cost a second full shuffle + sort. The
-    window is ONE shuffle on fp and one pass; identical output."""
+    window is ONE shuffle on fp and one pass; identical output for any
+    non-NULL text. (One deliberate edge improvement: rows with NULL
+    ``text_col`` hash to a NULL fingerprint and now form their own group
+    — the old inner join-back silently dropped them. No tested corpus
+    contains NULL text; documented for API callers.)"""
     w = Window.partitionBy("fp")
     return (
         df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
