@@ -493,7 +493,9 @@ def encode_ppm_gradient(
     return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
 
 
-def documents_as_gradient_assets(docs: DataFrame) -> DataFrame:
+def documents_as_gradient_assets(
+    docs: DataFrame, fan_out: bool = False
+) -> DataFrame:
     """Documents -> gradient PPM assets (SQL-predictable spatial content):
     w = 1 + (id*13) % 64, h = 1 + (id*7) % 64, r0 = id % 128,
     g0 = (id*3) % 128, b0 = (id*7) % 256 — r0 + w <= 191, g0 + h <= 191,
@@ -513,9 +515,33 @@ def documents_as_gradient_assets(docs: DataFrame) -> DataFrame:
 
         return doc_id.map(one)
 
-    return docs.select(
-        F.col("doc_id").alias("asset_id"),
-        encode(F.col("doc_id")).alias("payload"),
+    # Round-14 (guide §2.2/§1.3, same guard as dedup._fan_out): the
+    # documents scan is a handful of splits locally, so downstream Python
+    # stages ran in ~3 tasks on 32 cores. fan_out=True spreads the NARROW
+    # id column to cluster width BEFORE generating payloads — the shuffle
+    # moves only 8-byte ids, the pixel bytes are born post-shuffle and
+    # never move; skipped when the input is already hash-clustered on
+    # doc_id at the target width (the warm-cache layout stamp).
+    # Opt-in per caller because it was MEASURED per gate (interleaved
+    # A/B, 2 pairs, best-of-4): m07's per-asset decode+tile is heavy
+    # enough to win 1.5-1.6x (3.3/2.8s -> 2.2/1.7s); m09's flip-crop is
+    # too light and LOST ~20% to the added exchange + tiny-task
+    # scheduling (1.4/1.1s -> 1.7/1.4s); m11 read parity. Light-work
+    # callers keep the scan's natural splits.
+    ids = docs.select(F.col("doc_id").alias("asset_id"))
+    if fan_out:
+        spark = docs.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        clustered = getattr(docs, "_otx_clustered_key", None)
+        if not (
+            clustered is not None
+            and clustered[0] == "doc_id"
+            and clustered[1] >= target
+        ):
+            ids = ids.repartition(target, F.col("asset_id"))
+    return ids.select(
+        "asset_id",
+        encode(F.col("asset_id")).alias("payload"),
     )
 
 

@@ -4276,7 +4276,9 @@ def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    patches = extract_patches(documents_as_gradient_assets(docs), patch=8)
+    patches = extract_patches(
+        documents_as_gradient_assets(docs, fan_out=True), patch=8
+    )
     return patches.orderBy("asset_id", "ti", "tj")
 
 
